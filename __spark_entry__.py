@@ -1,38 +1,349 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps operator-inventory names (SURVEY.md §2) to callables
+(spark, sf_dir) -> DataFrame; `oracle_sql()` gives the DuckDB-equivalent
+SQL for the t2 hash-comparison. Non-SQL-expressible operators (MATCH,
+ALIGN, EXPMOVAVG) have no oracle entry -> rows-only check; their full
+semantics are tested against pure-pandas oracles in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from sclera_spark.engine import ScleraEngine
+
+    eng = ScleraEngine(spark)
+    eng.add_location(sf_dir)
+    return eng
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape, SURVEY.md §7) on sf0.001."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return eng.sql(_Q["q1_agg"])
+
+
+# ---------------------------------------------------------------- SQL corpus
+
+_Q: dict[str, str] = {
+    "q1_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               avg(l_quantity) AS avg_qty,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "multi_join": """
+        SELECT n_name, count(*) AS cnt, sum(o_totalprice) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+        GROUP BY n_name
+    """,
+    "left_outer_join": """
+        SELECT c_custkey, o_orderkey
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_totalprice > 100000
+        WHERE c_acctbal < 0
+    """,
+    "setop_intersect": """
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    "setop_except_all": """
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    "setop_union": """
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        UNION
+        SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 9000
+    """,
+    "subquery_in_exists": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    """,
+    "scalar_case_like": """
+        SELECT p_partkey,
+               CASE WHEN p_size BETWEEN 1 AND 10 THEN 'small'
+                    WHEN p_size BETWEEN 11 AND 30 THEN 'medium'
+                    ELSE 'large' END AS size_class,
+               p_name LIKE '%green%' AS is_green,
+               upper(p_brand) AS brand_u,
+               length(p_name) AS name_len
+        FROM part
+        WHERE p_type LIKE 'SMALL%' OR p_brand = 'Brand#13'
+    """,
+    "scalar_math": """
+        SELECT o_orderkey,
+               round(o_totalprice, 1) AS r1,
+               floor(o_totalprice) AS fl,
+               ceil(o_totalprice) AS ce,
+               abs(o_totalprice - 100000) AS ab,
+               sqrt(o_totalprice) AS sq,
+               ln(o_totalprice) AS lg,
+               power(o_totalprice, 0.5) AS pw,
+               o_orderkey % 7 AS md
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+    "scalar_datetime": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS y,
+               month(o_orderdate) AS m,
+               day(o_orderdate) AS d,
+               quarter(o_orderdate) AS q
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+    "agg_stats": """
+        SELECT l_returnflag,
+               stddev_samp(l_quantity) AS sd,
+               var_pop(l_discount) AS vp,
+               corr(l_quantity, l_extendedprice) AS cor,
+               covar_samp(l_quantity, l_extendedprice) AS cov,
+               min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+               count(DISTINCT l_suppkey) AS nsupp
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "having_group": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 100
+    """,
+    "order_limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 20 OFFSET 10
+    """,
+    "distinct_rows": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "values_inline": """
+        SELECT id, name, id * 2 AS twice
+        FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, name)
+    """,
+}
+
+# DISTINCT ON goes through our front-end rewrite, so the engine-side text is
+# Sclera/PostgreSQL dialect while the oracle states the window formulation.
+_DISTINCT_ON_ENGINE = """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+    FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+"""
+_DISTINCT_ON_ORACLE = """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey) rn FROM orders) t
+    WHERE rn = 1
+"""
+
+_WINDOW_TIER_SQL = """
+    SELECT user_id, event_id,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3
+    FROM events
+"""
+
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sql(_Q[name])
+
+    return run
+
+
+def _q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(_DISTINCT_ON_ENGINE)
+
+
+def _q_window_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(_WINDOW_TIER_SQL)
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.operators import pivot
+
+    eng = _engine(spark, sf_dir)
+    return pivot(
+        eng.table("lineitem"),
+        group_by=["l_returnflag"],
+        pivot_col="l_linestatus",
+        labels=["F", "O"],
+        agg=F.sum("l_quantity"),
+    )
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.operators import unpivot
+
+    eng = _engine(spark, sf_dir)
+    return unpivot(
+        eng.table("part"),
+        ids=["p_partkey"],
+        value_cols=["p_size", "p_retailprice"],
+        key_col="k",
+        value_col="v",
+    )
+
+
+def _q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.operators import arg_opt
+
+    eng = _engine(spark, sf_dir)
+    # tie-break on o_orderkey so the argmax row is unique (hash-stable)
+    return arg_opt(
+        eng.table("orders"),
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("tb")),
+        maximize=True,
+        partition_by=["o_orderstatus"],
+    )
+
+
+def _q_split_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.operators import split_into
+
+    eng = _engine(spark, sf_dir)
+    ev = (
+        eng.table("events")
+        .select("user_id", "event_id", "value")
+        .withColumn("lo", F.col("value"))
+        .withColumn("hi", F.col("value") + 10)
+    )
+    return split_into(ev, "lo", "hi", "s", "e", partition_by=["user_id"]).select(
+        "user_id", "event_id", "s", "e"
+    )
+
+
+def _q_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.operators.match import ColumnRowLabeler, label_agg, match_aggregate
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("user_id", "event_id", "ts", "event_type", "value")
+    return match_aggregate(
+        ev,
+        "VIEW+ PURCHASE",
+        ColumnRowLabeler("event_type"),
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        aggregates={
+            "n_views": label_agg("VIEW", F.count, F.col("event_id")),
+            "purchase_value": label_agg("PURCHASE", F.sum, F.col("value")),
+        },
+    )
+
+
+def _q_expmovavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.operators import expmovavg
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("user_id", "event_id", "ts", "value")
+    return expmovavg(
+        ev, "value", decay=0.3, partition_by=["user_id"], order_by=["ts", "event_id"],
+        out_col="ema",
+    ).select("user_id", "event_id", "ema")
+
+
+def _q_align_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from sclera_spark.operators import align
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events")
+    a = ev.filter(F.col("user_id") == 1).select(
+        F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"), F.col("value").alias("a_value")
+    )
+    b = ev.filter(F.col("user_id") == 2).select(
+        F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"), F.col("value").alias("b_value")
+    )
+    return align(
+        a,
+        b,
+        dist=lambda pa, pb: np.abs(pa["a_value"].to_numpy() - pb["b_value"].to_numpy()),
+        margin=10,
+        order_by_a=["a_ts", "a_id"],
+        order_by_b=["b_ts", "b_id"],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(name) for name in _Q
+    }
+    out.update(
+        {
+            "distinct_on": _q_distinct_on,
+            "window_tier": _q_window_tier,
+            "pivot": _q_pivot,
+            "unpivot": _q_unpivot,
+            "arg_max": _q_arg_max,
+            "split_intervals": _q_split_intervals,
+            "match_funnel": _q_match_funnel,
+            "expmovavg": _q_expmovavg,
+            "align_users": _q_align_users,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    oracles = dict(_Q)
+    oracles["distinct_on"] = _DISTINCT_ON_ORACLE
+    oracles["window_tier"] = _WINDOW_TIER_SQL
+    oracles["pivot"] = """
+        SELECT l_returnflag,
+               sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+               sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        FROM lineitem GROUP BY l_returnflag
     """
-    return {}
+    oracles["unpivot"] = """
+        SELECT p_partkey, 'p_size' AS k, CAST(p_size AS double) AS v FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS k, p_retailprice AS v FROM part
+    """
+    oracles["arg_max"] = """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+              FROM orders) t WHERE rn = 1
+    """
+    oracles["split_intervals"] = """
+        WITH iv AS (SELECT user_id, event_id, value AS lo, value + 10 AS hi FROM events),
+        b AS (SELECT DISTINCT user_id, b FROM (
+            SELECT user_id, lo AS b FROM iv UNION SELECT user_id, hi FROM iv)),
+        atoms AS (SELECT user_id, b AS s,
+                         lead(b) OVER (PARTITION BY user_id ORDER BY b) AS e FROM b)
+        SELECT iv.user_id, iv.event_id, atoms.s, atoms.e
+        FROM iv JOIN atoms ON iv.user_id = atoms.user_id
+        WHERE atoms.e IS NOT NULL AND iv.lo <= atoms.s AND atoms.e <= iv.hi
+    """
+    # match_funnel / expmovavg / align_users: no SQL equivalent ->
+    # rows-only check; pandas oracles live in tests/test_match_align.py and
+    # tests/test_operators.py.
+    return oracles

@@ -1,0 +1,93 @@
+"""ScleraEngine — the embedding API (analogue of the reference's Processor).
+
+The reference entry point is `Processor.handleStatement/handleQuery`
+(modules/core/src/main/scala/exec/Processor.scala:118-213): parse SQL ->
+normalize -> plan -> pull-iterate. Here the pipeline is: our SQL front end
+(sclera_spark.plans) lowers Sclera-dialect SQL to DataFrame operations, and
+Catalyst does normalization/optimization/execution — there is deliberately
+no custom executor (SURVEY.md §4: Catalyst+Tungsten strictly supersede the
+reference's single-threaded iterator engine).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sclera_spark.catalog import Catalog
+
+
+class ScleraEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        # named external sources/functions — the Spark-side analogue of the
+        # reference's ServiceLoader plugin registry
+        # (modules/service/src/main/scala/ScleraServiceLoaderscala:25-40)
+        self.sources: dict[str, Callable[..., DataFrame]] = {}
+        self.ml_models: dict[str, object] = {}
+        self._register_builtin_sources()
+
+    # ---- locations / tables (reference: dbms/location/Location.scala) ----
+
+    def add_table(self, name: str, path_or_df) -> DataFrame:
+        if isinstance(path_or_df, DataFrame):
+            return self.catalog.register(name, path_or_df)
+        return self.catalog.register_parquet(name, path_or_df)
+
+    def add_location(self, sf_dir: str) -> None:
+        self.catalog.register_dir(sf_dir)
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    # ---- SQL ----
+
+    def sql(self, query: str) -> DataFrame:
+        """Run a Sclera-dialect SQL query. Sclera-specific constructs are
+        rewritten by our front end; everything else rides Spark SQL."""
+        from sclera_spark.plans.frontend import lower_sql
+
+        return lower_sql(self, query)
+
+    def explain(self, query: str) -> str:
+        return self.sql(query)._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    # ---- external sources (reference: external/objects/ExternalSource.scala) ----
+
+    def register_source(self, name: str, fn: Callable[..., DataFrame]) -> None:
+        self.sources[name.upper()] = fn
+
+    def external_source(self, name: str, *args, **kwargs) -> DataFrame:
+        fn = self.sources.get(name.upper())
+        if fn is None:
+            raise KeyError(f"unknown external source: {name}")
+        return fn(*args, **kwargs)
+
+    def _register_builtin_sources(self) -> None:
+        # SequenceSource(n): integers 0..n-1, sorted
+        # (reference external/objects/SequenceSource.scala:26-46)
+        self.register_source(
+            "SEQUENCE", lambda n: self.spark.range(n).withColumnRenamed("id", "seq")
+        )
+        self.register_source(
+            "CSV",
+            lambda path, **opts: self.spark.read.options(**opts).csv(
+                path, header=True, inferSchema=True
+            ),
+        )
+        self.register_source("JSON", lambda path, **opts: self.spark.read.options(**opts).json(path))
+        self.register_source(
+            "PARQUET", lambda path, **opts: self.spark.read.options(**opts).parquet(path)
+        )
+        self.register_source(
+            "JDBC",
+            lambda url, table, **opts: self.spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .options(**opts)
+            .load(),
+        )

@@ -1,0 +1,123 @@
+"""Sclera aggregate function surface -> native Spark aggregate Columns.
+
+Parity target: the aggregate inventory of the reference
+(modules/core/src/main/scala/sql/exec/scalar/ScalFunctionEvaluator.scala:38-50
+names; implementations in analytics/sequence/matcher/aggregate/SeqAggregate.scala).
+
+All map to JVM-side Spark aggregates (map-side partial aggregation + final
+merge — distributes cleanly, unlike the reference's single-threaded
+sort-group iterator, sql/result/TableRowGroupIterator.scala:29). The only
+ones needing composition are PATH/STRING_AGG (ordered concat) and the
+_POP/_SAMP skew/kurtosis variants (Spark natively exposes only one flavor
+of each; the others are derived from central moments).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def string_agg(col: Column, sep: str = ",") -> Column:
+    """STRING_AGG: ordered concatenation. At scale this is a collect_list
+    per group — acceptable because groups, not the whole relation, bound
+    the state. Order within group is input order (non-deterministic after
+    a shuffle unless the caller sorts first — same caveat Spark's own
+    listagg carries)."""
+    return F.array_join(F.collect_list(col.cast("string")), sep)
+
+
+def path(col: Column) -> Column:
+    """PATH: Sclera's label-path aggregate — '/'-joined values in order."""
+    return string_agg(col, "/")
+
+
+def skew_pop(col: Column) -> Column:
+    """Population skewness g1 = m3 / m2^1.5 (Spark's `skewness` IS g1)."""
+    return F.skewness(col)
+
+
+def skew_samp(col: Column) -> Column:
+    """Sample skewness G1 = g1 * sqrt(n(n-1))/(n-2), derived from g1."""
+    n = F.count(col).cast("double")
+    g1 = F.skewness(col)
+    return g1 * F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0))
+
+
+def kurtosis_pop(col: Column) -> Column:
+    """Population excess kurtosis g2 = m4/m2^2 - 3 (Spark's `kurtosis` IS g2)."""
+    return F.kurtosis(col)
+
+
+def kurtosis_samp(col: Column) -> Column:
+    """Sample excess kurtosis G2 derived from g2."""
+    n = F.count(col).cast("double")
+    g2 = F.kurtosis(col)
+    one = F.lit(1.0)
+    return ((n - one) / ((n - F.lit(2.0)) * (n - F.lit(3.0)))) * ((n + one) * g2 + F.lit(6.0))
+
+
+# name -> callable(cols...) -> aggregate Column
+AGGREGATE_FUNCTIONS: dict[str, Callable[..., Column]] = {
+    "AVG": F.avg,
+    "SUM": F.sum,
+    "MIN": F.min,
+    "MAX": F.max,
+    "COUNT": F.count,
+    "BOOL_AND": lambda c: F.bool_and(c),
+    "BOOL_OR": lambda c: F.bool_or(c),
+    "EVERY": lambda c: F.bool_and(c),
+    "CORR": F.corr,
+    "COVAR_POP": F.covar_pop,
+    "COVAR_SAMP": F.covar_samp,
+    "STDDEV": F.stddev_samp,
+    "STDDEV_POP": F.stddev_pop,
+    "STDDEV_SAMP": F.stddev_samp,
+    "VAR": F.var_samp,
+    "VARIANCE": F.var_samp,
+    "VAR_POP": F.var_pop,
+    "VAR_SAMP": F.var_samp,
+    "SKEW": skew_pop,
+    "SKEW_POP": skew_pop,
+    "SKEW_SAMP": skew_samp,
+    "KURTOSIS": kurtosis_pop,
+    "KURTOSIS_POP": kurtosis_pop,
+    "KURTOSIS_SAMP": kurtosis_samp,
+    "STRING_AGG": string_agg,
+    "PATH": path,
+    "NTH_VALUE": lambda c, n: F.get(F.collect_list(c), n - 1 if isinstance(n, int) else n),
+    # linear regression family (reference ScalFunctionEvaluator.scala:38-50)
+    "REGR_COUNT": lambda y, x: F.regr_count(y, x),
+    "REGR_AVGX": lambda y, x: F.regr_avgx(y, x),
+    "REGR_AVGY": lambda y, x: F.regr_avgy(y, x),
+    "REGR_INTERCEPT": lambda y, x: F.regr_intercept(y, x),
+    "REGR_R2": lambda y, x: F.regr_r2(y, x),
+    "REGR_SLOPE": lambda y, x: F.regr_slope(y, x),
+    "REGR_SXX": lambda y, x: F.regr_sxx(y, x),
+    "REGR_SXY": lambda y, x: F.regr_sxy(y, x),
+    "REGR_SYY": lambda y, x: F.regr_syy(y, x),
+    # extensions beyond the reference (approximate, scale-friendly)
+    "APPROX_COUNT_DISTINCT": F.approx_count_distinct,
+    "PERCENTILE_APPROX": lambda c, p: F.percentile_approx(c, p),
+}
+
+
+def aggregate_function(name: str, *args, distinct: bool = False) -> Column:
+    """Resolve a Sclera aggregate call. DISTINCT is supported for the
+    standard SQL aggregates via count_distinct / sum_distinct etc."""
+    key = name.upper()
+    if distinct:
+        if key == "COUNT":
+            return F.count_distinct(*args)
+        if key == "SUM":
+            return F.sum_distinct(*args)
+        if key == "AVG":
+            # avg(distinct x) = sum(distinct x)/count(distinct x)
+            return F.sum_distinct(*args) / F.count_distinct(*args)
+        raise ValueError(f"DISTINCT not supported for aggregate {name}")
+    fn = AGGREGATE_FUNCTIONS.get(key)
+    if fn is None:
+        raise ValueError(f"unknown aggregate function: {name}")
+    return fn(*args)

@@ -1,0 +1,184 @@
+"""ALIGN — DTW-style alignment of two ordered streams.
+
+Reference semantics (modules/core/src/main/scala/sql/exec/relational/
+AlignTableResult.scala:34-123):
+
+- Inputs: two ordered streams A, B; a distance expression evaluated on the
+  concatenated (a-row, b-row) pair; optional MARGIN m bounding lead/lag.
+- Fast path: constant distance or MARGIN 0 -> positional zip of the rows.
+- General path: let n = min(|A|, |B|); align the length-n *suffixes* of A
+  and B (the reference folds over reversed vectors) with the classic DTW
+  recurrence D(i,j) = c(i,j) + min(D(i-1,j-1), D(i-1,j), D(i,j-1)),
+  restricted to the Sakoe-Chiba band |i-j| <= margin, where
+  margin = clamp(|m|, 1, n-1) (n-1 when no margin given).
+- Output: the optimal warping path's (a-row, b-row) pairs, in forward
+  stream order; columns = A's columns ++ B's columns.
+
+Spark lowering: the DP is inherently sequential per aligned pair of
+sequences, so it runs as a cogrouped-map pandas op (Arrow batches, numpy
+O(n*margin) DP). With partition keys, alignment is per-key and distributes;
+without keys both streams collapse to a single group — same asymptotics as
+the reference's single thread, but vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_KEY = "__align_key"
+
+
+def _dtw_pairs(
+    na: int, nb: int, cost: Callable[[np.ndarray, np.ndarray], np.ndarray], margin: int | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run the reference's banded DTW over the reversed length-n suffixes;
+    return (a_idx, b_idx) index arrays of the optimal path in forward order.
+
+    ``cost(ai, bi)`` takes integer index arrays into the ORIGINAL (forward)
+    sequences and returns the per-pair distances.
+    """
+    n = min(na, nb)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    m = max(1, min(abs(margin), n - 1)) if margin is not None else max(1, n - 1)
+
+    # reversed-suffix index r -> original index: a: na-1-r, b: nb-1-r
+    def orig_a(r: np.ndarray) -> np.ndarray:
+        return na - 1 - r
+
+    def orig_b(r: np.ndarray) -> np.ndarray:
+        return nb - 1 - r
+
+    INF = np.inf
+    # D over band cells; store as dict-of-diagonals is overkill — use dense
+    # (n x n) only when small, else banded arrays. Band width 2m+1.
+    # We store D[i, j] for |i-j| <= m using offset k = j - i + m in [0, 2m].
+    D = np.full((n, 2 * m + 1), INF, dtype=np.float64)
+    # predecessor code: 0=diag, 1=(i-1,j), 2=(i,j-1)
+    P = np.zeros((n, 2 * m + 1), dtype=np.int8)
+
+    def get(i: int, j: int) -> float:
+        if i < 0 or j < 0 or abs(i - j) > m or i >= n or j >= n:
+            return INF
+        return D[i, j - i + m]
+
+    # vectorized cost per band row: for each i, js in [max(0,i-m), min(n-1,i+m)]
+    for i in range(n):
+        j_lo, j_hi = max(0, i - m), min(n - 1, i + m)
+        js = np.arange(j_lo, j_hi + 1)
+        ci = cost(orig_a(np.full(js.shape, i)), orig_b(js))
+        for j, c in zip(js, ci):
+            if i == 0 and j == 0:
+                D[0, m] = c
+                continue
+            cands = (get(i - 1, j - 1), get(i - 1, j), get(i, j - 1))
+            kmin = int(np.argmin(cands))
+            D[i, j - i + m] = c + cands[kmin]
+            P[i, j - i + m] = kmin
+
+    # trace back from (n-1, n-1)
+    path = []
+    i = j = n - 1
+    while True:
+        path.append((i, j))
+        if i == 0 and j == 0:
+            break
+        k = P[i, j - i + m]
+        if k == 0:
+            i, j = i - 1, j - 1
+        elif k == 1:
+            i -= 1
+        else:
+            j -= 1
+    # path is reversed-space from (n-1,n-1) down to (0,0); reversed index
+    # n-1 maps to the first row of the suffix, so path order as collected
+    # (high r -> low r reversed) ... convert to original forward order:
+    ri = np.array([p[0] for p in path])
+    rj = np.array([p[1] for p in path])
+    ai, bi = orig_a(ri), orig_b(rj)
+    order = np.argsort(ai + bi, kind="stable")
+    return ai[order], bi[order]
+
+
+def align(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    dist: Callable[[pd.DataFrame, pd.DataFrame], np.ndarray],
+    margin: int | None = None,
+    order_by_a: Sequence[str] = (),
+    order_by_b: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """ALIGN df_a WITH df_b ON dist [MARGIN margin].
+
+    ``dist(pa, pb)`` receives two equal-length pandas frames (the candidate
+    a-rows and b-rows, positionally paired) and returns per-pair distances.
+    Column-name collisions between the two sides must be resolved by the
+    caller (the reference's normalizer does the same via renaming).
+    """
+    overlap = set(df_a.columns) & set(df_b.columns) - set(partition_by)
+    if overlap:
+        raise ValueError(f"ALIGN requires disjoint column names; clash: {sorted(overlap)}")
+
+    p = list(partition_by)
+    a_cols = [c for c in df_a.columns if c not in p]
+    b_cols = [c for c in df_b.columns if c not in p]
+    if not p:
+        df_a = df_a.withColumn(_KEY, F.lit(1))
+        df_b = df_b.withColumn(_KEY, F.lit(1))
+        p = [_KEY]
+
+    out_fields = [df_a.schema[c] for c in df_a.columns if c != _KEY] + [
+        df_b.schema[c] for c in b_cols
+    ]
+    out_schema = StructType(out_fields)
+
+    oa, ob = list(order_by_a), list(order_by_b)
+
+    def _align_group(pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        if len(pa) == 0 or len(pb) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        if oa:
+            pa = pa.sort_values(oa, kind="mergesort")
+        if ob:
+            pb = pb.sort_values(ob, kind="mergesort")
+        pa = pa.reset_index(drop=True)
+        pb = pb.reset_index(drop=True)
+
+        def cost(ai: np.ndarray, bi: np.ndarray) -> np.ndarray:
+            return np.asarray(
+                dist(pa.iloc[ai].reset_index(drop=True), pb.iloc[bi].reset_index(drop=True)),
+                dtype=np.float64,
+            )
+
+        ai, bi = _dtw_pairs(len(pa), len(pb), cost, margin)
+        left = pa.iloc[ai].reset_index(drop=True)
+        right = pb.iloc[bi].reset_index(drop=True)[b_cols]
+        out = pd.concat([left, right], axis=1)
+        return out[[f.name for f in out_fields]]
+
+    res = df_a.groupBy(*p).cogroup(df_b.groupBy(*p)).applyInPandas(
+        lambda left, right: _align_group(left, right), schema=out_schema
+    )
+    return res
+
+
+def align_zip(df_a: DataFrame, df_b: DataFrame, order_by_a, order_by_b, partition_by=()) -> DataFrame:
+    """ALIGN fast path (constant distance / MARGIN 0): positional zip
+    (reference AlignTableResult.scala:70-74). Lowered to a row_number join —
+    pure DataFrame ops, no pandas."""
+    from pyspark.sql import Window
+
+    p = list(partition_by)
+    wa = (Window.partitionBy(*p) if p else Window.partitionBy()).orderBy(*order_by_a)
+    wb = (Window.partitionBy(*p) if p else Window.partitionBy()).orderBy(*order_by_b)
+    a = df_a.withColumn("__rn", F.row_number().over(wa))
+    b = df_b.withColumn("__rn", F.row_number().over(wb))
+    return a.join(b, on=p + ["__rn"], how="inner").drop("__rn")

@@ -1,0 +1,238 @@
+"""Label-regex compiler: Sclera MATCH pattern -> Glushkov NFA -> match spans.
+
+Surface grammar (parity with the reference's regex parser,
+modules/util/regexparser/src/main/scala/RegexParser.scala:66-112):
+
+    anchored := ['^'] regex ['$']
+    regex    := cascade ('|' cascade)*
+    cascade  := unary (['.'] unary)*        # juxtaposition = concatenation
+    unary    := atom ('*' | '+' | '?')*
+    atom     := LABEL | '(' regex ')'
+
+Labels are case-insensitive identifiers (upper-cased), string or numeric
+literals. The construction is the standard Glushkov position automaton
+(one state per symbol occurrence; first/last sets; follow relation) — the
+same automaton family the reference uses (modules/util/automata/src/main/
+scala/nfa/Nfa.scala:23 "Glushkov automaton"), implemented here from the
+textbook construction.
+
+Matching semantics: greedy leftmost non-overlapping — scan each partition's
+row sequence; at the earliest row where a match can start, take the LONGEST
+match, emit it, resume scanning past its last row (MATCH_RECOGNIZE's
+"ONE ROW PER MATCH ... AFTER MATCH SKIP PAST LAST ROW" discipline).
+'^' restricts match starts to the first row; '$' requires the match to end
+at the last row.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Nfa:
+    """Glushkov automaton over label symbols."""
+
+    state_label: dict[int, str] = field(default_factory=dict)
+    first: list[int] = field(default_factory=list)
+    last: list[int] = field(default_factory=list)
+    nxt: dict[int, list[int]] = field(default_factory=dict)
+    optional: bool = False
+
+    @staticmethod
+    def symbol(label: str, pos: int) -> "Nfa":
+        return Nfa({pos: label}, [pos], [pos], {pos: []}, False)
+
+    def alternate(self, other: "Nfa") -> "Nfa":
+        return Nfa(
+            {**self.state_label, **other.state_label},
+            self.first + other.first,
+            self.last + other.last,
+            {**self.nxt, **other.nxt},
+            self.optional or other.optional,
+        )
+
+    def cascade(self, follow: "Nfa") -> "Nfa":
+        nxt = {**self.nxt, **follow.nxt}
+        for s in self.last:
+            nxt[s] = nxt.get(s, []) + follow.first
+        return Nfa(
+            {**self.state_label, **follow.state_label},
+            self.first + follow.first if self.optional else list(self.first),
+            self.last + follow.last if follow.optional else list(follow.last),
+            nxt,
+            self.optional and follow.optional,
+        )
+
+    def opt(self) -> "Nfa":
+        return Nfa(self.state_label, self.first, self.last, self.nxt, True)
+
+    def kleene_plus(self) -> "Nfa":
+        nxt = dict(self.nxt)
+        for s in self.last:
+            merged = nxt.get(s, []) + [t for t in self.first if t not in nxt.get(s, [])]
+            nxt[s] = merged
+        return Nfa(self.state_label, self.first, self.last, nxt, self.optional)
+
+    def kleene_star(self) -> "Nfa":
+        return self.kleene_plus().opt()
+
+
+@dataclass
+class AnchoredNfa:
+    nfa: Nfa
+    anchored_begin: bool
+    anchored_end: bool
+    pattern: str
+
+    START = 0
+
+    def __post_init__(self) -> None:
+        self.finish: frozenset[int] = frozenset(
+            ([self.START] if self.nfa.optional else []) + self.nfa.last
+        )
+        self.next_map: dict[int, list[int]] = {**self.nfa.nxt, self.START: self.nfa.first}
+        self.label_of: dict[int, str] = dict(self.nfa.state_label)
+
+    @property
+    def labels(self) -> list[str]:
+        seen: list[str] = []
+        for lab in self.nfa.state_label.values():
+            if lab not in seen:
+                seen.append(lab)
+        return seen
+
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<id>[A-Za-z_][A-Za-z0-9_]*|[0-9]+|'[^']*'|\"[^\"]*\")|(?P<op>[\^\$\|\.\*\+\?\(\)]))"
+)
+
+
+def _tokenize(pattern: str) -> list[str]:
+    out, i = [], 0
+    while i < len(pattern):
+        m = _TOKEN.match(pattern, i)
+        if not m:
+            if pattern[i:].strip() == "":
+                break
+            raise ValueError(f"bad pattern at {i}: {pattern!r}")
+        i = m.end()
+        tok = m.group("id") or m.group("op")
+        if m.group("id"):
+            tok = tok.strip("'\"").upper()
+            out.append(("ID", tok))
+        else:
+            out.append(("OP", tok))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+        self.pos_counter = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self, kind=None, val=None):
+        t = self.peek()
+        if (kind and t[0] != kind) or (val and t[1] != val):
+            raise ValueError(f"expected {kind or ''}{val or ''}, got {t}")
+        self.i += 1
+        return t
+
+    def parse_anchored(self, pattern: str) -> AnchoredNfa:
+        ab = ae = False
+        if self.peek() == ("OP", "^"):
+            self.take()
+            ab = True
+        nfa = self.parse_alt()
+        if self.peek() == ("OP", "$"):
+            self.take()
+            ae = True
+        if self.i != len(self.toks):
+            raise ValueError(f"trailing tokens in pattern: {self.toks[self.i:]}")
+        return AnchoredNfa(nfa, ab, ae, pattern)
+
+    def parse_alt(self) -> Nfa:
+        nfa = self.parse_cascade()
+        while self.peek() == ("OP", "|"):
+            self.take()
+            nfa = nfa.alternate(self.parse_cascade())
+        return nfa
+
+    def parse_cascade(self) -> Nfa:
+        nfa = self.parse_unary()
+        while True:
+            k, v = self.peek()
+            if (k, v) == ("OP", "."):
+                self.take()
+                nfa = nfa.cascade(self.parse_unary())
+            elif k == "ID" or (k, v) == ("OP", "("):
+                nfa = nfa.cascade(self.parse_unary())
+            else:
+                return nfa
+
+    def parse_unary(self) -> Nfa:
+        nfa = self.parse_atom()
+        while True:
+            k, v = self.peek()
+            if k == "OP" and v in "*+?":
+                self.take()
+                nfa = {"*": nfa.kleene_star, "+": nfa.kleene_plus, "?": nfa.opt}[v]()
+            else:
+                return nfa
+
+    def parse_atom(self) -> Nfa:
+        k, v = self.peek()
+        if (k, v) == ("OP", "("):
+            self.take()
+            nfa = self.parse_alt()
+            self.take("OP", ")")
+            return nfa
+        if k == "ID":
+            self.take()
+            self.pos_counter += 1
+            return Nfa.symbol(v, self.pos_counter)
+        raise ValueError(f"unexpected token {self.peek()}")
+
+
+def compile_pattern(pattern: str) -> AnchoredNfa:
+    return _Parser(_tokenize(pattern)).parse_anchored(pattern)
+
+
+def find_matches(
+    nfa: AnchoredNfa, row_labels: list[frozenset[str] | set[str]]
+) -> list[tuple[int, int]]:
+    """Greedy leftmost non-overlapping match spans [(start, end_exclusive)].
+
+    ``row_labels[i]`` is the set of labels assigned to row i. A transition
+    into Glushkov state t consumes a row whose label set contains
+    ``label_of[t]``. Empty (zero-length) matches are skipped.
+    """
+    n = len(row_labels)
+    nxt, label_of, finish = nfa.next_map, nfa.label_of, nfa.finish
+    out: list[tuple[int, int]] = []
+    i = 0
+    while i < n:
+        states = {AnchoredNfa.START}
+        best_end = -1
+        j = i
+        while j < n and states:
+            labs = row_labels[j]
+            states = {t for s in states for t in nxt.get(s, ()) if label_of[t] in labs}
+            if not states:
+                break
+            j += 1
+            if states & finish and (not nfa.anchored_end or j == n):
+                best_end = j
+        if best_end > i:
+            out.append((i, best_end))
+            i = best_end
+        else:
+            i += 1
+        if nfa.anchored_begin:
+            break
+    return out

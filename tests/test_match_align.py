@@ -1,0 +1,146 @@
+"""MATCH and ALIGN operator tests — pure-pandas/python oracles (no DuckDB
+equivalent exists; FIXTURES.md oracle protocol)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sclera_spark.operators.align import align, align_zip
+from sclera_spark.operators.match import (
+    ColumnRowLabeler,
+    PredRowLabeler,
+    compile_pattern,
+    find_matches,
+    label_agg,
+    match_aggregate,
+    match_rows,
+)
+
+
+def _events_pdf(tables):
+    return (
+        tables["events"]
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_match_rows_against_pandas_oracle(spark, tables):
+    pattern = "VIEW+ PURCHASE"
+    out = match_rows(
+        tables["events"].select("user_id", "event_id", "ts", "event_type", "value"),
+        pattern,
+        ColumnRowLabeler("event_type"),
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+    ).toPandas()
+
+    # oracle: same NFA run in pure pandas per user
+    nfa = compile_pattern(pattern)
+    expect_rows = []
+    for uid, g in _events_pdf(tables).groupby("user_id"):
+        g = g.reset_index(drop=True)
+        labels = [frozenset([t.upper()]) for t in g["event_type"]]
+        for mid, (s, e) in enumerate(find_matches(nfa, labels)):
+            for i in range(s, e):
+                expect_rows.append((uid, int(g.loc[i, "event_id"]), mid))
+    expect = set(expect_rows)
+    got = {(r.user_id, r.event_id, r.match_id) for r in out.itertuples()}
+    assert got == expect
+    assert len(out) == len(expect_rows)
+
+
+def test_match_aggregate(spark, tables):
+    # one row per VIEW+ PURCHASE funnel: views count, purchase value
+    ev = tables["events"].select("user_id", "event_id", "ts", "event_type", "value")
+    out = match_aggregate(
+        ev,
+        "VIEW+ PURCHASE",
+        ColumnRowLabeler("event_type"),
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        aggregates={
+            "n_views": label_agg("VIEW", F.count, F.col("event_id")),
+            "purchase_value": label_agg("PURCHASE", F.sum, F.col("value")),
+            "n_rows": F.count(F.lit(1)),
+        },
+    ).toPandas()
+    assert (out["n_views"] >= 1).all()
+    assert (out["n_rows"] == out["n_views"] + 1).all()
+
+    # cross-check per-user match counts against the pandas oracle
+    nfa = compile_pattern("VIEW+ PURCHASE")
+    per_user = {}
+    for uid, g in _events_pdf(tables).groupby("user_id"):
+        labels = [frozenset([t.upper()]) for t in g["event_type"]]
+        n = len(find_matches(nfa, labels))
+        if n:
+            per_user[uid] = n
+    got = out.groupby("user_id").size().to_dict()
+    assert got == per_user
+
+
+def test_match_pred_labeler(spark, tables):
+    ev = tables["events"].select("user_id", "event_id", "ts", "value")
+    out = match_rows(
+        ev,
+        "LOW+ HIGH",
+        PredRowLabeler([(F.col("value") < 50, "LOW"), (F.col("value") >= 50, "HIGH")]),
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+    )
+    pdf = out.toPandas()
+    assert (pdf.groupby(["user_id", "match_id"]).size() >= 2).all()
+    # last row of each match must be HIGH, others LOW
+    for (_, _), g in pdf.groupby(["user_id", "match_id"]):
+        labs = list(g["match_label"])
+        assert labs[-1] == "HIGH" and set(labs[:-1]) == {"LOW"}
+
+
+def test_align_zip(spark):
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(5)], "ai int, av string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(5)], "bi int, bv string")
+    out = align_zip(a, b, order_by_a=["ai"], order_by_b=["bi"]).orderBy("ai")
+    rows = out.collect()
+    assert [(r.ai, r.bi) for r in rows] == [(i, i) for i in range(5)]
+
+
+def test_align_dtw_identical_series(spark):
+    # aligning a series with itself: optimal path is the diagonal
+    a = spark.createDataFrame([(i, float(i)) for i in range(8)], "ai int, ax double")
+    b = spark.createDataFrame([(i, float(i)) for i in range(8)], "bi int, bx double")
+    out = align(
+        a,
+        b,
+        dist=lambda pa, pb: np.abs(pa["ax"].to_numpy() - pb["bx"].to_numpy()),
+        margin=3,
+        order_by_a=["ai"],
+        order_by_b=["bi"],
+    ).orderBy("ai")
+    rows = out.collect()
+    assert [(r.ai, r.bi) for r in rows] == [(i, i) for i in range(8)]
+
+
+def test_align_dtw_shifted(spark):
+    # b is a shifted by one: DTW path should pair equal values, with one
+    # doubled step at the boundary
+    av = [0.0, 1.0, 2.0, 3.0, 4.0]
+    bv = [1.0, 2.0, 3.0, 4.0, 4.0]
+    a = spark.createDataFrame(list(enumerate(av)), "ai int, ax double")
+    b = spark.createDataFrame(list(enumerate(bv)), "bi int, bx double")
+    out = align(
+        a,
+        b,
+        dist=lambda pa, pb: np.abs(pa["ax"].to_numpy() - pb["bx"].to_numpy()),
+        margin=2,
+        order_by_a=["ai"],
+        order_by_b=["bi"],
+    )
+    pdf = out.toPandas().sort_values(["ai", "bi"])
+    # total distance along path should be small (pairs mostly equal)
+    total = float(np.abs(pdf["ax"] - pdf["bx"]).sum())
+    assert total <= 2.0, pdf

@@ -1,0 +1,177 @@
+"""Extended operator tests: DISTINCT ON, ARG, PIVOT/UNPIVOT, SPLIT, window
+tier, EXPMOVAVG, TYPEINFER — DuckDB or pure-pandas oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_equal_duck
+
+from sclera_spark.operators import (
+    arg_opt,
+    distinct_on,
+    expmovavg,
+    infer_types,
+    movavg,
+    ordered_window,
+    pivot,
+    running,
+    split_into,
+    unpivot,
+)
+
+
+def test_distinct_on_op(tables, duck):
+    out = distinct_on(
+        tables["orders"],
+        on=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+    )
+    oracle = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey) rn FROM orders) t
+    WHERE rn = 1
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_arg_op(tables, duck):
+    out = arg_opt(tables["orders"], F.col("o_totalprice"), maximize=True, partition_by=["o_orderstatus"])
+    oracle = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) rn
+          FROM orders) t WHERE rn = 1
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_pivot_op(tables, duck):
+    out = pivot(
+        tables["lineitem"],
+        group_by=["l_returnflag"],
+        pivot_col="l_linestatus",
+        labels=["F", "O"],
+        agg=F.sum("l_quantity"),
+    )
+    oracle = """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_unpivot_op(tables, duck):
+    out = unpivot(
+        tables["part"],
+        ids=["p_partkey"],
+        value_cols=["p_size", "p_retailprice"],
+        key_col="k",
+        value_col="v",
+    )
+    oracle = """
+    SELECT p_partkey, 'p_size' AS k, CAST(p_size AS double) AS v FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS k, p_retailprice AS v FROM part
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_split_into_basic(spark):
+    rows = [
+        (1, 0, 10),
+        (1, 5, 15),
+        (1, 20, 30),
+        (2, 0, 4),
+    ]
+    df = spark.createDataFrame(rows, "g int, lo int, hi int")
+    out = split_into(df, "lo", "hi", "out_lo", "out_hi", partition_by=["g"])
+    got = {tuple(r) for r in out.select("g", "out_lo", "out_hi", "lo", "hi").collect()}
+    expect = {
+        # row (1,0,10) covers atoms (0,5),(5,10); row (1,5,15) covers (5,10),(10,15)
+        (1, 0, 5, 0, 10),
+        (1, 5, 10, 0, 10),
+        (1, 5, 10, 5, 15),
+        (1, 10, 15, 5, 15),
+        (1, 20, 30, 20, 30),
+        (2, 0, 4, 0, 4),
+    }
+    assert got == expect
+
+
+def test_split_into_events_oracle(tables, duck):
+    # split [value, value+10) intervals per user — compare against a DuckDB
+    # formulation of the same semantics (boundary atoms + containment join)
+    ev = tables["events"].select("user_id", "event_id", "value").withColumn(
+        "lo", F.col("value")
+    ).withColumn("hi", F.col("value") + 10)
+    out = split_into(ev, "lo", "hi", "s", "e", partition_by=["user_id"]).select(
+        "user_id", "event_id", "s", "e"
+    )
+    oracle = """
+    WITH iv AS (SELECT user_id, event_id, value AS lo, value + 10 AS hi FROM events),
+    b AS (SELECT DISTINCT user_id, b FROM (
+        SELECT user_id, lo AS b FROM iv UNION SELECT user_id, hi FROM iv)),
+    atoms AS (SELECT user_id, b AS s, lead(b) OVER (PARTITION BY user_id ORDER BY b) AS e FROM b)
+    SELECT iv.user_id, iv.event_id, atoms.s, atoms.e
+    FROM iv JOIN atoms ON iv.user_id = atoms.user_id
+    WHERE atoms.e IS NOT NULL AND iv.lo <= atoms.s AND atoms.e <= iv.hi
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_window_tier(tables, duck):
+    w = ordered_window(["user_id"], ["ts", "event_id"])
+    ev = tables["events"]
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        running(F.sum("value"), w).alias("run_sum"),
+        movavg(F.col("value"), 3, w).alias("mov3"),
+    )
+    oracle = """
+    SELECT user_id, event_id,
+           lag(value, 1) OVER w AS prev_value,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rk,
+           sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+           avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_expmovavg(spark):
+    pdf = pd.DataFrame(
+        {"g": [1, 1, 1, 2, 2], "i": [0, 1, 2, 0, 1], "x": [1.0, 2.0, 3.0, 10.0, 20.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        expmovavg(df, "x", decay=0.5, partition_by=["g"], order_by=["i"], out_col="e")
+        .orderBy("g", "i")
+        .collect()
+    )
+    exp = pdf.sort_values(["g", "i"]).groupby("g")["x"].transform(
+        lambda s: s.ewm(alpha=0.5, adjust=False).mean()
+    )
+    for row, want in zip(out, exp):
+        assert abs(row["e"] - want) < 1e-12
+
+
+def test_typeinfer(spark):
+    df = spark.createDataFrame(
+        [("1", "1.5", "2020-01-01", "x"), ("2", "2.5", "2020-02-01", "y")],
+        "a string, b string, c string, d string",
+    )
+    out = infer_types(df)
+    types = dict(out.dtypes)
+    assert types == {"a": "int", "b": "double", "c": "date", "d": "string"}
