@@ -290,6 +290,91 @@ def _q_align_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- LLM pipeline tier
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.llm import dedup_exact
+
+    eng = _engine(spark, sf_dir)
+    return dedup_exact(eng.table("documents"), on=["text"], id_col="doc_id")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.llm import minhash_dup_pairs
+
+    eng = _engine(spark, sf_dir)
+    return minhash_dup_pairs(
+        eng.table("documents"), threshold=0.8, num_perm=64, bands=16, shingle_k=5
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.llm import simhash_dup_pairs
+
+    eng = _engine(spark, sf_dir)
+    return simhash_dup_pairs(eng.table("documents"), max_hamming=3)
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.llm import token_count
+
+    eng = _engine(spark, sf_dir)
+    return token_count(eng.table("documents")).select("doc_id", "n_tokens")
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.llm import quality_scores
+
+    eng = _engine(spark, sf_dir)
+    return quality_scores(eng.table("documents")).select(
+        "doc_id", "n_chars_q", "punct_ratio", "digit_ratio"
+    )
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.llm import language_id
+
+    eng = _engine(spark, sf_dir)
+    return language_id(eng.table("documents")).select("doc_id", "lang_pred")
+
+
+def _q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of docs with identical whitespace-normalized content — found
+    via 64-bit fingerprints (hash equality join), verified by the oracle
+    with direct normalized-text equality."""
+    from sclera_spark.llm import doc_fingerprint
+
+    eng = _engine(spark, sf_dir)
+    fp = doc_fingerprint(eng.table("documents")).select(
+        F.col("doc_id").alias("id"), "fingerprint"
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, on="fingerprint", how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.llm import cosine_topk
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.table("embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, q, k=10)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.llm import ann_topk
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.table("embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_topk(emb, q, k=10, n_bits=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in _Q
@@ -305,6 +390,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "match_funnel": _q_match_funnel,
             "expmovavg": _q_expmovavg,
             "align_users": _q_align_users,
+            # LLM-pipeline tier
+            "dedup_exact": _q_dedup_exact,
+            "minhash_pairs": _q_minhash_pairs,
+            "simhash_pairs": _q_simhash_pairs,
+            "token_count": _q_token_count,
+            "quality_scores": _q_quality_scores,
+            "language_id": _q_language_id,
+            "fingerprint_dups": _q_fingerprint_dups,
+            "cosine_topk": _q_cosine_topk,
+            "ann_topk": _q_ann_topk,
         }
     )
     return out
@@ -343,6 +438,44 @@ def oracle_sql() -> dict[str, str]:
         FROM iv JOIN atoms ON iv.user_id = atoms.user_id
         WHERE atoms.e IS NOT NULL AND iv.lo <= atoms.s AND atoms.e <= iv.hi
     """
+    oracles["dedup_exact"] = """
+        SELECT d.* FROM documents d
+        JOIN (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text) k
+          ON d.doc_id = k.doc_id
+    """
+    oracles["token_count"] = r"""
+        SELECT doc_id, length(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+            x -> x <> '')) AS n_tokens
+        FROM documents
+    """
+    oracles["quality_scores"] = r"""
+        SELECT doc_id,
+               length(text) AS n_chars_q,
+               length(regexp_replace(text, '[\w\s]', '', 'g')) /
+                   greatest(length(text), 1) AS punct_ratio,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) /
+                   greatest(length(text), 1) AS digit_ratio
+        FROM documents
+    """
+    oracles["fingerprint_dups"] = r"""
+        WITH n AS (SELECT doc_id,
+                          regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+                   FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
+    """
+    oracles["cosine_topk"] = """
+        SELECT vec_id,
+               list_cosine_similarity(embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+               ) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+    # minhash_pairs / simhash_pairs / language_id / ann_topk: probabilistic
+    # or hash-family-specific -> rows-only check; exact-semantics tests with
+    # planted duplicates live in tests/test_llm_ops.py.
     # match_funnel / expmovavg / align_users: no SQL equivalent ->
     # rows-only check; pandas oracles live in tests/test_match_align.py and
     # tests/test_operators.py.

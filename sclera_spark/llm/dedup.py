@@ -1,0 +1,274 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Everything here is designed for the 100 TB case first:
+
+- Exact dedup: hash-groupBy on a fingerprint — one shuffle, map-side
+  partial aggregation, no driver state.
+- MinHash+LSH near-dup: shingling, hashing, signatures and banding are ALL
+  JVM-side expressions (`transform`/`xxhash64`/`array_min`) so the hot path
+  never leaves codegen; candidate generation is a self-join on (band,
+  band_hash) — the standard shuffle-friendly LSH bucket join; only
+  candidate pairs (a tiny fraction) pay the exact-Jaccard verification,
+  also via array intersections JVM-side.
+- SimHash: token hashes JVM-side; 64-bit signature folded with a
+  vectorized Arrow pandas_udf (numpy bit math); near-dup = hamming
+  distance on banded prefixes.
+
+No reference parity here — the reference has no dedup operators; these are
+the extension tier (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(df: DataFrame, on: list[str] | None = None, id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct value of ``on`` (default: all columns
+    except the id): the one with the smallest id — deterministic, single
+    shuffle (min_by aggregate, no window)."""
+    on = on or [c for c in df.columns if c != id_col]
+    row = F.struct(*[F.col(c) for c in df.columns])
+    keep = df.groupBy(*[F.col(c) for c in on]).agg(
+        F.min_by(row, F.col(id_col)).alias("__row")
+    )
+    return keep.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """Character k-shingles of the lower-cased, whitespace-normalized text,
+    distinct, as array<string> — pure JVM expressions."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Add an array<long> MinHash signature column. Permutation i is
+    simulated as xxhash64(shingle, i) (standard one-hash-family trick);
+    signature[i] = min over shingles."""
+    sh = _shingles(F.col(text_col), shingle_k)
+    df = df.withColumn("__sh", sh)
+
+    # NB: a two-argument lambda would be interpreted by F.transform as
+    # (element, array_index) — the permutation seed must be closed over.
+    def perm_min(i: int) -> Column:
+        return F.array_min(F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(i))))
+
+    sig = F.array(*[perm_min(i) for i in range(num_perm)])
+    return df.withColumn(out_col, sig).drop("__sh")
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, jaccard >= threshold) via
+    MinHash banding. Rows per band-bucket join only — the classic LSH
+    candidate generation; exact Jaccard over shingle sets verifies."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, num_perm, shingle_k).select(
+        F.col(id_col).alias("id"),
+        F.col("minhash"),
+        _shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.get(F.col("minhash"), b * rows_per_band + r) for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sh").alias("a_sh"),
+            F.col("b.sh").alias("b_sh"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each dup pair's
+    cluster (greedy: a row is dropped if it duplicates ANY smaller id —
+    one pass, no iterative connected components; at extreme scale swap in
+    a union-find over pair batches)."""
+    pairs = minhash_dup_pairs(df, id_col, text_col, num_perm, bands, shingle_k, threshold)
+    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash over word tokens. Token hashing stays JVM-side
+    (xxhash64 per token); the per-row bit-vote fold runs in a vectorized
+    Arrow pandas_udf (numpy), which is the documented slow path but
+    touches only an array<long> column, not the text."""
+    from pyspark.sql.types import LongType
+
+    tokens = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+")
+    hashes = F.transform(
+        F.filter(tokens, lambda t: t != ""), lambda t: F.xxhash64(t)
+    )
+
+    @F.pandas_udf(LongType())
+    def _fold(h: pd.Series) -> pd.Series:
+        out = np.zeros(len(h), dtype=np.int64)
+        for i, arr in enumerate(h):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(a)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _fold(hashes))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: split the 64-bit signature into
+    ``blocks`` 16-bit blocks; by pigeonhole, any pair within hamming
+    distance < blocks shares at least one exact block -> LSH-style block
+    join, then exact hamming verification via bit_count(xor)."""
+    sig = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    width = 64 // blocks
+    blocked = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.blk", "bb.bv")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on=["blk", "bv"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity pairs. Without LSH this is a
+    within-group pairwise compare — callers at scale should pass
+    ``group_col`` (e.g. a language or length bucket) to bound the
+    quadratic term; the n-gram set algebra itself is JVM-side."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+"),
+        lambda t: t != "",
+    )
+    ngrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(group_col).alias("g")] if group_col else [F.lit(1).alias("g")] ),
+        ngrams.alias("ng"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ng"), F.col("b.ng")))
+    union = F.size(F.col("a.ng")) + F.size(F.col("b.ng")) - inter
+    return (
+        a.join(b, on=["g"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "jaccard")
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the dot product is a single JVM-side
+  `aggregate(zip_with(...))` expression — no UDF, full codegen — followed
+  by an orderBy/limit (Spark's TakeOrdered, no global sort materialized).
+- ANN path: random-hyperplane LSH — signature bits via the same JVM dot
+  product against broadcast hyperplanes, bucket join for candidates.
+  At 100 TB the bucket join replaces the O(N) scan per query with a
+  shuffle on bucket keys.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    # compute in float64 regardless of storage precision (array<float>
+    # inputs would otherwise accumulate in float32 and diverge from oracles)
+    v = F.col(vec_col).cast("array<double>")
+    sim = _dot(v, q) / (_norm(v) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (SRP) LSH bucket id: bit i = sign(v . h_i).
+    Hyperplanes are literals compiled into the plan (broadcast-free)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(x) for x in h])) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, h in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn(out_col, bucket.cast("long"))
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's SRP
+    bucket (single bucket probe; callers wanting better recall can union
+    multi-probe buckets)."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_bits, seed)
+    qb = 0
+    for i, h in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, h)) >= 0:
+            qb |= 1 << i
+    bucketed = hyperplane_buckets(df, dim, n_bits, vec_col, "bucket", seed)
+    return cosine_topk(bucketed.filter(F.col("bucket") == qb), query_vec, k, vec_col, id_col)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) via SRP-bucket
+    self-join: high-cosine pairs land in the same bucket with high
+    probability; exact cosine verifies inside the bucket."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    b = hyperplane_buckets(df, dim, n_bits, vec_col, "bucket", seed).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    sim = cosine_similarity(F.col("l.v"), F.col("r.v"))
+    return (
+        l.join(r, on="bucket", how="inner")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"), "cosine")
+    )

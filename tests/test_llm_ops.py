@@ -1,0 +1,192 @@
+"""LLM-pipeline operator tests: dedup, similarity, text analysis,
+multimodal plumbing — DuckDB or numpy/pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_equal_duck
+
+from sclera_spark.llm import (
+    ann_topk,
+    cosine_topk,
+    dedup_exact,
+    doc_fingerprint,
+    language_id,
+    minhash_dup_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    simhash_dup_pairs,
+    token_count,
+)
+from sclera_spark.llm.multimodal import (
+    audio_features,
+    frame_sample,
+    image_features,
+    synthetic_assets,
+)
+
+
+def test_dedup_exact(tables, duck):
+    out = dedup_exact(tables["documents"], on=["text"], id_col="doc_id")
+    oracle = """
+    SELECT d.* FROM documents d
+    JOIN (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text) k
+      ON d.doc_id = k.doc_id
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_minhash_finds_planted_dups(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again in the field",
+        "completely different text about spark and distributed query engines at scale",
+        "a third document mentioning neither foxes nor spark just weather and tea",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t.replace("the", "a", 1)))  # near-dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dup_pairs(df, threshold=0.5, num_perm=64, bands=32, shingle_k=4).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    assert {(0, 1), (10, 11), (20, 21)} <= got
+    # no cross-document false positives
+    assert all(a // 10 == b // 10 for a, b in got)
+    kept = minhash_dedup(df, threshold=0.5, num_perm=64, bands=32, shingle_k=4)
+    assert kept.count() == 3
+
+
+def test_simhash_deterministic_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark is a distributed engine for large scale data processing"),
+            (2, "spark is a distributed engine for large scale data processing!"),
+            (3, "cats purr softly on warm window sills during quiet winter afternoons"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]  # punctuation stripped -> identical tokens
+    pairs = simhash_dup_pairs(df, max_hamming=3).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, n=2, threshold=0.3).collect()
+    got = {(r.a_id, r.b_id): r.jaccard for r in pairs}
+    assert (1, 2) in got and (1, 3) not in got
+    # oracle: bigram sets computed by hand
+    a = {"alpha beta", "beta gamma", "gamma delta", "delta epsilon", "epsilon zeta"}
+    b = {"alpha beta", "beta gamma", "gamma delta", "delta epsilon", "epsilon eta"}
+    assert abs(got[(1, 2)] - len(a & b) / len(a | b)) < 1e-12
+
+
+def test_cosine_topk_vs_numpy(tables):
+    pdf = tables["embeddings"].toPandas()
+    dim = len(pdf["embedding"].iloc[0])
+    q = [1.0] + [0.0] * (dim - 1)
+    out = cosine_topk(tables["embeddings"], q, k=5).collect()
+    mat = np.vstack(pdf["embedding"].to_numpy())
+    sims = mat[:, 0] / np.linalg.norm(mat, axis=1)
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))
+    expect = [(int(pdf["vec_id"].iloc[i]), float(sims[i])) for i in order[:5]]
+    got = [(r.vec_id, r.cosine) for r in out]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[1] - e[1]) < 1e-5
+
+
+def test_ann_topk_subset_of_bucket(tables):
+    pdf = tables["embeddings"].limit(1).toPandas()
+    q = list(pdf["embedding"].iloc[0])
+    out = ann_topk(tables["embeddings"], q, k=3, n_bits=4).collect()
+    assert len(out) >= 1
+    # the query vector itself must be its own nearest neighbor
+    assert out[0].vec_id == int(pdf["vec_id"].iloc[0])
+    assert out[0].cosine > 0.999999
+
+
+def test_token_count(tables, duck):
+    out = token_count(tables["documents"]).select("doc_id", "n_tokens")
+    oracle = """
+    SELECT doc_id, length(list_filter(string_split_regex(
+        regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+        x -> x <> '')) AS n_tokens
+    FROM documents
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_quality_scores(tables, duck):
+    out = quality_scores(tables["documents"]).select(
+        "doc_id", "n_chars_q", "punct_ratio", "digit_ratio"
+    )
+    oracle = """
+    SELECT doc_id,
+           length(text) AS n_chars_q,
+           length(regexp_replace(text, '[\\w\\s]', '', 'g')) /
+               greatest(length(text), 1) AS punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) /
+               greatest(length(text), 1) AS digit_ratio
+    FROM documents
+    """
+    assert_df_equal_duck(out, duck, oracle)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy with the sun"),
+            (2, "der hund ist nicht in der stadt und das ist gut"),
+            (3, "le chat est dans la maison et il est content pour les vacances"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_doc_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same   text with  odd whitespace"),
+            (2, "same text with odd whitespace"),
+            (3, "something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.fingerprint, r.fingerprint_min_kgram) for r in doc_fingerprint(df).collect()}
+    assert rows[1][0] == rows[2][0]  # whitespace-normalized hash equal
+    assert rows[1][0] != rows[3][0]
+
+
+def test_multimodal_plumbing(spark):
+    assets = synthetic_assets(spark, 30)
+    imgs = image_features(assets).collect()
+    assert len(imgs) == 10  # every third asset is an image
+    assert all(len(r.feature_vec) <= 8 and r.mean_intensity is not None for r in imgs)
+    # determinism: same input -> same features
+    again = image_features(assets).collect()
+    assert {(r.asset_id, r.mean_intensity) for r in imgs} == {
+        (r.asset_id, r.mean_intensity) for r in again
+    }
+    aud = audio_features(assets).collect()
+    assert len(aud) == 10
+    assert all(0 <= r.zero_crossing_rate <= 1 for r in aud)
+    fr = frame_sample(assets, every_ms=1000)
+    n_video = assets.filter(F.col("media_type") == "video").count()
+    assert fr.count() >= n_video
