@@ -375,6 +375,97 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, q, k=10, n_bits=8)
 
 
+# ---------------------------------------------------- ML / NLP / streaming
+
+
+def _emb_features(eng) -> DataFrame:
+    df = eng.table("embeddings")
+    for i in range(4):
+        df = df.withColumn(f"f{i}", F.col("embedding")[i].cast("double"))
+    return df.select("vec_id", "label", "f0", "f1", "f2", "f3")
+
+
+def _q_classified_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.ml import MLRegistry, classify
+
+    eng = _engine(spark, sf_dir)
+    feats = _emb_features(eng)
+    reg = MLRegistry()
+    reg.create_classifier(
+        "clf", feats, label_col="label", feature_cols=["f0", "f1", "f2", "f3"]
+    )
+    return classify(reg, feats, "clf", out_col="pred")
+
+
+def _q_clustered_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.ml import MLRegistry, cluster
+
+    eng = _engine(spark, sf_dir)
+    feats = _emb_features(eng)
+    reg = MLRegistry()
+    reg.create_clusterer("km", feats, feature_cols=["f0", "f1", "f2"], k=3)
+    return cluster(reg, feats, "km", out_col="cluster")
+
+
+def _q_imputed_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.ml import MLRegistry, impute
+
+    eng = _engine(spark, sf_dir)
+    feats = _emb_features(eng).withColumn("target", (F.col("f0") > 0).cast("int"))
+    reg = MLRegistry()
+    reg.create_classifier("imp", feats, label_col="target", feature_cols=["f1", "f2", "f3"])
+    holey = feats.withColumn(
+        "target", F.when(F.col("vec_id") % 10 == 0, None).otherwise(F.col("target"))
+    )
+    return impute(reg, holey, "imp", col="target", flag_col="was_imputed")
+
+
+def _q_nlp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.nlp import nlp_op
+
+    eng = _engine(spark, sf_dir)
+    return nlp_op("tokenize", eng.table("documents"), "text").select("doc_id", "token")
+
+
+def _q_nlp_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.nlp import nlp_op
+
+    eng = _engine(spark, sf_dir)
+    return nlp_op("sentiment", eng.table("documents"), "text").select("doc_id", "sentiment")
+
+
+def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time window aggregation over a real readStream source — the
+    Structured Streaming upgrade of Sclera's ordered-stream group-by. The
+    collected result is oracle-checked against DuckDB time_bucket SQL."""
+    from sclera_spark.streaming import run_to_memory, stream_from_directory, windowed_agg
+
+    import tempfile
+
+    eng = _engine(spark, sf_dir)  # registers events (ns->us conversion)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long
+    # the file stream source requires a directory: expose the (read-only)
+    # parquet file through a temp dir symlink
+    d = tempfile.mkdtemp(prefix="sclera_entry_stream_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = stream_from_directory(spark, d, raw_schema)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = windowed_agg(
+        stream,
+        ts_col="ts",
+        watermark="1 hour",
+        window_duration="1 day",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+        keys=["event_type"],
+    )
+    q = run_to_memory(out, "entry_win_agg", output_mode="complete")
+    result = spark.table("entry_win_agg")
+    q.stop()
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in _Q
@@ -400,6 +491,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint_dups": _q_fingerprint_dups,
             "cosine_topk": _q_cosine_topk,
             "ann_topk": _q_ann_topk,
+            # ML / NLP / streaming tier
+            "classified_with": _q_classified_with,
+            "clustered_with": _q_clustered_with,
+            "imputed_with": _q_imputed_with,
+            "nlp_tokenize": _q_nlp_tokenize,
+            "nlp_sentiment": _q_nlp_sentiment,
+            "stream_window_agg": _q_stream_window_agg,
         }
     )
     return out
@@ -473,6 +571,23 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings
         ORDER BY cosine DESC, vec_id LIMIT 10
     """
+    oracles["nlp_tokenize"] = r"""
+        SELECT doc_id, unnest(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+            x -> x <> '')) AS token
+        FROM documents
+    """
+    oracles["stream_window_agg"] = """
+        SELECT time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS window_start,
+               time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               count(*) AS n,
+               sum(value) AS total
+        FROM events GROUP BY 1, 2, 3
+    """
+    # classified_with / clustered_with / imputed_with / nlp_sentiment:
+    # model- or lexicon-specific outputs -> rows-only; accuracy/behavior
+    # tested in tests/test_ml_nlp_streaming.py.
     # minhash_pairs / simhash_pairs / language_id / ann_topk: probabilistic
     # or hash-family-specific -> rows-only check; exact-semantics tests with
     # planted duplicates live in tests/test_llm_ops.py.

@@ -1,0 +1,149 @@
+"""ML operators: named, persisted classifier/clusterer/imputer models
+applied as relational operators.
+
+Reference surface (SURVEY.md §2.10):
+- `CREATE CLASSIFIER name (label) USING <query>` — SqlCudParser.scala:79-127,
+  model objects analytics/ml/objects/MLObject.scala (default backend WEKA)
+- `<input> CLASSIFIED WITH name(col...)` — analytics/ml/classifier/expr/
+  Classify.scala:28-40
+- `<input> CLUSTERED WITH name(col...)` — analytics/ml/clusterer/expr/Cluster.scala
+- `<input> IMPUTED WITH name(col) [FLAG f]` — analytics/ml/imputer/expr/Impute.scala
+
+Spark lowering: pyspark.ml pipelines (VectorAssembler + estimator).
+Training fits on the cluster (distributed); `transform` is a narrow
+map — no shuffle. Models persist via pyspark.ml's save/load so the
+registry survives sessions (the reference persists models in its schema
+store, exec/SchemaStore.scala).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MLRegistry:
+    """Named model store — the engine-side analogue of Sclera's ML object
+    catalog."""
+
+    models: dict[str, object] = field(default_factory=dict)
+    feature_cols: dict[str, list[str]] = field(default_factory=dict)
+    store_dir: str | None = None
+
+    # ---- DDL: CREATE CLASSIFIER name USING <query> ----
+
+    def create_classifier(
+        self,
+        name: str,
+        train: DataFrame,
+        label_col: str,
+        feature_cols: list[str],
+        algorithm: str = "decision_tree",
+        max_depth: int = 5,
+    ) -> None:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.classification import (
+            DecisionTreeClassifier,
+            LogisticRegression,
+            RandomForestClassifier,
+        )
+        from pyspark.ml.feature import VectorAssembler
+
+        assembler = VectorAssembler(inputCols=feature_cols, outputCol="__features")
+        est = {
+            "decision_tree": lambda: DecisionTreeClassifier(
+                featuresCol="__features", labelCol=label_col, maxDepth=max_depth, seed=42
+            ),
+            "random_forest": lambda: RandomForestClassifier(
+                featuresCol="__features", labelCol=label_col, maxDepth=max_depth, seed=42
+            ),
+            "logistic": lambda: LogisticRegression(featuresCol="__features", labelCol=label_col),
+        }[algorithm]()
+        model = Pipeline(stages=[assembler, est]).fit(train)
+        self._store(name, model, feature_cols)
+
+    def create_clusterer(
+        self,
+        name: str,
+        train: DataFrame,
+        feature_cols: list[str],
+        k: int = 4,
+    ) -> None:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import VectorAssembler
+
+        assembler = VectorAssembler(inputCols=feature_cols, outputCol="__features")
+        km = KMeans(featuresCol="__features", predictionCol="__cluster", k=k, seed=42)
+        model = Pipeline(stages=[assembler, km]).fit(train)
+        self._store(name, model, feature_cols)
+
+    def _store(self, name: str, model, feature_cols: list[str]) -> None:
+        key = name.upper()
+        self.models[key] = model
+        self.feature_cols[key] = feature_cols
+        if self.store_dir:
+            model.write().overwrite().save(os.path.join(self.store_dir, key))
+
+    def get(self, name: str):
+        m = self.models.get(name.upper())
+        if m is None:
+            raise KeyError(f"unknown ML object: {name}")
+        return m
+
+    def drop(self, name: str) -> None:
+        self.models.pop(name.upper(), None)
+        self.feature_cols.pop(name.upper(), None)
+
+
+def classify(
+    registry: MLRegistry, df: DataFrame, name: str, out_col: str = "label"
+) -> DataFrame:
+    """`<input> CLASSIFIED WITH name` — original columns + predicted label."""
+    model = registry.get(name)
+    out = model.transform(df)
+    return out.select(*df.columns, F.col("prediction").cast("int").alias(out_col))
+
+
+def cluster(
+    registry: MLRegistry, df: DataFrame, name: str, out_col: str = "cluster"
+) -> DataFrame:
+    """`<input> CLUSTERED WITH name` — original columns + cluster id."""
+    model = registry.get(name)
+    out = model.transform(df)
+    return out.select(*df.columns, F.col("__cluster").alias(out_col))
+
+
+def impute(
+    registry: MLRegistry,
+    df: DataFrame,
+    name: str,
+    col: str,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """`<input> IMPUTED WITH name(col) [FLAG f]`: NULLs in ``col`` replaced
+    by the named classifier's prediction from the other feature columns;
+    optional boolean flag marks imputed rows (reference ImputeSpec.scala)."""
+    model = registry.get(name)
+    # mark nullness BEFORE filling (the model needs a non-null feature value
+    # to produce a prediction for the missing rows)
+    marked = df.withColumn("__was_null", F.col(col).isNull())
+    filled = marked.withColumn(col, F.coalesce(F.col(col), F.lit(0)))
+    pred = model.transform(filled).withColumnRenamed("prediction", "__pred")
+    sel = []
+    for c in df.columns:
+        if c == col:
+            sel.append(
+                F.when(F.col("__was_null"), F.col("__pred").cast(df.schema[col].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            sel.append(F.col(c))
+    if flag_col:
+        sel.append(F.col("__was_null").alias(flag_col))
+    return pred.select(*sel)

@@ -1,0 +1,15 @@
+from sclera_spark.streaming.ops import (
+    stream_from_directory,
+    windowed_agg,
+    sessionize,
+    stream_match_state,
+    run_to_memory,
+)
+
+__all__ = [
+    "stream_from_directory",
+    "windowed_agg",
+    "sessionize",
+    "stream_match_state",
+    "run_to_memory",
+]

@@ -1,0 +1,194 @@
+"""ML operators (CLASSIFIED/CLUSTERED/IMPUTED WITH), NLP ops, and the
+Structured Streaming tier."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sclera_spark.ml import MLRegistry, classify, cluster, impute
+from sclera_spark.nlp import nlp_op
+from sclera_spark.streaming import (
+    run_to_memory,
+    sessionize,
+    stream_from_directory,
+    stream_match_state,
+    windowed_agg,
+)
+
+
+# --------------------------------------------------------------------- ML
+
+
+@pytest.fixture(scope="module")
+def emb_features(tables):
+    df = tables["embeddings"]
+    for i in range(4):
+        df = df.withColumn(f"f{i}", F.col("embedding")[i].cast("double"))
+    return df.select("vec_id", "label", "f0", "f1", "f2", "f3")
+
+
+def test_classifier_roundtrip(emb_features):
+    reg = MLRegistry()
+    reg.create_classifier(
+        "emb_clf", emb_features, label_col="label", feature_cols=["f0", "f1", "f2", "f3"]
+    )
+    out = classify(reg, emb_features, "emb_clf", out_col="pred")
+    assert out.columns == ["vec_id", "label", "f0", "f1", "f2", "f3", "pred"]
+    pdf = out.toPandas()
+    # a depth-5 tree on its own training data should beat chance easily
+    acc = (pdf["pred"] == pdf["label"]).mean()
+    n_classes = pdf["label"].nunique()
+    assert acc > 1.5 / n_classes, f"accuracy {acc} with {n_classes} classes"
+
+
+def test_clusterer(emb_features):
+    reg = MLRegistry()
+    reg.create_clusterer("emb_km", emb_features, feature_cols=["f0", "f1", "f2"], k=3)
+    out = cluster(reg, emb_features, "emb_km", out_col="c")
+    pdf = out.toPandas()
+    assert set(pdf["c"].unique()) <= {0, 1, 2}
+    assert pdf["c"].nunique() > 1
+
+
+def test_impute(spark, emb_features):
+    reg = MLRegistry()
+    train = emb_features.withColumn("target", (F.col("f0") > 0).cast("int"))
+    reg.create_classifier("imp_clf", train, label_col="target", feature_cols=["f1", "f2", "f3"])
+    holey = train.withColumn(
+        "target", F.when(F.col("vec_id") % 10 == 0, None).otherwise(F.col("target"))
+    )
+    out = impute(reg, holey, "imp_clf", col="target", flag_col="was_imputed")
+    pdf = out.toPandas()
+    assert pdf["target"].notna().all()
+    assert pdf["was_imputed"].sum() == (holey.filter(F.col("target").isNull()).count())
+    # non-null rows unchanged
+    orig = train.toPandas().set_index("vec_id")["target"]
+    kept = pdf[~pdf["was_imputed"]].set_index("vec_id")["target"]
+    assert (orig.loc[kept.index] == kept).all()
+
+
+# -------------------------------------------------------------------- NLP
+
+
+def test_nlp_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "The Quick Fox is great. John Smith hates bad weather!")],
+        "doc_id long, text string",
+    )
+    toks = nlp_op("tokenize", df, "text").select("token").toPandas()["token"].tolist()
+    assert "quick" in toks and "fox" in toks
+    sents = nlp_op("sentences", df, "text").select("sentence").toPandas()["sentence"].tolist()
+    assert len(sents) == 2
+    sent = nlp_op("sentiment", df, "text").select("sentiment").first()[0]
+    assert sent == 0.0  # one positive (great), one negative (hates? not in lexicon; bad is)
+    ents = nlp_op("entities", df, "text").select("entity").toPandas()["entity"].tolist()
+    assert "John Smith" in ents
+    grams = nlp_op("ngrams", df, "text", n=2).select("ngram").toPandas()["ngram"].tolist()
+    assert "quick fox" in grams
+
+
+# -------------------------------------------------------------- streaming
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tables):
+    d = tempfile.mkdtemp(prefix="sclera_stream_")
+    ev = tables["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    ev.coalesce(4).write.mode("overwrite").parquet(d)
+    yield d, ev.schema
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_agg_matches_batch(spark, tables, stream_dir):
+    d, schema = stream_dir
+    stream = stream_from_directory(spark, d, schema)
+    assert stream.isStreaming
+    out = windowed_agg(
+        stream,
+        ts_col="ts",
+        watermark="1 hour",
+        window_duration="1 day",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+        keys=["event_type"],
+    )
+    q = run_to_memory(out, "win_agg", output_mode="complete")
+    got = spark.table("win_agg").toPandas()
+    q.stop()
+
+    batch = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "window_end", "event_type"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b)
+    assert (g["n"].to_numpy() == b["n"].to_numpy()).all()
+
+
+def test_sessionize_runs(spark, stream_dir):
+    d, schema = stream_dir
+    stream = stream_from_directory(spark, d, schema)
+    out = sessionize(
+        stream,
+        ts_col="ts",
+        watermark="1 hour",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs={"n_events": F.count(F.lit(1))},
+    )
+    q = run_to_memory(out, "sessions", output_mode="complete")
+    got = spark.table("sessions").toPandas()
+    q.stop()
+    assert len(got) > 0
+    assert (got["session_end"] > got["session_start"]).all()
+
+
+def test_stream_match_state(spark, stream_dir):
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    d, schema = stream_dir
+    stream = stream_from_directory(spark, d, schema).withColumn(
+        "lab", F.upper(F.col("event_type"))
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("match_start", TimestampType()),
+            StructField("match_end", TimestampType()),
+            StructField("match_len", IntegerType()),
+        ]
+    )
+    out = stream_match_state(
+        stream,
+        pattern="VIEW+ PURCHASE",
+        label_col="lab",
+        keys=["user_id"],
+        ts_col="ts",
+        out_schema=out_schema,
+    )
+    q = run_to_memory(out, "stream_matches")
+    got = spark.table("stream_matches").toPandas()
+    q.stop()
+    assert len(got) > 0
+    assert (got["match_len"] >= 2).all()
+    assert (got["match_end"] >= got["match_start"]).all()
