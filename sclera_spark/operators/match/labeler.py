@@ -20,6 +20,12 @@ class RowLabeler:
     def label_col(self, df: DataFrame) -> Column:
         raise NotImplementedError
 
+    def single_label_col(self, df: DataFrame) -> Column | None:
+        """A plain string Column when this labeler assigns at most one
+        label per row (fast path: avoids array<string> Arrow transfer in
+        the matcher), else None."""
+        return None
+
 
 @dataclass
 class ConstRowLabeler(RowLabeler):
@@ -29,6 +35,9 @@ class ConstRowLabeler(RowLabeler):
 
     def label_col(self, df: DataFrame) -> Column:
         return F.array(F.lit(self.label.upper()))
+
+    def single_label_col(self, df: DataFrame) -> Column:
+        return F.lit(self.label.upper())
 
 
 @dataclass
@@ -42,19 +51,21 @@ class ColumnRowLabeler(RowLabeler):
     default: str | None = None
 
     def label_col(self, df: DataFrame) -> Column:
+        return F.filter(F.array(self.single_label_col(df)), lambda x: x.isNotNull())
+
+    def single_label_col(self, df: DataFrame) -> Column:
         c = F.col(self.column)
         if not self.when_then:
-            return F.array(F.upper(c.cast("string")))
+            return F.upper(c.cast("string"))
         expr = None
         for val, lab in self.when_then.items():
             cond = c == F.lit(val)
             expr = F.when(cond, F.lit(lab.upper())) if expr is None else expr.when(
                 cond, F.lit(lab.upper())
             )
-        expr = expr.otherwise(
+        return expr.otherwise(
             F.lit(self.default.upper()) if self.default is not None else F.lit(None)
         )
-        return F.filter(F.array(expr), lambda x: x.isNotNull())
 
 
 @dataclass

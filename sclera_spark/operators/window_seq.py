@@ -92,15 +92,30 @@ def expmovavg(
     pcols = list(partition_by)
     ocols = list(order_by)
 
-    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ocols, kind="mergesort")
-        pdf[out_col] = pdf[value_col].ewm(alpha=decay, adjust=False).mean()
-        return pdf
+    def _ewm_partition(batches):
+        # one Python call per partition; pandas' grouped ewm kernel (cython)
+        # handles all groups in the partition at once
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if pcols:
+            pdf[out_col] = (
+                pdf.groupby(pcols, sort=False)[value_col]
+                .ewm(alpha=decay, adjust=False)
+                .mean()
+                .reset_index(level=list(range(len(pcols))), drop=True)
+            )
+        else:
+            pdf[out_col] = pdf[value_col].ewm(alpha=decay, adjust=False).mean()
+        yield pdf
 
-    if not pcols:
-        # single logical sequence: coalesce(1) — documented driver-side cost,
-        # matches the reference which is single-threaded anyway
-        return df.coalesce(1).groupBy(F.lit(1)).applyInPandas(
-            lambda _, pdf: _ewm(pdf), schema=out_schema
+    if pcols:
+        arranged = df.repartition(*[F.col(c) for c in pcols]).sortWithinPartitions(
+            *pcols, *ocols
         )
-    return df.groupBy(*pcols).applyInPandas(lambda _, pdf: _ewm(pdf), schema=out_schema)
+    else:
+        # single logical sequence: one partition — matches the reference,
+        # which is single-threaded anyway
+        arranged = df.coalesce(1).sortWithinPartitions(*ocols)
+    return arranged.mapInPandas(_ewm_partition, out_schema)
