@@ -141,6 +141,122 @@ _Q: dict[str, str] = {
         SELECT id, name, id * 2 AS twice
         FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, name)
     """,
+    "natural_join": """
+        SELECT c_custkey, nationkey, n_name
+        FROM (SELECT c_custkey, c_nationkey AS nationkey FROM customer) c
+        NATURAL JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+        WHERE c_custkey <= 200
+    """,
+    "join_using": """
+        SELECT c_custkey, nationkey, n_name
+        FROM (SELECT c_custkey, c_nationkey AS nationkey FROM customer) c
+        JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+        USING (nationkey)
+        WHERE c_custkey <= 200
+    """,
+    "cross_join": """
+        SELECT r1.r_name AS a, r2.r_name AS b
+        FROM region r1 CROSS JOIN region r2
+        WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    "full_outer_join": """
+        SELECT k, a_cnt, b_cnt FROM
+        (SELECT c_nationkey AS k, count(*) AS a_cnt FROM customer GROUP BY 1) a
+        FULL OUTER JOIN
+        (SELECT s_nationkey AS k, count(*) AS b_cnt FROM supplier GROUP BY 1) b
+        USING (k)
+    """,
+    "anti_join_not_exists": """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "scalar_subquery": """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice - (SELECT avg(o_totalprice) FROM orders) AS diff_from_avg
+        FROM orders WHERE o_orderkey <= 1000
+    """,
+    "union_all": """
+        SELECT c_nationkey AS k, 'cust' AS src FROM customer WHERE c_acctbal > 9900
+        UNION ALL
+        SELECT s_nationkey AS k, 'supp' AS src FROM supplier WHERE s_acctbal > 9900
+    """,
+    "string_fns": """
+        SELECT p_partkey,
+               upper(p_name) AS u, lower(p_brand) AS l,
+               trim(concat('  ', p_type, ' ')) AS t,
+               substring(p_name, 2, 5) AS sub,
+               p_brand || '-' || p_type AS cc,
+               replace(p_type, 'SMALL', 'S') AS rep,
+               length(p_name) AS len
+        FROM part WHERE p_partkey <= 500
+    """,
+    "date_fns": """
+        SELECT o_orderkey,
+               extract(YEAR FROM o_orderdate) AS y,
+               extract(MONTH FROM o_orderdate) AS m,
+               date_trunc('month', o_orderdate) AS mon,
+               extract(DAY FROM o_orderdate) AS d
+        FROM orders WHERE o_orderkey <= 500
+    """,
+    "string_agg_ordered": """
+        SELECT n_regionkey,
+               concat_ws(',', sort_array(collect_list(n_name))) AS names
+        FROM nation GROUP BY n_regionkey
+    """,
+    "window_nth_lead": """
+        SELECT user_id, event_id,
+               nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+               stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS movsd5
+        FROM events
+    """,
+    "bool_aggs": """
+        SELECT l_returnflag,
+               bool_and(l_quantity > 0) AS all_pos,
+               bool_or(l_discount > 0.09) AS any_big_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "is_distinct_from": """
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority IS DISTINCT FROM '1-URGENT'
+          AND o_orderkey <= 300
+    """,
+    "ilike_similar": """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_name ILIKE '%RED%' OR p_type SIMILAR TO '(SMALL|MEDIUM)%'
+    """,
+    "quantified_all": """
+        SELECT s_suppkey, s_acctbal FROM supplier
+        WHERE s_acctbal >= ALL (SELECT c_acctbal FROM customer WHERE c_custkey <= 10)
+    """,
+    "q3_shipping": """
+        SELECT l_orderkey,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """,
 }
 
 # DISTINCT ON goes through our front-end rewrite, so the engine-side text is
@@ -570,6 +686,16 @@ def oracle_sql() -> dict[str, str]:
                ) AS cosine
         FROM embeddings
         ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+    # DuckDB's SIMILAR TO takes a regex (nonstandard: % is literal), so the
+    # oracle states the ANSI %-pattern as an explicit regex
+    oracles["ilike_similar"] = """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_name ILIKE '%RED%' OR regexp_full_match(p_type, '(SMALL|MEDIUM).*')
+    """
+    oracles["string_agg_ordered"] = """
+        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey
     """
     oracles["nlp_tokenize"] = r"""
         SELECT doc_id, unnest(list_filter(string_split_regex(

@@ -74,7 +74,132 @@ def _rewrite_symmetric(text: str) -> str:
     return re.sub(r"\bBETWEEN\s+SYMMETRIC\b", "BETWEEN", text, flags=re.IGNORECASE)
 
 
+_QUANT_RE = re.compile(
+    r"(?P<op>=|<>|!=|<=|>=|<|>)\s*(?P<q>ALL|ANY|SOME)\s*\(", re.IGNORECASE
+)
+
+# quantified comparison -> aggregate subquery rewrite (empty-subquery NULL
+# semantics differ slightly from ANSI; documented limitation)
+_QUANT_AGG = {
+    (">", "ALL"): "max",
+    (">=", "ALL"): "max",
+    ("<", "ALL"): "min",
+    ("<=", "ALL"): "min",
+    (">", "ANY"): "min",
+    (">=", "ANY"): "min",
+    ("<", "ANY"): "max",
+    ("<=", "ANY"): "max",
+}
+
+
+def _find_balanced(text: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at ``start``."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError("unbalanced parentheses")
+
+
+def _in_literal(text: str, pos: int) -> bool:
+    """Is ``pos`` inside a single-quoted SQL string literal?"""
+    cur = 0
+    for is_lit, chunk in _split_literals(text):
+        end = cur + len(chunk)
+        if cur <= pos < end:
+            return is_lit
+        cur = end
+    return False
+
+
+def _rewrite_quantified(text: str) -> str:
+    """`expr > ALL (subquery)` -> `expr > (SELECT max(...) ...)`,
+    `= ANY` -> `IN`, `<> ALL` -> `NOT IN` (reference parser
+    SqlQueryParser.scala:630-695). Matches inside string literals are
+    left untouched."""
+    search_from = 0
+    while True:
+        m = _QUANT_RE.search(text, search_from)
+        if m is None:
+            return text
+        if _in_literal(text, m.start()):
+            search_from = m.end()
+            continue
+        op = m.group("op")
+        quant = m.group("q").upper()
+        if quant == "SOME":
+            quant = "ANY"
+        open_paren = m.end() - 1
+        close = _find_balanced(text, open_paren)
+        subq = text[open_paren + 1 : close - 1]
+        if (op, quant) in _QUANT_AGG:
+            agg = _QUANT_AGG[(op, quant)]
+            repl = f"{op} (SELECT {agg}(__v) FROM ({subq}) AS __sclera_q(__v))"
+        elif op == "=" and quant == "ANY":
+            repl = f"IN ({subq})"
+        elif op in ("<>", "!=") and quant == "ALL":
+            repl = f"NOT IN ({subq})"
+        else:
+            raise ValueError(f"unsupported quantified comparison: {op} {quant}")
+        text = text[: m.start()] + repl + text[close:]
+
+
+_SIMILAR_RE = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
+
+
+def sql_pattern_to_regex(pat: str) -> str:
+    """SQL SIMILAR TO pattern -> Java regex: % -> .*, _ -> . (other SQL
+    regex metachars pass through, as in the reference's translation)."""
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(ch)
+    return "^(" + "".join(out) + ")$"
+
+
+def _rewrite_similar_to(sql: str) -> str:
+    """`x SIMILAR TO 'pat'` -> `regexp_like(x, '^(pat)$')` with %/_
+    translated. Operates on the literal-split form so the pattern literal
+    is found reliably."""
+    chunks = _split_literals(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(chunks):
+        is_lit, text = chunks[i]
+        m = None if is_lit else _SIMILAR_RE.search(text)
+        if m and i + 1 < len(chunks) and chunks[i + 1][0]:
+            negate = m.group(1) is not None
+            # operand: the last token before SIMILAR TO
+            pre = text[: m.start()]
+            op_m = re.search(r"(\w+(?:\.\w+)*|\))\s*$", pre)
+            if op_m is None:
+                out.append(text)
+                i += 1
+                continue
+            operand = op_m.group(1)
+            pat = chunks[i + 1][1].strip("'")
+            regex = sql_pattern_to_regex(pat).replace("\\", "\\\\").replace("'", "''")
+            call = f"regexp_like({operand}, '{regex}')"
+            if negate:
+                call = f"NOT {call}"
+            out.append(pre[: op_m.start()] + call)
+            i += 2
+            continue
+        out.append(text)
+        i += 1
+    return "".join(out)
+
+
 def dialect_rewrite(sql: str) -> str:
+    sql = _rewrite_similar_to(sql)
     chunks = _split_literals(sql)
     out = []
     for is_lit, text in chunks:
@@ -84,7 +209,9 @@ def dialect_rewrite(sql: str) -> str:
             t = _rewrite_casts(text)
             t = _rewrite_symmetric(t)
             out.append(t)
-    return "".join(out)
+    # quantified-comparison rewrite spans subqueries (which may contain
+    # string literals), so it runs on the reassembled text
+    return _rewrite_quantified("".join(out))
 
 
 def lower_sql(engine, query: str) -> DataFrame:

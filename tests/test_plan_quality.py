@@ -1,0 +1,126 @@
+"""Physical-plan quality gates: these assert the properties that make the
+engine viable at 100 TB — filter/column pushdown into the parquet scan,
+broadcast of small dimensions, partial aggregation, no Python in JVM-only
+pipelines. A correctness-green plan that fails these is a regression."""
+
+from __future__ import annotations
+
+import pytest
+
+from sclera_spark.engine import ScleraEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tables):
+    return ScleraEngine(spark)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(engine):
+    df = engine.sql(
+        """
+        SELECT l_returnflag, sum(l_quantity) AS sum_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+    plan = _formatted(df)
+    # predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 3 needed columns are read
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # partial aggregation before the shuffle
+    assert "partial_sum" in plan
+
+
+def test_small_dim_join_broadcasts(engine):
+    df = engine.sql(
+        """
+        SELECT n_name, count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_jvm_only_pipeline_has_no_python(engine):
+    from sclera_spark.llm import language_id, quality_scores, token_count
+
+    df = token_count(quality_scores(language_id(engine.table("documents"))))
+    plan = _plan(df)
+    # the whole text-analysis stack must evaluate JVM-side (higher-order
+    # array expressions are interpreted, not codegen'd, but never Python)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_minhash_candidate_join_is_hash_join(engine):
+    from sclera_spark.llm import minhash_dup_pairs
+
+    df = minhash_dup_pairs(engine.table("documents"), num_perm=16, bands=8)
+    plan = _plan(df)
+    # LSH bucket join must be an equi hash/sortmerge join, never a
+    # nested-loop cartesian
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_into_partitioned_join_not_cartesian(engine):
+    from pyspark.sql import functions as F
+
+    from sclera_spark.operators import split_into
+
+    ev = (
+        engine.table("events")
+        .select("user_id", "event_id", "value")
+        .withColumn("lo", F.col("value"))
+        .withColumn("hi", F.col("value") + 10)
+    )
+    df = split_into(ev, "lo", "hi", "s", "e", partition_by=["user_id"])
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_distinct_on_single_shuffle(engine):
+    from pyspark.sql import functions as F
+
+    from sclera_spark.operators import distinct_on
+
+    df = distinct_on(
+        engine.table("orders"), on=["o_custkey"], order_by=[F.col("o_orderdate").desc()]
+    )
+    plan = _plan(df)
+    # exactly one exchange (the window shuffle); no extra repartition
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cosine_topk_takeordered_no_global_sort(engine):
+    from sclera_spark.llm import cosine_topk
+
+    emb = engine.table("embeddings")
+    q = [1.0] + [0.0] * 15
+    df = cosine_topk(emb, q, k=5)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_arg_opt_partial_aggregation(engine):
+    from pyspark.sql import functions as F
+
+    from sclera_spark.operators import arg_opt
+
+    df = arg_opt(
+        engine.table("orders"), F.col("o_totalprice"), partition_by=["o_orderstatus"]
+    )
+    plan = _plan(df)
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
