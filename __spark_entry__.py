@@ -409,6 +409,31 @@ def _q_align_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- LLM pipeline tier
 
 
+def _q_match_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sclera MATCH clause through the SQL front end (rows-only: regex
+    semantics have no SQL equivalent; parity vs the programmatic operator
+    is tested in tests/test_extended_sql.py)."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT user_id, match_id, count(*) AS n_rows, sum(value) AS total_value
+        FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
+             MATCH 'VIEW+ PURCHASE' ON event_type
+        GROUP BY user_id, match_id
+    """)
+
+
+def _q_split_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sclera SPLIT clause through the SQL front end."""
+    eng = _engine(spark, sf_dir)
+    eng.table("events").selectExpr(
+        "user_id", "event_id", "value AS lo", "value + 10 AS hi"
+    ).createOrReplaceTempView("iv")
+    return eng.sql("""
+        SELECT user_id, event_id, s, e
+        FROM iv PARTITION BY user_id SPLIT (lo, hi) INTO (s, e)
+    """)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sclera_spark.llm import dedup_exact
 
@@ -595,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "arg_max": _q_arg_max,
             "split_intervals": _q_split_intervals,
             "match_funnel": _q_match_funnel,
+            "match_sql": _q_match_sql,
+            "split_sql": _q_split_sql,
             "expmovavg": _q_expmovavg,
             "align_users": _q_align_users,
             # LLM-pipeline tier
@@ -641,6 +668,16 @@ def oracle_sql() -> dict[str, str]:
                   (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice DESC, o_orderkey ASC) rn
               FROM orders) t WHERE rn = 1
+    """
+    oracles["split_sql"] = """
+        WITH iv AS (SELECT user_id, event_id, value AS lo, value + 10 AS hi FROM events),
+        b AS (SELECT DISTINCT user_id, b FROM (
+            SELECT user_id, lo AS b FROM iv UNION SELECT user_id, hi FROM iv)),
+        atoms AS (SELECT user_id, b AS s,
+                         lead(b) OVER (PARTITION BY user_id ORDER BY b) AS e FROM b)
+        SELECT iv.user_id, iv.event_id, atoms.s, atoms.e
+        FROM iv JOIN atoms ON iv.user_id = atoms.user_id
+        WHERE atoms.e IS NOT NULL AND iv.lo <= atoms.s AND atoms.e <= iv.hi
     """
     oracles["split_intervals"] = """
         WITH iv AS (SELECT user_id, event_id, value AS lo, value + 10 AS hi FROM events),

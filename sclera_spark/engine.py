@@ -51,6 +51,19 @@ class ScleraEngine:
 
         return lower_sql(self, query)
 
+    def execute(self, statement: str):
+        """Run a statement: queries return a DataFrame; DDL/DML (CREATE
+        TABLE/VIEW, INSERT, UPDATE, DELETE, DROP, EXPLAIN, LIST, DESCRIBE)
+        route to the DDL layer — the `Processor.handleStatement` analogue
+        (reference exec/Processor.scala:118-129)."""
+        from sclera_spark.plans.ddl import DdlRouter
+
+        if not hasattr(self, "_ddl"):
+            self._ddl = DdlRouter(self)
+        if self._ddl.is_statement(statement):
+            return self._ddl.execute(statement)
+        return self.sql(statement)
+
     def explain(self, query: str) -> str:
         return self.sql(query)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

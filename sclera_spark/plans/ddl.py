@@ -1,0 +1,164 @@
+"""DDL / DML statement routing — the `Processor.handleStatement` surface.
+
+Reference (modules/core/src/main/scala/sql/parser/SqlCudParser.scala,
+SqlAdminParser.scala; exec/Processor.scala:456-637): CREATE [TEMP] TABLE /
+VIEW ... AS, INSERT INTO, UPDATE, DELETE, DROP, EXPLAIN, LIST, DESCRIBE.
+
+Spark lowering: engine-managed tables are parquet datasets in a warehouse
+directory (overwrite-rewrite for UPDATE/DELETE — the Spark-native pattern
+absent a transactional format like Delta/Iceberg; the write is a full
+distributed job, no driver materialization). Views are logical (temp
+views), expanded by Catalyst exactly like the reference expands views at
+normalize time (exec/Normalizer.scala:301).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import tempfile
+
+
+class DdlRouter:
+    def __init__(self, engine, warehouse_dir: str | None = None):
+        self.engine = engine
+        self.warehouse = warehouse_dir or tempfile.mkdtemp(prefix="sclera_warehouse_")
+        self.managed: dict[str, str] = {}  # table -> parquet path
+        self.views: dict[str, str] = {}  # view -> query text
+
+    # ---- routing ----
+
+    _ROUTES = [
+        (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_ctas"),
+        (re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_cview"),
+        (re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$", re.I | re.S), "_insert"),
+        (re.compile(r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_update"),
+        (re.compile(r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_delete"),
+        (re.compile(r"^\s*DROP\s+(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I), "_drop"),
+        (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
+        (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
+        (re.compile(r"^\s*DESCRIBE\s+(\w+)\s*$", re.I), "_describe"),
+    ]
+
+    def is_statement(self, sql: str) -> bool:
+        return any(rx.match(sql) for rx, _ in self._ROUTES)
+
+    def execute(self, sql: str):
+        for rx, meth in self._ROUTES:
+            m = rx.match(sql)
+            if m:
+                return getattr(self, meth)(*m.groups())
+        raise ValueError(f"unroutable statement: {sql!r}")
+
+    # ---- implementations ----
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name.lower())
+
+    def _materialize(self, name: str, df) -> None:
+        path = self._path(name)
+        df.write.mode("overwrite").parquet(path)
+        self.managed[name.lower()] = path
+        self.engine.catalog.register_parquet(name, path)
+
+    def _ctas(self, name: str, query: str):
+        self._materialize(name, self.engine.sql(query))
+
+    def _cview(self, name: str, query: str):
+        df = self.engine.sql(query)
+        df.createOrReplaceTempView(name)
+        self.views[name.lower()] = query
+        self.engine.catalog.tables[name] = df
+
+    def _insert(self, name: str, rest: str):
+        tbl = self.engine.table(name)
+        if re.match(r"^\s*VALUES", rest, re.I):
+            incoming = self.engine.sql(f"SELECT * FROM ({rest}) AS __v")
+            incoming = incoming.toDF(*tbl.columns)
+        else:
+            incoming = self.engine.sql(rest)
+        if name.lower() not in self.managed:
+            # adopt the existing table into the warehouse first
+            self._materialize(name, tbl)
+            tbl = self.engine.table(name)
+        from pyspark.sql import functions as F
+
+        # cast to the target schema: parquet append with mismatched physical
+        # types (e.g. a decimal VALUES literal into a double column) would
+        # corrupt reads
+        incoming = incoming.toDF(*tbl.columns).select(
+            *[F.col(c).cast(tbl.schema[c].dataType) for c in tbl.columns]
+        )
+        incoming.write.mode("append").parquet(self._path(name))
+        self.engine.catalog.register_parquet(name, self._path(name))
+
+    def _update(self, name: str, set_clause: str, where: str | None):
+        from pyspark.sql import functions as F
+
+        df = self.engine.table(name)
+        pred = F.expr(where) if where else F.lit(True)
+        assigns = {}
+        for part in self._split_assignments(set_clause):
+            col, expr = part.split("=", 1)
+            assigns[col.strip()] = F.expr(expr.strip())
+        out = df.select(
+            *[
+                F.when(pred, assigns[c]).otherwise(F.col(c)).alias(c) if c in assigns else F.col(c)
+                for c in df.columns
+            ]
+        )
+        self._rewrite(name, out)
+
+    def _delete(self, name: str, where: str | None):
+        from pyspark.sql import functions as F
+
+        df = self.engine.table(name)
+        out = df.filter(~F.expr(where)) if where else df.limit(0)
+        self._rewrite(name, out)
+
+    def _rewrite(self, name: str, df) -> None:
+        """Full-table rewrite through a staging path (parquet cannot
+        overwrite its own input mid-read)."""
+        staging = self._path(name) + ".staging"
+        df.write.mode("overwrite").parquet(staging)
+        final = self._path(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+        self.managed[name.lower()] = final
+        self.engine.catalog.register_parquet(name, final)
+
+    def _drop(self, kind: str, name: str):
+        self.engine.catalog.drop(name)
+        self.views.pop(name.lower(), None)
+        path = self.managed.pop(name.lower(), None)
+        if path and os.path.exists(path):
+            shutil.rmtree(path)
+
+    def _explain(self, query: str) -> str:
+        return self.engine.explain(query)
+
+    def _list_tables(self):
+        return sorted(set(self.engine.catalog.tables) | set(self.managed) | set(self.views))
+
+    def _describe(self, name: str):
+        return [(f.name, f.dataType.simpleString()) for f in self.engine.table(name).schema.fields]
+
+    @staticmethod
+    def _split_assignments(s: str) -> list[str]:
+        """Split `a = f(x, y), b = 2` on top-level commas."""
+        out, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out

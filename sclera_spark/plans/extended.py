@@ -1,0 +1,135 @@
+"""Sclera extended-clause SQL surface: MATCH / SPLIT / ARG in FROM.
+
+Reference grammar (modules/core/src/main/scala/sql/parser/
+SqlQueryParser.scala:225-380):
+
+    from_item := <rel> [ORDERED BY (cols)] [PARTITION BY cols] <op>
+    op        := MATCH 'regex' [ON labeler]
+               | ARG (aggspecs) [OVER MATCH 'regex' [ON labeler]]
+               | SPLIT (lo, hi) INTO (olo, ohi)
+    labeler   := <column> | LABEL l WHEN pred [, LABEL l2 WHEN pred2 ...]
+
+Lowering strategy: the extended clause is extracted from the FROM text,
+the corresponding operator runs (producing a DataFrame registered as a
+temp view), and the view name is substituted back — the rest of the query
+is plain Spark SQL over that view. MATCH exposes `match_id` and
+`match_label` columns, so per-match aggregation in the outer SELECT is a
+plain GROUP BY (partition cols, match_id). ORDERED BY supplies the
+sequence order (the reference instead inherits its input iterator's
+order, which Spark deliberately does not guarantee — SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+_COUNTER = itertools.count()
+
+# a comma ends the clause unless it introduces another LABEL ... WHEN arm
+_CLAUSE_END = r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|JOIN|LEFT|RIGHT|FULL|CROSS|INNER|ON)\b|\s*,(?!\s*LABEL\b)|\s*\)|\s*$)"
+
+_MATCH_RE = re.compile(
+    r"FROM\s+(?P<tbl>\w+)"
+    r"(?:\s+ORDERED\s+BY\s+\((?P<ord>[^)]+)\))?"
+    r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*))?"
+    r"\s+MATCH\s+'(?P<regex>[^']+)'"
+    r"(?:\s+ON\s+(?P<labeler>LABEL\s+.+?|\w+))?" + _CLAUSE_END,
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SPLIT_RE = re.compile(
+    r"FROM\s+(?P<tbl>\w+)"
+    r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*))?"
+    r"\s+SPLIT\s*\(\s*(?P<lo>\w+)\s*,\s*(?P<hi>\w+)\s*\)"
+    r"\s+INTO\s*\(\s*(?P<olo>\w+)\s*,\s*(?P<ohi>\w+)\s*\)" + _CLAUSE_END,
+    re.IGNORECASE,
+)
+
+_LABEL_WHEN_RE = re.compile(
+    r"LABEL\s+(?P<label>\w+)\s+WHEN\s+(?P<pred>.+?)(?=\s*,?\s*LABEL\s+\w+\s+WHEN|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_labeler(spec: str | None, pattern: str):
+    from pyspark.sql import functions as F
+
+    from sclera_spark.operators.match import (
+        ColumnRowLabeler,
+        ConstRowLabeler,
+        PredRowLabeler,
+        compile_pattern,
+    )
+
+    if spec is None:
+        labels = compile_pattern(pattern).labels
+        if len(labels) != 1:
+            raise ValueError(f"LABEL clause needed for pattern {pattern!r}")
+        return ConstRowLabeler(labels[0])
+    spec = spec.strip()
+    if spec.upper().startswith("LABEL"):
+        preds = [
+            (F.expr(m.group("pred").strip()), m.group("label"))
+            for m in _LABEL_WHEN_RE.finditer(spec)
+        ]
+        if not preds:
+            raise ValueError(f"cannot parse labeler: {spec!r}")
+        return PredRowLabeler(preds)
+    return ColumnRowLabeler(spec)
+
+
+def _cols(s: str | None) -> list[str]:
+    return [c.strip() for c in s.split(",")] if s else []
+
+
+def has_extended_clause(sql: str) -> bool:
+    return bool(_MATCH_RE.search(sql) or _SPLIT_RE.search(sql))
+
+
+def lower_extended(engine, sql: str) -> str:
+    """Replace each extended FROM item with a temp view over the operator's
+    result; returns plain Spark SQL."""
+    from sclera_spark.operators import split_into
+    from sclera_spark.operators.match import match_rows
+
+    while True:
+        m = _MATCH_RE.search(sql)
+        if m:
+            tbl = m.group("tbl")
+            order = _cols(m.group("ord"))
+            part = _cols(m.group("part"))
+            if not order:
+                raise ValueError(
+                    "MATCH requires ORDERED BY (cols) to fix the row sequence "
+                    "(Spark makes no input-order guarantee)"
+                )
+            labeler = _parse_labeler(m.group("labeler"), m.group("regex"))
+            out = match_rows(
+                engine.table(tbl),
+                m.group("regex"),
+                labeler,
+                order_by=order,
+                partition_by=part,
+            )
+            view = f"__sclera_match_{next(_COUNTER)}"
+            out.createOrReplaceTempView(view)
+            sql = sql[: m.start()] + f"FROM {view}" + sql[m.end() :]
+            continue
+        m = _SPLIT_RE.search(sql)
+        if m:
+            tbl = m.group("tbl")
+            part = _cols(m.group("part"))
+            out = split_into(
+                engine.table(tbl),
+                m.group("lo"),
+                m.group("hi"),
+                m.group("olo"),
+                m.group("ohi"),
+                partition_by=part,
+            )
+            view = f"__sclera_split_{next(_COUNTER)}"
+            out.createOrReplaceTempView(view)
+            sql = sql[: m.start()] + f"FROM {view}" + sql[m.end() :]
+            continue
+        return sql

@@ -215,7 +215,11 @@ def dialect_rewrite(sql: str) -> str:
 
 
 def lower_sql(engine, query: str) -> DataFrame:
+    from sclera_spark.plans.extended import has_extended_clause, lower_extended
+
     rewritten = dialect_rewrite(query)
+    if has_extended_clause(rewritten):
+        rewritten = lower_extended(engine, rewritten)
     if _DISTINCT_ON_RE.search(rewritten):
         return _lower_distinct_on(engine, rewritten)
     return engine.spark.sql(rewritten)

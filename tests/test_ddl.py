@@ -1,0 +1,65 @@
+"""DDL/DML surface: CREATE TABLE/VIEW AS, INSERT, UPDATE, DELETE, DROP,
+EXPLAIN, LIST, DESCRIBE."""
+
+from __future__ import annotations
+
+import pytest
+
+from sclera_spark.engine import ScleraEngine
+
+
+@pytest.fixture()
+def engine(spark, tables):
+    return ScleraEngine(spark)
+
+
+def test_ctas_insert_update_delete(engine):
+    engine.execute("""
+        CREATE TABLE big_orders AS
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice > 300000
+    """)
+    n0 = engine.table("big_orders").count()
+    assert n0 > 0
+
+    engine.execute("INSERT INTO big_orders VALUES (9999999, 1, 999999.0)")
+    assert engine.table("big_orders").count() == n0 + 1
+
+    engine.execute("UPDATE big_orders SET o_totalprice = o_totalprice * 2 WHERE o_orderkey = 9999999")
+    row = engine.table("big_orders").filter("o_orderkey = 9999999").first()
+    assert row.o_totalprice == 1999998.0
+    # untouched rows keep their values
+    assert engine.table("big_orders").filter("o_totalprice <= 300000").count() == 0
+
+    engine.execute("DELETE FROM big_orders WHERE o_orderkey = 9999999")
+    assert engine.table("big_orders").count() == n0
+
+    engine.execute("DROP TABLE big_orders")
+    assert "big_orders" not in engine.execute("LIST TABLES")
+
+
+def test_insert_query(engine):
+    engine.execute("CREATE TABLE n2 AS SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5")
+    n0 = engine.table("n2").count()
+    engine.execute("INSERT INTO n2 SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 5")
+    total = engine.table("nation").count()
+    assert engine.table("n2").count() == total
+    engine.execute("DROP TABLE n2")
+
+
+def test_view_and_describe_and_explain(engine):
+    engine.execute("CREATE VIEW asia_nations AS SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2")
+    cnt = engine.sql("SELECT count(*) AS c FROM asia_nations").first().c
+    assert cnt == engine.table("nation").filter("n_regionkey = 2").count()
+
+    desc = engine.execute("DESCRIBE asia_nations")
+    assert ("n_nationkey", "int") in desc
+
+    plan = engine.execute("EXPLAIN SELECT count(*) FROM asia_nations")
+    assert "Physical Plan" in plan
+    engine.execute("DROP VIEW asia_nations")
+
+
+def test_plain_query_through_execute(engine):
+    df = engine.execute("SELECT 1 AS one")
+    assert df.first().one == 1
