@@ -434,6 +434,55 @@ def _q_split_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_arg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders PARTITION BY o_orderstatus ARG (MAX(o_orderkey))
+    """)
+
+
+def _q_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT * FROM lineitem PARTITION BY l_returnflag
+        PIVOT sum(l_quantity) FOR l_linestatus IN ('F' AS f_qty, 'O' AS o_qty)
+    """)
+
+
+def _q_labeled_fn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-scoped aggregates (A.fn(x)) over MATCH — rows-only (regex
+    semantics; parity tested in tests/test_extended_sql.py)."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT user_id, match_id,
+               VIEW.count(*) AS n_views,
+               PURCHASE.sum(value) AS purchase_value
+        FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
+             MATCH 'VIEW+ PURCHASE' ON event_type
+        GROUP BY user_id, match_id
+    """)
+
+
+def _q_typeinfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sclera_spark.operators import infer_types
+
+    eng = _engine(spark, sf_dir)
+    src = eng.table("orders").selectExpr(
+        "CAST(o_orderkey AS string) AS k",
+        "CAST(o_totalprice AS string) AS p",
+        "CAST(o_orderdate AS string) AS d",
+    )
+    return infer_types(src)
+
+
+def _q_sequence_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceSource(n) external source (reference
+    external/objects/SequenceSource.scala:26-46)."""
+    eng = _engine(spark, sf_dir)
+    return eng.external_source("SEQUENCE", 1000)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sclera_spark.llm import dedup_exact
 
@@ -622,6 +671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "match_funnel": _q_match_funnel,
             "match_sql": _q_match_sql,
             "split_sql": _q_split_sql,
+            "arg_sql": _q_arg_sql,
+            "pivot_sql": _q_pivot_sql,
+            "labeled_fn_sql": _q_labeled_fn_sql,
+            "typeinfer": _q_typeinfer,
+            "sequence_source": _q_sequence_source,
             "expmovavg": _q_expmovavg,
             "align_users": _q_align_users,
             # LLM-pipeline tier
@@ -668,6 +722,24 @@ def oracle_sql() -> dict[str, str]:
                   (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice DESC, o_orderkey ASC) rn
               FROM orders) t WHERE rn = 1
+    """
+    oracles["arg_sql"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_orderkey DESC) rn FROM orders) t WHERE rn = 1
+    """
+    oracles["pivot_sql"] = """
+        SELECT l_returnflag,
+               sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty,
+               sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_qty
+        FROM lineitem GROUP BY l_returnflag
+    """
+    oracles["typeinfer"] = """
+        SELECT CAST(o_orderkey AS INT) AS k, o_totalprice AS p, o_orderdate AS d
+        FROM orders
+    """
+    oracles["sequence_source"] = """
+        SELECT generate_series AS seq FROM generate_series(0, 999)
     """
     oracles["split_sql"] = """
         WITH iv AS (SELECT user_id, event_id, value AS lo, value + 10 AS hi FROM events),

@@ -65,6 +65,64 @@ def test_match_sql_requires_order(engine):
         engine.sql("SELECT * FROM events MATCH 'VIEW+' ON event_type")
 
 
+def test_labeled_functions_sql(engine):
+    df = engine.sql("""
+        SELECT user_id, match_id,
+               VIEW.count(*) AS n_views,
+               PURCHASE.sum(value) AS purchase_value,
+               count(*) AS n_rows
+        FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
+             MATCH 'VIEW+ PURCHASE' ON event_type
+        GROUP BY user_id, match_id
+    """)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_rows"] == pdf["n_views"] + 1).all()
+    assert pdf["purchase_value"].notna().all()
+
+
+def test_arg_sql(engine, duck):
+    from tests.conftest import assert_df_equal_duck
+
+    df = engine.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders PARTITION BY o_orderstatus ARG (MAX(o_orderkey))
+    """)
+    oracle = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_orderkey DESC) rn FROM orders) t WHERE rn = 1
+    """
+    assert_df_equal_duck(df, duck, oracle)
+
+
+def test_arg_over_match_sql(engine):
+    # the row with max value inside each matched funnel
+    df = engine.sql("""
+        SELECT user_id, event_id, value
+        FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
+             ARG (MAX(value)) OVER MATCH 'VIEW+ PURCHASE' ON event_type
+    """)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+
+
+def test_pivot_sql(engine, duck):
+    from tests.conftest import assert_df_equal_duck
+
+    df = engine.sql("""
+        SELECT * FROM lineitem PARTITION BY l_returnflag
+        PIVOT sum(l_quantity) FOR l_linestatus IN ('F' AS f_qty, 'O' AS o_qty)
+    """)
+    oracle = """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_qty
+    FROM lineitem GROUP BY l_returnflag
+    """
+    assert_df_equal_duck(df, duck, oracle)
+
+
 def test_split_sql(engine, duck):
     from tests.conftest import assert_df_equal_duck
 
