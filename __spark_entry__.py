@@ -141,6 +141,25 @@ _Q: dict[str, str] = {
         SELECT id, name, id * 2 AS twice
         FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, name)
     """,
+    "conditional_fns": """
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+               greatest(c_acctbal, 0.0) AS bal_pos,
+               least(c_acctbal, 1000.0) AS bal_cap,
+               CASE c_nationkey WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'many' END AS nk
+        FROM customer WHERE c_custkey <= 500
+    """,
+    "between_symmetric": """
+        SELECT o_orderkey FROM orders
+        WHERE o_totalprice BETWEEN SYMMETRIC 200000 AND 100000
+          AND o_orderkey <= 2000
+    """,
+    "sclera_fn_names": """
+        SELECT p_partkey,
+               REPLACEALL(p_type, ' ', '_') AS t_us,
+               STRPOS(p_name, 'red') AS pos_red
+        FROM part WHERE p_partkey <= 300
+    """,
     "natural_join": """
         SELECT c_custkey, nationkey, n_name
         FROM (SELECT c_custkey, c_nationkey AS nationkey FROM customer) c
@@ -656,6 +675,78 @@ def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    d = tempfile.mkdtemp(prefix="sclera_entry_stream_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    from sclera_spark.streaming import stream_from_directory
+
+    stream = stream_from_directory(spark, d, raw_schema)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows over a readStream source — the streaming
+    sessionization upgrade (rows-only: session_window has no portable SQL
+    equivalent; invariants tested in tests/test_ml_nlp_streaming.py)."""
+    from sclera_spark.streaming import run_to_memory, sessionize
+
+    _engine(spark, sf_dir)
+    out = sessionize(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        watermark="1 hour",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs={"n_events": F.count(F.lit(1)), "total_value": F.sum("value")},
+    )
+    q = run_to_memory(out, "entry_sessions", output_mode="complete")
+    result = spark.table("entry_sessions")
+    q.stop()
+    return result
+
+
+def _q_stream_match_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stateful MATCH over a keyed stream
+    (applyInPandasWithState; O(1) state per key)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from sclera_spark.streaming import run_to_memory, stream_match_state
+
+    _engine(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir).withColumn("lab", F.upper(F.col("event_type")))
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("match_start", TimestampType()),
+            StructField("match_end", TimestampType()),
+            StructField("match_len", IntegerType()),
+        ]
+    )
+    out = stream_match_state(
+        stream,
+        pattern="VIEW+ PURCHASE",
+        label_col="lab",
+        keys=["user_id"],
+        ts_col="ts",
+        out_schema=out_schema,
+    )
+    q = run_to_memory(out, "entry_stream_matches")
+    result = spark.table("entry_stream_matches")
+    q.stop()
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in _Q
@@ -695,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "nlp_tokenize": _q_nlp_tokenize,
             "nlp_sentiment": _q_nlp_sentiment,
             "stream_window_agg": _q_stream_window_agg,
+            "stream_sessionize": _q_stream_sessionize,
+            "stream_match_state": _q_stream_match_state,
         }
     )
     return out
@@ -722,6 +815,16 @@ def oracle_sql() -> dict[str, str]:
                   (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice DESC, o_orderkey ASC) rn
               FROM orders) t WHERE rn = 1
+    """
+    oracles["between_symmetric"] = """
+        SELECT o_orderkey FROM orders
+        WHERE o_totalprice BETWEEN 100000 AND 200000 AND o_orderkey <= 2000
+    """
+    oracles["sclera_fn_names"] = """
+        SELECT p_partkey,
+               regexp_replace(p_type, ' ', '_', 'g') AS t_us,
+               strpos(p_name, 'red') AS pos_red
+        FROM part WHERE p_partkey <= 300
     """
     oracles["arg_sql"] = """
         SELECT o_orderkey, o_custkey, o_totalprice

@@ -70,8 +70,22 @@ def _rewrite_casts(text: str) -> str:
 _DISTINCT_ON_RE = re.compile(r"SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
+_SYMMETRIC_RE = re.compile(
+    r"(?P<x>[\w.]+|\([^()]*\))\s+BETWEEN\s+SYMMETRIC\s+(?P<lo>[\w.'-]+)\s+AND\s+(?P<hi>[\w.'-]+)",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_symmetric(text: str) -> str:
-    return re.sub(r"\bBETWEEN\s+SYMMETRIC\b", "BETWEEN", text, flags=re.IGNORECASE)
+    """`x BETWEEN SYMMETRIC a AND b` -> bounds ordered either way
+    (reference ScalOp.scala:98-103)."""
+    return _SYMMETRIC_RE.sub(
+        lambda m: (
+            f"{m.group('x')} BETWEEN least({m.group('lo')}, {m.group('hi')})"
+            f" AND greatest({m.group('lo')}, {m.group('hi')})"
+        ),
+        text,
+    )
 
 
 _QUANT_RE = re.compile(
@@ -198,6 +212,29 @@ def _rewrite_similar_to(sql: str) -> str:
     return "".join(out)
 
 
+# Sclera scalar-function names -> Spark SQL function names (the Python-level
+# library in functions/scalar.py covers the full inventory; these are the
+# pure renames usable directly in SQL text)
+_FN_RENAMES = {
+    "REPLACEALL": "regexp_replace",
+    "STRPOS": "instr",
+    "RANDUNIFORM": "rand",
+    "RANDGAUSSIAN": "randn",
+    "RANDNORMAL": "randn",
+    "TOTIMESTAMP": "to_timestamp",
+    "TODATE": "to_date",
+    "TIMESTAMP_UNIX": "unix_timestamp",
+}
+
+_FN_RENAME_RE = re.compile(
+    r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_fn_names(text: str) -> str:
+    return _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).upper()] + "(", text)
+
+
 def dialect_rewrite(sql: str) -> str:
     sql = _rewrite_similar_to(sql)
     chunks = _split_literals(sql)
@@ -208,6 +245,7 @@ def dialect_rewrite(sql: str) -> str:
         else:
             t = _rewrite_casts(text)
             t = _rewrite_symmetric(t)
+            t = _rewrite_fn_names(t)
             out.append(t)
     # quantified-comparison rewrite spans subqueries (which may contain
     # string literals), so it runs on the reassembled text
