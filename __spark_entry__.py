@@ -514,7 +514,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = _engine(spark, sf_dir)
     return minhash_dup_pairs(
-        eng.table("documents"), threshold=0.8, num_perm=64, bands=16, shingle_k=5
+        eng.table("documents"), threshold=0.8, num_perm=128, bands=16, shingle_k=5
     )
 
 

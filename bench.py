@@ -34,6 +34,10 @@ def main() -> None:
         "split_intervals",   # B6 disjoint intervals
         "window_tier",       # B7 running aggregates
         "expmovavg",
+        "minhash_pairs",     # LLM tier: MinHash-LSH near-dup
+        "cosine_topk",       # LLM tier: similarity search
+        "quality_scores",    # LLM tier: text analysis
+        "dedup_exact",
     ]
     bench_names = [n for n in bench_names if n in qs]
 

@@ -54,6 +54,84 @@ def _shingles(text: Column, k: int) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
 
 
+_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _rolling_kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct polynomial hashes of all byte k-grams — fully vectorized
+    (k vector ops, no per-shingle Python)."""
+    s = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.int64)
+    n = len(s)
+    if n < k:
+        s = np.pad(s, (0, k - n), constant_values=32)
+        n = k
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        h = h * np.int64(257) + s[j : j + m]  # wrapping int64 is fine for hashing
+    return np.unique(h & np.int64(0x7FFFFFFF))
+
+
+def minhash_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Add ``minhash`` (array<long> signature) and ``hset`` (sorted distinct
+    k-gram hashes, for exact-Jaccard verification) columns.
+
+    Everything text-heavy runs in one vectorized Arrow pandas UDF:
+    normalization, byte-k-gram rolling hashes, and the num_perm
+    permutation minima ((a_i*h + b_i) mod p) as a single numpy matrix op.
+    Earlier JVM-expression formulations (per-shingle substring + per-perm
+    transform) measured 80-100s at sf0.1; this runs the same sketch in
+    ~2s. Without the mod-p the affine map is monotone and every
+    permutation picks the same global-min shingle (degenerate buckets).
+    """
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    rnd = __import__("random").Random(42)
+    a = np.array([rnd.randrange(1, 2**29) * 2 + 1 for _ in range(num_perm)], dtype=np.int64)
+    b = np.array([rnd.randrange(2**30) for _ in range(num_perm)], dtype=np.int64)
+    P = np.int64(_MINHASH_P)
+    ws = _re.compile(r"\s+")
+
+    sketch_type = StructType(
+        [
+            StructField("minhash", ArrayType(LongType())),
+            StructField("hset", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(sketch_type)
+    def _sketch(tcol: pd.Series) -> pd.DataFrame:
+        sigs, hsets = [], []
+        for t in tcol:
+            if t is None:
+                sigs.append([int(P)] * len(a))
+                hsets.append([])
+                continue
+            norm = ws.sub(" ", t.lower())
+            h = _rolling_kgram_hashes(norm, shingle_k)
+            sigs.append(((a[:, None] * h[None, :] + b[:, None]) % P).min(axis=1).tolist())
+            hsets.append(h.tolist())
+        return pd.DataFrame({"minhash": sigs, "hset": hsets})
+
+    # spread the CPU-heavy sketch across all cores even when the input is a
+    # single parquet file/partition (the shuffle of raw text is far cheaper
+    # than serializing the sketch work)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (
+        df.withColumn("__sk", _sketch(F.col(text_col)))
+        .withColumn("minhash", F.col("__sk.minhash"))
+        .withColumn("hset", F.col("__sk.hset"))
+        .drop("__sk")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -61,26 +139,16 @@ def minhash_signatures(
     shingle_k: int = 5,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """Add an array<long> MinHash signature column. Permutation i is
-    simulated as xxhash64(shingle, i) (standard one-hash-family trick);
-    signature[i] = min over shingles."""
-    sh = _shingles(F.col(text_col), shingle_k)
-    df = df.withColumn("__sh", sh)
-
-    # NB: a two-argument lambda would be interpreted by F.transform as
-    # (element, array_index) — the permutation seed must be closed over.
-    def perm_min(i: int) -> Column:
-        return F.array_min(F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(i))))
-
-    sig = F.array(*[perm_min(i) for i in range(num_perm)])
-    return df.withColumn(out_col, sig).drop("__sh")
+    """Add an array<long> MinHash signature column (see minhash_sketch)."""
+    out = minhash_sketch(df, text_col, num_perm, shingle_k).drop("hset")
+    return out.withColumnRenamed("minhash", out_col) if out_col != "minhash" else out
 
 
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 64,
+    num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
@@ -89,14 +157,19 @@ def minhash_dup_pairs(
     MinHash banding. Rows per band-bucket join only — the classic LSH
     candidate generation; exact Jaccard over shingle sets verifies."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, num_perm, shingle_k).select(
-        F.col(id_col).alias("id"),
-        F.col("minhash"),
-        _shingles(F.col(text_col), shingle_k).alias("sh"),
+    # one sketch pass gives both the signature (for banding) and the hashed
+    # shingle set (for verification)
+    sketch = (
+        minhash_sketch(df, text_col, num_perm, shingle_k)
+        .select(F.col(id_col).alias("id"), "minhash", "hset")
+        .persist()  # read twice: banding and verification
     )
+    # phase 1: candidates — only (id, band, band_hash) is exploded and
+    # shuffled; shipping the shingle arrays through the band join measured
+    # ~100s at sf0.1 from array serialization alone
+    sig = sketch.select("id", "minhash")
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -110,25 +183,47 @@ def minhash_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bh")
+    ).select("id", "bb.band", "bb.bh")
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, on=["band", "bh"], how="inner")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sh").alias("a_sh"),
-            F.col("b.sh").alias("b_sh"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+
+    # phase 2a: cheap pre-filter — estimate Jaccard from the signatures
+    # themselves (fraction of agreeing minhashes). Banding alone admits a
+    # flood of low-similarity candidates (measured 216k candidates for 256
+    # real pairs at sf0.1); comparing two 64-long arrays is ~50x cheaper
+    # than the exact set intersection.
+    sigs = sketch.select("id", "minhash")
+    est_pairs = (
+        cand.join(sigs.select(F.col("id").alias("a_id"), F.col("minhash").alias("a_mh")), "a_id")
+        .join(sigs.select(F.col("id").alias("b_id"), F.col("minhash").alias("b_mh")), "b_id")
+    )
+    est = F.size(
+        F.filter(F.zip_with(F.col("a_mh"), F.col("b_mh"), lambda x, y: x == y), lambda v: v)
+    ) / F.size(F.col("a_mh"))
+    survivors = (
+        est_pairs.withColumn("__est", est)
+        .filter(F.col("__est") >= threshold - 0.25)
+        .select("a_id", "b_id")
+    )
+
+    # phase 2b: exact Jaccard over hashed shingle sets for the survivors
+    sets = sketch.select("id", "hset")
+    pairs = (
+        survivors.join(
+            sets.select(F.col("id").alias("a_id"), F.col("hset").alias("a_sh")), "a_id"
+        ).join(sets.select(F.col("id").alias("b_id"), F.col("hset").alias("b_sh")), "b_id")
     )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -138,7 +233,7 @@ def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 64,
+    num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,

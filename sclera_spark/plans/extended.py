@@ -34,7 +34,7 @@ _MATCH_RE = re.compile(
     r"(?:\s+ORDERED\s+BY\s+\((?P<ord>[^)]+)\))?"
     r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*))?"
     r"\s+MATCH\s+'(?P<regex>[^']+)'"
-    r"(?:\s+ON\s+(?P<labeler>LABEL\s+.+?|\w+))?" + _CLAUSE_END,
+    r"(?:\s+ON\s+(?P<labeler>LABEL\s+.+?|\w+(?:\s+WHEN\s+.+?)?))?" + _CLAUSE_END,
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -44,7 +44,7 @@ _ARG_RE = re.compile(
     r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*))?"
     r"\s+ARG\s*\(\s*(?P<spec>(?:MAX|MIN)\s*\(\s*[\w.]+\s*\))\s*\)"
     r"(?:\s+OVER\s+MATCH\s+'(?P<regex>[^']+)'"
-    r"(?:\s+ON\s+(?P<labeler>LABEL\s+.+?|\w+))?)?" + _CLAUSE_END,
+    r"(?:\s+ON\s+(?P<labeler>LABEL\s+.+?|\w+(?:\s+WHEN\s+.+?)?))?)?" + _CLAUSE_END,
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -94,6 +94,29 @@ def _parse_labeler(spec: str | None, pattern: str):
         if not preds:
             raise ValueError(f"cannot parse labeler: {spec!r}")
         return PredRowLabeler(preds)
+    # `col [WHEN val THEN label ... [ELSE label]]` (reference labelerDef,
+    # SqlQueryParser.scala:307-321)
+    wm = re.match(r"(\w+)((?:\s+WHEN\s+.+?\s+THEN\s+\w+)+)(?:\s+ELSE\s+(\w+))?\s*$",
+                  spec, re.IGNORECASE | re.DOTALL)
+    if wm:
+        col, arms, default = wm.group(1), wm.group(2), wm.group(3)
+        when_then = {}
+        for am in re.finditer(
+            r"WHEN\s+(?P<val>'[^']*'|[\w.-]+)\s+THEN\s+(?P<lab>\w+)", arms, re.IGNORECASE
+        ):
+            val = am.group("val")
+            if val.startswith("'"):
+                val = val.strip("'")
+            else:
+                try:
+                    val = int(val)
+                except ValueError:
+                    try:
+                        val = float(val)
+                    except ValueError:
+                        pass
+            when_then[val] = am.group("lab")
+        return ColumnRowLabeler(spec.split()[0], when_then, default)
     return ColumnRowLabeler(spec)
 
 
