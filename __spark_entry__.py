@@ -160,6 +160,14 @@ _Q: dict[str, str] = {
                STRPOS(p_name, 'red') AS pos_red
         FROM part WHERE p_partkey <= 300
     """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
     "natural_join": """
         SELECT c_custkey, nationkey, n_name
         FROM (SELECT c_custkey, c_nationkey AS nationkey FROM customer) c
@@ -451,6 +459,43 @@ def _q_split_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, s, e
         FROM iv PARTITION BY user_id SPLIT (lo, hi) INTO (s, e)
     """)
+
+
+def _q_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` projection sugar (reference star-expansion
+    RelOp.scala:219-286)."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT * EXCEPT (l_tax, l_returnflag, l_linestatus) FROM lineitem WHERE l_orderkey <= 100"
+    )
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (extension beyond the reference; HLL values
+    are implementation-specific -> rows-only)."""
+    eng = _engine(spark, sf_dir)
+    return eng.table("lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+        F.percentile_approx("l_quantity", 0.5).alias("median_qty"),
+    )
+
+
+def _q_external_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE EXTERNAL <target> AS <query> round-trip (reference
+    SqlCudParser.scala:57-60 / ExternalTarget): write an aggregate to CSV
+    via the sink registry, read it back through the source registry."""
+    import tempfile
+
+    eng = _engine(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="sclera_ext_") + "/nation_counts"
+    agg = eng.sql(
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"
+    )
+    agg.coalesce(1).write.mode("overwrite").option("header", True).csv(out_dir)
+    back = eng.external_source("CSV", out_dir)
+    return back.select(
+        F.col("n_regionkey").cast("int").alias("n_regionkey"), F.col("n").cast("long").alias("n")
+    )
 
 
 def _q_arg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "match_funnel": _q_match_funnel,
             "match_sql": _q_match_sql,
             "split_sql": _q_split_sql,
+            "star_except": _q_star_except,
+            "approx_distinct": _q_approx_distinct,
+            "external_target": _q_external_target,
             "arg_sql": _q_arg_sql,
             "pivot_sql": _q_pivot_sql,
             "labeled_fn_sql": _q_labeled_fn_sql,
@@ -825,6 +873,13 @@ def oracle_sql() -> dict[str, str]:
                regexp_replace(p_type, ' ', '_', 'g') AS t_us,
                strpos(p_name, 'red') AS pos_red
         FROM part WHERE p_partkey <= 300
+    """
+    oracles["star_except"] = """
+        SELECT * EXCLUDE (l_tax, l_returnflag, l_linestatus)
+        FROM lineitem WHERE l_orderkey <= 100
+    """
+    oracles["external_target"] = """
+        SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey
     """
     oracles["arg_sql"] = """
         SELECT o_orderkey, o_custkey, o_totalprice
