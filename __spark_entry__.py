@@ -19,11 +19,24 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_ENGINE_CACHE: dict[tuple[int, str], object] = {}
+_LAST_SF: dict[int, str] = {}
+
+
 def _engine(spark: SparkSession, sf_dir: str):
     from sclera_spark.engine import ScleraEngine
 
-    eng = ScleraEngine(spark)
-    eng.add_location(sf_dir)
+    key = (id(spark), sf_dir)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = ScleraEngine(spark)
+        _ENGINE_CACHE[key] = eng
+    # temp views are session-global: re-register whenever a different
+    # sf_dir touched this session (e.g. entry() at sf0.001 then the
+    # correctness gate at sf0.01)
+    if _LAST_SF.get(id(spark)) != sf_dir:
+        eng.add_location(sf_dir)
+        _LAST_SF[id(spark)] = sf_dir
     return eng
 
 
@@ -449,6 +462,36 @@ def _q_match_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _q_match_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH with alternation + optional + predicate labelers (rows-only;
+    NFA semantics property-tested against a brute-force oracle in
+    tests/test_match_properties.py)."""
+    from sclera_spark.operators.match import PredRowLabeler, match_aggregate
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("user_id", "event_id", "ts", "event_type", "value")
+    return match_aggregate(
+        ev,
+        "(SIGNUP | LOGIN?) (CLICK | VIEW)+ (PURCHASE | ERROR)",
+        PredRowLabeler(
+            [
+                (F.col("event_type") == "signup", "SIGNUP"),
+                (F.col("event_type") == "view", "VIEW"),
+                (F.col("event_type") == "click", "CLICK"),
+                (F.col("event_type") == "purchase", "PURCHASE"),
+                (F.col("event_type") == "error", "ERROR"),
+            ]
+        ),
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        aggregates={
+            "n_rows": F.count(F.lit(1)),
+            "first_ts": F.min("ts"),
+            "last_ts": F.max("ts"),
+        },
+    )
+
+
 def _q_split_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sclera SPLIT clause through the SQL front end."""
     eng = _engine(spark, sf_dir)
@@ -806,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "split_intervals": _q_split_intervals,
             "match_funnel": _q_match_funnel,
             "match_sql": _q_match_sql,
+            "match_alternation": _q_match_alternation,
             "split_sql": _q_split_sql,
             "star_except": _q_star_except,
             "approx_distinct": _q_approx_distinct,

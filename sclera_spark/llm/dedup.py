@@ -4,12 +4,10 @@ Everything here is designed for the 100 TB case first:
 
 - Exact dedup: hash-groupBy on a fingerprint — one shuffle, map-side
   partial aggregation, no driver state.
-- MinHash+LSH near-dup: shingling, hashing, signatures and banding are ALL
-  JVM-side expressions (`transform`/`xxhash64`/`array_min`) so the hot path
-  never leaves codegen; candidate generation is a self-join on (band,
-  band_hash) — the standard shuffle-friendly LSH bucket join; only
-  candidate pairs (a tiny fraction) pay the exact-Jaccard verification,
-  also via array intersections JVM-side.
+- MinHash+LSH near-dup: one vectorized Arrow sketch pass (numpy rolling
+  k-gram hashes + all permutation minima as a matrix op), band self-join
+  on (band, band_hash) carrying only ids, signature-estimate pre-filter,
+  exact-Jaccard verification via JVM array intersection on the survivors.
 - SimHash: token hashes JVM-side; 64-bit signature folded with a
   vectorized Arrow pandas_udf (numpy bit math); near-dup = hamming
   distance on banded prefixes.
@@ -43,15 +41,6 @@ def dedup_exact(df: DataFrame, on: list[str] | None = None, id_col: str = "doc_i
 
 
 # ---------------------------------------------------------------- minhash
-
-
-def _shingles(text: Column, k: int) -> Column:
-    """Character k-shingles of the lower-cased, whitespace-normalized text,
-    distinct, as array<string> — pure JVM expressions."""
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
 
 
 _MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
