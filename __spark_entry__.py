@@ -590,6 +590,61 @@ def _q_sequence_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.external_source("SEQUENCE", 1000)
 
 
+def _q_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform extension op (reference analytics/transform/expr/
+    Transform.scala:25-148, Join flavor): per-partition z-score — the
+    deterministic semantics let DuckDB window SQL act as the oracle."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from sclera_spark.operators import transform_partitions
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        pdf["zscore"] = (pdf["value"] - pdf["value"].mean()) / sd if sd and sd > 0 else 0.0
+        return pdf
+
+    out_schema = StructType(list(ev.schema.fields) + [StructField("zscore", DoubleType())])
+    return transform_partitions(ev, zscore, out_schema, partition_by=["user_id"])
+
+
+def _q_align_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALIGN with partition keys: per-user DTW alignment of the view
+    stream against the click stream (rows-only; DP semantics tested vs
+    pandas in tests/test_match_align.py)."""
+    import numpy as np
+
+    from sclera_spark.operators import align
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return align(
+        views,
+        clicks,
+        dist=lambda pa, pb: np.abs(pa["v_value"].to_numpy() - pb["c_value"].to_numpy()),
+        margin=5,
+        order_by_a=["v_ts", "v_id"],
+        order_by_b=["c_ts", "c_id"],
+        partition_by=["user_id"],
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sclera_spark.llm import dedup_exact
 
@@ -861,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sequence_source": _q_sequence_source,
             "expmovavg": _q_expmovavg,
             "align_users": _q_align_users,
+            "align_partitioned": _q_align_partitioned,
+            "transform_zscore": _q_transform_zscore,
             # LLM-pipeline tier
             "dedup_exact": _q_dedup_exact,
             "minhash_pairs": _q_minhash_pairs,
@@ -942,6 +999,14 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["sequence_source"] = """
         SELECT generate_series AS seq FROM generate_series(0, 999)
+    """
+    oracles["transform_zscore"] = """
+        SELECT user_id, event_id, value,
+               CASE WHEN stddev_samp(value) OVER w > 0
+                    THEN (value - avg(value) OVER w) / (stddev_samp(value) OVER w)
+                    ELSE 0.0 END AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
     """
     oracles["split_sql"] = """
         WITH iv AS (SELECT user_id, event_id, value AS lo, value + 10 AS hi FROM events),
