@@ -73,7 +73,6 @@ def match_rows(
     p = list(partition_by)
     o = list(order_by)
     in_cols = list(df.columns)
-    alphabet = set(nfa.labels)
     is_single = single is not None
 
     def _match_partition(batches):
@@ -109,11 +108,13 @@ def match_rows(
 
         idx_parts: list[np.ndarray] = []
         mid_parts: list[np.ndarray] = []
+        path_labels: list[str] = []
         for gs, ge in zip(starts, ends):
-            spans = matcher.find_matches(labels[gs:ge])
-            for mid, (s, e) in enumerate(spans):
+            spans = matcher.find_matches_with_paths(labels[gs:ge])
+            for mid, (s, e, lab_path) in enumerate(spans):
                 idx_parts.append(np.arange(gs + s, gs + e))
                 mid_parts.append(np.full(e - s, mid, dtype=np.int64))
+                path_labels.extend(lab_path)
         if not idx_parts:
             yield pdf.iloc[0:0][in_cols].assign(
                 **{
@@ -126,13 +127,10 @@ def match_rows(
         mids = np.concatenate(mid_parts)
         out = pdf.take(idx)[in_cols]
         out[MATCH_ID] = mids
-        if is_single:
-            lab_series = raw.to_numpy()[idx]
-            out[MATCH_LABEL] = np.where(pd.Series(lab_series).isin(alphabet), lab_series, None)
-        else:
-            out[MATCH_LABEL] = [
-                next((l for l in sorted(labels[i]) if l in alphabet), None) for i in idx
-            ]
+        # the label under which each row ACTUALLY matched — recovered from
+        # an accepting NFA path (matters for multi-label rows, where any
+        # fixed per-row choice can disagree with the path the regex took)
+        out[MATCH_LABEL] = path_labels
         yield out
 
     if p:

@@ -249,15 +249,26 @@ class CompiledMatcher:
     def find_matches(self, row_labels) -> list[tuple[int, int]]:
         """Greedy leftmost non-overlapping match spans [(start, end_excl)].
         Empty (zero-length) matches are skipped."""
+        return [(s, e) for s, e, _ in self.find_matches_with_paths(row_labels, False)]
+
+    def find_matches_with_paths(
+        self, row_labels, want_paths: bool = True
+    ) -> list[tuple[int, int, list[str] | None]]:
+        """Like find_matches, but each span also carries the per-row label
+        sequence of ONE accepting NFA path (recovered by backward traceback
+        over the stored frontiers) — this is the row's *matched* label,
+        which for multi-label rows can differ from any fixed choice."""
         masks = self.row_masks(row_labels)
         n = len(masks)
         next_mask, finish = self.next_mask, self.finish_mask
         anchored_end, anchored_begin = self.nfa.anchored_end, self.nfa.anchored_begin
         start_step = next_mask[self.state_index[AnchoredNfa.START]]
-        out: list[tuple[int, int]] = []
+        index_state = {i: s for s, i in self.state_index.items()}
+        out: list[tuple[int, int, list[str] | None]] = []
         i = 0
         while i < n:
             cur = start_step & masks[i]
+            frontiers = [cur]  # frontier after consuming row i+k
             best_end = -1
             j = i
             while cur:
@@ -266,7 +277,6 @@ class CompiledMatcher:
                     best_end = j
                 if j >= n:
                     break
-                # advance: union of next-sets of current states, gated by row j
                 nxt = 0
                 m = cur
                 while m:
@@ -274,14 +284,42 @@ class CompiledMatcher:
                     nxt |= next_mask[b.bit_length() - 1]
                     m ^= b
                 cur = nxt & masks[j]
+                frontiers.append(cur)
             if best_end > i:
-                out.append((i, best_end))
+                labels_path = (
+                    self._trace_labels(frontiers[: best_end - i], index_state)
+                    if want_paths
+                    else None
+                )
+                out.append((i, best_end, labels_path))
                 i = best_end
             else:
                 i += 1
             if anchored_begin:
                 break
         return out
+
+    def _trace_labels(self, frontiers: list[int], index_state: dict[int, int]) -> list[str]:
+        """Backward traceback: pick an accepting state in the last frontier,
+        then repeatedly pick any predecessor in the previous frontier."""
+        L = len(frontiers)
+        # accepting state at the end
+        last = frontiers[-1] & self.finish_mask
+        chosen = (last & -last).bit_length() - 1
+        states = [chosen]
+        for k in range(L - 2, -1, -1):
+            m = frontiers[k]
+            pred = None
+            while m:
+                b = m & -m
+                idx = b.bit_length() - 1
+                if self.next_mask[idx] & (1 << states[-1]):
+                    pred = idx
+                    break
+                m ^= b
+            states.append(pred if pred is not None else (frontiers[k] & -frontiers[k]).bit_length() - 1)
+        states.reverse()
+        return [self.nfa.label_of[index_state[ix]] for ix in states]
 
 
 def find_matches(
