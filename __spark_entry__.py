@@ -173,6 +173,10 @@ _Q: dict[str, str] = {
                STRPOS(p_name, 'red') AS pos_red
         FROM part WHERE p_partkey <= 300
     """,
+    "fetch_first": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey OFFSET 5 FETCH FIRST 15 ROWS ONLY
+    """,
     "rollup_agg": """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

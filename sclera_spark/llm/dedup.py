@@ -248,6 +248,8 @@ def simhash(
     touches only an array<long> column, not the text."""
     from pyspark.sql.types import LongType
 
+    # parallelize the token-hash + fold work even off single-file inputs
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tokens = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+")
     hashes = F.transform(
         F.filter(tokens, lambda t: t != ""), lambda t: F.xxhash64(t)

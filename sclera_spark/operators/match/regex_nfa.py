@@ -136,10 +136,14 @@ class _Parser:
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
 
+    def _describe(self) -> str:
+        k, v = self.peek()
+        return "end of pattern" if k is None else f"{v!r} (position {self.i})"
+
     def take(self, kind=None, val=None):
         t = self.peek()
         if (kind and t[0] != kind) or (val and t[1] != val):
-            raise ValueError(f"expected {kind or ''}{val or ''}, got {t}")
+            raise ValueError(f"expected {val or kind} but found {self._describe()}")
         self.i += 1
         return t
 
@@ -153,7 +157,10 @@ class _Parser:
             self.take()
             ae = True
         if self.i != len(self.toks):
-            raise ValueError(f"trailing tokens in pattern: {self.toks[self.i:]}")
+            raise ValueError(
+                f"unexpected {self._describe()} after a complete pattern "
+                f"(labels are identifiers; operators are | . * + ? ( ) ^ $)"
+            )
         return AnchoredNfa(nfa, ab, ae, pattern)
 
     def parse_alt(self) -> Nfa:
@@ -196,7 +203,10 @@ class _Parser:
             self.take()
             self.pos_counter += 1
             return Nfa.symbol(v, self.pos_counter)
-        raise ValueError(f"unexpected token {self.peek()}")
+        raise ValueError(
+            f"expected a label or '(' but found {self._describe()} "
+            f"(labels are identifiers; operators are | . * + ? ( ) ^ $)"
+        )
 
 
 def compile_pattern(pattern: str) -> AnchoredNfa:

@@ -235,8 +235,21 @@ def _rewrite_fn_names(text: str) -> str:
     return _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).upper()] + "(", text)
 
 
+_OFFSET_FETCH_RE = re.compile(
+    r"\bOFFSET\s+(\d+)(?:\s+ROWS?)?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
+    re.IGNORECASE,
+)
+_FETCH_FIRST_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE
+)
+
+
 def dialect_rewrite(sql: str) -> str:
     sql = _rewrite_similar_to(sql)
+    # ANSI [OFFSET m] FETCH FIRST n ROWS ONLY (reference parser :554-578)
+    # -> Spark's LIMIT n [OFFSET m] ordering
+    sql = _OFFSET_FETCH_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+    sql = _FETCH_FIRST_RE.sub(lambda m: f"LIMIT {m.group(1)}", sql)
     chunks = _split_literals(sql)
     out = []
     for is_lit, text in chunks:
