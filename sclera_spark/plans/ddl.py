@@ -31,6 +31,7 @@ class DdlRouter:
 
     _ROUTES = [
         (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_ctas"),
+        (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s*\((.*)\)\s*$", re.I | re.S), "_create_table"),
         (re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_cview"),
         (re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$", re.I | re.S), "_insert"),
         (re.compile(r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_update"),
@@ -64,6 +65,69 @@ class DdlRouter:
 
     def _ctas(self, name: str, query: str):
         self._materialize(name, self.engine.sql(query))
+
+    # Sclera type name -> Spark SQL type (reference sql/types/SqlType.scala;
+    # SqlDecimal is double-precision float in the reference, :112-124)
+    _TYPE_MAP = {
+        "INT": "int", "INTEGER": "int", "SMALLINT": "short", "BIGINT": "long",
+        "REAL": "float", "FLOAT": "double", "DOUBLE": "double",
+        "DOUBLE PRECISION": "double", "DECIMAL": "double", "NUMERIC": "double",
+        "BOOLEAN": "boolean", "BOOL": "boolean",
+        "CHAR": "string", "CHARACTER": "string", "VARCHAR": "string",
+        "CHARACTER VARYING": "string", "TEXT": "string", "CLOB": "string",
+        "DATE": "date", "TIME": "timestamp", "TIMESTAMP": "timestamp",
+        "BLOB": "binary",
+    }
+
+    def _create_table(self, name: str, body: str):
+        """CREATE TABLE name (col type [PRIMARY KEY|NOT NULL], ...,
+        [PRIMARY KEY (cols)] [, FOREIGN KEY (cols) REFERENCES t(cols)]) —
+        the constraint surface of the reference (sql/datatypes/
+        TableConstraint.scala; parse-tested in SqlParseSuite.scala:29-82).
+        Constraints are validated for shape and recorded as metadata;
+        Spark does not enforce them (neither does H2 for the reference's
+        temp tables)."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        cols: list[tuple[str, str, bool]] = []
+        constraints: list[str] = []
+        for item in self._split_assignments(body):
+            item = item.strip()
+            if re.match(r"^(PRIMARY\s+KEY|FOREIGN\s+KEY|UNIQUE|CHECK)\b", item, re.I):
+                m = re.match(
+                    r"^(?:PRIMARY\s+KEY|UNIQUE)\s*\(\s*[\w\s,]+\)\s*$"
+                    r"|^FOREIGN\s+KEY\s*\(\s*[\w\s,]+\)\s+REFERENCES\s+\w+\s*(?:\(\s*[\w\s,]+\))?\s*$",
+                    item,
+                    re.I,
+                )
+                if not m:
+                    raise ValueError(f"malformed table constraint: {item!r}")
+                constraints.append(item)
+                continue
+            cm = re.match(
+                r"^(\w+)\s+([A-Za-z]+(?:\s+(?:PRECISION|VARYING))?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+                r"(\s+PRIMARY\s+KEY|\s+NOT\s+NULL|\s+NULL)?\s*$",
+                item,
+                re.I,
+            )
+            if not cm:
+                raise ValueError(f"malformed column definition: {item!r}")
+            col, typ, suffix = cm.group(1), cm.group(2), (cm.group(3) or "").strip().upper()
+            base = re.sub(r"\s*\(.*\)$", "", typ).upper()
+            spark_type = self._TYPE_MAP.get(base)
+            if spark_type is None:
+                raise ValueError(f"unknown column type: {typ!r}")
+            nullable = suffix not in ("PRIMARY KEY", "NOT NULL")
+            if suffix == "PRIMARY KEY":
+                constraints.append(f"PRIMARY KEY ({col})")
+            cols.append((col, spark_type, nullable))
+        if not cols:
+            raise ValueError("CREATE TABLE requires at least one column")
+        schema = StructType(
+            [StructField(c, _parse_datatype_string(t), n) for c, t, n in cols]
+        )
+        empty = self.engine.spark.createDataFrame([], schema)
+        self._materialize(name, empty)
 
     def _cview(self, name: str, query: str):
         df = self.engine.sql(query)

@@ -60,6 +60,33 @@ def test_view_and_describe_and_explain(engine):
     engine.execute("DROP VIEW asia_nations")
 
 
+def test_create_table_with_constraints(engine):
+    """Parity with the reference's parser suite (SqlParseSuite.scala:29-82):
+    constraint combinations accept/reject."""
+    import pytest as _pytest
+
+    # accepted forms
+    engine.execute("CREATE TABLE ct1 (a INT PRIMARY KEY, b VARCHAR(10), c DECIMAL(7,2))")
+    desc = dict(engine.execute("DESCRIBE ct1"))
+    assert desc == {"a": "int", "b": "string", "c": "double"}
+    engine.execute("INSERT INTO ct1 VALUES (1, 'x', 2.5)")
+    assert engine.table("ct1").count() == 1
+
+    engine.execute(
+        "CREATE TABLE ct2 (a INT, b INT NOT NULL, PRIMARY KEY (a), "
+        "FOREIGN KEY (b) REFERENCES ct1(a))"
+    )
+    assert dict(engine.execute("DESCRIBE ct2")) == {"a": "int", "b": "int"}
+
+    # rejected forms
+    with _pytest.raises(ValueError, match="malformed|unknown"):
+        engine.execute("CREATE TABLE bad1 (a FROB)")
+    with _pytest.raises(ValueError, match="malformed"):
+        engine.execute("CREATE TABLE bad2 (a INT, PRIMARY KEY)")
+    engine.execute("DROP TABLE ct1")
+    engine.execute("DROP TABLE ct2")
+
+
 def test_plain_query_through_execute(engine):
     df = engine.execute("SELECT 1 AS one")
     assert df.first().one == 1
