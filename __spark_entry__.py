@@ -173,6 +173,13 @@ _Q: dict[str, str] = {
                STRPOS(p_name, 'red') AS pos_red
         FROM part WHERE p_partkey <= 300
     """,
+    "movavg_sql": """
+        SELECT user_id, event_id,
+               MOVAVG(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ma5,
+               MOVSTDDEV(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS msd5,
+               MOVSUM(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ms3
+        FROM events
+    """,
     "fetch_first": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_orderkey OFFSET 5 FETCH FIRST 15 ROWS ONLY
@@ -978,6 +985,16 @@ def oracle_sql() -> dict[str, str]:
                regexp_replace(p_type, ' ', '_', 'g') AS t_us,
                strpos(p_name, 'red') AS pos_red
         FROM part WHERE p_partkey <= 300
+    """
+    oracles["movavg_sql"] = """
+        SELECT user_id, event_id,
+               avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5,
+               stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS msd5,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms3
+        FROM events
     """
     oracles["star_except"] = """
         SELECT * EXCLUDE (l_tax, l_returnflag, l_linestatus)

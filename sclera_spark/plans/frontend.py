@@ -244,8 +244,33 @@ _FETCH_FIRST_RE = re.compile(
 )
 
 
+_MOV_RE = re.compile(
+    r"\b(?P<fn>MOVAVG|MOVSTDDEV|MOVSUM)\s*\(\s*(?P<arg>[\w.]+)\s*,\s*(?P<n>\d+)\s*\)"
+    r"\s+OVER\s*\(\s*(?P<win>[^()]*?)\s*\)",
+    re.IGNORECASE,
+)
+
+_MOV_FNS = {"MOVAVG": "avg", "MOVSTDDEV": "stddev_samp", "MOVSUM": "sum"}
+
+
+def _rewrite_moving_fns(text: str) -> str:
+    """Sclera's moving-window aggregates (reference SeqAggregate.scala
+    MovAvg/MovStdDev): `MOVAVG(x, n) OVER (...)` -> a ROWS-framed window."""
+
+    def sub(m: re.Match) -> str:
+        fn = _MOV_FNS[m.group("fn").upper()]
+        n = int(m.group("n"))
+        return (
+            f"{fn}({m.group('arg')}) OVER ({m.group('win')} "
+            f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+        )
+
+    return _MOV_RE.sub(sub, text)
+
+
 def dialect_rewrite(sql: str) -> str:
     sql = _rewrite_similar_to(sql)
+    sql = _rewrite_moving_fns(sql)
     # ANSI [OFFSET m] FETCH FIRST n ROWS ONLY (reference parser :554-578)
     # -> Spark's LIMIT n [OFFSET m] ordering
     sql = _OFFSET_FETCH_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
