@@ -173,6 +173,22 @@ _Q: dict[str, str] = {
                STRPOS(p_name, 'red') AS pos_red
         FROM part WHERE p_partkey <= 300
     """,
+    "nulls_ordering": """
+        SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS p
+        FROM orders WHERE o_orderkey <= 300
+        ORDER BY p NULLS FIRST, o_orderkey
+        LIMIT 50
+    """,
+    "like_escape": """
+        SELECT p_partkey, p_type FROM part
+        WHERE p_type LIKE '%!_%' ESCAPE '!'      -- literal underscore: none
+           OR p_type LIKE 'SMALL%' ESCAPE '!'    -- escape present, unused
+    """,
+    "self_join": """
+        SELECT a.n_name AS n1, b.n_name AS n2
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
     "movavg_sql": """
         SELECT user_id, event_id,
                MOVAVG(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ma5,
