@@ -39,6 +39,8 @@ class DdlRouter:
         (re.compile(r"^\s*DROP\s+(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I), "_drop"),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
+        (re.compile(r"^\s*(?:LIST|SHOW)\s+VIEWS\s*$", re.I), "_list_views"),
+        (re.compile(r"^\s*SHOW\s+(?:CONFIG|OPTIONS)\s*$", re.I), "_show_config"),
         (re.compile(r"^\s*DESCRIBE\s+(\w+)\s*$", re.I), "_describe"),
     ]
 
@@ -205,6 +207,27 @@ class DdlRouter:
 
     def _list_tables(self):
         return sorted(set(self.engine.catalog.tables) | set(self.managed) | set(self.views))
+
+    def _list_views(self):
+        return sorted(self.views)
+
+    def _show_config(self):
+        """SHOW OPTIONS/CONFIG (reference SqlAdminParser.scala:97-130) —
+        the engine-relevant Spark confs."""
+        keys = [
+            "spark.sql.session.timeZone",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.execution.arrow.pyspark.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+        out = []
+        for k in keys:
+            try:
+                out.append((k, self.engine.spark.conf.get(k)))
+            except Exception:
+                out.append((k, None))
+        return out
 
     def _describe(self, name: str):
         return [(f.name, f.dataType.simpleString()) for f in self.engine.table(name).schema.fields]
