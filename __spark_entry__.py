@@ -764,6 +764,34 @@ def _emb_features(eng) -> DataFrame:
     return df.select("vec_id", "label", "f0", "f1", "f2", "f3")
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) ANN — the scale path where the corpus
+    is partitioned by centroid list and only probed lists are scanned
+    (rows-only: k-means assignment is model-specific; recall-vs-exact
+    tested in tests/test_llm_ops.py::test_ivf_topk)."""
+    from sclera_spark.llm import ivf_index, ivf_topk
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.table("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    indexed, centroids = ivf_index(emb, dim, n_lists=8)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(indexed, centroids, q, k=10, n_probe=2)
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-bucket self-join
+    (rows-only: bucket recall is probabilistic; planted-pair behavior
+    tested in tests/test_llm_ops.py)."""
+    from sclera_spark.llm import embedding_dup_pairs
+
+    eng = _engine(spark, sf_dir)
+    # the synthetic corpus has no true near-dups (max pairwise cosine
+    # ~0.51), so the threshold is set to surface the most-similar pairs —
+    # non-vacuous output while staying the same code path
+    return embedding_dup_pairs(eng.table("embeddings"), threshold=0.4, n_bits=4)
+
+
 def _q_classified_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sclera_spark.ml import MLRegistry, classify
 
@@ -955,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint_dups": _q_fingerprint_dups,
             "cosine_topk": _q_cosine_topk,
             "ann_topk": _q_ann_topk,
+            "ivf_topk": _q_ivf_topk,
+            "embedding_dups": _q_embedding_dups,
             # ML / NLP / streaming tier
             "classified_with": _q_classified_with,
             "clustered_with": _q_clustered_with,

@@ -11,6 +11,8 @@ from sclera_spark.llm.similarity import (
     cosine_topk,
     hyperplane_buckets,
     ann_topk,
+    ivf_index,
+    ivf_topk,
     embedding_dup_pairs,
 )
 from sclera_spark.llm.text import (
@@ -31,6 +33,8 @@ __all__ = [
     "cosine_topk",
     "hyperplane_buckets",
     "ann_topk",
+    "ivf_index",
+    "ivf_topk",
     "embedding_dup_pairs",
     "token_count",
     "quality_scores",

@@ -105,6 +105,55 @@ def ann_topk(
     return cosine_topk(bucketed.filter(F.col("bucket") == qb), query_vec, k, vec_col, id_col)
 
 
+def ivf_index(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Build an IVF (inverted-file) index: k-means centroids partition the
+    corpus; each vector is assigned to its nearest centroid's list.
+
+    Returns (indexed_df with an ``ivf_list`` column, centroids list).
+    At scale the assignment is a narrow map (centroids broadcast inside
+    the plan as literals) and the index is just a partitioning column —
+    write it bucketed/partitioned by ``ivf_list`` and queries touch only
+    the probed lists' files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(featuresCol="__v", predictionCol="ivf_list", k=n_lists, seed=seed)
+    model = km.fit(with_vec)
+    indexed = model.transform(with_vec).drop("__v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over an IVF index: probe the ``n_probe`` nearest lists
+    (by centroid distance, computed driver-side over n_lists values), then
+    exact cosine within them — the standard recall/cost dial."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
+    subset = indexed.filter(F.col("ivf_list").isin(probe))
+    return cosine_topk(subset, query_vec, k, vec_col, id_col)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

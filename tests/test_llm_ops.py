@@ -119,6 +119,41 @@ def test_ann_topk_subset_of_bucket(tables):
     assert out[0].cosine > 0.999999
 
 
+def test_ivf_topk(tables):
+    from sclera_spark.llm import ivf_index, ivf_topk
+
+    emb = tables["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    indexed, centroids = ivf_index(emb, dim, n_lists=8)
+    assert len(centroids) == 8
+    pdf = emb.limit(1).toPandas()
+    q = list(pdf["embedding"].iloc[0])
+    out = ivf_topk(indexed, centroids, q, k=3, n_probe=2).collect()
+    # the query vector's own list is always probed first -> self is top-1
+    assert out[0].vec_id == int(pdf["vec_id"].iloc[0])
+    assert out[0].cosine > 0.999999
+    # recall vs exact: top-1 of brute force must appear when probing all lists
+    full = ivf_topk(indexed, centroids, q, k=3, n_probe=8).collect()
+    exact = cosine_topk(emb, q, k=3).collect()
+    assert [r.vec_id for r in full] == [r.vec_id for r in exact]
+
+
+def test_embedding_dup_pairs(spark):
+    from sclera_spark.llm import embedding_dup_pairs
+
+    base = [0.1 * i for i in range(8)]
+    rows = [
+        (1, base),
+        (2, [x * 1.0001 for x in base]),        # near-identical direction
+        (3, [1.0, -1.0, 0.5, -0.5, 0.2, -0.2, 0.1, -0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_dup_pairs(df, threshold=0.999, n_bits=4, dim=8).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
 def test_token_count(tables, duck):
     out = token_count(tables["documents"]).select("doc_id", "n_tokens")
     oracle = """
