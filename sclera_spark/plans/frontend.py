@@ -53,13 +53,15 @@ def _split_literals(sql: str) -> list[tuple[bool, str]]:
 
 
 _CAST_RE = re.compile(
-    r"(\w+(?:\.\w+)*|\))\s*::\s*([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(\w+(?:\.\w+)*)\s*::\s*([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
 )
 
 
 def _rewrite_casts(text: str) -> str:
-    """``a::int`` -> ``CAST(a AS int)``. Parenthesized operands are left to
-    Spark (which supports :: natively in 3.4+ for simple cases)."""
+    """``a::int`` -> ``CAST(a AS int)``. Parenthesized operands
+    (``(a+b)::int``) are left to Spark, which supports ``::`` natively —
+    rewriting them textually would need balanced-paren capture and Spark
+    does not need the help."""
     prev = None
     while prev != text:
         prev = text
@@ -70,30 +72,43 @@ def _rewrite_casts(text: str) -> str:
 _DISTINCT_ON_RE = re.compile(r"SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
+_SQ_LIT = r"'(?:[^']|'')*'"
 _SYMMETRIC_RE = re.compile(
-    r"(?P<x>[\w.]+|\([^()]*\))\s+BETWEEN\s+SYMMETRIC\s+(?P<lo>[\w.'-]+)\s+AND\s+(?P<hi>[\w.'-]+)",
+    rf"(?P<x>[\w.]+|\([^()]*\))\s+BETWEEN\s+SYMMETRIC\s+"
+    rf"(?P<lo>{_SQ_LIT}|[\w.-]+)\s+AND\s+(?P<hi>{_SQ_LIT}|[\w.-]+)",
     re.IGNORECASE,
 )
 
 
 def _rewrite_symmetric(text: str) -> str:
     """`x BETWEEN SYMMETRIC a AND b` -> bounds ordered either way
-    (reference ScalOp.scala:98-103)."""
-    return _SYMMETRIC_RE.sub(
-        lambda m: (
+    (reference ScalOp.scala:98-103). Runs on the reassembled query text
+    (literal-position aware) so quoted bounds like `BETWEEN SYMMETRIC 'a'
+    AND 'b'` are captured too."""
+    out, pos = [], 0
+    for m in _SYMMETRIC_RE.finditer(text):
+        if _in_literal(text, m.start()):
+            continue
+        out.append(text[pos : m.start()])
+        out.append(
             f"{m.group('x')} BETWEEN least({m.group('lo')}, {m.group('hi')})"
             f" AND greatest({m.group('lo')}, {m.group('hi')})"
-        ),
-        text,
-    )
+        )
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
 
 
 _QUANT_RE = re.compile(
-    r"(?P<op>=|<>|!=|<=|>=|<|>)\s*(?P<q>ALL|ANY|SOME)\s*\(", re.IGNORECASE
+    r"(?P<x>\w+(?:\.\w+)*|'(?:[^']|'')*'|\([^()]*\))\s*"
+    r"(?P<op>=|<>|!=|<=|>=|<|>)\s*(?P<q>ALL|ANY|SOME)\s*\(",
+    re.IGNORECASE,
 )
 
-# quantified comparison -> aggregate subquery rewrite (empty-subquery NULL
-# semantics differ slightly from ANSI; documented limitation)
+# quantified comparison -> aggregate subquery rewrite. `x > ALL (S)` holds
+# iff `x > max(S)` over the non-NULL elements; the CASE wrapper in
+# _quant_case restores full ANSI three-valued logic (FALSE beats UNKNOWN
+# for ALL, TRUE beats UNKNOWN for ANY, empty set -> TRUE/FALSE).
 _QUANT_AGG = {
     (">", "ALL"): "max",
     (">=", "ALL"): "max",
@@ -107,16 +122,62 @@ _QUANT_AGG = {
 
 
 def _find_balanced(text: str, start: int) -> int:
-    """Index just past the ')' matching the '(' at ``start``."""
+    """Index just past the ')' matching the '(' at ``start``; parens
+    inside single-quoted literals do not count."""
     depth = 0
-    for i in range(start, len(text)):
-        if text[i] == "(":
+    i = start
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'" and i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                elif text[i] == "'":
+                    break
+                else:
+                    i += 1
+        elif c == "(":
             depth += 1
-        elif text[i] == ")":
+        elif c == ")":
             depth -= 1
             if depth == 0:
                 return i + 1
+        i += 1
     raise ValueError("unbalanced parentheses")
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Split on commas at paren depth 0, ignoring commas in literals."""
+    parts, depth, cur, i, n = [], 0, [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'" and j + 1 < n and text[j + 1] == "'":
+                    j += 2
+                elif text[j] == "'":
+                    j += 1
+                    break
+                else:
+                    j += 1
+            cur.append(text[i:j])
+            i = j
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
 
 
 def _in_literal(text: str, pos: int) -> bool:
@@ -130,9 +191,49 @@ def _in_literal(text: str, pos: int) -> bool:
     return False
 
 
+def _quant_case(x: str, op: str, quant: str, subq: str) -> str:
+    """ANSI three-valued lowering of `x OP ALL/ANY (subq)`.
+
+    The core test reduces to a min/max comparison over the subquery's
+    non-NULL elements; the CASE wrapper restores the ANSI corner cases:
+    - ALL: any failing element -> FALSE even when NULLs are present;
+      otherwise a NULL element (or NULL x) -> UNKNOWN; empty -> TRUE.
+    - ANY: any passing element -> TRUE even when NULLs are present;
+      otherwise a NULL element (or NULL x) -> UNKNOWN; empty -> FALSE.
+    The subquery is restated in each scalar subexpression (up to 3x);
+    Catalyst plans each as an independent scalar subquery — acceptable for
+    a correctness-first surface, and the aggregates are cheap single-pass.
+    """
+    q = f"FROM ({subq}) AS __sclera_q(__v)"
+    if (op, quant) in _QUANT_AGG:
+        agg = _QUANT_AGG[(op, quant)]
+        holds = f"{x} {op} (SELECT {agg}(__v) {q})"
+    elif quant == "ALL" and op == "=":
+        holds = f"({x} = (SELECT min(__v) {q}) AND {x} = (SELECT max(__v) {q}))"
+    elif quant == "ANY" and op in ("<>", "!="):
+        holds = f"({x} <> (SELECT min(__v) {q}) OR {x} <> (SELECT max(__v) {q}))"
+    else:  # pragma: no cover - every op/quant pair is routed before here
+        raise ValueError(f"unsupported quantified comparison: {op} {quant}")
+    has_null = f"(SELECT count(*) - count(__v) {q}) > 0"
+    is_empty = f"(SELECT count(*) {q}) = 0"
+    if quant == "ALL":
+        return (
+            f"(CASE WHEN NOT coalesce({holds}, TRUE) THEN FALSE"
+            f" WHEN {is_empty} THEN TRUE"
+            f" WHEN {has_null} OR {x} IS NULL THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE {holds} END)"
+        )
+    return (
+        f"(CASE WHEN coalesce({holds}, FALSE) THEN TRUE"
+        f" WHEN {is_empty} THEN FALSE"
+        f" WHEN {has_null} OR {x} IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f" ELSE {holds} END)"
+    )
+
+
 def _rewrite_quantified(text: str) -> str:
-    """`expr > ALL (subquery)` -> `expr > (SELECT max(...) ...)`,
-    `= ANY` -> `IN`, `<> ALL` -> `NOT IN` (reference parser
+    """`expr > ALL (subquery)` -> ANSI CASE over min/max aggregates (see
+    _quant_case), `= ANY` -> `IN`, `<> ALL` -> `NOT IN` (reference parser
     SqlQueryParser.scala:630-695). Matches inside string literals are
     left untouched."""
     search_from = 0
@@ -143,6 +244,7 @@ def _rewrite_quantified(text: str) -> str:
         if _in_literal(text, m.start()):
             search_from = m.end()
             continue
+        x = m.group("x")
         op = m.group("op")
         quant = m.group("q").upper()
         if quant == "SOME":
@@ -150,15 +252,28 @@ def _rewrite_quantified(text: str) -> str:
         open_paren = m.end() - 1
         close = _find_balanced(text, open_paren)
         subq = text[open_paren + 1 : close - 1]
-        if (op, quant) in _QUANT_AGG:
-            agg = _QUANT_AGG[(op, quant)]
-            repl = f"{op} (SELECT {agg}(__v) FROM ({subq}) AS __sclera_q(__v))"
-        elif op == "=" and quant == "ANY":
-            repl = f"IN ({subq})"
+        # if the captured operand is just the tail of a larger arithmetic
+        # expression (`a + b > ALL (...)`), the CASE template would split
+        # it — fall back to the plain aggregate rewrite (keeps the operand
+        # in place; NULL-element semantics then follow the aggregate).
+        j = m.start("x") - 1
+        while j >= 0 and text[j].isspace():
+            j -= 1
+        compound = j >= 0 and text[j] in "+-*/|%^"
+        if op == "=" and quant == "ANY":
+            repl = f"{x} IN ({subq})"
         elif op in ("<>", "!=") and quant == "ALL":
-            repl = f"NOT IN ({subq})"
+            repl = f"{x} NOT IN ({subq})"
+        elif compound:
+            if (op, quant) not in _QUANT_AGG:
+                raise ValueError(
+                    f"quantified {op} {quant} needs a simple or parenthesized "
+                    f"left operand (got tail {x!r} of a compound expression)"
+                )
+            agg = _QUANT_AGG[(op, quant)]
+            repl = f"{x} {op} (SELECT {agg}(__v) FROM ({subq}) AS __sclera_q(__v))"
         else:
-            raise ValueError(f"unsupported quantified comparison: {op} {quant}")
+            repl = _quant_case(x, op, quant, subq)
         text = text[: m.start()] + repl + text[close:]
 
 
@@ -235,6 +350,54 @@ def _rewrite_fn_names(text: str) -> str:
     return _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).upper()] + "(", text)
 
 
+_NUMFN_RE = re.compile(r"\b(FLOOR|CEILING|CEIL|POWER|POW)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_numeric_fns(text: str) -> str:
+    """Type-faithful lowering of numeric scalars:
+
+    - ``FLOOR(x)`` / ``CEIL(x)`` -> ``CAST(floor(x) AS DOUBLE)``: Spark's
+      floor/ceil return BIGINT, while the reference preserves the floating
+      type (ScalFunctionEvaluator.scala:119-156) as do PostgreSQL/DuckDB.
+      |x| < 2^53 for any double with a fractional part, so the round-trip
+      through BIGINT is lossless.
+    - ``POWER(x, 0.5)`` -> ``sqrt(x)``: IEEE-754 sqrt is correctly
+      rounded (pow is not), so this is both faster and deterministic
+      across engines.
+    """
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _NUMFN_RE.search(text, i)
+        if m is None:
+            out.append(text[i:])
+            return "".join(out)
+        if _in_literal(text, m.start()):
+            out.append(text[i : m.end()])
+            i = m.end()
+            continue
+        try:
+            close = _find_balanced(text, m.end() - 1)
+        except ValueError:
+            out.append(text[i : m.end()])
+            i = m.end()
+            continue
+        inner = _rewrite_numeric_fns(text[m.end() : close - 1])
+        fn = m.group(1).upper()
+        if fn in ("POWER", "POW"):
+            args = _split_top_commas(inner)
+            if len(args) == 2 and args[1].strip() in ("0.5", ".5"):
+                repl = f"sqrt({args[0].strip()})"
+            else:
+                repl = f"{fn.lower()}({inner})"
+        else:
+            base = "ceil" if fn == "CEILING" else fn.lower()
+            repl = f"CAST({base}({inner}) AS DOUBLE)"
+        out.append(text[i : m.start()])
+        out.append(repl)
+        i = close
+
+
 _OFFSET_FETCH_RE = re.compile(
     r"\bOFFSET\s+(\d+)(?:\s+ROWS?)?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
     re.IGNORECASE,
@@ -282,12 +445,15 @@ def dialect_rewrite(sql: str) -> str:
             out.append(text)
         else:
             t = _rewrite_casts(text)
-            t = _rewrite_symmetric(t)
             t = _rewrite_fn_names(t)
             out.append(t)
-    # quantified-comparison rewrite spans subqueries (which may contain
-    # string literals), so it runs on the reassembled text
-    return _rewrite_quantified("".join(out))
+    # the remaining rewrites span string literals (quoted SYMMETRIC
+    # bounds, subqueries with literals, literal fn args), so they run on
+    # the reassembled text with literal-position awareness
+    sql = "".join(out)
+    sql = _rewrite_symmetric(sql)
+    sql = _rewrite_numeric_fns(sql)
+    return _rewrite_quantified(sql)
 
 
 def lower_sql(engine, query: str) -> DataFrame:

@@ -1,0 +1,131 @@
+"""Dialect front-end regressions: paren casts, quoted SYMMETRIC bounds,
+ANSI NULL semantics of quantified comparisons, floor/ceil DOUBLE typing,
+POWER(x, 0.5) -> sqrt."""
+
+from __future__ import annotations
+
+import pytest
+
+from sclera_spark.engine import ScleraEngine
+from sclera_spark.plans.frontend import dialect_rewrite
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tables):
+    return ScleraEngine(spark)
+
+
+def test_paren_cast_untouched():
+    # (a+b)::int must be left to Spark's native ::, not mangled
+    assert "(c_acctbal + 1)::int" in dialect_rewrite(
+        "SELECT (c_acctbal + 1)::int AS x FROM customer"
+    )
+
+
+def test_paren_cast_executes(engine):
+    rows = engine.sql(
+        "SELECT (c_acctbal + 1)::int AS x FROM customer WHERE c_custkey = 1"
+    ).collect()
+    assert len(rows) == 1 and isinstance(rows[0].x, int)
+
+
+def test_simple_cast_rewritten():
+    out = dialect_rewrite("SELECT a.b::decimal(10,2) FROM t")
+    assert "CAST(a.b AS decimal(10,2))" in out
+
+
+def test_symmetric_string_bounds(engine):
+    sym = {
+        r.n_name
+        for r in engine.sql(
+            "SELECT n_name FROM nation WHERE n_name BETWEEN SYMMETRIC 'NATION_5' AND 'NATION_1'"
+        ).collect()
+    }
+    plain = {
+        r.n_name
+        for r in engine.sql(
+            "SELECT n_name FROM nation WHERE n_name BETWEEN 'NATION_1' AND 'NATION_5'"
+        ).collect()
+    }
+    assert sym == plain and sym
+
+
+def test_symmetric_numeric_bounds(engine):
+    a = engine.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice BETWEEN SYMMETRIC 200000 AND 100000"
+    ).collect()[0].n
+    b = engine.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice BETWEEN 100000 AND 200000"
+    ).collect()[0].n
+    assert a == b > 0
+
+
+def test_floor_ceil_double(engine):
+    row = engine.sql(
+        "SELECT floor(o_totalprice) AS fl, ceil(o_totalprice) AS ce, "
+        "ceiling(o_totalprice) AS ce2, floor(o_orderkey) AS fi "
+        "FROM orders WHERE o_orderkey = 1"
+    ).collect()[0]
+    assert all(isinstance(v, float) for v in row)
+
+
+def test_power_half_is_sqrt():
+    out = dialect_rewrite("SELECT power(x, 0.5), power(x, 2) FROM t")
+    assert "sqrt(x)" in out and "power(x, 2)" in out
+
+
+@pytest.fixture(scope="module")
+def quant_tables(spark):
+    spark.createDataFrame(
+        [(1,), (5,), (None,)], "v int"
+    ).createOrReplaceTempView("qsub_nulls")
+    spark.createDataFrame([(1,), (5,)], "v int").createOrReplaceTempView("qsub_vals")
+    spark.createDataFrame([(1,)], "v int").filter("v < 0").createOrReplaceTempView(
+        "qsub_empty"
+    )
+    spark.createDataFrame(
+        [(0, 0), (1, 3), (2, 6), (3, None)], "id int, x int"
+    ).createOrReplaceTempView("qprobe")
+
+
+def _ids(engine, where: str) -> set[int]:
+    return {
+        r.id
+        for r in engine.sql(f"SELECT id FROM qprobe WHERE {where}").collect()
+    }
+
+
+def test_quantified_all_null_semantics(engine, quant_tables):
+    # x > ALL {1,5,NULL}: 6 > 5 but NULL element -> UNKNOWN -> filtered out;
+    # 3 <= 5 -> FALSE regardless of the NULL
+    assert _ids(engine, "x > ALL (SELECT v FROM qsub_nulls)") == set()
+    # without the NULL element 6 passes
+    assert _ids(engine, "x > ALL (SELECT v FROM qsub_vals)") == {2}
+    # empty subquery: ALL is vacuously TRUE (even for NULL x)
+    assert _ids(engine, "x > ALL (SELECT v FROM qsub_empty)") == {0, 1, 2, 3}
+    # NOT (x > ALL): FALSE rows come back, UNKNOWN rows do not
+    assert _ids(engine, "NOT (x > ALL (SELECT v FROM qsub_nulls))") == {0, 1}
+
+
+def test_quantified_any_null_semantics(engine, quant_tables):
+    # x > ANY {1,5,NULL}: 3,6 > 1 -> TRUE; 0 -> no pass + NULL -> UNKNOWN
+    assert _ids(engine, "x > ANY (SELECT v FROM qsub_nulls)") == {1, 2}
+    assert _ids(engine, "NOT (x > ANY (SELECT v FROM qsub_nulls))") == set()
+    # without NULL element: 0 -> FALSE, so NOT returns it
+    assert _ids(engine, "NOT (x > ANY (SELECT v FROM qsub_vals))") == {0}
+    # empty subquery: ANY is FALSE
+    assert _ids(engine, "x > ANY (SELECT v FROM qsub_empty)") == set()
+    assert _ids(engine, "NOT (x > ANY (SELECT v FROM qsub_empty))") == {0, 1, 2, 3}
+
+
+def test_quantified_eq_all(engine, quant_tables):
+    engine.spark.createDataFrame([(5,), (5,)], "v int").createOrReplaceTempView(
+        "qsub_const"
+    )
+    assert _ids(engine, "(x + 1) = ALL (SELECT v FROM qsub_const)") == set()
+    assert _ids(engine, "x = ALL (SELECT v FROM qsub_const)") == set()
+    engine.spark.createDataFrame([(3,), (3,)], "v int").createOrReplaceTempView(
+        "qsub_const3"
+    )
+    assert _ids(engine, "x = ALL (SELECT v FROM qsub_const3)") == {1}
+    assert _ids(engine, "x <> ANY (SELECT v FROM qsub_const3)") == {0, 2}

@@ -13,12 +13,15 @@ sys.path.insert(0, ".")
 
 
 def canon_value(v):
+    # full-precision repr: the driver's hash is stricter than %.9g (round-1
+    # scalar_math passed locally at 9 digits but failed the driver on
+    # BIGINT-vs-DOUBLE and ulp drift), so the local gate must not round
     if v is None:
         return "<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"
-        return f"{v:.9g}"
+        return repr(float(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
