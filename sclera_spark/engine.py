@@ -41,6 +41,17 @@ class ScleraEngine:
         self.ml_models: dict[str, object] = {}
         self._register_builtin_sources()
 
+    @property
+    def ml(self):
+        """Engine-scoped ML object registry (reference: ML object catalog)
+        — the store behind CLASSIFIED/CLUSTERED/IMPUTED WITH clauses and
+        CREATE CLASSIFIER/CLUSTERER DDL."""
+        if not hasattr(self, "_ml_registry"):
+            from sclera_spark.ml import MLRegistry
+
+            self._ml_registry = MLRegistry()
+        return self._ml_registry
+
     # ---- locations / tables (reference: dbms/location/Location.scala) ----
 
     def add_table(self, name: str, path_or_df) -> DataFrame:

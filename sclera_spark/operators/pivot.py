@@ -49,5 +49,7 @@ def unpivot(
         mapping = F.create_map(
             *[F.lit(x) for kv in labels.items() for x in kv]
         )
-        out = out.withColumn(key_col, mapping[out[key_col]])
+        # unmapped columns keep their own name as the key (reference
+        # SqlQueryParser.scala:1043: `vOpt getOrElse CharConst(col.name)`)
+        out = out.withColumn(key_col, F.coalesce(mapping[out[key_col]], out[key_col]))
     return out

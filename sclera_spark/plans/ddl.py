@@ -37,6 +37,23 @@ class DdlRouter:
         (re.compile(r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_update"),
         (re.compile(r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_delete"),
         (re.compile(r"^\s*DROP\s+(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I), "_drop"),
+        (
+            re.compile(
+                r"^\s*CREATE\s+CLASSIFIER\s+(?:\(\s*'([^']*)'(?:\s*,\s*'([^']*)')?\s*\)\s*)?"
+                r"(\w+)\s*\(\s*(\w+)\s*\)\s+USING\s+(.*)$",
+                re.I | re.S,
+            ),
+            "_create_classifier",
+        ),
+        (
+            re.compile(
+                r"^\s*CREATE\s+CLUSTERER\s+(?:\(\s*'([^']*)'(?:\s*,\s*'([^']*)')?\s*\)\s*)?"
+                r"(\w+)\s+USING\s+(.*)$",
+                re.I | re.S,
+            ),
+            "_create_clusterer",
+        ),
+        (re.compile(r"^\s*DROP\s+(CLASSIFIER|CLUSTERER)\s+(\w+)\s*$", re.I), "_drop_ml"),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+VIEWS\s*$", re.I), "_list_views"),
@@ -194,6 +211,53 @@ class DdlRouter:
         os.rename(staging, final)
         self.managed[name.lower()] = final
         self.engine.catalog.register_parquet(name, final)
+
+    # ---- ML object DDL (reference SqlCudParser.scala:79-127:
+    # CREATE CLASSIFIER [('alg'[,'opts'])] name (target) USING <query>,
+    # CREATE CLUSTERER [('alg'[,'opts'])] name USING <query>) ----
+
+    _NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+    def _ml_features(self, df, exclude: str | None = None) -> list[str]:
+        feats = [
+            c
+            for c, t in df.dtypes
+            if c != exclude and t in self._NUMERIC_TYPES
+        ]
+        if not feats:
+            raise ValueError("training query yields no numeric feature columns")
+        return feats
+
+    @staticmethod
+    def _ml_opts(opts: str | None) -> dict[str, str]:
+        out = {}
+        for kv in (opts or "").split(","):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                out[k.strip().lower()] = v.strip()
+        return out
+
+    def _create_classifier(self, alg, opts, name, target, query):
+        df = self.engine.sql(query)
+        o = self._ml_opts(opts)
+        self.engine.ml.create_classifier(
+            name,
+            df,
+            label_col=target,
+            feature_cols=self._ml_features(df, exclude=target),
+            algorithm=(alg or "decision_tree").lower(),
+            max_depth=int(o.get("max_depth", 5)),
+        )
+
+    def _create_clusterer(self, alg, opts, name, query):
+        df = self.engine.sql(query)
+        o = self._ml_opts(opts)
+        self.engine.ml.create_clusterer(
+            name, df, feature_cols=self._ml_features(df), k=int(o.get("k", 4))
+        )
+
+    def _drop_ml(self, kind: str, name: str):
+        self.engine.ml.drop(name)
 
     def _drop(self, kind: str, name: str):
         self.engine.catalog.drop(name)

@@ -1,21 +1,34 @@
-"""Sclera extended-clause SQL surface: MATCH / SPLIT / ARG in FROM.
+"""Sclera extended-clause SQL surface (tokenizer-based from-item parser).
 
 Reference grammar (modules/core/src/main/scala/sql/parser/
-SqlQueryParser.scala:225-380):
+SqlQueryParser.scala:163-380, 992-1050):
 
-    from_item := <rel> [ORDERED BY (cols)] [PARTITION BY cols] <op>
+    from_item := <rel> [alias] [ORDERED BY (cols)] [PARTITION BY cols] op*
+    rel       := table_name | ( subquery )
     op        := MATCH 'regex' [ON labeler]
                | ARG (aggspecs) [OVER MATCH 'regex' [ON labeler]]
                | SPLIT (lo, hi) INTO (olo, ohi)
-    labeler   := <column> | LABEL l WHEN pred [, LABEL l2 WHEN pred2 ...]
+               | PIVOT fn(arg) FOR col IN (v1 [AS a1], ...)
+               | UNPIVOT vcol FOR kcol IN (c1 [AS 'l1'], ...)       (:1039)
+               | TYPEINFER [(cols [NULLS ('s', ...)] [LIMIT n])]    (:203)
+               | CLASSIFIED [WITH] model (outcol)                   (:1016)
+               | CLUSTERED [WITH] model (outcol)                    (:1020)
+               | IMPUTED [WITH] model (col) [FLAG f] [, IMPUTED ..] (:1024)
+               | TEXT [('lang')] [lib.]op ['args'] IN col [TO out]  (:1031)
+               | ALIGN rel [alias] [ORDERED BY (cols)]
+                       [ON dist_expr [MARGIN n]]                    (:163)
+    labeler   := <column> [WHEN v THEN l ... [ELSE l]]
+               | LABEL l WHEN pred [, LABEL l2 WHEN pred2 ...]
 
-Lowering strategy: the extended clause is extracted from the FROM text,
-the corresponding operator runs (producing a DataFrame registered as a
-temp view), and the view name is substituted back — the rest of the query
-is plain Spark SQL over that view. MATCH exposes `match_id` and
-`match_label` columns, so per-match aggregation in the outer SELECT is a
-plain GROUP BY (partition cols, match_id). ORDERED BY supplies the
-sequence order (the reference instead inherits its input iterator's
+Lowering strategy: each extended from-item is parsed (literal- and
+paren-aware, so derived tables `FROM (SELECT ...) MATCH ...` and join/comma
+lists work), the corresponding operator runs (producing a DataFrame
+registered as a temp view), and the view name is substituted back — the
+rest of the query is plain Spark SQL over that view. Derived-table sources
+recurse through the engine's front end, so nested extended clauses
+compose. MATCH exposes `match_id` and `match_label` columns, so per-match
+aggregation in the outer SELECT is a plain GROUP BY. ORDERED BY supplies
+the sequence order (the reference instead inherits its input iterator's
 order, which Spark deliberately does not guarantee — SURVEY.md §2.6).
 """
 
@@ -26,48 +39,602 @@ import re
 
 _COUNTER = itertools.count()
 
-# a comma ends the clause unless it introduces another LABEL ... WHEN arm
-_CLAUSE_END = r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|JOIN|LEFT|RIGHT|FULL|CROSS|INNER|ON)\b|\s*,(?!\s*LABEL\b)|\s*\)|\s*$)"
+_OP_KEYWORDS = {
+    "MATCH",
+    "SPLIT",
+    "ARG",
+    "PIVOT",
+    "UNPIVOT",
+    "TYPEINFER",
+    "CLASSIFIED",
+    "CLUSTERED",
+    "IMPUTED",
+    "TEXT",
+    "ALIGN",
+}
 
-_MATCH_RE = re.compile(
-    r"FROM\s+(?P<tbl>\w+)"
-    r"(?:\s+ORDERED\s+BY\s+\((?P<ord>[^)]+)\))?"
-    r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*))?"
-    r"\s+MATCH\s+'(?P<regex>[^']+)'"
-    r"(?:\s+ON\s+(?P<labeler>LABEL\s+.+?|\w+(?:\s+WHEN\s+.+?)?))?" + _CLAUSE_END,
-    re.IGNORECASE | re.DOTALL,
-)
+# words that may directly follow a from-item (so they are never aliases)
+_RESERVED_AFTER_SOURCE = _OP_KEYWORDS | {
+    "ORDERED",
+    "PARTITION",
+    "WHERE",
+    "GROUP",
+    "ORDER",
+    "HAVING",
+    "LIMIT",
+    "OFFSET",
+    "FETCH",
+    "WINDOW",
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+    "MINUS",
+    "JOIN",
+    "LEFT",
+    "RIGHT",
+    "FULL",
+    "INNER",
+    "CROSS",
+    "NATURAL",
+    "LATERAL",
+    "ON",
+    "USING",
+    "AS",
+}
 
-_ARG_RE = re.compile(
-    r"FROM\s+(?P<tbl>\w+)"
-    r"(?:\s+ORDERED\s+BY\s+\((?P<ord>[^)]+)\))?"
-    r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*))?"
-    r"\s+ARG\s*\(\s*(?P<spec>(?:MAX|MIN)\s*\(\s*[\w.]+\s*\))\s*\)"
-    r"(?:\s+OVER\s+MATCH\s+'(?P<regex>[^']+)'"
-    r"(?:\s+ON\s+(?P<labeler>LABEL\s+.+?|\w+(?:\s+WHEN\s+.+?)?))?)?" + _CLAUSE_END,
-    re.IGNORECASE | re.DOTALL,
-)
+# top-level keywords that terminate a free-text tail (labeler predicates)
+_TAIL_TERMINATORS = _OP_KEYWORDS | {
+    "WHERE",
+    "GROUP",
+    "ORDER",
+    "HAVING",
+    "LIMIT",
+    "OFFSET",
+    "FETCH",
+    "WINDOW",
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+    "MINUS",
+    "JOIN",
+    "LEFT",
+    "RIGHT",
+    "FULL",
+    "INNER",
+    "CROSS",
+    "NATURAL",
+    "ORDERED",
+    "PARTITION",
+    "OVER",
+    "MARGIN",
+}
 
-_PIVOT_RE = re.compile(
-    r"FROM\s+(?P<tbl>\w+)"
-    r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*))?"
-    r"\s+PIVOT\s+(?P<fn>\w+)\s*\(\s*(?P<arg>[\w.*]*)\s*\)"
-    r"\s+FOR\s+(?P<col>\w+)\s+IN\s*\((?P<targets>[^)]+)\)" + _CLAUSE_END,
-    re.IGNORECASE,
-)
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*")
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_NUM_RE = re.compile(r"\d+")
 
-_SPLIT_RE = re.compile(
-    r"FROM\s+(?P<tbl>\w+)"
-    r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*))?"
-    r"\s+SPLIT\s*\(\s*(?P<lo>\w+)\s*,\s*(?P<hi>\w+)\s*\)"
-    r"\s+INTO\s*\(\s*(?P<olo>\w+)\s*,\s*(?P<ohi>\w+)\s*\)" + _CLAUSE_END,
-    re.IGNORECASE,
-)
 
-_LABEL_WHEN_RE = re.compile(
-    r"LABEL\s+(?P<label>\w+)\s+WHEN\s+(?P<pred>.+?)(?=\s*,?\s*LABEL\s+\w+\s+WHEN|\s*$)",
-    re.IGNORECASE | re.DOTALL,
-)
+def _skip_ws(text: str, pos: int) -> int:
+    n = len(text)
+    while pos < n:
+        if text[pos].isspace():
+            pos += 1
+        elif text.startswith("--", pos):
+            nl = text.find("\n", pos)
+            pos = n if nl < 0 else nl + 1
+        else:
+            break
+    return pos
+
+
+def _peek_word(text: str, pos: int) -> str | None:
+    m = _WORD_RE.match(text, pos)
+    return m.group(0).upper() if m else None
+
+
+def _find_balanced(text: str, start: int) -> int:
+    from sclera_spark.plans.frontend import _find_balanced as fb
+
+    return fb(text, start)
+
+
+def _in_literal(text: str, pos: int) -> bool:
+    from sclera_spark.plans.frontend import _in_literal as il
+
+    return il(text, pos)
+
+
+class _Cursor:
+    def __init__(self, text: str, pos: int):
+        self.text = text
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        self.pos = _skip_ws(self.text, self.pos)
+
+    def peek_word(self) -> str | None:
+        self.skip_ws()
+        return _peek_word(self.text, self.pos)
+
+    def peek_char(self) -> str:
+        self.skip_ws()
+        return self.text[self.pos : self.pos + 1]
+
+    def take_kw(self, *kws: str) -> str | None:
+        self.skip_ws()
+        w = _peek_word(self.text, self.pos)
+        if w in kws:
+            self.pos += len(w)
+            return w
+        return None
+
+    def take_ident(self) -> str | None:
+        self.skip_ws()
+        m = _IDENT_RE.match(self.text, self.pos)
+        if not m:
+            return None
+        self.pos = m.end()
+        return m.group(0)
+
+    def take_int(self) -> int | None:
+        self.skip_ws()
+        m = _NUM_RE.match(self.text, self.pos)
+        if not m:
+            return None
+        self.pos = m.end()
+        return int(m.group(0))
+
+    def take_str(self) -> str | None:
+        """Single-quoted literal (with '' escape), unquoted."""
+        self.skip_ws()
+        if self.text[self.pos : self.pos + 1] != "'":
+            return None
+        i, n = self.pos + 1, len(self.text)
+        buf = []
+        while i < n:
+            if self.text[i] == "'" and i + 1 < n and self.text[i + 1] == "'":
+                buf.append("'")
+                i += 2
+            elif self.text[i] == "'":
+                i += 1
+                self.pos = i
+                return "".join(buf)
+            else:
+                buf.append(self.text[i])
+                i += 1
+        raise ValueError("unterminated string literal")
+
+    def take_parens(self) -> str | None:
+        """Balanced ( ... ), returning the inner text."""
+        self.skip_ws()
+        if self.text[self.pos : self.pos + 1] != "(":
+            return None
+        end = _find_balanced(self.text, self.pos)
+        inner = self.text[self.pos + 1 : end - 1]
+        self.pos = end
+        return inner
+
+    def take_tail(self) -> str:
+        """Free text up to the next top-level clause terminator (used for
+        labeler specs, whose predicates are arbitrary expressions)."""
+        self.skip_ws()
+        start = i = self.pos
+        text, n = self.text, len(self.text)
+        while i < n:
+            c = text[i]
+            if c == "'":
+                i = _skip_literal(text, i)
+            elif c == "(":
+                i = _find_balanced(text, i)
+            elif c == ")":
+                break  # closing our enclosing context
+            elif c == ",":
+                # a comma ends the tail unless it introduces another LABEL arm
+                j = _skip_ws(text, i + 1)
+                if _peek_word(text, j) == "LABEL":
+                    i = j
+                else:
+                    break
+            else:
+                m = _WORD_RE.match(text, i)
+                if m:
+                    if m.group(0).upper() in _TAIL_TERMINATORS:
+                        break
+                    i = m.end()
+                else:
+                    i += 1
+        self.pos = i
+        return text[start:i].strip()
+
+
+def _skip_literal(text: str, pos: int) -> int:
+    i, n = pos + 1, len(text)
+    while i < n:
+        if text[i] == "'" and i + 1 < n and text[i + 1] == "'":
+            i += 2
+        elif text[i] == "'":
+            return i + 1
+        else:
+            i += 1
+    return n
+
+
+def _parse_cols(inner: str) -> list[str]:
+    return [c.strip() for c in inner.split(",") if c.strip()]
+
+
+def _parse_source(cur: _Cursor):
+    """table name or ( subquery ); returns ('table', name) / ('derived',
+    text) / None."""
+    cur.skip_ws()
+    if cur.peek_char() == "(":
+        start = cur.pos
+        inner = cur.take_parens()
+        return ("derived", inner, start)
+    start = cur.pos
+    name = cur.take_ident()
+    if name is None or name.upper() in _RESERVED_AFTER_SOURCE:
+        return None
+    # a '(' right after an identifier means a table-valued function call —
+    # not ours to handle
+    if cur.peek_char() == "(":
+        return None
+    return ("table", name, start)
+
+
+def _parse_alias(cur: _Cursor) -> str | None:
+    save = cur.pos
+    if cur.take_kw("AS"):
+        alias = cur.take_ident()
+        if alias:
+            return alias
+        cur.pos = save
+        return None
+    w = cur.peek_word()
+    if w and w not in _RESERVED_AFTER_SOURCE:
+        return cur.take_ident()
+    return None
+
+
+def _parse_ordered_by(cur: _Cursor) -> list[str] | None:
+    save = cur.pos
+    if not cur.take_kw("ORDERED"):
+        return None
+    if not cur.take_kw("BY"):
+        cur.pos = save
+        return None
+    inner = cur.take_parens()
+    if inner is not None:
+        return _parse_cols(inner)
+    col = cur.take_ident()
+    if col:
+        return [col]
+    cur.pos = save
+    return None
+
+
+def _parse_partition_by(cur: _Cursor) -> list[str] | None:
+    save = cur.pos
+    if not cur.take_kw("PARTITION"):
+        return None
+    if not cur.take_kw("BY"):
+        cur.pos = save
+        return None
+    inner = cur.take_parens()
+    if inner is not None:
+        return _parse_cols(inner)
+    cols = []
+    while True:
+        c = cur.take_ident()
+        if not c:
+            break
+        cols.append(c)
+        save2 = cur.pos
+        cur.skip_ws()
+        if cur.text[cur.pos : cur.pos + 1] == ",":
+            cur.pos += 1
+        else:
+            cur.pos = save2
+            break
+    return cols or None
+
+
+def _parse_op(cur: _Cursor) -> dict | None:
+    """One extended relational op at the cursor, or None."""
+    w = cur.peek_word()
+    if w not in _OP_KEYWORDS:
+        return None
+    save = cur.pos
+    if w == "MATCH":
+        cur.take_kw("MATCH")
+        pattern = cur.take_str()
+        if pattern is None:
+            raise ValueError("MATCH requires a quoted pattern")
+        labeler = cur.take_tail() if cur.take_kw("ON") else None
+        return {"op": "MATCH", "pattern": pattern, "labeler": labeler}
+    if w == "SPLIT":
+        cur.take_kw("SPLIT")
+        bounds = cur.take_parens()
+        if bounds is None or not cur.take_kw("INTO"):
+            raise ValueError("SPLIT requires (lo, hi) INTO (olo, ohi)")
+        outs = cur.take_parens()
+        lo, hi = _parse_cols(bounds)
+        olo, ohi = _parse_cols(outs)
+        return {"op": "SPLIT", "lo": lo, "hi": hi, "olo": olo, "ohi": ohi}
+    if w == "ARG":
+        cur.take_kw("ARG")
+        spec = cur.take_parens()
+        if spec is None:
+            raise ValueError("ARG requires (MAX(col)) or (MIN(col))")
+        pattern = labeler = None
+        save2 = cur.pos
+        if cur.take_kw("OVER"):
+            if not cur.take_kw("MATCH"):
+                cur.pos = save2
+            else:
+                pattern = cur.take_str()
+                labeler = cur.take_tail() if cur.take_kw("ON") else None
+        return {"op": "ARG", "spec": spec, "pattern": pattern, "labeler": labeler}
+    if w == "PIVOT":
+        cur.take_kw("PIVOT")
+        fn = cur.take_ident()
+        if fn is None:
+            # `PIVOT (...)` is Spark's native pivot syntax — leave it alone
+            cur.pos = save
+            return None
+        arg = cur.take_parens()
+        if arg is None or not cur.take_kw("FOR"):
+            raise ValueError("PIVOT requires fn(arg) FOR col IN (...)")
+        col = cur.take_ident()
+        if not cur.take_kw("IN"):
+            raise ValueError("PIVOT requires IN (targets)")
+        targets = cur.take_parens()
+        return {"op": "PIVOT", "fn": fn, "arg": arg.strip(), "col": col, "targets": targets}
+    if w == "UNPIVOT":
+        cur.take_kw("UNPIVOT")
+        vcol = cur.take_ident()
+        if vcol is None:
+            # bare `UNPIVOT (...)` is Spark's native form
+            cur.pos = save
+            return None
+        if not cur.take_kw("FOR"):
+            raise ValueError("UNPIVOT requires <valcol> FOR <keycol> IN (...)")
+        kcol = cur.take_ident()
+        if not cur.take_kw("IN"):
+            raise ValueError("UNPIVOT requires IN (col [AS 'label'], ...)")
+        targets = cur.take_parens()
+        return {"op": "UNPIVOT", "vcol": vcol, "kcol": kcol, "targets": targets}
+    if w == "TYPEINFER":
+        cur.take_kw("TYPEINFER")
+        inner = cur.take_parens()
+        return {"op": "TYPEINFER", "spec": inner}
+    if w in ("CLASSIFIED", "CLUSTERED"):
+        cur.take_kw(w)
+        cur.take_kw("WITH")
+        model = cur.take_ident()
+        out = cur.take_parens()
+        if model is None or out is None:
+            raise ValueError(f"{w} requires [WITH] <model> (<outcol>)")
+        return {"op": w, "model": model, "out": out.strip()}
+    if w == "IMPUTED":
+        specs = []
+        while True:
+            if not cur.take_kw("IMPUTED"):
+                break
+            cur.take_kw("WITH")
+            model = cur.take_ident()
+            col = cur.take_parens()
+            if model is None or col is None:
+                raise ValueError("IMPUTED requires [WITH] <model> (<col>)")
+            flag = cur.take_ident() if cur.take_kw("FLAG") else None
+            specs.append({"model": model, "col": col.strip(), "flag": flag})
+            save2 = cur.pos
+            cur.skip_ws()
+            if cur.text[cur.pos : cur.pos + 1] == ",":
+                nxt = _skip_ws(cur.text, cur.pos + 1)
+                if _peek_word(cur.text, nxt) == "IMPUTED":
+                    cur.pos = nxt
+                    continue
+            cur.pos = save2
+            break
+        return {"op": "IMPUTED", "specs": specs}
+    if w == "TEXT":
+        cur.take_kw("TEXT")
+        save2 = cur.pos
+        lang = None
+        inner = cur.take_parens()
+        if inner is not None:
+            lang = inner.strip().strip("'")
+        opname = cur.take_ident()
+        if opname is None:
+            # a bare `TEXT` that isn't our clause (e.g. a cast target)
+            cur.pos = save
+            return None
+        args = None
+        if cur.peek_char() == "(":
+            args = cur.take_parens()
+        elif cur.peek_char() == "'":
+            args = cur.take_str()
+        if not cur.take_kw("IN"):
+            cur.pos = save
+            return None
+        incol = cur.take_ident()
+        out = None
+        if cur.take_kw("TO"):
+            inner2 = cur.take_parens()
+            out = _parse_cols(inner2) if inner2 is not None else [cur.take_ident()]
+        return {
+            "op": "TEXT",
+            "lang": lang,
+            "name": opname,
+            "args": args,
+            "in": incol,
+            "to": out,
+        }
+    if w == "ALIGN":
+        cur.take_kw("ALIGN")
+        rhs = _parse_source(cur)
+        if rhs is None:
+            raise ValueError("ALIGN requires a right-hand relation")
+        rhs_alias = _parse_alias(cur)
+        rhs_order = _parse_ordered_by(cur)
+        on = margin = None
+        if cur.take_kw("ON"):
+            on = cur.take_tail()
+            if cur.take_kw("MARGIN"):
+                margin = cur.take_int()
+        return {
+            "op": "ALIGN",
+            "rhs": rhs[:2],
+            "rhs_alias": rhs_alias,
+            "rhs_order": rhs_order,
+            "on": on,
+            "margin": margin,
+        }
+    return None
+
+
+def _parse_item(sql: str, pos: int) -> dict | None:
+    cur = _Cursor(sql, pos)
+    src = _parse_source(cur)
+    if src is None:
+        return None
+    kind, text, start = src
+    alias = _parse_alias(cur)
+    ordered = part = None
+    ops: list[dict] = []
+    while True:
+        o = _parse_ordered_by(cur)
+        if o is not None:
+            ordered = o
+            continue
+        p = _parse_partition_by(cur)
+        if p is not None:
+            part = p
+            continue
+        op = _parse_op(cur)
+        if op is not None:
+            ops.append(op)
+            continue
+        break
+    return {
+        "kind": kind,
+        "source": text,
+        "alias": alias,
+        "ordered": ordered or [],
+        "partition": part or [],
+        "ops": ops,
+        "start": start,
+        "end": cur.pos,
+    }
+
+
+_JOIN_WORDS = {"JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "NATURAL"}
+
+
+def _skip_join_condition(sql: str, pos: int) -> int:
+    """Skip an ON <expr> / USING (...) condition to the next top-level
+    item boundary."""
+    n = len(sql)
+    i = pos
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i = _skip_literal(sql, i)
+        elif c == "(":
+            i = _find_balanced(sql, i)
+        elif c == ")" or c == ",":
+            return i
+        else:
+            m = _WORD_RE.match(sql, i)
+            if m:
+                w = m.group(0).upper()
+                if w in _JOIN_WORDS or w in (
+                    "WHERE",
+                    "GROUP",
+                    "ORDER",
+                    "HAVING",
+                    "LIMIT",
+                    "OFFSET",
+                    "UNION",
+                    "INTERSECT",
+                    "EXCEPT",
+                ):
+                    return i
+                i = m.end()
+            else:
+                i += 1
+    return n
+
+
+def _find_extended_item(sql: str) -> dict | None:
+    """First from-item carrying an extended op, scanning FROM clauses,
+    comma lists and join chains."""
+    for fm in _FROM_RE.finditer(sql):
+        if _in_literal(sql, fm.start()):
+            continue
+        pos = fm.end()
+        while True:
+            try:
+                item = _parse_item(sql, pos)
+            except ValueError:
+                raise
+            if item is None:
+                break
+            if item["ops"]:
+                return item
+            # move to the next item in this FROM clause, if any
+            i = _skip_ws(sql, item["end"])
+            if sql[i : i + 1] == ",":
+                pos = i + 1
+                continue
+            w = _peek_word(sql, i)
+            if w in _JOIN_WORDS:
+                # skip join keywords, then parse the joined item; its
+                # ON/USING condition is skipped after parsing
+                while w in _JOIN_WORDS or w == "OUTER":
+                    i += len(w)
+                    i = _skip_ws(sql, i)
+                    w = _peek_word(sql, i)
+                nxt = _parse_item(sql, i)
+                if nxt is None:
+                    break
+                if nxt["ops"]:
+                    return nxt
+                i = _skip_ws(sql, nxt["end"])
+                w2 = _peek_word(sql, i)
+                if w2 in ("ON", "USING"):
+                    i = _skip_join_condition(sql, i + len(w2))
+                pos = i
+                # loop: the boundary scanner leaves us at ',' / join word /
+                # terminator; re-enter via the comma/join branches
+                i2 = _skip_ws(sql, pos)
+                if sql[i2 : i2 + 1] == ",":
+                    pos = i2 + 1
+                    continue
+                if _peek_word(sql, i2) in _JOIN_WORDS:
+                    continue
+                break
+            break
+    return None
+
+
+def has_extended_clause(sql: str) -> bool:
+    """Cheap pre-filter: any extended keyword outside a literal. The real
+    decision is the parse in lower_extended (a column named `text` or
+    `match` does not trip it)."""
+    for m in re.finditer(
+        r"\b(MATCH|SPLIT|ARG|PIVOT|UNPIVOT|TYPEINFER|CLASSIFIED|CLUSTERED|IMPUTED|TEXT|ALIGN)\b",
+        sql,
+        re.IGNORECASE,
+    ):
+        if not _in_literal(sql, m.start()):
+            return True
+    return False
+
+
+# ------------------------------------------------------------- lowering
 
 
 def _parse_labeler(spec: str | None, pattern: str):
@@ -96,8 +663,11 @@ def _parse_labeler(spec: str | None, pattern: str):
         return PredRowLabeler(preds)
     # `col [WHEN val THEN label ... [ELSE label]]` (reference labelerDef,
     # SqlQueryParser.scala:307-321)
-    wm = re.match(r"(\w+)((?:\s+WHEN\s+.+?\s+THEN\s+\w+)+)(?:\s+ELSE\s+(\w+))?\s*$",
-                  spec, re.IGNORECASE | re.DOTALL)
+    wm = re.match(
+        r"(\w+)((?:\s+WHEN\s+.+?\s+THEN\s+\w+)+)(?:\s+ELSE\s+(\w+))?\s*$",
+        spec,
+        re.IGNORECASE | re.DOTALL,
+    )
     if wm:
         col, arms, default = wm.group(1), wm.group(2), wm.group(3)
         when_then = {}
@@ -120,18 +690,10 @@ def _parse_labeler(spec: str | None, pattern: str):
     return ColumnRowLabeler(spec)
 
 
-def _cols(s: str | None) -> list[str]:
-    return [c.strip() for c in s.split(",")] if s else []
-
-
-def has_extended_clause(sql: str) -> bool:
-    return bool(
-        _MATCH_RE.search(sql)
-        or _SPLIT_RE.search(sql)
-        or _ARG_RE.search(sql)
-        or _PIVOT_RE.search(sql)
-    )
-
+_LABEL_WHEN_RE = re.compile(
+    r"LABEL\s+(?P<label>\w+)\s+WHEN\s+(?P<pred>.+?)(?=\s*,?\s*LABEL\s+\w+\s+WHEN|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _LABELED_FN_RE = re.compile(r"\b(\w+)\.(\w+)\s*\(\s*([^()]*?)\s*\)")
 
@@ -157,128 +719,245 @@ def rewrite_labeled_functions(sql: str, labels: set[str]) -> str:
     return _LABELED_FN_RE.sub(sub, sql)
 
 
+def _resolve_source(engine, kind: str, text: str):
+    if kind == "table":
+        return engine.table(text)
+    inner = text.strip()
+    if not re.match(r"(?is)\s*(SELECT|WITH|VALUES|TABLE)\b", inner):
+        inner = "SELECT * FROM " + inner
+    return engine.sql(inner)  # recursive: nested extended clauses compose
+
+
+_DIST_FUNCS = {"abs", "sqrt", "log", "exp", "floor", "ceil", "minimum", "maximum"}
+_DIST_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+\.\d+|\d+|[-+*/(), ]")
+
+
+def _compile_dist(expr: str, a_cols: list[str], b_cols: list[str]):
+    """SQL arithmetic dist expression -> numpy-vectorized callable over the
+    two sides' candidate rows (identifiers resolve to column arrays; only
+    arithmetic and a small whitelisted function set are admitted)."""
+    import numpy as np
+
+    cols = set(a_cols) | set(b_cols)
+    out, pos = [], 0
+    for m in _DIST_TOKEN_RE.finditer(expr):
+        if m.start() != pos:
+            raise ValueError(f"unsupported token in ALIGN ON expression: {expr[pos:m.start()]!r}")
+        pos = m.end()
+        tok = m.group(0)
+        low = tok.lower()
+        if tok[0].isalpha() or tok[0] == "_":
+            if low in _DIST_FUNCS:
+                out.append(f"np.{'fabs' if low == 'abs' else low}")
+            elif low in ("least", "greatest"):
+                out.append("np.minimum" if low == "least" else "np.maximum")
+            elif tok in cols:
+                out.append(f"__env[{tok!r}]")
+            else:
+                raise ValueError(f"unknown column in ALIGN ON expression: {tok}")
+        else:
+            out.append(tok)
+    if pos != len(expr.strip()) and expr[pos:].strip():
+        raise ValueError(f"unsupported token in ALIGN ON expression: {expr[pos:]!r}")
+    code = compile("".join(out), "<align-dist>", "eval")
+
+    def dist(pa, pb):
+        env = {c: pa[c].to_numpy() for c in a_cols if c in pa.columns}
+        env.update({c: pb[c].to_numpy() for c in b_cols if c in pb.columns})
+        return eval(code, {"__builtins__": {}, "np": np, "__env": env})
+
+    return dist
+
+
 def lower_extended(engine, sql: str) -> str:
-    """Replace each extended FROM item with a temp view over the operator's
+    """Replace each extended from-item with a temp view over the operator's
     result; returns plain Spark SQL."""
-    from sclera_spark.operators import split_into
+    while True:
+        item = _find_extended_item(sql)
+        if item is None:
+            return sql
+        df = _resolve_source(engine, item["kind"], item["source"])
+        labels: set[str] | None = None
+        for op in item["ops"]:
+            df, op_labels = _lower_op(engine, df, op, item)
+            labels = op_labels or labels
+        view = f"__sclera_ext_{next(_COUNTER)}"
+        df.createOrReplaceTempView(view)
+        repl = view if item["alias"] is None else f"{view} AS {item['alias']}"
+        sql = sql[: item["start"]] + repl + " " + sql[item["end"] :]
+        if labels:
+            sql = rewrite_labeled_functions(sql, labels)
+
+
+def _lower_op(engine, df, op: dict, item: dict):
+    """Apply one parsed extended op to a DataFrame; returns (df, labels)."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.operators import (
+        align,
+        align_zip,
+        arg_opt,
+        infer_types,
+        pivot as pivot_op,
+        split_into,
+        unpivot as unpivot_op,
+    )
     from sclera_spark.operators.match import compile_pattern, match_rows
 
-    while True:
-        m = _MATCH_RE.search(sql)
-        if m:
-            tbl = m.group("tbl")
-            order = _cols(m.group("ord"))
-            part = _cols(m.group("part"))
-            if not order:
-                raise ValueError(
-                    "MATCH requires ORDERED BY (cols) to fix the row sequence "
-                    "(Spark makes no input-order guarantee)"
-                )
-            labeler = _parse_labeler(m.group("labeler"), m.group("regex"))
-            out = match_rows(
-                engine.table(tbl),
-                m.group("regex"),
-                labeler,
-                order_by=order,
-                partition_by=part,
-            )
-            view = f"__sclera_match_{next(_COUNTER)}"
-            out.createOrReplaceTempView(view)
-            sql = sql[: m.start()] + f"FROM {view}" + sql[m.end() :]
-            labels = set(compile_pattern(m.group("regex")).labels)
-            sql = rewrite_labeled_functions(sql, labels)
-            continue
-        m = _SPLIT_RE.search(sql)
-        if m:
-            tbl = m.group("tbl")
-            part = _cols(m.group("part"))
-            out = split_into(
-                engine.table(tbl),
-                m.group("lo"),
-                m.group("hi"),
-                m.group("olo"),
-                m.group("ohi"),
-                partition_by=part,
-            )
-            view = f"__sclera_split_{next(_COUNTER)}"
-            out.createOrReplaceTempView(view)
-            sql = sql[: m.start()] + f"FROM {view}" + sql[m.end() :]
-            continue
-        m = _ARG_RE.search(sql)
-        if m:
-            sql = _lower_arg(engine, sql, m)
-            continue
-        m = _PIVOT_RE.search(sql)
-        if m:
-            sql = _lower_pivot(engine, sql, m)
-            continue
-        return sql
+    order = item["ordered"]
+    part = item["partition"]
+    kind = op["op"]
+    labels: set[str] | None = None
 
-
-def _lower_arg(engine, sql: str, m: re.Match) -> str:
-    """`ARG (MAX(col)) [OVER MATCH ...]`: emit the row attaining the
-    optimum, per partition [per match] (reference SqlQueryParser.scala:
-    278-298, SeqArgAggregate.scala)."""
-    from pyspark.sql import functions as F
-
-    from sclera_spark.operators import arg_opt
-    from sclera_spark.operators.match import match_rows
-
-    spec = m.group("spec")
-    sm = re.match(r"(MAX|MIN)\s*\(\s*([\w.]+)\s*\)", spec, re.IGNORECASE)
-    maximize = sm.group(1).upper() == "MAX"
-    opt_col = sm.group(2)
-    part = _cols(m.group("part"))
-    src = engine.table(m.group("tbl"))
-    if m.group("regex"):
-        order = _cols(m.group("ord"))
+    if kind == "MATCH":
         if not order:
-            raise ValueError("ARG OVER MATCH requires ORDERED BY (cols)")
-        labeler = _parse_labeler(m.group("labeler"), m.group("regex"))
-        matched = match_rows(src, m.group("regex"), labeler, order_by=order, partition_by=part)
-        out = arg_opt(
-            matched.drop("match_label"),
-            F.col(opt_col),
-            maximize=maximize,
-            partition_by=part + ["match_id"],
-        ).drop("match_id")
-    else:
-        out = arg_opt(src, F.col(opt_col), maximize=maximize, partition_by=part)
-    view = f"__sclera_arg_{next(_COUNTER)}"
-    out.createOrReplaceTempView(view)
-    return sql[: m.start()] + f"FROM {view}" + sql[m.end() :]
+            raise ValueError(
+                "MATCH requires ORDERED BY (cols) to fix the row sequence "
+                "(Spark makes no input-order guarantee)"
+            )
+        labeler = _parse_labeler(op["labeler"], op["pattern"])
+        df = match_rows(df, op["pattern"], labeler, order_by=order, partition_by=part)
+        labels = set(compile_pattern(op["pattern"]).labels)
+    elif kind == "SPLIT":
+        df = split_into(df, op["lo"], op["hi"], op["olo"], op["ohi"], partition_by=part)
+    elif kind == "ARG":
+        sm = re.match(r"(MAX|MIN)\s*\(\s*([\w.]+)\s*\)\s*$", op["spec"].strip(), re.IGNORECASE)
+        if not sm:
+            raise ValueError(f"cannot parse ARG spec: {op['spec']!r}")
+        maximize = sm.group(1).upper() == "MAX"
+        opt_col = sm.group(2)
+        if op["pattern"]:
+            if not order:
+                raise ValueError("ARG OVER MATCH requires ORDERED BY (cols)")
+            labeler = _parse_labeler(op["labeler"], op["pattern"])
+            matched = match_rows(
+                df, op["pattern"], labeler, order_by=order, partition_by=part
+            )
+            df = arg_opt(
+                matched.drop("match_label"),
+                F.col(opt_col),
+                maximize=maximize,
+                partition_by=part + ["match_id"],
+            ).drop("match_id")
+        else:
+            df = arg_opt(df, F.col(opt_col), maximize=maximize, partition_by=part)
+    elif kind == "PIVOT":
+        from sclera_spark.functions import aggregate_function
 
+        labels_list, aliases = [], {}
+        for target in op["targets"].split(","):
+            tm = re.match(r"\s*'?([\w #-]+?)'?\s*(?:AS\s+(\w+))?\s*$", target, re.IGNORECASE)
+            labels_list.append(tm.group(1))
+            if tm.group(2):
+                aliases[tm.group(1)] = tm.group(2)
+        agg = (
+            aggregate_function(op["fn"], F.col(op["arg"]))
+            if op["arg"] and op["arg"] != "*"
+            else aggregate_function(op["fn"], F.lit(1))
+        )
+        df = pivot_op(
+            df,
+            group_by=part,
+            pivot_col=op["col"],
+            labels=labels_list,
+            agg=agg,
+            aliases=aliases or None,
+        )
+    elif kind == "UNPIVOT":
+        value_cols, key_labels = [], {}
+        for target in op["targets"].split(","):
+            tm = re.match(
+                r"\s*(\w+)\s*(?:AS\s+'([^']*)'\s*)?$", target, re.IGNORECASE
+            )
+            if not tm:
+                raise ValueError(f"cannot parse UNPIVOT target: {target!r}")
+            value_cols.append(tm.group(1))
+            if tm.group(2) is not None:
+                key_labels[tm.group(1)] = tm.group(2)
+        df = unpivot_op(
+            df,
+            ids=[c for c in df.columns if c not in value_cols],
+            value_cols=value_cols,
+            key_col=op["kcol"],
+            value_col=op["vcol"],
+            labels=key_labels or None,
+        )
+    elif kind == "TYPEINFER":
+        cols: list[str] | None = None
+        nulls: list[str] = [""]
+        limit = 1000
+        spec = op["spec"]
+        if spec:
+            scur = _Cursor(spec, 0)
+            cols = []
+            while True:
+                w = scur.peek_word()
+                if w == "NULLS":
+                    scur.take_kw("NULLS")
+                    inner = scur.take_parens() or ""
+                    nulls = [s.strip().strip("'") for s in inner.split(",")]
+                    continue
+                if w == "LIMIT":
+                    scur.take_kw("LIMIT")
+                    limit = scur.take_int() or limit
+                    continue
+                if scur.peek_char() == "*":
+                    scur.pos += 1
+                    continue
+                c = scur.take_ident()
+                if c is None:
+                    break
+                cols.append(c)
+                scur.skip_ws()
+                if scur.text[scur.pos : scur.pos + 1] == ",":
+                    scur.pos += 1
+            cols = cols or None
+        df = infer_types(df, cols=cols, nulls=nulls, limit=limit)
+    elif kind in ("CLASSIFIED", "CLUSTERED"):
+        from sclera_spark.ml import classify, cluster
 
-def _lower_pivot(engine, sql: str, m: re.Match) -> str:
-    """`PIVOT fn(arg) FOR col IN (v1 [AS a1], ...)` (reference
-    SqlQueryParser.scala:342-363)."""
-    from pyspark.sql import functions as F
+        fn = classify if kind == "CLASSIFIED" else cluster
+        df = fn(engine.ml, df, op["model"], out_col=op["out"])
+    elif kind == "IMPUTED":
+        from sclera_spark.ml import impute
 
-    from sclera_spark.functions import aggregate_function
-    from sclera_spark.operators import pivot as pivot_op
+        for spec in op["specs"]:
+            df = impute(
+                engine.ml, df, spec["model"], col=spec["col"], flag_col=spec["flag"]
+            )
+    elif kind == "TEXT":
+        from sclera_spark.nlp import nlp_op
 
-    part = _cols(m.group("part"))
-    fn = m.group("fn")
-    arg = m.group("arg")
-    labels, aliases = [], {}
-    for target in m.group("targets").split(","):
-        tm = re.match(r"\s*'?([\w #-]+?)'?\s*(?:AS\s+(\w+))?\s*$", target, re.IGNORECASE)
-        labels.append(tm.group(1))
-        if tm.group(2):
-            aliases[tm.group(1)] = tm.group(2)
-    agg = (
-        aggregate_function(fn, F.col(arg))
-        if arg and arg != "*"
-        else aggregate_function(fn, F.lit(1))
-    )
-    out = pivot_op(
-        engine.table(m.group("tbl")),
-        group_by=part,
-        pivot_col=m.group("col"),
-        labels=labels,
-        agg=agg,
-        aliases=aliases or None,
-    )
-    view = f"__sclera_pivot_{next(_COUNTER)}"
-    out.createOrReplaceTempView(view)
-    return sql[: m.start()] + f"FROM {view}" + sql[m.end() :]
+        kwargs = {}
+        if op["to"]:
+            kwargs["out_col"] = op["to"][0]
+        # annotIdent: optional library qualifier (`TEXT nlp.tokenize IN c`)
+        df = nlp_op(op["name"].split(".")[-1], df, op["in"], **kwargs)
+    elif kind == "ALIGN":
+        rhs = _resolve_source(engine, *op["rhs"])
+        if op["on"]:
+            a_cols = [c for c in df.columns]
+            b_cols = [c for c in rhs.columns]
+            dist = _compile_dist(op["on"], a_cols, b_cols)
+            df = align(
+                df,
+                rhs,
+                dist=dist,
+                margin=op["margin"],
+                order_by_a=order,
+                order_by_b=op["rhs_order"] or order,
+                partition_by=part,
+            )
+        else:
+            if not order or not (op["rhs_order"] or order):
+                raise ValueError("ALIGN requires ORDERED BY on both sides")
+            df = align_zip(
+                df,
+                rhs,
+                order_by_a=order,
+                order_by_b=op["rhs_order"] or order,
+                partition_by=part,
+            )
+    else:  # pragma: no cover
+        raise ValueError(f"unknown extended op: {kind}")
+    return df, labels

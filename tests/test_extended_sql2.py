@@ -1,0 +1,228 @@
+"""Round-2 extended-clause surface: derived-table inputs, aliases, and the
+UNPIVOT / TYPEINFER / ALIGN / CLASSIFIED / CLUSTERED / IMPUTED / TEXT
+clause forms (reference SqlQueryParser.scala:163, :203, :1016-1045)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sclera_spark.engine import ScleraEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tables):
+    return ScleraEngine(spark)
+
+
+def test_match_on_derived_table(engine):
+    base = engine.sql("""
+        SELECT user_id, match_id, count(*) AS n
+        FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
+             MATCH 'VIEW+ PURCHASE' ON event_type
+        GROUP BY user_id, match_id
+    """).toPandas()
+    derived = engine.sql("""
+        SELECT user_id, match_id, count(*) AS n
+        FROM (SELECT * FROM events WHERE user_id >= 0)
+             ORDERED BY (ts, event_id) PARTITION BY user_id
+             MATCH 'VIEW+ PURCHASE' ON event_type
+        GROUP BY user_id, match_id
+    """).toPandas()
+    key = ["user_id", "match_id"]
+    assert base.sort_values(key).reset_index(drop=True).equals(
+        derived.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_match_with_alias(engine):
+    df = engine.sql("""
+        SELECT e.user_id, e.match_id, count(*) AS n
+        FROM events AS e ORDERED BY (ts, event_id) PARTITION BY user_id
+             MATCH 'VIEW+ PURCHASE' ON event_type
+        GROUP BY e.user_id, e.match_id
+    """)
+    assert df.count() > 0
+
+
+def test_split_on_derived_table(engine):
+    df = engine.sql("""
+        SELECT user_id, event_id, s, e
+        FROM (SELECT user_id, event_id, value AS lo, value + 10 AS hi FROM events)
+             PARTITION BY user_id SPLIT (lo, hi) INTO (s, e)
+    """)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["s"] < pdf["e"]).all()
+
+
+def test_unpivot_sql(engine, duck):
+    from tests.conftest import assert_df_equal_duck
+
+    df = engine.sql("""
+        SELECT p_partkey, k, v
+        FROM (SELECT p_partkey, p_size, p_retailprice FROM part)
+             UNPIVOT v FOR k IN (p_size AS 'size', p_retailprice)
+    """)
+    oracle = """
+        SELECT p_partkey, 'size' AS k, CAST(p_size AS double) AS v FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS k, p_retailprice AS v FROM part
+    """
+    assert_df_equal_duck(df, duck, oracle)
+
+
+def test_typeinfer_sql(engine):
+    df = engine.sql("""
+        SELECT * FROM (SELECT CAST(o_orderkey AS string) AS k,
+                              CAST(o_totalprice AS string) AS p,
+                              CAST(o_orderdate AS string) AS d
+                       FROM orders)
+        TYPEINFER (k, p, d NULLS ('') LIMIT 500)
+    """)
+    types = dict(df.dtypes)
+    assert types["k"] in ("int", "bigint")
+    assert types["p"] == "double"
+    assert types["d"] == "timestamp"
+
+
+def test_align_sql_zip(engine):
+    from sclera_spark.operators import align_zip
+
+    a = engine.table("events").filter(F.col("user_id") == 1).select(
+        F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = engine.table("events").filter(F.col("user_id") == 2).select(
+        F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    a.createOrReplaceTempView("al_a")
+    b.createOrReplaceTempView("al_b")
+    sql = engine.sql("""
+        SELECT a_id, b_id FROM al_a ORDERED BY (a_ts, a_id)
+        ALIGN al_b ORDERED BY (b_ts, b_id)
+    """).toPandas()
+    direct = (
+        align_zip(a, b, order_by_a=["a_ts", "a_id"], order_by_b=["b_ts", "b_id"])
+        .select("a_id", "b_id")
+        .toPandas()
+    )
+    assert sql.sort_values("a_id").reset_index(drop=True).equals(
+        direct.sort_values("a_id").reset_index(drop=True)
+    )
+
+
+def test_align_sql_dtw(engine):
+    import numpy as np
+
+    from sclera_spark.operators import align
+
+    a = engine.table("events").filter(F.col("user_id") == 1).select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("value").alias("a_value"),
+    )
+    b = engine.table("events").filter(F.col("user_id") == 2).select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+    )
+    a.createOrReplaceTempView("al_a2")
+    b.createOrReplaceTempView("al_b2")
+    sql = engine.sql("""
+        SELECT a_id, b_id FROM al_a2 ORDERED BY (a_ts, a_id)
+        ALIGN al_b2 ORDERED BY (b_ts, b_id)
+        ON abs(a_value - b_value) MARGIN 10
+    """).toPandas()
+    direct = align(
+        a,
+        b,
+        dist=lambda pa, pb: np.abs(pa["a_value"].to_numpy() - pb["b_value"].to_numpy()),
+        margin=10,
+        order_by_a=["a_ts", "a_id"],
+        order_by_b=["b_ts", "b_id"],
+    ).select("a_id", "b_id").toPandas()
+    key = ["a_id", "b_id"]
+    assert sql.sort_values(key).reset_index(drop=True).equals(
+        direct.sort_values(key).reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def feats_view(engine):
+    emb = engine.table("embeddings")
+    df = emb.select(
+        "vec_id",
+        "label",
+        *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(4)],
+    )
+    df.createOrReplaceTempView("feats_sql")
+    return df
+
+
+def test_classified_with_sql(engine, feats_view):
+    engine.execute(
+        "CREATE CLASSIFIER clf_sql (label) USING SELECT label, f0, f1, f2, f3 FROM feats_sql"
+    )
+    df = engine.sql("SELECT vec_id, pred FROM feats_sql CLASSIFIED WITH clf_sql (pred)")
+    pdf = df.toPandas()
+    assert len(pdf) == feats_view.count()
+    assert pdf["pred"].notna().all()
+    # parity with the programmatic path
+    from sclera_spark.ml import classify
+
+    direct = classify(engine.ml, feats_view, "clf_sql", out_col="pred").select(
+        "vec_id", "pred"
+    ).toPandas()
+    assert pdf.sort_values("vec_id").reset_index(drop=True).equals(
+        direct.sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+def test_clustered_with_sql(engine, feats_view):
+    engine.execute(
+        "CREATE CLUSTERER ('kmeans', 'k=3') km_sql USING SELECT f0, f1, f2 FROM feats_sql"
+    )
+    df = engine.sql("SELECT vec_id, cl FROM feats_sql CLUSTERED WITH km_sql (cl)")
+    pdf = df.toPandas()
+    assert pdf["cl"].nunique() == 3
+
+
+def test_imputed_with_sql(engine, feats_view):
+    feats = feats_view.withColumn("target", (F.col("f0") > 0).cast("int"))
+    feats.createOrReplaceTempView("imp_train_sql")
+    engine.execute(
+        "CREATE CLASSIFIER imp_sql (target) USING "
+        "SELECT target, f1, f2, f3 FROM imp_train_sql"
+    )
+    holey = feats.withColumn(
+        "target", F.when(F.col("vec_id") % 10 == 0, None).otherwise(F.col("target"))
+    )
+    holey.createOrReplaceTempView("imp_holey_sql")
+    df = engine.sql("""
+        SELECT vec_id, target, was_imp
+        FROM imp_holey_sql IMPUTED WITH imp_sql (target) FLAG was_imp
+    """)
+    pdf = df.toPandas()
+    assert pdf["target"].notna().all()
+    assert pdf["was_imp"].sum() == (pdf["vec_id"] % 10 == 0).sum()
+
+
+def test_nlp_text_clause(engine):
+    df = engine.sql("SELECT doc_id, token FROM documents TEXT tokenize IN text")
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    # library-qualified form and TO column rename
+    df2 = engine.sql(
+        "SELECT doc_id, tok FROM documents TEXT nlp.tokenize IN text TO tok"
+    )
+    assert df2.count() == len(pdf)
+
+
+def test_drop_classifier(engine, feats_view):
+    engine.execute(
+        "CREATE CLASSIFIER drop_me (label) USING SELECT label, f0, f1 FROM feats_sql"
+    )
+    engine.execute("DROP CLASSIFIER drop_me")
+    with pytest.raises(KeyError):
+        engine.ml.get("drop_me")
