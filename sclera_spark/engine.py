@@ -39,6 +39,14 @@ class ScleraEngine:
         # (modules/service/src/main/scala/ScleraServiceLoaderscala:25-40)
         self.sources: dict[str, Callable[..., DataFrame]] = {}
         self.ml_models: dict[str, object] = {}
+        # named locations (reference dbms/location/Location.scala): a
+        # location is a named data system (parquet dir, csv/json dir, JDBC
+        # database) whose tables resolve lazily — the data-virtualization
+        # core of the reference. Spark's DataSource v2 + JDBC pushdown
+        # replace the reference's per-location SQL mapper
+        # (sql/mapper/default/ScleraSqlMapper.scala:35-629).
+        self.locations: dict[str, dict] = {}
+        self.config: dict[str, str] = {}
         self._register_builtin_sources()
 
     @property
@@ -64,6 +72,60 @@ class ScleraEngine:
 
     def table(self, name: str) -> DataFrame:
         return self.catalog.table(name)
+
+    # ---- named locations (reference SqlAdminParser.scala:52-60:
+    # ADD [READONLY] LOCATION name AS dbname ('param', ...)) ----
+
+    def add_named_location(
+        self,
+        name: str,
+        kind: str,
+        params: list[str],
+        readonly: bool = False,
+        schema: str | None = None,
+    ) -> None:
+        kind = kind.upper()
+        self.locations[name.lower()] = {
+            "kind": kind,
+            "params": list(params),
+            "readonly": readonly,
+            "schema": schema,
+        }
+        if kind in ("PARQUETDIR", "DIR"):
+            # a directory of <table>.parquet files: register eagerly
+            self.add_location(params[0])
+
+    def remove_location(self, name: str) -> None:
+        self.locations.pop(name.lower(), None)
+
+    def location_table(self, loc: str, table: str) -> DataFrame:
+        """Resolve a table at a named location (lazy, pushdown-capable:
+        JDBC scans get PushedFilters, file scans get partition/row-group
+        pruning — Catalyst's replacement for the reference's per-location
+        SQL generation)."""
+        import os
+
+        info = self.locations.get(loc.lower())
+        if info is None:
+            raise KeyError(f"unknown location: {loc}")
+        kind, params = info["kind"], info["params"]
+        if kind == "JDBC":
+            opts = {}
+            if len(params) > 1:
+                opts["driver"] = params[1]
+            return self.external_source("JDBC", params[0], table, **opts)
+        if kind in ("PARQUETDIR", "DIR", "PARQUET"):
+            return self.external_source("PARQUET", os.path.join(params[0], f"{table}.parquet"))
+        if kind == "CSV":
+            return self.external_source("CSV", os.path.join(params[0], f"{table}.csv"))
+        if kind == "JSON":
+            return self.external_source("JSON", os.path.join(params[0], f"{table}.json"))
+        raise ValueError(f"unsupported location kind: {kind}")
+
+    def add_location_table(self, loc: str, table: str, as_name: str | None = None) -> DataFrame:
+        """ADD TABLE loc.tbl — pull a location's table into the catalog."""
+        df = self.location_table(loc, table)
+        return self.catalog.register(as_name or table, df)
 
     # ---- SQL ----
 

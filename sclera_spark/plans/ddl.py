@@ -54,6 +54,24 @@ class DdlRouter:
             "_create_clusterer",
         ),
         (re.compile(r"^\s*DROP\s+(CLASSIFIER|CLUSTERER)\s+(\w+)\s*$", re.I), "_drop_ml"),
+        (
+            re.compile(
+                r"^\s*ADD\s+(READONLY\s+)?LOCATION\s+(\w+)\s+AS\s+(\w+)\s*"
+                r"\(([^)]*)\)(?:\s+SCHEMA\s+'([^']*)')?\s*$",
+                re.I,
+            ),
+            "_add_location",
+        ),
+        (re.compile(r"^\s*REMOVE\s+LOCATION\s+(\w+)\s*$", re.I), "_remove_location"),
+        (re.compile(r"^\s*ADD\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*$", re.I), "_add_table"),
+        (re.compile(r"^\s*REMOVE\s+TABLE\s+(?:\w+\.)?(\w+)\s*$", re.I), "_remove_table"),
+        (re.compile(r"^\s*SET\s+(\w+)\s+LOCATION\s*=\s*(\w+)\s*$", re.I), "_set_location"),
+        (
+            re.compile(r"^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)\s*$", re.I),
+            "_create_index",
+        ),
+        (re.compile(r"^\s*DROP\s+INDEX\s+(\w+)\s*$", re.I), "_drop_index"),
+        (re.compile(r"^\s*(?:LIST|SHOW)\s+LOCATIONS\s*$", re.I), "_list_locations"),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+VIEWS\s*$", re.I), "_list_views"),
@@ -265,6 +283,57 @@ class DdlRouter:
         path = self.managed.pop(name.lower(), None)
         if path and os.path.exists(path):
             shutil.rmtree(path)
+
+    # ---- admin: locations and indexes (SqlAdminParser.scala:43-95) ----
+
+    def _add_location(self, readonly, name, kind, params, schema):
+        args = [p.strip().strip("'") for p in params.split(",") if p.strip()]
+        self.engine.add_named_location(
+            name, kind, args, readonly=bool(readonly), schema=schema
+        )
+
+    def _remove_location(self, name):
+        self.engine.remove_location(name)
+
+    def _add_table(self, loc, table):
+        if loc is None:
+            loc = self.engine.config.get("default")
+            if loc is None:
+                raise ValueError("ADD TABLE needs loc.table or SET DEFAULT LOCATION")
+        return self.engine.add_location_table(loc, table)
+
+    def _remove_table(self, table):
+        self.engine.catalog.drop(table)
+
+    def _set_location(self, param, name):
+        """SET DEFAULT/CACHE LOCATION = loc (SqlAdminParser.scala:89-93)."""
+        if name.lower() not in self.engine.locations:
+            raise KeyError(f"unknown location: {name}")
+        self.engine.config[param.lower()] = name.lower()
+
+    def _create_index(self, idx, table, cols):
+        """CREATE INDEX — lowered to a range-partitioned, sorted parquet
+        rewrite of the table: Spark's analogue of a clustered index is
+        row-group min/max data skipping, which needs the data laid out
+        sorted on the key (the reference forwards CREATE INDEX to the
+        location RDBMS for the same physical effect)."""
+        key_cols = [c.strip() for c in cols.split(",") if c.strip()]
+        df = self.engine.table(table)
+        out = df.repartitionByRange(*key_cols).sortWithinPartitions(*key_cols)
+        if table.lower() not in self.managed:
+            self._materialize(table, out)
+        else:
+            self._rewrite(table, out)
+        if not hasattr(self, "indexes"):
+            self.indexes: dict[str, tuple[str, list[str]]] = {}
+        self.indexes[idx.lower()] = (table.lower(), key_cols)
+
+    def _drop_index(self, idx):
+        if hasattr(self, "indexes"):
+            self.indexes.pop(idx.lower(), None)
+
+    def _list_locations(self):
+        return sorted(self.engine.locations)
 
     def _explain(self, query: str) -> str:
         return self.engine.explain(query)

@@ -1,0 +1,97 @@
+"""Named locations (data virtualization): JDBC (embedded Derby) with
+predicate pushdown, parquet-dir locations, admin statements, and the
+CREATE INDEX sorted-rewrite."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sclera_spark.engine import ScleraEngine
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tables):
+    return ScleraEngine(spark)
+
+
+@pytest.fixture(scope="module")
+def derby_url(engine):
+    db = os.path.join(tempfile.mkdtemp(prefix="sclera_derby_"), "db")
+    url = f"jdbc:derby:{db};create=true"
+    engine.table("nation").write.jdbc(url, "nation_jdbc", mode="overwrite")
+    return url
+
+
+def test_jdbc_location_roundtrip(engine, derby_url):
+    engine.execute(f"ADD LOCATION der AS JDBC ('{derby_url}')")
+    df = engine.location_table("der", "nation_jdbc")
+    assert df.count() == engine.table("nation").count()
+
+
+def test_jdbc_filter_pushdown(engine, derby_url):
+    engine.execute(f"ADD LOCATION der AS JDBC ('{derby_url}')")
+    df = engine.location_table("der", "nation_jdbc").filter(
+        F.col("n_regionkey") <= 2
+    )
+    plan = df._jdf.queryExecution().explainString(
+        engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan
+    assert "n_regionkey" in plan.lower().split("pushedfilters")[1][:200]
+    expected = engine.table("nation").filter(F.col("n_regionkey") <= 2).count()
+    assert df.count() == expected
+
+
+def test_add_table_from_location(engine, derby_url):
+    engine.execute(f"ADD LOCATION der AS JDBC ('{derby_url}')")
+    engine.execute("ADD TABLE der.nation_jdbc")
+    n = engine.sql("SELECT count(*) AS n FROM nation_jdbc").collect()[0].n
+    assert n == engine.table("nation").count()
+    engine.execute("REMOVE TABLE nation_jdbc")
+
+
+def test_set_default_location(engine, derby_url):
+    engine.execute(f"ADD LOCATION der2 AS JDBC ('{derby_url}')")
+    engine.execute("SET DEFAULT LOCATION = der2")
+    assert engine.config["default"] == "der2"
+    engine.execute("ADD TABLE nation_jdbc")
+    assert engine.sql("SELECT count(*) AS n FROM nation_jdbc").collect()[0].n > 0
+    engine.execute("REMOVE TABLE nation_jdbc")
+
+
+def test_parquet_dir_location(engine):
+    engine.execute(f"ADD READONLY LOCATION tpch AS PARQUETDIR ('{SF_DIR}')")
+    df = engine.location_table("tpch", "region")
+    assert df.count() == 5
+    assert "tpch" in engine.execute("LIST LOCATIONS")
+    engine.execute("REMOVE LOCATION tpch")
+    assert "tpch" not in engine.execute("LIST LOCATIONS")
+
+
+def test_create_index_sorted_rewrite(engine):
+    engine.execute("CREATE TABLE idx_t AS SELECT o_orderkey, o_totalprice FROM orders")
+    engine.execute("CREATE INDEX idx1 ON idx_t (o_orderkey)")
+    df = engine.table("idx_t")
+    assert df.count() == engine.table("orders").count()
+    # per-partition sortedness: the layout a row-group-skipping scan needs
+    import pandas as pd
+
+    def check(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {"ok": [bool(pdf["o_orderkey"].is_monotonic_increasing)]}
+            )
+
+    ok = df.select("o_orderkey").mapInPandas(check, "ok boolean").toPandas()
+    assert ok["ok"].all()
+    engine.execute("DROP INDEX idx1")
+    engine.execute("DROP TABLE idx_t")
