@@ -24,6 +24,7 @@ def main() -> None:
 
     spark = build_session(app_name="sclera-bench")
     qs = entry.queries()
+    qs.update(getattr(entry, "bench_extra_queries", dict)())
 
     bench_names = [
         "q1_agg",            # B1 scan+filter+group+sort

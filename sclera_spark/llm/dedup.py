@@ -147,11 +147,14 @@ def minhash_dup_pairs(
     candidate generation; exact Jaccard over shingle sets verifies."""
     rows_per_band = num_perm // bands
     # one sketch pass gives both the signature (for banding) and the hashed
-    # shingle set (for verification)
+    # shingle set (for verification); cached for the three reads below and
+    # released before returning (the result is materialized first — a
+    # leaked persist() accumulates executor storage across calls in a
+    # long-lived session)
     sketch = (
         minhash_sketch(df, text_col, num_perm, shingle_k)
         .select(F.col(id_col).alias("id"), "minhash", "hset")
-        .persist()  # read twice: banding and verification
+        .persist()
     )
     # phase 1: candidates — only (id, band, band_hash) is exploded and
     # shuffled; shipping the shingle arrays through the band join measured
@@ -211,11 +214,66 @@ def minhash_dup_pairs(
     )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
-    return (
+    result = (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+    # materialize the (far smaller) pair set, then release the sketch cache
+    result = result.localCheckpoint(eager=True)
+    sketch.unpersist()
+    return result
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components over an edge list -> (id, comp)
+    with comp = min id of the component.
+
+    Each round combines neighbor-min propagation with pointer jumping
+    (comp := comp of comp), the standard alternating-star construction —
+    O(log n) rounds even on path graphs, every step a DataFrame join (no
+    driver state beyond the convergence scalar). Rounds are cut with an
+    eager localCheckpoint so the lineage stays flat."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        # neighbor-min: comp := min(comp, min over neighbors' comp)
+        nb = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nb_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        labels = labels.join(nb, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping: comp := comp(comp)
+        hop = labels.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+        labels = labels.join(hop, "comp", "left").select(
+            "id", F.coalesce("comp2", F.col("comp")).alias("comp")
+        )
+        labels = labels.localCheckpoint(eager=True)
+        # comp values only ever decrease, so the sum is a convergence scalar
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 def minhash_dedup(
@@ -227,12 +285,15 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Drop near-duplicates, keeping the smallest id of each dup pair's
-    cluster (greedy: a row is dropped if it duplicates ANY smaller id —
-    one pass, no iterative connected components; at extreme scale swap in
-    a union-find over pair batches)."""
+    """Drop near-duplicates, keeping exactly one row (the smallest id) per
+    connected component of the dup-pair graph. Transitive clusters
+    (A~B, B~C, A!~C) collapse to one survivor — the round-1 greedy
+    smaller-id drop kept no survivor for some orderings."""
     pairs = minhash_dup_pairs(df, id_col, text_col, num_perm, bands, shingle_k, threshold)
-    losers = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -328,11 +389,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     group_col: str | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Word n-gram Jaccard similarity pairs. Without LSH this is a
-    within-group pairwise compare — callers at scale should pass
-    ``group_col`` (e.g. a language or length bucket) to bound the
-    quadratic term; the n-gram set algebra itself is JVM-side."""
+    within-group pairwise compare, quadratic in the group size — so
+    ``group_col`` (e.g. a language or length bucket) is REQUIRED; an
+    ungrouped run must be opted into with ``allow_all_pairs=True`` (small
+    corpora only — at scale use minhash_dup_pairs, which is the LSH path).
+    The n-gram set algebra itself is JVM-side."""
+    if group_col is None and not allow_all_pairs:
+        raise ValueError(
+            "ngram_jaccard_pairs without group_col is an all-pairs self-join "
+            "(quadratic); pass group_col to bound it, use minhash_dup_pairs "
+            "for LSH candidate generation, or opt in with allow_all_pairs=True"
+        )
     toks = F.filter(
         F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+"),
         lambda t: t != "",

@@ -60,6 +60,40 @@ def test_minhash_finds_planted_dups(spark):
     assert kept.count() == 3
 
 
+def test_minhash_dedup_transitive_cluster(spark):
+    # A~B and B~C but A!~C: the component must collapse to exactly one
+    # survivor (the smallest id), which the round-1 greedy drop missed
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = a.replace("alpha beta gamma", "alpha beta XXXXX")
+    c = b.replace("iota kappa lambda mu", "iota kappa YYYYY ZZZZZ")
+    other = "completely unrelated text about weather patterns over the southern ocean"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, other)], "doc_id long, text string"
+    )
+    pairs = minhash_dup_pairs(df, threshold=0.5, num_perm=64, bands=32, shingle_k=4)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got
+    kept = sorted(
+        r.doc_id
+        for r in minhash_dedup(
+            df, threshold=0.5, num_perm=64, bands=32, shingle_k=4
+        ).collect()
+    )
+    assert kept == [1, 9]
+
+
+def test_connected_components_path_graph(spark):
+    from sclera_spark.llm.dedup import connected_components
+
+    # a 12-node path plus a separate triangle: pointer jumping must close
+    # the path in O(log n) rounds
+    edges = [(i, i + 1) for i in range(11)] + [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert all(comp[i] == 0 for i in range(12))
+    assert all(comp[i] == 100 for i in (100, 101, 102))
+
+
 def test_simhash_deterministic_and_near(spark):
     df = spark.createDataFrame(
         [
@@ -85,7 +119,11 @@ def test_ngram_jaccard(spark):
         ],
         "doc_id long, text string",
     )
-    pairs = ngram_jaccard_pairs(df, n=2, threshold=0.3).collect()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(df, n=2, threshold=0.3)
+    pairs = ngram_jaccard_pairs(df, n=2, threshold=0.3, allow_all_pairs=True).collect()
     got = {(r.a_id, r.b_id): r.jaccard for r in pairs}
     assert (1, 2) in got and (1, 3) not in got
     # oracle: bigram sets computed by hand
