@@ -771,13 +771,20 @@ def _q_stream_match_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_labeled_fn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MATCH SQL clause + label-scoped aggregates (A.fn(x)) — rows-only
-    (regex semantics; parity tested in tests/test_extended_sql.py)."""
+    """MATCH SQL clause + label-scoped aggregates (A.fn(x)), including the
+    sequence-positional tier (LAG / NTH_VALUE / PATH / RANK, reference
+    SeqAggregate.scala:1203-1320) — rows-only (regex semantics; parity
+    tested vs pandas in tests/test_labeled_seq_fns.py)."""
     eng = _engine(spark, sf_dir)
     return eng.sql("""
         SELECT user_id, match_id,
                VIEW.count(*) AS n_views,
-               PURCHASE.sum(value) AS purchase_value
+               PURCHASE.sum(value) AS purchase_value,
+               VIEW.lag(value, 1) AS prev_view_value,
+               VIEW.nth_value(value, 2) AS second_view_value,
+               VIEW.path('>') AS label_path,
+               VIEW.rank(value) AS last_value_rank,
+               PURCHASE.exists() AS has_purchase
         FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
              MATCH 'VIEW+ PURCHASE' ON event_type
         GROUP BY user_id, match_id

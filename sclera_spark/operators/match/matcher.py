@@ -136,6 +136,9 @@ def match_rows(
     if p:
         arranged = src.repartition(*[F.col(c) for c in p]).sortWithinPartitions(*p, *o)
     else:
+        from sclera_spark.scale import warn_unpartitioned
+
+        warn_unpartitioned("MATCH", "pass partition_by (PARTITION BY in SQL)")
         arranged = src.coalesce(1).sortWithinPartitions(*o)
     return arranged.mapInPandas(_match_partition, out_schema)
 

@@ -29,4 +29,14 @@ def transform_partitions(
     p = list(partition_by)
     if p:
         return df.groupBy(*p).applyInPandas(lambda _, g: fn(g), out_schema)
-    return df.coalesce(1).groupBy(F.lit(1)).applyInPandas(lambda _, g: fn(g), out_schema)
+    from sclera_spark.scale import warn_unpartitioned
+
+    warn_unpartitioned("Transform")
+    # constant grouping column (a bare lit() in groupBy parses as an
+    # ordinal in Spark 4.x); dropped before the callable sees the frame
+    return (
+        df.coalesce(1)
+        .withColumn("__sclera_g", F.lit(1))
+        .groupBy("__sclera_g")
+        .applyInPandas(lambda _, g: fn(g.drop(columns="__sclera_g")), out_schema)
+    )

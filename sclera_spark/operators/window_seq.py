@@ -117,5 +117,8 @@ def expmovavg(
     else:
         # single logical sequence: one partition — matches the reference,
         # which is single-threaded anyway
+        from sclera_spark.scale import warn_unpartitioned
+
+        warn_unpartitioned("EXPMOVAVG")
         arranged = df.coalesce(1).sortWithinPartitions(*ocols)
     return arranged.mapInPandas(_ewm_partition, out_schema)

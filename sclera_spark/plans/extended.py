@@ -699,22 +699,129 @@ _LABELED_FN_RE = re.compile(r"\b(\w+)\.(\w+)\s*\(\s*([^()]*?)\s*\)")
 
 _LABELED_AGGS = {
     "AVG", "SUM", "MIN", "MAX", "COUNT", "STDDEV", "STDDEV_SAMP", "STDDEV_POP",
-    "VAR_SAMP", "VAR_POP", "BOOL_AND", "BOOL_OR", "FIRST", "LAST",
+    "VAR_SAMP", "VAR_POP", "BOOL_AND", "BOOL_OR",
+}
+
+# sequence-positional aggregates: need the rows of the label in match
+# order, lowered onto an ordered collect (sort_array over structs keyed by
+# the ORDERED BY columns — all JVM-side, no window, valid in GROUP BY)
+_LABELED_SEQ_FNS = {
+    "LAG", "NTH_VALUE", "FIRST", "LAST", "PATH", "STRING_AGG",
+    "RANK", "DENSE_RANK", "ROW_NUMBER", "EXISTS",
 }
 
 
-def rewrite_labeled_functions(sql: str, labels: set[str]) -> str:
-    """`A.avg(x)` -> `avg(CASE WHEN match_label = 'A' THEN x END)` —
+def _ordered_vals(label: str, expr: str, order_cols: list[str]) -> str:
+    """Array of ``expr`` values over the label's rows in sequence order."""
+    keys = ", ".join(
+        f"{c} AS __o{i}" for i, c in enumerate(order_cols)
+    )
+    struct = f"struct({keys}, ({expr}) AS __v)"
+    collected = (
+        f"sort_array(collect_list("
+        f"CASE WHEN match_label = '{label}' THEN {struct} END))"
+    )
+    return f"transform({collected}, __s -> __s.__v)"
+
+
+def _lower_labeled_fn(label: str, fn: str, args: list[str], order_cols: list[str]) -> str:
+    """One label-scoped aggregate -> Spark SQL aggregate expression
+    (reference analytics/sequence/matcher/aggregate/SeqAggregate.scala:
+    1203-1320 for the function-name dispatch and semantics)."""
+    guard = f"CASE WHEN match_label = '{label}' THEN"
+    if fn in _LABELED_AGGS:
+        inner = args[0] if args and args[0] != "*" else "1"
+        return f"{fn.lower()}({guard} {inner} END)"
+    if fn in ("COUNT", "ROW_NUMBER"):
+        inner = args[0] if args and args[0] != "*" else "1"
+        return f"count({guard} {inner} END)"
+    if fn == "EXISTS":
+        return f"(count({guard} 1 END) > 0)"
+    if not order_cols:
+        raise ValueError(f"label-scoped {fn} needs ORDERED BY on the MATCH input")
+    if fn in ("NTH_VALUE", "FIRST"):
+        n = args[1] if fn == "NTH_VALUE" else "1"
+        v = _ordered_vals(label, args[0], order_cols)
+        out = f"try_element_at({v}, {n})"
+        if fn == "NTH_VALUE" and len(args) > 2:
+            out = f"coalesce({out}, {args[2]})"
+        return out
+    if fn in ("LAG", "LAST"):
+        # LAG(x, k): k-th value back from the end of the label's rows
+        # (SeqIndexLastAggregate); LAST = LAG(x, 0)
+        k = args[1] if fn == "LAG" and len(args) > 1 else "0"
+        v = _ordered_vals(label, args[0], order_cols)
+        out = f"try_element_at({v}, -(({k}) + 1))"
+        if fn == "LAG" and len(args) > 2:
+            out = f"coalesce({out}, {args[2]})"
+        return out
+    if fn in ("PATH", "STRING_AGG"):
+        # PATH('>') concatenates the label path; STRING_AGG(x[, d]) the
+        # values — both bracketed (reference SeqStringAggregate)
+        if fn == "PATH":
+            delim = args[0] if args else "', '"
+            expr = "match_label"
+        else:
+            expr = args[0]
+            delim = args[1] if len(args) > 1 else "', '"
+        v = _ordered_vals(label, f"CAST(({expr}) AS STRING)", order_cols)
+        return f"concat('[', array_join({v}, {delim}), ']')"
+    if fn in ("RANK", "DENSE_RANK"):
+        # running rank in sequence order, evaluated at the last row
+        # (SeqRankAggregate): RANK jumps to the position where the final
+        # run of equal values starts; DENSE_RANK counts value changes
+        v = _ordered_vals(label, args[0], order_cols)
+        size = f"size(__vs)"
+        changes = (
+            f"zip_with(slice(__vs, 1, {size} - 1), slice(__vs, 2, {size} - 1),"
+            f" (__a, __b) -> __a IS DISTINCT FROM __b)"
+        )
+        if fn == "DENSE_RANK":
+            body = f"size(filter({changes}, __c -> __c)) + 1"
+        else:
+            rev = f"reverse(__vs)"
+            revchanges = (
+                f"zip_with(slice({rev}, 1, {size} - 1), slice({rev}, 2, {size} - 1),"
+                f" (__a, __b) -> __a IS DISTINCT FROM __b)"
+            )
+            runlen = (
+                f"(CASE WHEN array_position({revchanges}, true) = 0 THEN {size} "
+                f"ELSE array_position({revchanges}, true) END)"
+            )
+            body = f"{size} - ({runlen}) + 1"
+        # bind the collected array once via a literal lambda application
+        return (
+            f"(CASE WHEN size({v}) = 0 THEN 0 ELSE "
+            f"{body.replace('__vs', f'({v})')} END)"
+        )
+    raise ValueError(f"unsupported label-scoped function: {fn}")
+
+
+def rewrite_labeled_functions(
+    sql: str, labels: set[str], order_cols: list[str] | None = None
+) -> str:
+    """`A.avg(x)` -> `avg(CASE WHEN match_label = 'A' THEN x END)`, plus
+    the sequence-positional tier (`A.LAG(x, 1)`, `A.NTH_VALUE(x, 2)`,
+    `A.PATH('>')`, `A.RANK(x)`, ...) lowered onto ordered collects —
     the label-scoped aggregate surface (reference LabeledFunction,
-    sql/expr/scalar/ScalOp.scala:149-154). Applied only for labels of the
-    query's MATCH pattern, so table-qualified column refs are untouched."""
+    sql/expr/scalar/ScalOp.scala:149-154 + SeqAggregate.scala dispatch).
+    Applied only for labels of the query's MATCH pattern, so
+    table-qualified column refs are untouched. Arguments must be
+    paren-free expressions (nested calls need a pre-projected column)."""
+    from sclera_spark.plans.frontend import _split_top_commas
+
+    order_cols = order_cols or []
 
     def sub(m: re.Match) -> str:
         label, fn, arg = m.group(1), m.group(2), m.group(3)
-        if label.upper() not in labels or fn.upper() not in _LABELED_AGGS:
+        fn_u = fn.upper()
+        if label.upper() not in labels or (
+            fn_u not in _LABELED_AGGS and fn_u not in _LABELED_SEQ_FNS
+            and fn_u != "COUNT"
+        ):
             return m.group(0)
-        inner = arg if arg and arg != "*" else "1"
-        return f"{fn}(CASE WHEN match_label = '{label.upper()}' THEN {inner} END)"
+        args = [a.strip() for a in _split_top_commas(arg) if a.strip()]
+        return _lower_labeled_fn(label.upper(), fn_u, args, order_cols)
 
     return _LABELED_FN_RE.sub(sub, sql)
 
@@ -786,7 +893,7 @@ def lower_extended(engine, sql: str) -> str:
         repl = view if item["alias"] is None else f"{view} AS {item['alias']}"
         sql = sql[: item["start"]] + repl + " " + sql[item["end"] :]
         if labels:
-            sql = rewrite_labeled_functions(sql, labels)
+            sql = rewrite_labeled_functions(sql, labels, item["ordered"])
 
 
 def _lower_op(engine, df, op: dict, item: dict):

@@ -1,0 +1,51 @@
+"""Unpartitioned sequential fallbacks must warn (never silently
+serialize the input through one task)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sclera_spark.scale import UnpartitionedFallbackWarning
+
+
+def test_match_warns_without_partition(spark, tables):
+    from sclera_spark.operators.match import ColumnRowLabeler, match_rows
+
+    ev = tables["events"].limit(100)
+    with pytest.warns(UnpartitionedFallbackWarning, match="MATCH"):
+        match_rows(
+            ev, "VIEW+ PURCHASE", ColumnRowLabeler("event_type"),
+            order_by=["ts", "event_id"],
+        )
+
+
+def test_expmovavg_warns_without_partition(spark, tables):
+    from sclera_spark.operators import expmovavg
+
+    ev = tables["events"].select("user_id", "event_id", "ts", "value").limit(100)
+    with pytest.warns(UnpartitionedFallbackWarning, match="EXPMOVAVG"):
+        expmovavg(
+            ev, "value", decay=0.5, partition_by=[], order_by=["ts", "event_id"]
+        )
+
+
+def test_transform_warns_without_partition(spark, tables):
+    from sclera_spark.operators import transform_partitions
+
+    ev = tables["events"].select("user_id", "value").limit(10)
+    with pytest.warns(UnpartitionedFallbackWarning, match="Transform"):
+        transform_partitions(ev, lambda p: p, ev.schema)
+
+
+def test_partitioned_paths_do_not_warn(spark, tables, recwarn):
+    from sclera_spark.operators import expmovavg
+
+    ev = tables["events"].select("user_id", "event_id", "ts", "value").limit(100)
+    expmovavg(
+        ev, "value", decay=0.5, partition_by=["user_id"], order_by=["ts", "event_id"]
+    )
+    assert not [
+        w for w in recwarn if issubclass(w.category, UnpartitionedFallbackWarning)
+    ]
