@@ -96,11 +96,27 @@ def stream_match_state(
     kept in GroupState; each micro-batch advances it over the new rows and
     emits one row per completed match (start/end timestamps + length).
 
-    This is the unbounded-stream version of operators/match — the state is
-    the in-progress match (frontier states + matched-row count), so memory
-    is O(1) per key regardless of stream length. Caveat: rows must arrive
-    in order per key (enforce upstream with a watermark + sort within the
-    micro-batch, done here per batch).
+    Semantics match the batch operator (greedy leftmost-LONGEST,
+    regex_nfa.CompiledMatcher.find_matches_with_paths): an accepting
+    prefix is not emitted until the attempt is settled —
+
+    - immediately, when the accepting frontier has no outgoing
+      transitions (the match is provably maximal: e.g. the PURCHASE in
+      'VIEW+ PURCHASE');
+    - otherwise when a later row kills the extension attempt; the rows
+      consumed past the accepted end are then REPLAYED through the
+      automaton, exactly like the batch scanner resuming at `best_end`.
+      Failed attempts with no accept replay from their second row
+      (batch `i += 1`).
+
+    State per key is the current attempt's (label, ts) row buffer —
+    bounded by the attempt length, not the stream length (the same
+    buffering any streaming CEP engine needs for longest-match). A match
+    whose extension never dies (pattern like 'A+' with the stream ending
+    on 'A') stays pending until more input arrives — the one inherent
+    divergence from the bounded-input batch operator. Rows must arrive
+    in order per key (sorted within each micro-batch here; use a
+    watermark upstream for cross-batch order).
     """
     from sclera_spark.operators.match.regex_nfa import compile_pattern
 
@@ -108,50 +124,91 @@ def stream_match_state(
     nxt, label_of, finish = nfa.next_map, nfa.label_of, nfa.finish
 
     def update(key, pdfs, state: GroupState):
-        # state tuple: (frontier_states_csv, match_len, start_ts_epoch_us)
+        from collections import deque
+
         if state.exists:
-            frontier_csv, mlen, start_us = state.get
+            frontier_csv, start_us, acc_mlen, acc_ts_us, labs, tss = state.get
             frontier = set(int(x) for x in frontier_csv.split(",") if x != "")
+            labs = list(labs) if labs is not None else []
+            tss = list(tss) if tss is not None else []
         else:
-            frontier, mlen, start_us = set(), 0, 0
+            frontier, start_us, acc_mlen, acc_ts_us = set(), 0, 0, 0
+            labs, tss = [], []
         out = []
+
+        work: deque[tuple[str, int]] = deque()
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
-            for r in pdf.itertuples(index=False):
-                lab = str(getattr(r, label_col)).upper()
-                ts = getattr(r, ts_col)
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if not frontier:
-                    cand = {t for t in nxt[0] if label_of[t] == lab}
-                    if cand:
-                        frontier, mlen, start_us = cand, 1, ts_us
+            ts_vals = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            for lab, ts_us in zip(pdf[label_col].astype(str).str.upper(), ts_vals):
+                work.append((lab, int(ts_us)))
+
+        def emit():
+            out.append(
+                (
+                    *key,
+                    pd.Timestamp(start_us * 1000),
+                    pd.Timestamp(acc_ts_us * 1000),
+                    acc_mlen,
+                )
+            )
+
+        while work:
+            lab, ts_us = work.popleft()
+            if not frontier:
+                cand = {t for t in nxt[0] if label_of[t] == lab}
+                if not cand:
                     continue
-                stepped = {t for s in frontier for t in nxt.get(s, ()) if label_of[t] == lab}
-                if stepped:
-                    frontier = stepped
-                    mlen += 1
-                    if stepped & finish:
-                        out.append(
-                            (
-                                *key,
-                                pd.Timestamp(start_us * 1000),
-                                pd.Timestamp(ts_us * 1000),
-                                mlen,
-                            )
-                        )
-                        frontier, mlen, start_us = set(), 0, 0
-                else:
-                    # restart: maybe this row begins a new match
-                    cand = {t for t in nxt[0] if label_of[t] == lab}
-                    frontier, mlen, start_us = (cand, 1, ts_us) if cand else (set(), 0, 0)
-        state.update((",".join(str(s) for s in sorted(frontier)), mlen, start_us))
+                frontier, labs, tss = cand, [lab], [ts_us]
+                start_us, acc_mlen, acc_ts_us = ts_us, 0, 0
+            else:
+                stepped = {
+                    t for s in frontier for t in nxt.get(s, ()) if label_of[t] == lab
+                }
+                if not stepped:
+                    # attempt dies here: settle it, then replay the
+                    # unconsumed suffix (incl. this row) through a fresh
+                    # automaton — batch-scanner resume semantics
+                    if acc_mlen:
+                        emit()
+                        replay = list(zip(labs, tss))[acc_mlen:]
+                    else:
+                        replay = list(zip(labs, tss))[1:]
+                    frontier, labs, tss = set(), [], []
+                    start_us, acc_mlen, acc_ts_us = 0, 0, 0
+                    work.extendleft(reversed(replay + [(lab, ts_us)]))
+                    continue
+                frontier = stepped
+                labs.append(lab)
+                tss.append(ts_us)
+            if frontier & finish:
+                acc_mlen, acc_ts_us = len(labs), ts_us
+                if not any(nxt.get(s) for s in frontier):
+                    # provably maximal: nothing can ever extend it
+                    emit()
+                    frontier, labs, tss = set(), [], []
+                    start_us, acc_mlen, acc_ts_us = 0, 0, 0
+
+        state.update(
+            (
+                ",".join(str(s) for s in sorted(frontier)),
+                start_us,
+                acc_mlen,
+                acc_ts_us,
+                labs,
+                tss,
+            )
+        )
         cols = [f.name for f in out_schema.fields]
         yield pd.DataFrame(out, columns=cols)
 
     return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         update,
         outputStructType=out_schema,
-        stateStructType="frontier string, mlen int, start_us long",
+        stateStructType=(
+            "frontier string, start_us long, acc_mlen int, acc_ts_us long, "
+            "labs array<string>, tss array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -192,3 +192,71 @@ def test_stream_match_state(spark, stream_dir):
     assert len(got) > 0
     assert (got["match_len"] >= 2).all()
     assert (got["match_end"] >= got["match_start"]).all()
+
+
+def _run_label_stream(spark, rows, pattern, name):
+    """Helper: stream a crafted (user_id, ts, lab) sequence through
+    stream_match_state and return the emitted matches."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("lab", StringType()),
+        ]
+    )
+    import datetime
+
+    data = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, i), lab) for i, lab in enumerate(rows)
+    ]
+    d = tempfile.mkdtemp(prefix="sclera_match_stream_")
+    spark.createDataFrame(data, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    stream = stream_from_directory(spark, d, schema)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("match_start", TimestampType()),
+            StructField("match_end", TimestampType()),
+            StructField("match_len", IntegerType()),
+        ]
+    )
+    out = stream_match_state(
+        stream, pattern=pattern, label_col="lab", keys=["user_id"],
+        ts_col="ts", out_schema=out_schema,
+    )
+    q = run_to_memory(out, name)
+    got = spark.table(name).toPandas().sort_values("match_start")
+    q.stop()
+    return got
+
+
+def test_stream_match_longest_semantics(spark):
+    # 'A+' over A A A B A A B: batch leftmost-longest = len-3 then len-2;
+    # the stream must NOT emit on the first accept (shortest-match bug)
+    got = _run_label_stream(spark, list("AAABAAB"), "A+", "lm1")
+    assert got["match_len"].tolist() == [3, 2]
+
+
+def test_stream_match_failed_attempt_replay(spark):
+    # 'A A B' over A A A B: the first attempt (rows 0-1) dies at row 2;
+    # batch retries from row 1 and matches rows 1-3 — the stream must
+    # replay the buffered suffix to find it
+    got = _run_label_stream(spark, list("AAAB"), "A A B", "lm2")
+    assert got["match_len"].tolist() == [3]
+
+
+def test_stream_match_batch_parity_funnel(spark):
+    # maximal-accept fast path: 'C V+' emits on death, 'V+ P' immediately
+    got = _run_label_stream(spark, list("CVVCVC"), "C V+", "lm3")
+    assert got["match_len"].tolist() == [3, 2]
