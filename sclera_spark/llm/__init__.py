@@ -12,7 +12,10 @@ from sclera_spark.llm.similarity import (
     hyperplane_buckets,
     ann_topk,
     ivf_index,
+    ivf_load,
     ivf_topk,
+    ivf_topk_indexed,
+    ivf_write,
     embedding_dup_pairs,
 )
 from sclera_spark.llm.text import (
@@ -34,7 +37,10 @@ __all__ = [
     "hyperplane_buckets",
     "ann_topk",
     "ivf_index",
+    "ivf_load",
     "ivf_topk",
+    "ivf_topk_indexed",
+    "ivf_write",
     "embedding_dup_pairs",
     "token_count",
     "quality_scores",

@@ -154,6 +154,46 @@ def ivf_topk(
     return cosine_topk(subset, query_vec, k, vec_col, id_col)
 
 
+def ivf_write(indexed: DataFrame, centroids: list[list[float]], path: str) -> None:
+    """Persist an IVF index partitioned by ``ivf_list`` — the scale path:
+    each inverted list becomes its own parquet partition directory, so a
+    probe query's `ivf_list IN (...)` filter is PARTITION PRUNING (only
+    the probed lists' files are opened), not a post-scan filter.
+    Centroids ride along as a JSON sidecar."""
+    import json
+    import os
+
+    indexed.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def ivf_load(spark, path: str):
+    """Load a persisted IVF index -> (indexed_df, centroids)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(path), centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over a PERSISTED IVF index: the probed-list filter prunes
+    parquet partitions (see test_plan_quality — PartitionFilters in the
+    scan), so cost scales with n_probe/n_lists of the corpus, not O(N)."""
+    indexed, centroids = ivf_load(spark, path)
+    return ivf_topk(indexed, centroids, query_vec, k, n_probe, vec_col, id_col)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -263,3 +263,41 @@ def test_multimodal_plumbing(spark):
     fr = frame_sample(assets, every_ms=1000)
     n_video = assets.filter(F.col("media_type") == "video").count()
     assert fr.count() >= n_video
+
+
+def test_ivf_persisted_index_partition_pruning(spark, tables):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import ivf_index, ivf_load, ivf_topk, ivf_topk_indexed, ivf_write
+
+    emb = tables["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    indexed, centroids = ivf_index(emb, dim, n_lists=4)
+    path = tempfile.mkdtemp(prefix="sclera_ivf_") + "/idx"
+    ivf_write(indexed, centroids, path)
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    got = ivf_topk_indexed(spark, path, q, k=5, n_probe=2).toPandas()
+    want = ivf_topk(indexed, centroids, q, k=5, n_probe=2).toPandas()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+    # the probed-list filter must reach the scan as PARTITION pruning,
+    # not a post-scan filter — only n_probe of n_lists directories read
+    loaded, cents = ivf_load(spark, path)
+    import numpy as np
+
+    qa = np.asarray(q)
+    dists = [float(np.linalg.norm(qa - np.asarray(c))) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: dists[i])[:2]
+    plan = (
+        loaded.filter(F.col("ivf_list").isin(probe))
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:160]
+    assert "ivf_list" in seg
