@@ -165,6 +165,39 @@ class ScleraEngine:
             raise KeyError(f"unknown external source: {name}")
         return fn(*args, **kwargs)
 
+    def register_sink(self, name: str, fn: Callable[..., None]) -> None:
+        if not hasattr(self, "sinks"):
+            self.sinks: dict[str, Callable[..., None]] = {}
+        self.sinks[name.upper()] = fn
+
+    def external_sink(self, name: str, df: DataFrame, *args, **kwargs) -> None:
+        """CREATE EXTERNAL <target> AS <query> write path (reference
+        SqlCudParser.scala:57-63 / ExternalTarget)."""
+        if not hasattr(self, "sinks"):
+            self._register_builtin_sinks()
+        fn = self.sinks.get(name.upper())
+        if fn is None:
+            raise KeyError(f"unknown external sink: {name}")
+        return fn(df, *args, **kwargs)
+
+    def _register_builtin_sinks(self) -> None:
+        self.register_sink(
+            "CSV",
+            lambda df, path, **o: df.write.mode("overwrite")
+            .options(header=True, **o)
+            .csv(path),
+        )
+        self.register_sink(
+            "JSON", lambda df, path, **o: df.write.mode("overwrite").options(**o).json(path)
+        )
+        self.register_sink(
+            "PARQUET",
+            lambda df, path, **o: df.write.mode("overwrite").options(**o).parquet(path),
+        )
+        self.register_sink(
+            "JDBC", lambda df, url, table, **o: df.write.jdbc(url, table, mode="overwrite")
+        )
+
     def _register_builtin_sources(self) -> None:
         # SequenceSource(n): integers 0..n-1, sorted
         # (reference external/objects/SequenceSource.scala:26-46)

@@ -33,6 +33,13 @@ class DdlRouter:
         (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_ctas"),
         (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s*\((.*)\)\s*$", re.I | re.S), "_create_table"),
         (re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_cview"),
+        (
+            re.compile(
+                r"^\s*CREATE\s+EXTERNAL\s+(\w+)\s*(?:\(([^)]*)\)\s*)?AS\s+(.*)$",
+                re.I | re.S,
+            ),
+            "_create_external",
+        ),
         (re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$", re.I | re.S), "_insert"),
         (re.compile(r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_update"),
         (re.compile(r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_delete"),
@@ -165,6 +172,14 @@ class DdlRouter:
         )
         empty = self.engine.spark.createDataFrame([], schema)
         self._materialize(name, empty)
+
+    def _create_external(self, kind: str, params: str | None, query: str):
+        """CREATE EXTERNAL <sink> ('param', ...) AS <query> — write the
+        query result through the sink registry (reference
+        SqlCudParser.scala:57-63 / ExternalTarget)."""
+        args = [p.strip().strip("'") for p in (params or "").split(",") if p.strip()]
+        df = self.engine.sql(query)
+        self.engine.external_sink(kind, df, *args)
 
     def _cview(self, name: str, query: str):
         df = self.engine.sql(query)

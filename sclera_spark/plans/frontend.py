@@ -473,15 +473,21 @@ def _lower_distinct_on(engine, sql: str) -> DataFrame:
     Rewrite:  SELECT DISTINCT ON (k) cols FROM ... ORDER BY k, o
     into a row_number() window query (the same plan shape our distinct_on
     operator produces)."""
-    m = re.search(
-        r"^\s*SELECT\s+DISTINCT\s+ON\s*\((?P<on>[^)]*)\)\s*(?P<select>.*?)\s+FROM\s+"
+    dm = _DISTINCT_ON_RE.search(sql)
+    if not dm:
+        raise ValueError(f"cannot parse DISTINCT ON query: {sql}")
+    # balanced capture of the ON (...) list — expressions with parens
+    # (e.g. `ON (date_trunc('day', ts))`) must not truncate at the first ')'
+    close = _find_balanced(sql, dm.end() - 1)
+    on = sql[dm.end() : close - 1].strip()
+    m = re.match(
+        r"\s*(?P<select>.*?)\s+FROM\s+"
         r"(?P<rest>.*?)(?:\s+ORDER\s+BY\s+(?P<order>.*?))?\s*$",
-        sql,
+        sql[close:],
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(f"cannot parse DISTINCT ON query: {sql}")
-    on = m.group("on").strip()
     select = m.group("select").strip()
     rest = m.group("rest").strip()
     order = (m.group("order") or "").strip()

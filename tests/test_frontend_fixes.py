@@ -129,3 +129,24 @@ def test_quantified_eq_all(engine, quant_tables):
     )
     assert _ids(engine, "x = ALL (SELECT v FROM qsub_const3)") == {1}
     assert _ids(engine, "x <> ANY (SELECT v FROM qsub_const3)") == {0, 2}
+
+
+def test_distinct_on_paren_expr(engine):
+    # expression with parens in the ON list (broke the old [^)]* capture)
+    rows = engine.sql("""
+        SELECT DISTINCT ON (date_trunc('month', o_orderdate)) o_orderkey, o_orderdate
+        FROM orders ORDER BY date_trunc('month', o_orderdate), o_orderdate, o_orderkey
+    """).collect()
+    months = {(r.o_orderdate.year, r.o_orderdate.month) for r in rows}
+    assert len(rows) == len(months) > 1
+
+
+def test_create_external_sink_roundtrip(engine):
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sclera_sink_") + "/regions"
+    engine.execute(
+        f"CREATE EXTERNAL PARQUET ('{out}') AS SELECT r_regionkey, r_name FROM region"
+    )
+    back = engine.external_source("PARQUET", out)
+    assert back.count() == 5
