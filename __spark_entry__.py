@@ -355,19 +355,14 @@ def _q_movavg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_row_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VALUES inline relation x SequenceSource(n) external source
-    (reference external/objects/SequenceSource.scala:26-46)."""
+    """VALUES inline relation x SequenceSource(n), both through the SQL
+    surface (`FROM SEQUENCE(n)` per reference SqlQueryParser.scala:1060,
+    SequenceSource.scala:26-46)."""
     eng = _engine(spark, sf_dir)
-    seq = eng.external_source("SEQUENCE", 100)
-    vals = eng.sql(
-        "SELECT id, name FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, name)"
-    )
-    return seq.crossJoin(vals).select(
-        F.col("seq").cast("long").alias("seq"),
-        "id",
-        "name",
-        (F.col("seq") * F.col("id")).cast("long").alias("prod"),
-    )
+    return eng.sql("""
+        SELECT seq, id, name, CAST(seq * id AS BIGINT) AS prod
+        FROM SEQUENCE(100) CROSS JOIN (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, name)
+    """)
 
 
 # ------------------------------------------------ extended operator tier
@@ -921,14 +916,34 @@ def _q_split_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW_TIER_B7 = """
+    SELECT user_id, event_id,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3
+    FROM events
+"""
+
+
+def _q_window_tier_b7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(_WINDOW_TIER_B7)
+
+
 def bench_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operator-level queries kept out of the graded entry window but
-    pinned in bench.py against BASELINE.md (B2/B4/B5/B6)."""
+    pinned in bench.py against BASELINE.md (B2/B4/B5/B6); window_tier is
+    overridden with the original B7 shape (the graded entry now computes
+    9 window columns, so the merged query is not BASELINE-comparable)."""
     return {
         "multi_join": _q_multi_join,
         "unpivot": _q_unpivot,
         "match_funnel": _q_match_funnel,
         "split_intervals": _q_split_intervals,
+        "window_tier": _q_window_tier_b7,
     }
 
 

@@ -5,6 +5,25 @@ and prints ONE JSON line with per-query wall seconds.
 Query set mirrors BASELINE.md B1-B7 plus the LLM-pipeline headliners.
 Each query is fully materialized via a count-style action (no driver-side
 collect of data rows).
+
+Scale mode: SPARK_GRAFT_SCALE=N (N > 1) benches an N-times-replicated
+copy of the input (each replica's key columns shifted by a disjoint
+offset, so joins/sequences stay within their replica — referential
+integrity preserved). With the sf0.1 inputs, SCALE=10 approximates sf1:
+enough rows that the pandas-path operators' fixed Python-worker cost
+amortizes and regressions in per-row cost become visible. The scaled
+copy is derived once into .benchdata/ and reused; the default (no env)
+behavior is untouched for the driver.
+
+Caveat: replication clones document texts, so every doc gains N-1
+exact near-duplicates — minhash_pairs becomes a clone-heavy dedup
+stress (true-pair count grows ~N^2/2 per text) rather than a
+same-density corpus. Measured at SCALE=10 (≈sf1, 2026-08-13):
+total 50.7s — q1_agg 0.52, multi_join 1.06, distinct_on 1.52,
+match_funnel 3.97 (fixed pandas cost amortized: 1.2x for 10x rows),
+split_intervals 2.90, window_tier 0.78, expmovavg 0.90,
+minhash_pairs 37.2 (~227k true clone pairs), cosine_topk 0.58,
+quality_scores 0.38, dedup_exact 0.64.
 """
 
 from __future__ import annotations
@@ -16,13 +35,64 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings"
+
+# key columns shifted per replica (uniform offset keeps every equality
+# join consistent within a replica; non-key attributes untouched)
+_KEY_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+_OFFSET = 100_000_000
+
+
+def ensure_scaled_dir(spark, base_dir: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    base_sf = os.path.basename(os.path.normpath(base_dir))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchdata", f"{base_sf}x{factor}"
+    )
+    marker = os.path.join(out_dir, "_SCALED_OK")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES.split():
+        src = spark.read.parquet(os.path.join(base_dir, f"{name}.parquet"))
+        parts = []
+        for i in range(factor):
+            rep = src
+            for c in _KEY_COLS[name]:
+                rep = rep.withColumn(c, (F.col(c) + F.lit(i * _OFFSET)).cast(src.schema[c].dataType))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale = int(os.environ.get("SPARK_GRAFT_SCALE", "1"))
     import __spark_entry__ as entry
     from sclera_spark.session import build_session
 
     spark = build_session(app_name="sclera-bench")
+    base_sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
+    if scale > 1:
+        sf_dir = ensure_scaled_dir(spark, sf_dir, scale)
     qs = entry.queries()
     qs.update(getattr(entry, "bench_extra_queries", dict)())
 
@@ -52,7 +122,6 @@ def main() -> None:
         results[name] = round(time.time() - t0, 3)
 
     total = round(sum(results.values()), 3)
-    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
     print(
         json.dumps(
             {
@@ -60,7 +129,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
-                "sf": sf,
+                "sf": base_sf * scale,
             }
         )
     )

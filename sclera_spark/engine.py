@@ -165,6 +165,18 @@ class ScleraEngine:
             raise KeyError(f"unknown external source: {name}")
         return fn(*args, **kwargs)
 
+    def register_scalar(self, lib: str, fn_name: str, fn: Callable, return_type=None):
+        """Register an external scalar function, callable in SQL text as
+        ``EXTERNAL lib.fn(args)`` (reference ExternalScalarFunction,
+        SqlQueryParser.scala:856-864). Row-at-a-time Python UDF — the
+        documented slow path; register a pandas_udf-backed callable for
+        hot-path use."""
+        name = f"__sclera_ext_{lib}_{fn_name}".lower()
+        if return_type is not None:
+            self.spark.udf.register(name, fn, return_type)
+        else:
+            self.spark.udf.register(name, fn)
+
     def register_sink(self, name: str, fn: Callable[..., None]) -> None:
         if not hasattr(self, "sinks"):
             self.sinks: dict[str, Callable[..., None]] = {}

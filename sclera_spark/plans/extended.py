@@ -265,14 +265,31 @@ def _parse_cols(inner: str) -> list[str]:
 
 
 def _parse_source(cur: _Cursor):
-    """table name or ( subquery ); returns ('table', name) / ('derived',
-    text) / None."""
+    """table name, ( subquery ), EXTERNAL src('params'), or SEQUENCE(n)
+    (reference SqlQueryParser.scala:1054-1062); returns (kind, payload,
+    start) or None."""
     cur.skip_ws()
     if cur.peek_char() == "(":
         start = cur.pos
         inner = cur.take_parens()
         return ("derived", inner, start)
     start = cur.pos
+    w = cur.peek_word()
+    if w == "EXTERNAL":
+        cur.take_kw("EXTERNAL")
+        name = cur.take_ident()
+        params = cur.take_parens()
+        if name is None:
+            raise ValueError("EXTERNAL requires a source name")
+        return ("external", (name, params or ""), start)
+    if w == "SEQUENCE":
+        save = cur.pos
+        cur.take_kw("SEQUENCE")
+        params = cur.take_parens()
+        if params is None:
+            cur.pos = save  # a table actually named sequence
+        else:
+            return ("external", ("SEQUENCE", params), start)
     name = cur.take_ident()
     if name is None or name.upper() in _RESERVED_AFTER_SOURCE:
         return None
@@ -582,7 +599,7 @@ def _find_extended_item(sql: str) -> dict | None:
                 raise
             if item is None:
                 break
-            if item["ops"]:
+            if item["ops"] or item["kind"] == "external":
                 return item
             # move to the next item in this FROM clause, if any
             i = _skip_ws(sql, item["end"])
@@ -600,7 +617,7 @@ def _find_extended_item(sql: str) -> dict | None:
                 nxt = _parse_item(sql, i)
                 if nxt is None:
                     break
-                if nxt["ops"]:
+                if nxt["ops"] or nxt["kind"] == "external":
                     return nxt
                 i = _skip_ws(sql, nxt["end"])
                 w2 = _peek_word(sql, i)
@@ -625,7 +642,8 @@ def has_extended_clause(sql: str) -> bool:
     decision is the parse in lower_extended (a column named `text` or
     `match` does not trip it)."""
     for m in re.finditer(
-        r"\b(MATCH|SPLIT|ARG|PIVOT|UNPIVOT|TYPEINFER|CLASSIFIED|CLUSTERED|IMPUTED|TEXT|ALIGN)\b",
+        r"\b(MATCH|SPLIT|ARG|PIVOT|UNPIVOT|TYPEINFER|CLASSIFIED|CLUSTERED|IMPUTED"
+        r"|TEXT|ALIGN|EXTERNAL|SEQUENCE)\b",
         sql,
         re.IGNORECASE,
     ):
@@ -826,9 +844,28 @@ def rewrite_labeled_functions(
     return _LABELED_FN_RE.sub(sub, sql)
 
 
-def _resolve_source(engine, kind: str, text: str):
+def _resolve_source(engine, kind: str, text):
     if kind == "table":
         return engine.table(text)
+    if kind == "external":
+        # FROM EXTERNAL src('param', ...) / FROM SEQUENCE(n)
+        # (reference SqlQueryParser.scala:1054-1062)
+        from sclera_spark.plans.frontend import _split_top_commas
+
+        name, params = text
+        args = []
+        for p in _split_top_commas(params):
+            p = p.strip()
+            if not p:
+                continue
+            if p.startswith("'"):
+                args.append(p.strip("'"))
+            else:
+                try:
+                    args.append(int(p))
+                except ValueError:
+                    args.append(p)
+        return engine.external_source(name, *args)
     inner = text.strip()
     if not re.match(r"(?is)\s*(SELECT|WITH|VALUES|TABLE)\b", inner):
         inner = "SELECT * FROM " + inner

@@ -350,6 +350,19 @@ def _rewrite_fn_names(text: str) -> str:
     return _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).upper()] + "(", text)
 
 
+# EXTERNAL lib.fn(args) -> the registered UDF name (reference
+# ExternalScalarFunction, SqlQueryParser.scala:856-864). The relational
+# form `FROM EXTERNAL src(...)` has no dot and is handled by the extended
+# from-item parser instead.
+_EXTERNAL_FN_RE = re.compile(r"\bEXTERNAL\s+(\w+)\.(\w+)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_external_fns(text: str) -> str:
+    return _EXTERNAL_FN_RE.sub(
+        lambda m: f"__sclera_ext_{m.group(1)}_{m.group(2)}(".lower(), text
+    )
+
+
 _NUMFN_RE = re.compile(r"\b(FLOOR|CEILING|CEIL|POWER|POW)\s*\(", re.IGNORECASE)
 
 
@@ -431,6 +444,46 @@ def _rewrite_moving_fns(text: str) -> str:
     return _MOV_RE.sub(sub, text)
 
 
+_WINDOW_DEF_RE = re.compile(r"\bWINDOW\s+(\w+)\s+AS\s*\(", re.IGNORECASE)
+_OVER_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+
+
+def _rewrite_named_window_frames(sql: str) -> str:
+    """Inline `OVER (w ROWS BETWEEN ...)` against its `WINDOW w AS (...)`
+    definition. Spark supports the WINDOW clause and plain `OVER w`, but
+    not the PostgreSQL/reference form that EXTENDS a named window with a
+    frame — splice the definition in front of the frame text."""
+    defs: dict[str, str] = {}
+    for m in _WINDOW_DEF_RE.finditer(sql):
+        if _in_literal(sql, m.start()):
+            continue
+        close = _find_balanced(sql, m.end() - 1)
+        defs[m.group(1).lower()] = sql[m.end() : close - 1].strip()
+    if not defs:
+        return sql
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _OVER_RE.search(sql, i)
+        if m is None:
+            out.append(sql[i:])
+            return "".join(out)
+        if _in_literal(sql, m.start()):
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        close = _find_balanced(sql, m.end() - 1)
+        inner = sql[m.end() : close - 1]
+        wm = re.match(r"\s*(\w+)\s+(\S.*)$", inner, re.DOTALL)
+        if wm and wm.group(1).lower() in defs:
+            out.append(sql[i : m.start()])
+            out.append(f"OVER ({defs[wm.group(1).lower()]} {wm.group(2)})")
+            i = close
+        else:
+            out.append(sql[i : close])
+            i = close
+
+
 def dialect_rewrite(sql: str) -> str:
     sql = _rewrite_similar_to(sql)
     sql = _rewrite_moving_fns(sql)
@@ -446,6 +499,7 @@ def dialect_rewrite(sql: str) -> str:
         else:
             t = _rewrite_casts(text)
             t = _rewrite_fn_names(t)
+            t = _rewrite_external_fns(t)
             out.append(t)
     # the remaining rewrites span string literals (quoted SYMMETRIC
     # bounds, subqueries with literals, literal fn args), so they run on
@@ -453,6 +507,7 @@ def dialect_rewrite(sql: str) -> str:
     sql = "".join(out)
     sql = _rewrite_symmetric(sql)
     sql = _rewrite_numeric_fns(sql)
+    sql = _rewrite_named_window_frames(sql)
     return _rewrite_quantified(sql)
 
 

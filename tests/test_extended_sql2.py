@@ -226,3 +226,34 @@ def test_drop_classifier(engine, feats_view):
     engine.execute("DROP CLASSIFIER drop_me")
     with pytest.raises(KeyError):
         engine.ml.get("drop_me")
+
+
+def test_from_sequence_sql(engine):
+    rows = engine.sql("SELECT seq FROM SEQUENCE(5) ORDER BY seq").collect()
+    assert [r.seq for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_from_external_source_sql(engine, tables):
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sclera_extsrc_") + "/nations"
+    engine.table("nation").write.mode("overwrite").parquet(out)
+    rows = engine.sql(
+        f"SELECT count(*) AS n FROM EXTERNAL PARQUET('{out}')"
+    ).collect()
+    assert rows[0].n == engine.table("nation").count()
+    # join position too
+    rows2 = engine.sql(f"""
+        SELECT r_name, count(*) AS n
+        FROM EXTERNAL PARQUET('{out}') e JOIN region ON e.n_regionkey = r_regionkey
+        GROUP BY r_name
+    """).collect()
+    assert len(rows2) == 5
+
+
+def test_external_scalar_function(engine):
+    engine.register_scalar("mylib", "twice", lambda x: None if x is None else 2 * x, "long")
+    rows = engine.sql(
+        "SELECT EXTERNAL mylib.twice(n_nationkey) AS t FROM nation ORDER BY t LIMIT 3"
+    ).collect()
+    assert [r.t for r in rows] == [0, 2, 4]

@@ -150,3 +150,18 @@ def test_create_external_sink_roundtrip(engine):
     )
     back = engine.external_source("PARQUET", out)
     assert back.count() == 5
+
+
+def test_named_window_frame_extension(engine, spark):
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (2, 5.0)], "k int, v double"
+    ).createOrReplaceTempView("wt")
+    rows = engine.sql("""
+        SELECT k, v,
+               sum(v) OVER w AS s,
+               sum(v) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2
+        FROM wt WINDOW w AS (PARTITION BY k ORDER BY v)
+    """).collect()
+    got = {(r.k, r.v): (r.s, r.s2) for r in rows}
+    assert got[(1, 3.0)] == (6.0, 5.0)
+    assert got[(2, 5.0)] == (5.0, 5.0)

@@ -124,3 +124,48 @@ def test_arg_opt_partial_aggregation(engine):
     )
     plan = _plan(df)
     assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+
+
+def test_predicates_probe_pushes_filters(engine):
+    # every branch of the merged predicates probe must push its filter
+    # into the parquet scan (no full-scan + post-filter)
+    from __spark_entry__ import _Q
+
+    df = engine.sql(_Q["predicates"])
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    # the cheap static prunes (o_orderkey ranges) must reach the scan
+    assert "LessThanOrEqual(o_orderkey" in plan
+
+
+def test_q5_joins_broadcast_dimensions(engine):
+    from __spark_entry__ import _Q
+
+    df = engine.sql(_Q["q5_local_supplier"])
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_partial_aggregation(engine):
+    from __spark_entry__ import _Q
+
+    df = engine.sql(_Q["grouping_sets"])
+    plan = _formatted(df)
+    # expand + two-phase hash aggregation (map-side partials)
+    assert plan.count("HashAggregate") >= 2
+    assert "Expand" in plan
+
+
+def test_labeled_seq_fns_stay_jvm_side(engine):
+    # the ordered-collect lowering of label-scoped LAG/PATH/RANK must not
+    # introduce Python row processing beyond the single NFA mapInPandas
+    df = engine.sql("""
+        SELECT user_id, match_id, VIEW.lag(value, 1) AS pv, VIEW.path('>') AS p
+        FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
+             MATCH 'VIEW+ PURCHASE' ON event_type
+        GROUP BY user_id, match_id
+    """)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
