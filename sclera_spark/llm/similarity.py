@@ -91,18 +91,40 @@ def ann_topk(
     id_col: str = "vec_id",
     n_bits: int = 8,
     seed: int = 42,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scan to the query's SRP
-    bucket (single bucket probe; callers wanting better recall can union
-    multi-probe buckets)."""
+    bucket, plus multi-probe neighbors for recall. Probe buckets are the
+    standard multi-probe LSH sequence: flip the bits whose hyperplane
+    margin |q.h_i| is smallest (the likeliest sign disagreements for true
+    neighbors), single flips first, then the cheapest double flips —
+    driver-side arithmetic over n_bits values only, the scan stays a
+    bucket-key filter."""
+    import itertools as _it
+
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_bits, seed)
+    margins = [sum(a * b for a, b in zip(query_vec, h)) for h in planes]
     qb = 0
-    for i, h in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, h)) >= 0:
+    for i, m in enumerate(margins):
+        if m >= 0:
             qb |= 1 << i
+    # candidate probes ranked by total flipped-margin cost
+    order = sorted(range(n_bits), key=lambda i: abs(margins[i]))
+    cands: list[tuple[float, int]] = []
+    for i in order:
+        cands.append((abs(margins[i]), qb ^ (1 << i)))
+    for i, j in _it.combinations(order[: min(n_bits, 6)], 2):
+        cands.append((abs(margins[i]) + abs(margins[j]), qb ^ (1 << i) ^ (1 << j)))
+    cands.sort(key=lambda t: t[0])
+    probes = [qb] + [b for _, b in cands[: max(0, n_probe - 1)]]
     bucketed = hyperplane_buckets(df, dim, n_bits, vec_col, "bucket", seed)
-    return cosine_topk(bucketed.filter(F.col("bucket") == qb), query_vec, k, vec_col, id_col)
+    pred = (
+        F.col("bucket") == probes[0]
+        if len(probes) == 1
+        else F.col("bucket").isin(probes)
+    )
+    return cosine_topk(bucketed.filter(pred), query_vec, k, vec_col, id_col)
 
 
 def ivf_index(

@@ -301,3 +301,32 @@ def test_ivf_persisted_index_partition_pruning(spark, tables):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:160]
     assert "ivf_list" in seg
+
+
+def test_ann_multiprobe_improves_recall(tables):
+    import numpy as np
+
+    emb = tables["embeddings"]
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+
+    def exact_topk(q, k):
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((ids, -sims))
+        return set(ids[order[:k]].tolist())
+
+    hits1 = hitsN = denom = 0
+    for vid in ids[:5]:
+        q = list(mat[np.flatnonzero(ids == vid)[0]])
+        want = exact_topk(np.asarray(q), 5)
+        got1 = {r.vec_id for r in ann_topk(emb, q, k=5, n_bits=6).collect()}
+        gotN = {r.vec_id for r in ann_topk(emb, q, k=5, n_bits=6, n_probe=16).collect()}
+        hits1 += len(want & got1)
+        hitsN += len(want & gotN)
+        denom += len(want)
+    assert hitsN > hits1  # probing flipped-margin buckets buys recall
+    # the synthetic corpus has no true near neighbors (max cosine ~0.5),
+    # so even exact-ish recall saturates slowly; 16 of 64 buckets
+    # measured 0.68 on this fixed seed/data
+    assert hitsN / denom >= 0.6
