@@ -63,13 +63,24 @@ def op_ngrams(df: DataFrame, text_col: str, n: int = 2, out_col: str = "ngram") 
     return df.withColumn(out_col, F.explode(grams))
 
 
-def op_entities(df: DataFrame, text_col: str, out_col: str = "entity") -> DataFrame:
+def op_entities(
+    df: DataFrame, text_col: str, out_col: str = "entity", type_col: str | None = None
+) -> DataFrame:
     """Capitalized-span entity extraction (regex heuristic; a real NER
-    backend can be registered over this name)."""
+    backend can be registered over this name). With ``type_col`` a second
+    result column tags multi-word spans NAME vs single-word TERM — the
+    reference's multi-column resCols surface (`TEXT op IN c TO (e, t)`,
+    SqlQueryParser.scala:1031-1037)."""
     ents = F.regexp_extract_all(
         F.col(text_col), F.lit(r"([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)"), F.lit(1)
     )
-    return df.withColumn(out_col, F.explode(ents))
+    out = df.withColumn(out_col, F.explode(ents))
+    if type_col:
+        out = out.withColumn(
+            type_col,
+            F.when(F.size(F.split(F.col(out_col), " ")) > 1, "NAME").otherwise("TERM"),
+        )
+    return out
 
 
 @dataclass

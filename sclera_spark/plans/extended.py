@@ -1075,6 +1075,9 @@ def _lower_op(engine, df, op: dict, item: dict):
         kwargs = {}
         if op["to"]:
             kwargs["out_col"] = op["to"][0]
+            if len(op["to"]) > 1:
+                # multi-column resCols (only ENTITIES emits a second col)
+                kwargs["type_col"] = op["to"][1]
         # annotIdent: optional library qualifier (`TEXT nlp.tokenize IN c`)
         df = nlp_op(op["name"].split(".")[-1], df, op["in"], **kwargs)
     elif kind == "ALIGN":

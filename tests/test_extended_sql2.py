@@ -257,3 +257,15 @@ def test_external_scalar_function(engine):
         "SELECT EXTERNAL mylib.twice(n_nationkey) AS t FROM nation ORDER BY t LIMIT 3"
     ).collect()
     assert [r.t for r in rows] == [0, 2, 4]
+
+
+def test_nlp_entities_multi_column_to(engine, spark):
+    spark.createDataFrame(
+        [(1, "Ada Lovelace met Babbage in London today")], "doc_id long, text string"
+    ).createOrReplaceTempView("ner_docs")
+    rows = engine.sql(
+        "SELECT doc_id, e, t FROM ner_docs TEXT entities IN text TO (e, t)"
+    ).collect()
+    got = {(r.e, r.t) for r in rows}
+    assert ("Ada Lovelace", "NAME") in got
+    assert ("London", "TERM") in got
