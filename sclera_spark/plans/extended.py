@@ -726,6 +726,7 @@ _LABELED_AGGS = {
 _LABELED_SEQ_FNS = {
     "LAG", "NTH_VALUE", "FIRST", "LAST", "PATH", "STRING_AGG",
     "RANK", "DENSE_RANK", "ROW_NUMBER", "EXISTS",
+    "EXPMOVAVG", "MOVAVG", "MOVSUM", "MOVSTDDEV",
 }
 
 
@@ -784,6 +785,36 @@ def _lower_labeled_fn(label: str, fn: str, args: list[str], order_cols: list[str
             delim = args[1] if len(args) > 1 else "', '"
         v = _ordered_vals(label, f"CAST(({expr}) AS STRING)", order_cols)
         return f"concat('[', array_join({v}, {delim}), ']')"
+    if fn in ("EXPMOVAVG", "MOVAVG", "MOVSUM", "MOVSTDDEV"):
+        # moving/exponential aggregates evaluated at the end of the
+        # label's row sequence (SeqExpMovingAvgAggregate:840-859,
+        # SeqMovingAvgAggregate:797-813, SeqMovingStdDevAggregate:815-839)
+        v = _ordered_vals(label, f"CAST(({args[0]}) AS DOUBLE)", order_cols)
+        if fn == "EXPMOVAVG":
+            d = args[1]
+            return (
+                f"aggregate(({v}), CAST(NULL AS DOUBLE), (__a, __x) -> "
+                f"CASE WHEN __a IS NULL THEN __x "
+                f"ELSE __a * (1 - ({d})) + __x * ({d}) END)"
+            )
+        n = args[1]
+        lastn = f"slice(__vs, greatest(size(__vs) - ({n}) + 1, 1), ({n}))"
+        ssum = f"aggregate({lastn}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
+        c = f"size({lastn})"
+        if fn == "MOVSUM":
+            body = f"CASE WHEN size(__vs) = 0 THEN CAST(NULL AS DOUBLE) ELSE {ssum} END"
+        elif fn == "MOVAVG":
+            body = (
+                f"CASE WHEN size(__vs) = 0 THEN CAST(NULL AS DOUBLE) "
+                f"ELSE ({ssum}) / {c} END"
+            )
+        else:  # MOVSTDDEV: population var of the last n, scaled to sample
+            ssq = f"aggregate({lastn}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x * __x)"
+            body = (
+                f"CASE WHEN {c} <= 1 THEN CAST(NULL AS DOUBLE) ELSE "
+                f"sqrt((({ssq}) / {c} - pow(({ssum}) / {c}, 2)) * {c} / ({c} - 1)) END"
+            )
+        return "(" + body.replace("__vs", f"({v})") + ")"
     if fn in ("RANK", "DENSE_RANK"):
         # running rank in sequence order, evaluated at the last row
         # (SeqRankAggregate): RANK jumps to the position where the final

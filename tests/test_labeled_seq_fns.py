@@ -120,3 +120,52 @@ def test_rank_sequences(engine, spark):
     """).collect()
     assert len(got) == 1
     assert got[0].rk == 3 and got[0].drk == 2
+
+
+def test_labeled_moving_fns_vs_pandas(engine, matched):
+    got = engine.sql("""
+        SELECT user_id, match_id,
+               VIEW.expmovavg(value, 0.3) AS ema,
+               VIEW.movavg(value, 2) AS ma2,
+               VIEW.movsum(value, 2) AS ms2,
+               VIEW.movstddev(value, 3) AS msd3
+        FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
+             MATCH 'VIEW+ PURCHASE' ON event_type
+        GROUP BY user_id, match_id
+    """).toPandas().sort_values(["user_id", "match_id"]).reset_index(drop=True)
+
+    import math
+
+    rows = []
+    for (uid, mid), g in matched.groupby(["user_id", "match_id"]):
+        vals = g[g["match_label"] == "VIEW"]["value"].tolist()
+        ema = None
+        for x in vals:
+            ema = x if ema is None else ema * 0.7 + x * 0.3
+        last2 = vals[-2:]
+        last3 = vals[-3:]
+        if len(last3) <= 1:
+            msd3 = None
+        else:
+            c = len(last3)
+            ex = sum(last3) / c
+            exx = sum(x * x for x in last3) / c
+            msd3 = math.sqrt((exx - ex * ex) * c / (c - 1))
+        rows.append(
+            {
+                "user_id": uid,
+                "match_id": mid,
+                "ema": ema,
+                "ma2": sum(last2) / len(last2) if last2 else None,
+                "ms2": sum(last2) if last2 else None,
+                "msd3": msd3,
+            }
+        )
+    import pandas as pd
+
+    want = pd.DataFrame(rows).sort_values(["user_id", "match_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in ("ema", "ma2", "ms2", "msd3"):
+        l = got[col].fillna(-999.0).to_numpy()
+        r = want[col].astype(float).fillna(-999.0).to_numpy()
+        assert (abs(l - r) < 1e-9).all(), col
