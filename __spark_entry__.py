@@ -853,6 +853,20 @@ def _q_expmovavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ema")
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pipeline: opaque binary assets + typed metadata
+    through the mapInPandas feature extractors. Decoders are declared
+    deterministic stubs (no codec libs in this container); the Spark-side
+    plumbing — schema, Arrow batching, UDF signatures — is real
+    (tests/test_llm_ops.py::test_multimodal_plumbing)."""
+    from sclera_spark.llm.multimodal import image_features, synthetic_assets
+
+    assets = synthetic_assets(spark, 300)
+    return image_features(assets.filter(F.col("media_type") == "image")).select(
+        "asset_id", "mean_intensity", "aspect_ratio", F.size("feature_vec").alias("feat_dim")
+    )
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (extension beyond the reference; HLL values
     are implementation-specific -> rows-only)."""
@@ -994,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "match_alternation": _q_match_alternation,
             "expmovavg": _q_expmovavg,
             "approx_distinct": _q_approx_distinct,
+            "multimodal_features": _q_multimodal_features,
         }
     )
     return out
