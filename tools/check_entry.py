@@ -40,9 +40,17 @@ def main():
     import duckdb
 
     import __spark_entry__ as entry
-    from sclera_spark.session import build_session
 
-    spark = build_session(app_name="check-entry", master="local[8]", shuffle_partitions=8)
+    # vanilla session, mirroring the grading driver (NOT build_session):
+    # entries must set any conf they need through ScleraEngine themselves
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-entry")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for name in (
         "region nation customer supplier part orders lineitem events documents embeddings"
