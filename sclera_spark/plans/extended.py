@@ -643,7 +643,7 @@ def has_extended_clause(sql: str) -> bool:
     `match` does not trip it)."""
     for m in re.finditer(
         r"\b(MATCH|SPLIT|ARG|PIVOT|UNPIVOT|TYPEINFER|CLASSIFIED|CLUSTERED|IMPUTED"
-        r"|TEXT|ALIGN|EXTERNAL|SEQUENCE)\b",
+        r"|TEXT|ALIGN|EXTERNAL|SEQUENCE|EXPMOVAVG)\b",
         sql,
         re.IGNORECASE,
     ):
@@ -944,9 +944,66 @@ def _compile_dist(expr: str, a_cols: list[str], b_cols: list[str]):
     return dist
 
 
+_EMA_RE = re.compile(
+    r"\bEXPMOVAVG\s*\(\s*(?P<col>\w+)\s*,\s*(?P<decay>[0-9.]+)\s*\)\s*"
+    r"OVER\s*\(\s*(?:PARTITION\s+BY\s+(?P<part>\w+(?:\s*,\s*\w+)*)\s+)?"
+    r"ORDER\s+BY\s+(?P<ord>\w+(?:\s*,\s*\w+)*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _lower_expmovavg_windows(engine, sql: str) -> str:
+    """`EXPMOVAVG(x, decay) OVER (PARTITION BY p ORDER BY o)` in a select
+    list -> the sequential EXPMOVAVG operator (reference
+    SeqExpMovingAvgAggregate; an EMA is a recurrence, inexpressible as a
+    framed window). The FROM item must be a plain table or derived table;
+    each occurrence adds an EMA column to the source and the call site is
+    rewritten to reference it."""
+    from sclera_spark.operators import expmovavg
+
+    while True:
+        m = _EMA_RE.search(sql)
+        if m is None or _in_literal(sql, m.start()):
+            return sql
+        fm = None
+        for cand in _FROM_RE.finditer(sql):
+            if not _in_literal(sql, cand.start()):
+                fm = cand
+                break
+        if fm is None:
+            raise ValueError("EXPMOVAVG window requires a FROM clause")
+        item = _parse_item(sql, fm.end())
+        if item is None or item["ops"]:
+            raise ValueError(
+                "EXPMOVAVG window needs a plain table/derived-table FROM item"
+            )
+        df = _resolve_source(engine, item["kind"], item["source"])
+        out_col = f"__sclera_ema_{next(_COUNTER)}"
+        df = expmovavg(
+            df,
+            m.group("col"),
+            decay=float(m.group("decay")),
+            partition_by=[c.strip() for c in (m.group("part") or "").split(",") if c.strip()],
+            order_by=[c.strip() for c in m.group("ord").split(",")],
+            out_col=out_col,
+        )
+        view = f"__sclera_ext_{next(_COUNTER)}"
+        df.createOrReplaceTempView(view)
+        repl = view if item["alias"] is None else f"{view} AS {item['alias']}"
+        sql = (
+            sql[: m.start()]
+            + out_col
+            + sql[m.end() : item["start"]]
+            + repl
+            + " "
+            + sql[item["end"] :]
+        )
+
+
 def lower_extended(engine, sql: str) -> str:
     """Replace each extended from-item with a temp view over the operator's
     result; returns plain Spark SQL."""
+    sql = _lower_expmovavg_windows(engine, sql)
     while True:
         item = _find_extended_item(sql)
         if item is None:

@@ -269,3 +269,26 @@ def test_nlp_entities_multi_column_to(engine, spark):
     got = {(r.e, r.t) for r in rows}
     assert ("Ada Lovelace", "NAME") in got
     assert ("London", "TERM") in got
+
+
+def test_expmovavg_sql_window(engine):
+    from sclera_spark.operators import expmovavg
+
+    sql = engine.sql("""
+        SELECT user_id, event_id,
+               EXPMOVAVG(value, 0.3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ema
+        FROM events
+    """).toPandas()
+    direct = expmovavg(
+        engine.table("events").select("user_id", "event_id", "ts", "value"),
+        "value",
+        decay=0.3,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        out_col="ema",
+    ).select("user_id", "event_id", "ema").toPandas()
+    key = ["user_id", "event_id"]
+    l = sql.sort_values(key).reset_index(drop=True)
+    r = direct.sort_values(key).reset_index(drop=True)
+    assert len(l) == len(r) > 0
+    assert (abs(l["ema"] - r["ema"]) < 1e-9).all()
