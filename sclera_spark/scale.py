@@ -24,3 +24,25 @@ def warn_unpartitioned(op: str, hint: str = "pass partition_by") -> None:
         UnpartitionedFallbackWarning,
         stacklevel=3,
     )
+
+
+def salted_join(big, small, on, how: str = "inner", salt: int = 16, seed: int = 42):
+    """Skew-safe equi-join: salt the big side's rows across ``salt``
+    buckets and replicate the small side into every bucket, so one hot
+    key spreads over ``salt`` tasks instead of melting a single reducer.
+
+    AQE's skew-join splitting already covers sort-merge joins at runtime;
+    this helper is for the cases AQE cannot rebalance — e.g. a hot key in
+    a shuffled hash join with a small-but-over-broadcast-threshold right
+    side, or a deliberately pre-partitioned pipeline. Only inner/left
+    joins are semantics-safe under replication of the small side."""
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    keys = [on] if isinstance(on, str) else list(on)
+    bs = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    ss = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return bs.join(ss, on=keys + ["__salt"], how=how).drop("__salt")

@@ -49,3 +49,26 @@ def test_partitioned_paths_do_not_warn(spark, tables, recwarn):
     assert not [
         w for w in recwarn if issubclass(w.category, UnpartitionedFallbackWarning)
     ]
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    from pyspark.sql import functions as F
+
+    from sclera_spark.scale import salted_join
+
+    # skewed big side: every order keyed to a handful of nations
+    big = tables["orders"].select(
+        "o_orderkey", (F.col("o_custkey") % 3).cast("int").alias("n_nationkey")
+    )
+    small = tables["nation"].select("n_nationkey", "n_name")
+    salted = salted_join(big, small, "n_nationkey", salt=8)
+    plain = big.join(small, "n_nationkey")
+    assert salted.count() == plain.count()
+    l = salted.groupBy("n_name").count().toPandas().set_index("n_name")["count"]
+    r = plain.groupBy("n_name").count().toPandas().set_index("n_name")["count"]
+    assert l.sort_index().equals(r.sort_index())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "n_nationkey", how="full")
