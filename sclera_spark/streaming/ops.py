@@ -83,6 +83,20 @@ def sessionize(
     )
 
 
+_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.strip().split()
+    return int(n) * _UNIT_MS[unit.lower()]
+
+
 def stream_match_state(
     stream: DataFrame,
     pattern: str,
@@ -91,6 +105,7 @@ def stream_match_state(
     ts_col: str,
     out_schema: StructType,
     timeout: str = "NoTimeout",
+    finalize_gap: str | None = None,
 ):
     """Incremental MATCH over a keyed stream: per key, an NFA frontier is
     kept in GroupState; each micro-batch advances it over the new rows and
@@ -114,17 +129,42 @@ def stream_match_state(
     buffering any streaming CEP engine needs for longest-match). A match
     whose extension never dies (pattern like 'A+' with the stream ending
     on 'A') stays pending until more input arrives — the one inherent
-    divergence from the bounded-input batch operator. Rows must arrive
-    in order per key (sorted within each micro-batch here; use a
-    watermark upstream for cross-batch order).
+    divergence from the bounded-input batch operator. Pass
+    ``finalize_gap`` (e.g. "30 minutes"; requires a watermark on the
+    input) to bound it: a pending accept is emitted once the watermark
+    passes its end timestamp + gap, i.e. the key has been silent for the
+    gap (session-window-style finalization via EventTimeTimeout). Rows
+    must arrive in order per key (sorted within each micro-batch here;
+    use a watermark upstream for cross-batch order).
     """
     from sclera_spark.operators.match.regex_nfa import compile_pattern
 
     nfa = compile_pattern(pattern)
     nxt, label_of, finish = nfa.next_map, nfa.label_of, nfa.finish
+    gap_ms = _duration_ms(finalize_gap) if finalize_gap else None
 
     def update(key, pdfs, state: GroupState):
         from collections import deque
+
+        if gap_ms is not None and state.hasTimedOut:
+            # watermark passed the pending accept's end + gap: the key has
+            # been silent long enough — finalize the longest accept seen
+            cols = [f.name for f in out_schema.fields]
+            out = []
+            if state.exists:
+                _, start_us, acc_mlen, acc_ts_us, _, _ = state.get
+                if acc_mlen:
+                    out.append(
+                        (
+                            *key,
+                            pd.Timestamp(start_us * 1000),
+                            pd.Timestamp(acc_ts_us * 1000),
+                            acc_mlen,
+                        )
+                    )
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
 
         if state.exists:
             frontier_csv, start_us, acc_mlen, acc_ts_us, labs, tss = state.get
@@ -189,6 +229,16 @@ def stream_match_state(
                     frontier, labs, tss = set(), [], []
                     start_us, acc_mlen, acc_ts_us = 0, 0, 0
 
+        if gap_ms is not None and acc_mlen:
+            deadline = acc_ts_us // 1000 + gap_ms
+            wm = state.getCurrentWatermarkMs()
+            if wm and deadline <= wm:
+                # the gap already elapsed relative to the watermark (e.g.
+                # this key's rows arrived in a late micro-batch): finalize
+                # now — a timeout in the past cannot be registered
+                emit()
+                frontier, labs, tss = set(), [], []
+                start_us, acc_mlen, acc_ts_us = 0, 0, 0
         state.update(
             (
                 ",".join(str(s) for s in sorted(frontier)),
@@ -199,6 +249,8 @@ def stream_match_state(
                 tss,
             )
         )
+        if gap_ms is not None and acc_mlen:
+            state.setTimeoutTimestamp(acc_ts_us // 1000 + gap_ms)
         cols = [f.name for f in out_schema.fields]
         yield pd.DataFrame(out, columns=cols)
 
@@ -210,7 +262,11 @@ def stream_match_state(
             "labs array<string>, tss array<long>"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if gap_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -260,3 +260,74 @@ def test_stream_match_batch_parity_funnel(spark):
     # maximal-accept fast path: 'C V+' emits on death, 'V+ P' immediately
     got = _run_label_stream(spark, list("CVVCVC"), "C V+", "lm3")
     assert got["match_len"].tolist() == [3, 2]
+
+
+def test_stream_match_finalize_gap(spark):
+    """A pending extensible accept ('A+' with no killer row) is finalized
+    once the watermark passes its end + finalize_gap."""
+    import datetime
+    import tempfile
+    import time as _time
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("lab", StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    d = tempfile.mkdtemp(prefix="sclera_gap_stream_")
+    batches = [
+        [(1, t0, "A"), (1, t0 + datetime.timedelta(seconds=1), "A")],
+        [(2, t0 + datetime.timedelta(days=2), "B")],
+        [(2, t0 + datetime.timedelta(days=3), "B")],
+    ]
+    # symlink each batch's part file into the stream dir with strictly
+    # increasing mtimes, so maxFilesPerTrigger=1 processes them in order
+    import glob
+    import os
+
+    sd = tempfile.mkdtemp(prefix="sclera_gap_sd_")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b{i}")
+        part = sorted(glob.glob(f"{d}/b{i}/part-*.parquet"))[0]
+        os.symlink(part, f"{sd}/{i:02d}.parquet")
+        _time.sleep(1.1)
+
+    stream = stream_from_directory(
+        spark, sd, schema, maxFilesPerTrigger="1"
+    ).withWatermark("ts", "10 seconds")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("match_start", TimestampType()),
+            StructField("match_end", TimestampType()),
+            StructField("match_len", IntegerType()),
+        ]
+    )
+    out = stream_match_state(
+        stream,
+        pattern="A+",
+        label_col="lab",
+        keys=["user_id"],
+        ts_col="ts",
+        out_schema=out_schema,
+        finalize_gap="1 minute",
+    )
+    q = run_to_memory(out, "gap_matches", timeout_s=90)
+    got = spark.table("gap_matches").toPandas()
+    q.stop()
+    assert len(got) == 1
+    assert got.iloc[0].user_id == 1 and got.iloc[0].match_len == 2
