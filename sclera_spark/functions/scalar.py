@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 
 def _replace_first_literal(s: Column, search: Column, repl: Column) -> Column:
-    """REPLACE: first-occurrence-only literal replace (reference :664-685)."""
+    """First-occurrence-only literal replace (building block; the
+    reference's REPLACE is literal replace-ALL — see SCALAR_FUNCTIONS)."""
     pos = F.instr(s, search)
     return F.when(pos == 0, s).otherwise(
         F.concat(
@@ -95,7 +96,11 @@ SCALAR_FUNCTIONS: dict[str, Callable[..., Column]] = {
         F.substring(s, pos, ln) if ln is not None else F.substr(s, pos)
     ),
     "STRPOS": lambda s, sub: F.instr(s, sub),
-    "REPLACE": _replace_first_literal,
+    # reference semantics (ScalFunctionEvaluator.scala:664-730):
+    # REPLACE = Java String.replace -> LITERAL, all occurrences;
+    # REPLACEALL = String.replaceAll -> REGEX, all occurrences;
+    # REPLACEFIRST = String.replaceFirst -> REGEX, first occurrence
+    "REPLACE": lambda s, t, r: F.replace(s, t, r),
     "REPLACEALL": lambda s, pat, repl: F.regexp_replace(s, pat, repl),
     "REPLACEFIRST": lambda s, pat, repl: _regex_replace_first(s, pat, repl),
     # ---- conditional (:730-790) ----
@@ -153,8 +158,8 @@ def _regex_replace_first(s: Column, pat, repl) -> Column:
     match position via regexp_extract of the match, then literal-first
     replace of that matched text.
     """
-    matched = F.regexp_extract(s, pat if isinstance(pat, str) else pat, 0)
-    return F.when(matched == "", s).otherwise(
+    matched = F.regexp_substr(s, pat if isinstance(pat, Column) else F.lit(pat))
+    return F.when(matched.isNull(), s).otherwise(
         _replace_first_literal(s, matched, repl if isinstance(repl, Column) else F.lit(repl))
     )
 

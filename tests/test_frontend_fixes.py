@@ -165,3 +165,21 @@ def test_named_window_frame_extension(engine, spark):
     got = {(r.k, r.v): (r.s, r.s2) for r in rows}
     assert got[(1, 3.0)] == (6.0, 5.0)
     assert got[(2, 5.0)] == (5.0, 5.0)
+
+
+def test_replace_family_reference_semantics(engine, spark):
+    # REPLACE = literal all; REPLACEALL = regex all; REPLACEFIRST = regex
+    # first (ScalFunctionEvaluator.scala:664-730)
+    from pyspark.sql import functions as F
+
+    from sclera_spark.functions.scalar import scalar_function
+
+    df = spark.createDataFrame([("a.b a.b a.b",)], "s string")
+    row = df.select(
+        scalar_function("REPLACE", F.col("s"), F.lit("a.b"), F.lit("X")).alias("rep"),
+        scalar_function("REPLACEALL", F.col("s"), F.lit("a."), F.lit("Y")).alias("ra"),
+        scalar_function("REPLACEFIRST", F.col("s"), F.lit("a."), F.lit("Z")).alias("rf"),
+    ).collect()[0]
+    assert row.rep == "X X X"          # literal, all occurrences
+    assert row.ra == "Yb Yb Yb"        # regex: '.' matches any char
+    assert row.rf == "Zb a.b a.b"      # regex, first only
