@@ -79,6 +79,8 @@ class DdlRouter:
         ),
         (re.compile(r"^\s*DROP\s+INDEX\s+(\w+)\s*$", re.I), "_drop_index"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+LOCATIONS\s*$", re.I), "_list_locations"),
+        (re.compile(r"^\s*@(\w+)\s+'(.*)'\s*$", re.S), "_native_statement"),
+        (re.compile(r"^\s*ALTER\b.*$", re.I | re.S), "_alter"),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+VIEWS\s*$", re.I), "_list_views"),
@@ -349,6 +351,30 @@ class DdlRouter:
 
     def _list_locations(self):
         return sorted(self.engine.locations)
+
+    def _native_statement(self, loc: str, sql: str):
+        """`@location 'native sql'` (reference SqlNativeStatement,
+        SqlCudParser.scala:304-308): run a query in the location's OWN
+        dialect. For JDBC locations the text becomes a pushdown subquery
+        (the remote database executes it; Spark just reads the cursor)."""
+        info = self.engine.locations.get(loc.lower())
+        if info is None:
+            raise KeyError(f"unknown location: {loc}")
+        if info["kind"] != "JDBC":
+            raise ValueError(
+                f"native statements need a JDBC location (got {info['kind']})"
+            )
+        sql = sql.replace("''", "'")
+        reader = self.engine.spark.read.format("jdbc").option(
+            "url", info["params"][0]
+        ).option("query", sql)
+        if len(info["params"]) > 1:
+            reader = reader.option("driver", info["params"][1])
+        return reader.load()
+
+    def _alter(self, *_):
+        # parity with the reference: SqlCudParser.scala:299-302
+        raise ValueError("ALTER statement is not supported")
 
     def _explain(self, query: str) -> str:
         return self.engine.explain(query)

@@ -350,6 +350,17 @@ def _rewrite_fn_names(text: str) -> str:
     return _FN_RENAME_RE.sub(lambda m: _FN_RENAMES[m.group(1).upper()] + "(", text)
 
 
+# PostgreSQL postfix null tests (reference SqlQueryParser.scala:659-663);
+# the lookahead keeps Spark's isnull(x) function form untouched
+_ISNULL_RE = re.compile(r"\bISNULL\b(?!\s*\()", re.IGNORECASE)
+_NOTNULL_RE = re.compile(r"\bNOTNULL\b(?!\s*\()", re.IGNORECASE)
+
+
+def _rewrite_postfix_null(text: str) -> str:
+    text = _ISNULL_RE.sub("IS NULL", text)
+    return _NOTNULL_RE.sub("IS NOT NULL", text)
+
+
 # EXTERNAL lib.fn(args) -> the registered UDF name (reference
 # ExternalScalarFunction, SqlQueryParser.scala:856-864). The relational
 # form `FROM EXTERNAL src(...)` has no dot and is handled by the extended
@@ -500,6 +511,7 @@ def dialect_rewrite(sql: str) -> str:
             t = _rewrite_casts(text)
             t = _rewrite_fn_names(t)
             t = _rewrite_external_fns(t)
+            t = _rewrite_postfix_null(t)
             out.append(t)
     # the remaining rewrites span string literals (quoted SYMMETRIC
     # bounds, subqueries with literals, literal fn args), so they run on

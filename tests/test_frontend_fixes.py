@@ -183,3 +183,21 @@ def test_replace_family_reference_semantics(engine, spark):
     assert row.rep == "X X X"          # literal, all occurrences
     assert row.ra == "Yb Yb Yb"        # regex: '.' matches any char
     assert row.rf == "Zb a.b a.b"      # regex, first only
+
+
+def test_postfix_null_tests(engine):
+    rows = engine.sql("""
+        SELECT o_orderkey FROM orders
+        WHERE nullif(o_orderpriority, '1-URGENT') ISNULL AND o_orderkey <= 300
+    """).collect()
+    expect = engine.sql("""
+        SELECT o_orderkey FROM orders
+        WHERE nullif(o_orderpriority, '1-URGENT') IS NULL AND o_orderkey <= 300
+    """).collect()
+    assert {r.o_orderkey for r in rows} == {r.o_orderkey for r in expect} != set()
+    n = engine.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority NOTNULL"
+    ).collect()[0].n
+    assert n == engine.table("orders").count()
+    # the function form stays a function
+    assert engine.sql("SELECT isnull(NULL) AS b").collect()[0].b is True

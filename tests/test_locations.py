@@ -95,3 +95,25 @@ def test_create_index_sorted_rewrite(engine):
     assert ok["ok"].all()
     engine.execute("DROP INDEX idx1")
     engine.execute("DROP TABLE idx_t")
+
+
+def test_native_statement_at_jdbc_location(engine, derby_url):
+    engine.execute(f"ADD LOCATION dern AS JDBC ('{derby_url}')")
+    # the statement is in the LOCATION's dialect: Derby folds unquoted
+    # identifiers to upper case, so the lowercase columns Spark created
+    # must be double-quoted — exactly the kind of native-dialect text
+    # this passthrough exists for
+    df = engine.execute(
+        '@dern \'SELECT "n_name", "n_regionkey" FROM nation_jdbc WHERE "n_regionkey" = 0\''
+    )
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"n_name", "n_regionkey"}
+    assert (pdf["n_regionkey"] == 0).all()
+
+
+def test_alter_unsupported(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ALTER"):
+        engine.execute("ALTER TABLE nation ADD COLUMN x INT")
