@@ -530,40 +530,121 @@ def lower_sql(engine, query: str) -> DataFrame:
     if has_extended_clause(rewritten):
         rewritten = lower_extended(engine, rewritten)
     if _DISTINCT_ON_RE.search(rewritten):
-        return _lower_distinct_on(engine, rewritten)
+        rewritten = _rewrite_distinct_on(rewritten)
     return engine.spark.sql(rewritten)
 
 
-def _lower_distinct_on(engine, sql: str) -> DataFrame:
-    """PostgreSQL DISTINCT ON: first row per key per ORDER BY.
+def _scan_top_level(text: str, pattern: re.Pattern, start: int = 0) -> re.Match | None:
+    """First match of ``pattern`` at paren depth 0, outside literals."""
+    depth = 0
+    i, n = start, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'" and j + 1 < n and text[j + 1] == "'":
+                    j += 2
+                elif text[j] == "'":
+                    j += 1
+                    break
+                else:
+                    j += 1
+            i = j
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(text, i)
+            if m:
+                return m
+        i += 1
+    return None
 
-    Rewrite:  SELECT DISTINCT ON (k) cols FROM ... ORDER BY k, o
-    into a row_number() window query (the same plan shape our distinct_on
-    operator produces)."""
-    dm = _DISTINCT_ON_RE.search(sql)
-    if not dm:
-        raise ValueError(f"cannot parse DISTINCT ON query: {sql}")
-    # balanced capture of the ON (...) list — expressions with parens
-    # (e.g. `ON (date_trunc('day', ts))`) must not truncate at the first ')'
-    close = _find_balanced(sql, dm.end() - 1)
-    on = sql[dm.end() : close - 1].strip()
-    m = re.match(
-        r"\s*(?P<select>.*?)\s+FROM\s+"
-        r"(?P<rest>.*?)(?:\s+ORDER\s+BY\s+(?P<order>.*?))?\s*$",
-        sql[close:],
-        re.IGNORECASE | re.DOTALL,
-    )
-    if not m:
-        raise ValueError(f"cannot parse DISTINCT ON query: {sql}")
-    select = m.group("select").strip()
-    rest = m.group("rest").strip()
-    order = (m.group("order") or "").strip()
-    order_clause = order if order else on
-    inner = (
-        f"SELECT *, row_number() OVER (PARTITION BY {on} ORDER BY {order_clause}) AS __sclera_rn "
-        f"FROM {rest}"
-    )
-    outer = f"SELECT {select} FROM ({inner}) __sclera_d WHERE __sclera_rn = 1"
-    if order:
-        outer += f" ORDER BY {order}"
-    return engine.spark.sql(outer)
+
+_FROM_KW_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_TRAILER_RE = re.compile(r"\b(LIMIT|OFFSET|FETCH)\b", re.IGNORECASE)
+_SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", re.IGNORECASE)
+_DO_COUNTER = __import__("itertools").count()
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """PostgreSQL DISTINCT ON: first row per key per ORDER BY, rewritten
+    to a row_number() window query — scope-aware, so it works nested in
+    subqueries, alongside set operations, and with trailing LIMIT/OFFSET
+    (the round-1 whole-string regex handled only top-level queries)."""
+    while True:
+        dm = None
+        for cand in _DISTINCT_ON_RE.finditer(sql):
+            if not _in_literal(sql, cand.start()):
+                dm = cand
+                break
+        if dm is None:
+            return sql
+        close_on = _find_balanced(sql, dm.end() - 1)
+        on = sql[dm.end() : close_on - 1].strip()
+        # span of this SELECT: up to the paren closing our scope or a
+        # top-level set-op boundary
+        depth = 0
+        i, n = close_on, len(sql)
+        span_end = n
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                i = _skip_to_literal_end(sql, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    span_end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                m = _SETOP_RE.match(sql, i)
+                if m:
+                    span_end = i
+                    break
+            i += 1
+        body = sql[close_on:span_end]
+        fm = _scan_top_level(body, _FROM_KW_RE)
+        if fm is None:
+            raise ValueError(f"cannot parse DISTINCT ON query: {sql}")
+        select = body[: fm.start()].strip()
+        rest = body[fm.end() :]
+        om = _scan_top_level(rest, _ORDER_BY_RE)
+        if om:
+            rel = rest[: om.start()].strip()
+            tail = rest[om.end() :]
+            tm = _scan_top_level(tail, _TRAILER_RE)
+            order = tail[: tm.start()].strip() if tm else tail.strip()
+            trailer = tail[tm.start() :].strip() if tm else ""
+        else:
+            rel, order, trailer = rest.strip(), "", ""
+        order_clause = order if order else on
+        alias = f"__sclera_d{next(_DO_COUNTER)}"
+        inner = (
+            f"SELECT *, row_number() OVER (PARTITION BY {on} "
+            f"ORDER BY {order_clause}) AS __sclera_rn FROM {rel}"
+        )
+        new = f"SELECT {select} FROM ({inner}) {alias} WHERE __sclera_rn = 1"
+        if order:
+            new += f" ORDER BY {order}"
+        if trailer:
+            new += " " + trailer
+        sql = sql[: dm.start()] + new + sql[span_end:]
+
+
+def _skip_to_literal_end(text: str, pos: int) -> int:
+    j, n = pos + 1, len(text)
+    while j < n:
+        if text[j] == "'" and j + 1 < n and text[j + 1] == "'":
+            j += 2
+        elif text[j] == "'":
+            return j + 1
+        else:
+            j += 1
+    return n

@@ -201,3 +201,33 @@ def test_postfix_null_tests(engine):
     assert n == engine.table("orders").count()
     # the function form stays a function
     assert engine.sql("SELECT isnull(NULL) AS b").collect()[0].b is True
+
+
+def test_distinct_on_nested_in_subquery(engine):
+    n = engine.sql("""
+        SELECT count(*) AS n FROM (
+            SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey
+            FROM orders ORDER BY o_custkey, o_orderdate DESC) t
+    """).collect()[0].n
+    assert n == engine.table("orders").select("o_custkey").distinct().count()
+
+
+def test_distinct_on_with_limit(engine):
+    rows = engine.sql("""
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey
+        FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey LIMIT 7
+    """).collect()
+    assert len(rows) == 7
+    assert [r.o_custkey for r in rows] == sorted({r.o_custkey for r in rows})[:7]
+
+
+def test_distinct_on_union(engine):
+    rows = engine.sql("""
+        SELECT o_custkey AS k FROM (
+          SELECT DISTINCT ON (o_custkey) o_custkey
+          FROM orders ORDER BY o_custkey, o_orderkey) a
+        UNION ALL
+        SELECT -1 AS k
+    """).collect()
+    ks = [r.k for r in rows]
+    assert -1 in ks and len(ks) == engine.table("orders").select("o_custkey").distinct().count() + 1
