@@ -205,6 +205,8 @@ _Q: dict[str, str] = {
                round(o_totalprice, 1) AS r1,
                floor(o_totalprice) AS fl,
                ceil(o_totalprice) AS ce,
+               floor(o_orderkey) AS fli,
+               ceil(o_orderkey) AS cei,
                abs(o_totalprice - 100000) AS ab,
                sqrt(o_totalprice) AS sq,
                round(ln(o_totalprice), 9) AS lg,
@@ -1020,8 +1022,13 @@ def oracle_sql() -> dict[str, str]:
     # pow differs from sqrt in the last ulp on a few rows, so the oracle
     # states sqrt explicitly. ln is rounded on both sides for the same
     # reason (Java Math.log vs libm log ulp drift).
-    oracles["scalar_math"] = _Q["scalar_math"].replace(
-        "power(o_totalprice, 0.5)", "sqrt(o_totalprice)"
+    # DuckDB's floor/ceil always return DOUBLE; our dialect preserves the
+    # input type (integer args stay BIGINT), so the oracle casts back.
+    oracles["scalar_math"] = (
+        _Q["scalar_math"]
+        .replace("power(o_totalprice, 0.5)", "sqrt(o_totalprice)")
+        .replace("floor(o_orderkey) AS fli", "CAST(floor(o_orderkey) AS BIGINT) AS fli")
+        .replace("ceil(o_orderkey) AS cei", "CAST(ceil(o_orderkey) AS BIGINT) AS cei")
     )
     # Sclera fn names are a dialect rename; the oracle states the ANSI /
     # DuckDB equivalents

@@ -100,8 +100,7 @@ def _rewrite_symmetric(text: str) -> str:
 
 
 _QUANT_RE = re.compile(
-    r"(?P<x>\w+(?:\.\w+)*|'(?:[^']|'')*'|\([^()]*\))\s*"
-    r"(?P<op>=|<>|!=|<=|>=|<|>)\s*(?P<q>ALL|ANY|SOME)\s*\(",
+    r"(?P<op><>|!=|<=|>=|=|<|>)\s*(?P<q>ALL|ANY|SOME)\s*\(",
     re.IGNORECASE,
 )
 
@@ -146,6 +145,50 @@ def _find_balanced(text: str, start: int) -> int:
                 return i + 1
         i += 1
     raise ValueError("unbalanced parentheses")
+
+
+def _operand_span_before(text: str, pos: int) -> tuple[int, int] | None:
+    """Span (start, end) of the scalar operand that ends just before
+    ``pos``, scanning backwards. Handles three shapes:
+
+    - parenthesized expressions, including nested parens and a preceding
+      function name: ``(a + f(b))``, ``f(b)``, ``coalesce(x, 0)``
+    - dotted identifiers / numbers: ``t.col``, ``42``
+    - single-quoted literals: ``'abc'``
+
+    Returns None when nothing recognizable precedes ``pos``.
+    """
+    j = pos - 1
+    while j >= 0 and text[j].isspace():
+        j -= 1
+    if j < 0:
+        return None
+    if text[j] == ")":
+        depth, i = 0, j
+        while i >= 0:
+            c = text[i]
+            if c == "'":
+                # backward over a literal: find the opening quote (the
+                # '' escape is ambiguous backwards; operands embedding
+                # escaped quotes inside parens are out of scope)
+                i -= 1
+                while i >= 0 and text[i] != "'":
+                    i -= 1
+            elif c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth == 0:
+                    k = i - 1
+                    while k >= 0 and (text[k].isalnum() or text[k] in "._"):
+                        k -= 1
+                    return k + 1, j + 1
+            i -= 1
+        return None
+    m = re.search(r"(\w+(?:\.\w+)*|'(?:[^']|'')*')$", text[: j + 1])
+    if m is None:
+        return None
+    return m.start(1), j + 1
 
 
 def _split_top_commas(text: str) -> list[str]:
@@ -244,7 +287,12 @@ def _rewrite_quantified(text: str) -> str:
         if _in_literal(text, m.start()):
             search_from = m.end()
             continue
-        x = m.group("x")
+        span = _operand_span_before(text, m.start())
+        if span is None:
+            search_from = m.end()
+            continue
+        x_start, x_end = span
+        x = text[x_start:x_end]
         op = m.group("op")
         quant = m.group("q").upper()
         if quant == "SOME":
@@ -256,7 +304,7 @@ def _rewrite_quantified(text: str) -> str:
         # expression (`a + b > ALL (...)`), the CASE template would split
         # it — fall back to the plain aggregate rewrite (keeps the operand
         # in place; NULL-element semantics then follow the aggregate).
-        j = m.start("x") - 1
+        j = x_start - 1
         while j >= 0 and text[j].isspace():
             j -= 1
         compound = j >= 0 and text[j] in "+-*/|%^"
@@ -274,7 +322,7 @@ def _rewrite_quantified(text: str) -> str:
             repl = f"{x} {op} (SELECT {agg}(__v) FROM ({subq}) AS __sclera_q(__v))"
         else:
             repl = _quant_case(x, op, quant, subq)
-        text = text[: m.start()] + repl + text[close:]
+        text = text[:x_start] + repl + text[close:]
 
 
 _SIMILAR_RE = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
@@ -294,37 +342,36 @@ def sql_pattern_to_regex(pat: str) -> str:
     return "^(" + "".join(out) + ")$"
 
 
+_SIMILAR_PAT_RE = re.compile(r"\s*('(?:[^']|'')*')")
+
+
 def _rewrite_similar_to(sql: str) -> str:
     """`x SIMILAR TO 'pat'` -> `regexp_like(x, '^(pat)$')` with %/_
-    translated. Operates on the literal-split form so the pattern literal
-    is found reliably."""
-    chunks = _split_literals(sql)
-    out: list[str] = []
-    i = 0
-    while i < len(chunks):
-        is_lit, text = chunks[i]
-        m = None if is_lit else _SIMILAR_RE.search(text)
-        if m and i + 1 < len(chunks) and chunks[i + 1][0]:
-            negate = m.group(1) is not None
-            # operand: the last token before SIMILAR TO
-            pre = text[: m.start()]
-            op_m = re.search(r"(\w+(?:\.\w+)*|\))\s*$", pre)
-            if op_m is None:
-                out.append(text)
-                i += 1
-                continue
-            operand = op_m.group(1)
-            pat = chunks[i + 1][1].strip("'")
-            regex = sql_pattern_to_regex(pat).replace("\\", "\\\\").replace("'", "''")
-            call = f"regexp_like({operand}, '{regex}')"
-            if negate:
-                call = f"NOT {call}"
-            out.append(pre[: op_m.start()] + call)
-            i += 2
+    translated. The operand is recovered with a backward balanced-paren
+    scan, so parenthesized and function-call operands
+    (``(a || b) SIMILAR TO 'p'``, ``trim(x) SIMILAR TO 'p'``) work."""
+    pos = 0
+    while True:
+        m = _SIMILAR_RE.search(sql, pos)
+        if m is None:
+            return sql
+        if _in_literal(sql, m.start()):
+            pos = m.end()
             continue
-        out.append(text)
-        i += 1
-    return "".join(out)
+        pm = _SIMILAR_PAT_RE.match(sql, m.end())
+        span = None if pm is None else _operand_span_before(sql, m.start())
+        if span is None:
+            pos = m.end()
+            continue
+        x_start, x_end = span
+        negate = m.group(1) is not None
+        pat = pm.group(1)[1:-1].replace("''", "'")
+        regex = sql_pattern_to_regex(pat).replace("\\", "\\\\").replace("'", "''")
+        call = f"regexp_like({sql[x_start:x_end]}, '{regex}')"
+        if negate:
+            call = f"NOT {call}"
+        sql = sql[:x_start] + call + sql[pm.end() :]
+        pos = x_start + len(call)
 
 
 # Sclera scalar-function names -> Spark SQL function names (the Python-level
@@ -376,15 +423,26 @@ def _rewrite_external_fns(text: str) -> str:
 
 _NUMFN_RE = re.compile(r"\b(FLOOR|CEILING|CEIL|POWER|POW)\s*\(", re.IGNORECASE)
 
+# nondeterministic scalar calls cannot be restated in the type-preserving
+# floor/ceil identity (each restatement would draw a fresh value)
+_NONDET_RE = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)\s*\(",
+    re.IGNORECASE,
+)
+
 
 def _rewrite_numeric_fns(text: str) -> str:
     """Type-faithful lowering of numeric scalars:
 
-    - ``FLOOR(x)`` / ``CEIL(x)`` -> ``CAST(floor(x) AS DOUBLE)``: Spark's
-      floor/ceil return BIGINT, while the reference preserves the floating
-      type (ScalFunctionEvaluator.scala:119-156) as do PostgreSQL/DuckDB.
-      |x| < 2^53 for any double with a fractional part, so the round-trip
-      through BIGINT is lossless.
+    - ``FLOOR(x)`` / ``CEIL(x)`` -> ``floor(x) + ((x) - (x))``: Spark's
+      floor/ceil return BIGINT, while the reference preserves the input
+      type (ScalFunctionEvaluator.scala:119-156). ``(x) - (x)`` is an
+      exact zero of x's own numeric type, so the sum coerces the BIGINT
+      back: DOUBLE stays DOUBLE (as in PostgreSQL/DuckDB), INT/BIGINT
+      stay integral — no silent corruption of BIGINT values above 2^53,
+      which the old unconditional CAST-to-DOUBLE caused. Nondeterministic
+      arguments (RAND() etc.) cannot be restated; they fall back to the
+      DOUBLE cast, matching their floating result type anyway.
     - ``POWER(x, 0.5)`` -> ``sqrt(x)``: IEEE-754 sqrt is correctly
       rounded (pow is not), so this is both faster and deterministic
       across engines.
@@ -416,7 +474,11 @@ def _rewrite_numeric_fns(text: str) -> str:
                 repl = f"{fn.lower()}({inner})"
         else:
             base = "ceil" if fn == "CEILING" else fn.lower()
-            repl = f"CAST({base}({inner}) AS DOUBLE)"
+            arg = inner.strip()
+            if _NONDET_RE.search(arg):
+                repl = f"CAST({base}({arg}) AS DOUBLE)"
+            else:
+                repl = f"({base}({arg}) + (({arg}) - ({arg})))"
         out.append(text[i : m.start()])
         out.append(repl)
         i = close

@@ -60,13 +60,33 @@ def test_symmetric_numeric_bounds(engine):
     assert a == b > 0
 
 
-def test_floor_ceil_double(engine):
+def test_floor_ceil_type_preserving(engine):
+    # reference preserves the input type (ScalFunctionEvaluator.scala:119-156):
+    # floating args stay DOUBLE, integer args stay integral (no 2^53 corruption)
     row = engine.sql(
         "SELECT floor(o_totalprice) AS fl, ceil(o_totalprice) AS ce, "
-        "ceiling(o_totalprice) AS ce2, floor(o_orderkey) AS fi "
+        "ceiling(o_totalprice) AS ce2, floor(o_orderkey) AS fi, "
+        "ceil(o_orderkey + 1) AS ci "
         "FROM orders WHERE o_orderkey = 1"
     ).collect()[0]
-    assert all(isinstance(v, float) for v in row)
+    assert isinstance(row.fl, float) and isinstance(row.ce, float)
+    assert isinstance(row.ce2, float)
+    assert isinstance(row.fi, int) and isinstance(row.ci, int)
+
+
+def test_floor_bigint_above_2_53(engine):
+    # the old unconditional CAST(... AS DOUBLE) silently corrupted BIGINTs
+    # above 2^53; the type-preserving lowering must round-trip exactly
+    big = (1 << 53) + 1
+    row = engine.sql(f"SELECT floor(CAST({big} AS BIGINT)) AS v").collect()[0]
+    assert row.v == big and isinstance(row.v, int)
+
+
+def test_floor_nondeterministic_arg(engine):
+    # RAND() cannot be restated in the identity; result is a plain double
+    # floor in [0, 1) -> exactly 0.0
+    row = engine.sql("SELECT floor(rand()) AS v").collect()[0]
+    assert row.v == 0.0 and isinstance(row.v, float)
 
 
 def test_power_half_is_sqrt():
@@ -129,6 +149,29 @@ def test_quantified_eq_all(engine, quant_tables):
     )
     assert _ids(engine, "x = ALL (SELECT v FROM qsub_const3)") == {1}
     assert _ids(engine, "x <> ANY (SELECT v FROM qsub_const3)") == {0, 2}
+
+
+def test_quantified_nested_paren_operand(engine, quant_tables):
+    # `(x + abs(x)) > ALL (subq)` — nested parens in the operand broke the
+    # old `\([^()]*\)` capture (the ALL passed through and Spark errored)
+    # x+abs(x) = 0, 6, 12, NULL vs {1, 5}
+    assert _ids(engine, "(x + abs(x)) > ALL (SELECT v FROM qsub_vals)") == {1, 2}
+    assert _ids(engine, "(x + abs(x)) < ANY (SELECT v FROM qsub_vals)") == {0}
+    # function-call operand
+    assert _ids(engine, "abs(x) > ALL (SELECT v FROM qsub_vals)") == {2}
+
+
+def test_similar_to_paren_operand(engine):
+    # `(expr) SIMILAR TO 'p'` used to capture a bare ')' -> invalid SQL
+    rows = engine.sql(
+        "SELECT n_name FROM nation "
+        "WHERE (n_name || '') SIMILAR TO 'NATION_(1|2)' "
+    ).collect()
+    assert {r.n_name for r in rows} == {"NATION_1", "NATION_2"}
+    rows2 = engine.sql(
+        "SELECT n_name FROM nation WHERE upper(n_name) SIMILAR TO 'NATION._'"
+    ).collect()
+    assert len(rows2) > 0
 
 
 def test_distinct_on_paren_expr(engine):
