@@ -106,6 +106,7 @@ def stream_match_state(
     out_schema: StructType,
     timeout: str = "NoTimeout",
     finalize_gap: str | None = None,
+    max_attempt_rows: int = 100_000,
 ):
     """Incremental MATCH over a keyed stream: per key, an NFA frontier is
     kept in GroupState; each micro-batch advances it over the new rows and
@@ -134,8 +135,19 @@ def stream_match_state(
     input) to bound it: a pending accept is emitted once the watermark
     passes its end timestamp + gap, i.e. the key has been silent for the
     gap (session-window-style finalization via EventTimeTimeout). Rows
-    must arrive in order per key (sorted within each micro-batch here;
-    use a watermark upstream for cross-batch order).
+    buffered past the finalized accept are replayed through a fresh
+    automaton, exactly like the batch scanner resuming at ``best_end`` —
+    they can start or complete a new match after the gap. Rows must
+    arrive in order per key (sorted within each micro-batch here; use a
+    watermark upstream for cross-batch order).
+
+    ``max_attempt_rows`` bounds per-key state for adversarial inputs
+    (pattern 'A+' over an endless run of A's never settles): when an
+    attempt's buffer reaches the cap it is settled in place — a pending
+    accept is emitted and the tail replayed; an attempt with no accept
+    yet resumes from its second row (batch ``i += 1`` semantics). The
+    only observable divergence is that a single true match longer than
+    the cap is emitted as consecutive cap-sized matches.
     """
     from sclera_spark.operators.match.regex_nfa import compile_pattern
 
@@ -146,13 +158,115 @@ def stream_match_state(
     def update(key, pdfs, state: GroupState):
         from collections import deque
 
+        cols = [f.name for f in out_schema.fields]
+        out = []
+
+        def scan(work, frontier, start_us, acc_mlen, acc_ts_us, labs, tss):
+            """Advance the automaton over ``work`` (a deque), appending
+            completed matches to ``out``; returns the surviving attempt."""
+
+            def emit():
+                out.append(
+                    (
+                        *key,
+                        pd.Timestamp(start_us * 1000),
+                        pd.Timestamp(acc_ts_us * 1000),
+                        acc_mlen,
+                    )
+                )
+
+            while work:
+                lab, ts_us = work.popleft()
+                if not frontier:
+                    cand = {t for t in nxt[0] if label_of[t] == lab}
+                    if not cand:
+                        continue
+                    frontier, labs, tss = cand, [lab], [ts_us]
+                    start_us, acc_mlen, acc_ts_us = ts_us, 0, 0
+                else:
+                    stepped = {
+                        t for s in frontier for t in nxt.get(s, ()) if label_of[t] == lab
+                    }
+                    if not stepped:
+                        # attempt dies here: settle it, then replay the
+                        # unconsumed suffix (incl. this row) through a fresh
+                        # automaton — batch-scanner resume semantics
+                        if acc_mlen:
+                            emit()
+                            replay = list(zip(labs, tss))[acc_mlen:]
+                        else:
+                            replay = list(zip(labs, tss))[1:]
+                        frontier, labs, tss = set(), [], []
+                        start_us, acc_mlen, acc_ts_us = 0, 0, 0
+                        work.extendleft(reversed(replay + [(lab, ts_us)]))
+                        continue
+                    frontier = stepped
+                    labs.append(lab)
+                    tss.append(ts_us)
+                if frontier & finish:
+                    acc_mlen, acc_ts_us = len(labs), ts_us
+                    if not any(nxt.get(s) for s in frontier):
+                        # provably maximal: nothing can ever extend it
+                        emit()
+                        frontier, labs, tss = set(), [], []
+                        start_us, acc_mlen, acc_ts_us = 0, 0, 0
+                if len(labs) >= max_attempt_rows:
+                    # state bound: settle the over-long attempt in place
+                    if acc_mlen:
+                        emit()
+                        replay = list(zip(labs, tss))[acc_mlen:]
+                    else:
+                        replay = list(zip(labs, tss))[1:]
+                    frontier, labs, tss = set(), [], []
+                    start_us, acc_mlen, acc_ts_us = 0, 0, 0
+                    work.extendleft(reversed(replay))
+            return frontier, start_us, acc_mlen, acc_ts_us, labs, tss
+
+        def finalize_past_deadline(frontier, start_us, acc_mlen, acc_ts_us, labs, tss):
+            """Emit any pending accept whose gap deadline the watermark
+            already passed (a timeout in the past cannot be registered),
+            replaying the buffered tail each time — rows consumed past the
+            finalized accept may start a new match after the gap."""
+            wm = state.getCurrentWatermarkMs()
+            while acc_mlen and wm and acc_ts_us // 1000 + gap_ms <= wm:
+                out.append(
+                    (
+                        *key,
+                        pd.Timestamp(start_us * 1000),
+                        pd.Timestamp(acc_ts_us * 1000),
+                        acc_mlen,
+                    )
+                )
+                tail = deque(list(zip(labs, tss))[acc_mlen:])
+                frontier, start_us, acc_mlen, acc_ts_us, labs, tss = scan(
+                    tail, set(), 0, 0, 0, [], []
+                )
+            return frontier, start_us, acc_mlen, acc_ts_us, labs, tss
+
+        def save(frontier, start_us, acc_mlen, acc_ts_us, labs, tss):
+            state.update(
+                (
+                    ",".join(str(s) for s in sorted(frontier)),
+                    start_us,
+                    acc_mlen,
+                    acc_ts_us,
+                    labs,
+                    tss,
+                )
+            )
+            if gap_ms is not None and acc_mlen:
+                state.setTimeoutTimestamp(acc_ts_us // 1000 + gap_ms)
+
         if gap_ms is not None and state.hasTimedOut:
             # watermark passed the pending accept's end + gap: the key has
-            # been silent long enough — finalize the longest accept seen
-            cols = [f.name for f in out_schema.fields]
-            out = []
+            # been silent long enough — finalize the longest accept seen,
+            # then REPLAY the rows buffered past it (they can begin a new
+            # match after the gap; dropping them lost e.g. the trailing A
+            # of 'A B A' under '(A B)+')
             if state.exists:
-                _, start_us, acc_mlen, acc_ts_us, _, _ = state.get
+                _, start_us, acc_mlen, acc_ts_us, labs, tss = state.get
+                labs = list(labs) if labs is not None else []
+                tss = list(tss) if tss is not None else []
                 if acc_mlen:
                     out.append(
                         (
@@ -162,7 +276,15 @@ def stream_match_state(
                             acc_mlen,
                         )
                     )
-            state.remove()
+                    tail = deque(list(zip(labs, tss))[acc_mlen:])
+                    st = scan(tail, set(), 0, 0, 0, [], [])
+                    st = finalize_past_deadline(*st)
+                    if st[0]:
+                        save(*st)
+                    else:
+                        state.remove()
+                else:
+                    state.remove()
             yield pd.DataFrame(out, columns=cols)
             return
 
@@ -174,7 +296,6 @@ def stream_match_state(
         else:
             frontier, start_us, acc_mlen, acc_ts_us = set(), 0, 0, 0
             labs, tss = [], []
-        out = []
 
         work: deque[tuple[str, int]] = deque()
         for pdf in pdfs:
@@ -183,75 +304,10 @@ def stream_match_state(
             for lab, ts_us in zip(pdf[label_col].astype(str).str.upper(), ts_vals):
                 work.append((lab, int(ts_us)))
 
-        def emit():
-            out.append(
-                (
-                    *key,
-                    pd.Timestamp(start_us * 1000),
-                    pd.Timestamp(acc_ts_us * 1000),
-                    acc_mlen,
-                )
-            )
-
-        while work:
-            lab, ts_us = work.popleft()
-            if not frontier:
-                cand = {t for t in nxt[0] if label_of[t] == lab}
-                if not cand:
-                    continue
-                frontier, labs, tss = cand, [lab], [ts_us]
-                start_us, acc_mlen, acc_ts_us = ts_us, 0, 0
-            else:
-                stepped = {
-                    t for s in frontier for t in nxt.get(s, ()) if label_of[t] == lab
-                }
-                if not stepped:
-                    # attempt dies here: settle it, then replay the
-                    # unconsumed suffix (incl. this row) through a fresh
-                    # automaton — batch-scanner resume semantics
-                    if acc_mlen:
-                        emit()
-                        replay = list(zip(labs, tss))[acc_mlen:]
-                    else:
-                        replay = list(zip(labs, tss))[1:]
-                    frontier, labs, tss = set(), [], []
-                    start_us, acc_mlen, acc_ts_us = 0, 0, 0
-                    work.extendleft(reversed(replay + [(lab, ts_us)]))
-                    continue
-                frontier = stepped
-                labs.append(lab)
-                tss.append(ts_us)
-            if frontier & finish:
-                acc_mlen, acc_ts_us = len(labs), ts_us
-                if not any(nxt.get(s) for s in frontier):
-                    # provably maximal: nothing can ever extend it
-                    emit()
-                    frontier, labs, tss = set(), [], []
-                    start_us, acc_mlen, acc_ts_us = 0, 0, 0
-
-        if gap_ms is not None and acc_mlen:
-            deadline = acc_ts_us // 1000 + gap_ms
-            wm = state.getCurrentWatermarkMs()
-            if wm and deadline <= wm:
-                # the gap already elapsed relative to the watermark (e.g.
-                # this key's rows arrived in a late micro-batch): finalize
-                # now — a timeout in the past cannot be registered
-                emit()
-                frontier, labs, tss = set(), [], []
-                start_us, acc_mlen, acc_ts_us = 0, 0, 0
-        state.update(
-            (
-                ",".join(str(s) for s in sorted(frontier)),
-                start_us,
-                acc_mlen,
-                acc_ts_us,
-                labs,
-                tss,
-            )
-        )
-        if gap_ms is not None and acc_mlen:
-            state.setTimeoutTimestamp(acc_ts_us // 1000 + gap_ms)
-        cols = [f.name for f in out_schema.fields]
+        st = scan(work, frontier, start_us, acc_mlen, acc_ts_us, labs, tss)
+        if gap_ms is not None:
+            st = finalize_past_deadline(*st)
+        save(*st)
         yield pd.DataFrame(out, columns=cols)
 
     return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(

@@ -194,7 +194,7 @@ def test_stream_match_state(spark, stream_dir):
     assert (got["match_end"] >= got["match_start"]).all()
 
 
-def _run_label_stream(spark, rows, pattern, name):
+def _run_label_stream(spark, rows, pattern, name, **match_kwargs):
     """Helper: stream a crafted (user_id, ts, lab) sequence through
     stream_match_state and return the emitted matches."""
     import tempfile
@@ -233,7 +233,7 @@ def _run_label_stream(spark, rows, pattern, name):
     )
     out = stream_match_state(
         stream, pattern=pattern, label_col="lab", keys=["user_id"],
-        ts_col="ts", out_schema=out_schema,
+        ts_col="ts", out_schema=out_schema, **match_kwargs,
     )
     q = run_to_memory(out, name)
     got = spark.table(name).toPandas().sort_values("match_start")
@@ -260,6 +260,20 @@ def test_stream_match_batch_parity_funnel(spark):
     # maximal-accept fast path: 'C V+' emits on death, 'V+ P' immediately
     got = _run_label_stream(spark, list("CVVCVC"), "C V+", "lm3")
     assert got["match_len"].tolist() == [3, 2]
+
+
+def test_stream_match_attempt_cap(spark):
+    # 'A+' over an endless A-run never settles; max_attempt_rows bounds
+    # per-key state with emit-and-reset: 8 A's at cap 3 -> 3, 3, and a
+    # 2-row attempt left pending in state (not emitted without a gap)
+    got = _run_label_stream(spark, list("AAAAAAAA"), "A+", "cap1",
+                            max_attempt_rows=3)
+    assert got["match_len"].tolist() == [3, 3]
+    # cap interplay with attempt death: A A A A B A A A at cap 3 ->
+    # cap-emit 3, then the lone A settles at the B, then cap-emit 3
+    got2 = _run_label_stream(spark, list("AAAABAAA"), "A+", "cap2",
+                             max_attempt_rows=3)
+    assert got2["match_len"].tolist() == [3, 1, 3]
 
 
 def test_stream_match_finalize_gap(spark):
@@ -331,3 +345,82 @@ def test_stream_match_finalize_gap(spark):
     q.stop()
     assert len(got) == 1
     assert got.iloc[0].user_id == 1 and got.iloc[0].match_len == 2
+
+
+def test_stream_match_finalize_gap_tail_replay(spark):
+    """Rows buffered past a gap-finalized accept must be replayed: with
+    'A B (C D)? | C' over A B C, the pending accept A B is finalized at
+    the gap and the buffered C — consumed while attempting the C D
+    extension — must come back as its own match, not be dropped."""
+    import datetime
+    import glob
+    import os
+    import tempfile
+    import time as _time
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("lab", StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    d = tempfile.mkdtemp(prefix="sclera_gapr_stream_")
+    batches = [
+        [
+            (1, t0, "A"),
+            (1, t0 + datetime.timedelta(seconds=1), "B"),
+            (1, t0 + datetime.timedelta(seconds=2), "C"),
+        ],
+        [(2, t0 + datetime.timedelta(days=2), "X")],
+        [(2, t0 + datetime.timedelta(days=3), "X")],
+    ]
+    sd = tempfile.mkdtemp(prefix="sclera_gapr_sd_")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b{i}")
+        part = sorted(glob.glob(f"{d}/b{i}/part-*.parquet"))[0]
+        os.symlink(part, f"{sd}/{i:02d}.parquet")
+        _time.sleep(1.1)
+
+    stream = stream_from_directory(
+        spark, sd, schema, maxFilesPerTrigger="1"
+    ).withWatermark("ts", "10 seconds")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("match_start", TimestampType()),
+            StructField("match_end", TimestampType()),
+            StructField("match_len", IntegerType()),
+        ]
+    )
+    out = stream_match_state(
+        stream,
+        pattern="A B (C D)? | C",
+        label_col="lab",
+        keys=["user_id"],
+        ts_col="ts",
+        out_schema=out_schema,
+        finalize_gap="1 minute",
+    )
+    q = run_to_memory(out, "gapr_matches", timeout_s=90)
+    got = (
+        spark.table("gapr_matches")
+        .toPandas()
+        .sort_values("match_start")
+        .reset_index(drop=True)
+    )
+    q.stop()
+    u1 = got[got.user_id == 1]
+    assert u1["match_len"].tolist() == [2, 1]
