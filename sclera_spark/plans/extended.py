@@ -990,14 +990,30 @@ def _lower_expmovavg_windows(engine, sql: str) -> str:
         view = f"__sclera_ext_{next(_COUNTER)}"
         df.createOrReplaceTempView(view)
         repl = view if item["alias"] is None else f"{view} AS {item['alias']}"
-        sql = (
-            sql[: m.start()]
-            + out_col
-            + sql[m.end() : item["start"]]
-            + repl
-            + " "
-            + sql[item["end"] :]
-        )
+        # splice call-site and from-item replacements in text order: the
+        # EMA call usually precedes the FROM item (select list) but can
+        # follow it (ORDER BY / HAVING) — the old unconditional
+        # call-first splice garbled the SQL in that case
+        if m.end() <= item["start"]:
+            sql = (
+                sql[: m.start()]
+                + out_col
+                + sql[m.end() : item["start"]]
+                + repl
+                + " "
+                + sql[item["end"] :]
+            )
+        elif m.start() >= item["end"]:
+            sql = (
+                sql[: item["start"]]
+                + repl
+                + " "
+                + sql[item["end"] : m.start()]
+                + out_col
+                + sql[m.end() :]
+            )
+        else:  # pragma: no cover - a call cannot straddle its FROM item
+            raise ValueError("EXPMOVAVG window overlaps its FROM item")
 
 
 def lower_extended(engine, sql: str) -> str:

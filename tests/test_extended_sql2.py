@@ -292,3 +292,36 @@ def test_expmovavg_sql_window(engine):
     r = direct.sort_values(key).reset_index(drop=True)
     assert len(l) == len(r) > 0
     assert (abs(l["ema"] - r["ema"]) < 1e-9).all()
+
+
+def test_expmovavg_sql_window_in_order_by(engine):
+    # EMA window AFTER the FROM item (ORDER BY position) — the splice must
+    # keep text order instead of assuming call-before-FROM
+    rows = engine.sql("""
+        SELECT user_id, event_id
+        FROM events
+        ORDER BY EXPMOVAVG(value, 0.3) OVER (PARTITION BY user_id ORDER BY ts, event_id) DESC,
+                 user_id, event_id
+        LIMIT 20
+    """).collect()
+    assert len(rows) == 20
+
+    from sclera_spark.operators import expmovavg
+
+    direct = (
+        expmovavg(
+            engine.table("events").select("user_id", "event_id", "ts", "value"),
+            "value",
+            decay=0.3,
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            out_col="ema",
+        )
+        .orderBy(F.desc("ema"), "user_id", "event_id")
+        .limit(20)
+        .select("user_id", "event_id")
+        .collect()
+    )
+    assert [(r.user_id, r.event_id) for r in rows] == [
+        (r.user_id, r.event_id) for r in direct
+    ]
