@@ -393,7 +393,7 @@ def _q_arg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return eng.sql("""
         SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders PARTITION BY o_orderstatus ARG (MAX(o_orderkey))
+        FROM orders PARTITION BY o_orderstatus ARG (MAX(o_orderkey), MIN(o_orderkey))
     """)
 
 
@@ -1081,6 +1081,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
                   ORDER BY o_orderkey DESC) rn FROM orders) t WHERE rn = 1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_orderkey ASC) rn FROM orders) t WHERE rn = 1
     """
     oracles["split_sql"] = """
         WITH iv AS (SELECT user_id, event_id, value AS lo, value + 10 AS hi FROM events),

@@ -1069,11 +1069,20 @@ def _lower_op(engine, df, op: dict, item: dict):
     elif kind == "SPLIT":
         df = split_into(df, op["lo"], op["hi"], op["olo"], op["ohi"], partition_by=part)
     elif kind == "ARG":
-        sm = re.match(r"(MAX|MIN)\s*\(\s*([\w.]+)\s*\)\s*$", op["spec"].strip(), re.IGNORECASE)
-        if not sm:
-            raise ValueError(f"cannot parse ARG spec: {op['spec']!r}")
-        maximize = sm.group(1).upper() == "MAX"
-        opt_col = sm.group(2)
+        from sclera_spark.plans.frontend import _split_top_commas
+
+        # the reference grammar takes a LIST of fnspecs
+        # (SqlQueryParser.scala:278-298, matchArgSpecOrParList:1067-1069);
+        # each spec contributes its own optimum row(s), concatenated
+        # (SeqArgOpts.result flatMaps over the aggregates)
+        specs: list[tuple[bool, str]] = []
+        for spec_text in _split_top_commas(op["spec"]):
+            sm = re.match(
+                r"(MAX|MIN)\s*\(\s*([\w.]+)\s*\)\s*$", spec_text.strip(), re.IGNORECASE
+            )
+            if not sm:
+                raise ValueError(f"cannot parse ARG spec: {spec_text!r}")
+            specs.append((sm.group(1).upper() == "MAX", sm.group(2)))
         if op["pattern"]:
             if not order:
                 raise ValueError("ARG OVER MATCH requires ORDERED BY (cols)")
@@ -1081,14 +1090,24 @@ def _lower_op(engine, df, op: dict, item: dict):
             matched = match_rows(
                 df, op["pattern"], labeler, order_by=order, partition_by=part
             )
-            df = arg_opt(
-                matched.drop("match_label"),
-                F.col(opt_col),
-                maximize=maximize,
-                partition_by=part + ["match_id"],
-            ).drop("match_id")
+            base = matched.drop("match_label")
+            outs = [
+                arg_opt(
+                    base,
+                    F.col(opt_col),
+                    maximize=maximize,
+                    partition_by=part + ["match_id"],
+                ).drop("match_id")
+                for maximize, opt_col in specs
+            ]
         else:
-            df = arg_opt(df, F.col(opt_col), maximize=maximize, partition_by=part)
+            outs = [
+                arg_opt(df, F.col(opt_col), maximize=maximize, partition_by=part)
+                for maximize, opt_col in specs
+            ]
+        df = outs[0]
+        for extra in outs[1:]:
+            df = df.unionAll(extra)
     elif kind == "PIVOT":
         from sclera_spark.functions import aggregate_function
 

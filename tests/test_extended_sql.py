@@ -96,6 +96,28 @@ def test_arg_sql(engine, duck):
     assert_df_equal_duck(df, duck, oracle)
 
 
+def test_arg_multi_spec_sql(engine, duck):
+    # reference grammar takes a fnspec LIST (SqlQueryParser.scala:278-298);
+    # each spec contributes its own optimum row, concatenated
+    from tests.conftest import assert_df_equal_duck
+
+    df = engine.sql("""
+        SELECT o_orderkey, o_custkey
+        FROM orders PARTITION BY o_orderstatus
+             ARG (MAX(o_totalprice), MIN(o_totalprice))
+    """)
+    oracle = """
+    SELECT o_orderkey, o_custkey
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC) rn FROM orders) t WHERE rn = 1
+    UNION ALL
+    SELECT o_orderkey, o_custkey
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice ASC) rn FROM orders) t WHERE rn = 1
+    """
+    assert_df_equal_duck(df, duck, oracle)
+
+
 def test_arg_over_match_sql(engine):
     # the row with max value inside each matched funnel
     df = engine.sql("""
