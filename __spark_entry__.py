@@ -9,10 +9,12 @@ planted-truth oracles in tests/.
 
 Entry-ordering contract: the driver grades entries in dict order with a
 ~50-entry window, so oracle-bearing entries come first, then the
-rows-only tier; the last three (match_alternation, expmovavg,
-approx_distinct) are pytest-covered spares. Round-2 merged the round-1
-single-feature probes into combined queries to fit the window; the
-coverage mapping (SURVEY.md §2 item -> entry) is:
+rows-only tier; the last three (language_id, approx_distinct,
+multimodal_features) are pytest-covered spares. Round-2 merged the
+round-1 single-feature probes into combined queries to fit the window;
+round-4 folded movavg_sql into window_tier and token_count into
+quality_scores so expmovavg and match_alternation fit inside the graded
+window. The coverage mapping (SURVEY.md §2 item -> entry) is:
 
   join_variants     NATURAL / USING / CROSS / theta self-join      (§2.3)
   outer_joins       LEFT (non-equi ON) + FULL OUTER                (§2.3)
@@ -30,7 +32,12 @@ coverage mapping (SURVEY.md §2 item -> entry) is:
   grouping_sets     ROLLUP + CUBE + GROUP BY ordinals + HAVING     (§2.4)
   order_fetch       NULLS FIRST + LIMIT/OFFSET + FETCH FIRST       (§2.6)
   row_sources       VALUES + SequenceSource                        (§2.1)
-  window_tier       lag/lead/nth/rank/row_number/running/moving    (§2.5)
+  window_tier       lag/lead/nth/rank/row_number/running/moving
+                    + MOVAVG/MOVSTDDEV/MOVSUM dialect forms        (§2.5)
+  scalar_sclera_names  TIME/DATE/TIMESTAMP_ADD/_DIFF (ms), unit
+                    constructors, SCALE, TIMESTAMP_UNIX, TOUTC/
+                    TOTIMEZONE/TOTIME                              (§2.9)
+  quality_scores    quality features + token counts                (LLM)
 
 Float aggregates whose parallel summation order is engine-dependent are
 rounded in-query on BOTH sides (round kills the last-ulp drift between
@@ -304,8 +311,29 @@ _Q: dict[str, str] = {
                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov3,
                round(stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS movsd5
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS movsd5,
+               round(MOVAVG(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS ma5,
+               round(MOVSTDDEV(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS msd5,
+               round(MOVSUM(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS ms3
         FROM events
+    """,
+    # Sclera scalar-name surface in SQL text: ms-based date/time arithmetic,
+    # unit constructors, SCALE, TIMESTAMP_UNIX (ms), TOUTC/TOTIMEZONE/TOTIME
+    # (reference ScalFunctionEvaluator.scala:791-1445)
+    "scalar_sclera_names": """
+        SELECT o_orderkey,
+               TIMESTAMP_ADD(o_orderdate, HOURS(6)) AS ts6h,
+               CAST(DATE_ADD(o_orderdate, DAYS(10)) AS TIMESTAMP) AS d10,
+               TIME_DIFF(TIME_ADD(o_orderdate, MINUTES(90)), o_orderdate) AS ms90,
+               DATE_DIFF(o_orderdate, DATE '1995-01-01') AS msd,
+               TIMESTAMP_UNIX(o_orderdate) AS unix_ms,
+               SCALE(o_totalprice, 1) AS sc1,
+               MILLISECONDS(5) AS u_ms, SECONDS(2) AS u_s,
+               MINUTES(3) AS u_mi, HOURS(4) AS u_h, DAYS(1) AS u_d,
+               TOUTC(o_orderdate) AS utc_ts,
+               TOTIMEZONE(o_orderdate, 'UTC') AS tz_ts,
+               TOTIME('01-02-1995', 'DD-MM-YYYY') AS tt
+        FROM orders WHERE o_orderkey <= 2000
     """,
 }
 
@@ -332,15 +360,6 @@ _DISTINCT_ON_ORACLE = """
     WHERE rn = 1
 """
 
-_MOVAVG_SQL = """
-    SELECT user_id, event_id,
-           round(MOVAVG(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS ma5,
-           round(MOVSTDDEV(value, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS msd5,
-           round(MOVSUM(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS ms3
-    FROM events
-"""
-
-
 def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _engine(spark, sf_dir).sql(_Q[name])
@@ -350,10 +369,6 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def _q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).sql(_DISTINCT_ON_ENGINE)
-
-
-def _q_movavg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _engine(spark, sf_dir).sql(_MOVAVG_SQL)
 
 
 def _q_row_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,19 +533,15 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(eng.table("documents"), max_hamming=3)
 
 
-def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sclera_spark.llm import token_count
-
-    eng = _engine(spark, sf_dir)
-    return token_count(eng.table("documents")).select("doc_id", "n_tokens")
-
-
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sclera_spark.llm import quality_scores
+    """Quality features + token counts in one probe (merged from the old
+    separate token_count entry to free a graded-window slot; both are
+    single-pass JVM column expressions, so composition adds no shuffle)."""
+    from sclera_spark.llm import quality_scores, token_count
 
     eng = _engine(spark, sf_dir)
-    return quality_scores(eng.table("documents")).select(
-        "doc_id", "n_chars_q", "punct_ratio", "digit_ratio"
+    return token_count(quality_scores(eng.table("documents"))).select(
+        "doc_id", "n_chars_q", "punct_ratio", "digit_ratio", "n_tokens"
     )
 
 
@@ -548,7 +559,15 @@ def _q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sclera_spark.llm import doc_fingerprint
 
     eng = _engine(spark, sf_dir)
-    fp = doc_fingerprint(eng.table("documents")).select(
+    docs = eng.table("documents").select("doc_id", "text")
+    # plant whitespace-mangled copies of a few docs so the probe checks
+    # real pairs (the natural corpus has no exact normalized duplicates,
+    # which made this entry vacuously 0 = 0 for three rounds)
+    mangled = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.regexp_replace("text", " ", "   ").alias("text"),
+    )
+    fp = doc_fingerprint(docs.unionAll(mangled)).select(
         F.col("doc_id").alias("id"), "fingerprint"
     )
     a, b = fp.alias("a"), fp.alias("b")
@@ -971,7 +990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             # oracle-bearing operator / clause / source tier
             "distinct_on": _q_distinct_on,
-            "movavg_sql": _q_movavg_sql,
             "pivot_sql": _q_pivot_sql,
             "unpivot_sql": _q_unpivot_sql,
             "arg_sql": _q_arg_sql,
@@ -982,9 +1000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "typeinfer_sql": _q_typeinfer_sql,
             "row_sources": _q_row_sources,
             "transform_zscore": _q_transform_zscore,
+            # sequence-aggregate tier (rows-graded; pandas oracle in tests)
+            "expmovavg": _q_expmovavg,
             # LLM-pipeline tier (oracled)
             "dedup_exact": _q_dedup_exact,
-            "token_count": _q_token_count,
             "quality_scores": _q_quality_scores,
             "fingerprint_dups": _q_fingerprint_dups,
             "cosine_topk": _q_cosine_topk,
@@ -994,7 +1013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # equivalent; each is pytest-verified — see oracle_sql notes)
             "minhash_pairs": _q_minhash_pairs,
             "simhash_pairs": _q_simhash_pairs,
-            "language_id": _q_language_id,
             "ann_topk": _q_ann_topk,
             "ivf_topk": _q_ivf_topk,
             "embedding_dups": _q_embedding_dups,
@@ -1006,9 +1024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_match_state": _q_stream_match_state,
             "labeled_fn_sql": _q_labeled_fn_sql,
             "align_sql": _q_align_sql,
-            # tail spares (outside the driver window; pytest-covered)
             "match_alternation": _q_match_alternation,
-            "expmovavg": _q_expmovavg,
+            # tail spares (outside the ~50-entry driver window; each
+            # pytest-covered: language_id in test_llm_ops, approx aggs in
+            # test_operators, multimodal plumbing in test_llm_ops)
+            "language_id": _q_language_id,
             "approx_distinct": _q_approx_distinct,
             "multimodal_features": _q_multimodal_features,
         }
@@ -1055,9 +1075,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)"
     )
     oracles["distinct_on"] = _DISTINCT_ON_ORACLE
-    oracles["window_tier"] = _Q["window_tier"]
-    oracles["movavg_sql"] = """
+    # the MOV* names are Sclera dialect (lowered to ROWS-framed windows);
+    # the oracle states the frames explicitly for DuckDB
+    oracles["window_tier"] = """
         SELECT user_id, event_id,
+               lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+               nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov3,
+               round(stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS movsd5,
                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5,
                round(stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1065,6 +1098,23 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ms3
         FROM events
+    """
+    oracles["scalar_sclera_names"] = """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) + INTERVAL 6 HOUR AS ts6h,
+               CAST(o_orderdate AS TIMESTAMP) + INTERVAL 10 DAY AS d10,
+               CAST(5400000 AS BIGINT) AS ms90,
+               CAST(datediff('ms', TIMESTAMP '1995-01-01',
+                    CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS msd,
+               CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS unix_ms,
+               round(o_totalprice, 1) AS sc1,
+               CAST(5 AS BIGINT) AS u_ms, CAST(2000 AS BIGINT) AS u_s,
+               CAST(180000 AS BIGINT) AS u_mi, CAST(14400000 AS BIGINT) AS u_h,
+               CAST(86400000 AS BIGINT) AS u_d,
+               CAST(o_orderdate AS TIMESTAMP) AS utc_ts,
+               CAST(o_orderdate AS TIMESTAMP) AS tz_ts,
+               strptime('01-02-1995', '%d-%m-%Y') AS tt
+        FROM orders WHERE o_orderkey <= 2000
     """
     oracles["pivot_sql"] = """
         SELECT l_returnflag,
@@ -1128,25 +1178,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text) k
           ON d.doc_id = k.doc_id
     """
-    oracles["token_count"] = r"""
-        SELECT doc_id, length(list_filter(string_split_regex(
-            regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
-            x -> x <> '')) AS n_tokens
-        FROM documents
-    """
     oracles["quality_scores"] = r"""
         SELECT doc_id,
                length(text) AS n_chars_q,
                length(regexp_replace(text, '[\w\s]', '', 'g')) /
                    greatest(length(text), 1) AS punct_ratio,
                length(regexp_replace(text, '[^0-9]', '', 'g')) /
-                   greatest(length(text), 1) AS digit_ratio
+                   greatest(length(text), 1) AS digit_ratio,
+               length(list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+                   x -> x <> '')) AS n_tokens
         FROM documents
     """
     oracles["fingerprint_dups"] = r"""
-        WITH n AS (SELECT doc_id,
-                          regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
-                   FROM documents)
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, replace(text, ' ', '   ')
+            FROM documents WHERE doc_id < 5
+        ),
+        n AS (SELECT doc_id,
+                     regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+              FROM aug)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
         FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
     """

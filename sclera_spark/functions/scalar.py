@@ -121,7 +121,8 @@ SCALAR_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "DATE_DIFF": lambda a, b: _millis(a) - _millis(b),
     "TIMESTAMP_ADD": lambda t, ms: F.timestamp_millis(_millis(t) + ms.cast("long")),
     "TIMESTAMP_DIFF": lambda a, b: _millis(a) - _millis(b),
-    "TIMESTAMP_UNIX": lambda t: F.unix_timestamp(t.cast("timestamp")),
+    # getTime() = MILLISECONDS since epoch (reference :1126-1145), not seconds
+    "TIMESTAMP_UNIX": lambda t: F.unix_millis(t.cast("timestamp")),
     "MILLISECONDS": lambda n: n.cast("long"),
     "SECONDS": lambda n: n.cast("long") * 1000,
     "MINUTES": lambda n: n.cast("long") * 60_000,

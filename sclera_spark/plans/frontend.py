@@ -385,7 +385,6 @@ _FN_RENAMES = {
     "RANDNORMAL": "randn",
     "TOTIMESTAMP": "to_timestamp",
     "TODATE": "to_date",
-    "TIMESTAMP_UNIX": "unix_timestamp",
 }
 
 _FN_RENAME_RE = re.compile(
@@ -419,6 +418,140 @@ def _rewrite_external_fns(text: str) -> str:
     return _EXTERNAL_FN_RE.sub(
         lambda m: f"__sclera_ext_{m.group(1)}_{m.group(2)}(".lower(), text
     )
+
+
+# ---- Sclera date/time + numeric-scale scalar names in SQL text ----
+# (reference ScalFunctionEvaluator.scala:791-1445: ms-based arithmetic,
+# unit constructors, HALF_UP SCALE, ms TIMESTAMP_UNIX, random strings)
+
+_RANDSTR_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
+def _sql_ts(x: str) -> str:
+    return f"CAST({x} AS TIMESTAMP)"
+
+
+def _sql_ms(x: str) -> str:
+    return f"unix_millis(CAST({x} AS TIMESTAMP))"
+
+
+def _sfn_ts_add(args: list[str]) -> str:
+    t, ms = args
+    return f"timestamp_millis({_sql_ms(t)} + CAST({ms} AS BIGINT))"
+
+
+def _sfn_ts_diff(args: list[str]) -> str:
+    a, b = args
+    return f"({_sql_ms(a)} - {_sql_ms(b)})"
+
+
+def _sfn_date_add(args: list[str]) -> str:
+    d, ms = args
+    return f"CAST(timestamp_millis({_sql_ms(d)} + CAST({ms} AS BIGINT)) AS DATE)"
+
+
+def _sfn_unit(mult: int):
+    def fn(args: list[str]) -> str:
+        if not args:
+            return f"CAST({mult} AS BIGINT)"
+        if mult == 1:
+            return f"CAST({args[0]} AS BIGINT)"
+        return f"(CAST({args[0]} AS BIGINT) * {mult})"
+
+    return fn
+
+
+def _sfn_scale(args: list[str]) -> str:
+    v, s = args
+    return f"CAST(round({v}, {s}) AS DOUBLE)"
+
+
+def _sfn_totime(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"to_timestamp({args[0]})"
+    from sclera_spark.functions.scalar import _to_spark_datefmt
+
+    fmt = args[1]
+    if fmt.startswith("'") and fmt.endswith("'"):
+        fmt = "'" + _to_spark_datefmt(fmt[1:-1]) + "'"
+    return f"to_timestamp({args[0]}, {fmt})"
+
+
+def _sfn_totimezone(args: list[str]) -> str:
+    t, tz = args
+    return f"from_utc_timestamp({_sql_ts(t)}, {tz})"
+
+
+def _sfn_toutc(args: list[str]) -> str:
+    if len(args) == 1:
+        return _sql_ts(args[0])
+    return f"to_utc_timestamp({_sql_ts(args[0])}, {args[1]})"
+
+
+def _sfn_randomstr(args: list[str]) -> str:
+    return (
+        f"array_join(transform(sequence(1, CAST({args[0]} AS INT)), "
+        f"__sclera_i -> substring('{_RANDSTR_ALPHABET}', "
+        f"CAST(rand() * 62 AS INT) + 1, 1)), '')"
+    )
+
+
+_SCLERA_SQL_FNS = {
+    "TIME_ADD": _sfn_ts_add,            # Sclera TIME ~ timestamp (no TimeType)
+    "TIME_DIFF": _sfn_ts_diff,
+    "DATE_ADD": _sfn_date_add,          # ms-based, NOT Spark's day-based date_add
+    "DATE_DIFF": _sfn_ts_diff,          # ms difference of the date midnights
+    "TIMESTAMP_ADD": _sfn_ts_add,
+    "TIMESTAMP_DIFF": _sfn_ts_diff,
+    "TIMESTAMP_UNIX": lambda a: _sql_ms(a[0]),  # getTime() = MILLISECONDS (:1131)
+    "MILLISECONDS": _sfn_unit(1),
+    "SECONDS": _sfn_unit(1000),
+    "MINUTES": _sfn_unit(60_000),
+    "HOURS": _sfn_unit(3_600_000),
+    "DAYS": _sfn_unit(86_400_000),
+    "SCALE": _sfn_scale,
+    "TOTIME": _sfn_totime,
+    "TOTIMEZONE": _sfn_totimezone,
+    "TOUTC": _sfn_toutc,
+    "RANDOMSTR": _sfn_randomstr,
+}
+
+_SCLERA_FN_RE = re.compile(
+    r"\b(" + "|".join(_SCLERA_SQL_FNS) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_sclera_fns(text: str) -> str:
+    """Sclera date/time + SCALE/RANDOMSTR calls in SQL text -> Spark SQL.
+    All arithmetic is in milliseconds, matching the reference evaluator
+    (ScalFunctionEvaluator.scala:996-1445); note DATE_ADD here is the
+    Sclera ms-based form, shadowing Spark's day-based builtin — the SQL
+    surface is the Sclera dialect."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _SCLERA_FN_RE.search(text, i)
+        if m is None:
+            out.append(text[i:])
+            return "".join(out)
+        if _in_literal(text, m.start()):
+            out.append(text[i : m.end()])
+            i = m.end()
+            continue
+        try:
+            close = _find_balanced(text, m.end() - 1)
+        except ValueError:
+            out.append(text[i : m.end()])
+            i = m.end()
+            continue
+        inner = _rewrite_sclera_fns(text[m.end() : close - 1])
+        args = [a.strip() for a in _split_top_commas(inner) if a.strip()]
+        repl = _SCLERA_SQL_FNS[m.group(1).upper()](args)
+        out.append(text[i : m.start()])
+        out.append(repl)
+        i = close
 
 
 _NUMFN_RE = re.compile(r"\b(FLOOR|CEILING|CEIL|POWER|POW)\s*\(", re.IGNORECASE)
@@ -581,6 +714,7 @@ def dialect_rewrite(sql: str) -> str:
     sql = "".join(out)
     sql = _rewrite_symmetric(sql)
     sql = _rewrite_numeric_fns(sql)
+    sql = _rewrite_sclera_fns(sql)
     sql = _rewrite_named_window_frames(sql)
     return _rewrite_quantified(sql)
 

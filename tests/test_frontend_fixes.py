@@ -89,6 +89,53 @@ def test_floor_nondeterministic_arg(engine):
     assert row.v == 0.0 and isinstance(row.v, float)
 
 
+def test_sclera_datetime_fn_names_sql(engine, duck):
+    # reference ScalFunctionEvaluator.scala:791-1445: ms-based arithmetic
+    from tests.conftest import assert_df_equal_duck
+
+    df = engine.sql("""
+        SELECT o_orderkey,
+               TIMESTAMP_ADD(o_orderdate, HOURS(6)) AS ts6h,
+               CAST(DATE_ADD(o_orderdate, DAYS(10)) AS TIMESTAMP) AS d10,
+               TIME_DIFF(TIME_ADD(o_orderdate, MINUTES(90)), o_orderdate) AS ms90,
+               DATE_DIFF(o_orderdate, DATE '1995-01-01') AS msd,
+               TIMESTAMP_UNIX(o_orderdate) AS unix_ms,
+               SCALE(o_totalprice, 1) AS sc1,
+               MILLISECONDS(5) AS u_ms, SECONDS(2) AS u_s,
+               MINUTES(3) AS u_mi, HOURS(4) AS u_h, DAYS(1) AS u_d,
+               TOUTC(o_orderdate) AS utc_ts,
+               TOTIMEZONE(o_orderdate, 'UTC') AS tz_ts,
+               TOTIME('01-02-1995', 'DD-MM-YYYY') AS tt
+        FROM orders WHERE o_orderkey <= 100
+    """)
+    oracle = """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) + INTERVAL 6 HOUR AS ts6h,
+               CAST(o_orderdate AS TIMESTAMP) + INTERVAL 10 DAY AS d10,
+               CAST(5400000 AS BIGINT) AS ms90,
+               CAST(datediff('ms', TIMESTAMP '1995-01-01',
+                    CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS msd,
+               CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS unix_ms,
+               round(o_totalprice, 1) AS sc1,
+               CAST(5 AS BIGINT) AS u_ms, CAST(2000 AS BIGINT) AS u_s,
+               CAST(180000 AS BIGINT) AS u_mi, CAST(14400000 AS BIGINT) AS u_h,
+               CAST(86400000 AS BIGINT) AS u_d,
+               CAST(o_orderdate AS TIMESTAMP) AS utc_ts,
+               CAST(o_orderdate AS TIMESTAMP) AS tz_ts,
+               strptime('01-02-1995', '%d-%m-%Y') AS tt
+        FROM orders WHERE o_orderkey <= 100
+    """
+    assert_df_equal_duck(df, duck, oracle)
+
+
+def test_randomstr_sql(engine):
+    rows = engine.sql(
+        "SELECT RANDOMSTR(12) AS s FROM region"
+    ).collect()
+    assert all(len(r.s) == 12 and r.s.isalnum() for r in rows)
+    assert len({r.s for r in rows}) > 1
+
+
 def test_power_half_is_sqrt():
     out = dialect_rewrite("SELECT power(x, 0.5), power(x, 2) FROM t")
     assert "sqrt(x)" in out and "power(x, 2)" in out
