@@ -295,7 +295,9 @@ _Q: dict[str, str] = {
     """,
     "string_agg_ordered": """
         SELECT n_regionkey,
-               concat_ws(',', sort_array(collect_list(n_name))) AS names
+               STRING_AGG(n_name, ',' ORDER BY n_nationkey DESC) AS names,
+               STRING_AGG(n_name, '|' ORDER BY n_name) AS names_v,
+               PATH(n_name ORDER BY n_nationkey) AS name_path
         FROM nation GROUP BY n_regionkey
     """,
     "window_tier": """
@@ -1213,7 +1215,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id LIMIT 10) t
     """
     oracles["string_agg_ordered"] = """
-        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS names,
+               string_agg(n_name, '|' ORDER BY n_name) AS names_v,
+               string_agg(n_name, '/' ORDER BY n_nationkey) AS name_path
         FROM nation GROUP BY n_regionkey
     """
     oracles["nlp_tokenize"] = r"""

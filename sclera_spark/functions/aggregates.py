@@ -20,18 +20,35 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def string_agg(col: Column, sep: str = ",") -> Column:
+from collections.abc import Sequence
+
+
+def string_agg(
+    col: Column, sep: str = ",", order_by: Sequence[Column] | None = None
+) -> Column:
     """STRING_AGG: ordered concatenation. At scale this is a collect_list
     per group — acceptable because groups, not the whole relation, bound
-    the state. Order within group is input order (non-deterministic after
-    a shuffle unless the caller sorts first — same caveat Spark's own
-    listagg carries)."""
-    return F.array_join(F.collect_list(col.cast("string")), sep)
+    the state. With ``order_by`` the values are sorted by those key
+    expressions (struct-sort: collect (keys..., value) structs, sort_array,
+    project the value — the reference's sequence-position ordering,
+    SeqAggregate.scala:1201-1365). Keys sort ascending (struct order);
+    negate numeric keys for descending. Without ``order_by``, order is
+    input order
+    (non-deterministic after a shuffle unless the caller sorts first —
+    same caveat Spark's own listagg carries)."""
+    if order_by is None:
+        return F.array_join(F.collect_list(col.cast("string")), sep)
+    s = F.struct(
+        *[c.alias(f"__o{i}") for i, c in enumerate(order_by)],
+        col.cast("string").alias("__v"),
+    )
+    vals = F.transform(F.sort_array(F.collect_list(s)), lambda x: x["__v"])
+    return F.array_join(vals, sep)
 
 
-def path(col: Column) -> Column:
+def path(col: Column, order_by: Sequence[Column] | None = None) -> Column:
     """PATH: Sclera's label-path aggregate — '/'-joined values in order."""
-    return string_agg(col, "/")
+    return string_agg(col, "/", order_by=order_by)
 
 
 def skew_pop(col: Column) -> Column:

@@ -617,6 +617,61 @@ def _rewrite_numeric_fns(text: str) -> str:
         i = close
 
 
+# PostgreSQL/Sclera ordered string aggregates: STRING_AGG(x, d ORDER BY k)
+# and PATH(x [, d] [ORDER BY k]) -> Spark-native string_agg ... WITHIN GROUP
+# (the reference orders by sequence position, SeqAggregate.scala:1201-1365;
+# Spark 4 supports arbitrary WITHIN GROUP order natively). Label-dotted
+# forms (A.PATH(...)) belong to the MATCH tier and are skipped.
+_STRAGG_RE = re.compile(r"(\.\s*)?\b(STRING_AGG|PATH)\s*\(", re.IGNORECASE)
+_ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _rewrite_ordered_aggs(text: str) -> str:
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _STRAGG_RE.search(text, i)
+        if m is None:
+            out.append(text[i:])
+            return "".join(out)
+        if m.group(1) or _in_literal(text, m.start()):
+            out.append(text[i : m.end()])
+            i = m.end()
+            continue
+        try:
+            close = _find_balanced(text, m.end() - 1)
+        except ValueError:
+            out.append(text[i : m.end()])
+            i = m.end()
+            continue
+        inner = text[m.end() : close - 1]
+        om = _scan_top_level(inner, _ORDER_BY_KW_RE)
+        fn = m.group(2).upper()
+        if om is None and fn == "STRING_AGG":
+            # unordered STRING_AGG is Spark-native (listagg alias)
+            out.append(text[i:close])
+            i = close
+            continue
+        if om is None:
+            args, order = inner, None
+        else:
+            args = inner[: om.start()].rstrip().rstrip(",")
+            order = inner[om.end() :].strip()
+        arg_list = [a.strip() for a in _split_top_commas(args)]
+        if fn == "PATH":
+            val = f"CAST({arg_list[0]} AS STRING)"
+            delim = arg_list[1] if len(arg_list) > 1 else "'/'"
+        else:
+            val = arg_list[0]
+            delim = arg_list[1] if len(arg_list) > 1 else "','"
+        repl = f"string_agg({val}, {delim})"
+        if order is not None:
+            repl += f" WITHIN GROUP (ORDER BY {order})"
+        out.append(text[i : m.start()])
+        out.append(repl)
+        i = close
+
+
 _OFFSET_FETCH_RE = re.compile(
     r"\bOFFSET\s+(\d+)(?:\s+ROWS?)?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
     re.IGNORECASE,
@@ -715,6 +770,7 @@ def dialect_rewrite(sql: str) -> str:
     sql = _rewrite_symmetric(sql)
     sql = _rewrite_numeric_fns(sql)
     sql = _rewrite_sclera_fns(sql)
+    sql = _rewrite_ordered_aggs(sql)
     sql = _rewrite_named_window_frames(sql)
     return _rewrite_quantified(sql)
 

@@ -128,6 +128,58 @@ def test_sclera_datetime_fn_names_sql(engine, duck):
     assert_df_equal_duck(df, duck, oracle)
 
 
+def test_string_agg_order_by_other_column(engine, duck):
+    # ordered by a position column, not the aggregated value
+    # (reference SeqAggregate.scala:1201-1365 orders by sequence position)
+    from tests.conftest import assert_df_equal_duck
+
+    df = engine.sql("""
+        SELECT n_regionkey,
+               STRING_AGG(n_name, ',' ORDER BY n_nationkey DESC) AS names,
+               PATH(n_name ORDER BY n_nationkey) AS name_path
+        FROM nation GROUP BY n_regionkey
+    """)
+    oracle = """
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS names,
+               string_agg(n_name, '/' ORDER BY n_nationkey) AS name_path
+        FROM nation GROUP BY n_regionkey
+    """
+    assert_df_equal_duck(df, duck, oracle)
+
+
+def test_string_agg_order_by_python_api(spark, tables):
+    from pyspark.sql import functions as F
+
+    from sclera_spark.functions.aggregates import path, string_agg
+
+    df = (
+        spark.table("nation")
+        .groupBy("n_regionkey")
+        .agg(
+            string_agg(
+                F.col("n_name"), ",", order_by=[-F.col("n_nationkey")]
+            ).alias("names"),
+            path(F.col("n_name"), order_by=[F.col("n_nationkey")]).alias("p"),
+        )
+    )
+    row = {r.n_regionkey: (r.names, r.p) for r in df.collect()}
+    expect = (
+        spark.table("nation")
+        .select("n_regionkey", "n_nationkey", "n_name")
+        .collect()
+    )
+    import collections
+
+    by_region = collections.defaultdict(list)
+    for r in expect:
+        by_region[r.n_regionkey].append((r.n_nationkey, r.n_name))
+    for rk, pairs in by_region.items():
+        names_desc = ",".join(n for _, n in sorted(pairs, reverse=True))
+        path_asc = "/".join(n for _, n in sorted(pairs))
+        assert row[rk] == (names_desc, path_asc)
+
+
 def test_randomstr_sql(engine):
     rows = engine.sql(
         "SELECT RANDOMSTR(12) AS s FROM region"
