@@ -57,40 +57,49 @@ def _dtw_pairs(
         return nb - 1 - r
 
     INF = np.inf
-    # D over band cells; store as dict-of-diagonals is overkill — use dense
-    # (n x n) only when small, else banded arrays. Band width 2m+1.
-    # We store D[i, j] for |i-j| <= m using offset k = j - i + m in [0, 2m].
+    # D over band cells; band width 2m+1, row offset k = j - i + m in
+    # [0, 2m]. Out-of-band/out-of-range cells stay INF (never written),
+    # so shifted reads of the previous row self-handle the boundaries.
     D = np.full((n, 2 * m + 1), INF, dtype=np.float64)
-    # predecessor code: 0=diag, 1=(i-1,j), 2=(i,j-1)
-    P = np.zeros((n, 2 * m + 1), dtype=np.int8)
 
+    # one fully-vectorized update per band row (the per-cell Python loop
+    # here was the slowest surviving Python path at scale):
+    #   t_j = min(D(i-1, j-1), D(i-1, j))          shifted-array minima
+    #   d_j = c_j + min(t_j, d_{j-1})              in-row left-move scan
+    # The scan unrolls to d_j = min_{k<=j} (t_k + sum_{u=k..j} c_u)
+    #                         = S_j + cummin_{k<=j}(t_k - S_{k-1}),
+    # i.e. one cumsum + one cumulative min (S = prefix sums of c).
+    for i in range(n):
+        j_lo, j_hi = max(0, i - m), min(n - 1, i + m)
+        js = np.arange(j_lo, j_hi + 1)
+        ci = cost(orig_a(np.full(js.shape, i)), orig_b(js))
+        ks = js - i + m
+        S = np.cumsum(ci)
+        if i == 0:
+            # only left-moves exist in row 0: plain running sum
+            D[0, ks] = S
+            continue
+        prev = D[i - 1]
+        diag = prev[ks]  # (i-1, j-1) sits at the SAME offset one row up
+        up = np.append(prev, INF)[ks + 1]  # (i-1, j) one offset right
+        t = np.minimum(diag, up)
+        D[i, ks] = S + np.minimum.accumulate(t - np.concatenate(([0.0], S[:-1])))
+
+    # trace back from (n-1, n-1); picking argmin over the three stored
+    # predecessors reproduces the forward pass's diag > up > left
+    # tie-breaking without materializing a predecessor matrix
     def get(i: int, j: int) -> float:
         if i < 0 or j < 0 or abs(i - j) > m or i >= n or j >= n:
             return INF
         return D[i, j - i + m]
 
-    # vectorized cost per band row: for each i, js in [max(0,i-m), min(n-1,i+m)]
-    for i in range(n):
-        j_lo, j_hi = max(0, i - m), min(n - 1, i + m)
-        js = np.arange(j_lo, j_hi + 1)
-        ci = cost(orig_a(np.full(js.shape, i)), orig_b(js))
-        for j, c in zip(js, ci):
-            if i == 0 and j == 0:
-                D[0, m] = c
-                continue
-            cands = (get(i - 1, j - 1), get(i - 1, j), get(i, j - 1))
-            kmin = int(np.argmin(cands))
-            D[i, j - i + m] = c + cands[kmin]
-            P[i, j - i + m] = kmin
-
-    # trace back from (n-1, n-1)
     path = []
     i = j = n - 1
     while True:
         path.append((i, j))
         if i == 0 and j == 0:
             break
-        k = P[i, j - i + m]
+        k = int(np.argmin((get(i - 1, j - 1), get(i - 1, j), get(i, j - 1))))
         if k == 0:
             i, j = i - 1, j - 1
         elif k == 1:

@@ -125,6 +125,48 @@ def test_align_dtw_identical_series(spark):
     assert [(r.ai, r.bi) for r in rows] == [(i, i) for i in range(8)]
 
 
+def test_align_dtw_band_optimality_randomized():
+    """The vectorized band DP must return a valid monotone suffix path
+    achieving the optimal banded cost (checked against a per-cell dict
+    DP over 25 random instances)."""
+    from sclera_spark.operators.align import _dtw_pairs
+
+    def brute_cost(na, nb, costf, margin):
+        n = min(na, nb)
+        m = max(1, min(abs(margin), n - 1)) if margin is not None else max(1, n - 1)
+        D = {}
+
+        def g(i, j):
+            return D.get((i, j), float("inf"))
+
+        for i in range(n):
+            for j in range(max(0, i - m), min(n - 1, i + m) + 1):
+                c = float(costf(np.array([na - 1 - i]), np.array([nb - 1 - j]))[0])
+                if i == 0 and j == 0:
+                    D[(0, 0)] = c
+                    continue
+                D[(i, j)] = c + min(g(i - 1, j - 1), g(i - 1, j), g(i, j - 1))
+        return D[(n - 1, n - 1)]
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        na, nb = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        margin = int(rng.integers(1, 8)) if rng.random() < 0.8 else None
+        va, vb = rng.normal(size=na), rng.normal(size=nb)
+
+        def costf(ai, bi):
+            return np.abs(va[ai] - vb[bi])
+
+        ai, bi = _dtw_pairs(na, nb, costf, margin)
+        n = min(na, nb)
+        assert ai[0] == na - n and bi[0] == nb - n
+        assert ai[-1] == na - 1 and bi[-1] == nb - 1
+        da, db = np.diff(ai), np.diff(bi)
+        assert ((da >= 0) & (db >= 0) & ((da + db) > 0) & (da <= 1) & (db <= 1)).all()
+        got = float(np.abs(va[ai] - vb[bi]).sum())
+        assert abs(got - brute_cost(na, nb, costf, margin)) < 1e-9
+
+
 def test_align_dtw_shifted(spark):
     # b is a shifted by one: DTW path should pair equal values, with one
     # doubled step at the boundary
