@@ -15,10 +15,14 @@ AlignTableResult.scala:34-123):
   stream order; columns = A's columns ++ B's columns.
 
 Spark lowering: the DP is inherently sequential per aligned pair of
-sequences, so it runs as a cogrouped-map pandas op (Arrow batches, numpy
-O(n*margin) DP). With partition keys, alignment is per-key and distributes;
-without keys both streams collapse to a single group — same asymptotics as
-the reference's single thread, but vectorized.
+sequences. Dispatch is side-tagged union -> repartition by key ->
+mapInPandas with an in-pandas groupby (the same shape as the MATCH
+operator): one Arrow exchange serves every key in a partition, instead
+of the per-key cogroup round-trip that dominated wall time with many
+small groups (~20 ms/key; 1500 keys at sf0.1 was ~30 s of pure
+dispatch). With partition keys, alignment distributes; without keys both
+streams collapse to a single group — same asymptotics as the reference's
+single thread, but vectorized.
 """
 
 from __future__ import annotations
@@ -57,6 +61,18 @@ def _dtw_pairs(
         return nb - 1 - r
 
     INF = np.inf
+    # enumerate every band cell up front and evaluate ALL costs in one
+    # cost() call — per-row callbacks dominated wall time when groups are
+    # small (each call slices pandas frames)
+    rows_i = np.arange(n)
+    starts = np.maximum(0, rows_i - m)
+    ends = np.minimum(n - 1, rows_i + m)
+    lens = ends - starts + 1
+    off = np.concatenate(([0], np.cumsum(lens)))
+    I = np.repeat(rows_i, lens)
+    J = np.arange(off[-1]) - off[I] + starts[I]
+    C = np.asarray(cost(orig_a(I), orig_b(J)), dtype=np.float64)
+
     # D over band cells; band width 2m+1, row offset k = j - i + m in
     # [0, 2m]. Out-of-band/out-of-range cells stay INF (never written),
     # so shifted reads of the previous row self-handle the boundaries.
@@ -70,10 +86,10 @@ def _dtw_pairs(
     #                         = S_j + cummin_{k<=j}(t_k - S_{k-1}),
     # i.e. one cumsum + one cumulative min (S = prefix sums of c).
     for i in range(n):
-        j_lo, j_hi = max(0, i - m), min(n - 1, i + m)
-        js = np.arange(j_lo, j_hi + 1)
-        ci = cost(orig_a(np.full(js.shape, i)), orig_b(js))
-        ks = js - i + m
+        j_lo = starts[i]
+        ci = C[off[i] : off[i + 1]]
+        ks_lo = j_lo - i + m
+        ks = slice(ks_lo, ks_lo + len(ci))
         S = np.cumsum(ci)
         if i == 0:
             # only left-moves exist in row 0: plain running sum
@@ -81,7 +97,7 @@ def _dtw_pairs(
             continue
         prev = D[i - 1]
         diag = prev[ks]  # (i-1, j-1) sits at the SAME offset one row up
-        up = np.append(prev, INF)[ks + 1]  # (i-1, j) one offset right
+        up = np.append(prev, INF)[ks_lo + 1 : ks_lo + 1 + len(ci)]  # (i-1, j)
         t = np.minimum(diag, up)
         D[i, ks] = S + np.minimum.accumulate(t - np.concatenate(([0.0], S[:-1])))
 
@@ -148,35 +164,77 @@ def align(
         df_b.schema[c] for c in b_cols
     ]
     out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
 
     oa, ob = list(order_by_a), list(order_by_b)
 
+    def _sorted(pdf: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        # np.lexsort is ~10x pandas sort_values on the small frames this
+        # operator typically sees (one per key); stable, last key primary
+        order = np.lexsort([pdf[k].to_numpy() for k in reversed(keys)])
+        return pdf.take(order)
+
     def _align_group(pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
         if len(pa) == 0 or len(pb) == 0:
-            return pd.DataFrame(columns=[f.name for f in out_fields])
+            return pd.DataFrame(columns=out_cols)
         if oa:
-            pa = pa.sort_values(oa, kind="mergesort")
+            pa = _sorted(pa, oa)
         if ob:
-            pb = pb.sort_values(ob, kind="mergesort")
+            pb = _sorted(pb, ob)
         pa = pa.reset_index(drop=True)
         pb = pb.reset_index(drop=True)
 
         def cost(ai: np.ndarray, bi: np.ndarray) -> np.ndarray:
             return np.asarray(
-                dist(pa.iloc[ai].reset_index(drop=True), pb.iloc[bi].reset_index(drop=True)),
+                dist(
+                    pa.take(ai).reset_index(drop=True),
+                    pb.take(bi).reset_index(drop=True),
+                ),
                 dtype=np.float64,
             )
 
         ai, bi = _dtw_pairs(len(pa), len(pb), cost, margin)
-        left = pa.iloc[ai].reset_index(drop=True)
-        right = pb.iloc[bi].reset_index(drop=True)[b_cols]
+        left = pa.take(ai).reset_index(drop=True)
+        right = pb.take(bi).reset_index(drop=True)[b_cols]
         out = pd.concat([left, right], axis=1)
-        return out[[f.name for f in out_fields]]
+        return out[out_cols]
 
-    res = df_a.groupBy(*p).cogroup(df_b.groupBy(*p)).applyInPandas(
-        lambda left, right: _align_group(left, right), schema=out_schema
+    # side-tagged union so ONE Arrow exchange carries every key of a
+    # partition (per-key cogroup cost dominated with many small groups);
+    # each side's missing columns are null-padded with the other side's
+    # Spark types, and sliced back off before the DP
+    side = "__align_side"
+    a_keyed = df_a.columns  # keys + a_cols (+ synthetic key)
+    b_keyed = df_b.columns
+    ta = df_a.select(
+        *[F.col(c) for c in a_keyed],
+        F.lit(0).alias(side),
+        *[F.lit(None).cast(df_b.schema[c].dataType).alias(c) for c in b_cols],
     )
-    return res
+    tb = df_b.select(
+        *[F.col(c) for c in p],
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(df_a.schema[c].dataType).alias(c) for c in a_cols],
+        *[F.col(c) for c in b_cols],
+    )
+    arranged = ta.unionByName(tb).repartition(*[F.col(c) for c in p])
+    keys = list(p)
+
+    def _run(batches):
+        pdfs = [b for b in batches]
+        if not pdfs:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        for _, g in pdf.groupby(keys, sort=False, dropna=False):
+            pa = g.loc[g[side] == 0, list(a_keyed)]
+            pb = g.loc[g[side] == 1, list(b_keyed)]
+            yield _align_group(pa, pb)
+
+    return arranged.mapInPandas(_run, schema=out_schema)
 
 
 def align_zip(df_a: DataFrame, df_b: DataFrame, order_by_a, order_by_b, partition_by=()) -> DataFrame:
