@@ -217,7 +217,9 @@ def align(
         *[F.lit(None).cast(df_a.schema[c].dataType).alias(c) for c in a_cols],
         *[F.col(c) for c in b_cols],
     )
-    arranged = ta.unionByName(tb).repartition(*[F.col(c) for c in p])
+    from sclera_spark.scale import keyed_repartition
+
+    arranged = keyed_repartition(ta.unionByName(tb), p)
     keys = list(p)
 
     def _run(batches):

@@ -134,7 +134,9 @@ def match_rows(
         yield out
 
     if p:
-        arranged = src.repartition(*[F.col(c) for c in p]).sortWithinPartitions(*p, *o)
+        from sclera_spark.scale import keyed_repartition
+
+        arranged = keyed_repartition(src, p).sortWithinPartitions(*p, *o)
     else:
         from sclera_spark.scale import warn_unpartitioned
 

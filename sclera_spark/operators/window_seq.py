@@ -111,9 +111,9 @@ def expmovavg(
         yield pdf
 
     if pcols:
-        arranged = df.repartition(*[F.col(c) for c in pcols]).sortWithinPartitions(
-            *pcols, *ocols
-        )
+        from sclera_spark.scale import keyed_repartition
+
+        arranged = keyed_repartition(df, pcols).sortWithinPartitions(*pcols, *ocols)
     else:
         # single logical sequence: one partition — matches the reference,
         # which is single-threaded anyway

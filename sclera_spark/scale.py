@@ -26,6 +26,22 @@ def warn_unpartitioned(op: str, hint: str = "pass partition_by") -> None:
     )
 
 
+def keyed_repartition(df, cols):
+    """Hash-repartition by key columns with the partition count PINNED to
+    spark.sql.shuffle.partitions.
+
+    ``df.repartition(*cols)`` without a count lets AQE coalesce the
+    exchange by byte size — and pandas-operator inputs are byte-small but
+    CPU-heavy, so AQE routinely folds them into ONE task (measured: the
+    sf0.1 ALIGN bench collapsed to a single partition, serializing 3 s of
+    DP work into 10 s of wall). An explicit count disables coalescing for
+    this exchange only, leaving AQE on for the rest of the plan."""
+    from pyspark.sql import functions as F
+
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def salted_join(big, small, on, how: str = "inner", salt: int = 16, seed: int = 42):
     """Skew-safe equi-join: salt the big side's rows across ``salt``
     buckets and replicate the small side into every bucket, so one hot
