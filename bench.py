@@ -2,7 +2,12 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line with per-query wall seconds.
 
-Query set mirrors BASELINE.md B1-B7 plus the LLM-pipeline headliners.
+Protocol: each query runs SPARK_GRAFT_REPS times (default 5) in one warm
+session; the reported per-query number is the MEDIAN and `spread` carries
+[min, max] — single warm runs proved unable to support the 2x gate
+(byte-identical code moved +-30% between rounds 2 and 3; see BASELINE.md).
+
+Query set mirrors BASELINE.md B1-B8 plus the LLM-pipeline headliners.
 Each query is fully materialized via a count-style action (no driver-side
 collect of data rows).
 
@@ -104,6 +109,7 @@ def main() -> None:
         "match_funnel",      # B5 sequence matcher
         "split_intervals",   # B6 disjoint intervals
         "window_tier",       # B7 running aggregates
+        "align_sql",         # B8 banded-DTW alignment (pandas path)
         "expmovavg",
         "minhash_pairs",     # LLM tier: MinHash-LSH near-dup
         "cosine_topk",       # LLM tier: similarity search
@@ -111,15 +117,23 @@ def main() -> None:
         "dedup_exact",
     ]
     bench_names = [n for n in bench_names if n in qs]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
 
     # warm the JVM + parquet footers once
     qs["q1_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    import statistics
+
     results: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in bench_names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
+        times: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        results[name] = round(statistics.median(times), 3)
+        spread[name] = [round(min(times), 3), round(max(times), 3)]
 
     total = round(sum(results.values()), 3)
     print(
@@ -129,6 +143,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "spread": spread,
+                "reps": reps,
                 "sf": base_sf * scale,
             }
         )
