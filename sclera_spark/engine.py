@@ -60,6 +60,15 @@ class ScleraEngine:
             self._ml_registry = MLRegistry()
         return self._ml_registry
 
+    @property
+    def pg_catalog(self):
+        """pg_catalog virtual-table tier (reference pgcatalog/PgCatalog.scala:31)."""
+        if not hasattr(self, "_pg_catalog"):
+            from sclera_spark.sources.pgcatalog import PgCatalog
+
+            self._pg_catalog = PgCatalog(self)
+        return self._pg_catalog
+
     # ---- locations / tables (reference: dbms/location/Location.scala) ----
 
     def add_table(self, name: str, path_or_df) -> DataFrame:
@@ -71,6 +80,11 @@ class ScleraEngine:
         self.catalog.register_dir(sf_dir)
 
     def table(self, name: str) -> DataFrame:
+        from sclera_spark.sources.pgcatalog import PG_TABLES
+
+        key = name.lower()
+        if key.startswith("pg_catalog.") or key in PG_TABLES:
+            return self.pg_catalog.table(key)
         return self.catalog.table(name)
 
     # ---- named locations (reference SqlAdminParser.scala:52-60:

@@ -516,7 +516,19 @@ _SCLERA_SQL_FNS = {
     "TOTIMEZONE": _sfn_totimezone,
     "TOUTC": _sfn_toutc,
     "RANDOMSTR": _sfn_randomstr,
+    # pg_catalog introspection functions PostgreSQL clients call
+    # (reference pgcatalog/PgCatalogFunction.scala:98-107)
+    "PG_TABLE_IS_VISIBLE": lambda a: "(TRUE)",
+    "PG_GET_USERBYID": lambda a: f"(CASE WHEN ({a[0]}) = 0 THEN 'sclera' END)",
+    "PG_GET_EXPR": lambda a: "CAST(NULL AS STRING)",
+    "FORMAT_TYPE": lambda a: _pg_format_type(a[0]),
 }
+
+
+def _pg_format_type(arg: str) -> str:
+    from sclera_spark.sources.pgcatalog import format_type_sql
+
+    return format_type_sql(arg)
 
 _SCLERA_FN_RE = re.compile(
     r"\b(" + "|".join(_SCLERA_SQL_FNS) + r")\s*\(", re.IGNORECASE
@@ -775,9 +787,21 @@ def dialect_rewrite(sql: str) -> str:
     return _rewrite_quantified(sql)
 
 
+_PGCAT_RE = re.compile(
+    r"\b(?:pg_catalog\.)?(pg_type|pg_namespace|pg_class|pg_attribute|pg_attrdef)\b",
+    re.IGNORECASE,
+)
+
+
 def lower_sql(engine, query: str) -> DataFrame:
     from sclera_spark.plans.extended import has_extended_clause, lower_extended
 
+    if _PGCAT_RE.search(query):
+        # rebuild the virtual pg_catalog views from current catalog state,
+        # then let plain Spark SQL resolve them (the pg_catalog. qualifier
+        # is stripped — Spark has no such database)
+        engine.pg_catalog.refresh()
+        query = _PGCAT_RE.sub(lambda m: m.group(1).lower(), query)
     rewritten = dialect_rewrite(query)
     if has_extended_clause(rewritten):
         rewritten = lower_extended(engine, rewritten)
