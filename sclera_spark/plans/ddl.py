@@ -214,26 +214,91 @@ class DdlRouter:
     def _update(self, name: str, set_clause: str, where: str | None):
         from pyspark.sql import functions as F
 
-        df = self.engine.table(name)
-        pred = F.expr(where) if where else F.lit(True)
         assigns = {}
         for part in self._split_assignments(set_clause):
             col, expr = part.split("=", 1)
-            assigns[col.strip()] = F.expr(expr.strip())
-        out = df.select(
-            *[
-                F.when(pred, assigns[c]).otherwise(F.col(c)).alias(c) if c in assigns else F.col(c)
-                for c in df.columns
-            ]
-        )
-        self._rewrite(name, out)
+            assigns[col.strip()] = expr.strip()
+
+        def transform(d):
+            pred = F.expr(where) if where else F.lit(True)
+            return d.select(
+                *[
+                    F.when(pred, F.expr(assigns[c])).otherwise(F.col(c)).alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in d.columns
+                ]
+            )
+
+        if where and self._cow_rewrite(name, where, transform):
+            return
+        self._rewrite(name, transform(self.engine.table(name)))
 
     def _delete(self, name: str, where: str | None):
         from pyspark.sql import functions as F
 
+        if where and self._cow_rewrite(
+            name, where, lambda d: d.filter(~F.expr(where))
+        ):
+            return
         df = self.engine.table(name)
         out = df.filter(~F.expr(where)) if where else df.limit(0)
         self._rewrite(name, out)
+
+    def _cow_rewrite(self, name: str, where: str, transform) -> bool:
+        """Copy-on-write DML at parquet-file granularity (the Delta/Iceberg
+        strategy, minus the transaction log): find the part files that
+        actually contain matching rows via the `_metadata.file_path`
+        column, rewrite ONLY those, and leave every other file untouched.
+        At scale the WHERE predicate is pushed into the probe scan, so a
+        selective update touches a handful of files instead of re-writing
+        the whole table.  Returns False when the caller should fall back
+        to a full rewrite (unmanaged table, all files hit, probe failed).
+        No concurrent-writer protection — single-engine semantics, same as
+        the reference's embedded-store DML (dbms/rdbms/*)."""
+        from urllib.parse import urlparse
+
+        from pyspark.sql import functions as F
+
+        path = self.managed.get(name.lower())
+        if path is None:
+            return False
+        try:
+            base = self.engine.spark.read.parquet(path)
+            hit_uris = [
+                r[0]
+                for r in base.filter(F.expr(where))
+                .select(F.col("_metadata.file_path"))
+                .distinct()
+                .collect()
+            ]
+        except Exception:
+            return False
+        hits = []
+        for uri in hit_uris:
+            parsed = urlparse(uri)
+            hits.append(parsed.path if parsed.scheme else uri)
+        all_parts = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+        if not hits:
+            return True  # nothing matches: DML is a no-op
+        if len(hits) >= len(all_parts):
+            return False  # every file touched: full rewrite is simpler
+        out = transform(self.engine.spark.read.parquet(*hits))
+        staging = path + ".cowstage"
+        out.write.mode("overwrite").parquet(staging)
+        for f in hits:
+            os.remove(f)
+        for f in os.listdir(staging):
+            # Spark part-file names embed a UUID, so moves cannot collide
+            if f.startswith("part-"):
+                os.rename(os.path.join(staging, f), os.path.join(path, f))
+        shutil.rmtree(staging)
+        self.engine.catalog.register_parquet(name, path)
+        return True
 
     def _rewrite(self, name: str, df) -> None:
         """Full-table rewrite through a staging path (parquet cannot

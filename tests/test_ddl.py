@@ -90,3 +90,74 @@ def test_create_table_with_constraints(engine):
 def test_plain_query_through_execute(engine):
     df = engine.execute("SELECT 1 AS one")
     assert df.first().one == 1
+
+
+def test_cow_dml_touches_only_matching_files(engine):
+    """UPDATE/DELETE rewrite only the parquet part files that contain
+    matching rows (copy-on-write; Delta/Iceberg strategy minus the log)."""
+    import os
+
+    engine.execute(
+        "CREATE TABLE cow_probe AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    )
+    try:
+        path = engine._ddl.managed["cow_probe"]
+        # re-lay the table as 4 files split on o_orderkey ranges
+        df = engine.table("cow_probe").repartitionByRange(4, "o_orderkey")
+        engine._ddl._rewrite("cow_probe", df)
+        path = engine._ddl.managed["cow_probe"]
+        before = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.startswith("part-")
+        }
+        assert len(before) == 4
+        lo = engine.sql("SELECT min(o_orderkey) AS k FROM cow_probe").collect()[0]["k"]
+        n0 = engine.table("cow_probe").count()
+
+        engine.execute(
+            f"UPDATE cow_probe SET o_totalprice = -1.0 WHERE o_orderkey = {lo}"
+        )
+        after = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.startswith("part-")
+        }
+        survivors = set(before) & set(after)
+        # exactly one range file was replaced; the other three survive
+        assert len(set(before) - survivors) == 1
+        assert all(before[f] == after[f] for f in survivors)
+        assert engine.table("cow_probe").count() == n0
+        got = engine.sql(
+            f"SELECT o_totalprice FROM cow_probe WHERE o_orderkey = {lo}"
+        ).collect()
+        assert all(r["o_totalprice"] == -1.0 for r in got)
+
+        # DELETE through the same path
+        engine.execute(f"DELETE FROM cow_probe WHERE o_orderkey = {lo}")
+        assert (
+            engine.sql(
+                f"SELECT count(*) AS c FROM cow_probe WHERE o_orderkey = {lo}"
+            ).collect()[0]["c"]
+            == 0
+        )
+        final = {
+            f
+            for f in os.listdir(path)
+            if f.startswith("part-")
+        }
+        assert survivors <= final  # untouched files still in place
+
+        # no-op DML leaves every file alone
+        engine.execute("UPDATE cow_probe SET o_totalprice = 0.0 WHERE o_orderkey = -42")
+        assert {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.startswith("part-")
+        } == {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in final
+        }
+    finally:
+        engine.execute("DROP TABLE cow_probe")
