@@ -64,7 +64,43 @@ def split_into(
         | (F.col(out_hi).isNotNull() & (F.col(out_hi) <= F.col(hi)))
     )
     if p:
-        joined = df.join(atoms, on=p, how="inner").filter(covers)
+        # Linear-size plan: every interval bound IS a boundary, so instead
+        # of the join-then-filter (which materializes rows x atoms per key
+        # — quadratic on a hot key), look up each interval's start/end
+        # boundary INDEX with 1:1 equi-joins, then explode the covered
+        # index range. Intermediates stay proportional to input + output
+        # at any scale.
+        wi = Window.partitionBy(*p).orderBy(F.col(out_lo).asc())
+        atoms_idx = (
+            atoms.withColumn("__idx", F.row_number().over(wi))
+            # atom count per key, for open-ended (hi NULL) intervals; same
+            # partitioning as the row_number window -> no extra exchange
+            .withColumn("__n", F.max("__idx").over(Window.partitionBy(*p)))
+        )
+        lo_idx = atoms_idx.select(
+            *p, F.col(out_lo).alias("__lov"), F.col("__idx").alias("__ilo"), "__n"
+        )
+        hi_idx = atoms_idx.select(
+            *p, F.col(out_lo).alias("__hiv"), F.col("__idx").alias("__ihi")
+        )
+        src = df.withColumn("__lov", F.col(lo)).withColumn("__hiv", F.col(hi))
+        spans = (
+            src.join(lo_idx, on=p + ["__lov"], how="inner")  # NULL lo -> no rows
+            .join(hi_idx, on=p + ["__hiv"], how="left")      # NULL hi -> __ihi NULL
+            .withColumn(
+                "__end",
+                F.when(F.col(hi).isNull(), F.col("__n")).otherwise(
+                    F.col("__ihi") - 1
+                ),
+            )
+            .filter(F.col("__end") >= F.col("__ilo"))
+        )
+        exploded = spans.withColumn(
+            "__idx", F.explode(F.sequence(F.col("__ilo"), F.col("__end")))
+        )
+        joined = exploded.join(
+            atoms_idx.select(*p, "__idx", out_lo, out_hi), on=p + ["__idx"]
+        )
     else:
         joined = df.join(broadcast(atoms), on=covers, how="inner")
 
