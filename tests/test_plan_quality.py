@@ -169,3 +169,21 @@ def test_labeled_seq_fns_stay_jvm_side(engine):
     plan = _plan(df)
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_keyed_repartition_pins_partition_count(spark, tables):
+    """The pandas-operator exchanges (ALIGN/MATCH/EXPMOVAVG dispatch) must
+    carry an explicit partition count: AQE coalesces by byte size, and
+    these inputs are byte-small but CPU-heavy — coalescing serialized 3s
+    of ALIGN DP into one 10s task before the pin."""
+    from sclera_spark.scale import keyed_repartition
+
+    df = keyed_repartition(spark.table("events").select("user_id", "value"), ["user_id"])
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # an explicit numPartitions on RepartitionByExpression is the
+    # AQE-proof marker; the coalescible form has no trailing count
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(rf"RepartitionByExpression \[.*\], {n}\b", plan), plan
+    assert df.rdd.getNumPartitions() == n
