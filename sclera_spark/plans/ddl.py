@@ -41,6 +41,13 @@ class DdlRouter:
             "_create_external",
         ),
         (re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$", re.I | re.S), "_insert"),
+        (
+            re.compile(
+                r"^\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+(.*)$",
+                re.I | re.S,
+            ),
+            "_merge",
+        ),
         (re.compile(r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_update"),
         (re.compile(r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_delete"),
         (re.compile(r"^\s*DROP\s+(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I), "_drop"),
@@ -244,6 +251,209 @@ class DdlRouter:
         df = self.engine.table(name)
         out = df.filter(~F.expr(where)) if where else df.limit(0)
         self._rewrite(name, out)
+
+    # ---- MERGE (upsert; no reference counterpart — the file-granular
+    # copy-on-write strategy a training-data pipeline needs for
+    # incremental refreshes of 100 TB tables) ----
+
+    @staticmethod
+    def _top_level_when_positions(text: str) -> list[int]:
+        """Offsets of top-level WHEN keywords (outside parens/quotes)."""
+        out, depth, i, n = [], 0, 0, len(text)
+        while i < n:
+            c = text[i]
+            if c == "'":
+                i += 1
+                while i < n and text[i] != "'":
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and text[i : i + 4].upper() == "WHEN" and (
+                i == 0 or not text[i - 1].isalnum()
+            ) and (i + 4 == n or not text[i + 4].isalnum()):
+                out.append(i)
+                i += 4
+                continue
+            i += 1
+        return out
+
+    def _merge(self, name: str, talias: str, rest: str):
+        """MERGE INTO t AS a USING (src)|tbl AS b ON cond
+        [WHEN MATCHED [AND g] THEN UPDATE SET c=v,... | DELETE]
+        [WHEN NOT MATCHED [AND g] THEN INSERT (cols) VALUES (exprs) | INSERT *]
+
+        Lowering: matched part files found via a `_metadata.file_path`
+        probe join are rewritten through a LEFT JOIN CASE projection;
+        untouched files stay in place; NOT MATCHED rows append as new
+        files (anti-join). At most one matched clause; duplicate source
+        matches duplicate target rows (no cardinality check — document,
+        don't hide)."""
+        from pyspark.sql import functions as F
+        from urllib.parse import urlparse
+
+        rest = rest.strip()
+        if rest.startswith("("):
+            from sclera_spark.plans.frontend import _find_balanced
+
+            close = _find_balanced(rest, 0)
+            src_df = self.engine.sql(rest[1 : close - 1])
+            rest = rest[close:]
+        else:
+            m = re.match(r"^(\w+)", rest)
+            src_df = self.engine.table(m.group(1))
+            rest = rest[m.end() :]
+        m = re.match(r"^\s*(?:AS\s+)?(\w+)\s+ON\s+(.*)$", rest, re.I | re.S)
+        if m is None:
+            raise ValueError("MERGE requires USING ... [AS] alias ON cond")
+        salias, tail = m.group(1), m.group(2)
+        whens = self._top_level_when_positions(tail)
+        if not whens:
+            raise ValueError("MERGE requires at least one WHEN clause")
+        cond = tail[: whens[0]].strip()
+        clauses = [
+            tail[a:b].strip() for a, b in zip(whens, whens[1:] + [len(tail)])
+        ]
+
+        upd = dele = ins = None
+        for cl in clauses:
+            cm = re.match(
+                r"^WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
+                cl,
+                re.I | re.S,
+            )
+            if cm is None:
+                raise ValueError(f"bad MERGE clause: {cl!r}")
+            negated, guard, action = cm.group(1), cm.group(2), cm.group(3).strip()
+            if negated:
+                im = re.match(
+                    r"^INSERT\s*(?:\(([^)]*)\)\s*)?(?:VALUES\s*\((.*)\)|\*)\s*$",
+                    action,
+                    re.I | re.S,
+                )
+                if im is None:
+                    raise ValueError(f"bad NOT MATCHED action: {action!r}")
+                ins = (guard, im.group(1), im.group(2))
+            elif re.match(r"^DELETE\s*$", action, re.I):
+                dele = guard or "TRUE"
+            else:
+                um = re.match(r"^UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+                if um is None:
+                    raise ValueError(f"bad MATCHED action: {action!r}")
+                upd = (guard or "TRUE", um.group(1))
+        if upd and dele:
+            raise ValueError("MERGE supports one WHEN MATCHED clause")
+
+        if name.lower() not in self.managed:
+            self._materialize(name, self.engine.table(name))
+        path = self.managed[name.lower()]
+        spark = self.engine.spark
+        tgt = spark.read.parquet(path)
+        cols = tgt.columns
+        tgt.withColumn("__sclera_file", F.col("_metadata.file_path")) \
+            .createOrReplaceTempView("__merge_t")
+        src_df.createOrReplaceTempView("__merge_s")
+        try:
+            ins_stage = None
+            if ins:
+                # materialize inserts BEFORE the matched-file swap: every
+                # clause must see the pre-merge snapshot, and the anti-join
+                # would otherwise read files the swap just deleted
+                guard, ins_cols, ins_vals = ins
+                if ins_vals is None:  # INSERT *
+                    pairs = {
+                        c: f"{salias}.{c}" if c in src_df.columns else "NULL"
+                        for c in cols
+                    }
+                else:
+                    from sclera_spark.plans.frontend import _split_top_commas
+
+                    names = [
+                        c.strip().lower()
+                        for c in (ins_cols or ", ".join(cols)).split(",")
+                    ]
+                    vals = [v.strip() for v in _split_top_commas(ins_vals)]
+                    if len(names) != len(vals):
+                        raise ValueError("INSERT column/value count mismatch")
+                    given = dict(zip(names, vals))
+                    pairs = {c: given.get(c.lower(), "NULL") for c in cols}
+                proj = ", ".join(f"({e}) AS {c}" for c, e in pairs.items())
+                gsql = f" AND ({guard})" if guard else ""
+                new_rows = spark.sql(
+                    f"SELECT {proj} FROM __merge_s {salias} "
+                    f"WHERE NOT EXISTS (SELECT 1 FROM __merge_t {talias} "
+                    f"WHERE {cond}){gsql}"
+                )
+                new_rows = new_rows.select(
+                    *[F.col(c).cast(tgt.schema[c].dataType) for c in cols]
+                )
+                ins_stage = path + ".insstage"
+                new_rows.write.mode("overwrite").parquet(ins_stage)
+            if upd or dele:
+                hit_uris = [
+                    r[0]
+                    for r in spark.sql(
+                        f"SELECT DISTINCT {talias}.__sclera_file "
+                        f"FROM __merge_t {talias} JOIN __merge_s {salias} "
+                        f"ON {cond}"
+                    ).collect()
+                ]
+                hits = [
+                    urlparse(u).path if urlparse(u).scheme else u for u in hit_uris
+                ]
+                if hits:
+                    spark.read.parquet(*hits).createOrReplaceTempView("__merge_tsub")
+                    if upd:
+                        guard, set_clause = upd
+                        assigns = {}
+                        for part in self._split_assignments(set_clause):
+                            c, e = part.split("=", 1)
+                            assigns[c.strip().lower()] = e.strip()
+                        proj = ", ".join(
+                            f"CASE WHEN {salias}.__sm AND ({guard}) "
+                            f"THEN ({assigns[c.lower()]}) "
+                            f"ELSE {talias}.{c} END AS {c}"
+                            if c.lower() in assigns
+                            else f"{talias}.{c} AS {c}"
+                            for c in cols
+                        )
+                        where = ""
+                    else:
+                        proj = ", ".join(f"{talias}.{c} AS {c}" for c in cols)
+                        where = (
+                            f" WHERE NOT ({salias}.__sm IS TRUE AND ({dele}))"
+                        )
+                    out = spark.sql(
+                        f"SELECT {proj} FROM __merge_tsub {talias} "
+                        f"LEFT JOIN (SELECT *, TRUE AS __sm FROM __merge_s) {salias} "
+                        f"ON {cond}{where}"
+                    )
+                    staging = path + ".cowstage"
+                    out.write.mode("overwrite").parquet(staging)
+                    for f in hits:
+                        os.remove(f)
+                    for f in os.listdir(staging):
+                        if f.startswith("part-"):
+                            os.rename(
+                                os.path.join(staging, f), os.path.join(path, f)
+                            )
+                    shutil.rmtree(staging)
+            if ins_stage is not None:
+                for f in os.listdir(ins_stage):
+                    if f.startswith("part-"):
+                        os.rename(
+                            os.path.join(ins_stage, f), os.path.join(path, f)
+                        )
+                shutil.rmtree(ins_stage)
+        finally:
+            spark.catalog.dropTempView("__merge_t")
+            spark.catalog.dropTempView("__merge_s")
+            try:
+                spark.catalog.dropTempView("__merge_tsub")
+            except Exception:
+                pass
+        self.engine.catalog.register_parquet(name, path)
 
     def _cow_rewrite(self, name: str, where: str, transform) -> bool:
         """Copy-on-write DML at parquet-file granularity (the Delta/Iceberg

@@ -161,3 +161,120 @@ def test_cow_dml_touches_only_matching_files(engine):
         }
     finally:
         engine.execute("DROP TABLE cow_probe")
+
+
+def test_merge_upsert(engine):
+    """MERGE INTO: matched update + not-matched insert, file-granular COW."""
+    import os
+
+    engine.execute(
+        "CREATE TABLE merge_tgt AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    )
+    try:
+        df = engine.table("merge_tgt").repartitionByRange(4, "o_orderkey")
+        engine._ddl._rewrite("merge_tgt", df)
+        path = engine._ddl.managed["merge_tgt"]
+        before = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.startswith("part-")
+        }
+        lo = engine.sql("SELECT min(o_orderkey) AS k FROM merge_tgt").collect()[0]["k"]
+        n0 = engine.table("merge_tgt").count()
+
+        engine.execute(
+            f"""
+            MERGE INTO merge_tgt t
+            USING (SELECT {lo} AS k, 111.5 AS p
+                   UNION ALL SELECT -777 AS k, 222.5 AS p) s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED THEN UPDATE SET o_totalprice = s.p * 2
+            WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) VALUES (s.k, s.p)
+            """
+        )
+        assert engine.table("merge_tgt").count() == n0 + 1
+        got = {
+            r["o_orderkey"]: (r["o_totalprice"], r["o_custkey"])
+            for r in engine.sql(
+                f"SELECT * FROM merge_tgt WHERE o_orderkey IN ({lo}, -777)"
+            ).collect()
+        }
+        assert got[lo][0] == 223.0          # updated via s reference
+        assert got[-777] == (222.5, None)   # inserted, missing col NULL
+        # only the range file holding `lo` was rewritten
+        after = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.startswith("part-")
+        }
+        survivors = set(before) & set(after)
+        assert len(set(before) - survivors) == 1
+        assert all(before[f] == after[f] for f in survivors)
+    finally:
+        engine.execute("DROP TABLE merge_tgt")
+
+
+def test_merge_matched_delete_with_guard(engine):
+    engine.execute(
+        "CREATE TABLE merge_del AS SELECT o_orderkey, o_totalprice FROM orders LIMIT 100"
+    )
+    try:
+        keys = [
+            r["o_orderkey"]
+            for r in engine.sql(
+                "SELECT o_orderkey FROM merge_del ORDER BY o_orderkey LIMIT 3"
+            ).collect()
+        ]
+        n0 = engine.table("merge_del").count()
+        engine.execute(
+            f"""
+            MERGE INTO merge_del t
+            USING (SELECT explode(array({keys[0]}, {keys[1]}, {keys[2]})) AS k) s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED AND t.o_orderkey <> {keys[0]} THEN DELETE
+            """
+        )
+        assert engine.table("merge_del").count() == n0 - 2
+        remaining = {
+            r["o_orderkey"]
+            for r in engine.sql(
+                f"SELECT o_orderkey FROM merge_del WHERE o_orderkey IN "
+                f"({keys[0]}, {keys[1]}, {keys[2]})"
+            ).collect()
+        }
+        assert remaining == {keys[0]}  # guard kept the first key
+    finally:
+        engine.execute("DROP TABLE merge_del")
+
+
+def test_merge_insert_star(engine):
+    engine.execute(
+        "CREATE TABLE merge_star AS SELECT o_orderkey, o_totalprice FROM orders LIMIT 10"
+    )
+    try:
+        engine.execute(
+            """
+            MERGE INTO merge_star t
+            USING (SELECT -1 AS o_orderkey, 9.5 AS o_totalprice) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        got = engine.sql(
+            "SELECT o_totalprice FROM merge_star WHERE o_orderkey = -1"
+        ).collect()
+        assert len(got) == 1 and got[0]["o_totalprice"] == 9.5
+        # idempotent on re-run: now matched, no matched clause -> no-op
+        n1 = engine.table("merge_star").count()
+        engine.execute(
+            """
+            MERGE INTO merge_star t
+            USING (SELECT -1 AS o_orderkey, 9.5 AS o_totalprice) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        assert engine.table("merge_star").count() == n1
+    finally:
+        engine.execute("DROP TABLE merge_star")
