@@ -3,6 +3,8 @@ from sclera_spark.streaming.ops import (
     windowed_agg,
     sessionize,
     stream_match_state,
+    stream_dedup,
+    stream_quality_filter,
     run_to_memory,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "windowed_agg",
     "sessionize",
     "stream_match_state",
+    "stream_dedup",
+    "stream_quality_filter",
     "run_to_memory",
 ]

@@ -83,6 +83,54 @@ def sessionize(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup over ``keys`` — the ingest-side twin of the
+    batch `dedup_exact` (llm/dedup.py): only the first arrival of each
+    key survives. With ``ts_col``+``watermark`` the dedup state is
+    dropped once keys age past the watermark (`dropDuplicatesWithinWatermark`),
+    which is what keeps state bounded on an endless 100 TB ingest; without
+    a watermark, state grows with distinct keys (exact, but bounded only
+    by keyspace — opt in knowingly)."""
+    if ts_col is not None and watermark is not None:
+        wm = stream.withWatermark(ts_col, watermark)
+        return wm.dropDuplicatesWithinWatermark(list(keys))
+    return stream.dropDuplicates(list(keys))
+
+
+def stream_quality_filter(
+    stream: DataFrame,
+    text_col: str,
+    min_len: int = 50,
+    max_len: int = 100_000,
+    max_punct_ratio: float = 0.3,
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+) -> DataFrame:
+    """Streaming document-quality gate: the batch `quality_scores`
+    heuristics (llm/text.py) restated as a stateless row filter, so they
+    compose with any watermark/sink. Pure JVM expressions — no Python in
+    the stream path."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    avg_word = n_chars / F.greatest(n_words, F.lit(1))
+    return stream.filter(
+        (n_chars >= min_len)
+        & (n_chars <= max_len)
+        & (n_words > 0)
+        & ((punct / F.greatest(n_chars, F.lit(1))) <= max_punct_ratio)
+        & (avg_word >= min_word_len)
+        & (avg_word <= max_word_len)
+    )
+
+
 _UNIT_MS = {
     "millisecond": 1, "milliseconds": 1,
     "second": 1000, "seconds": 1000,

@@ -424,3 +424,60 @@ def test_stream_match_finalize_gap_tail_replay(spark):
     q.stop()
     u1 = got[got.user_id == 1]
     assert u1["match_len"].tolist() == [2, 1]
+
+
+def test_stream_dedup_matches_batch(spark, stream_dir):
+    from sclera_spark.streaming import stream_dedup
+
+    d, schema = stream_dir
+    stream = stream_from_directory(spark, d, schema)
+    out = stream_dedup(stream, ["user_id", "event_type"])
+    q = run_to_memory(out, "sdedup", output_mode="append")
+    try:
+        got = spark.table("sdedup").count()
+    finally:
+        q.stop()
+    batch = spark.read.parquet(d).dropDuplicates(["user_id", "event_type"]).count()
+    assert got == batch
+
+
+def test_stream_dedup_watermarked_state(spark, stream_dir):
+    from sclera_spark.streaming import stream_dedup
+
+    d, schema = stream_dir
+    stream = stream_from_directory(spark, d, schema)
+    out = stream_dedup(stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour")
+    assert out.isStreaming
+    q = run_to_memory(out, "sdedup_wm", output_mode="append")
+    try:
+        got = spark.table("sdedup_wm").count()
+    finally:
+        q.stop()
+    # within-watermark dedup can only merge what exact dedup merges
+    batch = spark.read.parquet(d).dropDuplicates(["user_id", "event_type"]).count()
+    assert got >= batch
+    assert got <= spark.read.parquet(d).count()
+
+
+def test_stream_quality_filter_matches_batch(spark, tables):
+    import shutil as _sh
+    import tempfile as _tf
+
+    from sclera_spark.streaming import stream_quality_filter
+
+    d = _tf.mkdtemp(prefix="sclera_docq_")
+    docs = tables["documents"].select("doc_id", "text")
+    docs.coalesce(2).write.mode("overwrite").parquet(d)
+    try:
+        stream = stream_from_directory(spark, d, docs.schema)
+        out = stream_quality_filter(stream, "text", min_len=100)
+        q = run_to_memory(out, "squal", output_mode="append")
+        try:
+            got = spark.table("squal").count()
+        finally:
+            q.stop()
+        batch = stream_quality_filter(spark.read.parquet(d), "text", min_len=100).count()
+        assert got == batch
+        assert 0 < got < docs.count()  # the gate actually drops something
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
