@@ -43,7 +43,7 @@ class DdlRouter:
         (re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$", re.I | re.S), "_insert"),
         (
             re.compile(
-                r"^\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+(.*)$",
+                r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.*)$",
                 re.I | re.S,
             ),
             "_merge",
@@ -244,12 +244,17 @@ class DdlRouter:
     def _delete(self, name: str, where: str | None):
         from pyspark.sql import functions as F
 
-        if where and self._cow_rewrite(
-            name, where, lambda d: d.filter(~F.expr(where))
-        ):
+        # SQL DELETE removes rows where the predicate IS TRUE; rows where it
+        # evaluates NULL survive. `~expr(where)` alone would yield NULL (→
+        # dropped) for those rows, making the outcome depend on which part
+        # file a row happens to live in under copy-on-write.
+        def keep(d):
+            return d.filter(~F.coalesce(F.expr(where), F.lit(False)))
+
+        if where and self._cow_rewrite(name, where, keep):
             return
         df = self.engine.table(name)
-        out = df.filter(~F.expr(where)) if where else df.limit(0)
+        out = keep(df) if where else df.limit(0)
         self._rewrite(name, out)
 
     # ---- MERGE (upsert; no reference counterpart — the file-granular
@@ -258,7 +263,10 @@ class DdlRouter:
 
     @staticmethod
     def _top_level_when_positions(text: str) -> list[int]:
-        """Offsets of top-level WHEN keywords (outside parens/quotes)."""
+        """Offsets of top-level MERGE-clause WHEN keywords (outside
+        parens/quotes). Only a WHEN followed by [NOT] MATCHED is a clause
+        boundary — a CASE WHEN inside a SET value or guard expression is
+        not (it is followed by its own condition, never by MATCHED)."""
         out, depth, i, n = [], 0, 0, len(text)
         while i < n:
             c = text[i]
@@ -272,7 +280,7 @@ class DdlRouter:
                 depth -= 1
             elif depth == 0 and text[i : i + 4].upper() == "WHEN" and (
                 i == 0 or not text[i - 1].isalnum()
-            ) and (i + 4 == n or not text[i + 4].isalnum()):
+            ) and re.match(r"WHEN\s+(?:NOT\s+)?MATCHED\b", text[i:], re.I):
                 out.append(i)
                 i += 4
                 continue
@@ -291,8 +299,8 @@ class DdlRouter:
         matches duplicate target rows (no cardinality check — document,
         don't hide)."""
         from pyspark.sql import functions as F
-        from urllib.parse import urlparse
 
+        talias = talias or name  # standard MERGE INTO t USING ... (no alias)
         rest = rest.strip()
         if rest.startswith("("):
             from sclera_spark.plans.frontend import _find_balanced
@@ -399,11 +407,18 @@ class DdlRouter:
                         f"ON {cond}"
                     ).collect()
                 ]
-                hits = [
-                    urlparse(u).path if urlparse(u).scheme else u for u in hit_uris
-                ]
-                if hits:
-                    spark.read.parquet(*hits).createOrReplaceTempView("__merge_tsub")
+                if hit_uris:
+                    hits = self._local_hit_paths(hit_uris)
+                    # COW needs local file ops; a huge hit list is better
+                    # served by one distributed full rewrite than by a
+                    # driver holding ~1M path strings
+                    use_cow = hits is not None and len(hits) <= self.cow_file_cap
+                    if use_cow:
+                        spark.read.parquet(*hits).createOrReplaceTempView(
+                            "__merge_tsub"
+                        )
+                    else:
+                        tgt.createOrReplaceTempView("__merge_tsub")
                     if upd:
                         guard, set_clause = upd
                         assigns = {}
@@ -420,9 +435,13 @@ class DdlRouter:
                         )
                         where = ""
                     else:
+                        # IS NOT TRUE, not NOT(...): a matched row whose guard
+                        # evaluates NULL must be KEPT (the clause does not
+                        # apply), but NOT(TRUE AND NULL) is NULL → dropped
                         proj = ", ".join(f"{talias}.{c} AS {c}" for c in cols)
                         where = (
-                            f" WHERE NOT ({salias}.__sm IS TRUE AND ({dele}))"
+                            f" WHERE ({salias}.__sm IS TRUE AND ({dele}))"
+                            f" IS NOT TRUE"
                         )
                     out = spark.sql(
                         f"SELECT {proj} FROM __merge_tsub {talias} "
@@ -431,14 +450,10 @@ class DdlRouter:
                     )
                     staging = path + ".cowstage"
                     out.write.mode("overwrite").parquet(staging)
-                    for f in hits:
-                        os.remove(f)
-                    for f in os.listdir(staging):
-                        if f.startswith("part-"):
-                            os.rename(
-                                os.path.join(staging, f), os.path.join(path, f)
-                            )
-                    shutil.rmtree(staging)
+                    if use_cow:
+                        self._commit_cow(path, staging, hits)
+                    else:
+                        self._swap_dir(path, staging)
             if ins_stage is not None:
                 for f in os.listdir(ins_stage):
                     if f.startswith("part-"):
@@ -466,8 +481,6 @@ class DdlRouter:
         to a full rewrite (unmanaged table, all files hit, probe failed).
         No concurrent-writer protection — single-engine semantics, same as
         the reference's embedded-store DML (dbms/rdbms/*)."""
-        from urllib.parse import urlparse
-
         from pyspark.sql import functions as F
 
         path = self.managed.get(name.lower())
@@ -484,31 +497,77 @@ class DdlRouter:
             ]
         except Exception:
             return False
-        hits = []
-        for uri in hit_uris:
-            parsed = urlparse(uri)
-            hits.append(parsed.path if parsed.scheme else uri)
+        if not hit_uris:
+            return True  # nothing matches: DML is a no-op
+        hits = self._local_hit_paths(hit_uris)
+        if hits is None or len(hits) > self.cow_file_cap:
+            # non-local storage (s3a://, hdfs://) or a hit list too large to
+            # hold driver-side: one distributed full rewrite instead
+            return False
         all_parts = [
             os.path.join(path, f)
             for f in os.listdir(path)
             if f.startswith("part-") and not f.endswith(".crc")
         ]
-        if not hits:
-            return True  # nothing matches: DML is a no-op
         if len(hits) >= len(all_parts):
             return False  # every file touched: full rewrite is simpler
         out = transform(self.engine.spark.read.parquet(*hits))
         staging = path + ".cowstage"
         out.write.mode("overwrite").parquet(staging)
-        for f in hits:
-            os.remove(f)
+        self._commit_cow(path, staging, hits)
+        self.engine.catalog.register_parquet(name, path)
+        return True
+
+    # Above this many matched part files, COW falls back to a full rewrite
+    # (a broad MERGE over a ~1M-file table must not collect ~1M URI strings
+    # to the driver). Tests lower it to force the fallback path.
+    cow_file_cap = 10_000
+
+    @staticmethod
+    def _local_hit_paths(hit_uris: list[str]) -> list[str] | None:
+        """Probe URIs → local filesystem paths, or None when any URI lives
+        on non-local storage (s3a://, hdfs://, ...). Stripping the scheme
+        off such a URI would silently turn it into a bogus local path; the
+        caller must fall back to a distributed full rewrite instead."""
+        from urllib.parse import urlparse
+
+        out = []
+        for uri in hit_uris:
+            parsed = urlparse(uri)
+            if parsed.scheme in ("", "file"):
+                out.append(parsed.path if parsed.scheme else uri)
+            else:
+                return None
+        return out
+
+    @staticmethod
+    def _commit_cow(path: str, staging: str, hits: list[str]) -> None:
+        """Publish staged part files into the table directory FIRST, delete
+        the replaced originals LAST: a crash mid-commit can leave duplicate
+        rows (old + new file both present, re-runnable) but never lose
+        data. Spark part-file names embed a write-UUID, so renames cannot
+        collide with existing files."""
         for f in os.listdir(staging):
-            # Spark part-file names embed a UUID, so moves cannot collide
             if f.startswith("part-"):
                 os.rename(os.path.join(staging, f), os.path.join(path, f))
         shutil.rmtree(staging)
-        self.engine.catalog.register_parquet(name, path)
-        return True
+        for f in hits:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass  # a retried commit already removed it
+
+    @staticmethod
+    def _swap_dir(final: str, staging: str) -> None:
+        """Replace a table directory via rename-aside: the table is only
+        ever a single rename away from a complete copy (old or new), never
+        half-deleted."""
+        old = final + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(final, old)
+        os.rename(staging, final)
+        shutil.rmtree(old)
 
     def _rewrite(self, name: str, df) -> None:
         """Full-table rewrite through a staging path (parquet cannot
@@ -517,8 +576,9 @@ class DdlRouter:
         df.write.mode("overwrite").parquet(staging)
         final = self._path(name)
         if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(staging, final)
+            self._swap_dir(final, staging)
+        else:
+            os.rename(staging, final)
         self.managed[name.lower()] = final
         self.engine.catalog.register_parquet(name, final)
 

@@ -159,7 +159,12 @@ class PgCatalog:
                     continue
         out = []
         for name in sorted(rels):
-            if name in views or name.upper().startswith("SCLERATEMP_"):
+            if (
+                name in views
+                or name.upper().startswith("SCLERATEMP_")
+                or name.startswith("__")  # engine scratch views (__sclera_ext_*,
+                # __merge_*, __align_*) must not leak into client introspection
+            ):
                 continue
             out.append((name, list(rels[name].schema.fields), "r"))
         for name, text in sorted(views.items()):

@@ -278,3 +278,187 @@ def test_merge_insert_star(engine):
         assert engine.table("merge_star").count() == n1
     finally:
         engine.execute("DROP TABLE merge_star")
+
+
+# ---- round-5 DML semantics + durability fixes ----
+
+
+def test_merge_delete_null_guard_keeps_row(engine):
+    """WHEN MATCHED AND <guard> THEN DELETE must NOT delete a matched row
+    whose guard evaluates to NULL (the clause does not apply)."""
+    engine.execute(
+        "CREATE TABLE mg_null AS SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 2 = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE o_totalprice END AS g "
+        "FROM orders LIMIT 20"
+    )
+    try:
+        null_keys = {
+            r["o_orderkey"]
+            for r in engine.sql("SELECT o_orderkey FROM mg_null WHERE g IS NULL").collect()
+        }
+        assert null_keys
+        n0 = engine.table("mg_null").count()
+        engine.execute(
+            """
+            MERGE INTO mg_null t
+            USING (SELECT o_orderkey FROM mg_null) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND t.g > -1e18 THEN DELETE
+            """
+        )
+        kept = {r["o_orderkey"] for r in engine.table("mg_null").collect()}
+        # every NULL-guard row survives; every non-NULL guard row (g > -1e18
+        # always true for real values) is deleted
+        assert kept == null_keys
+        assert engine.table("mg_null").count() == n0 - (n0 - len(null_keys))
+    finally:
+        engine.execute("DROP TABLE mg_null")
+
+
+def test_delete_null_predicate_layout_independent(engine, spark):
+    """DELETE keeps NULL-predicate rows in BOTH rewritten and untouched
+    files — outcome must not depend on physical co-location."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    # spread NULL-v rows across many files so some land in hit files
+    engine.execute("LIST TABLES")  # instantiate the lazy DDL router
+    engine._ddl._materialize("del_null", df.repartition(8))
+    try:
+        null_keys = {
+            r["k"] for r in engine.sql("SELECT k FROM del_null WHERE v IS NULL").collect()
+        }
+        engine.execute("DELETE FROM del_null WHERE v < 50")
+        kept = {r["k"] for r in engine.table("del_null").collect()}
+        # all NULL rows survive, regardless of which part file they were in
+        assert null_keys <= kept
+        assert all(k >= 50 or k in null_keys for k in kept)
+    finally:
+        engine.execute("DROP TABLE del_null")
+
+
+def test_merge_case_when_in_set(engine):
+    """CASE WHEN inside an UPDATE SET value must not be mistaken for a
+    MERGE clause boundary."""
+    engine.execute(
+        "CREATE TABLE mg_case AS SELECT o_orderkey, o_totalprice FROM orders LIMIT 10"
+    )
+    try:
+        engine.execute(
+            """
+            MERGE INTO mg_case t
+            USING (SELECT o_orderkey FROM mg_case) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET
+              o_totalprice = CASE WHEN t.o_totalprice > 0 THEN 1.0 ELSE 2.0 END
+            """
+        )
+        vals = {r["o_totalprice"] for r in engine.table("mg_case").collect()}
+        assert vals == {1.0}
+    finally:
+        engine.execute("DROP TABLE mg_case")
+
+
+def test_merge_without_target_alias(engine):
+    """Standard MERGE INTO t USING ... (no target alias) routes and runs,
+    with the table name itself usable as the qualifier."""
+    engine.execute(
+        "CREATE TABLE mg_noalias AS SELECT o_orderkey, o_totalprice FROM orders LIMIT 5"
+    )
+    try:
+        engine.execute(
+            """
+            MERGE INTO mg_noalias
+            USING (SELECT -5 AS o_orderkey, 1.5 AS o_totalprice) s
+            ON mg_noalias.o_orderkey = s.o_orderkey
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        got = engine.sql(
+            "SELECT o_totalprice FROM mg_noalias WHERE o_orderkey = -5"
+        ).collect()
+        assert len(got) == 1 and got[0]["o_totalprice"] == 1.5
+    finally:
+        engine.execute("DROP TABLE mg_noalias")
+
+
+def test_cow_commit_crash_loses_no_rows(engine, spark, monkeypatch):
+    """Crash injected between publishing staged parts and deleting the
+    replaced originals: every pre-DML row is still present (duplicates
+    allowed, loss not)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    engine.execute("LIST TABLES")
+    engine._ddl._materialize("crash_t", df.repartition(8))
+    try:
+        before = sorted(r["k"] for r in engine.table("crash_t").collect())
+
+        real_remove = os.remove
+
+        def exploding_remove(p):
+            raise RuntimeError("injected crash before delete-originals")
+
+        monkeypatch.setattr(os, "remove", exploding_remove)
+        try:
+            engine.execute("UPDATE crash_t SET k = k + 10000 WHERE k < 10")
+        except RuntimeError:
+            pass
+        monkeypatch.setattr(os, "remove", real_remove)
+
+        after = [r["k"] for r in engine.table("crash_t").collect()]
+        # old rows all survive (k<10 rows exist in the old file AND as
+        # k+10000 in the published staged file); nothing lost
+        assert set(before) <= {k if k < 10000 else k - 10000 for k in after} | set(after)
+        for k in before:
+            assert k in after or (k + 10000) in after
+    finally:
+        engine.execute("DROP TABLE crash_t")
+
+
+def test_local_hit_paths_rejects_object_store():
+    from sclera_spark.plans.ddl import DdlRouter
+
+    assert DdlRouter._local_hit_paths(
+        ["s3a://bucket/table/part-0.parquet", "/tmp/t/part-1.parquet"]
+    ) is None
+    assert DdlRouter._local_hit_paths(
+        ["hdfs://nn:8020/t/part-0.parquet"]
+    ) is None
+    got = DdlRouter._local_hit_paths(
+        ["file:///tmp/t/part-0.parquet", "/tmp/t/part-1.parquet"]
+    )
+    assert got == ["/tmp/t/part-0.parquet", "/tmp/t/part-1.parquet"]
+
+
+def test_cow_file_cap_falls_back_to_full_rewrite(engine, spark, monkeypatch):
+    """With the cap at 0, DELETE/MERGE take the distributed full-rewrite
+    path and still produce correct results."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    engine.execute("LIST TABLES")
+    engine._ddl._materialize("cap_t", df.repartition(4))
+    monkeypatch.setattr(type(engine._ddl), "cow_file_cap", 0)
+    try:
+        engine.execute("DELETE FROM cap_t WHERE k < 50")
+        assert engine.table("cap_t").count() == 50
+        engine.execute(
+            """
+            MERGE INTO cap_t t
+            USING (SELECT 60 AS k) s ON t.k = s.k
+            WHEN MATCHED THEN DELETE
+            """
+        )
+        kept = {r["k"] for r in engine.table("cap_t").collect()}
+        assert 60 not in kept and len(kept) == 49
+    finally:
+        engine.execute("DROP TABLE cap_t")

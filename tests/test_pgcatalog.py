@@ -108,3 +108,19 @@ def test_pg_class_reflects_new_tables(engine):
         assert "pgcat_probe_t" in rels
     finally:
         engine.execute("DROP TABLE pgcat_probe_t")
+
+
+def test_pg_class_hides_scratch_views(engine, spark):
+    """Engine scratch temp views (__-prefixed) must not leak into client
+    introspection via pg_class."""
+    spark.range(1).createOrReplaceTempView("__sclera_ext_999")
+    spark.range(1).createOrReplaceTempView("__merge_probe")
+    try:
+        rels = {
+            r["relname"]
+            for r in engine.sql("SELECT relname FROM pg_class").collect()
+        }
+        assert not {n for n in rels if n.startswith("__")}
+    finally:
+        spark.catalog.dropTempView("__sclera_ext_999")
+        spark.catalog.dropTempView("__merge_probe")
