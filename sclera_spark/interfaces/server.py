@@ -1,0 +1,567 @@
+"""PostgreSQL wire-protocol (v3) server over the Sclera engine.
+
+The reference makes its engine reachable through a JDBC driver whose
+`Statement.executeQuery` parses and runs statements on an embedded
+Processor (modules/interfaces/jdbc/src/main/scala/Statement.scala;
+behaviour pinned by JDBCTestSuite.scala:24-93: connect, metadata via the
+pg_catalog emulation, `select "b'ar" as foo`, close/reconnect). Rather
+than invent a bespoke RPC, this module speaks the public PostgreSQL
+frontend/backend protocol 3.0 (documented at
+https://www.postgresql.org/docs/current/protocol.html), so any existing
+PostgreSQL client — psql, psycopg, the PostgreSQL JDBC driver — can
+connect and run Sclera-dialect SQL. Introspection works because the
+engine registers the pg_catalog emulation tables (sources/pgcatalog.py)
+as queryable views.
+
+Scale notes: the server is a *serving boundary* — result rows cross the
+wire via `DataFrame.toLocalIterator()`, so the driver holds at most one
+partition of the result at a time, never the whole result set. Query
+execution itself stays fully distributed; nothing here touches the data
+path.
+
+Implemented protocol surface:
+- startup (incl. SSLRequest refusal and CancelRequest), cleartext-free
+  trust auth, ParameterStatus/BackendKeyData/ReadyForQuery
+- simple query ('Q') with multi-statement split and per-statement
+  RowDescription/DataRow/CommandComplete; EmptyQueryResponse; errors
+- the extended-query subset drivers use for parameterless statements:
+  Parse/Bind/Describe/Execute/Close/Flush/Sync (parameterized queries
+  are rejected with a clear error — the engine's SQL surface has no
+  placeholder binder yet)
+- Terminate ('X')
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import socket
+import socketserver
+import struct
+import threading
+
+from pyspark.sql import DataFrame
+
+from sclera_spark.sources.pgcatalog import _TYPLEN, _spark_type_oid
+
+_PROTO_V3 = 196608
+_SSL_REQUEST = 80877103
+_CANCEL_REQUEST = 80877102
+
+
+# ---------------------------------------------------------------- encoding
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def _msg(type_byte: bytes, payload: bytes = b"") -> bytes:
+    return type_byte + struct.pack("!i", len(payload) + 4) + payload
+
+
+def _text_value(v) -> bytes | None:
+    """Render a Python value in PostgreSQL text format."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, (bytes, bytearray)):
+        return b"\\x" + bytes(v).hex().encode()
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f").encode()
+    if isinstance(v, _dt.date):
+        return v.isoformat().encode()
+    if isinstance(v, float):
+        return repr(v).encode()
+    if isinstance(v, (list, tuple)):
+        return (
+            "{" + ",".join("NULL" if x is None else str(x) for x in v) + "}"
+        ).encode()
+    return str(v).encode()
+
+
+class _ResultSet:
+    """A uniform (columns, oids, row-iterator, tag) view over whatever the
+    engine returned: DataFrame, DDL list/str result, or None."""
+
+    def __init__(self, columns, oids, rows, tag):
+        self.columns = columns
+        self.oids = oids
+        self.rows = rows  # iterator of tuples, or None for row-less commands
+        self.tag = tag
+
+
+def _tag_for(sql: str, n: int | None = None) -> str:
+    head = sql.strip().split(None, 2)
+    verb = (head[0] if head else "").upper()
+    if verb == "SELECT" or not verb:
+        return f"SELECT {n or 0}"
+    if verb == "INSERT":
+        return "INSERT 0 0"
+    if verb in ("CREATE", "DROP") and len(head) > 1:
+        return f"{verb} {head[1].upper()}"
+    return verb
+
+
+def _to_resultset(result, sql: str) -> _ResultSet:
+    if isinstance(result, DataFrame):
+        fields = result.schema.fields
+        oids = [_spark_type_oid(f.dataType) for f in fields]
+        return _ResultSet(
+            [f.name for f in fields],
+            oids,
+            (tuple(r) for r in result.toLocalIterator()),
+            None,  # tag filled by caller with row count
+        )
+    if result is None:
+        return _ResultSet(None, None, None, _tag_for(sql))
+    if isinstance(result, str):  # EXPLAIN text
+        rows = [(line,) for line in result.splitlines()]
+        return _ResultSet(["QUERY PLAN"], [25], iter(rows), None)
+    if isinstance(result, (list, tuple)):  # LIST/DESCRIBE/SHOW results
+        items = list(result)
+        if items and isinstance(items[0], (list, tuple)):
+            width = len(items[0])
+            cols = [f"col{i + 1}" for i in range(width)]
+            rows = [tuple(str(x) if x is not None else None for x in r) for r in items]
+        else:
+            cols = ["name"]
+            rows = [(str(x),) for x in items]
+        return _ResultSet(cols, [25] * len(cols), iter(rows), None)
+    return _ResultSet(["result"], [25], iter([(str(result),)]), None)
+
+
+# ---------------------------------------------------------------- server
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):  # noqa: C901 — protocol state machine
+        self.buf = self.request.makefile("rb")
+        engine = self.server.engine
+        try:
+            if not self._startup():
+                return
+            engine.pg_catalog.refresh()
+            self._send(_msg(b"R", struct.pack("!i", 0)))  # AuthenticationOk
+            for k, v in (
+                ("server_version", "15.0 (sclera-spark)"),
+                ("server_encoding", "UTF8"),
+                ("client_encoding", "UTF8"),
+                ("DateStyle", "ISO, MDY"),
+                ("integer_datetimes", "on"),
+                ("standard_conforming_strings", "on"),
+            ):
+                self._send(_msg(b"S", _cstr(k) + _cstr(v)))
+            self._send(_msg(b"K", struct.pack("!ii", threading.get_ident() & 0x7FFFFFFF, 0)))
+            self._ready()
+            self._statements: dict[str, str] = {}
+            self._portals: dict[str, str] = {}
+            self._loop()
+        except (ConnectionError, BrokenPipeError, OSError):
+            pass
+        finally:
+            try:
+                self.buf.close()
+            except Exception:
+                pass
+
+    # ---- plumbing ----
+
+    def _send(self, data: bytes) -> None:
+        self.request.sendall(data)
+
+    def _ready(self) -> None:
+        self._send(_msg(b"Z", b"I"))
+
+    def _read_exact(self, n: int) -> bytes:
+        data = self.buf.read(n)
+        if data is None or len(data) < n:
+            raise ConnectionError("client closed")
+        return data
+
+    def _startup(self) -> bool:
+        while True:
+            (length,) = struct.unpack("!i", self._read_exact(4))
+            payload = self._read_exact(length - 4)
+            (code,) = struct.unpack("!i", payload[:4])
+            if code == _SSL_REQUEST:
+                self._send(b"N")  # no TLS; client falls back to cleartext
+                continue
+            if code == _CANCEL_REQUEST:
+                return False  # no cancel support; just close
+            if code != _PROTO_V3:
+                self._error("08P01", f"unsupported protocol version {code}")
+                return False
+            # key\0value\0...\0 — user/database/options; accepted untrusted
+            return True
+
+    def _error(self, sqlstate: str, message: str) -> None:
+        body = (
+            b"S" + _cstr("ERROR") + b"V" + _cstr("ERROR")
+            + b"C" + _cstr(sqlstate) + b"M" + _cstr(message) + b"\x00"
+        )
+        self._send(_msg(b"E", body))
+
+    # ---- message loop ----
+
+    def _loop(self) -> None:
+        self._skip_to_sync = False
+        while True:
+            head = self.buf.read(1)
+            if not head:
+                return
+            (length,) = struct.unpack("!i", self._read_exact(4))
+            payload = self._read_exact(length - 4)
+            if head == b"X":
+                return
+            if self._skip_to_sync and head not in (b"S", b"Q"):
+                continue  # error in extended mode: discard until Sync
+            if head == b"S":
+                self._skip_to_sync = False
+            if head == b"Q":
+                self._skip_to_sync = False
+                self._simple_query(payload[:-1].decode("utf-8", "replace"))
+            elif head == b"P":
+                self._parse(payload)
+            elif head == b"B":
+                self._bind(payload)
+            elif head == b"D":
+                self._describe(payload)
+            elif head == b"E":
+                self._execute(payload)
+            elif head == b"C":
+                self._send(_msg(b"3"))  # CloseComplete
+            elif head in (b"S", b"H"):  # Sync / Flush
+                if head == b"S":
+                    self._ready()
+            else:
+                self._error("08P01", f"unsupported message type {head!r}")
+                self._ready()
+
+    # ---- statement execution ----
+
+    _SESSION_VERBS = ("SET", "BEGIN", "COMMIT", "ROLLBACK", "DISCARD", "RESET")
+
+    def _run(self, sql: str) -> _ResultSet:
+        """Route one statement through the engine; session-management verbs
+        clients emit on connect (SET/BEGIN/...) are accepted as no-ops —
+        the engine is auto-commit, like the reference's JDBC driver."""
+        verb = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+        if verb in self._SESSION_VERBS:
+            return _ResultSet(None, None, None, verb)
+        rs = _to_resultset(self.server.engine.execute(sql), sql)
+        return rs
+
+    def _send_rows(self, rs: _ResultSet, sql: str, with_description: bool) -> None:
+        if rs.columns is None:
+            self._send(_msg(b"C", _cstr(rs.tag)))
+            return
+        if with_description:
+            self._send(self._row_description(rs))
+        n = 0
+        for row in rs.rows:
+            out = io.BytesIO()
+            out.write(struct.pack("!h", len(row)))
+            for v in row:
+                tv = _text_value(v)
+                if tv is None:
+                    out.write(struct.pack("!i", -1))
+                else:
+                    out.write(struct.pack("!i", len(tv)))
+                    out.write(tv)
+            self._send(_msg(b"D", out.getvalue()))
+            n += 1
+        self._send(_msg(b"C", _cstr(rs.tag or _tag_for(sql, n))))
+
+    @staticmethod
+    def _row_description(rs: _ResultSet) -> bytes:
+        out = io.BytesIO()
+        out.write(struct.pack("!h", len(rs.columns)))
+        for name, oid in zip(rs.columns, rs.oids):
+            out.write(_cstr(name))
+            out.write(struct.pack("!ihihih", 0, 0, oid, _TYPLEN.get(oid, -1), -1, 0))
+        return _msg(b"T", out.getvalue())
+
+    def _simple_query(self, text: str) -> None:
+        statements = [s for s in _split_statements(text) if s.strip()]
+        if not statements:
+            self._send(_msg(b"I"))  # EmptyQueryResponse
+            self._ready()
+            return
+        for sql in statements:
+            try:
+                rs = self._run(sql)
+                self._send_rows(rs, sql, with_description=True)
+            except Exception as exc:  # noqa: BLE001 — wire boundary
+                self._error("42601", str(exc))
+                break
+        self._ready()
+
+    # ---- extended-query subset ----
+
+    def _parse(self, payload: bytes) -> None:
+        name, rest = _take_cstr(payload)
+        query, rest = _take_cstr(rest)
+        (nparams,) = struct.unpack("!h", rest[:2])
+        if nparams or "$1" in query:
+            self._skip_to_sync = True
+            self._error("0A000", "parameterized statements are not supported")
+            return
+        self._statements[name] = query
+        self._send(_msg(b"1"))  # ParseComplete
+
+    def _bind(self, payload: bytes) -> None:
+        portal, rest = _take_cstr(payload)
+        stmt, rest = _take_cstr(rest)
+        (nfmt,) = struct.unpack("!h", rest[:2])
+        rest = rest[2 + 2 * nfmt :]
+        (nparams,) = struct.unpack("!h", rest[:2])
+        if nparams:
+            self._skip_to_sync = True
+            self._error("0A000", "parameterized statements are not supported")
+            return
+        self._portals[portal] = self._statements.get(stmt, "")
+        self._send(_msg(b"2"))  # BindComplete
+
+    def _describe(self, payload: bytes) -> None:
+        kind, rest = payload[:1], payload[1:]
+        name, _ = _take_cstr(rest)
+        sql = (self._portals if kind == b"P" else self._statements).get(name, "")
+        try:
+            result = self.server.engine.execute(sql) if sql.strip() else None
+        except Exception as exc:  # noqa: BLE001
+            self._skip_to_sync = True
+            self._error("42601", str(exc))
+            return
+        if isinstance(result, DataFrame):
+            rs = _ResultSet(
+                [f.name for f in result.schema.fields],
+                [_spark_type_oid(f.dataType) for f in result.schema.fields],
+                None,
+                None,
+            )
+            self._send(self._row_description(rs))
+        else:
+            self._send(_msg(b"n"))  # NoData
+
+    def _execute(self, payload: bytes) -> None:
+        portal, _ = _take_cstr(payload)
+        sql = self._portals.get(portal, "")
+        if not sql.strip():
+            self._send(_msg(b"I"))
+            return
+        try:
+            rs = self._run(sql)
+            # extended protocol: RowDescription was sent by Describe
+            self._send_rows(rs, sql, with_description=False)
+        except Exception as exc:  # noqa: BLE001
+            self._skip_to_sync = True
+            self._error("42601", str(exc))
+
+
+def _take_cstr(b: bytes) -> tuple[str, bytes]:
+    i = b.index(b"\x00")
+    return b[:i].decode("utf-8", "replace"), b[i + 1 :]
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split on semicolons outside single/double quotes."""
+    out, cur, i, n = [], [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            q = c
+            cur.append(c)
+            i += 1
+            while i < n:
+                cur.append(text[i])
+                if text[i] == q:
+                    if q == "'" and i + 1 < n and text[i + 1] == "'":
+                        cur.append(text[i + 1])
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == ";":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class ScleraServer:
+    """Serve a ScleraEngine over the PostgreSQL wire protocol.
+
+    >>> server = ScleraServer(engine).start()
+    >>> ... clients connect to ("127.0.0.1", server.port) ...
+    >>> server.stop()
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._server: _Server | None = None
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "ScleraServer":
+        self._server = _Server((self.host, self.port), _Handler)
+        self._server.engine = self.engine
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="sclera-pg-server", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+# ---------------------------------------------------------------- client
+#
+# A minimal wire-protocol client so the serving tier is testable in this
+# container (which ships no psycopg/pg8000). Any real PostgreSQL client
+# works the same way; this one implements exactly the frontend half of the
+# public protocol the server implements above.
+
+
+class WireClient:
+    def __init__(self, host: str, port: int, user: str = "sclera", database: str = "sclera"):
+        self.sock = socket.create_connection((host, port))
+        self.buf = self.sock.makefile("rb")
+        params = _cstr("user") + _cstr(user) + _cstr("database") + _cstr(database) + b"\x00"
+        payload = struct.pack("!i", _PROTO_V3) + params
+        self.sock.sendall(struct.pack("!i", len(payload) + 4) + payload)
+        self.parameters: dict[str, str] = {}
+        self._drain_until_ready()
+
+    def _read_message(self) -> tuple[bytes, bytes]:
+        head = self.buf.read(1)
+        if not head:
+            raise ConnectionError("server closed")
+        (length,) = struct.unpack("!i", self.buf.read(4))
+        return head, self.buf.read(length - 4)
+
+    def _drain_until_ready(self) -> None:
+        while True:
+            head, payload = self._read_message()
+            if head == b"S":
+                k, rest = _take_cstr(payload)
+                v, _ = _take_cstr(rest)
+                self.parameters[k] = v
+            elif head == b"E":
+                raise RuntimeError(_parse_error(payload))
+            elif head == b"Z":
+                return
+
+    def execute(self, sql: str) -> tuple[list[str], list[tuple], str]:
+        """Simple-query protocol: returns (columns, text rows, command tag)."""
+        payload = _cstr(sql)
+        self.sock.sendall(_msg(b"Q", payload))
+        columns: list[str] = []
+        rows: list[tuple] = []
+        tag = ""
+        error: str | None = None
+        while True:
+            head, payload = self._read_message()
+            if head == b"T":
+                columns = _parse_row_description(payload)
+            elif head == b"D":
+                rows.append(_parse_data_row(payload))
+            elif head == b"C":
+                tag, _ = _take_cstr(payload)
+            elif head == b"E":
+                error = _parse_error(payload)
+            elif head == b"I":
+                tag = ""
+            elif head == b"Z":
+                if error is not None:
+                    raise RuntimeError(error)
+                return columns, rows, tag
+
+    def execute_extended(self, sql: str) -> tuple[list[str], list[tuple], str]:
+        """Extended-query protocol round trip (Parse/Bind/Describe/Execute/
+        Sync) — the message sequence the PostgreSQL JDBC driver emits for a
+        parameterless prepared statement."""
+        self.sock.sendall(
+            _msg(b"P", _cstr("") + _cstr(sql) + struct.pack("!h", 0))
+            + _msg(b"B", _cstr("") + _cstr("") + struct.pack("!hhh", 0, 0, 0))
+            + _msg(b"D", b"P" + _cstr(""))
+            + _msg(b"E", _cstr("") + struct.pack("!i", 0))
+            + _msg(b"S")
+        )
+        columns: list[str] = []
+        rows: list[tuple] = []
+        tag = ""
+        error: str | None = None
+        while True:
+            head, payload = self._read_message()
+            if head == b"T":
+                columns = _parse_row_description(payload)
+            elif head == b"D":
+                rows.append(_parse_data_row(payload))
+            elif head == b"C":
+                tag, _ = _take_cstr(payload)
+            elif head == b"E":
+                error = _parse_error(payload)
+            elif head == b"Z":
+                if error is not None:
+                    raise RuntimeError(error)
+                return columns, rows, tag
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(_msg(b"X"))
+        except OSError:
+            pass
+        self.sock.close()
+
+
+def _parse_row_description(payload: bytes) -> list[str]:
+    (nfields,) = struct.unpack("!h", payload[:2])
+    rest = payload[2:]
+    names = []
+    for _ in range(nfields):
+        name, rest = _take_cstr(rest)
+        rest = rest[18:]  # table oid, attnum, type oid, typlen, typmod, fmt
+        names.append(name)
+    return names
+
+
+def _parse_data_row(payload: bytes) -> tuple:
+    (nfields,) = struct.unpack("!h", payload[:2])
+    rest = payload[2:]
+    row = []
+    for _ in range(nfields):
+        (length,) = struct.unpack("!i", rest[:4])
+        rest = rest[4:]
+        if length == -1:
+            row.append(None)
+        else:
+            row.append(rest[:length].decode("utf-8"))
+            rest = rest[length:]
+    return tuple(row)
+
+
+def _parse_error(payload: bytes) -> str:
+    fields = {}
+    rest = payload
+    while rest and rest[:1] != b"\x00":
+        code = rest[:1]
+        value, rest = _take_cstr(rest[1:])
+        fields[code] = value
+    return fields.get(b"M", "unknown server error")

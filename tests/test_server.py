@@ -1,0 +1,171 @@
+"""Serving-tier tests mirroring the reference's JDBC suite.
+
+Reference: modules/interfaces/jdbc/src/test/scala/JDBCTestSuite.scala:24-93
+— connect, driver metadata, `select "b'ar" as foo` (quoting round-trip),
+statement/connection close, then the whole suite again on a fresh
+connection (reconnect). Here the client speaks the public PostgreSQL wire
+protocol against `ScleraServer`, and metadata comes from the pg_catalog
+emulation (sources/pgcatalog.py) exactly as a real PostgreSQL client
+would introspect it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sclera_spark.engine import ScleraEngine
+from sclera_spark.interfaces import ScleraServer, WireClient
+
+
+@pytest.fixture(scope="module")
+def server(spark, tables):
+    engine = ScleraEngine(spark)
+    for name, df in tables.items():
+        engine.add_table(name, df)
+    srv = ScleraServer(engine).start()
+    yield srv
+    srv.stop()
+
+
+def connect(server) -> WireClient:
+    return WireClient("127.0.0.1", server.port)
+
+
+def test_connect_handshake(server):
+    c = connect(server)
+    assert c.parameters.get("server_encoding") == "UTF8"
+    assert "sclera" in c.parameters.get("server_version", "")
+    c.close()
+
+
+def test_select_quoted_literal(server):
+    # JDBCTestSuite.scala:49-56: select "b'ar" as foo
+    c = connect(server)
+    cols, rows, tag = c.execute("select 'b''ar' as foo")
+    assert cols == ["foo"]
+    assert rows == [("b'ar",)]
+    assert tag == "SELECT 1"
+    c.close()
+
+
+def test_query_real_table(server):
+    c = connect(server)
+    cols, rows, _ = c.execute(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    )
+    assert cols == ["r_regionkey", "r_name"]
+    assert len(rows) == 5
+    assert rows[0][1] == "AFRICA"
+    c.close()
+
+
+def test_metadata_via_pg_catalog(server):
+    """DatabaseMetaData-style introspection: list tables from pg_class,
+    then columns + types from pg_attribute/pg_type — the queries a
+    PostgreSQL client issues for getTables()/getColumns()."""
+    c = connect(server)
+    cols, rows, _ = c.execute(
+        "SELECT relname FROM pg_class WHERE relkind = 'r' ORDER BY relname"
+    )
+    names = [r[0] for r in rows]
+    assert "region" in names and "nation" in names
+    cols, rows, _ = c.execute(
+        "SELECT a.attname, t.typname FROM pg_attribute a "
+        "JOIN pg_class c ON a.attrelid = c.oid "
+        "JOIN pg_type t ON a.atttypid = t.oid "
+        "WHERE c.relname = 'region' ORDER BY a.attnum"
+    )
+    assert [r[0] for r in rows] == ["r_regionkey", "r_name"]
+    assert rows[0][1] in ("int8", "int4")
+    c.close()
+
+
+def test_multi_statement_and_session_verbs(server):
+    c = connect(server)
+    # clients open with SET/BEGIN chatter; accepted as no-ops
+    _, _, tag = c.execute("SET client_min_messages = warning")
+    assert tag == "SET"
+    cols, rows, _ = c.execute("SELECT 1 AS a; SELECT 2 AS b")
+    # simple protocol returns the last statement's result to this client
+    assert rows[-1] == ("2",)
+    c.close()
+
+
+def test_empty_query_and_error_recovery(server):
+    c = connect(server)
+    cols, rows, tag = c.execute("")
+    assert rows == [] and tag == ""
+    with pytest.raises(RuntimeError):
+        c.execute("SELECT FROM no_such_table_xyz !!")
+    # connection must stay usable after an error (ReadyForQuery resync)
+    cols, rows, _ = c.execute("SELECT 42 AS answer")
+    assert rows == [("42",)]
+    c.close()
+
+
+def test_null_and_type_rendering(server):
+    c = connect(server)
+    cols, rows, _ = c.execute(
+        "SELECT CAST(NULL AS INT) AS n, TRUE AS b, 1.5 AS f, DATE '2024-01-02' AS d"
+    )
+    assert rows == [(None, "t", "1.5", "2024-01-02")]
+    c.close()
+
+
+def test_ddl_roundtrip_over_wire(server):
+    c = connect(server)
+    c.execute("CREATE TABLE wire_t AS SELECT 1 AS x UNION ALL SELECT 2 AS x")
+    cols, rows, _ = c.execute("SELECT count(*) AS n FROM wire_t")
+    assert rows == [("2",)]
+    _, _, tag = c.execute("DROP TABLE wire_t")
+    assert tag.startswith("DROP")
+    c.close()
+
+
+def test_reconnect(server):
+    # JDBCTestSuite.scala:93 runs the suite twice: close + fresh connect
+    for _ in range(2):
+        c = connect(server)
+        cols, rows, _ = c.execute("select 'b''ar' as foo")
+        assert rows == [("b'ar",)]
+        c.close()
+
+
+def test_extended_query_protocol(server):
+    """Parse/Bind/Describe/Execute/Sync — the pgjdbc prepared-statement
+    path. Parameterized statements are rejected with a clear error."""
+    c = connect(server)
+    cols, rows, tag = c.execute_extended(
+        "SELECT n_name FROM nation WHERE n_regionkey = 0 ORDER BY n_name"
+    )
+    assert cols == ["n_name"]
+    assert len(rows) == 5
+    assert tag.startswith("SELECT")
+    with pytest.raises(RuntimeError, match="parameterized"):
+        c.execute_extended("SELECT * FROM nation WHERE n_nationkey = $1")
+    # still usable afterwards
+    _, rows, _ = c.execute("SELECT 7 AS x")
+    assert rows == [("7",)]
+    c.close()
+
+
+def test_concurrent_connections(server):
+    import threading
+
+    errors = []
+
+    def work():
+        try:
+            c = connect(server)
+            _, rows, _ = c.execute("SELECT count(*) AS n FROM nation")
+            assert rows == [("25",)]
+            c.close()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=work) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
