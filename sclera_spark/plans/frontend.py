@@ -73,30 +73,104 @@ _DISTINCT_ON_RE = re.compile(r"SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
 _SQ_LIT = r"'(?:[^']|'')*'"
-_SYMMETRIC_RE = re.compile(
-    rf"(?P<x>[\w.]+|\([^()]*\))\s+BETWEEN\s+SYMMETRIC\s+"
-    rf"(?P<lo>{_SQ_LIT}|[\w.-]+)\s+AND\s+(?P<hi>{_SQ_LIT}|[\w.-]+)",
-    re.IGNORECASE,
-)
+_SYMMETRIC_KW_RE = re.compile(r"\b(NOT\s+)?BETWEEN\s+SYMMETRIC\b", re.IGNORECASE)
+
+
+def _forward_operand(text: str, i: int) -> tuple[int, int] | None:
+    """Span of the scalar operand starting at/after ``i``: a quoted
+    literal, a parenthesized expression, or an identifier/number with an
+    optional call-argument list (``coalesce(x, 0)``), optionally followed
+    by a ``:: TYPE`` cast."""
+    n = len(text)
+    while i < n and text[i].isspace():
+        i += 1
+    if i >= n:
+        return None
+    start = i
+    if text[i] == "'":
+        i = _skip_to_literal_end(text, i)
+    elif text[i] == "(":
+        i = _find_balanced(text, i)
+    else:
+        m = re.match(r"[\w.$-]+", text[i:])
+        if m is None:
+            return None
+        i += m.end()
+        j = i
+        while j < n and text[j].isspace():
+            j += 1
+        if j < n and text[j] == "(":
+            i = _find_balanced(text, j)
+    m = re.match(r"\s*::\s*\w+", text[i:])
+    if m:
+        i += m.end()
+    return start, i
+
+
+def _top_level_and(text: str, i: int) -> int | None:
+    """Offset of the first AND at paren depth 0 (outside literals) at or
+    after ``i``."""
+    depth, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i = _skip_to_literal_end(text, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and text[i : i + 3].upper() == "AND"
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (i + 3 >= n or not (text[i + 3].isalnum() or text[i + 3] == "_"))
+        ):
+            return i
+        i += 1
+    return None
 
 
 def _rewrite_symmetric(text: str) -> str:
-    """`x BETWEEN SYMMETRIC a AND b` -> bounds ordered either way
-    (reference ScalOp.scala:98-103). Runs on the reassembled query text
-    (literal-position aware) so quoted bounds like `BETWEEN SYMMETRIC 'a'
-    AND 'b'` are captured too."""
-    out, pos = [], 0
-    for m in _SYMMETRIC_RE.finditer(text):
-        if _in_literal(text, m.start()):
-            continue
-        out.append(text[pos : m.start()])
-        out.append(
-            f"{m.group('x')} BETWEEN least({m.group('lo')}, {m.group('hi')})"
-            f" AND greatest({m.group('lo')}, {m.group('hi')})"
+    """`x [NOT] BETWEEN SYMMETRIC a AND b` -> the ANSI OR-expansion
+    ``(x >= a AND x <= b) OR (x >= b AND x <= a)`` (reference
+    ScalOp.scala:98-103). NOT lowered via `IS NOT TRUE`-free negation of
+    the whole disjunction. The expansion — not least()/greatest() — is
+    required for three-valued logic: Spark's least/greatest IGNORE NULL
+    arguments, so a NULL bound would silently collapse to a one-sided
+    range instead of yielding UNKNOWN. Operands may be arbitrary
+    parenthesized expressions, function calls, literals, or identifiers;
+    an unrecognizable operand fails loudly (Spark rejects the unrewritten
+    SYMMETRIC keyword) rather than mis-rewriting."""
+    while True:
+        m = None
+        for cand in _SYMMETRIC_KW_RE.finditer(text):
+            if not _in_literal(text, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return text
+        xspan = _operand_span_before(text, m.start())
+        if xspan is None:
+            raise ValueError(
+                f"cannot locate BETWEEN SYMMETRIC operand before: "
+                f"{text[max(0, m.start() - 40) : m.start()]!r}"
+            )
+        and_pos = _top_level_and(text, m.end())
+        if and_pos is None:
+            raise ValueError("BETWEEN SYMMETRIC missing AND")
+        lo = text[m.end() : and_pos].strip()
+        hispan = _forward_operand(text, and_pos + 3)
+        if hispan is None:
+            raise ValueError("cannot locate BETWEEN SYMMETRIC upper bound")
+        x = text[xspan[0] : xspan[1]]
+        hi = text[hispan[0] : hispan[1]]
+        neg = "NOT " if m.group(1) else ""
+        expansion = (
+            f"({neg}((({x}) >= ({lo}) AND ({x}) <= ({hi}))"
+            f" OR (({x}) >= ({hi}) AND ({x}) <= ({lo}))))"
         )
-        pos = m.end()
-    out.append(text[pos:])
-    return "".join(out)
+        text = text[: xspan[0]] + expansion + text[hispan[1] :]
 
 
 _QUANT_RE = re.compile(
