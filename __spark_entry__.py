@@ -703,7 +703,11 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     from sclera_spark.streaming import stream_from_directory
 
     stream = stream_from_directory(spark, d, raw_schema)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # ns-timestamp parquet: with nanosAsLong honored ts arrives as long
+    # (divide to µs); newer Spark reads it as TIMESTAMP_NTZ directly
+    if dict(stream.dtypes)["ts"] == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,9 +732,10 @@ def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based session windows over a readStream source — the streaming
-    sessionization upgrade (rows-only: session_window has no portable SQL
-    equivalent; invariants tested in tests/test_ml_nlp_streaming.py)."""
+    """Gap-based session windows over a readStream source. Oracle-checked:
+    session_window(gap) is exactly expressible in ANSI SQL as lag-based
+    gap flags + a cumulative-sum session id (a new session starts when
+    ts >= prev_ts + gap; session_end = last ts + gap)."""
     from sclera_spark.streaming import run_to_memory, sessionize
 
     _engine(spark, sf_dir)
@@ -740,12 +745,38 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
         gap="30 minutes",
         keys=["user_id"],
-        aggs={"n_events": F.count(F.lit(1)), "total_value": F.sum("value")},
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 6),
+        },
     )
     q = run_to_memory(out, "entry_sessions", output_mode="complete")
     result = spark.table("entry_sessions")
     q.stop()
     return result
+
+
+def _q_align_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALIGN positional-zip fast path (reference AlignTableResult.scala:70-74,
+    MARGIN-0/no-distance form): per-user pairing of the i-th view with the
+    i-th click. Exact row_number-join semantics -> DuckDB oracle."""
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events")
+    ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    ).createOrReplaceTempView("__entry_zip_a")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    ).createOrReplaceTempView("__entry_zip_b")
+    return eng.sql("""
+        SELECT user_id, v_id, c_id
+        FROM __entry_zip_a ORDERED BY (v_ts, v_id) PARTITION BY user_id
+        ALIGN __entry_zip_b ORDERED BY (c_ts, c_id)
+    """)
 
 
 def _q_stream_match_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,16 +908,17 @@ def _q_expmovavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column pipeline: opaque binary assets + typed metadata
-    through the mapInPandas feature extractors. Decoders are declared
-    deterministic stubs (no codec libs in this container); the Spark-side
-    plumbing — schema, Arrow batching, UDF signatures — is real
-    (tests/test_llm_ops.py::test_multimodal_plumbing)."""
-    from sclera_spark.llm.multimodal import image_features, synthetic_assets
+    """Multimodal column pipeline: binary assets with REAL container
+    headers (valid PNG/JPEG/GIF/BMP/WAV bytes) probed header-only via
+    mapInPandas — parsed dimensions, sample rate, duration, aspect ratio
+    are real; pixel/sample decode stays stubbed (no codec libs in this
+    container). Ground-truth tests: tests/test_llm_ops.py."""
+    from sclera_spark.llm.multimodal import media_probe, synthetic_real_assets
 
-    assets = synthetic_assets(spark, 300)
-    return image_features(assets.filter(F.col("media_type") == "image")).select(
-        "asset_id", "mean_intensity", "aspect_ratio", F.size("feature_vec").alias("feat_dim")
+    assets = synthetic_real_assets(spark, 300)
+    return media_probe(assets).select(
+        "asset_id", "format", "width", "height", "sample_rate", "duration_ms",
+        F.round("aspect_ratio", 6).alias("aspect_ratio"),
     )
 
 
@@ -1021,15 +1053,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "classified_with": _q_classified_with,
             "clustered_with": _q_clustered_with,
             "imputed_with": _q_imputed_with,
-            "nlp_sentiment": _q_nlp_sentiment,
             "stream_sessionize": _q_stream_sessionize,
             "stream_match_state": _q_stream_match_state,
             "labeled_fn_sql": _q_labeled_fn_sql,
             "align_sql": _q_align_sql,
+            "align_zip": _q_align_zip,
             "match_alternation": _q_match_alternation,
             # tail spares (outside the ~50-entry driver window; each
             # pytest-covered: language_id in test_llm_ops, approx aggs in
-            # test_operators, multimodal plumbing in test_llm_ops)
+            # test_operators, multimodal plumbing in test_llm_ops,
+            # nlp_sentiment lexicon accuracy in test_ml_nlp_streaming —
+            # moved to the tail in r5 to make room for align_zip's oracle)
+            "nlp_sentiment": _q_nlp_sentiment,
             "language_id": _q_language_id,
             "approx_distinct": _q_approx_distinct,
             "multimodal_features": _q_multimodal_features,
@@ -1234,6 +1269,47 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n,
                round(sum(value), 6) AS total
         FROM events GROUP BY 1, 2, 3
+    """
+    # stream_sessionize: session_window(gap) == lag-based gap flag + a
+    # cumulative-sum session id (new session iff ts >= prev_ts + gap;
+    # session_end = last ts + gap). (ts, event_id) is a total order, so
+    # the window passes are deterministic.
+    oracles["stream_sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, ts::TIMESTAMP AS ts, value,
+                   CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                             OR ts::TIMESTAMP >= lag(ts::TIMESTAMP) OVER w
+                                                 + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM sess GROUP BY user_id, sid
+    """
+    # align_zip: the positional-zip fast path is exactly a row_number join
+    oracles["align_zip"] = """
+        WITH a AS (
+            SELECT user_id, event_id AS v_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view'
+        ), b AS (
+            SELECT user_id, event_id AS c_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT a.user_id, v_id, c_id FROM a JOIN b USING (user_id, rn)
     """
     # classified_with / clustered_with / imputed_with / nlp_sentiment:
     # model- or lexicon-specific outputs -> rows-only; accuracy/behavior

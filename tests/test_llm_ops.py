@@ -265,6 +265,57 @@ def test_multimodal_plumbing(spark):
     assert fr.count() >= n_video
 
 
+def test_media_probe_headers(spark):
+    """Header-only decoders parse REAL container bytes: generated
+    PNG/JPEG/GIF/BMP/WAV fixtures with known dimensions round-trip
+    exactly through probe_media / media_probe."""
+    from sclera_spark.llm.multimodal import (
+        bmp_bytes,
+        gif_bytes,
+        jpeg_bytes,
+        media_probe,
+        png_bytes,
+        probe_media,
+        synthetic_real_assets,
+        wav_bytes,
+    )
+
+    # direct parser ground truth
+    assert probe_media(png_bytes(640, 480))[:3] == ("png", 640, 480)
+    assert probe_media(jpeg_bytes(1920, 1080))[:3] == ("jpeg", 1920, 1080)
+    assert probe_media(gif_bytes(13, 7))[:3] == ("gif", 13, 7)
+    assert probe_media(bmp_bytes(31, 17))[:3] == ("bmp", 31, 17)
+    fmt, _, _, rate, ch, dur = probe_media(wav_bytes(16000, 2, 1500))
+    assert (fmt, rate, ch, dur) == ("wav", 16000, 2, 1500)
+    # stdlib wave agrees with our RIFF writer+parser
+    import io
+    import wave
+
+    wf = wave.open(io.BytesIO(wav_bytes(8000, 1, 700)))
+    assert (wf.getframerate(), wf.getnchannels()) == (8000, 1)
+    assert wf.getnframes() == 8000 * 700 // 1000
+    # junk bytes never raise
+    assert probe_media(b"\x00" * 64)[0] is None
+    assert probe_media(None)[0] is None
+    assert probe_media(b"\xff\xd8\xff")[0] is None
+
+    # distributed path: every synthetic asset's parsed metadata matches
+    # the arithmetic the generator used
+    probed = {r.asset_id: r for r in media_probe(synthetic_real_assets(spark, 50)).collect()}
+    assert len(probed) == 50
+    for i in range(50):
+        r = probed[i]
+        if i % 5 == 4:
+            assert r.format == "wav"
+            assert r.sample_rate == 8000 * (i % 3 + 1)
+            assert r.n_channels == i % 2 + 1
+            assert r.duration_ms == (i % 10 + 1) * 100
+        else:
+            assert r.format in ("png", "jpeg", "gif", "bmp")
+            assert (r.width, r.height) == (i % 16 + 1, i % 9 + 1)
+            assert abs(r.aspect_ratio - r.width / r.height) < 1e-6
+
+
 def test_ivf_persisted_index_partition_pruning(spark, tables):
     import tempfile
 
