@@ -922,6 +922,20 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_plot_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual tier: `<query> PLOT ...` (reference modules/visual,
+    PlotParser.scala:38-77) lowered to a Vega-Lite v5 spec column.
+    Rows-only: the spec is a JSON artifact, not relational data; grammar
+    and lowering are pinned by tests/test_plot.py."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql(
+        "SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price "
+        "FROM orders GROUP BY o_orderpriority "
+        "PLOT (GEOM = bar(X = o_orderpriority, Y = n), COLOR = avg_price) "
+        "DISPLAY (WIDTH = 480, HEIGHT = 320, TITLE = 'orders by priority')"
+    )
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (extension beyond the reference; HLL values
     are implementation-specific -> rows-only)."""
@@ -1068,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "language_id": _q_language_id,
             "approx_distinct": _q_approx_distinct,
             "multimodal_features": _q_multimodal_features,
+            "plot_spec": _q_plot_spec,
         }
     )
     return out

@@ -145,9 +145,23 @@ class ScleraEngine:
 
     def sql(self, query: str) -> DataFrame:
         """Run a Sclera-dialect SQL query. Sclera-specific constructs are
-        rewritten by our front end; everything else rides Spark SQL."""
+        rewritten by our front end; everything else rides Spark SQL. A
+        trailing `PLOT (...)` clause (reference modules/visual,
+        ReplParser.scala:38-77) returns a one-row DataFrame with the
+        Vega-Lite spec."""
         from sclera_spark.plans.frontend import lower_sql
+        from sclera_spark.visual import parse_plot, plot_result, split_plot_clause
 
+        body, plot_text = split_plot_clause(query)
+        if plot_text is not None and body:
+            try:
+                parse_plot(plot_text)
+            except ValueError:
+                # not actually a plot clause (e.g. a scalar fn named
+                # `plot` in the select list): run as plain SQL
+                plot_text = None
+            if plot_text is not None:
+                return plot_result(self, body, plot_text)
         return lower_sql(self, query)
 
     def execute(self, statement: str):
