@@ -60,12 +60,13 @@ _KEY_COLS = {
 _OFFSET = 100_000_000
 
 
-def ensure_scaled_dir(spark, base_dir: str, factor: int) -> str:
+def ensure_scaled_dir(spark, base_dir: str, factor: int, salt_docs: bool = False) -> str:
     from pyspark.sql import functions as F
 
     base_sf = os.path.basename(os.path.normpath(base_dir))
+    suffix = "s" if salt_docs else ""
     out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".benchdata", f"{base_sf}x{factor}"
+        os.path.dirname(os.path.abspath(__file__)), ".benchdata", f"{base_sf}x{factor}{suffix}"
     )
     marker = os.path.join(out_dir, "_SCALED_OK")
     if os.path.exists(marker):
@@ -78,6 +79,14 @@ def ensure_scaled_dir(spark, base_dir: str, factor: int) -> str:
             rep = src
             for c in _KEY_COLS[name]:
                 rep = rep.withColumn(c, (F.col(c) + F.lit(i * _OFFSET)).cast(src.schema[c].dataType))
+            if salt_docs and name == "documents":
+                # make replicas NON-duplicate (distinct token appended):
+                # keeps near-dup density constant with scale, so minhash
+                # measures same-density throughput instead of the clone-
+                # cluster quadratic stress (see module docstring caveat)
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{i}token"))
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
@@ -97,7 +106,10 @@ def main() -> None:
     spark = build_session(app_name="sclera-bench")
     base_sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
     if scale > 1:
-        sf_dir = ensure_scaled_dir(spark, sf_dir, scale)
+        sf_dir = ensure_scaled_dir(
+            spark, sf_dir, scale,
+            salt_docs=bool(int(os.environ.get("SPARK_GRAFT_SALT_DOCS", "0"))),
+        )
     qs = entry.queries()
     qs.update(getattr(entry, "bench_extra_queries", dict)())
 
@@ -117,6 +129,10 @@ def main() -> None:
         "dedup_exact",
     ]
     bench_names = [n for n in bench_names if n in qs]
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        bench_names = [n for n in bench_names if n in wanted]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
 
     # warm the JVM + parquet footers once

@@ -24,10 +24,10 @@ Implemented protocol surface:
   trust auth, ParameterStatus/BackendKeyData/ReadyForQuery
 - simple query ('Q') with multi-statement split and per-statement
   RowDescription/DataRow/CommandComplete; EmptyQueryResponse; errors
-- the extended-query subset drivers use for parameterless statements:
-  Parse/Bind/Describe/Execute/Close/Flush/Sync (parameterized queries
-  are rejected with a clear error — the engine's SQL surface has no
-  placeholder binder yet)
+- the extended-query subset drivers use: Parse/Bind/Describe/Execute/
+  Close/Flush/Sync, including text-format parameter binds ($1..$N
+  inlined as escaped literals; binary-format params are rejected with a
+  clear error)
 - Terminate ('X')
 """
 
@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import io
+import re
 import socket
 import socketserver
 import struct
@@ -304,30 +305,50 @@ class _Handler(socketserver.BaseRequestHandler):
         name, rest = _take_cstr(payload)
         query, rest = _take_cstr(rest)
         (nparams,) = struct.unpack("!h", rest[:2])
-        if nparams or "$1" in query:
-            self._skip_to_sync = True
-            self._error("0A000", "parameterized statements are not supported")
-            return
-        self._statements[name] = query
+        oids = list(struct.unpack(f"!{nparams}i", rest[2 : 2 + 4 * nparams]))
+        self._statements[name] = (query, oids)
         self._send(_msg(b"1"))  # ParseComplete
 
     def _bind(self, payload: bytes) -> None:
         portal, rest = _take_cstr(payload)
         stmt, rest = _take_cstr(rest)
         (nfmt,) = struct.unpack("!h", rest[:2])
+        fmts = struct.unpack(f"!{nfmt}h", rest[2 : 2 + 2 * nfmt])
         rest = rest[2 + 2 * nfmt :]
         (nparams,) = struct.unpack("!h", rest[:2])
-        if nparams:
+        rest = rest[2:]
+        if any(f == 1 for f in fmts):
             self._skip_to_sync = True
-            self._error("0A000", "parameterized statements are not supported")
+            self._error("0A000", "binary parameter format is not supported")
             return
-        self._portals[portal] = self._statements.get(stmt, "")
+        values: list[str | None] = []
+        for _ in range(nparams):
+            (vlen,) = struct.unpack("!i", rest[:4])
+            rest = rest[4:]
+            if vlen == -1:
+                values.append(None)
+            else:
+                values.append(rest[:vlen].decode("utf-8"))
+                rest = rest[vlen:]
+        query, oids = self._statements.get(stmt, ("", []))
+        try:
+            self._portals[portal] = _substitute_params(query, values, oids)
+        except ValueError as exc:
+            self._skip_to_sync = True
+            self._error("0A000", str(exc))
+            return
         self._send(_msg(b"2"))  # BindComplete
 
     def _describe(self, payload: bytes) -> None:
         kind, rest = payload[:1], payload[1:]
         name, _ = _take_cstr(rest)
-        sql = (self._portals if kind == b"P" else self._statements).get(name, "")
+        if kind == b"P":
+            sql = self._portals.get(name, "")
+        else:
+            sql = self._statements.get(name, ("", []))[0]
+            if re.search(r"\$\d+", sql):
+                self._send(_msg(b"n"))  # can't describe before Bind
+                return
         try:
             result = self.server.engine.execute(sql) if sql.strip() else None
         except Exception as exc:  # noqa: BLE001
@@ -358,6 +379,37 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception as exc:  # noqa: BLE001
             self._skip_to_sync = True
             self._error("42601", str(exc))
+
+
+# pg type oids that may splice as raw (unquoted) SQL tokens
+_NUMERIC_OIDS = {20, 21, 23, 26, 700, 701, 1700}
+_BOOL_OID = 16
+_NUMERIC_RE = re.compile(r"-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+
+def _substitute_params(sql: str, values: list[str | None], oids: list[int]) -> str:
+    """Inline text-format parameter values as SQL literals ($N -> value).
+    Values are escaped ('' doubling); only declared-numeric (or
+    numeric-shaped, when undeclared) values splice unquoted. Known
+    limitation, documented: a literal `$N` inside a string constant in
+    the statement text would also be replaced."""
+    for i in range(len(values), 0, -1):
+        v = values[i - 1]
+        oid = oids[i - 1] if i - 1 < len(oids) else 0
+        if v is None:
+            lit = "NULL"
+        elif oid == _BOOL_OID:
+            lit = "TRUE" if v.lower() in ("t", "true", "1") else "FALSE"
+        elif oid in _NUMERIC_OIDS or (oid == 0 and _NUMERIC_RE.match(v)):
+            if not _NUMERIC_RE.match(v):
+                raise ValueError(f"malformed numeric parameter ${i}: {v!r}")
+            lit = v
+        else:
+            lit = "'" + v.replace("'", "''") + "'"
+        sql = sql.replace(f"${i}", lit)
+    if re.search(r"\$\d+", sql):
+        raise ValueError("unbound statement parameters remain")
+    return sql
 
 
 def _take_cstr(b: bytes) -> tuple[str, bytes]:
@@ -493,13 +545,29 @@ class WireClient:
                     raise RuntimeError(error)
                 return columns, rows, tag
 
-    def execute_extended(self, sql: str) -> tuple[list[str], list[tuple], str]:
+    def execute_extended(
+        self, sql: str, params: tuple = ()
+    ) -> tuple[list[str], list[tuple], str]:
         """Extended-query protocol round trip (Parse/Bind/Describe/Execute/
         Sync) — the message sequence the PostgreSQL JDBC driver emits for a
-        parameterless prepared statement."""
+        prepared statement. ``params`` bind $1..$N in text format (None,
+        str, int, float, bool)."""
+        bind = io.BytesIO()
+        bind.write(_cstr("") + _cstr("") + struct.pack("!h", 0))
+        bind.write(struct.pack("!h", len(params)))
+        for p in params:
+            if p is None:
+                bind.write(struct.pack("!i", -1))
+            else:
+                if isinstance(p, bool):
+                    tv = b"t" if p else b"f"
+                else:
+                    tv = str(p).encode("utf-8")
+                bind.write(struct.pack("!i", len(tv)) + tv)
+        bind.write(struct.pack("!h", 0))
         self.sock.sendall(
             _msg(b"P", _cstr("") + _cstr(sql) + struct.pack("!h", 0))
-            + _msg(b"B", _cstr("") + _cstr("") + struct.pack("!hhh", 0, 0, 0))
+            + _msg(b"B", bind.getvalue())
             + _msg(b"D", b"P" + _cstr(""))
             + _msg(b"E", _cstr("") + struct.pack("!i", 0))
             + _msg(b"S")

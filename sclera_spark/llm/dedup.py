@@ -318,17 +318,37 @@ def simhash(
 
     @F.pandas_udf(LongType())
     def _fold(h: pd.Series) -> pd.Series:
-        out = np.zeros(len(h), dtype=np.int64)
-        for i, arr in enumerate(h):
-            if arr is None or len(arr) == 0:
-                continue
-            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(a)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
+        # batched fold: the whole Arrow batch's token hashes concatenate
+        # into ONE (total_tokens, 64) bit matrix, and per-row bit votes
+        # come from a segment-sum (np.add.reduceat) over row boundaries —
+        # no per-row python loop. Chunked by token count to bound the
+        # matrix at ~32 MB regardless of document lengths.
+        n = len(h)
+        out = np.zeros(n, dtype=np.int64)
+        arrs = [None if a is None else np.asarray(a, dtype=np.int64) for a in h]
+        idx = [i for i, a in enumerate(arrs) if a is not None and len(a)]
+        if not idx:
+            return pd.Series(out)
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
+        chunk_tokens = 1 << 19
+        start = 0
+        while start < len(idx):
+            end, total = start, 0
+            while end < len(idx) and (
+                total == 0 or total + len(arrs[idx[end]]) <= chunk_tokens
+            ):
+                total += len(arrs[idx[end]])
+                end += 1
+            rows = idx[start:end]
+            lens = np.array([len(arrs[i]) for i in rows], dtype=np.int64)
+            flat = np.concatenate([arrs[i] for i in rows]).view(np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            votes = np.add.reduceat(bits, bounds, axis=0) * 2 - lens[:, None]
+            sigs = ((votes > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+            out[rows] = sigs.view(np.int64)
+            start = end
         return pd.Series(out)
 
     return df.withColumn(out_col, _fold(hashes))

@@ -36,6 +36,15 @@ def stream_from_directory(
     return reader.load(path)
 
 
+def _event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; newer Spark infers parquet timestamp
+    columns as TIMESTAMP_NTZ, so normalize the event-time column first
+    (no-op otherwise; session tz is UTC so the instant is unchanged)."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def windowed_agg(
     stream: DataFrame,
     ts_col: str,
@@ -47,7 +56,7 @@ def windowed_agg(
 ) -> DataFrame:
     """Watermarked event-time window aggregation — the streaming analogue
     of the reference's ordered-stream group-by (RelOp.scala:152-167)."""
-    wm = stream.withWatermark(ts_col, watermark)
+    wm = _event_time(stream, ts_col).withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window_duration, slide) if slide else F.window(
         F.col(ts_col), window_duration
     )
@@ -70,7 +79,7 @@ def sessionize(
     aggs: dict[str, Column],
 ) -> DataFrame:
     """Session windows (gap-based) — Spark's native session_window."""
-    wm = stream.withWatermark(ts_col, watermark)
+    wm = _event_time(stream, ts_col).withWatermark(ts_col, watermark)
     grouped = wm.groupBy(
         F.session_window(F.col(ts_col), gap).alias("win"), *[F.col(k) for k in keys]
     )
@@ -97,7 +106,7 @@ def stream_dedup(
     a watermark, state grows with distinct keys (exact, but bounded only
     by keyspace — opt in knowingly)."""
     if ts_col is not None and watermark is not None:
-        wm = stream.withWatermark(ts_col, watermark)
+        wm = _event_time(stream, ts_col).withWatermark(ts_col, watermark)
         return wm.dropDuplicatesWithinWatermark(list(keys))
     return stream.dropDuplicates(list(keys))
 

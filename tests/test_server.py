@@ -133,7 +133,7 @@ def test_reconnect(server):
 
 def test_extended_query_protocol(server):
     """Parse/Bind/Describe/Execute/Sync — the pgjdbc prepared-statement
-    path. Parameterized statements are rejected with a clear error."""
+    path, with and without text-format parameter binds."""
     c = connect(server)
     cols, rows, tag = c.execute_extended(
         "SELECT n_name FROM nation WHERE n_regionkey = 0 ORDER BY n_name"
@@ -141,9 +141,19 @@ def test_extended_query_protocol(server):
     assert cols == ["n_name"]
     assert len(rows) == 5
     assert tag.startswith("SELECT")
-    with pytest.raises(RuntimeError, match="parameterized"):
+    # bound parameters: numeric splices raw, string is escaped
+    cols, rows, _ = c.execute_extended(
+        "SELECT n_name FROM nation WHERE n_regionkey = $1 AND n_name <> $2 "
+        "ORDER BY n_name",
+        params=(0, "it's"),
+    )
+    assert cols == ["n_name"] and len(rows) == 5
+    # NULL parameter
+    _, rows, _ = c.execute_extended("SELECT $1 IS NULL AS isn", params=(None,))
+    assert rows == [("t",)]
+    # unbound placeholder -> clear error, connection stays usable
+    with pytest.raises(RuntimeError, match="unbound"):
         c.execute_extended("SELECT * FROM nation WHERE n_nationkey = $1")
-    # still usable afterwards
     _, rows, _ = c.execute("SELECT 7 AS x")
     assert rows == [("7",)]
     c.close()
