@@ -242,10 +242,36 @@ class Gen:
         kind = self.pick(
             [
                 "project", "project", "agg", "distinct_on", "star_except",
-                "setop", "derived", "order_fetch",
+                "setop", "derived", "order_fetch", "join", "having_quant",
+                "string_agg",
             ]
         )
         p, dp = self.pred()
+        if kind == "join":
+            jt = self.pick(["JOIN", "LEFT JOIN", "JOIN"])
+            e, de = self.num_expr()
+            return (
+                f"SELECT t.i, u.v, {e} AS a FROM t {jt} u ON t.j = u.k WHERE {p}",
+                f"SELECT t.i, u.v, {de} AS a FROM t {jt} u ON t.j = u.k WHERE {dp}",
+            )
+        if kind == "having_quant":
+            op = self.pick([">", "<", ">=", "<="])
+            q = self.pick(["ANY", "ALL"])
+            sub, dsub = self.subquery_num(1)
+            return (
+                f"SELECT j, SUM(i) AS s FROM t WHERE {p} GROUP BY j "
+                f"HAVING SUM(i) {op} {q} ({sub})",
+                f"SELECT j, SUM(i) AS s FROM t WHERE {dp} GROUP BY j "
+                f"HAVING SUM(i) {op} {q} ({dsub})",
+            )
+        if kind == "string_agg":
+            sep = self.pick(["','", "'; '", "'('"])
+            return (
+                f"SELECT j, STRING_AGG(s, {sep} ORDER BY i) AS sa "
+                f"FROM t WHERE {p} GROUP BY j",
+                f"SELECT j, STRING_AGG(s, {sep} ORDER BY i) AS sa "
+                f"FROM t WHERE {dp} GROUP BY j",
+            )
         if kind == "project":
             e1, de1 = self.num_expr()
             e2, de2 = self.str_expr()
