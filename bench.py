@@ -78,7 +78,11 @@ def ensure_scaled_dir(spark, base_dir: str, factor: int, salt_docs: bool = False
         for i in range(factor):
             rep = src
             for c in _KEY_COLS[name]:
-                rep = rep.withColumn(c, (F.col(c) + F.lit(i * _OFFSET)).cast(src.schema[c].dataType))
+                # int key cols overflow at offset*factor > 2^31: widen to
+                # bigint (both join sides widen consistently)
+                dt = src.schema[c].dataType.simpleString()
+                target = "bigint" if dt in ("int", "smallint") else dt
+                rep = rep.withColumn(c, (F.col(c) + F.lit(i * _OFFSET)).cast(target))
             if salt_docs and name == "documents":
                 # make replicas NON-duplicate (distinct token appended):
                 # keeps near-dup density constant with scale, so minhash
