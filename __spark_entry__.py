@@ -625,7 +625,9 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     # the synthetic corpus has no true near-dups (max pairwise cosine
     # ~0.51), so the threshold is set to surface the most-similar pairs —
-    # non-vacuous output while staying the same code path
+    # non-vacuous output while staying the same code path. n_bits=4 fits
+    # THIS 300-vector corpus only: the rule is n_bits ≈ log2(n) + 4..6
+    # (see embedding_dup_pairs docstring) — at n=1e6 use ~24 bits
     return embedding_dup_pairs(eng.table("embeddings"), threshold=0.4, n_bits=4)
 
 

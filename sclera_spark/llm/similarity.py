@@ -227,7 +227,19 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) via SRP-bucket
     self-join: high-cosine pairs land in the same bucket with high
-    probability; exact cosine verifies inside the bucket."""
+    probability; exact cosine verifies inside the bucket.
+
+    SCALING RULE — n_bits must grow with corpus size. The within-bucket
+    self-join costs O(Σ bucket²): with n vectors spread over 2^n_bits
+    buckets, expected cost ~ n² / 2^n_bits. Pick
+    ``n_bits ≈ log2(n) + 4..6`` so mean bucket occupancy stays in the
+    tens (n=1e6 -> ~24 bits; n=1e9 -> ~34 bits, via multiple 32-bit
+    bands). Each extra bit halves join cost but lowers same-bucket
+    recall for borderline pairs (P[same bucket] = (1 - θ/π)^n_bits);
+    recover recall by unioning a few independent seeds rather than
+    dropping bits. The driver entry uses n_bits=4 / threshold 0.4 ONLY
+    because its synthetic corpus is 300 vectors — do not lift those
+    constants into a real pipeline."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     b = hyperplane_buckets(df, dim, n_bits, vec_col, "bucket", seed).select(
