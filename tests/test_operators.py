@@ -167,6 +167,18 @@ def test_expmovavg(spark):
         assert abs(row["e"] - want) < 1e-12
 
 
+def test_expmovavg_duck_oracle_parity(spark, duck):
+    """Mirror the driver's t2 check: the recursive-CTE oracle in
+    __spark_entry__.oracle_sql()['expmovavg'] must reproduce the pandas
+    ewm(adjust=False) kernel exactly (IEEE add of the two products is
+    order-insensitive, so both sides are bitwise-equal float64)."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    sdf = entry.queries()["expmovavg"](spark, SF_DIR)
+    assert_df_equal_duck(sdf, duck, entry.oracle_sql()["expmovavg"])
+
+
 def test_typeinfer(spark):
     df = spark.createDataFrame(
         [("1", "1.5", "2020-01-01", "x"), ("2", "2.5", "2020-02-01", "y")],
