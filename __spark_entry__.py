@@ -948,6 +948,61 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with deterministically planted PII
+    (the synthetic documents contain none): emails, IPv4s, SSNs, phone
+    numbers -> typed placeholders via a JVM regexp_replace chain
+    (llm/text.py pii_redact). Exact DuckDB oracle — the patterns are
+    written to the Java-regex/RE2 common subset."""
+    from sclera_spark.llm.text import pii_redact
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-123-4567 at 10.0."),
+            (F.col("doc_id") % 256),
+            F.lit(".7 ssn 123-45-6789"),
+        ),
+    )
+    return pii_redact(planted, "text2", "text_redacted").select(
+        "doc_id", "text_redacted"
+    )
+
+
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (duplicate-bigram
+    fraction, top-bigram share) — llm/text.py repetition_scores; pure
+    array algebra, exact DuckDB list-lambda oracle."""
+    from sclera_spark.llm.text import repetition_scores
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    return repetition_scores(docs, "text", n=2).select(
+        "doc_id", "n_ngrams", "dup_ngram_frac", "top_ngram_frac"
+    )
+
+
+def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct word-trigram overlap of each
+    corpus doc against a benchmark set (docs with doc_id % 50 = 0).
+    llm/text.py ngram_contamination — benchmark grams broadcast, corpus
+    side explode + semi-join + groupBy. Exact DuckDB oracle."""
+    from sclera_spark.llm.text import ngram_contamination
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=3).select(
+        "doc_id", "n_grams_distinct", "n_contaminated", "contamination_ratio"
+    )
+
+
 # ------------------------------------------------- bench-only operators
 
 
@@ -1088,6 +1143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "approx_distinct": _q_approx_distinct,
             "ann_topk": _q_ann_topk,
             "embedding_dups": _q_embedding_dups,
+            # r5 training-pipeline additions — oracled (tools/check_entry
+            # validates them; duck-parity pytest in test_llm_ops.py)
+            "pii_redact": _q_pii_redact,
+            "doc_repetition": _q_doc_repetition,
+            "ngram_contamination": _q_ngram_contamination,
         }
     )
     return out
@@ -1350,6 +1410,71 @@ def oracle_sql() -> dict[str, str]:
             FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
         )
         SELECT user_id, event_id, ema FROM r
+    """
+    # r5 training-pipeline ops: exact oracles (patterns/token algebra are
+    # written to the Java-regex/RE2 + list-lambda common subset)
+    oracles["pii_redact"] = r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 text || ' contact user' || doc_id ||
+                 '@example.com or 555-123-4567 at 10.0.' || (doc_id % 256) ||
+                 '.7 ssn 123-45-6789',
+                 '[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+                 '(?:\+?1[ .-]?)?(?:\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b',
+                 '[PHONE]', 'g') AS text_redacted
+        FROM documents
+    """
+    oracles["doc_repetition"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(regexp_replace(
+                     text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS w
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                i -> array_to_string(w[i:i+1], ' ')) AS grams
+          FROM toks
+        )
+        SELECT doc_id,
+               len(grams) AS n_ngrams,
+               CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / greatest(len(grams), 1) AS dup_ngram_frac,
+               coalesce(CAST(list_max(list_transform(list_distinct(grams),
+                    gg -> len(list_filter(grams, x -> x = gg)))) AS DOUBLE)
+                 / greatest(len(grams), 1), 0.0) AS top_ngram_frac
+        FROM g
+    """
+    oracles["ngram_contamination"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(regexp_replace(
+                     text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS w
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                i -> array_to_string(w[i:i+2], ' '))) AS grams
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+        ), corpus AS (
+          SELECT doc_id, grams FROM g WHERE doc_id % 50 <> 0
+        ), hits AS (
+          SELECT doc_id, count(*) AS n_contaminated
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) e
+          JOIN bench USING (gram) GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               len(c.grams) AS n_grams_distinct,
+               coalesce(h.n_contaminated, 0) AS n_contaminated,
+               CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                 / greatest(len(c.grams), 1) AS contamination_ratio
+        FROM corpus c LEFT JOIN hits h USING (doc_id)
     """
     # classified_with / clustered_with / imputed_with / nlp_sentiment:
     # model- or lexicon-specific outputs -> rows-only; accuracy/behavior

@@ -119,3 +119,151 @@ def doc_fingerprint(
     return df.withColumn(out_col, F.xxhash64(norm)).withColumn(
         f"{out_col}_min_kgram", F.array_min(kgrams)
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+
+# Conservative patterns shared by Java regex (Spark) and RE2 (DuckDB/most
+# scanners): no lookarounds, no backrefs, explicit character classes.
+# Order matters: emails before bare domains'-ish things, IPs before phones
+# (an IP would otherwise partially match the phone pattern's digit runs).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    # no leading \b: '(' and '+' are non-word chars, so a boundary there
+    # never matches; the digit-run branch carries its own \b instead
+    (r"(?:\+?1[ .-]?)?(?:\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b", "[PHONE]"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4s, SSNs, NANP phone numbers)
+    with typed placeholders. A chain of JVM-side ``regexp_replace`` calls —
+    codegen'd, zero Python in the row path, runs at scan throughput on a
+    100 TB corpus. Patterns avoid lookarounds so the same strings work in
+    RE2-based scanners (and the DuckDB test oracle)."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)
+
+
+# -- repetition signals (Gopher-style) --------------------------------------
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals used by Gopher/Dolma-style
+    quality filters, for prose without line structure: the fraction of
+    duplicate word n-grams and the share of the single most frequent
+    n-gram. Pure array algebra per row; the top-gram count is a single
+    max-run scan over the SORTED gram array (O(g log g)) — a nested
+    transform-filter count is quadratic per row and measures ~50x slower
+    under Spark's interpreted lambda evaluation. No shuffle, no Python."""
+    toks = _tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    n_grams = F.size(grams)
+    safe = F.greatest(n_grams, F.lit(1)).cast("double")
+    distinct = F.array_distinct(grams)
+    run_state = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            F.when(s["prev"].eqNullSafe(x), s["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                s["best"],
+                F.when(s["prev"].eqNullSafe(x), s["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_count = F.when(n_grams > 0, run_state["best"])
+    return (
+        df.withColumn("n_ngrams", n_grams.cast("long"))
+        .withColumn(
+            "dup_ngram_frac",
+            (n_grams - F.size(distinct)).cast("double") / safe,
+        )
+        .withColumn(
+            "top_ngram_frac",
+            F.coalesce(top_count.cast("double") / safe, F.lit(0.0)),
+        )
+    )
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+
+def ngram_contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, the count
+    and fraction of its distinct word n-grams that appear anywhere in the
+    benchmark set (the standard eval-decontamination test, usually run
+    with 8-13-grams on real corpora).
+
+    Scale shape: the benchmark side is eval data — tiny relative to a
+    100 TB corpus — so its distinct-n-gram set is BROADCAST; the corpus
+    side is one projection + explode + broadcast semi-join + one groupBy
+    keyed on ``id_col``. No shuffle of document text, only (id, gram)
+    pairs for grams that exist at all, and the gram explode prunes to the
+    join early."""
+    from pyspark.sql.functions import broadcast
+
+    def gramize(frame: DataFrame, keep_id: bool):
+        toks = _tokens(F.col(text_col))
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(*cols, F.explode(grams).alias("gram"))
+
+    bench_grams = gramize(bench, keep_id=False).distinct()
+    doc_grams = gramize(df, keep_id=True)
+    hits = (
+        doc_grams.join(broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(_tokens(F.col(text_col))) - (n - 1), F.lit(0)),
+                    ),
+                    lambda i: F.array_join(F.slice(_tokens(F.col(text_col)), i, n), " "),
+                )
+            )
+        ).alias("n_grams_distinct"),
+    )
+    out = (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0)))
+        .withColumn(
+            "contamination_ratio",
+            F.col("n_contaminated").cast("double")
+            / F.greatest(F.col("n_grams_distinct"), F.lit(1)).cast("double"),
+        )
+    )
+    return out

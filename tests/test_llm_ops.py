@@ -381,3 +381,87 @@ def test_ann_multiprobe_improves_recall(tables):
     # so even exact-ish recall saturates slowly; 16 of 64 buckets
     # measured 0.68 on this fixed seed/data
     assert hitsN / denom >= 0.6
+
+
+def test_pii_redact_duck_parity(spark, duck):
+    """pii_redact entry vs its DuckDB oracle (driver t2 mirror): the
+    patterns live in the Java-regex/RE2 common subset, so results match
+    exactly on planted emails/IPs/SSNs/phone numbers."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    sdf = entry.queries()["pii_redact"](spark, SF_DIR)
+    assert_df_equal_duck(sdf, duck, entry.oracle_sql()["pii_redact"])
+
+
+def test_pii_redact_shapes(spark):
+    from sclera_spark.llm.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org now"),
+            (2, "call (212) 555-0187 or +1 646.555.0123"),
+            (3, "host 192.168.0.1 ssn 078-05-1120"),
+            (4, "clean text with no pii at all"),
+        ],
+        "id int, t string",
+    )
+    got = {r["id"]: r["red"] for r in pii_redact(df, "t", "red").collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "call [PHONE] or [PHONE]"
+    assert got[3] == "host [IP] ssn [SSN]"
+    assert got[4] == "clean text with no pii at all"
+
+
+def test_doc_repetition_duck_parity(spark, duck):
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    sdf = entry.queries()["doc_repetition"](spark, SF_DIR)
+    assert_df_equal_duck(sdf, duck, entry.oracle_sql()["doc_repetition"])
+
+
+def test_repetition_scores_known_values(spark):
+    from sclera_spark.llm.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # bigrams: ab ba ab ba -> 2 distinct, top=2
+            (2, "x y z w"),        # 3 bigrams, all distinct
+            (3, "q q q q"),        # bigrams: qq qq qq -> top=3
+        ],
+        "id int, t string",
+    )
+    rows = {r["id"]: r for r in repetition_scores(df, "t", n=2).collect()}
+    assert rows[1]["n_ngrams"] == 4 and rows[1]["dup_ngram_frac"] == 0.5
+    assert rows[1]["top_ngram_frac"] == 0.5
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert abs(rows[2]["top_ngram_frac"] - 1 / 3) < 1e-12
+    assert rows[3]["n_ngrams"] == 3 and rows[3]["top_ngram_frac"] == 1.0
+
+
+def test_ngram_contamination_duck_parity(spark, duck):
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    sdf = entry.queries()["ngram_contamination"](spark, SF_DIR)
+    assert_df_equal_duck(sdf, duck, entry.oracle_sql()["ngram_contamination"])
+
+
+def test_ngram_contamination_planted(spark):
+    from sclera_spark.llm.text import ngram_contamination
+
+    bench = spark.createDataFrame([(100, "the quick brown fox jumps")], "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # shares benchmark trigrams
+            (2, "completely different words here now"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_contamination(corpus, bench, n=3).collect()}
+    # doc 1: trigrams {the quick brown, quick brown fox, brown fox jumps,
+    # fox jumps high}; first three are in the benchmark
+    assert rows[1]["n_contaminated"] == 3 and rows[1]["n_grams_distinct"] == 4
+    assert abs(rows[1]["contamination_ratio"] - 0.75) < 1e-12
+    assert rows[2]["n_contaminated"] == 0 and rows[2]["contamination_ratio"] == 0.0
