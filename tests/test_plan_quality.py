@@ -187,3 +187,29 @@ def test_keyed_repartition_pins_partition_count(spark, tables):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert re.search(rf"RepartitionByExpression \[.*\], {n}\b", plan), plan
     assert df.rdd.getNumPartitions() == n
+
+
+def test_ngram_contamination_broadcasts_benchmark(engine):
+    """The benchmark gram set must broadcast (eval sets are tiny next to
+    a 100 TB corpus): a shuffled join here would move every (id, gram)
+    pair of the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm.text import ngram_contamination
+
+    docs = engine.table("documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    df = ngram_contamination(corpus, bench, n=3)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # no Python in the row path — gram algebra is all JVM expressions
+    assert "Python" not in plan, plan
+
+
+def test_pii_redact_stays_jvm_side(engine):
+    from sclera_spark.llm.text import pii_redact, repetition_scores
+
+    df = repetition_scores(pii_redact(engine.table("documents")), "text", n=2)
+    plan = _plan(df)
+    assert "Python" not in plan, plan
