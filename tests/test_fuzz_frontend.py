@@ -60,8 +60,16 @@ def fuzz_env(spark):
     import duckdb
 
     duck = duckdb.connect()
-    duck.register("t", pd.DataFrame(_ROWS, columns=["i", "j", "f", "s"]))
-    duck.register("u", pd.DataFrame(_UROWS, columns=["k", "v"]))
+    # nullable Int32 keeps DuckDB's column INTEGER (a plain pandas int
+    # column with None degrades to float64 -> DOUBLE, which skews CASE
+    # branch type unification vs Spark)
+    tpd = pd.DataFrame(_ROWS, columns=["i", "j", "f", "s"])
+    tpd["i"] = tpd["i"].astype("Int32")
+    tpd["j"] = tpd["j"].astype("Int32")
+    upd = pd.DataFrame(_UROWS, columns=["k", "v"])
+    upd["k"] = upd["k"].astype("Int32")
+    duck.register("t", tpd)
+    duck.register("u", upd)
     return engine, duck
 
 
@@ -81,11 +89,48 @@ class Gen:
 
     def num_expr(self, depth=0) -> tuple[str, str]:
         if depth > 2 or self.rng.random() < 0.35:
-            atom = self.pick(["i", "j", "f", "3", "(-7)", "0", "2.5", "(1 + 1)"])
+            # 2.5e0 not 2.5: a bare decimal literal types as DECIMAL in
+            # Spark but feeds DOUBLE paths in DuckDB, so AVG/CEIL chains
+            # diverge in scale, not value
+            atom = self.pick(["i", "j", "f", "3", "(-7)", "0", "2.5e0", "(1 + 1)"])
             return atom, atom
-        kind = self.pick(["arith", "case", "coalesce", "nullif", "cast", "paren", "fn"])
+        kind = self.pick(
+            [
+                "arith", "case", "coalesce", "nullif", "cast", "paren", "fn",
+                "unit", "scale", "tsdiff",
+            ]
+        )
         a, da = self.num_expr(depth + 1)
         b, db = self.num_expr(depth + 1)
+        if kind == "unit":
+            # Sclera ms-unit constructors (frontend _SCLERA_SQL_FNS) — the
+            # regex splice must fire in any expression position
+            mult = {
+                "MILLISECONDS": 1, "SECONDS": 1000, "MINUTES": 60_000,
+                "HOURS": 3_600_000, "DAYS": 86_400_000,
+            }
+            fn = self.pick(sorted(mult))
+            src = self.pick(["i", "j"])
+            return f"{fn}({src})", f"(CAST({src} AS BIGINT) * {mult[fn]})"
+        if kind == "scale":
+            # SCALE = HALF_UP round cast to double; DuckDB round matches on
+            # double ties (away from zero)
+            return f"SCALE({a}, 1)", f"round({da}, 1)"
+        if kind == "tsdiff":
+            # ms-based TIMESTAMP_ADD/_DIFF/_UNIX with a literal containing a
+            # space — exercises splicing around quoted timestamps
+            src = self.pick(["i", "j"])
+            lit = "TIMESTAMP '2021-03-04 05:06:07'"
+            if self.rng.random() < 0.5:
+                return (
+                    f"TIMESTAMP_DIFF(TIMESTAMP_ADD({lit}, MINUTES({src})), {lit})",
+                    f"(epoch_ms({lit} + to_milliseconds(CAST({src} AS BIGINT) * 60000))"
+                    f" - epoch_ms({lit}))",
+                )
+            return (
+                f"TIMESTAMP_UNIX(TIMESTAMP_ADD({lit}, SECONDS({src})))",
+                f"epoch_ms({lit} + to_milliseconds(CAST({src} AS BIGINT) * 1000))",
+            )
         if kind == "arith":
             op = self.pick(["+", "-", "*"])
             return f"({a} {op} {b})", f"({da} {op} {db})"
@@ -121,8 +166,21 @@ class Gen:
         if depth > 1 or self.rng.random() < 0.4:
             atom = self.pick(["s", "s", "v"] if depth == -1 else ["s"] + lits)
             return atom, atom
-        kind = self.pick(["concat", "fn", "substr", "case"])
+        kind = self.pick(["concat", "fn", "substr", "case", "replace"])
         a, da = self.str_expr(depth + 1)
+        if kind == "replace":
+            # Sclera REPLACE = literal replace-all (Java String.replace);
+            # REPLACEALL = regex replace-all -> duck regexp_replace(..., 'g')
+            search, repl = self.pick([("'a'", "'<>'"), ("'e'", "''"), ("' '", "'_'")])
+            if self.rng.random() < 0.5:
+                return (
+                    f"REPLACE({a}, {search}, {repl})",
+                    f"replace({da}, {search}, {repl})",
+                )
+            return (
+                f"REPLACEALL({a}, {search}, {repl})",
+                f"regexp_replace({da}, {search}, {repl}, 'g')",
+            )
         if kind == "concat":
             b, dbs = self.str_expr(depth + 1)
             return f"({a} || {b})", f"({da} || {dbs})"
@@ -160,10 +218,41 @@ class Gen:
             [
                 "cmp", "between", "in_list", "null", "postfix_null", "distinct",
                 "like", "ilike", "similar", "quant", "exists", "in_subq",
+                "strcmp", "strpos", "quant_str",
             ]
         )
         a, da = self.num_expr(depth + 1)
         b, db = self.num_expr(depth + 1)
+        if kind == "strcmp":
+            lit = self.pick(["'m'", "'o''neil'", "'FROM (WHERE'", "'  pad  '", "'zz'"])
+            form = self.pick(["cmp", "between", "distinct"])
+            if form == "cmp":
+                op = self.pick(["=", "<>", "<", ">="])
+                return f"(s {op} {lit})", f"(s {op} {lit})"
+            if form == "between":
+                return (
+                    f"(s BETWEEN 'A' AND {lit})",
+                    f"(s BETWEEN 'A' AND {lit})",
+                )
+            return f"(s IS DISTINCT FROM {lit})", f"(s IS DISTINCT FROM {lit})"
+        if kind == "strpos":
+            # STRPOS -> instr rewrite inside a predicate position
+            sub = self.pick(["'a'", "'('", "''''"])
+            op = self.pick([">", "=", ">="])
+            n = self.rng.randint(0, 2)
+            return (
+                f"(STRPOS(s, {sub}) {op} {n})",
+                f"(strpos(s, {sub}) {op} {n})",
+            )
+        if kind == "quant_str":
+            op = self.pick(["=", "<>", "<", ">"])
+            q = self.pick(["ANY", "ALL", "SOME"])
+            dq = "ANY" if q == "SOME" else q
+            w = self.pick(["k < 6", "v IS NOT NULL", "k <> 4"])
+            return (
+                f"((s) {op} {q} (SELECT v FROM u WHERE {w}))",
+                f"((s) {op} {dq} (SELECT v FROM u WHERE {w}))",
+            )
         if kind == "cmp":
             op = self.pick(["=", "<>", "<", "<=", ">", ">="])
             return f"({a} {op} {b})", f"({da} {op} {db})"
@@ -243,10 +332,46 @@ class Gen:
             [
                 "project", "project", "agg", "distinct_on", "star_except",
                 "setop", "derived", "order_fetch", "join", "having_quant",
-                "string_agg",
+                "string_agg", "case_simple", "ordinals", "derived_don",
+                "dt_project",
             ]
         )
         p, dp = self.pred()
+        if kind == "case_simple":
+            e, de = self.num_expr()
+            return (
+                f"SELECT i, CASE j WHEN 0 THEN {e} WHEN 2 THEN -1 ELSE j END "
+                f"AS c FROM t WHERE {p}",
+                f"SELECT i, CASE j WHEN 0 THEN {de} WHEN 2 THEN -1 ELSE j END "
+                f"AS c FROM t WHERE {dp}",
+            )
+        if kind == "ordinals":
+            # GROUP BY / ORDER BY ordinals + explicit NULLS placement; the
+            # full (c DESC, j, i) key is unique so LIMIT is deterministic
+            n = self.rng.randint(2, 12)
+            q = (
+                "SELECT j, i, COUNT(*) AS c FROM t WHERE {w} GROUP BY 1, 2 "
+                f"ORDER BY 3 DESC, 1 NULLS FIRST, 2 LIMIT {n}"
+            )
+            return q.format(w=p), q.format(w=dp)
+        if kind == "derived_don":
+            # extended clause (DISTINCT ON) in derived-table position
+            q = (
+                "SELECT d.j, d.i FROM (SELECT DISTINCT ON (j) j, i FROM t "
+                "WHERE {w} ORDER BY j, i) AS d WHERE d.i <> 4"
+            )
+            return q.format(w=p), q.format(w=dp)
+        if kind == "dt_project":
+            src = self.pick(["i", "j"])
+            lit = "TIMESTAMP '2021-03-04 05:06:07'"
+            return (
+                f"SELECT i, TOTIME('2021-07-08 09:10:11') AS t1, "
+                f"TIMESTAMP_UNIX(TIMESTAMP_ADD({lit}, HOURS({src}))) AS ms "
+                f"FROM t WHERE {p}",
+                f"SELECT i, TIMESTAMP '2021-07-08 09:10:11' AS t1, "
+                f"epoch_ms({lit} + to_milliseconds(CAST({src} AS BIGINT) * 3600000)) AS ms "
+                f"FROM t WHERE {dp}",
+            )
         if kind == "join":
             jt = self.pick(["JOIN", "LEFT JOIN", "JOIN"])
             e, de = self.num_expr()
@@ -350,8 +475,13 @@ def _canon(rows):
                 canon_row.append("<NULL>")
             elif isinstance(v, bool):
                 canon_row.append(str(v).lower())
+            elif isinstance(v, float) and v == int(v) and abs(v) < 2**53:
+                # exact integer-valued floats print as ints: DuckDB's
+                # FLOOR/AVG promote BIGINT to DOUBLE where Spark keeps
+                # LONG, and %.9g would truncate epoch-ms magnitudes
+                canon_row.append(str(int(v)))
             elif isinstance(v, float):
-                canon_row.append("0" if v == 0 else f"{v:.9g}")
+                canon_row.append(f"{v:.9g}")
             else:
                 canon_row.append(str(v))
         out.append(tuple(canon_row))
