@@ -1411,6 +1411,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, event_id, ema FROM r
     """
+    # language_id: the stopword-vote argmax is deterministic list algebra,
+    # and DuckDB's list_max over structs tie-breaks lexicographically on
+    # (score, lang) exactly like Spark's array_max — built from the SAME
+    # stopword dict so the lists cannot drift
+    from sclera_spark.llm.text import _LANG_STOPWORDS
+
+    def _lang_struct(lang: str, words: list[str]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return (
+            "{'score': len(list_filter(w, x -> list_contains(["
+            + lst
+            + f"], x))), 'lang': '{lang}'}}"
+        )
+
+    _structs = ",\n                 ".join(
+        _lang_struct(lang, words) for lang, words in _LANG_STOPWORDS.items()
+    )
+    oracles["language_id"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(regexp_replace(
+                     text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+        FROM (
+          SELECT doc_id, list_max([
+                 """ + _structs + r"""
+          ]) AS best
+          FROM toks
+        )
+    """
     # r5 training-pipeline ops: exact oracles (patterns/token algebra are
     # written to the Java-regex/RE2 + list-lambda common subset)
     oracles["pii_redact"] = r"""

@@ -465,3 +465,14 @@ def test_ngram_contamination_planted(spark):
     assert rows[1]["n_contaminated"] == 3 and rows[1]["n_grams_distinct"] == 4
     assert abs(rows[1]["contamination_ratio"] - 0.75) < 1e-12
     assert rows[2]["n_contaminated"] == 0 and rows[2]["contamination_ratio"] == 0.0
+
+
+def test_language_id_duck_parity(spark, duck):
+    """The stopword-vote argmax is deterministic list algebra; DuckDB's
+    struct list_max tie-breaks on (score, lang) exactly like Spark's
+    array_max, and the oracle is generated from the same stopword dict."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    sdf = entry.queries()["language_id"](spark, SF_DIR)
+    assert_df_equal_duck(sdf, duck, entry.oracle_sql()["language_id"])
