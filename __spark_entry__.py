@@ -918,9 +918,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sclera_spark.llm.multimodal import media_probe, synthetic_real_assets
 
     assets = synthetic_real_assets(spark, 300)
+    # aspect recomputed as double from the PARSED dims (the probe's own
+    # float32 column would add cast noise to the value hash); the oracle
+    # recomputes every field arithmetically from asset_id — the fixture
+    # metadata is a pure function of the id — so the hash compare is an
+    # end-to-end check that the header writers and parsers round-trip
     return media_probe(assets).select(
         "asset_id", "format", "width", "height", "sample_rate", "duration_ms",
-        F.round("aspect_ratio", 6).alias("aspect_ratio"),
+        F.round(
+            F.col("width").cast("double") / F.col("height").cast("double"), 6
+        ).alias("aspect_ratio"),
     )
 
 
@@ -1444,6 +1451,26 @@ def oracle_sql() -> dict[str, str]:
           ]) AS best
           FROM toks
         )
+    """
+    # multimodal_features: the fixture's metadata is a pure function of
+    # asset_id (synthetic_real_assets writes real PNG/JPEG/GIF/BMP/WAV
+    # bytes from it), so the oracle recomputes the ground truth
+    # arithmetically — equality proves the binary header writers and the
+    # header-only parsers round-trip every field
+    oracles["multimodal_features"] = """
+        WITH ids AS (SELECT range AS i FROM range(0, 300))
+        SELECT i AS asset_id,
+               CASE i % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                          WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
+                          ELSE 'wav' END AS format,
+               CASE WHEN i % 5 <= 3 THEN CAST(i % 16 + 1 AS INTEGER) END AS width,
+               CASE WHEN i % 5 <= 3 THEN CAST(i % 9 + 1 AS INTEGER) END AS height,
+               CASE WHEN i % 5 = 4 THEN CAST(8000 * (i % 3 + 1) AS INTEGER) END AS sample_rate,
+               CASE WHEN i % 5 = 4 THEN CAST((i % 10 + 1) * 100 AS BIGINT) END AS duration_ms,
+               CASE WHEN i % 5 <= 3 THEN
+                    round(CAST(i % 16 + 1 AS DOUBLE) / (i % 9 + 1), 6)
+               END AS aspect_ratio
+        FROM ids
     """
     # r5 training-pipeline ops: exact oracles (patterns/token algebra are
     # written to the Java-regex/RE2 + list-lambda common subset)

@@ -476,3 +476,15 @@ def test_language_id_duck_parity(spark, duck):
 
     sdf = entry.queries()["language_id"](spark, SF_DIR)
     assert_df_equal_duck(sdf, duck, entry.oracle_sql()["language_id"])
+
+
+def test_multimodal_features_duck_parity(spark, duck):
+    """The fixture's metadata is a pure function of asset_id, so the
+    DuckDB oracle recomputes it arithmetically — hash equality is an
+    end-to-end proof that the real PNG/JPEG/GIF/BMP/WAV header writers
+    and the header-only parsers round-trip every field."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    sdf = entry.queries()["multimodal_features"](spark, SF_DIR)
+    assert_df_equal_duck(sdf, duck, entry.oracle_sql()["multimodal_features"])
