@@ -141,6 +141,17 @@ def main() -> None:
 
     # warm the JVM + parquet footers once
     qs["q1_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ...and the Python worker pool: the first pandas-UDF stage pays the
+    # per-core worker spawn (~4 s at local[32]); without this, whichever
+    # pandas-path query runs first absorbs that one-off cost into its reps
+    import pandas as _pd  # noqa: F401
+
+    (
+        spark.range(spark.sparkContext.defaultParallelism * 4)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     import statistics
 
