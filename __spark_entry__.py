@@ -1537,6 +1537,105 @@ def oracle_sql() -> dict[str, str]:
                  / greatest(len(c.grams), 1) AS contamination_ratio
         FROM corpus c LEFT JOIN hits h USING (doc_id)
     """
+    # labeled_fn_sql: the entry's specific pattern 'VIEW+ PURCHASE' IS
+    # SQL-expressible (a maximal run of consecutive VIEW rows followed
+    # immediately by a PURCHASE row == greedy leftmost-longest for this
+    # regex), so the full label-scoped aggregate surface (count / sum /
+    # LAG-from-end / NTH_VALUE / PATH / final-run RANK / EXISTS,
+    # reference SeqAggregate.scala:1203-1320) gets a DuckDB hash oracle.
+    # General MATCH stays rows-graded via match_alternation's NFA tests.
+    oracles["labeled_fn_sql"] = """
+        WITH e AS (
+          SELECT user_id, event_id, ts, upper(event_type) AS lab, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        v0 AS (
+          SELECT *, rn - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY rn) AS grp
+          FROM e WHERE lab = 'VIEW'
+        ),
+        v AS (
+          SELECT *, last_value(value) OVER (
+                      PARTITION BY user_id, grp ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS lastv
+          FROM v0
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS rn_lo, max(rn) AS rn_hi,
+                 count(*) AS n_views,
+                 list(value ORDER BY rn) AS vvals,
+                 -- RANK(value) = where the final run of equal values starts
+                 coalesce(max(CASE WHEN value IS DISTINCT FROM lastv
+                                   THEN rn END) - min(rn) + 2, 1)
+                   AS last_value_rank
+          FROM v GROUP BY user_id, grp
+        ),
+        m AS (
+          SELECT r.*, p.value AS purchase_value
+          FROM runs r
+          JOIN e p ON p.user_id = r.user_id AND p.rn = r.rn_hi + 1
+                  AND p.lab = 'PURCHASE'
+        )
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn_lo) - 1
+                 AS match_id,
+               n_views,
+               purchase_value,
+               vvals[-2] AS prev_view_value,
+               vvals[2] AS second_view_value,
+               '[' || repeat('VIEW>', CAST(n_views AS INT) - 1) || 'VIEW]'
+                 AS label_path,
+               last_value_rank,
+               (n_views > 0) AS has_purchase
+        FROM m
+    """
+    # match_alternation: with no LOGIN rows in the corpus the pattern
+    # '(SIGNUP | LOGIN?) (CLICK | VIEW)+ (PURCHASE | ERROR)' reduces to
+    # [optional immediately-preceding SIGNUP] + maximal click/view run +
+    # immediately-following terminal — which is exactly the greedy
+    # leftmost-longest decomposition (terminals/signups are never shared
+    # between runs), so it too gets a DuckDB hash oracle. The NFA's
+    # general alternation/optional semantics stay property-tested vs the
+    # brute-force oracle in tests/test_match_properties.py.
+    oracles["match_alternation"] = """
+        WITH e AS (
+          SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        r0 AS (
+          SELECT *, rn - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY rn) AS grp
+          FROM e WHERE event_type IN ('click', 'view')
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS rn_lo, max(rn) AS rn_hi,
+                 count(*) AS n_mid,
+                 min(ts) AS mid_min_ts, max(ts) AS mid_max_ts
+          FROM r0 GROUP BY user_id, grp
+        ),
+        m AS (
+          SELECT r.user_id, r.rn_lo, r.n_mid, r.mid_min_ts, r.mid_max_ts,
+                 t.ts AS term_ts, s.rn AS srn, s.ts AS s_ts
+          FROM runs r
+          JOIN e t ON t.user_id = r.user_id AND t.rn = r.rn_hi + 1
+                  AND t.event_type IN ('purchase', 'error')
+          LEFT JOIN e s ON s.user_id = r.user_id AND s.rn = r.rn_lo - 1
+                  AND s.event_type = 'signup'
+        )
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn_lo) - 1
+                 AS match_id,
+               n_mid + 1 + CASE WHEN srn IS NOT NULL THEN 1 ELSE 0 END
+                 AS n_rows,
+               least(s_ts, mid_min_ts, term_ts) AS first_ts,
+               greatest(mid_max_ts, term_ts) AS last_ts
+        FROM m
+    """
     # classified_with / clustered_with / imputed_with / nlp_sentiment:
     # model- or lexicon-specific outputs -> rows-only; accuracy/behavior
     # tested in tests/test_ml_nlp_streaming.py and tests/test_extended_sql2.py.
