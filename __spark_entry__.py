@@ -1636,6 +1636,41 @@ def oracle_sql() -> dict[str, str]:
                greatest(mid_max_ts, term_ts) AS last_ts
         FROM m
     """
+    # minhash_pairs: the entry's OUTPUT is the exact-Jaccard-verified pair
+    # set (LSH banding only generates candidates), so an all-pairs exact
+    # 5-gram-Jaccard oracle checks it — and additionally asserts that LSH
+    # recall is 100% on this corpus (every true pair sits at J >= 0.93,
+    # where the 16-band miss probability is ~2e-6; a missed band-collision
+    # would surface as a row-count mismatch, which is exactly what we want
+    # graded). Byte 5-grams == char 5-grams here: the corpus is pure ASCII
+    # (asserted in tests/test_llm_ops.py).
+    oracles["minhash_pairs"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN len(n) < 5 THEN rpad(n, 5, ' ') ELSE n END AS norm
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS n
+                FROM documents WHERE text IS NOT NULL) t
+        ),
+        g AS (
+          SELECT DISTINCT u.doc_id, substr(norm, u.i, 5) AS gram
+          FROM (SELECT doc_id, norm,
+                       unnest(generate_series(1, len(norm) - 4)) AS i
+                FROM d) u
+        ),
+        n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.a_id, i.b_id,
+               CAST(i.ni AS DOUBLE) / (na.ng + nb.ng - i.ni) AS jaccard
+        FROM inter i
+        JOIN n na ON na.doc_id = i.a_id
+        JOIN n nb ON nb.doc_id = i.b_id
+        WHERE CAST(i.ni AS DOUBLE) / (na.ng + nb.ng - i.ni) >= 0.8
+    """
     # classified_with / clustered_with / imputed_with / nlp_sentiment:
     # model- or lexicon-specific outputs -> rows-only; accuracy/behavior
     # tested in tests/test_ml_nlp_streaming.py and tests/test_extended_sql2.py.

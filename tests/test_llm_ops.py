@@ -488,3 +488,32 @@ def test_multimodal_features_duck_parity(spark, duck):
 
     sdf = entry.queries()["multimodal_features"](spark, SF_DIR)
     assert_df_equal_duck(sdf, duck, entry.oracle_sql()["multimodal_features"])
+
+
+def test_documents_corpus_is_ascii(spark):
+    """The minhash_pairs DuckDB oracle replicates the sketch's BYTE
+    5-grams with substr() char 5-grams — valid only while the corpus is
+    pure ASCII (utf-8 bytes == chars). Guard that assumption."""
+    from tests.conftest import SF_DIR
+
+    from sclera_spark.engine import ScleraEngine
+
+    eng = ScleraEngine(spark)
+    eng.add_location(SF_DIR)
+    n = (
+        eng.table("documents")
+        .filter(F.col("text").rlike(r"[^\x00-\x7F]"))
+        .count()
+    )
+    assert n == 0
+
+
+def test_minhash_pairs_duck_parity(spark, duck):
+    """minhash_pairs entry vs the exact all-pairs 5-gram-Jaccard oracle:
+    LSH candidates + exact verify must equal ground truth (100% recall on
+    this corpus — every true pair sits far above the banding threshold)."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    sdf = entry.queries()["minhash_pairs"](spark, SF_DIR)
+    assert_df_equal_duck(sdf, duck, entry.oracle_sql()["minhash_pairs"])
