@@ -1671,14 +1671,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN n nb ON nb.doc_id = i.b_id
         WHERE CAST(i.ni AS DOUBLE) / (na.ng + nb.ng - i.ni) >= 0.8
     """
-    # classified_with / clustered_with / imputed_with / nlp_sentiment:
-    # model- or lexicon-specific outputs -> rows-only; accuracy/behavior
-    # tested in tests/test_ml_nlp_streaming.py and tests/test_extended_sql2.py.
-    # minhash_pairs / simhash_pairs / language_id / ann_topk / ivf_topk /
-    # embedding_dups: probabilistic or hash-family-specific -> rows-only;
-    # exact-semantics tests with planted duplicates live in tests/test_llm_ops.py.
-    # labeled_fn_sql / align_sql / match_alternation: genuinely no SQL
-    # equivalent (row-sequence regex NFA, banded DTW) -> rows-only;
-    # pandas/brute-force oracles live in tests/test_match_align.py,
-    # test_match_properties.py, test_operators.py.
+    # stream_match_state: same 'VIEW+ PURCHASE' pattern as labeled_fn_sql,
+    # incremental (applyInPandasWithState) — graded against the identical
+    # run-decomposition oracle, which pins the core streaming claim:
+    # stateful emission == batch greedy leftmost-longest semantics.
+    oracles["stream_match_state"] = """
+        WITH e AS (
+          SELECT user_id, ts::TIMESTAMP AS ts, upper(event_type) AS lab,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM events
+        ),
+        v AS (
+          SELECT *, rn - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY rn) AS grp
+          FROM e WHERE lab = 'VIEW'
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS rn_lo, max(rn) AS rn_hi,
+                 count(*) AS n_views, min(ts) AS start_ts
+          FROM v GROUP BY user_id, grp
+        )
+        SELECT r.user_id, r.start_ts AS match_start, p.ts AS match_end,
+               CAST(r.n_views + 1 AS INT) AS match_len
+        FROM runs r
+        JOIN e p ON p.user_id = r.user_id AND p.rn = r.rn_hi + 1
+                AND p.lab = 'PURCHASE'
+    """
+    # Still rows-only, each for a concrete reason:
+    # - classified_with / clustered_with / imputed_with / nlp_sentiment:
+    #   model- or lexicon-specific outputs; accuracy/behavior tested in
+    #   tests/test_ml_nlp_streaming.py and tests/test_extended_sql2.py.
+    # - simhash_pairs / ann_topk / ivf_topk / embedding_dups: outputs are
+    #   defined by a hash family / trained quantizer with no text-level
+    #   ground truth (unlike minhash_pairs, whose exact-Jaccard verify IS
+    #   the output); planted-duplicate + recall tests in test_llm_ops.py.
+    # - align_sql: banded-DTW DP — no tractable SQL equivalent; pandas
+    #   oracle in tests/test_match_align.py (the zip fast path align_zip
+    #   is hash-graded).
+    # - plot_spec: Vega-Lite spec JSON; structure tested in test_plot.py.
+    # - approx_distinct: HLL sketch, approximate by construction.
     return oracles
