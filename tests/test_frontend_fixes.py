@@ -373,3 +373,59 @@ def test_distinct_on_union(engine):
     """).collect()
     ks = [r.k for r in rows]
     assert -1 in ks and len(ks) == engine.table("orders").select("o_custkey").distinct().count() + 1
+
+
+@pytest.fixture(scope="module")
+def corr_tables(spark):
+    spark.createDataFrame(
+        [(0, 0, 4), (1, 1, 3), (2, 2, 6), (3, 3, None), (4, 9, 5)],
+        "id int, k int, x int",
+    ).createOrReplaceTempView("qcorr")
+    # per-key element sets: k=0 {1,5}; k=1 {1,5,NULL}; k=2 {1}; k=3 {2};
+    # k=9 has NO rows (empty correlated set)
+    spark.createDataFrame(
+        [(0, 1), (0, 5), (1, 1), (1, 5), (1, None), (2, 1), (3, 2)],
+        "k int, v int",
+    ).createOrReplaceTempView("qcsub")
+
+
+def _corr_ids(engine, where: str) -> set[int]:
+    return {
+        r.id
+        for r in engine.sql(
+            f"SELECT id FROM qcorr c WHERE {where}"
+        ).collect()
+    }
+
+
+def test_quantified_correlated_operand(engine, corr_tables):
+    """Correlated subquery operands in quantified comparisons — the
+    reference punts on these (ScalExpr.scala:509-519 TODO); here the
+    min/max-CASE rewrite produces correlated scalar subqueries that
+    Catalyst decorrelates. ANSI corners: empty per-key set (ALL vacuously
+    TRUE / ANY FALSE), NULL elements (UNKNOWN unless decided), NULL x."""
+    sub = "(SELECT v FROM qcsub s WHERE s.k = c.k)"
+    # x > ALL per-key: id0 4>{1,5}? no; id1 3>{1,5,N}? no (and N); id2
+    # 6>{1} yes; id3 x NULL vs {2} -> UNKNOWN; id4 empty -> TRUE
+    assert _corr_ids(engine, f"x > ALL {sub}") == {2, 4}
+    # NOT: FALSE rows only (id0 definite FALSE, id1 FALSE: 3<=5 decides)
+    assert _corr_ids(engine, f"NOT (x > ALL {sub})") == {0, 1}
+    # x > ANY: id0 4>1 T; id1 3>1 T; id2 T; id3 UNKNOWN; id4 empty -> F
+    assert _corr_ids(engine, f"x > ANY {sub}") == {0, 1, 2}
+    # NOT of ANY: only id4's empty set gives a definite FALSE to negate
+    assert _corr_ids(engine, f"NOT (x > ANY {sub})") == {4}
+    # = ALL / <> ANY route through IN-free CASE paths
+    assert _corr_ids(engine, f"x = ALL {sub}") == {4}  # empty -> TRUE
+    assert _corr_ids(engine, f"x <> ANY {sub}") == {0, 1, 2}
+
+
+def test_quantified_correlated_tpch_parity(engine, duck):
+    """Correlated ALL/ANY over the real tables vs DuckDB."""
+    q = """
+        SELECT c_custkey FROM customer c
+        WHERE c_acctbal > ALL (SELECT o_totalprice / 100 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey)
+    """
+    s = sorted(r[0] for r in engine.sql(q).collect())
+    d = sorted(r[0] for r in duck.execute(q).fetchall())
+    assert s == d
