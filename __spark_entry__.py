@@ -1010,6 +1010,76 @@ def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% corpus sample keyed on a content hash of doc_id
+    (llm/sample.py hash_sample): layout-independent, rerun-stable, pure
+    codegen'd filter. md5-based so the identical expression re-derives
+    the sample in DuckDB — the exact oracle below IS that audit."""
+    from sclera_spark.llm import hash_sample
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    # u is bitwise-reproducible (exact int -> IEEE divide), no rounding
+    return hash_sample(docs, 0.2, "doc_id", salt="train", out_col="u").select(
+        "doc_id", "u"
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sampling: 5 events per event_type, ranked by
+    key hash (llm/sample.py stratified_sample) — one window shuffle on
+    the stratum key."""
+    from sclera_spark.llm import stratified_sample
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("event_type", "event_id")
+    return stratified_sample(ev, "event_type", 5, "event_id", salt="s1")
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form (lowercase, control-strip, whitespace collapse,
+    trim) over deliberately mangled copies — llm/text.py text_normalize;
+    regexp chain in the Java/RE2 common subset, exact DuckDB oracle."""
+    from sclera_spark.llm import text_normalize
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    # mangle: uppercase, tabs/newlines, control chars, edge whitespace
+    mangled = docs.withColumn(
+        "text2",
+        F.concat(
+            F.lit("  \t"),
+            F.upper(F.col("text")),
+            F.lit("\x07\x01\n\nTrailing   Words\t "),
+        ),
+    )
+    return text_normalize(mangled, "text2", "text_norm").select(
+        "doc_id", "text_norm"
+    )
+
+
+def _q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain extraction rows over planted URLs (the synthetic corpus
+    has none) — llm/text.py url_extract; regexp_extract_all + explode,
+    exact DuckDB oracle."""
+    from sclera_spark.llm import url_extract
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://docs.example.org/p/"),
+            F.col("doc_id"),
+            F.lit(" and http://cdn"),
+            (F.col("doc_id") % 7),
+            F.lit(".example-assets.net/x?q=1 end"),
+        ),
+    )
+    return url_extract(planted, "text2", "doc_id")
+
+
 # ------------------------------------------------- bench-only operators
 
 
@@ -1155,6 +1225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pii_redact": _q_pii_redact,
             "doc_repetition": _q_doc_repetition,
             "ngram_contamination": _q_ngram_contamination,
+            "hash_sample": _q_hash_sample,
+            "stratified_sample": _q_stratified_sample,
+            "text_normalize": _q_text_normalize,
+            "url_extract": _q_url_extract,
         }
     )
     return out
@@ -1696,6 +1770,57 @@ def oracle_sql() -> dict[str, str]:
         FROM runs r
         JOIN e p ON p.user_id = r.user_id AND p.rn = r.rn_hi + 1
                 AND p.lab = 'PURCHASE'
+    """
+    # deterministic sampling: the md5 expression chain is chosen so the
+    # SAME hash re-derives in any SQL engine — the oracle is the audit
+    oracles["hash_sample"] = """
+        SELECT doc_id, u FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('train' || CAST(doc_id AS VARCHAR)),
+                                      1, 8))::BIGINT AS DOUBLE)
+                   / 4294967296.0 AS u
+          FROM documents
+        ) t WHERE u < 0.2
+    """
+    oracles["stratified_sample"] = """
+        SELECT event_type, event_id FROM (
+          SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY u ASC, event_id ASC) AS rk
+          FROM (
+            SELECT event_type, event_id,
+                   CAST(('0x' || substr(md5('s1' || CAST(event_id AS VARCHAR)),
+                                        1, 8))::BIGINT AS DOUBLE)
+                     / 4294967296.0 AS u
+            FROM events
+          ) h
+        ) w WHERE rk <= 5
+    """
+    oracles["text_normalize"] = r"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(
+                   lower('  ' || chr(9) || upper(text) || chr(7) || chr(1) ||
+                         chr(10) || chr(10) || 'Trailing   Words' || chr(9)
+                         || ' '),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                 '\s+', ' ', 'g')) AS text_norm
+        FROM documents
+    """
+    oracles["url_extract"] = r"""
+        SELECT doc_id, url,
+               regexp_extract(url, 'https?://([0-9A-Za-z.-]+)', 1) AS domain
+        FROM (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(
+                   text || ' see https://docs.example.org/p/'
+                        || CAST(doc_id AS VARCHAR) || ' and http://cdn'
+                        || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example-assets.net/x?q=1 end',
+                   'https?://[0-9A-Za-z.-]+(?:/[0-9A-Za-z._~%/+&#?=-]*)?', 0))
+                   AS url
+          FROM documents
+        ) u
     """
     # Still rows-only, each for a concrete reason:
     # - classified_with / clustered_with / imputed_with / nlp_sentiment:

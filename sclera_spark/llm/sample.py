@@ -1,0 +1,84 @@
+"""Deterministic sampling operators for reproducible corpus pipelines.
+
+A training-data pipeline needs samples that are (a) reproducible across
+reruns, (b) independent of physical layout (partitioning, file order),
+and (c) cheap at 100 TB. `rand()`-based sampling fails (a) and (b); both
+operators here key off a content hash instead, so the same row always
+lands on the same side of the cut no matter how the scan is partitioned.
+
+Spark-first: the hash is `md5` (hex) -> first 8 hex digits -> BIGINT via
+`conv`, a pure JVM expression chain chosen deliberately over `xxhash64`
+because every SQL engine has md5 — the same expression runs in DuckDB,
+so sampling decisions made here can be audited (and re-derived) anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 buckets from the first 8 hex digits of md5 — uniform enough for
+# sampling; collision structure is irrelevant (we only need a stable
+# pseudo-uniform in [0, 1))
+_BUCKETS = float(1 << 32)
+
+
+def _hash_unit(key: Column, salt: str) -> Column:
+    """Deterministic pseudo-uniform in [0, 1) from a key column + salt."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    return h.cast("bigint").cast("double") / F.lit(_BUCKETS)
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    salt: str = "",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by content hash of ``key_col``.
+
+    Layout-independent and rerun-stable: a row's fate depends only on its
+    key and the salt. Changing the salt draws an independent sample —
+    use distinct salts for train/validation splits so they stay disjoint
+    in expectation but individually stable. Pure filter on a codegen'd
+    expression: no shuffle, no state, scan throughput at any scale.
+
+    With ``out_col`` the unit-interval hash is also emitted (useful for
+    nested splits: ``u < 0.8`` train / ``u >= 0.9`` holdout).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    u = _hash_unit(F.col(key_col), salt)
+    out = df.filter(u < F.lit(rate))
+    if out_col:
+        out = out.withColumn(out_col, u)
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, deterministically:
+    rows are ranked within each stratum by their key hash (a stable
+    pseudo-random order) and the first n win.
+
+    Scale notes: one shuffle on ``group_col`` (the window). Fine for
+    quota-style sampling over many moderate strata; for a FEW huge strata
+    the single-reducer-per-stratum window is the bottleneck — there,
+    derive per-stratum rates from counts and use :func:`hash_sample`
+    twice (slight over-sample, exact trim second pass) instead.
+    """
+    from pyspark.sql.window import Window
+
+    u = _hash_unit(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )

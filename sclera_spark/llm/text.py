@@ -267,3 +267,44 @@ def ngram_contamination(
         )
     )
     return out
+
+
+# -- normalization / URL structure -------------------------------------------
+
+
+def text_normalize(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Canonical text form for dedup keys and downstream filters:
+    lowercase, control characters stripped, whitespace runs collapsed to
+    single spaces, trimmed. A chain of codegen'd ``regexp_replace`` —
+    scan throughput, no Python. (Unicode NFC is intentionally NOT done
+    here: Spark has no built-in normalizer, and a pandas-UDF hop is only
+    worth it for corpora where composed/decomposed forms actually mix —
+    gate that variant behind the multimodal/pandas tier if needed.)
+    Patterns stay in the Java-regex/RE2 common subset so the DuckDB test
+    oracle runs the same strings."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    return df.withColumn(out_col, c)
+
+
+# URL shape in the Java/RE2 common subset: scheme + host + optional path.
+URL_PATTERN = r"https?://[0-9A-Za-z.-]+(?:/[0-9A-Za-z._~%/+&#?=-]*)?"
+_DOMAIN_FROM_URL = r"https?://([0-9A-Za-z.-]+)"
+
+
+def url_extract(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per URL occurrence: (id, url, domain). The corpus-side
+    building block for domain-level filtering/weighting (blocklists,
+    per-domain caps, source mixing). regexp_extract_all + explode — the
+    text never shuffles, only the (id, url) pairs that matched."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    return (
+        df.select(F.col(id_col), F.explode(urls).alias("url"))
+        .withColumn("domain", F.regexp_extract(F.col("url"), _DOMAIN_FROM_URL, 1))
+    )

@@ -517,3 +517,67 @@ def test_minhash_pairs_duck_parity(spark, duck):
 
     sdf = entry.queries()["minhash_pairs"](spark, SF_DIR)
     assert_df_equal_duck(sdf, duck, entry.oracle_sql()["minhash_pairs"])
+
+
+def test_hash_sample_layout_independent(spark):
+    """The sample must not depend on physical partitioning — same ids at
+    any repartitioning, and stable across reruns."""
+    from sclera_spark.llm import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df.repartition(7), 0.3, "doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(df.repartition(3), 0.3, "doc_id").collect()}
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4
+    # a different salt draws an (essentially) independent sample
+    c = {r.doc_id for r in hash_sample(df, 0.3, "doc_id", salt="v").collect()}
+    assert c != a
+
+
+def test_stratified_sample_exact_quota(spark):
+    from sclera_spark.llm import stratified_sample
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(20)] + [("b", 100 + i) for i in range(3)],
+        "g string, id int",
+    )
+    out = stratified_sample(df, "g", 5, "id").groupBy("g").count().collect()
+    quotas = {r.g: r["count"] for r in out}
+    assert quotas == {"a": 5, "b": 3}
+    # deterministic: same rows again
+    r1 = sorted(r.id for r in stratified_sample(df, "g", 5, "id").collect())
+    r2 = sorted(r.id for r in stratified_sample(df, "g", 5, "id").collect())
+    assert r1 == r2
+
+
+def test_text_normalize_known_values(spark):
+    from sclera_spark.llm import text_normalize
+
+    df = spark.createDataFrame(
+        [(1, "  Hello\t\tWORLD\x07\x01\n\n  x  ")], "id int, text string"
+    )
+    out = text_normalize(df).collect()[0].text_norm
+    assert out == "hello world x"
+
+
+def test_url_extract_known_values(spark):
+    from sclera_spark.llm import url_extract
+
+    df = spark.createDataFrame(
+        [(1, "go to https://a.example.org/p/1 or http://b.net end")],
+        "doc_id int, text string",
+    )
+    rows = sorted((r.url, r.domain) for r in url_extract(df).collect())
+    assert rows == [
+        ("http://b.net", "b.net"),
+        ("https://a.example.org/p/1", "a.example.org"),
+    ]
+
+
+def test_sampling_and_text_entries_duck_parity(spark, duck):
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    for name in ("hash_sample", "stratified_sample", "text_normalize", "url_extract"):
+        sdf = entry.queries()[name](spark, SF_DIR)
+        assert_df_equal_duck(sdf, duck, entry.oracle_sql()[name])

@@ -213,3 +213,22 @@ def test_pii_redact_stays_jvm_side(engine):
     df = repetition_scores(pii_redact(engine.table("documents")), "text", n=2)
     plan = _plan(df)
     assert "Python" not in plan, plan
+
+
+def test_hash_sample_is_shuffle_free_filter(engine):
+    """hash_sample must lower to a pure filter over the scan: no Exchange,
+    no Python — the property that makes it free at 100 TB."""
+    from sclera_spark.llm import hash_sample
+
+    df = hash_sample(engine.table("documents"), 0.2, "doc_id", salt="t")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_text_normalize_and_urls_stay_jvm_side(engine):
+    from sclera_spark.llm import text_normalize, url_extract
+
+    df = url_extract(text_normalize(engine.table("documents")), "text_norm")
+    plan = _plan(df)
+    assert "Python" not in plan, plan
