@@ -141,6 +141,24 @@ class ScleraEngine:
         df = self.location_table(loc, table)
         return self.catalog.register(as_name or table, df)
 
+    def create_bucketed_table(
+        self,
+        name: str,
+        df: DataFrame,
+        keys,
+        n_buckets: int,
+        sort_by=None,
+        path: str | None = None,
+    ) -> DataFrame:
+        """Materialize ``df`` bucketed by ``keys`` (see scale.bucketed_write):
+        co-bucketed tables join shuffle-free. The analogue of the
+        reference's CREATE INDEX sorted-layout rewrite (plans/ddl.py), one
+        level up: layout that Catalyst exploits as a satisfied hash
+        distribution rather than as a scan order."""
+        from sclera_spark.scale import bucketed_write
+
+        return bucketed_write(df, name, keys, n_buckets, sort_by=sort_by, path=path)
+
     # ---- SQL ----
 
     def sql(self, query: str) -> DataFrame:

@@ -62,3 +62,35 @@ def salted_join(big, small, on, how: str = "inner", salt: int = 16, seed: int = 
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return bs.join(ss, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+def bucketed_write(
+    df,
+    name: str,
+    keys,
+    n_buckets: int,
+    sort_by=None,
+    path: str | None = None,
+    mode: str = "overwrite",
+):
+    """Materialize ``df`` as a BUCKETED table: rows hash-partitioned into
+    ``n_buckets`` files per partition by ``keys`` (optionally sorted
+    within buckets), registered as ``name`` in the session catalog.
+
+    This is the 100 TB co-location story: two tables bucketed on the same
+    keys with the same bucket count join WITHOUT a shuffle on either side
+    (Catalyst's EnsureRequirements sees the bucket spec as satisfied
+    hash distribution) — the single biggest exchange saver for repeated
+    fact-to-fact joins. Sorted buckets additionally skip the sort phase
+    of a sort-merge join. The bucket spec lives in the catalog, so reads
+    must go through ``spark.table(name)`` (not path reads).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+    return df.sparkSession.table(name)

@@ -232,3 +232,36 @@ def test_text_normalize_and_urls_stay_jvm_side(engine):
     df = url_extract(text_normalize(engine.table("documents")), "text_norm")
     plan = _plan(df)
     assert "Python" not in plan, plan
+
+
+def test_cobucketed_join_is_shuffle_free(spark, tables, tmp_path):
+    """Two tables bucketed on the same key/count must sort-merge join with
+    ZERO Exchange operators — the bucket spec satisfies the join's hash
+    distribution requirement on both sides. This is the co-location
+    contract a 100 TB deployment relies on for repeated fact joins."""
+    from sclera_spark.engine import ScleraEngine
+
+    eng = ScleraEngine(spark)
+    orders = eng.table("orders").select("o_custkey", "o_totalprice")
+    cust = eng.table("customer").select("c_custkey", "c_acctbal")
+    bo = eng.create_bucketed_table(
+        "b_orders", orders, "o_custkey", 8, sort_by="o_custkey",
+        path=str(tmp_path / "b_orders"),
+    )
+    bc = eng.create_bucketed_table(
+        "b_cust", cust, "c_custkey", 8, sort_by="c_custkey",
+        path=str(tmp_path / "b_cust"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        # sorted buckets: no explicit Sort needed either
+        n = j.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
