@@ -26,6 +26,9 @@ class DdlRouter:
         self.warehouse = warehouse_dir or tempfile.mkdtemp(prefix="sclera_warehouse_")
         self.managed: dict[str, str] = {}  # table -> parquet path
         self.views: dict[str, str] = {}  # view -> query text
+        # tables whose DML commits go through the atomic manifest protocol
+        # (sources/manifest.py) instead of the plain parquet COW path
+        self.manifest_tables: set[str] = set()
 
     # ---- routing ----
 
@@ -87,6 +90,12 @@ class DdlRouter:
         (re.compile(r"^\s*DROP\s+INDEX\s+(\w+)\s*$", re.I), "_drop_index"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+LOCATIONS\s*$", re.I), "_list_locations"),
         (re.compile(r"^\s*@(\w+)\s+'(.*)'\s*$", re.S), "_native_statement"),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+FORMAT\s+MANIFEST\s*$", re.I
+            ),
+            "_set_format_manifest",
+        ),
         (re.compile(r"^\s*ALTER\b.*$", re.I | re.S), "_alter"),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
@@ -112,9 +121,47 @@ class DdlRouter:
 
     def _materialize(self, name: str, df) -> None:
         path = self._path(name)
+        if name.lower() in self.manifest_tables:
+            from sclera_spark.sources.manifest import ManifestTable
+
+            ManifestTable(path).overwrite(df)
+            self._register_manifest(name)
+            return
         df.write.mode("overwrite").parquet(path)
         self.managed[name.lower()] = path
         self.engine.catalog.register_parquet(name, path)
+
+    def _register_manifest(self, name: str) -> None:
+        from sclera_spark.sources.manifest import ManifestTable
+
+        mt = ManifestTable(self._path(name))
+        self.managed[name.lower()] = self._path(name)
+        self.engine.catalog.register(name, mt.read(self.engine.spark))
+
+    def _set_format_manifest(self, name: str):
+        """ALTER TABLE t SET FORMAT MANIFEST — adopt a managed table into
+        the atomic manifest-commit protocol (sources/manifest.py). DML on
+        the table becomes crash-atomic: readers see the pre- or
+        post-statement snapshot, never duplicates or partial commits."""
+        from sclera_spark.sources.manifest import ManifestTable
+
+        if name.lower() not in self.managed:
+            # adopt an external/catalog table into the warehouse first
+            df = self.engine.table(name)
+            path = self._path(name)
+            df.write.mode("overwrite").parquet(path)
+            self.managed[name.lower()] = path
+        ManifestTable.convert(self._path(name))
+        self.manifest_tables.add(name.lower())
+        self._register_manifest(name)
+
+    def table_at(self, name: str, version: int):
+        """Time-travel read of a manifest table's retained version."""
+        from sclera_spark.sources.manifest import ManifestTable
+
+        if name.lower() not in self.manifest_tables:
+            raise ValueError(f"{name} is not a manifest table")
+        return ManifestTable(self._path(name)).read(self.engine.spark, version)
 
     def _ctas(self, name: str, query: str):
         self._materialize(name, self.engine.sql(query))
@@ -215,6 +262,12 @@ class DdlRouter:
         incoming = incoming.toDF(*tbl.columns).select(
             *[F.col(c).cast(tbl.schema[c].dataType) for c in tbl.columns]
         )
+        if name.lower() in self.manifest_tables:
+            from sclera_spark.sources.manifest import ManifestTable
+
+            ManifestTable(self._path(name)).append(incoming)
+            self._register_manifest(name)
+            return
         incoming.write.mode("append").parquet(self._path(name))
         self.engine.catalog.register_parquet(name, self._path(name))
 
@@ -486,8 +539,15 @@ class DdlRouter:
         path = self.managed.get(name.lower())
         if path is None:
             return False
+        is_manifest = name.lower() in self.manifest_tables
         try:
-            base = self.engine.spark.read.parquet(path)
+            if is_manifest:
+                from sclera_spark.sources.manifest import ManifestTable
+
+                mt = ManifestTable(path)
+                base = mt.read(self.engine.spark)
+            else:
+                base = self.engine.spark.read.parquet(path)
             hit_uris = [
                 r[0]
                 for r in base.filter(F.expr(where))
@@ -504,6 +564,14 @@ class DdlRouter:
             # non-local storage (s3a://, hdfs://) or a hit list too large to
             # hold driver-side: one distributed full rewrite instead
             return False
+        if is_manifest:
+            if len(hits) >= len(mt.files()):
+                return False  # every file touched: full rewrite is simpler
+            out = transform(self.engine.spark.read.parquet(*hits))
+            # one atomic commit: old snapshot or new, never in between
+            mt.replace_files(hits, out)
+            self._register_manifest(name)
+            return True
         all_parts = [
             os.path.join(path, f)
             for f in os.listdir(path)
@@ -572,6 +640,12 @@ class DdlRouter:
     def _rewrite(self, name: str, df) -> None:
         """Full-table rewrite through a staging path (parquet cannot
         overwrite its own input mid-read)."""
+        if name.lower() in self.manifest_tables:
+            from sclera_spark.sources.manifest import ManifestTable
+
+            ManifestTable(self._path(name)).overwrite(df)
+            self._register_manifest(name)
+            return
         staging = self._path(name) + ".staging"
         df.write.mode("overwrite").parquet(staging)
         final = self._path(name)
@@ -632,6 +706,7 @@ class DdlRouter:
     def _drop(self, kind: str, name: str):
         self.engine.catalog.drop(name)
         self.views.pop(name.lower(), None)
+        self.manifest_tables.discard(name.lower())
         path = self.managed.pop(name.lower(), None)
         if path and os.path.exists(path):
             shutil.rmtree(path)

@@ -1,0 +1,202 @@
+"""Manifest-committed managed tables: atomic DML on plain parquet.
+
+The parquet copy-on-write path (plans/ddl.py:_commit_cow) is ordered so a
+crash never loses rows — but it can leave DUPLICATES (old + new part file
+both present) and readers can observe the half-committed directory. This
+module removes both flaws with the core idea of Delta/Iceberg, minus
+everything else: data files are immutable, and the set of live files is
+named by a versioned manifest whose publication is ONE atomic pointer
+swap (`os.replace`). Readers resolve the pointer, then read exactly the
+listed files — no directory listing, ever — so every reader sees a
+complete snapshot, before or after, never during.
+
+Layout under the table root:
+
+    data/part-*.parquet        immutable data files (write-once)
+    _sclera_log/v<N>.json      manifest: {"version": N, "files": [...]}
+    _sclera_log/LATEST         pointer file containing N (atomic replace)
+
+Commit protocol (crash-safe at every step):
+  1. stage new part files into data/ (invisible: not in any manifest)
+  2. write v<N+1>.json fully, fsync
+  3. os.replace() the LATEST pointer  <- the commit point; nothing
+     happens after it, so there is no post-commit crash window at all
+
+Files dropped by a commit leave the manifest LOGICALLY but stay on disk,
+so every retained version remains readable (time travel); ``vacuum()``
+does the physical deletion on the operator's retention schedule.
+
+Single-writer semantics, like the reference's embedded-store DML
+(dbms/rdbms/*) — concurrent writers would need a lock or CAS on the
+pointer, which object stores can supply (e.g. conditional put); the
+protocol is deliberately expressible in those terms. Reads go through
+``spark.read.parquet(*files)``, so Spark's vectorized reader, predicate
+pushdown and column pruning all apply unchanged; time travel is
+``read(spark, version=N)`` for any retained manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_sclera_log"
+_DATA = "data"
+
+
+class ManifestTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG)
+        self.data_dir = os.path.join(path, _DATA)
+
+    # ---- creation ----
+
+    @classmethod
+    def create(cls, df: DataFrame, path: str) -> "ManifestTable":
+        """Materialize ``df`` as a new manifest table (version 1)."""
+        t = cls(path)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.log_dir, exist_ok=True)
+        added = t._stage_in(df)
+        t._publish(1, added)
+        return t
+
+    @classmethod
+    def convert(cls, path: str) -> "ManifestTable":
+        """Adopt an existing plain-parquet directory in place: move its
+        part files under data/ and publish them as version 1."""
+        t = cls(path)
+        if t.exists(path):
+            return t
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.log_dir, exist_ok=True)
+        moved = []
+        for f in sorted(os.listdir(path)):
+            if f.startswith("part-") and not f.endswith(".crc"):
+                os.rename(os.path.join(path, f), os.path.join(t.data_dir, f))
+                moved.append(f)
+        t._publish(1, moved)
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, _LOG, "LATEST"))
+
+    # ---- snapshot resolution ----
+
+    def version(self) -> int:
+        with open(os.path.join(self.log_dir, "LATEST")) as fh:
+            return int(fh.read().strip())
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def files(self, version: int | None = None) -> list[str]:
+        v = self.version() if version is None else version
+        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
+            manifest = json.load(fh)
+        return [os.path.join(self.data_dir, f) for f in manifest["files"]]
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        files = self.files(version)
+        if not files:
+            # schema-only snapshot: keep the latest non-empty schema
+            for v in reversed(self.versions()):
+                prior = self.files(v)
+                if prior:
+                    return spark.read.parquet(*prior).limit(0)
+            raise ValueError(f"manifest table {self.path} has no data files")
+        return spark.read.parquet(*files)
+
+    # ---- mutation (each is one atomic commit) ----
+
+    def overwrite(self, df: DataFrame) -> None:
+        added = self._stage_in(df)
+        self._publish(self.version() + 1, added)
+
+    def append(self, df: DataFrame) -> None:
+        added = self._stage_in(df)
+        self._publish(self.version() + 1, self._file_names() + added)
+
+    def replace_files(self, remove_paths: list[str], df: DataFrame) -> None:
+        """The COW commit: swap the given live files for ``df``'s output
+        in one atomic step. ``remove_paths`` are full paths as returned by
+        :meth:`files` / the ``_metadata.file_path`` probe. Removal is
+        LOGICAL — the files leave the manifest but stay on disk for time
+        travel until :meth:`vacuum` (the Delta/Iceberg retention model)."""
+        removed = {os.path.basename(p) for p in remove_paths}
+        live = self._file_names()
+        unknown = removed - set(live)
+        if unknown:
+            raise ValueError(f"not live in current manifest: {sorted(unknown)}")
+        added = self._stage_in(df)
+        survivors = [f for f in live if f not in removed]
+        self._publish(self.version() + 1, survivors + added)
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files unreferenced by the ``keep_versions`` newest
+        manifests (and drop older manifests). Returns deleted file names."""
+        vs = self.versions()
+        keep = vs[-keep_versions:]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced |= {os.path.basename(p) for p in self.files(v)}
+        deleted = []
+        for f in os.listdir(self.data_dir):
+            if f not in referenced:
+                os.remove(os.path.join(self.data_dir, f))
+                deleted.append(f)
+        for v in vs[:-keep_versions]:
+            os.remove(os.path.join(self.log_dir, f"v{v}.json"))
+        return deleted
+
+    # ---- internals ----
+
+    def _file_names(self) -> list[str]:
+        return [os.path.basename(p) for p in self.files()]
+
+    def _stage_in(self, df: DataFrame) -> list[str]:
+        """Write ``df`` to a scratch dir, then move the part files into
+        data/ under collision-free names. Staged files are invisible until
+        a manifest references them."""
+        scratch = tempfile.mkdtemp(prefix="sclera_manifest_")
+        try:
+            df.write.mode("overwrite").parquet(scratch)
+            tag = uuid.uuid4().hex[:8]
+            moved = []
+            for i, f in enumerate(sorted(os.listdir(scratch))):
+                if f.startswith("part-") and not f.endswith(".crc"):
+                    name = f"part-{tag}-{i:05d}.parquet"
+                    os.rename(
+                        os.path.join(scratch, f), os.path.join(self.data_dir, name)
+                    )
+                    moved.append(name)
+            return moved
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def _publish(self, version: int, files: list[str]) -> None:
+        """Steps 2+3 of the commit protocol: durable manifest, then the
+        atomic pointer swap that IS the commit."""
+        mpath = os.path.join(self.log_dir, f"v{version}.json")
+        with open(mpath, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = os.path.join(self.log_dir, f".LATEST.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.log_dir, "LATEST"))
+
