@@ -3,6 +3,7 @@ from sclera_spark.streaming.ops import (
     windowed_agg,
     sessionize,
     stream_match_state,
+    stream_expmovavg,
     stream_dedup,
     stream_quality_filter,
     run_to_memory,
@@ -13,6 +14,7 @@ __all__ = [
     "windowed_agg",
     "sessionize",
     "stream_match_state",
+    "stream_expmovavg",
     "stream_dedup",
     "stream_quality_filter",
     "run_to_memory",

@@ -383,6 +383,66 @@ def stream_match_state(
     )
 
 
+def stream_expmovavg(
+    stream: DataFrame,
+    value_col: str,
+    decay: float,
+    keys: Sequence[str],
+    ts_col: str,
+    out_col: str = "ema",
+):
+    """Incremental EXPMOVAVG over a keyed stream: every input row is
+    emitted with its running exponential moving average, continued across
+    micro-batches from O(1) state per key (the carried EMA scalar).
+
+    Exact parity with the batch operator (operators/window_seq.py
+    expmovavg — s_0 = x_0; s_i = decay*x_i + (1-decay)*s_{i-1}): the
+    carried state is PREPENDED to each batch's value series before the
+    same pandas ewm(adjust=False) kernel runs, which reproduces the
+    recurrence bit for bit — ewm's first output equals its first input,
+    so seeding with s_{prev} makes the next output exactly
+    decay*x + (1-decay)*s_{prev}. Rows are processed in ``ts_col`` order
+    within each micro-batch (use a watermark upstream for cross-batch
+    order, as with stream_match_state)."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(stream.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (last,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+            vals = pdf[value_col].astype("float64")
+            if last is not None and not np.isnan(last):
+                seeded = pd.concat(
+                    [pd.Series([last], dtype="float64"), vals], ignore_index=True
+                )
+                ema = seeded.ewm(alpha=decay, adjust=False).mean().iloc[1:]
+                ema.index = pdf.index
+            else:
+                ema = vals.ewm(alpha=decay, adjust=False).mean()
+            pdf[out_col] = ema
+            tail = ema.dropna()
+            if len(tail):
+                last = float(tail.iloc[-1])
+            yield pdf
+        state.update((last,))
+
+    return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="last double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, timeout_s: int = 60, output_mode: str = "append"
 ):

@@ -3,6 +3,7 @@ Structured Streaming tier."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -481,3 +482,57 @@ def test_stream_quality_filter_matches_batch(spark, tables):
         assert 0 < got < docs.count()  # the gate actually drops something
     finally:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_stream_expmovavg_matches_batch(spark, tables):
+    """Cross-micro-batch EMA continuation == the batch operator, bit for
+    bit: time-ordered files fed one per trigger, per-key state carrying
+    the EMA scalar across batches."""
+    import pandas as pd
+
+    from sclera_spark.operators import expmovavg
+    from sclera_spark.streaming import (
+        run_to_memory,
+        stream_expmovavg,
+        stream_from_directory,
+    )
+
+    ev = tables["events"].select("event_id", "ts", "user_id", "value")
+    batch = {
+        r.event_id: r.ema
+        for r in expmovavg(
+            ev, "value", decay=0.3, partition_by=["user_id"],
+            order_by=["ts", "event_id"], out_col="ema",
+        ).collect()
+    }
+
+    # three time-ordered files -> three micro-batches, state must carry
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="sclera_ema_stream_")
+    try:
+        cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+        for i in range(3):
+            spark.createDataFrame(pdf.iloc[cuts[i]:cuts[i + 1]]).coalesce(
+                1
+            ).write.parquet(os.path.join(d, f"f{i}"))
+        stream = stream_from_directory(
+            spark, d + "/*", ev.schema, maxFilesPerTrigger=1
+        )
+        out = stream_expmovavg(
+            stream, "value", decay=0.3, keys=["user_id"], ts_col="ts"
+        )
+        q = run_to_memory(out, "ema_stream")
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        got = {
+            r.event_id: r.ema
+            for r in spark.sql("SELECT event_id, ema FROM ema_stream").collect()
+        }
+        q.stop()
+        # the continuation path is only exercised across multiple triggers
+        assert n_batches >= 2, f"expected multiple micro-batches, got {n_batches}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    assert len(got) == len(batch)
+    diffs = [k for k in batch if got[k] != batch[k]]
+    assert not diffs, f"{len(diffs)} EMA divergences, e.g. {diffs[:3]}"
