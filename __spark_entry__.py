@@ -1010,6 +1010,25 @@ def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_expmovavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-key EMA over the event stream
+    (streaming/ops.py stream_expmovavg, applyInPandasWithState with an
+    O(1) carried scalar) — graded against the SAME recursive-CTE oracle
+    as the batch operator: stateful emission == batch recurrence, the
+    streaming-parity claim made checkable."""
+    from sclera_spark.streaming import run_to_memory, stream_expmovavg
+
+    _engine(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = stream_expmovavg(stream, "value", decay=0.3, keys=["user_id"], ts_col="ts")
+    q = run_to_memory(out, "entry_ema_stream")
+    res = spark.sql(
+        "SELECT user_id, event_id, ema FROM entry_ema_stream"
+    ).localCheckpoint(eager=True)
+    q.stop()
+    return res
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% corpus sample keyed on a content hash of doc_id
     (llm/sample.py hash_sample): layout-independent, rerun-stable, pure
@@ -1225,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pii_redact": _q_pii_redact,
             "doc_repetition": _q_doc_repetition,
             "ngram_contamination": _q_ngram_contamination,
+            "stream_expmovavg": _q_stream_expmovavg,
             "hash_sample": _q_hash_sample,
             "stratified_sample": _q_stratified_sample,
             "text_normalize": _q_text_normalize,
@@ -1770,6 +1790,23 @@ def oracle_sql() -> dict[str, str]:
         FROM runs r
         JOIN e p ON p.user_id = r.user_id AND p.rn = r.rn_hi + 1
                 AND p.lab = 'PURCHASE'
+    """
+    # streaming EMA: identical recurrence to the batch operator, so the
+    # same recursive-CTE oracle grades the stateful streaming path
+    oracles["stream_expmovavg"] = """
+        WITH RECURSIVE base AS (
+            SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), r AS (
+            SELECT user_id, event_id, rn, value AS ema FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.user_id, b.event_id, b.rn,
+                   0.3*b.value + (1 - 0.3)*r.ema AS ema
+            FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, ema FROM r
     """
     # deterministic sampling: the md5 expression chain is chosen so the
     # SAME hash re-derives in any SQL engine — the oracle is the audit
