@@ -307,6 +307,15 @@ class Gen:
             op = self.pick(["=", "<>", "<", ">", ">=", "<="])
             q = self.pick(["ANY", "ALL", "SOME"])
             sub, dsub = self.subquery_num(depth + 1)
+            if self.rng.random() < 0.4:
+                # correlated operand (reference punts; we decorrelate via
+                # Catalyst — keep the fuzzer honest about it). Correlation
+                # predicates chosen so some rows get EMPTY per-row sets
+                # (ALL vacuous-TRUE / ANY FALSE corners) and some NULL js
+                # make the correlation itself UNKNOWN.
+                corr = self.pick(["u.k = t.j", "u.k < t.j", "u.k + 2 = t.i"])
+                sub = f"{sub} AND {corr}"
+                dsub = f"{dsub} AND {corr}"
             return (
                 f"(({a}) {op} {q} ({sub}))",
                 f"(({da}) {op} {q} ({dsub}))",
@@ -441,11 +450,16 @@ class Gen:
         if kind == "derived":
             e, de = self.num_expr()
             p2, dp2 = self.pred()
+            def deref(x: str) -> str:
+                # outer preds may carry correlations into u-subqueries;
+                # inside the derived position the outer alias is d
+                return x.replace("t.j", "d.j").replace("t.i", "d.i")
+
             return (
                 f"SELECT d.i, d.a FROM (SELECT i, j, s, f, {e} AS a FROM t "
-                f"WHERE {p}) AS d WHERE {p2.replace('t.j', 'd.j')}",
+                f"WHERE {p}) AS d WHERE {deref(p2)}",
                 f"SELECT d.i, d.a FROM (SELECT i, j, s, f, {de} AS a FROM t "
-                f"WHERE {dp}) AS d WHERE {dp2.replace('t.j', 'd.j')}",
+                f"WHERE {dp}) AS d WHERE {deref(dp2)}",
             )
         n, off = self.rng.randint(1, 15), self.rng.randint(0, 5)
         fetch = self.rng.random() < 0.5
