@@ -1029,6 +1029,28 @@ def _q_stream_expmovavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def _q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, driver-graded: PNG (stdlib zlib inflate +
+    scanline unfilter) and PPM payloads carry deterministic gradients /
+    constant colors, so mean/std intensity have closed arithmetic forms
+    the DuckDB oracle recomputes from asset_id (llm/multimodal.py
+    decode_png / decode_ppm / image_pixel_features)."""
+    from sclera_spark.llm.multimodal import (
+        image_pixel_features,
+        synthetic_pixel_assets,
+    )
+
+    assets = synthetic_pixel_assets(spark, 300)
+    return image_pixel_features(assets).select(
+        "asset_id",
+        "decoded_real",
+        "width",
+        "height",
+        F.round(F.col("mean_intensity"), 6).alias("mean_r6"),
+        F.round(F.col("std_intensity"), 6).alias("std_r6"),
+    )
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% corpus sample keyed on a content hash of doc_id
     (llm/sample.py hash_sample): layout-independent, rerun-stable, pure
@@ -1245,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_repetition": _q_doc_repetition,
             "ngram_contamination": _q_ngram_contamination,
             "stream_expmovavg": _q_stream_expmovavg,
+            "multimodal_pixels": _q_multimodal_pixels,
             "hash_sample": _q_hash_sample,
             "stratified_sample": _q_stratified_sample,
             "text_normalize": _q_text_normalize,
@@ -1807,6 +1830,26 @@ def oracle_sql() -> dict[str, str]:
             FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
         )
         SELECT user_id, event_id, ema FROM r
+    """
+    # real pixel decode: the fixture's gradient columns are c*16 (c < 16,
+    # no uint8 wrap), so mean = 8(w-1) and population std = 16*sqrt((w^2-1)/12)
+    # exactly; the constant-RGB kind has mean 20, std 0. decoded_real = 1
+    # everywhere BECAUSE every image payload is PNG or PPM (a JPEG row
+    # would surface as decoded_real = 0 and hash-fail — by design).
+    oracles["multimodal_pixels"] = """
+        WITH ids AS (SELECT range AS i FROM range(0, 300)),
+        d AS (
+          SELECT i, CAST(i % 16 + 1 AS INTEGER) AS w,
+                 CAST(i % 9 + 1 AS INTEGER) AS h
+          FROM ids WHERE i % 4 <= 2
+        )
+        SELECT i AS asset_id, 1 AS decoded_real, w AS width, h AS height,
+               round(CASE WHEN i % 4 = 2 THEN 20.0
+                          ELSE 8.0 * (w - 1) END, 6) AS mean_r6,
+               round(CASE WHEN i % 4 = 2 THEN 0.0
+                          ELSE 16.0 * sqrt((CAST(w AS DOUBLE) * w - 1) / 12)
+                     END, 6) AS std_r6
+        FROM d
     """
     # deterministic sampling: the md5 expression chain is chosen so the
     # SAME hash re-derives in any SQL engine — the oracle is the audit

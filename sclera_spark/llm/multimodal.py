@@ -1,12 +1,23 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are STUBS
-(deterministic fakes clearly marked below); everything Spark-side — the
-schema contract, partition-friendly batching via mapInPandas, UDF
-signatures, and Arrow batch shapes — is real and tested. Swapping a real
-decoder (PIL/torchaudio/ffmpeg) in means replacing ONLY the `_decode_*`
-functions.
+Three tiers of real-ness, each explicit:
+
+1. REAL pixel/sample decode for codec-free formats — PNG (stdlib zlib
+   inflate + scanline unfilter, decode_png), netpbm PPM/PGM (decode_ppm),
+   16-bit PCM WAV (decode_wav). image_pixel_features / audio_pcm_features
+   compute on actual decoded values and tag rows ``decoded_real``.
+2. REAL header-only metadata for every supported container
+   (PNG/JPEG/GIF/BMP/WAV — probe_media): parsed dimensions, sample rate,
+   exact duration.
+3. STUB kernels only where a format genuinely needs a codec library the
+   container lacks (JPEG entropy decode, GIF LZW, ...): deterministic
+   fakes clearly marked `_decode_*_stub`, reported as decoded_real=0 —
+   swapping PIL/torchaudio in means extending ONLY decode_pixels().
+
+Everything Spark-side — the schema contract, partition-friendly batching
+via mapInPandas, UDF signatures, Arrow batch shapes — is identical
+across tiers: payload bytes stay in Arrow batches and never shuffle.
 """
 
 from __future__ import annotations
@@ -21,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -63,6 +75,155 @@ def _decode_audio_stub(content: bytes, duration_ms: int) -> np.ndarray:
     seed = np.frombuffer(content[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
     rng = np.random.default_rng(int(seed) % (2**32))
     return (rng.random(n, dtype=np.float32) * 2 - 1)
+
+
+# ----------------------------------------------------------- real decode
+# REAL pixel/sample decoders for the formats that need no codec library:
+# PNG (stdlib zlib inflate + scanline unfilter), netpbm PPM/PGM (raw
+# bytes), and PCM WAV (struct). JPEG/GIF-LZW/etc. genuinely need codec
+# libs and stay stubbed — decode_pixels() reports which path a row took.
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
+    RGBA) to a (h, w, channels) uint8 array — pure stdlib zlib + numpy:
+    concatenate IDAT, inflate, undo the per-scanline filter (spec
+    filters 0-4). Filters None/Up/Sub are vectorized; Average/Paeth fall
+    back to a per-pixel loop (rare in practice — encoders emit them for
+    ratio, and correctness beats speed in a fallback)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, n = 8, len(content)
+    w = h = None
+    idat = []
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in (0, 2, 4, 6):
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(h):
+        f = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += 1 + stride
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = row + prev  # uint8 wraps, as the spec requires
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            cur = row
+            for c in range(ch):
+                cur[c::ch] = np.add.accumulate(cur[c::ch], dtype=np.uint8)
+        elif f in (3, 4):  # Average / Paeth: sequential per pixel
+            cur = row
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 3:
+                    cur[i] = (int(cur[i]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c0 = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c0
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c0)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
+                    cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Decode binary netpbm: P5 (grayscale) -> (h, w, 1), P6 (RGB) ->
+    (h, w, 3), 8-bit maxval. The codec-free image format — raw bytes
+    after a tiny ASCII header."""
+    if content[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM")
+    ch = 1 if content[:2] == b"P5" else 3
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields, i, n = [], 2, len(content)
+    while len(fields) < 3 and i < n:
+        while i < n and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < n and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(int(content[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm unsupported")
+    px = np.frombuffer(content, np.uint8, w * h * ch, i)
+    return px.reshape(h, w, ch).copy()
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode 16-bit PCM WAV to (float32 samples in [-1, 1] shaped
+    (frames, channels), sample_rate) — a RIFF chunk walk + one
+    frombuffer; PCM is raw samples, no codec involved."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, n = 12, len(content)
+    rate = channels = bits = fmt_code = None
+    data = None
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        (clen,) = struct.unpack_from("<I", content, i + 4)
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", content, i + 8)
+            (bits,) = struct.unpack_from("<H", content, i + 22)
+        elif cid == b"data":
+            data = content[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen % 2)
+    if fmt_code != 1 or bits != 16 or data is None:
+        raise ValueError("only 16-bit PCM WAV supported")
+    pcm = np.frombuffer(data, dtype="<i2")
+    pcm = pcm[: len(pcm) - len(pcm) % channels].reshape(-1, channels)
+    return pcm.astype(np.float32) / 32768.0, rate
+
+
+def decode_pixels(content: bytes) -> tuple[np.ndarray | None, bool]:
+    """Route to a REAL decoder when the format allows (PNG, PPM/PGM);
+    return (pixels, decoded_real). JPEG/GIF/BMP fall back to the stub
+    with decoded_real=False — swapping in a codec lib means extending
+    only this router."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content), True
+    if content[:2] in (b"P5", b"P6"):
+        return decode_ppm(content), True
+    return None, False
 
 
 # ---------------------------------------------------------------- header
@@ -247,6 +408,99 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.filter(F.col("media_type") == "audio").mapInPandas(gen, out_schema)
 
 
+def image_pixel_features(df: DataFrame) -> DataFrame:
+    """REAL pixel features where the format is codec-free (PNG via zlib
+    inflate+unfilter, PPM/PGM raw): mean/std intensity over actual pixel
+    values, true aspect ratio from the decoded array, an 8-bin row-mean
+    embedding — plus ``decoded_real`` so stub-decoded rows (JPEG/GIF/BMP)
+    are never silently mixed with real ones. mapInPandas: payload bytes
+    stay in Arrow batches and never shuffle."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("decoded_real", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_intensity", DoubleType()),
+            StructField("std_intensity", DoubleType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                px, real = decode_pixels(content)
+                if px is None:
+                    img = _decode_image_stub(content, 4, 4) * 255.0
+                    px = img[..., None]
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                # 8-bin embedding: mean intensity per vertical stripe
+                bins = np.array_split(gray, 8, axis=1)
+                emb = [float(b.mean()) if b.size else 0.0 for b in bins]
+                rows.append(
+                    (
+                        r.asset_id,
+                        int(real),
+                        w,
+                        h,
+                        float(gray.mean()),
+                        float(gray.std()),
+                        emb,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(gen, out_schema)
+
+
+def audio_pcm_features(df: DataFrame) -> DataFrame:
+    """REAL sample features for PCM WAV payloads: RMS energy,
+    zero-crossing rate and exact duration from the decoded samples
+    (decode_wav); non-PCM rows fall back to the stub with
+    decoded_real=0."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("decoded_real", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("duration_ms", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("zero_crossing_rate", DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                try:
+                    pcm, rate = decode_wav(content)
+                    mono = pcm.mean(axis=1)
+                    real, dur = 1, int(len(mono) * 1000 // rate)
+                except Exception:
+                    mono = _decode_audio_stub(content, 1000)
+                    real, rate, dur = 0, None, None
+                zc = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if len(mono) > 1 else 0.0
+                rows.append(
+                    (
+                        r.asset_id,
+                        real,
+                        rate,
+                        dur,
+                        float(np.sqrt((mono.astype(np.float64) ** 2).mean())),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.filter(F.col("media_type") == "audio").mapInPandas(gen, out_schema)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     timestamp (decode stubbed; timestamps are real)."""
@@ -298,11 +552,20 @@ def bmp_bytes(w: int, h: int) -> bytes:
     return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
 
 
-def wav_bytes(sample_rate: int, n_channels: int, duration_ms: int) -> bytes:
+def wav_bytes(
+    sample_rate: int, n_channels: int, duration_ms: int, tone_hz: float | None = None
+) -> bytes:
+    """Valid 16-bit PCM WAV: silence by default, or a full-scale-/2 sine
+    tone (REAL samples for decode_wav ground-truth tests)."""
     import struct
 
     frames = sample_rate * duration_ms // 1000
-    data = b"\x00" * (frames * n_channels * 2)  # 16-bit PCM silence
+    if tone_hz:
+        t = np.arange(frames, dtype=np.float64) / sample_rate
+        mono = np.round(np.sin(2 * np.pi * tone_hz * t) * 16384).astype("<i2")
+        data = np.repeat(mono, n_channels).tobytes()
+    else:
+        data = b"\x00" * (frames * n_channels * 2)
     fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
                       sample_rate * n_channels * 2, n_channels * 2, 16)
     return (
@@ -310,6 +573,50 @@ def wav_bytes(sample_rate: int, n_channels: int, duration_ms: int) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+def png_bytes_with_pixels(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a (h, w) or (h, w, ch) uint8 array as a REAL decodable PNG
+    (filter 0 or 2 per scanline + zlib) — round-trip ground truth for
+    decode_png."""
+    import struct
+    import zlib
+
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = px.reshape(h, w * ch)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        if filter_type == 2:
+            lines.append(b"\x02" + (flat[y] - prev).astype(np.uint8).tobytes())
+        else:
+            lines.append(b"\x00" + flat[y].tobytes())
+        prev = flat[y]
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def ppm_bytes(px: np.ndarray) -> bytes:
+    """Encode a (h, w) or (h, w, 3) uint8 array as binary PGM/PPM."""
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, ch = px.shape
+    magic = b"P5" if ch == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
 def synthetic_real_assets(spark, n: int = 100) -> DataFrame:
@@ -333,6 +640,43 @@ def synthetic_real_assets(spark, n: int = 100) -> DataFrame:
         else:
             rows.append(
                 (i, "audio", bytearray(wav_bytes(8000 * (i % 3 + 1), i % 2 + 1, (i % 10 + 1) * 100)))
+            )
+    return spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary"
+    )
+
+
+def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
+    """Asset table whose payloads carry REAL pixel/sample data (decodable
+    PNG gradients, raw PPM/PGM, sine-tone PCM WAV) with values derived
+    deterministically from the id — ground truth for the real-decode
+    feature path (image_pixel_features / audio_pcm_features)."""
+    rows = []
+    for i in range(n):
+        w, h = i % 16 + 1, i % 9 + 1
+        kind = i % 4
+        if kind in (0, 1):
+            # horizontal gradient, exact mean = (w-1)*8 over uint8 grid
+            px = np.tile(
+                (np.arange(w, dtype=np.uint16) * 16 % 256).astype(np.uint8), (h, 1)
+            )
+            if kind == 0:
+                content = png_bytes_with_pixels(px, filter_type=2 if i % 3 == 0 else 0)
+            else:
+                content = ppm_bytes(px)
+            rows.append((i, "image", bytearray(content)))
+        elif kind == 2:
+            px = np.stack([np.full((h, w), c, np.uint8) for c in (10, 20, 30)], axis=2)
+            rows.append((i, "image", bytearray(png_bytes_with_pixels(px))))
+        else:
+            rows.append(
+                (
+                    i,
+                    "audio",
+                    bytearray(
+                        wav_bytes(8000, 1, (i % 5 + 1) * 100, tone_hz=440.0)
+                    ),
+                )
             )
     return spark.createDataFrame(
         rows, "asset_id long, media_type string, content binary"

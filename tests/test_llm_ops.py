@@ -581,3 +581,113 @@ def test_sampling_and_text_entries_duck_parity(spark, duck):
     for name in ("hash_sample", "stratified_sample", "text_normalize", "url_extract"):
         sdf = entry.queries()[name](spark, SF_DIR)
         assert_df_equal_duck(sdf, duck, entry.oracle_sql()[name])
+
+
+# ------------------------------------------------- real pixel/sample decode
+
+
+def test_png_roundtrip_all_supported_shapes():
+    from sclera_spark.llm.multimodal import decode_png, png_bytes_with_pixels
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(5, 7, ch), dtype=np.uint8)
+        for ft in (0, 2):
+            out = decode_png(png_bytes_with_pixels(px, filter_type=ft))
+            assert out.shape == (5, 7, ch)
+            assert (out == px).all(), f"ch={ch} filter={ft}"
+
+
+def test_png_decode_sub_average_paeth_filters():
+    """Hand-filtered scanlines for the sequential filters (1=Sub, 3=Avg,
+    4=Paeth) against the spec's reconstruction functions."""
+    import struct
+    import zlib
+
+    from sclera_spark.llm.multimodal import decode_png
+
+    px = np.array([[10, 20, 30, 40], [15, 25, 35, 45]], dtype=np.uint8)
+    h, w = px.shape
+    # filter 1 (Sub) on row 0, filter 3 (Average) on row 1
+    r0 = np.diff(px[0], prepend=0).astype(np.uint8)
+    r1 = np.empty(w, np.uint8)
+    cur = px[1]
+    for i in range(w):
+        a = int(cur[i - 1]) if i else 0
+        r1[i] = (int(cur[i]) - ((a + int(px[0][i])) >> 1)) & 0xFF
+    raw = b"\x01" + r0.tobytes() + b"\x03" + r1.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png)[..., 0] == px).all()
+    # filter 4 (Paeth): predictor of row 1 given row 0
+    r1p = np.empty(w, np.uint8)
+    for i in range(w):
+        a = int(cur[i - 1]) if i else 0
+        b = int(px[0][i])
+        c = int(px[0][i - 1]) if i else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        r1p[i] = (int(cur[i]) - pred) & 0xFF
+    raw = b"\x01" + r0.tobytes() + b"\x04" + r1p.tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png)[..., 0] == px).all()
+
+
+def test_ppm_roundtrip_and_comments():
+    from sclera_spark.llm.multimodal import decode_ppm, ppm_bytes
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert (decode_ppm(ppm_bytes(gray))[..., 0] == gray).all()
+    rgb = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    assert (decode_ppm(ppm_bytes(rgb)) == rgb).all()
+    # header comments are legal netpbm
+    with_comment = b"P5\n# a comment\n6 4\n255\n" + gray.tobytes()
+    assert (decode_ppm(with_comment)[..., 0] == gray).all()
+
+
+def test_wav_pcm_decode_sine_ground_truth():
+    from sclera_spark.llm.multimodal import decode_wav, wav_bytes
+
+    pcm, rate = decode_wav(wav_bytes(8000, 1, 500, tone_hz=440.0))
+    assert rate == 8000 and pcm.shape == (4000, 1)
+    rms = float(np.sqrt((pcm.astype(np.float64) ** 2).mean()))
+    # full-scale/2 sine: rms = 0.5/sqrt(2) (PCM quantization ~1e-4)
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_image_pixel_features_real_path(spark):
+    from sclera_spark.llm.multimodal import image_pixel_features, synthetic_pixel_assets
+
+    feats = image_pixel_features(synthetic_pixel_assets(spark, 40)).collect()
+    by_id = {r.asset_id: r for r in feats}
+    assert all(r.decoded_real == 1 for r in feats)  # PNG/PPM decode for real
+    # constant-RGB PNGs (kind 2): exact gray mean = (10+20+30)/3, std 0
+    for i in range(2, 40, 4):
+        assert abs(by_id[i].mean_intensity - 20.0) < 1e-6
+        assert by_id[i].std_intensity == 0.0
+        assert by_id[i].width == i % 16 + 1 and by_id[i].height == i % 9 + 1
+
+
+def test_audio_pcm_features_real_path(spark):
+    from sclera_spark.llm.multimodal import audio_pcm_features, synthetic_pixel_assets
+
+    feats = audio_pcm_features(synthetic_pixel_assets(spark, 40)).collect()
+    assert feats and all(r.decoded_real == 1 for r in feats)
+    for r in feats:
+        assert r.sample_rate == 8000
+        assert r.duration_ms == (r.asset_id % 5 + 1) * 100
+        assert abs(r.rms - 0.5 / np.sqrt(2)) < 1e-3
