@@ -96,6 +96,13 @@ class DdlRouter:
             ),
             "_set_format_manifest",
         ),
+        (
+            re.compile(
+                r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$", re.I
+            ),
+            "_vacuum",
+        ),
+        (re.compile(r"^\s*SHOW\s+VERSIONS\s+(\w+)\s*$", re.I), "_show_versions"),
         (re.compile(r"^\s*ALTER\b.*$", re.I | re.S), "_alter"),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
@@ -154,6 +161,27 @@ class DdlRouter:
         ManifestTable.convert(self._path(name))
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)
+
+    def _require_manifest(self, name: str):
+        from sclera_spark.sources.manifest import ManifestTable
+
+        if name.lower() not in self.manifest_tables:
+            raise ValueError(
+                f"{name} is not a manifest table (ALTER TABLE {name} SET "
+                f"FORMAT MANIFEST first)"
+            )
+        return ManifestTable(self._path(name))
+
+    def _vacuum(self, name: str, retain: str | None):
+        """VACUUM t [RETAIN n VERSIONS] — physically delete data files
+        unreferenced by the n newest manifests (default 1: live only)."""
+        return self._require_manifest(name).vacuum(
+            keep_versions=int(retain) if retain else 1
+        )
+
+    def _show_versions(self, name: str):
+        """SHOW VERSIONS t — retained manifest versions, newest last."""
+        return self._require_manifest(name).versions()
 
     def table_at(self, name: str, version: int):
         """Time-travel read of a manifest table's retained version."""

@@ -145,3 +145,21 @@ def test_full_rewrite_path_is_versioned_too(engine, mtab):
     assert (
         engine.table(mtab).agg(F.max("o_totalprice")).first()[0] == 1.0
     )
+
+
+def test_vacuum_and_versions_sql_surface(engine, mtab):
+    engine.execute("DELETE FROM m_orders WHERE o_orderkey = 7")
+    engine.execute("DELETE FROM m_orders WHERE o_orderkey = 9")
+    assert engine.execute("SHOW VERSIONS m_orders") == [1, 2, 3]
+    deleted = engine.execute("VACUUM m_orders RETAIN 2 VERSIONS")
+    assert engine.execute("SHOW VERSIONS m_orders") == [2, 3]
+    engine.execute("VACUUM m_orders")
+    assert engine.execute("SHOW VERSIONS m_orders") == [3]
+    assert isinstance(deleted, list)
+    # non-manifest tables are rejected with a pointed message
+    engine.execute("CREATE TABLE plain_t AS SELECT 1 AS x")
+    try:
+        with pytest.raises(ValueError, match="not a manifest table"):
+            engine.execute("VACUUM plain_t")
+    finally:
+        engine.execute("DROP TABLE plain_t")
