@@ -1051,6 +1051,24 @@ def _q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped word-3-gram Jaccard pairs (llm/dedup.py
+    ngram_jaccard_pairs): the non-LSH dedup path, bounded by a
+    length-bucket group key (the quadratic ungrouped form is refused by
+    design — test_scale_guards.py). Exact DuckDB set-algebra oracle."""
+    from sclera_spark.llm import ngram_jaccard_pairs
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select(
+        "doc_id",
+        "text",
+        F.floor(F.length("text") / 400).cast("int").alias("len_bucket"),
+    )
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, group_col="len_bucket"
+    )
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% corpus sample keyed on a content hash of doc_id
     (llm/sample.py hash_sample): layout-independent, rerun-stable, pure
@@ -1268,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_contamination": _q_ngram_contamination,
             "stream_expmovavg": _q_stream_expmovavg,
             "multimodal_pixels": _q_multimodal_pixels,
+            "jaccard_pairs": _q_jaccard_pairs,
             "hash_sample": _q_hash_sample,
             "stratified_sample": _q_stratified_sample,
             "text_normalize": _q_text_normalize,
@@ -1830,6 +1849,33 @@ def oracle_sql() -> dict[str, str]:
             FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
         )
         SELECT user_id, event_id, ema FROM r
+    """
+    # grouped n-gram Jaccard: same set algebra as the op, replayed in
+    # DuckDB list functions (ASCII tokenizer '[^a-z0-9\\s]' replicated
+    # verbatim; bucket division forced float to match Spark's `/`)
+    oracles["jaccard_pairs"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(floor(length(text) / 400.0) AS INTEGER) AS g,
+                 list_filter(string_split_regex(lower(regexp_replace(
+                     text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, g,
+                 list_distinct(list_transform(
+                     range(1, greatest(len(w) - 3, 0) + 2),
+                     i -> array_to_string(w[i:i+2], ' '))) AS ng
+          FROM toks
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                 / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))
+                 AS jaccard
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))
+              >= 0.5
     """
     # real pixel decode: the fixture's gradient columns are c*16 (c < 16,
     # no uint8 wrap), so mean = 8(w-1) and population std = 16*sqrt((w^2-1)/12)
