@@ -26,10 +26,14 @@ Files dropped by a commit leave the manifest LOGICALLY but stay on disk,
 so every retained version remains readable (time travel); ``vacuum()``
 does the physical deletion on the operator's retention schedule.
 
-Single-writer semantics, like the reference's embedded-store DML
-(dbms/rdbms/*) — concurrent writers would need a lock or CAS on the
-pointer, which object stores can supply (e.g. conditional put); the
-protocol is deliberately expressible in those terms. Reads go through
+Concurrent writers on one host are serialized by an exclusive flock on
+``_sclera_log/LOCK`` held for the whole read-modify-publish of a commit
+(each mutation re-reads the live manifest INSIDE the lock, so two
+concurrent appends both land instead of lost-updating each other).
+Readers never take the lock. Cross-host writers on a shared object
+store would instead use the store's conditional-put as a CAS on the
+pointer — the protocol is deliberately expressible in those terms.
+Reads go through
 ``spark.read.parquet(*files)``, so Spark's vectorized reader, predicate
 pushdown and column pruning all apply unchanged; time travel is
 ``read(spark, version=N)`` for any retained manifest.
@@ -63,7 +67,8 @@ class ManifestTable:
         t = cls(path)
         os.makedirs(t.data_dir, exist_ok=True)
         os.makedirs(t.log_dir, exist_ok=True)
-        added = t._stage_in(df)
+        scratch, added = t._stage(df)
+        t._adopt(scratch, added)
         t._publish(1, added)
         return t
 
@@ -120,13 +125,39 @@ class ManifestTable:
 
     # ---- mutation (each is one atomic commit) ----
 
+    def _writer_lock(self):
+        """Exclusive advisory lock serializing same-host writers for the
+        read-modify-publish span of one commit. Live state is re-read
+        inside the lock, so concurrent mutations compose (no lost
+        updates) instead of clobbering each other's manifests."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            fd = os.open(
+                os.path.join(self.log_dir, "LOCK"), os.O_CREAT | os.O_RDWR
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return lock()
+
     def overwrite(self, df: DataFrame) -> None:
-        added = self._stage_in(df)
-        self._publish(self.version() + 1, added)
+        scratch, added = self._stage(df)
+        with self._writer_lock():
+            self._adopt(scratch, added)
+            self._publish(self.version() + 1, added)
 
     def append(self, df: DataFrame) -> None:
-        added = self._stage_in(df)
-        self._publish(self.version() + 1, self._file_names() + added)
+        scratch, added = self._stage(df)
+        with self._writer_lock():
+            self._adopt(scratch, added)
+            self._publish(self.version() + 1, self._file_names() + added)
 
     def replace_files(self, remove_paths: list[str], df: DataFrame) -> None:
         """The COW commit: swap the given live files for ``df``'s output
@@ -135,17 +166,29 @@ class ManifestTable:
         LOGICAL — the files leave the manifest but stay on disk for time
         travel until :meth:`vacuum` (the Delta/Iceberg retention model)."""
         removed = {os.path.basename(p) for p in remove_paths}
-        live = self._file_names()
-        unknown = removed - set(live)
-        if unknown:
-            raise ValueError(f"not live in current manifest: {sorted(unknown)}")
-        added = self._stage_in(df)
-        survivors = [f for f in live if f not in removed]
-        self._publish(self.version() + 1, survivors + added)
+        scratch, added = self._stage(df)
+        with self._writer_lock():
+            live = self._file_names()
+            unknown = removed - set(live)
+            if unknown:
+                shutil.rmtree(scratch, ignore_errors=True)
+                raise ValueError(
+                    f"not live in current manifest: {sorted(unknown)} "
+                    f"(a concurrent commit replaced them — retry the DML)"
+                )
+            survivors = [f for f in live if f not in removed]
+            self._adopt(scratch, added)
+            self._publish(self.version() + 1, survivors + added)
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` newest
-        manifests (and drop older manifests). Returns deleted file names."""
+        manifests (and drop older manifests). Returns deleted file names.
+        Takes the writer lock: a concurrent commit must not publish a
+        manifest referencing files vacuum is deciding to delete."""
+        with self._writer_lock():
+            return self._vacuum_locked(keep_versions)
+
+    def _vacuum_locked(self, keep_versions: int) -> list[str]:
         vs = self.versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
@@ -165,25 +208,36 @@ class ManifestTable:
     def _file_names(self) -> list[str]:
         return [os.path.basename(p) for p in self.files()]
 
-    def _stage_in(self, df: DataFrame) -> list[str]:
-        """Write ``df`` to a scratch dir, then move the part files into
-        data/ under collision-free names. Staged files are invisible until
-        a manifest references them."""
+    def _stage(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Write ``df`` to a scratch dir under collision-free final names.
+        The (slow) Spark write happens OUTSIDE the writer lock; files
+        enter data/ only via :meth:`_adopt` inside the lock — so nothing
+        unpublished ever sits in data/ where vacuum could eat it."""
         scratch = tempfile.mkdtemp(prefix="sclera_manifest_")
-        try:
-            df.write.mode("overwrite").parquet(scratch)
-            tag = uuid.uuid4().hex[:8]
-            moved = []
-            for i, f in enumerate(sorted(os.listdir(scratch))):
-                if f.startswith("part-") and not f.endswith(".crc"):
-                    name = f"part-{tag}-{i:05d}.parquet"
-                    os.rename(
-                        os.path.join(scratch, f), os.path.join(self.data_dir, name)
-                    )
-                    moved.append(name)
-            return moved
-        finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+        df.write.mode("overwrite").parquet(scratch)
+        tag = uuid.uuid4().hex[:8]
+        staged = []
+        for i, f in enumerate(sorted(os.listdir(scratch))):
+            if f.startswith("part-") and not f.endswith(".crc"):
+                name = f"part-{tag}-{i:05d}.parquet"
+                os.rename(os.path.join(scratch, f), os.path.join(scratch, name))
+                staged.append(name)
+        return scratch, staged
+
+    def _adopt(self, scratch: str, names: list[str]) -> None:
+        """Move staged part files into data/ (cheap renames, same FS via
+        the parquet temp dir? no — scratch may be on another mount, so
+        fall back to copy+rename when rename crosses devices)."""
+        for name in names:
+            src = os.path.join(scratch, name)
+            dst = os.path.join(self.data_dir, name)
+            try:
+                os.rename(src, dst)
+            except OSError:
+                tmp = dst + ".tmp"
+                shutil.copyfile(src, tmp)
+                os.rename(tmp, dst)
+        shutil.rmtree(scratch, ignore_errors=True)
 
     def _publish(self, version: int, files: list[str]) -> None:
         """Steps 2+3 of the commit protocol: durable manifest, then the

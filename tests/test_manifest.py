@@ -163,3 +163,35 @@ def test_vacuum_and_versions_sql_surface(engine, mtab):
             engine.execute("VACUUM plain_t")
     finally:
         engine.execute("DROP TABLE plain_t")
+
+
+def test_concurrent_appends_both_land(engine, mtab):
+    """Two writers committing at once: the flock + read-inside-lock
+    protocol composes the commits (no lost update) — final count is
+    base + both appends, versions advance by exactly 2."""
+    import threading
+
+    mt = _mt(engine, mtab)
+    n0 = engine.table(mtab).count()
+    v0 = mt.version()
+    errs = []
+
+    def add(key_base):
+        try:
+            inc = engine.spark.createDataFrame(
+                [(key_base + i, 1, 1.0) for i in range(5)],
+                engine.table(mtab).schema,
+            )
+            ManifestTable(engine._ddl._path(mtab)).append(inc)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=add, args=(b,)) for b in (50_000_000, 60_000_000)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert mt.version() == v0 + 2
+    engine._ddl._register_manifest(mtab)
+    assert engine.table(mtab).count() == n0 + 10
