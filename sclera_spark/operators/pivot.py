@@ -23,9 +23,23 @@ def pivot(
     labels: Sequence[str],
     agg: Column,
     aliases: dict[str, str] | None = None,
+    empty_value=None,
 ) -> DataFrame:
-    """PIVOT agg FOR pivot_col IN (labels [AS alias]) [PARTITION BY group_by]."""
+    """PIVOT agg FOR pivot_col IN (labels [AS alias]) [PARTITION BY group_by].
+
+    ``empty_value``: the aggregate's value over ZERO rows, when that is
+    not NULL — Spark's native pivot emits NULL for a label with no rows,
+    which is right for SUM/MIN/MAX/AVG but wrong for COUNT (SQL: 0).
+    Callers pass 0 for COUNT-family aggregates; found by the
+    extended-clause fuzzer (a label filtered out upstream)."""
+    from pyspark.sql import functions as F
+
     out = df.groupBy(*group_by).pivot(pivot_col, list(labels)).agg(agg)
+    if empty_value is not None:
+        for label in labels:
+            out = out.withColumn(
+                label, F.coalesce(F.col(f"`{label}`"), F.lit(empty_value))
+            )
     if aliases:
         for label, alias in aliases.items():
             out = out.withColumnRenamed(label, alias)

@@ -1129,6 +1129,9 @@ def _lower_op(engine, df, op: dict, item: dict):
             labels=labels_list,
             agg=agg,
             aliases=aliases or None,
+            # SQL COUNT over zero rows is 0, not the NULL Spark's native
+            # pivot emits for an absent label (fuzzer-found)
+            empty_value=0 if op["fn"].upper() == "COUNT" else None,
         )
     elif kind == "UNPIVOT":
         value_cols, key_labels = [], {}
