@@ -184,3 +184,104 @@ SHARDS = 6
 def test_fuzz_extended_shard(engine, duck, shard):
     for seed in range(shard, N_SEEDS, SHARDS):
         _run_one(engine, duck, 10_000 + seed)
+
+
+# ------------------------------------------------- MATCH semantic fuzz
+# Patterns of the run-decomposable family (maximal mid-label run +
+# immediate terminal, optional immediately-preceding prefix) have an
+# independent window-SQL ground truth — the same decomposition that
+# backs the labeled_fn_sql / match_alternation driver oracles, here
+# parameterized over label choices so the NFA is checked against DuckDB
+# on many pattern instances, not two.
+
+_EVENT_LABELS = ["view", "click", "purchase", "error", "signup"]
+
+
+class MatchGen:
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+
+    def query(self) -> tuple[str, str]:
+        mids = self.rng.sample(_EVENT_LABELS, k=self.rng.randint(1, 2))
+        terms = self.rng.sample(
+            [l for l in _EVENT_LABELS if l not in mids], k=self.rng.randint(1, 2)
+        )
+        prefix = self.rng.random() < 0.5
+        pre_choices = [l for l in _EVENT_LABELS if l not in mids and l not in terms]
+        pre = self.rng.choice(pre_choices) if prefix and pre_choices else None
+
+        mid_pat = "(" + " | ".join(m.upper() for m in mids) + ")+"
+        term_pat = "(" + " | ".join(t.upper() for t in terms) + ")"
+        pat = f"{mid_pat} {term_pat}"
+        if pre:
+            # optional prefix via alternation with an always-empty branch
+            pat = f"({pre.upper()} | ABSENT?) {pat}"
+
+        sclera = f"""
+            SELECT user_id, match_id, count(*) AS n_rows,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events ORDERED BY (ts, event_id) PARTITION BY user_id
+                 MATCH '{pat}' ON event_type
+            GROUP BY user_id, match_id
+        """
+        mid_in = ", ".join(f"'{m}'" for m in mids)
+        term_in = ", ".join(f"'{t}'" for t in terms)
+        pre_join = (
+            f"""LEFT JOIN e s ON s.user_id = r.user_id AND s.rn = r.rn_lo - 1
+                  AND s.event_type = '{pre}'"""
+            if pre
+            else "LEFT JOIN e s ON FALSE"
+        )
+        duck = f"""
+            WITH e AS (
+              SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            r0 AS (
+              SELECT *, rn - row_number() OVER (PARTITION BY user_id
+                                                ORDER BY rn) AS grp
+              FROM e WHERE event_type IN ({mid_in})
+            ),
+            runs AS (
+              SELECT user_id, grp, min(rn) AS rn_lo, max(rn) AS rn_hi,
+                     count(*) AS n_mid,
+                     min(ts) AS mid_min_ts, max(ts) AS mid_max_ts
+              FROM r0 GROUP BY user_id, grp
+            ),
+            m AS (
+              SELECT r.user_id, r.rn_lo, r.n_mid, r.mid_min_ts, r.mid_max_ts,
+                     t.ts AS term_ts, s.rn AS srn, s.ts AS s_ts
+              FROM runs r
+              JOIN e t ON t.user_id = r.user_id AND t.rn = r.rn_hi + 1
+                      AND t.event_type IN ({term_in})
+              {pre_join}
+            )
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY rn_lo) - 1
+                     AS match_id,
+                   n_mid + 1 + CASE WHEN srn IS NOT NULL THEN 1 ELSE 0 END
+                     AS n_rows,
+                   least(s_ts, mid_min_ts, term_ts) AS first_ts,
+                   greatest(mid_max_ts, term_ts) AS last_ts
+            FROM m
+        """
+        return sclera, duck
+
+
+N_MATCH_SEEDS = 30
+
+
+@pytest.mark.parametrize("shard", range(3))
+def test_fuzz_match_run_family(engine, duck, shard):
+    for seed in range(shard, N_MATCH_SEEDS, 3):
+        gen = MatchGen(random.Random(seed))
+        sclera_sql, duck_sql = gen.query()
+        expected = duck.execute(duck_sql).fetchall()
+        got = [tuple(r) for r in engine.sql(sclera_sql).collect()]
+        if _canon(got) != _canon(expected):
+            pytest.fail(
+                f"seed {seed}: MATCH mismatch ({len(got)} vs "
+                f"{len(expected)} rows)\n  {sclera_sql}"
+            )
