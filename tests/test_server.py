@@ -179,3 +179,24 @@ def test_concurrent_connections(server):
     for t in threads:
         t.join()
     assert not errors
+
+
+def test_manifest_dml_over_wire(server):
+    """A client doing atomic-DML table management end to end over the
+    wire: convert to manifest format, UPDATE (versioned commit), inspect
+    versions, vacuum, read back."""
+    c = connect(server)
+    try:
+        c.execute("CREATE TABLE wire_m AS SELECT 1 AS x UNION ALL SELECT 2 AS x")
+        c.execute("ALTER TABLE wire_m SET FORMAT MANIFEST")
+        c.execute("UPDATE wire_m SET x = 10 WHERE x = 1")
+        _, rows, _ = c.execute("SELECT sum(x) AS s FROM wire_m")
+        assert rows == [("12",)]
+        _, rows, _ = c.execute("SHOW VERSIONS wire_m")
+        assert [r[0] for r in rows] == ["1", "2"]
+        c.execute("VACUUM wire_m")
+        _, rows, _ = c.execute("SELECT sum(x) AS s FROM wire_m")
+        assert rows == [("12",)]
+    finally:
+        c.execute("DROP TABLE wire_m")
+        c.close()
