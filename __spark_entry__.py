@@ -1069,6 +1069,34 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (llm/spandedup.py
+    duplicated_spans): the relational form of suffix-array substring
+    dedup (Lee et al. 2022) — word-8-gram xxhash64 seeds, frequency-
+    pruned fp self-join, diagonal gaps-and-islands merge to maximal
+    spans, exact slice verification. The DuckDB oracle recomputes the
+    same spans from gram *strings* (no hashing), so a hash-green row
+    also certifies the fingerprint path admits no collisions/misses on
+    this corpus."""
+    from sclera_spark.llm import duplicated_spans
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    return duplicated_spans(docs, k=8, max_gram_freq=1000, verify=True)
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (llm/text.py vocab_stats): tf + doc
+    frequency per token, deterministic top-100 — the vocab-training /
+    idf-weighting building block. Single groupBy(token) shuffle with
+    map-side partials; top-n is a TakeOrdered over the vocabulary."""
+    from sclera_spark.llm import vocab_stats
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    return vocab_stats(docs, top_n=100)
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% corpus sample keyed on a content hash of doc_id
     (llm/sample.py hash_sample): layout-independent, rerun-stable, pure
@@ -1287,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_expmovavg": _q_stream_expmovavg,
             "multimodal_pixels": _q_multimodal_pixels,
             "jaccard_pairs": _q_jaccard_pairs,
+            "span_dups": _q_span_dups,
+            "vocab_topk": _q_vocab_topk,
             "hash_sample": _q_hash_sample,
             "stratified_sample": _q_stratified_sample,
             "text_normalize": _q_text_normalize,
@@ -1947,6 +1977,47 @@ def oracle_sql() -> dict[str, str]:
                    AS url
           FROM documents
         ) u
+    """
+    # substring-level dedup: the oracle recomputes the spans from gram
+    # STRINGS (no hashing) — a hash-green row certifies the xxhash64
+    # fingerprint path admits no collisions/misses on this corpus
+    oracles["span_dups"] = r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(
+                     text, '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, i AS pos, array_to_string(t[i:i+7], chr(31)) AS g
+          FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+          WHERE len(t) >= 8
+        ), elig AS (
+          SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000
+        ), seeds AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.pos AS pos_a, b.pos AS pos_b
+          FROM (SELECT * FROM grams WHERE g IN (SELECT g FROM elig)) a
+          JOIN (SELECT * FROM grams WHERE g IN (SELECT g FROM elig)) b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+        ), isl AS (
+          SELECT id_a, id_b, pos_a, pos_b,
+                 pos_a - row_number() OVER (
+                     PARTITION BY id_a, id_b, pos_a - pos_b
+                     ORDER BY pos_a) AS grp
+          FROM seeds
+        )
+        SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+               CAST(max(pos_a) - min(pos_a) + 8 AS BIGINT) AS span_len
+        FROM isl GROUP BY id_a, id_b, pos_a - pos_b, grp
+    """
+    oracles["vocab_topk"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(
+                     regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                     x -> x <> '')) AS token
+          FROM documents
+        )
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100
     """
     # Still rows-only, each for a concrete reason:
     # - classified_with / clustered_with / imputed_with / nlp_sentiment:

@@ -308,3 +308,34 @@ def url_extract(
         df.select(F.col(id_col), F.explode(urls).alias("url"))
         .withColumn("domain", F.regexp_extract(F.col("url"), _DOMAIN_FROM_URL, 1))
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency and document
+    frequency per token, top ``top_n`` by tf (token asc tie-break —
+    fully deterministic). The first step of tokenizer/vocab training and
+    of idf-weighted quality filters.
+
+    Scale shape: explode emits (id, token) pairs; one groupBy(token)
+    with map-side partial aggregation covers tf, and df rides the same
+    shuffle via count(DISTINCT id) (Catalyst expands it to a two-stage
+    distinct-then-count keyed on token — no second scan). The final
+    top-n is a TakeOrdered over the (much smaller) vocabulary, not a
+    global sort of the corpus."""
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("__id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(top_n)
+    )

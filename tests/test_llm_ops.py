@@ -691,3 +691,102 @@ def test_audio_pcm_features_real_path(spark):
         assert r.sample_rate == 8000
         assert r.duration_ms == (r.asset_id % 5 + 1) * 100
         assert abs(r.rms - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_duplicated_spans_duck_parity(spark, duck):
+    """The Spark fp-seeded span report equals the gram-string DuckDB
+    recomputation exactly — certifying both the diagonal merge and the
+    absence of xxhash64 collisions on this corpus."""
+    from sclera_spark.llm import duplicated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = duplicated_spans(docs.select("doc_id", "text"), k=8)
+    oracle = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(
+                 text, '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+7], chr(31)) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ), elig AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000
+    ), seeds AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM (SELECT * FROM grams WHERE g IN (SELECT g FROM elig)) a
+      JOIN (SELECT * FROM grams WHERE g IN (SELECT g FROM elig)) b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT id_a, id_b, pos_a, pos_b,
+             pos_a - row_number() OVER (
+                 PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM seeds
+    )
+    SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + 8 AS BIGINT) AS span_len
+    FROM isl GROUP BY id_a, id_b, pos_a - pos_b, grp
+    """
+    assert_df_equal_duck(out, duck, oracle)
+    assert out.count() > 0  # planted near-dups make this non-vacuous
+
+
+def test_duplicated_spans_planted(spark):
+    """Two docs sharing one known 20-token run -> exactly one maximal
+    span with exact offsets; a doc with no overlap contributes nothing."""
+    from sclera_spark.llm import duplicated_spans, span_dedup_mask
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "one two three four five " + shared),
+        (3, "completely different words " + " ".join(f"z{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicated_spans(docs, k=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.span_len == 20
+    assert r.start_a == 3  # after "alpha beta"
+    assert r.start_b == 6  # after five leading words
+    # survivor mask drops the higher id of the pair
+    spans = duplicated_spans(docs, k=8)
+    kept = span_dedup_mask(spans, docs, min_span=20)
+    assert sorted(x.doc_id for x in kept.collect()) == [1, 3]
+    # a stricter threshold keeps everything
+    kept_all = span_dedup_mask(spans, docs, min_span=21)
+    assert kept_all.count() == 3
+
+
+def test_duplicated_spans_gram_freq_cap(spark):
+    """A gram above max_gram_freq is boilerplate: with the cap at its
+    occurrence count the span appears, one lower it is suppressed."""
+    from sclera_spark.llm import duplicated_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(i, f"head{i} " + boiler + f" tail{i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    # the 8-gram "b0..b7" occurs 5 times -> 10 pairs with cap >= 5
+    assert duplicated_spans(docs, k=8, max_gram_freq=5).count() == 10
+    assert duplicated_spans(docs, k=8, max_gram_freq=4).count() == 0
+
+
+def test_vocab_stats_duck_parity(spark, duck):
+    from sclera_spark.llm import vocab_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = vocab_stats(docs.select("doc_id", "text"), top_n=50)
+    oracle = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(
+                 regexp_replace(text, '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+                 x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY token ORDER BY tf DESC, token ASC LIMIT 50
+    """
+    assert_df_equal_duck(out, duck, oracle)
