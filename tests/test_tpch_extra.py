@@ -3,7 +3,11 @@ columns the synthetic tables carry — no partsupp / commitdate / shipmode,
 so Q2/Q11/Q12/Q16/Q20 shapes are out of reach; these cover the remaining
 canonical shapes: EXISTS-decorrelation, selective scan aggregate,
 two-sided nation volume, returned-item revenue, large-order HAVING
-join-back, OR-of-ANDs predicate pushdown)."""
+join-back, OR-of-ANDs predicate pushdown, six-way star join (Q5),
+left-join count distribution (Q13), twice-referenced CTE + scalar max
+join-back (Q15), correlated-avg scalar subquery (Q17), double
+correlated EXISTS/NOT EXISTS (Q21), anti-join against a global-average
+scalar (Q22))."""
 
 from __future__ import annotations
 
@@ -122,4 +126,89 @@ def test_q14_shape_conditional_revenue_share(engine, duck):
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """)
+
+
+def test_q5_shape_local_supplier_volume(engine, duck):
+    _check(engine, duck, """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """)
+
+
+def test_q13_shape_customer_distribution(engine, duck):
+    _check(engine, duck, """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """)
+
+
+def test_q15_shape_top_supplier_cte(engine, duck):
+    _check(engine, duck, """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """)
+
+
+def test_q17_shape_correlated_avg(engine, duck):
+    _check(engine, duck, """
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        WHERE p_size <= 10
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem WHERE l_partkey = p_partkey)
+    """)
+
+
+def test_q21_shape_double_correlated_exists(engine, duck):
+    _check(engine, duck, """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """)
+
+
+def test_q22_shape_antijoin_global_avg(engine, duck):
+    _check(engine, duck, """
+        SELECT c_nationkey AS cntry, count(*) AS numcust,
+               round(sum(c_acctbal), 4) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'O')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """)
