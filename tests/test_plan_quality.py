@@ -265,3 +265,28 @@ def test_cobucketed_join_is_shuffle_free(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_duplicated_spans_plan_no_python_no_cartesian(engine):
+    """Span dedup must stay JVM-side (gram fingerprints are codegen'd
+    xxhash64 over array slices, no pandas hop) and every join is an
+    equi-join on the fingerprint / pair keys."""
+    from sclera_spark.llm import duplicated_spans
+
+    df = duplicated_spans(engine.table("documents").select("doc_id", "text"), k=8)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_vocab_stats_partial_aggregation(engine):
+    """tf must partial-aggregate map-side before the token shuffle, and
+    the top-n must be a TakeOrdered, not a global Sort."""
+    from sclera_spark.llm import vocab_stats
+
+    df = vocab_stats(engine.table("documents").select("doc_id", "text"), top_n=100)
+    plan = _plan(df)
+    assert "partial" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
