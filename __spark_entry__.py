@@ -1069,6 +1069,35 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + windowed aggregation
+    (streaming/ops.py stream_enrich): the events stream is joined per
+    micro-batch against the broadcast nation dimension, then aggregated
+    into event-time day windows per nation. The batch oracle is the same
+    join + time_bucket in DuckDB — streaming emission must equal batch
+    semantics exactly."""
+    from sclera_spark.streaming import run_to_memory, stream_enrich, windowed_agg
+
+    eng = _engine(spark, sf_dir)
+    dim = eng.table("nation").select("n_nationkey", "n_name")
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "nk", F.col("user_id") % 25
+    )
+    enriched = stream_enrich(stream, dim, on=F.col("nk") == F.col("n_nationkey"))
+    out = windowed_agg(
+        enriched,
+        ts_col="ts",
+        watermark="1 hour",
+        window_duration="1 day",
+        aggs={"n": F.count(F.lit(1)), "total": F.round(F.sum("value"), 6)},
+        keys=["n_name"],
+    )
+    q = run_to_memory(out, "entry_stream_enrich", output_mode="complete")
+    result = spark.table("entry_stream_enrich")
+    q.stop()
+    return result
+
+
 def _q_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span detection (llm/spandedup.py
     duplicated_spans): the relational form of suffix-array substring
@@ -1315,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_expmovavg": _q_stream_expmovavg,
             "multimodal_pixels": _q_multimodal_pixels,
             "jaccard_pairs": _q_jaccard_pairs,
+            "stream_enrich": _q_stream_enrich,
             "span_dups": _q_span_dups,
             "vocab_topk": _q_vocab_topk,
             "hash_sample": _q_hash_sample,
@@ -1977,6 +2007,17 @@ def oracle_sql() -> dict[str, str]:
                    AS url
           FROM documents
         ) u
+    """
+    # stream-static enrichment: batch join + time_bucket — streaming
+    # emission must equal batch semantics
+    oracles["stream_enrich"] = """
+        SELECT time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS window_start,
+               time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+               n_name,
+               count(*) AS n,
+               round(sum(value), 6) AS total
+        FROM events JOIN nation ON user_id % 25 = n_nationkey
+        GROUP BY 1, 2, 3
     """
     # substring-level dedup: the oracle recomputes the spans from gram
     # STRINGS (no hashing) — a hash-green row certifies the xxhash64

@@ -6,6 +6,7 @@ from sclera_spark.streaming.ops import (
     stream_expmovavg,
     stream_dedup,
     stream_quality_filter,
+    stream_enrich,
     run_to_memory,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "stream_expmovavg",
     "stream_dedup",
     "stream_quality_filter",
+    "stream_enrich",
     "run_to_memory",
 ]

@@ -140,6 +140,26 @@ def stream_quality_filter(
     )
 
 
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    static dimension table. The dimension is broadcast by default — it
+    ships once per executor and the unbounded stream side never shuffles,
+    which is the only join plan that holds up on an endless ingest (a
+    shuffled stream-static join would re-exchange every micro-batch).
+    Set ``broadcast=False`` only for dimensions too big to broadcast, and
+    pre-bucket both sides in that case. Left joins keep unmatched stream
+    rows (dimension misses become NULLs — the usual slowly-arriving-dim
+    posture); inner drops them."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on=on, how=how)
+
+
 _UNIT_MS = {
     "millisecond": 1, "milliseconds": 1,
     "second": 1000, "seconds": 1000,

@@ -536,3 +536,57 @@ def test_stream_expmovavg_matches_batch(spark, tables):
     assert len(got) == len(batch)
     diffs = [k for k in batch if got[k] != batch[k]]
     assert not diffs, f"{len(diffs)} EMA divergences, e.g. {diffs[:3]}"
+
+
+def test_stream_enrich_matches_batch(spark, tables, stream_dir):
+    """Stream-static broadcast join per micro-batch == the batch join;
+    left-join keeps dimension misses as NULLs."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.streaming import (
+        run_to_memory,
+        stream_enrich,
+        stream_from_directory,
+    )
+
+    d, schema = stream_dir
+    dim = tables["nation"].select("n_nationkey", "n_name")
+    stream = stream_from_directory(spark, d, schema).withColumn(
+        "nk", F.col("user_id") % 25
+    )
+    out = stream_enrich(stream, dim, on=F.col("nk") == F.col("n_nationkey"))
+    q = run_to_memory(out, "senrich", output_mode="append")
+    try:
+        got = {
+            (r.event_id, r.n_name)
+            for r in spark.table("senrich").select("event_id", "n_name").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.event_id, r.n_name)
+        for r in spark.read.parquet(d)
+        .withColumn("nk", F.col("user_id") % 25)
+        .join(dim, F.col("nk") == F.col("n_nationkey"))
+        .select("event_id", "n_name")
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+
+    # left join keeps unmatched stream rows (+20 shifts part of the key
+    # range past n_nationkey's 0-24 domain)
+    stream2 = stream_from_directory(spark, d, schema).withColumn(
+        "nk", F.col("user_id") % 40 + 20
+    )
+    out2 = stream_enrich(
+        stream2, dim, on=F.col("nk") == F.col("n_nationkey"), how="left"
+    )
+    q2 = run_to_memory(out2, "senrich_left", output_mode="append")
+    try:
+        left_rows = spark.table("senrich_left").count()
+        misses = spark.table("senrich_left").filter("n_name IS NULL").count()
+    finally:
+        q2.stop()
+    total = spark.read.parquet(d).count()
+    assert left_rows == total
+    assert misses > 0
