@@ -1069,6 +1069,28 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py asof_join): each purchase event
+    matched to the same user's most recent view event at or before it —
+    the single-shuffle union+window plan (never an inequality
+    nested-loop). Oracle: DuckDB's native ASOF LEFT JOIN; (user_id, ts)
+    is unique in the corpus, so the match is total-order deterministic."""
+    from sclera_spark.operators import asof_join
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(left, right, on="ts", by=["user_id"])
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join + windowed aggregation
     (streaming/ops.py stream_enrich): the events stream is joined per
@@ -1344,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_expmovavg": _q_stream_expmovavg,
             "multimodal_pixels": _q_multimodal_pixels,
             "jaccard_pairs": _q_jaccard_pairs,
+            "asof_join": _q_asof_join,
             "stream_enrich": _q_stream_enrich,
             "span_dups": _q_span_dups,
             "vocab_topk": _q_vocab_topk,
@@ -2007,6 +2030,15 @@ def oracle_sql() -> dict[str, str]:
                    AS url
           FROM documents
         ) u
+    """
+    # as-of join: DuckDB's native ASOF JOIN is the oracle for the
+    # union+window lowering
+    oracles["asof_join"] = """
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.event_id AS view_event_id, r.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """
     # stream-static enrichment: batch join + time_bucket — streaming
     # emission must equal batch semantics

@@ -187,3 +187,98 @@ def test_typeinfer(spark):
     out = infer_types(df)
     types = dict(out.dtypes)
     assert types == {"a": "int", "b": "double", "c": "date", "d": "string"}
+
+
+# ---------------------------------------------------------------- asof join
+
+
+def test_asof_join_semantics(spark):
+    from sclera_spark.operators import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 5, 10), (1, 8, 20), (2, 3, 30), (1, None, 99)], "g int, t int, v int"
+    )
+    r = spark.createDataFrame(
+        [(1, 4, 100), (1, 7, 200), (2, 9, 300), (1, None, 888)],
+        "g int, t int, p int",
+    )
+    back = {(x.g, x.t): x.p for x in asof_join(l, r, on="t", by=["g"]).collect()}
+    assert back == {(1, 5): 100, (1, 8): 200, (2, 3): None, (1, None): None}
+    fwd = {
+        (x.g, x.t): x.p
+        for x in asof_join(l, r, on="t", by=["g"], direction="forward").collect()
+    }
+    assert fwd == {(1, 5): 200, (1, 8): None, (2, 3): 300, (1, None): None}
+    tol = {
+        (x.g, x.t): x.p
+        for x in asof_join(l, r, on="t", by=["g"], tolerance="1").collect()
+    }
+    assert tol == {(1, 5): 100, (1, 8): 200, (2, 3): None, (1, None): None}
+    inner = asof_join(l, r, on="t", by=["g"], how="inner")
+    assert inner.count() == 2
+    # equal keys match inclusively
+    l2 = spark.createDataFrame([(1, 7, 1)], "g int, t int, v int")
+    eq = asof_join(l2, r, on="t", by=["g"]).collect()[0]
+    assert eq.p == 200
+
+
+def test_asof_join_matches_pandas_merge_asof(tables):
+    import pandas as pd
+
+    from sclera_spark.operators import asof_join
+
+    ev = tables["events"].select("event_id", "user_id", "ts", "event_type", "value")
+    left = ev.filter("event_type = 'click'").drop("event_type")
+    right = (
+        ev.filter("event_type = 'signup'")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumnRenamed("event_id", "s_id")
+        .withColumnRenamed("value", "s_value")
+    )
+    got = (
+        asof_join(left, right, on="ts", by=["user_id"], tolerance="'2' HOUR")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    exp = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", tolerance=pd.Timedelta(hours=2)
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in ("s_id", "s_value"):
+        ge = got[col].fillna(-1).tolist()
+        ee = exp[col].fillna(-1).tolist()
+        assert ge == ee, f"{col} mismatch"
+
+
+def test_asof_join_plan_no_nested_loop(tables):
+    from sclera_spark.operators import asof_join
+
+    ev = tables["events"].select("event_id", "user_id", "ts", "event_type", "value")
+    left = ev.filter("event_type = 'purchase'").drop("event_type")
+    right = ev.filter("event_type = 'view'").select(
+        "user_id", "ts", tables["events"]["event_id"].alias("v_id")
+    )
+    df = asof_join(left, right, on="ts", by=["user_id"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the whole point: a window pass, not an inequality join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # no join operator at all — union + window
+    assert plan.count("Exchange") <= 2  # union sides + the window shuffle
+
+
+def test_asof_join_warns_unpartitioned(spark):
+    import warnings
+
+    from sclera_spark.operators import asof_join
+    from sclera_spark.scale import UnpartitionedFallbackWarning
+
+    l = spark.createDataFrame([(1, 1)], "t int, v int")
+    r = spark.createDataFrame([(1, 2)], "t int, p int")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        asof_join(l, r, on="t")
+        assert any(issubclass(x.category, UnpartitionedFallbackWarning) for x in w)
