@@ -1091,6 +1091,34 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, on="ts", by=["user_id"])
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/rangejoin.py range_join): click
+    activity windows [ts, ts + value minutes] overlapped with same-user
+    view windows — binned equi-join + canonical-bin exactly-once
+    emission, never an inequality nested-loop. Oracle: DuckDB's
+    inequality join (its optimizer lowers it to an IEJoin — same answer,
+    different engine-appropriate plan)."""
+    from sclera_spark.operators import range_join
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("lid"),
+        "user_id",
+        F.unix_timestamp("ts").alias("ls"),
+        (F.unix_timestamp("ts") + (F.col("value") * 60).cast("long")).alias("le"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        F.unix_timestamp("ts").alias("rs"),
+        (F.unix_timestamp("ts") + (F.col("value") * 60).cast("long")).alias("re"),
+    )
+    return range_join(
+        left, right, ("ls", "le"), ("rs", "re"), by=["user_id"], bin_width=3600
+    )
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join + windowed aggregation
     (streaming/ops.py stream_enrich): the events stream is joined per
@@ -1367,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_pixels": _q_multimodal_pixels,
             "jaccard_pairs": _q_jaccard_pairs,
             "asof_join": _q_asof_join,
+            "range_join": _q_range_join,
             "stream_enrich": _q_stream_enrich,
             "span_dups": _q_span_dups,
             "vocab_topk": _q_vocab_topk,
@@ -2039,6 +2068,21 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+    # range join: DuckDB's inequality join (internally an IEJoin) is the
+    # oracle for the binned equi-join lowering
+    oracles["range_join"] = """
+        WITH l AS (
+          SELECT event_id AS lid, user_id, CAST(trunc(epoch(ts)) AS BIGINT) AS ls,
+                 CAST(trunc(epoch(ts)) AS BIGINT) + CAST(trunc(value * 60) AS BIGINT) AS le
+          FROM events WHERE event_type = 'click'
+        ), r AS (
+          SELECT event_id AS rid, user_id, CAST(trunc(epoch(ts)) AS BIGINT) AS rs,
+                 CAST(trunc(epoch(ts)) AS BIGINT) + CAST(trunc(value * 60) AS BIGINT) AS re
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT l.user_id, lid, ls, le, rid, rs, re
+        FROM l JOIN r ON l.user_id = r.user_id AND ls <= re AND rs <= le
     """
     # stream-static enrichment: batch join + time_bucket — streaming
     # emission must equal batch semantics

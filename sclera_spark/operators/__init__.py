@@ -1,5 +1,6 @@
 from sclera_spark.operators.distinct_on import distinct_on
 from sclera_spark.operators.asof import asof_join
+from sclera_spark.operators.rangejoin import range_join, point_in_interval_join
 from sclera_spark.operators.arg import arg_opt
 from sclera_spark.operators.pivot import pivot, unpivot
 from sclera_spark.operators.intervals import split_into
@@ -17,6 +18,8 @@ from sclera_spark.operators.window_seq import (
 
 __all__ = [
     "asof_join",
+    "range_join",
+    "point_in_interval_join",
     "distinct_on",
     "arg_opt",
     "pivot",

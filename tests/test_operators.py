@@ -282,3 +282,81 @@ def test_asof_join_warns_unpartitioned(spark):
         warnings.simplefilter("always")
         asof_join(l, r, on="t")
         assert any(issubclass(x.category, UnpartitionedFallbackWarning) for x in w)
+
+
+# --------------------------------------------------------------- range join
+
+
+def test_range_join_matches_brute_force(spark):
+    """Binned equi-join + canonical-bin emission == brute-force overlap,
+    across bin widths smaller / comparable / larger than the intervals."""
+    import random
+
+    from sclera_spark.operators import point_in_interval_join, range_join
+
+    rng = random.Random(7)
+    L = []
+    for i in range(120):
+        g, s = rng.randint(0, 3), rng.randint(-50, 100)
+        L.append((i, g, s, s + rng.randint(0, 40)))
+    R = []
+    for i in range(150):
+        g, s = rng.randint(0, 3), rng.randint(-50, 100)
+        R.append((i, g, s, s + rng.randint(0, 40)))
+    l = spark.createDataFrame(L, "lid int, g int, ls long, le long")
+    r = spark.createDataFrame(R, "rid int, g int, rs long, re long")
+    exp = {
+        (a[0], b[0])
+        for a in L
+        for b in R
+        if a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3]
+    }
+    for w in (7, 64, 1000):
+        got = {
+            (x.lid, x.rid)
+            for x in range_join(
+                l, r, ("ls", "le"), ("rs", "re"), by=["g"], bin_width=w
+            ).collect()
+        }
+        assert got == exp, f"bin_width={w}"
+    # strict (half-open) overlap drops touching intervals
+    strict = {
+        (x.lid, x.rid)
+        for x in range_join(
+            l, r, ("ls", "le"), ("rs", "re"), by=["g"], bin_width=64, closed=False
+        ).collect()
+    }
+    exp_strict = {
+        (a[0], b[0])
+        for a in L
+        for b in R
+        if a[1] == b[1] and a[2] < b[3] and b[2] < a[3]
+    }
+    assert strict == exp_strict and len(strict) < len(exp)
+    # point-in-interval degenerate case
+    P = [(i, rng.randint(0, 3), rng.randint(-50, 140)) for i in range(100)]
+    p = spark.createDataFrame(P, "pid int, g int, pt long")
+    got_p = {
+        (x.pid, x.rid)
+        for x in point_in_interval_join(
+            p, r, "pt", ("rs", "re"), by=["g"], bin_width=64
+        ).collect()
+    }
+    exp_p = {
+        (a[0], b[0])
+        for a in P
+        for b in R
+        if a[1] == b[1] and b[2] <= a[2] <= b[3]
+    }
+    assert got_p == exp_p
+
+
+def test_range_join_plan_is_equi_join(spark):
+    from sclera_spark.operators import range_join
+
+    l = spark.range(100).selectExpr("id AS lid", "id % 4 AS g", "id AS ls", "id + 10 AS le")
+    r = spark.range(100).selectExpr("id AS rid", "id % 4 AS g", "id AS rs", "id + 10 AS re")
+    df = range_join(l, r, ("ls", "le"), ("rs", "re"), by=["g"], bin_width=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
