@@ -1119,6 +1119,63 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade (operators/rollup.py
+    time_rollup): hour buckets from raw events, day buckets RE-aggregated
+    from the hour level (raw scanned once). Oracle computes both levels
+    directly with time_bucket — cascade == direct is the invariant under
+    test (count/min/max exactly; sum to 6dp, re-aggregation order is
+    engine-specific)."""
+    from sclera_spark.operators import time_rollup
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events")
+    levels = time_rollup(
+        ev,
+        "ts",
+        aggs={
+            "n": ("count", None),
+            "total": ("sum", "value"),
+            "mn": ("min", "value"),
+            "mx": ("max", "value"),
+        },
+        levels=["1 hour", "1 day"],
+        keys=["event_type"],
+    )
+    parts = [
+        d.select(
+            F.lit(lv).alias("level"),
+            "bucket_start",
+            "bucket_end",
+            "event_type",
+            "n",
+            F.round("total", 6).alias("total"),
+            "mn",
+            "mx",
+        )
+        for lv, d in levels.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (llm/sample.py
+    weighted_sample, Efraimidis-Spirakis A-ES keyed on the md5 hash):
+    20 documents per language, inclusion odds proportional to document
+    length. The DuckDB oracle re-derives the identical scores — the
+    audit property the sampling tier is built around."""
+    from sclera_spark.llm import weighted_sample
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, "n_chars", 20, "doc_id", group_col="lang", salt="ws"
+    )
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join + windowed aggregation
     (streaming/ops.py stream_enrich): the events stream is joined per
@@ -1396,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jaccard_pairs": _q_jaccard_pairs,
             "asof_join": _q_asof_join,
             "range_join": _q_range_join,
+            "time_rollup": _q_time_rollup,
+            "weighted_sample": _q_weighted_sample,
             "stream_enrich": _q_stream_enrich,
             "span_dups": _q_span_dups,
             "vocab_topk": _q_vocab_topk,
@@ -2083,6 +2142,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT l.user_id, lid, ls, le, rid, rs, re
         FROM l JOIN r ON l.user_id = r.user_id AND ls <= re AND rs <= le
+    """
+    # continuous-aggregate cascade: direct per-level time_bucket — the
+    # cascade (day from hour) must equal direct (day from raw)
+    oracles["time_rollup"] = """
+        SELECT '1 hour' AS level,
+               time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS bucket_start,
+               time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) + INTERVAL 1 HOUR AS bucket_end,
+               event_type, count(*) AS n, round(sum(value), 6) AS total,
+               min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY 2, 3, 4
+        UNION ALL
+        SELECT '1 day' AS level,
+               time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS bucket_start,
+               time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) + INTERVAL 1 DAY AS bucket_end,
+               event_type, count(*) AS n, round(sum(value), 6) AS total,
+               min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY 2, 3, 4
+    """
+    # weighted sampling: the oracle re-derives the exact A-ES scores from
+    # the same md5 expression — the audit property of the sampling tier
+    oracles["weighted_sample"] = """
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY -ln((CAST(('0x' || substr(md5('ws' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                AS DOUBLE) + 0.5) / 4294967296.0)
+                              / n_chars ASC,
+                              doc_id ASC) AS rk
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        ) t WHERE rk <= 20
     """
     # stream-static enrichment: batch join + time_bucket — streaming
     # emission must equal batch semantics

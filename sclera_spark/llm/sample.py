@@ -82,3 +82,49 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str,
+    group_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES),
+    deterministic: each row draws its pseudo-uniform u from the key hash
+    and is ranked by score = -ln(u) / weight ascending; the top ``n``
+    (per stratum if ``group_col``) win. Inclusion probability is
+    proportional to weight, and — like the other operators here — the
+    outcome is reproducible and layout-independent, with the SAME
+    expression re-derivable in any SQL engine for audit.
+
+    Rows with NULL or non-positive weight are excluded (they cannot be
+    drawn). u is offset to (0, 1) — (h + 0.5) / 2^32 — so ln never sees
+    0 and the score stays finite. One window shuffle (on the stratum, or
+    a single global reducer when ``group_col`` is None — fine for
+    top-n-of-corpus sizes of n, not for huge global samples)."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_BUCKETS)
+    score = -F.log(u) / F.col(weight_col)
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__score", score)
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("__score").asc(), F.col(key_col).asc()
+    )
+    return (
+        eligible.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk", "__score")
+    )

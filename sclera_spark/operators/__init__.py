@@ -1,6 +1,7 @@
 from sclera_spark.operators.distinct_on import distinct_on
 from sclera_spark.operators.asof import asof_join
 from sclera_spark.operators.rangejoin import range_join, point_in_interval_join
+from sclera_spark.operators.rollup import time_rollup
 from sclera_spark.operators.arg import arg_opt
 from sclera_spark.operators.pivot import pivot, unpivot
 from sclera_spark.operators.intervals import split_into
@@ -20,6 +21,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "point_in_interval_join",
+    "time_rollup",
     "distinct_on",
     "arg_opt",
     "pivot",

@@ -790,3 +790,35 @@ def test_vocab_stats_duck_parity(spark, duck):
     FROM toks GROUP BY token ORDER BY tf DESC, token ASC LIMIT 50
     """
     assert_df_equal_duck(out, duck, oracle)
+
+
+def test_weighted_sample_quota_layout_and_eligibility(spark):
+    from sclera_spark.llm import weighted_sample
+
+    rows = [(i, "g%d" % (i % 3), float(i % 7) - 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, g string, w double")
+    out = weighted_sample(df, "w", 5, "k", group_col="g", salt="s")
+    pdf = out.toPandas()
+    # exact quota per stratum; only positive weights eligible
+    assert pdf.groupby("g").size().tolist() == [5, 5, 5]
+    assert (pdf.w > 0).all()
+    # layout-independent: a different physical partitioning draws the
+    # same sample
+    out2 = weighted_sample(df.repartition(13, "w"), "w", 5, "k", group_col="g", salt="s")
+    assert set(map(tuple, pdf[["k"]].values.tolist())) == {
+        (r.k,) for r in out2.collect()
+    }
+    # weights bias inclusion: across many salts, a weight-7 row must be
+    # drawn more often than a weight-1 row (single global stratum)
+    heavy = spark.createDataFrame(
+        [(1, 10.0), (2, 0.1)], "k int, w double"
+    )
+    import warnings
+
+    wins = {1: 0, 2: 0}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for s in range(12):
+            top = weighted_sample(heavy, "w", 1, "k", salt=str(s)).collect()[0]
+            wins[top.k] += 1
+    assert wins[1] > wins[2]

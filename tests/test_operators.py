@@ -360,3 +360,53 @@ def test_range_join_plan_is_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------------- time rollup
+
+
+def test_time_rollup_cascade_equals_direct(tables):
+    """Day buckets re-aggregated from hour buckets == day buckets
+    computed directly from raw (exactly for count/min/max)."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.operators import time_rollup
+
+    ev = tables["events"]
+    levels = time_rollup(
+        ev,
+        "ts",
+        aggs={"n": ("count", None), "mn": ("min", "value"), "mx": ("max", "value")},
+        levels=["1 hour", "1 day"],
+        keys=["event_type"],
+    )
+    got = {
+        (r.bucket_start, r.event_type): (r.n, r.mn, r.mx)
+        for r in levels["1 day"].collect()
+    }
+    direct = {
+        (r.bucket_start, r.event_type): (r.n, r.mn, r.mx)
+        for r in ev.groupBy(
+            F.window("ts", "1 day").alias("__w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .select(F.col("__w.start").alias("bucket_start"), "event_type", "n", "mn", "mx")
+        .collect()
+    }
+    assert got == direct and len(got) > 0
+
+
+def test_time_rollup_validates_nesting_and_kinds(tables):
+    import pytest as _pytest
+
+    from sclera_spark.operators import time_rollup
+
+    ev = tables["events"]
+    with _pytest.raises(ValueError, match="nest"):
+        time_rollup(ev, "ts", {"n": ("count", None)}, ["2 hours", "3 hours"])
+    with _pytest.raises(ValueError, match="decomposable"):
+        time_rollup(ev, "ts", {"a": ("avg", "value")}, ["1 hour", "1 day"])
