@@ -195,3 +195,74 @@ def test_concurrent_appends_both_land(engine, mtab):
     assert mt.version() == v0 + 2
     engine._ddl._register_manifest(mtab)
     assert engine.table(mtab).count() == n0 + 10
+
+
+def _mp_append_worker(path: str, wid: int, k: int):
+    """Cross-process writer: stages tiny parquet parts with pyarrow (no
+    Spark JVM needed) and drives the real locked read-modify-publish
+    commit cycle."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(path)
+    for i in range(k):
+        scratch = tempfile.mkdtemp(prefix="mp_commit_")
+        name = f"part-w{wid}-{i:05d}.parquet"
+        pq.write_table(
+            pa.table({"x": pa.array([wid * 1000 + i], type=pa.int64())}),
+            os.path.join(scratch, name),
+        )
+        with t._writer_lock():
+            t._adopt(scratch, [name])
+            t._publish(t.version() + 1, t._file_names() + [name])
+
+
+def test_cross_process_writers_compose(tmp_path):
+    """flock is advisory per-FD — the property that matters is between
+    PROCESSES: 4 concurrent writer processes x 5 commits each must
+    serialize into 20 consecutive versions with every file referenced
+    (no lost updates), and the final snapshot must contain every row."""
+    import multiprocessing as mp
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    path = str(tmp_path / "mptab")
+    t = ManifestTable(path)
+    os.makedirs(t.data_dir)
+    os.makedirs(t.log_dir)
+    pq.write_table(
+        pa.table({"x": pa.array([-1], type=pa.int64())}),
+        os.path.join(t.data_dir, "part-seed-00000.parquet"),
+    )
+    t._publish(1, ["part-seed-00000.parquet"])
+
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_mp_append_worker, args=(path, w, 5)) for w in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+
+    t2 = ManifestTable(path)
+    assert t2.version() == 21  # 1 seed + 20 serialized commits
+    assert len(t2.files()) == 21
+    rows = duckdb.sql(
+        f"SELECT x FROM read_parquet({[p for p in t2.files()]!r})"
+    ).fetchall()
+    got = sorted(v for (v,) in rows)
+    assert got == sorted(
+        [-1] + [w * 1000 + i for w in range(4) for i in range(5)]
+    )
