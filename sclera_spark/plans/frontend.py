@@ -69,6 +69,41 @@ def _rewrite_casts(text: str) -> str:
     return text
 
 
+# pg/Sclera type names Spark rejects (bare VARCHAR needs a length) or
+# does not know (INT4, FLOAT8, ...), normalized in cast positions only —
+# the DDL column-type path has its own map (ddl.py _TYPE_MAP)
+_BARE_TYPE_MAP = {
+    "VARCHAR": "STRING", "TEXT": "STRING", "CLOB": "STRING",
+    "CHARACTER VARYING": "STRING", "CHARACTER": "STRING", "CHAR": "STRING",
+    "BLOB": "BINARY", "BYTEA": "BINARY",
+    "INT2": "SMALLINT", "INT4": "INT", "INT8": "BIGINT",
+    "FLOAT4": "FLOAT", "FLOAT8": "DOUBLE",
+}
+_TYPE_ALT = "|".join(sorted(_BARE_TYPE_MAP, key=len, reverse=True)).replace(
+    " ", r"\s+"
+)
+# `:: T` is an unambiguous cast context (covers the parenthesized-operand
+# casts _rewrite_casts leaves to Spark); `CAST(simple AS T)` covers the
+# spelled-out form for paren-free operands. A parameterized type
+# (VARCHAR(10)) is valid Spark and stays untouched.
+_COLONS_TYPE_RE = re.compile(
+    rf"::\s*({_TYPE_ALT})\b(?!\s*\()", re.IGNORECASE
+)
+_CAST_AS_TYPE_RE = re.compile(
+    rf"(CAST\s*\([^()]*?\s+AS\s+)({_TYPE_ALT})(\s*\))", re.IGNORECASE
+)
+
+
+def _normalize_cast_types(text: str) -> str:
+    def canon(name: str) -> str:
+        return _BARE_TYPE_MAP[" ".join(name.upper().split())]
+
+    text = _COLONS_TYPE_RE.sub(lambda m: f"::{canon(m.group(1))}", text)
+    return _CAST_AS_TYPE_RE.sub(
+        lambda m: f"{m.group(1)}{canon(m.group(2))}{m.group(3)}", text
+    )
+
+
 _DISTINCT_ON_RE = re.compile(r"SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
@@ -844,7 +879,9 @@ def dialect_rewrite(sql: str) -> str:
         if is_lit:
             out.append(text)
         else:
-            t = _rewrite_casts(text)
+            t = _normalize_cast_types(text)
+            t = _rewrite_casts(t)
+            t = _normalize_cast_types(t)
             t = _rewrite_fn_names(t)
             t = _rewrite_external_fns(t)
             t = _rewrite_postfix_null(t)

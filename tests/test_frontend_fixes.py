@@ -429,3 +429,27 @@ def test_quantified_correlated_tpch_parity(engine, duck):
     s = sorted(r[0] for r in engine.sql(q).collect())
     d = sorted(r[0] for r in duck.execute(q).fetchall())
     assert s == d
+
+
+def test_cast_type_normalization(spark, tables):
+    """pg/Sclera type names in cast positions: bare VARCHAR/TEXT ->
+    STRING, INT8/FLOAT8 -> BIGINT/DOUBLE, for both `::` (word and
+    parenthesized operands) and spelled-out CAST. Found by the CTE fuzz
+    family (seed 4: f::VARCHAR inside a WITH body)."""
+    from sclera_spark.engine import ScleraEngine
+
+    eng = ScleraEngine(spark)
+    row = eng.sql(
+        "SELECT o_totalprice::VARCHAR AS a, CAST(o_orderkey AS TEXT) AS b, "
+        "(o_orderkey + 1)::VARCHAR AS c, o_orderkey::INT8 AS d, "
+        "o_totalprice::FLOAT8 AS e, 'x'::Text AS f, "
+        "CAST(o_orderkey AS VARCHAR(10)) AS g "
+        "FROM orders ORDER BY o_orderkey LIMIT 1"
+    ).collect()[0]
+    assert isinstance(row.a, str) and isinstance(row.b, str)
+    assert isinstance(row.c, str) and isinstance(row.f, str)
+    assert isinstance(row.d, int) and isinstance(row.e, float)
+    assert isinstance(row.g, str)
+    # not fooled by literals or aliases
+    lit = eng.sql("SELECT ' x::VARCHAR ' AS s, 1 AS text").collect()[0]
+    assert lit.s == " x::VARCHAR " and lit.text == 1
