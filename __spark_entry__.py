@@ -1176,6 +1176,40 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/ops.py
+    stream_interval_join): per-user view events joined to click events
+    arriving within the following 30 minutes — both sides real
+    readStream sources with watermarks (the time bound is what lets
+    Spark expire join state). Oracle: the identical batch interval
+    join in DuckDB."""
+    from sclera_spark.streaming import run_to_memory, stream_interval_join
+
+    _engine(spark, sf_dir)
+    views = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    out = stream_interval_join(
+        views, clicks, "v_ts", "c_ts", keys=["user_id"],
+        lower="0 seconds", upper="30 minutes",
+    )
+    q = run_to_memory(out, "entry_stream_join", output_mode="append")
+    result = spark.table("entry_stream_join")
+    q.stop()
+    return result
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join + windowed aggregation
     (streaming/ops.py stream_enrich): the events stream is joined per
@@ -1455,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "range_join": _q_range_join,
             "time_rollup": _q_time_rollup,
             "weighted_sample": _q_weighted_sample,
+            "stream_join": _q_stream_join,
             "stream_enrich": _q_stream_enrich,
             "span_dups": _q_span_dups,
             "vocab_topk": _q_vocab_topk,
@@ -2175,6 +2210,17 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
           WHERE n_chars IS NOT NULL AND n_chars > 0
         ) t WHERE rk <= 20
+    """
+    # stream-stream interval join: identical batch interval join
+    oracles["stream_join"] = """
+        SELECT v.user_id, v_ts, v_id, c_ts, c_id FROM
+          (SELECT user_id, ts AS v_ts, event_id AS v_id
+           FROM events WHERE event_type = 'view') v
+          JOIN
+          (SELECT user_id, ts AS c_ts, event_id AS c_id
+           FROM events WHERE event_type = 'click') c
+          USING (user_id)
+        WHERE c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE
     """
     # stream-static enrichment: batch join + time_bucket — streaming
     # emission must equal batch semantics

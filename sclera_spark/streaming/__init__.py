@@ -7,6 +7,7 @@ from sclera_spark.streaming.ops import (
     stream_dedup,
     stream_quality_filter,
     stream_enrich,
+    stream_interval_join,
     run_to_memory,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_dedup",
     "stream_quality_filter",
     "stream_enrich",
+    "stream_interval_join",
     "run_to_memory",
 ]

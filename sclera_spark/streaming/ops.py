@@ -140,6 +140,48 @@ def stream_quality_filter(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: Sequence[str],
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with an event-time interval condition: rows
+    match when all ``keys`` are equal and ``right_ts`` falls in
+    ``[left_ts + lower, left_ts + upper]``. Both sides carry watermarks —
+    with a time-bounded condition Spark can expire join state once the
+    watermark passes the bound, which is what keeps an endless x endless
+    join's state finite (an unbounded-condition stream-stream join would
+    accumulate forever). ``left_ts``/``right_ts`` must be distinct
+    column names (rename before calling); key columns may share names —
+    the join is expressed on equal names and de-duplicated."""
+    lw = _event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _event_time(right, right_ts).withWatermark(right_ts, watermark)
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct names")
+    overlap = [
+        c for c in lw.columns if c in rw.columns and c not in keys
+    ]
+    if overlap:
+        raise ValueError(
+            f"ambiguous non-key columns on both sides: {overlap} — rename"
+        )
+    cond = (
+        (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    for k in keys:
+        cond = cond & (lw[k] == rw[k])
+    out = lw.join(rw, cond, how)
+    # keep one copy of each key column
+    return out.drop(*[rw[k] for k in keys])
+
+
 def stream_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -590,3 +590,67 @@ def test_stream_enrich_matches_batch(spark, tables, stream_dir):
     total = spark.read.parquet(d).count()
     assert left_rows == total
     assert misses > 0
+
+
+def test_stream_interval_join_matches_batch(spark, stream_dir):
+    """Stream-stream interval join over two real file streams == the
+    batch interval join; ambiguous non-key columns are refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sclera_spark.streaming import (
+        run_to_memory,
+        stream_from_directory,
+        stream_interval_join,
+    )
+
+    d, schema = stream_dir
+
+    def side(ts_name, id_name, etype):
+        return (
+            stream_from_directory(spark, d, schema)
+            .filter(F.col("event_type") == etype)
+            .select(
+                "user_id",
+                F.col("ts").alias(ts_name),
+                F.col("event_id").alias(id_name),
+            )
+        )
+
+    out = stream_interval_join(
+        side("v_ts", "v_id", "view"),
+        side("c_ts", "c_id", "click"),
+        "v_ts", "c_ts", keys=["user_id"],
+        lower="0 seconds", upper="30 minutes",
+    )
+    q = run_to_memory(out, "sij", output_mode="append")
+    try:
+        got = {
+            (r.v_id, r.c_id) for r in spark.table("sij").collect()
+        }
+    finally:
+        q.stop()
+    ev = spark.read.parquet(d)
+    v = ev.filter("event_type = 'view'").selectExpr(
+        "user_id", "ts AS v_ts", "event_id AS v_id"
+    )
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS cu", "ts AS c_ts", "event_id AS c_id"
+    )
+    batch = {
+        (r.v_id, r.c_id)
+        for r in v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+    with _pytest.raises(ValueError, match="ambiguous"):
+        stream_interval_join(
+            side("v_ts", "same_id", "view"),
+            side("c_ts", "same_id", "click"),
+            "v_ts", "c_ts", keys=["user_id"],
+        )
