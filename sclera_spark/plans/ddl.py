@@ -397,10 +397,34 @@ class DdlRouter:
         if m is None:
             raise ValueError("MERGE requires USING ... [AS] alias ON cond")
         salias, tail = m.group(1), m.group(2)
+
+        # Re-alias user aliases to reserved internal names in every spliced
+        # expression: a source alias that collides with a TARGET COLUMN
+        # name (e.g. alias `s` on a table with column `s`) would otherwise
+        # break Spark's name resolution inside the synthesized anti-join —
+        # the correlated `s.k` resolves to field-extraction on the inner
+        # relation's string column `s` instead of the outer alias.
+        from sclera_spark.plans.frontend import _split_literals
+
+        t_re = re.compile(rf"\b{re.escape(talias)}\s*\.", re.IGNORECASE)
+        s_re = re.compile(rf"\b{re.escape(salias)}\s*\.", re.IGNORECASE)
+
+        def _safe(expr: str | None) -> str | None:
+            if expr is None:
+                return None
+            out = []
+            for is_lit, chunk in _split_literals(expr):
+                if is_lit:
+                    out.append(chunk)
+                else:
+                    out.append(s_re.sub("__ms.", t_re.sub("__mt.", chunk)))
+            return "".join(out)
+
+        talias, salias = "__mt", "__ms"
         whens = self._top_level_when_positions(tail)
         if not whens:
             raise ValueError("MERGE requires at least one WHEN clause")
-        cond = tail[: whens[0]].strip()
+        cond = _safe(tail[: whens[0]].strip())
         clauses = [
             tail[a:b].strip() for a, b in zip(whens, whens[1:] + [len(tail)])
         ]
@@ -423,14 +447,14 @@ class DdlRouter:
                 )
                 if im is None:
                     raise ValueError(f"bad NOT MATCHED action: {action!r}")
-                ins = (guard, im.group(1), im.group(2))
+                ins = (_safe(guard), im.group(1), _safe(im.group(2)))
             elif re.match(r"^DELETE\s*$", action, re.I):
-                dele = guard or "TRUE"
+                dele = _safe(guard) or "TRUE"
             else:
                 um = re.match(r"^UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
                 if um is None:
                     raise ValueError(f"bad MATCHED action: {action!r}")
-                upd = (guard or "TRUE", um.group(1))
+                upd = (_safe(guard) or "TRUE", _safe(um.group(1)))
         if upd and dele:
             raise ValueError("MERGE supports one WHEN MATCHED clause")
 
@@ -438,13 +462,22 @@ class DdlRouter:
             self._materialize(name, self.engine.table(name))
         path = self.managed[name.lower()]
         spark = self.engine.spark
-        tgt = spark.read.parquet(path)
+        is_manifest = name.lower() in self.manifest_tables
+        if is_manifest:
+            from sclera_spark.sources.manifest import ManifestTable
+
+            mt = ManifestTable(path)
+            tgt = mt.read(spark)
+        else:
+            mt = None
+            tgt = spark.read.parquet(path)
         cols = tgt.columns
         tgt.withColumn("__sclera_file", F.col("_metadata.file_path")) \
             .createOrReplaceTempView("__merge_t")
         src_df.createOrReplaceTempView("__merge_s")
         try:
             ins_stage = None
+            pending_ins = None
             if ins:
                 # materialize inserts BEFORE the matched-file swap: every
                 # clause must see the pre-merge snapshot, and the anti-join
@@ -477,8 +510,15 @@ class DdlRouter:
                 new_rows = new_rows.select(
                     *[F.col(c).cast(tgt.schema[c].dataType) for c in cols]
                 )
-                ins_stage = path + ".insstage"
-                new_rows.write.mode("overwrite").parquet(ins_stage)
+                if is_manifest:
+                    # manifest file removal is LOGICAL (pre-merge snapshot
+                    # files stay on disk for time travel), so the lazy
+                    # plan keeps reading the pre-state — no early staging
+                    # needed; inserts ride the same atomic commit below
+                    pending_ins = new_rows
+                else:
+                    ins_stage = path + ".insstage"
+                    new_rows.write.mode("overwrite").parquet(ins_stage)
             if upd or dele:
                 hit_uris = [
                     r[0]
@@ -529,12 +569,29 @@ class DdlRouter:
                         f"LEFT JOIN (SELECT *, TRUE AS __sm FROM __merge_s) {salias} "
                         f"ON {cond}{where}"
                     )
-                    staging = path + ".cowstage"
-                    out.write.mode("overwrite").parquet(staging)
-                    if use_cow:
-                        self._commit_cow(path, staging, hits)
+                    if is_manifest:
+                        # one atomic manifest publish covers the rewritten
+                        # hit files AND the inserts — readers see the whole
+                        # MERGE or none of it
+                        if pending_ins is not None:
+                            out = out.unionByName(pending_ins)
+                            pending_ins = None
+                        if use_cow:
+                            mt.replace_files(hit_uris, out)
+                        else:
+                            mt.overwrite(out)
+                        self._register_manifest(name)
                     else:
-                        self._swap_dir(path, staging)
+                        staging = path + ".cowstage"
+                        out.write.mode("overwrite").parquet(staging)
+                        if use_cow:
+                            self._commit_cow(path, staging, hits)
+                        else:
+                            self._swap_dir(path, staging)
+            if pending_ins is not None:
+                # insert-only MERGE (or no matched rows) on a manifest table
+                mt.append(pending_ins)
+                self._register_manifest(name)
             if ins_stage is not None:
                 for f in os.listdir(ins_stage):
                     if f.startswith("part-"):
@@ -549,7 +606,10 @@ class DdlRouter:
                 spark.catalog.dropTempView("__merge_tsub")
             except Exception:
                 pass
-        self.engine.catalog.register_parquet(name, path)
+        if is_manifest:
+            self._register_manifest(name)
+        else:
+            self.engine.catalog.register_parquet(name, path)
 
     def _cow_rewrite(self, name: str, where: str, transform) -> bool:
         """Copy-on-write DML at parquet-file granularity (the Delta/Iceberg

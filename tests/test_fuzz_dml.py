@@ -124,3 +124,125 @@ def test_dml_fuzz_plain(spark, tables, seed):
 @pytest.mark.parametrize("seed", range(N_SEQS))
 def test_dml_fuzz_manifest(spark, tables, seed):
     _run_sequence(spark, 100 + seed, manifest=True)
+
+
+# ------------------------------------------------------------- MERGE fuzz
+
+
+class MGen:
+    """Randomized MERGE statements + their decomposed DuckDB oracle.
+
+    DuckDB 1.0 has no MERGE, but MERGE's pre-state semantics decompose
+    exactly: snapshot the pre-merge key set, apply the matched clause as
+    UPDATE ... FROM / DELETE ... USING (a non-TRUE guard excludes the
+    row in both engines), then insert source rows whose key was not in
+    the PRE-state (so a matched-then-deleted key must not re-insert)."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+
+    def pick(self, seq):
+        return self.rng.choice(seq)
+
+    def gen(self):
+        keys = self.rng.sample(range(1, 13), self.rng.randint(4, 6))
+        rows = []
+        for i, k in enumerate(keys):
+            # each source column keeps at least one non-NULL so VALUES
+            # type inference works on both engines
+            nv = "NULL" if (self.rng.random() < 0.3 and i > 0) else str(
+                self.rng.randint(-2, 9)
+            )
+            ns = self.pick(["'m'", "'n'"] if i == 0 else ["'m'", "NULL", "'n'"])
+            rows.append(f"({k}, {nv}, {ns})")
+        src = f"SELECT * FROM (VALUES {', '.join(rows)}) AS x(k, nv, ns)"
+
+        guard = self.pick([None, "t.v > 2", "s.nv IS NOT NULL", "t.s = 'a'"])
+        action_kind = self.pick(["update", "update", "delete"])
+        if action_kind == "update":
+            setc = self.pick(
+                [
+                    "v = s.nv",
+                    "v = t.v + coalesce(s.nv, 0)",
+                    "s = CASE WHEN s.ns IS NULL THEN t.s ELSE s.ns END, v = s.nv",
+                ]
+            )
+            action = f"UPDATE SET {setc}"
+        else:
+            action = "DELETE"
+        ig = self.pick([None, "s.nv > 0"])
+
+        g_sql = f" AND {guard}" if guard else ""
+        ig_sql = f" AND {ig}" if ig else ""
+        merge = (
+            f"MERGE INTO ft AS t USING ({src}) AS s ON t.k = s.k "
+            f"WHEN MATCHED{g_sql} THEN {action} "
+            f"WHEN NOT MATCHED{ig_sql} THEN INSERT (k, v, s) "
+            f"VALUES (s.k, s.nv, s.ns)"
+        )
+
+        def tr(e):  # engine aliases -> duck decomposition tables
+            import re as _re
+
+            return _re.sub(r"\bs\.", "src.", _re.sub(r"\bt\.", "ft.", e))
+
+        duck_steps = [
+            f"CREATE TEMP TABLE src AS {src}",
+            "CREATE TEMP TABLE prek AS SELECT k FROM ft",
+        ]
+        gd = tr(guard) if guard else "TRUE"
+        if action_kind == "update":
+            duck_steps.append(
+                f"UPDATE ft SET {tr(setc)} FROM src "
+                f"WHERE ft.k = src.k AND ({gd})"
+            )
+        else:
+            duck_steps.append(
+                f"DELETE FROM ft USING src WHERE ft.k = src.k AND ({gd})"
+            )
+        igd = tr(ig) if ig else "TRUE"
+        duck_steps.append(
+            f"INSERT INTO ft SELECT src.k, src.nv, src.ns FROM src "
+            f"WHERE src.k NOT IN (SELECT k FROM prek) AND ({igd})"
+        )
+        duck_steps += ["DROP TABLE src", "DROP TABLE prek"]
+        return merge, duck_steps
+
+
+def _run_merge_sequence(spark, seed: int, manifest: bool):
+    import duckdb
+
+    engine = ScleraEngine(spark)
+    duck = duckdb.connect()
+    seedrows = "(1, 1, 'a'), (2, NULL, 'b'), (3, 3, NULL), (4, 7, 'a'), (5, 2, 'zz')"
+    engine.execute("CREATE TABLE ft (k INT, v INT, s VARCHAR(20))")
+    duck.execute("CREATE TABLE ft (k INTEGER, v INTEGER, s VARCHAR)")
+    try:
+        engine.execute(f"INSERT INTO ft VALUES {seedrows}")
+        duck.execute(f"INSERT INTO ft VALUES {seedrows}")
+        if manifest:
+            engine.execute("ALTER TABLE ft SET FORMAT MANIFEST")
+        gen = MGen(random.Random(seed))
+        for i in range(5):
+            merge, steps = gen.gen()
+            engine.execute(merge)
+            for st in steps:
+                duck.execute(st)
+            got, exp = _state(engine), _duck_state(duck)
+            assert got == exp, (
+                f"seed {seed} manifest={manifest} diverged after MERGE {i}:"
+                f"\n  {merge}\n  engine: {got}\n  duck:   {exp}"
+            )
+    finally:
+        engine.execute("DROP TABLE ft")
+        duck.close()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_merge_fuzz_plain(spark, tables, seed):
+    _run_merge_sequence(spark, 200 + seed, manifest=False)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_merge_fuzz_manifest(spark, tables, seed):
+    _run_merge_sequence(spark, 300 + seed, manifest=True)
