@@ -904,6 +904,82 @@ _PGCAT_RE = re.compile(
 )
 
 
+_WITH_HEAD_RE = re.compile(r"\s*WITH\s+", re.IGNORECASE)
+
+
+def _hoist_ctes(engine, sql: str):
+    """Register each top-level CTE as a temp view and return the tail
+    query + the created names. Needed when a query mixes WITH and
+    extended clauses: the extended lowering evaluates its source
+    independently (``FROM w PARTITION BY ... ARG (...)`` resolves ``w``
+    through the catalog), where a WITH-alias does not exist. Bodies are
+    lowered recursively, so extended clauses inside CTE bodies work too.
+    Callers must restore via :func:`_restore_cte_views` — a CTE name
+    temporarily shadows a same-named catalog table, per SQL scoping."""
+    from sclera_spark.plans.extended import has_extended_clause, lower_extended
+
+    m = _WITH_HEAD_RE.match(sql)
+    i = m.end()
+    if re.match(r"RECURSIVE\b", sql[i:], re.IGNORECASE):
+        raise ValueError(
+            "WITH RECURSIVE cannot be combined with extended clauses"
+        )
+    created: list[str] = []
+    try:
+        while True:
+            nm = re.match(
+                r"\s*(\w+)\s*(\(([^()]*)\))?\s*AS\s*\(", sql[i:], re.IGNORECASE
+            )
+            if nm is None:
+                raise ValueError(f"cannot parse CTE at: {sql[i : i + 50]!r}")
+            name, colspec = nm.group(1), nm.group(3)
+            open_idx = i + nm.end() - 1
+            close = _find_balanced(sql, open_idx)
+            body = sql[open_idx + 1 : close - 1]
+            b = body
+            if has_extended_clause(b):
+                b = lower_extended(engine, b)
+            if _DISTINCT_ON_RE.search(b):
+                b = _rewrite_distinct_on(b)
+            df = engine.spark.sql(b)
+            if colspec:
+                df = df.toDF(*[c.strip() for c in colspec.split(",")])
+            # capture the shadowed relation's ANALYZED plan before
+            # clobbering: spark.table resolves eagerly, so the captured
+            # DataFrame survives the view being replaced
+            try:
+                shadowed = engine.spark.table(name)
+            except Exception:
+                shadowed = None
+            df.createOrReplaceTempView(name)
+            created.append((name, shadowed))
+            i = close
+            while i < len(sql) and sql[i].isspace():
+                i += 1
+            if i < len(sql) and sql[i] == ",":
+                i += 1
+                continue
+            break
+    except Exception:
+        # a half-hoisted chain must not leave shadowing views behind
+        _restore_cte_views(engine, created)
+        raise
+    return sql[i:], created
+
+
+def _restore_cte_views(engine, created) -> None:
+    for name, shadowed in created:
+        try:
+            engine.spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        df = engine.catalog.tables.get(name, shadowed)
+        if df is not None:
+            # the engine catalog holds the DataFrame itself; otherwise the
+            # eagerly-captured pre-shadow plan re-registers losslessly
+            df.createOrReplaceTempView(name)
+
+
 def lower_sql(engine, query: str) -> DataFrame:
     from sclera_spark.plans.extended import has_extended_clause, lower_extended
 
@@ -914,11 +990,20 @@ def lower_sql(engine, query: str) -> DataFrame:
         engine.pg_catalog.refresh()
         query = _PGCAT_RE.sub(lambda m: m.group(1).lower(), query)
     rewritten = dialect_rewrite(query)
-    if has_extended_clause(rewritten):
-        rewritten = lower_extended(engine, rewritten)
-    if _DISTINCT_ON_RE.search(rewritten):
-        rewritten = _rewrite_distinct_on(rewritten)
-    return engine.spark.sql(rewritten)
+    created: list[str] = []
+    try:
+        if has_extended_clause(rewritten) and _WITH_HEAD_RE.match(rewritten):
+            rewritten, created = _hoist_ctes(engine, rewritten)
+        if has_extended_clause(rewritten):
+            rewritten = lower_extended(engine, rewritten)
+        if _DISTINCT_ON_RE.search(rewritten):
+            rewritten = _rewrite_distinct_on(rewritten)
+        # analysis happens inside spark.sql, so views dropped afterwards
+        # do not invalidate the returned DataFrame
+        return engine.spark.sql(rewritten)
+    finally:
+        if created:
+            _restore_cte_views(engine, created)
 
 
 def _scan_top_level(text: str, pattern: re.Pattern, start: int = 0) -> re.Match | None:

@@ -325,3 +325,54 @@ def test_expmovavg_sql_window_in_order_by(engine):
     assert [(r.user_id, r.event_id) for r in rows] == [
         (r.user_id, r.event_id) for r in direct
     ]
+
+
+def test_extended_clause_consumes_cte(engine, duck):
+    """WITH-aliases feed extended clauses: the CTEs are hoisted to temp
+    views around the lowering (found probing CTE x extended composition;
+    previously TABLE_OR_VIEW_NOT_FOUND)."""
+    from tests.conftest import assert_df_equal_duck
+
+    out = engine.sql("""
+        WITH w AS (SELECT n_regionkey, n_nationkey, n_name FROM nation)
+        SELECT * FROM w PARTITION BY n_regionkey ARG (MAX(n_nationkey))
+    """)
+    assert_df_equal_duck(out, duck, """
+        SELECT n_regionkey, n_nationkey, n_name FROM (
+          SELECT n_regionkey, n_nationkey, n_name,
+                 row_number() OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey DESC) AS rk
+          FROM nation) t WHERE rk = 1
+    """)
+
+
+def test_extended_clause_inside_cte_body(engine):
+    out = engine.sql("""
+        WITH w AS (SELECT n_regionkey, mx FROM
+            (SELECT n_regionkey, n_nationkey AS mx FROM nation) t
+            PARTITION BY n_regionkey ARG (MAX(mx)))
+        SELECT count(*) AS n FROM w
+    """).collect()
+    assert out[0].n == 5
+
+
+def test_cte_shadows_and_restores_engine_table(engine):
+    """A CTE named like an engine table shadows it for the query (SQL
+    scoping) and the table is restored afterwards — on success AND on a
+    failed hoist."""
+    import pytest as _pytest
+
+    out = engine.sql("""
+        WITH nation(a, b) AS (SELECT n_nationkey, n_name FROM nation
+                              WHERE n_nationkey < 5),
+             w2 AS (SELECT a FROM nation)
+        SELECT max(a) AS m FROM w2 PARTITION BY a ARG (MAX(a))
+    """)
+    assert out.count() == 1
+    assert engine.sql("SELECT count(*) AS c FROM nation").collect()[0].c == 25
+    with _pytest.raises(Exception):
+        engine.sql(
+            "WITH nation AS (SELECT 1 AS z), broken( AS (SELECT 2) "
+            "SELECT * FROM nation PARTITION BY z ARG (MAX(z))"
+        )
+    assert engine.sql("SELECT count(*) AS c FROM nation").collect()[0].c == 25
