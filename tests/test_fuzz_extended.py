@@ -150,11 +150,17 @@ class ExtGen:
     def query(self) -> tuple[str, str]:
         kind = self.pick(["split", "pivot", "arg", "unpivot"])
         sclera, duck = getattr(self, kind)()
-        if self.rng.random() < 0.35:
+        r = self.rng.random()
+        if r < 0.35:
             # wrap the whole extended query as a derived table under an
             # outer projection — the splice position that used to break
             sclera = f"SELECT * FROM ({sclera}) __w"
             duck = f"SELECT * FROM ({duck}) __w"
+        elif r < 0.55:
+            # extended clause inside a CTE body, consumed by a plain tail
+            # (exercises the CTE-hoisting path in frontend.lower_sql)
+            sclera = f"WITH __c AS ({sclera}) SELECT * FROM __c"
+            duck = f"WITH __c AS ({duck}) SELECT * FROM __c"
         return sclera, duck
 
 
