@@ -1,0 +1,122 @@
+"""Fuzz family 9: wire-protocol serving parity.
+
+The pg-wire server is a serving boundary — if it drops a row mid-frame,
+mis-lengths a multibyte string, or mangles a NULL, every client is
+silently wrong while the engine itself stays green. This family routes
+seeded generator queries (family 7's join/subquery grammar — the widest
+result-shape surface: NULLs, fan-out duplicates, strings with quotes/
+parens/spaces) through a real socket round trip and compares the text
+rows against `engine.sql()` rendered through the same `_text_value`
+codec. That isolates the transport (framing, length prefixes, escaping,
+multi-row streaming) as the unit under fuzz; value RENDERING correctness
+is pinned by the directed type test below and test_server.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+
+from sclera_spark.engine import ScleraEngine
+from sclera_spark.interfaces import ScleraServer, WireClient
+from sclera_spark.interfaces.server import _text_value
+
+from tests.test_fuzz_joins import _J1, _J2, _J3, JGen
+
+N_SEEDS = 24  # transport fuzz: each seed runs the query twice (direct + wire)
+
+
+@pytest.fixture(scope="module")
+def wire_env(spark):
+    engine = ScleraEngine(spark)
+    engine.add_table("j1", spark.createDataFrame(_J1, "a int, b int, s string"))
+    engine.add_table("j2", spark.createDataFrame(_J2, "a int, c int, t string"))
+    engine.add_table("j3", spark.createDataFrame(_J3, "k int, d int"))
+    srv = ScleraServer(engine).start()
+    client = WireClient("127.0.0.1", srv.port)
+    yield engine, client
+    client.close()
+    srv.stop()
+
+
+def _wire_text(v):
+    b = _text_value(v)
+    return None if b is None else b.decode("utf-8")
+
+
+def _row_key(row):
+    # None sorts before any string, per-cell, so NULL-bearing rows order
+    return tuple((v is not None, v if v is not None else "") for v in row)
+
+
+def test_wire_parity_fuzz(wire_env):
+    engine, client = wire_env
+    for seed in range(N_SEEDS):
+        gen = JGen(random.Random(seed))
+        sql, _duck = gen.query()
+        direct = engine.sql(sql)
+        want_cols = [f.name for f in direct.schema.fields]
+        want_rows = sorted(
+            (tuple(_wire_text(v) for v in row) for row in direct.collect()),
+            key=_row_key,
+        )
+        cols, rows, tag = client.execute(sql)
+        assert cols == want_cols, f"seed {seed}: column names\n  {sql}"
+        assert tag == f"SELECT {len(want_rows)}", f"seed {seed}: tag\n  {sql}"
+        got_rows = sorted((tuple(row) for row in rows), key=_row_key)
+        assert got_rows == want_rows, (
+            f"seed {seed}: wire rows diverge from engine\n  {sql}\n"
+            f"  first diff: "
+            f"{next((a, b) for a, b in zip(got_rows, want_rows) if a != b)}"
+        )
+
+
+def test_wire_every_type_roundtrip(wire_env):
+    """One row exercising every renderer branch: ints, double (repr
+    precision), decimal, bool, date, timestamp (microseconds), NULL,
+    array, and strings containing newline / tab / NUL-adjacent escapes /
+    multibyte UTF-8 — the characters most likely to break length-prefixed
+    framing if the codec miscounted bytes."""
+    _engine, client = wire_env
+    sql = (
+        "SELECT 1 AS i, CAST(9007199254740993 AS BIGINT) AS big, "
+        "CAST(1.5 AS DOUBLE)/3 AS dbl, CAST(2.50 AS DECIMAL(10,2)) AS dec, "
+        "TRUE AS b, DATE '2024-02-29' AS d, "
+        "TIMESTAMP '2024-02-29 23:59:59.123456' AS ts, "
+        "CAST(NULL AS INT) AS nul, ARRAY(1, NULL, 3) AS arr, "
+        "'line1\nline2\ttab — ünïcødé 日本語' AS s"
+    )
+    cols, rows, _ = client.execute(sql)
+    assert cols == ["i", "big", "dbl", "dec", "b", "d", "ts", "nul", "arr", "s"]
+    (row,) = rows
+    assert row[0] == "1"
+    assert row[1] == "9007199254740993"  # exceeds double mantissa — exact
+    assert row[2] == repr(1.5 / 3)
+    assert row[3] == "2.50"
+    assert row[4] == "t"
+    assert row[5] == "2024-02-29"
+    assert row[6] == "2024-02-29 23:59:59.123456"
+    assert row[7] is None
+    assert row[8] == "{1,NULL,3}"
+    assert row[9] == "line1\nline2\ttab — ünïcødé 日本語"
+
+
+def test_wire_timestamp_binding_extended(wire_env):
+    """Extended-protocol text binds round-trip a timestamp-shaped string
+    parameter into a comparison (what a JDBC setString against a
+    timestamp column produces)."""
+    _engine, client = wire_env
+    cols, rows, _ = client.execute_extended(
+        "SELECT COUNT(*) AS n FROM j3 WHERE d < $1", (20,)
+    )
+    assert cols == ["n"]
+    want = str(sum(1 for _k, d in _J3 if d < 20))
+    assert rows == [(want,)]
+    # reuse with a different bind — prepared-statement re-execution path
+    _, rows2, _ = client.execute_extended(
+        "SELECT COUNT(*) AS n FROM j3 WHERE d < $1", (5,)
+    )
+    want2 = str(sum(1 for _k, d in _J3 if d < 5))
+    assert rows2 == [(want2,)]
