@@ -103,6 +103,12 @@ class DdlRouter:
             "_vacuum",
         ),
         (re.compile(r"^\s*SHOW\s+VERSIONS\s+(\w+)\s*$", re.I), "_show_versions"),
+        (
+            re.compile(
+                r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?\s*$", re.I
+            ),
+            "_optimize",
+        ),
         (re.compile(r"^\s*ALTER\b.*$", re.I | re.S), "_alter"),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
@@ -178,6 +184,21 @@ class DdlRouter:
         return self._require_manifest(name).vacuum(
             keep_versions=int(retain) if retain else 1
         )
+
+    def _optimize(self, name: str, target_mb: str | None):
+        """OPTIMIZE t [TARGET n MB] — atomic small-file compaction on a
+        manifest table (sources/manifest.py compact): rewrites sub-target
+        part files into ~target-sized ones in one manifest commit, then
+        rebinds the catalog view to the new snapshot. Row set unchanged;
+        prior version stays time-travel readable until VACUUM."""
+        mt = self._require_manifest(name)
+        replaced = mt.compact(
+            self.engine.spark,
+            target_bytes=(int(target_mb) if target_mb else 128) * 1024 * 1024,
+        )
+        if replaced:
+            self._register_manifest(name)
+        return replaced
 
     def _show_versions(self, name: str):
         """SHOW VERSIONS t — retained manifest versions, newest last."""

@@ -180,6 +180,43 @@ class ManifestTable:
             self._adopt(scratch, added)
             self._publish(self.version() + 1, survivors + added)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> list[str]:
+        """Small-file compaction (the OPTIMIZE of Delta/Iceberg) as ONE
+        atomic commit: live files smaller than ``target_bytes`` are
+        rewritten into ~target-sized files and swapped in via
+        :meth:`replace_files`. Pure metadata operation for readers — the
+        row set is identical before and after; the pre-compaction
+        version stays readable until vacuum.
+
+        At 100 TB this is the maintenance operation that keeps a
+        frequently-updated table scannable: per-statement COW commits
+        shed small part files, and scan parallelism degrades into
+        per-file task overhead + footer chatter unless something folds
+        them back to ``maxPartitionBytes``-sized units. The (slow)
+        rewrite runs OUTSIDE the writer lock; a DML that lands mid-
+        rewrite invalidates the swap and ``replace_files`` raises its
+        retry error rather than resurrecting the pre-DML rows.
+
+        Returns the replaced file names ([] = nothing worth compacting).
+        """
+        small = [
+            p
+            for p in self.files()
+            if os.path.getsize(p) < target_bytes
+        ]
+        if len(small) < min_files:
+            return []
+        total = sum(os.path.getsize(p) for p in small)
+        n_out = max(1, -(-total // target_bytes))  # ceil
+        df = spark.read.parquet(*small).coalesce(int(n_out))
+        self.replace_files(small, df)
+        return [os.path.basename(p) for p in small]
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` newest
         manifests (and drop older manifests). Returns deleted file names.

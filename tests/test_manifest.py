@@ -266,3 +266,73 @@ def test_cross_process_writers_compose(tmp_path):
     assert got == sorted(
         [-1] + [w * 1000 + i for w in range(4) for i in range(5)]
     )
+
+
+# ----------------------------------------------------------- compaction
+
+
+def _fragment(engine, mtab, n_appends=4):
+    """Land several tiny commits so the table accumulates small files."""
+    for i in range(n_appends):
+        engine.execute(
+            f"INSERT INTO m_orders VALUES ({8_000_000 + i}, {i}, {float(i)})"
+        )
+
+
+def test_optimize_compacts_small_files(engine, mtab):
+    mt = _mt(engine, mtab)
+    _fragment(engine, mtab)
+    before_files = mt.files()
+    before_version = mt.version()
+    rows_before = sorted(
+        tuple(r) for r in engine.table(mtab).collect()
+    )
+    assert len(before_files) >= 4
+
+    replaced = engine.execute("OPTIMIZE m_orders TARGET 64 MB")
+    assert replaced, "expected sub-target files to be compacted"
+    assert mt.version() == before_version + 1
+    after_files = mt.files()
+    assert len(after_files) < len(before_files)
+    # row set is identical — compaction is metadata-only for readers
+    rows_after = sorted(tuple(r) for r in engine.table(mtab).collect())
+    assert rows_after == rows_before
+    # pre-compaction snapshot stays time-travel readable ...
+    old = engine._ddl.table_at(mtab, before_version)
+    assert sorted(tuple(r) for r in old.collect()) == rows_before
+    # ... until VACUUM physically drops the replaced files
+    deleted = engine.execute("VACUUM m_orders")
+    assert set(replaced) <= set(deleted)
+
+
+def test_optimize_converges_to_noop(engine, mtab):
+    _fragment(engine, mtab)
+    assert engine.execute("OPTIMIZE m_orders TARGET 64 MB")
+    # everything now sits in one sub-target file -> nothing to compact
+    assert engine.execute("OPTIMIZE m_orders TARGET 64 MB") == []
+
+
+def test_compact_detects_concurrent_dml(engine, mtab, monkeypatch):
+    """A DML that lands between compact()'s file-list snapshot and its
+    commit invalidates the swap: the stale compaction must surface the
+    retry error, never resurrect pre-DML rows."""
+    mt = _mt(engine, mtab)
+    _fragment(engine, mtab)
+
+    orig_stage = mt._stage
+
+    def racing_stage(df):
+        # an UPDATE rewrites the file holding o_orderkey=1 while the
+        # compaction rewrite is still staging
+        engine.execute(
+            "UPDATE m_orders SET o_totalprice = -1 WHERE o_orderkey = 1"
+        )
+        return orig_stage(df)
+
+    monkeypatch.setattr(mt, "_stage", racing_stage)
+    with pytest.raises(ValueError, match="retry"):
+        mt.compact(engine.spark, target_bytes=64 * 1024 * 1024)
+    # the DML's effect survives; the table is consistent
+    assert (
+        engine.table(mtab).filter("o_orderkey = 1").first().o_totalprice == -1
+    )
