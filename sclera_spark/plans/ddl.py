@@ -105,7 +105,9 @@ class DdlRouter:
         (re.compile(r"^\s*SHOW\s+VERSIONS\s+(\w+)\s*$", re.I), "_show_versions"),
         (
             re.compile(
-                r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?\s*$", re.I
+                r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?"
+                r"(?:\s+SORT\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
+                re.I,
             ),
             "_optimize",
         ),
@@ -185,16 +187,21 @@ class DdlRouter:
             keep_versions=int(retain) if retain else 1
         )
 
-    def _optimize(self, name: str, target_mb: str | None):
-        """OPTIMIZE t [TARGET n MB] — atomic small-file compaction on a
-        manifest table (sources/manifest.py compact): rewrites sub-target
-        part files into ~target-sized ones in one manifest commit, then
-        rebinds the catalog view to the new snapshot. Row set unchanged;
-        prior version stays time-travel readable until VACUUM."""
+    def _optimize(self, name: str, target_mb: str | None, sort_by: str | None):
+        """OPTIMIZE t [TARGET n MB] [SORT BY (cols)] — atomic small-file
+        compaction on a manifest table (sources/manifest.py compact):
+        rewrites sub-target part files into ~target-sized ones in one
+        manifest commit, then rebinds the catalog view to the new
+        snapshot. SORT BY range-clusters all live files on the given
+        columns so filtered scans skip files on footer min/max. Row set
+        unchanged; prior version stays time-travel readable until VACUUM."""
         mt = self._require_manifest(name)
         replaced = mt.compact(
             self.engine.spark,
             target_bytes=(int(target_mb) if target_mb else 128) * 1024 * 1024,
+            cluster_by=(
+                [c.strip() for c in sort_by.split(",")] if sort_by else None
+            ),
         )
         if replaced:
             self._register_manifest(name)

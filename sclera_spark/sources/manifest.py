@@ -185,6 +185,7 @@ class ManifestTable:
         spark: SparkSession,
         target_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
+        cluster_by: list[str] | None = None,
     ) -> list[str]:
         """Small-file compaction (the OPTIMIZE of Delta/Iceberg) as ONE
         atomic commit: live files smaller than ``target_bytes`` are
@@ -202,18 +203,38 @@ class ManifestTable:
         rewrite invalidates the swap and ``replace_files`` raises its
         retry error rather than resurrecting the pre-DML rows.
 
+        ``cluster_by`` additionally range-clusters the rewritten rows on
+        the given columns (repartitionByRange + sortWithinPartitions), so
+        the output files carry DISJOINT min/max ranges on the leading
+        column — that is what lets a later filtered scan skip whole files
+        on parquet footer statistics instead of reading them. Clustering
+        rewrites ALL live files (a cluster order only helps if it is
+        global), not just the sub-target ones.
+
         Returns the replaced file names ([] = nothing worth compacting).
         """
-        small = [
-            p
-            for p in self.files()
-            if os.path.getsize(p) < target_bytes
-        ]
-        if len(small) < min_files:
-            return []
+        if cluster_by:
+            small = list(self.files())
+            if not small:
+                return []
+        else:
+            small = [
+                p
+                for p in self.files()
+                if os.path.getsize(p) < target_bytes
+            ]
+            if len(small) < min_files:
+                return []
         total = sum(os.path.getsize(p) for p in small)
-        n_out = max(1, -(-total // target_bytes))  # ceil
-        df = spark.read.parquet(*small).coalesce(int(n_out))
+        n_out = int(max(1, -(-total // target_bytes)))  # ceil
+        df = spark.read.parquet(*small)
+        if cluster_by:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+        else:
+            df = df.coalesce(n_out)
         self.replace_files(small, df)
         return [os.path.basename(p) for p in small]
 

@@ -336,3 +336,36 @@ def test_compact_detects_concurrent_dml(engine, mtab, monkeypatch):
     assert (
         engine.table(mtab).filter("o_orderkey = 1").first().o_totalprice == -1
     )
+
+
+def test_optimize_sort_by_clusters_files(engine, mtab):
+    """SORT BY clustering yields range-DISJOINT files on the sort column —
+    the precondition for footer min/max file skipping on filtered scans."""
+    mt = _mt(engine, mtab)
+    _fragment(engine, mtab)
+    rows_before = sorted(tuple(r) for r in engine.table(mtab).collect())
+
+    # tiny target forces multiple output files so disjointness is non-vacuous
+    replaced = mt.compact(
+        engine.spark, target_bytes=16 * 1024, cluster_by=["o_orderkey"]
+    )
+    assert replaced
+    engine._ddl._register_manifest(mtab)
+    files = mt.files()
+    assert len(files) >= 2
+    ranges = []
+    for p in files:
+        agg = (
+            engine.spark.read.parquet(p)
+            .selectExpr("min(o_orderkey) AS lo", "max(o_orderkey) AS hi")
+            .first()
+        )
+        ranges.append((agg.lo, agg.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} / {(lo2, hi2)}"
+    rows_after = sorted(tuple(r) for r in engine.table(mtab).collect())
+    assert rows_after == rows_before
+
+    # SQL surface parses the SORT BY form
+    assert engine.execute("OPTIMIZE m_orders TARGET 64 MB SORT BY (o_custkey)")
