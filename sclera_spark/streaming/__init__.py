@@ -9,6 +9,7 @@ from sclera_spark.streaming.ops import (
     stream_enrich,
     stream_interval_join,
     run_to_memory,
+    run_to_files,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "stream_enrich",
     "stream_interval_join",
     "run_to_memory",
+    "run_to_files",
 ]

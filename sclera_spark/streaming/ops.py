@@ -520,3 +520,44 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def run_to_files(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+):
+    """Run a streaming query into a parquet FILE sink with a checkpoint,
+    draining all currently-available input (`availableNow`), then return
+    the stopped query. This is the production persistence path the
+    memory-sink test helper cannot model:
+
+    - **exactly-once output**: the file sink's commit log records which
+      part files belong to each epoch; a re-run after failure never
+      double-counts a batch;
+    - **state recovery**: keyed operator state (`applyInPandasWithState`
+      buffers, EMA scalars, dedup sets, window partials) is snapshotted
+      in the checkpoint's state store per micro-batch — calling this
+      again with the SAME checkpoint after more input arrived resumes
+      from the recorded offsets with the recovered state, processing
+      only the new data. That restart-resume contract is what makes a
+      stateful pipeline operable on an endless ingest: crash, redeploy,
+      or pause at any batch boundary and the output stream is the same
+      one an uninterrupted run would have produced (pinned by
+      tests/test_stream_restart.py against the batch operators).
+
+    Readers consume the sink with ``spark.read.parquet(out_dir)``; Spark
+    reads the commit log, so files from aborted epochs are invisible.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return q
