@@ -1421,6 +1421,53 @@ def bench_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     }
 
 
+def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate (sources/incragg.py): a daily
+    per-event-type rollup is materialized over a manifest snapshot
+    holding 80% of events, the remaining 20% is appended, and refresh()
+    folds ONLY the appended files into the materialization (mode
+    asserted 'incremental'). The refreshed MV must equal the full GROUP
+    BY over all events — the invariant that makes O(new data)
+    maintenance trustworthy."""
+    import os
+    import shutil
+    import tempfile
+
+    from sclera_spark.sources.incragg import IncrementalAggregate
+    from sclera_spark.sources.manifest import ManifestTable
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("event_id", "user_id", "ts", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="sclera_incr_entry_")
+    try:
+        src = ManifestTable.create(
+            ev.filter("event_id % 5 < 4"), os.path.join(root, "src")
+        )
+        ia = IncrementalAggregate.create(
+            spark,
+            src,
+            os.path.join(root, "mv"),
+            ts_col="ts",
+            bucket="1 day",
+            aggs={"n": ("count", None), "total": ("sum", "value"), "hi": ("max", "value")},
+            keys=["event_type"],
+        )
+        src.append(ev.filter("event_id % 5 = 4"))
+        mode, _n = ia.refresh(spark)
+        assert mode == "incremental", f"append-only refresh took {mode} path"
+        out = ia.read(spark).select(
+            "bucket_start",
+            "event_type",
+            "n",
+            F.round("total", 6).alias("total"),
+            "hi",
+        )
+        # detach from the temp files so cleanup is safe (tiny: days x types)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in _Q
@@ -1497,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stratified_sample": _q_stratified_sample,
             "text_normalize": _q_text_normalize,
             "url_extract": _q_url_extract,
+            "incr_rollup": _q_incr_rollup,
         }
     )
     return out
@@ -2153,6 +2201,18 @@ def oracle_sql() -> dict[str, str]:
                    AS url
           FROM documents
         ) u
+    """
+    # incremental materialized aggregate: the refreshed MV (80% snapshot
+    # + appended 20%, folded via decomposable re-aggregation) must equal
+    # the full GROUP BY over all events
+    oracles["incr_rollup"] = """
+        SELECT time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS bucket_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 6) AS total,
+               max(value) AS hi
+        FROM events
+        GROUP BY 1, 2
     """
     # as-of join: DuckDB's native ASOF JOIN is the oracle for the
     # union+window lowering

@@ -1,0 +1,192 @@
+"""Incremental materialized aggregates over manifest tables.
+
+The time-rollup cascade (operators/rollup.py) makes *computing* a
+continuous aggregate cheap; this module makes *maintaining* one cheap.
+A materialized bucketed aggregate records which source snapshot it was
+built from — by manifest version AND file list (sources/manifest.py) —
+and `refresh()` costs O(new data), not O(table):
+
+- source grew by appended files only → read JUST those files, aggregate
+  the delta at the bucket grain, and fold it into the existing
+  materialization with the decomposable re-aggregation (count merges as
+  sum; sum/min/max as themselves — the same algebra the rollup cascade
+  validates);
+- a file was REPLACED (copy-on-write UPDATE/DELETE/MERGE touched the
+  source) → the delta is not expressible as new rows, so refresh falls
+  back to a full recompute. Correctness first: a conservative full pass
+  beats a silently-wrong subtraction (deletes are not invertible for
+  min/max without per-bucket recount anyway).
+
+At 100 TB this is the difference between an hourly dashboard costing an
+hourly full scan and costing one pass over the hour's arrivals.
+
+Crash safety: the materialization is itself a manifest table, and the
+refresh state (source version + file list) is written keyed to the MV
+version that will carry it, BEFORE that version's pointer swap. A crash
+between the two leaves the old MV version current with its old state —
+the half-applied delta is invisible and the retry re-applies it exactly
+once. There is no window where the delta could be double-counted
+(injection-tested in tests/test_incragg.py).
+
+The maintainer owns the MV table (single writer); the SOURCE may take
+concurrent commits freely — refresh reads one consistent source
+snapshot (version + files resolved once) and records exactly what it
+consumed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sclera_spark.operators.rollup import _FIRST, _REAGG
+from sclera_spark.sources.manifest import ManifestTable
+
+
+class IncrementalAggregate:
+    """A bucketed aggregate of a manifest table, refreshable in
+    O(new files). ``aggs``: name -> (kind, col), kind in
+    {count, sum, min, max} (col ignored for count); derive avg at read
+    time as sum/count, exactly as in the rollup cascade."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.mv = ManifestTable(path)
+        self.state_dir = os.path.join(path, "_incragg")
+
+    # ---- construction ----
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        source: ManifestTable,
+        path: str,
+        ts_col: str,
+        bucket: str,
+        aggs: dict[str, tuple[str, str | None]],
+        keys: Sequence[str] = (),
+    ) -> "IncrementalAggregate":
+        for name, (kind, _col) in aggs.items():
+            if kind not in _REAGG:
+                raise ValueError(
+                    f"{name}: {kind!r} is not decomposable "
+                    "(supported: count, sum, min, max)"
+                )
+        ia = cls(path)
+        os.makedirs(ia.state_dir, exist_ok=True)
+        src_version = source.version()
+        src_files = sorted(os.path.basename(p) for p in source.files())
+        df = ia._bucket_agg(source.read(spark), ts_col, bucket, aggs, keys)
+        ia._write_state(
+            1,
+            {
+                "source_path": source.path,
+                "source_version": src_version,
+                "source_files": src_files,
+                "ts_col": ts_col,
+                "bucket": bucket,
+                "aggs": {n: list(kc) for n, kc in aggs.items()},
+                "keys": list(keys),
+            },
+        )
+        ManifestTable.create(df, path)
+        return ia
+
+    # ---- reads ----
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.mv.read(spark)
+
+    def state(self) -> dict:
+        v = self.mv.version()
+        with open(os.path.join(self.state_dir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    # ---- maintenance ----
+
+    def refresh(self, spark: SparkSession) -> tuple[str, int]:
+        """Bring the materialization up to the source's current snapshot.
+        Returns ("noop", 0), ("incremental", n_new_files) or
+        ("full", n_files)."""
+        st = self.state()
+        source = ManifestTable(st["source_path"])
+        # resolve ONE consistent source snapshot
+        src_version = source.version()
+        if src_version == st["source_version"]:
+            return ("noop", 0)
+        cur_files = sorted(
+            os.path.basename(p) for p in source.files(src_version)
+        )
+        old = set(st["source_files"])
+        added = [f for f in cur_files if f not in old]
+        removed = old - set(cur_files)
+        ts_col, bucket = st["ts_col"], st["bucket"]
+        aggs = {n: tuple(kc) for n, kc in st["aggs"].items()}
+        keys = st["keys"]
+
+        if removed:
+            # COW rewrote live files: deltas are not append-expressible
+            df = self._bucket_agg(
+                source.read(spark, src_version), ts_col, bucket, aggs, keys
+            )
+            mode = ("full", len(cur_files))
+        else:
+            paths = [os.path.join(source.data_dir, f) for f in added]
+            delta = self._bucket_agg(
+                spark.read.parquet(*paths), ts_col, bucket, aggs, keys
+            )
+            merged = self.mv.read(spark).unionByName(delta)
+            df = self._merge(merged, aggs, keys)
+            mode = ("incremental", len(added))
+
+        next_v = self.mv.version() + 1
+        self._write_state(
+            next_v,
+            {**st, "source_version": src_version, "source_files": cur_files},
+        )
+        self.mv.overwrite(df)  # atomic pointer swap = the commit point
+        return mode
+
+    # ---- internals ----
+
+    def _bucket_agg(self, df, ts_col, bucket, aggs, keys):
+        """First-pass aggregation of raw rows at the bucket grain (the
+        merge of bucket-rows into bucket-rows is :meth:`_merge`)."""
+        g = df.groupBy(
+            F.window(F.col(ts_col), bucket).alias("__w"),
+            *[F.col(k) for k in keys],
+        )
+        exprs = [
+            F.count(F.lit(1)).alias(n)
+            if kind == "count"
+            else _FIRST[kind](col).alias(n)
+            for n, (kind, col) in aggs.items()
+        ]
+        return g.agg(*exprs).select(
+            F.col("__w.start").alias("bucket_start"),
+            F.col("__w.end").alias("bucket_end"),
+            *keys,
+            *aggs.keys(),
+        )
+
+    def _merge(self, unioned, aggs, keys):
+        """Fold delta bucket-rows into existing bucket-rows with the
+        decomposable re-aggregation (count merges as sum)."""
+        g = unioned.groupBy("bucket_start", "bucket_end", *keys)
+        return g.agg(
+            *[_REAGG[kind](n).alias(n) for n, (kind, _col) in aggs.items()]
+        ).select("bucket_start", "bucket_end", *keys, *aggs.keys())
+
+    def _write_state(self, version: int, state: dict) -> None:
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = os.path.join(self.state_dir, f".v{version}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.state_dir, f"v{version}.json"))

@@ -72,3 +72,61 @@ def test_salted_join_matches_plain_join(spark, tables):
 
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "n_nationkey", how="full")
+
+
+def test_salted_join_spreads_hot_key_across_reducers(spark):
+    """The reason salting exists, asserted on the physical distribution:
+    a 90%-hot key melts ONE reducer in a shuffled join; after salting,
+    the same key's output rows span many shuffle partitions. (Broadcast
+    is disabled so the join actually shuffles — the scenario salted_join
+    targets is exactly the one where the small side exceeds the
+    broadcast threshold.)"""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.scale import salted_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # at test scale AQE would coalesce the KB-sized partitions back
+    # together, hiding the spread; at 100 TB they exceed the advisory
+    # target and stay separate — model that regime
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        big = spark.range(100_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .cast("long")
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(100)], "k long, name string"
+        )
+
+        plain_spread = (
+            big.join(small, "k")
+            .filter("k = 7")
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert plain_spread == 1, "unsalted hot key should hit one reducer"
+
+        salt = 16
+        salted_spread = (
+            salted_join(big, small, "k", salt=salt)
+            .filter("k = 7")
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert salted_spread >= salt // 2, (
+            f"hot key spread over only {salted_spread} partitions "
+            f"(salt={salt}) — salting is not distributing"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_coalesce
+        )
