@@ -187,13 +187,19 @@ class ScleraEngine:
         TABLE/VIEW, INSERT, UPDATE, DELETE, DROP, EXPLAIN, LIST, DESCRIBE)
         route to the DDL layer — the `Processor.handleStatement` analogue
         (reference exec/Processor.scala:118-129)."""
+        ddl = self.ddl()
+        if ddl.is_statement(statement):
+            return ddl.execute(statement)
+        return self.sql(statement)
+
+    def ddl(self):
+        """The lazily-built DDL/DML router (also the keeper of managed-
+        and manifest-table registries, used by time-travel reads)."""
         from sclera_spark.plans.ddl import DdlRouter
 
         if not hasattr(self, "_ddl"):
             self._ddl = DdlRouter(self)
-        if self._ddl.is_statement(statement):
-            return self._ddl.execute(statement)
-        return self.sql(statement)
+        return self._ddl
 
     def explain(self, query: str) -> str:
         return self.sql(query)._jdf.queryExecution().explainString(

@@ -980,9 +980,38 @@ def _restore_cte_views(engine, created) -> None:
             df.createOrReplaceTempView(name)
 
 
+_VERSION_AS_OF_RE = re.compile(
+    r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
+)
+
+
+def _rewrite_version_as_of(engine, sql: str) -> str:
+    """`FROM t VERSION AS OF n` — time-travel reads on manifest tables
+    (Delta-dialect syntax over our own snapshot store): the retained
+    version's file list resolves through table_at and is spliced in as a
+    scratch temp view (``__``-prefixed, so pg_catalog introspection
+    skips it). Works in any from-item position, joins included."""
+    out = []
+    for is_lit, seg in _split_literals(sql):
+        if is_lit:
+            out.append(seg)
+            continue
+
+        def sub(m: re.Match) -> str:
+            name, v = m.group(1), int(m.group(2))
+            view = f"__sclera_tt_{name.lower()}_{v}"
+            engine.ddl().table_at(name, v).createOrReplaceTempView(view)
+            return view
+
+        out.append(_VERSION_AS_OF_RE.sub(sub, seg))
+    return "".join(out)
+
+
 def lower_sql(engine, query: str) -> DataFrame:
     from sclera_spark.plans.extended import has_extended_clause, lower_extended
 
+    if _VERSION_AS_OF_RE.search(query):
+        query = _rewrite_version_as_of(engine, query)
     if _PGCAT_RE.search(query):
         # rebuild the virtual pg_catalog views from current catalog state,
         # then let plain Spark SQL resolve them (the pg_catalog. qualifier

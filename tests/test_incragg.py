@@ -143,3 +143,17 @@ def test_non_decomposable_agg_rejected(env):
             spark, src, tempfile.mkdtemp(prefix="sclera_bad_mv_"),
             ts_col="ts", bucket="1 hour", aggs={"a": ("avg", "value")},
         )
+
+
+def test_refresh_after_compaction_stays_correct(env):
+    """OPTIMIZE on the source replaces files (not append-expressible):
+    refresh must take the full path and still match the direct agg."""
+    spark, src, ia = env
+    src.append(_mk_rows(spark, 8, 15))
+    assert ia.refresh(spark)[0] == "incremental"
+    replaced = src.compact(spark, target_bytes=64 * 1024 * 1024)
+    assert replaced
+    mode, _ = ia.refresh(spark)
+    assert mode == "full"
+    assert _canon(ia.read(spark)) == _canon(_direct(src.read(spark)))
+    assert ia.refresh(spark) == ("noop", 0)

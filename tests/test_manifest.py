@@ -369,3 +369,26 @@ def test_optimize_sort_by_clusters_files(engine, mtab):
 
     # SQL surface parses the SORT BY form
     assert engine.execute("OPTIMIZE m_orders TARGET 64 MB SORT BY (o_custkey)")
+
+
+def test_version_as_of_sql(engine, mtab):
+    """`FROM t VERSION AS OF n` time-travel reads, incl. join position."""
+    v1 = engine.table(mtab).count()
+    engine.execute("DELETE FROM m_orders WHERE o_totalprice > 1000")
+    now = engine.sql("SELECT count(*) AS n FROM m_orders").first().n
+    assert now < v1
+    old = engine.sql(
+        "SELECT count(*) AS n FROM m_orders VERSION AS OF 1"
+    ).first().n
+    assert old == v1
+    # old snapshot joined against the current table
+    j = engine.sql(
+        "SELECT count(*) AS n FROM m_orders VERSION AS OF 1 o "
+        "JOIN m_orders c ON o.o_orderkey = c.o_orderkey"
+    ).first().n
+    assert j == now
+    # the phrase inside a string literal is untouched
+    s = engine.sql(
+        "SELECT 'm_orders VERSION AS OF 1' AS s"
+    ).first().s
+    assert s == "m_orders VERSION AS OF 1"
