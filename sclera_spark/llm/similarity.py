@@ -254,3 +254,48 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"), "cosine")
     )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin,
+    ties to the lowest list id) as an ``ivf_list`` column — entirely
+    JVM-side: one distance expression per centroid over zip_with, argmin
+    via array_min on (dist, idx) structs. No Python worker, no MLlib
+    model object needed — exactly what index MAINTENANCE wants, where
+    the centroids are a frozen artifact loaded from the index sidecar."""
+    vec = F.col(vec_col).cast("array<double>")
+    entries = []
+    for i, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, cl, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return df.withColumn("ivf_list", F.array_min(F.array(*entries))["i"])
+
+
+def ivf_append(spark, path: str, new_df: DataFrame, vec_col: str = "embedding") -> int:
+    """Append new vectors to a PERSISTED IVF index without rebuilding:
+    assign against the index's frozen centroids (sidecar), then append
+    parquet files into the matching ``ivf_list=`` partition directories —
+    probes keep pruning partitions exactly as before, now seeing the new
+    vectors too. Returns the number of appended vectors.
+
+    Maintenance model (the standard IVF trade): centroids stay frozen as
+    the corpus grows, so heavily-drifted data degrades list balance over
+    time; periodic re-train + rewrite (`ivf_index` + `ivf_write`) is the
+    compaction analogue. Appending is O(new vectors); nothing existing
+    is read or rewritten."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        centroids = json.load(f)
+    assigned = ivf_assign(new_df, centroids, vec_col)
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("ivf_list").parquet(path)
+    return n

@@ -822,3 +822,65 @@ def test_weighted_sample_quota_layout_and_eligibility(spark):
             top = weighted_sample(heavy, "w", 1, "k", salt=str(s)).collect()[0]
             wins[top.k] += 1
     assert wins[1] > wins[2]
+
+
+def test_ivf_append_maintains_index(spark, tables):
+    """Index maintenance: ivf_append assigns against the frozen sidecar
+    centroids (JVM-side argmin — parity with MLlib's assignment checked
+    exactly) and appends into the partition layout, so probes see the
+    new vectors with pruning intact and nothing existing rewritten."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import ivf_index, ivf_load, ivf_write
+    from sclera_spark.llm.similarity import ivf_append, ivf_assign, ivf_topk_indexed
+
+    emb = tables["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    old = emb.filter("vec_id % 5 > 0")
+    new = emb.filter("vec_id % 5 = 0")
+    indexed, centroids = ivf_index(old, dim, n_lists=4)
+
+    # assignment parity: the JVM-side argmin reproduces MLlib's
+    # assignments for every already-indexed vector
+    ours = {
+        r.vec_id: r.ivf_list
+        for r in ivf_assign(old, centroids).select("vec_id", "ivf_list").collect()
+    }
+    theirs = {
+        r.vec_id: r.ivf_list
+        for r in indexed.select("vec_id", "ivf_list").collect()
+    }
+    assert ours == theirs
+
+    path = tempfile.mkdtemp(prefix="sclera_ivf_app_") + "/idx"
+    ivf_write(indexed, centroids, path)
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    }
+    n = ivf_append(spark, path, new)
+    assert n == new.count()
+    # nothing existing rewritten — append-only at the file level
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after and len(files_after) > len(files_before)
+
+    loaded, _cents = ivf_load(spark, path)
+    assert loaded.count() == emb.count()
+
+    # an appended vector is findable: probing its own list returns it as
+    # top-1 with cosine ~1
+    qrow = new.orderBy("vec_id").first()
+    q = [float(x) for x in qrow["embedding"]]
+    got = ivf_topk_indexed(spark, path, q, k=3, n_probe=2).collect()
+    assert got[0].vec_id == qrow["vec_id"]
+    assert got[0].cosine > 0.999999
