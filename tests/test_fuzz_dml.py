@@ -102,10 +102,27 @@ def _run_sequence(spark, seed: int, manifest: bool):
         if manifest:
             engine.execute("ALTER TABLE ft SET FORMAT MANIFEST")
         gen = DGen(random.Random(seed))
+        maint = random.Random(seed * 31 + 7)
         for i in range(SEQ_LEN):
             stmt = gen.stmt()
             engine.execute(stmt)
             duck.execute(stmt)
+            if manifest and maint.random() < 0.3:
+                # maintenance ops are state-INVISIBLE: interleave them
+                # engine-only (no DuckDB counterpart) and the state diff
+                # below must still hold — compaction/clustering/vacuum
+                # racing DML is exactly where a wrong file swap would
+                # corrupt every later statement
+                mstmt = maint.choice(
+                    [
+                        "OPTIMIZE ft TARGET 64 MB",
+                        "OPTIMIZE ft TARGET 64 MB SORT BY (k)",
+                        "VACUUM ft",
+                        "VACUUM ft RETAIN 2 VERSIONS",
+                    ]
+                )
+                engine.execute(mstmt)
+                stmt = f"{stmt}  [+ {mstmt}]"
             got, exp = _state(engine), _duck_state(duck)
             assert got == exp, (
                 f"seed {seed} manifest={manifest} diverged after stmt {i}:"
