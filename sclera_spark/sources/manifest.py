@@ -62,14 +62,16 @@ class ManifestTable:
     # ---- creation ----
 
     @classmethod
-    def create(cls, df: DataFrame, path: str) -> "ManifestTable":
+    def create(
+        cls, df: DataFrame, path: str, meta: dict | None = None
+    ) -> "ManifestTable":
         """Materialize ``df`` as a new manifest table (version 1)."""
         t = cls(path)
         os.makedirs(t.data_dir, exist_ok=True)
         os.makedirs(t.log_dir, exist_ok=True)
         scratch, added = t._stage(df)
         t._adopt(scratch, added)
-        t._publish(1, added)
+        t._publish(1, added, meta)
         return t
 
     @classmethod
@@ -105,6 +107,15 @@ class ManifestTable:
             for f in os.listdir(self.log_dir)
             if f.startswith("v") and f.endswith(".json")
         )
+
+    def meta(self, version: int | None = None) -> dict:
+        """Application metadata carried by a manifest version (e.g. the
+        streaming sink's last-committed batch id). INHERITED across
+        commits unless explicitly overridden, so compaction or DML never
+        silently drops it."""
+        v = self.version() if version is None else version
+        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
+            return json.load(fh).get("meta", {})
 
     def files(self, version: int | None = None) -> list[str]:
         v = self.version() if version is None else version
@@ -147,17 +158,21 @@ class ManifestTable:
 
         return lock()
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
         scratch, added = self._stage(df)
         with self._writer_lock():
             self._adopt(scratch, added)
-            self._publish(self.version() + 1, added)
+            self._publish(self.version() + 1, added, self._next_meta(meta))
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, meta: dict | None = None) -> None:
         scratch, added = self._stage(df)
         with self._writer_lock():
             self._adopt(scratch, added)
-            self._publish(self.version() + 1, self._file_names() + added)
+            self._publish(
+                self.version() + 1,
+                self._file_names() + added,
+                self._next_meta(meta),
+            )
 
     def replace_files(self, remove_paths: list[str], df: DataFrame) -> None:
         """The COW commit: swap the given live files for ``df``'s output
@@ -178,7 +193,9 @@ class ManifestTable:
                 )
             survivors = [f for f in live if f not in removed]
             self._adopt(scratch, added)
-            self._publish(self.version() + 1, survivors + added)
+            self._publish(
+                self.version() + 1, survivors + added, self._next_meta(None)
+            )
 
     def compact(
         self,
@@ -297,12 +314,26 @@ class ManifestTable:
                 os.rename(tmp, dst)
         shutil.rmtree(scratch, ignore_errors=True)
 
-    def _publish(self, version: int, files: list[str]) -> None:
+    def _next_meta(self, override: dict | None) -> dict:
+        """Merge metadata for the next commit: inherit the current
+        version's meta, with explicit keys overriding (called inside the
+        writer lock by every mutator)."""
+        try:
+            base = self.meta()
+        except FileNotFoundError:
+            base = {}
+        return {**base, **(override or {})}
+
+    def _publish(
+        self, version: int, files: list[str], meta: dict | None = None
+    ) -> None:
         """Steps 2+3 of the commit protocol: durable manifest, then the
         atomic pointer swap that IS the commit."""
         mpath = os.path.join(self.log_dir, f"v{version}.json")
         with open(mpath, "w") as fh:
-            json.dump({"version": version, "files": files}, fh)
+            json.dump(
+                {"version": version, "files": files, "meta": meta or {}}, fh
+            )
             fh.flush()
             os.fsync(fh.fileno())
         tmp = os.path.join(self.log_dir, f".LATEST.{uuid.uuid4().hex[:8]}")

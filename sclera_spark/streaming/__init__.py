@@ -10,6 +10,7 @@ from sclera_spark.streaming.ops import (
     stream_interval_join,
     run_to_memory,
     run_to_files,
+    stream_to_manifest,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "stream_interval_join",
     "run_to_memory",
     "run_to_files",
+    "stream_to_manifest",
 ]

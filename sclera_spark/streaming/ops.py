@@ -561,3 +561,58 @@ def run_to_files(
     q.awaitTermination(timeout_s)
     q.stop()
     return q
+
+
+def manifest_batch_committer(table_path: str):
+    """The idempotent per-batch commit used by :func:`stream_to_manifest`
+    (exposed so redelivery semantics are directly testable): appends the
+    batch as one atomic manifest commit carrying ``{"stream_batch": id}``
+    in the version metadata, and makes a REDELIVERED batch (id at or
+    below the recorded watermark) a no-op."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    def commit_batch(bdf: DataFrame, batch_id: int) -> None:
+        if ManifestTable.exists(table_path):
+            mt = ManifestTable(table_path)
+            if batch_id <= mt.meta().get("stream_batch", -1):
+                return  # redelivered batch: already committed atomically
+            mt.append(bdf, meta={"stream_batch": batch_id})
+        else:
+            ManifestTable.create(bdf, table_path, meta={"stream_batch": batch_id})
+
+    return commit_batch
+
+
+def stream_to_manifest(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+):
+    """Stream into a MANIFEST table: every micro-batch lands as one
+    atomic manifest commit (sources/manifest.py append — readers see
+    whole batches or nothing, with time travel and OPTIMIZE/VACUUM
+    available on the ingest table from day one).
+
+    Exactly-once: ``foreachBatch`` is at-least-once — after a crash
+    between the sink write and the checkpoint commit, Structured
+    Streaming REDELIVERS the batch. The sink makes the redelivery a
+    no-op by recording the committed batch id in the manifest's own
+    version metadata: batch N commits ``{"stream_batch": N}`` atomically
+    WITH its files, so "did batch N land?" has the same crash-consistent
+    answer as "are its rows visible?". Metadata is inherited across
+    commits, so a compaction or DML between batches cannot reset the
+    dedup watermark.
+
+    Drains all currently-available input (availableNow) and returns the
+    stopped query — call again with the same checkpoint to resume.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(manifest_batch_committer(table_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return q

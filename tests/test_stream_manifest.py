@@ -1,0 +1,132 @@
+"""Streaming ingest into manifest tables (stream_to_manifest): atomic
+per-batch commits, resume across restarts, and exactly-once under REAL
+batch redelivery — the checkpoint's commit marker for the last batch is
+deleted so Structured Streaming genuinely re-runs it, and the manifest's
+batch-id watermark must make the redelivery a no-op."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from sclera_spark.sources.manifest import ManifestTable
+from sclera_spark.streaming import stream_from_directory, stream_to_manifest
+
+_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _rows(lo, hi):
+    base = datetime.datetime(2024, 7, 1)
+    return [
+        (i, base + datetime.timedelta(seconds=i), float(i) / 3.0)
+        for i in range(lo, hi)
+    ]
+
+
+@pytest.fixture()
+def dirs():
+    root = tempfile.mkdtemp(prefix="sclera_smani_")
+    d = {
+        "in": os.path.join(root, "in"),
+        "tbl": os.path.join(root, "tbl"),
+        "ck": os.path.join(root, "ck"),
+    }
+    os.makedirs(d["in"])
+    yield d
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _land(spark, rows, path):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _ids(spark, path):
+    return sorted(
+        r.event_id for r in ManifestTable(path).read(spark).collect()
+    )
+
+
+def _run(spark, d):
+    stream = stream_from_directory(
+        spark, d["in"], _SCHEMA, maxFilesPerTrigger=1
+    )
+    stream_to_manifest(stream, d["tbl"], d["ck"])
+
+
+def test_stream_ingest_and_resume(spark, dirs):
+    _land(spark, _rows(0, 50), dirs["in"])
+    _land(spark, _rows(50, 80), dirs["in"])
+    _run(spark, dirs)
+    assert _ids(spark, dirs["tbl"]) == list(range(80))
+    mt = ManifestTable(dirs["tbl"])
+    v_after_first = mt.version()
+    assert mt.meta()["stream_batch"] >= 1  # one commit per micro-batch
+
+    # resume: only the new file is processed, appended atomically
+    _land(spark, _rows(80, 100), dirs["in"])
+    _run(spark, dirs)
+    assert _ids(spark, dirs["tbl"]) == list(range(100))
+    assert mt.version() == v_after_first + 1
+
+
+def test_redelivered_batch_is_not_duplicated(spark, dirs):
+    """foreachBatch is at-least-once: after a crash between the sink
+    write and the checkpoint commit, Spark re-invokes the committer with
+    the SAME batch id and the SAME rows. Replay that contract directly
+    against the committer and assert the duplicate is swallowed; a batch
+    ABOVE the watermark must still land."""
+    from sclera_spark.streaming.ops import manifest_batch_committer
+
+    _land(spark, _rows(0, 40), dirs["in"])
+    _land(spark, _rows(40, 60), dirs["in"])
+    _run(spark, dirs)
+    assert _ids(spark, dirs["tbl"]) == list(range(60))
+    mt = ManifestTable(dirs["tbl"])
+    v0 = mt.version()
+    wm = mt.meta()["stream_batch"]
+
+    commit = manifest_batch_committer(dirs["tbl"])
+    # redelivery of the last batch (same id, same rows): must be a no-op
+    commit(spark.createDataFrame(_rows(40, 60), _SCHEMA), wm)
+    assert _ids(spark, dirs["tbl"]) == list(range(60)), (
+        "redelivered batch duplicated rows"
+    )
+    assert mt.version() == v0  # the no-op published nothing
+    # a batch above the watermark lands atomically
+    commit(spark.createDataFrame(_rows(60, 70), _SCHEMA), wm + 1)
+    assert _ids(spark, dirs["tbl"]) == list(range(70))
+    assert mt.meta()["stream_batch"] == wm + 1
+
+
+def test_watermark_survives_compaction(spark, dirs):
+    """OPTIMIZE between batches must not reset the dedup watermark
+    (metadata is inherited across commits)."""
+    _land(spark, _rows(0, 30), dirs["in"])
+    _run(spark, dirs)
+    mt = ManifestTable(dirs["tbl"])
+    wm = mt.meta()["stream_batch"]
+    mt.append(
+        spark.createDataFrame(_rows(900, 910), _SCHEMA)
+    )  # unrelated DML commit
+    mt.compact(spark, target_bytes=64 * 1024 * 1024)
+    assert mt.meta()["stream_batch"] == wm
