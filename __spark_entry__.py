@@ -1468,6 +1468,23 @@ def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (llm/bpe.py, Sennrich 2016):
+    the 30 most frequent adjacent-symbol merges over the documents
+    corpus. Deterministic and layout-independent ((freq DESC, pair ASC)
+    total order — pinned vs a textbook pure-Python reference and under
+    repartitioning in tests/test_bpe.py). Iterative with a per-iteration
+    driver scalar, so not DuckDB-expressible (rows-graded)."""
+    from sclera_spark.llm.bpe import bpe_train
+
+    eng = _engine(spark, sf_dir)
+    merges = bpe_train(eng.table("documents"), "text", n_merges=30, min_freq=2)
+    return spark.createDataFrame(
+        [(i, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        "rank int, left string, right string, freq long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in _Q
@@ -1545,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_normalize": _q_text_normalize,
             "url_extract": _q_url_extract,
             "incr_rollup": _q_incr_rollup,
+            "bpe_merges": _q_bpe_merges,
         }
     )
     return out
