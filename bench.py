@@ -2,10 +2,20 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line with per-query wall seconds.
 
-Protocol: each query runs SPARK_GRAFT_REPS times (default 5) in one warm
-session; the reported per-query number is the MEDIAN and `spread` carries
-[min, max] — single warm runs proved unable to support the 2x gate
-(byte-identical code moved +-30% between rounds 2 and 3; see BASELINE.md).
+Protocol (r6): one untimed warm-up rep per query (pays Catalyst
+compilation / whole-stage-codegen JIT / AQE re-plan — measured at 3-5 s for
+the most plan-heavy query vs a 1.5-1.9 s steady state), then
+SPARK_GRAFT_REPS (default 7) timed reps taken in ROUND-ROBIN passes over
+the whole query list; per query the MEDIAN is reported in `queries`, the
+MIN in `min`, [min, max] in `spread`. Round-robin because the measured
+host failure mode is multi-second external stall bursts (identical code
+spread [1.4, 13.9] s within one run): consecutive reps all absorb a burst,
+interleaved reps don't. Per-query budgets (2x the frozen anchors) are
+asserted on the MIN (one-sided noise can't lower a min; a real regression
+raises it): violations go to stderr and the `budget_violations` JSON
+field, so a regression fails loudly instead of riding the total.
+r5's "8.3 s split_intervals" was the cold-rep + stall-burst artifact —
+see BASELINE.md.
 
 Query set mirrors BASELINE.md B1-B8 plus the LLM-pipeline headliners.
 Each query is fully materialized via a count-style action (no driver-side
@@ -101,6 +111,34 @@ def ensure_scaled_dir(spark, base_dir: str, factor: int, salt_docs: bool = False
     return out_dir
 
 
+# per-query budget gate: 2x the frozen r1/BASELINE.md anchors (sf0.1,
+# local[32], steady-state protocol). Gated on the per-query MIN across
+# reps, not the median: external stall bursts are one-sided noise (they
+# only ADD time), so the min is the robust estimator of the code's true
+# cost — a real regression raises the min; a hypervisor stall does not
+# lower it.
+BUDGETS = {
+    "q1_agg": 0.8, "multi_join": 1.2, "distinct_on": 1.5, "unpivot": 0.3,
+    "match_funnel": 2.7, "split_intervals": 2.7, "window_tier": 0.8,
+    "align_sql": 2.3, "expmovavg": 0.9, "minhash_pairs": 4.0,
+    "cosine_topk": 1.3, "quality_scores": 1.0, "dedup_exact": 1.2,
+}
+
+
+def check_budgets(
+    best: dict[str, float], base_sf: float, scale: int
+) -> list[dict]:
+    """Budgets only apply at the calibrated point (sf0.1, no replication);
+    returns the violation records (empty = all inside budget)."""
+    if scale != 1 or abs(base_sf - 0.1) > 1e-9:
+        return []
+    return [
+        {"query": name, "min": mn, "budget": BUDGETS[name]}
+        for name, mn in best.items()
+        if name in BUDGETS and mn > BUDGETS[name]
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_SCALE", "1"))
@@ -137,7 +175,7 @@ def main() -> None:
     if only:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         bench_names = [n for n in bench_names if n in wanted]
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "7")))
 
     # warm the JVM + parquet footers once
     qs["q1_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -155,16 +193,40 @@ def main() -> None:
 
     import statistics
 
-    results: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
+    # one untimed warm-up rep per query: Catalyst plan compilation +
+    # codegen JIT + AQE stage materialization is a per-(query, session)
+    # one-off, not per-run throughput — measure steady state
     for name in bench_names:
-        times: list[float] = []
-        for _ in range(reps):
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # ROUND-ROBIN passes (pass 1: q1..qN, pass 2: q1..qN, ...) instead of
+    # consecutive per-query reps: the measured host failure mode is a
+    # multi-second external stall BURST (spreads like [1.4, 13.9] s on
+    # byte-identical code) — consecutively-run reps of one query all
+    # absorb the burst and its median lies; interleaving spreads a burst
+    # across different queries' single reps, so per-query medians hold.
+    all_times: dict[str, list[float]] = {n: [] for n in bench_names}
+    for _ in range(reps):
+        for name in bench_names:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times.append(time.time() - t0)
+            all_times[name].append(time.time() - t0)
+
+    results: dict[str, float] = {}
+    best: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name, times in all_times.items():
         results[name] = round(statistics.median(times), 3)
+        best[name] = round(min(times), 3)
         spread[name] = [round(min(times), 3), round(max(times), 3)]
+
+    violations = check_budgets(best, base_sf, scale)
+    for v in violations:
+        print(
+            f"BUDGET VIOLATION: {v['query']} min-of-{reps} {v['min']}s "
+            f"> {v['budget']}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(results.values()), 3)
     print(
@@ -174,8 +236,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "min": best,
                 "spread": spread,
                 "reps": reps,
+                "warmup_reps": 1,
+                "budget_violations": violations,
                 "sf": base_sf * scale,
             }
         )

@@ -22,9 +22,38 @@ from pyspark.sql import functions as F
 
 from collections.abc import Sequence
 
+# collect_list-backed aggregates materialize ONE array per group in
+# executor memory: past this many elements per group the guarded
+# expression fails loudly (clear message, before an executor OOM does it
+# cryptically). Callers with genuinely huge groups opt out explicitly.
+DEFAULT_MAX_GROUP_ELEMENTS = 1_000_000
+
+
+def _guard_group_size(
+    arr: Column, result: Column, limit: int | None, what: str
+) -> Column:
+    """Fail loudly when a collected per-group array exceeds ``limit``
+    elements. assert_true returns NULL on success (so the WHEN takes the
+    result branch) and raises a SparkRuntimeException with the message
+    otherwise — the guarded expression keeps the result's type."""
+    if limit is None:
+        return result
+    ok = F.assert_true(
+        F.size(arr) <= F.lit(limit),
+        F.lit(
+            f"{what}: group exceeds {limit} elements "
+            "(collect_list-backed aggregate materializes one array per "
+            "group; raise or disable max_group_elements to override)"
+        ),
+    )
+    return F.when(ok.isNull(), result)
+
 
 def string_agg(
-    col: Column, sep: str = ",", order_by: Sequence[Column] | None = None
+    col: Column,
+    sep: str = ",",
+    order_by: Sequence[Column] | None = None,
+    max_group_elements: int | None = DEFAULT_MAX_GROUP_ELEMENTS,
 ) -> Column:
     """STRING_AGG: ordered concatenation. At scale this is a collect_list
     per group — acceptable because groups, not the whole relation, bound
@@ -37,18 +66,28 @@ def string_agg(
     (non-deterministic after a shuffle unless the caller sorts first —
     same caveat Spark's own listagg carries)."""
     if order_by is None:
-        return F.array_join(F.collect_list(col.cast("string")), sep)
+        arr = F.collect_list(col.cast("string"))
+        return _guard_group_size(
+            arr, F.array_join(arr, sep), max_group_elements, "STRING_AGG"
+        )
     s = F.struct(
         *[c.alias(f"__o{i}") for i, c in enumerate(order_by)],
         col.cast("string").alias("__v"),
     )
-    vals = F.transform(F.sort_array(F.collect_list(s)), lambda x: x["__v"])
-    return F.array_join(vals, sep)
+    arr = F.collect_list(s)
+    vals = F.transform(F.sort_array(arr), lambda x: x["__v"])
+    return _guard_group_size(
+        arr, F.array_join(vals, sep), max_group_elements, "STRING_AGG"
+    )
 
 
-def path(col: Column, order_by: Sequence[Column] | None = None) -> Column:
+def path(
+    col: Column,
+    order_by: Sequence[Column] | None = None,
+    max_group_elements: int | None = DEFAULT_MAX_GROUP_ELEMENTS,
+) -> Column:
     """PATH: Sclera's label-path aggregate — '/'-joined values in order."""
-    return string_agg(col, "/", order_by=order_by)
+    return string_agg(col, "/", order_by=order_by, max_group_elements=max_group_elements)
 
 
 def skew_pop(col: Column) -> Column:
@@ -74,6 +113,18 @@ def kurtosis_samp(col: Column) -> Column:
     g2 = F.kurtosis(col)
     one = F.lit(1.0)
     return ((n - one) / ((n - F.lit(2.0)) * (n - F.lit(3.0)))) * ((n + one) * g2 + F.lit(6.0))
+
+
+def nth_value(
+    col: Column,
+    n,
+    max_group_elements: int | None = DEFAULT_MAX_GROUP_ELEMENTS,
+) -> Column:
+    """NTH_VALUE as an aggregate (1-based): collect_list-backed, with the
+    same per-group size guard as STRING_AGG/PATH."""
+    arr = F.collect_list(col)
+    idx = n - 1 if isinstance(n, int) else n
+    return _guard_group_size(arr, F.get(arr, idx), max_group_elements, "NTH_VALUE")
 
 
 # name -> callable(cols...) -> aggregate Column
@@ -104,7 +155,7 @@ AGGREGATE_FUNCTIONS: dict[str, Callable[..., Column]] = {
     "KURTOSIS_SAMP": kurtosis_samp,
     "STRING_AGG": string_agg,
     "PATH": path,
-    "NTH_VALUE": lambda c, n: F.get(F.collect_list(c), n - 1 if isinstance(n, int) else n),
+    "NTH_VALUE": lambda c, n: nth_value(c, n),
     # linear regression family (reference ScalFunctionEvaluator.scala:38-50)
     "REGR_COUNT": lambda y, x: F.regr_count(y, x),
     "REGR_AVGX": lambda y, x: F.regr_avgx(y, x),

@@ -289,13 +289,27 @@ def ivf_append(spark, path: str, new_df: DataFrame, vec_col: str = "embedding") 
     the corpus grows, so heavily-drifted data degrades list balance over
     time; periodic re-train + rewrite (`ivf_index` + `ivf_write`) is the
     compaction analogue. Appending is O(new vectors); nothing existing
-    is read or rewritten."""
+    is read or rewritten.
+
+    Atomicity caveat: this is a plain ``mode('append')`` parquet write,
+    NOT a manifest commit — a crash mid-write can leave partial part
+    files visible to ``ivf_load`` (Spark's _SUCCESS-less directory scan).
+    Acceptable for an index (rebuildable derived data; a re-append after
+    a crash at worst duplicates candidates, and exact re-rank dedups by
+    id); route through sources/manifest.py if the index must be
+    crash-consistent."""
     import json
     import os
 
     with open(os.path.join(path, "_ivf_centroids.json")) as f:
         centroids = json.load(f)
-    assigned = ivf_assign(new_df, centroids, vec_col)
-    n = assigned.count()
-    assigned.write.mode("append").partitionBy("ivf_list").parquet(path)
+    # cache: the assignment job runs ONCE, and the returned count is the
+    # count of what was actually written (not a recompute that could
+    # diverge on a non-deterministic new_df)
+    assigned = ivf_assign(new_df, centroids, vec_col).cache()
+    try:
+        n = assigned.count()
+        assigned.write.mode("append").partitionBy("ivf_list").parquet(path)
+    finally:
+        assigned.unpersist()
     return n

@@ -114,8 +114,17 @@ def asof_join(
             else (F.col("__m.__rk") - F.col("__k"))
         )
         is_ts = dict(left.dtypes)[on].startswith("timestamp")
-        tol = F.expr(f"INTERVAL {tolerance}") if is_ts else F.lit(tolerance)
-        valid = valid & (diff <= tol)
+        if is_ts:
+            tol = F.expr(f"INTERVAL {tolerance}")
+            valid = valid & (diff <= tol)
+        else:
+            # numeric key: compare in DOUBLE explicitly — a string
+            # literal would lean on ANSI implicit cross-type casting,
+            # and casting to an integral key type would truncate a
+            # fractional tolerance like '0.5'. float() also validates
+            # the literal up front instead of failing mid-job.
+            tol = F.lit(float(tolerance))
+            valid = valid & (diff.cast("double") <= tol)
     matched = matched.withColumn("__ok", valid)
     if how == "inner":
         matched = matched.filter(F.col("__ok"))

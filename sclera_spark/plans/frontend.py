@@ -990,7 +990,16 @@ def _rewrite_version_as_of(engine, sql: str) -> str:
     (Delta-dialect syntax over our own snapshot store): the retained
     version's file list resolves through table_at and is spliced in as a
     scratch temp view (``__``-prefixed, so pg_catalog introspection
-    skips it). Works in any from-item position, joins included."""
+    skips it). Works in any from-item position, joins included.
+
+    Only names registered as manifest tables are rewritten — a query
+    that merely CONTAINS matching text (a column alias, an unrelated
+    identifier before the keywords) passes through untouched instead of
+    aborting on table_at's ValueError. View creation is deferred until
+    the whole statement has been scanned, so a mid-scan failure leaves
+    no stray ``__sclera_tt_*`` views behind."""
+    manifest = engine.ddl().manifest_tables
+    pending: list[tuple[str, int, str]] = []  # (name, version, view)
     out = []
     for is_lit, seg in _split_literals(sql):
         if is_lit:
@@ -999,11 +1008,15 @@ def _rewrite_version_as_of(engine, sql: str) -> str:
 
         def sub(m: re.Match) -> str:
             name, v = m.group(1), int(m.group(2))
+            if name.lower() not in manifest:
+                return m.group(0)  # not a time-travel-able table: leave as-is
             view = f"__sclera_tt_{name.lower()}_{v}"
-            engine.ddl().table_at(name, v).createOrReplaceTempView(view)
+            pending.append((name, v, view))
             return view
 
         out.append(_VERSION_AS_OF_RE.sub(sub, seg))
+    for name, v, view in pending:
+        engine.ddl().table_at(name, v).createOrReplaceTempView(view)
     return "".join(out)
 
 

@@ -21,12 +21,19 @@ At 100 TB this is the difference between an hourly dashboard costing an
 hourly full scan and costing one pass over the hour's arrivals.
 
 Crash safety: the materialization is itself a manifest table, and the
-refresh state (source version + file list) is written keyed to the MV
-version that will carry it, BEFORE that version's pointer swap. A crash
-between the two leaves the old MV version current with its old state —
-the half-applied delta is invisible and the retry re-applies it exactly
-once. There is no window where the delta could be double-counted
-(injection-tested in tests/test_incragg.py).
+refresh state (source version + file list) rides in the SAME manifest
+version's ``meta`` as the refreshed data — state and data commit in ONE
+atomic pointer swap (``overwrite(df, meta=...)``), so there is no
+version-keyed sidecar to desync. A crash anywhere before the swap leaves
+the old MV version current with its old state — the half-applied delta
+is invisible and the retry re-applies it exactly once. Unrelated commits
+on the MV (OPTIMIZE/compact) inherit the meta unchanged (manifest meta
+is inherited across commits), which is correct: compaction does not
+change which source snapshot the rows reflect. A source commit that adds
+NO files (empty append, watermark-advancing empty streaming batch) is
+consumed as a pure metadata commit (``amend_meta``) — the recorded
+source version advances without touching data. Injection-tested in
+tests/test_incragg.py.
 
 The maintainer owns the MV table (single writer); the SOURCE may take
 concurrent commits freely — refresh reads one consistent source
@@ -36,7 +43,6 @@ consumed.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Sequence
 
@@ -53,10 +59,11 @@ class IncrementalAggregate:
     {count, sum, min, max} (col ignored for count); derive avg at read
     time as sum/count, exactly as in the rollup cascade."""
 
+    _META_KEY = "incragg"
+
     def __init__(self, path: str):
         self.path = path
         self.mv = ManifestTable(path)
-        self.state_dir = os.path.join(path, "_incragg")
 
     # ---- construction ----
 
@@ -78,23 +85,19 @@ class IncrementalAggregate:
                     "(supported: count, sum, min, max)"
                 )
         ia = cls(path)
-        os.makedirs(ia.state_dir, exist_ok=True)
         src_version = source.version()
         src_files = sorted(os.path.basename(p) for p in source.files())
         df = ia._bucket_agg(source.read(spark), ts_col, bucket, aggs, keys)
-        ia._write_state(
-            1,
-            {
-                "source_path": source.path,
-                "source_version": src_version,
-                "source_files": src_files,
-                "ts_col": ts_col,
-                "bucket": bucket,
-                "aggs": {n: list(kc) for n, kc in aggs.items()},
-                "keys": list(keys),
-            },
-        )
-        ManifestTable.create(df, path)
+        state = {
+            "source_path": source.path,
+            "source_version": src_version,
+            "source_files": src_files,
+            "ts_col": ts_col,
+            "bucket": bucket,
+            "aggs": {n: list(kc) for n, kc in aggs.items()},
+            "keys": list(keys),
+        }
+        ManifestTable.create(df, path, meta={cls._META_KEY: state})
         return ia
 
     # ---- reads ----
@@ -103,9 +106,15 @@ class IncrementalAggregate:
         return self.mv.read(spark)
 
     def state(self) -> dict:
-        v = self.mv.version()
-        with open(os.path.join(self.state_dir, f"v{v}.json")) as fh:
-            return json.load(fh)
+        """Refresh state carried by the CURRENT manifest version's meta —
+        atomically committed with the data it describes."""
+        st = self.mv.meta().get(self._META_KEY)
+        if st is None:
+            raise ValueError(
+                f"{self.path} carries no incremental-aggregate state "
+                "(not created via IncrementalAggregate.create?)"
+            )
+        return st
 
     # ---- maintenance ----
 
@@ -129,13 +138,14 @@ class IncrementalAggregate:
         aggs = {n: tuple(kc) for n, kc in st["aggs"].items()}
         keys = st["keys"]
 
+        new_state = {**st, "source_version": src_version, "source_files": cur_files}
         if removed:
             # COW rewrote live files: deltas are not append-expressible
             df = self._bucket_agg(
                 source.read(spark, src_version), ts_col, bucket, aggs, keys
             )
             mode = ("full", len(cur_files))
-        else:
+        elif added:
             paths = [os.path.join(source.data_dir, f) for f in added]
             delta = self._bucket_agg(
                 spark.read.parquet(*paths), ts_col, bucket, aggs, keys
@@ -143,13 +153,16 @@ class IncrementalAggregate:
             merged = self.mv.read(spark).unionByName(delta)
             df = self._merge(merged, aggs, keys)
             mode = ("incremental", len(added))
+        else:
+            # source version bumped with no file change (empty append /
+            # watermark-advancing empty streaming batch / meta-only
+            # commit): nothing to read — advance the recorded state with
+            # a pure metadata commit so refresh never stalls on it
+            self.mv.amend_meta({self._META_KEY: new_state})
+            return ("noop", 0)
 
-        next_v = self.mv.version() + 1
-        self._write_state(
-            next_v,
-            {**st, "source_version": src_version, "source_files": cur_files},
-        )
-        self.mv.overwrite(df)  # atomic pointer swap = the commit point
+        # state + data in ONE atomic pointer swap = the commit point
+        self.mv.overwrite(df, meta={self._META_KEY: new_state})
         return mode
 
     # ---- internals ----
@@ -182,11 +195,3 @@ class IncrementalAggregate:
             *[_REAGG[kind](n).alias(n) for n, (kind, _col) in aggs.items()]
         ).select("bucket_start", "bucket_end", *keys, *aggs.keys())
 
-    def _write_state(self, version: int, state: dict) -> None:
-        os.makedirs(self.state_dir, exist_ok=True)
-        tmp = os.path.join(self.state_dir, f".v{version}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(self.state_dir, f"v{version}.json"))

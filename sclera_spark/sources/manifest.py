@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -52,9 +53,33 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG = "_sclera_log"
 _DATA = "data"
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A manifest version claim reappeared immediately after healing.
+
+    Same-host writers are serialized by the flock, so inside the lock a
+    pre-existing claim is the orphan of a crashed commit (healed with a
+    warning). A claim that comes BACK right after healing means a live
+    writer outside the flock's reach — another host sharing this
+    filesystem — is racing us, which the single-host manifest contract
+    does not support (flock is advisory and host-local; an object-store
+    backend would use conditional-put as the pointer CAS). Failing
+    loudly is the explicit form of that assumption."""
+
 
 class ManifestTable:
     def __init__(self, path: str):
+        if _SCHEME_RE.match(path):
+            raise ValueError(
+                f"manifest tables require a local POSIX path, got {path!r}: "
+                "the commit point is an atomic os.replace + flock, which "
+                "does not exist on object stores. An s3/abfs/gs backend "
+                "needs the store's conditional-put as the pointer CAS — "
+                "use a plain parquet location (copy-on-write DML) for "
+                "scheme'd URIs instead."
+            )
         self.path = path
         self.log_dir = os.path.join(path, _LOG)
         self.data_dir = os.path.join(path, _DATA)
@@ -102,11 +127,34 @@ class ManifestTable:
             return int(fh.read().strip())
 
     def versions(self) -> list[int]:
+        """COMMITTED versions only (<= LATEST): a crashed commit can
+        leave an orphan claim file above the pointer, which must never
+        count as a version — vacuum keying its keep-set off it would
+        delete the live version's files."""
+        latest = self.version()
         return sorted(
-            int(f[1:-5])
+            v
             for f in os.listdir(self.log_dir)
             if f.startswith("v") and f.endswith(".json")
+            and (v := int(f[1:-5])) <= latest
         )
+
+    def recover(self) -> list[int]:
+        """Clear orphan manifest claims above LATEST (a commit that
+        crashed between claiming its version file and the pointer swap).
+        Safe inside the writer lock: no same-host commit is in flight,
+        and the staged data files an orphan references stay invisible
+        until vacuum. Returns the cleared version numbers."""
+        with self._writer_lock():
+            latest = self.version()
+            cleared = []
+            for f in os.listdir(self.log_dir):
+                if f.startswith("v") and f.endswith(".json"):
+                    v = int(f[1:-5])
+                    if v > latest:
+                        os.remove(os.path.join(self.log_dir, f))
+                        cleared.append(v)
+            return sorted(cleared)
 
     def meta(self, version: int | None = None) -> dict:
         """Application metadata carried by a manifest version (e.g. the
@@ -163,6 +211,16 @@ class ManifestTable:
         with self._writer_lock():
             self._adopt(scratch, added)
             self._publish(self.version() + 1, added, self._next_meta(meta))
+
+    def amend_meta(self, meta: dict) -> None:
+        """Commit a new version with the SAME file list and merged meta —
+        a pure metadata commit (e.g. an incremental-aggregate refresh that
+        consumed a source version which added no files). Same atomic
+        pointer-swap protocol as data commits."""
+        with self._writer_lock():
+            self._publish(
+                self.version() + 1, self._file_names(), self._next_meta(meta)
+            )
 
     def append(self, df: DataFrame, meta: dict | None = None) -> None:
         scratch, added = self._stage(df)
@@ -264,6 +322,12 @@ class ManifestTable:
             return self._vacuum_locked(keep_versions)
 
     def _vacuum_locked(self, keep_versions: int) -> list[str]:
+        # clear orphan claims first (crashed commits above LATEST), so
+        # their staged-but-never-committed data files become deletable
+        latest = self.version()
+        for f in os.listdir(self.log_dir):
+            if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) > latest:
+                os.remove(os.path.join(self.log_dir, f))
         vs = self.versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
@@ -328,9 +392,47 @@ class ManifestTable:
         self, version: int, files: list[str], meta: dict | None = None
     ) -> None:
         """Steps 2+3 of the commit protocol: durable manifest, then the
-        atomic pointer swap that IS the commit."""
+        atomic pointer swap that IS the commit.
+
+        The manifest file is CLAIMED with O_EXCL: same-host writers are
+        serialized by the flock, so a pre-existing v<N>.json above LATEST
+        inside the lock can only be the orphan of a CRASHED commit under
+        the single-host contract — it is healed with a loud warning and
+        the commit proceeds (crash-retry must not require manual
+        recovery). If the claim REAPPEARS immediately after healing, a
+        live writer outside our flock's reach (another host — cross-host
+        advisory locks are not part of the contract) is actively racing:
+        raise ConcurrentWriterError rather than trade silent lost
+        updates with it."""
+        import warnings
+
         mpath = os.path.join(self.log_dir, f"v{version}.json")
-        with open(mpath, "w") as fh:
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            warnings.warn(
+                f"manifest version {version} at {self.path} was already "
+                "claimed: healing the orphan of a crashed commit (if "
+                "writers on ANOTHER host share this table, that is "
+                "outside the single-host manifest contract — see the "
+                "module docstring's conditional-put note)",
+                stacklevel=2,
+            )
+            try:
+                os.remove(mpath)
+            except FileNotFoundError:
+                pass
+            try:
+                fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentWriterError(
+                    f"manifest version {version} at {self.path} was "
+                    "re-claimed immediately after healing: a live writer "
+                    "on another host is racing this table (unsupported — "
+                    "flock is host-local; use a store with conditional-"
+                    "put for multi-host writers)"
+                ) from None
+        with os.fdopen(fd, "w") as fh:
             json.dump(
                 {"version": version, "files": files, "meta": meta or {}}, fh
             )

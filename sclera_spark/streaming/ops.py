@@ -16,6 +16,7 @@ operator surface over `readStream` sources with real late-data handling.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import pandas as pd
@@ -563,22 +564,33 @@ def run_to_files(
     return q
 
 
-def manifest_batch_committer(table_path: str):
+def manifest_batch_committer(table_path: str, stream_id: str | None = None):
     """The idempotent per-batch commit used by :func:`stream_to_manifest`
     (exposed so redelivery semantics are directly testable): appends the
-    batch as one atomic manifest commit carrying ``{"stream_batch": id}``
-    in the version metadata, and makes a REDELIVERED batch (id at or
-    below the recorded watermark) a no-op."""
+    batch as one atomic manifest commit carrying
+    ``{"stream_batch": id, "stream_id": sid}`` in the version metadata,
+    and makes a REDELIVERED batch (id at or below the recorded watermark
+    FOR THE SAME STREAM) a no-op.
+
+    The watermark is scoped to ``stream_id`` (derived from the checkpoint
+    location by :func:`stream_to_manifest`): Structured Streaming batch
+    ids restart at 0 under a NEW checkpoint, so an unscoped watermark
+    would silently discard every batch of a restarted-with-fresh-
+    checkpoint stream as a "redelivery". A different stream_id resets the
+    watermark instead — the new stream's batch 0 commits normally."""
     from sclera_spark.sources.manifest import ManifestTable
 
     def commit_batch(bdf: DataFrame, batch_id: int) -> None:
+        meta = {"stream_batch": batch_id, "stream_id": stream_id}
         if ManifestTable.exists(table_path):
             mt = ManifestTable(table_path)
-            if batch_id <= mt.meta().get("stream_batch", -1):
+            cur = mt.meta()
+            same_stream = cur.get("stream_id") == stream_id
+            if same_stream and batch_id <= cur.get("stream_batch", -1):
                 return  # redelivered batch: already committed atomically
-            mt.append(bdf, meta={"stream_batch": batch_id})
+            mt.append(bdf, meta=meta)
         else:
-            ManifestTable.create(bdf, table_path, meta={"stream_batch": batch_id})
+            ManifestTable.create(bdf, table_path, meta=meta)
 
     return commit_batch
 
@@ -602,13 +614,19 @@ def stream_to_manifest(
     WITH its files, so "did batch N land?" has the same crash-consistent
     answer as "are its rows visible?". Metadata is inherited across
     commits, so a compaction or DML between batches cannot reset the
-    dedup watermark.
+    dedup watermark. The watermark is scoped to this checkpoint (see
+    :func:`manifest_batch_committer`): restarting with a NEW checkpoint
+    against the same table starts a new batch-id sequence and is NOT
+    deduped against the old one.
 
     Drains all currently-available input (availableNow) and returns the
     stopped query — call again with the same checkpoint to resume.
     """
+    sid = os.path.abspath(checkpoint_dir)
     q = (
-        stream_df.writeStream.foreachBatch(manifest_batch_committer(table_path))
+        stream_df.writeStream.foreachBatch(
+            manifest_batch_committer(table_path, stream_id=sid)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -121,7 +121,7 @@ def test_crashed_refresh_applies_delta_exactly_once(env, monkeypatch):
 
     orig_overwrite = ia.mv.overwrite
 
-    def crashing_overwrite(df):
+    def crashing_overwrite(df, meta=None):
         raise RuntimeError("injected crash before pointer swap")
 
     monkeypatch.setattr(ia.mv, "overwrite", crashing_overwrite)
@@ -143,6 +143,43 @@ def test_non_decomposable_agg_rejected(env):
             spark, src, tempfile.mkdtemp(prefix="sclera_bad_mv_"),
             ts_col="ts", bucket="1 hour", aggs={"a": ("avg", "value")},
         )
+
+
+def test_empty_delta_commit_advances_state(env):
+    """A source commit that adds NO files (a meta-only commit — e.g. a
+    watermark-advancing empty streaming batch recorded via amend_meta)
+    must not crash refresh (spark.read.parquet of an empty list raises)
+    or stall it: the recorded source version advances as a pure metadata
+    commit and the MV data is untouched."""
+    spark, src, ia = env
+    before = _canon(ia.read(spark))
+    src.amend_meta({"note": "watermark advance"})  # version bump, no files
+    assert ia.refresh(spark) == ("noop", 0)
+    assert ia.state()["source_version"] == src.version()
+    assert _canon(ia.read(spark)) == before
+    # and a later real append still refreshes incrementally
+    src.append(_mk_rows(spark, 3, 12))
+    mode, n = ia.refresh(spark)
+    assert mode == "incremental" and n >= 1
+    assert _canon(ia.read(spark)) == _canon(_direct(src.read(spark)))
+
+
+def test_mv_side_commit_does_not_desync_state(env):
+    """An unrelated commit on the MV itself (OPTIMIZE/compact) must not
+    orphan or stale the refresh state: state rides in manifest meta and
+    is inherited across commits, so refresh after an MV compaction still
+    consumes exactly the unconsumed source delta."""
+    spark, src, ia = env
+    # several small MV versions so compact has something to fold
+    src.append(_mk_rows(spark, 2, 10))
+    assert ia.refresh(spark)[0] == "incremental"
+    st_before = ia.state()
+    ia.mv.compact(spark, target_bytes=64 * 1024 * 1024)  # MV-side commit
+    assert ia.state() == st_before  # inherited, not lost / not stale-keyed
+    src.append(_mk_rows(spark, 4, 10))
+    mode, n = ia.refresh(spark)
+    assert mode == "incremental" and n >= 1
+    assert _canon(ia.read(spark)) == _canon(_direct(src.read(spark)))
 
 
 def test_refresh_after_compaction_stays_correct(env):

@@ -392,3 +392,94 @@ def test_version_as_of_sql(engine, mtab):
         "SELECT 'm_orders VERSION AS OF 1' AS s"
     ).first().s
     assert s == "m_orders VERSION AS OF 1"
+
+
+def test_schemed_uri_refused_cleanly():
+    """Manifest tables are single-host POSIX by design (the commit point
+    is os.replace + flock): an object-store URI must be refused with a
+    clear error at construction — not fail obscurely mid-commit."""
+    for uri in ("s3a://bucket/tbl", "abfss://c@a.dfs.core.windows.net/t", "gs://b/t"):
+        with pytest.raises(ValueError, match="local POSIX path"):
+            ManifestTable(uri)
+
+
+def test_crashed_claim_heals_with_warning(spark, tmp_path):
+    """A commit that crashed between claiming its version file and the
+    LATEST swap leaves an orphan claim. The next commit (inside the
+    flock, so no same-host writer can be live) must HEAL it — loudly,
+    via warnings — and proceed, so crash-retry needs no manual step."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    mt = ManifestTable.create(df, path)
+
+    # crashed commit's leftovers: claim written, pointer never swapped
+    claim = os.path.join(mt.log_dir, "v2.json")
+    fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b'{"version": 2, "files": [], "meta": {}}')
+    os.close(fd)
+    assert mt.version() == 1  # orphan is invisible
+
+    with pytest.warns(UserWarning, match="already claimed"):
+        mt.append(df)
+    assert mt.version() == 2
+    assert mt.read(spark).count() == 20  # healed claim carries OUR commit
+
+
+def test_cross_host_live_racer_fails_loudly(spark, tmp_path, monkeypatch):
+    """Cross-host shape: a claim that REAPPEARS immediately after healing
+    means a live writer outside our flock's reach is racing the table —
+    that must raise ConcurrentWriterError, not silently trade lost
+    updates. Simulated by re-creating the claim on every removal (what a
+    racing writer's O_EXCL would do)."""
+    from sclera_spark.sources.manifest import ConcurrentWriterError
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    mt = ManifestTable.create(df, path)
+
+    claim = os.path.join(mt.log_dir, "v2.json")
+    with open(claim, "w") as fh:
+        fh.write('{"version": 2, "files": [], "meta": {}}')
+
+    real_remove = os.remove
+
+    def racing_remove(p):
+        real_remove(p)
+        if os.path.basename(p) == "v2.json":
+            with open(p, "w") as fh:  # the other host re-claims instantly
+                fh.write('{"version": 2, "files": [], "meta": {}}')
+
+    monkeypatch.setattr(os, "remove", racing_remove)
+    with pytest.warns(UserWarning, match="already claimed"):
+        with pytest.raises(ConcurrentWriterError, match="re-claimed"):
+            mt.append(df)
+    monkeypatch.undo()
+
+    # old snapshot intact; recover() clears the foreign claim; retry lands
+    assert mt.version() == 1
+    assert mt.read(spark).count() == 10
+    assert ManifestTable(path).recover() == [2]
+    mt.append(df)
+    assert mt.version() == 2
+    assert mt.read(spark).count() == 20
+
+
+def test_orphan_claim_never_counts_as_version(spark, tmp_path):
+    """A crashed commit's claim file above LATEST must be invisible to
+    versions()/vacuum — if vacuum keyed its keep-set off the orphan it
+    would delete the LIVE version's data files."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(5).selectExpr("id")
+    mt = ManifestTable.create(df, path)
+    mt.append(df)
+    assert mt.versions() == [1, 2]
+    # orphan claim at v3 referencing nothing
+    with open(os.path.join(mt.log_dir, "v3.json"), "w") as fh:
+        fh.write('{"version": 3, "files": [], "meta": {}}')
+    assert mt.versions() == [1, 2]  # not listed
+    deleted = mt.vacuum(keep_versions=1)
+    # live v2 files survived; orphan claim cleared
+    assert mt.read(spark).count() == 10
+    assert not os.path.exists(os.path.join(mt.log_dir, "v3.json"))
+    assert mt.version() == 2
+    _ = deleted

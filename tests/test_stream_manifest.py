@@ -105,7 +105,10 @@ def test_redelivered_batch_is_not_duplicated(spark, dirs):
     v0 = mt.version()
     wm = mt.meta()["stream_batch"]
 
-    commit = manifest_batch_committer(dirs["tbl"])
+    # same stream identity as the run that recorded the watermark
+    commit = manifest_batch_committer(
+        dirs["tbl"], stream_id=os.path.abspath(dirs["ck"])
+    )
     # redelivery of the last batch (same id, same rows): must be a no-op
     commit(spark.createDataFrame(_rows(40, 60), _SCHEMA), wm)
     assert _ids(spark, dirs["tbl"]) == list(range(60)), (
