@@ -643,11 +643,15 @@ def _emb_features(eng) -> DataFrame:
 
 def _q_classified_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLASSIFIED WITH through the SQL clause + CREATE CLASSIFIER DDL
-    (reference SqlQueryParser.scala:1016, SqlCudParser.scala:79-127)."""
+    (reference SqlQueryParser.scala:1016, SqlCudParser.scala:79-127).
+    Uses the deterministic 'stump' algorithm (ml/registry.py StumpModel)
+    so training AND prediction are exactly recomputable in the DuckDB
+    oracle — the pyspark.ml tree/forest/logistic path stays the general
+    one (accuracy-tested in tests/test_ml_nlp_streaming.py)."""
     eng = _engine(spark, sf_dir)
     _emb_features(eng).createOrReplaceTempView("__entry_feats")
     eng.execute(
-        "CREATE CLASSIFIER __entry_clf (label) USING "
+        "CREATE CLASSIFIER ('stump') __entry_clf (label) USING "
         "SELECT label, f0, f1, f2, f3 FROM __entry_feats"
     )
     return eng.sql("SELECT * FROM __entry_feats CLASSIFIED WITH __entry_clf (pred)")
@@ -665,12 +669,14 @@ def _q_clustered_with(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_imputed_with(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMPUTED WITH ... FLAG through the SQL clause."""
+    """IMPUTED WITH ... FLAG through the SQL clause — deterministic
+    'stump' model, so the DuckDB oracle recomputes the imputations
+    exactly (see _q_classified_with)."""
     eng = _engine(spark, sf_dir)
     feats = _emb_features(eng).withColumn("target", (F.col("f0") > 0).cast("int"))
     feats.createOrReplaceTempView("__entry_imp_train")
     eng.execute(
-        "CREATE CLASSIFIER __entry_imp (target) USING "
+        "CREATE CLASSIFIER ('stump') __entry_imp (target) USING "
         "SELECT target, f1, f2, f3 FROM __entry_imp_train"
     )
     feats.withColumn(
@@ -2354,8 +2360,97 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         FROM toks GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100
     """
+    # classified_with / imputed_with (r6): hash-graded — the entry trains
+    # the deterministic 'stump' algorithm (exact error minimization,
+    # min-label tie-breaks, lexicographic winner), which DuckDB recomputes
+    # below from scratch: melt features, score every (feature, threshold)
+    # candidate, pick the same winner, apply the same CASE.
+    _STUMP_TRAIN = """
+        m AS (
+          SELECT y, f, v FROM (
+            SELECT {label} AS y, 'f0' AS f, f0 AS v FROM feats UNION ALL
+            SELECT {label}, 'f1', f1 FROM feats UNION ALL
+            SELECT {label}, 'f2', f2 FROM feats UNION ALL
+            SELECT {label}, 'f3', f3 FROM feats
+          ) WHERE f IN ({fset})
+        ),
+        mx AS (SELECT f, max(v) AS mxv FROM m GROUP BY f),
+        cand AS (
+          SELECT DISTINCT m.f, m.v AS t FROM m JOIN mx ON m.f = mx.f
+          WHERE m.v < mx.mxv
+        ),
+        side AS (
+          SELECT c.f, c.t, (m.v <= c.t) AS le, m.y, count(*) AS n
+          FROM m JOIN cand c ON m.f = c.f
+          GROUP BY 1, 2, 3, 4
+        ),
+        ranked AS (
+          SELECT f, t, le, y, n,
+                 sum(n) OVER (PARTITION BY f, t, le) AS tot,
+                 row_number() OVER (PARTITION BY f, t, le
+                                    ORDER BY n DESC, y ASC) AS rk
+          FROM side
+        ),
+        per_side AS (
+          SELECT f, t, le, y AS p, n AS bestn, tot FROM ranked WHERE rk = 1
+        ),
+        scored AS (
+          SELECT f, t, sum(tot - bestn) AS err,
+                 min(CASE WHEN le THEN p END) AS ple,
+                 min(CASE WHEN NOT le THEN p END) AS pgt
+          FROM per_side GROUP BY f, t
+        ),
+        winner AS (SELECT * FROM scored ORDER BY err, f, t LIMIT 1)
+    """
+    oracles["classified_with"] = (
+        """
+        WITH feats AS (
+          SELECT vec_id, label,
+                 CAST(embedding[1] AS DOUBLE) AS f0,
+                 CAST(embedding[2] AS DOUBLE) AS f1,
+                 CAST(embedding[3] AS DOUBLE) AS f2,
+                 CAST(embedding[4] AS DOUBLE) AS f3
+          FROM embeddings
+        ),
+        """
+        + _STUMP_TRAIN.format(label="label", fset="'f0','f1','f2','f3'")
+        + """
+        SELECT feats.vec_id, feats.label, feats.f0, feats.f1, feats.f2,
+               feats.f3,
+               CAST(CASE WHEN (CASE w.f WHEN 'f0' THEN f0 WHEN 'f1' THEN f1
+                               WHEN 'f2' THEN f2 ELSE f3 END) <= w.t
+                    THEN w.ple ELSE w.pgt END AS INTEGER) AS pred
+        FROM feats, winner w
+        """
+    )
+    oracles["imputed_with"] = (
+        """
+        WITH feats AS (
+          SELECT vec_id, label,
+                 CAST(embedding[1] AS DOUBLE) AS f0,
+                 CAST(embedding[2] AS DOUBLE) AS f1,
+                 CAST(embedding[3] AS DOUBLE) AS f2,
+                 CAST(embedding[4] AS DOUBLE) AS f3,
+                 CAST(f0 > 0 AS INTEGER) AS target
+          FROM (SELECT vec_id, label, embedding,
+                       CAST(embedding[1] AS DOUBLE) AS f0 FROM embeddings)
+        ),
+        """
+        + _STUMP_TRAIN.format(label="target", fset="'f1','f2','f3'")
+        + """
+        SELECT feats.vec_id, feats.label, feats.f0, feats.f1, feats.f2,
+               feats.f3,
+               CASE WHEN feats.vec_id % 10 = 0 THEN
+                 CAST(CASE WHEN (CASE w.f WHEN 'f1' THEN f1
+                                 WHEN 'f2' THEN f2 ELSE f3 END) <= w.t
+                      THEN w.ple ELSE w.pgt END AS INTEGER)
+               ELSE feats.target END AS target,
+               (feats.vec_id % 10 = 0) AS was_imputed
+        FROM feats, winner w
+        """
+    )
     # Still rows-only, each for a concrete reason:
-    # - classified_with / clustered_with / imputed_with / nlp_sentiment:
+    # - clustered_with / nlp_sentiment:
     #   model- or lexicon-specific outputs; accuracy/behavior tested in
     #   tests/test_ml_nlp_streaming.py and tests/test_extended_sql2.py.
     # - simhash_pairs / ann_topk / ivf_topk / embedding_dups: outputs are

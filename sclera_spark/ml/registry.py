@@ -26,6 +26,75 @@ from pyspark.sql import functions as F
 
 
 @dataclass
+class StumpModel:
+    """A single-feature threshold classifier ('decision stump') trained
+    by exact error minimization with a fully DETERMINISTIC spec, so any
+    SQL engine can recompute both the training and the predictions:
+
+    - candidates: every distinct value of every feature except each
+      feature's maximum (so both sides are non-empty);
+    - per candidate (f, t): each side predicts its majority label, ties
+      to the SMALLEST label; error = misclassified count;
+    - winner: minimal (error, feature-name, threshold) lexicographically.
+
+    Prediction is one CASE expression — a narrow map, no shuffle, no
+    model object serialization problem. Training is
+    O(rows x candidates) pairs, all in Spark aggregations (fine for the
+    small/medium training sets a stump is appropriate for; bin the
+    candidate set upstream for anything larger)."""
+
+    feature: str
+    threshold: float
+    pred_le: int
+    pred_gt: int
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "prediction",
+            F.when(
+                F.col(self.feature) <= F.lit(self.threshold), F.lit(self.pred_le)
+            ).otherwise(F.lit(self.pred_gt)),
+        )
+
+
+def _fit_stump(train: DataFrame, label_col: str, feature_cols: list[str]) -> StumpModel:
+    stack = ", ".join(f"'{c}', {c}" for c in feature_cols)
+    melted = train.selectExpr(
+        f"CAST({label_col} AS INT) AS __y",
+        f"stack({len(feature_cols)}, {stack}) AS (__f, __v)",
+    ).withColumn("__v", F.col("__v").cast("double"))
+    cands = (
+        melted.groupBy("__f")
+        .agg(F.max("__v").alias("__mx"))
+        .join(melted.select("__f", F.col("__v").alias("__t")).distinct(), "__f")
+        .filter(F.col("__t") < F.col("__mx"))
+        .select("__f", "__t")
+    )
+    # per (candidate, side, label) counts -> majority label per side with
+    # min-label tie-break -> error per candidate
+    side = (
+        melted.join(cands, "__f")
+        .withColumn("__le", F.col("__v") <= F.col("__t"))
+        .groupBy("__f", "__t", "__le", "__y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_side = side.groupBy("__f", "__t", "__le").agg(
+        F.sum("__n").alias("__tot"),
+        # max (count, -label) = majority with ties to the SMALLEST label
+        F.max(
+            F.struct(F.col("__n").alias("n"), (-F.col("__y")).alias("negy"))
+        ).alias("__best"),
+    )
+    scored = per_side.groupBy("__f", "__t").agg(
+        F.sum(F.col("__tot") - F.col("__best.n")).alias("__err"),
+        F.min(F.when(F.col("__le"), -F.col("__best.negy"))).alias("__ple"),
+        F.min(F.when(~F.col("__le"), -F.col("__best.negy"))).alias("__pgt"),
+    )
+    win = scored.orderBy("__err", "__f", "__t").first()
+    return StumpModel(win["__f"], float(win["__t"]), int(win["__ple"]), int(win["__pgt"]))
+
+
+@dataclass
 class MLRegistry:
     """Named model store — the engine-side analogue of Sclera's ML object
     catalog."""
@@ -45,6 +114,11 @@ class MLRegistry:
         algorithm: str = "decision_tree",
         max_depth: int = 5,
     ) -> None:
+        if algorithm == "stump":
+            # deterministic, SQL-recomputable threshold rule (StumpModel):
+            # the oracle-able path — pyspark.ml below stays the general one
+            self._store(name, _fit_stump(train, label_col, feature_cols), feature_cols)
+            return
         from pyspark.ml import Pipeline
         from pyspark.ml.classification import (
             DecisionTreeClassifier,
@@ -86,7 +160,7 @@ class MLRegistry:
         key = name.upper()
         self.models[key] = model
         self.feature_cols[key] = feature_cols
-        if self.store_dir:
+        if self.store_dir and hasattr(model, "write"):
             model.write().overwrite().save(os.path.join(self.store_dir, key))
 
     def get(self, name: str):

@@ -654,3 +654,29 @@ def test_stream_interval_join_matches_batch(spark, stream_dir):
             side("c_ts", "same_id", "click"),
             "v_ts", "c_ts", keys=["user_id"],
         )
+
+
+def test_stump_classifier_deterministic_and_exact(spark):
+    """The 'stump' algorithm (ml/registry.py StumpModel): exact error
+    minimization with min-label tie-break and lexicographic winner —
+    verified against a hand-computed optimum, and rerun-stable."""
+    from sclera_spark.ml.registry import MLRegistry, StumpModel, classify
+
+    # y separable on f1 at threshold 2 (error 0); f0 is noise
+    rows = [
+        (0.9, 1.0, 0), (0.1, 2.0, 0), (0.5, 3.0, 1), (0.7, 4.0, 1), (0.2, 5.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "f0 double, f1 double, y int")
+    reg = MLRegistry()
+    reg.create_classifier("s", df, "y", ["f0", "f1"], algorithm="stump")
+    m = reg.get("s")
+    assert isinstance(m, StumpModel)
+    assert (m.feature, m.threshold, m.pred_le, m.pred_gt) == ("f1", 2.0, 0, 1)
+    out = classify(reg, df, "s", out_col="pred")
+    assert [r.pred for r in out.orderBy("f1").collect()] == [0, 0, 1, 1, 1]
+    # rerun-stable (deterministic fit, no RNG)
+    reg.create_classifier("s2", df, "y", ["f0", "f1"], algorithm="stump")
+    m2 = reg.get("s2")
+    assert (m2.feature, m2.threshold, m2.pred_le, m2.pred_gt) == (
+        m.feature, m.threshold, m.pred_le, m.pred_gt,
+    )
