@@ -140,6 +140,7 @@ class _Handler(socketserver.BaseRequestHandler):
     def handle(self):  # noqa: C901 — protocol state machine
         self.buf = self.request.makefile("rb")
         engine = self.server.engine
+        key = None
         try:
             if not self._startup():
                 return
@@ -154,7 +155,18 @@ class _Handler(socketserver.BaseRequestHandler):
                 ("standard_conforming_strings", "on"),
             ):
                 self._send(_msg(b"S", _cstr(k) + _cstr(v)))
-            self._send(_msg(b"K", struct.pack("!ii", threading.get_ident() & 0x7FFFFFFF, 0)))
+            # BackendKeyData: REAL cancel keys — a CancelRequest carrying
+            # this (pid, secret) pair cancels this session's running Spark
+            # jobs via its job group (pg's out-of-band cancel semantics)
+            key = self.server.register_cancel()
+            pid, secret, self._job_group = key[0], key[1], self.server.cancel_registry[key]
+            try:
+                engine.spark.sparkContext.setJobGroup(
+                    self._job_group, "sclera wire session", interruptOnCancel=True
+                )
+            except Exception:
+                pass
+            self._send(_msg(b"K", struct.pack("!ii", pid, secret)))
             self._ready()
             self._statements: dict[str, str] = {}
             self._portals: dict[str, str] = {}
@@ -162,6 +174,8 @@ class _Handler(socketserver.BaseRequestHandler):
         except (ConnectionError, BrokenPipeError, OSError):
             pass
         finally:
+            if key is not None:
+                self.server.cancel_registry.pop(key, None)
             try:
                 self.buf.close()
             except Exception:
@@ -190,12 +204,27 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._send(b"N")  # no TLS; client falls back to cleartext
                 continue
             if code == _CANCEL_REQUEST:
-                return False  # no cancel support; just close
+                # out-of-band cancel: pid + secret name a live session;
+                # cancel its Spark job group, then close (per protocol,
+                # no response is ever sent on a cancel connection)
+                pid, secret = struct.unpack("!ii", payload[4:12])
+                group = self.server.cancel_registry.get((pid, secret))
+                if group is not None:
+                    try:
+                        self.server.engine.spark.sparkContext.cancelJobGroup(group)
+                    except Exception:
+                        pass
+                return False
             if code != _PROTO_V3:
                 self._error("08P01", f"unsupported protocol version {code}")
                 return False
             # key\0value\0...\0 — user/database/options; accepted untrusted
             return True
+
+    @staticmethod
+    def _sqlstate_for(exc: Exception) -> str:
+        # pg's query_canceled for jobs killed via CancelRequest
+        return "57014" if "cancel" in str(exc).lower() else "42601"
 
     def _error(self, sqlstate: str, message: str) -> None:
         body = (
@@ -295,7 +324,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 rs = self._run(sql)
                 self._send_rows(rs, sql, with_description=True)
             except Exception as exc:  # noqa: BLE001 — wire boundary
-                self._error("42601", str(exc))
+                self._error(self._sqlstate_for(exc), str(exc))
                 break
         self._ready()
 
@@ -353,7 +382,7 @@ class _Handler(socketserver.BaseRequestHandler):
             result = self.server.engine.execute(sql) if sql.strip() else None
         except Exception as exc:  # noqa: BLE001
             self._skip_to_sync = True
-            self._error("42601", str(exc))
+            self._error(self._sqlstate_for(exc), str(exc))
             return
         if isinstance(result, DataFrame):
             rs = _ResultSet(
@@ -378,7 +407,7 @@ class _Handler(socketserver.BaseRequestHandler):
             self._send_rows(rs, sql, with_description=False)
         except Exception as exc:  # noqa: BLE001
             self._skip_to_sync = True
-            self._error("42601", str(exc))
+            self._error(self._sqlstate_for(exc), str(exc))
 
 
 # pg type oids that may splice as raw (unquoted) SQL tokens
@@ -449,6 +478,23 @@ def _split_statements(text: str) -> list[str]:
 class _Server(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # (pid, secret) -> spark job group name, for pg CancelRequest
+        self.cancel_registry: dict[tuple[int, int], str] = {}
+        self._pid_counter = 0
+        self._pid_lock = threading.Lock()
+
+    def register_cancel(self) -> tuple[int, int]:
+        import secrets
+
+        with self._pid_lock:
+            self._pid_counter += 1
+            pid = self._pid_counter
+        secret = secrets.randbits(31)
+        self.cancel_registry[(pid, secret)] = f"sclera-wire-{pid}"
+        return (pid, secret)
 
 
 class ScleraServer:
