@@ -16,9 +16,16 @@ in rows, identical cost shape to the engine's other sequence operators.
 Ties at equal key: the right row sorts before the left row (side
 ordering), so matches are inclusive.
 
-Skew: the shuffle is keyed by ``by`` — a hot group funnels to one task;
-salt upstream (scale.py salted patterns) or sub-bucket the key range if
-a single group dominates at 100 TB.
+Skew: the shuffle is keyed by ``by`` — a hot group would funnel to one
+task, so asof_join AUTO-SPLITS dominant groups (r6): a cheap sampled
+count detects groups estimated past ``hot_group_threshold`` rows; their
+key range is cut into ``hot_group_buckets`` range buckets (quantiles
+from the same sample), the carry-forward runs as a two-pass parallel
+prefix — bucket-local window, then a per-(group, bucket) summary window
+over ~buckets rows — and the incoming carry broadcasts back. Cold
+groups keep the single-window plan unchanged. Detection costs one
+sample-count job (fraction ``skew_sample_fraction``); pass
+``hot_group_threshold=None`` to skip it.
 """
 
 from __future__ import annotations
@@ -27,6 +34,113 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _key_ord(u: DataFrame):
+    """Numeric ordering value for the tagged key column: timestamps
+    (incl. NTZ) and dates go through a timestamp->double cast (epoch
+    seconds, monotonic); numerics cast to double directly."""
+    dt = dict(u.dtypes)["__k"]
+    if dt.startswith("timestamp") or dt == "date":
+        return F.col("__k").cast("timestamp").cast("double")
+    return F.col("__k").cast("double")
+
+
+def _detect_hot_groups(
+    u: DataFrame,
+    by: Sequence[str],
+    threshold: int,
+    fraction: float,
+    buckets: int = 32,
+) -> dict[tuple, list[float]]:
+    """One sampled pass: estimated per-group row counts AND the hot
+    groups' key quantiles (the future bucket boundaries) in a single
+    aggregation job. Driver state is bounded by #hot-groups x buckets —
+    a handful of rows, never data."""
+    kd = _key_ord(u)
+    probs = [i / buckets for i in range(1, buckets)]
+    agg = (
+        u.sample(False, fraction, seed=42)
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.percentile_approx(kd, probs, 10_000).alias("__q"),
+        )
+        .filter(F.col("__n") > threshold * fraction)
+    )
+    hot: dict[tuple, list[float]] = {}
+    for row in agg.collect():
+        g = tuple(row[c] for c in by)
+        if any(v is None for v in g):
+            continue  # null group keys: leave on the unsplit path
+        bnds = sorted({x for x in (row["__q"] or []) if x is not None})
+        if bnds:
+            hot[g] = bnds
+    return hot
+
+
+def _carry_split(
+    u: DataFrame,
+    by: Sequence[str],
+    direction: str,
+    hot: dict[tuple, list[float]],
+    buckets: int,
+) -> DataFrame:
+    """Two-pass parallel prefix for the carry-forward: hot groups get a
+    range-bucket column (cold groups: bucket 0), the window runs per
+    (group, bucket), and each bucket's incoming carry comes from a
+    window over the tiny per-bucket summary table, broadcast back.
+    Semantically identical to the single window; wall-clock bounded by
+    rows/buckets for the hottest group instead of its full size."""
+    from functools import reduce
+
+    backward = direction == "backward"
+    kd = _key_ord(u)
+    bucket = F.lit(0)
+    for g, bnds in hot.items():
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(c) == F.lit(v) for c, v in zip(by, g)],
+        )
+        cmp_ = (lambda t: kd >= F.lit(t)) if backward else (lambda t: kd <= F.lit(t))
+        expr = None
+        for t in bnds:
+            inc = F.when(cmp_(t), 1).otherwise(0)
+            expr = inc if expr is None else expr + inc
+        bucket = F.when(cond, expr).otherwise(bucket)
+    ub = u.withColumn("__bk", bucket)
+
+    key = (
+        F.col("__k").asc_nulls_first()
+        if backward
+        else F.col("__k").desc_nulls_first()
+    )
+    wl = (
+        Window.partitionBy(*by, "__bk")
+        .orderBy(key, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ub = ub.withColumn("__ml", F.last("__p", ignorenulls=True).over(wl))
+
+    # per-bucket summary: the LAST right payload in window order
+    # (max_by on the ordering value; left rows excluded via null ord)
+    ordv = kd if backward else -kd
+    summ = ub.groupBy(*by, "__bk").agg(
+        F.max_by(
+            F.when(F.col("__side") == 0, F.col("__p")),
+            F.when(F.col("__side") == 0, ordv),
+        ).alias("__s")
+    )
+    wi = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__bk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inc = summ.withColumn(
+        "__inc", F.last("__s", ignorenulls=True).over(wi)
+    ).select(*by, "__bk", F.col("__inc").alias("__incp"))
+    joined = ub.join(F.broadcast(inc), on=list(by) + ["__bk"], how="left")
+    return joined.withColumn("__m", F.coalesce(F.col("__ml"), F.col("__incp")))
 
 
 def asof_join(
@@ -38,6 +152,9 @@ def asof_join(
     tolerance: str | None = None,
     how: str = "left",
     suffix: str = "_r",
+    hot_group_threshold: int | None = 2_000_000,
+    hot_group_buckets: int = 32,
+    skew_sample_fraction: float = 0.01,
 ) -> DataFrame:
     """For each left row: the matching right row with the greatest
     ``right.on <= left.on`` (backward) or smallest ``right.on >=
@@ -97,14 +214,22 @@ def asof_join(
         if direction == "backward"
         else F.col("__k").desc_nulls_first()
     )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(key, F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).filter(
-        F.col("__side") == 1
-    )
+    hot = _detect_hot_groups(
+        u, by, hot_group_threshold, skew_sample_fraction
+    ) if by and hot_group_threshold else {}
+    if hot:
+        matched = _carry_split(
+            u, by, direction, hot, hot_group_buckets
+        ).filter(F.col("__side") == 1)
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(key, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(
+            "__m", F.last("__p", ignorenulls=True).over(w)
+        ).filter(F.col("__side") == 1)
 
     valid = F.col("__m").isNotNull()
     if tolerance is not None:
