@@ -104,6 +104,10 @@ class DdlRouter:
         ),
         (re.compile(r"^\s*SHOW\s+VERSIONS\s+(\w+)\s*$", re.I), "_show_versions"),
         (
+            re.compile(r"^\s*GENERATE\s+SYMLINK\s+MANIFEST\s+FOR\s+(\w+)\s*$", re.I),
+            "_generate_symlink",
+        ),
+        (
             re.compile(
                 r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?"
                 r"(?:\s+SORT\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
@@ -210,6 +214,13 @@ class DdlRouter:
     def _show_versions(self, name: str):
         """SHOW VERSIONS t — retained manifest versions, newest last."""
         return self._require_manifest(name).versions()
+
+    def _generate_symlink(self, name: str):
+        """GENERATE SYMLINK MANIFEST FOR t — export the current snapshot
+        in the Hive symlink_format_manifest layout (Delta's interop
+        command for Presto/Trino/Athena; sources/manifest.py
+        export_symlink_manifest). Returns the manifest file path."""
+        return self._require_manifest(name).export_symlink_manifest()
 
     def table_at(self, name: str, version: int):
         """Time-travel read of a manifest table's retained version."""

@@ -313,6 +313,32 @@ class ManifestTable:
         self.replace_files(small, df)
         return [os.path.basename(p) for p in small]
 
+    def export_symlink_manifest(self, out_dir: str | None = None) -> str:
+        """Ecosystem interop: write the CURRENT snapshot's file list in
+        the Hive ``symlink_format_manifest`` layout (one text file whose
+        lines are absolute data-file URIs — the same format Delta Lake's
+        ``GENERATE symlink_format_manifest`` emits for Presto / Trino /
+        Athena / Hive). An external engine defines a table over
+        ``<table>/_symlink_format_manifest`` with
+        SymlinkTextInputFormat and reads exactly the committed snapshot —
+        no directory listing, so staged/orphaned part files stay
+        invisible, same as this engine's own readers. Re-export after
+        commits (the file is rewritten atomically). Returns the manifest
+        file path."""
+        out_dir = out_dir or os.path.join(self.path, "_symlink_format_manifest")
+        os.makedirs(out_dir, exist_ok=True)
+        lines = "".join(
+            "file://" + os.path.abspath(p) + "\n" for p in self.files()
+        )
+        target = os.path.join(out_dir, "manifest")
+        tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(lines)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, target)
+        return target
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` newest
         manifests (and drop older manifests). Returns deleted file names.

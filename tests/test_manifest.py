@@ -483,3 +483,31 @@ def test_orphan_claim_never_counts_as_version(spark, tmp_path):
     assert not os.path.exists(os.path.join(mt.log_dir, "v3.json"))
     assert mt.version() == 2
     _ = deleted
+
+
+def test_symlink_manifest_export(engine, mtab, spark):
+    """GENERATE SYMLINK MANIFEST FOR t: the exported file lists exactly
+    the committed snapshot's data files (Hive symlink_format_manifest
+    layout), re-export tracks commits, and an external reader consuming
+    the listed URIs sees the same rows as the engine."""
+    path = engine.execute(f"GENERATE SYMLINK MANIFEST FOR {mtab}")
+    mt = _mt(engine, mtab)
+    with open(path) as fh:
+        uris = [ln.strip() for ln in fh if ln.strip()]
+    assert sorted(uris) == sorted(
+        "file://" + os.path.abspath(p) for p in mt.files()
+    )
+    # an "external engine": read exactly the listed files
+    ext = spark.read.parquet(*[u[len("file://"):] for u in uris])
+    assert ext.count() == engine.table(mtab).count()
+
+    # snapshot moves -> re-export reflects the new file list
+    engine.execute(f"DELETE FROM {mtab} WHERE o_orderkey % 2 = 0")
+    path2 = engine.execute(f"GENERATE SYMLINK MANIFEST FOR {mtab}")
+    with open(path2) as fh:
+        uris2 = [ln.strip() for ln in fh if ln.strip()]
+    assert sorted(uris2) == sorted(
+        "file://" + os.path.abspath(p) for p in mt.files()
+    )
+    ext2 = spark.read.parquet(*[u[len("file://"):] for u in uris2])
+    assert ext2.count() == engine.table(mtab).count()
