@@ -273,15 +273,63 @@ class _Handler(socketserver.BaseRequestHandler):
 
     _SESSION_VERBS = ("SET", "BEGIN", "COMMIT", "ROLLBACK", "DISCARD", "RESET")
 
+    _TIMEOUT_RE = re.compile(
+        r"^\s*SET\s+statement_timeout\s*(?:=|TO)\s*'?(\d+)\s*(m?s)?'?\s*$", re.I
+    )
+
     def _run(self, sql: str) -> _ResultSet:
         """Route one statement through the engine; session-management verbs
         clients emit on connect (SET/BEGIN/...) are accepted as no-ops —
-        the engine is auto-commit, like the reference's JDBC driver."""
+        the engine is auto-commit, like the reference's JDBC driver.
+        Exception: SET statement_timeout is HONORED (pg semantics,
+        milliseconds; 0 disables) — enforced via the session's Spark job
+        group, same kill path as CancelRequest."""
         verb = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
         if verb in self._SESSION_VERBS:
+            m = self._TIMEOUT_RE.match(sql)
+            if m:
+                n, unit = int(m.group(1)), (m.group(2) or "ms").lower()
+                self._stmt_timeout_ms = n * 1000 if unit == "s" else n
             return _ResultSet(None, None, None, verb)
         rs = _to_resultset(self.server.engine.execute(sql), sql)
         return rs
+
+    def _statement_timer(self):
+        """Arm a timer that cancels this session's Spark job group when
+        statement_timeout elapses; the running action then raises and the
+        normal error path reports 57014. Covers execution AND result
+        streaming (toLocalIterator keeps triggering jobs)."""
+        timeout_ms = getattr(self, "_stmt_timeout_ms", 0)
+        if not timeout_ms:
+            return None
+        group = getattr(self, "_job_group", None)
+        spark = self.server.engine.spark
+        if group is None:
+            return None
+
+        stop = threading.Event()
+
+        def fire():
+            # cancelJobGroup only kills ACTIVE jobs — a job still in
+            # planning when the deadline hits would escape a one-shot
+            # cancel, so keep killing until the statement path disarms us
+            while not stop.is_set():
+                try:
+                    spark.sparkContext.cancelJobGroup(group)
+                except Exception:
+                    pass
+                stop.wait(0.2)
+
+        t = threading.Timer(timeout_ms / 1000.0, fire)
+        t.daemon = True
+        t.start()
+
+        class _Disarm:
+            def cancel(self):
+                stop.set()
+                t.cancel()
+
+        return _Disarm()
 
     def _send_rows(self, rs: _ResultSet, sql: str, with_description: bool) -> None:
         if rs.columns is None:
@@ -320,12 +368,16 @@ class _Handler(socketserver.BaseRequestHandler):
             self._ready()
             return
         for sql in statements:
+            timer = self._statement_timer()
             try:
                 rs = self._run(sql)
                 self._send_rows(rs, sql, with_description=True)
             except Exception as exc:  # noqa: BLE001 — wire boundary
                 self._error(self._sqlstate_for(exc), str(exc))
                 break
+            finally:
+                if timer is not None:
+                    timer.cancel()
         self._ready()
 
     # ---- extended-query subset ----
@@ -401,6 +453,7 @@ class _Handler(socketserver.BaseRequestHandler):
         if not sql.strip():
             self._send(_msg(b"I"))
             return
+        timer = self._statement_timer()
         try:
             rs = self._run(sql)
             # extended protocol: RowDescription was sent by Describe
@@ -408,6 +461,9 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception as exc:  # noqa: BLE001
             self._skip_to_sync = True
             self._error(self._sqlstate_for(exc), str(exc))
+        finally:
+            if timer is not None:
+                timer.cancel()
 
 
 # pg type oids that may splice as raw (unquoted) SQL tokens

@@ -188,3 +188,23 @@ def test_cancel_request_kills_running_job(server, spark):
             break
     a.close()
     assert state == "57014", f"expected query_canceled, got {state!r}"
+
+
+def test_statement_timeout_via_psql(server):
+    """SET statement_timeout is honored (pg semantics, ms): a query past
+    the deadline dies with sqlstate 57014 through the same job-group
+    kill path as CancelRequest; the session survives and a fast query
+    still runs after raising the timeout back."""
+    sql = (
+        "SET statement_timeout = 400; "
+        "SELECT count(*) AS n FROM lineitem l1, lineitem l2 "
+        "WHERE md5(cast(l1.l_quantity + l2.l_quantity + l1.l_orderkey "
+        "AS string)) LIKE '%zzzz%'"
+    )
+    rc, out, err = run_psql(server, sql)
+    assert rc != 0 and ("cancel" in err.lower() or "57014" in err)
+    rc, out, err = run_psql(
+        server, "SET statement_timeout = 0; SELECT 1 + 1 AS two"
+    )
+    assert rc == 0, err
+    assert out.strip().splitlines()[-1] == "2"  # psql echoes the SET tag
