@@ -115,3 +115,83 @@ def test_plot_false_positive_falls_back(engine):
     df = engine.sql("SELECT upper(r_name) AS plot FROM region")
     assert df.columns == ["plot"]
     assert df.count() == 5
+
+
+def test_parse_interactive_grammar():
+    """r6 surface: AXIS tasks, ZOOM, TRANSITION, MAP, MARK, POSITION
+    (reference axisSetTask:173-200, transitionSetTask:239-245,
+    mapSetTask:213-226, layerSetMark:296-299)."""
+    spec = parse_plot(
+        "PLOT (GEOM = bar(X = g, Y = total), POSITION = stack, "
+        "      MARK XAXIS (total > 100, COLOR = 'red')) "
+        "AXIS g (LABEL = 'Group', ZOOM) "
+        "AXIS total (SCALE = LOG, TICKS = 5) "
+        "TRANSITION (DURATION = 500, EASE = 'cubic') "
+        "DISPLAY (WIDTH = 300)"
+    )
+    layer = spec["layers"][0]
+    assert layer["position"] == "stack"
+    assert layer["marks"][0]["predicate"] == "total > 100"
+    assert layer["marks"][0]["aes"] == {"color": "'red'"}
+    assert dict(spec["axes"])["g"] == {"label": "Group", "zoom": True}
+    assert dict(spec["axes"])["total"] == {"scale": "log", "ticks": 5}
+    assert spec["transition"] == {"duration_ms": 500, "ease": "cubic"}
+
+
+def test_plot_zoom_axis_mark_lowering(engine):
+    """End-to-end: ZOOM binds an interval param to scales (real VL
+    interactivity); AXIS LABEL/SCALE land on the encoding; the MARK
+    predicate is evaluated SERVER-SIDE and becomes a filtered rule
+    layer."""
+    df = engine.sql("""
+        SELECT n_name AS g, n_nationkey AS v FROM nation
+        PLOT (GEOM = point(X = g, Y = v),
+              MARK XAXIS (v > 20, COLOR = 'red'))
+        AXIS v (LABEL = 'key', SCALE = SQRT, ZOOM)
+    """)
+    vl = json.loads(df.first()["vega_lite_spec"])
+    assert "layer" in vl  # base + annotation layer
+    base, rule = vl["layer"]
+    assert base["params"][0]["bind"] == "scales"  # pan/zoom
+    assert base["encoding"]["y"]["axis"]["title"] == "key"
+    assert base["encoding"]["y"]["scale"]["type"] == "sqrt"
+    assert rule["mark"] == "rule"
+    assert rule["transform"] == [{"filter": "datum.l0_mark0"}]
+    assert rule["encoding"]["color"] == {"value": "red"}
+    # predicate was evaluated by Spark: boolean field in the data rows
+    assert all(isinstance(r["l0_mark0"], bool) for r in vl["data"]["values"])
+    assert sum(r["l0_mark0"] for r in vl["data"]["values"]) == 4  # keys 21-24
+
+
+def test_plot_map_projection(engine):
+    df = engine.sql("""
+        SELECT n_name FROM nation
+        PLOT (GEOM = map(COLOR = n_name))
+        MAP (PROJECTION = 'albers'(10, 20))
+    """)
+    vl = json.loads(df.first()["vega_lite_spec"])
+    assert vl["mark"] == "geoshape"
+    assert vl["projection"] == {"type": "albers", "rotate": [10.0, 20.0, 0.0]}
+
+
+def test_plot_transition_usermeta(engine):
+    df = engine.sql("""
+        SELECT n_nationkey AS x, n_regionkey AS y FROM nation
+        PLOT (GEOM = point(X = x, Y = y))
+        TRANSITION (DURATION = 250, EASE = 'linear')
+    """)
+    vl = json.loads(df.first()["vega_lite_spec"])
+    assert vl["usermeta"] == {
+        "transition": {"duration_ms": 250, "ease": "linear"}
+    }
+
+
+def test_plot_position_dodge(engine):
+    df = engine.sql("""
+        SELECT n_regionkey AS g, count(*) AS n, max(n_name) AS nm
+        FROM nation GROUP BY n_regionkey
+        PLOT (GEOM = bar(X = g, Y = n, COLOR = nm), POSITION = dodge)
+    """)
+    vl = json.loads(df.first()["vega_lite_spec"])
+    assert vl["encoding"]["y"]["stack"] is None
+    assert vl["encoding"]["xOffset"]["field"] == "color"
