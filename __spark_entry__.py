@@ -658,11 +658,16 @@ def _q_classified_with(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_clustered_with(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CLUSTERED WITH through the SQL clause + CREATE CLUSTERER DDL."""
+    """CLUSTERED WITH through the SQL clause + CREATE CLUSTERER DDL.
+    Uses the deterministic 'voronoi' algorithm (seeded-Voronoi: seeds =
+    k lexicographically-smallest distinct feature rows, argmin squared-
+    L2, ties to lowest seed) so the DuckDB oracle retrains and reassigns
+    from scratch; kmeans remains the general path (accuracy-tested in
+    tests/test_ml_nlp_streaming.py)."""
     eng = _engine(spark, sf_dir)
     _emb_features(eng).createOrReplaceTempView("__entry_feats")
     eng.execute(
-        "CREATE CLUSTERER ('kmeans', 'k=3') __entry_km USING "
+        "CREATE CLUSTERER ('voronoi', 'k=3') __entry_km USING "
         "SELECT f0, f1, f2 FROM __entry_feats"
     )
     return eng.sql("SELECT * FROM __entry_feats CLUSTERED WITH __entry_km (cluster)")
@@ -2449,9 +2454,45 @@ def oracle_sql() -> dict[str, str]:
         FROM feats, winner w
         """
     )
+    # clustered_with (r6): hash-graded via the deterministic 'voronoi'
+    # clusterer — DuckDB re-derives the same seeds (lexicographically
+    # smallest distinct feature rows), recomputes squared-L2 in the same
+    # expression order (IEEE-identical), and breaks ties identically.
+    oracles["clustered_with"] = """
+        WITH feats AS (
+          SELECT vec_id, label,
+                 CAST(embedding[1] AS DOUBLE) AS f0,
+                 CAST(embedding[2] AS DOUBLE) AS f1,
+                 CAST(embedding[3] AS DOUBLE) AS f2,
+                 CAST(embedding[4] AS DOUBLE) AS f3
+          FROM embeddings
+        ),
+        seeds AS (
+          SELECT f0 AS s0, f1 AS s1, f2 AS s2,
+                 row_number() OVER (ORDER BY f0, f1, f2) - 1 AS sid
+          FROM (SELECT DISTINCT f0, f1, f2 FROM feats)
+          ORDER BY f0, f1, f2 LIMIT 3
+        ),
+        d AS (
+          SELECT feats.vec_id, feats.label, feats.f0, feats.f1, feats.f2,
+                 feats.f3, s.sid,
+                 ((f0 - s0) * (f0 - s0)) + ((f1 - s1) * (f1 - s1))
+                   + ((f2 - s2) * (f2 - s2)) AS dist
+          FROM feats CROSS JOIN seeds s
+        ),
+        best AS (
+          SELECT vec_id, label, f0, f1, f2, f3, sid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, sid) AS rk
+          FROM d
+        )
+        SELECT vec_id, label, f0, f1, f2, f3,
+               CAST(sid AS INTEGER) AS cluster
+        FROM best WHERE rk = 1
+    """
     # Still rows-only, each for a concrete reason:
-    # - clustered_with / nlp_sentiment:
-    #   model- or lexicon-specific outputs; accuracy/behavior tested in
+    # - nlp_sentiment:
+    #   lexicon-specific output; behavior tested in
     #   tests/test_ml_nlp_streaming.py and tests/test_extended_sql2.py.
     # - simhash_pairs / ann_topk / ivf_topk / embedding_dups: outputs are
     #   defined by a hash family / trained quantizer with no text-level

@@ -95,6 +95,41 @@ def _fit_stump(train: DataFrame, label_col: str, feature_cols: list[str]) -> Stu
 
 
 @dataclass
+class VoronoiModel:
+    """Deterministic seeded-Voronoi clusterer: ``seeds`` is a list of
+    k feature tuples; a row's cluster is the argmin squared-L2 seed
+    (ties to the lowest index). Assignment is one JVM expression — a
+    narrow map, no shuffle (same shape as ivf_assign)."""
+
+    seeds: list[tuple]
+    feature_cols: list[str]
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        entries = []
+        for i, s in enumerate(self.seeds):
+            d = None
+            for c, v in zip(self.feature_cols, s):
+                t = (F.col(c) - F.lit(float(v))) * (F.col(c) - F.lit(float(v)))
+                d = t if d is None else d + t
+            entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+        return df.withColumn("__cluster", F.array_min(F.array(*entries))["i"])
+
+
+def _fit_voronoi(train: DataFrame, feature_cols: list[str], k: int) -> VoronoiModel:
+    seeds = [
+        tuple(r[c] for c in feature_cols)
+        for r in train.select(*feature_cols)
+        .distinct()
+        .orderBy(*[F.col(c).asc() for c in feature_cols])
+        .limit(k)
+        .collect()
+    ]
+    if not seeds:
+        raise ValueError("voronoi clusterer: empty training set")
+    return VoronoiModel(seeds, list(feature_cols))
+
+
+@dataclass
 class MLRegistry:
     """Named model store — the engine-side analogue of Sclera's ML object
     catalog."""
@@ -146,7 +181,19 @@ class MLRegistry:
         train: DataFrame,
         feature_cols: list[str],
         k: int = 4,
+        algorithm: str = "kmeans",
     ) -> None:
+        if algorithm == "voronoi":
+            # deterministic seeded-Voronoi assignment (the canopy/seed
+            # step of k-means without the iterations): seeds = the k
+            # lexicographically-smallest DISTINCT feature rows, cluster =
+            # argmin squared-L2 to a seed, ties to the lowest seed index.
+            # No RNG, no iteration -> a SQL oracle can retrain it
+            # from scratch (see __spark_entry__ clustered_with).
+            self._store(
+                name, _fit_voronoi(train, feature_cols, k), feature_cols
+            )
+            return
         from pyspark.ml import Pipeline
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.feature import VectorAssembler

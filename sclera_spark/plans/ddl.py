@@ -824,7 +824,11 @@ class DdlRouter:
         df = self.engine.sql(query)
         o = self._ml_opts(opts)
         self.engine.ml.create_clusterer(
-            name, df, feature_cols=self._ml_features(df), k=int(o.get("k", 4))
+            name,
+            df,
+            feature_cols=self._ml_features(df),
+            k=int(o.get("k", 4)),
+            algorithm=(alg or "kmeans").lower(),
         )
 
     def _drop_ml(self, kind: str, name: str):

@@ -680,3 +680,27 @@ def test_stump_classifier_deterministic_and_exact(spark):
     assert (m2.feature, m2.threshold, m2.pred_le, m2.pred_gt) == (
         m.feature, m.threshold, m.pred_le, m.pred_gt,
     )
+
+
+def test_voronoi_clusterer_deterministic(spark):
+    """'voronoi' clusterer: seeds are the k lexicographically-smallest
+    distinct feature rows; assignment is argmin squared-L2 with ties to
+    the lowest seed — verified by hand and rerun-stable."""
+    from sclera_spark.ml.registry import MLRegistry, VoronoiModel, cluster
+
+    rows = [(0.0, 0.0), (0.0, 0.0), (10.0, 0.0), (0.1, 0.2), (9.8, 1.0), (5.1, 0.0)]
+    df = spark.createDataFrame(rows, "f0 double, f1 double")
+    reg = MLRegistry()
+    reg.create_clusterer("v", df, ["f0", "f1"], k=2, algorithm="voronoi")
+    m = reg.get("v")
+    assert isinstance(m, VoronoiModel)
+    # distinct sorted rows: (0,0), (0.1,0.2), ... -> seeds k=2
+    assert m.seeds == [(0.0, 0.0), (0.1, 0.2)]
+    out = {
+        (r.f0, r.f1): r.c
+        for r in cluster(reg, df, "v", out_col="c").collect()
+    }
+    assert out[(0.0, 0.0)] == 0        # exact seed hit, tie impossible
+    assert out[(0.1, 0.2)] == 1
+    assert out[(10.0, 0.0)] == 1       # closer to (0.1, 0.2)
+    assert out[(5.1, 0.0)] == 1
