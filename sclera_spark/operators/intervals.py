@@ -13,11 +13,13 @@ Spark lowering — set-based, no UDF, fully parallel (unlike the reference's
 single-threaded sweep):
   1. boundaries = distinct(lo) ∪ distinct(hi) per partition        (shuffle 1)
   2. atoms      = consecutive boundary pairs via lead() window     (same shuffle)
-  3. output     = df ⋈ atoms on partition keys + containment       (shuffle 2)
-The join is an equi-join on the partition keys with a range residual, so
-Catalyst uses sort-merge/broadcast-hash on the keys; per-key work is
-proportional to the true output size (row × covered-atom pairs). With no
-partition columns the atom side is broadcast.
+  3. output     = boundary-INDEX lookups (1:1 equi-joins) + range explode
+Each interval's bounds resolve to boundary indices and the covered index
+range explodes per row, so intermediates stay O(input + output) at any key
+distribution — no quadratic join-then-filter, no broadcast-nested-loop.
+With no partition columns only the boundary table's numbering runs
+single-task (the distinct-bounds set — what the reference's whole sweep
+touches single-threaded); index joins and the explode stay parallel.
 """
 
 from __future__ import annotations
@@ -26,7 +28,6 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 
 def split_into(
@@ -59,50 +60,52 @@ def split_into(
     )
 
     # containment: row interval [lo, hi) covers atom [out_lo, out_hi)
-    covers = (F.col(lo) <= F.col(out_lo)) & (
-        F.col(hi).isNull()
-        | (F.col(out_hi).isNotNull() & (F.col(out_hi) <= F.col(hi)))
+    # Linear-size plan: every interval bound IS a boundary, so instead
+    # of the join-then-filter (which materializes rows x atoms per key
+    # — quadratic on a hot key, and a BroadcastNestedLoopJoin in the
+    # unpartitioned case, which breaks outright at scale: broadcast
+    # limits + O(rows x atoms) work), look up each interval's start/end
+    # boundary INDEX with 1:1 equi-joins, then explode the covered
+    # index range. Intermediates stay proportional to input + output at
+    # any scale. With no partition columns only the BOUNDARY table's
+    # row_number runs single-task (distinct bounds — the same set the
+    # reference's single-threaded sweep touches); the index joins and
+    # the explode remain fully parallel shuffle operations.
+    if not p:
+        from sclera_spark.scale import warn_unpartitioned
+
+        warn_unpartitioned("split_into", hint="pass partition_by=[...]")
+    wi = Window.partitionBy(*p).orderBy(F.col(out_lo).asc())
+    atoms_idx = (
+        atoms.withColumn("__idx", F.row_number().over(wi))
+        # atom count per key, for open-ended (hi NULL) intervals; same
+        # partitioning as the row_number window -> no extra exchange
+        .withColumn("__n", F.max("__idx").over(Window.partitionBy(*p)))
     )
-    if p:
-        # Linear-size plan: every interval bound IS a boundary, so instead
-        # of the join-then-filter (which materializes rows x atoms per key
-        # — quadratic on a hot key), look up each interval's start/end
-        # boundary INDEX with 1:1 equi-joins, then explode the covered
-        # index range. Intermediates stay proportional to input + output
-        # at any scale.
-        wi = Window.partitionBy(*p).orderBy(F.col(out_lo).asc())
-        atoms_idx = (
-            atoms.withColumn("__idx", F.row_number().over(wi))
-            # atom count per key, for open-ended (hi NULL) intervals; same
-            # partitioning as the row_number window -> no extra exchange
-            .withColumn("__n", F.max("__idx").over(Window.partitionBy(*p)))
+    lo_idx = atoms_idx.select(
+        *p, F.col(out_lo).alias("__lov"), F.col("__idx").alias("__ilo"), "__n"
+    )
+    hi_idx = atoms_idx.select(
+        *p, F.col(out_lo).alias("__hiv"), F.col("__idx").alias("__ihi")
+    )
+    src = df.withColumn("__lov", F.col(lo)).withColumn("__hiv", F.col(hi))
+    spans = (
+        src.join(lo_idx, on=p + ["__lov"], how="inner")  # NULL lo -> no rows
+        .join(hi_idx, on=p + ["__hiv"], how="left")      # NULL hi -> __ihi NULL
+        .withColumn(
+            "__end",
+            F.when(F.col(hi).isNull(), F.col("__n")).otherwise(
+                F.col("__ihi") - 1
+            ),
         )
-        lo_idx = atoms_idx.select(
-            *p, F.col(out_lo).alias("__lov"), F.col("__idx").alias("__ilo"), "__n"
-        )
-        hi_idx = atoms_idx.select(
-            *p, F.col(out_lo).alias("__hiv"), F.col("__idx").alias("__ihi")
-        )
-        src = df.withColumn("__lov", F.col(lo)).withColumn("__hiv", F.col(hi))
-        spans = (
-            src.join(lo_idx, on=p + ["__lov"], how="inner")  # NULL lo -> no rows
-            .join(hi_idx, on=p + ["__hiv"], how="left")      # NULL hi -> __ihi NULL
-            .withColumn(
-                "__end",
-                F.when(F.col(hi).isNull(), F.col("__n")).otherwise(
-                    F.col("__ihi") - 1
-                ),
-            )
-            .filter(F.col("__end") >= F.col("__ilo"))
-        )
-        exploded = spans.withColumn(
-            "__idx", F.explode(F.sequence(F.col("__ilo"), F.col("__end")))
-        )
-        joined = exploded.join(
-            atoms_idx.select(*p, "__idx", out_lo, out_hi), on=p + ["__idx"]
-        )
-    else:
-        joined = df.join(broadcast(atoms), on=covers, how="inner")
+        .filter(F.col("__end") >= F.col("__ilo"))
+    )
+    exploded = spans.withColumn(
+        "__idx", F.explode(F.sequence(F.col("__ilo"), F.col("__end")))
+    )
+    joined = exploded.join(
+        atoms_idx.select(*p, "__idx", out_lo, out_hi), on=p + ["__idx"]
+    )
 
     # column order parity with the reference: out_lo, out_hi, then input cols
     return joined.select(out_lo, out_hi, *df.columns)
