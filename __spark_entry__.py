@@ -1349,6 +1349,18 @@ def _q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_extract(planted, "text2", "doc_id")
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (llm/text.py chunk_documents):
+    64-token chunks, 16-token overlap, whitespace tokens — pure JVM
+    split+sequence+explode+slice; exact DuckDB oracle via range() +
+    list_slice."""
+    from sclera_spark.llm import chunk_documents
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 # ------------------------------------------------- bench-only operators
 
 
@@ -1581,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stratified_sample": _q_stratified_sample,
             "text_normalize": _q_text_normalize,
             "url_extract": _q_url_extract,
+            "chunk_documents": _q_chunk_documents,
             "bpe_merges": _q_bpe_merges,
         }
     )
@@ -2224,6 +2237,29 @@ def oracle_sql() -> dict[str, str]:
                    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
                  '\s+', ' ', 'g')) AS text_norm
         FROM documents
+    """
+    # token-window chunking: DuckDB re-derives the chunk grid (range()
+    # stepping by chunk-overlap while start < n) and the slices
+    oracles["chunk_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, greatest(len(toks), 1), 48)) AS start_token
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(start_token / 48 AS INTEGER) AS chunk_id,
+               CAST(start_token AS INTEGER) AS start_token,
+               CAST(least(64, n - start_token) AS INTEGER) AS n_tokens,
+               array_to_string(
+                 list_slice(toks, start_token + 1, start_token + 64), ' '
+               ) AS chunk_text
+        FROM s
     """
     oracles["url_extract"] = r"""
         SELECT doc_id, url,

@@ -339,3 +339,48 @@ def vocab_stats(
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(top_n)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 64,
+) -> DataFrame:
+    """Token-window chunking with overlap — the standard pre-training /
+    RAG preparation step: each document becomes ceil(n/step) chunks of
+    up to ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens. Deterministic and entirely JVM-side (split +
+    sequence + explode + slice — no Python worker), so throughput is
+    scan-bound and the op composes with the samplers/dedup tier at any
+    scale. Zero-token documents produce zero chunks.
+
+    Output: <id_col>, chunk_id (0-based), start_token, n_tokens,
+    chunk_text.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks")
+    ).withColumn("__n", F.size("__toks")).filter(F.col("__n") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(step)
+    )
+    ex = base.withColumn("start_token", F.explode(starts))
+    return ex.select(
+        id_col,
+        (F.col("start_token") / step).cast("int").alias("chunk_id"),
+        "start_token",
+        F.least(
+            F.lit(chunk_tokens), F.col("__n") - F.col("start_token")
+        ).alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("start_token") + 1, chunk_tokens),
+            " ",
+        ).alias("chunk_text"),
+    )

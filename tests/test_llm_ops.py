@@ -950,3 +950,38 @@ def test_gif_lzw_dictionary_growth():
     if nbits:
         data.append(acc & 0xFF)
     assert _lzw_decode(bytes(data), 2, 10) == [1, 1, 1]
+
+
+def test_chunk_documents_semantics(spark):
+    """Token-window chunking: grid coverage (every token in >=1 chunk),
+    overlap equality between consecutive chunks, short-doc single chunk,
+    empty doc -> no chunks."""
+    from sclera_spark.llm import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: chunks at 0,3,6,9
+        (2, "a b"),                                  # single short chunk
+        (3, "   "),                                  # empty -> none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert [r.chunk_text for r in sorted(by_doc[2], key=lambda r: r.chunk_id)] == ["a b"]
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.start_token for r in c1] == [0, 3, 6, 9]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    # overlap: last token of chunk k == first token of chunk k+1
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text.split()[-1] == b.chunk_text.split()[0]
+    # coverage: union of chunk tokens == all tokens
+    seen = set()
+    for r in c1:
+        seen.update(r.chunk_text.split())
+    assert seen == {f"t{i}" for i in range(10)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
