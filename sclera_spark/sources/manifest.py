@@ -30,9 +30,13 @@ Concurrent writers on one host are serialized by an exclusive flock on
 ``_sclera_log/LOCK`` held for the whole read-modify-publish of a commit
 (each mutation re-reads the live manifest INSIDE the lock, so two
 concurrent appends both land instead of lost-updating each other).
-Readers never take the lock. Cross-host writers on a shared object
-store would instead use the store's conditional-put as a CAS on the
-pointer — the protocol is deliberately expressible in those terms.
+Readers never take the lock. Cross-host writers use
+:class:`CasManifestTable` (r6): the commit point becomes a
+conditional-put CAS on an external pointer store and version claims
+are put-if-absent — lock-free optimistic concurrency, the
+Delta-on-S3/DynamoDB log-store shape (race-tested in
+tests/test_manifest_cas.py with a shared in-process CAS standing in
+for the store).
 Reads go through
 ``spark.read.parquet(*files)``, so Spark's vectorized reader, predicate
 pushdown and column pruning all apply unchanged; time travel is
@@ -77,7 +81,8 @@ class ManifestTable:
                 "the commit point is an atomic os.replace + flock, which "
                 "does not exist on object stores. An s3/abfs/gs backend "
                 "needs the store's conditional-put as the pointer CAS — "
-                "use a plain parquet location (copy-on-write DML) for "
+                "use CasManifestTable with a conditional-put backend, or "
+                "a plain parquet location (copy-on-write DML), for "
                 "scheme'd URIs instead."
             )
         self.path = path
@@ -206,31 +211,56 @@ class ManifestTable:
 
         return lock()
 
+    # read-modify-publish as one retriable unit: local tables hold the
+    # flock for the whole span (compute never sees a concurrent move, the
+    # swap is unconditional, one iteration); CAS-backed tables (see
+    # CasManifestTable) run lock-free and retry the WHOLE computation
+    # when the pointer moved or a claim conflicted — the conditional-put
+    # protocol of the object-store log stores (Delta S3/DynamoDB shape).
+    _commit_attempts = 64
+
+    def _commit(self, compute, staged=None) -> None:
+        import time as _time
+
+        with self._writer_lock():
+            if staged is not None:
+                # staged part files enter data/ only under the lock, so
+                # a concurrent vacuum can never eat an in-flight commit
+                self._adopt(*staged)
+            for _ in range(self._commit_attempts):
+                base = self.version()
+                files, meta = compute()
+                try:
+                    self._publish_claim(base + 1, files, meta)
+                except _ClaimConflict:
+                    _time.sleep(0.02)  # foreign claimant mid-commit
+                    continue
+                if self._swap_pointer(base, base + 1):
+                    return
+                self._drop_claim(base + 1)  # lost the race: recompute
+            raise ConcurrentWriterError(
+                f"commit on {self.path} could not win the pointer race "
+                f"after {self._commit_attempts} attempts (a stuck foreign "
+                "claim? run ManifestTable.recover())"
+            )
+
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
         scratch, added = self._stage(df)
-        with self._writer_lock():
-            self._adopt(scratch, added)
-            self._publish(self.version() + 1, added, self._next_meta(meta))
+        self._commit(lambda: (added, self._next_meta(meta)), staged=(scratch, added))
 
     def amend_meta(self, meta: dict) -> None:
         """Commit a new version with the SAME file list and merged meta —
         a pure metadata commit (e.g. an incremental-aggregate refresh that
         consumed a source version which added no files). Same atomic
         pointer-swap protocol as data commits."""
-        with self._writer_lock():
-            self._publish(
-                self.version() + 1, self._file_names(), self._next_meta(meta)
-            )
+        self._commit(lambda: (self._file_names(), self._next_meta(meta)))
 
     def append(self, df: DataFrame, meta: dict | None = None) -> None:
         scratch, added = self._stage(df)
-        with self._writer_lock():
-            self._adopt(scratch, added)
-            self._publish(
-                self.version() + 1,
-                self._file_names() + added,
-                self._next_meta(meta),
-            )
+        self._commit(
+            lambda: (self._file_names() + added, self._next_meta(meta)),
+            staged=(scratch, added),
+        )
 
     def replace_files(self, remove_paths: list[str], df: DataFrame) -> None:
         """The COW commit: swap the given live files for ``df``'s output
@@ -240,20 +270,24 @@ class ManifestTable:
         travel until :meth:`vacuum` (the Delta/Iceberg retention model)."""
         removed = {os.path.basename(p) for p in remove_paths}
         scratch, added = self._stage(df)
-        with self._writer_lock():
+
+        def compute():
             live = self._file_names()
             unknown = removed - set(live)
             if unknown:
-                shutil.rmtree(scratch, ignore_errors=True)
                 raise ValueError(
                     f"not live in current manifest: {sorted(unknown)} "
                     f"(a concurrent commit replaced them — retry the DML)"
                 )
-            survivors = [f for f in live if f not in removed]
-            self._adopt(scratch, added)
-            self._publish(
-                self.version() + 1, survivors + added, self._next_meta(None)
-            )
+            return [f for f in live if f not in removed] + added, self._next_meta(None)
+
+        try:
+            self._commit(compute, staged=(scratch, added))
+        except ValueError:
+            # staged files were adopted before the validation failure:
+            # they are unreferenced (invisible) and vacuum reclaims them
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
 
     def compact(
         self,
@@ -417,57 +451,180 @@ class ManifestTable:
     def _publish(
         self, version: int, files: list[str], meta: dict | None = None
     ) -> None:
-        """Steps 2+3 of the commit protocol: durable manifest, then the
-        atomic pointer swap that IS the commit.
+        """Steps 2+3 of the commit protocol: claim + durable manifest,
+        then the pointer swap that IS the commit (used directly only by
+        create/convert, where version 1 is uncontended; mutations go
+        through :meth:`_commit`'s retry loop)."""
+        self._publish_claim(version, files, meta)
+        self._swap_pointer(version - 1, version)
 
-        The manifest file is CLAIMED with O_EXCL: same-host writers are
-        serialized by the flock, so a pre-existing v<N>.json above LATEST
-        inside the lock can only be the orphan of a CRASHED commit under
-        the single-host contract — it is healed with a loud warning and
-        the commit proceeds (crash-retry must not require manual
-        recovery). If the claim REAPPEARS immediately after healing, a
-        live writer outside our flock's reach (another host — cross-host
-        advisory locks are not part of the contract) is actively racing:
-        raise ConcurrentWriterError rather than trade silent lost
-        updates with it."""
-        import warnings
+    def _publish_claim(
+        self, version: int, files: list[str], meta: dict | None
+    ) -> None:
+        """Claim ``version`` with O_EXCL and durably write its manifest.
 
+        Same-host writers are serialized by the flock, so a pre-existing
+        v<N>.json above LATEST inside the lock can only be the orphan of
+        a CRASHED commit under the single-host contract — it is healed
+        with a loud warning and the commit proceeds (crash-retry must
+        not require manual recovery). If the claim REAPPEARS immediately
+        after healing, a live writer outside our flock's reach (another
+        host — cross-host advisory locks are not part of the contract)
+        is actively racing: raise ConcurrentWriterError rather than
+        trade silent lost updates with it. (CasManifestTable overrides
+        the conflict handling: no heal, conflicts retry via CAS.)"""
         mpath = os.path.join(self.log_dir, f"v{version}.json")
         try:
             fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            warnings.warn(
-                f"manifest version {version} at {self.path} was already "
-                "claimed: healing the orphan of a crashed commit (if "
-                "writers on ANOTHER host share this table, that is "
-                "outside the single-host manifest contract — see the "
-                "module docstring's conditional-put note)",
-                stacklevel=2,
-            )
-            try:
-                os.remove(mpath)
-            except FileNotFoundError:
-                pass
-            try:
-                fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                raise ConcurrentWriterError(
-                    f"manifest version {version} at {self.path} was "
-                    "re-claimed immediately after healing: a live writer "
-                    "on another host is racing this table (unsupported — "
-                    "flock is host-local; use a store with conditional-"
-                    "put for multi-host writers)"
-                ) from None
+            fd = self._on_claim_conflict(version)
         with os.fdopen(fd, "w") as fh:
             json.dump(
                 {"version": version, "files": files, "meta": meta or {}}, fh
             )
             fh.flush()
             os.fsync(fh.fileno())
+
+    def _on_claim_conflict(self, version: int) -> int:
+        """Local-table policy: heal the crashed orphan loudly; a claim
+        that reappears right after healing is a live foreign writer."""
+        import warnings
+
+        mpath = os.path.join(self.log_dir, f"v{version}.json")
+        warnings.warn(
+            f"manifest version {version} at {self.path} was already "
+            "claimed: healing the orphan of a crashed commit (if "
+            "writers on ANOTHER host share this table, that is "
+            "outside the single-host manifest contract — see the "
+            "module docstring's conditional-put note)",
+            stacklevel=3,
+        )
+        try:
+            os.remove(mpath)
+        except FileNotFoundError:
+            pass
+        try:
+            return os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriterError(
+                f"manifest version {version} at {self.path} was "
+                "re-claimed immediately after healing: a live writer "
+                "on another host is racing this table (unsupported — "
+                "flock is host-local; use a store with conditional-"
+                "put for multi-host writers)"
+            ) from None
+
+    def _swap_pointer(self, expected: int, version: int) -> bool:
+        """Advance LATEST. Local tables hold the flock, so the pointer
+        cannot have moved since ``expected`` was read — an unconditional
+        atomic replace; always succeeds. CAS-backed tables override this
+        with the store's compare-and-swap."""
         tmp = os.path.join(self.log_dir, f".LATEST.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             fh.write(str(version))
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.log_dir, "LATEST"))
+        return True
+
+    def _drop_claim(self, version: int) -> None:
+        try:
+            os.remove(os.path.join(self.log_dir, f"v{version}.json"))
+        except FileNotFoundError:
+            pass
+
+
+class _ClaimConflict(Exception):
+    """Internal: a version claim is held by a live foreign writer —
+    the CAS commit loop backs off and retries."""
+
+
+class MemoryCas:
+    """In-process conditional-put pointer store — the test stand-in for
+    an object store's If-Match/If-None-Match (S3 conditional writes,
+    GCS generation preconditions, ABFS etags) or a coordination table
+    (the DynamoDB commit-log pattern). One instance shared by all
+    'hosts' of a table."""
+
+    def __init__(self):
+        import threading
+
+        self._ptr: dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    def get(self, key: str) -> int | None:
+        with self._lock:
+            return self._ptr.get(key)
+
+    def cas(self, key: str, expected: int | None, new: int) -> bool:
+        with self._lock:
+            if self._ptr.get(key) != expected:
+                return False
+            self._ptr[key] = new
+            return True
+
+
+class CasManifestTable(ManifestTable):
+    """A manifest table whose COMMIT POINT is a conditional-put CAS on
+    an external pointer store instead of flock + os.replace — the
+    multi-host/object-store protocol the plain table's docstring
+    promises. Data and manifest files live on shared storage (any
+    filesystem all hosts can read; claims use put-if-absent, which
+    object stores provide natively); only the pointer goes through the
+    CAS. No locks anywhere: every mutation is read-compute-claim-CAS,
+    and a lost CAS retries the WHOLE computation against the new
+    snapshot — the optimistic-concurrency shape of the Delta/Iceberg
+    object-store log stores.
+
+    Vacuum caveat (same as those systems): physical deletion is not
+    CAS-protected across hosts — run it from one maintenance owner with
+    a retention window longer than any in-flight commit."""
+
+    def __init__(self, path: str, cas: MemoryCas):
+        super().__init__(path)
+        self.cas = cas
+        self._key = os.path.abspath(path)
+
+    @classmethod
+    def create_cas(
+        cls, df: DataFrame, path: str, cas: MemoryCas, meta: dict | None = None
+    ) -> "CasManifestTable":
+        t = cls(path, cas)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.log_dir, exist_ok=True)
+        scratch, added = t._stage(df)
+        t._adopt(scratch, added)
+        t._publish_claim(1, added, meta)
+        if not t.cas.cas(t._key, None, 1):
+            t._drop_claim(1)
+            raise ConcurrentWriterError(f"{path} already created")
+        return t
+
+    def version(self) -> int:
+        v = self.cas.get(self._key)
+        if v is None:
+            raise FileNotFoundError(f"{self.path}: no CAS pointer")
+        return v
+
+    def _writer_lock(self):
+        from contextlib import nullcontext
+
+        return nullcontext()
+
+    def _on_claim_conflict(self, version: int) -> int:
+        # no flock, so a pre-existing claim may belong to a LIVE writer
+        # on another host about to win the CAS — never heal; back off
+        # and recompute (if the pointer advanced, the retry sees it)
+        raise _ClaimConflict(version)
+
+    def _swap_pointer(self, expected: int, version: int) -> bool:
+        ok = self.cas.cas(self._key, expected, version)
+        if ok:
+            # best-effort mirror for humans/tools; the CAS value is the
+            # source of truth (version() never reads the file)
+            try:
+                super()._swap_pointer(expected, version)
+            except OSError:
+                pass
+        return ok
 
