@@ -2183,10 +2183,12 @@ def oracle_sql() -> dict[str, str]:
     """
     # real pixel decode: the fixture's gradient columns are c*16 (c < 16,
     # no uint8 wrap), so mean = 8(w-1) and population std = 16*sqrt((w^2-1)/12)
-    # exactly; the constant-RGB kind has mean 20, std 0. decoded_real = 1
-    # everywhere BECAUSE every image payload is PNG, PPM or GIF (r6: GIF
-    # rows decode through the real LZW path, decode_gif; a JPEG row
-    # would surface as decoded_real = 0 and hash-fail — by design).
+    # exactly; the constant-RGB PNG kind has mean 20, std 0; the constant
+    # baseline-JPEG kind (r6: REAL huffman+dequant+IDCT decode, llm/jpeg.py
+    # — constant blocks round-trip bit-exactly) has mean 40, std 0.
+    # decoded_real = 1 everywhere BECAUSE every image payload decodes for
+    # real now: PNG inflate+unfilter, PPM raw, GIF LZW, JPEG baseline —
+    # a non-decodable row would surface as decoded_real = 0 and hash-fail.
     oracles["multimodal_pixels"] = """
         WITH ids AS (SELECT range AS i FROM range(0, 300)),
         d AS (
@@ -2195,7 +2197,8 @@ def oracle_sql() -> dict[str, str]:
           FROM ids WHERE i % 4 <= 2
         )
         SELECT i AS asset_id, 1 AS decoded_real, w AS width, h AS height,
-               round(CASE WHEN i % 4 = 2 THEN 20.0
+               round(CASE WHEN i % 4 = 2 AND (i // 4) % 2 = 1 THEN 40.0
+                          WHEN i % 4 = 2 THEN 20.0
                           ELSE 8.0 * (w - 1) END, 6) AS mean_r6,
                round(CASE WHEN i % 4 = 2 THEN 0.0
                           ELSE 16.0 * sqrt((CAST(w AS DOUBLE) * w - 1) / 12)

@@ -3,19 +3,21 @@ with typed metadata.
 
 Three tiers of real-ness, each explicit:
 
-1. REAL pixel/sample decode for codec-free formats — PNG (stdlib zlib
-   inflate + scanline unfilter, decode_png), netpbm PPM/PGM (decode_ppm),
-   GIF (spec LZW in pure Python, decode_gif — r6), 16-bit PCM WAV
-   (decode_wav). image_pixel_features / audio_pcm_features compute on
-   actual decoded values and tag rows ``decoded_real``.
+1. REAL pixel/sample decode for EVERY probed container (r6 — no codec
+   stubs remain): PNG (stdlib zlib inflate + scanline unfilter,
+   decode_png), netpbm PPM/PGM (decode_ppm), GIF (spec LZW in pure
+   Python, decode_gif), baseline JPEG (huffman entropy decode +
+   dequant + IDCT in pure Python+numpy, llm/jpeg.py decode_jpeg —
+   grayscale and color, 4:4:4/4:2:2/4:2:0), uncompressed 24-bit BMP
+   (decode_bmp), 16-bit PCM WAV (decode_wav). image_pixel_features /
+   audio_pcm_features compute on actual decoded values and tag rows
+   ``decoded_real``.
 2. REAL header-only metadata for every supported container
    (PNG/JPEG/GIF/BMP/WAV — probe_media): parsed dimensions, sample rate,
    exact duration.
-3. STUB kernels only where a format genuinely needs a codec library the
-   container lacks (JPEG entropy decode — huffman tables + IDCT — is the
-   one remaining case): deterministic fakes clearly marked
-   `_decode_*_stub`, reported as decoded_real=0 — swapping
-   PIL/torchaudio in means extending ONLY decode_pixels().
+3. The `_decode_*_stub` fakes remain ONLY as the honest fallback for
+   content no decoder claims (unknown formats, truncated payloads,
+   progressive/arithmetic JPEG variants) — always decoded_real=0.
 
 Everything Spark-side — the schema contract, partition-friendly batching
 via mapInPandas, UDF signatures, Arrow batch shapes — is identical
@@ -80,11 +82,11 @@ def _decode_audio_stub(content: bytes, duration_ms: int) -> np.ndarray:
 
 
 # ----------------------------------------------------------- real decode
-# REAL pixel/sample decoders for the formats that need no codec library:
-# PNG (stdlib zlib inflate + scanline unfilter), netpbm PPM/PGM (raw
-# bytes), GIF (pure-Python spec LZW), and PCM WAV (struct). JPEG's
-# entropy decode (huffman + IDCT) genuinely needs a codec lib and stays
-# stubbed — decode_pixels() reports which path a row took.
+# REAL pixel/sample decoders, all pure Python+numpy+stdlib: PNG (zlib
+# inflate + scanline unfilter), netpbm PPM/PGM (raw bytes), GIF (spec
+# LZW), baseline JPEG (llm/jpeg.py: huffman + dequant + IDCT), 24-bit
+# BMP (raw BGR rows), PCM WAV (struct). decode_pixels() reports which
+# path a row took.
 
 
 def decode_png(content: bytes) -> np.ndarray:
@@ -335,6 +337,52 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
     return out
 
 
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP (the plain Windows DIB layout:
+    BGR samples, rows bottom-up, padded to 4-byte multiples) to
+    (h, w, 3) uint8 RGB. Pure struct+numpy."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", content, 10)
+    (hdr_size,) = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise ValueError("BMP core header unsupported")
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(content) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(content, np.uint8, stride * h, data_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def bmp_pixel_bytes(rgb) -> bytes:
+    """Valid 24-bit uncompressed BMP carrying REAL pixels — ground truth
+    for decode_bmp."""
+    import struct
+
+    px = np.asarray(rgb, dtype=np.uint8)
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    return hdr + dib + bytes(body)
+
+
 def decode_pixels(content: bytes) -> tuple[np.ndarray | None, bool]:
     """Route to a REAL decoder when the format allows (PNG, PPM/PGM,
     GIF); return (pixels, decoded_real). JPEG/BMP fall back to the stub
@@ -350,6 +398,20 @@ def decode_pixels(content: bytes) -> tuple[np.ndarray | None, bool]:
         except Exception:
             # header-only / truncated GIF (e.g. a metadata-only fixture):
             # honest fallback, counted as not-decoded
+            return None, False
+    if content[:2] == b"\xff\xd8":
+        from sclera_spark.llm.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(content), True
+        except Exception:
+            # progressive/arithmetic/12-bit or header-only fixture:
+            # honest fallback, counted as not-decoded
+            return None, False
+    if content[:2] == b"BM":
+        try:
+            return decode_bmp(content), True
+        except Exception:
             return None, False
     return None, False
 
@@ -540,7 +602,7 @@ def image_pixel_features(df: DataFrame) -> DataFrame:
     """REAL pixel features where the format is codec-free (PNG via zlib
     inflate+unfilter, PPM/PGM raw): mean/std intensity over actual pixel
     values, true aspect ratio from the decoded array, an 8-bin row-mean
-    embedding — plus ``decoded_real`` so stub-decoded rows (JPEG/BMP)
+    embedding — plus ``decoded_real`` so stub-decoded rows (unknown/truncated formats)
     are never silently mixed with real ones. mapInPandas: payload bytes
     stay in Arrow batches and never shuffle."""
     out_schema = StructType(
@@ -849,8 +911,19 @@ def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
                 content = gif_pixel_bytes(px)
             rows.append((i, "image", bytearray(content)))
         elif kind == 2:
-            px = np.stack([np.full((h, w), c, np.uint8) for c in (10, 20, 30)], axis=2)
-            rows.append((i, "image", bytearray(png_bytes_with_pixels(px))))
+            if (i // 4) % 2 == 0:
+                px = np.stack(
+                    [np.full((h, w), c, np.uint8) for c in (10, 20, 30)], axis=2
+                )
+                content = png_bytes_with_pixels(px)
+            else:
+                # REAL baseline-JPEG decode path (llm/jpeg.py): constant
+                # blocks round-trip bit-exactly through DCT+quantization
+                # (lone DC coefficient), so the closed-form oracle holds
+                from sclera_spark.llm.jpeg import encode_jpeg_gray
+
+                content = encode_jpeg_gray(np.full((h, w), 40, np.uint8))
+            rows.append((i, "image", bytearray(content)))
         else:
             rows.append(
                 (

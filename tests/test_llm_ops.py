@@ -675,9 +675,12 @@ def test_image_pixel_features_real_path(spark):
     feats = image_pixel_features(synthetic_pixel_assets(spark, 40)).collect()
     by_id = {r.asset_id: r for r in feats}
     assert all(r.decoded_real == 1 for r in feats)  # PNG/PPM decode for real
-    # constant-RGB PNGs (kind 2): exact gray mean = (10+20+30)/3, std 0
+    # kind 2 alternates: constant-RGB PNG (gray mean (10+20+30)/3 = 20)
+    # and constant-gray baseline JPEG (REAL entropy decode, mean 40 —
+    # constant blocks round-trip bit-exactly); both std 0
     for i in range(2, 40, 4):
-        assert abs(by_id[i].mean_intensity - 20.0) < 1e-6
+        want = 20.0 if (i // 4) % 2 == 0 else 40.0
+        assert abs(by_id[i].mean_intensity - want) < 1e-6
         assert by_id[i].std_intensity == 0.0
         assert by_id[i].width == i % 16 + 1 and by_id[i].height == i % 9 + 1
 
@@ -985,3 +988,56 @@ def test_chunk_documents_semantics(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_jpeg_roundtrip_gray_and_color():
+    """Baseline JPEG codec (llm/jpeg.py): constant blocks bit-exact
+    (lone DC coefficient), smooth images tight under the flat q=8 table,
+    color via JFIF YCbCr at 4:4:4 and 4:2:0; router dispatch with
+    decoded_real=1; header-only fixture falls back honestly."""
+    from sclera_spark.llm.jpeg import decode_jpeg, encode_jpeg_gray, encode_jpeg_rgb
+    from sclera_spark.llm.multimodal import decode_pixels, jpeg_bytes
+
+    rng = np.random.default_rng(17)
+    # constant-block exactness at awkward (non multiple-of-8) sizes
+    for h, w in [(1, 1), (5, 7), (16, 24), (17, 33)]:
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+        blocks = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+        out = decode_jpeg(encode_jpeg_gray(px))
+        assert out.shape == (h, w, 1)
+        assert (out[:, :, 0] == px).all()
+    # noisy gray: bounded loss
+    px = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(px))[:, :, 0]
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 40
+    # color, both subsamplings
+    yy, xx = np.mgrid[0:21, 0:37]
+    rgb = np.stack(
+        [(xx * 5 % 256), (yy * 7 % 256), ((xx + yy) * 3 % 256)], axis=2
+    ).astype(np.uint8)
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg_rgb(rgb, subsample=sub))
+        assert out.shape == (21, 37, 3)
+        err = np.abs(out.astype(int) - rgb.astype(int)).max()
+        assert err <= (12 if sub else 6), (sub, err)
+    # router: real decode flag; header-only JPEG (no scan) -> fallback
+    arr, real = decode_pixels(encode_jpeg_gray(np.full((6, 6), 99, np.uint8)))
+    assert real and (arr[:, :, 0] == 99).all()
+    arr, real = decode_pixels(jpeg_bytes(4, 4))
+    assert arr is None and not real
+
+
+def test_bmp_roundtrip():
+    """24-bit uncompressed BMP: exact round trip (bottom-up rows, stride
+    padding, BGR order) + router dispatch."""
+    from sclera_spark.llm.multimodal import bmp_pixel_bytes, decode_bmp, decode_pixels
+
+    rng = np.random.default_rng(23)
+    for h, w in [(1, 1), (3, 5), (9, 13)]:  # odd widths exercise padding
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_bmp(bmp_pixel_bytes(px))
+        assert out.shape == (h, w, 3)
+        assert (out == px).all()
+    arr, real = decode_pixels(bmp_pixel_bytes(np.full((4, 6, 3), 55, np.uint8)))
+    assert real and (arr == 55).all()
