@@ -2197,8 +2197,9 @@ def oracle_sql() -> dict[str, str]:
           FROM ids WHERE i % 4 <= 2
         )
         SELECT i AS asset_id, 1 AS decoded_real, w AS width, h AS height,
-               round(CASE WHEN i % 4 = 2 AND (i // 4) % 2 = 1 THEN 40.0
-                          WHEN i % 4 = 2 THEN 20.0
+               round(CASE WHEN i % 4 = 2 AND (i // 4) % 4 = 0 THEN 20.0
+                          WHEN i % 4 = 2 AND (i // 4) % 4 = 2 THEN 60.0
+                          WHEN i % 4 = 2 THEN 40.0
                           ELSE 8.0 * (w - 1) END, 6) AS mean_r6,
                round(CASE WHEN i % 4 = 2 THEN 0.0
                           ELSE 16.0 * sqrt((CAST(w AS DOUBLE) * w - 1) / 12)

@@ -911,18 +911,26 @@ def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
                 content = gif_pixel_bytes(px)
             rows.append((i, "image", bytearray(content)))
         elif kind == 2:
-            if (i // 4) % 2 == 0:
+            variant = (i // 4) % 4
+            if variant == 0:
                 px = np.stack(
                     [np.full((h, w), c, np.uint8) for c in (10, 20, 30)], axis=2
                 )
                 content = png_bytes_with_pixels(px)
-            else:
+            elif variant in (1, 3):
                 # REAL baseline-JPEG decode path (llm/jpeg.py): constant
                 # blocks round-trip bit-exactly through DCT+quantization
                 # (lone DC coefficient), so the closed-form oracle holds
                 from sclera_spark.llm.jpeg import encode_jpeg_gray
 
                 content = encode_jpeg_gray(np.full((h, w), 40, np.uint8))
+            else:
+                # color JPEG, gray-neutral constant (r=g=b): Cb=Cr=128
+                # exactly, so the YCbCr round trip is also bit-exact —
+                # the 3-component scan path under the same exact oracle
+                from sclera_spark.llm.jpeg import encode_jpeg_rgb
+
+                content = encode_jpeg_rgb(np.full((h, w, 3), 60, np.uint8))
             rows.append((i, "image", bytearray(content)))
         else:
             rows.append(

@@ -675,11 +675,11 @@ def test_image_pixel_features_real_path(spark):
     feats = image_pixel_features(synthetic_pixel_assets(spark, 40)).collect()
     by_id = {r.asset_id: r for r in feats}
     assert all(r.decoded_real == 1 for r in feats)  # PNG/PPM decode for real
-    # kind 2 alternates: constant-RGB PNG (gray mean (10+20+30)/3 = 20)
-    # and constant-gray baseline JPEG (REAL entropy decode, mean 40 —
-    # constant blocks round-trip bit-exactly); both std 0
+    # kind 2 rotates: constant-RGB PNG (gray mean 20), constant-gray
+    # JPEG (REAL entropy decode, mean 40), constant gray-neutral COLOR
+    # JPEG (3-component scan + YCbCr, bit-exact, mean 60); all std 0
     for i in range(2, 40, 4):
-        want = 20.0 if (i // 4) % 2 == 0 else 40.0
+        want = {0: 20.0, 1: 40.0, 2: 60.0, 3: 40.0}[(i // 4) % 4]
         assert abs(by_id[i].mean_intensity - want) < 1e-6
         assert by_id[i].std_intensity == 0.0
         assert by_id[i].width == i % 16 + 1 and by_id[i].height == i % 9 + 1
