@@ -90,6 +90,18 @@ def test_split_into_partitioned_join_not_cartesian(engine):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
 
+    # r6: the UNPARTITIONED path shares the linear index-range plan —
+    # never the O(rows x atoms) broadcast-nested-loop containment join
+    # it used to lower to (which also implied broadcasting every atom)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the intentional unpartitioned warn
+        df0 = split_into(ev.limit(1000), "lo", "hi", "s", "e")
+    plan0 = _plan(df0)
+    assert "BroadcastNestedLoopJoin" not in plan0
+    assert "CartesianProduct" not in plan0
+
 
 def test_distinct_on_single_shuffle(engine):
     from pyspark.sql import functions as F
