@@ -33,12 +33,10 @@ behavior is untouched for the driver.
 Caveat: replication clones document texts, so every doc gains N-1
 exact near-duplicates — minhash_pairs becomes a clone-heavy dedup
 stress (true-pair count grows ~N^2/2 per text) rather than a
-same-density corpus. Measured at SCALE=10 (≈sf1, 2026-08-13):
-total 50.7s — q1_agg 0.52, multi_join 1.06, distinct_on 1.52,
-match_funnel 3.97 (fixed pandas cost amortized: 1.2x for 10x rows),
-split_intervals 2.90, window_tier 0.78, expmovavg 0.90,
-minhash_pairs 37.2 (~227k true clone pairs), cosine_topk 0.58,
-quality_scores 0.38, dedup_exact 0.64.
+same-density corpus; SPARK_GRAFT_SALT_DOCS=1 appends a distinct token
+per replica to keep density constant. Current ~sf1 measurements under
+protocol v3 live in BASELINE.md ("~sf1 under protocol v3"): total
+35.95 s for 10x the rows, every query at or below linear.
 """
 
 from __future__ import annotations
