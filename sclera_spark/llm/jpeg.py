@@ -73,8 +73,6 @@ _ENC_DC_VALS = list(range(12))
 _ENC_AC_VALS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
-_ENC_AC_BITS = [0] * 16
-_ENC_AC_BITS[1] = 1  # EOB gets a 2-bit... (canonical assign below fixes)
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
