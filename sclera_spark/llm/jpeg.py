@@ -167,10 +167,13 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def _encode_frame(planes, sampling, h, w) -> bytes:
+def _encode_frame(planes, sampling, h, w, restart_interval: int = 0) -> bytes:
     """Shared baseline encoder: ``planes`` are full-resolution-per-
     component (already subsampled) uint8 arrays; ``sampling`` their
-    (h, v) factors. One quant + one huffman table pair for all."""
+    (h, v) factors. One quant + one huffman table pair for all.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictors reset) — exercises the
+    decoder's restart path."""
     dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_bits, ac_vals = _enc_ac_tables()
     ac_codes = _canonical_codes(ac_bits, ac_vals)
@@ -189,8 +192,15 @@ def _encode_frame(planes, sampling, h, w) -> bytes:
 
     data, put, flush = _bit_writer()
     preds = [0] * len(planes)
+    mcu_idx = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                flush()  # byte-align, then the restart marker
+                data += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
             for ci, (p, (sh, sv)) in enumerate(zip(padded, sampling)):
                 for by in range(sv):
                     for bx in range(sh):
@@ -200,6 +210,7 @@ def _encode_frame(planes, sampling, h, w) -> bytes:
                             put, p[y0 : y0 + 8, x0 : x0 + 8], q,
                             preds[ci], dc_codes, ac_codes,
                         )
+            mcu_idx += 1
     flush()
 
     nc = len(planes)
@@ -213,6 +224,8 @@ def _encode_frame(planes, sampling, h, w) -> bytes:
     out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc) + comps)
     out += _seg(0xFFC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     scan = bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc))
     out += _seg(0xFFDA, scan + bytes([0, 63, 0]))
     out += data
@@ -220,10 +233,10 @@ def _encode_frame(planes, sampling, h, w) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_gray(px) -> bytes:
+def encode_jpeg_gray(px, restart_interval: int = 0) -> bytes:
     """Valid baseline single-component JPEG from a (h, w) uint8 array."""
     px = np.asarray(px, dtype=np.uint8)
-    return _encode_frame([px], [(1, 1)], *px.shape)
+    return _encode_frame([px], [(1, 1)], *px.shape, restart_interval=restart_interval)
 
 
 def encode_jpeg_rgb(px, subsample: bool = False) -> bytes:

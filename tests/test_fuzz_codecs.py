@@ -69,11 +69,16 @@ def test_fuzz_jpeg_round_trip_envelopes(seed):
     out = decode_jpeg(encode_jpeg_gray(px))[:, :, 0]
     assert (out == px).all()
 
-    # arbitrary gray: flat-q error envelope
+    # arbitrary gray: flat-q error envelope; every other seed routes
+    # through RESTART MARKERS (random interval) — decode must be
+    # identical to the no-DRI encoding of the same pixels
     px = rng.integers(0, 256, (h, w)).astype(np.uint8)
     out = decode_jpeg(encode_jpeg_gray(px))[:, :, 0]
     err = np.abs(out.astype(int) - px.astype(int))
     assert err.max() <= 48 and err.mean() < 8
+    ri = int(rng.integers(1, 5))
+    out_rst = decode_jpeg(encode_jpeg_gray(px, restart_interval=ri))[:, :, 0]
+    assert (out_rst == out).all(), (seed, ri)
 
     # color: gray-neutral constant exact; gradient inside envelope
     v = int(rng.integers(0, 256))
