@@ -265,7 +265,7 @@ _Q: dict[str, str] = {
                round(stddev_samp(l_quantity), 9) AS sd,
                round(var_pop(l_discount), 9) AS vp,
                round(corr(l_quantity, l_extendedprice), 9) AS cor,
-               round(covar_samp(l_quantity, l_extendedprice), 9) AS cov,
+               round(covar_samp(l_quantity, l_extendedprice), 5) AS cov,
                min(l_shipdate) AS mn, max(l_shipdate) AS mx,
                count(DISTINCT l_suppkey) AS nsupp,
                bool_and(l_quantity > 0) AS all_pos,
