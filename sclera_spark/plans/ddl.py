@@ -29,6 +29,11 @@ class DdlRouter:
         # tables whose DML commits go through the atomic manifest protocol
         # (sources/manifest.py) instead of the plain parquet COW path
         self.manifest_tables: set[str] = set()
+        # subset of manifest_tables whose commit point is the durable
+        # conditional-put CAS store (multi-host protocol, FileCas-backed
+        # in-container; S3/GCS/DynamoDB mapping documented on FileCas)
+        self.cas_manifest_tables: set[str] = set()
+        self._cas = None  # lazily-built FileCas shared by all CAS tables
 
     # ---- routing ----
 
@@ -92,7 +97,8 @@ class DdlRouter:
         (re.compile(r"^\s*@(\w+)\s+'(.*)'\s*$", re.S), "_native_statement"),
         (
             re.compile(
-                r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+FORMAT\s+MANIFEST\s*$", re.I
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+FORMAT\s+MANIFEST(\s+CAS)?\s*$",
+                re.I,
             ),
             "_set_format_manifest",
         ),
@@ -141,28 +147,46 @@ class DdlRouter:
     def _materialize(self, name: str, df) -> None:
         path = self._path(name)
         if name.lower() in self.manifest_tables:
-            from sclera_spark.sources.manifest import ManifestTable
-
-            ManifestTable(path).overwrite(df)
+            self._manifest(name).overwrite(df)
             self._register_manifest(name)
             return
         df.write.mode("overwrite").parquet(path)
         self.managed[name.lower()] = path
         self.engine.catalog.register_parquet(name, path)
 
-    def _register_manifest(self, name: str) -> None:
-        from sclera_spark.sources.manifest import ManifestTable
+    def _manifest(self, name: str):
+        """The right ManifestTable flavor for a registered manifest table:
+        CAS-committed (conditional-put pointer store, multi-host) when
+        the table was converted with ... SET FORMAT MANIFEST CAS, else
+        the flock-serialized local protocol."""
+        from sclera_spark.sources.manifest import CasManifestTable, ManifestTable
 
-        mt = ManifestTable(self._path(name))
+        if name.lower() in self.cas_manifest_tables:
+            return CasManifestTable(self._path(name), self._cas_store())
+        return ManifestTable(self._path(name))
+
+    def _cas_store(self):
+        if self._cas is None:
+            from sclera_spark.sources.manifest import FileCas
+
+            self._cas = FileCas(os.path.join(self.warehouse, "_sclera_cas"))
+        return self._cas
+
+    def _register_manifest(self, name: str) -> None:
+        mt = self._manifest(name)
         self.managed[name.lower()] = self._path(name)
         self.engine.catalog.register(name, mt.read(self.engine.spark))
 
-    def _set_format_manifest(self, name: str):
-        """ALTER TABLE t SET FORMAT MANIFEST — adopt a managed table into
-        the atomic manifest-commit protocol (sources/manifest.py). DML on
-        the table becomes crash-atomic: readers see the pre- or
-        post-statement snapshot, never duplicates or partial commits."""
-        from sclera_spark.sources.manifest import ManifestTable
+    def _set_format_manifest(self, name: str, cas: str | None = None):
+        """ALTER TABLE t SET FORMAT MANIFEST [CAS] — adopt a managed table
+        into the atomic manifest-commit protocol (sources/manifest.py).
+        DML on the table becomes crash-atomic: readers see the pre- or
+        post-statement snapshot, never duplicates or partial commits.
+        With CAS, the commit point is a durable conditional-put store
+        (FileCas on the warehouse directory here; S3/GCS/DynamoDB in a
+        real deployment — mapping documented on FileCas), giving
+        lock-free multi-host optimistic concurrency."""
+        from sclera_spark.sources.manifest import CasManifestTable, ManifestTable
 
         if name.lower() not in self.managed:
             # adopt an external/catalog table into the warehouse first
@@ -170,19 +194,21 @@ class DdlRouter:
             path = self._path(name)
             df.write.mode("overwrite").parquet(path)
             self.managed[name.lower()] = path
-        ManifestTable.convert(self._path(name))
+        if cas:
+            CasManifestTable.adopt(self._path(name), self._cas_store())
+            self.cas_manifest_tables.add(name.lower())
+        else:
+            ManifestTable.convert(self._path(name))
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)
 
     def _require_manifest(self, name: str):
-        from sclera_spark.sources.manifest import ManifestTable
-
         if name.lower() not in self.manifest_tables:
             raise ValueError(
                 f"{name} is not a manifest table (ALTER TABLE {name} SET "
                 f"FORMAT MANIFEST first)"
             )
-        return ManifestTable(self._path(name))
+        return self._manifest(name)
 
     def _vacuum(self, name: str, retain: str | None):
         """VACUUM t [RETAIN n VERSIONS] — physically delete data files
@@ -224,11 +250,9 @@ class DdlRouter:
 
     def table_at(self, name: str, version: int):
         """Time-travel read of a manifest table's retained version."""
-        from sclera_spark.sources.manifest import ManifestTable
-
         if name.lower() not in self.manifest_tables:
             raise ValueError(f"{name} is not a manifest table")
-        return ManifestTable(self._path(name)).read(self.engine.spark, version)
+        return self._manifest(name).read(self.engine.spark, version)
 
     def _ctas(self, name: str, query: str):
         self._materialize(name, self.engine.sql(query))
@@ -330,9 +354,7 @@ class DdlRouter:
             *[F.col(c).cast(tbl.schema[c].dataType) for c in tbl.columns]
         )
         if name.lower() in self.manifest_tables:
-            from sclera_spark.sources.manifest import ManifestTable
-
-            ManifestTable(self._path(name)).append(incoming)
+            self._manifest(name).append(incoming)
             self._register_manifest(name)
             return
         incoming.write.mode("append").parquet(self._path(name))
@@ -503,9 +525,7 @@ class DdlRouter:
         spark = self.engine.spark
         is_manifest = name.lower() in self.manifest_tables
         if is_manifest:
-            from sclera_spark.sources.manifest import ManifestTable
-
-            mt = ManifestTable(path)
+            mt = self._manifest(name)
             tgt = mt.read(spark)
         else:
             mt = None
@@ -669,9 +689,7 @@ class DdlRouter:
         is_manifest = name.lower() in self.manifest_tables
         try:
             if is_manifest:
-                from sclera_spark.sources.manifest import ManifestTable
-
-                mt = ManifestTable(path)
+                mt = self._manifest(name)
                 base = mt.read(self.engine.spark)
             else:
                 base = self.engine.spark.read.parquet(path)
@@ -768,9 +786,7 @@ class DdlRouter:
         """Full-table rewrite through a staging path (parquet cannot
         overwrite its own input mid-read)."""
         if name.lower() in self.manifest_tables:
-            from sclera_spark.sources.manifest import ManifestTable
-
-            ManifestTable(self._path(name)).overwrite(df)
+            self._manifest(name).overwrite(df)
             self._register_manifest(name)
             return
         staging = self._path(name) + ".staging"

@@ -381,17 +381,40 @@ class ManifestTable:
         with self._writer_lock():
             return self._vacuum_locked(keep_versions)
 
+    # Minimum age (seconds, by claim-file mtime) before vacuum treats a
+    # claim above LATEST as a crashed orphan and deletes it. Local tables
+    # vacuum inside the flock, so any claim seen there is provably dead
+    # (0 = delete immediately). CAS tables have no lock: a claim may
+    # belong to a LIVE foreign writer whose CAS is about to succeed, so
+    # claims younger than the TTL — and the data files they reference —
+    # are left alone (the object-store log-store retention rule).
+    _orphan_claim_ttl = 0.0
+
     def _vacuum_locked(self, keep_versions: int) -> list[str]:
+        import time as _time
+
         # clear orphan claims first (crashed commits above LATEST), so
-        # their staged-but-never-committed data files become deletable
+        # their staged-but-never-committed data files become deletable;
+        # claims younger than _orphan_claim_ttl may be live foreign
+        # writers (CAS tables) — keep them AND protect their files
         latest = self.version()
+        now = _time.time()
+        live_claims: list[int] = []
         for f in os.listdir(self.log_dir):
             if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) > latest:
-                os.remove(os.path.join(self.log_dir, f))
+                p = os.path.join(self.log_dir, f)
+                try:
+                    age = now - os.path.getmtime(p)
+                except FileNotFoundError:
+                    continue
+                if age >= self._orphan_claim_ttl:
+                    os.remove(p)
+                else:
+                    live_claims.append(int(f[1:-5]))
         vs = self.versions()
         keep = vs[-keep_versions:]
         referenced: set[str] = set()
-        for v in keep:
+        for v in keep + live_claims:
             referenced |= {os.path.basename(p) for p in self.files(v)}
         deleted = []
         for f in os.listdir(self.data_dir):
@@ -564,6 +587,90 @@ class MemoryCas:
             return True
 
 
+class FileCas:
+    """Durable conditional-put pointer store on a shared directory — the
+    in-container stand-in for an object store's conditional writes, built
+    from the ONE primitive those stores actually provide: put-if-absent.
+
+    A key's pointer value is the max over version-marker files in the
+    key's subdirectory; ``cas(key, expected, expected+1)`` is an O_EXCL
+    create of the ``expected+1`` marker after re-checking the current
+    max. Because the manifest protocol only ever advances the pointer by
+    exactly one (asserted), winning the O_EXCL create of version N is
+    the unique N-1 -> N transition — two racers cannot both succeed, and
+    a stale writer fails the pre-check. Crash-durable: markers are
+    fsynced (file + parent dir), and a marker is never removed while it
+    is the maximum.
+
+    Object-store mapping, per method:
+      * ``get``   -> LIST the key prefix, take the max version key
+                     (S3 ListObjectsV2 / GCS objects.list), or read a
+                     DynamoDB item's version attribute.
+      * ``cas``   -> put-if-absent of the version object: S3
+                     ``PutObject If-None-Match: *`` (conditional writes,
+                     2024+), GCS ``ifGenerationMatch=0``, ABFS
+                     ``If-None-Match: *``, or DynamoDB
+                     ``attribute_not_exists`` conditional put.
+    No compare-and-swap on a single mutable object is needed anywhere —
+    which is exactly why the Delta/Iceberg S3 log stores use this shape.
+    """
+
+    _prune_keep = 16  # markers kept below the max (tiny files; cosmetic)
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _key_dir(self, key: str) -> str:
+        import hashlib
+
+        return os.path.join(
+            self.root, hashlib.sha256(key.encode()).hexdigest()[:24]
+        )
+
+    def get(self, key: str) -> int | None:
+        try:
+            vs = [int(f) for f in os.listdir(self._key_dir(key)) if f.isdigit()]
+        except FileNotFoundError:
+            return None
+        return max(vs) if vs else None
+
+    def cas(self, key: str, expected: int | None, new: int) -> bool:
+        if new != (expected or 0) + 1:
+            raise ValueError(
+                f"FileCas requires single-step advances (expected={expected}, "
+                f"new={new}): put-if-absent of version N is only a unique "
+                "transition when N == expected + 1"
+            )
+        if self.get(key) != expected:
+            return False
+        d = self._key_dir(key)
+        os.makedirs(d, exist_ok=True)
+        try:
+            fd = os.open(os.path.join(d, str(new)), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, key.encode())  # provenance for humans/tools
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:  # durability of the marker's existence
+            dfd = os.open(d, os.O_RDONLY)
+            os.fsync(dfd)
+            os.close(dfd)
+        except OSError:
+            pass
+        # prune old markers (never the max): keeps the dir O(1)
+        for f in os.listdir(d):
+            if f.isdigit() and int(f) <= new - self._prune_keep:
+                try:
+                    os.remove(os.path.join(d, f))
+                except FileNotFoundError:
+                    pass
+        return True
+
+
 class CasManifestTable(ManifestTable):
     """A manifest table whose COMMIT POINT is a conditional-put CAS on
     an external pointer store instead of flock + os.replace — the
@@ -580,14 +687,18 @@ class CasManifestTable(ManifestTable):
     CAS-protected across hosts — run it from one maintenance owner with
     a retention window longer than any in-flight commit."""
 
-    def __init__(self, path: str, cas: MemoryCas):
+    # a claim above the pointer may be a LIVE foreign writer's — vacuum
+    # leaves claims (and their staged files) alone until this age
+    _orphan_claim_ttl = 3600.0
+
+    def __init__(self, path: str, cas):
         super().__init__(path)
-        self.cas = cas
+        self.cas = cas  # any object with get(key) / cas(key, expected, new)
         self._key = os.path.abspath(path)
 
     @classmethod
     def create_cas(
-        cls, df: DataFrame, path: str, cas: MemoryCas, meta: dict | None = None
+        cls, df: DataFrame, path: str, cas, meta: dict | None = None
     ) -> "CasManifestTable":
         t = cls(path, cas)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -598,6 +709,30 @@ class CasManifestTable(ManifestTable):
         if not t.cas.cas(t._key, None, 1):
             t._drop_claim(1)
             raise ConcurrentWriterError(f"{path} already created")
+        return t
+
+    @classmethod
+    def adopt(cls, path: str, cas) -> "CasManifestTable":
+        """Adopt an EXISTING manifest table (or plain parquet directory)
+        into CAS-committed mode: seed the store's pointer from the
+        on-disk LATEST file. The upgrade is one-way and must itself be
+        uncontended (run it before opening the table to multi-host
+        writers — same rule as converting a Delta table's log store)."""
+        if not ManifestTable.exists(path):
+            ManifestTable.convert(path)
+        t = cls(path, cas)
+        current = cas.get(t._key)
+        if current is None:
+            with open(os.path.join(t.log_dir, "LATEST")) as fh:
+                disk = int(fh.read().strip())
+            # seed by walking the pointer up (FileCas requires +1 steps)
+            v = 0
+            while v < disk and cas.cas(t._key, v if v else None, v + 1):
+                v += 1
+            if cas.get(t._key) != disk:
+                raise ConcurrentWriterError(
+                    f"{path}: CAS pointer seeded concurrently during adopt"
+                )
         return t
 
     def version(self) -> int:

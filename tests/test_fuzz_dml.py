@@ -89,7 +89,7 @@ def _duck_state(duck) -> list[tuple]:
     return sorted(tuple(r) for r in duck.execute("SELECT k, v, s FROM ft").fetchall())
 
 
-def _run_sequence(spark, seed: int, manifest: bool):
+def _run_sequence(spark, seed: int, manifest: bool, cas: bool = False):
     import duckdb
 
     engine = ScleraEngine(spark)
@@ -100,7 +100,10 @@ def _run_sequence(spark, seed: int, manifest: bool):
         engine.execute("INSERT INTO ft VALUES (1, 1, 'a'), (2, NULL, 'b'), (3, 3, NULL)")
         duck.execute("INSERT INTO ft VALUES (1, 1, 'a'), (2, NULL, 'b'), (3, 3, NULL)")
         if manifest:
-            engine.execute("ALTER TABLE ft SET FORMAT MANIFEST")
+            engine.execute(
+                "ALTER TABLE ft SET FORMAT MANIFEST"
+                + (" CAS" if cas else "")
+            )
         gen = DGen(random.Random(seed))
         maint = random.Random(seed * 31 + 7)
         for i in range(SEQ_LEN):
@@ -141,6 +144,16 @@ def test_dml_fuzz_plain(spark, tables, seed):
 @pytest.mark.parametrize("seed", range(N_SEQS))
 def test_dml_fuzz_manifest(spark, tables, seed):
     _run_sequence(spark, 100 + seed, manifest=True)
+
+
+@pytest.mark.parametrize("seed", range(N_SEQS))
+def test_dml_fuzz_manifest_cas(spark, tables, seed):
+    """Third storage mode: the lock-free CAS commit loop (FileCas-backed
+    CasManifestTable via ALTER ... SET FORMAT MANIFEST CAS) under the
+    same randomized DML + maintenance interleavings as flock manifests —
+    a stale-snapshot recompute or claim-heal bug diverges the state diff
+    immediately."""
+    _run_sequence(spark, 200 + seed, manifest=True, cas=True)
 
 
 # ------------------------------------------------------------- MERGE fuzz

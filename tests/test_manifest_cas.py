@@ -26,13 +26,22 @@ import pytest
 from sclera_spark.sources.manifest import (
     CasManifestTable,
     ConcurrentWriterError,
+    FileCas,
     MemoryCas,
 )
 
 
-@pytest.fixture()
-def cas_env(spark, tmp_path):
-    cas = MemoryCas()
+@pytest.fixture(params=["memory", "file"])
+def cas_env(spark, tmp_path, request):
+    """Every protocol test runs against BOTH pointer stores: the
+    in-process MemoryCas (r6) and the durable FileCas (r7) whose
+    put-if-absent markers survive process death and are shared across
+    processes on a common directory."""
+    cas = (
+        MemoryCas()
+        if request.param == "memory"
+        else FileCas(str(tmp_path / "cas"))
+    )
     path = str(tmp_path / "tbl")
     df = spark.range(10).selectExpr("id", "id * 2 AS v")
     host_a = CasManifestTable.create_cas(df, path, cas)
@@ -119,3 +128,142 @@ def test_claim_conflict_recomputes_from_new_snapshot(cas_env, monkeypatch):
     ids = {r.id for r in a.read(spark).collect()}
     assert {100, 104, 200, 204} <= ids  # both appends present
     assert a.read(spark).count() == 20
+
+
+# ---------------------------------------------------------------- FileCas
+
+
+def test_filecas_put_if_absent_unique_across_processes(tmp_path):
+    """The store primitive itself: N processes racing cas(v, v+1) on a
+    shared directory — exactly one wins each transition (O_EXCL is the
+    kernel's put-if-absent), get() always returns the dense max."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "cas")
+    FileCas(root)  # create
+
+    def racer(root, key, wins):
+        cas = FileCas(root)
+        n = 0
+        for _ in range(200):
+            cur = cas.get(key)
+            if cas.cas(key, cur, (cur or 0) + 1):
+                n += 1
+        wins.put(n)
+
+    wins = mp.Queue()
+    procs = [
+        mp.Process(target=racer, args=(root, "k", wins)) for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    total = sum(wins.get() for _ in procs)
+    assert FileCas(root).get("k") == total  # every win advanced by one
+    assert total >= 200  # at least one process's attempts mostly landed
+
+
+def test_filecas_rejects_non_monotonic_step(tmp_path):
+    cas = FileCas(str(tmp_path / "cas"))
+    assert cas.cas("k", None, 1)
+    with pytest.raises(ValueError, match="single-step"):
+        cas.cas("k", 1, 3)
+
+
+def test_filecas_survives_reopen(tmp_path):
+    root = str(tmp_path / "cas")
+    cas = FileCas(root)
+    assert cas.cas("k", None, 1)
+    assert cas.cas("k", 1, 2)
+    # a fresh instance (new process in real life) sees the pointer
+    assert FileCas(root).get("k") == 2
+    # stale CAS from the old snapshot fails
+    assert not FileCas(root).cas("k", 1, 2)
+
+
+def test_filecas_prunes_old_markers(tmp_path):
+    cas = FileCas(str(tmp_path / "cas"))
+    v = None
+    for i in range(1, 41):
+        assert cas.cas("k", v, i)
+        v = i
+    d = cas._key_dir("k")
+    markers = [int(f) for f in os.listdir(d) if f.isdigit()]
+    assert max(markers) == 40
+    assert len(markers) <= cas._prune_keep + 1
+
+
+# ------------------------------------------------- vacuum claim safety
+
+
+def test_vacuum_keeps_young_foreign_claim_and_its_files(spark, tmp_path):
+    """ADVICE r6: vacuum on a CAS table must not delete a LIVE foreign
+    writer's just-written claim (or its staged data files) moments
+    before its CAS succeeds. Claims younger than the TTL survive, and
+    the foreign commit can still complete."""
+    cas = FileCas(str(tmp_path / "cas"))
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).selectExpr("id", "id AS v")
+    a = CasManifestTable.create_cas(df, path, cas)
+    b = CasManifestTable(path, cas)  # the "foreign host" mid-commit
+
+    # simulate B mid-commit: staged+adopted files, claim written, CAS not
+    # yet executed (exactly the window the ADVICE flags)
+    scratch, added = b._stage(spark.range(5).selectExpr("id + 100 AS id", "id AS v"))
+    b._adopt(scratch, added)
+    b._publish_claim(2, b._file_names() + added, {})
+
+    deleted = a.vacuum(keep_versions=1)
+    # neither the claim nor B's staged data files were touched
+    assert os.path.exists(os.path.join(a.log_dir, "v2.json"))
+    assert all(not d.startswith(tuple(added)) for d in deleted)
+    for f in added:
+        assert os.path.exists(os.path.join(a.data_dir, f))
+
+    # B's commit completes: the pointer advances onto the intact claim
+    assert b._swap_pointer(1, 2)
+    assert b.read(spark).count() == 15
+
+    # an OLD claim (crashed commit) IS reclaimed once past the TTL
+    a2 = CasManifestTable(path, cas)
+    a2._orphan_claim_ttl = 0.0
+    b._publish_claim(3, [], {})
+    a2.vacuum(keep_versions=1)
+    assert not os.path.exists(os.path.join(a2.log_dir, "v3.json"))
+
+
+# ------------------------------------------------------------- SQL DDL
+
+
+def test_cas_manifest_via_sql_ddl(spark, tables):
+    """ALTER TABLE t SET FORMAT MANIFEST CAS routes every DML /
+    maintenance statement through the lock-free CAS commit path with the
+    durable FileCas backend — the r6 verdict's deployment-wall item."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    engine.execute("CREATE TABLE ct (k INT, v INT)")
+    engine.execute("INSERT INTO ct VALUES (1, 10), (2, 20), (3, 30)")
+    engine.execute("ALTER TABLE ct SET FORMAT MANIFEST CAS")
+    ddl = engine.ddl()
+    assert "ct" in ddl.cas_manifest_tables
+    mt = ddl._manifest("ct")
+    assert isinstance(mt, CasManifestTable)
+    assert isinstance(mt.cas, FileCas)
+    assert mt.version() == 1
+
+    engine.execute("INSERT INTO ct VALUES (4, 40)")
+    engine.execute("UPDATE ct SET v = v + 1 WHERE k = 1")
+    engine.execute("DELETE FROM ct WHERE k = 2")
+    got = sorted((r.k, r.v) for r in engine.sql("SELECT k, v FROM ct").collect())
+    assert got == [(1, 11), (3, 30), (4, 40)]
+    assert mt.version() == 4  # one dense CAS commit per statement
+
+    # time travel + maintenance ride the same pointer
+    assert engine.ddl().table_at("ct", 1).count() == 3
+    engine.execute("OPTIMIZE ct TARGET 64 MB")
+    engine.execute("VACUUM ct")
+    got2 = sorted((r.k, r.v) for r in engine.sql("SELECT k, v FROM ct").collect())
+    assert got2 == got
+    engine.execute("DROP TABLE ct")
