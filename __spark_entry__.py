@@ -260,12 +260,26 @@ _Q: dict[str, str] = {
         WHERE o_orderpriority IS DISTINCT FROM '1-URGENT'
           AND o_orderkey <= 300
     """,
+    # cov (r7): FULL-precision covariance via exact integer sums — both
+    # columns are integral once prices scale by 100, so SUM(BIGINT) is
+    # order-insensitive and EXACT in both engines, and the closing
+    # 5-flop double expression is IEEE-identical on identical operands:
+    # bitwise-equal cross-engine, no rounding needed (replaces the r6
+    # 5-decimal canon forced by one-pass partial-sum jitter). cov_fn
+    # keeps the native covar_samp aggregate under test at the jitter-
+    # safe 5-decimal granularity.
     "agg_stats": """
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 9) AS sd,
                round(var_pop(l_discount), 9) AS vp,
                round(corr(l_quantity, l_extendedprice), 9) AS cor,
-               round(covar_samp(l_quantity, l_extendedprice), 5) AS cov,
+               (CAST(SUM(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                  * CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                  / count(*))
+               / (count(*) - 1) / 100.0 AS cov,
+               round(covar_samp(l_quantity, l_extendedprice), 5) AS cov_fn,
                min(l_shipdate) AS mn, max(l_shipdate) AS mx,
                count(DISTINCT l_suppkey) AS nsupp,
                bool_and(l_quantity > 0) AS all_pos,

@@ -159,7 +159,9 @@ class _Handler(socketserver.BaseRequestHandler):
             # this (pid, secret) pair cancels this session's running Spark
             # jobs via its job group (pg's out-of-band cancel semantics)
             key = self.server.register_cancel()
-            pid, secret, self._job_group = key[0], key[1], self.server.cancel_registry[key]
+            pid, secret = key
+            self._cancel_target = self.server.cancel_registry[key]
+            self._job_group = self._cancel_target.group
             try:
                 engine.spark.sparkContext.setJobGroup(
                     self._job_group, "sclera wire session", interruptOnCancel=True
@@ -208,10 +210,17 @@ class _Handler(socketserver.BaseRequestHandler):
                 # cancel its Spark job group, then close (per protocol,
                 # no response is ever sent on a cancel connection)
                 pid, secret = struct.unpack("!ii", payload[4:12])
-                group = self.server.cancel_registry.get((pid, secret))
-                if group is not None:
+                target = self.server.cancel_registry.get((pid, secret))
+                if target is not None:
+                    # mark the victim session BEFORE killing its jobs, so
+                    # its error path can attribute the failure to a real
+                    # cancellation (sqlstate 57014) rather than guessing
+                    # from the exception text
+                    target.flag.set()
                     try:
-                        self.server.engine.spark.sparkContext.cancelJobGroup(group)
+                        self.server.engine.spark.sparkContext.cancelJobGroup(
+                            target.group
+                        )
                     except Exception:
                         pass
                 return False
@@ -221,10 +230,17 @@ class _Handler(socketserver.BaseRequestHandler):
             # key\0value\0...\0 — user/database/options; accepted untrusted
             return True
 
-    @staticmethod
-    def _sqlstate_for(exc: Exception) -> str:
-        # pg's query_canceled for jobs killed via CancelRequest
-        return "57014" if "cancel" in str(exc).lower() else "42601"
+    def _sqlstate_for(self, exc: Exception) -> str:
+        """pg's query_canceled (57014) ONLY when this session was
+        actually cancelled — by a CancelRequest naming its key or by the
+        statement-timeout timer — tracked as an explicit flag set by
+        those paths. An ordinary failure mentioning 'cancel' (say, an
+        unresolved column named cancel_date) stays a syntax/semantic
+        error (42601)."""
+        target = getattr(self, "_cancel_target", None)
+        if target is not None and target.flag.is_set():
+            return "57014"
+        return "42601"
 
     def _error(self, sqlstate: str, message: str) -> None:
         body = (
@@ -284,6 +300,9 @@ class _Handler(socketserver.BaseRequestHandler):
         Exception: SET statement_timeout is HONORED (pg semantics,
         milliseconds; 0 disables) — enforced via the session's Spark job
         group, same kill path as CancelRequest."""
+        target = getattr(self, "_cancel_target", None)
+        if target is not None:
+            target.flag.clear()  # cancellation state is per-statement
         verb = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
         if verb in self._SESSION_VERBS:
             m = self._TIMEOUT_RE.match(sql)
@@ -309,10 +328,14 @@ class _Handler(socketserver.BaseRequestHandler):
 
         stop = threading.Event()
 
+        target = getattr(self, "_cancel_target", None)
+
         def fire():
             # cancelJobGroup only kills ACTIVE jobs — a job still in
             # planning when the deadline hits would escape a one-shot
             # cancel, so keep killing until the statement path disarms us
+            if target is not None:
+                target.flag.set()  # timeout reports as 57014, per pg
             while not stop.is_set():
                 try:
                     spark.sparkContext.cancelJobGroup(group)
@@ -531,14 +554,27 @@ def _split_statements(text: str) -> list[str]:
     return out
 
 
+class _CancelTarget:
+    """What a CancelRequest resolves to: the victim session's Spark job
+    group plus the explicit cancellation flag that lets the session
+    report sqlstate 57014 only for REAL cancellations."""
+
+    __slots__ = ("group", "flag")
+
+    def __init__(self, group: str):
+        self.group = group
+        self.flag = threading.Event()
+
+
 class _Server(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        # (pid, secret) -> spark job group name, for pg CancelRequest
-        self.cancel_registry: dict[tuple[int, int], str] = {}
+        # (pid, secret) -> the session's cancel target (job group + the
+        # explicit was-cancelled flag its error path reads)
+        self.cancel_registry: dict[tuple[int, int], _CancelTarget] = {}
         self._pid_counter = 0
         self._pid_lock = threading.Lock()
 
@@ -549,7 +585,7 @@ class _Server(socketserver.ThreadingTCPServer):
             self._pid_counter += 1
             pid = self._pid_counter
         secret = secrets.randbits(31)
-        self.cancel_registry[(pid, secret)] = f"sclera-wire-{pid}"
+        self.cancel_registry[(pid, secret)] = _CancelTarget(f"sclera-wire-{pid}")
         return (pid, secret)
 
 
@@ -734,4 +770,6 @@ def _parse_error(payload: bytes) -> str:
         code = rest[:1]
         value, rest = _take_cstr(rest[1:])
         fields[code] = value
-    return fields.get(b"M", "unknown server error")
+    state = fields.get(b"C")
+    msg = fields.get(b"M", "unknown server error")
+    return f"[{state}] {msg}" if state else msg

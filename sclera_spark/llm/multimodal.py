@@ -384,10 +384,12 @@ def bmp_pixel_bytes(rgb) -> bytes:
 
 
 def decode_pixels(content: bytes) -> tuple[np.ndarray | None, bool]:
-    """Route to a REAL decoder when the format allows (PNG, PPM/PGM,
-    GIF); return (pixels, decoded_real). JPEG/BMP fall back to the stub
-    with decoded_real=False — swapping in a codec lib means extending
-    only this router."""
+    """Route to the REAL decoder for every probed format — PNG, PPM/PGM,
+    GIF (spec LZW), JPEG (llm/jpeg.py entropy decode), 24-bit BMP —
+    returning (pixels, decoded_real). Fallback to (None, False) happens
+    only on decode EXCEPTIONS (unknown/truncated content, JPEG variants
+    decode_jpeg rejects); adding a new container means extending only
+    this router."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content), True
     if content[:2] in (b"P5", b"P6"):
@@ -418,9 +420,11 @@ def decode_pixels(content: bytes) -> tuple[np.ndarray | None, bool]:
 
 # ---------------------------------------------------------------- header
 # Real header-only decoders — pure stdlib struct parsing of the public
-# container formats, no codec libraries. These make dimension/duration
-# metadata REAL (parsed from bytes) while pixel/sample decode stays
-# stubbed (container has no codecs).
+# container formats, no codec libraries. These answer metadata probes
+# (dimensions / sample rate / duration) WITHOUT touching payload bytes;
+# full pixel/sample decode lives in decode_png/decode_gif/decode_jpeg/
+# decode_bmp/decode_ppm/decode_wav above and is real for every format
+# listed in the module header.
 
 
 def probe_media(content: bytes | None):

@@ -564,7 +564,50 @@ def run_to_files(
     return q
 
 
-def manifest_batch_committer(table_path: str, stream_id: str | None = None):
+def checkpoint_stream_id(checkpoint_dir: str) -> str:
+    """A STABLE stream identity stored inside the checkpoint itself, so
+    the manifest dedup watermark survives the checkpoint directory being
+    moved/renamed (an absolute path would not). Preference order:
+
+    1. ``_sclera_stream_id`` sidecar written by a previous call (the
+       durable identity; travels with the checkpoint);
+    2. Spark's own ``metadata`` query id for a checkpoint that already
+       ran before this function existed (adopted as the sidecar);
+    3. a fresh uuid for a brand-new checkpoint.
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    sid_file = os.path.join(checkpoint_dir, "_sclera_stream_id")
+    if os.path.exists(sid_file):
+        with open(sid_file) as fh:
+            return fh.read().strip()
+    sid = None
+    meta_file = os.path.join(checkpoint_dir, "metadata")
+    if os.path.exists(meta_file):
+        try:
+            import json
+
+            with open(meta_file) as fh:
+                sid = json.load(fh).get("id")
+        except (OSError, ValueError):
+            sid = None
+    if not sid:
+        import uuid
+
+        sid = uuid.uuid4().hex
+    tmp = sid_file + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(sid)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, sid_file)
+    return sid
+
+
+def manifest_batch_committer(
+    table_path: str,
+    stream_id: str | None = None,
+    legacy_stream_ids: tuple[str, ...] = (),
+):
     """The idempotent per-batch commit used by :func:`stream_to_manifest`
     (exposed so redelivery semantics are directly testable): appends the
     batch as one atomic manifest commit carrying
@@ -572,12 +615,21 @@ def manifest_batch_committer(table_path: str, stream_id: str | None = None):
     and makes a REDELIVERED batch (id at or below the recorded watermark
     FOR THE SAME STREAM) a no-op.
 
-    The watermark is scoped to ``stream_id`` (derived from the checkpoint
-    location by :func:`stream_to_manifest`): Structured Streaming batch
-    ids restart at 0 under a NEW checkpoint, so an unscoped watermark
-    would silently discard every batch of a restarted-with-fresh-
-    checkpoint stream as a "redelivery". A different stream_id resets the
-    watermark instead — the new stream's batch 0 commits normally."""
+    The watermark is scoped to ``stream_id`` (a stable id stored inside
+    the checkpoint — :func:`checkpoint_stream_id`): Structured Streaming
+    batch ids restart at 0 under a NEW checkpoint, so an unscoped
+    watermark would silently discard every batch of a restarted-with-
+    fresh-checkpoint stream as a "redelivery". A different stream_id
+    resets the watermark instead — the new stream's batch 0 commits
+    normally.
+
+    Two upgrade fallbacks keep the SAME-checkpoint resume deduped for
+    tables written by older builds (a replayed batch after a crash
+    between sink append and checkpoint commit must not append twice):
+    a table whose meta carries ``stream_batch`` but NO ``stream_id`` key
+    predates stream scoping entirely and is treated as the same stream;
+    ``legacy_stream_ids`` lets the caller pass ids an older build would
+    have used for this checkpoint (the abspath-derived id)."""
     from sclera_spark.sources.manifest import ManifestTable
 
     def commit_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -585,7 +637,12 @@ def manifest_batch_committer(table_path: str, stream_id: str | None = None):
         if ManifestTable.exists(table_path):
             mt = ManifestTable(table_path)
             cur = mt.meta()
-            same_stream = cur.get("stream_id") == stream_id
+            cur_id = cur.get("stream_id")
+            same_stream = (
+                cur_id == stream_id
+                or (cur_id is None and "stream_batch" in cur)
+                or (cur_id is not None and cur_id in legacy_stream_ids)
+            )
             if same_stream and batch_id <= cur.get("stream_batch", -1):
                 return  # redelivered batch: already committed atomically
             mt.append(bdf, meta=meta)
@@ -622,10 +679,15 @@ def stream_to_manifest(
     Drains all currently-available input (availableNow) and returns the
     stopped query — call again with the same checkpoint to resume.
     """
-    sid = os.path.abspath(checkpoint_dir)
+    sid = checkpoint_stream_id(checkpoint_dir)
     q = (
         stream_df.writeStream.foreachBatch(
-            manifest_batch_committer(table_path, stream_id=sid)
+            manifest_batch_committer(
+                table_path,
+                stream_id=sid,
+                # ids an older build derived for this same checkpoint
+                legacy_stream_ids=(os.path.abspath(checkpoint_dir),),
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

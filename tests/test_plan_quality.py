@@ -302,3 +302,50 @@ def test_vocab_stats_partial_aggregation(engine):
     assert "partial" in plan.lower()
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asof_skew_detection_gated_and_cached(spark, tmp_path):
+    """r7 (verdict #5 / ADVICE): asof_join's sampled hot-group detection
+    must (a) skip entirely when Catalyst's size estimate proves no group
+    can reach the threshold — zero eager jobs on small inputs; (b) cache
+    stats per analyzed plan so a SECOND call over an unchanged table
+    runs zero sample jobs; (c) invalidate when a manifest commit changes
+    the file list."""
+    from sclera_spark.operators import asof as asof_mod
+    from sclera_spark.operators.asof import SKEW_STATS, asof_join
+    from sclera_spark.sources.manifest import ManifestTable
+
+    path = str(tmp_path / "quotes")
+    ManifestTable.create(
+        spark.range(500).selectExpr("id % 5 AS sym", "id AS t", "id * 2 AS px"),
+        path,
+    )
+    trades = spark.range(200).selectExpr("id % 5 AS sym", "id * 2 AS t")
+
+    def read():
+        return ManifestTable(path).read(spark)
+
+    # (a) size-gate: tiny inputs -> no detection job even at threshold 1
+    base = dict(SKEW_STATS)
+    asof_join(trades, read(), on="t", by=["sym"]).count()
+    assert SKEW_STATS["detect_jobs"] == base["detect_jobs"]
+
+    # (b) cache: force detection past the size gate, same plan twice
+    kw = dict(on="t", by=["sym"], hot_group_threshold=10,
+              skew_sample_fraction=1.0)
+    asof_mod._SKEW_CACHE.clear()
+    base = dict(SKEW_STATS)
+    r1 = asof_join(trades, read(), **kw)
+    n1 = r1.count()
+    assert SKEW_STATS["detect_jobs"] == base["detect_jobs"] + 1
+    r2 = asof_join(trades, read(), **kw)
+    assert r2.count() == n1
+    assert SKEW_STATS["detect_jobs"] == base["detect_jobs"] + 1  # cached
+    assert SKEW_STATS["cache_hits"] == base["cache_hits"] + 1
+
+    # (c) a manifest commit (new file list -> new plan) invalidates
+    ManifestTable(path).append(
+        spark.range(500, 600).selectExpr("id % 5 AS sym", "id AS t", "id * 2 AS px")
+    )
+    asof_join(trades, read(), **kw).count()
+    assert SKEW_STATS["detect_jobs"] == base["detect_jobs"] + 2

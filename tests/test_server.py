@@ -200,3 +200,19 @@ def test_manifest_dml_over_wire(server):
     finally:
         c.execute("DROP TABLE wire_m")
         c.close()
+
+
+def test_error_mentioning_cancel_is_not_query_canceled(server):
+    """ADVICE r6: an ordinary failure whose text happens to contain
+    'cancel' (an unresolved column named cancel_date) must classify as a
+    plain error (42601), not 57014 query_canceled — cancellation is now
+    an explicit per-session flag set only by CancelRequest / the
+    statement-timeout timer."""
+    client = connect(server)
+    try:
+        with pytest.raises(RuntimeError) as ei:
+            client.execute("SELECT cancel_date FROM region")
+        assert "[42601]" in str(ei.value)
+        assert "[57014]" not in str(ei.value)
+    finally:
+        client.close()

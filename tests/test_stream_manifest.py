@@ -95,7 +95,10 @@ def test_redelivered_batch_is_not_duplicated(spark, dirs):
     the SAME batch id and the SAME rows. Replay that contract directly
     against the committer and assert the duplicate is swallowed; a batch
     ABOVE the watermark must still land."""
-    from sclera_spark.streaming.ops import manifest_batch_committer
+    from sclera_spark.streaming.ops import (
+        checkpoint_stream_id,
+        manifest_batch_committer,
+    )
 
     _land(spark, _rows(0, 40), dirs["in"])
     _land(spark, _rows(40, 60), dirs["in"])
@@ -107,7 +110,7 @@ def test_redelivered_batch_is_not_duplicated(spark, dirs):
 
     # same stream identity as the run that recorded the watermark
     commit = manifest_batch_committer(
-        dirs["tbl"], stream_id=os.path.abspath(dirs["ck"])
+        dirs["tbl"], stream_id=checkpoint_stream_id(dirs["ck"])
     )
     # redelivery of the last batch (same id, same rows): must be a no-op
     commit(spark.createDataFrame(_rows(40, 60), _SCHEMA), wm)
@@ -133,3 +136,60 @@ def test_watermark_survives_compaction(spark, dirs):
     )  # unrelated DML commit
     mt.compact(spark, target_bytes=64 * 1024 * 1024)
     assert mt.meta()["stream_batch"] == wm
+
+
+def test_stream_id_survives_checkpoint_move(spark, dirs):
+    """ADVICE r6: the stream identity is stored INSIDE the checkpoint
+    (not derived from its absolute path), so moving the checkpoint
+    directory must not defeat redelivery dedup."""
+    import shutil
+
+    from sclera_spark.streaming.ops import checkpoint_stream_id
+
+    _land(spark, _rows(0, 30), dirs["in"])
+    _run(spark, dirs)
+    sid = checkpoint_stream_id(dirs["ck"])
+    moved = dirs["ck"] + "_moved"
+    shutil.move(dirs["ck"], moved)
+    assert checkpoint_stream_id(moved) == sid
+
+
+def test_legacy_table_without_stream_id_still_dedups(spark, dirs):
+    """ADVICE r6: a table written BEFORE stream scoping (meta has
+    stream_batch but no stream_id key) must treat the first post-upgrade
+    resume on the SAME checkpoint as the same stream — a replayed batch
+    (crash between sink append and checkpoint commit) must not append
+    twice."""
+    from sclera_spark.streaming.ops import manifest_batch_committer
+
+    df = spark.createDataFrame(_rows(0, 20), _SCHEMA)
+    ManifestTable.create(df, dirs["tbl"], meta={"stream_batch": 3})
+    commit = manifest_batch_committer(dirs["tbl"], stream_id="new-uuid")
+    # replay of batch 3 against the legacy watermark: swallowed
+    commit(spark.createDataFrame(_rows(0, 20), _SCHEMA), 3)
+    assert _ids(spark, dirs["tbl"]) == list(range(20))
+    # next batch lands and upgrades the meta to the scoped form
+    commit(spark.createDataFrame(_rows(20, 30), _SCHEMA), 4)
+    assert _ids(spark, dirs["tbl"]) == list(range(30))
+    mt = ManifestTable(dirs["tbl"])
+    assert mt.meta()["stream_id"] == "new-uuid"
+
+
+def test_legacy_abspath_stream_id_still_dedups(spark, dirs):
+    """A table whose watermark was recorded under the pre-r7
+    abspath-derived stream id dedups when the caller declares that id
+    as legacy (stream_to_manifest passes the checkpoint abspath)."""
+    from sclera_spark.streaming.ops import manifest_batch_committer
+
+    old_sid = os.path.abspath(dirs["ck"])
+    df = spark.createDataFrame(_rows(0, 20), _SCHEMA)
+    ManifestTable.create(
+        df, dirs["tbl"], meta={"stream_batch": 2, "stream_id": old_sid}
+    )
+    commit = manifest_batch_committer(
+        dirs["tbl"], stream_id="new-uuid", legacy_stream_ids=(old_sid,)
+    )
+    commit(spark.createDataFrame(_rows(0, 20), _SCHEMA), 2)  # replay
+    assert _ids(spark, dirs["tbl"]) == list(range(20))
+    commit(spark.createDataFrame(_rows(20, 25), _SCHEMA), 3)
+    assert _ids(spark, dirs["tbl"]) == list(range(25))
