@@ -20,8 +20,12 @@ execution itself stays fully distributed; nothing here touches the data
 path.
 
 Implemented protocol surface:
-- startup (incl. SSLRequest refusal and CancelRequest), cleartext-free
-  trust auth, ParameterStatus/BackendKeyData/ReadyForQuery
+- startup incl. SSLRequest (REAL TLS when the server holds a cert —
+  stdlib ssl wrap; refused otherwise) and CancelRequest;
+  ParameterStatus/BackendKeyData/ReadyForQuery
+- authentication: trust (default, reference-parity) or SCRAM-SHA-256
+  (interfaces/auth.py, RFC 5802/7677) when credentials are configured;
+  with TLS configured, cleartext connections are refused by default
 - simple query ('Q') with multi-statement split and per-statement
   RowDescription/DataRow/CommandComplete; EmptyQueryResponse; errors
 - the extended-query subset drivers use: Parse/Bind/Describe/Execute/
@@ -139,11 +143,25 @@ def _to_resultset(result, sql: str) -> _ResultSet:
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):  # noqa: C901 — protocol state machine
         self.buf = self.request.makefile("rb")
+        self._tls = False
+        self.startup_params: dict[str, str] = {}
         engine = self.server.engine
         key = None
         try:
             if not self._startup():
                 return
+            if self.server.require_tls and not self._tls:
+                # pg_hba "hostssl"-style policy: with TLS configured the
+                # cleartext path is closed unless explicitly re-opened
+                self._error(
+                    "28000",
+                    "no pg_hba.conf entry: SSL required (connect with "
+                    "sslmode=require)",
+                )
+                return
+            if self.server.credentials is not None:
+                if not self._authenticate_scram():
+                    return
             engine.pg_catalog.refresh()
             self._send(_msg(b"R", struct.pack("!i", 0)))  # AuthenticationOk
             for k, v in (
@@ -203,7 +221,15 @@ class _Handler(socketserver.BaseRequestHandler):
             payload = self._read_exact(length - 4)
             (code,) = struct.unpack("!i", payload[:4])
             if code == _SSL_REQUEST:
-                self._send(b"N")  # no TLS; client falls back to cleartext
+                ctx = self.server.ssl_context
+                if ctx is None or self._tls:
+                    self._send(b"N")  # no TLS; client falls back
+                    continue
+                self._send(b"S")
+                self.request = ctx.wrap_socket(self.request, server_side=True)
+                self.buf.close()
+                self.buf = self.request.makefile("rb")
+                self._tls = True
                 continue
             if code == _CANCEL_REQUEST:
                 # out-of-band cancel: pid + secret name a live session;
@@ -227,8 +253,63 @@ class _Handler(socketserver.BaseRequestHandler):
             if code != _PROTO_V3:
                 self._error("08P01", f"unsupported protocol version {code}")
                 return False
-            # key\0value\0...\0 — user/database/options; accepted untrusted
+            # key\0value\0...\0 — user/database/options
+            rest = payload[4:]
+            while rest and rest[:1] != b"\x00":
+                k, rest = _take_cstr(rest)
+                v, rest = _take_cstr(rest)
+                self.startup_params[k] = v
             return True
+
+    def _authenticate_scram(self) -> bool:
+        """SASL authentication flow (pg protocol 'R' codes 10/11/12/0)
+        running the SCRAM-SHA-256 exchange from interfaces/auth.py.
+        Returns True on success; on failure sends 28P01 and closes."""
+        from sclera_spark.interfaces.auth import AuthFailed, ScramExchange
+
+        user = self.startup_params.get("user", "")
+        cred = self.server.credentials.get(user)
+
+        def fail(msg: str) -> bool:
+            self._error("28P01", f"password authentication failed for user \"{user}\": {msg}")
+            return False
+
+        try:
+            self._send(
+                _msg(b"R", struct.pack("!i", 10) + _cstr("SCRAM-SHA-256") + b"\x00")
+            )
+            head, payload = self._read_password_message()
+            if head != b"p":
+                return fail("expected SASLInitialResponse")
+            mech, rest = _take_cstr(payload)
+            if mech != "SCRAM-SHA-256":
+                return fail(f"unsupported SASL mechanism {mech!r}")
+            (ln,) = struct.unpack("!i", rest[:4])
+            client_first = rest[4 : 4 + ln] if ln >= 0 else b""
+            if cred is None:
+                # run a mock exchange against an unmatchable credential so
+                # user existence is not probeable from timing/flow shape
+                from sclera_spark.interfaces.auth import ScramCredential
+                import os as _os
+
+                cred = ScramCredential(_os.urandom(16), 4096, _os.urandom(32), _os.urandom(32))
+            ex = ScramExchange(cred)
+            self._send(_msg(b"R", struct.pack("!i", 11) + ex.first(client_first)))
+            head, payload = self._read_password_message()
+            if head != b"p":
+                return fail("expected SASLResponse")
+            server_final = ex.final(payload)
+            self._send(_msg(b"R", struct.pack("!i", 12) + server_final))
+            return True
+        except AuthFailed as exc:
+            return fail(str(exc))
+        except (ValueError, struct.error):
+            return fail("malformed SASL message")
+
+    def _read_password_message(self) -> tuple[bytes, bytes]:
+        head = self._read_exact(1)
+        (length,) = struct.unpack("!i", self._read_exact(4))
+        return head, self._read_exact(length - 4)
 
     def _sqlstate_for(self, exc: Exception) -> str:
         """pg's query_canceled (57014) ONLY when this session was
@@ -570,6 +651,10 @@ class _Server(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
+    ssl_context = None  # set by ScleraServer.start when TLS configured
+    credentials = None  # user -> ScramCredential; None = trust auth
+    require_tls = False
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         # (pid, secret) -> the session's cancel target (job group + the
@@ -595,18 +680,72 @@ class ScleraServer:
     >>> server = ScleraServer(engine).start()
     >>> ... clients connect to ("127.0.0.1", server.port) ...
     >>> server.stop()
+
+    Security knobs (r7 — default stays reference-parity trust/cleartext
+    for embedded/test use):
+
+    - ``tls``: ``(certfile, keyfile)`` PEM paths, or ``"auto"`` to
+      generate a self-signed cert (interfaces/auth.py
+      make_self_signed_cert). Enables real TLS on the protocol's
+      SSLRequest; with TLS on, CLEARTEXT startup is refused (28000)
+      unless ``require_tls=False``.
+    - ``auth``: ``{user: password}``; passwords are immediately turned
+      into SCRAM-SHA-256 verifiers (salt/iterations/StoredKey/ServerKey
+      — the pg_authid shape; plaintext is not retained) and every
+      connection must complete the RFC 5802/7677 exchange.
     """
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tls: tuple[str, str] | str | None = None,
+        auth: dict[str, str] | None = None,
+        require_tls: bool | None = None,
+    ):
         self.engine = engine
         self.host = host
         self.port = port
+        self.tls = tls
+        self.auth = auth
+        self.require_tls = require_tls
         self._server: _Server | None = None
         self._thread: threading.Thread | None = None
+
+    def _build_ssl_context(self):
+        if self.tls is None:
+            return None
+        import ssl
+        import tempfile
+
+        if self.tls == "auto":
+            from sclera_spark.interfaces.auth import make_self_signed_cert
+
+            certfile, keyfile = make_self_signed_cert(
+                tempfile.mkdtemp(prefix="sclera_tls_")
+            )
+        else:
+            certfile, keyfile = self.tls
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile, keyfile)
+        return ctx
 
     def start(self) -> "ScleraServer":
         self._server = _Server((self.host, self.port), _Handler)
         self._server.engine = self.engine
+        self._server.ssl_context = self._build_ssl_context()
+        self._server.require_tls = (
+            self.require_tls
+            if self.require_tls is not None
+            else self._server.ssl_context is not None
+        )
+        if self.auth is not None:
+            from sclera_spark.interfaces.auth import ScramCredential
+
+            self._server.credentials = {
+                u: ScramCredential.from_password(p) for u, p in self.auth.items()
+            }
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(
             target=self._server.serve_forever, name="sclera-pg-server", daemon=True
