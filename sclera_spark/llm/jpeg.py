@@ -1,24 +1,39 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec in pure Python+numpy.
+"""JPEG (ITU-T T.81 / ISO 10918-1) codec in pure Python+numpy.
 
-r6: closes the engine's LAST declared multimodal stub. Everything here
-derives from the public JPEG specification: marker segments, huffman
-entropy coding (tables read from the file's own DHT segments — nothing
-hard-coded in the decoder), zigzag (generated from its anti-diagonal
-definition), dequantization, 8x8 type-II DCT as an orthonormal matrix
-product, JFIF YCbCr, and box chroma upsampling for subsampled scans.
+r6 closed the engine's LAST declared multimodal stub with baseline
+sequential decode; r7 adds PROGRESSIVE DCT (T.81 §G — the web's
+dominant JPEG flavor). Everything here derives from the public JPEG
+specification: marker segments, huffman entropy coding (tables read
+from the file's own DHT segments — nothing hard-coded in the decoder),
+zigzag (generated from its anti-diagonal definition), dequantization,
+8x8 type-II DCT as an orthonormal matrix product, JFIF YCbCr, and box
+chroma upsampling for subsampled scans.
 
-decode_jpeg supports baseline sequential DCT: 8-bit samples, 1 or 3
-components, arbitrary h/v sampling factors (4:4:4, 4:2:2, 4:2:0),
-restart markers. Progressive/arithmetic/12-bit variants raise a clear
-error (they fall back to decoded_real=0 in the feature path).
+decode_jpeg supports 8-bit samples, 1 or 3 components, arbitrary h/v
+sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers, and BOTH DCT
+modes:
+- baseline/extended sequential (SOF0/SOF1): single scan, as in r6;
+- progressive (SOF2): multi-scan spectral selection + successive
+  approximation — DC first/refine (interleaved or not), AC first with
+  EOB-run coding, and the §G.1.2.3 AC refinement correction-bit
+  algorithm, with per-scan restart-interval support. Coefficients
+  accumulate across scans and are reconstructed once at EOI.
+Arithmetic-coded and 12-bit variants still raise a clear error (they
+fall back to decoded_real=0 in the feature path).
 
-encode_jpeg_gray emits valid single-component baseline JPEGs — the
-fixture ground truth. Quantization is lossy in general, but an image of
-CONSTANT 8x8 blocks survives bit-exactly when each (value-128)*8 is a
-multiple of the DC quantization step: the DCT of a constant block is a
-lone DC coefficient, so the round trip is exact arithmetic — that is
-what lets the driver-graded entry put REAL JPEG decode under a
-closed-form SQL oracle (same trick as the PNG gradient fixtures).
+encode_jpeg_gray / encode_jpeg_rgb emit valid baseline JPEGs;
+encode_jpeg_gray_progressive / encode_jpeg_rgb_progressive emit the
+SAME quantized coefficients through a 6-scan progressive script
+(DC first Al=1 → DC refine → per-component AC first/refine over two
+spectral bands), so progressive and baseline encodings of one image
+must decode IDENTICALLY — the bit-exact equivalence the test suite
+pins on random images. Quantization is lossy in general, but an image
+of CONSTANT 8x8 blocks survives bit-exactly when each (value-128)*8 is
+a multiple of the DC quantization step: the DCT of a constant block is
+a lone DC coefficient, so the round trip is exact arithmetic — that is
+what lets the driver-graded entry put REAL JPEG decode (now including
+progressive scans) under a closed-form SQL oracle (same trick as the
+PNG gradient fixtures).
 """
 
 from __future__ import annotations
@@ -72,6 +87,10 @@ _ENC_DC_VALS = list(range(12))
 # kraft sum holds (lengths assigned canonically below)
 _ENC_AC_VALS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [
+    # EOBn symbols (run, size=0) for progressive AC scans: EOB runs of
+    # 2^r .. 2^(r+1)-1 blocks (T.81 §G.1.2.2); EOB0 is 0x00 above
+    (r << 4) for r in range(1, 15)
 ]
 
 
@@ -233,6 +252,250 @@ def _encode_frame(planes, sampling, h, w, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
+# ------------------------------------------------- progressive encoder
+
+
+def _quantize_blocks(plane: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) int32 zigzag-ordered quantized coefficients of an
+    8-multiple-padded plane — the shared input of every progressive
+    scan encoder."""
+    q = _QTAB.reshape(8, 8).astype(np.float64)
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((nby, nbx, 64), np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _T @ (blk.astype(np.float64) - 128.0) @ _T.T
+            zq = np.round(coef / q).astype(np.int64)
+            out[by, bx] = [int(zq[i, j]) for i, j in _ZZ]
+    return out
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shifted right (truncation toward
+    zero, T.81 §G.1.2.2)."""
+    return (abs(int(v)) >> al) * (1 if v >= 0 else -1)
+
+
+def _flush_eob(state, put, ac_codes) -> None:
+    """Emit the pending EOBn symbol (+ extension bits) and the
+    correction bits buffered against the run (refinement scans)."""
+    if state["eobrun"] > 0:
+        eb = state["eobrun"]
+        r = eb.bit_length() - 1
+        c, ln = ac_codes[r << 4]
+        put(c, ln)
+        if r:
+            put(eb - (1 << r), r)
+        state["eobrun"] = 0
+    for b in state["ebits"]:
+        put(b, 1)
+    state["ebits"] = []
+
+
+def _enc_ac_first_block(put, ac_codes, zz, ss, se, al, state) -> None:
+    vals = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
+    if not any(vals):
+        state["eobrun"] += 1
+        if state["eobrun"] == 32767:
+            _flush_eob(state, put, ac_codes)
+        return
+    _flush_eob(state, put, ac_codes)
+    run = 0
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            put(c, ln)
+            run -= 16
+        size = _category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        put(c, ln)
+        put(_mag_bits(v, size), size)
+        run = 0
+    if last_nz < se - ss:
+        state["eobrun"] = 1  # trailing zeros: this block starts an EOB run
+
+
+def _enc_ac_refine_block(put, ac_codes, zz, ss, se, al, state) -> None:
+    """§G.1.2.3 (figure G.7) AC successive-approximation refinement:
+    previously-significant coefficients send one correction bit (the
+    next magnitude bit); newly-significant ones (|v| >> Al == 1) are
+    run-length coded over zero-history positions with a sign bit;
+    correction bits buffer until the next emitted symbol (or fold into
+    the EOB run)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i  # last NEWLY-significant position
+    run = 0
+    br: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            _flush_eob(state, put, ac_codes)
+            c, ln = ac_codes[0xF0]
+            put(c, ln)
+            run -= 16
+            for b in br:
+                put(b, 1)
+            br = []
+        if a > 1:  # previously significant: correction bit only
+            br.append(a & 1)
+            continue
+        _flush_eob(state, put, ac_codes)
+        c, ln = ac_codes[(run << 4) | 1]
+        put(c, ln)
+        put(1 if zz[ss + i] >= 0 else 0, 1)  # sign: 1 = positive
+        for b in br:
+            put(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state["eobrun"] += 1
+        state["ebits"].extend(br)
+        if state["eobrun"] == 32767:
+            _flush_eob(state, put, ac_codes)
+
+
+def _encode_frame_progressive(planes, sampling, h, w) -> bytes:
+    """Progressive (SOF2) encoder emitting the SAME quantized
+    coefficients as :func:`_encode_frame`, reorganized into a 6-scan
+    script: interleaved DC first (Al=1) + DC refine, then per component
+    AC first and AC refine over two spectral bands (1-5, 6-63). Shares
+    the baseline huffman/quant tables; decoding a progressive encode
+    must therefore equal decoding the baseline encode bit-for-bit."""
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_bits, ac_vals = _enc_ac_tables()
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    for p, (sh, sv) in zip(planes, sampling):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        padded = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        coefs.append(_quantize_blocks(padded))
+
+    nc = len(planes)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int, data: bytes) -> bytes:
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            # one DC table (class 0 id 0) + one AC table (class 1 id 0)
+            hdr += bytes([cid + 1, 0x00])
+        return _seg(0xFFDA, hdr + bytes([ss, se, (ah << 4) | al])) + data
+
+    scans = []
+
+    # scan 1: DC first, all components interleaved, Al=1
+    data, put, flush = _bit_writer()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        size = _category(diff)
+                        c, ln = dc_codes[size]
+                        put(c, ln)
+                        if size:
+                            put(_mag_bits(diff, size), size)
+    flush()
+    scans.append(sos(list(range(nc)), 0, 0, 0, 1, bytes(data)))
+
+    # scan 2: DC refine (Ah=1, Al=0) — one bit per block, same order
+    data, put, flush = _bit_writer()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        put(int(coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+    flush()
+    scans.append(sos(list(range(nc)), 0, 0, 1, 0, bytes(data)))
+
+    # per component: AC first + refine over two bands (non-interleaved;
+    # block grid = ceil(component samples / 8), top-left of the padded
+    # grid — T.81 A.2.2)
+    bands = [(1, 5), (6, 63)]
+    for ah_al, enc in ((0, _enc_ac_first_block), (1, _enc_ac_refine_block)):
+        for ci, (sh, sv) in enumerate(sampling):
+            nbx = (-(-(w * sh) // hmax) + 7) // 8
+            nby = (-(-(h * sv) // vmax) + 7) // 8
+            for ss, se in bands:
+                data, put, flush = _bit_writer()
+                state = {"eobrun": 0, "ebits": []}
+                for by in range(nby):
+                    for bx in range(nbx):
+                        enc(
+                            put, ac_codes, coefs[ci][by, bx], ss, se,
+                            1 if ah_al == 0 else 0, state,
+                        )
+                _flush_eob(state, put, ac_codes)
+                flush()
+                al = 1 if ah_al == 0 else 0
+                scans.append(sos([ci], ss, se, ah_al, al, bytes(data)))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(_QTAB[k]) for k in range(64)))
+    comps = b"".join(
+        bytes([i + 1, (sh << 4) | sv, 0]) for i, (sh, sv) in enumerate(sampling)
+    )
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    for s in scans:
+        out += s
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray_progressive(px) -> bytes:
+    """Valid progressive (SOF2) single-component JPEG from (h, w) uint8:
+    decodes identically to encode_jpeg_gray of the same image."""
+    px = np.asarray(px, dtype=np.uint8)
+    return _encode_frame_progressive([px], [(1, 1)], *px.shape)
+
+
+def encode_jpeg_rgb_progressive(px, subsample: bool = False) -> bytes:
+    """Valid progressive 3-component JPEG (JFIF YCbCr, optionally
+    4:2:0): decodes identically to encode_jpeg_rgb of the same image."""
+    px = np.asarray(px, dtype=np.uint8).astype(np.float64)
+    h, w = px.shape[:2]
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    y, cb, cr = (np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr))
+    if not subsample:
+        return _encode_frame_progressive([y, cb, cr], [(1, 1)] * 3, h, w)
+
+    def down(p):
+        pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+        q4 = pe.reshape(pe.shape[0] // 2, 2, pe.shape[1] // 2, 2).mean(axis=(1, 3))
+        return np.clip(np.round(q4), 0, 255).astype(np.uint8)
+
+    return _encode_frame_progressive(
+        [y, down(cb), down(cr)], [(2, 2), (1, 1), (1, 1)], h, w
+    )
+
+
 def encode_jpeg_gray(px, restart_interval: int = 0) -> bytes:
     """Valid baseline single-component JPEG from a (h, w) uint8 array."""
     px = np.asarray(px, dtype=np.uint8)
@@ -339,13 +602,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w, channels) uint8 (1 = grayscale,
-    3 = RGB via JFIF YCbCr)."""
+    """Decode a baseline or progressive JPEG to (h, w, channels) uint8
+    (1 = grayscale, 3 = RGB via JFIF YCbCr)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
     frame = None
+    prog: _ProgState | None = None
     restart_interval = 0
     pos = 2
     n = len(content)
@@ -391,19 +655,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(cls, tid)] = tab
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+                raise ValueError("only 8-bit JPEG supported")
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+            frame = {"h": fh, "w": fw, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (arithmetic/lossless/hierarchical)")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:
@@ -415,10 +679,22 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
-            return _decode_scan(
-                content, pos + 2 + ln, frame, scan, qt, huff, restart_interval
+            if not frame["prog"]:
+                return _decode_scan(
+                    content, pos + 2 + ln, frame, scan, qt, huff, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if prog is None:
+                prog = _ProgState(frame)
+            pos = prog.decode_scan(
+                content, pos + 2 + ln, scan, ss, se, ah, al,
+                restart_interval, huff,
             )
+            continue
         pos += 2 + ln
+    if prog is not None:
+        return prog.reconstruct(qt)
     raise ValueError("JPEG has no scan data")
 
 
@@ -502,3 +778,264 @@ def _decode_block(reader, dc_tab, ac_tab, q, preds, ci):
     for idx, (i, j) in enumerate(_ZZ):
         coef[i, j] = zz[idx] * q[idx]
     return _T.T @ coef @ _T
+
+
+# ---------------------------------------------- progressive decoder state
+
+
+class _ProgState:
+    """Accumulated DCT coefficients across a progressive JPEG's scans
+    (T.81 §G). Each component owns an int32 (blocks_y, blocks_x, 64)
+    zigzag-ordered array covering the interleaved MCU-padded grid;
+    non-interleaved scans address its top-left ceil(samples/8) region.
+    ``reconstruct`` dequantizes + inverse-DCTs every block once, at the
+    end — progressive refinement only ever touches coefficients."""
+
+    def __init__(self, frame: dict):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcux = (frame["w"] + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (frame["h"] + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coef = {
+            c["id"]: np.zeros(
+                (self.mcuy * c["v"], self.mcux * c["h"], 64), np.int32
+            )
+            for c in comps
+        }
+        self.eobrun = 0
+
+    def _nb(self, comp: dict) -> tuple[int, int]:
+        """Non-interleaved block grid: ceil(component samples / 8)
+        (T.81 A.2.2)."""
+        sx = -(-self.frame["w"] * comp["h"] // self.hmax)
+        sy = -(-self.frame["h"] * comp["v"] // self.vmax)
+        return (sy + 7) // 8, (sx + 7) // 8
+
+    # ---- scan dispatch ----
+
+    def decode_scan(
+        self, content, pos, scan, ss, se, ah, al, restart_interval, huff
+    ) -> int:
+        """Decode one SOS's entropy data into the coefficient state;
+        returns the stream position of the next marker."""
+        reader = _BitReader(content, pos)
+        self.eobrun = 0
+        if ss == 0:
+            self._dc_scan(reader, scan, ah, al, restart_interval, huff)
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            if ah == 0:
+                self._ac_first_scan(
+                    reader, scan[0], ss, se, al, restart_interval, huff
+                )
+            else:
+                self._ac_refine_scan(
+                    reader, scan[0], ss, se, al, restart_interval, huff
+                )
+        return _next_marker(content, reader.pos)
+
+    # ---- DC scans (interleaved or single-component) ----
+
+    def _dc_scan(self, reader, scan, ah, al, restart_interval, huff):
+        preds = [0] * len(scan)
+        units = 0
+
+        def block(ci, comp, dct, by, bx):
+            c = self.coef[comp["id"]]
+            if ah == 0:
+                size = _huff_decode(reader, huff[(0, dct)])
+                diff = _extend(reader.bits(size), size) if size else 0
+                preds[ci] += diff
+                c[by, bx, 0] = preds[ci] << al
+            else:  # refinement: one magnitude bit at position al
+                if reader.bit():
+                    c[by, bx, 0] |= 1 << al
+
+        if len(scan) > 1:  # interleaved MCU order
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    if restart_interval and units and units % restart_interval == 0:
+                        reader.sync_restart()
+                        preds = [0] * len(scan)
+                    try:
+                        for ci, (comp, dct, _) in enumerate(scan):
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    block(
+                                        ci, comp, dct,
+                                        my * comp["v"] + by, mx * comp["h"] + bx,
+                                    )
+                    except _Restart:
+                        reader.sync_restart()
+                        preds = [0] * len(scan)
+                        continue
+                    units += 1
+        else:
+            comp, dct, _ = scan[0]
+            nby, nbx = self._nb(comp)
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and units and units % restart_interval == 0:
+                        reader.sync_restart()
+                        preds = [0]
+                    try:
+                        block(0, comp, dct, by, bx)
+                    except _Restart:
+                        reader.sync_restart()
+                        preds = [0]
+                        continue
+                    units += 1
+
+    # ---- AC scans (always single-component) ----
+
+    def _ac_first_scan(self, reader, sc, ss, se, al, restart_interval, huff):
+        comp, _, act = sc
+        tab = huff[(1, act)]
+        c = self.coef[comp["id"]]
+        nby, nbx = self._nb(comp)
+        units = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and units and units % restart_interval == 0:
+                    reader.sync_restart()
+                    self.eobrun = 0
+                try:
+                    if self.eobrun > 0:
+                        self.eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            sym = _huff_decode(reader, tab)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                self.eobrun = (1 << r) - 1
+                                if r:
+                                    self.eobrun += reader.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            c[by, bx, k] = _extend(reader.bits(s), s) << al
+                            k += 1
+                except _Restart:
+                    reader.sync_restart()
+                    self.eobrun = 0
+                    continue
+                units += 1
+
+    def _ac_refine_scan(self, reader, sc, ss, se, al, restart_interval, huff):
+        """§G.1.2.3 correction-bit decoding (figure G.7 mirror of the
+        encoder above): nonzero-history coefficients absorb one
+        correction bit each; zero-history runs position the newly-
+        significant ±2^Al values; EOB runs carry correction bits for
+        every remaining nonzero coefficient of their blocks."""
+        comp, _, act = sc
+        tab = huff[(1, act)]
+        c = self.coef[comp["id"]]
+        nby, nbx = self._nb(comp)
+        p1, m1 = 1 << al, -1 << al
+        units = 0
+
+        def correct(bz, k):
+            v = int(c[bz[0], bz[1], k])
+            if reader.bit() and (v & p1) == 0:
+                c[bz[0], bz[1], k] = v + (p1 if v >= 0 else m1)
+
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and units and units % restart_interval == 0:
+                    reader.sync_restart()
+                    self.eobrun = 0
+                try:
+                    k = ss
+                    if self.eobrun == 0:
+                        while k <= se:
+                            sym = _huff_decode(reader, tab)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r != 15:  # EOBn: run starts here
+                                    self.eobrun = 1 << r
+                                    if r:
+                                        self.eobrun += reader.bits(r)
+                                    break
+                                val = 0  # ZRL: skip 16 zero-history slots
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "AC refinement size must be 1"
+                                    )
+                                val = p1 if reader.bit() else m1
+                            while k <= se:
+                                if c[by, bx, k] != 0:
+                                    correct((by, bx), k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                c[by, bx, k] = val
+                            k += 1
+                    if self.eobrun > 0:
+                        while k <= se:
+                            if c[by, bx, k] != 0:
+                                correct((by, bx), k)
+                            k += 1
+                        self.eobrun -= 1
+                except _Restart:
+                    reader.sync_restart()
+                    self.eobrun = 0
+                    continue
+                units += 1
+
+    # ---- final reconstruction ----
+
+    def reconstruct(self, qt) -> np.ndarray:
+        frame = self.frame
+        fh, fw = frame["h"], frame["w"]
+        zi = np.array([i for i, _ in _ZZ])
+        zj = np.array([j for _, j in _ZZ])
+        outs = []
+        for comp in frame["comps"]:
+            cf = self.coef[comp["id"]].astype(np.float64)
+            deq = cf * qt[comp["tq"]][None, None, :]
+            nby, nbx = deq.shape[:2]
+            mats = np.zeros((nby, nbx, 8, 8))
+            mats[:, :, zi, zj] = deq
+            blocks = np.einsum("ij,abjk,kl->abil", _T.T, mats, _T)
+            plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            ry, rx = self.vmax // comp["v"], self.hmax // comp["h"]
+            if ry > 1 or rx > 1:
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            outs.append(plane[:fh, :fw])
+        if len(outs) == 1:
+            g = np.clip(np.round(outs[0] + 128.0), 0, 255).astype(np.uint8)
+            return g[..., None]
+        y, cb, cr = (o + 128.0 for o in outs)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _next_marker(content: bytes, pos: int) -> int:
+    """Position of the next REAL marker at/after ``pos`` (skips stuffed
+    FF00 and restart markers) — where the surrounding segment walk
+    resumes after a progressive scan's entropy data."""
+    n = len(content)
+    while pos + 1 < n:
+        if content[pos] == 0xFF:
+            nxt = content[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n

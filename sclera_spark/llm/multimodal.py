@@ -921,20 +921,41 @@ def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
                     [np.full((h, w), c, np.uint8) for c in (10, 20, 30)], axis=2
                 )
                 content = png_bytes_with_pixels(px)
-            elif variant in (1, 3):
+            elif variant == 1:
                 # REAL baseline-JPEG decode path (llm/jpeg.py): constant
                 # blocks round-trip bit-exactly through DCT+quantization
                 # (lone DC coefficient), so the closed-form oracle holds
                 from sclera_spark.llm.jpeg import encode_jpeg_gray
 
                 content = encode_jpeg_gray(np.full((h, w), 40, np.uint8))
+            elif variant == 3:
+                # REAL PROGRESSIVE-JPEG decode path (r7, T.81 §G): same
+                # constant image through the 6-scan SOF2 script — decoded
+                # pixels are identical to the baseline encoding, so the
+                # same closed-form oracle now certifies DC first/refine
+                # and AC EOB-run scans
+                from sclera_spark.llm.jpeg import encode_jpeg_gray_progressive
+
+                content = encode_jpeg_gray_progressive(
+                    np.full((h, w), 40, np.uint8)
+                )
             else:
                 # color JPEG, gray-neutral constant (r=g=b): Cb=Cr=128
                 # exactly, so the YCbCr round trip is also bit-exact —
-                # the 3-component scan path under the same exact oracle
-                from sclera_spark.llm.jpeg import encode_jpeg_rgb
+                # the 3-component scan path (baseline and, on alternating
+                # ids, progressive with interleaved DC scans) under the
+                # same exact oracle
+                from sclera_spark.llm.jpeg import (
+                    encode_jpeg_rgb,
+                    encode_jpeg_rgb_progressive,
+                )
 
-                content = encode_jpeg_rgb(np.full((h, w, 3), 60, np.uint8))
+                enc = (
+                    encode_jpeg_rgb_progressive
+                    if (i // 16) % 2
+                    else encode_jpeg_rgb
+                )
+                content = enc(np.full((h, w, 3), 60, np.uint8))
             rows.append((i, "image", bytearray(content)))
         else:
             rows.append(

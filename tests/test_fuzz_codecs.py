@@ -94,3 +94,80 @@ def test_fuzz_jpeg_round_trip_envelopes(seed):
     out = decode_jpeg(encode_jpeg_rgb(grad, subsample=sub))
     err = np.abs(out.astype(int) - grad.astype(int))
     assert err.max() <= (24 if sub else 12), (seed, sub, err.max())
+
+
+# ---------------------------------------------- progressive JPEG (r7)
+# The progressive encoder emits the SAME quantized coefficients as the
+# baseline encoder, so the two encodings of one image must decode to
+# IDENTICAL pixels — a bit-exact pin on every §G scan path (DC
+# first/refine, AC first with EOB runs, AC refinement correction bits)
+# against the already-fuzzed baseline decoder.
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_fuzz_jpeg_progressive_equals_baseline(seed):
+    from sclera_spark.llm.jpeg import (
+        encode_jpeg_gray_progressive,
+        encode_jpeg_rgb_progressive,
+    )
+
+    rng = np.random.default_rng(7000 + seed)
+    h = int(rng.integers(8, 41))
+    w = int(rng.integers(8, 41))
+    kind = seed % 4
+    if kind == 0:  # smooth gradient (long EOB runs, sparse AC)
+        px = (
+            np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 256
+        ).astype(np.uint8)
+        base, prog = encode_jpeg_gray(px), encode_jpeg_gray_progressive(px)
+    elif kind == 1:  # full-range noise (dense AC, ZRL + refinement)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        base, prog = encode_jpeg_gray(px), encode_jpeg_gray_progressive(px)
+    elif kind == 2:  # color 4:4:4
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base, prog = encode_jpeg_rgb(px), encode_jpeg_rgb_progressive(px)
+    else:  # color 4:2:0 (subsampled grids + interleaved DC scans)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = encode_jpeg_rgb(px, subsample=True)
+        prog = encode_jpeg_rgb_progressive(px, subsample=True)
+    got_b = decode_jpeg(base)
+    got_p = decode_jpeg(prog)
+    assert got_p.shape == got_b.shape
+    assert np.array_equal(got_p, got_b), (
+        f"seed {seed}: progressive decode diverged from baseline "
+        f"(maxdiff {np.abs(got_p.astype(int) - got_b.astype(int)).max()})"
+    )
+
+
+def test_jpeg_progressive_constant_blocks_bit_exact():
+    """Constant 8x8 blocks survive the progressive path bit-exactly
+    (lone DC coefficient, flat q=8) — the property the driver-graded
+    closed-form oracle rides."""
+    from sclera_spark.llm.jpeg import encode_jpeg_gray_progressive
+
+    vals = np.array([[0, 64], [128, 255]], dtype=np.uint8)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg_gray_progressive(px))[:, :, 0]
+    assert np.array_equal(out, px)
+
+
+def test_jpeg_progressive_sparse_and_extremes():
+    """Directed shapes: all-zero AC bands (pure EOB-run scans), a single
+    hot pixel (long zero runs + ZRL in refinement), odd dimensions."""
+    from sclera_spark.llm.jpeg import encode_jpeg_gray_progressive
+
+    for px in (
+        np.full((17, 23), 128, np.uint8),
+        np.zeros((9, 9), np.uint8),
+        np.full((8, 8), 255, np.uint8),
+    ):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_gray_progressive(px)),
+            decode_jpeg(encode_jpeg_gray(px)),
+        )
+    hot = np.zeros((24, 24), np.uint8)
+    hot[11, 13] = 255
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_gray_progressive(hot)),
+        decode_jpeg(encode_jpeg_gray(hot)),
+    )
