@@ -64,6 +64,97 @@ def word_counts(
     )
 
 
+# observability for tests/operators: which strategy the last bpe_train
+# call took and how many driver round trips (Spark actions) it cost
+TRAIN_STATS = {"strategy": None, "driver_rounds": 0}
+
+
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Apply one merge to a symbol list: ALL non-overlapping occurrences,
+    leftmost-first (the textbook rule, same as the regexp path)."""
+    out: list[str] = []
+    i, n, ab = 0, len(syms), a + b
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_incremental(
+    wc: list[tuple[str, int]], n_merges: int, min_freq: int
+) -> list[tuple[str, str, int]]:
+    """The exact sequential BPE learner with INCREMENTAL pair statistics
+    (Sennrich et al. 2016's learn_bpe shape): pair counts and a
+    pair->words occurrence index are maintained by diffing only the
+    words a merge touches, and the global argmax is a lazy max-heap
+    (stale entries discarded on pop, fresh entries pushed on every
+    count change). Semantics are IDENTICAL to re-counting from scratch
+    each iteration — 1000 merges cost seconds, zero Spark jobs."""
+    import heapq
+    from collections import Counter
+
+    words: list[list[str]] = []
+    cnts: list[int] = []
+    for w, c in wc:
+        words.append(list(w) + [_EOW])
+        cnts.append(int(c))
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        c = cnts[wi]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
+
+    # heap orders (freq DESC, a ASC, b ASC) — the sequential tie-break
+    heap = [(-f, a, b) for (a, b), f in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int) -> None:
+        nf = pair_counts.get(p, 0) + delta
+        if nf <= 0:
+            pair_counts.pop(p, None)
+        else:
+            pair_counts[p] = nf
+            heapq.heappush(heap, (-nf, p[0], p[1]))
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        nf, a, b = heapq.heappop(heap)
+        f = -nf
+        if pair_counts.get((a, b), 0) != f:
+            continue  # stale entry — a fresher one is in the heap
+        if f < min_freq:
+            break  # heap max below threshold: nothing qualifies
+        merges.append((a, b, f))
+        for wi in sorted(pair_words.get((a, b), ())):
+            syms = words[wi]
+            c = cnts[wi]
+            new_syms = _merge_word(syms, a, b)
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_pairs = Counter(zip(new_syms, new_syms[1:]))
+            for p in old_pairs.keys() - new_pairs.keys():
+                bump(p, -old_pairs[p] * c)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        del pair_words[p]
+            for p in new_pairs.keys() | old_pairs.keys():
+                d = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+                if p in new_pairs:
+                    pair_words.setdefault(p, set()).add(wi)
+                    if d:
+                        bump(p, d * c)
+            words[wi] = new_syms
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -71,14 +162,61 @@ def bpe_train(
     min_freq: int = 2,
     lowercase: bool = True,
     checkpoint_every: int = 10,
+    strategy: str = "auto",
+    max_driver_vocab: int = 5_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn BPE merges over a corpus; returns [(left, right, freq)] in
     merge order. Each word is seeded as its characters plus an ``</w>``
     end-of-word symbol; each iteration merges the globally most frequent
     adjacent pair (ALL non-overlapping occurrences, leftmost-first — the
     textbook algorithm), stopping early when no pair reaches
-    ``min_freq``."""
+    ``min_freq``.
+
+    ``strategy`` (r7, closing the driver-loop caveat):
+
+    - ``'driver'`` — collapse the corpus to its word-frequency table
+      (ONE distributed aggregation; the standard tokenizer-training
+      shape — Sennrich's learn_bpe and the HF trainers hold exactly
+      this table) and run the exact incremental learner on it: total
+      driver round trips are O(1) instead of O(n_merges), so a
+      50k-merge vocab is seconds of heap updates, not 50k Spark jobs.
+      Refuses (loudly) a vocab above ``max_driver_vocab`` rows.
+    - ``'distributed'`` — the r5 per-merge aggregation loop: one tiny
+      Spark job per merge, vocab never leaves the cluster. The right
+      tool only when the DISTINCT-WORD table itself is too big to hold.
+    - ``'auto'`` (default) — 'driver' when the vocab row count fits
+      ``max_driver_vocab``, else 'distributed'.
+
+    Both strategies produce the IDENTICAL merge list (same algorithm,
+    same (freq DESC, pair ASC) tie-break) — pinned in test_bpe.py.
+
+    Why not batched top-k selection per distributed round: a merge can
+    CREATE a pair (prev+merged / merged+next) whose count outranks the
+    round's remaining candidates, and those counts are unknowable
+    without context aggregation — so any top-k batch silently diverges
+    from sequential semantics on real text. The word-table collapse
+    achieves the round-trip reduction exactly instead."""
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown bpe_train strategy {strategy!r}")
     wc = word_counts(df, text_col, lowercase)
+    if strategy != "distributed":
+        vocab_rows = wc.count()
+        if vocab_rows <= max_driver_vocab:
+            TRAIN_STATS["strategy"] = "driver"
+            TRAIN_STATS["driver_rounds"] = 2  # count + collect
+            rows = wc.collect()
+            return _train_incremental(
+                [(r["word"], r["cnt"]) for r in rows], n_merges, min_freq
+            )
+        if strategy == "driver":
+            raise ValueError(
+                f"bpe_train(strategy='driver'): vocab has {vocab_rows} "
+                f"distinct words > max_driver_vocab={max_driver_vocab}; "
+                "use strategy='distributed' (per-merge aggregation jobs) "
+                "or raise the cap"
+            )
+    TRAIN_STATS["strategy"] = "distributed"
+    TRAIN_STATS["driver_rounds"] = 0
     # " h e l l o </w> " — single-space-delimited symbols with boundary
     # spaces so every symbol occurrence has the same " A B" shape
     syms = F.concat(
@@ -109,6 +247,7 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        TRAIN_STATS["driver_rounds"] += 1
         if not top:
             break
         a, b, freq = top[0].a, top[0].b, int(top[0].freq)
