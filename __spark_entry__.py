@@ -1611,7 +1611,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bpe_merges": _q_bpe_merges,
         }
     )
-    return out
+    ordered = {n: out[n] for n in _WINDOW_ORDER}
+    ordered.update({n: f for n, f in out.items() if n not in ordered})
+    assert len(ordered) == len(out)
+    return ordered
+
+
+# The driver grades the FIRST 50 entries in queries() order. r7 rotates
+# the window (VERDICT r6 #8): 12 oracle-bearing entries that had never
+# been driver-graded (training-pipeline text ops, samplers, streaming
+# joins/enrichment, hypertable + span-dedup tiers) move IN; 12
+# long-stable core entries (hash-green since r1-r4 and still covered by
+# the frontend/scalar/grouping fuzz families plus every check_entry
+# run) move to the tail. Every window entry carries a DuckDB oracle;
+# the demoted entries stay oracle-verified by tools/check_entry — the
+# rotation changes WHICH green rows the driver certifies, not coverage.
+_WINDOW_ORDER = [
+    # core SQL spine (kept)
+    "q1_agg", "join_variants", "outer_joins", "setops", "subqueries",
+    "predicates", "agg_stats", "grouping_sets", "window_tier",
+    "distinct_on", "pivot_sql", "unpivot_sql", "arg_sql", "split_sql",
+    "external_target", "jdbc_location", "typeinfer_sql",
+    "transform_zscore", "expmovavg",
+    # LLM-pipeline + ML + streaming + extension tiers (kept)
+    "dedup_exact", "quality_scores", "cosine_topk", "nlp_tokenize",
+    "stream_window_agg", "minhash_pairs", "classified_with",
+    "clustered_with", "imputed_with", "stream_sessionize",
+    "stream_match_state", "labeled_fn_sql", "align_zip",
+    "match_alternation", "multimodal_features", "multimodal_pixels",
+    "asof_join", "range_join", "incr_rollup",
+    # promoted r7: first-ever driver grading for these 12
+    "pii_redact", "doc_repetition", "ngram_contamination",
+    "stream_expmovavg", "time_rollup", "weighted_sample", "stream_join",
+    "stream_enrich", "span_dups", "vocab_topk", "chunk_documents",
+    "hash_sample",
+]
 
 
 def oracle_sql() -> dict[str, str]:
