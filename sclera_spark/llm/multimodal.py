@@ -89,48 +89,25 @@ def _decode_audio_stub(content: bytes, duration_ms: int) -> np.ndarray:
 # path a row took.
 
 
-def decode_png(content: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
-    RGBA) to a (h, w, channels) uint8 array — pure stdlib zlib + numpy:
-    concatenate IDAT, inflate, undo the per-scanline filter (spec
-    filters 0-4). Filters None/Up/Sub are vectorized; Average/Paeth fall
-    back to a per-pixel loop (rare in practice — encoders emit them for
-    ratio, and correctness beats speed in a fallback)."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if content[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos, n = 8, len(content)
-    w = h = None
-    idat = []
-    while pos + 8 <= n:
-        (clen,) = struct.unpack_from(">I", content, pos)
-        ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + clen]
-        if ctype == b"IHDR":
-            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if color not in (0, 2, 4, 6):
-                raise ValueError(f"unsupported PNG color type {color}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
-            ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
+
+def _png_unfilter(raw: bytes, off: int, h: int, w: int, ch: int) -> tuple[np.ndarray, int]:
+    """Undo the per-scanline filter (spec filters 0-4) for one image —
+    the whole PNG for interlace 0, one Adam7 pass for interlace 1.
+    Returns ((h, w*ch) array, new offset). Filters None/Up/Sub are
+    vectorized; Average/Paeth fall back to a per-pixel loop (rare in
+    practice — encoders emit them for ratio, and correctness beats
+    speed in a fallback)."""
     stride = w * ch
-    if len(raw) < h * (stride + 1):
+    if len(raw) - off < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    off = 0
     for y in range(h):
         f = raw[off]
         row = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
@@ -160,7 +137,59 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur
         prev = cur
-    return out.reshape(h, w, ch)
+    return out, off
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG (gray / RGB / gray+alpha / RGBA; interlace 0
+    or Adam7) to a (h, w, channels) uint8 array — pure stdlib zlib +
+    numpy: concatenate IDAT, inflate, undo the per-scanline filters.
+    Adam7 (r7): each of the 7 passes is its own filtered sub-image
+    (filtering never crosses passes), unfiltered independently and
+    scattered onto the output grid at the pass's (origin, stride)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, n = 8, len(content)
+    w = h = None
+    interlace = 0
+    idat = []
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in (0, 2, 4, 6):
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    if not interlace:
+        out, _ = _png_unfilter(raw, 0, h, w, ch)
+        return out.reshape(h, w, ch)
+    img = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass empty for this image size: no scanlines
+        sub, off = _png_unfilter(raw, off, ph, pw, ch)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    return img
 
 
 def decode_ppm(content: bytes) -> np.ndarray:
@@ -820,10 +849,13 @@ def wav_bytes(
     )
 
 
-def png_bytes_with_pixels(px: np.ndarray, filter_type: int = 0) -> bytes:
+def png_bytes_with_pixels(
+    px: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
     """Encode a (h, w) or (h, w, ch) uint8 array as a REAL decodable PNG
-    (filter 0 or 2 per scanline + zlib) — round-trip ground truth for
-    decode_png."""
+    (filter 0 or 2 per scanline + zlib; optionally Adam7-interlaced —
+    each pass filtered independently, per spec) — round-trip ground
+    truth for decode_png."""
     import struct
     import zlib
 
@@ -831,16 +863,29 @@ def png_bytes_with_pixels(px: np.ndarray, filter_type: int = 0) -> bytes:
         px = px[..., None]
     h, w, ch = px.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    flat = px.reshape(h, w * ch)
-    lines = []
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        if filter_type == 2:
-            lines.append(b"\x02" + (flat[y] - prev).astype(np.uint8).tobytes())
-        else:
-            lines.append(b"\x00" + flat[y].tobytes())
-        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+
+    def filtered_lines(flat: np.ndarray) -> list[bytes]:
+        lines = []
+        prev = np.zeros(flat.shape[1], dtype=np.uint8)
+        for y in range(flat.shape[0]):
+            if filter_type == 2:
+                lines.append(b"\x02" + (flat[y] - prev).astype(np.uint8).tobytes())
+            else:
+                lines.append(b"\x00" + flat[y].tobytes())
+            prev = flat[y]
+        return lines
+
+    if interlace:
+        lines = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += filtered_lines(
+                    sub.reshape(sub.shape[0], sub.shape[1] * ch)
+                )
+    else:
+        lines = filtered_lines(px.reshape(h, w * ch))
     idat = zlib.compress(b"".join(lines))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -907,7 +952,14 @@ def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
                 (np.arange(w, dtype=np.uint16) * 16 % 256).astype(np.uint8), (h, 1)
             )
             if kind == 0:
-                content = png_bytes_with_pixels(px, filter_type=2 if i % 3 == 0 else 0)
+                # alternating ids go through Adam7 interlacing (r7) —
+                # lossless, so the same closed-form oracle certifies the
+                # interlaced decode path too
+                content = png_bytes_with_pixels(
+                    px,
+                    filter_type=2 if i % 3 == 0 else 0,
+                    interlace=(i // 4) % 3 == 1,
+                )
             elif (i // 4) % 2 == 0:
                 content = ppm_bytes(px)
             else:

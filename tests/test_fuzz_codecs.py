@@ -171,3 +171,26 @@ def test_jpeg_progressive_sparse_and_extremes():
         decode_jpeg(encode_jpeg_gray_progressive(hot)),
         decode_jpeg(encode_jpeg_gray(hot)),
     )
+
+
+# ------------------------------------------------ Adam7 interlaced PNG (r7)
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_fuzz_png_adam7_lossless(seed):
+    """Adam7-interlaced PNGs must decode to exactly the pixels a
+    non-interlaced encoding carries — PNG is lossless, so both paths
+    are bit-exact against the source array (incl. sizes smaller than a
+    pass's 8x8 tile, where some passes are empty)."""
+    from sclera_spark.llm.multimodal import decode_png, png_bytes_with_pixels
+
+    rng = np.random.default_rng(8100 + seed)
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    ch = [1, 2, 3, 4][seed % 4]
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    ft = 2 if seed % 3 == 0 else 0
+    inter = decode_png(png_bytes_with_pixels(px, filter_type=ft, interlace=True))
+    plain = decode_png(png_bytes_with_pixels(px, filter_type=ft))
+    assert np.array_equal(inter, px.reshape(h, w, ch))
+    assert np.array_equal(inter, plain)
