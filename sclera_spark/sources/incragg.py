@@ -61,9 +61,21 @@ class IncrementalAggregate:
 
     _META_KEY = "incragg"
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, cas=None):
+        """``cas``: a conditional-put store (FileCas / MemoryCas) makes
+        the MV itself a CAS-committed table — refreshes publish through
+        the lock-free multi-host protocol. The SOURCE's flavor needs no
+        declaration: reads resolve its pointer via the shared-filesystem
+        mirror either way (a momentarily stale mirror just means the
+        refresh consumes a slightly older CONSISTENT snapshot; the next
+        refresh catches up)."""
+        from sclera_spark.sources.manifest import CasManifestTable
+
         self.path = path
-        self.mv = ManifestTable(path)
+        self.cas = cas
+        self.mv = (
+            CasManifestTable(path, cas) if cas is not None else ManifestTable(path)
+        )
 
     # ---- construction ----
 
@@ -77,6 +89,7 @@ class IncrementalAggregate:
         bucket: str,
         aggs: dict[str, tuple[str, str | None]],
         keys: Sequence[str] = (),
+        cas=None,
     ) -> "IncrementalAggregate":
         for name, (kind, _col) in aggs.items():
             if kind not in _REAGG:
@@ -84,7 +97,7 @@ class IncrementalAggregate:
                     f"{name}: {kind!r} is not decomposable "
                     "(supported: count, sum, min, max)"
                 )
-        ia = cls(path)
+        ia = cls(path, cas=cas)
         src_version = source.version()
         src_files = sorted(os.path.basename(p) for p in source.files())
         df = ia._bucket_agg(source.read(spark), ts_col, bucket, aggs, keys)
@@ -97,7 +110,12 @@ class IncrementalAggregate:
             "aggs": {n: list(kc) for n, kc in aggs.items()},
             "keys": list(keys),
         }
-        ManifestTable.create(df, path, meta={cls._META_KEY: state})
+        if cas is not None:
+            from sclera_spark.sources.manifest import CasManifestTable
+
+            CasManifestTable.create_cas(df, path, cas, meta={cls._META_KEY: state})
+        else:
+            ManifestTable.create(df, path, meta={cls._META_KEY: state})
         return ia
 
     # ---- reads ----

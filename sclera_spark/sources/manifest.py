@@ -709,6 +709,12 @@ class CasManifestTable(ManifestTable):
         if not t.cas.cas(t._key, None, 1):
             t._drop_claim(1)
             raise ConcurrentWriterError(f"{path} already created")
+        try:
+            # best-effort LATEST mirror (exists()/humans read it; the CAS
+            # value stays the source of truth) — same as _swap_pointer
+            ManifestTable._swap_pointer(t, 0, 1)
+        except OSError:
+            pass
         return t
 
     @classmethod

@@ -607,6 +607,7 @@ def manifest_batch_committer(
     table_path: str,
     stream_id: str | None = None,
     legacy_stream_ids: tuple[str, ...] = (),
+    cas=None,
 ):
     """The idempotent per-batch commit used by :func:`stream_to_manifest`
     (exposed so redelivery semantics are directly testable): appends the
@@ -630,12 +631,20 @@ def manifest_batch_committer(
     predates stream scoping entirely and is treated as the same stream;
     ``legacy_stream_ids`` lets the caller pass ids an older build would
     have used for this checkpoint (the abspath-derived id)."""
-    from sclera_spark.sources.manifest import ManifestTable
+    from sclera_spark.sources.manifest import CasManifestTable, ManifestTable
+
+    def _table():
+        # cas: the ingest table commits through the lock-free
+        # conditional-put protocol (multi-host object-store shape);
+        # batch-id dedup semantics are identical either way
+        if cas is not None:
+            return CasManifestTable(table_path, cas)
+        return ManifestTable(table_path)
 
     def commit_batch(bdf: DataFrame, batch_id: int) -> None:
         meta = {"stream_batch": batch_id, "stream_id": stream_id}
         if ManifestTable.exists(table_path):
-            mt = ManifestTable(table_path)
+            mt = _table()
             cur = mt.meta()
             cur_id = cur.get("stream_id")
             same_stream = (
@@ -646,6 +655,8 @@ def manifest_batch_committer(
             if same_stream and batch_id <= cur.get("stream_batch", -1):
                 return  # redelivered batch: already committed atomically
             mt.append(bdf, meta=meta)
+        elif cas is not None:
+            CasManifestTable.create_cas(bdf, table_path, cas, meta=meta)
         else:
             ManifestTable.create(bdf, table_path, meta=meta)
 
@@ -657,6 +668,7 @@ def stream_to_manifest(
     table_path: str,
     checkpoint_dir: str,
     timeout_s: int = 120,
+    cas=None,
 ):
     """Stream into a MANIFEST table: every micro-batch lands as one
     atomic manifest commit (sources/manifest.py append — readers see
@@ -687,6 +699,7 @@ def stream_to_manifest(
                 stream_id=sid,
                 # ids an older build derived for this same checkpoint
                 legacy_stream_ids=(os.path.abspath(checkpoint_dir),),
+                cas=cas,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -194,3 +194,50 @@ def test_refresh_after_compaction_stays_correct(env):
     assert mode == "full"
     assert _canon(ia.read(spark)) == _canon(_direct(src.read(spark)))
     assert ia.refresh(spark) == ("noop", 0)
+
+
+def test_incragg_on_cas_tables(spark, tmp_path):
+    """r7: the MV can itself be a CAS-committed table (FileCas) — the
+    refresh state still rides the version meta through the lock-free
+    commit path, and incremental refresh semantics are unchanged."""
+    from sclera_spark.sources.incragg import IncrementalAggregate
+    from sclera_spark.sources.manifest import CasManifestTable, FileCas
+
+    cas = FileCas(str(tmp_path / "cas"))
+    src = CasManifestTable.create_cas(
+        spark.range(100).selectExpr(
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id*60) AS ts",
+            "id % 3 AS k", "CAST(id AS DOUBLE) AS v",
+        ),
+        str(tmp_path / "src"),
+        cas,
+    )
+    ia = IncrementalAggregate.create(
+        spark, src, str(tmp_path / "mv"), "ts", "1 hour",
+        {"n": ("count", None), "s": ("sum", "v")}, keys=["k"], cas=cas,
+    )
+    assert isinstance(ia.mv, CasManifestTable)
+    base = {(r.bucket_start, r.k): (r.n, r.s) for r in ia.read(spark).collect()}
+
+    src.append(
+        spark.range(100, 140).selectExpr(
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id*60) AS ts",
+            "id % 3 AS k", "CAST(id AS DOUBLE) AS v",
+        )
+    )
+    mode, nfiles = ia.refresh(spark)
+    assert mode == "incremental"
+    got = {(r.bucket_start, r.k): (r.n, r.s) for r in ia.read(spark).collect()}
+    # oracle: full recompute
+    want = {
+        (r.bucket_start, r.k): (r.n, r.s)
+        for r in IncrementalAggregate(
+            str(tmp_path / "mv"), cas=cas
+        )._bucket_agg(
+            src.read(spark), "ts", "1 hour",
+            {"n": ("count", None), "s": ("sum", "v")}, ["k"],
+        ).select(
+            "bucket_start", "k", "n", "s"
+        ).collect()
+    }
+    assert got == want and got != base

@@ -193,3 +193,24 @@ def test_legacy_abspath_stream_id_still_dedups(spark, dirs):
     assert _ids(spark, dirs["tbl"]) == list(range(20))
     commit(spark.createDataFrame(_rows(20, 25), _SCHEMA), 3)
     assert _ids(spark, dirs["tbl"]) == list(range(25))
+
+
+def test_stream_ingest_to_cas_table(spark, dirs, tmp_path):
+    """r7: streaming ingest can land in a CAS-committed table — each
+    micro-batch is one lock-free conditional-put commit, and redelivery
+    dedup works identically (batch id in the version meta)."""
+    from sclera_spark.sources.manifest import CasManifestTable, FileCas
+    from sclera_spark.streaming.ops import manifest_batch_committer
+
+    cas = FileCas(str(tmp_path / "cas"))
+    tbl = dirs["tbl"] + "_cas"
+    commit = manifest_batch_committer(tbl, stream_id="s1", cas=cas)
+    commit(spark.createDataFrame(_rows(0, 30), _SCHEMA), 0)
+    mt = CasManifestTable(tbl, cas)
+    assert mt.version() == 1 and mt.meta()["stream_batch"] == 0
+    commit(spark.createDataFrame(_rows(30, 50), _SCHEMA), 1)
+    assert mt.version() == 2
+    # redelivery of batch 1: swallowed, no version published
+    commit(spark.createDataFrame(_rows(30, 50), _SCHEMA), 1)
+    assert mt.version() == 2
+    assert sorted(r.event_id for r in mt.read(spark).collect()) == list(range(50))
