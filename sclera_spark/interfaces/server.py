@@ -769,14 +769,89 @@ class ScleraServer:
 
 
 class WireClient:
-    def __init__(self, host: str, port: int, user: str = "sclera", database: str = "sclera"):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str = "sclera",
+        database: str = "sclera",
+        tls: bool = False,
+        password: str | None = None,
+    ):
         self.sock = socket.create_connection((host, port))
+        if tls:
+            import ssl
+
+            self.sock.sendall(struct.pack("!ii", 8, _SSL_REQUEST))
+            resp = self.sock.recv(1)
+            if resp != b"S":
+                raise ConnectionError(f"server refused TLS (got {resp!r})")
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False  # self-signed server certs in tests
+            ctx.verify_mode = ssl.CERT_NONE
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
         self.buf = self.sock.makefile("rb")
+        self._password = password
         params = _cstr("user") + _cstr(user) + _cstr("database") + _cstr(database) + b"\x00"
         payload = struct.pack("!i", _PROTO_V3) + params
         self.sock.sendall(struct.pack("!i", len(payload) + 4) + payload)
         self.parameters: dict[str, str] = {}
         self._drain_until_ready()
+
+    def _scram_auth(self) -> None:
+        """Client half of SCRAM-SHA-256 (RFC 5802/7677) — the mirror of
+        interfaces/auth.py's server exchange, built from the same stdlib
+        primitives. Verifies the server's v= signature (mutual auth)."""
+        import base64
+        import hashlib
+        import hmac as hm
+        import secrets as _secrets
+
+        if self._password is None:
+            raise RuntimeError("server requires a password (SCRAM-SHA-256)")
+        cnonce = _secrets.token_urlsafe(18)
+        cfirst_bare = f"n=,r={cnonce}"
+        init = ("n,," + cfirst_bare).encode()
+        self.sock.sendall(
+            _msg(b"p", _cstr("SCRAM-SHA-256") + struct.pack("!i", len(init)) + init)
+        )
+        head, payload = self._read_message()
+        if head == b"E":
+            raise RuntimeError(_parse_error(payload))
+        (code,) = struct.unpack("!i", payload[:4])
+        if head != b"R" or code != 11:
+            raise ConnectionError("expected SASLContinue")
+        sfirst = payload[4:].decode()
+        attrs = dict(p.split("=", 1) for p in sfirst.split(","))
+        if not attrs["r"].startswith(cnonce):
+            raise ConnectionError("server nonce does not extend client nonce")
+        salted = hashlib.pbkdf2_hmac(
+            "sha256",
+            self._password.encode(),
+            base64.b64decode(attrs["s"]),
+            int(attrs["i"]),
+        )
+        ckey = hm.new(salted, b"Client Key", hashlib.sha256).digest()
+        cfinal_bare = f"c=biws,r={attrs['r']}"
+        auth_msg = f"{cfirst_bare},{sfirst},{cfinal_bare}".encode()
+        csig = hm.new(
+            hashlib.sha256(ckey).digest(), auth_msg, hashlib.sha256
+        ).digest()
+        proof = bytes(a ^ b for a, b in zip(ckey, csig))
+        final = (cfinal_bare + ",p=" + base64.b64encode(proof).decode()).encode()
+        self.sock.sendall(_msg(b"p", final))
+        head, payload = self._read_message()
+        if head == b"E":
+            raise RuntimeError(_parse_error(payload))
+        (code,) = struct.unpack("!i", payload[:4])
+        if head != b"R" or code != 12:
+            raise ConnectionError("expected SASLFinal")
+        skey = hm.new(salted, b"Server Key", hashlib.sha256).digest()
+        want = b"v=" + base64.b64encode(
+            hm.new(skey, auth_msg, hashlib.sha256).digest()
+        )
+        if payload[4:] != want:
+            raise ConnectionError("server signature verification failed")
 
     def _read_message(self) -> tuple[bytes, bytes]:
         head = self.buf.read(1)
@@ -788,7 +863,14 @@ class WireClient:
     def _drain_until_ready(self) -> None:
         while True:
             head, payload = self._read_message()
-            if head == b"S":
+            if head == b"R":
+                (code,) = struct.unpack("!i", payload[:4])
+                if code == 10:  # AuthenticationSASL: run SCRAM
+                    if b"SCRAM-SHA-256" not in payload[4:]:
+                        raise ConnectionError("no shared SASL mechanism")
+                    self._scram_auth()
+                # 0 = AuthenticationOk: nothing to do
+            elif head == b"S":
                 k, rest = _take_cstr(payload)
                 v, _ = _take_cstr(rest)
                 self.parameters[k] = v

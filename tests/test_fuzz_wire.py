@@ -28,14 +28,24 @@ from tests.test_fuzz_joins import _J1, _J2, _J3, JGen
 N_SEEDS = 24  # transport fuzz: each seed runs the query twice (direct + wire)
 
 
-@pytest.fixture(scope="module")
-def wire_env(spark):
+@pytest.fixture(scope="module", params=["plain", "secure"])
+def wire_env(spark, request):
+    """Both transport flavors run the whole family: plain/trust (the
+    reference-parity default) and TLS + SCRAM-SHA-256 (r7) — a framing
+    bug that only shows through the ssl-wrapped socket, or state left
+    over from the auth exchange, diverges the same parity asserts."""
     engine = ScleraEngine(spark)
     engine.add_table("j1", spark.createDataFrame(_J1, "a int, b int, s string"))
     engine.add_table("j2", spark.createDataFrame(_J2, "a int, c int, t string"))
     engine.add_table("j3", spark.createDataFrame(_J3, "k int, d int"))
-    srv = ScleraServer(engine).start()
-    client = WireClient("127.0.0.1", srv.port)
+    if request.param == "secure":
+        srv = ScleraServer(engine, tls="auto", auth={"fuzz": "fuzz-pw"}).start()
+        client = WireClient(
+            "127.0.0.1", srv.port, user="fuzz", tls=True, password="fuzz-pw"
+        )
+    else:
+        srv = ScleraServer(engine).start()
+        client = WireClient("127.0.0.1", srv.port)
     yield engine, client
     client.close()
     srv.stop()

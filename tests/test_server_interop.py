@@ -338,3 +338,35 @@ def test_scram_exchange_unit_roundtrip():
     bad = base64.b64encode(b"\x00" * 32).decode()
     with pytest.raises(AuthFailed):
         ex2.final(f"c=biws,r={r2},p={bad}".encode())
+
+
+def test_wireclient_tls_scram_roundtrip(secure_server):
+    """This repo's own client over the secure path: TLS wrap + client
+    SCRAM with server-signature verification (mutual auth), then both
+    protocols' query paths — so the wire fuzz corpus can ride the
+    secure server too."""
+    from sclera_spark.interfaces import WireClient
+
+    c = WireClient(
+        "127.0.0.1", secure_server.port, user="alice",
+        tls=True, password="s3cret-pw",
+    )
+    try:
+        cols, rows, _ = c.execute(
+            "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 3"
+        )
+        assert cols == ["n_nationkey", "n_name"]
+        assert [r[0] for r in rows] == ["0", "1", "2"]
+        cols2, rows2, _ = c.execute_extended(
+            "SELECT count(*) AS n FROM region WHERE r_regionkey < $1", (3,)
+        )
+        assert rows2 == [("3",)]
+    finally:
+        c.close()
+
+    # wrong password fails with the server's 28P01 before any query
+    with pytest.raises((RuntimeError, ConnectionError), match="authentication|28P01"):
+        WireClient(
+            "127.0.0.1", secure_server.port, user="alice",
+            tls=True, password="nope",
+        )
