@@ -1056,11 +1056,14 @@ def _q_stream_expmovavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode, driver-graded: PNG (stdlib zlib inflate +
-    scanline unfilter), PPM and GIF (stdlib LZW, decode_gif) payloads
-    carry deterministic gradients / constant colors, so mean/std
-    intensity have closed arithmetic forms the DuckDB oracle recomputes
-    from asset_id (llm/multimodal.py decode_png / decode_ppm /
-    decode_gif / image_pixel_features)."""
+    scanline unfilter; Adam7-interlaced on alternating ids since r7),
+    PPM, GIF (pure-python spec LZW), and JPEG — baseline AND
+    progressive SOF2 (llm/jpeg.py entropy decode; constant blocks
+    round-trip bit-exactly) — payloads carry deterministic gradients /
+    constant colors, so mean/std intensity have closed arithmetic forms
+    the DuckDB oracle recomputes from asset_id (llm/multimodal.py
+    decode_png / decode_ppm / decode_gif / decode_jpeg /
+    image_pixel_features)."""
     from sclera_spark.llm.multimodal import (
         image_pixel_features,
         synthetic_pixel_assets,

@@ -161,9 +161,15 @@ class DdlRouter:
         the flock-serialized local protocol."""
         from sclera_spark.sources.manifest import CasManifestTable, ManifestTable
 
+        path = self._path(name)
+        if name.lower() not in self.cas_manifest_tables and CasManifestTable.is_cas_table(path):
+            # durable marker from a previous session/engine: this table's
+            # commits MUST stay on the CAS path — flock commits here would
+            # race cross-host writers
+            self.cas_manifest_tables.add(name.lower())
         if name.lower() in self.cas_manifest_tables:
-            return CasManifestTable(self._path(name), self._cas_store())
-        return ManifestTable(self._path(name))
+            return CasManifestTable(path, self._cas_store())
+        return ManifestTable(path)
 
     def _cas_store(self):
         if self._cas is None:

@@ -696,6 +696,25 @@ class CasManifestTable(ManifestTable):
         self.cas = cas  # any object with get(key) / cas(key, expected, new)
         self._key = os.path.abspath(path)
 
+    # marker file (under _sclera_log/) recording that this table's
+    # commit point is the CAS store: a fresh session/engine must never
+    # run flock-path commits on it (mixing flock and CAS writers would
+    # reintroduce the cross-host race the CAS protocol removes)
+    MARKER = "CAS"
+
+    @classmethod
+    def is_cas_table(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, _LOG, cls.MARKER))
+
+    def _write_marker(self) -> None:
+        mp = os.path.join(self.log_dir, self.MARKER)
+        if not os.path.exists(mp):
+            with open(mp, "w") as fh:
+                fh.write(
+                    "commit point = conditional-put CAS store; do not "
+                    "commit via the flock path\n"
+                )
+
     @classmethod
     def create_cas(
         cls, df: DataFrame, path: str, cas, meta: dict | None = None
@@ -703,6 +722,7 @@ class CasManifestTable(ManifestTable):
         t = cls(path, cas)
         os.makedirs(t.data_dir, exist_ok=True)
         os.makedirs(t.log_dir, exist_ok=True)
+        t._write_marker()
         scratch, added = t._stage(df)
         t._adopt(scratch, added)
         t._publish_claim(1, added, meta)
@@ -727,6 +747,7 @@ class CasManifestTable(ManifestTable):
         if not ManifestTable.exists(path):
             ManifestTable.convert(path)
         t = cls(path, cas)
+        t._write_marker()
         current = cas.get(t._key)
         if current is None:
             with open(os.path.join(t.log_dir, "LATEST")) as fh:

@@ -267,3 +267,34 @@ def test_cas_manifest_via_sql_ddl(spark, tables):
     got2 = sorted((r.k, r.v) for r in engine.sql("SELECT k, v FROM ct").collect())
     assert got2 == got
     engine.execute("DROP TABLE ct")
+
+
+def test_cas_marker_survives_new_session(spark, tables, tmp_path):
+    """The CAS-committed property is durable: a FRESH DdlRouter over the
+    same warehouse detects the on-disk marker and routes commits through
+    the CAS path — never the flock path, which would race cross-host
+    writers."""
+    from sclera_spark.engine import ScleraEngine
+    from sclera_spark.plans.ddl import DdlRouter
+
+    wh = str(tmp_path / "wh")
+    e1 = ScleraEngine(spark)
+    ddl1 = e1.ddl()
+    ddl1.warehouse = wh
+    e1.execute("CREATE TABLE mt (k INT, v INT)")
+    e1.execute("INSERT INTO mt VALUES (1, 10), (2, 20)")
+    e1.execute("ALTER TABLE mt SET FORMAT MANIFEST CAS")
+    assert CasManifestTable.is_cas_table(ddl1._path("mt"))
+
+    # a second session over the same warehouse, with no in-memory state
+    e2 = ScleraEngine(spark)
+    ddl2 = DdlRouter(e2, warehouse_dir=wh)
+    ddl2.managed["mt"] = ddl2._path("mt")
+    ddl2.manifest_tables.add("mt")
+    mt2 = ddl2._manifest("mt")
+    assert isinstance(mt2, CasManifestTable)
+    assert "mt" in ddl2.cas_manifest_tables  # auto-detected from marker
+    v0 = mt2.version()
+    mt2.append(spark.createDataFrame([(3, 30)], "k int, v int"))
+    assert ddl2._manifest("mt").version() == v0 + 1
+    e1.execute("DROP TABLE mt")
