@@ -83,8 +83,22 @@ class Catalog:
         df = _convert_nanos_timestamps(df, path)
         return self.register(name, df)
 
-    def register_dir(self, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> None:
-        """Register every parquet table found under ``sf_dir``."""
+    def register_dir(self, sf_dir: str, names: tuple[str, ...] | None = None) -> None:
+        """Register every parquet table found under ``sf_dir``: the
+        ``<name>.parquet`` entries actually present (discovered by
+        listing — files or dataset directories both count), or exactly
+        ``names`` when given."""
+        if names is None:
+            try:
+                names = tuple(
+                    sorted(
+                        f[: -len(".parquet")]
+                        for f in os.listdir(sf_dir)
+                        if f.endswith(".parquet")
+                    )
+                )
+            except FileNotFoundError:
+                names = TPCH_TABLES
         for name in names:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if os.path.exists(path):

@@ -180,7 +180,16 @@ class ScleraEngine:
                 plot_text = None
             if plot_text is not None:
                 return plot_result(self, body, plot_text)
-        return lower_sql(self, query)
+        df = lower_sql(self, query)
+        if self.config.get("explain_script") == "on":
+            # EXPLAIN SCRIPT mode: record each statement's formatted plan
+            if not hasattr(self, "script_explains"):
+                self.script_explains = []
+            mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            self.script_explains.append(
+                (query, df._jdf.queryExecution().explainString(mode.fromString("formatted")))
+            )
+        return df
 
     def execute(self, statement: str):
         """Run a statement: queries return a DataFrame; DDL/DML (CREATE

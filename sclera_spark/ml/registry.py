@@ -136,6 +136,7 @@ class MLRegistry:
 
     models: dict[str, object] = field(default_factory=dict)
     feature_cols: dict[str, list[str]] = field(default_factory=dict)
+    kinds: dict[str, str] = field(default_factory=dict)  # classifier|clusterer
     store_dir: str | None = None
 
     # ---- DDL: CREATE CLASSIFIER name USING <query> ----
@@ -192,7 +193,7 @@ class MLRegistry:
             # from scratch (see __spark_entry__ clustered_with).
             self._store(
                 name, _fit_voronoi(train, feature_cols, k), feature_cols
-            )
+            , kind="clusterer")
             return
         from pyspark.ml import Pipeline
         from pyspark.ml.clustering import KMeans
@@ -201,12 +202,15 @@ class MLRegistry:
         assembler = VectorAssembler(inputCols=feature_cols, outputCol="__features")
         km = KMeans(featuresCol="__features", predictionCol="__cluster", k=k, seed=42)
         model = Pipeline(stages=[assembler, km]).fit(train)
-        self._store(name, model, feature_cols)
+        self._store(name, model, feature_cols, kind="clusterer")
 
-    def _store(self, name: str, model, feature_cols: list[str]) -> None:
+    def _store(
+        self, name: str, model, feature_cols: list[str], kind: str = "classifier"
+    ) -> None:
         key = name.upper()
         self.models[key] = model
         self.feature_cols[key] = feature_cols
+        self.kinds[key] = kind
         if self.store_dir and hasattr(model, "write"):
             model.write().overwrite().save(os.path.join(self.store_dir, key))
 
@@ -219,6 +223,7 @@ class MLRegistry:
     def drop(self, name: str) -> None:
         self.models.pop(name.upper(), None)
         self.feature_cols.pop(name.upper(), None)
+        self.kinds.pop(name.upper(), None)
 
 
 def classify(

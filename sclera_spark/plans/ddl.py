@@ -122,7 +122,27 @@ class DdlRouter:
             "_optimize",
         ),
         (re.compile(r"^\s*ALTER\b.*$", re.I | re.S), "_alter"),
+        (
+            re.compile(r"^\s*EXPLAIN\s+SCRIPT(?:\s+(ON|OFF))?\s*$", re.I),
+            "_explain_script",
+        ),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
+        (
+            re.compile(
+                r"^\s*(LIST|SHOW|DESCRIBE)\s+CLASSIFIERS?(?:\s+(\w+))?\s*$", re.I
+            ),
+            "_list_classifiers",
+        ),
+        (
+            re.compile(
+                r"^\s*(LIST|SHOW|DESCRIBE)\s+CLUSTERERS?(?:\s+(\w+))?\s*$", re.I
+            ),
+            "_list_clusterers",
+        ),
+        (
+            re.compile(r"^\s*(?:LIST|DESCRIBE)\s+REMAINING(?:\s+(\w+))?\s*$", re.I),
+            "_list_remaining",
+        ),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+VIEWS\s*$", re.I), "_list_views"),
         (re.compile(r"^\s*SHOW\s+(?:CONFIG|OPTIONS)\s*$", re.I), "_show_config"),
@@ -941,6 +961,96 @@ class DdlRouter:
 
     def _explain(self, query: str) -> str:
         return self.engine.explain(query)
+
+    def _list_ml(self, kind: str, verb: str, name: str | None):
+        """LIST/DESCRIBE CLASSIFIERS|CLUSTERERS [name] (reference
+        SqlAdminParser.scala:128-132): short format = names; DESCRIBE
+        adds the model kind, feature columns, and model class."""
+        ml = self.engine.ml
+        items = sorted(
+            k for k, kd in ml.kinds.items() if kd == kind
+        )
+        if name:
+            items = [k for k in items if k == name.upper()]
+            if not items:
+                raise KeyError(f"unknown {kind}: {name}")
+        if verb.upper() != "DESCRIBE":
+            return items
+        return [
+            (
+                k,
+                kind,
+                ",".join(ml.feature_cols.get(k, [])),
+                type(ml.models[k]).__name__,
+            )
+            for k in items
+        ]
+
+    def _list_classifiers(self, verb, name=None):
+        return self._list_ml("classifier", verb, name)
+
+    def _list_clusterers(self, verb, name=None):
+        return self._list_ml("clusterer", verb, name)
+
+    def _list_remaining(self, loc=None):
+        """LIST REMAINING [loc] (SqlAdminParser.scala:109-113): tables
+        present AT a location but not registered in the catalog — the
+        data-virtualization discovery command. Directory locations list
+        their files; JDBC locations query the database's own catalog
+        (Derby SYS.SYSTABLES / ANSI information_schema)."""
+        engine = self.engine
+        locs = [loc] if loc else sorted(engine.locations)
+        registered = {t.lower() for t in engine.catalog.tables}
+        out: list[tuple[str, str]] = []
+        for l in locs:
+            info = engine.locations.get(l.lower())
+            if info is None:
+                raise KeyError(f"unknown location: {l}")
+            kind, params = info["kind"], info["params"]
+            ext = {
+                "PARQUETDIR": ".parquet", "DIR": ".parquet",
+                "PARQUET": ".parquet", "CSV": ".csv", "JSON": ".json",
+            }.get(kind)
+            names: list[str] = []
+            if ext is not None:
+                base = params[0]
+                if os.path.isdir(base):
+                    names = sorted(
+                        f[: -len(ext)]
+                        for f in os.listdir(base)
+                        if f.endswith(ext)
+                    )
+            elif kind == "JDBC":
+                meta_q = (
+                    "(SELECT TABLENAME AS name FROM SYS.SYSTABLES "
+                    "WHERE TABLETYPE = 'T') t"
+                    if params[0].lower().startswith("jdbc:derby")
+                    else "(SELECT table_name AS name FROM "
+                    "information_schema.tables) t"
+                )
+                reader = (
+                    engine.spark.read.format("jdbc")
+                    .option("url", params[0])
+                    .option("dbtable", meta_q)
+                )
+                if len(params) > 1:
+                    reader = reader.option("driver", params[1])
+                names = sorted(r[0] for r in reader.load().collect())
+            out += [
+                (l.lower(), n) for n in names if n.lower() not in registered
+            ]
+        return out
+
+    def _explain_script(self, flag=None):
+        """EXPLAIN SCRIPT [ON|OFF] (SqlAdminParser.scala:153-163): toggle
+        per-statement plan capture. While ON, every engine.sql() appends
+        its formatted physical plan to engine.script_explains (the shell
+        analogue of the reference's script-mode plan printing)."""
+        on = flag is None or flag.upper() == "ON"
+        self.engine.config["explain_script"] = "on" if on else "off"
+        if on and not hasattr(self.engine, "script_explains"):
+            self.engine.script_explains = []
+        return f"EXPLAIN SCRIPT {'ON' if on else 'OFF'}"
 
     def _list_tables(self):
         return sorted(set(self.engine.catalog.tables) | set(self.managed) | set(self.views))

@@ -462,3 +462,69 @@ def test_cow_file_cap_falls_back_to_full_rewrite(engine, spark, monkeypatch):
         assert 60 not in kept and len(kept) == 49
     finally:
         engine.execute("DROP TABLE cap_t")
+
+
+def test_list_classifiers_clusterers(spark, tables):
+    """LIST/DESCRIBE CLASSIFIERS|CLUSTERERS [name] (reference
+    SqlAdminParser.scala:128-132) — r7 admin-surface completion."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    for name, df in tables.items():
+        engine.add_table(name, df)
+    engine.execute(
+        "CREATE CLASSIFIER ('stump') bigqty (big) USING "
+        "SELECT l_quantity, l_discount, "
+        "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS big "
+        "FROM lineitem LIMIT 500"
+    )
+    engine.execute(
+        "CREATE CLUSTERER ('voronoi', '3') qgrp USING "
+        "SELECT l_quantity, l_extendedprice FROM lineitem LIMIT 200"
+    )
+    assert engine.execute("LIST CLASSIFIERS") == ["BIGQTY"]
+    assert engine.execute("LIST CLUSTERERS") == ["QGRP"]
+    desc = engine.execute("DESCRIBE CLASSIFIER bigqty")
+    assert desc[0][0] == "BIGQTY" and desc[0][1] == "classifier"
+    assert "l_quantity" in desc[0][2]
+    with pytest.raises(KeyError):
+        engine.execute("LIST CLUSTERERS nosuch")
+    engine.execute("DROP CLASSIFIER bigqty")
+    assert engine.execute("LIST CLASSIFIERS") == []
+
+
+def test_list_remaining(spark, tables, tmp_path):
+    """LIST REMAINING [loc] (SqlAdminParser.scala:109-113): tables at a
+    location not yet registered in the catalog."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    d = str(tmp_path / "ploc")
+    spark.range(5).toDF("x").write.parquet(d + "/alpha.parquet")
+    spark.range(5).toDF("y").write.parquet(d + "/beta.parquet")
+    engine.execute(f"ADD LOCATION ploc AS PARQUETDIR ('{d}')")
+    # PARQUETDIR registers its tables eagerly -> nothing remains
+    assert engine.execute("LIST REMAINING ploc") == []
+    # drop one from the catalog: it is now 'remaining' at the location
+    engine.execute("REMOVE TABLE beta")
+    assert engine.execute("LIST REMAINING ploc") == [("ploc", "beta")]
+    with pytest.raises(KeyError):
+        engine.execute("LIST REMAINING nowhere")
+
+
+def test_explain_script_mode(spark, tables):
+    """EXPLAIN SCRIPT ON|OFF (SqlAdminParser.scala:153-163): while on,
+    every query records its formatted physical plan."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    for name, df in tables.items():
+        engine.add_table(name, df)
+    assert "ON" in engine.execute("EXPLAIN SCRIPT ON")
+    engine.sql("SELECT count(*) AS n FROM region").collect()
+    assert len(engine.script_explains) == 1
+    q, plan = engine.script_explains[0]
+    assert "region" in q and "Physical Plan" in plan
+    engine.execute("EXPLAIN SCRIPT OFF")
+    engine.sql("SELECT 1").collect()
+    assert len(engine.script_explains) == 1  # no longer recording
