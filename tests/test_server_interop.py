@@ -370,3 +370,75 @@ def test_wireclient_tls_scram_roundtrip(secure_server):
             "127.0.0.1", secure_server.port, user="alice",
             tls=True, password="nope",
         )
+
+
+def test_malformed_sasl_messages_fail_cleanly(secure_server):
+    """Garbage at each stage of the auth exchange must produce an error
+    frame / clean disconnect — never a hung session thread or a
+    traceback-crashed handler (the server must survive for the next
+    client, asserted by a real login afterwards)."""
+    import socket as _socket
+
+    def tls_sock():
+        import ssl
+
+        s = _socket.create_connection(("127.0.0.1", secure_server.port), timeout=30)
+        s.sendall(struct.pack("!ii", 8, 80877103))
+        assert s.recv(1) == b"S"
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        return ctx.wrap_socket(s)
+
+    def startup(s, user=b"alice"):
+        params = b"user\x00" + user + b"\x00database\x00sclera\x00\x00"
+        payload = struct.pack("!i", 196608) + params
+        s.sendall(struct.pack("!i", len(payload) + 4) + payload)
+
+    def read_msg(s):
+        head = s.recv(1)
+        if not head:
+            return None, b""
+        ln = struct.unpack("!i", s.recv(4))[0]
+        buf = b""
+        while len(buf) < ln - 4:
+            chunk = s.recv(ln - 4 - len(buf))
+            if not chunk:
+                break
+            buf += chunk
+        return head, buf
+
+    # 1: bogus mechanism name
+    s = tls_sock()
+    startup(s)
+    head, _ = read_msg(s)
+    assert head == b"R"  # AuthenticationSASL
+    init = b"NOT-A-MECH\x00" + struct.pack("!i", 3) + b"n,,"
+    s.sendall(b"p" + struct.pack("!i", len(init) + 4) + init)
+    head, payload = read_msg(s)
+    assert head == b"E" and b"28P01" in payload
+    s.close()
+
+    # 2: structurally-invalid client-first message
+    s = tls_sock()
+    startup(s)
+    read_msg(s)
+    body = b"\xff\xfe garbage not scram"
+    init = b"SCRAM-SHA-256\x00" + struct.pack("!i", len(body)) + body
+    s.sendall(b"p" + struct.pack("!i", len(init) + 4) + init)
+    head, payload = read_msg(s)
+    assert head == b"E" and b"28P01" in payload
+    s.close()
+
+    # 3: client disconnects mid-exchange — server thread must not wedge
+    s = tls_sock()
+    startup(s)
+    read_msg(s)
+    s.close()
+
+    # the server is still healthy: a real login works
+    rc, out, err = run_psql_conninfo(
+        secure_server, "sslmode=require", "SELECT 1 AS x", "s3cret-pw"
+    )
+    assert rc == 0, err
+    assert out.strip() == "1"

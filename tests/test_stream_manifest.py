@@ -214,3 +214,24 @@ def test_stream_ingest_to_cas_table(spark, dirs, tmp_path):
     commit(spark.createDataFrame(_rows(30, 50), _SCHEMA), 1)
     assert mt.version() == 2
     assert sorted(r.event_id for r in mt.read(spark).collect()) == list(range(50))
+
+
+def test_stream_to_manifest_cas_end_to_end(spark, dirs, tmp_path):
+    """Full readStream -> foreachBatch -> CAS-committed table path,
+    including a checkpointed resume that must process only new files."""
+    from sclera_spark.sources.manifest import CasManifestTable, FileCas
+
+    cas = FileCas(str(tmp_path / "cas"))
+    tbl = dirs["tbl"] + "_e2e"
+    _land(spark, _rows(0, 40), dirs["in"])
+    stream = stream_from_directory(spark, dirs["in"], _SCHEMA, maxFilesPerTrigger=1)
+    stream_to_manifest(stream, tbl, dirs["ck"], cas=cas)
+    mt = CasManifestTable(tbl, cas)
+    assert sorted(r.event_id for r in mt.read(spark).collect()) == list(range(40))
+    v1 = mt.version()
+
+    _land(spark, _rows(40, 55), dirs["in"])
+    stream = stream_from_directory(spark, dirs["in"], _SCHEMA, maxFilesPerTrigger=1)
+    stream_to_manifest(stream, tbl, dirs["ck"], cas=cas)
+    assert sorted(r.event_id for r in mt.read(spark).collect()) == list(range(55))
+    assert mt.version() == v1 + 1  # exactly one new batch committed
