@@ -117,3 +117,17 @@ def test_alter_unsupported(engine):
 
     with _pytest.raises(ValueError, match="ALTER"):
         engine.execute("ALTER TABLE nation ADD COLUMN x INT")
+
+
+def test_list_remaining_jdbc(engine, derby_url):
+    """LIST REMAINING against a JDBC location: the database's own
+    catalog (Derby SYS.SYSTABLES) names tables not yet registered."""
+    engine.execute(f"ADD LOCATION der AS JDBC ('{derby_url}')")
+    engine.table("region").write.jdbc(derby_url, "region_jdbc", mode="overwrite")
+    remaining = engine.execute("LIST REMAINING der")
+    names = {n.lower() for _l, n in remaining}
+    assert {"nation_jdbc", "region_jdbc"} <= names
+    # registering one removes it from the remaining set
+    engine.execute("ADD TABLE der.region_jdbc")
+    names2 = {n.lower() for _l, n in engine.execute("LIST REMAINING der")}
+    assert "region_jdbc" not in names2 and "nation_jdbc" in names2
