@@ -80,13 +80,16 @@ _QTAB = np.full(64, 8, dtype=np.uint8)
 # below exists. The DECODER never assumes these — it builds tables from
 # the DHT bytes in the file.
 
-_ENC_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0]
-_ENC_DC_VALS = list(range(12))
-# AC: EOB (0x00), ZRL (0xF0) and (run 0-15, size 1-10): give everything
-# a fixed 9-bit code except a few short ones — valid as long as the
-# kraft sum holds (lengths assigned canonically below)
+# all 16 DC size categories at 5 bits (kraft 16/32 — valid), covering
+# 12-bit sample precision (DC diffs to ±32767 need categories to 15)
+_ENC_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(16))
+# AC: EOB (0x00), ZRL (0xF0) and (run 0-15, size 1-14 — sizes 11-14
+# only arise at 12-bit precision): everything beyond a few short
+# symbols sits at 12 bits — valid as long as the kraft sum holds
+# (lengths assigned canonically below)
 _ENC_AC_VALS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
+    (r << 4) | s for r in range(16) for s in range(1, 15)
 ] + [
     # EOBn symbols (run, size=0) for progressive AC scans: EOB runs of
     # 2^r .. 2^(r+1)-1 blocks (T.81 §G.1.2.2); EOB0 is 0x00 above
@@ -150,8 +153,8 @@ def _mag_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def _encode_block(put, blk, q, prev_dc, dc_codes, ac_codes) -> int:
-    coef = _T @ (blk.astype(np.float64) - 128.0) @ _T.T
+def _encode_block(put, blk, q, prev_dc, dc_codes, ac_codes, center=128.0) -> int:
+    coef = _T @ (blk.astype(np.float64) - center) @ _T.T
     zq = np.round(coef / q).astype(np.int64)
     zz = [int(zq[i, j]) for i, j in _ZZ]
     diff = zz[0] - prev_dc
@@ -186,13 +189,17 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def _encode_frame(planes, sampling, h, w, restart_interval: int = 0) -> bytes:
-    """Shared baseline encoder: ``planes`` are full-resolution-per-
-    component (already subsampled) uint8 arrays; ``sampling`` their
-    (h, v) factors. One quant + one huffman table pair for all.
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (byte-aligned, DC predictors reset) — exercises the
-    decoder's restart path."""
+def _encode_frame(
+    planes, sampling, h, w, restart_interval: int = 0, prec: int = 8
+) -> bytes:
+    """Shared sequential encoder: ``planes`` are full-resolution-per-
+    component (already subsampled) uint8 — or uint16 when ``prec`` is
+    12 — arrays; ``sampling`` their (h, v) factors. One quant + one
+    huffman table pair for all. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that many MCUs (byte-aligned, DC
+    predictors reset). ``prec=12`` emits an EXTENDED SEQUENTIAL frame
+    (SOF1 — baseline is 8-bit only per T.81 B.2.2) with samples
+    centered at 2048."""
     dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_bits, ac_vals = _enc_ac_tables()
     ac_codes = _canonical_codes(ac_bits, ac_vals)
@@ -228,6 +235,7 @@ def _encode_frame(planes, sampling, h, w, restart_interval: int = 0) -> bytes:
                         preds[ci] = _encode_block(
                             put, p[y0 : y0 + 8, x0 : x0 + 8], q,
                             preds[ci], dc_codes, ac_codes,
+                            center=float(1 << (prec - 1)),
                         )
             mcu_idx += 1
     flush()
@@ -240,7 +248,10 @@ def _encode_frame(planes, sampling, h, w, restart_interval: int = 0) -> bytes:
         bytes([i + 1, (sh << 4) | sv, 0])
         for i, (sh, sv) in enumerate(sampling)
     )
-    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    out += _seg(
+        0xFFC0 if prec == 8 else 0xFFC1,
+        struct.pack(">BHHB", prec, h, w, nc) + comps,
+    )
     out += _seg(0xFFC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
     if restart_interval:
@@ -255,7 +266,7 @@ def _encode_frame(planes, sampling, h, w, restart_interval: int = 0) -> bytes:
 # ------------------------------------------------- progressive encoder
 
 
-def _quantize_blocks(plane: np.ndarray) -> np.ndarray:
+def _quantize_blocks(plane: np.ndarray, center: float = 128.0) -> np.ndarray:
     """(nby, nbx, 64) int32 zigzag-ordered quantized coefficients of an
     8-multiple-padded plane — the shared input of every progressive
     scan encoder."""
@@ -265,7 +276,7 @@ def _quantize_blocks(plane: np.ndarray) -> np.ndarray:
     for by in range(nby):
         for bx in range(nbx):
             blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _T @ (blk.astype(np.float64) - 128.0) @ _T.T
+            coef = _T @ (blk.astype(np.float64) - center) @ _T.T
             zq = np.round(coef / q).astype(np.int64)
             out[by, bx] = [int(zq[i, j]) for i, j in _ZZ]
     return out
@@ -365,7 +376,7 @@ def _enc_ac_refine_block(put, ac_codes, zz, ss, se, al, state) -> None:
             _flush_eob(state, put, ac_codes)
 
 
-def _encode_frame_progressive(planes, sampling, h, w) -> bytes:
+def _encode_frame_progressive(planes, sampling, h, w, prec: int = 8) -> bytes:
     """Progressive (SOF2) encoder emitting the SAME quantized
     coefficients as :func:`_encode_frame`, reorganized into a 6-scan
     script: interleaved DC first (Al=1) + DC refine, then per component
@@ -386,7 +397,7 @@ def _encode_frame_progressive(planes, sampling, h, w) -> bytes:
         padded = np.pad(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
-        coefs.append(_quantize_blocks(padded))
+        coefs.append(_quantize_blocks(padded, center=float(1 << (prec - 1))))
 
     nc = len(planes)
 
@@ -457,7 +468,7 @@ def _encode_frame_progressive(planes, sampling, h, w) -> bytes:
     comps = b"".join(
         bytes([i + 1, (sh << 4) | sv, 0]) for i, (sh, sv) in enumerate(sampling)
     )
-    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    out += _seg(0xFFC2, struct.pack(">BHHB", prec, h, w, nc) + comps)
     out += _seg(0xFFC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
     for s in scans:
@@ -471,6 +482,15 @@ def encode_jpeg_gray_progressive(px) -> bytes:
     decodes identically to encode_jpeg_gray of the same image."""
     px = np.asarray(px, dtype=np.uint8)
     return _encode_frame_progressive([px], [(1, 1)], *px.shape)
+
+
+def encode_jpeg_gray12_progressive(px12) -> bytes:
+    """12-bit progressive (SOF2) grayscale: decodes identically to the
+    12-bit extended-sequential encoding of the same image."""
+    px12 = np.asarray(px12, dtype=np.uint16)
+    if px12.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    return _encode_frame_progressive([px12], [(1, 1)], *px12.shape, prec=12)
 
 
 def encode_jpeg_rgb_progressive(px, subsample: bool = False) -> bytes:
@@ -500,6 +520,16 @@ def encode_jpeg_gray(px, restart_interval: int = 0) -> bytes:
     """Valid baseline single-component JPEG from a (h, w) uint8 array."""
     px = np.asarray(px, dtype=np.uint8)
     return _encode_frame([px], [(1, 1)], *px.shape, restart_interval=restart_interval)
+
+
+def encode_jpeg_gray12(px12) -> bytes:
+    """Valid 12-bit extended-sequential (SOF1) grayscale JPEG from a
+    (h, w) uint16 array of 0..4095 samples — the fixture ground truth
+    for the high-precision decode path (medical/scientific JPEGs)."""
+    px12 = np.asarray(px12, dtype=np.uint16)
+    if px12.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    return _encode_frame([px12], [(1, 1)], *px12.shape, prec=12)
 
 
 def encode_jpeg_rgb(px, subsample: bool = False) -> bytes:
@@ -657,15 +687,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 i += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2):
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit JPEG supported")
+            if prec not in (8, 12):
+                raise ValueError(f"unsupported JPEG sample precision {prec}")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("baseline JPEG is 8-bit only (T.81 B.2.2)")
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps, "prog": marker == 0xC2}
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "prog": marker == 0xC2, "prec": prec,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG mode (arithmetic/lossless/hierarchical)")
         elif marker == 0xDD:
@@ -696,6 +731,24 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if prog is not None:
         return prog.reconstruct(qt)
     raise ValueError("JPEG has no scan data")
+
+
+def _finish_samples(outs, prec: int) -> np.ndarray:
+    """Level-shift + color-convert decoded component planes to the
+    uint8 output contract. 12-bit samples (center 2048) downshift to
+    8-bit presentation (>>4 with rounding) — the native-precision path
+    is reachable via the planes themselves for callers that need it."""
+    center = float(1 << (prec - 1))
+    scale = float(1 << (prec - 8))
+    if len(outs) == 1:
+        g = np.clip(np.round((outs[0] + center) / scale), 0, 255).astype(np.uint8)
+        return g[..., None]
+    y, cb, cr = (o + center for o in outs)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb / scale), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(content, pos, frame, scan, qt, huff, restart_interval):
@@ -743,15 +796,7 @@ def _decode_scan(content, pos, frame, scan, qt, huff, restart_interval):
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         outs.append(p[:fh, :fw])
-    if len(outs) == 1:
-        g = np.clip(np.round(outs[0] + 128.0), 0, 255).astype(np.uint8)
-        return g[..., None]
-    y, cb, cr = (o + 128.0 for o in outs)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _finish_samples(outs, frame.get("prec", 8))
 
 
 def _decode_block(reader, dc_tab, ac_tab, q, preds, ci):
@@ -1014,15 +1059,7 @@ class _ProgState:
             if ry > 1 or rx > 1:
                 plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
             outs.append(plane[:fh, :fw])
-        if len(outs) == 1:
-            g = np.clip(np.round(outs[0] + 128.0), 0, 255).astype(np.uint8)
-            return g[..., None]
-        y, cb, cr = (o + 128.0 for o in outs)
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack([r, g, b], axis=2)
-        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return _finish_samples(outs, frame.get("prec", 8))
 
 
 def _next_marker(content: bytes, pos: int) -> int:

@@ -194,3 +194,50 @@ def test_fuzz_png_adam7_lossless(seed):
     plain = decode_png(png_bytes_with_pixels(px, filter_type=ft))
     assert np.array_equal(inter, px.reshape(h, w, ch))
     assert np.array_equal(inter, plain)
+
+
+# --------------------------------------------------- 12-bit JPEG (r7)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_jpeg_12bit_sequential_and_progressive(seed):
+    """12-bit precision (T.81 extended sequential SOF1 + progressive
+    SOF2): both encodings of one image must decode identically, and
+    the 8-bit presentation must sit within 1 LSB of the ideal >>4
+    downshift (flat q=8 at 12-bit scale is half an 8-bit unit)."""
+    from sclera_spark.llm.jpeg import (
+        encode_jpeg_gray12,
+        encode_jpeg_gray12_progressive,
+    )
+
+    rng = np.random.default_rng(9100 + seed)
+    h = int(rng.integers(8, 33))
+    w = int(rng.integers(8, 33))
+    px = rng.integers(0, 4096, (h, w), dtype=np.uint16)
+    seq = decode_jpeg(encode_jpeg_gray12(px))
+    prog = decode_jpeg(encode_jpeg_gray12_progressive(px))
+    assert np.array_equal(seq, prog), f"seed {seed}: SOF1 vs SOF2 diverge"
+    ideal = np.round(px / 16.0).astype(int)
+    assert np.abs(seq[:, :, 0].astype(int) - ideal).max() <= 1
+
+
+def test_jpeg_12bit_constant_blocks_exact():
+    from sclera_spark.llm.jpeg import encode_jpeg_gray12
+
+    vals = np.array([[0, 1024], [2048, 4095]], dtype=np.uint16)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg_gray12(px))[:, :, 0]
+    want = np.clip(np.round(px / 16.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_jpeg_12bit_baseline_marker_rejected():
+    """A 12-bit BASELINE (SOF0) frame is spec-invalid (T.81 B.2.2) and
+    must be refused rather than mis-decoded."""
+    from sclera_spark.llm.jpeg import encode_jpeg_gray12
+
+    buf = bytearray(encode_jpeg_gray12(np.zeros((8, 8), np.uint16)))
+    i = buf.find(b"\xff\xc1")
+    buf[i + 1] = 0xC0  # lie: claim baseline
+    with pytest.raises(ValueError, match="baseline JPEG is 8-bit"):
+        decode_jpeg(bytes(buf))
