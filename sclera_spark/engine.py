@@ -137,9 +137,16 @@ class ScleraEngine:
         raise ValueError(f"unsupported location kind: {kind}")
 
     def add_location_table(self, loc: str, table: str, as_name: str | None = None) -> DataFrame:
-        """ADD TABLE loc.tbl — pull a location's table into the catalog."""
+        """ADD TABLE loc.tbl — pull a location's table into the catalog.
+        Provenance is recorded so LIST TABLES loc.* can answer "which
+        registered tables came from this location" (reference
+        SqlListAddedTables(loc))."""
         df = self.location_table(loc, table)
-        return self.catalog.register(as_name or table, df)
+        name = as_name or table
+        if not hasattr(self, "table_locations"):
+            self.table_locations: dict[str, str] = {}
+        self.table_locations[name.lower()] = loc.lower()
+        return self.catalog.register(name, df)
 
     def create_bucketed_table(
         self,

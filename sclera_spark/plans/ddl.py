@@ -143,10 +143,17 @@ class DdlRouter:
             re.compile(r"^\s*(?:LIST|DESCRIBE)\s+REMAINING(?:\s+(\w+))?\s*$", re.I),
             "_list_remaining",
         ),
-        (re.compile(r"^\s*(?:LIST|SHOW)\s+TABLES\s*$", re.I), "_list_tables"),
+        (
+            re.compile(
+                r"^\s*(?:LIST|SHOW)\s+TABLES?"
+                r"(?:\s+(\w+)(?:\.(\*|\w+))?)?\s*$",
+                re.I,
+            ),
+            "_list_tables",
+        ),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+VIEWS\s*$", re.I), "_list_views"),
         (re.compile(r"^\s*SHOW\s+(?:CONFIG|OPTIONS)\s*$", re.I), "_show_config"),
-        (re.compile(r"^\s*DESCRIBE\s+(\w+)\s*$", re.I), "_describe"),
+        (re.compile(r"^\s*DESCRIBE\s+(?:(\w+)\.)?(\w+)\s*$", re.I), "_describe"),
     ]
 
     def is_statement(self, sql: str) -> bool:
@@ -1052,8 +1059,33 @@ class DdlRouter:
             self.engine.script_explains = []
         return f"EXPLAIN SCRIPT {'ON' if on else 'OFF'}"
 
-    def _list_tables(self):
-        return sorted(set(self.engine.catalog.tables) | set(self.managed) | set(self.views))
+    def _list_tables(self, arg1=None, arg2=None):
+        """LIST TABLES [loc.* | loc.name | name] (reference
+        SqlAdminParser.scala:114-127): unfiltered = every registered
+        object; ``loc.*`` = registered tables ADDED from that location
+        (provenance recorded by add_location_table); ``[loc.]name`` =
+        existence-checked single entry."""
+        every = sorted(
+            set(self.engine.catalog.tables) | set(self.managed) | set(self.views)
+        )
+        if arg1 is None:
+            return every
+        prov = getattr(self.engine, "table_locations", {})
+        if arg2 == "*":
+            if arg1.lower() not in self.engine.locations:
+                raise KeyError(f"unknown location: {arg1}")
+            return sorted(
+                t for t, l in prov.items() if l == arg1.lower()
+            )
+        name = (arg2 or arg1).lower()
+        if arg2 is not None and prov.get(name) != arg1.lower():
+            raise KeyError(f"{arg1}.{arg2}: not a table added from {arg1}")
+        if name not in every and name not in prov:
+            try:  # session-level temp views resolve too
+                self.engine.table(name)
+            except Exception:
+                raise KeyError(f"unknown table: {name}") from None
+        return [name]
 
     def _list_views(self):
         return sorted(self.views)
@@ -1076,8 +1108,15 @@ class DdlRouter:
                 out.append((k, None))
         return out
 
-    def _describe(self, name: str):
-        return [(f.name, f.dataType.simpleString()) for f in self.engine.table(name).schema.fields]
+    def _describe(self, loc: str | None, name: str):
+        """DESCRIBE [loc.]table — the location-qualified form resolves
+        through the location (lazy; JDBC metadata only, no scan)."""
+        df = (
+            self.engine.location_table(loc, name)
+            if loc
+            else self.engine.table(name)
+        )
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
 
     @staticmethod
     def _split_assignments(s: str) -> list[str]:

@@ -131,3 +131,21 @@ def test_list_remaining_jdbc(engine, derby_url):
     engine.execute("ADD TABLE der.region_jdbc")
     names2 = {n.lower() for _l, n in engine.execute("LIST REMAINING der")}
     assert "region_jdbc" not in names2 and "nation_jdbc" in names2
+
+
+def test_list_tables_location_forms(engine, derby_url):
+    """LIST TABLES loc.* / loc.name / name (SqlAdminParser.scala:114-127)
+    and DESCRIBE loc.table."""
+    engine.execute(f"ADD LOCATION der AS JDBC ('{derby_url}')")
+    engine.execute("ADD TABLE der.nation_jdbc")
+    # module-scoped engine: other tests may have added der tables too
+    assert "nation_jdbc" in engine.execute("LIST TABLES der.*")
+    assert engine.execute("LIST TABLES der.nation_jdbc") == ["nation_jdbc"]
+    assert engine.execute("LIST TABLES nation") == ["nation"]
+    with pytest.raises(KeyError):
+        engine.execute("LIST TABLES der.no_such")
+    with pytest.raises(KeyError):
+        engine.execute("LIST TABLES nowhere.*")
+    # location-qualified DESCRIBE resolves through the location
+    cols = dict(engine.execute("DESCRIBE der.nation_jdbc"))
+    assert "N_NATIONKEY" in cols or "n_nationkey" in cols
