@@ -1110,12 +1110,15 @@ class DdlRouter:
 
     def _describe(self, loc: str | None, name: str):
         """DESCRIBE [loc.]table — the location-qualified form resolves
-        through the location (lazy; JDBC metadata only, no scan)."""
-        df = (
-            self.engine.location_table(loc, name)
-            if loc
-            else self.engine.table(name)
-        )
+        through the location (lazy; JDBC metadata only, no scan);
+        pg_catalog qualifies through the emulation tier, matching how
+        clients introspect."""
+        if loc and loc.lower() == "pg_catalog":
+            df = self.engine.table(f"pg_catalog.{name}")
+        elif loc:
+            df = self.engine.location_table(loc, name)
+        else:
+            df = self.engine.table(name)
         return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
 
     @staticmethod

@@ -528,3 +528,13 @@ def test_explain_script_mode(spark, tables):
     engine.execute("EXPLAIN SCRIPT OFF")
     engine.sql("SELECT 1").collect()
     assert len(engine.script_explains) == 1  # no longer recording
+
+
+def test_describe_pg_catalog_qualified(spark, tables):
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    for name, df in tables.items():
+        engine.add_table(name, df)
+    cols = dict(engine.execute("DESCRIBE pg_catalog.pg_class"))
+    assert "relname" in cols
