@@ -298,3 +298,51 @@ def test_cas_marker_survives_new_session(spark, tables, tmp_path):
     mt2.append(spark.createDataFrame([(3, 30)], "k int, v int"))
     assert ddl2._manifest("mt").version() == v0 + 1
     e1.execute("DROP TABLE mt")
+
+
+def test_filecas_survives_hard_kills_mid_cas(tmp_path):
+    """Crash durability of the store primitive: worker processes are
+    SIGKILLed at random points while racing cas() advances. Invariants
+    after the massacre: the pointer is a dense chain (every marker at
+    most max, no gaps below the prune horizon), get() equals the max
+    surviving marker, and a fresh process can keep advancing."""
+    import multiprocessing as mp
+    import os as _os
+    import random
+    import signal
+    import time
+
+    root = str(tmp_path / "cas")
+    FileCas(root)
+
+    def worker(root, key):
+        cas = FileCas(root)
+        while True:
+            cur = cas.get(key)
+            cas.cas(key, cur, (cur or 0) + 1)
+
+    for round_ in range(3):
+        procs = [
+            mp.Process(target=worker, args=(root, "k"), daemon=True)
+            for _ in range(3)
+        ]
+        for p in procs:
+            p.start()
+        time.sleep(random.Random(round_).uniform(0.1, 0.4))
+        for p in procs:
+            _os.kill(p.pid, signal.SIGKILL)  # no cleanup handlers run
+        for p in procs:
+            p.join()
+
+    cas = FileCas(root)
+    v = cas.get("k")
+    assert v is not None and v >= 1
+    d = cas._key_dir("k")
+    markers = sorted(int(f) for f in _os.listdir(d) if f.isdigit())
+    assert markers[-1] == v  # pointer == max marker
+    # dense chain above the prune horizon
+    expect = list(range(max(1, v - cas._prune_keep + 1), v + 1))
+    assert [m for m in markers if m >= expect[0]] == expect
+    # the table keeps working after the carnage
+    assert cas.cas("k", v, v + 1)
+    assert FileCas(root).get("k") == v + 1

@@ -349,3 +349,35 @@ def test_asof_skew_detection_gated_and_cached(spark, tmp_path):
     )
     asof_join(trades, read(), **kw).count()
     assert SKEW_STATS["detect_jobs"] == base["detect_jobs"] + 2
+
+
+def test_time_rollup_cascade_plan_jvm_only(engine):
+    """time_rollup (r7 first-time driver-graded): the hour->day cascade
+    must stay in Tungsten — no Python eval, no cartesian, and partial
+    aggregation before the bucket shuffle."""
+    from sclera_spark.operators.rollup import time_rollup
+
+    ev = engine.table("events").select("ts", "user_id", "value")
+    df = time_rollup(
+        ev, ts_col="ts", levels=["1 hour", "1 day"],
+        aggs={"n": ("count", None), "s": ("sum", "value")},
+    )["1 day"]
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_chunk_documents_plan_jvm_only(engine):
+    """chunk_documents (r7 first-time driver-graded): token-window
+    chunking is pure JVM split+sequence+explode — a pandas hop here
+    would put every document's text through Python at 100 TB."""
+    from sclera_spark.llm.text import chunk_documents
+
+    df = chunk_documents(
+        engine.table("documents").select("doc_id", "text"),
+        chunk_tokens=64, overlap=16,
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the explode

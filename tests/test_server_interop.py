@@ -442,3 +442,22 @@ def test_malformed_sasl_messages_fail_cleanly(secure_server):
     )
     assert rc == 0, err
     assert out.strip() == "1"
+
+
+def test_psql_manifest_maintenance_statements(server):
+    """Maintenance DDL over the wire: a psql session can upgrade a table
+    to manifest format, mutate it, inspect versions, compact and vacuum
+    — the full table-ops lifecycle through the serving boundary."""
+    stmts = (
+        "CREATE TABLE wt AS SELECT r_regionkey AS k, r_name AS v FROM region; "
+        "ALTER TABLE wt SET FORMAT MANIFEST; "
+        "INSERT INTO wt VALUES (99, 'extra'); "
+        "SHOW VERSIONS wt; "
+        "OPTIMIZE wt TARGET 64 MB; "
+        "VACUUM wt; "
+        "SELECT count(*) AS n FROM wt"
+    )
+    rc, out, err = run_psql(server, stmts)
+    assert rc == 0, err
+    assert out.strip().splitlines()[-1] == "6"
+    run_psql(server, "DROP TABLE wt")
