@@ -1840,6 +1840,32 @@ def oracle_sql() -> dict[str, str]:
             x -> x <> '')) AS token
         FROM documents
     """
+    # r7: the lexicon-vote sentiment is fully SQL-expressible — the
+    # oracle re-derives the shared tokenization (proven by nlp_tokenize)
+    # and votes with the SAME lexicon (imported, so the two sides cannot
+    # drift); (pos-neg)/greatest(pos+neg,1) over small ints is one IEEE
+    # double division on identical operands -> bitwise-equal
+    from sclera_spark.nlp.ops import _NEG, _POS
+
+    _pos_list = ", ".join(f"'{w}'" for w in _POS)
+    _neg_list = ", ".join(f"'{w}'" for w in _NEG)
+    oracles["nlp_sentiment"] = rf"""
+        SELECT doc_id,
+               (pos - neg) / CAST(greatest(pos + neg, 1) AS DOUBLE)
+                 AS sentiment
+        FROM (
+          SELECT doc_id,
+                 len(list_filter(toks,
+                     x -> list_contains([{_pos_list}], x))) AS pos,
+                 len(list_filter(toks,
+                     x -> list_contains([{_neg_list}], x))) AS neg
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                     '\s+'), x -> x <> '') AS toks
+            FROM documents) t) s
+    """
     oracles["stream_window_agg"] = """
         SELECT time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS window_start,
                time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) + INTERVAL 1 DAY AS window_end,
