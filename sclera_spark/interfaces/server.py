@@ -215,10 +215,22 @@ class _Handler(socketserver.BaseRequestHandler):
             raise ConnectionError("client closed")
         return data
 
+    # Pre-auth message lengths are CLIENT-controlled; an unauthenticated
+    # peer must not be able to make the server buffer gigabytes (or pass
+    # a negative length through to read()). 64 KiB comfortably covers
+    # any legitimate startup packet / SASL message.
+    _PREAUTH_MAX_LEN = 64 * 1024
+
+    def _read_preauth_body(self, length: int) -> bytes:
+        if length < 4 or length > self._PREAUTH_MAX_LEN:
+            self._error("08P01", f"invalid message length {length}")
+            raise ConnectionError("bad pre-auth length")
+        return self._read_exact(length - 4)
+
     def _startup(self) -> bool:
         while True:
             (length,) = struct.unpack("!i", self._read_exact(4))
-            payload = self._read_exact(length - 4)
+            payload = self._read_preauth_body(length)
             (code,) = struct.unpack("!i", payload[:4])
             if code == _SSL_REQUEST:
                 ctx = self.server.ssl_context
@@ -288,11 +300,29 @@ class _Handler(socketserver.BaseRequestHandler):
             client_first = rest[4 : 4 + ln] if ln >= 0 else b""
             if cred is None:
                 # run a mock exchange against an unmatchable credential so
-                # user existence is not probeable from timing/flow shape
+                # user existence is not probeable from timing/flow shape.
+                # The mock salt/keys are derived DETERMINISTICALLY from a
+                # per-server secret and the username (as PostgreSQL's mock
+                # authentication does): a probe that connects twice with
+                # the same unknown username sees the SAME salt both times,
+                # just like a real user would — a fresh random salt per
+                # connection would itself betray nonexistence.
                 from sclera_spark.interfaces.auth import ScramCredential
-                import os as _os
+                import hmac as _hmac
+                import hashlib as _hashlib
 
-                cred = ScramCredential(_os.urandom(16), 4096, _os.urandom(32), _os.urandom(32))
+                secret = self.server.mock_auth_secret
+                uname = user.encode()
+
+                def _mock(tag: bytes, n: int) -> bytes:
+                    return _hmac.new(
+                        secret, tag + uname, _hashlib.sha256
+                    ).digest()[:n]
+
+                cred = ScramCredential(
+                    _mock(b"salt:", 16), 4096,
+                    _mock(b"stored:", 32), _mock(b"server:", 32),
+                )
             ex = ScramExchange(cred)
             self._send(_msg(b"R", struct.pack("!i", 11) + ex.first(client_first)))
             head, payload = self._read_password_message()
@@ -309,7 +339,7 @@ class _Handler(socketserver.BaseRequestHandler):
     def _read_password_message(self) -> tuple[bytes, bytes]:
         head = self._read_exact(1)
         (length,) = struct.unpack("!i", self._read_exact(4))
-        return head, self._read_exact(length - 4)
+        return head, self._read_preauth_body(length)
 
     def _sqlstate_for(self, exc: Exception) -> str:
         """pg's query_canceled (57014) ONLY when this session was
@@ -657,6 +687,12 @@ class _Server(socketserver.ThreadingTCPServer):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        # per-server secret for DETERMINISTIC mock-SCRAM credentials:
+        # unknown usernames get a stable (per username, per server)
+        # salt, so user existence is not probeable via salt churn
+        import os as _os
+
+        self.mock_auth_secret = _os.urandom(32)
         # (pid, secret) -> the session's cancel target (job group + the
         # explicit was-cancelled flag its error path reads)
         self.cancel_registry: dict[tuple[int, int], _CancelTarget] = {}

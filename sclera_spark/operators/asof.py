@@ -81,6 +81,22 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Catalyst's row-count estimate when the plan carries one (CBO
+    stats, LocalRelation, or a propagated limit). Runs NO Spark job.
+    Preferred over the byte estimate for thresholds expressed in rows:
+    parquet RLE/dictionary compression can store large repetitive
+    tables — exactly the skewed-key shape — below 1 byte/row, which
+    would make a bytes>=rows comparison silently skip detection."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if opt.isDefined():
+            return int(opt.get().longValue())
+    except Exception:
+        pass
+    return None
+
+
 def _detect_hot_groups(
     u: DataFrame,
     by: Sequence[str],
@@ -256,7 +272,14 @@ def asof_join(
     # and serve repeated calls over unchanged plans from the cache.
     hot: dict[tuple, list[float]] = {}
     if by and hot_group_threshold and not u.isStreaming:
-        est = _plan_size_bytes(u)
+        # Prefer a ROW estimate when Catalyst carries one (the threshold
+        # is in rows); fall back to the byte estimate with its ≥1
+        # byte/row floor only when no row count is available. The byte
+        # fallback can under-estimate heavily RLE-compressed skewed
+        # tables (see _plan_row_count) but errs only toward a skipped
+        # optimization, never a wrong result.
+        rows = _plan_row_count(u)
+        est = rows if rows is not None else _plan_size_bytes(u)
         if est is None or est >= hot_group_threshold:
             ck = (
                 _plan_id(left),

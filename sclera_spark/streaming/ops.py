@@ -669,6 +669,7 @@ def stream_to_manifest(
     checkpoint_dir: str,
     timeout_s: int = 120,
     cas=None,
+    prior_checkpoint_paths: tuple[str, ...] = (),
 ):
     """Stream into a MANIFEST table: every micro-batch lands as one
     atomic manifest commit (sources/manifest.py append — readers see
@@ -690,6 +691,17 @@ def stream_to_manifest(
 
     Drains all currently-available input (availableNow) and returns the
     stopped query — call again with the same checkpoint to resume.
+
+    Upgrade caveat: a pre-upgrade checkpoint identified itself by its
+    ABSOLUTE PATH. If such a checkpoint was moved/renamed BEFORE its
+    first run under this build, the current abspath matches neither the
+    sidecar id nor the table's recorded legacy id, so one crash-replayed
+    in-flight batch could append twice. Pass the checkpoint's previous
+    location(s) via ``prior_checkpoint_paths`` to keep that batch
+    deduped; upgrading and moving in the same step WITHOUT supplying the
+    old path forfeits dedup for that single in-flight batch (steady
+    state is unaffected — the sidecar id takes over from the first
+    post-upgrade commit).
     """
     sid = checkpoint_stream_id(checkpoint_dir)
     q = (
@@ -697,8 +709,13 @@ def stream_to_manifest(
             manifest_batch_committer(
                 table_path,
                 stream_id=sid,
-                # ids an older build derived for this same checkpoint
-                legacy_stream_ids=(os.path.abspath(checkpoint_dir),),
+                # ids an older build derived for this same checkpoint:
+                # its current abspath plus any caller-supplied previous
+                # locations (pre-upgrade moves)
+                legacy_stream_ids=(
+                    os.path.abspath(checkpoint_dir),
+                    *(os.path.abspath(p) for p in prior_checkpoint_paths),
+                ),
                 cas=cas,
             )
         )

@@ -461,3 +461,80 @@ def test_psql_manifest_maintenance_statements(server):
     assert rc == 0, err
     assert out.strip().splitlines()[-1] == "6"
     run_psql(server, "DROP TABLE wt")
+
+
+def _sasl_server_first(port: int, user: bytes) -> bytes:
+    """Raw-socket SASL probe over TLS: startup as `user`, send a valid
+    client-first, return the server-first message (r=...,s=salt,i=n)."""
+    import socket as _socket
+    import ssl
+
+    s = _socket.create_connection(("127.0.0.1", port), timeout=30)
+    s.sendall(struct.pack("!ii", 8, 80877103))
+    assert s.recv(1) == b"S"
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.check_hostname = False
+    ctx.verify_mode = ssl.CERT_NONE
+    s = ctx.wrap_socket(s)
+    params = b"user\x00" + user + b"\x00database\x00sclera\x00\x00"
+    payload = struct.pack("!i", 196608) + params
+    s.sendall(struct.pack("!i", len(payload) + 4) + payload)
+    head = s.recv(1)
+    assert head == b"R"
+    ln = struct.unpack("!i", s.recv(4))[0]
+    s.recv(ln - 4)
+    body = b"n,,n=" + user + b",r=cccccccccccccccc"
+    init = b"SCRAM-SHA-256\x00" + struct.pack("!i", len(body)) + body
+    s.sendall(b"p" + struct.pack("!i", len(init) + 4) + init)
+    head = s.recv(1)
+    assert head == b"R"
+    ln = struct.unpack("!i", s.recv(4))[0]
+    buf = b""
+    while len(buf) < ln - 4:
+        chunk = s.recv(ln - 4 - len(buf))
+        if not chunk:
+            break
+        buf += chunk
+    s.close()
+    return buf[4:]  # strip the int32 SASL code (11 = continue)
+
+
+def test_mock_scram_salt_stable_for_unknown_user(secure_server):
+    """User existence must not be probeable via salt churn: two SASL
+    exchanges for the SAME unknown username must return the SAME salt
+    (deterministic mock credentials, as PostgreSQL's mock auth), while
+    a different unknown username gets a different salt."""
+
+    def salt_of(server_first: bytes) -> bytes:
+        fields = dict(f.split(b"=", 1) for f in server_first.split(b","))
+        return fields[b"s"]
+
+    a1 = salt_of(_sasl_server_first(secure_server.port, b"mallory"))
+    a2 = salt_of(_sasl_server_first(secure_server.port, b"mallory"))
+    b1 = salt_of(_sasl_server_first(secure_server.port, b"trudy"))
+    assert a1 == a2, "same unknown user saw two different mock salts"
+    assert a1 != b1, "mock salt must vary by username"
+
+
+def test_preauth_message_length_bounds(server):
+    """Client-controlled pre-auth lengths are bounded: a startup packet
+    claiming a multi-GB (or negative) length is rejected with an error
+    frame / disconnect BEFORE any payload buffering, and the server
+    stays healthy for the next client."""
+    import socket as _socket
+
+    for bogus in (2**30, 3, -1):
+        s = _socket.create_connection(("127.0.0.1", server.port), timeout=30)
+        s.settimeout(30)
+        s.sendall(struct.pack("!i", bogus))
+        try:
+            head = s.recv(1)
+            # error frame (E) or immediate close are both acceptable
+            assert head in (b"E", b"")
+        except (ConnectionError, OSError):
+            pass
+        s.close()
+
+    rc, out, err = run_psql(server, "SELECT 1 AS x")
+    assert rc == 0, err
+    assert out.strip() == "1"

@@ -235,3 +235,35 @@ def test_stream_to_manifest_cas_end_to_end(spark, dirs, tmp_path):
     stream_to_manifest(stream, tbl, dirs["ck"], cas=cas)
     assert sorted(r.event_id for r in mt.read(spark).collect()) == list(range(55))
     assert mt.version() == v1 + 1  # exactly one new batch committed
+
+
+def test_prior_checkpoint_paths_dedup_after_move_and_upgrade(spark, dirs):
+    """ADVICE r7: a PRE-upgrade checkpoint that was moved/renamed before
+    its first run under this build matches neither the sidecar id nor
+    the current abspath — the caller supplies the OLD location via
+    prior_checkpoint_paths and the in-flight replayed batch stays
+    deduped."""
+    from sclera_spark.streaming.ops import manifest_batch_committer
+
+    old_ck = dirs["ck"] + "_oldhome"
+    old_sid = os.path.abspath(old_ck)  # id the pre-upgrade build derived
+    df = spark.createDataFrame(_rows(0, 20), _SCHEMA)
+    ManifestTable.create(
+        df, dirs["tbl"], meta={"stream_batch": 5, "stream_id": old_sid}
+    )
+    # what stream_to_manifest(..., prior_checkpoint_paths=(old_ck,))
+    # constructs after the move: fresh sidecar id + both abspaths legacy
+    commit = manifest_batch_committer(
+        dirs["tbl"],
+        stream_id="fresh-sidecar-id",
+        legacy_stream_ids=(
+            os.path.abspath(dirs["ck"]),
+            os.path.abspath(old_ck),
+        ),
+    )
+    commit(spark.createDataFrame(_rows(0, 20), _SCHEMA), 5)  # replay
+    assert _ids(spark, dirs["tbl"]) == list(range(20))
+    commit(spark.createDataFrame(_rows(20, 30), _SCHEMA), 6)
+    assert _ids(spark, dirs["tbl"]) == list(range(30))
+    # meta upgraded to the durable sidecar identity
+    assert ManifestTable(dirs["tbl"]).meta()["stream_id"] == "fresh-sidecar-id"
