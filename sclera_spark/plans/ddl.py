@@ -31,7 +31,7 @@ class DdlRouter:
         self.manifest_tables: set[str] = set()
         # subset of manifest_tables whose commit point is the durable
         # conditional-put CAS store (multi-host protocol, FileCas-backed
-        # in-container; S3/GCS/DynamoDB mapping documented on FileCas)
+        # in-container; S3Cas/DynamoCas adapters for real object stores)
         self.cas_manifest_tables: set[str] = set()
         self._cas = None  # lazily-built FileCas shared by all CAS tables
 
@@ -217,7 +217,7 @@ class DdlRouter:
         post-statement snapshot, never duplicates or partial commits.
         With CAS, the commit point is a durable conditional-put store
         (FileCas on the warehouse directory here; S3/GCS/DynamoDB in a
-        real deployment — mapping documented on FileCas), giving
+        real deployment — S3Cas/DynamoCas in sources/manifest.py), giving
         lock-free multi-host optimistic concurrency."""
         from sclera_spark.sources.manifest import CasManifestTable, ManifestTable
 

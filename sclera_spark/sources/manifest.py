@@ -671,6 +671,214 @@ class FileCas:
         return True
 
 
+def _aws_error_code(exc: Exception) -> str | None:
+    """The error code of a botocore-shaped ClientError (adapters never
+    import boto3 — they duck-type on the injected client and its
+    exceptions, so the suite can drive them with contract-faithful
+    fakes and a deployment passes a real boto3 client)."""
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        code = (resp.get("Error") or {}).get("Code")
+        if code is not None:
+            return str(code)
+    return None
+
+
+class S3Cas:
+    """Conditional-put pointer store on S3 conditional writes (the
+    ``If-None-Match: *`` PutObject precondition, GA since 2024 — the
+    primitive that lets Delta/Iceberg run their log store on bare S3).
+    Same protocol as :class:`FileCas`: a key's pointer is the max
+    version object under the key's prefix; ``cas(key, expected,
+    expected+1)`` is a put-if-absent of the ``expected+1`` object, so
+    winning the conditional PUT is the unique N-1 -> N transition.
+
+    ``client`` is an injected boto3-style S3 client; only four calls
+    are used, so any object with these methods works:
+      * ``list_objects_v2(Bucket=, Prefix=, ContinuationToken=?)`` —
+        paginated; ``get`` follows ``NextContinuationToken`` (a table
+        older than ~1000 commits overflows one page).
+      * ``put_object(Bucket=, Key=, Body=, IfNoneMatch="*")`` — must
+        raise a botocore-shaped ClientError with code
+        ``PreconditionFailed`` (412) when the object exists, and may
+        raise ``ConditionalRequestConflict`` (409) when conditional
+        writes on the same key race — per AWS docs the outcome is then
+        UNKNOWN: the PUT may or may not have been applied.
+      * ``get_object(Bucket=, Key=)`` — resolves a 409's ambiguity:
+        the marker body carries this call's unique writer token, so
+        reading the object back answers "did MY put land?" exactly
+        (token match = won; other token = lost; NoSuchKey = not yet
+        decided, retry). Reporting a SUCCESSFUL commit as failed is
+        not an option — the retry loop would re-apply the mutation on
+        top of its own published claim.
+      * ``delete_object(Bucket=, Key=)`` — marker pruning only (never
+        the max; losing a delete is cosmetic).
+    S3 has strong read-after-write consistency (since 2020), so the
+    LIST in ``get`` observes every completed PUT — required for the
+    pre-check and the 409 re-read to be sound."""
+
+    _prune_keep = 16
+    _conflict_retries = 8
+
+    def __init__(self, client, bucket: str, prefix: str = "sclera-cas/"):
+        import hashlib as _hashlib
+
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix if prefix.endswith("/") else prefix + "/"
+        self._h = lambda key: _hashlib.sha256(key.encode()).hexdigest()[:24]
+
+    def _key_prefix(self, key: str) -> str:
+        return f"{self.prefix}{self._h(key)}/"
+
+    def get(self, key: str) -> int | None:
+        pfx = self._key_prefix(key)
+        best: int | None = None
+        token = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": pfx}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", () ) or ():
+                tail = obj["Key"][len(pfx):]
+                if tail.isdigit():
+                    v = int(tail)
+                    if best is None or v > best:
+                        best = v
+            if not resp.get("IsTruncated"):
+                return best
+            token = resp.get("NextContinuationToken")
+
+    def cas(self, key: str, expected: int | None, new: int) -> bool:
+        if new != (expected or 0) + 1:
+            raise ValueError(
+                f"S3Cas requires single-step advances (expected={expected}, "
+                f"new={new}): put-if-absent of version N is only a unique "
+                "transition when N == expected + 1"
+            )
+        if self.get(key) != expected:
+            return False
+        marker = self._key_prefix(key) + str(new)
+        token = uuid.uuid4().hex.encode()  # unique writer identity
+        for _ in range(self._conflict_retries):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket,
+                    Key=marker,
+                    Body=token,
+                    IfNoneMatch="*",
+                )
+            except Exception as exc:
+                code = _aws_error_code(exc)
+                if code == "PreconditionFailed":
+                    return False  # another writer owns version `new`
+                if code == "ConditionalRequestConflict":
+                    # concurrent conditional writes raced on this key:
+                    # the outcome of OUR put is unknown. Read the
+                    # marker back — the body token says whose put won.
+                    won = self._owns_marker(marker, token)
+                    if won is True:
+                        self._prune(key, new)
+                        return True
+                    if won is False:
+                        return False
+                    continue  # marker still absent: race undecided
+                raise
+            else:
+                self._prune(key, new)
+                return True
+        # persistent conflict with the marker never materializing: no
+        # put (ours included) was applied, so conceding is accurate
+        return False
+
+    def _owns_marker(self, marker: str, token: bytes) -> bool | None:
+        """True/False = marker exists with/without our token;
+        None = marker does not exist (409 race still undecided)."""
+        try:
+            resp = self.client.get_object(Bucket=self.bucket, Key=marker)
+        except Exception as exc:
+            if _aws_error_code(exc) in ("NoSuchKey", "404"):
+                return None
+            raise
+        body = resp["Body"]
+        data = body.read() if hasattr(body, "read") else body
+        return data == token
+
+    def _prune(self, key: str, new: int) -> None:
+        pfx = self._key_prefix(key)
+        for v in range(max(1, new - 2 * self._prune_keep), new - self._prune_keep + 1):
+            try:
+                self.client.delete_object(Bucket=self.bucket, Key=f"{pfx}{v}")
+            except Exception:
+                pass  # pruning is cosmetic; never fail a commit on it
+
+
+class DynamoCas:
+    """Conditional-put pointer store on a DynamoDB coordination table —
+    the commit-log pattern Delta Lake uses for S3 multi-writer support.
+    Unlike the object-store adapters, DynamoDB gives a TRUE compare-and-
+    swap (``ConditionExpression`` on the stored version attribute), so
+    no single-step restriction is needed; the item IS the pointer.
+
+    ``client`` is an injected boto3-style DynamoDB client; three calls:
+      * ``get_item(TableName=, Key=, ConsistentRead=True)`` — the
+        adapter ALWAYS passes ConsistentRead: the default eventually-
+        consistent read can return a stale version, which would make
+        the pre-commit snapshot check unsound (the fake in the test
+        suite serves stale values to non-consistent reads to pin this).
+      * ``put_item(TableName=, Item=, ConditionExpression=
+        "attribute_not_exists(pk)")`` — creates version 1.
+      * ``update_item(TableName=, Key=, UpdateExpression=,
+        ConditionExpression="version = :exp", ...)`` — the CAS.
+    Both conditional writes signal a lost race with a botocore-shaped
+    ClientError code ``ConditionalCheckFailedException``.
+
+    Table schema: partition key ``pk`` (S). One item per manifest
+    table; writes are single-item and strongly consistent, so no GSI,
+    no transaction API, no TTL needed."""
+
+    def __init__(self, client, table: str):
+        self.client = client
+        self.table = table
+
+    def get(self, key: str) -> int | None:
+        resp = self.client.get_item(
+            TableName=self.table,
+            Key={"pk": {"S": key}},
+            ConsistentRead=True,
+        )
+        item = resp.get("Item")
+        if not item:
+            return None
+        return int(item["version"]["N"])
+
+    def cas(self, key: str, expected: int | None, new: int) -> bool:
+        try:
+            if expected is None:
+                self.client.put_item(
+                    TableName=self.table,
+                    Item={"pk": {"S": key}, "version": {"N": str(new)}},
+                    ConditionExpression="attribute_not_exists(pk)",
+                )
+            else:
+                self.client.update_item(
+                    TableName=self.table,
+                    Key={"pk": {"S": key}},
+                    UpdateExpression="SET version = :new",
+                    ConditionExpression="version = :exp",
+                    ExpressionAttributeValues={
+                        ":new": {"N": str(new)},
+                        ":exp": {"N": str(expected)},
+                    },
+                )
+        except Exception as exc:
+            if _aws_error_code(exc) == "ConditionalCheckFailedException":
+                return False
+            raise
+        return True
+
+
 class CasManifestTable(ManifestTable):
     """A manifest table whose COMMIT POINT is a conditional-put CAS on
     an external pointer store instead of flock + os.replace — the

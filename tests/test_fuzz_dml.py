@@ -89,11 +89,18 @@ def _duck_state(duck) -> list[tuple]:
     return sorted(tuple(r) for r in duck.execute("SELECT k, v, s FROM ft").fetchall())
 
 
-def _run_sequence(spark, seed: int, manifest: bool, cas: bool = False):
+def _run_sequence(
+    spark, seed: int, manifest: bool, cas: bool = False, cas_store=None
+):
     import duckdb
 
     engine = ScleraEngine(spark)
     duck = duckdb.connect()
+    if cas_store is not None:
+        # swap the DDL layer's pointer store (default: warehouse FileCas)
+        # for an object-store adapter over a contract-faithful fake —
+        # the SAME SQL surface then commits through S3Cas/DynamoCas
+        engine.ddl()._cas = cas_store
     engine.execute("CREATE TABLE ft (k INT, v INT, s VARCHAR(20))")
     duck.execute("CREATE TABLE ft (k INTEGER, v INTEGER, s VARCHAR)")
     try:
@@ -154,6 +161,19 @@ def test_dml_fuzz_manifest_cas(spark, tables, seed):
     a stale-snapshot recompute or claim-heal bug diverges the state diff
     immediately."""
     _run_sequence(spark, 200 + seed, manifest=True, cas=True)
+
+
+@pytest.mark.parametrize("backend", ["s3", "s3_conflict", "dynamo"])
+@pytest.mark.parametrize("seed", range(3))
+def test_dml_fuzz_manifest_cas_object_stores(spark, tables, seed, backend):
+    """Same stateful fuzz, commit point on the OBJECT-STORE adapters:
+    S3Cas (incl. the 409 ambiguous-outcome injection) and DynamoCas over
+    the contract-faithful fakes — the full DML+maintenance surface runs
+    through conditional-put commits exactly as it would against AWS."""
+    from tests.test_manifest_cas import make_cas
+
+    store = make_cas(backend, None)  # s3/dynamo kinds ignore tmp_path
+    _run_sequence(spark, 300 + seed, manifest=True, cas=True, cas_store=store)
 
 
 # ------------------------------------------------------------- MERGE fuzz

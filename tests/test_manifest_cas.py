@@ -26,22 +26,44 @@ import pytest
 from sclera_spark.sources.manifest import (
     CasManifestTable,
     ConcurrentWriterError,
+    DynamoCas,
     FileCas,
     MemoryCas,
+    S3Cas,
 )
+from tests.fake_aws import FakeDynamoClient, FakeS3Client
 
 
-@pytest.fixture(params=["memory", "file"])
+def make_cas(kind: str, tmp_path):
+    """One pointer store per backend kind — S3/Dynamo run against the
+    contract-faithful fakes in tests/fake_aws.py (412/409 conditional
+    puts, paginated LIST, stale eventually-consistent reads), so the
+    ADAPTER logic is exercised, not a mock of it."""
+    if kind == "memory":
+        return MemoryCas()
+    if kind == "file":
+        return FileCas(str(tmp_path / "cas"))
+    if kind == "s3":
+        return S3Cas(FakeS3Client(), "bkt")
+    if kind == "s3_conflict":
+        # every 3rd conditional put 409s, alternating applied/dropped:
+        # the races below now also cover the ambiguous-outcome path
+        return S3Cas(FakeS3Client(conflict_every=3), "bkt")
+    if kind == "dynamo":
+        return DynamoCas(FakeDynamoClient(), "cas-table")
+    raise AssertionError(kind)
+
+
+_CAS_KINDS = ["memory", "file", "s3", "s3_conflict", "dynamo"]
+
+
+@pytest.fixture(params=_CAS_KINDS)
 def cas_env(spark, tmp_path, request):
-    """Every protocol test runs against BOTH pointer stores: the
-    in-process MemoryCas (r6) and the durable FileCas (r7) whose
-    put-if-absent markers survive process death and are shared across
-    processes on a common directory."""
-    cas = (
-        MemoryCas()
-        if request.param == "memory"
-        else FileCas(str(tmp_path / "cas"))
-    )
+    """Every protocol test runs against ALL pointer stores: the
+    in-process MemoryCas (r6), the durable FileCas (r7), and the
+    object-store adapters S3Cas / DynamoCas (r8) over fakes that encode
+    each store's real consistency contract."""
+    cas = make_cas(request.param, tmp_path)
     path = str(tmp_path / "tbl")
     df = spark.range(10).selectExpr("id", "id * 2 AS v")
     host_a = CasManifestTable.create_cas(df, path, cas)
@@ -346,3 +368,89 @@ def test_filecas_survives_hard_kills_mid_cas(tmp_path):
     # the table keeps working after the carnage
     assert cas.cas("k", v, v + 1)
     assert FileCas(root).get("k") == v + 1
+
+
+# ---------------------------------------------- object-store adapters
+
+
+def test_s3cas_get_paginates(tmp_path):
+    """get() must follow ContinuationToken: the fake pages 2 keys at a
+    time, so a pointer past version 2 is invisible to a single LIST."""
+    c = FakeS3Client(page_size=2)
+    cas = S3Cas(c, "bkt")
+    v = None
+    for n in range(1, 8):
+        assert cas.cas("k", v, n)
+        v = n
+    # pruning keeps markers dense near the max, but >page_size of them
+    assert cas.get("k") == 7
+    assert c.calls["list_objects_v2"] > c.calls.get("delete_object", 0)
+
+
+def test_s3cas_single_step_enforced(tmp_path):
+    cas = S3Cas(FakeS3Client(), "bkt")
+    with pytest.raises(ValueError):
+        cas.cas("k", None, 2)
+    assert cas.cas("k", None, 1)
+    with pytest.raises(ValueError):
+        cas.cas("k", 1, 3)
+
+
+def test_s3cas_conflict_409_applied_means_won():
+    """AWS's 409 ConditionalRequestConflict leaves the put outcome
+    UNKNOWN. When the put actually landed, the adapter MUST report
+    success — conceding a commit that published would make the caller
+    re-apply the same mutation on a snapshot that already contains it."""
+    c = FakeS3Client(conflict_every=1)  # every conditional put 409s
+    c._conflict_applied_next = True     # ...and this one lands anyway
+    cas = S3Cas(c, "bkt")
+    assert cas.cas("k", None, 1) is True
+    assert cas.get("k") == 1
+
+
+def test_s3cas_conflict_409_dropped_retries_and_wins():
+    """The other 409 outcome: the put did NOT land. The adapter re-reads
+    (NoSuchKey -> undecided), retries the conditional put, and the
+    second attempt (no conflict injected) succeeds."""
+    c = FakeS3Client(conflict_every=2)   # 2nd, 4th, ... conditional puts 409
+    c._conflict_applied_next = False
+    cas = S3Cas(c, "bkt")
+    assert cas.cas("k", None, 1) is True  # 1st put clean
+    # 2nd conditional put 409s WITHOUT applying; retry (3rd) wins
+    assert cas.cas("k", 1, 2) is True
+    assert cas.get("k") == 2
+
+
+def test_s3cas_loser_gets_precondition_failed():
+    c = FakeS3Client()
+    a, b = S3Cas(c, "bkt"), S3Cas(c, "bkt")
+    assert a.cas("k", None, 1)
+    assert b.cas("k", None, 1) is False  # stale pre-check
+    assert b.get("k") == 1
+    assert b.cas("k", 1, 2)
+
+
+def test_dynamocas_requires_consistent_read():
+    """The fake serves a STALE value to any get_item without
+    ConsistentRead=True (eventual consistency is DynamoDB's read
+    default). DynamoCas must still observe its own completed write."""
+    c = FakeDynamoClient()
+    cas = DynamoCas(c, "t")
+    assert cas.cas("k", None, 1)
+    assert cas.cas("k", 1, 2)
+    # a sloppy reader would now see the pre-update item (version 1)
+    stale = c.get_item(TableName="t", Key={"pk": {"S": "k"}})
+    assert stale["Item"]["version"]["N"] == "1"
+    # the adapter reads consistently: current version
+    assert cas.get("k") == 2
+
+
+def test_dynamocas_cas_semantics():
+    c = FakeDynamoClient()
+    a, b = DynamoCas(c, "t"), DynamoCas(c, "t")
+    assert a.cas("k", None, 1)
+    assert b.cas("k", None, 1) is False     # create-if-absent lost
+    assert b.cas("k", 5, 6) is False        # wrong expected
+    assert b.cas("k", 1, 2) is True
+    assert a.cas("k", 1, 2) is False        # stale expected
+    assert a.get("k") == 2
