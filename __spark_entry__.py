@@ -1620,20 +1620,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# The driver grades the FIRST 50 entries in queries() order. r7 rotates
-# the window (VERDICT r6 #8): 12 oracle-bearing entries that had never
-# been driver-graded (training-pipeline text ops, samplers, streaming
-# joins/enrichment, hypertable + span-dedup tiers) move IN; 12
-# long-stable core entries (hash-green since r1-r4 and still covered by
-# the frontend/scalar/grouping fuzz families plus every check_entry
-# run) move to the tail. Every window entry carries a DuckDB oracle;
-# the demoted entries stay oracle-verified by tools/check_entry — the
-# rotation changes WHICH green rows the driver certifies, not coverage.
+# The driver grades the FIRST 50 entries in queries() order. r8
+# continues the rotation (VERDICT r7 #8): the last 6 oracle-bearing
+# entries never driver-graded in any round (jaccard_pairs,
+# stratified_sample, text_normalize, url_extract, language_id,
+# fingerprint_dups) move IN; 6 long-stable core entries move to the
+# tail — each demotee is hash-green in ≥2 driver rounds AND carries a
+# dedicated fuzz family (join_variants/outer_joins: 200-seed join fuzz;
+# setops/predicates: frontend fuzz; grouping_sets: grouping fuzz;
+# distinct_on: frontend fuzz) plus every tools/check_entry run. The
+# rotation changes WHICH green rows the driver certifies, not coverage;
+# with r8 every oracle-bearing entry has been driver-certified at least
+# once (r1-r8 union ≥ 68).
 _WINDOW_ORDER = [
     # core SQL spine (kept)
-    "q1_agg", "join_variants", "outer_joins", "setops", "subqueries",
-    "predicates", "agg_stats", "grouping_sets", "window_tier",
-    "distinct_on", "pivot_sql", "unpivot_sql", "arg_sql", "split_sql",
+    "q1_agg", "subqueries", "agg_stats", "window_tier",
+    "pivot_sql", "unpivot_sql", "arg_sql", "split_sql",
     "external_target", "jdbc_location", "typeinfer_sql",
     "transform_zscore", "expmovavg",
     # LLM-pipeline + ML + streaming + extension tiers (kept)
@@ -1643,11 +1645,14 @@ _WINDOW_ORDER = [
     "stream_match_state", "labeled_fn_sql", "align_zip",
     "match_alternation", "multimodal_features", "multimodal_pixels",
     "asof_join", "range_join", "incr_rollup",
-    # promoted r7: first-ever driver grading for these 12
+    # promoted r7 (driver-certified r7, kept for a second round)
     "pii_redact", "doc_repetition", "ngram_contamination",
     "stream_expmovavg", "time_rollup", "weighted_sample", "stream_join",
     "stream_enrich", "span_dups", "vocab_topk", "chunk_documents",
     "hash_sample",
+    # promoted r8: first-ever driver grading for these 6
+    "jaccard_pairs", "stratified_sample", "text_normalize",
+    "url_extract", "language_id", "fingerprint_dups",
 ]
 
 
