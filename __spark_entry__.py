@@ -267,7 +267,12 @@ _Q: dict[str, str] = {
     # bitwise-equal cross-engine, no rounding needed (replaces the r6
     # 5-decimal canon forced by one-pass partial-sum jitter). cov_fn
     # keeps the native covar_samp aggregate under test at the jitter-
-    # safe 5-decimal granularity.
+    # safe 5-decimal granularity — an EXPLICITLY weaker certification
+    # than check_entry's full-precision canon: Spark's and DuckDB's
+    # one-pass partial-sum orders differ, so covar_samp's last ulps are
+    # not cross-engine-stable. The full-precision covariance SEMANTIC
+    # is certified by the exact-sum `cov` column in the same row;
+    # cov_fn only pins that the native aggregate agrees to 5 decimals.
     "agg_stats": """
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 9) AS sd,
