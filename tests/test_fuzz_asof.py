@@ -153,7 +153,9 @@ def test_fuzz_range_join_vs_bruteforce(spark, seed):
         e = s + rng.choice([0, 1, rng.randrange(0, 50)])
         right_rows.append((g, s, e, 1000 + i))
     closed = rng.random() < 0.5
-    bin_width = rng.choice([1, 7, 64, 1000])
+    # None = auto-derived width (r8): must return the same rows as any
+    # explicit width — the knob is plan-only
+    bin_width = rng.choice([None, 1, 7, 64, 1000])
 
     left = spark.createDataFrame(left_rows, "g string, ls long, le long, lid long")
     right = spark.createDataFrame(right_rows, "g string, rs long, re long, rid long")

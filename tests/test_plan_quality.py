@@ -381,3 +381,65 @@ def test_chunk_documents_plan_jvm_only(engine):
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_range_join_auto_bin_width_gated_and_cached(spark, tmp_path):
+    """r8 (verdict #4): bin_width=None derives the width from a sampled
+    median interval length with the asof-skew gate+cache shape: (a) no
+    sampling job at all on small inputs (size gate) — and the same rows
+    as an explicit width; (b) past the gate, a SECOND call over the
+    same plans serves the width from the semanticHash cache (zero new
+    jobs); (c) the derived width is the larger side's median length."""
+    from sclera_spark.operators import rangejoin as rj_mod
+    from sclera_spark.operators.rangejoin import BIN_STATS, range_join
+    from sclera_spark.sources.manifest import ManifestTable
+
+    path = str(tmp_path / "iv")
+    ManifestTable.create(
+        spark.range(300).selectExpr(
+            "id % 3 AS g", "id * 10 AS rs", "id * 10 + 40 AS re", "id AS rid"
+        ),
+        path,
+    )
+
+    def right():
+        return ManifestTable(path).read(spark)
+
+    left = spark.range(100).selectExpr(
+        "id % 3 AS g", "id * 30 AS ls", "id * 30 + 20 AS le", "id AS lid"
+    )
+
+    # (a) size gate: tiny inputs -> no sampling job, default width
+    base = dict(BIN_STATS)
+    auto = range_join(left, right(), ("ls", "le"), ("rs", "re"), by=["g"])
+    explicit = range_join(
+        left, right(), ("ls", "le"), ("rs", "re"), by=["g"], bin_width=17
+    )
+    rows_a = sorted((r.lid, r.rid) for r in auto.select("lid", "rid").collect())
+    rows_e = sorted((r.lid, r.rid) for r in explicit.select("lid", "rid").collect())
+    assert rows_a == rows_e and rows_a
+    assert BIN_STATS["detect_jobs"] == base["detect_jobs"]
+
+    # (b) force the sampler past the gate: one job, then cached
+    monkey_min = rj_mod._AUTO_MIN_BYTES
+    rj_mod._AUTO_MIN_BYTES = 0
+    rj_mod._AUTO_SAMPLE_FRACTION = 1.0
+    try:
+        rj_mod._BIN_CACHE.clear()
+        base = dict(BIN_STATS)
+        r1 = range_join(left, right(), ("ls", "le"), ("rs", "re"), by=["g"])
+        n1 = r1.count()
+        assert BIN_STATS["detect_jobs"] == base["detect_jobs"] + 1
+        r2 = range_join(left, right(), ("ls", "le"), ("rs", "re"), by=["g"])
+        assert r2.count() == n1
+        assert BIN_STATS["detect_jobs"] == base["detect_jobs"] + 1  # cached
+        assert BIN_STATS["cache_hits"] == base["cache_hits"] + 1
+        assert rows_a == sorted(
+            (r.lid, r.rid) for r in r1.select("lid", "rid").collect()
+        )
+        # (c) the derived width follows the data: right intervals are 40
+        # long, left are 20 -> width 40 (larger side's median)
+        assert next(iter(rj_mod._BIN_CACHE.values())) == 40
+    finally:
+        rj_mod._AUTO_MIN_BYTES = monkey_min
+        rj_mod._AUTO_SAMPLE_FRACTION = 0.05
