@@ -99,15 +99,85 @@ class ScleraEngine:
         schema: str | None = None,
     ) -> None:
         kind = kind.upper()
+        params = list(params)
+        secrets: dict[str, str] = {}
+        if kind == "JDBC":
+            # never store a plaintext credential in catalog state
+            # (reference util/encrypt/Encryptor.scala:28-50): passwords
+            # — bare 'password=...' params or one embedded in the URL —
+            # are AES-GCM-wrapped at registration; decryption happens
+            # only at connect time. Without the cryptography lib the
+            # registration REFUSES (EncryptionUnavailable) instead of
+            # persisting plaintext.
+            params, secrets = self._wrap_location_secrets(params)
         self.locations[name.lower()] = {
             "kind": kind,
-            "params": list(params),
+            "params": params,
             "readonly": readonly,
             "schema": schema,
+            "secrets": secrets,
         }
         if kind in ("PARQUETDIR", "DIR"):
             # a directory of <table>.parquet files: register eagerly
             self.add_location(params[0])
+
+    _SECRET_PARAM_RE = None  # built lazily (module re import kept local)
+    _SECRET_PLACEHOLDER = "__SCLERA_ENC__"
+
+    def _encryptor(self):
+        if not hasattr(self, "_enc"):
+            from sclera_spark.encrypt import Encryptor
+
+            self._enc = Encryptor()
+        return self._enc
+
+    def _wrap_location_secrets(
+        self, params: list[str]
+    ) -> tuple[list[str], dict[str, str]]:
+        import re as _re
+
+        enc = self._encryptor()
+        url_pw = _re.compile(r"(?i)(password=)([^&;'\s]+)")
+        kv_secret = _re.compile(r"(?i)^(password|secret|token)\s*=\s*(.*)$", _re.S)
+        out: list[str] = []
+        secrets: dict[str, str] = {}
+        for i, p in enumerate(params):
+            if i == 0:
+                def _repl(m):
+                    secrets["url_password"] = enc.encrypt(m.group(2))
+                    return m.group(1) + self._SECRET_PLACEHOLDER
+
+                out.append(url_pw.sub(_repl, p))
+                continue
+            m = kv_secret.match(p)
+            if m:
+                secrets[m.group(1).lower()] = enc.encrypt(m.group(2))
+            else:
+                out.append(p)
+        return out, secrets
+
+    def _location_jdbc(self, info: dict) -> tuple[str, dict]:
+        """The CONNECT-time view of a JDBC location: URL with any
+        wrapped password restored, plus reader options (driver,
+        user=..., and decrypted secret options)."""
+        enc = self._encryptor()
+        secrets = info.get("secrets") or {}
+        url = info["params"][0]
+        if "url_password" in secrets:
+            url = url.replace(
+                self._SECRET_PLACEHOLDER, enc.decrypt(secrets["url_password"])
+            )
+        opts: dict[str, str] = {}
+        for p in info["params"][1:]:
+            if "=" in p:
+                k, v = p.split("=", 1)
+                opts[k.strip()] = v.strip()
+            else:
+                opts["driver"] = p
+        for k, tok in secrets.items():
+            if k != "url_password":
+                opts[k] = enc.decrypt(tok)
+        return url, opts
 
     def remove_location(self, name: str) -> None:
         self.locations.pop(name.lower(), None)
@@ -124,10 +194,8 @@ class ScleraEngine:
             raise KeyError(f"unknown location: {loc}")
         kind, params = info["kind"], info["params"]
         if kind == "JDBC":
-            opts = {}
-            if len(params) > 1:
-                opts["driver"] = params[1]
-            return self.external_source("JDBC", params[0], table, **opts)
+            url, opts = self._location_jdbc(info)
+            return self.external_source("JDBC", url, table, **opts)
         if kind in ("PARQUETDIR", "DIR", "PARQUET"):
             return self.external_source("PARQUET", os.path.join(params[0], f"{table}.parquet"))
         if kind == "CSV":

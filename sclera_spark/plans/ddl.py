@@ -955,11 +955,12 @@ class DdlRouter:
                 f"native statements need a JDBC location (got {info['kind']})"
             )
         sql = sql.replace("''", "'")
+        url, opts = self.engine._location_jdbc(info)
         reader = self.engine.spark.read.format("jdbc").option(
-            "url", info["params"][0]
+            "url", url
         ).option("query", sql)
-        if len(info["params"]) > 1:
-            reader = reader.option("driver", info["params"][1])
+        for k, v in opts.items():
+            reader = reader.option(k, v)
         return reader.load()
 
     def _alter(self, *_):
@@ -1028,20 +1029,21 @@ class DdlRouter:
                         if f.endswith(ext)
                     )
             elif kind == "JDBC":
+                url, opts = engine._location_jdbc(info)
                 meta_q = (
                     "(SELECT TABLENAME AS name FROM SYS.SYSTABLES "
                     "WHERE TABLETYPE = 'T') t"
-                    if params[0].lower().startswith("jdbc:derby")
+                    if url.lower().startswith("jdbc:derby")
                     else "(SELECT table_name AS name FROM "
                     "information_schema.tables) t"
                 )
                 reader = (
                     engine.spark.read.format("jdbc")
-                    .option("url", params[0])
+                    .option("url", url)
                     .option("dbtable", meta_q)
                 )
-                if len(params) > 1:
-                    reader = reader.option("driver", params[1])
+                for k, v in opts.items():
+                    reader = reader.option(k, v)
                 names = sorted(r[0] for r in reader.load().collect())
             out += [
                 (l.lower(), n) for n in names if n.lower() not in registered

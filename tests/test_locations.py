@@ -149,3 +149,88 @@ def test_list_tables_location_forms(engine, derby_url):
     # location-qualified DESCRIBE resolves through the location
     cols = dict(engine.execute("DESCRIBE der.nation_jdbc"))
     assert "N_NATIONKEY" in cols or "n_nationkey" in cols
+
+
+# ----------------------------------------------- credential encryption
+
+
+def test_location_password_never_stored_plaintext(engine, derby_url):
+    """r8 (verdict #5, reference util/encrypt/Encryptor.scala:28-50):
+    a JDBC location registered WITH credentials keeps no plaintext
+    secret anywhere in catalog state or admin output — the password is
+    AES-GCM-wrapped at registration and restored only at connect time."""
+    pw = "hunter2-T0pSecret"
+    engine.execute(
+        f"ADD LOCATION secloc AS JDBC ('{derby_url}', 'user=app', 'password={pw}')"
+    )
+    try:
+        # no plaintext in the catalog entry (deep repr scan)
+        assert pw not in repr(engine.locations)
+        # ...but the wrapped token is present and self-describing
+        info = engine.locations["secloc"]
+        assert info["secrets"]["password"].startswith("enc:gcm:")
+        # user is NOT a secret: stays a readable param
+        assert any(p == "user=app" for p in info["params"])
+        # admin output never leaks it
+        assert pw not in repr(engine.execute("LIST LOCATIONS"))
+        assert pw not in repr(engine.execute("SHOW CONFIG"))
+        # connect-time view restores the secret exactly
+        url, opts = engine._location_jdbc(info)
+        assert opts["password"] == pw and opts["user"] == "app"
+        # the location still works end-to-end (Derby ignores the
+        # credentials but receives them as JDBC options)
+        assert engine.location_table("secloc", "nation_jdbc").count() == 25
+    finally:
+        engine.execute("REMOVE LOCATION secloc")
+
+
+def test_url_embedded_password_scrubbed(engine):
+    pw = "pg-secret-99"
+    engine.add_named_location(
+        "pgloc", "JDBC", [f"jdbc:postgresql://h/db?user=u&password={pw}&ssl=true"]
+    )
+    try:
+        info = engine.locations["pgloc"]
+        assert pw not in repr(info)
+        assert "__SCLERA_ENC__" in info["params"][0]
+        url, _ = engine._location_jdbc(info)
+        assert url == f"jdbc:postgresql://h/db?user=u&password={pw}&ssl=true"
+    finally:
+        engine.remove_location("pgloc")
+
+
+def test_registration_refuses_plaintext_without_crypto(engine, monkeypatch):
+    """When the cryptography lib is unavailable the engine must REFUSE
+    to store the password (documented EncryptionUnavailable), never
+    fall back to plaintext."""
+    import sclera_spark.encrypt as enc_mod
+    from sclera_spark.encrypt import EncryptionUnavailable
+
+    def _unavailable():
+        raise EncryptionUnavailable(
+            "refusing to store a plaintext password: the 'cryptography' "
+            "library is not installed"
+        )
+
+    monkeypatch.setattr(enc_mod, "_aesgcm", _unavailable)
+    if hasattr(engine, "_enc"):
+        del engine._enc  # drop any cached encryptor
+    with pytest.raises(EncryptionUnavailable, match="refusing to store"):
+        engine.add_named_location(
+            "badloc", "JDBC", ["jdbc:derby:x", "password=pw"]
+        )
+    assert "badloc" not in engine.locations
+    monkeypatch.undo()
+    if hasattr(engine, "_enc"):
+        del engine._enc
+
+
+def test_token_tamper_detected(engine):
+    from sclera_spark.encrypt import Encryptor
+
+    e = Encryptor()
+    tok = e.encrypt("s3cret")
+    assert e.decrypt(tok) == "s3cret"
+    bad = tok[:-4] + ("AAAA" if not tok.endswith("AAAA") else "BBBB")
+    with pytest.raises(Exception):  # GCM tag failure, never garbage
+        e.decrypt(bad)
