@@ -86,6 +86,15 @@ def _text_value(v) -> bytes | None:
     return str(v).encode()
 
 
+class _WireError(Exception):
+    """An error with an explicit pg sqlstate (the generic statement
+    error path reports 42601; raise this to say something precise)."""
+
+    def __init__(self, sqlstate: str, message: str):
+        super().__init__(message)
+        self.sqlstate = sqlstate
+
+
 class _ResultSet:
     """A uniform (columns, oids, row-iterator, tag) view over whatever the
     engine returned: DataFrame, DDL list/str result, or None."""
@@ -348,6 +357,8 @@ class _Handler(socketserver.BaseRequestHandler):
         those paths. An ordinary failure mentioning 'cancel' (say, an
         unresolved column named cancel_date) stays a syntax/semantic
         error (42601)."""
+        if isinstance(exc, _WireError):
+            return exc.sqlstate
         target = getattr(self, "_cancel_target", None)
         if target is not None and target.flag.is_set():
             return "57014"
@@ -359,6 +370,15 @@ class _Handler(socketserver.BaseRequestHandler):
             + b"C" + _cstr(sqlstate) + b"M" + _cstr(message) + b"\x00"
         )
         self._send(_msg(b"E", body))
+
+    def _notice(self, message: str) -> None:
+        """NoticeResponse — same field layout as ErrorResponse with
+        severity NOTICE (libpq prints it, never fails the statement)."""
+        body = (
+            b"S" + _cstr("NOTICE") + b"V" + _cstr("NOTICE")
+            + b"C" + _cstr("01000") + b"M" + _cstr(message) + b"\x00"
+        )
+        self._send(_msg(b"N", body))
 
     # ---- message loop ----
 
@@ -398,7 +418,16 @@ class _Handler(socketserver.BaseRequestHandler):
 
     # ---- statement execution ----
 
-    _SESSION_VERBS = ("SET", "BEGIN", "COMMIT", "ROLLBACK", "DISCARD", "RESET")
+    _SESSION_VERBS = (
+        "SET", "BEGIN", "START", "COMMIT", "END", "ROLLBACK", "DISCARD",
+        "RESET",
+    )
+    # statements that MUTATE state — inside an advisory "transaction"
+    # they make a later ROLLBACK a lie, which we refuse to tell
+    _DML_VERBS = (
+        "INSERT", "UPDATE", "DELETE", "MERGE", "CREATE", "DROP", "ALTER",
+        "TRUNCATE", "OPTIMIZE", "VACUUM",
+    )
 
     _TIMEOUT_RE = re.compile(
         r"^\s*SET\s+statement_timeout\s*(?:=|TO)\s*'?(\d+)\s*(m?s)?'?\s*$", re.I
@@ -406,11 +435,18 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def _run(self, sql: str) -> _ResultSet:
         """Route one statement through the engine; session-management verbs
-        clients emit on connect (SET/BEGIN/...) are accepted as no-ops —
+        clients emit on connect (SET/RESET/...) are accepted as no-ops —
         the engine is auto-commit, like the reference's JDBC driver.
-        Exception: SET statement_timeout is HONORED (pg semantics,
-        milliseconds; 0 disables) — enforced via the session's Spark job
-        group, same kill path as CancelRequest."""
+        Two exceptions keep the no-ops HONEST:
+        * SET statement_timeout is HONORED (pg semantics, milliseconds;
+          0 disables) — enforced via the session's Spark job group, the
+          same kill path as CancelRequest.
+        * transactions: BEGIN is accepted but answered with a NOTICE
+          that the engine is autocommit (each statement commits
+          immediately); a ROLLBACK issued AFTER DML inside such an
+          advisory transaction FAILS with a clear error (sqlstate 0A000)
+          instead of silently pretending the mutation was undone.
+          COMMIT is truthful as-is (everything already committed)."""
         target = getattr(self, "_cancel_target", None)
         if target is not None:
             target.flag.clear()  # cancellation state is per-statement
@@ -420,7 +456,36 @@ class _Handler(socketserver.BaseRequestHandler):
             if m:
                 n, unit = int(m.group(1)), (m.group(2) or "ms").lower()
                 self._stmt_timeout_ms = n * 1000 if unit == "s" else n
+            if verb in ("BEGIN", "START"):
+                self._txn_open = True
+                self._txn_dml = False
+                self._notice(
+                    "autocommit engine: BEGIN is advisory — each "
+                    "statement commits immediately and ROLLBACK after "
+                    "DML will fail rather than pretend to undo it"
+                )
+                return _ResultSet(None, None, None, "BEGIN")
+            if verb in ("COMMIT", "END"):
+                self._txn_open = False
+                self._txn_dml = False
+                return _ResultSet(None, None, None, "COMMIT")
+            if verb == "ROLLBACK":
+                had_dml = getattr(self, "_txn_dml", False)
+                self._txn_open = False
+                self._txn_dml = False
+                if had_dml:
+                    raise _WireError(
+                        "0A000",
+                        "cannot ROLLBACK: this engine is autocommit — "
+                        "the DML issued after BEGIN has already "
+                        "committed and cannot be undone (use time "
+                        "travel on manifest tables to restore a prior "
+                        "version)",
+                    )
+                return _ResultSet(None, None, None, "ROLLBACK")
             return _ResultSet(None, None, None, verb)
+        if getattr(self, "_txn_open", False) and verb in self._DML_VERBS:
+            self._txn_dml = True
         rs = _to_resultset(self.server.engine.execute(sql), sql)
         return rs
 

@@ -538,3 +538,40 @@ def test_preauth_message_length_bounds(server):
     rc, out, err = run_psql(server, "SELECT 1 AS x")
     assert rc == 0, err
     assert out.strip() == "1"
+
+
+def test_begin_rollback_after_dml_fails_honestly(server):
+    """r8 (verdict #6): the engine is autocommit, so a ROLLBACK issued
+    after DML inside an advisory BEGIN must FAIL loudly (0A000) rather
+    than silently discard the fact that the mutation already committed;
+    BEGIN itself warns via a NOTICE. A bare BEGIN/ROLLBACK with no DML
+    stays a harmless no-op (clients emit those on connect)."""
+    run_psql(server, "DROP TABLE txt")  # clean slate if rerun
+    rc, out, err = run_psql(
+        server, "CREATE TABLE txt AS SELECT r_regionkey AS k FROM region"
+    )
+    assert rc == 0, err
+
+    # BEGIN alone: NOTICE, no error
+    rc, out, err = run_psql(server, "BEGIN; ROLLBACK; SELECT 1 AS x")
+    assert rc == 0, err
+    assert "advisory" in err.lower()  # the NOTICE text
+    assert out.strip().splitlines()[-1] == "1"
+
+    # BEGIN + DML + ROLLBACK: the rollback errors, the DML stands
+    rc, out, err = run_psql(
+        server, "BEGIN; INSERT INTO txt VALUES (99); ROLLBACK"
+    )
+    assert rc != 0
+    assert "cannot rollback" in err.lower()
+    rc, out, err = run_psql(server, "SELECT count(*) AS n FROM txt WHERE k = 99")
+    assert rc == 0, err
+    assert out.strip() == "1"  # the insert COMMITTED — no silent lie
+
+    # COMMIT after DML is truthful and clean
+    rc, out, err = run_psql(
+        server, "BEGIN; INSERT INTO txt VALUES (100); COMMIT; SELECT count(*) AS n FROM txt"
+    )
+    assert rc == 0, err
+    assert out.strip().splitlines()[-1] == "7"
+    run_psql(server, "DROP TABLE txt")
