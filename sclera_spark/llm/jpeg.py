@@ -638,6 +638,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    cond: dict[tuple[int, int], int] = {}  # DAC: (class, id) -> Cs value
     frame = None
     prog: _ProgState | None = None
     restart_interval = 0
@@ -685,7 +686,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(cls, tid)] = tab
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
@@ -699,10 +700,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 )
             frame = {
                 "h": fh, "w": fw, "comps": comps,
-                "prog": marker == 0xC2, "prec": prec,
+                "prog": marker in (0xC2, 0xCA), "prec": prec,
+                "arith": marker in (0xC9, 0xCA),
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG mode (arithmetic/lossless/hierarchical)")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                cond[(seg[i] >> 4, seg[i] & 0x0F)] = seg[i + 1]
+                i += 2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (lossless/hierarchical)")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:
@@ -714,7 +721,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
+            arith = frame.get("arith", False)
             if not frame["prog"]:
+                if arith:
+                    from sclera_spark.llm.jpeg_arith import decode_scan_arith
+
+                    return decode_scan_arith(
+                        content, pos + 2 + ln, frame, scan, qt, cond,
+                        restart_interval,
+                    )
                 return _decode_scan(
                     content, pos + 2 + ln, frame, scan, qt, huff, restart_interval
                 )
@@ -722,10 +737,18 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             if prog is None:
                 prog = _ProgState(frame)
-            pos = prog.decode_scan(
-                content, pos + 2 + ln, scan, ss, se, ah, al,
-                restart_interval, huff,
-            )
+            if arith:
+                from sclera_spark.llm.jpeg_arith import prog_decode_scan_arith
+
+                pos = prog_decode_scan_arith(
+                    prog, content, pos + 2 + ln, scan, ss, se, ah, al,
+                    restart_interval, cond,
+                )
+            else:
+                pos = prog.decode_scan(
+                    content, pos + 2 + ln, scan, ss, se, ah, al,
+                    restart_interval, huff,
+                )
             continue
         pos += 2 + ln
     if prog is not None:

@@ -436,8 +436,9 @@ def decode_pixels(content: bytes) -> tuple[np.ndarray | None, bool]:
         try:
             return decode_jpeg(content), True
         except Exception:
-            # progressive/arithmetic/12-bit or header-only fixture:
-            # honest fallback, counted as not-decoded
+            # lossless/hierarchical or header-only fixture: honest
+            # fallback, counted as not-decoded (baseline, extended,
+            # progressive, 12-bit AND arithmetic all decode for real)
             return None, False
     if content[:2] == b"BM":
         try:
@@ -976,37 +977,55 @@ def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
             elif variant == 1:
                 # REAL baseline-JPEG decode path (llm/jpeg.py): constant
                 # blocks round-trip bit-exactly through DCT+quantization
-                # (lone DC coefficient), so the closed-form oracle holds
+                # (lone DC coefficient), so the closed-form oracle holds.
+                # Alternating ids route the SAME constant through the
+                # ARITHMETIC sequential coder (r8, T.81 Annex D SOF9) —
+                # decoded pixels are identical, same exact oracle
                 from sclera_spark.llm.jpeg import encode_jpeg_gray
+                from sclera_spark.llm.jpeg_arith import encode_jpeg_gray_arith
 
-                content = encode_jpeg_gray(np.full((h, w), 40, np.uint8))
+                enc = encode_jpeg_gray_arith if (i // 16) % 2 else encode_jpeg_gray
+                content = enc(np.full((h, w), 40, np.uint8))
             elif variant == 3:
                 # REAL PROGRESSIVE-JPEG decode path (r7, T.81 §G): same
                 # constant image through the 6-scan SOF2 script — decoded
                 # pixels are identical to the baseline encoding, so the
                 # same closed-form oracle now certifies DC first/refine
-                # and AC EOB-run scans
+                # and AC EOB-run scans; alternating ids use PROGRESSIVE
+                # ARITHMETIC (r8, SOF10 — QM-coded DC first/refine and
+                # AC first/refine scans)
                 from sclera_spark.llm.jpeg import encode_jpeg_gray_progressive
-
-                content = encode_jpeg_gray_progressive(
-                    np.full((h, w), 40, np.uint8)
+                from sclera_spark.llm.jpeg_arith import (
+                    encode_jpeg_gray_arith_progressive,
                 )
+
+                enc = (
+                    encode_jpeg_gray_arith_progressive
+                    if (i // 16) % 2
+                    else encode_jpeg_gray_progressive
+                )
+                content = enc(np.full((h, w), 40, np.uint8))
             else:
                 # color JPEG, gray-neutral constant (r=g=b): Cb=Cr=128
                 # exactly, so the YCbCr round trip is also bit-exact —
-                # the 3-component scan path (baseline and, on alternating
-                # ids, progressive with interleaved DC scans) under the
-                # same exact oracle
+                # the 3-component scan path under the same exact oracle,
+                # cycling baseline / progressive / sequential-arithmetic
+                # / progressive-arithmetic entropy codings (r8)
                 from sclera_spark.llm.jpeg import (
                     encode_jpeg_rgb,
                     encode_jpeg_rgb_progressive,
                 )
+                from sclera_spark.llm.jpeg_arith import (
+                    encode_jpeg_rgb_arith,
+                    encode_jpeg_rgb_arith_progressive,
+                )
 
                 enc = (
-                    encode_jpeg_rgb_progressive
-                    if (i // 16) % 2
-                    else encode_jpeg_rgb
-                )
+                    encode_jpeg_rgb,
+                    encode_jpeg_rgb_progressive,
+                    encode_jpeg_rgb_arith,
+                    encode_jpeg_rgb_arith_progressive,
+                )[(i // 16) % 4]
                 content = enc(np.full((h, w, 3), 60, np.uint8))
             rows.append((i, "image", bytearray(content)))
         else:

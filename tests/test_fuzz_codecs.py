@@ -241,3 +241,60 @@ def test_jpeg_12bit_baseline_marker_rejected():
     buf[i + 1] = 0xC0  # lie: claim baseline
     with pytest.raises(ValueError, match="baseline JPEG is 8-bit"):
         decode_jpeg(bytes(buf))
+
+
+# r8: ARITHMETIC entropy coding (T.81 Annex D QM-coder). The arithmetic
+# encoders share quantization with the huffman ones, so decodes must be
+# bit-identical — one fuzz family pins every coder path (sequential,
+# progressive scan scripts, restarts, 12-bit) against the huffman
+# decoders that are themselves pinned above. External libjpeg streams
+# are pinned separately in test_jpeg_arith.py.
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_fuzz_jpeg_arithmetic_equals_huffman(seed):
+    from sclera_spark.llm.jpeg import (
+        encode_jpeg_gray12,
+        encode_jpeg_gray_progressive,
+    )
+    from sclera_spark.llm.jpeg_arith import (
+        encode_jpeg_gray12_arith,
+        encode_jpeg_gray_arith,
+        encode_jpeg_gray_arith_progressive,
+        encode_jpeg_rgb_arith,
+        encode_jpeg_rgb_arith_progressive,
+    )
+    from sclera_spark.llm.jpeg import encode_jpeg_rgb_progressive
+
+    rng = np.random.default_rng(9000 + seed)
+    h = int(rng.integers(8, 41))
+    w = int(rng.integers(8, 41))
+    kind = seed % 6
+    if kind == 0:  # gray sequential, noise
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        a, b = encode_jpeg_gray(px), encode_jpeg_gray_arith(px)
+    elif kind == 1:  # gray sequential with restarts (coder re-init)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        rsti = int(rng.integers(1, 4))
+        a = encode_jpeg_gray(px, restart_interval=rsti)
+        b = encode_jpeg_gray_arith(px, restart_interval=rsti)
+    elif kind == 2:  # gray progressive (QM DC/AC first+refine scans)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        a = encode_jpeg_gray_progressive(px)
+        b = encode_jpeg_gray_arith_progressive(px)
+    elif kind == 3:  # color 4:4:4 sequential
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        a, b = encode_jpeg_rgb(px), encode_jpeg_rgb_arith(px)
+    elif kind == 4:  # color progressive
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        a = encode_jpeg_rgb_progressive(px)
+        b = encode_jpeg_rgb_arith_progressive(px)
+    else:  # 12-bit sequential (SOF1 vs SOF9, big magnitudes)
+        px = rng.integers(0, 4096, (h, w), dtype=np.uint16)
+        a, b = encode_jpeg_gray12(px), encode_jpeg_gray12_arith(px)
+    da, db = decode_jpeg(a), decode_jpeg(b)
+    assert da.shape == db.shape
+    assert np.array_equal(da, db), (
+        f"seed {seed} kind {kind}: arithmetic decode diverged "
+        f"(maxdiff {np.abs(da.astype(int) - db.astype(int)).max()})"
+    )
