@@ -171,8 +171,14 @@ def main() -> None:
     bench_names = [n for n in bench_names if n in qs]
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
-        wanted = {n.strip() for n in only.split(",") if n.strip()}
-        bench_names = [n for n in bench_names if n in wanted]
+        # ONLY may name ANY queries() entry (not just the headline set):
+        # the ~sf1 sweeps for promoted entries run through the same
+        # warm-up + round-robin protocol
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in qs]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY: unknown queries {unknown}")
+        bench_names = wanted
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "7")))
 
     # warm the JVM + parquet footers once
