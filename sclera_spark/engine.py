@@ -121,7 +121,6 @@ class ScleraEngine:
             # a directory of <table>.parquet files: register eagerly
             self.add_location(params[0])
 
-    _SECRET_PARAM_RE = None  # built lazily (module re import kept local)
     _SECRET_PLACEHOLDER = "__SCLERA_ENC__"
 
     def _encryptor(self):

@@ -814,6 +814,75 @@ class S3Cas:
                 pass  # pruning is cosmetic; never fail a commit on it
 
 
+class GcsCas:
+    """Conditional-put pointer store on Google Cloud Storage generation
+    preconditions — ``ifGenerationMatch=0`` makes an object insert
+    succeed only if no live generation exists: the same put-if-absent
+    primitive as S3's If-None-Match, with strong consistency and NO
+    ambiguous-conflict status (a precondition failure is definitive
+    412), so no writer-token read-back is needed.
+
+    ``client`` duck-types google-cloud-storage's Client:
+      * ``client.list_blobs(bucket, prefix=)`` — iterator of objects
+        with ``.name`` (the real library's iterator pages internally).
+      * ``client.bucket(bucket).blob(key).upload_from_string(data,
+        if_generation_match=0)`` — raises an exception whose ``code``
+        attribute is 412 (google.api_core PreconditionFailed shape)
+        when the object already exists.
+      * ``blob.delete()`` — marker pruning only (never the max)."""
+
+    _prune_keep = 16
+
+    def __init__(self, client, bucket: str, prefix: str = "sclera-cas/"):
+        import hashlib as _hashlib
+
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix if prefix.endswith("/") else prefix + "/"
+        self._h = lambda key: _hashlib.sha256(key.encode()).hexdigest()[:24]
+
+    def _key_prefix(self, key: str) -> str:
+        return f"{self.prefix}{self._h(key)}/"
+
+    def get(self, key: str) -> int | None:
+        pfx = self._key_prefix(key)
+        best: int | None = None
+        for blob in self.client.list_blobs(self.bucket, prefix=pfx):
+            tail = blob.name[len(pfx):]
+            if tail.isdigit():
+                v = int(tail)
+                if best is None or v > best:
+                    best = v
+        return best
+
+    def cas(self, key: str, expected: int | None, new: int) -> bool:
+        if new != (expected or 0) + 1:
+            raise ValueError(
+                f"GcsCas requires single-step advances (expected={expected}, "
+                f"new={new}): put-if-absent of version N is only a unique "
+                "transition when N == expected + 1"
+            )
+        if self.get(key) != expected:
+            return False
+        marker = self._key_prefix(key) + str(new)
+        bucket = self.client.bucket(self.bucket)
+        try:
+            bucket.blob(marker).upload_from_string(
+                key.encode(), if_generation_match=0
+            )
+        except Exception as exc:
+            if getattr(exc, "code", None) == 412:
+                return False  # another writer owns version `new`
+            raise
+        pfx = self._key_prefix(key)
+        for v in range(max(1, new - 2 * self._prune_keep), new - self._prune_keep + 1):
+            try:
+                bucket.blob(f"{pfx}{v}").delete()
+            except Exception:
+                pass  # pruning is cosmetic; never fail a commit on it
+        return True
+
+
 class DynamoCas:
     """Conditional-put pointer store on a DynamoDB coordination table —
     the commit-log pattern Delta Lake uses for S3 multi-writer support.

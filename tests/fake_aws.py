@@ -17,6 +17,10 @@ consistency contract, so the adapter logic is genuinely exercised:
   ``ConditionalCheckFailedException``, plus honest eventual-consistency:
   a ``get_item`` WITHOUT ``ConsistentRead=True`` may serve the previous
   value (so an adapter that forgets the flag reads stale versions).
+* FakeGcsClient — google-cloud-storage shape for GcsCas:
+  ``ifGenerationMatch=0`` put-if-absent raising a 412-coded error
+  (definitive — GCS has no S3-style ambiguous 409), strongly
+  consistent listing.
 
 Both are thread-safe (the CAS race suites hammer them from many
 threads) and raise exceptions shaped like botocore's ClientError (an
@@ -173,3 +177,56 @@ class FakeDynamoClient:
             new["version"] = dict(vals[":new"])
             self._items[pk] = (new, cur)
             return {"ResponseMetadata": {"HTTPStatusCode": 200}}
+
+
+class FakeGcsPreconditionFailed(Exception):
+    """google.api_core.exceptions.PreconditionFailed shape: .code == 412."""
+
+    code = 412
+
+
+class _FakeGcsBlob:
+    def __init__(self, store, lock, name):
+        self._store, self._lock, self.name = store, lock, name
+
+    def upload_from_string(self, data, if_generation_match=None, **kw):
+        if isinstance(data, str):
+            data = data.encode()
+        with self._lock:
+            if if_generation_match == 0 and self.name in self._store:
+                raise FakeGcsPreconditionFailed(
+                    f"412 object {self.name} already exists"
+                )
+            self._store[self.name] = bytes(data)
+
+    def delete(self):
+        with self._lock:
+            if self.name not in self._store:
+                raise FakeGcsPreconditionFailed(f"404 {self.name}")
+            del self._store[self.name]
+
+
+class _FakeGcsBucket:
+    def __init__(self, store, lock):
+        self._store, self._lock = store, lock
+
+    def blob(self, name):
+        return _FakeGcsBlob(self._store, self._lock, name)
+
+
+class FakeGcsClient:
+    """google-cloud-storage Client surface GcsCas consumes: strongly
+    consistent listing, ifGenerationMatch=0 put-if-absent raising a
+    412-coded error — definitive, no S3-style ambiguous 409."""
+
+    def __init__(self):
+        self._store: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def bucket(self, name):
+        return _FakeGcsBucket(self._store, self._lock)
+
+    def list_blobs(self, bucket, prefix=""):
+        with self._lock:
+            names = sorted(n for n in self._store if n.startswith(prefix))
+        return [_FakeGcsBlob(self._store, self._lock, n) for n in names]

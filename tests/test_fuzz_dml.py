@@ -163,7 +163,7 @@ def test_dml_fuzz_manifest_cas(spark, tables, seed):
     _run_sequence(spark, 200 + seed, manifest=True, cas=True)
 
 
-@pytest.mark.parametrize("backend", ["s3", "s3_conflict", "dynamo"])
+@pytest.mark.parametrize("backend", ["s3", "s3_conflict", "dynamo", "gcs"])
 @pytest.mark.parametrize("seed", range(3))
 def test_dml_fuzz_manifest_cas_object_stores(spark, tables, seed, backend):
     """Same stateful fuzz, commit point on the OBJECT-STORE adapters:
@@ -259,11 +259,15 @@ class MGen:
         return merge, duck_steps
 
 
-def _run_merge_sequence(spark, seed: int, manifest: bool):
+def _run_merge_sequence(
+    spark, seed: int, manifest: bool, cas: bool = False, cas_store=None
+):
     import duckdb
 
     engine = ScleraEngine(spark)
     duck = duckdb.connect()
+    if cas_store is not None:
+        engine.ddl()._cas = cas_store
     seedrows = "(1, 1, 'a'), (2, NULL, 'b'), (3, 3, NULL), (4, 7, 'a'), (5, 2, 'zz')"
     engine.execute("CREATE TABLE ft (k INT, v INT, s VARCHAR(20))")
     duck.execute("CREATE TABLE ft (k INTEGER, v INTEGER, s VARCHAR)")
@@ -271,7 +275,9 @@ def _run_merge_sequence(spark, seed: int, manifest: bool):
         engine.execute(f"INSERT INTO ft VALUES {seedrows}")
         duck.execute(f"INSERT INTO ft VALUES {seedrows}")
         if manifest:
-            engine.execute("ALTER TABLE ft SET FORMAT MANIFEST")
+            engine.execute(
+                "ALTER TABLE ft SET FORMAT MANIFEST" + (" CAS" if cas else "")
+            )
         gen = MGen(random.Random(seed))
         for i in range(5):
             merge, steps = gen.gen()
@@ -296,3 +302,16 @@ def test_merge_fuzz_plain(spark, tables, seed):
 @pytest.mark.parametrize("seed", range(4))
 def test_merge_fuzz_manifest(spark, tables, seed):
     _run_merge_sequence(spark, 300 + seed, manifest=True)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_merge_fuzz_manifest_cas_s3(spark, tables, seed):
+    """MERGE through CAS commits on the S3 adapter (conflict-injecting
+    fake): decomposed-oracle equality must hold through conditional-put
+    publication too."""
+    from tests.test_manifest_cas import make_cas
+
+    _run_merge_sequence(
+        spark, 400 + seed, manifest=True, cas=True,
+        cas_store=make_cas("s3_conflict", None),
+    )

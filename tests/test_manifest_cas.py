@@ -28,10 +28,11 @@ from sclera_spark.sources.manifest import (
     ConcurrentWriterError,
     DynamoCas,
     FileCas,
+    GcsCas,
     MemoryCas,
     S3Cas,
 )
-from tests.fake_aws import FakeDynamoClient, FakeS3Client
+from tests.fake_aws import FakeDynamoClient, FakeGcsClient, FakeS3Client
 
 
 def make_cas(kind: str, tmp_path):
@@ -51,10 +52,12 @@ def make_cas(kind: str, tmp_path):
         return S3Cas(FakeS3Client(conflict_every=3), "bkt")
     if kind == "dynamo":
         return DynamoCas(FakeDynamoClient(), "cas-table")
+    if kind == "gcs":
+        return GcsCas(FakeGcsClient(), "bkt")
     raise AssertionError(kind)
 
 
-_CAS_KINDS = ["memory", "file", "s3", "s3_conflict", "dynamo"]
+_CAS_KINDS = ["memory", "file", "s3", "s3_conflict", "dynamo", "gcs"]
 
 
 @pytest.fixture(params=_CAS_KINDS)
@@ -454,3 +457,19 @@ def test_dynamocas_cas_semantics():
     assert b.cas("k", 1, 2) is True
     assert a.cas("k", 1, 2) is False        # stale expected
     assert a.get("k") == 2
+
+
+def test_gcscas_put_if_absent_and_prune():
+    c = FakeGcsClient()
+    cas = GcsCas(c, "bkt")
+    v = None
+    for n in range(1, 25):
+        assert cas.cas("k", v, n)
+        v = n
+    assert cas.get("k") == 24
+    # losers get a definitive 412 (no ambiguous state on GCS)
+    other = GcsCas(c, "bkt")
+    assert other.cas("k", 23, 24) is False  # stale pre-check
+    assert other.cas("k", 24, 25) is True
+    with pytest.raises(ValueError, match="single-step"):
+        other.cas("k", 25, 27)
