@@ -859,9 +859,14 @@ def encode_jpeg_gray_arith_progressive(px) -> bytes:
     return _encode_frame_arith_progressive([px], [(1, 1)], *px.shape)
 
 
-def encode_jpeg_rgb_arith_progressive(px) -> bytes:
+def encode_jpeg_rgb_arith_progressive(px, subsample: bool = False) -> bytes:
     y, cb, cr, h, w = _rgb_planes(px)
-    return _encode_frame_arith_progressive([y, cb, cr], [(1, 1)] * 3, h, w)
+    if not subsample:
+        return _encode_frame_arith_progressive([y, cb, cr], [(1, 1)] * 3, h, w)
+    return _encode_frame_arith_progressive(
+        [y, _down2(cb, h, w), _down2(cr, h, w)],
+        [(2, 2), (1, 1), (1, 1)], h, w,
+    )
 
 
 def _rgb_planes(px):

@@ -285,10 +285,11 @@ def test_fuzz_jpeg_arithmetic_equals_huffman(seed):
     elif kind == 3:  # color 4:4:4 sequential
         px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         a, b = encode_jpeg_rgb(px), encode_jpeg_rgb_arith(px)
-    elif kind == 4:  # color progressive
+    elif kind == 4:  # color progressive (4:4:4 / 4:2:0 alternating)
         px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        a = encode_jpeg_rgb_progressive(px)
-        b = encode_jpeg_rgb_arith_progressive(px)
+        sub = bool(seed % 2)
+        a = encode_jpeg_rgb_progressive(px, subsample=sub)
+        b = encode_jpeg_rgb_arith_progressive(px, subsample=sub)
     else:  # 12-bit sequential (SOF1 vs SOF9, big magnitudes)
         px = rng.integers(0, 4096, (h, w), dtype=np.uint16)
         a, b = encode_jpeg_gray12(px), encode_jpeg_gray12_arith(px)
