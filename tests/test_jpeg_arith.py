@@ -300,3 +300,40 @@ def test_live_cross_codec(jpegtool):
                     ).max()
                 )
                 assert d <= max(tol, 2), (ch, mk.__name__, d, tol)
+
+
+def test_corrupt_arithmetic_streams_never_hang():
+    """Truncations and random byte flips of a valid arithmetic JPEG must
+    either decode (graceful zero-fed tail) or raise — never hang or
+    crash: every decode loop is bounded (magnitude chains raise at
+    0x8000, zero-runs raise past the band end, MCU walks are counted)."""
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray_arith(px, restart_interval=2))
+    # locate entropy start so corruption hits coder bytes, not headers
+    pos = 2
+    while True:
+        m, ln = data[pos + 1], struct.unpack_from(">H", data, pos + 2)[0]
+        if m == 0xDA:
+            entro = pos + 2 + ln
+            break
+        pos += 2 + ln
+    outcomes = {"ok": 0, "raised": 0}
+    for trial in range(60):
+        bad = bytearray(data)
+        if trial % 3 == 0:  # truncate inside the entropy segment
+            cut = int(rng.integers(entro + 1, len(bad) - 2))
+            bad = bad[:cut]
+        elif trial % 3 == 1:  # flip bits in one entropy byte
+            i = int(rng.integers(entro, len(bad) - 2))
+            bad[i] ^= int(rng.integers(1, 256))
+        else:  # swap two entropy bytes
+            i = int(rng.integers(entro, len(bad) - 3))
+            bad[i], bad[i + 1] = bad[i + 1], bad[i]
+        try:
+            out = decode_jpeg(bytes(bad))
+            assert out.shape == (24, 24, 1)
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["raised"] += 1
+    assert outcomes["ok"] + outcomes["raised"] == 60
