@@ -142,9 +142,13 @@ class ScleraEngine:
         secrets: dict[str, str] = {}
         for i, p in enumerate(params):
             if i == 0:
+                # indexed placeholders: a URL with several password=
+                # params (rare, but e.g. nested proxy conninfo strings)
+                # must restore each to ITS OWN secret
                 def _repl(m):
-                    secrets["url_password"] = enc.encrypt(m.group(2))
-                    return m.group(1) + self._SECRET_PLACEHOLDER
+                    k = f"url_password_{len(secrets)}"
+                    secrets[k] = enc.encrypt(m.group(2))
+                    return m.group(1) + self._SECRET_PLACEHOLDER + f":{k}:"
 
                 out.append(url_pw.sub(_repl, p))
                 continue
@@ -162,10 +166,11 @@ class ScleraEngine:
         enc = self._encryptor()
         secrets = info.get("secrets") or {}
         url = info["params"][0]
-        if "url_password" in secrets:
-            url = url.replace(
-                self._SECRET_PLACEHOLDER, enc.decrypt(secrets["url_password"])
-            )
+        for k, tok in secrets.items():
+            if k.startswith("url_password"):
+                url = url.replace(
+                    self._SECRET_PLACEHOLDER + f":{k}:", enc.decrypt(tok)
+                )
         opts: dict[str, str] = {}
         for p in info["params"][1:]:
             if "=" in p:
@@ -174,7 +179,7 @@ class ScleraEngine:
             else:
                 opts["driver"] = p
         for k, tok in secrets.items():
-            if k != "url_password":
+            if not k.startswith("url_password"):
                 opts[k] = enc.decrypt(tok)
         return url, opts
 

@@ -895,3 +895,12 @@ def encode_jpeg_gray12_arith(px12) -> bytes:
     if px12.max(initial=0) > 4095:
         raise ValueError("12-bit samples must be <= 4095")
     return _encode_frame_arith([px12], [(1, 1)], *px12.shape, prec=12)
+
+
+def encode_jpeg_gray12_arith_progressive(px12) -> bytes:
+    """12-bit progressive ARITHMETIC (SOF10) grayscale JPEG — completes
+    the precision x scan-script x entropy-coding matrix."""
+    px12 = np.asarray(px12, dtype=np.uint16)
+    if px12.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    return _encode_frame_arith_progressive([px12], [(1, 1)], *px12.shape, prec=12)

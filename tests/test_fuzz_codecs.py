@@ -290,9 +290,18 @@ def test_fuzz_jpeg_arithmetic_equals_huffman(seed):
         sub = bool(seed % 2)
         a = encode_jpeg_rgb_progressive(px, subsample=sub)
         b = encode_jpeg_rgb_arith_progressive(px, subsample=sub)
-    else:  # 12-bit sequential (SOF1 vs SOF9, big magnitudes)
+    else:  # 12-bit (SOF1 vs SOF9 sequential; SOF2 vs SOF10 progressive)
+        from sclera_spark.llm.jpeg import encode_jpeg_gray12_progressive
+        from sclera_spark.llm.jpeg_arith import (
+            encode_jpeg_gray12_arith_progressive,
+        )
+
         px = rng.integers(0, 4096, (h, w), dtype=np.uint16)
-        a, b = encode_jpeg_gray12(px), encode_jpeg_gray12_arith(px)
+        if seed % 2:
+            a = encode_jpeg_gray12_progressive(px)
+            b = encode_jpeg_gray12_arith_progressive(px)
+        else:
+            a, b = encode_jpeg_gray12(px), encode_jpeg_gray12_arith(px)
     da, db = decode_jpeg(a), decode_jpeg(b)
     assert da.shape == db.shape
     assert np.array_equal(da, db), (

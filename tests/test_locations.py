@@ -234,3 +234,17 @@ def test_token_tamper_detected(engine):
     bad = tok[:-4] + ("AAAA" if not tok.endswith("AAAA") else "BBBB")
     with pytest.raises(Exception):  # GCM tag failure, never garbage
         e.decrypt(bad)
+
+
+def test_two_url_passwords_restore_independently(engine):
+    """Indexed placeholders: a URL carrying two password= params (e.g.
+    nested proxy conninfo) must restore EACH to its own secret."""
+    url = "jdbc:postgresql://h/db?password=outer-pw&proxy=password%3D&password=inner-pw"
+    engine.add_named_location("twopw", "JDBC", [url])
+    try:
+        info = engine.locations["twopw"]
+        assert "outer-pw" not in repr(info) and "inner-pw" not in repr(info)
+        restored, _ = engine._location_jdbc(info)
+        assert restored == url
+    finally:
+        engine.remove_location("twopw")
