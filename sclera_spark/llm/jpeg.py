@@ -708,8 +708,24 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             while i + 1 < len(seg):
                 cond[(seg[i] >> 4, seg[i] & 0x0F)] = seg[i + 1]
                 i += 2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG mode (lossless/hierarchical)")
+        elif marker == 0xC3:  # lossless (T.81 Annex H): P in 2..16
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if not 2 <= prec <= 16:
+                raise ValueError(f"invalid lossless precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+            frame = {
+                "h": fh, "w": fw, "comps": comps, "prog": False,
+                "lossless": True, "prec_raw": prec,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG mode (arithmetic-lossless/hierarchical)"
+            )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:
@@ -722,6 +738,18 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
             arith = frame.get("arith", False)
+            if frame.get("lossless"):
+                from sclera_spark.llm.jpeg_lossless import (
+                    decode_scan_lossless,
+                    present_uint8,
+                )
+
+                frame["ll_predictor"] = seg[1 + 2 * ns]
+                frame["ll_pt"] = seg[3 + 2 * ns] & 0x0F
+                samples = decode_scan_lossless(
+                    content, pos + 2 + ln, frame, scan, huff, restart_interval
+                )
+                return present_uint8(samples, frame["prec_raw"])
             if not frame["prog"]:
                 if arith:
                     from sclera_spark.llm.jpeg_arith import decode_scan_arith
