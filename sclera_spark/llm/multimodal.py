@@ -961,11 +961,20 @@ def synthetic_pixel_assets(spark, n: int = 100) -> DataFrame:
                     filter_type=2 if i % 3 == 0 else 0,
                     interlace=(i // 4) % 3 == 1,
                 )
-            elif (i // 4) % 2 == 0:
+            elif (i // 4) % 3 == 0:
                 content = ppm_bytes(px)
-            else:
+            elif (i // 4) % 3 == 1:
                 # same gradient through the GIF-LZW path (decode_gif)
                 content = gif_pixel_bytes(px)
+            else:
+                # same gradient through LOSSLESS JPEG (r8, T.81 Annex H
+                # SOF3): exact by definition, so the identical
+                # closed-form oracle certifies the predictive decode
+                from sclera_spark.llm.jpeg_lossless import (
+                    encode_jpeg_lossless,
+                )
+
+                content = encode_jpeg_lossless(px, predictor=1 + i % 7)
             rows.append((i, "image", bytearray(content)))
         elif kind == 2:
             variant = (i // 4) % 4
