@@ -443,3 +443,58 @@ def test_range_join_auto_bin_width_gated_and_cached(spark, tmp_path):
     finally:
         rj_mod._AUTO_MIN_BYTES = monkey_min
         rj_mod._AUTO_SAMPLE_FRACTION = 0.05
+
+
+def test_jaccard_pairs_grouped_hash_join_no_python(engine):
+    """r8-promoted entry: the grouped n-gram Jaccard candidate join must
+    be a hash equi-join on (group, gram-set keys) — never a cartesian /
+    BroadcastNestedLoopJoin — with the gram algebra in codegen, not
+    Python."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import ngram_jaccard_pairs
+
+    docs = engine.table("documents").select(
+        "doc_id", "text",
+        F.floor(F.length("text") / 400).cast("int").alias("len_bucket"),
+    )
+    df = ngram_jaccard_pairs(docs, n=3, threshold=0.5, group_col="len_bucket")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fingerprint_dups_hash_join_on_fingerprint(engine):
+    """r8-promoted entry: duplicate discovery joins on the 64-bit
+    fingerprint (hash join), not on text, and stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import doc_fingerprint
+
+    docs = engine.table("documents").select("doc_id", "text")
+    fp = doc_fingerprint(docs).select("doc_id", "fingerprint")
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), on="fingerprint")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_single_window_shuffle(engine):
+    """r8-promoted entry: exact per-stratum quotas via one md5-ordered
+    window per stratum — exactly one exchange (on the stratum), no
+    Python, no global sort."""
+    from sclera_spark.llm.sample import stratified_sample
+
+    docs = engine.table("documents").select("doc_id", "lang", "text")
+    df = stratified_sample(
+        docs, group_col="lang", n_per_group=5, key_col="doc_id"
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
