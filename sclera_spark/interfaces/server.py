@@ -610,6 +610,17 @@ class _Handler(socketserver.BaseRequestHandler):
             else:
                 values.append(rest[:vlen].decode("utf-8"))
                 rest = rest[vlen:]
+        # RESULT format codes: rows are always sent in text format, so a
+        # request for binary results must fail loudly here — silently
+        # answering text to a client that asked for (and will parse)
+        # binary would corrupt every value (honest-wire rule)
+        if len(rest) >= 2:
+            (nrfmt,) = struct.unpack("!h", rest[:2])
+            rfmts = struct.unpack(f"!{nrfmt}h", rest[2 : 2 + 2 * nrfmt])
+            if any(f == 1 for f in rfmts):
+                self._skip_to_sync = True
+                self._error("0A000", "binary result format is not supported")
+                return
         query, oids = self._statements.get(stmt, ("", []))
         try:
             self._portals[portal] = _substitute_params(query, values, oids)

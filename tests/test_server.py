@@ -216,3 +216,71 @@ def test_error_mentioning_cancel_is_not_query_canceled(server):
         assert "[57014]" not in str(ei.value)
     finally:
         client.close()
+
+
+def test_bind_binary_result_format_refused(server):
+    """Honest wire rule: rows are text-format only, so a Bind requesting
+    BINARY result columns must error (0A000) instead of sending text
+    bytes the client would parse as binary."""
+    import socket
+    import struct as _struct
+
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    payload = _struct.pack("!i", 196608) + b"user\x00t\x00database\x00sclera\x00\x00"
+    s.sendall(_struct.pack("!i", len(payload) + 4) + payload)
+
+    def read_msg():
+        head = s.recv(1)
+        ln = _struct.unpack("!i", s.recv(4))[0]
+        buf = b""
+        while len(buf) < ln - 4:
+            chunk = s.recv(ln - 4 - len(buf))
+            if not chunk:
+                break
+            buf += chunk
+        return head, buf
+
+    # drain startup responses until ReadyForQuery
+    while True:
+        head, _ = read_msg()
+        if head == b"Z":
+            break
+    # Parse + Bind with one result-format code = 1 (binary)
+    parse = b"\x00" + b"SELECT 1 AS x\x00" + _struct.pack("!h", 0)
+    s.sendall(b"P" + _struct.pack("!i", len(parse) + 4) + parse)
+    bind = (
+        b"\x00" + b"\x00"                 # portal, statement
+        + _struct.pack("!h", 0)           # no param formats
+        + _struct.pack("!h", 0)           # no params
+        + _struct.pack("!hh", 1, 1)       # ONE result format: binary
+    )
+    s.sendall(b"B" + _struct.pack("!i", len(bind) + 4) + bind)
+    s.sendall(b"S" + _struct.pack("!i", 4))  # Sync
+    saw_error = False
+    while True:
+        head, body = read_msg()
+        if head == b"E":
+            assert b"0A000" in body and b"binary result" in body
+            saw_error = True
+        if head == b"Z":
+            break
+    assert saw_error
+    # text-format Bind on the same connection still works
+    bind_ok = (
+        b"\x00" + b"\x00"
+        + _struct.pack("!h", 0) + _struct.pack("!h", 0)
+        + _struct.pack("!hh", 1, 0)       # ONE result format: text
+    )
+    s.sendall(b"B" + _struct.pack("!i", len(bind_ok) + 4) + bind_ok)
+    execute = b"\x00" + _struct.pack("!i", 0)
+    s.sendall(b"E" + _struct.pack("!i", len(execute) + 4) + execute)
+    s.sendall(b"S" + _struct.pack("!i", 4))
+    saw_row = False
+    while True:
+        head, body = read_msg()
+        if head == b"D":
+            saw_row = True
+        if head == b"Z":
+            break
+    assert saw_row
+    s.close()
