@@ -176,10 +176,70 @@ class ManifestTable:
             manifest = json.load(fh)
         return [os.path.join(self.data_dir, f) for f in manifest["files"]]
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        files = self.files(version)
+    def file_stats(self, version: int | None = None) -> dict[str, dict]:
+        """Per-file column min/max recorded at commit time (r8 data
+        skipping): {file name: {column: [min, max]}}. Absent for files
+        committed by pre-stats builds — pruning keeps those files."""
+        v = self.version() if version is None else version
+        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
+            return json.load(fh).get("stats", {})
+
+    def files_pruned(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> list[str]:
+        """FILE-LEVEL data skipping: the live files that can contain a
+        row satisfying every ``col BETWEEN lo AND hi`` in ``ranges``
+        (either bound may be None = unbounded). A file is dropped only
+        when its recorded [min, max] for the column provably cannot
+        overlap — missing stats, unknown columns, or type mismatches
+        keep the file (pruning is an optimization, never a filter:
+        parquet min/max ignore NULLs, and a BETWEEN predicate excludes
+        NULL rows anyway, so dropping a non-overlapping file is safe).
+        At 100 TB this is the move that turns a time-range query over a
+        sorted/clustered table from 'open every footer' into 'open the
+        few files the manifest says overlap' — same shape as
+        Delta/Iceberg file skipping, with OPTIMIZE ... SORT BY as the
+        clustering knob that makes ranges tight."""
+        v = self.version() if version is None else version
+        stats = self.file_stats(v)
+        out = []
+        for path in self.files(v):
+            name = os.path.basename(path)
+            fstats = stats.get(name)
+            if fstats is None:
+                out.append(path)
+                continue
+            keep = True
+            for col, (lo, hi) in ranges.items():
+                mn_mx = fstats.get(col)
+                if not mn_mx:
+                    continue  # no stats for this column: cannot prune
+                mn, mx = mn_mx
+                try:
+                    if lo is not None and mx < lo:
+                        keep = False
+                        break
+                    if hi is not None and mn > hi:
+                        keep = False
+                        break
+                except TypeError:
+                    continue  # incomparable bound types: keep the file
+            if keep:
+                out.append(path)
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        files = (
+            self.files_pruned(prune, version) if prune else self.files(version)
+        )
         if not files:
-            # schema-only snapshot: keep the latest non-empty schema
+            # schema-only snapshot (or fully-pruned read): keep the
+            # latest non-empty schema
             for v in reversed(self.versions()):
                 prior = self.files(v)
                 if prior:
@@ -497,16 +557,49 @@ class ManifestTable:
         trade silent lost updates with it. (CasManifestTable overrides
         the conflict handling: no heal, conflicts retry via CAS.)"""
         mpath = os.path.join(self.log_dir, f"v{version}.json")
+        stats = self._assemble_stats(files)
         try:
             fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             fd = self._on_claim_conflict(version)
         with os.fdopen(fd, "w") as fh:
             json.dump(
-                {"version": version, "files": files, "meta": meta or {}}, fh
+                {
+                    "version": version,
+                    "files": files,
+                    "meta": meta or {},
+                    "stats": stats,
+                },
+                fh,
             )
             fh.flush()
             os.fsync(fh.fileno())
+
+    def _assemble_stats(self, files: list[str]) -> dict[str, dict]:
+        """Per-file column min/max for the manifest being committed:
+        inherited from the current version for surviving files (stats
+        are immutable with the file), computed from the parquet footer
+        for files new to this commit (they are already in data/ —
+        _adopt runs before the claim). Footer reads cost O(new files)
+        per commit, the Delta/Iceberg stats model. Any failure degrades
+        to 'no stats for that file' (pruning keeps it)."""
+        prior: dict[str, dict] = {}
+        try:
+            prior = self.file_stats()
+        except Exception:
+            pass
+        out: dict[str, dict] = {}
+        for name in files:
+            if name in prior:
+                out[name] = prior[name]
+                continue
+            try:
+                st = _parquet_minmax(os.path.join(self.data_dir, name))
+            except Exception:
+                st = None
+            if st:
+                out[name] = st
+        return out
 
     def _on_claim_conflict(self, version: int) -> int:
         """Local-table policy: heal the crashed orphan loudly; a claim
@@ -555,6 +648,49 @@ class ManifestTable:
             os.remove(os.path.join(self.log_dir, f"v{version}.json"))
         except FileNotFoundError:
             pass
+
+
+def _parquet_minmax(path: str) -> dict[str, list] | None:
+    """Top-level-column [min, max] from a parquet file's footer (no data
+    read; pyarrow metadata only), restricted to JSON-safe scalar types.
+    Columns whose row groups lack min/max (all-NULL, unsupported types)
+    are omitted — absence means 'cannot prune on this column'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    skip: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in skip:
+                continue  # nested leaves: not prunable top-level columns
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                skip.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    skip.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                skip.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {k: [mins[k], maxs[k]] for k in mins} or None
 
 
 class _ClaimConflict(Exception):

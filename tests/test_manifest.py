@@ -511,3 +511,89 @@ def test_symlink_manifest_export(engine, mtab, spark):
     )
     ext2 = spark.read.parquet(*[u[len("file://"):] for u in uris2])
     assert ext2.count() == engine.table(mtab).count()
+
+
+# --------------------------------------------- file-level data skipping
+
+
+def test_commit_records_stats_and_pruned_read(spark, tmp_path):
+    """r8 data skipping: every commit records per-file column min/max
+    (footer-only), and read(prune=...) drops files whose range provably
+    cannot overlap — with identical results to the unpruned read."""
+    path = str(tmp_path / "t")
+    ManifestTable.create(
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"), path
+    )
+    mt = ManifestTable(path)
+    mt.append(spark.range(100, 200).selectExpr("id AS k", "id * 2 AS v"))
+    mt.append(spark.range(200, 300).selectExpr("id AS k", "id * 2 AS v"))
+    stats = mt.file_stats()
+    assert stats and all("k" in s for s in stats.values())
+    # range hitting only the middle commit
+    pruned = mt.files_pruned({"k": (120, 180)})
+    assert len(pruned) < len(mt.files())
+    got = sorted(
+        r.k for r in mt.read(spark, prune={"k": (120, 180)})
+        .filter("k BETWEEN 120 AND 180").collect()
+    )
+    assert got == list(range(120, 181))
+    # open-ended bounds
+    assert len(mt.files_pruned({"k": (250, None)})) < len(mt.files())
+    assert mt.files_pruned({"k": (None, None)}) == mt.files()
+    # unknown column: nothing pruned (safe)
+    assert mt.files_pruned({"nope": (0, 1)}) == mt.files()
+
+
+def test_stats_inherited_and_sorted_compaction_tightens(spark, tmp_path):
+    """Stats are immutable with the file (inherited across commits, so
+    a maintenance commit costs no re-reads), and OPTIMIZE SORT BY makes
+    ranges tight enough that a narrow probe keeps few files."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).selectExpr(
+        "cast(hash(id) % 1000 AS long) AS k", "id AS v"
+    )
+    ManifestTable.create(df.repartition(8), path)
+    mt = ManifestTable(path)
+    pre = mt.file_stats()
+    mt.append(
+        spark.range(1).selectExpr("cast(999999 AS long) AS k", "id AS v")
+    )
+    post = mt.file_stats()
+    for name, s in pre.items():
+        assert post[name] == s  # inherited, not recomputed
+    # unsorted layout: hash-scattered k means a narrow range prunes ~0
+    wide = len(mt.files_pruned({"k": (10, 20)}))
+    mt.compact(spark, target_bytes=1 << 20, cluster_by=["k"])
+    tight = len(mt.files_pruned({"k": (10, 20)}))
+    assert tight <= wide
+    got = sorted(
+        (r.k, r.v)
+        for r in mt.read(spark, prune={"k": (10, 20)})
+        .filter("k BETWEEN 10 AND 20").collect()
+    )
+    exp = sorted(
+        (r.k, r.v)
+        for r in mt.read(spark).filter("k BETWEEN 10 AND 20").collect()
+    )
+    assert got == exp
+
+
+def test_pre_stats_manifests_never_pruned(spark, tmp_path):
+    """A manifest written WITHOUT stats (older build) keeps all files
+    under any prune — absence of stats can only disable skipping."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "t")
+    ManifestTable.create(
+        spark.range(10).selectExpr("id AS k"), path
+    )
+    mt = ManifestTable(path)
+    v = mt.version()
+    mpath = _os.path.join(mt.log_dir, f"v{v}.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    m.pop("stats", None)
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    assert mt.files_pruned({"k": (99999, None)}) == mt.files()
