@@ -260,6 +260,7 @@ class ScleraEngine:
             if plot_text is not None:
                 return plot_result(self, body, plot_text)
         df = lower_sql(self, query)
+        df = self._maybe_prune_manifest(query, df)
         if self.config.get("explain_script") == "on":
             # EXPLAIN SCRIPT mode: record each statement's formatted plan
             if not hasattr(self, "script_explains"):
@@ -269,6 +270,30 @@ class ScleraEngine:
                 (query, df._jdf.queryExecution().explainString(mode.fromString("formatted")))
             )
         return df
+
+    def _maybe_prune_manifest(self, query: str, df: DataFrame) -> DataFrame:
+        """File-level data skipping for manifest-format tables
+        (sources/prune.py): when the lowered query filters a manifest
+        table on columns with recorded per-file min/max, rebuild it over
+        only the files that can match. Gated hard: runs only when a
+        registered manifest table's name appears in the query text, and
+        any failure returns the original DataFrame unchanged. Disable
+        with SET manifest_pruning = off."""
+        if self.config.get("manifest_pruning", "on") != "on":
+            return df
+        ddl = getattr(self, "_ddl", None)
+        if ddl is None or not ddl.manifest_tables:
+            return df
+        import re
+
+        if not any(
+            re.search(rf"\b{re.escape(name)}\b", query, re.IGNORECASE)
+            for name in ddl.manifest_tables
+        ):
+            return df
+        from sclera_spark.sources.prune import prune_query
+
+        return prune_query(self, ddl, query, df) or df
 
     def execute(self, statement: str):
         """Run a statement: queries return a DataFrame; DDL/DML (CREATE

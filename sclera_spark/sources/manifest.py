@@ -214,7 +214,8 @@ class ManifestTable:
                 mn_mx = fstats.get(col)
                 if not mn_mx:
                     continue  # no stats for this column: cannot prune
-                mn, mx = mn_mx
+                mn, mx = _canon_bound(mn_mx[0]), _canon_bound(mn_mx[1])
+                lo, hi = _canon_bound(lo), _canon_bound(hi)
                 try:
                     if lo is not None and mx < lo:
                         keep = False
@@ -233,10 +234,21 @@ class ManifestTable:
         spark: SparkSession,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        file_paths: list[str] | None = None,
     ) -> DataFrame:
-        files = (
-            self.files_pruned(prune, version) if prune else self.files(version)
-        )
+        """Snapshot read. ``prune`` applies file-level data skipping
+        (see files_pruned); ``file_paths`` reads an explicit subset the
+        caller already derived (e.g. the union of per-scan pruned lists
+        when one query scans the table twice) — datetime bounds in
+        ``prune`` are taken as UTC when naive."""
+        if file_paths is not None:
+            files = file_paths
+        else:
+            files = (
+                self.files_pruned(prune, version)
+                if prune
+                else self.files(version)
+            )
         if not files:
             # schema-only snapshot (or fully-pruned read): keep the
             # latest non-empty schema
@@ -674,7 +686,7 @@ def _parquet_minmax(path: str) -> dict[str, list] | None:
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 continue
-            mn, mx = st.min, st.max
+            mn, mx = _canon_stat(st.min), _canon_stat(st.max)
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
@@ -691,6 +703,53 @@ def _parquet_minmax(path: str) -> dict[str, list] | None:
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     return {k: [mins[k], maxs[k]] for k in mins} or None
+
+
+def _canon_stat(v):
+    """Canonicalize a parquet-footer statistic for JSON storage and
+    ORDER-PRESERVING string comparison: dates to ISO (lexicographic ==
+    chronological), timestamps to a fixed-width UTC form
+    'YYYY-MM-DD HH:MM:SS.ffffff' (tz-aware converted to UTC; naive —
+    parquet TIMESTAMP_NTZ — taken as-is, and probes for an NTZ column
+    are tz-free too, so both sides agree). Everything else passes
+    through for the existing scalar-type gate."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+_TS_RE = None
+
+
+def _canon_bound(v):
+    """Canonicalize a pruning bound the same way stats are stored:
+    datetime/date objects and timestamp-looking strings (any fraction
+    width, 'T' or space separator) land on the fixed-width form so
+    string comparison is chronological; everything else is unchanged.
+    Naive datetimes are taken as already-UTC (document at call sites)."""
+    global _TS_RE
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return _canon_stat(v)
+    if isinstance(v, str):
+        if _TS_RE is None:
+            import re
+
+            _TS_RE = re.compile(
+                r"^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(?:\.(\d+))?$"
+            )
+        m = _TS_RE.match(v)
+        if m:
+            frac = (m.group(3) or "")[:6].ljust(6, "0")
+            return f"{m.group(1)} {m.group(2)}.{frac}"
+    return v
 
 
 class _ClaimConflict(Exception):

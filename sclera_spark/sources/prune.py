@@ -1,0 +1,362 @@
+"""Automatic file-level data skipping for manifest tables.
+
+Delta/Iceberg-style scan pruning, wired into the engine's SQL path:
+after a query is lowered to a Spark DataFrame, walk its OPTIMIZED
+logical plan for ``Filter`` nodes sitting directly on a
+``LogicalRelation`` whose files live in a registered manifest table's
+data directory, extract the conservative conjunctive range bounds from
+the filter condition, and — when the manifest's per-file min/max stats
+(sources/manifest.py) prove some files cannot contain a matching row —
+rebuild the query over a pruned file list. At 100 TB this turns a
+time-range probe of a sorted/clustered table from "list and open every
+parquet footer" into "open the few files the manifest says overlap";
+Spark's own row-group pruning still applies inside the surviving files.
+
+Soundness notes:
+- Bounds are read from the TYPED catalyst expression tree via py4j
+  (Literal.value()/dataType()), never from plan text — a string literal
+  crafted to look like a serialized filter is an opaque value here, and
+  date/timestamp literals arrive as epoch days / UTC microseconds, so
+  session time zones never enter the comparison.
+- Extraction is conservative: only ``And``-reachable conjuncts of the
+  shapes ``col <op> literal`` / ``literal <op> col`` / ``col IN
+  (literals)`` / ``StartsWith(col, lit)`` contribute; ``Or`` trees,
+  casts, UDF calls and everything else are ignored (they can only make
+  the true row set SMALLER than the bounds describe — pruning by the
+  extracted superset-range stays sound because a pushed-down conjunct
+  must hold for every scanned row that survives the filter).
+- A table scanned more than once keeps the UNION of each scan's
+  surviving files; a scan with no usable bounds keeps every file.
+- Any failure (unexpected plan shape, py4j hiccup) falls back to the
+  unpruned DataFrame — pruning is an optimization, never a filter.
+
+Reference context: the reference pushes predicates into per-location
+SQL (sql/mapper/default/ScleraSqlMapper.scala); for our manifest-format
+tables the manifest IS the location, and its stats block is the pushdown
+target.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+
+_SKIP = object()  # sentinel: value not representable for pruning
+
+_CMP_NODES = {
+    "GreaterThan",
+    "GreaterThanOrEqual",
+    "LessThan",
+    "LessThanOrEqual",
+    "EqualTo",
+    "EqualNullSafe",
+}
+
+_NUM_TYPES = {"integer", "long", "short", "byte"}
+_FLOAT_TYPES = {"double", "float"}
+
+
+def _seq(scala_seq):
+    return [scala_seq.apply(i) for i in range(scala_seq.size())]
+
+
+def _cls(obj) -> str:
+    return obj.getClass().getSimpleName()
+
+
+def _lit_value(raw, type_name: str):
+    """Convert a catalyst Literal's internal value to the Python form
+    manifest stats use (see manifest._canon_stat): ints/floats as-is,
+    UTF8String -> str, date days -> ISO string, timestamp[_ntz] micros
+    -> fixed-width 'YYYY-MM-DD HH:MM:SS.ffffff' (UTC for adjusted
+    timestamps, wall-clock for NTZ — matching how the stats were
+    canonicalized for the same column type)."""
+    if raw is None:
+        return _SKIP
+    if type_name in _NUM_TYPES:
+        return int(raw)
+    if type_name in _FLOAT_TYPES:
+        return float(raw)
+    if type_name == "string":
+        return raw if isinstance(raw, str) else raw.toString()
+    if type_name == "date":
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(raw))
+        return d.isoformat()
+    if type_name in ("timestamp", "timestamp_ntz"):
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=int(raw)
+        )
+        return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return _SKIP
+
+
+def _attr_lit(expr):
+    """(column name, literal python value) for a binary comparison with
+    exactly one AttributeReference side and one Literal side, plus
+    whether the attribute is on the left; None when the shape differs."""
+    kids = _seq(expr.children())
+    if len(kids) != 2:
+        return None
+    l, r = kids
+    if _cls(l) == "AttributeReference" and _cls(r) == "Literal":
+        v = _lit_value(r.value(), r.dataType().typeName())
+        return None if v is _SKIP else (l.name(), v, True)
+    if _cls(l) == "Literal" and _cls(r) == "AttributeReference":
+        v = _lit_value(l.value(), l.dataType().typeName())
+        return None if v is _SKIP else (r.name(), v, False)
+    return None
+
+
+def _conjuncts(cond):
+    out = []
+    stack = [cond]
+    while stack:
+        e = stack.pop()
+        if _cls(e) == "And":
+            stack.extend(_seq(e.children()))
+        else:
+            out.append(e)
+    return out
+
+
+@dataclass
+class _Bound:
+    lo: object = None
+    hi: object = None
+
+    def add_lo(self, v):
+        try:
+            if self.lo is None or v > self.lo:
+                self.lo = v
+        except TypeError:
+            raise _Incomparable()
+
+    def add_hi(self, v):
+        try:
+            if self.hi is None or v < self.hi:
+                self.hi = v
+        except TypeError:
+            raise _Incomparable()
+
+
+class _Incomparable(Exception):
+    pass
+
+
+def extract_ranges(cond) -> dict[str, tuple]:
+    """Conservative {column: (lo, hi)} bounds implied by a catalyst
+    filter condition (either end None = unbounded). Bounds from
+    strict comparisons are kept inclusive — wider, therefore sound."""
+    bounds: dict[str, _Bound] = {}
+    dead: set[str] = set()
+
+    def bound(col):
+        return bounds.setdefault(col, _Bound())
+
+    for e in _conjuncts(cond):
+        cn = _cls(e)
+        try:
+            if cn in _CMP_NODES:
+                got = _attr_lit(e)
+                if got is None:
+                    continue
+                col, v, attr_left = got
+                if col in dead:
+                    continue
+                if cn in ("EqualTo", "EqualNullSafe"):
+                    bound(col).add_lo(v)
+                    bound(col).add_hi(v)
+                elif (cn.startswith("GreaterThan")) == attr_left:
+                    # col > v / col >= v / v < col / v <= col
+                    bound(col).add_lo(v)
+                else:
+                    bound(col).add_hi(v)
+            elif cn == "In":
+                kids = _seq(e.children())
+                if not kids or _cls(kids[0]) != "AttributeReference":
+                    continue
+                col = kids[0].name()
+                if col in dead:
+                    continue
+                vals = []
+                ok = True
+                for lit in kids[1:]:
+                    if _cls(lit) != "Literal":
+                        ok = False
+                        break
+                    v = _lit_value(lit.value(), lit.dataType().typeName())
+                    if v is _SKIP:
+                        ok = False
+                        break
+                    vals.append(v)
+                if ok and vals:
+                    bound(col).add_lo(min(vals))
+                    bound(col).add_hi(max(vals))
+            elif cn == "InSet":
+                child = e.child()
+                if _cls(child) != "AttributeReference":
+                    continue
+                col = child.name()
+                if col in dead:
+                    continue
+                tn = child.dataType().typeName()
+                vals = []
+                it = e.hset().iterator()
+                while it.hasNext():
+                    v = _lit_value(it.next(), tn)
+                    if v is _SKIP:
+                        vals = []
+                        break
+                    vals.append(v)
+                if vals:
+                    bound(col).add_lo(min(vals))
+                    bound(col).add_hi(max(vals))
+            elif cn == "StartsWith":
+                got = _attr_lit(e)
+                if got is None or not got[2] or not isinstance(got[1], str):
+                    continue
+                col, v = got[0], got[1]
+                if col not in dead:
+                    # s LIKE 'p%'  =>  s >= 'p' (free sound lower bound)
+                    bound(col).add_lo(v)
+        except _Incomparable:
+            dead.add(col)
+            bounds.pop(col, None)
+        except Exception:
+            continue  # any unexpected expression: ignore the conjunct
+    return {
+        c: (b.lo, b.hi)
+        for c, b in bounds.items()
+        if b.lo is not None or b.hi is not None
+    }
+
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file:"):
+        rest = path[len("file:") :]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return path
+
+
+def _scan_pairs(plan):
+    """(filter condition | None, LogicalRelation) for every parquet
+    relation in the optimized plan — condition present only when the
+    Filter sits DIRECTLY on the relation (where the optimizer leaves
+    pushable predicates)."""
+    pairs = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cn = _cls(node)
+        kids = _seq(node.children())
+        if cn == "Filter" and len(kids) == 1 and _cls(kids[0]) == "LogicalRelation":
+            pairs.append((node.condition(), kids[0]))
+            continue
+        if cn == "LogicalRelation":
+            pairs.append((None, node))
+            continue
+        stack.extend(kids)
+        # subquery expressions may hold their own plans; those scans are
+        # not reachable from children() — their tables simply stay
+        # unpruned (conservative) unless also scanned in the main tree.
+    return pairs
+
+
+def _relation_dir(rel) -> str | None:
+    """Directory of the relation's first input file (all files of a
+    manifest view share one data dir by construction)."""
+    try:
+        files = rel.relation().location().inputFiles()
+        first = files[0] if len(files) else None
+    except Exception:
+        return None
+    if first is None:
+        return None
+    import os
+
+    return os.path.dirname(_strip_scheme(first))
+
+
+def prune_query(engine, ddl, query: str, df):
+    """Rebuild ``query`` over pruned manifest views when file-level
+    stats prove some files irrelevant. Returns the pruned DataFrame, or
+    None when nothing could be (or needed to be) pruned. The full views
+    are always restored before returning."""
+    import os
+
+    from sclera_spark.plans.frontend import lower_sql
+
+    try:
+        if df.isStreaming:
+            return None
+        plan = df._jdf.queryExecution().optimizedPlan()
+        pairs = _scan_pairs(plan)
+    except Exception:
+        return None
+    if not pairs:
+        return None
+
+    tables = {}  # data_dir -> (name, ManifestTable)
+    for name in ddl.manifest_tables:
+        try:
+            mt = ddl._manifest(name)
+            tables[os.path.abspath(mt.data_dir)] = (name, mt)
+        except Exception:
+            continue
+    if not tables:
+        return None
+
+    # per table: None = saw an unprunable scan (keep everything);
+    # else the union of per-scan surviving file lists
+    survivors: dict[str, set | None] = {}
+    mts: dict[str, object] = {}
+    for cond, rel in pairs:
+        d = _relation_dir(rel)
+        hit = tables.get(os.path.abspath(d)) if d else None
+        if hit is None:
+            continue
+        name, mt = hit
+        mts[name] = mt
+        if survivors.get(name, set()) is None:
+            continue
+        ranges = extract_ranges(cond) if cond is not None else {}
+        if not ranges:
+            survivors[name] = None
+            continue
+        try:
+            kept = mt.files_pruned(ranges)
+        except Exception:
+            survivors[name] = None
+            continue
+        survivors[name] = survivors.get(name, set()) | set(kept)
+
+    pruned = {}
+    for name, keep in survivors.items():
+        if keep is None:
+            continue
+        try:
+            total = mts[name].files()
+        except Exception:
+            continue
+        if len(keep) < len(total):
+            pruned[name] = sorted(keep)
+    if not pruned:
+        return None
+
+    spark = engine.spark
+    try:
+        for name, files in pruned.items():
+            engine.catalog.register(
+                name, mts[name].read(spark, file_paths=files)
+            )
+        return lower_sql(engine, query)
+    except Exception:
+        return None
+    finally:
+        for name in pruned:
+            try:
+                ddl._register_manifest(name)
+            except Exception:
+                pass

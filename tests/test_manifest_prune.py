@@ -1,0 +1,185 @@
+"""Automatic file-level data skipping on manifest tables
+(sources/prune.py + the engine.sql hook). The invariant under test:
+pruned queries return EXACTLY the unpruned results (pruning is an
+optimization, never a filter), while df.inputFiles() shrinks when the
+probe's range misses whole committed files — and the full view is
+always restored afterwards."""
+
+from __future__ import annotations
+
+import pytest
+
+from sclera_spark.engine import ScleraEngine
+
+
+@pytest.fixture()
+def engine(spark, tables):
+    return ScleraEngine(spark)
+
+
+@pytest.fixture()
+def ptab(engine):
+    """A manifest table committed in three disjoint o_orderkey slices,
+    so each commit's files carry non-overlapping key ranges."""
+    engine.execute(
+        """
+        CREATE TABLE pt AS
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey < 500
+        """
+    )
+    engine.execute("ALTER TABLE pt SET FORMAT MANIFEST")
+    engine.execute(
+        """
+        INSERT INTO pt
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+        """
+    )
+    engine.execute(
+        """
+        INSERT INTO pt
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey >= 1000
+        """
+    )
+    yield "pt"
+    engine.execute("DROP TABLE pt")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _unpruned(engine, sql):
+    engine.config["manifest_pruning"] = "off"
+    try:
+        return engine.sql(sql)
+    finally:
+        engine.config.pop("manifest_pruning", None)
+
+
+def test_range_probe_prunes_files_and_matches(engine, ptab):
+    sql = (
+        "SELECT sum(o_totalprice) AS s, count(*) AS n FROM pt "
+        "WHERE o_orderkey >= 600 AND o_orderkey < 900"
+    )
+    full = engine.table(ptab).inputFiles()
+    pruned = engine.sql(sql)
+    assert len(pruned.inputFiles()) < len(full)
+    assert _rows(pruned) == _rows(_unpruned(engine, sql))
+    # the full view was restored for subsequent queries
+    assert len(engine.table(ptab).inputFiles()) == len(full)
+    assert engine.sql("SELECT count(*) AS n FROM pt").first().n == \
+        engine.table("orders").count()
+
+
+def test_date_range_prunes(engine, ptab):
+    # o_orderdate is not clustered by commit, so force a clustered
+    # layout first: OPTIMIZE ... SORT BY tightens per-file date ranges
+    engine.execute("OPTIMIZE pt SORT BY (o_orderdate)")
+    sql = (
+        "SELECT count(*) AS n FROM pt "
+        "WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'"
+    )
+    pruned = engine.sql(sql)
+    assert _rows(pruned) == _rows(_unpruned(engine, sql))
+    if len(engine.table(ptab).inputFiles()) > 1:
+        assert len(pruned.inputFiles()) < len(
+            engine.table(ptab).inputFiles()
+        )
+
+
+def test_in_list_and_equality_prune(engine, ptab):
+    sql = "SELECT count(*) AS n FROM pt WHERE o_orderkey IN (1, 2, 3, 32)"
+    pruned = engine.sql(sql)
+    assert len(pruned.inputFiles()) < len(engine.table(ptab).inputFiles())
+    assert _rows(pruned) == _rows(_unpruned(engine, sql))
+
+    sql2 = "SELECT o_custkey FROM pt WHERE o_orderkey = 1001"
+    assert _rows(engine.sql(sql2)) == _rows(_unpruned(engine, sql2))
+
+
+def test_or_disjunction_never_prunes_unsoundly(engine, ptab):
+    # an OR across distant ranges must not be treated as a conjunct:
+    # both slices' rows survive
+    sql = (
+        "SELECT count(*) AS n FROM pt "
+        "WHERE o_orderkey < 100 OR o_orderkey >= 1000"
+    )
+    assert _rows(engine.sql(sql)) == _rows(_unpruned(engine, sql))
+
+
+def test_adversarial_string_literal_cannot_forge_bounds(engine, ptab):
+    # a literal crafted to look like a serialized pushed filter must
+    # stay an opaque value — no bound on o_orderkey may be forged
+    sql = (
+        "SELECT count(*) AS n FROM pt "
+        "WHERE o_orderpriority <> 'x),GreaterThan(o_orderkey,999999)'"
+    )
+    got = engine.sql(sql).first().n
+    assert got == _unpruned(engine, sql).first().n
+    sql2 = (
+        "SELECT count(*) AS n FROM pt WHERE "
+        "o_orderpriority = 'p),LessThan(o_orderkey,-1)' "
+        "OR o_orderkey <= 10"
+    )
+    assert engine.sql(sql2).first().n == _unpruned(engine, sql2).first().n
+
+
+def test_same_table_twice_takes_union_of_scans(engine, ptab):
+    # self-join probing two disjoint slices: the shared view must keep
+    # the union of both scans' files
+    sql = (
+        "SELECT a.o_orderkey AS k1, b.o_orderkey AS k2 "
+        "FROM pt a JOIN pt b ON a.o_custkey = b.o_custkey "
+        "WHERE a.o_orderkey < 500 AND b.o_orderkey >= 1200"
+    )
+    assert _rows(engine.sql(sql)) == _rows(_unpruned(engine, sql))
+
+
+def test_unfiltered_scan_keeps_all_files(engine, ptab):
+    sql = "SELECT count(*) AS n FROM pt"
+    assert len(engine.sql(sql).inputFiles()) == len(
+        engine.table(ptab).inputFiles()
+    )
+
+
+def test_pruning_config_off(engine, ptab):
+    engine.config["manifest_pruning"] = "off"
+    try:
+        df = engine.sql(
+            "SELECT count(*) AS n FROM pt WHERE o_orderkey >= 1000"
+        )
+        assert len(df.inputFiles()) == len(engine.table(ptab).inputFiles())
+    finally:
+        engine.config.pop("manifest_pruning", None)
+
+
+def test_join_with_plain_table_still_prunes_manifest_side(engine, ptab):
+    sql = (
+        "SELECT count(*) AS n FROM pt "
+        "JOIN customer ON pt.o_custkey = customer.c_custkey "
+        "WHERE pt.o_orderkey >= 1000"
+    )
+    pruned = engine.sql(sql)
+    assert _rows(pruned) == _rows(_unpruned(engine, sql))
+    pt_files = {
+        f for f in pruned.inputFiles() if "/pt/" in f or "pt/data" in f
+    }
+    all_pt = set(engine.table(ptab).inputFiles())
+    assert pt_files and len(pt_files) < len(all_pt)
+
+
+def test_update_after_pruned_read_sees_new_stats(engine, ptab):
+    sql = "SELECT count(*) AS n FROM pt WHERE o_orderkey >= 1000"
+    n0 = engine.sql(sql).first().n
+    engine.execute(
+        "INSERT INTO pt SELECT o_orderkey + 100000, o_custkey, "
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders "
+        "WHERE o_orderkey <= 10"
+    )
+    assert engine.sql(sql).first().n > n0
