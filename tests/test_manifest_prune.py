@@ -102,6 +102,13 @@ def test_in_list_and_equality_prune(engine, ptab):
     sql2 = "SELECT o_custkey FROM pt WHERE o_orderkey = 1001"
     assert _rows(engine.sql(sql2)) == _rows(_unpruned(engine, sql2))
 
+    # >10 values: the optimizer converts In to InSet — still pruned
+    vals = ",".join(str(i) for i in range(1, 14))
+    sql3 = f"SELECT count(*) AS n FROM pt WHERE o_orderkey IN ({vals})"
+    pruned3 = engine.sql(sql3)
+    assert len(pruned3.inputFiles()) < len(engine.table(ptab).inputFiles())
+    assert _rows(pruned3) == _rows(_unpruned(engine, sql3))
+
 
 def test_or_disjunction_never_prunes_unsoundly(engine, ptab):
     # an OR across distant ranges must not be treated as a conjunct:
