@@ -214,3 +214,114 @@ def make_self_signed_cert(out_dir: str, cn: str = "localhost") -> tuple[str, str
         )
     os.chmod(key_path, 0o600)
     return cert_path, key_path
+
+
+def make_ca_signed_cert(
+    out_dir: str,
+    cn: str = "localhost",
+    san_dns: tuple[str, ...] = ("localhost",),
+    san_ips: tuple[str, ...] = ("127.0.0.1",),
+) -> tuple[str, str, str]:
+    """Write a local CA plus a server certificate SIGNED BY that CA
+    (SAN-bearing, so libpq's ``sslmode=verify-full`` hostname check
+    passes for ``cn``/``san_*``) and return (certfile, keyfile,
+    ca_certfile). This is the production-shaped chain: clients pin the
+    CA via ``sslrootcert`` and get both encryption AND server identity;
+    rotating the server cert re-signs under the same CA without
+    touching clients. Requires the `cryptography` package (raises
+    ImportError otherwise — the self-signed `make_self_signed_cert`
+    path stays available for encrypt-only setups)."""
+    cert_path = os.path.join(out_dir, "server-ca-signed.crt")
+    key_path = os.path.join(out_dir, "server-ca-signed.key")
+    ca_path = os.path.join(out_dir, "ca.crt")
+    ca_key_path = os.path.join(out_dir, "ca.key")
+    if all(os.path.exists(p) for p in (cert_path, key_path, ca_path)):
+        return cert_path, key_path, ca_path
+    os.makedirs(out_dir, exist_ok=True)
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    now = datetime.datetime.now(datetime.timezone.utc)
+
+    def _write_key(path, key):
+        with open(path, "wb") as fh:
+            fh.write(
+                key.private_bytes(
+                    serialization.Encoding.PEM,
+                    serialization.PrivateFormat.TraditionalOpenSSL,
+                    serialization.NoEncryption(),
+                )
+            )
+        os.chmod(path, 0o600)
+
+    ca_name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "sclera-test-ca")]
+    )
+    if os.path.exists(ca_path) and os.path.exists(ca_key_path):
+        # existing CA: re-sign a fresh server pair under it (rotation)
+        with open(ca_key_path, "rb") as fh:
+            ca_key = serialization.load_pem_private_key(fh.read(), None)
+        with open(ca_path, "rb") as fh:
+            ca_name = x509.load_pem_x509_certificate(fh.read()).subject
+        ca_cert = None
+    else:
+        ca_key = rsa.generate_private_key(
+            public_exponent=65537, key_size=2048
+        )
+        ca_cert = (
+            x509.CertificateBuilder()
+            .subject_name(ca_name)
+            .issuer_name(ca_name)
+            .public_key(ca_key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(minutes=5))
+            .not_valid_after(now + datetime.timedelta(days=365))
+            .add_extension(
+                x509.BasicConstraints(ca=True, path_length=0), critical=True
+            )
+            .add_extension(
+                x509.KeyUsage(
+                    digital_signature=False, content_commitment=False,
+                    key_encipherment=False, data_encipherment=False,
+                    key_agreement=False, key_cert_sign=True, crl_sign=True,
+                    encipher_only=False, decipher_only=False,
+                ),
+                critical=True,
+            )
+            .sign(ca_key, hashes.SHA256())
+        )
+
+    srv_key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    sans = [x509.DNSName(d) for d in san_dns] + [
+        x509.IPAddress(ipaddress.ip_address(i)) for i in san_ips
+    ]
+    srv_cert = (
+        x509.CertificateBuilder()
+        .subject_name(
+            x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
+        )
+        .issuer_name(ca_name)
+        .public_key(srv_key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=365))
+        .add_extension(x509.SubjectAlternativeName(sans), critical=False)
+        .add_extension(
+            x509.BasicConstraints(ca=False, path_length=None), critical=True
+        )
+        .sign(ca_key, hashes.SHA256())
+    )
+
+    _write_key(key_path, srv_key)
+    with open(cert_path, "wb") as fh:
+        fh.write(srv_cert.public_bytes(serialization.Encoding.PEM))
+    if ca_cert is not None:
+        _write_key(ca_key_path, ca_key)
+        with open(ca_path, "wb") as fh:
+            fh.write(ca_cert.public_bytes(serialization.Encoding.PEM))
+    return cert_path, key_path, ca_path

@@ -575,3 +575,123 @@ def test_begin_rollback_after_dml_fails_honestly(server):
     assert rc == 0, err
     assert out.strip().splitlines()[-1] == "7"
     run_psql(server, "DROP TABLE txt")
+
+
+# ------------------------------------------ TLS verify-full (CA chain)
+
+
+@pytest.fixture(scope="module")
+def verified_server(spark, tables, tmp_path_factory):
+    """A server whose certificate is SIGNED BY A LOCAL CA with
+    SAN=localhost/127.0.0.1 — the production chain shape. Clients pin
+    the CA file and use sslmode=verify-full (encryption + identity),
+    which the self-signed 'auto' path cannot satisfy."""
+    pytest.importorskip("cryptography")
+    from sclera_spark.interfaces.auth import make_ca_signed_cert
+
+    d = str(tmp_path_factory.mktemp("tls_ca"))
+    cert, key, ca = make_ca_signed_cert(d)
+    engine = ScleraEngine(spark)
+    for name, df in tables.items():
+        engine.add_table(name, df)
+    srv = ScleraServer(
+        engine, tls=(cert, key), auth={"alice": "s3cret-pw"}
+    ).start()
+    srv._test_ca = ca
+    srv._test_dir = d
+    yield srv
+    srv.stop()
+
+
+def test_psql_verify_full_with_pinned_ca(verified_server):
+    """libpq validates the CA chain AND the hostname: retire the
+    'clients can only use sslmode=require' caveat."""
+    rc, out, err = run_psql_conninfo(
+        verified_server,
+        f"sslmode=verify-full sslrootcert={verified_server._test_ca} "
+        "hostaddr=127.0.0.1 host=localhost",
+        "SELECT count(*) AS n FROM region",
+        "s3cret-pw",
+    )
+    assert rc == 0, err
+    assert out.strip() == "5"
+
+
+def test_psql_verify_full_rejects_untrusted_ca(verified_server, tmp_path):
+    """A different root: the chain must fail BEFORE any auth happens."""
+    pytest.importorskip("cryptography")
+    from sclera_spark.interfaces.auth import make_ca_signed_cert
+
+    _, _, other_ca = make_ca_signed_cert(str(tmp_path))
+    rc, out, err = run_psql_conninfo(
+        verified_server,
+        f"sslmode=verify-full sslrootcert={other_ca} "
+        "hostaddr=127.0.0.1 host=localhost",
+        "SELECT 1",
+        "s3cret-pw",
+    )
+    assert rc != 0
+    assert "certificate" in err.lower() or "SSL" in err
+
+
+def test_psql_verify_full_rejects_wrong_hostname(verified_server):
+    """Right CA, wrong name: verify-full's identity check must fail
+    where plain sslmode=require would connect."""
+    rc, out, err = run_psql_conninfo(
+        verified_server,
+        f"sslmode=verify-full sslrootcert={verified_server._test_ca} "
+        "hostaddr=127.0.0.1 host=not-the-server.example",
+        "SELECT 1",
+        "s3cret-pw",
+    )
+    assert rc != 0
+    # and require (no identity check) still works over the same chain
+    rc2, out2, err2 = run_psql_conninfo(
+        verified_server,
+        "sslmode=require",
+        "SELECT 1 AS x",
+        "s3cret-pw",
+    )
+    assert rc2 == 0, err2
+
+
+def test_cert_rotation_under_same_ca(verified_server, spark, tables):
+    """Rotating the server certificate (fresh key pair re-signed under
+    the SAME CA) is invisible to a client pinning the CA file — the
+    rotation story the r8 caveat said was untested. A second server
+    runs the rotated pair; the client's sslrootcert never changes."""
+    pytest.importorskip("cryptography")
+    import os
+
+    from sclera_spark.interfaces.auth import make_ca_signed_cert
+
+    d = verified_server._test_dir
+    key_before = open(
+        os.path.join(d, "server-ca-signed.key"), "rb"
+    ).read()
+    ca_before = open(verified_server._test_ca, "rb").read()
+    # rotate: drop the server pair, keep ca.crt + ca.key
+    os.remove(os.path.join(d, "server-ca-signed.crt"))
+    os.remove(os.path.join(d, "server-ca-signed.key"))
+    cert2, key2, ca2 = make_ca_signed_cert(d)
+    assert open(ca2, "rb").read() == ca_before  # CA untouched
+    assert open(key2, "rb").read() != key_before  # genuinely new pair
+
+    engine = ScleraEngine(spark)
+    for name, df in tables.items():
+        engine.add_table(name, df)
+    srv2 = ScleraServer(
+        engine, tls=(cert2, key2), auth={"alice": "s3cret-pw"}
+    ).start()
+    try:
+        rc, out, err = run_psql_conninfo(
+            srv2,
+            f"sslmode=verify-full sslrootcert={verified_server._test_ca} "
+            "hostaddr=127.0.0.1 host=localhost",
+            "SELECT 41 + 1 AS x",
+            "s3cret-pw",
+        )
+        assert rc == 0, err
+        assert out.strip() == "42"
+    finally:
+        srv2.stop()
