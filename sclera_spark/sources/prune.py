@@ -258,10 +258,29 @@ def _scan_pairs(plan):
             pairs.append((None, node))
             continue
         stack.extend(kids)
-        # subquery expressions may hold their own plans; those scans are
-        # not reachable from children() — their tables simply stay
-        # unpruned (conservative) unless also scanned in the main tree.
     return pairs
+
+
+def _all_plans(plan, max_subqueries: int = 64):
+    """The main plan plus every subquery plan, recursively: scalar /
+    EXISTS / IN subqueries hang off EXPRESSIONS (not children()), so a
+    scan inside one is invisible to a child walk — and a pruned view
+    rebuilt for the main scan would be read by the subquery too. Every
+    occurrence must therefore contribute to the survivor union. The cap
+    bounds pathological nesting; exceeding it raises so the caller
+    falls back to no pruning (never to partial coverage)."""
+    plans = [plan]
+    frontier = [plan]
+    while frontier:
+        p = frontier.pop()
+        subs = p.subqueriesAll()
+        for i in range(subs.size()):
+            sp = subs.apply(i)
+            plans.append(sp)
+            frontier.append(sp)
+            if len(plans) > max_subqueries:
+                raise ValueError("subquery nesting exceeds pruning cap")
+    return plans
 
 
 def _relation_dir(rel) -> str | None:
@@ -292,7 +311,9 @@ def prune_query(engine, ddl, query: str, df):
         if df.isStreaming:
             return None
         plan = df._jdf.queryExecution().optimizedPlan()
-        pairs = _scan_pairs(plan)
+        pairs = []
+        for p in _all_plans(plan):
+            pairs.extend(_scan_pairs(p))
     except Exception:
         return None
     if not pairs:

@@ -190,3 +190,33 @@ def test_update_after_pruned_read_sees_new_stats(engine, ptab):
         "WHERE o_orderkey <= 10"
     )
     assert engine.sql(sql).first().n > n0
+
+
+def test_subquery_scans_join_the_survivor_union(engine, ptab):
+    """A scalar subquery over the same table hangs off an EXPRESSION,
+    not children() — its scan must still contribute to the survivor
+    union, or the rebuilt subquery reads the pruned view and computes
+    over the wrong rows (found as a live wrong-count before the
+    subqueriesAll walk)."""
+    sql = (
+        "SELECT count(*) AS n FROM pt WHERE o_orderkey < 100 AND "
+        "o_totalprice < (SELECT max(o_totalprice) FROM pt "
+        "WHERE o_orderkey >= 1000)"
+    )
+    assert engine.sql(sql).first().n == _unpruned(engine, sql).first().n
+
+    # IN-subquery variant (optimizer may rewrite to a join — either
+    # way the survivor union must cover both ranges)
+    sql2 = (
+        "SELECT count(*) AS n FROM pt WHERE o_orderkey < 100 AND "
+        "o_custkey IN (SELECT o_custkey FROM pt WHERE o_orderkey >= 1200)"
+    )
+    assert engine.sql(sql2).first().n == _unpruned(engine, sql2).first().n
+
+    # EXISTS, correlated
+    sql3 = (
+        "SELECT count(*) AS n FROM pt a WHERE a.o_orderkey < 100 AND "
+        "EXISTS (SELECT 1 FROM pt b WHERE b.o_custkey = a.o_custkey "
+        "AND b.o_orderkey >= 1200)"
+    )
+    assert engine.sql(sql3).first().n == _unpruned(engine, sql3).first().n
