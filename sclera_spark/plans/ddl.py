@@ -116,7 +116,8 @@ class DdlRouter:
         (
             re.compile(
                 r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?"
-                r"(?:\s+SORT\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
+                r"(?:\s+SORT\s+BY\s*\(\s*([\w\s,]+?)\s*\)"
+                r"|\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
                 re.I,
             ),
             "_optimize",
@@ -250,20 +251,35 @@ class DdlRouter:
             keep_versions=int(retain) if retain else 1
         )
 
-    def _optimize(self, name: str, target_mb: str | None, sort_by: str | None):
-        """OPTIMIZE t [TARGET n MB] [SORT BY (cols)] — atomic small-file
-        compaction on a manifest table (sources/manifest.py compact):
-        rewrites sub-target part files into ~target-sized ones in one
-        manifest commit, then rebinds the catalog view to the new
-        snapshot. SORT BY range-clusters all live files on the given
-        columns so filtered scans skip files on footer min/max. Row set
-        unchanged; prior version stays time-travel readable until VACUUM."""
+    def _optimize(
+        self,
+        name: str,
+        target_mb: str | None,
+        sort_by: str | None,
+        zorder_by: str | None = None,
+    ):
+        """OPTIMIZE t [TARGET n MB] [SORT BY (cols) | ZORDER BY (cols)]
+        — atomic small-file compaction on a manifest table
+        (sources/manifest.py compact): rewrites sub-target part files
+        into ~target-sized ones in one manifest commit, then rebinds
+        the catalog view to the new snapshot. SORT BY range-clusters
+        all live files on the given columns so filtered scans skip
+        files on footer min/max; ZORDER BY clusters on a Morton
+        space-filling-curve key (sources/zorder.py) so min/max stay
+        tight on EVERY listed column and file-level data skipping works
+        for probes on any of them. Row set unchanged; prior version
+        stays time-travel readable until VACUUM."""
         mt = self._require_manifest(name)
         replaced = mt.compact(
             self.engine.spark,
             target_bytes=(int(target_mb) if target_mb else 128) * 1024 * 1024,
             cluster_by=(
                 [c.strip() for c in sort_by.split(",")] if sort_by else None
+            ),
+            zorder_by=(
+                [c.strip() for c in zorder_by.split(",")]
+                if zorder_by
+                else None
             ),
         )
         if replaced:

@@ -367,6 +367,7 @@ class ManifestTable:
         target_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> list[str]:
         """Small-file compaction (the OPTIMIZE of Delta/Iceberg) as ONE
         atomic commit: live files smaller than ``target_bytes`` are
@@ -392,9 +393,19 @@ class ManifestTable:
         rewrites ALL live files (a cluster order only helps if it is
         global), not just the sub-target ones.
 
+        ``zorder_by`` clusters on a Morton space-filling-curve key over
+        SEVERAL columns (sources/zorder.py) instead of a lexicographic
+        sort: every output file then covers a compact cell of the
+        multi-column space, keeping min/max tight on EACH column, so
+        file-level data skipping works for probes on any of them —
+        Delta's OPTIMIZE ... ZORDER BY. Mutually exclusive with
+        ``cluster_by``.
+
         Returns the replaced file names ([] = nothing worth compacting).
         """
-        if cluster_by:
+        if cluster_by and zorder_by:
+            raise ValueError("compact: cluster_by and zorder_by are exclusive")
+        if cluster_by or zorder_by:
             small = list(self.files())
             if not small:
                 return []
@@ -414,6 +425,15 @@ class ManifestTable:
 
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+        elif zorder_by:
+            from sclera_spark.sources.zorder import zvalue_column
+
+            df = (
+                df.withColumn("__z", zvalue_column(df, zorder_by))
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         else:
             df = df.coalesce(n_out)
         self.replace_files(small, df)

@@ -220,3 +220,73 @@ def test_subquery_scans_join_the_survivor_union(engine, ptab):
         "AND b.o_orderkey >= 1200)"
     )
     assert engine.sql(sql3).first().n == _unpruned(engine, sql3).first().n
+
+
+# ------------------------------------------------- ZORDER clustering
+
+
+def test_zorder_prunes_on_every_listed_column(spark, tmp_path):
+    """SORT BY (a) leaves probes on b unprunable; ZORDER BY (a, b)
+    gives every file a compact cell of the (a, b) space so BOTH
+    single-column probes skip files — with identical results."""
+    import os
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    path = str(tmp_path / "zt")
+    df = spark.range(0, 40000).selectExpr(
+        "id % 149 AS a",
+        "cast(abs(hash(id)) % 10007 AS long) AS b",
+        "id AS v",
+    )
+    ManifestTable.create(df.repartition(8), path)
+    mt = ManifestTable(path)
+    target = max(
+        1, sum(os.path.getsize(p) for p in mt.files()) // 16
+    )
+    mt.compact(spark, target_bytes=target, zorder_by=["a", "b"])
+    total = len(mt.files())
+    assert total >= 4
+    pa = len(mt.files_pruned({"a": (10, 12)}))
+    pb = len(mt.files_pruned({"b": (100, 400)}))
+    assert pa < total, f"a-probe kept {pa}/{total}"
+    assert pb < total, f"b-probe kept {pb}/{total}"
+    # correctness: pruned read == full read under the probe predicates
+    for col, lo, hi in (("a", 10, 12), ("b", 100, 400)):
+        got = (
+            mt.read(spark, prune={col: (lo, hi)})
+            .filter(f"{col} BETWEEN {lo} AND {hi}")
+            .count()
+        )
+        exp = (
+            mt.read(spark).filter(f"{col} BETWEEN {lo} AND {hi}").count()
+        )
+        assert got == exp
+
+
+def test_zorder_ddl_roundtrip(engine, ptab):
+    engine.execute("OPTIMIZE pt TARGET 1 MB ZORDER BY (o_orderkey, o_custkey)")
+    sql = "SELECT count(*) AS n FROM pt WHERE o_custkey BETWEEN 100 AND 140"
+    pruned = engine.sql(sql)
+    assert _rows(pruned) == _rows(_unpruned(engine, sql))
+    sql2 = "SELECT count(*) AS n FROM pt WHERE o_orderkey BETWEEN 10 AND 60"
+    assert _rows(engine.sql(sql2)) == _rows(_unpruned(engine, sql2))
+    assert engine.sql("SELECT count(*) AS n FROM pt").first().n == \
+        engine.table("orders").count()
+
+
+def test_zorder_rejects_unsupported_types(spark, tmp_path):
+    import pytest as _pytest
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    path = str(tmp_path / "zs")
+    ManifestTable.create(
+        spark.range(10).selectExpr("id AS k", "cast(id AS string) AS s"),
+        path,
+    )
+    mt = ManifestTable(path)
+    with _pytest.raises(ValueError, match="unsupported type"):
+        mt.compact(spark, zorder_by=["s"])
+    with _pytest.raises(ValueError, match="exclusive"):
+        mt.compact(spark, cluster_by=["k"], zorder_by=["k"])
