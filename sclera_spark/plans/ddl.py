@@ -153,6 +153,10 @@ class DdlRouter:
             "_list_tables",
         ),
         (re.compile(r"^\s*(?:LIST|SHOW)\s+VIEWS\s*$", re.I), "_list_views"),
+        (
+            re.compile(r"^\s*(?:LIST|SHOW)\s+FILES\s+(\w+)\s*$", re.I),
+            "_list_files",
+        ),
         (re.compile(r"^\s*SHOW\s+(?:CONFIG|OPTIONS)\s*$", re.I), "_show_config"),
         (re.compile(r"^\s*DESCRIBE\s+(?:(\w+)\.)?(\w+)\s*$", re.I), "_describe"),
     ]
@@ -285,6 +289,31 @@ class DdlRouter:
         if replaced:
             self._register_manifest(name)
         return replaced
+
+    def _list_files(self, name: str):
+        """LIST FILES t — per-file manifest metadata for the current
+        snapshot of a manifest table (the observability face of the
+        data-skipping tier; Delta's DESCRIBE DETAIL analogue): one dict
+        per live file with size, exact row count, and the recorded
+        column min/max that file-level pruning uses. Pure driver-side
+        metadata — no Spark job at any table size."""
+        import os as _os
+
+        mt = self._require_manifest(name)
+        stats = mt.file_stats()
+        rows = mt.file_rows()
+        out = []
+        for path in mt.files():
+            fname = _os.path.basename(path)
+            out.append(
+                {
+                    "file": fname,
+                    "bytes": _os.path.getsize(path),
+                    "rows": rows.get(fname),
+                    "stats": stats.get(fname, {}),
+                }
+            )
+        return out
 
     def _show_versions(self, name: str):
         """SHOW VERSIONS t — retained manifest versions, newest last."""

@@ -184,6 +184,26 @@ class ManifestTable:
         with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
             return json.load(fh).get("stats", {})
 
+    def file_rows(self, version: int | None = None) -> dict[str, int]:
+        """Per-file row counts recorded at commit time (parquet footer
+        num_rows — exact). Absent for files committed by pre-stats
+        builds."""
+        v = self.version() if version is None else version
+        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
+            return json.load(fh).get("rows", {})
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """Exact table row count from manifest metadata alone (no scan,
+        no Spark job) — the Delta/Iceberg metadata-only count. None when
+        any live file predates row-count recording (callers fall back
+        to counting)."""
+        v = self.version() if version is None else version
+        rows = self.file_rows(v)
+        names = [os.path.basename(p) for p in self.files(v)]
+        if any(n not in rows for n in names):
+            return None
+        return sum(rows[n] for n in names)
+
     def files_pruned(
         self, ranges: dict[str, tuple], version: int | None = None
     ) -> list[str]:
@@ -589,7 +609,7 @@ class ManifestTable:
         trade silent lost updates with it. (CasManifestTable overrides
         the conflict handling: no heal, conflicts retry via CAS.)"""
         mpath = os.path.join(self.log_dir, f"v{version}.json")
-        stats = self._assemble_stats(files)
+        stats, rows = self._assemble_stats(files)
         try:
             fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -601,6 +621,7 @@ class ManifestTable:
                     "files": files,
                     "meta": meta or {},
                     "stats": stats,
+                    "rows": rows,
                 },
                 fh,
             )
@@ -614,24 +635,34 @@ class ManifestTable:
         for files new to this commit (they are already in data/ —
         _adopt runs before the claim). Footer reads cost O(new files)
         per commit, the Delta/Iceberg stats model. Any failure degrades
-        to 'no stats for that file' (pruning keeps it)."""
+        to 'no stats for that file' (pruning keeps it). Returns
+        (per-file column min/max, per-file row counts) — row counts
+        feed LIST FILES observability and metadata-only sizing."""
         prior: dict[str, dict] = {}
+        prior_rows: dict[str, int] = {}
         try:
             prior = self.file_stats()
+            prior_rows = self.file_rows()
         except Exception:
             pass
         out: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         for name in files:
+            if name in prior_rows:
+                rows[name] = prior_rows[name]
             if name in prior:
                 out[name] = prior[name]
-                continue
+                if name in prior_rows:
+                    continue
             try:
-                st = _parquet_minmax(os.path.join(self.data_dir, name))
+                st, nr = _parquet_minmax(os.path.join(self.data_dir, name))
             except Exception:
-                st = None
-            if st:
+                st, nr = None, None
+            if name not in out and st:
                 out[name] = st
-        return out
+            if name not in rows and nr is not None:
+                rows[name] = nr
+        return out, rows
 
     def _on_claim_conflict(self, version: int) -> int:
         """Local-table policy: heal the crashed orphan loudly; a claim
@@ -682,11 +713,12 @@ class ManifestTable:
             pass
 
 
-def _parquet_minmax(path: str) -> dict[str, list] | None:
-    """Top-level-column [min, max] from a parquet file's footer (no data
-    read; pyarrow metadata only), restricted to JSON-safe scalar types.
-    Columns whose row groups lack min/max (all-NULL, unsupported types)
-    are omitted — absence means 'cannot prune on this column'."""
+def _parquet_minmax(path: str) -> tuple[dict[str, list] | None, int]:
+    """(top-level-column [min, max], exact row count) from a parquet
+    file's footer (no data read; pyarrow metadata only), restricted to
+    JSON-safe scalar types. Columns whose row groups lack min/max
+    (all-NULL, unsupported types) are omitted — absence means 'cannot
+    prune on this column'."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -722,7 +754,7 @@ def _parquet_minmax(path: str) -> dict[str, list] | None:
                 continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return {k: [mins[k], maxs[k]] for k in mins} or None
+    return {k: [mins[k], maxs[k]] for k in mins} or None, md.num_rows
 
 
 def _canon_stat(v):

@@ -290,3 +290,31 @@ def test_zorder_rejects_unsupported_types(spark, tmp_path):
         mt.compact(spark, zorder_by=["s"])
     with _pytest.raises(ValueError, match="exclusive"):
         mt.compact(spark, cluster_by=["k"], zorder_by=["k"])
+
+
+def test_row_counts_and_list_files(engine, ptab):
+    """Commits record exact per-file row counts; row_count() answers
+    the table count from metadata alone, and LIST FILES surfaces the
+    skipping tier's per-file view."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(engine._ddl._path(ptab))
+    assert mt.row_count() == engine.table("orders").count()
+    listing = engine.execute("LIST FILES pt")
+    assert len(listing) == len(mt.files())
+    assert sum(e["rows"] for e in listing) == mt.row_count()
+    assert all(e["bytes"] > 0 for e in listing)
+    assert any("o_orderkey" in e["stats"] for e in listing)
+
+    # pre-rows manifests degrade to None, never a wrong number
+    import json as _json
+    import os as _os
+
+    v = mt.version()
+    mpath = _os.path.join(mt.log_dir, f"v{v}.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    m.pop("rows", None)
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    assert mt.row_count() is None
