@@ -298,6 +298,98 @@ def _relation_dir(rel) -> str | None:
     return os.path.dirname(_strip_scheme(first))
 
 
+def _manifest_tables_by_dir(ddl):
+    import os
+
+    tables = {}
+    for name in ddl.manifest_tables:
+        try:
+            mt = ddl._manifest(name)
+            tables[os.path.abspath(mt.data_dir)] = (name, mt)
+        except Exception:
+            continue
+    return tables
+
+
+def metadata_count(engine, ddl, df):
+    """``SELECT count(*) FROM <manifest table>`` answered from manifest
+    metadata alone — zero Spark jobs, zero file opens at any table size
+    (the Delta metadata-only-query optimization). The gate is strict:
+    the WHOLE optimized plan must be an ungrouped single
+    ``Count(Literal 1)`` (no DISTINCT, no FILTER clause, no
+    subqueries) over a bare LogicalRelation (a Project in between is
+    fine — projections are 1:1). The count sums the RELATION'S OWN
+    input files through the per-file row counts recorded across
+    retained manifest versions, so the answer matches the snapshot the
+    scan would have read (including time-travel views) even if a
+    foreign writer advanced the table since view registration. Any
+    file without a recorded count -> None (caller runs the real scan).
+    Returns the one-row DataFrame or None."""
+    import os
+
+    try:
+        if df.isStreaming:
+            return None
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.subqueriesAll().size() != 0:
+            return None
+        if _cls(plan) != "Aggregate":
+            return None
+        if plan.groupingExpressions().size() != 0:
+            return None
+        aggs = plan.aggregateExpressions()
+        if aggs.size() != 1:
+            return None
+        alias = aggs.apply(0)
+        if _cls(alias) != "Alias":
+            return None
+        agg_expr = alias.child()
+        if _cls(agg_expr) != "AggregateExpression":
+            return None
+        if agg_expr.isDistinct() or agg_expr.filter().isDefined():
+            return None
+        fn = agg_expr.aggregateFunction()
+        if _cls(fn) != "Count":
+            return None
+        fkids = _seq(fn.children())
+        if len(fkids) != 1 or _cls(fkids[0]) != "Literal":
+            return None
+        if fkids[0].value() != 1:
+            return None
+        node = _seq(plan.children())[0]
+        if _cls(node) == "Project":
+            node = _seq(node.children())[0]
+        if _cls(node) != "LogicalRelation":
+            return None
+        d = _relation_dir(node)
+        hit = _manifest_tables_by_dir(ddl).get(os.path.abspath(d)) if d else None
+        if hit is None:
+            return None
+        _, mt = hit
+        scanned = [
+            os.path.basename(_strip_scheme(f))
+            for f in node.relation().location().inputFiles()
+        ]
+        # row counts are immutable per file; resolve each scanned file
+        # through retained versions, newest first
+        rows: dict[str, int] = {}
+        missing = set(scanned)
+        for v in reversed(mt.versions()):
+            if not missing:
+                break
+            got = mt.file_rows(v)
+            for n in list(missing):
+                if n in got:
+                    rows[n] = got[n]
+                    missing.discard(n)
+        if missing:
+            return None
+        total = sum(rows[n] for n in scanned)
+        return engine.spark.createDataFrame([(total,)], schema=df.schema)
+    except Exception:
+        return None
+
+
 def prune_query(engine, ddl, query: str, df):
     """Rebuild ``query`` over pruned manifest views when file-level
     stats prove some files irrelevant. Returns the pruned DataFrame, or
@@ -319,13 +411,7 @@ def prune_query(engine, ddl, query: str, df):
     if not pairs:
         return None
 
-    tables = {}  # data_dir -> (name, ManifestTable)
-    for name in ddl.manifest_tables:
-        try:
-            mt = ddl._manifest(name)
-            tables[os.path.abspath(mt.data_dir)] = (name, mt)
-        except Exception:
-            continue
+    tables = _manifest_tables_by_dir(ddl)  # data_dir -> (name, mt)
     if not tables:
         return None
 

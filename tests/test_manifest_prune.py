@@ -149,7 +149,8 @@ def test_same_table_twice_takes_union_of_scans(engine, ptab):
 
 
 def test_unfiltered_scan_keeps_all_files(engine, ptab):
-    sql = "SELECT count(*) AS n FROM pt"
+    # (plain count(*) is metadata-answered — use a shape that scans)
+    sql = "SELECT sum(o_totalprice) AS s FROM pt"
     assert len(engine.sql(sql).inputFiles()) == len(
         engine.table(ptab).inputFiles()
     )
@@ -318,3 +319,61 @@ def test_row_counts_and_list_files(engine, ptab):
     with open(mpath, "w") as fh:
         _json.dump(m, fh)
     assert mt.row_count() is None
+
+
+# -------------------------------------------- metadata-only count(*)
+
+
+def test_metadata_only_count(engine, ptab):
+    """SELECT count(*) FROM t over a manifest table is answered from
+    recorded per-file row counts: zero files opened (the plan is a
+    LocalRelation), exact across DML and compaction — and every
+    non-trivial count shape still runs the real scan."""
+    exp = engine.table("orders").count()
+    df = engine.sql("SELECT count(*) AS n FROM pt")
+    assert df.first().n == exp
+    assert df.inputFiles() == []  # metadata answer, no scan
+
+    # stays exact across DML + OPTIMIZE
+    engine.execute("DELETE FROM pt WHERE o_orderkey < 7")
+    engine.execute(
+        "INSERT INTO pt SELECT o_orderkey + 500000, o_custkey, "
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders "
+        "WHERE o_orderkey < 3"
+    )
+    engine.execute("OPTIMIZE pt TARGET 64 MB")
+    df2 = engine.sql("SELECT count(*) AS n FROM pt")
+    assert df2.inputFiles() == []
+    engine.config["metadata_only_count"] = "off"
+    try:
+        scanned = engine.sql("SELECT count(*) AS n FROM pt")
+        assert scanned.inputFiles() != []
+        assert df2.first().n == scanned.first().n
+    finally:
+        engine.config.pop("metadata_only_count", None)
+
+    # non-trivial shapes keep the real scan
+    for sql in (
+        "SELECT count(*) AS n FROM pt WHERE o_orderkey > 100",
+        "SELECT count(o_custkey) AS n FROM pt",
+        "SELECT count(DISTINCT o_custkey) AS n FROM pt",
+        "SELECT o_orderpriority, count(*) AS n FROM pt GROUP BY 1",
+        "SELECT count(*) AS n, sum(o_totalprice) AS s FROM pt",
+    ):
+        assert engine.sql(sql).inputFiles() != [], sql
+
+
+def test_metadata_count_time_travel_snapshot(engine, ptab):
+    """count(*) VERSION AS OF must count THAT snapshot (per-file rows
+    resolved across retained versions), not the current one."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(engine._ddl._path(ptab))
+    v = mt.version()
+    n_before = engine.sql("SELECT count(*) AS n FROM pt").first().n
+    engine.execute("DELETE FROM pt WHERE o_orderkey < 50")
+    df = engine.sql(f"SELECT count(*) AS n FROM pt VERSION AS OF {v}")
+    assert df.first().n == n_before
+    assert df.inputFiles() == []
+    now = engine.sql("SELECT count(*) AS n FROM pt").first().n
+    assert now < n_before
