@@ -771,9 +771,27 @@ class DdlRouter:
                 base = mt.read(self.engine.spark)
             else:
                 base = self.engine.spark.read.parquet(path)
+            probe = base.filter(F.expr(where))
+            if is_manifest:
+                # stats pre-narrowing: files whose recorded min/max
+                # provably cannot satisfy the predicate cannot contain
+                # hits, so the probe scan itself skips them — a keyed
+                # DELETE on a clustered 100 TB table probes a handful
+                # of files instead of scheduling a full-table scan
+                from sclera_spark.sources.prune import filter_ranges
+
+                ranges = filter_ranges(probe)
+                if ranges:
+                    cand = mt.files_pruned(ranges)
+                    if not cand:
+                        return True  # no file can match: DML is a no-op
+                    if len(cand) < len(mt.files()):
+                        probe = self.engine.spark.read.parquet(
+                            *cand
+                        ).filter(F.expr(where))
             hit_uris = [
                 r[0]
-                for r in base.filter(F.expr(where))
+                for r in probe
                 .select(F.col("_metadata.file_path"))
                 .distinct()
                 .collect()
