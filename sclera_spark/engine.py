@@ -136,7 +136,18 @@ class ScleraEngine:
         import re as _re
 
         enc = self._encryptor()
-        url_pw = _re.compile(r"(?i)(password=)([^&;'\s]+)")
+        # capture the FULL value of the password key: everything up to
+        # the next query-separator ('&', or ';' for MSSQL-style URLs) or
+        # end of string. Quotes, spaces and '%xx' escapes are part of
+        # the secret and must be wrapped whole — a prefix-only match
+        # would leave the secret's tail as plaintext in the stored
+        # params AND restore a wrong password. The captured text is
+        # encrypted and restored VERBATIM (percent-encoding untouched),
+        # so the driver sees exactly the URL the user supplied. A
+        # literal '&'/';' inside a password is not representable in a
+        # URL query string in the first place (the URL itself is
+        # ambiguous), so the separator-bounded capture is exact.
+        url_pw = _re.compile(r"(?i)(password=)([^&;]*)")
         kv_secret = _re.compile(r"(?i)^(password|secret|token)\s*=\s*(.*)$", _re.S)
         out: list[str] = []
         secrets: dict[str, str] = {}

@@ -305,10 +305,18 @@ class DdlRouter:
         out = []
         for path in mt.files():
             fname = _os.path.basename(path)
+            try:
+                size = _os.path.getsize(path)
+            except OSError:
+                # a concurrent VACUUM (or a foreign CAS writer advancing
+                # the table mid-listing) may remove a file between the
+                # manifest read and the stat; degrade that ROW, not the
+                # whole statement (same contract as rows=None)
+                size = None
             out.append(
                 {
                     "file": fname,
-                    "bytes": _os.path.getsize(path),
+                    "bytes": size,
                     "rows": rows.get(fname),
                     "stats": stats.get(fname, {}),
                 }
@@ -761,6 +769,8 @@ class DdlRouter:
         the reference's embedded-store DML (dbms/rdbms/*)."""
         from pyspark.sql import functions as F
 
+        from sclera_spark.sources.prune import filter_ranges
+
         path = self.managed.get(name.lower())
         if path is None:
             return False
@@ -778,8 +788,6 @@ class DdlRouter:
                 # hits, so the probe scan itself skips them — a keyed
                 # DELETE on a clustered 100 TB table probes a handful
                 # of files instead of scheduling a full-table scan
-                from sclera_spark.sources.prune import filter_ranges
-
                 ranges = filter_ranges(probe)
                 if ranges:
                     cand = mt.files_pruned(ranges)
@@ -796,6 +804,10 @@ class DdlRouter:
                 .distinct()
                 .collect()
             ]
+        except (ImportError, NameError):
+            # a coding defect in the pre-narrowing path must surface,
+            # not silently degrade every DML to a full-table rewrite
+            raise
         except Exception:
             return False
         if not hit_uris:

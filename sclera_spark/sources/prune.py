@@ -231,6 +231,30 @@ def extract_ranges(cond) -> dict[str, tuple]:
     }
 
 
+def filter_ranges(df) -> dict[str, tuple]:
+    """Conservative {column: (lo, hi)} bounds implied by the single
+    filtered parquet scan in ``df``'s optimized plan — the DML probe
+    shape (``table.filter(where)``). Used by copy-on-write DML to
+    pre-narrow the probe's file list through manifest stats before any
+    Spark job runs. Returns {} (no narrowing) unless the plan contains
+    EXACTLY ONE scan carrying a pushed-down filter: with several scans
+    the bounds could not be attributed to the manifest table's scan
+    without per-relation matching, and {} is always sound (the probe
+    just reads every file, the pre-r9 behavior)."""
+    try:
+        if df.isStreaming:
+            return {}
+        plan = df._jdf.queryExecution().optimizedPlan()
+        pairs = []
+        for p in _all_plans(plan):
+            pairs.extend(_scan_pairs(p))
+        if len(pairs) != 1 or pairs[0][0] is None:
+            return {}
+        return extract_ranges(pairs[0][0])
+    except Exception:
+        return {}
+
+
 def _strip_scheme(path: str) -> str:
     if path.startswith("file:"):
         rest = path[len("file:") :]

@@ -236,6 +236,27 @@ def test_token_tamper_detected(engine):
         e.decrypt(bad)
 
 
+def test_url_password_with_awkward_chars_wrapped_whole(engine):
+    """A URL password containing quotes, spaces and percent-escapes is
+    wrapped IN FULL — no plaintext tail left in stored params — and the
+    restored URL is byte-identical (percent-encoding untouched). Pins
+    the r8 ADVICE fix: the old pattern stopped at the first quote or
+    space, storing the secret's remainder as plaintext."""
+    pw = "p'a ss%26w\"ord%3D!"
+    url = f"jdbc:postgresql://h/db?user=u&password={pw}&ssl=true"
+    engine.add_named_location("awkpw", "JDBC", [url])
+    try:
+        info = engine.locations["awkpw"]
+        blob = repr(info)
+        assert pw not in blob
+        # no plaintext SUFFIX of the secret survives either
+        assert "ss%26w" not in blob and "ord%3D!" not in blob
+        restored, _ = engine._location_jdbc(info)
+        assert restored == url
+    finally:
+        engine.remove_location("awkpw")
+
+
 def test_two_url_passwords_restore_independently(engine):
     """Indexed placeholders: a URL carrying two password= params (e.g.
     nested proxy conninfo) must restore EACH to its own secret."""

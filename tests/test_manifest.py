@@ -63,6 +63,65 @@ def test_dml_cow_commits_are_versioned(engine, mtab):
     assert engine.table(mtab).filter("o_orderkey = 9999999").count() == 1
 
 
+def test_manifest_cow_dml_touches_only_matching_files(engine):
+    """Manifest-table variant of test_ddl.test_cow_dml_touches_only
+    _matching_files: a keyed UPDATE on a range-clustered manifest table
+    replaces ONLY the data file containing the key — the other files
+    survive byte-for-byte (same inode, same mtime) — and the
+    stats-pre-narrowing path (filter_ranges -> files_pruned) actually
+    narrows the probe instead of silently falling back to a full-table
+    rewrite (the r8 ADVICE regression: filter_ranges didn't exist and a
+    broad except hid the ImportError)."""
+    from sclera_spark.sources.prune import filter_ranges
+
+    engine.execute(
+        "CREATE TABLE cow_m AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    )
+    try:
+        df = engine.table("cow_m").repartitionByRange(4, "o_orderkey")
+        engine._ddl._rewrite("cow_m", df)
+        engine.execute("ALTER TABLE cow_m SET FORMAT MANIFEST")
+        mt = _mt(engine, "cow_m")
+        before = {p: os.path.getmtime(p) for p in mt.files()}
+        assert len(before) == 4
+        lo = engine.sql("SELECT min(o_orderkey) AS k FROM cow_m").first().k
+        n0 = engine.table("cow_m").count()
+
+        # the pre-narrowing pieces work end-to-end on the probe shape:
+        # bounds come out of the probe plan, stats keep ONE candidate
+        probe = mt.read(engine.spark).filter(f"o_orderkey = {lo}")
+        ranges = filter_ranges(probe)
+        assert ranges == {"o_orderkey": (lo, lo)}
+        assert len(mt.files_pruned(ranges)) == 1
+
+        engine.execute(
+            f"UPDATE cow_m SET o_totalprice = -1.0 WHERE o_orderkey = {lo}"
+        )
+        after = {p: os.path.getmtime(p) for p in mt.files()}
+        survivors = set(before) & set(after)
+        assert len(survivors) == 3  # three range files untouched
+        assert all(before[p] == after[p] for p in survivors)
+        assert len(set(after) - set(before)) >= 1  # replacement committed
+        assert engine.table("cow_m").count() == n0
+        got = engine.sql(
+            f"SELECT o_totalprice FROM cow_m WHERE o_orderkey = {lo}"
+        ).collect()
+        assert got and all(r.o_totalprice == -1.0 for r in got)
+
+        # keyed no-op outside every file's range: stats prove no file
+        # can match, so the DML commits NOTHING (no new version)
+        v = mt.version()
+        hi = engine.sql("SELECT max(o_orderkey) AS k FROM cow_m").first().k
+        engine.execute(
+            f"DELETE FROM cow_m WHERE o_orderkey = {hi + 1000000}"
+        )
+        assert mt.version() == v
+        assert engine.table("cow_m").count() == n0
+    finally:
+        engine.execute("DROP TABLE cow_m")
+
+
 def test_time_travel_reads_old_snapshot(engine, mtab):
     v1_count = engine.table(mtab).count()
     engine.execute("DELETE FROM m_orders WHERE o_totalprice > 0")
