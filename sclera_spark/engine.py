@@ -28,6 +28,9 @@ class ScleraEngine:
             ("spark.sql.session.timeZone", "UTC"),
             ("spark.sql.execution.arrow.pyspark.enabled", "true"),
             ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            # INT96 timestamps carry no parquet stats — they blind
+            # row-group pruning AND manifest file skipping (session.py)
+            ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
         ):
             try:
                 spark.conf.set(k, v)

@@ -49,6 +49,11 @@ def build_session(
         # read TIMESTAMP(NANOS) parquet columns as long; Catalog converts
         # them to microsecond timestamps (DuckDB-compatible truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # columns carry NO parquet column statistics, which blinds both
+        # row-group pruning and the manifest tier's file-level data
+        # skipping on every timestamp column
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # heap CAP, not a commitment: 16g forced GC churn between bench
         # queries in one warm session (measured: split_intervals median

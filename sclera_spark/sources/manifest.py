@@ -204,8 +204,20 @@ class ManifestTable:
             return None
         return sum(rows[n] for n in names)
 
+    def file_nulls(self, version: int | None = None) -> dict[str, dict]:
+        """Per-file per-column exact null counts recorded at commit time
+        (r9): {file name: {column: nulls}}. A file's entry is present
+        (possibly {}) exactly when the commit recorded v2 stats for it —
+        absence marks a legacy file whose stats lack type tags."""
+        v = self.version() if version is None else version
+        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
+            return json.load(fh).get("nulls", {})
+
     def files_pruned(
-        self, ranges: dict[str, tuple], version: int | None = None
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+        nulls: dict[str, str] | None = None,
     ) -> list[str]:
         """FILE-LEVEL data skipping: the live files that can contain a
         row satisfying every ``col BETWEEN lo AND hi`` in ``ranges``
@@ -219,28 +231,60 @@ class ManifestTable:
         sorted/clustered table from 'open every footer' into 'open the
         few files the manifest says overlap' — same shape as
         Delta/Iceberg file skipping, with OPTIMIZE ... SORT BY as the
-        clustering knob that makes ranges tight."""
+        clustering knob that makes ranges tight.
+
+        ``nulls`` adds null-count skipping (r9): {column: 'null'} drops
+        files whose recorded null count for the column is 0 (an
+        ``IS NULL`` probe cannot match there), {column: 'notnull'}
+        drops all-NULL files (null count == row count). A range bound
+        on a column ALSO implies notnull (comparisons never match NULL
+        rows), which is what keeps range pruning sound for files whose
+        min/max are absent because every value is NULL."""
         v = self.version() if version is None else version
         stats = self.file_stats(v)
+        fnulls = self.file_nulls(v)
+        frows = self.file_rows(v)
+        want_notnull = {c for c, k in (nulls or {}).items() if k == "notnull"}
+        want_notnull |= set(ranges)
+        want_null = {c for c, k in (nulls or {}).items() if k == "null"}
         out = []
         for path in self.files(v):
             name = os.path.basename(path)
             fstats = stats.get(name)
+            keep = True
+            fn = fnulls.get(name)
+            if fn is not None:
+                for col in want_null:
+                    if fn.get(col) == 0:
+                        keep = False
+                        break
+                if keep and name in frows:
+                    for col in want_notnull:
+                        if col in fn and fn[col] == frows[name]:
+                            keep = False  # every value NULL: no match
+                            break
+            if not keep:
+                continue
             if fstats is None:
                 out.append(path)
                 continue
-            keep = True
             for col, (lo, hi) in ranges.items():
-                mn_mx = fstats.get(col)
-                if not mn_mx:
-                    continue  # no stats for this column: cannot prune
-                mn, mx = _canon_bound(mn_mx[0]), _canon_bound(mn_mx[1])
-                lo, hi = _canon_bound(lo), _canon_bound(hi)
+                entry = fstats.get(col)
+                if not entry or len(entry) < 3:
+                    # no stats, or a legacy untagged entry (pre-r9):
+                    # without the type tag a sound canonicalization of
+                    # the probe bound is not possible — keep the file
+                    continue
+                mn, mx, tag = entry
+                lo_c = _canon_bound(lo, tag) if lo is not None else None
+                hi_c = _canon_bound(hi, tag) if hi is not None else None
+                if lo_c is _INCOMPARABLE or hi_c is _INCOMPARABLE:
+                    continue
                 try:
-                    if lo is not None and mx < lo:
+                    if lo_c is not None and mx < lo_c:
                         keep = False
                         break
-                    if hi is not None and mn > hi:
+                    if hi_c is not None and mn > hi_c:
                         keep = False
                         break
                 except TypeError:
@@ -609,7 +653,7 @@ class ManifestTable:
         trade silent lost updates with it. (CasManifestTable overrides
         the conflict handling: no heal, conflicts retry via CAS.)"""
         mpath = os.path.join(self.log_dir, f"v{version}.json")
-        stats, rows = self._assemble_stats(files)
+        stats, nulls, rows = self._assemble_stats(files)
         try:
             fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -621,6 +665,7 @@ class ManifestTable:
                     "files": files,
                     "meta": meta or {},
                     "stats": stats,
+                    "nulls": nulls,
                     "rows": rows,
                 },
                 fh,
@@ -628,41 +673,56 @@ class ManifestTable:
             fh.flush()
             os.fsync(fh.fileno())
 
-    def _assemble_stats(self, files: list[str]) -> dict[str, dict]:
-        """Per-file column min/max for the manifest being committed:
+    def _assemble_stats(
+        self, files: list[str]
+    ) -> tuple[dict[str, dict], dict[str, dict], dict[str, int]]:
+        """Per-file column stats for the manifest being committed:
         inherited from the current version for surviving files (stats
         are immutable with the file), computed from the parquet footer
         for files new to this commit (they are already in data/ —
         _adopt runs before the claim). Footer reads cost O(new files)
         per commit, the Delta/Iceberg stats model. Any failure degrades
         to 'no stats for that file' (pruning keeps it). Returns
-        (per-file column min/max, per-file row counts) — row counts
-        feed LIST FILES observability and metadata-only sizing."""
+        (per-file column [min, max, tag], per-file column null counts,
+        per-file row counts). A prior entry is inherited only when it
+        carries the v2 markers (a nulls record and type-tagged min/max);
+        legacy r8 entries are re-read from the footer ONCE — the file
+        still exists, the upgrade costs O(legacy files) on the first v2
+        commit and nothing after."""
         prior: dict[str, dict] = {}
+        prior_nulls: dict[str, dict] = {}
         prior_rows: dict[str, int] = {}
         try:
             prior = self.file_stats()
+            prior_nulls = self.file_nulls()
             prior_rows = self.file_rows()
         except Exception:
             pass
         out: dict[str, dict] = {}
+        nulls: dict[str, dict] = {}
         rows: dict[str, int] = {}
         for name in files:
-            if name in prior_rows:
+            if (
+                name in prior_nulls
+                and name in prior_rows
+                and all(len(e) >= 3 for e in prior.get(name, {}).values())
+            ):
+                if name in prior:
+                    out[name] = prior[name]
+                nulls[name] = prior_nulls[name]
                 rows[name] = prior_rows[name]
-            if name in prior:
-                out[name] = prior[name]
-                if name in prior_rows:
-                    continue
+                continue
             try:
-                st, nr = _parquet_minmax(os.path.join(self.data_dir, name))
+                st, nl, nr = _parquet_minmax(
+                    os.path.join(self.data_dir, name)
+                )
             except Exception:
-                st, nr = None, None
-            if name not in out and st:
+                continue
+            if st:
                 out[name] = st
-            if name not in rows and nr is not None:
-                rows[name] = nr
-        return out, rows
+            nulls[name] = nl
+            rows[name] = nr
+        return out, nulls, rows
 
     def _on_claim_conflict(self, version: int) -> int:
         """Local-table policy: heal the crashed orphan loudly; a claim
@@ -713,48 +773,92 @@ class ManifestTable:
             pass
 
 
-def _parquet_minmax(path: str) -> tuple[dict[str, list] | None, int]:
-    """(top-level-column [min, max], exact row count) from a parquet
-    file's footer (no data read; pyarrow metadata only), restricted to
-    JSON-safe scalar types. Columns whose row groups lack min/max
-    (all-NULL, unsupported types) are omitted — absence means 'cannot
-    prune on this column'."""
+def _stat_tag(raw) -> str | None:
+    """Type tag stored alongside each column's [min, max] (r9): 't' =
+    timestamp, 'd' = date, 's' = string, 'n' = numeric. Canonicalization
+    of bounds is driven by THIS tag, never by what a value looks like —
+    a string column whose values resemble timestamps must compare as
+    raw strings (regex-rewriting them broke ordering; r8 ADVICE)."""
+    import datetime as _dt
+
+    if isinstance(raw, _dt.datetime):
+        return "t"
+    if isinstance(raw, _dt.date):
+        return "d"
+    if isinstance(raw, str):
+        return "s"
+    if isinstance(raw, bool):
+        return None
+    if isinstance(raw, (int, float)):
+        return "n"
+    return None
+
+
+def _parquet_minmax(
+    path: str,
+) -> tuple[dict[str, list] | None, dict[str, int], int]:
+    """(top-level-column [min, max, tag], per-column exact null count,
+    exact row count) from a parquet file's footer (no data read; pyarrow
+    metadata only), restricted to JSON-safe scalar types. Columns whose
+    row groups lack min/max (all-NULL, unsupported types) are omitted
+    from stats — absence means 'cannot range-prune on this column' —
+    but their null counts are still recorded when every row group
+    reports one (an all-NULL file is exactly the case IS NULL pruning
+    and metadata-only MIN/MAX need the null count for)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    tags: dict[str, str] = {}
+    nulls: dict[str, int] = {}
     skip: set[str] = set()
+    null_skip: set[str] = set()
     for rg in range(md.num_row_groups):
         row = md.row_group(rg)
         for ci in range(row.num_columns):
             col = row.column(ci)
             name = col.path_in_schema
-            if "." in name or name in skip:
+            if "." in name:
                 continue  # nested leaves: not prunable top-level columns
             st = col.statistics
+            if name not in null_skip:
+                if st is not None and st.has_null_count:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                else:
+                    null_skip.add(name)
+                    nulls.pop(name, None)
+            if name in skip:
+                continue
             if st is None or not st.has_min_max:
                 skip.add(name)
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 continue
-            mn, mx = _canon_stat(st.min), _canon_stat(st.max)
-            if isinstance(mn, bytes):
+            raw_mn, raw_mx = st.min, st.max
+            if isinstance(raw_mn, bytes):
                 try:
-                    mn, mx = mn.decode(), mx.decode()
+                    raw_mn, raw_mx = raw_mn.decode(), raw_mx.decode()
                 except UnicodeDecodeError:
                     skip.add(name)
                     mins.pop(name, None)
                     maxs.pop(name, None)
                     continue
-            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+            tag = _stat_tag(raw_mn)
+            if tag is None or tags.get(name, tag) != tag:
                 skip.add(name)
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 continue
+            tags[name] = tag
+            mn, mx = _canon_stat(raw_mn), _canon_stat(raw_mx)
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return {k: [mins[k], maxs[k]] for k in mins} or None, md.num_rows
+    return (
+        {k: [mins[k], maxs[k], tags[k]] for k in mins} or None,
+        nulls,
+        md.num_rows,
+    )
 
 
 def _canon_stat(v):
@@ -778,30 +882,57 @@ def _canon_stat(v):
 
 _TS_RE = None
 
+_INCOMPARABLE = object()
 
-def _canon_bound(v):
-    """Canonicalize a pruning bound the same way stats are stored:
-    datetime/date objects and timestamp-looking strings (any fraction
-    width, 'T' or space separator) land on the fixed-width form so
-    string comparison is chronological; everything else is unchanged.
-    Naive datetimes are taken as already-UTC (document at call sites)."""
+
+def _canon_bound(v, tag: str):
+    """Canonicalize a pruning bound the same way stats of the column's
+    TYPE are stored. The tag comes from the manifest stats entry (the
+    column's parquet logical type at write time), never from what the
+    bound looks like: a string column's bounds pass through raw even
+    when they resemble timestamps (regex-rewriting such values is not
+    order-preserving against the column's other strings — r8 ADVICE
+    defect), while a timestamp column's bounds land on the fixed-width
+    'YYYY-MM-DD HH:MM:SS.ffffff' form whether they arrive as datetime
+    objects or 'T'-separated / short-fraction strings. Naive datetimes
+    are taken as already-UTC (document at call sites). Returns
+    _INCOMPARABLE when the bound's type cannot soundly compare with the
+    column's stats (callers keep the file)."""
     global _TS_RE
     import datetime as _dt
 
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        return _canon_stat(v)
-    if isinstance(v, str):
-        if _TS_RE is None:
-            import re
+    if tag == "n":
+        return (
+            v
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else _INCOMPARABLE
+        )
+    if tag == "s":
+        return v if isinstance(v, str) else _INCOMPARABLE
+    if tag == "d":
+        if isinstance(v, _dt.datetime):
+            return _INCOMPARABLE  # sub-day probe on a date column: keep
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v if isinstance(v, str) else _INCOMPARABLE
+    if tag == "t":
+        if isinstance(v, _dt.datetime):
+            return _canon_stat(v)
+        if isinstance(v, _dt.date):
+            return _INCOMPARABLE
+        if isinstance(v, str):
+            if _TS_RE is None:
+                import re
 
-            _TS_RE = re.compile(
-                r"^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(?:\.(\d+))?$"
-            )
-        m = _TS_RE.match(v)
-        if m:
-            frac = (m.group(3) or "")[:6].ljust(6, "0")
-            return f"{m.group(1)} {m.group(2)}.{frac}"
-    return v
+                _TS_RE = re.compile(
+                    r"^(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(?:\.(\d+))?$"
+                )
+            m = _TS_RE.match(v)
+            if m:
+                frac = (m.group(3) or "")[:6].ljust(6, "0")
+                return f"{m.group(1)} {m.group(2)}.{frac}"
+        return _INCOMPARABLE
+    return _INCOMPARABLE
 
 
 class _ClaimConflict(Exception):

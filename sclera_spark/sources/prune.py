@@ -231,6 +231,36 @@ def extract_ranges(cond) -> dict[str, tuple]:
     }
 
 
+def extract_nulls(cond) -> dict[str, str]:
+    """Conservative {column: 'null' | 'notnull'} facts implied by a
+    catalyst filter condition's And-reachable conjuncts. ``IsNull(c)``
+    means only files with at least one NULL can match; ``IsNotNull(c)``
+    (which the optimizer also infers from every comparison on c) means
+    an all-NULL file cannot match. Contradictory conjuncts on a column
+    (unsatisfiable filter) drop the column — pruning nothing is always
+    sound and the optimizer folds such plans to empty anyway."""
+    out: dict[str, str] = {}
+    dead: set[str] = set()
+    for e in _conjuncts(cond):
+        cn = _cls(e)
+        if cn not in ("IsNull", "IsNotNull"):
+            continue
+        try:
+            child = e.child()
+            if _cls(child) != "AttributeReference":
+                continue
+            col = child.name()
+            if col in dead:
+                continue
+            kind = "null" if cn == "IsNull" else "notnull"
+            if out.setdefault(col, kind) != kind:
+                dead.add(col)
+                out.pop(col, None)
+        except Exception:
+            continue
+    return out
+
+
 def filter_ranges(df) -> dict[str, tuple]:
     """Conservative {column: (lo, hi)} bounds implied by the single
     filtered parquet scan in ``df``'s optimized plan — the DML probe
@@ -453,11 +483,12 @@ def prune_query(engine, ddl, query: str, df):
         if survivors.get(name, set()) is None:
             continue
         ranges = extract_ranges(cond) if cond is not None else {}
-        if not ranges:
+        nullness = extract_nulls(cond) if cond is not None else {}
+        if not ranges and not nullness:
             survivors[name] = None
             continue
         try:
-            kept = mt.files_pruned(ranges)
+            kept = mt.files_pruned(ranges, nulls=nullness)
         except Exception:
             survivors[name] = None
             continue

@@ -377,3 +377,103 @@ def test_metadata_count_time_travel_snapshot(engine, ptab):
     assert df.inputFiles() == []
     now = engine.sql("SELECT count(*) AS n FROM pt").first().n
     assert now < n_before
+
+
+def test_string_ts_lookalikes_never_mispruned(spark, tmp_path):
+    """r8 ADVICE defect: a STRING column mixing timestamp-looking values
+    with ordinary strings must compare RAW — regex-rewriting the stored
+    bounds broke ordering ('2024-01-02 03:04:05.000000' sorts below
+    '2024-01-02B') and an equality probe pruned the file containing its
+    own match. Stats now carry the column's type tag and string columns
+    are never canonicalized."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-02B",), ("2024-01-02T03:04:05",)], "c string"
+    )
+    ManifestTable.create(df.coalesce(1), path)
+    mt = ManifestTable(path)
+    # the probed value IS in the file: it must survive every probe shape
+    assert mt.files_pruned({"c": ("2024-01-02B", "2024-01-02B")}) == mt.files()
+    assert (
+        mt.files_pruned({"c": ("2024-01-02T03:04:05", "2024-01-02T03:04:05")})
+        == mt.files()
+    )
+    # raw string ordering still prunes where sound: both values < 'a',
+    # and a 'zzz' file lies above 'b'
+    mt.append(spark.createDataFrame([("zzz",)], "c string").coalesce(1))
+    assert mt.files_pruned({"c": ("a", "b")}) == []
+
+
+def test_timestamp_column_probes_canonicalize_by_tag(spark, tmp_path):
+    """A genuine TIMESTAMP column's bounds canonicalize to the stored
+    fixed-width form whether the probe arrives as a datetime object, a
+    'T'-separated string, or a short-fraction string — pruning fires for
+    all three and never for an incomparable probe type."""
+    import datetime as dt
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    path = str(tmp_path / "t")
+    ManifestTable.create(
+        spark.sql(
+            "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts "
+            "FROM range(0, 10)"
+        ).coalesce(1),
+        path,
+    )
+    mt = ManifestTable(path)
+    mt.append(
+        spark.sql(
+            "SELECT timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts "
+            "FROM range(0, 10)"
+        ).coalesce(1)
+    )
+    assert len(mt.files()) == 2
+    probes = [
+        ("2024-05-30T00:00:00", None),
+        ("2024-05-30 00:00:00.5", None),
+        (dt.datetime(2024, 5, 30), None),
+    ]
+    for lo, hi in probes:
+        assert len(mt.files_pruned({"ts": (lo, hi)})) == 1, lo
+    # an int probe on a timestamp column is incomparable: keep both
+    assert len(mt.files_pruned({"ts": (5, None)})) == 2
+
+
+def test_null_count_skipping(engine):
+    """IS NULL / IS NOT NULL probes prune through per-file null counts,
+    and an all-NULL file (which HAS no min/max stats) is pruned by a
+    range probe via range-implies-notnull — with results identical to
+    the unpruned scan in every case."""
+    engine.execute(
+        "CREATE TABLE nt AS "
+        "SELECT o_orderkey, CAST(NULL AS DOUBLE) AS tp "
+        "FROM orders WHERE o_orderkey < 500"
+    )
+    try:
+        engine.execute("ALTER TABLE nt SET FORMAT MANIFEST")
+        engine.execute(
+            "INSERT INTO nt SELECT o_orderkey, o_totalprice "
+            "FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000"
+        )
+        engine.execute(
+            "INSERT INTO nt SELECT o_orderkey, o_totalprice "
+            "FROM orders WHERE o_orderkey >= 1000"
+        )
+        full = engine.table("nt").inputFiles()
+        assert len(full) >= 3
+
+        for sql in (
+            "SELECT count(o_orderkey) AS n, sum(tp) AS s FROM nt WHERE tp IS NULL",
+            "SELECT count(*) AS n, sum(tp) AS s FROM nt WHERE tp IS NOT NULL",
+            "SELECT count(*) AS n, sum(tp) AS s FROM nt WHERE tp > 100",
+        ):
+            pruned = engine.sql(sql)
+            assert len(pruned.inputFiles()) < len(full), sql
+            assert _rows(pruned) == _rows(_unpruned(engine, sql)), sql
+        # restored afterwards
+        assert len(engine.table("nt").inputFiles()) == len(full)
+    finally:
+        engine.execute("DROP TABLE nt")
