@@ -305,10 +305,10 @@ class ScleraEngine:
             for name in ddl.manifest_tables
         ):
             return df
-        from sclera_spark.sources.prune import metadata_count, prune_query
+        from sclera_spark.sources.prune import metadata_agg, prune_query
 
         if self.config.get("metadata_only_count", "on") == "on":
-            mc = metadata_count(self, ddl, df)
+            mc = metadata_agg(self, ddl, df)
             if mc is not None:
                 return mc
         return prune_query(self, ddl, query, df) or df

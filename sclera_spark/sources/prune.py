@@ -365,20 +365,72 @@ def _manifest_tables_by_dir(ddl):
     return tables
 
 
-def metadata_count(engine, ddl, df):
-    """``SELECT count(*) FROM <manifest table>`` answered from manifest
-    metadata alone — zero Spark jobs, zero file opens at any table size
-    (the Delta metadata-only-query optimization). The gate is strict:
-    the WHOLE optimized plan must be an ungrouped single
-    ``Count(Literal 1)`` (no DISTINCT, no FILTER clause, no
-    subqueries) over a bare LogicalRelation (a Project in between is
-    fine — projections are 1:1). The count sums the RELATION'S OWN
-    input files through the per-file row counts recorded across
-    retained manifest versions, so the answer matches the snapshot the
-    scan would have read (including time-travel views) even if a
-    foreign writer advanced the table since view registration. Any
-    file without a recorded count -> None (caller runs the real scan).
-    Returns the one-row DataFrame or None."""
+# exact-value extraction from string stats is refused at/after this
+# length: parquet writers MAY truncate long binary footer stats
+# (parquet.statistics.truncate.length; the smallest default in the
+# wild is the 64-byte column-index length), and a truncated bound is
+# still a valid BOUND (fine for pruning) but not the exact min/max.
+# Spark's own writer keeps string stats exact up to 4096 bytes and
+# drops them beyond, but imported foreign files need the paranoia.
+_STR_STAT_EXACT_MAX = 64
+
+
+def _stat_to_python(stored, tag: str, dt, tz_utc: bool):
+    """A stored canonical stat value -> the Python value Spark's
+    createDataFrame expects for result type ``dt``, or _SKIP when the
+    conversion cannot be exact. Floating result types are refused
+    outright: parquet min/max are unreliable in the presence of NaN
+    (writers exclude or misorder it), and Spark's MIN/MAX order NaN
+    above every value — a metadata answer could silently differ."""
+    import datetime as _dt
+
+    tn = dt.typeName()
+    if tn in ("integer", "long", "short", "byte"):
+        return int(stored) if tag == "n" and isinstance(stored, int) else _SKIP
+    if tn == "string":
+        if tag != "s" or not isinstance(stored, str):
+            return _SKIP
+        if len(stored.encode("utf-8")) >= _STR_STAT_EXACT_MAX:
+            return _SKIP
+        return stored
+    if tn == "date":
+        if tag != "d" or not isinstance(stored, str):
+            return _SKIP
+        return _dt.date.fromisoformat(stored)
+    if tn in ("timestamp", "timestamp_ntz"):
+        if tag != "t" or not isinstance(stored, str):
+            return _SKIP
+        if tn == "timestamp" and not tz_utc:
+            # stored canon is UTC wall time; createDataFrame interprets
+            # naive datetimes in the SESSION zone — only sound when UTC
+            return _SKIP
+        return _dt.datetime.strptime(stored, "%Y-%m-%d %H:%M:%S.%f")
+    return _SKIP
+
+
+def metadata_agg(engine, ddl, df):
+    """``SELECT count(*) / min(c) / max(c) FROM <manifest table>``
+    answered from manifest metadata alone — zero Spark jobs, zero file
+    opens at any table size (the Delta metadata-only-query
+    optimization). The gate is strict: the WHOLE optimized plan must be
+    an ungrouped Aggregate whose every output is ``Count(Literal 1)``,
+    ``Min(column)`` or ``Max(column)`` (no DISTINCT, no FILTER clause,
+    no subqueries, no expressions over the aggregate) over a bare
+    LogicalRelation (a Project in between is fine — the aggregated
+    attribute must still resolve to a relation output by exprId, so a
+    computed projection bails). Counts sum the RELATION'S OWN input
+    files through the per-file row counts recorded across retained
+    manifest versions, so the answer matches the snapshot the scan
+    would have read (including time-travel views) even if a foreign
+    writer advanced the table since view registration. MIN/MAX fold the
+    per-file [min, max] stats; a file contributes only when it has a
+    TYPE-TAGGED stats entry for the column or is provably all-NULL
+    there (null count == row count — such files have no min/max and
+    are skipped exactly like SQL MIN/MAX skip NULLs). Any file with
+    neither, any non-exactly-convertible stat (floating result types,
+    possibly-truncated long strings), or any unexpected plan shape ->
+    None (caller runs the real scan). Returns the one-row DataFrame or
+    None."""
     import os
 
     try:
@@ -392,29 +444,42 @@ def metadata_count(engine, ddl, df):
         if plan.groupingExpressions().size() != 0:
             return None
         aggs = plan.aggregateExpressions()
-        if aggs.size() != 1:
+        if aggs.size() == 0:
             return None
-        alias = aggs.apply(0)
-        if _cls(alias) != "Alias":
-            return None
-        agg_expr = alias.child()
-        if _cls(agg_expr) != "AggregateExpression":
-            return None
-        if agg_expr.isDistinct() or agg_expr.filter().isDefined():
-            return None
-        fn = agg_expr.aggregateFunction()
-        if _cls(fn) != "Count":
-            return None
-        fkids = _seq(fn.children())
-        if len(fkids) != 1 or _cls(fkids[0]) != "Literal":
-            return None
-        if fkids[0].value() != 1:
-            return None
+        # (kind, column exprId | None) per output, gate everything else
+        wanted: list[tuple] = []
+        for i in range(aggs.size()):
+            alias = aggs.apply(i)
+            if _cls(alias) != "Alias":
+                return None
+            agg_expr = alias.child()
+            if _cls(agg_expr) != "AggregateExpression":
+                return None
+            if agg_expr.isDistinct() or agg_expr.filter().isDefined():
+                return None
+            fn = agg_expr.aggregateFunction()
+            fname = _cls(fn)
+            fkids = _seq(fn.children())
+            if fname == "Count":
+                if len(fkids) != 1 or _cls(fkids[0]) != "Literal":
+                    return None
+                if fkids[0].value() != 1:
+                    return None
+                wanted.append(("count", None))
+            elif fname in ("Min", "Max"):
+                if len(fkids) != 1 or _cls(fkids[0]) != "AttributeReference":
+                    return None
+                wanted.append((fname.lower(), fkids[0]))
+            else:
+                return None
         node = _seq(plan.children())[0]
         if _cls(node) == "Project":
             node = _seq(node.children())[0]
         if _cls(node) != "LogicalRelation":
             return None
+        rel_cols = {}  # exprId repr -> column name, for attr resolution
+        for attr in _seq(node.output()):
+            rel_cols[attr.exprId().toString()] = attr.name()
         d = _relation_dir(node)
         hit = _manifest_tables_by_dir(ddl).get(os.path.abspath(d)) if d else None
         if hit is None:
@@ -424,22 +489,56 @@ def metadata_count(engine, ddl, df):
             os.path.basename(_strip_scheme(f))
             for f in node.relation().location().inputFiles()
         ]
-        # row counts are immutable per file; resolve each scanned file
-        # through retained versions, newest first
+        # per-file metadata is immutable with the file; resolve each
+        # scanned file through retained versions, newest first
         rows: dict[str, int] = {}
+        stats: dict[str, dict] = {}
+        nulls: dict[str, dict] = {}
         missing = set(scanned)
         for v in reversed(mt.versions()):
             if not missing:
                 break
             got = mt.file_rows(v)
+            got_stats = mt.file_stats(v)
+            got_nulls = mt.file_nulls(v)
             for n in list(missing):
                 if n in got:
                     rows[n] = got[n]
+                    stats[n] = got_stats.get(n, {})
+                    if n not in got_nulls:
+                        return None  # legacy pre-v2 file: no null info
+                    nulls[n] = got_nulls[n]
                     missing.discard(n)
         if missing:
             return None
-        total = sum(rows[n] for n in scanned)
-        return engine.spark.createDataFrame([(total,)], schema=df.schema)
+        tz_utc = (
+            engine.spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+        )
+        out_row = []
+        for (kind, attr), field in zip(wanted, df.schema.fields):
+            if kind == "count":
+                out_row.append(sum(rows[n] for n in scanned))
+                continue
+            col = rel_cols.get(attr.exprId().toString())
+            if col is None:
+                return None
+            acc = None
+            for n in scanned:
+                entry = stats[n].get(col)
+                if not entry or len(entry) < 3:
+                    if nulls[n].get(col) == rows[n]:
+                        continue  # all-NULL file: MIN/MAX skip it
+                    return None  # no stats, rows not provably NULL
+                stored = entry[0] if kind == "min" else entry[1]
+                v = _stat_to_python(stored, entry[2], field.dataType, tz_utc)
+                if v is _SKIP:
+                    return None
+                if acc is None:
+                    acc = v
+                else:
+                    acc = min(acc, v) if kind == "min" else max(acc, v)
+            out_row.append(acc)  # None = every row NULL -> SQL NULL
+        return engine.spark.createDataFrame([tuple(out_row)], schema=df.schema)
     except Exception:
         return None
 

@@ -477,3 +477,84 @@ def test_null_count_skipping(engine):
         assert len(engine.table("nt").inputFiles()) == len(full)
     finally:
         engine.execute("DROP TABLE nt")
+
+
+def test_metadata_only_min_max(engine, ptab):
+    """Bare ungrouped SELECT min(c)/max(c) (alone or mixed with
+    count(*)) over a manifest table folds the per-file min/max stats:
+    zero files opened, values identical to the forced scan — for
+    integer, string and date columns; floating columns and every
+    non-trivial shape still run the real scan."""
+
+    def forced(sql):
+        engine.config["metadata_only_count"] = "off"
+        try:
+            return engine.sql(sql).collect()
+        finally:
+            engine.config.pop("metadata_only_count", None)
+
+    for sql in (
+        "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, "
+        "count(*) AS n FROM pt",
+        "SELECT max(o_orderdate) AS d FROM pt",
+        "SELECT min(o_orderpriority) AS p, max(o_orderpriority) AS q FROM pt",
+    ):
+        df = engine.sql(sql)
+        assert df.inputFiles() == [], sql  # metadata answer, no scan
+        assert df.collect() == forced(sql), sql
+
+    # stays exact across DML (files rewritten, stats re-recorded)
+    engine.execute("DELETE FROM pt WHERE o_orderkey <= 10")
+    sql = "SELECT min(o_orderkey) AS lo FROM pt"
+    df = engine.sql(sql)
+    assert df.inputFiles() == []
+    assert df.first().lo == forced(sql)[0].lo > 10
+
+    # min(DISTINCT c) is answered too: Catalyst's EliminateDistinct
+    # rewrites it to plain min(c) before the gate ever sees it
+    dsql = "SELECT min(DISTINCT o_orderkey) AS m FROM pt"
+    ddf = engine.sql(dsql)
+    assert ddf.inputFiles() == [] and ddf.collect() == forced(dsql)
+
+    # gated shapes: the real scan runs
+    for sql in (
+        "SELECT min(o_totalprice) AS m FROM pt",  # float: NaN-unsound
+        "SELECT min(o_orderkey) AS m FROM pt WHERE o_custkey > 5",
+        "SELECT min(o_orderkey + 1) AS m FROM pt",
+        "SELECT min(o_orderkey) AS m, avg(o_custkey) AS a FROM pt",
+        "SELECT o_orderpriority AS p, min(o_orderkey) AS m FROM pt GROUP BY 1",
+    ):
+        scanned = engine.sql(sql)
+        assert scanned.inputFiles() != [], sql
+        assert scanned.collect() == forced(sql), sql
+
+
+def test_metadata_min_max_all_null_and_time_travel(engine):
+    """An all-NULL column's metadata MIN is NULL (files skipped via
+    null counts, like SQL MIN skips NULL rows); VERSION AS OF answers
+    from THAT snapshot's files."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    engine.execute(
+        "CREATE TABLE mm AS SELECT o_orderkey, "
+        "CAST(NULL AS BIGINT) AS nothing FROM orders WHERE o_orderkey < 500"
+    )
+    try:
+        engine.execute("ALTER TABLE mm SET FORMAT MANIFEST")
+        df = engine.sql("SELECT min(nothing) AS m, max(nothing) AS x FROM mm")
+        assert df.inputFiles() == []
+        assert df.first() == (None, None)
+
+        mt = ManifestTable(engine._ddl._path("mm"))
+        v = mt.version()
+        lo0 = engine.sql("SELECT min(o_orderkey) AS m FROM mm").first().m
+        engine.execute("DELETE FROM mm WHERE o_orderkey < 100")
+        cur = engine.sql("SELECT min(o_orderkey) AS m FROM mm")
+        old = engine.sql(
+            f"SELECT min(o_orderkey) AS m FROM mm VERSION AS OF {v}"
+        )
+        assert cur.inputFiles() == [] and old.inputFiles() == []
+        assert old.first().m == lo0
+        assert cur.first().m >= 100 > lo0
+    finally:
+        engine.execute("DROP TABLE mm")
