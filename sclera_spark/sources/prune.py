@@ -294,24 +294,119 @@ def _strip_scheme(path: str) -> str:
     return path
 
 
-def _scan_pairs(plan):
-    """(filter condition | None, LogicalRelation) for every parquet
+# Nodes a join-derived row constraint may soundly descend through: an
+# operator where dropping input rows that the constraint's ORIGIN would
+# discard anyway cannot change any surviving row. Filter/Project/Sort/
+# Repartition are row-wise 1:1 (or pure reordering); Join is handled
+# explicitly in the walk; Aggregate qualifies because a constraint is
+# applied only on exprId match, and an Aggregate only outputs an input
+# attribute UNCHANGED (same exprId) when it is a bare grouping column —
+# filtering whole groups by their grouping key commutes with
+# aggregation. Window is deliberately ABSENT: unpartitioned window
+# functions (row_number over the table) change value when any row is
+# removed, and exprId pass-through cannot prove the key is in the
+# partition spec.
+_ENV_TRANSPARENT = {
+    "Filter",
+    "Project",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+    "Aggregate",
+}
+
+
+def _equi_keys(cond):
+    """[(a, b)] AttributeReference pairs from the EqualTo conjuncts of
+    a join condition. Strict EqualTo only — EqualNullSafe matches NULL
+    keys, which min/max ranges cannot see, so deriving a range from it
+    would prune files whose NULL rows should match."""
+    out = []
+    for e in _conjuncts(cond):
+        if _cls(e) != "EqualTo":
+            continue
+        try:
+            kids = _seq(e.children())
+            if len(kids) == 2 and all(
+                _cls(k) == "AttributeReference" for k in kids
+            ):
+                out.append((kids[0], kids[1]))
+        except Exception:
+            continue
+    return out
+
+
+def _scan_pairs(plan, deriver=None):
+    """(filter condition | None, LogicalRelation, env) for every parquet
     relation in the optimized plan — condition present only when the
     Filter sits DIRECTLY on the relation (where the optimizer leaves
-    pushable predicates)."""
+    pushable predicates). ``env`` is the list of join-derived range
+    constraints [(exprId string, lo, hi)] valid at that scan: at each
+    Join, ``deriver`` (when given) may evaluate the OTHER side's
+    equi-key range and the constraint then descends toward the scan,
+    but only through _ENV_TRANSPARENT operators — any other node drops
+    the env (never the walk)."""
     pairs = []
-    stack = [plan]
-    while stack:
-        node = stack.pop()
+
+    def walk(node, env):
         cn = _cls(node)
         kids = _seq(node.children())
-        if cn == "Filter" and len(kids) == 1 and _cls(kids[0]) == "LogicalRelation":
-            pairs.append((node.condition(), kids[0]))
-            continue
+        if (
+            cn == "Filter"
+            and len(kids) == 1
+            and _cls(kids[0]) == "LogicalRelation"
+        ):
+            pairs.append((node.condition(), kids[0], env))
+            return
         if cn == "LogicalRelation":
-            pairs.append((None, node))
-            continue
-        stack.extend(kids)
+            pairs.append((None, node, env))
+            return
+        if cn == "Join" and len(kids) == 2:
+            left, right = kids
+            env_l: list = []
+            env_r: list = []
+            if deriver is not None:
+                try:
+                    jt = node.joinType().toString()
+                    # which side may be row-filtered by the other's keys:
+                    # Inner/LeftSemi both (semi output = matching left
+                    # rows; right rows without a left match are dead
+                    # probes); outer joins only their inner side (the
+                    # preserved side's rows all survive)
+                    prune_left = jt in ("Inner", "LeftSemi", "RightOuter")
+                    prune_right = jt in ("Inner", "LeftSemi", "LeftOuter")
+                    keys = (
+                        _equi_keys(node.condition().get())
+                        if (prune_left or prune_right)
+                        and node.condition().isDefined()
+                        else []
+                    )
+                    for a, b in keys:
+                        ls, rs = left.outputSet(), right.outputSet()
+                        if ls.contains(a) and rs.contains(b):
+                            la, rb = a, b
+                        elif ls.contains(b) and rs.contains(a):
+                            la, rb = b, a
+                        else:
+                            continue
+                        if prune_left:
+                            env_l.extend(deriver(right, rb, left, la))
+                        if prune_right:
+                            env_r.extend(deriver(left, la, right, rb))
+                except Exception:
+                    env_l, env_r = [], []
+            # outer env descends too: a constraint is applied only on
+            # exprId match, an attribute belongs to exactly one side,
+            # and its origin (an EqualTo / range conjunct) discards the
+            # NULL-extended rows an outer join could newly produce
+            walk(left, env + env_l)
+            walk(right, env + env_r)
+            return
+        keep = env if cn in _ENV_TRANSPARENT else []
+        for k in kids:
+            walk(k, keep)
+
+    walk(plan, [])
     return pairs
 
 
@@ -543,6 +638,145 @@ def metadata_agg(engine, ddl, df):
         return None
 
 
+def _parse_bytes_conf(raw: str) -> int | None:
+    """'67108864' / '10485760b' / '10MB' -> bytes, None if unparsable."""
+    import re
+
+    m = re.match(r"^\s*(-?\d+)\s*([kmgt]?)b?\s*$", str(raw), re.IGNORECASE)
+    if not m:
+        return None
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * mult[m.group(2).lower()]
+
+
+def _subtree_files(node) -> list[str]:
+    """Input files of every file relation under ``node`` (dim-side cache
+    invalidation: a rewritten table gets new part-file names)."""
+    files = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if _cls(n) == "LogicalRelation":
+            try:
+                files.extend(list(n.relation().location().inputFiles()))
+            except Exception:
+                pass
+        stack.extend(_seq(n.children()))
+    return sorted(files)
+
+
+def _subtree_has_manifest_attr(node, attr, manifest_dirs) -> bool:
+    """Does the target subtree contain a manifest-table scan that OWNS
+    the join key attribute (by exprId)? Cheap pre-check before paying
+    the dim-side job."""
+    import os
+
+    eid = attr.exprId().toString()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if _cls(n) == "LogicalRelation":
+            try:
+                d = _relation_dir(n)
+                if d and os.path.abspath(d) in manifest_dirs:
+                    for out in _seq(n.output()):
+                        if out.exprId().toString() == eid:
+                            return True
+            except Exception:
+                pass
+        stack.extend(_seq(n.children()))
+    return False
+
+
+# join-key types a derived bound may take. Timestamps are excluded:
+# collect() converts them through the driver's local zone, and a
+# mis-zoned bound silently prunes wrong files. Floats are fine — the
+# bound comes from an EXACT Spark aggregate over the dim rows (not
+# parquet stats), and a NaN bound just fails every stats comparison
+# (file kept).
+_DYN_KEY_TYPES = _NUM_TYPES | _FLOAT_TYPES | {"string", "date"}
+
+
+def _make_deriver(engine, manifest_dirs):
+    """Dynamic-file-pruning deriver (Delta's dynamic file pruning; the
+    star-join probe shape): at a Join whose one side scans a manifest
+    fact table on an equi-key, evaluate the OTHER side's key range
+    with one driver-issued aggregate — gated on that side fitting the
+    session's broadcast threshold (it is the plan's broadcast side
+    anyway, so the rows are about to be collected regardless) — and
+    return the range as a constraint on the fact scan. Results are
+    cached per (canonical dim plan, key name, dim input files): the
+    semanticHash pins the plan shape and literals, the file list pins
+    the data, so repeated queries over unchanged dims run ZERO extra
+    jobs."""
+    spark = engine.spark
+    cache = getattr(engine, "_dyn_prune_cache", None)
+    if cache is None:
+        cache = engine._dyn_prune_cache = {}
+
+    try:
+        thr = _parse_bytes_conf(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+    except Exception:
+        thr = None
+    if thr is None or thr <= 0:
+        return None  # broadcast disabled: no cheap dim side exists
+
+    def derive(source, s_attr, target, t_attr):
+        try:
+            if t_attr.dataType().typeName() not in _DYN_KEY_TYPES:
+                return []
+            if not _subtree_has_manifest_attr(target, t_attr, manifest_dirs):
+                return []
+            raw = source.stats().sizeInBytes()
+            size = raw if isinstance(raw, int) else int(raw.toString())
+            if size > thr:
+                return []
+            key = (
+                source.semanticHash(),
+                s_attr.name(),
+                tuple(_subtree_files(source)),
+            )
+            if key in cache:
+                lohi = cache[key]
+            else:
+                jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, source
+                )
+                from pyspark.sql import DataFrame as _PyDF
+
+                sdf = _PyDF(jds, spark)
+                idx = None
+                for i, out in enumerate(_seq(source.output())):
+                    if out.exprId().equals(s_attr.exprId()):
+                        idx = i
+                        break
+                if idx is None:
+                    return []
+                # positional rename dodges duplicate column names
+                fresh = [f"_c{i}" for i in range(len(sdf.columns))]
+                row = (
+                    sdf.toDF(*fresh)
+                    .selectExpr(
+                        f"min(_c{idx}) AS lo", f"max(_c{idx}) AS hi"
+                    )
+                    .first()
+                )
+                lohi = (row[0], row[1])
+                if len(cache) > 256:
+                    cache.clear()
+                cache[key] = lohi
+            lo, hi = lohi
+            if lo is None or hi is None:
+                return []  # empty dim / all-NULL keys: no constraint
+            return [(t_attr.exprId().toString(), lo, hi)]
+        except Exception:
+            return []
+
+    return derive
+
+
 def prune_query(engine, ddl, query: str, df):
     """Rebuild ``query`` over pruned manifest views when file-level
     stats prove some files irrelevant. Returns the pruned DataFrame, or
@@ -552,27 +786,32 @@ def prune_query(engine, ddl, query: str, df):
 
     from sclera_spark.plans.frontend import lower_sql
 
+    tables = _manifest_tables_by_dir(ddl)  # data_dir -> (name, mt)
+    if not tables:
+        return None
+
     try:
         if df.isStreaming:
             return None
+        deriver = (
+            _make_deriver(engine, set(tables))
+            if engine.config.get("dynamic_file_pruning", "on") == "on"
+            else None
+        )
         plan = df._jdf.queryExecution().optimizedPlan()
         pairs = []
         for p in _all_plans(plan):
-            pairs.extend(_scan_pairs(p))
+            pairs.extend(_scan_pairs(p, deriver))
     except Exception:
         return None
     if not pairs:
-        return None
-
-    tables = _manifest_tables_by_dir(ddl)  # data_dir -> (name, mt)
-    if not tables:
         return None
 
     # per table: None = saw an unprunable scan (keep everything);
     # else the union of per-scan surviving file lists
     survivors: dict[str, set | None] = {}
     mts: dict[str, object] = {}
-    for cond, rel in pairs:
+    for cond, rel, env in pairs:
         d = _relation_dir(rel)
         hit = tables.get(os.path.abspath(d)) if d else None
         if hit is None:
@@ -583,6 +822,35 @@ def prune_query(engine, ddl, query: str, df):
             continue
         ranges = extract_ranges(cond) if cond is not None else {}
         nullness = extract_nulls(cond) if cond is not None else {}
+        if env:
+            # join-derived constraints: applied only to THIS scan
+            # occurrence, and only when the key is the relation's own
+            # output column (exprId match — a renamed/computed column
+            # between join and scan never matches)
+            rel_out = {}
+            try:
+                for out in _seq(rel.output()):
+                    rel_out[out.exprId().toString()] = out.name()
+            except Exception:
+                rel_out = {}
+            for eid, lo, hi in env:
+                col = rel_out.get(eid)
+                if col is None:
+                    continue
+                cur = ranges.get(col)
+                if cur is None:
+                    ranges[col] = (lo, hi)
+                else:
+                    try:
+                        nlo = lo if cur[0] is None else (
+                            cur[0] if lo is None else max(cur[0], lo)
+                        )
+                        nhi = hi if cur[1] is None else (
+                            cur[1] if hi is None else min(cur[1], hi)
+                        )
+                        ranges[col] = (nlo, nhi)
+                    except TypeError:
+                        continue  # incomparable: keep the filter bound
         if not ranges and not nullness:
             survivors[name] = None
             continue
@@ -612,6 +880,7 @@ def prune_query(engine, ddl, query: str, df):
             engine.catalog.register(
                 name, mts[name].read(spark, file_paths=files)
             )
+        _refresh_views(engine, ddl, set(pruned))
         return lower_sql(engine, query)
     except Exception:
         return None
@@ -621,3 +890,39 @@ def prune_query(engine, ddl, query: str, df):
                 ddl._register_manifest(name)
             except Exception:
                 pass
+        try:
+            _refresh_views(engine, ddl, set(pruned))
+        except Exception:
+            pass
+
+
+def _refresh_views(engine, ddl, affected: set) -> None:
+    """Re-lower registered views whose definition (transitively)
+    references an affected table name: a view's DataFrame captures the
+    table's plan at CREATE VIEW time, so swapping the table's registered
+    view (pruned rebuild, then restore) must re-derive dependent views
+    or they would keep reading the stale file list. Fixed-point over
+    the view registry handles view-on-view chains; a nested view
+    re-lowered before its parent in the same pass simply stays less
+    pruned (never wrong — it reads the full table)."""
+    import re
+
+    from sclera_spark.plans.frontend import lower_sql
+
+    views = getattr(ddl, "views", {})
+    affected = set(affected)
+    grew = True
+    while grew:
+        grew = False
+        for vname, vquery in views.items():
+            if vname in affected:
+                continue
+            if any(
+                re.search(rf"\b{re.escape(n)}\b", vquery, re.IGNORECASE)
+                for n in affected
+            ):
+                df = lower_sql(engine, vquery)
+                df.createOrReplaceTempView(vname)
+                engine.catalog.tables[vname] = df
+                affected.add(vname)
+                grew = True

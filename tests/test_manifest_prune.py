@@ -558,3 +558,157 @@ def test_metadata_min_max_all_null_and_time_travel(engine):
         assert cur.first().m >= 100 > lo0
     finally:
         engine.execute("DROP TABLE mm")
+
+
+@pytest.fixture()
+def dimt(engine):
+    """A small dim table whose key range comes from DATA, not literals —
+    Catalyst's static constraint inference cannot see it, so any fact
+    pruning must come from the dynamic (join-driven) path."""
+    engine.execute(
+        "CREATE TABLE dimt AS SELECT o_orderkey AS k, o_custkey AS c "
+        "FROM orders WHERE o_orderkey BETWEEN 600 AND 900"
+    )
+    yield "dimt"
+    engine.execute("DROP TABLE dimt")
+
+
+def _pt_files(df):
+    return [f for f in df.inputFiles() if "/data/" in f]
+
+
+def test_dynamic_file_pruning_star_probe(engine, ptab, dimt):
+    """Delta-style dynamic file pruning: a join of the manifest fact
+    table to a small dimension evaluates the dim side's key range with
+    one tiny job and prunes fact files by it — identical results, and
+    the derived range is cached so the re-run issues zero extra jobs."""
+    full = engine.table(ptab).inputFiles()
+    sql = (
+        "SELECT sum(pt.o_totalprice) AS s, count(*) AS n "
+        "FROM pt JOIN dimt ON pt.o_orderkey = dimt.k"
+    )
+    df = engine.sql(sql)
+    assert len(_pt_files(df)) < len(full)
+    assert _rows(df) == _rows(_unpruned(engine, sql))
+    assert len(engine._dyn_prune_cache) == 1
+    # cached: same dim plan + same files -> no new entry, same pruning
+    df2 = engine.sql(sql)
+    assert len(_pt_files(df2)) == len(_pt_files(df))
+    assert len(engine._dyn_prune_cache) == 1
+    # off switch restores the full scan
+    engine.config["dynamic_file_pruning"] = "off"
+    try:
+        assert len(_pt_files(engine.sql(sql))) == len(full)
+    finally:
+        engine.config.pop("dynamic_file_pruning", None)
+
+
+def test_dynamic_pruning_dim_update_invalidates(engine, ptab, dimt):
+    """Rewriting the dim table changes its file list, which keys the
+    derived-range cache — the stale range is never reused."""
+    sql = (
+        "SELECT count(*) AS n "
+        "FROM pt JOIN dimt ON pt.o_orderkey = dimt.k"
+    )
+    n1 = engine.sql(sql).first().n
+    assert n1 == _unpruned(engine, sql).first().n
+    # move the dim window: different keys must now survive
+    engine.execute("DELETE FROM dimt WHERE k < 700")
+    engine.execute(
+        "INSERT INTO dimt SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_orderkey BETWEEN 1200 AND 1400"
+    )
+    n2 = engine.sql(sql).first().n
+    assert n2 == _unpruned(engine, sql).first().n
+    assert n2 != n1
+    assert len(engine._dyn_prune_cache) >= 2  # fresh entry, not reuse
+
+
+def test_dynamic_pruning_outer_join_sides(engine, ptab, dimt):
+    """A LEFT JOIN preserves its left side: the fact table on the LEFT
+    must keep every file (its unmatched rows survive), while the fact
+    on the RIGHT of a left join is prunable — both with results equal
+    to the unpruned run."""
+    full = engine.table(ptab).inputFiles()
+    keep_sql = (
+        "SELECT count(*) AS n, count(dimt.k) AS m "
+        "FROM pt LEFT JOIN dimt ON pt.o_orderkey = dimt.k"
+    )
+    df = engine.sql(keep_sql)
+    assert len(_pt_files(df)) == len(full)  # preserved side: no pruning
+    assert _rows(df) == _rows(_unpruned(engine, keep_sql))
+    prune_sql = (
+        "SELECT count(*) AS n, count(pt.o_orderkey) AS m "
+        "FROM dimt LEFT JOIN pt ON pt.o_orderkey = dimt.k"
+    )
+    df2 = engine.sql(prune_sql)
+    assert len(_pt_files(df2)) < len(full)  # inner side: prunable
+    assert _rows(df2) == _rows(_unpruned(engine, prune_sql))
+
+
+def test_dynamic_pruning_blocked_by_window(engine, ptab, dimt):
+    """An unpartitioned window function below the join makes row
+    removal visible (row_number over the whole table): the derived
+    constraint must NOT descend through the Window — all files kept,
+    results exact."""
+    full = engine.table(ptab).inputFiles()
+    sql = (
+        "SELECT w.rn, w.o_orderkey FROM "
+        "(SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn "
+        " FROM pt) w JOIN dimt ON w.o_orderkey = dimt.k"
+    )
+    df = engine.sql(sql)
+    assert len(_pt_files(df)) == len(full)
+    assert _rows(df) == _rows(_unpruned(engine, sql))
+
+
+def test_dynamic_pruning_random_dim_windows(engine, ptab):
+    """Soundness sweep: random dim key windows (including empty and
+    out-of-range) always produce pruned results identical to the
+    unpruned scan."""
+    import random
+
+    rnd = random.Random(99)
+    for i in range(5):
+        lo = rnd.randint(-100, 7000)
+        hi = lo + rnd.choice([0, 37, 500, 3000])
+        engine.execute(
+            f"CREATE TABLE rdim_{i} AS SELECT o_orderkey AS k FROM orders "
+            f"WHERE o_orderkey BETWEEN {lo} AND {hi}"
+        )
+        try:
+            sql = (
+                "SELECT count(*) AS n, sum(pt.o_totalprice) AS s "
+                f"FROM pt JOIN rdim_{i} ON pt.o_orderkey = rdim_{i}.k"
+            )
+            assert _rows(engine.sql(sql)) == _rows(_unpruned(engine, sql)), (
+                lo,
+                hi,
+            )
+        finally:
+            engine.execute(f"DROP TABLE rdim_{i}")
+
+
+def test_view_over_manifest_table_prunes(engine, ptab):
+    """A probe through a CREATE VIEW over the manifest table prunes
+    exactly like the direct probe (r8 verdict Wrong #1: the text gate
+    used to miss views entirely), including a view-on-view chain — and
+    the view keeps working, full-file, afterwards."""
+    full = engine.table(ptab).inputFiles()
+    engine.execute(
+        "CREATE VIEW vpt AS SELECT o_orderkey AS k, o_totalprice AS p FROM pt"
+    )
+    engine.execute("CREATE VIEW vvpt AS SELECT k, p FROM vpt WHERE p > 0")
+    try:
+        for probe in (
+            "SELECT sum(p) AS s, count(*) AS n FROM vpt WHERE k >= 600 AND k < 900",
+            "SELECT sum(p) AS s, count(*) AS n FROM vvpt WHERE k >= 600 AND k < 900",
+        ):
+            df = engine.sql(probe)
+            assert len(_pt_files(df)) < len(full), probe
+            assert _rows(df) == _rows(_unpruned(engine, probe)), probe
+        # restored: an unfiltered view read sees every file again
+        assert len(_pt_files(engine.sql("SELECT * FROM vpt"))) == len(full)
+    finally:
+        engine.execute("DROP VIEW vvpt")
+        engine.execute("DROP VIEW vpt")
