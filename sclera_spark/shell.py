@@ -141,8 +141,17 @@ class ScleraShell:
         from sclera_spark.interfaces.server import _split_statements
 
         for stmt in _split_statements(text):
-            stmt = stmt.strip()
-            if not stmt or stmt.startswith("--"):
+            # drop LEADING blank/comment lines only — a '--' line inside
+            # a statement body is the SQL parser's business, and a
+            # whole-statement skip would swallow the SQL after a
+            # comment header in a SOURCE'd script
+            lines = stmt.splitlines()
+            while lines and (
+                lines[0].strip() == "" or lines[0].strip().startswith("--")
+            ):
+                lines.pop(0)
+            stmt = "\n".join(lines).strip()
+            if not stmt:
                 continue
             try:
                 self.handle_command(stmt)
