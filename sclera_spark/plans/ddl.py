@@ -104,6 +104,14 @@ class DdlRouter:
         ),
         (
             re.compile(
+                r"^\s*CREATE\s+TABLE\s+(\w+)\s+FROM\s+SYMLINK\s+MANIFEST\s+"
+                r"'([^']+)'\s*$",
+                re.I,
+            ),
+            "_create_from_symlink",
+        ),
+        (
+            re.compile(
                 r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$", re.I
             ),
             "_vacuum",
@@ -237,6 +245,26 @@ class DdlRouter:
             self.cas_manifest_tables.add(name.lower())
         else:
             ManifestTable.convert(self._path(name))
+        self.manifest_tables.add(name.lower())
+        self._register_manifest(name)
+
+    def _create_from_symlink(self, name: str, src: str):
+        """CREATE TABLE t FROM SYMLINK MANIFEST '<path>' — register an
+        external ``symlink_format_manifest`` snapshot (the layout our
+        GENERATE SYMLINK MANIFEST and Delta's GENERATE emit) as a new
+        manifest table: migration INTO the engine without copying data
+        files (hard links; sources/manifest.import_symlink). The table
+        is immediately a first-class manifest table — pruning, DML,
+        time travel, OPTIMIZE all work atop the imported snapshot."""
+        from sclera_spark.sources.manifest import ManifestTable
+
+        if name.lower() in self.managed or name.lower() in (
+            t.lower() for t in self.engine.catalog.tables
+        ):
+            raise ValueError(f"table {name} already exists")
+        path = self._path(name)
+        ManifestTable.import_symlink(src, path)
+        self.managed[name.lower()] = path
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)
 

@@ -105,6 +105,89 @@ class ManifestTable:
         return t
 
     @classmethod
+    def import_symlink(cls, manifest: str, path: str) -> "ManifestTable":
+        """Migration INTO the engine without copying data: register a
+        Hive ``symlink_format_manifest`` snapshot (the exact layout
+        :meth:`export_symlink_manifest` and Delta Lake's ``GENERATE``
+        emit for Presto/Trino/Athena) as version 1 of a NEW manifest
+        table at ``path``. ``manifest`` is the manifest text file, or a
+        directory containing one (``manifest`` /
+        ``_symlink_format_manifest/manifest``).
+
+        Each referenced parquet file is HARD-LINKED into data/ (free on
+        the same filesystem; falls back to symlink, then to a real copy
+        across devices), so the import costs O(files) metadata, not
+        O(bytes). Commit-time footer stats are recorded as for any
+        commit, so pruning/metadata-only answers work immediately.
+        Subsequent DML copy-on-writes only the files it touches, and
+        removing a link never touches the foreign original — the source
+        table remains exactly as exported. Only ``file://``/plain paths
+        are accepted; an object-store URI in the manifest is a loud
+        error, not a silent empty table."""
+        mfile = manifest
+        if os.path.isdir(mfile):
+            for cand in (
+                os.path.join(mfile, "manifest"),
+                os.path.join(mfile, "_symlink_format_manifest", "manifest"),
+            ):
+                if os.path.isfile(cand):
+                    mfile = cand
+                    break
+        if not os.path.isfile(mfile):
+            raise FileNotFoundError(
+                f"no symlink manifest found at {manifest!r}"
+            )
+        srcs: list[str] = []
+        with open(mfile) as fh:
+            for line in fh:
+                uri = line.strip()
+                if not uri:
+                    continue
+                if uri.startswith("file:"):
+                    p = uri[len("file:") :]
+                    while p.startswith("//"):
+                        p = p[1:]
+                elif "://" in uri:
+                    raise ValueError(
+                        f"symlink manifest references {uri!r}: only "
+                        "file:// URIs can be imported here (fetch "
+                        "object-store data with its own client first)"
+                    )
+                else:
+                    p = uri
+                if not os.path.isfile(p):
+                    raise FileNotFoundError(
+                        f"symlink manifest references missing file {p!r}"
+                    )
+                srcs.append(p)
+        if not srcs:
+            raise ValueError(f"symlink manifest {mfile!r} lists no files")
+        t = cls(path)
+        if t.exists(path):
+            raise FileExistsError(f"{path} is already a manifest table")
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.log_dir, exist_ok=True)
+        names: list[str] = []
+        seen: set[str] = set()
+        for i, src in enumerate(srcs):
+            base = os.path.basename(src)
+            name = base if base not in seen else f"import-{i:05d}-{base}"
+            seen.add(name)
+            dst = os.path.join(t.data_dir, name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                try:
+                    os.symlink(os.path.abspath(src), dst)
+                except OSError:
+                    tmp = dst + ".tmp"
+                    shutil.copyfile(src, tmp)
+                    os.rename(tmp, dst)
+            names.append(name)
+        t._publish(1, names, {"imported_from": os.path.abspath(mfile)})
+        return t
+
+    @classmethod
     def convert(cls, path: str) -> "ManifestTable":
         """Adopt an existing plain-parquet directory in place: move its
         part files under data/ and publish them as version 1."""

@@ -656,3 +656,52 @@ def test_pre_stats_manifests_never_pruned(spark, tmp_path):
     with open(mpath, "w") as fh:
         _json.dump(m, fh)
     assert mt.files_pruned({"k": (99999, None)}) == mt.files()
+
+
+def test_symlink_manifest_import_roundtrip(engine, mtab, tmp_path):
+    """Migration interop, both directions: GENERATE SYMLINK MANIFEST
+    from one table, CREATE TABLE ... FROM SYMLINK MANIFEST as another —
+    bit-identical scans WITHOUT copying data (hard links), stats
+    recorded at import (pruning works), and subsequent DML commits
+    atop the imported snapshot never touch the source table."""
+    path = engine.execute(f"GENERATE SYMLINK MANIFEST FOR {mtab}")
+    src_mt = _mt(engine, mtab)
+    src_files = {p: os.path.getmtime(p) for p in src_mt.files()}
+    n0 = engine.table(mtab).count()
+
+    engine.execute(f"CREATE TABLE imported FROM SYMLINK MANIFEST '{path}'")
+    try:
+        imp = _mt(engine, "imported")
+        assert imp.version() == 1
+        # bit-identical scan, zero data copied (same inodes)
+        assert sorted(
+            tuple(r) for r in engine.table("imported").collect()
+        ) == sorted(tuple(r) for r in engine.table(mtab).collect())
+        for p in imp.files():
+            assert os.stat(p).st_nlink >= 2  # hard link, not a copy
+        # stats were recorded at import: pruning + metadata count work
+        assert imp.file_stats() and imp.row_count() == n0
+        cnt = engine.sql("SELECT count(*) AS n FROM imported")
+        assert cnt.first().n == n0 and cnt.inputFiles() == []
+
+        # DML atop the import: new snapshot, source untouched
+        engine.execute("DELETE FROM imported WHERE o_orderkey <= 5")
+        assert engine.table("imported").count() < n0
+        assert engine.table(mtab).count() == n0
+        assert {p: os.path.getmtime(p) for p in src_mt.files()} == src_files
+
+        # re-import under the same name refuses; bad sources are loud
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="already exists"):
+            engine.execute(
+                f"CREATE TABLE imported FROM SYMLINK MANIFEST '{path}'"
+            )
+        bad = tmp_path / "bad_manifest"
+        bad.write_text("s3://bucket/far/away.parquet\n")
+        with _pytest.raises(ValueError, match="file://"):
+            engine.execute(
+                f"CREATE TABLE imp2 FROM SYMLINK MANIFEST '{bad}'"
+            )
+    finally:
+        engine.execute("DROP TABLE imported")
