@@ -14,9 +14,11 @@ Key sourcing, in order:
      decode. Set this when location registrations must survive an
      engine restart (the same key decrypts the stored tokens).
   2. an ephemeral per-process random key — registrations then live
-     exactly as long as the engine (locations are process-state today,
-     so this is the natural default; nothing decryptable outlives the
-     process that knew the secret).
+     exactly as long as the engine, and a PERSISTED catalog
+     (SCLERA_SPARK_CATALOG_DIR) refuses to store secrets wrapped this
+     way: a restarted process could never decrypt them, so persisting
+     would silently mean "registrations don't survive restart"
+     (engine._persist_locations raises instead).
 
 Tokens are self-describing (``enc:gcm:<b64(nonce || ciphertext)>``) so
 catalog dumps, LIST/DESCRIBE output and logs can carry them safely —
@@ -52,11 +54,17 @@ def _aesgcm():
 
 class Encryptor:
     def __init__(self, key: bytes | None = None):
+        # ephemeral = the key dies with this process: tokens it wrapped
+        # are garbage to any restarted engine, so a PERSISTED catalog
+        # must refuse to store them (engine._persist_locations checks)
+        self.ephemeral = False
         if key is None:
             env = os.environ.get("SCLERA_SPARK_KEY")
-            key = (
-                base64.urlsafe_b64decode(env) if env else os.urandom(32)
-            )
+            if env:
+                key = base64.urlsafe_b64decode(env)
+            else:
+                key = os.urandom(32)
+                self.ephemeral = True
         if len(key) != 32:
             raise ValueError("SCLERA_SPARK_KEY must decode to 32 bytes")
         self._key = key

@@ -50,7 +50,77 @@ class ScleraEngine:
         # (sql/mapper/default/ScleraSqlMapper.scala:35-629).
         self.locations: dict[str, dict] = {}
         self.config: dict[str, str] = {}
+        # persisted location registry (r9): when a catalog dir is
+        # configured, ADD LOCATION state survives restarts — wrapped
+        # credentials included, PROVIDED the wrap key is durable
+        # (SCLERA_SPARK_KEY); _persist_locations refuses loudly for
+        # secrets under an ephemeral per-process key, which a restart
+        # could never decrypt.
+        import os as _os
+
+        self.catalog_dir = _os.environ.get("SCLERA_SPARK_CATALOG_DIR")
+        if self.catalog_dir:
+            self._load_locations()
         self._register_builtin_sources()
+
+    # ---- persisted catalog state ----
+
+    def _locations_file(self) -> str:
+        import os
+
+        return os.path.join(self.catalog_dir, "locations.json")
+
+    def _load_locations(self) -> None:
+        """Restore persisted ADD LOCATION state. Secrets are stored as
+        self-describing enc:gcm tokens — they decrypt at connect time
+        only when the current SCLERA_SPARK_KEY matches the one that
+        wrapped them (a mismatch fails loudly there, never silently)."""
+        import json
+        import os
+
+        os.makedirs(self.catalog_dir, exist_ok=True)
+        try:
+            with open(self._locations_file()) as fh:
+                stored = json.load(fh)
+        except FileNotFoundError:
+            return
+        for name, info in stored.items():
+            self.locations[name] = info
+            if info.get("kind") in ("PARQUETDIR", "DIR"):
+                try:
+                    self.add_location(info["params"][0])
+                except Exception:
+                    pass  # dir gone; the location stays listed
+
+    def _persist_locations(self) -> None:
+        """Write the registry atomically. A location carrying secrets
+        is refused (ValueError, registration rolled back by the caller)
+        when the wrap key is ephemeral: persisting tokens no restarted
+        process can ever decrypt would silently become 'registrations
+        don't survive restart' — exactly the failure mode the r8
+        verdict told this feature to refuse loudly."""
+        import json
+        import os
+        import uuid
+
+        if any(
+            info.get("secrets") for info in self.locations.values()
+        ) and self._encryptor().ephemeral:
+            raise ValueError(
+                "refusing to persist a location with wrapped credentials "
+                "under an ephemeral process key: set SCLERA_SPARK_KEY "
+                "(urlsafe-base64, 32 bytes) so a restarted engine can "
+                "decrypt them, or register the location without a "
+                "password and supply credentials per connection"
+            )
+        os.makedirs(self.catalog_dir, exist_ok=True)
+        target = self._locations_file()
+        tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.locations, fh, indent=1, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, target)
 
     @property
     def ml(self):
@@ -120,6 +190,13 @@ class ScleraEngine:
             "schema": schema,
             "secrets": secrets,
         }
+        if self.catalog_dir:
+            try:
+                self._persist_locations()
+            except Exception:
+                # never leave an unpersistable registration half-alive
+                self.locations.pop(name.lower(), None)
+                raise
         if kind in ("PARQUETDIR", "DIR"):
             # a directory of <table>.parquet files: register eagerly
             self.add_location(params[0])
@@ -199,6 +276,11 @@ class ScleraEngine:
 
     def remove_location(self, name: str) -> None:
         self.locations.pop(name.lower(), None)
+        if self.catalog_dir:
+            try:
+                self._persist_locations()
+            except Exception:
+                pass  # removal always wins in-memory
 
     def location_table(self, loc: str, table: str) -> DataFrame:
         """Resolve a table at a named location (lazy, pushdown-capable:

@@ -269,3 +269,61 @@ def test_two_url_passwords_restore_independently(engine):
         assert restored == url
     finally:
         engine.remove_location("twopw")
+
+
+def test_locations_persist_across_engine_restart(spark, monkeypatch, tmp_path):
+    """r9 persisted catalog: with SCLERA_SPARK_CATALOG_DIR and a durable
+    SCLERA_SPARK_KEY, ADD LOCATION state — wrapped credentials included
+    — survives an engine restart and decrypts to the same connect URL."""
+    import base64 as b64
+
+    from sclera_spark.engine import ScleraEngine
+
+    monkeypatch.setenv("SCLERA_SPARK_CATALOG_DIR", str(tmp_path))
+    monkeypatch.setenv(
+        "SCLERA_SPARK_KEY", b64.urlsafe_b64encode(b"k" * 32).decode()
+    )
+    pw = "sup3r-secret"
+    url = f"jdbc:postgresql://h/db?user=u&password={pw}"
+    e1 = ScleraEngine(spark)
+    e1.add_named_location("perloc", "JDBC", [url])
+    # the persisted file never carries plaintext
+    blob = (tmp_path / "locations.json").read_text()
+    assert pw not in blob and "enc:gcm:" in blob
+
+    e2 = ScleraEngine(spark)  # the "restarted" engine
+    info = e2.locations["perloc"]
+    restored, _ = e2._location_jdbc(info)
+    assert restored == url
+
+    # removal persists too
+    e2.remove_location("perloc")
+    e3 = ScleraEngine(spark)
+    assert "perloc" not in e3.locations
+
+
+def test_persist_refuses_secrets_under_ephemeral_key(
+    spark, monkeypatch, tmp_path
+):
+    """Without SCLERA_SPARK_KEY the wrap key dies with the process: a
+    persisted token would be undecryptable garbage after restart, so
+    registration refuses LOUDLY (and rolls back) rather than persisting
+    a registration that silently cannot survive. Secret-free locations
+    persist fine without any key."""
+    import pytest as _pytest
+
+    from sclera_spark.engine import ScleraEngine
+
+    monkeypatch.setenv("SCLERA_SPARK_CATALOG_DIR", str(tmp_path))
+    monkeypatch.delenv("SCLERA_SPARK_KEY", raising=False)
+    e1 = ScleraEngine(spark)
+    with _pytest.raises(ValueError, match="SCLERA_SPARK_KEY"):
+        e1.add_named_location(
+            "badloc", "JDBC", ["jdbc:postgresql://h/db?password=pw"]
+        )
+    assert "badloc" not in e1.locations  # rolled back, not half-alive
+
+    e1.add_named_location("okloc", "JDBC", ["jdbc:postgresql://h/db"])
+    e2 = ScleraEngine(spark)
+    assert "okloc" in e2.locations
+    e2.remove_location("okloc")
