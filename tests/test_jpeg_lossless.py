@@ -139,3 +139,109 @@ def test_fuzz_roundtrip_geometry_and_content():
         got, _ = _raw_samples(data)
         exp = px if px.ndim == 3 else px[..., None]
         assert np.array_equal(got, exp), (seed, h, w, nc, prec, pred, rsti)
+
+
+def _bits_to_entropy(bitstr: str) -> bytes:
+    """Pack a hand-derived bit string into entropy-coded bytes with
+    T.81 byte stuffing (0x00 after any 0xFF) and 1-padding."""
+    bitstr = bitstr + "1" * (-len(bitstr) % 8)
+    out = bytearray()
+    for i in range(0, len(bitstr), 8):
+        b = int(bitstr[i : i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def _sof3_stream(
+    w: int, h: int, predictor: int, entropy: bytes
+) -> bytes:
+    """A minimal single-component SOF3 stream assembled BY HAND from
+    the T.81 marker structure — no call into our encoder — carrying
+    the SPEC'S OWN Huffman table (Annex K Table K.3, the typical
+    luminance DC table: BITS 0 1 5 1 1 1 1 1 1 0..., HUFFVAL 0..11),
+    which our encoder never emits (it builds adaptive tables)."""
+    k3_bits = bytes(
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    )
+    k3_vals = bytes(range(12))
+    return b"".join(
+        [
+            b"\xff\xd8",  # SOI
+            b"\xff\xc3",  # SOF3 (lossless, huffman)
+            struct.pack(">HBHHB", 11, 8, h, w, 1),  # len P Y X Nf
+            bytes([1, 0x11, 0]),  # C=1, H=V=1, Tq=0
+            b"\xff\xc4",  # DHT class 0 id 0: Table K.3
+            struct.pack(">H", 2 + 1 + 16 + 12),
+            b"\x00" + k3_bits + k3_vals,
+            b"\xff\xda",  # SOS
+            struct.pack(">HB", 8, 1),  # len, Ns=1
+            bytes([1, 0x00]),  # Cs=1, Td=0/Ta=0
+            bytes([predictor, 0, 0]),  # Ss=predictor, Se=0, Ah/Al=0
+            entropy,
+            b"\xff\xd9",  # EOI
+        ]
+    )
+
+
+def test_hand_assembled_spec_stream_predictor1():
+    """External-style pin breaking the own-encoder-only loop: the
+    entropy bits below are derived BY HAND from T.81 Annex H for the
+    2x2 image [[128,130],[127,126]], predictor 1, with the spec's
+    Table K.3 codes (cat0='00', cat1='010', cat2='011', ...):
+
+      (0,0) pred 2^7=128, diff  0 -> cat0        : 00
+      (0,1) first line, Ra=128, diff +2 -> cat2  : 011 + 10
+      (1,0) first col,  Rb=128, diff -1 -> cat1  : 010 + 0
+      (1,1) Ra=127,             diff -1 -> cat1  : 010 + 0
+
+    15 bits, 1-padded to 0x1C 0x89. Our decoder must reproduce the
+    image exactly from a stream no code of ours produced."""
+    entropy = _bits_to_entropy("00" + "01110" + "0100" + "0100")
+    assert entropy == bytes([0x1C, 0x89])
+    out = decode_jpeg(_sof3_stream(2, 2, 1, entropy))
+    assert np.array_equal(
+        out, np.array([[128, 130], [127, 126]], np.uint8)[..., None]
+    )
+
+
+def test_hand_assembled_spec_stream_predictor7():
+    """Same construction for predictor 7 ((Ra+Rb)>>1) on a 3x2 image
+    exercising Rb/Rc-adjacent paths and multi-category codes:
+
+      image [[200,100,50],[100,150,100]]
+      (0,0) pred 128, diff  +72 -> cat7: 11110 + 1001000
+      (0,1) Ra=200,  diff -100 -> cat7: 11110 + 0011011
+      (0,2) Ra=100,  diff  -50 -> cat6: 1110  + 001101
+      (1,0) Rb=200,  diff -100 -> cat7: 11110 + 0011011
+      (1,1) (Ra+Rb)>>1=100, diff +50 -> cat6: 1110 + 110010
+      (1,2) (150+50)>>1=100, diff  0 -> cat0: 00
+    """
+    bits = (
+        "11110" "1001000"
+        "11110" "0011011"
+        "1110" "001101"
+        "11110" "0011011"
+        "1110" "110010"
+        "00"
+    )
+    out = decode_jpeg(_sof3_stream(3, 2, 7, _bits_to_entropy(bits)))
+    assert np.array_equal(
+        out,
+        np.array([[200, 100, 50], [100, 150, 100]], np.uint8)[..., None],
+    )
+
+
+def test_hand_assembled_stream_reencodes_to_same_pixels():
+    """Closing the loop the other way: our ENCODER's stream for the
+    hand image decodes to the same pixels the hand stream carries —
+    two independently-constructed streams, one semantic."""
+    px = np.array([[200, 100, 50], [100, 150, 100]], np.uint8)
+    ours = decode_jpeg(encode_jpeg_lossless(px, predictor=7))
+    bits = (
+        "11110" "1001000" "11110" "0011011" "1110" "001101"
+        "11110" "0011011" "1110" "110010" "00"
+    )
+    hand = decode_jpeg(_sof3_stream(3, 2, 7, _bits_to_entropy(bits)))
+    assert np.array_equal(ours, hand)
