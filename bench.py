@@ -109,6 +109,120 @@ def ensure_scaled_dir(spark, base_dir: str, factor: int, salt_docs: bool = False
     return out_dir
 
 
+# ---- storage-tier entries (r9): the data-skipping win, frozen ----
+#
+# A manifest table clustered on o_orderkey (8 range files, sorted
+# within) is built once per sf dir under .benchdata/ and reused. Two
+# measured pairs regression-guard what r8/r9 built:
+#   storage_range_probe      vs storage_range_probe_full  — file-level
+#     skipping on a ~5% key window vs SET manifest_pruning=off on the
+#     SAME data (the pruned/full ratio is the 100 TB claim);
+#   storage_meta_agg         vs storage_count_scan        — zero-job
+#     metadata-only count/min/max vs the forced scan.
+_STORAGE_ENV: dict = {}
+
+
+def _storage_env(spark, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if _STORAGE_ENV.get("key") == key:
+        return _STORAGE_ENV["env"]
+    from sclera_spark.engine import ScleraEngine
+    from sclera_spark.sources.manifest import ManifestTable
+
+    base_sf = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".benchdata",
+        f"manifest_{base_sf}",
+        "bm_orders",
+    )
+    if not ManifestTable.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from pyspark.sql import functions as F
+
+        # 16x-replicated orders (keys offset per replica, so the key
+        # space stays meaningfully ordered), range-clustered into 32
+        # files: big enough that "open every file" visibly loses to
+        # "open the overlapping files" even on a warm local FS — the
+        # shape one clustered 100 TB fact table has, in miniature
+        base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        parts = [
+            base.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * _OFFSET)
+            )
+            for i in range(16)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df = df.repartitionByRange(32, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        )
+        ManifestTable.create(df, path)
+    eng = ScleraEngine(spark)
+    ddl = eng.ddl()
+    ddl.managed["bm_orders"] = path
+    ddl.manifest_tables.add("bm_orders")
+    ddl._register_manifest("bm_orders")
+    # probe window = the middle ~5% of the key span, from stats alone
+    mt = ManifestTable(path)
+    mins, maxs = [], []
+    for st in mt.file_stats().values():
+        if "o_orderkey" in st:
+            mins.append(st["o_orderkey"][0])
+            maxs.append(st["o_orderkey"][1])
+    k0, k1 = min(mins), max(maxs)
+    lo = k0 + int((k1 - k0) * 0.40)
+    hi = k0 + int((k1 - k0) * 0.45)
+    env = (eng, lo, hi)
+    _STORAGE_ENV.update(key=key, env=env)
+    return env
+
+
+def _storage_queries() -> dict:
+    def _probe_sql(lo, hi):
+        return (
+            "SELECT sum(o_totalprice) AS s, count(*) AS n FROM bm_orders "
+            f"WHERE o_orderkey BETWEEN {lo} AND {hi}"
+        )
+
+    def range_probe(spark, sf_dir):
+        eng, lo, hi = _storage_env(spark, sf_dir)
+        return eng.sql(_probe_sql(lo, hi))
+
+    def range_probe_full(spark, sf_dir):
+        eng, lo, hi = _storage_env(spark, sf_dir)
+        eng.config["manifest_pruning"] = "off"
+        try:
+            return eng.sql(_probe_sql(lo, hi))
+        finally:
+            eng.config.pop("manifest_pruning", None)
+
+    meta_sql = (
+        "SELECT count(*) AS n, min(o_orderkey) AS lo, "
+        "max(o_orderkey) AS hi FROM bm_orders"
+    )
+
+    def meta_agg(spark, sf_dir):
+        eng, _, _ = _storage_env(spark, sf_dir)
+        return eng.sql(meta_sql)
+
+    def count_scan(spark, sf_dir):
+        eng, _, _ = _storage_env(spark, sf_dir)
+        eng.config["metadata_only_count"] = "off"
+        try:
+            return eng.sql(meta_sql)
+        finally:
+            eng.config.pop("metadata_only_count", None)
+
+    return {
+        "storage_range_probe": range_probe,
+        "storage_range_probe_full": range_probe_full,
+        "storage_meta_agg": meta_agg,
+        "storage_count_scan": count_scan,
+    }
+
+
 # per-query budget gate: 2x the frozen r1/BASELINE.md anchors (sf0.1,
 # local[32], steady-state protocol). Gated on the per-query MIN across
 # reps, not the median: external stall bursts are one-sided noise (they
@@ -120,6 +234,13 @@ BUDGETS = {
     "match_funnel": 2.7, "split_intervals": 2.7, "window_tier": 0.8,
     "align_sql": 2.3, "expmovavg": 0.9, "minhash_pairs": 4.0,
     "cosine_topk": 1.3, "quality_scores": 1.0, "dedup_exact": 1.2,
+    # storage tier (r9 freeze, 2x observed sf0.1 mins — BASELINE.md
+    # "storage tier" section): the meta/scan pair guards the zero-job
+    # path staying zero-job; the probe pair guards the pruning
+    # machinery's fixed overhead staying bounded (wall-clock parity
+    # with the full scan is EXPECTED locally — see BASELINE.md)
+    "storage_range_probe": 0.25, "storage_range_probe_full": 0.2,
+    "storage_meta_agg": 0.5, "storage_count_scan": 0.75,
 }
 
 
@@ -152,6 +273,7 @@ def main() -> None:
         )
     qs = entry.queries()
     qs.update(getattr(entry, "bench_extra_queries", dict)())
+    qs.update(_storage_queries())
 
     bench_names = [
         "q1_agg",            # B1 scan+filter+group+sort
@@ -167,6 +289,10 @@ def main() -> None:
         "cosine_topk",       # LLM tier: similarity search
         "quality_scores",    # LLM tier: text analysis
         "dedup_exact",
+        "storage_range_probe",       # file-level data skipping ON
+        "storage_range_probe_full",  # same probe, pruning OFF
+        "storage_meta_agg",          # zero-job count/min/max
+        "storage_count_scan",        # same aggregate, forced scan
     ]
     bench_names = [n for n in bench_names if n in qs]
     only = os.environ.get("SPARK_GRAFT_ONLY")

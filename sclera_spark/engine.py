@@ -404,13 +404,35 @@ class ScleraEngine:
             for name in names
         ):
             return df
-        from sclera_spark.sources.prune import metadata_agg, prune_query
+        from sclera_spark.sources.prune import (
+            metadata_agg,
+            plan_cache_key,
+            prune_query,
+        )
 
+        # plan cache (all-manifest queries only; see plan_cache_key for
+        # the soundness gate): a repeated probe skips the py4j plan
+        # walks, the pruned rebuild and the metadata fold entirely —
+        # without it the driver-side machinery, not the scan, dominates
+        # a small pruned probe
+        key = plan_cache_key(self, ddl, query, df)
+        if key is not None:
+            cache = getattr(self, "_plan_cache", None)
+            if cache is None:
+                cache = self._plan_cache = {}
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
+        result = None
         if self.config.get("metadata_only_count", "on") == "on":
-            mc = metadata_agg(self, ddl, df)
-            if mc is not None:
-                return mc
-        return prune_query(self, ddl, query, df) or df
+            result = metadata_agg(self, ddl, df)
+        if result is None:
+            result = prune_query(self, ddl, query, df) or df
+        if key is not None:
+            if len(cache) > 64:
+                cache.clear()
+            cache[key] = result
+        return result
 
     def execute(self, statement: str):
         """Run a statement: queries return a DataFrame; DDL/DML (CREATE

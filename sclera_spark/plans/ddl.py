@@ -182,7 +182,12 @@ class DdlRouter:
     # ---- implementations ----
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.warehouse, name.lower())
+        # an explicit managed-path registration wins (a manifest table
+        # can live OUTSIDE the warehouse — e.g. a prebuilt bench table
+        # or an adopted external dataset); default is warehouse-relative
+        return self.managed.get(name.lower()) or os.path.join(
+            self.warehouse, name.lower()
+        )
 
     def _materialize(self, name: str, df) -> None:
         path = self._path(name)
@@ -219,9 +224,23 @@ class DdlRouter:
         return self._cas
 
     def _register_manifest(self, name: str) -> None:
+        # snapshot reads are cached per (table, file list): the restore
+        # after every pruned query (sources/prune.prune_query's finally)
+        # and repeated registrations re-use the SAME DataFrame instead
+        # of paying a fresh FileIndex + schema-inference job each time.
+        # The file list is the invalidation — any commit changes it.
         mt = self._manifest(name)
         self.managed[name.lower()] = self._path(name)
-        self.engine.catalog.register(name, mt.read(self.engine.spark))
+        files = tuple(mt.files())
+        if not hasattr(self, "_mread_cache"):
+            self._mread_cache: dict = {}
+        df = self._mread_cache.get((name.lower(), files))
+        if df is None:
+            df = mt.read(self.engine.spark)
+            if len(self._mread_cache) > 128:
+                self._mread_cache.clear()
+            self._mread_cache[(name.lower(), files)] = df
+        self.engine.catalog.register(name, df)
 
     def _set_format_manifest(self, name: str, cas: str | None = None):
         """ALTER TABLE t SET FORMAT MANIFEST [CAS] — adopt a managed table

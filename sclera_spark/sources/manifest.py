@@ -382,12 +382,16 @@ class ManifestTable:
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
         file_paths: list[str] | None = None,
+        schema=None,
     ) -> DataFrame:
         """Snapshot read. ``prune`` applies file-level data skipping
         (see files_pruned); ``file_paths`` reads an explicit subset the
         caller already derived (e.g. the union of per-scan pruned lists
         when one query scans the table twice) — datetime bounds in
-        ``prune`` are taken as UTC when naive."""
+        ``prune`` are taken as UTC when naive. ``schema`` (a known
+        StructType — e.g. the already-registered full view's) skips
+        Spark's footer-sampling schema-inference job, the fixed cost
+        that would otherwise dominate a small pruned rebuild."""
         if file_paths is not None:
             files = file_paths
         else:
@@ -396,15 +400,18 @@ class ManifestTable:
                 if prune
                 else self.files(version)
             )
+        reader = spark.read.schema(schema) if schema is not None else spark.read
         if not files:
             # schema-only snapshot (or fully-pruned read): keep the
             # latest non-empty schema
+            if schema is not None:
+                return spark.createDataFrame([], schema)
             for v in reversed(self.versions()):
                 prior = self.files(v)
                 if prior:
                     return spark.read.parquet(*prior).limit(0)
             raise ValueError(f"manifest table {self.path} has no data files")
-        return spark.read.parquet(*files)
+        return reader.parquet(*files)
 
     # ---- mutation (each is one atomic commit) ----
 

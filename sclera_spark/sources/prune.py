@@ -638,6 +638,88 @@ def metadata_agg(engine, ddl, df):
         return None
 
 
+_CACHE_UNSAFE_RE = None
+
+
+def plan_cache_key(engine, ddl, query: str, df):
+    """Cache key for the engine's per-query pruning/metadata work, or
+    None when caching would be unsound. A key exists only when EVERY
+    relation in the optimized plan (subqueries included) is a manifest
+    table — their (name, version) pairs then pin the data: any commit
+    bumps a version, vacuum never touches the live version's files, and
+    plain/JDBC tables (whose re-registration the key could not see) are
+    excluded outright. View definitions and the pruning-related config
+    knobs are part of the key. The cached value is the LAZY rebuilt
+    DataFrame — each action re-executes it, so nondeterministic
+    expressions still re-roll per run; time/rand/model-bearing query
+    text is excluded anyway (frozen-at-lowering semantics would
+    otherwise leak across engine.sql calls)."""
+    import os
+    import re
+
+    global _CACHE_UNSAFE_RE
+    try:
+        if df.isStreaming:
+            return None
+        if _CACHE_UNSAFE_RE is None:
+            _CACHE_UNSAFE_RE = re.compile(
+                r"(?i)current_|\bnow\s*\(|\brand\s*\(|\brandn\s*\(|"
+                r"\buuid\s*\(|\brandom\b|\b(classified|clustered|imputed)"
+                r"\s+with\b"
+            )
+        if _CACHE_UNSAFE_RE.search(query):
+            return None
+        plan = df._jdf.queryExecution().optimizedPlan()
+        pairs = []
+        leaves_ok = True
+        for p in _all_plans(plan):
+            pairs.extend(_scan_pairs(p))
+            # EVERY leaf must be a file relation: a LocalRelation (a
+            # registered VALUES view, a folded subplan) carries data
+            # frozen at lowering that a later re-registration would not
+            # invalidate — the key cannot pin it, so no caching
+            stack = [p]
+            while stack:
+                n = stack.pop()
+                kids = _seq(n.children())
+                if not kids and _cls(n) not in (
+                    "LogicalRelation",
+                    "OneRowRelation",
+                ):
+                    leaves_ok = False
+                    break
+                stack.extend(kids)
+            if not leaves_ok:
+                break
+        if not pairs or not leaves_ok:
+            return None
+        tables = _manifest_tables_by_dir(ddl)
+        ids = set()
+        for _, rel, _ in pairs:
+            d = _relation_dir(rel)
+            hit = tables.get(os.path.abspath(d)) if d else None
+            if hit is None:
+                return None  # a non-manifest relation: cannot pin it
+            name, mt = hit
+            ids.add((name, mt.version()))
+        views = tuple(sorted(getattr(ddl, "views", {}).items()))
+        confs = tuple(
+            sorted(
+                (k, v)
+                for k, v in engine.config.items()
+                if k
+                in (
+                    "manifest_pruning",
+                    "metadata_only_count",
+                    "dynamic_file_pruning",
+                )
+            )
+        )
+        return (query, tuple(sorted(ids)), views, confs)
+    except Exception:
+        return None
+
+
 def _parse_bytes_conf(raw: str) -> int | None:
     """'67108864' / '10485760b' / '10MB' -> bytes, None if unparsable."""
     import re
@@ -876,10 +958,28 @@ def prune_query(engine, ddl, query: str, df):
 
     spark = engine.spark
     try:
+        # pruned snapshot reads are cached per (table, file list): a
+        # repeated probe re-registers the SAME DataFrame — no fresh
+        # FileIndex, no schema-inference job (the fixed costs that
+        # would otherwise eat the skipping win on small probes). The
+        # file list IS the invalidation: any commit changes it.
+        rcache = getattr(engine, "_pruned_read_cache", None)
+        if rcache is None:
+            rcache = engine._pruned_read_cache = {}
         for name, files in pruned.items():
-            engine.catalog.register(
-                name, mts[name].read(spark, file_paths=files)
-            )
+            key = (name, tuple(files))
+            df_p = rcache.get(key)
+            if df_p is None:
+                full = engine.catalog.tables.get(name)
+                df_p = mts[name].read(
+                    spark,
+                    file_paths=files,
+                    schema=None if full is None else full.schema,
+                )
+                if len(rcache) > 128:
+                    rcache.clear()
+                rcache[key] = df_p
+            engine.catalog.register(name, df_p)
         _refresh_views(engine, ddl, set(pruned))
         return lower_sql(engine, query)
     except Exception:

@@ -712,3 +712,40 @@ def test_view_over_manifest_table_prunes(engine, ptab):
     finally:
         engine.execute("DROP VIEW vvpt")
         engine.execute("DROP VIEW vpt")
+
+
+def test_plan_cache_hits_and_invalidates(engine, ptab):
+    """The all-manifest plan cache: a repeated probe returns the SAME
+    lazy DataFrame (no re-planning), any commit invalidates via the
+    version in the key, config flips key separately, and a query
+    touching a non-manifest leaf (a registered VALUES view) is never
+    cached."""
+    sql = "SELECT count(*) AS n FROM pt WHERE o_orderkey >= 600 AND o_orderkey < 900"
+    d1 = engine.sql(sql)
+    d2 = engine.sql(sql)
+    assert d2 is d1  # cache hit: identical lazy plan object
+    assert d1.first().n == _unpruned(engine, sql).first().n
+
+    # DML bumps the version -> fresh plan, fresh (correct) result
+    n_before = d1.first().n
+    engine.execute(
+        "INSERT INTO pt SELECT o_orderkey + 700, o_custkey, o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey < 10"
+    )
+    d3 = engine.sql(sql)
+    assert d3 is not d1
+    assert d3.first().n > n_before
+
+    # a VALUES-backed temp view in the plan blocks caching (its data is
+    # frozen at lowering; the key cannot pin it)
+    engine.catalog.register(
+        "vals", engine.spark.createDataFrame([(600,), (601,)], "k long")
+    )
+    try:
+        jsql = "SELECT count(*) AS n FROM pt JOIN vals ON pt.o_orderkey = vals.k"
+        j1 = engine.sql(jsql)
+        j2 = engine.sql(jsql)
+        assert j2 is not j1
+        assert j1.first().n == _unpruned(engine, jsql).first().n
+    finally:
+        engine.catalog.tables.pop("vals", None)
