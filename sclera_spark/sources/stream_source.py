@@ -1,0 +1,239 @@
+"""Manifest tables as a STRUCTURED STREAMING SOURCE — the read-side
+twin of ``streaming.ops.stream_to_manifest`` (the sink), completing the
+end-to-end exactly-once pipeline shape Delta Lake serves with its
+streaming source: a manifest table's commit log IS an ordered change
+stream, so a consumer can tail it incrementally instead of re-scanning
+snapshots.
+
+Implemented as a pyspark Python Data Source (Spark 4's
+``pyspark.sql.datasource`` API — the idiomatic way to add a source
+without JVM code):
+
+    spark.dataSource.register(ManifestStreamSource)
+    df = (spark.readStream.format("sclera_manifest")
+          .option("path", "/warehouse/events").load())
+
+Semantics (mirroring Delta's streaming source):
+- **Offsets are manifest versions.** An offset ``{"version": N}``
+  means "committed through version N"; a micro-batch covers the files
+  ADDED by versions N+1..M. Version manifests are immutable and name
+  immutable data files, so replaying a batch after a crash reads the
+  exact same rows — exactly-once with any checkpointed sink, and
+  end-to-end exactly-once against the manifest SINK (its batch-id
+  dedup absorbs redelivery).
+- **Append commits stream; change commits are refused by default.** A
+  version that REMOVES files (UPDATE/DELETE rewrite, OPTIMIZE) is not
+  representable as an append stream. Like Delta, the source fails
+  loudly on such a version unless ``skip_change_commits=true``
+  (Delta's skipChangeCommits): then only the version's ADDED files
+  flow and removals are ignored. OPTIMIZE-style rewrites that add AND
+  remove would double-deliver rewritten rows — refusing is the sound
+  default.
+- **starting_version** (default 0) begins the stream after that
+  version — ``0`` streams the table from its first commit,
+  ``current version`` streams only future commits. A needed version
+  already dropped by VACUUM raises with remediation (raise
+  starting_version) instead of silently skipping data.
+
+Scale: offsets resolve with one pointer read; a micro-batch plans one
+InputPartition per new data file (executors read parquet via Arrow
+batches, never the driver); nothing driver-side grows with table size
+— only with the new-file count of the versions in the batch.
+
+Reference context: the reference's streaming tier is single-node
+iterator chains (modules/core streams); this source is the
+Spark-native replacement shape — its log-tailing contract comes from
+public Delta/Iceberg streaming-source semantics, not the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_LOG = "_sclera_log"
+_DATA = "data"
+
+
+def _read_version(table_path: str, v: int) -> dict:
+    with open(os.path.join(table_path, _LOG, f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _current_version(table_path: str) -> int:
+    with open(os.path.join(table_path, _LOG, "LATEST")) as fh:
+        return int(fh.read().strip())
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, arrow_schema):
+        self.path = path
+        self.arrow_schema = arrow_schema
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, schema, options):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.table_path = table_path
+        self.columns = [f.name for f in schema.fields]
+        # typed arrow schema rides along to executors so a file missing
+        # a column (schema evolution) can fill TYPED nulls
+        self.arrow_schema = to_arrow_schema(schema)
+        self.skip_change = (
+            str(options.get("skip_change_commits", "false")).lower()
+            == "true"
+        )
+        try:
+            self.start_version = int(options.get("starting_version", 0))
+        except (TypeError, ValueError):
+            raise ValueError(
+                "starting_version must be an integer manifest version"
+            )
+
+    # ---- offsets (driver side) ----
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _current_version(self.table_path)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_FilePartition] = []
+        prev_files: set | None = None
+        for v in range(max(lo, 0) + 1, hi + 1):
+            try:
+                cur = set(_read_version(self.table_path, v)["files"])
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"manifest version {v} of {self.table_path} is no "
+                    "longer retained (VACUUM dropped it): the stream "
+                    "cannot replay those rows. Restart with "
+                    f"starting_version >= {v} (accepting the gap) or "
+                    "retain more versions."
+                )
+            if prev_files is None:
+                if v == 1:
+                    prev_files = set()
+                else:
+                    try:
+                        prev_files = set(
+                            _read_version(self.table_path, v - 1)["files"]
+                        )
+                    except FileNotFoundError:
+                        # v is the oldest retained version: everything
+                        # in it is "new" only for a from-scratch start;
+                        # otherwise the gap error above already fired
+                        prev_files = set()
+            added = sorted(cur - prev_files)
+            removed = prev_files - cur
+            if removed and not self.skip_change:
+                raise RuntimeError(
+                    f"manifest version {v} of {self.table_path} removed "
+                    f"{len(removed)} file(s) (UPDATE/DELETE/OPTIMIZE): "
+                    "not representable as an append stream. Set "
+                    "skip_change_commits=true to stream only added "
+                    "files past such commits (rewritten rows are then "
+                    "NOT re-delivered), or start a fresh stream from "
+                    "the current snapshot."
+                )
+            data_dir = os.path.join(self.table_path, _DATA)
+            for name in added:
+                parts.append(
+                    _FilePartition(
+                        os.path.join(data_dir, name), self.arrow_schema
+                    )
+                )
+            prev_files = cur
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the checkpoint; the log is immutable
+
+    # ---- data (executor side) ----
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = partition.arrow_schema
+        pf = pq.ParquetFile(partition.path)
+        names = [c for c in want.names if c in pf.schema_arrow.names]
+        for batch in pf.iter_batches(columns=names):
+            # a file missing a column (schema evolution) streams TYPED
+            # nulls for it, so every batch matches the reader schema
+            if names != want.names:
+                arrays = []
+                for field in want:
+                    if field.name in names:
+                        arr = batch.column(names.index(field.name)).cast(
+                            field.type
+                        )
+                    else:
+                        arr = pa.nulls(batch.num_rows, type=field.type)
+                    arrays.append(arr)
+                batch = pa.RecordBatch.from_arrays(arrays, schema=want)
+            yield batch
+
+
+class ManifestStreamSource(DataSource):
+    """``spark.readStream.format("sclera_manifest")`` — register with
+    ``spark.dataSource.register(ManifestStreamSource)`` (the engine
+    does this on first use; see ScleraEngine.stream_from_manifest)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sclera_manifest"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "sclera_manifest requires .option('path', <table root>)"
+            )
+        v = _current_version(path)
+        manifest = _read_version(path, v)
+        if not manifest["files"]:
+            raise ValueError(
+                f"manifest table {path} has no data files to derive a "
+                "schema from; pass an explicit .schema(...)"
+            )
+        # files commit in log order (survivors first, new files last):
+        # unify the oldest and newest footers so append-style schema
+        # evolution (a column added by a later commit) is visible
+        # without reading every footer of a large snapshot
+        import pyarrow as pa
+
+        names = manifest["files"]
+        schemas = [
+            pq.ParquetFile(os.path.join(path, _DATA, n)).schema_arrow
+            for n in {names[0]: None, names[-1]: None}
+        ]
+        spark_schema = from_arrow_schema(pa.unify_schemas(schemas))
+        # every column nullable: an older file may predate a column
+        # (schema evolution) and streams typed NULLs for it
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(f.name, f.dataType, True)
+                for f in spark_schema.fields
+            ]
+        )
+
+    def streamReader(self, schema):
+        return ManifestStreamReader(
+            self.options["path"], schema, self.options
+        )
