@@ -301,6 +301,7 @@ class ManifestTable:
         ranges: dict[str, tuple],
         version: int | None = None,
         nulls: dict[str, str] | None = None,
+        sets: dict[str, list] | None = None,
     ) -> list[str]:
         """FILE-LEVEL data skipping: the live files that can contain a
         row satisfying every ``col BETWEEN lo AND hi`` in ``ranges``
@@ -322,13 +323,22 @@ class ManifestTable:
         drops all-NULL files (null count == row count). A range bound
         on a column ALSO implies notnull (comparisons never match NULL
         rows), which is what keeps range pruning sound for files whose
-        min/max are absent because every value is NULL."""
+        min/max are absent because every value is NULL.
+
+        ``sets`` adds exact-value skipping (r9 dynamic pruning): the
+        column must equal ONE OF the listed values, so a file whose
+        [min, max] contains none of them is dropped even when the
+        values' overall range straddles it — the case a sparse
+        dimension key set creates (keys {5, 9_000_005} prune nothing
+        by range but almost everything by set). A set on a column
+        implies notnull like a range does."""
         v = self.version() if version is None else version
         stats = self.file_stats(v)
         fnulls = self.file_nulls(v)
         frows = self.file_rows(v)
         want_notnull = {c for c, k in (nulls or {}).items() if k == "notnull"}
         want_notnull |= set(ranges)
+        want_notnull |= set(sets or {})
         want_null = {c for c, k in (nulls or {}).items() if k == "null"}
         out = []
         for path in self.files(v):
@@ -372,6 +382,34 @@ class ManifestTable:
                         break
                 except TypeError:
                     continue  # incomparable bound types: keep the file
+            if keep and sets and fstats is not None:
+                import bisect
+
+                for col, values in sets.items():
+                    entry = fstats.get(col)
+                    if not entry or len(entry) < 3:
+                        continue  # no tagged stats: cannot set-prune
+                    mn, mx, tag = entry
+                    canon = []
+                    bad = False
+                    for v in values:
+                        cv = _canon_bound(v, tag)
+                        if cv is _INCOMPARABLE:
+                            bad = True
+                            break
+                        canon.append(cv)
+                    if bad or not canon:
+                        continue
+                    try:
+                        canon.sort()
+                        # any listed value inside [mn, mx]? (first
+                        # value >= mn must also be <= mx)
+                        i = bisect.bisect_left(canon, mn)
+                        if i >= len(canon) or canon[i] > mx:
+                            keep = False
+                            break
+                    except TypeError:
+                        continue
             if keep:
                 out.append(path)
         return out

@@ -316,21 +316,37 @@ _ENV_TRANSPARENT = {
 }
 
 
+def _key_side(e):
+    """(attribute, cast target SQL type | None) for a join-key side:
+    a bare AttributeReference, or a type-coercion Cast over one (the
+    analyzer inserts those for e.g. an INT dim key against a BIGINT
+    fact key). None when the side is any other expression."""
+    if _cls(e) == "AttributeReference":
+        return (e, None)
+    if _cls(e) in ("Cast", "AnsiCast", "UpCast"):
+        child = e.child()
+        if _cls(child) == "AttributeReference":
+            return (child, e.dataType().sql())
+    return None
+
+
 def _equi_keys(cond):
-    """[(a, b)] AttributeReference pairs from the EqualTo conjuncts of
-    a join condition. Strict EqualTo only — EqualNullSafe matches NULL
-    keys, which min/max ranges cannot see, so deriving a range from it
-    would prune files whose NULL rows should match."""
+    """[((attr, cast), (attr, cast))] pairs from the EqualTo conjuncts
+    of a join condition; each side is a bare attribute or a cast over
+    one (see _key_side). Strict EqualTo only — EqualNullSafe matches
+    NULL keys, which min/max ranges cannot see, so deriving a range
+    from it would prune files whose NULL rows should match."""
     out = []
     for e in _conjuncts(cond):
         if _cls(e) != "EqualTo":
             continue
         try:
             kids = _seq(e.children())
-            if len(kids) == 2 and all(
-                _cls(k) == "AttributeReference" for k in kids
-            ):
-                out.append((kids[0], kids[1]))
+            if len(kids) != 2:
+                continue
+            a, b = _key_side(kids[0]), _key_side(kids[1])
+            if a is not None and b is not None:
+                out.append((a, b))
         except Exception:
             continue
     return out
@@ -381,18 +397,22 @@ def _scan_pairs(plan, deriver=None):
                         and node.condition().isDefined()
                         else []
                     )
-                    for a, b in keys:
+                    for (a, ac), (b, bc) in keys:
                         ls, rs = left.outputSet(), right.outputSet()
                         if ls.contains(a) and rs.contains(b):
-                            la, rb = a, b
+                            la, lc, rb, rc = a, ac, b, bc
                         elif ls.contains(b) and rs.contains(a):
-                            la, rb = b, a
+                            la, lc, rb, rc = b, bc, a, ac
                         else:
                             continue
-                        if prune_left:
-                            env_l.extend(deriver(right, rb, left, la))
-                        if prune_right:
-                            env_r.extend(deriver(left, la, right, rb))
+                        # the TARGET (pruned) side's key must be the
+                        # bare scan column; the SOURCE side may be
+                        # cast-wrapped — the aggregate then evaluates
+                        # the cast so bounds land in the compared type
+                        if prune_left and lc is None:
+                            env_l.extend(deriver(right, rb, rc, left, la))
+                        if prune_right and rc is None:
+                            env_r.extend(deriver(left, la, lc, right, rb))
                 except Exception:
                     env_l, env_r = [], []
             # outer env descends too: a constraint is applied only on
@@ -805,7 +825,7 @@ def _make_deriver(engine, manifest_dirs):
     if thr is None or thr <= 0:
         return None  # broadcast disabled: no cheap dim side exists
 
-    def derive(source, s_attr, target, t_attr):
+    def derive(source, s_attr, s_cast, target, t_attr):
         try:
             if t_attr.dataType().typeName() not in _DYN_KEY_TYPES:
                 return []
@@ -818,6 +838,7 @@ def _make_deriver(engine, manifest_dirs):
             key = (
                 source.semanticHash(),
                 s_attr.name(),
+                s_cast,
                 tuple(_subtree_files(source)),
             )
             if key in cache:
@@ -838,25 +859,46 @@ def _make_deriver(engine, manifest_dirs):
                     return []
                 # positional rename dodges duplicate column names
                 fresh = [f"_c{i}" for i in range(len(sdf.columns))]
-                row = (
-                    sdf.toDF(*fresh)
-                    .selectExpr(
-                        f"min(_c{idx}) AS lo", f"max(_c{idx}) AS hi"
-                    )
-                    .first()
+                sdf = sdf.toDF(*fresh)
+                kexpr = (
+                    f"CAST(_c{idx} AS {s_cast})"
+                    if s_cast
+                    else f"_c{idx}"
                 )
-                lohi = (row[0], row[1])
+                row = sdf.selectExpr(
+                    f"min({kexpr}) AS lo",
+                    f"max({kexpr}) AS hi",
+                    f"count(DISTINCT {kexpr}) AS nd",
+                ).first()
+                values = None
+                if row[2] is not None and 0 < row[2] <= _DYN_SET_CAP:
+                    # sparse key set: the exact values prune files the
+                    # straddling [min, max] range cannot (one more tiny
+                    # job on the already-broadcast-sized side, cached)
+                    values = [
+                        r[0]
+                        for r in sdf.selectExpr(f"{kexpr} AS k")
+                        .where("k IS NOT NULL")
+                        .distinct()
+                        .collect()
+                    ]
+                lohi = (row[0], row[1], values)
                 if len(cache) > 256:
                     cache.clear()
                 cache[key] = lohi
-            lo, hi = lohi
+            lo, hi, values = lohi
             if lo is None or hi is None:
                 return []  # empty dim / all-NULL keys: no constraint
-            return [(t_attr.exprId().toString(), lo, hi)]
+            return [(t_attr.exprId().toString(), lo, hi, values)]
         except Exception:
             return []
 
     return derive
+
+
+# above this many distinct dim keys, only the [min, max] range is used
+# (collecting the exact values to the driver stops paying for itself)
+_DYN_SET_CAP = 512
 
 
 def prune_query(engine, ddl, query: str, df):
@@ -904,6 +946,7 @@ def prune_query(engine, ddl, query: str, df):
             continue
         ranges = extract_ranges(cond) if cond is not None else {}
         nullness = extract_nulls(cond) if cond is not None else {}
+        key_sets: dict[str, list] = {}
         if env:
             # join-derived constraints: applied only to THIS scan
             # occurrence, and only when the key is the relation's own
@@ -915,10 +958,18 @@ def prune_query(engine, ddl, query: str, df):
                     rel_out[out.exprId().toString()] = out.name()
             except Exception:
                 rel_out = {}
-            for eid, lo, hi in env:
+            for eid, lo, hi, values in env:
                 col = rel_out.get(eid)
                 if col is None:
                     continue
+                if values is not None:
+                    if col in key_sets:
+                        # two independent key sets: intersect
+                        key_sets[col] = sorted(
+                            set(key_sets[col]) & set(values)
+                        )
+                    else:
+                        key_sets[col] = values
                 cur = ranges.get(col)
                 if cur is None:
                     ranges[col] = (lo, hi)
@@ -933,11 +984,11 @@ def prune_query(engine, ddl, query: str, df):
                         ranges[col] = (nlo, nhi)
                     except TypeError:
                         continue  # incomparable: keep the filter bound
-        if not ranges and not nullness:
+        if not ranges and not nullness and not key_sets:
             survivors[name] = None
             continue
         try:
-            kept = mt.files_pruned(ranges, nulls=nullness)
+            kept = mt.files_pruned(ranges, nulls=nullness, sets=key_sets)
         except Exception:
             survivors[name] = None
             continue

@@ -749,3 +749,31 @@ def test_plan_cache_hits_and_invalidates(engine, ptab):
         assert j1.first().n == _unpruned(engine, jsql).first().n
     finally:
         engine.catalog.tables.pop("vals", None)
+
+
+def test_dynamic_set_pruning_beats_straddling_range(engine, ptab):
+    """A SPARSE dim key set (two extreme keys) spans nearly the whole
+    fact key range — range-only pruning keeps everything, but the
+    exact-value set (collected when the dim has few distinct keys)
+    prunes every file whose [min, max] contains neither key."""
+    full = engine.table(ptab).inputFiles()
+    # two keys from the first and last o_orderkey slice: the RANGE
+    # [k_lo, k_hi] overlaps all three commits, the SET hits two
+    k_lo = engine.sql("SELECT min(o_orderkey) AS k FROM pt").first().k
+    k_hi = engine.sql("SELECT max(o_orderkey) AS k FROM pt").first().k
+    engine.execute(
+        f"CREATE TABLE sparse_dim AS SELECT * FROM "
+        f"(VALUES ({k_lo}), ({k_hi})) AS t(k)"
+    )
+    try:
+        sql = (
+            "SELECT count(*) AS n, sum(pt.o_totalprice) AS s "
+            "FROM pt JOIN sparse_dim ON pt.o_orderkey = sparse_dim.k"
+        )
+        df = engine.sql(sql)
+        kept = _pt_files(df)
+        # middle slice (o_orderkey 500..999) contains neither key
+        assert len(kept) < len(full)
+        assert _rows(df) == _rows(_unpruned(engine, sql))
+    finally:
+        engine.execute("DROP TABLE sparse_dim")
