@@ -434,6 +434,29 @@ class ScleraEngine:
             cache[key] = result
         return result
 
+    def stream_from_manifest(self, table: str, **options) -> DataFrame:
+        """Streaming read of a manifest table (the read-side twin of
+        streaming.ops.stream_to_manifest): tails the commit log with
+        version offsets via the ``sclera_manifest`` Python Data Source
+        (sources/stream_source.py). ``table`` is a registered manifest
+        table name or a table-root path; options pass through
+        (starting_version, skip_change_commits)."""
+        from sclera_spark.sources.stream_source import ManifestStreamSource
+
+        if not getattr(self, "_stream_source_registered", False):
+            self.spark.dataSource.register(ManifestStreamSource)
+            self._stream_source_registered = True
+        path = table
+        ddl = self.ddl()
+        if table.lower() in ddl.manifest_tables:
+            path = ddl._path(table)
+        reader = self.spark.readStream.format("sclera_manifest").option(
+            "path", path
+        )
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        return reader.load()
+
     def execute(self, statement: str):
         """Run a statement: queries return a DataFrame; DDL/DML (CREATE
         TABLE/VIEW, INSERT, UPDATE, DELETE, DROP, EXPLAIN, LIST, DESCRIBE)

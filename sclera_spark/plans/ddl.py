@@ -166,6 +166,10 @@ class DdlRouter:
             "_list_files",
         ),
         (re.compile(r"^\s*SHOW\s+(?:CONFIG|OPTIONS)\s*$", re.I), "_show_config"),
+        (
+            re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.I),
+            "_describe_history",
+        ),
         (re.compile(r"^\s*DESCRIBE\s+(?:(\w+)\.)?(\w+)\s*$", re.I), "_describe"),
     ]
 
@@ -369,6 +373,13 @@ class DdlRouter:
                 }
             )
         return out
+
+    def _describe_history(self, name: str):
+        """DESCRIBE HISTORY t — retained commit history, newest first
+        (Delta's history command analogue; sources/manifest.history):
+        version, commit time, operation, file/row totals, add/remove
+        deltas. Pure driver metadata, no Spark job."""
+        return self._require_manifest(name).history()
 
     def _show_versions(self, name: str):
         """SHOW VERSIONS t — retained manifest versions, newest last."""

@@ -101,7 +101,7 @@ class ManifestTable:
         os.makedirs(t.log_dir, exist_ok=True)
         scratch, added = t._stage(df)
         t._adopt(scratch, added)
-        t._publish(1, added, meta)
+        t._publish(1, added, {**(meta or {}), "_op": "create"})
         return t
 
     @classmethod
@@ -184,7 +184,11 @@ class ManifestTable:
                     shutil.copyfile(src, tmp)
                     os.rename(tmp, dst)
             names.append(name)
-        t._publish(1, names, {"imported_from": os.path.abspath(mfile)})
+        t._publish(
+            1,
+            names,
+            {"imported_from": os.path.abspath(mfile), "_op": "import"},
+        )
         return t
 
     @classmethod
@@ -201,7 +205,7 @@ class ManifestTable:
             if f.startswith("part-") and not f.endswith(".crc"):
                 os.rename(os.path.join(path, f), os.path.join(t.data_dir, f))
                 moved.append(f)
-        t._publish(1, moved)
+        t._publish(1, moved, {"_op": "convert"})
         return t
 
     @staticmethod
@@ -295,6 +299,46 @@ class ManifestTable:
         v = self.version() if version is None else version
         with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
             return json.load(fh).get("nulls", {})
+
+    def history(self) -> list[dict]:
+        """Retained commit history, NEWEST FIRST (DESCRIBE HISTORY t —
+        Delta's history command shape): per version the commit kind
+        (the ``_op`` stamp each mutator records), the commit wall time
+        (the manifest file's mtime — written once, never modified),
+        live file/row totals, and the added/removed file deltas vs the
+        previous retained version. Pure driver metadata; versions
+        dropped by VACUUM are simply absent."""
+        import datetime as _dt
+
+        out = []
+        versions = self.versions()
+        files_by_v = {v: set(json.load(open(
+            os.path.join(self.log_dir, f"v{v}.json")))["files"])
+            for v in versions}
+        for v in reversed(versions):
+            cur = files_by_v[v]
+            prev = files_by_v.get(v - 1)
+            mpath = os.path.join(self.log_dir, f"v{v}.json")
+            try:
+                ts = _dt.datetime.fromtimestamp(
+                    os.path.getmtime(mpath), _dt.timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S")
+            except OSError:
+                ts = None
+            out.append(
+                {
+                    "version": v,
+                    "ts": ts,
+                    "op": self.meta(v).get("_op"),
+                    "files": len(cur),
+                    "rows": self.row_count(v),
+                    "added": len(cur - prev) if prev is not None else None,
+                    "removed": (
+                        len(prev - cur) if prev is not None else None
+                    ),
+                }
+            )
+        return out
 
     def files_pruned(
         self,
@@ -510,19 +554,27 @@ class ManifestTable:
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
         scratch, added = self._stage(df)
-        self._commit(lambda: (added, self._next_meta(meta)), staged=(scratch, added))
+        self._commit(
+            lambda: (added, self._next_meta(meta, op="overwrite")),
+            staged=(scratch, added),
+        )
 
     def amend_meta(self, meta: dict) -> None:
         """Commit a new version with the SAME file list and merged meta —
         a pure metadata commit (e.g. an incremental-aggregate refresh that
         consumed a source version which added no files). Same atomic
         pointer-swap protocol as data commits."""
-        self._commit(lambda: (self._file_names(), self._next_meta(meta)))
+        self._commit(
+            lambda: (self._file_names(), self._next_meta(meta, op="amend"))
+        )
 
     def append(self, df: DataFrame, meta: dict | None = None) -> None:
         scratch, added = self._stage(df)
         self._commit(
-            lambda: (self._file_names() + added, self._next_meta(meta)),
+            lambda: (
+                self._file_names() + added,
+                self._next_meta(meta, op="append"),
+            ),
             staged=(scratch, added),
         )
 
@@ -543,7 +595,10 @@ class ManifestTable:
                     f"not live in current manifest: {sorted(unknown)} "
                     f"(a concurrent commit replaced them — retry the DML)"
                 )
-            return [f for f in live if f not in removed] + added, self._next_meta(None)
+            return (
+                [f for f in live if f not in removed] + added,
+                self._next_meta(None, op="replace"),
+            )
 
         try:
             self._commit(compute, staged=(scratch, added))
@@ -745,15 +800,21 @@ class ManifestTable:
                 os.rename(tmp, dst)
         shutil.rmtree(scratch, ignore_errors=True)
 
-    def _next_meta(self, override: dict | None) -> dict:
+    def _next_meta(self, override: dict | None, op: str | None = None) -> dict:
         """Merge metadata for the next commit: inherit the current
         version's meta, with explicit keys overriding (called inside the
-        writer lock by every mutator)."""
+        writer lock by every mutator). ``op`` stamps the commit KIND for
+        DESCRIBE HISTORY — per-version, never inherited (the one meta
+        key stripped from the base before merging)."""
         try:
             base = self.meta()
         except FileNotFoundError:
             base = {}
-        return {**base, **(override or {})}
+        base.pop("_op", None)
+        out = {**base, **(override or {})}
+        if op is not None and "_op" not in (override or {}):
+            out["_op"] = op
+        return out
 
     def _publish(
         self, version: int, files: list[str], meta: dict | None = None

@@ -153,3 +153,74 @@ def test_schema_inference_and_missing_column_nulls(registered, tmp_path):
     _drain(spark, path, str(tmp_path / "cp"), got)
     rows = _rows(got)
     assert (0, None) in rows and (3, 6) in rows and len(rows) == 5
+
+
+def test_engine_helper_and_describe_history(spark, tables, tmp_path):
+    """engine.stream_from_manifest resolves a REGISTERED table name,
+    and DESCRIBE HISTORY shows the per-version operation stamps with
+    add/remove deltas, newest first."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    engine.execute(
+        "CREATE TABLE hist_t AS SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey < 200"
+    )
+    try:
+        engine.execute("ALTER TABLE hist_t SET FORMAT MANIFEST")
+        engine.execute(
+            "INSERT INTO hist_t SELECT o_orderkey, o_totalprice "
+            "FROM orders WHERE o_orderkey BETWEEN 200 AND 400"
+        )
+        engine.execute("DELETE FROM hist_t WHERE o_orderkey < 5")
+
+        hist = engine.execute("DESCRIBE HISTORY hist_t")
+        assert [h["version"] for h in hist] == [3, 2, 1]
+        assert hist[-1]["op"] == "convert"
+        assert hist[1]["op"] == "append" and hist[1]["removed"] == 0
+        assert hist[0]["op"] == "replace" and hist[0]["removed"] >= 1
+        assert all(h["ts"] and h["rows"] > 0 for h in hist)
+
+        # the DELETE at v3 is a change commit: the default stream
+        # refuses it loudly...
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        df = engine.stream_from_manifest("hist_t")
+        q = (
+            df.writeStream.foreachBatch(lambda b, i: None)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .start()
+        )
+        try:
+            with pytest.raises(StreamingQueryException, match="append stream"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # ...and the skip option streams through it, via the helper
+        got: list = []
+        df2 = engine.stream_from_manifest(
+            "hist_t", skip_change_commits="true"
+        )
+        q2 = (
+            df2.writeStream.foreachBatch(
+                lambda b, i: got.append(b.count())
+            )
+            .option("checkpointLocation", str(tmp_path / "cp2"))
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        # delivered = every ADDED file's rows: all of v1 + v2's adds +
+        # v3's rewritten file (the change commit's added side only)
+        mt = ManifestTable(engine._ddl._path("hist_t"))
+        f2 = set(os.path.basename(p) for p in mt.files(2))
+        f3 = set(os.path.basename(p) for p in mt.files(3))
+        v3_added = sum(mt.file_rows(3)[n] for n in f3 - f2)
+        assert sum(got) == mt.row_count(2) + v3_added
+    finally:
+        engine.execute("DROP TABLE hist_t")
