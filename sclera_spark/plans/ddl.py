@@ -112,6 +112,21 @@ class DdlRouter:
         ),
         (
             re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+BLOOM\s+FILTER\s*"
+                r"\(\s*([\w\s,]+?)\s*\)(?:\s+FPP\s+([0-9.]+))?\s*$",
+                re.I,
+            ),
+            "_set_bloom_filter",
+        ),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+BLOOM\s+FILTER\s*$",
+                re.I,
+            ),
+            "_drop_bloom_filter",
+        ),
+        (
+            re.compile(
                 r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$", re.I
             ),
             "_vacuum",
@@ -373,6 +388,57 @@ class DdlRouter:
                 }
             )
         return out
+
+    def _set_bloom_filter(self, name: str, cols: str, fpp: str | None = None):
+        """ALTER TABLE t SET BLOOM FILTER (c1, c2) [FPP 0.01] — per-file
+        Bloom filter indexes (sources/bloom.py; Delta's bloom index
+        analogue): equality and IN-set probes on the listed columns
+        skip files whose filter proves the value absent — the skip for
+        UNCLUSTERED columns, where min/max ranges cover everything.
+        Existing live files are BACKFILLED with one distributed job
+        now; every future commit blooms only its new files."""
+        mt = self._require_manifest(name)
+        columns = [c.strip() for c in cols.split(",") if c.strip()]
+        meta: dict = {"bloom_columns": columns}
+        if fpp:
+            meta["bloom_fpp"] = float(fpp)
+        mt.amend_meta(meta)
+        self._bloom_backfill(name)
+
+    def _drop_bloom_filter(self, name: str):
+        """ALTER TABLE t DROP BLOOM FILTER — stop building filters and
+        delete the existing sidecars (they would stay CORRECT — a
+        sidecar is derived from its immutable file — but dropped means
+        dropped)."""
+        import shutil as _shutil
+
+        mt = self._require_manifest(name)
+        mt.amend_meta({"bloom_columns": None})
+        _shutil.rmtree(mt.bloom_dir(), ignore_errors=True)
+
+    def _bloom_backfill(self, name: str) -> None:
+        mt = self._require_manifest(name)
+        meta = mt.meta()
+        cols = meta.get("bloom_columns")
+        if not cols:
+            return
+        missing = [
+            p
+            for p in mt.files()
+            if mt.file_bloom(os.path.basename(p)) is None
+        ]
+        if not missing:
+            return
+        from sclera_spark.sources.bloom import build_blooms
+
+        mt.store_blooms(
+            build_blooms(
+                self.engine.spark,
+                missing,
+                cols,
+                float(meta.get("bloom_fpp", 0.01)),
+            )
+        )
 
     def _describe_history(self, name: str):
         """DESCRIBE HISTORY t — retained commit history, newest first

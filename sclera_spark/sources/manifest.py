@@ -426,6 +426,32 @@ class ManifestTable:
                         break
                 except TypeError:
                     continue  # incomparable bound types: keep the file
+            if keep:
+                # bloom skipping (sources/bloom.py): equality and
+                # IN-set probes check the file's sidecar filters — the
+                # skip for UNCLUSTERED columns, where [min, max] covers
+                # everything. A file is dropped only when EVERY probed
+                # value is definitely absent for some column.
+                probes: dict[str, list] = {}
+                for col, (lo, hi) in ranges.items():
+                    if lo is not None and lo == hi:
+                        probes[col] = [lo]
+                for col, values in (sets or {}).items():
+                    probes.setdefault(col, values)
+                if probes:
+                    blooms = self.file_bloom(name)
+                    if blooms:
+                        from sclera_spark.sources.bloom import might_contain
+
+                        for col, vals in probes.items():
+                            bl = blooms.get(col)
+                            if not bl or not vals:
+                                continue
+                            if all(
+                                not might_contain(bl, v) for v in vals
+                            ):
+                                keep = False
+                                break
             if keep and sets and fstats is not None:
                 import bisect
 
@@ -762,6 +788,15 @@ class ManifestTable:
                 deleted.append(f)
         for v in vs[:-keep_versions]:
             os.remove(os.path.join(self.log_dir, f"v{v}.json"))
+        # bloom sidecars die with their data file
+        bdir = self.bloom_dir()
+        if os.path.isdir(bdir):
+            for f in os.listdir(bdir):
+                if f.endswith(".json") and f[: -len(".json")] not in referenced:
+                    try:
+                        os.remove(os.path.join(bdir, f))
+                    except FileNotFoundError:
+                        pass
         return deleted
 
     # ---- internals ----
@@ -783,7 +818,60 @@ class ManifestTable:
                 name = f"part-{tag}-{i:05d}.parquet"
                 os.rename(os.path.join(scratch, f), os.path.join(scratch, name))
                 staged.append(name)
+        self._write_blooms(df.sparkSession, scratch, staged)
         return scratch, staged
+
+    def bloom_dir(self) -> str:
+        return os.path.join(self.log_dir, "blooms")
+
+    def _write_blooms(self, spark, scratch: str, names: list[str]) -> None:
+        """Per-file Bloom filter sidecars (sources/bloom.py) for the
+        files being staged, when the table has a bloom configuration
+        (``ALTER TABLE t SET BLOOM FILTER (...)``). One distributed
+        job over the NEW data only — the Delta bloom-index cost model.
+        Sidecars are immutable with their data file; an unreferenced
+        sidecar (failed commit) is garbage vacuum sweeps. Any failure
+        degrades to 'no filter for those files' — blooms are an
+        optimization, never a commit dependency."""
+        try:
+            meta = self.meta()
+        except Exception:
+            return
+        cols = meta.get("bloom_columns")
+        if not cols or not names:
+            return
+        try:
+            from sclera_spark.sources.bloom import build_blooms
+
+            built = build_blooms(
+                spark,
+                [os.path.join(scratch, n) for n in names],
+                cols,
+                float(meta.get("bloom_fpp", 0.01)),
+            )
+            self.store_blooms(built)
+        except Exception:
+            pass
+
+    def store_blooms(self, built: dict) -> None:
+        os.makedirs(self.bloom_dir(), exist_ok=True)
+        for name, bl in built.items():
+            tmp = os.path.join(self.bloom_dir(), f".{name}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(bl, fh)
+            os.replace(
+                tmp, os.path.join(self.bloom_dir(), name + ".json")
+            )
+
+    def file_bloom(self, name: str) -> dict | None:
+        """The sidecar filters for one data file ({column: {m,k,t,b}})
+        or None — absence just means no bloom skipping for that file
+        (pre-configuration files, unbloomable types, failed build)."""
+        try:
+            with open(os.path.join(self.bloom_dir(), name + ".json")) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
 
     def _adopt(self, scratch: str, names: list[str]) -> None:
         """Move staged part files into data/ (cheap renames, same FS via

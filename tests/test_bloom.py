@@ -1,0 +1,189 @@
+"""Per-file Bloom filter indexes (sources/bloom.py + the manifest
+wiring): the driver-side XXH64 kernel pinned byte-for-byte against
+Spark's xxhash64 (the build/probe split depends on that equality),
+then end-to-end equality skipping on UNCLUSTERED columns where min/max
+ranges provably cannot prune."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sclera_spark.engine import ScleraEngine
+from sclera_spark.sources.bloom import (
+    might_contain,
+    spark_hash_pair,
+    xxh64_bytes,
+    xxh64_int,
+    xxh64_long,
+)
+from sclera_spark.sources.manifest import ManifestTable
+
+
+@pytest.fixture()
+def engine(spark, tables):
+    return ScleraEngine(spark)
+
+
+def test_xxh64_kernel_matches_spark(spark):
+    """Fuzz the pure-Python XXH64 against F.xxhash64 for every type
+    the bloom tier hashes — including the chained two-argument form
+    that produces h2 — over ints spanning widths, IEEE specials, and
+    strings crossing the 32-byte stripe boundary."""
+    rnd = random.Random(7)
+    longs = [0, 1, -1, 2**62, -(2**62), 42] + [
+        rnd.randint(-(2**63), 2**63 - 1) for _ in range(30)
+    ]
+    ints = [0, 1, -1, 2**31 - 1, -(2**31), 7] + [
+        rnd.randint(-(2**31), 2**31 - 1) for _ in range(30)
+    ]
+    doubles = [0.0, -0.0, 1.5, -2.25, 1e300, -1e-300] + [
+        rnd.uniform(-1e6, 1e6) for _ in range(20)
+    ]
+    strings = ["", "a", "hello", "x" * 31, "y" * 32, "z" * 100,
+               "héllo wörld ünïcode", "你好" * 20] + [
+        "".join(chr(rnd.randint(32, 0x2FFF)) for _ in range(rnd.randint(0, 80)))
+        for _ in range(20)
+    ]
+
+    def spark_hashes(vals, dtype):
+        df = spark.createDataFrame([(v,) for v in vals], f"v {dtype}")
+        rows = df.select(
+            F.xxhash64("v").alias("h1"),
+            F.xxhash64("v", "v").alias("h2"),
+            "v",
+        ).collect()
+        return [(r.h1, r.h2, r.v) for r in rows]
+
+    M = (1 << 64) - 1
+    for h1, h2, v in spark_hashes(longs, "long"):
+        assert xxh64_long(v) == h1, v
+        assert xxh64_long(v, seed=h1 & M) == h2, v
+        assert spark_hash_pair(v, "long") == (h1, h2)
+    for h1, h2, v in spark_hashes(ints, "int"):
+        assert xxh64_int(v) == h1, v
+        assert spark_hash_pair(v, "integer") == (h1, h2)
+    for h1, h2, v in spark_hashes(doubles, "double"):
+        assert spark_hash_pair(v, "double") == (h1, h2), v
+    for h1, h2, v in spark_hashes(strings, "string"):
+        assert xxh64_bytes(v.encode("utf-8")) == h1, repr(v)
+        assert spark_hash_pair(v, "string") == (h1, h2), repr(v)
+
+
+@pytest.fixture()
+def btab(engine, spark):
+    """Three commits clustered by k, with cust SCATTERED: every file's
+    cust [min, max] spans nearly the full domain (range pruning keeps
+    all files) while each cust value lives in exactly one file."""
+    for i in range(3):
+        df = spark.range(i * 1000, (i + 1) * 1000).selectExpr(
+            "id AS k",
+            "(id * 2654435761) % 1000000 AS cust",
+            "concat('u', (id * 2654435761) % 1000000) AS tag",
+        )
+        if i == 0:
+            engine.catalog.register("seed_bt", df)
+            engine.execute("CREATE TABLE bt AS SELECT * FROM seed_bt")
+            engine.execute("ALTER TABLE bt SET FORMAT MANIFEST")
+        else:
+            engine.catalog.register("seed_bt", df)
+            engine.execute("INSERT INTO bt SELECT * FROM seed_bt")
+    engine.catalog.tables.pop("seed_bt", None)
+    yield "bt"
+    engine.execute("DROP TABLE bt")
+
+
+def test_bloom_equality_skipping_end_to_end(engine, btab):
+    engine.execute("ALTER TABLE bt SET BLOOM FILTER (cust, tag) FPP 0.001")
+    mt = ManifestTable(engine._ddl._path("bt"))
+    # backfill happened: every live file has sidecar filters
+    assert all(
+        mt.file_bloom(os.path.basename(p)) for p in mt.files()
+    )
+    full = engine.table("bt").inputFiles()
+    assert len(full) >= 3
+
+    # a cust value from the middle commit: min/max CANNOT prune (every
+    # file's range spans it) — the bloom must
+    v = engine.sql("SELECT cust FROM bt WHERE k = 1500").first().cust
+    stats_only = mt.files_pruned({"cust": (v, v)}, nulls=None)
+    sql = f"SELECT k, cust FROM bt WHERE cust = {v}"
+    df = engine.sql(sql)
+    kept = df.inputFiles()
+    assert len(kept) < len(full)
+    got = sorted(tuple(r) for r in df.collect())
+    engine.config["manifest_pruning"] = "off"
+    try:
+        exp = sorted(tuple(r) for r in engine.sql(sql).collect())
+    finally:
+        engine.config.pop("manifest_pruning", None)
+    assert got == exp and got  # non-vacuous: the row IS found
+
+    # string-column probe through the same path
+    sqls = f"SELECT k FROM bt WHERE tag = 'u{v}'"
+    dfs = engine.sql(sqls)
+    assert len(dfs.inputFiles()) < len(full)
+    assert dfs.count() >= 1
+
+    # absent value: (almost) everything skipped, empty result
+    sql0 = "SELECT k FROM bt WHERE cust = 1000001"
+    df0 = engine.sql(sql0)
+    assert len(df0.inputFiles()) < len(full)
+    assert df0.count() == 0
+
+
+def test_new_commits_bloom_automatically_and_drop(engine, btab, spark):
+    engine.execute("ALTER TABLE bt SET BLOOM FILTER (cust)")
+    mt = ManifestTable(engine._ddl._path("bt"))
+    n_before = len(os.listdir(mt.bloom_dir()))
+    engine.catalog.register(
+        "seed_more",
+        spark.range(3000, 3500).selectExpr(
+            "id AS k", "(id * 2654435761) % 1000000 AS cust",
+            "concat('u', id) AS tag"
+        ),
+    )
+    engine.execute("INSERT INTO bt SELECT * FROM seed_more")
+    engine.catalog.tables.pop("seed_more", None)
+    assert len(os.listdir(mt.bloom_dir())) > n_before  # new files bloomed
+
+    engine.execute("ALTER TABLE bt DROP BLOOM FILTER")
+    assert not os.path.isdir(mt.bloom_dir()) or not os.listdir(
+        mt.bloom_dir()
+    )
+    assert mt.meta().get("bloom_columns") is None
+
+
+def test_vacuum_sweeps_sidecars_of_deleted_files(engine, btab):
+    engine.execute("ALTER TABLE bt SET BLOOM FILTER (cust)")
+    mt = ManifestTable(engine._ddl._path("bt"))
+    engine.execute("DELETE FROM bt WHERE k < 100")  # rewrites a file
+    live = {os.path.basename(p) for p in mt.files()}
+    mt.vacuum(keep_versions=1)
+    side = {
+        f[: -len(".json")] for f in os.listdir(mt.bloom_dir())
+    }
+    assert side <= live  # no sidecar outlives its data file
+
+
+def test_bloom_false_positive_rate_sane(spark, tmp_path):
+    """Build a filter over 5k known values; probe 5k absent values:
+    the observed FP rate stays within 5x the configured 1%."""
+    from sclera_spark.sources.bloom import build_blooms
+
+    p = str(tmp_path / "d")
+    spark.range(5000).selectExpr("id * 7 AS v").coalesce(1).write.parquet(p)
+    import glob
+
+    f = glob.glob(p + "/part-*.parquet")[0]
+    built = build_blooms(spark, [f], ["v"], 0.01)
+    bl = built[os.path.basename(f)]["v"]
+    # every present value fires
+    assert all(might_contain(bl, i * 7) for i in range(0, 5000, 13))
+    # absent values rarely fire
+    fps = sum(1 for i in range(5000) if might_contain(bl, i * 7 + 3))
+    assert fps < 5000 * 0.05
