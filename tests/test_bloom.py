@@ -110,7 +110,6 @@ def test_bloom_equality_skipping_end_to_end(engine, btab):
     # a cust value from the middle commit: min/max CANNOT prune (every
     # file's range spans it) — the bloom must
     v = engine.sql("SELECT cust FROM bt WHERE k = 1500").first().cust
-    stats_only = mt.files_pruned({"cust": (v, v)}, nulls=None)
     sql = f"SELECT k, cust FROM bt WHERE cust = {v}"
     df = engine.sql(sql)
     kept = df.inputFiles()
@@ -187,3 +186,30 @@ def test_bloom_false_positive_rate_sane(spark, tmp_path):
     # absent values rarely fire
     fps = sum(1 for i in range(5000) if might_contain(bl, i * 7 + 3))
     assert fps < 5000 * 0.05
+
+
+def test_cow_dml_pre_narrows_through_blooms(engine, btab):
+    """filter_ranges -> files_pruned composes with blooms for FREE: a
+    keyed UPDATE on the bloom-indexed UNCLUSTERED column rewrites only
+    the file that can contain the key (min/max alone would probe every
+    file — every file's cust range spans the value)."""
+    engine.execute("ALTER TABLE bt SET BLOOM FILTER (cust)")
+    mt = ManifestTable(engine._ddl._path("bt"))
+    before = {p: os.path.getmtime(p) for p in mt.files()}
+    v = engine.sql("SELECT cust FROM bt WHERE k = 1500").first().cust
+    n0 = engine.table("bt").count()
+
+    engine.execute(f"UPDATE bt SET tag = 'hit' WHERE cust = {v}")
+    after = {p: os.path.getmtime(p) for p in mt.files()}
+    survivors = set(before) & set(after)
+    # at most one file (plus bloom false positives) was rewritten
+    assert len(set(before) - survivors) <= 1
+    assert all(before[p] == after[p] for p in survivors)
+    assert engine.table("bt").count() == n0
+    got = engine.sql(f"SELECT tag FROM bt WHERE cust = {v}").collect()
+    assert got and all(r.tag == "hit" for r in got)
+
+    # keyed no-op: a value no file can contain commits nothing
+    ver = mt.version()
+    engine.execute("DELETE FROM bt WHERE cust = 1000001")
+    assert mt.version() == ver
