@@ -300,6 +300,53 @@ class ScleraShell:
         self._print(f"Plot spec written to {path}")
 
 
+class ShellCompleter:
+    """Readline tab completion: SQL/meta keywords plus live catalog
+    names (tables, views, manifest tables) — the reference shell's
+    JLine completion, stdlib-style. Stateless per keypress: the name
+    pool is re-read from the engine so a just-created table completes
+    immediately."""
+
+    KEYWORDS = [
+        "SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "HAVING",
+        "LIMIT", "JOIN", "LEFT JOIN", "INNER JOIN", "UNION", "CREATE",
+        "CREATE TABLE", "CREATE VIEW", "INSERT INTO", "UPDATE",
+        "DELETE FROM", "DROP TABLE", "DROP VIEW", "ALTER TABLE",
+        "DESCRIBE", "DESCRIBE HISTORY", "EXPLAIN", "EXPLAIN SCRIPT",
+        "LIST TABLES", "LIST FILES", "LIST LOCATIONS", "SHOW VERSIONS",
+        "ADD LOCATION", "ADD TABLE", "OPTIMIZE", "VACUUM",
+        "GENERATE SYMLINK MANIFEST FOR", "SET FORMAT MANIFEST",
+        "SET BLOOM FILTER", "ECHO", "FORMAT", "TIME", "SOURCE",
+        "RESET", "QUIT", "EXIT", "PLOT",
+    ]
+
+    def __init__(self, engine):
+        self.engine = engine
+        self._matches: list[str] = []
+
+    def candidates(self, text: str) -> list[str]:
+        names: set[str] = set()
+        try:
+            names |= set(self.engine.catalog.tables)
+            ddl = getattr(self.engine, "_ddl", None)
+            if ddl is not None:
+                names |= set(ddl.views) | set(ddl.manifest_tables)
+            # session temp views registered outside the engine catalog
+            names |= {
+                t.name for t in self.engine.spark.catalog.listTables()
+            }
+        except Exception:
+            pass
+        pool = self.KEYWORDS + sorted(names)
+        t = text.lower()
+        return [w for w in pool if w.lower().startswith(t)]
+
+    def __call__(self, text: str, state: int):
+        if state == 0:
+            self._matches = self.candidates(text)
+        return self._matches[state] if state < len(self._matches) else None
+
+
 def _history_file() -> str:
     return os.path.join(
         os.path.expanduser("~"), ".sclera_spark_history"
@@ -348,6 +395,9 @@ def main(argv=None) -> int:
                 readline.read_history_file(_history_file())
             except OSError:
                 pass
+            readline.set_completer(ShellCompleter(engine))
+            readline.set_completer_delims(" \t\n;,()")
+            readline.parse_and_bind("tab: complete")
             import atexit
 
             atexit.register(

@@ -212,3 +212,23 @@ def test_pexpect_end_to_end(tmp_path):
     child.expect(pexpect.EOF)
     child.wait()
     assert child.exitstatus == 0
+
+
+def test_tab_completer_candidates(engine):
+    """Keywords and LIVE catalog names complete, case-insensitively;
+    a just-created table appears without re-installing the completer."""
+    from sclera_spark.shell import ShellCompleter
+
+    comp = ShellCompleter(engine)
+    assert "SELECT" in comp.candidates("sel")
+    assert "DESCRIBE HISTORY" in comp.candidates("desc")
+    assert "region" in comp.candidates("reg")
+    engine.execute("CREATE TABLE compl_t AS SELECT 1 AS x")
+    try:
+        assert "compl_t" in comp.candidates("compl")
+        # readline protocol: state-indexed iteration ends with None
+        first = comp("nat", 0)
+        assert first == "nation"
+        assert comp("nat", 99) is None
+    finally:
+        engine.execute("DROP TABLE compl_t")
