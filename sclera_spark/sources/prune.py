@@ -576,11 +576,20 @@ def metadata_agg(engine, ddl, df):
             fname = _cls(fn)
             fkids = _seq(fn.children())
             if fname == "Count":
-                if len(fkids) != 1 or _cls(fkids[0]) != "Literal":
+                if len(fkids) != 1:
                     return None
-                if fkids[0].value() != 1:
+                if _cls(fkids[0]) == "Literal":
+                    if fkids[0].value() != 1:
+                        return None
+                    wanted.append(("count", None))
+                elif _cls(fkids[0]) == "AttributeReference":
+                    # count(col) = total rows - null count, from the
+                    # same per-file metadata (a non-nullable column
+                    # never reaches here — Catalyst already rewrote it
+                    # to count(*))
+                    wanted.append(("count_col", fkids[0]))
+                else:
                     return None
-                wanted.append(("count", None))
             elif fname in ("Min", "Max"):
                 if len(fkids) != 1 or _cls(fkids[0]) != "AttributeReference":
                     return None
@@ -637,6 +646,14 @@ def metadata_agg(engine, ddl, df):
             col = rel_cols.get(attr.exprId().toString())
             if col is None:
                 return None
+            if kind == "count_col":
+                total = 0
+                for n in scanned:
+                    if col not in nulls[n]:
+                        return None  # no null info (legacy / absent col)
+                    total += rows[n] - nulls[n][col]
+                out_row.append(total)
+                continue
             acc = None
             for n in scanned:
                 entry = stats[n].get(col)

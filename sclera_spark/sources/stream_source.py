@@ -96,6 +96,15 @@ class ManifestStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "starting_version must be an integer manifest version"
             )
+        try:
+            self.max_versions = int(
+                options.get("max_versions_per_trigger", 0)
+            )
+        except (TypeError, ValueError):
+            raise ValueError(
+                "max_versions_per_trigger must be a positive integer"
+            )
+        self._last_end: int | None = None
 
     # ---- offsets (driver side) ----
 
@@ -103,7 +112,24 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _current_version(self.table_path)}
+        """Current pointer, optionally admission-controlled: with
+        ``max_versions_per_trigger = N`` each micro-batch advances at
+        most N commits past the previous end (Delta's
+        maxFilesPerTrigger shape, at our offset granularity) — a long
+        backfill proceeds in bounded chunks instead of one giant
+        batch. The committed offset in the checkpoint is authoritative
+        across restarts; ``_last_end`` only paces WITHIN a run."""
+        cur = _current_version(self.table_path)
+        if self.max_versions > 0 and self._last_end is not None:
+            # pace only once this run has a known position: after a
+            # restart the checkpoint's committed offset is unknown to
+            # a fresh reader, and capping from starting_version could
+            # propose an offset BEHIND the checkpoint (a stall). The
+            # first batch of a run is therefore unpaced; every
+            # subsequent one advances at most N commits.
+            cur = min(cur, self._last_end + self.max_versions)
+        self._last_end = cur
+        return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])

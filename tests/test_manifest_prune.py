@@ -352,10 +352,20 @@ def test_metadata_only_count(engine, ptab):
     finally:
         engine.config.pop("metadata_only_count", None)
 
+    # count(col) answers from metadata too (r9): total - null count
+    ccol = engine.sql("SELECT count(o_custkey) AS n FROM pt")
+    assert ccol.inputFiles() == []
+    engine.config["metadata_only_count"] = "off"
+    try:
+        assert ccol.first().n == engine.sql(
+            "SELECT count(o_custkey) AS n FROM pt"
+        ).first().n
+    finally:
+        engine.config.pop("metadata_only_count", None)
+
     # non-trivial shapes keep the real scan
     for sql in (
         "SELECT count(*) AS n FROM pt WHERE o_orderkey > 100",
-        "SELECT count(o_custkey) AS n FROM pt",
         "SELECT count(DISTINCT o_custkey) AS n FROM pt",
         "SELECT o_orderpriority, count(*) AS n FROM pt GROUP BY 1",
         "SELECT count(*) AS n, sum(o_totalprice) AS s FROM pt",
@@ -544,6 +554,12 @@ def test_metadata_min_max_all_null_and_time_travel(engine):
         df = engine.sql("SELECT min(nothing) AS m, max(nothing) AS x FROM mm")
         assert df.inputFiles() == []
         assert df.first() == (None, None)
+        dfc = engine.sql(
+            "SELECT count(nothing) AS c, count(*) AS n FROM mm"
+        )
+        assert dfc.inputFiles() == []
+        row = dfc.first()
+        assert row.c == 0 and row.n > 0  # NULLs excluded, rows counted
 
         mt = ManifestTable(engine._ddl._path("mm"))
         v = mt.version()

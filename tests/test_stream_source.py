@@ -224,3 +224,44 @@ def test_engine_helper_and_describe_history(spark, tables, tmp_path):
         assert sum(got) == mt.row_count(2) + v3_added
     finally:
         engine.execute("DROP TABLE hist_t")
+
+
+def test_max_versions_per_trigger_paces_batches(registered, tmp_path):
+    """Admission control: with max_versions_per_trigger=1 a running
+    stream consumes a burst of commits as one micro-batch per commit
+    (bounded chunks — the Delta maxFilesPerTrigger shape), never one
+    giant batch."""
+    spark = registered
+    path = str(tmp_path / "t")
+    ManifestTable.create(
+        spark.range(0, 4).selectExpr("id AS k"), path
+    )
+    mt = ManifestTable(path)
+    batches: list = []
+    df = (
+        spark.readStream.format("sclera_manifest")
+        .option("path", path)
+        .option("max_versions_per_trigger", "1")
+        .load()
+    )
+    q = (
+        df.writeStream.foreachBatch(
+            lambda b, i: batches.append(b.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert batches == [4]  # v1
+        for j in range(3):  # a burst of three commits
+            mt.append(
+                spark.range(10 * (j + 1), 10 * (j + 1) + 2).selectExpr(
+                    "id AS k"
+                )
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the burst arrived as one batch per version, 2 rows each
+    assert batches == [4, 2, 2, 2]
