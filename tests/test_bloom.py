@@ -213,3 +213,41 @@ def test_cow_dml_pre_narrows_through_blooms(engine, btab):
     ver = mt.version()
     engine.execute("DELETE FROM bt WHERE cust = 1000001")
     assert mt.version() == ver
+
+
+def test_cas_tables_bloom_too(spark, tables, tmp_path):
+    """The CAS-committed flavor inherits bloom staging: filters build
+    on append and prune equality probes identically (sidecars are
+    immutable per file, so no CAS coordination is needed for them)."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    engine.execute(
+        "CREATE TABLE cbt AS SELECT o_orderkey AS k, "
+        "(o_orderkey * 2654435761) % 1000000 AS cust FROM orders "
+        "WHERE o_orderkey < 500"
+    )
+    try:
+        engine.execute("ALTER TABLE cbt SET FORMAT MANIFEST CAS")
+        engine.execute("ALTER TABLE cbt SET BLOOM FILTER (cust)")
+        engine.execute(
+            "INSERT INTO cbt SELECT o_orderkey, "
+            "(o_orderkey * 2654435761) % 1000000 FROM orders "
+            "WHERE o_orderkey >= 500 AND o_orderkey < 1000"
+        )
+        mt = engine._ddl._manifest("cbt")
+        assert all(
+            mt.file_bloom(os.path.basename(p)) for p in mt.files()
+        )
+        v = engine.sql("SELECT cust FROM cbt WHERE k = 700").first().cust
+        sql = f"SELECT k FROM cbt WHERE cust = {v}"
+        df = engine.sql(sql)
+        assert len(df.inputFiles()) < len(engine.table("cbt").inputFiles())
+        engine.config["manifest_pruning"] = "off"
+        try:
+            exp = sorted(r.k for r in engine.sql(sql).collect())
+        finally:
+            engine.config.pop("manifest_pruning", None)
+        assert sorted(r.k for r in df.collect()) == exp and exp
+    finally:
+        engine.execute("DROP TABLE cbt")

@@ -498,3 +498,51 @@ def test_stratified_sample_single_window_shuffle(engine):
     plan = _plan(df)
     assert plan.count("Exchange") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_build_plan_single_shuffle_arrow(spark, tmp_path):
+    """The commit-time bloom build is ONE aggregation: JVM xxhash64
+    projection -> per-file Arrow-batched fold (FlatMapGroupsInPandas),
+    no cartesian/BNLJ, no row-at-a-time Python eval."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "d")
+    spark.range(2000).selectExpr("id AS k", "id % 97 AS c").write.parquet(p)
+    df = spark.read.parquet(p)
+    hashed = df.select(
+        F.col("_metadata.file_path").alias("_file"),
+        F.xxhash64("c").alias("h1"),
+        F.xxhash64("c", "c").alias("h2"),
+        F.col("c").isNull().alias("n"),
+    )
+    import pandas as pd
+
+    grouped = hashed.groupBy("_file").applyInPandas(
+        lambda pdf: pd.DataFrame({"file": [pdf["_file"].iloc[0]]}),
+        "file string",
+    )
+    plan = _plan(grouped)
+    assert "FlatMapGroupsInPandas" in plan  # Arrow path, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # one shuffle: the per-file group
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_pruning_dim_job_plan_sane(engine, tmp_path):
+    """The dim-side derivation job is a tiny partial-aggregated
+    min/max/count-distinct over the already-filtered dim — no joins at
+    all, JVM only (it runs eagerly at plan time, so its own shape must
+    be beyond suspicion)."""
+    engine.execute(
+        "CREATE TABLE dq AS SELECT o_orderkey AS k FROM orders "
+        "WHERE o_orderkey BETWEEN 100 AND 200"
+    )
+    try:
+        df = engine.table("dq").selectExpr(
+            "min(k) AS lo", "max(k) AS hi", "count(DISTINCT k) AS nd"
+        )
+        plan = _plan(df)
+        assert "Join" not in plan and "Python" not in plan
+        assert "partial" in plan.lower() or "HashAggregate" in plan
+    finally:
+        engine.execute("DROP TABLE dq")
