@@ -12,6 +12,25 @@ time-range probe of a sorted/clustered table from "list and open every
 parquet footer" into "open the few files the manifest says overlap";
 Spark's own row-group pruning still applies inside the surviving files.
 
+The r9 tier on top of the range walk:
+- NULL-count skipping (extract_nulls): IS NULL / IS NOT NULL conjuncts
+  — including the IsNotNull constraints Catalyst infers — prune
+  through per-file null counts; every range bound also implies
+  notnull, which soundly drops all-NULL files (they have no min/max).
+- DYNAMIC file pruning (_make_deriver): at an equi-join whose one side
+  scans a manifest fact table, the other side's key range — and, for
+  sparse dims, its exact key set — is evaluated with one gated, cached
+  aggregate and descends to the fact scan through row-filter-commuting
+  operators only (the star-join probe, Delta's dynamic file pruning).
+- Metadata-only aggregates (metadata_agg): bare ungrouped count(*) /
+  count(col) / min / max over a manifest scan answer from per-file
+  stats with zero jobs, under a strict plan gate.
+- A version-keyed lazy-plan cache (plan_cache_key) for all-manifest
+  queries, so repeated probes skip the py4j walks and rebuilds.
+Equality/IN probes additionally consult per-file Bloom sidecars inside
+``files_pruned`` (sources/bloom.py) — the skip for unclustered
+columns, where ranges cover everything.
+
 Soundness notes:
 - Bounds are read from the TYPED catalyst expression tree via py4j
   (Literal.value()/dataType()), never from plan text — a string literal
