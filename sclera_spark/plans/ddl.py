@@ -379,14 +379,16 @@ class DdlRouter:
                 # manifest read and the stat; degrade that ROW, not the
                 # whole statement (same contract as rows=None)
                 size = None
-            out.append(
-                {
-                    "file": fname,
-                    "bytes": size,
-                    "rows": rows.get(fname),
-                    "stats": stats.get(fname, {}),
-                }
-            )
+            entry = {
+                "file": fname,
+                "bytes": size,
+                "rows": rows.get(fname),
+                "stats": stats.get(fname, {}),
+            }
+            bl = mt.file_bloom(fname)
+            if bl:
+                entry["bloom"] = sorted(bl)
+            out.append(entry)
         return out
 
     def _set_bloom_filter(self, name: str, cols: str, fpp: str | None = None):
