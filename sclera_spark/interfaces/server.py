@@ -569,8 +569,12 @@ class _Handler(socketserver.BaseRequestHandler):
         for sql in statements:
             timer = self._statement_timer()
             try:
-                rs = self._run(sql)
-                self._send_rows(rs, sql, with_description=True)
+                copy_m = self._COPY_OUT_RE.match(sql)
+                if copy_m:
+                    self._copy_out(copy_m)
+                else:
+                    rs = self._run(sql)
+                    self._send_rows(rs, sql, with_description=True)
             except Exception as exc:  # noqa: BLE001 — wire boundary
                 self._error(self._sqlstate_for(exc), str(exc))
                 break
@@ -578,6 +582,104 @@ class _Handler(socketserver.BaseRequestHandler):
                 if timer is not None:
                     timer.cancel()
         self._ready()
+
+    # COPY (query | table) TO STDOUT — the bulk-export half of the pg
+    # COPY protocol (what psql's \copy ... to <file> speaks). COPY FROM
+    # STDIN is not served (use INSERT/CTAS; refusing is honest-wire).
+    _COPY_OUT_RE = re.compile(
+        r"^\s*COPY\s+(?:\(\s*(?P<q>.+?)\s*\)|(?P<t>\w+))\s+TO\s+STDOUT"
+        r"(?:\s+(?:WITH\s+)?\(\s*(?P<opts>[^)]*)\))?\s*$",
+        re.I | re.S,
+    )
+
+    def _copy_out(self, m) -> None:
+        """CopyOutResponse / CopyData / CopyDone for ``COPY ... TO
+        STDOUT``: pg text format by default (tab-separated, ``\\N``
+        NULLs, backslash escapes) or ``(FORMAT CSV [, HEADER])`` —
+        exactly the two formats psql emits for \\copy. Rows stream one
+        CopyData per line; nothing is buffered server-side."""
+        fmt, header = "text", False
+        for tok in (m.group("opts") or "").split(","):
+            t = " ".join(tok.upper().split())
+            if not t:
+                continue
+            if t.startswith("FORMAT"):
+                f = t.split()[-1]
+                if f not in ("TEXT", "CSV"):
+                    raise _WireError(
+                        "0A000", f"COPY format {f} is not supported"
+                    )
+                fmt = f.lower()
+            elif t in ("HEADER", "HEADER TRUE", "HEADER ON"):
+                header = True
+            elif t in ("HEADER FALSE", "HEADER OFF"):
+                header = False
+            else:
+                raise _WireError("0A000", f"unsupported COPY option: {tok.strip()}")
+        if header and fmt != "csv":
+            raise _WireError("42601", "COPY HEADER requires CSV format")
+        sql = m.group("q") or f"SELECT * FROM {m.group('t')}"
+        rs = self._run(sql)
+        if rs.columns is None:
+            raise _WireError("42601", "COPY requires a row-returning query")
+        ncols = len(rs.columns)
+        self._send(
+            _msg(
+                b"H",
+                struct.pack("!bh", 0, ncols)
+                + struct.pack(f"!{ncols}h", *([0] * ncols)),
+            )
+        )
+        n = 0
+        if header:
+            self._send(_msg(b"d", self._copy_csv_line(rs.columns)))
+        encode = (
+            self._copy_csv_row if fmt == "csv" else self._copy_text_row
+        )
+        for row in rs.rows:
+            self._send(_msg(b"d", encode(row)))
+            n += 1
+        self._send(_msg(b"c"))  # CopyDone
+        self._send(_msg(b"C", _cstr(f"COPY {n}")))
+
+    @staticmethod
+    def _copy_text_row(row) -> bytes:
+        out = []
+        for v in row:
+            tv = _text_value(v)
+            if tv is None:
+                out.append(b"\\N")
+            else:
+                out.append(
+                    tv.replace(b"\\", b"\\\\")
+                    .replace(b"\t", b"\\t")
+                    .replace(b"\n", b"\\n")
+                    .replace(b"\r", b"\\r")
+                )
+        return b"\t".join(out) + b"\n"
+
+    @classmethod
+    def _copy_csv_row(cls, row) -> bytes:
+        cells = []
+        for v in row:
+            tv = _text_value(v)
+            if tv is None:
+                cells.append(None)  # NULL: nothing, unquoted
+            else:
+                cells.append(tv.decode("utf-8", "replace"))
+        return cls._copy_csv_line(cells)
+
+    @staticmethod
+    def _copy_csv_line(cells) -> bytes:
+        out = []
+        for c in cells:
+            if c is None:
+                out.append("")
+            elif c == "" or any(ch in c for ch in (",", '"', "\n", "\r")):
+                out.append('"' + c.replace('"', '""') + '"')
+            else:
+                out.append(c)
+        return (",".join(out) + "\n").encode("utf-8")
 
     # ---- extended-query subset ----
 

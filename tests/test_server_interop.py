@@ -695,3 +695,53 @@ def test_cert_rotation_under_same_ca(verified_server, spark, tables):
         assert out.strip() == "42"
     finally:
         srv2.stop()
+
+
+def test_psql_copy_to_stdout_text(server):
+    """COPY (query) TO STDOUT, pg text format: psql itself drives the
+    CopyOutResponse/CopyData/CopyDone flow (what \\copy speaks)."""
+    rc, out, err = run_psql(
+        server,
+        "COPY (SELECT r_regionkey, r_name FROM region "
+        "ORDER BY r_regionkey) TO STDOUT",
+    )
+    assert rc == 0, err
+    lines = out.splitlines()
+    assert lines[0] == "0\tAFRICA" and len(lines) == 5
+
+
+def test_psql_copy_csv_header_nulls_and_escapes(server):
+    rc, out, err = run_psql(
+        server,
+        "COPY (SELECT 1 AS a, CAST(NULL AS STRING) AS s, "
+        "'x,\"y\"' AS q UNION ALL SELECT 2, '', 'plain' ORDER BY a) "
+        "TO STDOUT WITH (FORMAT CSV, HEADER)",
+    )
+    assert rc == 0, err
+    lines = out.splitlines()
+    assert lines[0] == "a,s,q"
+    # NULL = nothing; quote-escaping doubled; empty string quoted
+    assert lines[1] == '1,,"x,""y"""'
+    assert lines[2] == '2,"",plain'
+
+
+def test_psql_copy_table_form_and_text_escapes(server):
+    rc, out, err = run_psql(
+        server,
+        "COPY (SELECT 'tab\\there' AS v, CAST(NULL AS INT) AS n) TO STDOUT",
+    )
+    assert rc == 0, err
+    # psql prints the received text-format bytes verbatim
+    assert out.splitlines()[0] == "tab\\there\t\\N"
+    rc2, out2, err2 = run_psql(server, "COPY region TO STDOUT")
+    assert rc2 == 0, err2
+    assert len(out2.splitlines()) == 5
+
+
+def test_psql_copy_unsupported_forms_fail_loudly(server):
+    rc, _, err = run_psql(
+        server, "COPY (SELECT 1) TO STDOUT WITH (FORMAT BINARY)"
+    )
+    assert rc != 0 and "not supported" in err
+    rc2, _, err2 = run_psql(server, "COPY region FROM STDIN")
+    assert rc2 != 0  # not served: refused, not silently swallowed
