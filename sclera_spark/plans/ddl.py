@@ -38,6 +38,22 @@ class DdlRouter:
     # ---- routing ----
 
     _ROUTES = [
+        (
+            re.compile(
+                r"^\s*CREATE\s+TABLE\s+(\w+)\s+(?:SHALLOW\s+)?CLONE\s+(\w+)"
+                r"(?:\s+VERSION\s+(?:AS\s+OF\s+)?(\d+))?\s*$",
+                re.I,
+            ),
+            "_clone",
+        ),
+        (
+            re.compile(
+                r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+"
+                r"(?:AS\s+OF\s+)?(\d+)\s*$",
+                re.I,
+            ),
+            "_restore",
+        ),
         (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_ctas"),
         (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s*\((.*)\)\s*$", re.I | re.S), "_create_table"),
         (re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_cview"),
@@ -302,6 +318,35 @@ class DdlRouter:
             raise ValueError(f"table {name} already exists")
         path = self._path(name)
         ManifestTable.import_symlink(src, path)
+        self.managed[name.lower()] = path
+        self.manifest_tables.add(name.lower())
+        self._register_manifest(name)
+
+    def _restore(self, name: str, version: str):
+        """RESTORE TABLE t TO VERSION [AS OF] n — roll the table back
+        (or forward) to a retained version as a NEW commit: a pure
+        metadata operation at any table size (manifests name immutable
+        files), history keeps moving forward, and the undone state
+        stays time-travel readable until VACUUM. Delta's RESTORE."""
+        mt = self._require_manifest(name)
+        new_v = mt.restore(int(version))
+        self._register_manifest(name)
+        return [{"table": name, "restored_to": int(version),
+                 "new_version": new_v}]
+
+    def _clone(self, name: str, src: str, version: str | None):
+        """CREATE TABLE c [SHALLOW] CLONE t [VERSION [AS OF] n] — a
+        zero-copy clone of a retained snapshot as an independent
+        manifest table. Data files are hard-linked (O(files) metadata,
+        not O(bytes)); unlike Delta's shallow clone, a same-filesystem
+        clone keeps its bytes alive even if the source is vacuumed."""
+        if name.lower() in self.managed or name.lower() in (
+            t.lower() for t in self.engine.catalog.tables
+        ):
+            raise ValueError(f"table {name} already exists")
+        src_mt = self._require_manifest(src)
+        path = self._path(name)
+        src_mt.clone(path, version=int(version) if version else None)
         self.managed[name.lower()] = path
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)

@@ -59,6 +59,100 @@ _DATA = "data"
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
+# ---- delta-encoded log resolution (r9) ----------------------------------
+#
+# A version file is either a SNAPSHOT (full file list + per-file stats —
+# the only format through r8, still written every `_snapshot_every`
+# commits and whenever a delta would not be smaller) or a DELTA:
+#
+#   {"version": N, "base": N-1, "depth": d,
+#    "remove": [name, ...],                      # files leaving the table
+#    "add": [{"name": n, "stats": {...},         # files entering, in order,
+#             "nulls": {...}, "rows": R}, ...],  # with their footer stats
+#    "meta": {...}}                              # full merged commit meta
+#
+# Every mutation the table performs (append / replace_files / overwrite /
+# amend) rewrites the file list as `[survivors in base order] + added`,
+# so a (remove-set, ordered-add-list) pair reconstructs it exactly; the
+# writer VERIFIES that equality and falls back to a snapshot otherwise.
+# This is the Delta-Lake log model (delta commits + periodic
+# checkpoints): commit cost becomes O(changed files) instead of
+# O(live files), which is what keeps a million-file 100 TB table's
+# append from serializing a 100 MB manifest per commit. Chain depth is
+# capped (`depth <= _snapshot_every`), so resolution reads at most
+# K+1 small JSON files — and resolved manifests are cached below. The
+# cache key includes the version file's (mtime_ns, size), so any
+# rewrite — a dropped-and-reclaimed version above the pointer, vacuum's
+# snapshot materialization, an externally-mutated log — misses
+# naturally; a hit costs one os.stat instead of a full JSON parse.
+
+_MANIFEST_CACHE: dict[tuple, dict] = {}
+_MANIFEST_CACHE_CAP = 256
+
+
+def _purge_manifest_cache(log_dir: str) -> None:
+    """Drop cached manifests for one table (hygiene after vacuum; the
+    mtime+size key already protects correctness)."""
+    key_dir = os.path.realpath(log_dir)
+    for k in [k for k in _MANIFEST_CACHE if k[0] == key_dir]:
+        _MANIFEST_CACHE.pop(k, None)
+
+
+def load_manifest(log_dir: str, version: int) -> dict:
+    """Resolve version ``version`` of a manifest log to its full form:
+    ``{"files": [...], "stats": {...}, "nulls": {...}, "rows": {...},
+    "meta": {...}, "_depth": d}``. Walks the delta chain down to the
+    nearest snapshot and replays it. Raises FileNotFoundError when
+    the version — or any base under it — has been vacuumed."""
+    mpath = os.path.join(log_dir, f"v{version}.json")
+    st = os.stat(mpath)  # FileNotFoundError = version not retained
+    key = (os.path.realpath(log_dir), version, st.st_mtime_ns, st.st_size)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(mpath) as fh:
+        doc = json.load(fh)
+    if "files" in doc:  # snapshot (or pre-r9 full manifest)
+        res = {
+            "files": list(doc["files"]),
+            "stats": doc.get("stats", {}),
+            "nulls": doc.get("nulls", {}),
+            "rows": doc.get("rows", {}),
+            "meta": doc.get("meta", {}),
+            "_depth": 0,
+        }
+    else:
+        base = load_manifest(log_dir, doc["base"])
+        rm = set(doc.get("remove", []))
+        add = doc.get("add", [])
+        files = [f for f in base["files"] if f not in rm]
+        stats = {k: v for k, v in base["stats"].items() if k not in rm}
+        nulls = {k: v for k, v in base["nulls"].items() if k not in rm}
+        rows = {k: v for k, v in base["rows"].items() if k not in rm}
+        for e in add:
+            name = e["name"]
+            files.append(name)
+            if "stats" in e:
+                stats[name] = e["stats"]
+            if "nulls" in e:
+                nulls[name] = e["nulls"]
+            if "rows" in e:
+                rows[name] = e["rows"]
+        res = {
+            "files": files,
+            "stats": stats,
+            "nulls": nulls,
+            "rows": rows,
+            "meta": doc.get("meta", {}),
+            "_depth": doc.get("depth", base["_depth"] + 1),
+        }
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+        # drop the oldest insertions (dict preserves order)
+        for k in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_CAP // 4]:
+            _MANIFEST_CACHE.pop(k, None)
+    _MANIFEST_CACHE[key] = res
+    return res
+
 
 class ConcurrentWriterError(RuntimeError):
     """A manifest version claim reappeared immediately after healing.
@@ -248,36 +342,39 @@ class ManifestTable:
                         cleared.append(v)
             return sorted(cleared)
 
+    def _manifest(self, version: int | None = None) -> dict:
+        """The fully-resolved manifest for a version (delta chains
+        replayed down to their snapshot — see ``load_manifest``)."""
+        v = self.version() if version is None else version
+        return load_manifest(self.log_dir, v)
+
     def meta(self, version: int | None = None) -> dict:
         """Application metadata carried by a manifest version (e.g. the
         streaming sink's last-committed batch id). INHERITED across
         commits unless explicitly overridden, so compaction or DML never
-        silently drops it."""
-        v = self.version() if version is None else version
-        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
-            return json.load(fh).get("meta", {})
+        silently drops it. Returns a copy (callers merge/pop freely;
+        the underlying resolved manifest is cached and shared)."""
+        return dict(self._manifest(version).get("meta", {}))
 
     def files(self, version: int | None = None) -> list[str]:
-        v = self.version() if version is None else version
-        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
-            manifest = json.load(fh)
-        return [os.path.join(self.data_dir, f) for f in manifest["files"]]
+        return [
+            os.path.join(self.data_dir, f)
+            for f in self._manifest(version)["files"]
+        ]
 
     def file_stats(self, version: int | None = None) -> dict[str, dict]:
         """Per-file column min/max recorded at commit time (r8 data
         skipping): {file name: {column: [min, max]}}. Absent for files
-        committed by pre-stats builds — pruning keeps those files."""
-        v = self.version() if version is None else version
-        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
-            return json.load(fh).get("stats", {})
+        committed by pre-stats builds — pruning keeps those files.
+        READ-ONLY: the dict is shared with the resolved-manifest cache
+        (same for file_rows/file_nulls)."""
+        return self._manifest(version).get("stats", {})
 
     def file_rows(self, version: int | None = None) -> dict[str, int]:
         """Per-file row counts recorded at commit time (parquet footer
         num_rows — exact). Absent for files committed by pre-stats
         builds."""
-        v = self.version() if version is None else version
-        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
-            return json.load(fh).get("rows", {})
+        return self._manifest(version).get("rows", {})
 
     def row_count(self, version: int | None = None) -> int | None:
         """Exact table row count from manifest metadata alone (no scan,
@@ -296,9 +393,7 @@ class ManifestTable:
         (r9): {file name: {column: nulls}}. A file's entry is present
         (possibly {}) exactly when the commit recorded v2 stats for it —
         absence marks a legacy file whose stats lack type tags."""
-        v = self.version() if version is None else version
-        with open(os.path.join(self.log_dir, f"v{v}.json")) as fh:
-            return json.load(fh).get("nulls", {})
+        return self._manifest(version).get("nulls", {})
 
     def history(self) -> list[dict]:
         """Retained commit history, NEWEST FIRST (DESCRIBE HISTORY t —
@@ -312,9 +407,10 @@ class ManifestTable:
 
         out = []
         versions = self.versions()
-        files_by_v = {v: set(json.load(open(
-            os.path.join(self.log_dir, f"v{v}.json")))["files"])
-            for v in versions}
+        files_by_v = {
+            v: set(load_manifest(self.log_dir, v)["files"])
+            for v in versions
+        }
         for v in reversed(versions):
             cur = files_by_v[v]
             prev = files_by_v.get(v - 1)
@@ -786,8 +882,17 @@ class ManifestTable:
             if f not in referenced:
                 os.remove(os.path.join(self.data_dir, f))
                 deleted.append(f)
+        # Delta-log retention: every delta's base is its predecessor, so
+        # each retained version's chain passes THROUGH the oldest
+        # retained version. Materializing that one as a full snapshot
+        # (same resolved content, mtime preserved for DESCRIBE HISTORY)
+        # severs every retained chain cleanly — the log files below it
+        # can then go, and versions() keeps meaning "time-travelable".
+        if keep:
+            self._materialize_snapshot(keep[0])
         for v in vs[:-keep_versions]:
             os.remove(os.path.join(self.log_dir, f"v{v}.json"))
+        _purge_manifest_cache(self.log_dir)
         # bloom sidecars die with their data file
         bdir = self.bloom_dir()
         if os.path.isdir(bdir):
@@ -798,6 +903,101 @@ class ManifestTable:
                     except FileNotFoundError:
                         pass
         return deleted
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to a retained earlier version (Delta's
+        ``RESTORE TABLE ... TO VERSION AS OF``): commit that version's
+        file list AND metadata as a NEW version — history only moves
+        forward, nothing is rewritten, and the undone state stays
+        time-travel readable until vacuum. Because manifests name
+        immutable files, this is a pure metadata commit at any table
+        size: no data file is touched. Returns the new version."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} of {self.path} is not retained "
+                f"(SHOW VERSIONS lists {self.versions()}); vacuumed "
+                "versions cannot be restored"
+            )
+        snap = load_manifest(self.log_dir, version)
+        # the restored version's OWN meta, not a merge with current:
+        # table state a later commit added (e.g. a bloom config) is
+        # rolled back with the data, which is what "restore" means
+        meta = dict(snap["meta"])
+        meta["_op"] = "restore"
+        meta["restored_from"] = version
+        self._commit(lambda: (list(snap["files"]), meta))
+        return self.version()
+
+    def clone(self, path: str, version: int | None = None) -> "ManifestTable":
+        """Zero-copy CLONE of a retained version into a NEW manifest
+        table at ``path`` (the Delta shallow-clone shape, upgraded:
+        data files are HARD-LINKED, so on one filesystem the clone
+        keeps its bytes alive even if the source is vacuumed — no
+        dangling-reference failure mode; a cross-device clone falls
+        back to symlink, then copy, like import_symlink). Costs
+        O(files) metadata, not O(bytes). The clone starts its own
+        history at version 1 and is fully independent for DML."""
+        v = self.version() if version is None else version
+        if v not in self.versions():
+            raise ValueError(
+                f"version {v} of {self.path} is not retained; "
+                "vacuumed versions cannot be cloned"
+            )
+        snap = load_manifest(self.log_dir, v)
+        t = ManifestTable(path)
+        if t.exists(path):
+            raise FileExistsError(f"{path} is already a manifest table")
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.log_dir, exist_ok=True)
+        for name in snap["files"]:
+            src = os.path.join(self.data_dir, name)
+            dst = os.path.join(t.data_dir, name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                try:
+                    os.symlink(os.path.abspath(src), dst)
+                except OSError:
+                    tmp = dst + ".tmp"
+                    shutil.copyfile(src, tmp)
+                    os.rename(tmp, dst)
+        meta = dict(snap["meta"])
+        meta["_op"] = "clone"
+        meta["cloned_from"] = os.path.abspath(self.path)
+        meta["cloned_version"] = v
+        t._publish(1, list(snap["files"]), meta)
+        return t
+
+    def _materialize_snapshot(self, v: int) -> None:
+        """Rewrite version ``v``'s log file as a full snapshot with the
+        SAME resolved content (and the same mtime, which DESCRIBE
+        HISTORY reports as the commit time). Called by vacuum on the
+        oldest retained version so older delta bases become deletable.
+        A version that is already a snapshot is left untouched."""
+        mpath = os.path.join(self.log_dir, f"v{v}.json")
+        with open(mpath) as fh:
+            doc = json.load(fh)
+        if "files" in doc:
+            return
+        st = os.stat(mpath)
+        res = load_manifest(self.log_dir, v)
+        tmp = mpath + ".snap"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": v,
+                    "files": res["files"],
+                    "meta": res["meta"],
+                    "stats": res["stats"],
+                    "nulls": res["nulls"],
+                    "rows": res["rows"],
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.utime(tmp, (st.st_atime, st.st_mtime))
+        os.replace(tmp, mpath)
 
     # ---- internals ----
 
@@ -930,25 +1130,90 @@ class ManifestTable:
         trade silent lost updates with it. (CasManifestTable overrides
         the conflict handling: no heal, conflicts retry via CAS.)"""
         mpath = os.path.join(self.log_dir, f"v{version}.json")
-        stats, nulls, rows = self._assemble_stats(files)
+        doc = self._encode_manifest(version, files, meta)
         try:
             fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             fd = self._on_claim_conflict(version)
         with os.fdopen(fd, "w") as fh:
-            json.dump(
-                {
-                    "version": version,
-                    "files": files,
-                    "meta": meta or {},
-                    "stats": stats,
-                    "nulls": nulls,
-                    "rows": rows,
-                },
-                fh,
-            )
+            json.dump(doc, fh)
             fh.flush()
             os.fsync(fh.fileno())
+
+    # delta-chain depth cap: a full snapshot is written at least every
+    # K commits, so resolving any version reads <= K+1 log files (the
+    # Delta checkpoint-interval knob; Delta's default is 10 commits)
+    _snapshot_every = 20
+
+    def _encode_manifest(
+        self, version: int, files: list[str], meta: dict | None
+    ) -> dict:
+        """Encode the manifest for ``version``: a DELTA against
+        ``version - 1`` when that base resolves, the chain stays under
+        the depth cap, the change set is smaller than the file list, and
+        the (remove, add) pair reconstructs ``files`` EXACTLY — a full
+        snapshot otherwise. Footer stats are read for the ADDED files
+        only, so commit cost is O(changed files); legacy (pre-v2-stats)
+        survivors are upgraded at the next snapshot commit rather than
+        per-delta."""
+        base = None
+        if version > 1:
+            try:
+                base = load_manifest(self.log_dir, version - 1)
+            except Exception:
+                base = None  # base vacuumed/corrupt: snapshot
+        if base is not None:
+            base_files = base["files"]
+            base_set = set(base_files)
+            cur_set = set(files)
+            removed = sorted(base_set - cur_set)
+            added = [f for f in files if f not in base_set]
+            recon = [f for f in base_files if f in cur_set] + added
+            depth = base["_depth"] + 1
+            if (
+                recon == files
+                and depth <= self._snapshot_every
+                and len(added) + len(removed) < max(1, len(files))
+            ):
+                return {
+                    "version": version,
+                    "base": version - 1,
+                    "depth": depth,
+                    "remove": removed,
+                    "add": self._delta_stats(added),
+                    "meta": meta or {},
+                }
+        stats, nulls, rows = self._assemble_stats(files)
+        return {
+            "version": version,
+            "files": files,
+            "meta": meta or {},
+            "stats": stats,
+            "nulls": nulls,
+            "rows": rows,
+        }
+
+    def _delta_stats(self, added: list[str]) -> list[dict]:
+        """Footer stats for the files a delta commit adds (same
+        per-file read `_assemble_stats` does for new files; a failed
+        read degrades to a stat-less entry — pruning keeps the file and
+        metadata-only answers fall back to scanning)."""
+        out = []
+        for name in added:
+            e: dict = {"name": name}
+            try:
+                st, nl, nr = _parquet_minmax(
+                    os.path.join(self.data_dir, name)
+                )
+            except Exception:
+                out.append(e)
+                continue
+            if st:
+                e["stats"] = st
+            e["nulls"] = nl
+            e["rows"] = nr
+            out.append(e)
+        return out
 
     def _assemble_stats(
         self, files: list[str]

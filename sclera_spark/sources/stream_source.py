@@ -62,8 +62,13 @@ _DATA = "data"
 
 
 def _read_version(table_path: str, v: int) -> dict:
-    with open(os.path.join(table_path, _LOG, f"v{v}.json")) as fh:
-        return json.load(fh)
+    """Resolve one manifest version to its full form (delta-encoded
+    commits replayed down to their snapshot — manifest.load_manifest).
+    Raises FileNotFoundError when the version (or a base under it) was
+    vacuumed, which partitions() turns into the replay-gap error."""
+    from sclera_spark.sources.manifest import load_manifest
+
+    return load_manifest(os.path.join(table_path, _LOG), v)
 
 
 def _current_version(table_path: str) -> int:

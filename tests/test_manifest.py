@@ -705,3 +705,35 @@ def test_symlink_manifest_import_roundtrip(engine, mtab, tmp_path):
             )
     finally:
         engine.execute("DROP TABLE imported")
+
+
+def test_restore_and_clone_sql(engine, mtab, tmp_path):
+    """RESTORE TABLE ... TO VERSION and CREATE TABLE ... SHALLOW CLONE
+    over the wire-level SQL surface: rollback is a forward commit, the
+    clone is an independent zero-copy table, and both compose with the
+    catalog (reads rebind immediately)."""
+    mt = _mt(engine, mtab)
+    n0 = engine.table(mtab).count()
+    v0 = mt.version()
+    engine.execute(f"DELETE FROM {mtab} WHERE o_orderkey <= 100")
+    n1 = engine.table(mtab).count()
+    assert n1 < n0
+
+    res = engine.execute(f"RESTORE TABLE {mtab} TO VERSION {v0}")
+    assert res[0]["restored_to"] == v0
+    assert engine.table(mtab).count() == n0
+    hist = engine.execute(f"DESCRIBE HISTORY {mtab}")
+    assert hist[0]["op"] == "restore"
+
+    engine.execute(f"CREATE TABLE m_clone SHALLOW CLONE {mtab}")
+    try:
+        assert engine.table("m_clone").count() == n0
+        engine.execute("DELETE FROM m_clone WHERE o_orderkey <= 200")
+        assert engine.table("m_clone").count() < n0
+        assert engine.table(mtab).count() == n0  # source untouched
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="already exists"):
+            engine.execute(f"CREATE TABLE m_clone SHALLOW CLONE {mtab}")
+    finally:
+        engine.execute("DROP TABLE m_clone")
