@@ -11,6 +11,8 @@ reference's single-threaded iterator engine).
 
 from __future__ import annotations
 
+import re as _re
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -345,6 +347,7 @@ class ScleraEngine:
         from sclera_spark.plans.frontend import lower_sql
         from sclera_spark.visual import parse_plot, plot_result, split_plot_clause
 
+        query = self._rewrite_table_changes(query)
         body, plot_text = split_plot_clause(query)
         if plot_text is not None and body:
             try:
@@ -366,6 +369,43 @@ class ScleraEngine:
                 (query, df._jdf.queryExecution().explainString(mode.fromString("formatted")))
             )
         return df
+
+    def table_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed over a manifest table: the row-level changes
+        committed by versions ``from_version+1 .. to_version`` (default
+        current), with ``_change_type``/``_commit_version`` columns —
+        derived from the log's file deltas, reading only changed files
+        (sources/manifest.ManifestTable.changes). SQL form:
+        ``SELECT ... FROM TABLE_CHANGES(t, 2, 5)``."""
+        ddl = getattr(self, "_ddl", None)
+        if ddl is None:
+            raise ValueError("no DDL state: engine not initialized")
+        return ddl._require_manifest(name).changes(
+            self.spark, from_version, to_version
+        )
+
+    _TABLE_CHANGES_RE = _re.compile(
+        r"\bTABLE_CHANGES\s*\(\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        _re.IGNORECASE,
+    )
+
+    def _rewrite_table_changes(self, query: str) -> str:
+        """Make TABLE_CHANGES(t, a[, b]) usable as a relation anywhere
+        SQL expects one: each occurrence is materialized as a temp view
+        (a lazy DataFrame — nothing is read until the query runs) and
+        the call text replaced by the view name, so joins, filters and
+        aggregates over a change feed compose through Spark SQL."""
+        while True:
+            m = self._TABLE_CHANGES_RE.search(query)
+            if m is None:
+                return query
+            name, a, b = m.group(1), int(m.group(2)), m.group(3)
+            df = self.table_changes(name, a, int(b) if b else None)
+            view = f"_tc_{name}_{a}_{b or 'latest'}"
+            df.createOrReplaceTempView(view)
+            query = query[: m.start()] + view + query[m.end():]
 
     def _maybe_prune_manifest(self, query: str, df: DataFrame) -> DataFrame:
         """File-level data skipping for manifest-format tables
