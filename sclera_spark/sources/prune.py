@@ -826,13 +826,27 @@ def _subtree_has_manifest_attr(node, attr, manifest_dirs) -> bool:
     return False
 
 
-# join-key types a derived bound may take. Timestamps are excluded:
-# collect() converts them through the driver's local zone, and a
-# mis-zoned bound silently prunes wrong files. Floats are fine — the
+# join-key types a derived bound may take. Floats are fine — the
 # bound comes from an EXACT Spark aggregate over the dim rows (not
 # parquet stats), and a NaN bound just fails every stats comparison
-# (file kept).
+# (file kept). Timestamp keys never go through collect()'s
+# driver-local-zone datetime conversion: the bounds are computed as
+# unix_micros on the JVM side and rebuilt as naive UTC datetimes — and
+# only when the SESSION zone is UTC (the same soundness gate
+# metadata-only MIN/MAX uses), since the stored stats canon is UTC
+# wall time and a non-UTC session could mis-zone an NTZ cast.
 _DYN_KEY_TYPES = _NUM_TYPES | _FLOAT_TYPES | {"string", "date"}
+_DYN_TS_TYPES = {"timestamp", "timestamp_ntz"}
+
+
+def _us_to_utc(us):
+    """Epoch microseconds -> naive UTC datetime, exact to the
+    microsecond (the form _canon_bound documents as already-UTC)."""
+    if us is None:
+        return None
+    import datetime as _dt
+
+    return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(us))
 
 
 def _make_deriver(engine, manifest_dirs):
@@ -863,7 +877,13 @@ def _make_deriver(engine, manifest_dirs):
 
     def derive(source, s_attr, s_cast, target, t_attr):
         try:
-            if t_attr.dataType().typeName() not in _DYN_KEY_TYPES:
+            tn = t_attr.dataType().typeName()
+            is_ts = tn in _DYN_TS_TYPES
+            if tn not in _DYN_KEY_TYPES and not is_ts:
+                return []
+            if is_ts and (
+                spark.conf.get("spark.sql.session.timeZone", "") != "UTC"
+            ):
                 return []
             if not _subtree_has_manifest_attr(target, t_attr, manifest_dirs):
                 return []
@@ -875,6 +895,7 @@ def _make_deriver(engine, manifest_dirs):
                 source.semanticHash(),
                 s_attr.name(),
                 s_cast,
+                tn if is_ts else None,  # micros path shapes the value
                 tuple(_subtree_files(source)),
             )
             if key in cache:
@@ -901,6 +922,10 @@ def _make_deriver(engine, manifest_dirs):
                     if s_cast
                     else f"_c{idx}"
                 )
+                if is_ts:
+                    # epoch-micros on the JVM side: collect() would
+                    # route datetimes through the driver's LOCAL zone
+                    kexpr = f"unix_micros(CAST({kexpr} AS TIMESTAMP))"
                 row = sdf.selectExpr(
                     f"min({kexpr}) AS lo",
                     f"max({kexpr}) AS hi",
@@ -918,7 +943,14 @@ def _make_deriver(engine, manifest_dirs):
                         .distinct()
                         .collect()
                     ]
-                lohi = (row[0], row[1], values)
+                if is_ts:
+                    lo = _us_to_utc(row[0])
+                    hi = _us_to_utc(row[1])
+                    if values is not None:
+                        values = [_us_to_utc(v) for v in values]
+                    lohi = (lo, hi, values)
+                else:
+                    lohi = (row[0], row[1], values)
                 if len(cache) > 256:
                     cache.clear()
                 cache[key] = lohi

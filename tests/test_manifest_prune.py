@@ -801,3 +801,47 @@ def test_dynamic_set_pruning_beats_straddling_range(engine, ptab):
         assert _rows(df) == _rows(_unpruned(engine, sql))
     finally:
         engine.execute("DROP TABLE sparse_dim")
+
+
+def test_dynamic_pruning_timestamp_key(engine):
+    """Dynamic file pruning on a TIMESTAMP join key (r9): bounds are
+    derived JVM-side as unix_micros and rebuilt as UTC datetimes, so
+    the driver's local zone can never mis-zone them (the reason r9
+    originally excluded timestamp keys). Fact committed in disjoint
+    time slices; dim keys come from DATA (no literals for Catalyst's
+    static constraint inference to find)."""
+    sel = (
+        "SELECT o_orderkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ts, "
+        "o_totalprice AS p FROM orders "
+    )
+    engine.execute(
+        f"CREATE TABLE tsf AS {sel} WHERE o_orderdate < DATE '1994-01-01'"
+    )
+    engine.execute("ALTER TABLE tsf SET FORMAT MANIFEST")
+    engine.execute(
+        f"INSERT INTO tsf {sel} WHERE o_orderdate >= DATE '1994-01-01' "
+        "AND o_orderdate < DATE '1996-01-01'"
+    )
+    engine.execute(
+        f"INSERT INTO tsf {sel} WHERE o_orderdate >= DATE '1996-01-01'"
+    )
+    engine.execute(
+        "CREATE TABLE tsd AS SELECT DISTINCT "
+        "CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders "
+        "WHERE o_orderdate >= DATE '1997-06-01' LIMIT 20"
+    )
+    try:
+        full = engine.table("tsf").inputFiles()
+        sql = (
+            "SELECT count(*) AS n, sum(tsf.p) AS s "
+            "FROM tsf JOIN tsd ON tsf.ts = tsd.ts"
+        )
+        df = engine.sql(sql)
+        assert len(_pt_files(df)) < len(full)
+        assert _rows(df) == _rows(_unpruned(engine, sql))
+        # derived values are cached like any other key type
+        df2 = engine.sql(sql)
+        assert len(_pt_files(df2)) == len(_pt_files(df))
+    finally:
+        engine.execute("DROP TABLE tsd")
+        engine.execute("DROP TABLE tsf")
