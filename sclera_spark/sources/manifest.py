@@ -986,11 +986,13 @@ class ManifestTable:
                     continue
                 step = df.withColumn(
                     "_change_type", F.lit(kind)
-                ).withColumn("_commit_version", F.lit(v))
+                ).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
                 out = step if out is None else out.unionByName(step)
         if out is None:
             from pyspark.sql.types import (
-                IntegerType,
+                LongType,
                 StringType,
                 StructField,
                 StructType,
@@ -1000,7 +1002,7 @@ class ManifestTable:
                 list(schema.fields)
                 + [
                     StructField("_change_type", StringType()),
-                    StructField("_commit_version", IntegerType()),
+                    StructField("_commit_version", LongType()),
                 ]
             )
             return spark.createDataFrame([], empty)

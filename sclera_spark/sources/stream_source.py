@@ -76,9 +76,89 @@ def _current_version(table_path: str) -> int:
         return int(fh.read().strip())
 
 
+def _file_batches(path: str, want):
+    """Arrow batches of one parquet file aligned to the reader schema:
+    a file missing a column (schema evolution) streams TYPED nulls for
+    it, so every batch matches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    names = [c for c in want.names if c in pf.schema_arrow.names]
+    for batch in pf.iter_batches(columns=names):
+        if names != want.names:
+            arrays = []
+            for field in want:
+                if field.name in names:
+                    arr = batch.column(names.index(field.name)).cast(
+                        field.type
+                    )
+                else:
+                    arr = pa.nulls(batch.num_rows, type=field.type)
+                arrays.append(arr)
+            batch = pa.RecordBatch.from_arrays(arrays, schema=want)
+        yield batch
+
+
+def _tag_batch(batch, change_type: str, version: int):
+    """Append the change-feed columns to a data batch."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    cols = list(batch.columns) + [
+        pa.array([change_type] * n, type=pa.string()),
+        pa.array([version] * n, type=pa.int64()),
+    ]
+    fields = list(batch.schema) + [
+        pa.field("_change_type", pa.string()),
+        pa.field("_commit_version", pa.int64()),
+    ]
+    return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
+
+
+def _canon_row(row: dict, names) -> tuple:
+    """Hashable multiset key for one row (diff cancellation). NaN maps
+    to a sentinel so NaN rows cancel against themselves; lists/maps
+    recurse into tuples."""
+    return tuple(_canon_cell(row.get(n)) for n in names)
+
+
+def _canon_cell(v):
+    if isinstance(v, float) and v != v:
+        return ("__nan__",)
+    if isinstance(v, list):
+        return ("__list__", tuple(_canon_cell(x) for x in v))
+    if isinstance(v, dict):
+        return (
+            "__map__",
+            tuple(sorted((k, _canon_cell(x)) for k, x in v.items())),
+        )
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, arrow_schema):
+    def __init__(self, path: str, arrow_schema, change=None):
         self.path = path
+        self.arrow_schema = arrow_schema
+        # (change_type, commit_version) when streaming a change feed:
+        # this file's rows all carry the same tag (an append commit)
+        self.change = change
+
+
+class _DiffPartition(InputPartition):
+    """One CHANGE commit's row-level diff (read_changes mode): the
+    added and removed file sets of a single version, diffed multiset-
+    wise in the executor — rows a COW rewrite carried over unchanged
+    cancel, leaving exactly the touched rows as delete+insert. Memory
+    is bounded by the commit's CHANGED bytes (capped in partitions()),
+    never by table size."""
+
+    def __init__(self, added, removed, version, arrow_schema):
+        self.added = added
+        self.removed = removed
+        self.version = version
         self.arrow_schema = arrow_schema
 
 
@@ -87,14 +167,41 @@ class ManifestStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.table_path = table_path
-        self.columns = [f.name for f in schema.fields]
-        # typed arrow schema rides along to executors so a file missing
-        # a column (schema evolution) can fill TYPED nulls
-        self.arrow_schema = to_arrow_schema(schema)
+        self.read_changes = (
+            str(options.get("read_changes", "false")).lower() == "true"
+        )
         self.skip_change = (
             str(options.get("skip_change_commits", "false")).lower()
             == "true"
         )
+        if self.read_changes and self.skip_change:
+            raise ValueError(
+                "read_changes and skip_change_commits are contradictory: "
+                "one streams change commits, the other drops them"
+            )
+        try:
+            self.max_change_bytes = int(
+                options.get("max_change_bytes", 1 << 30)
+            )
+        except (TypeError, ValueError):
+            raise ValueError("max_change_bytes must be an integer")
+        data_schema = schema
+        if self.read_changes:
+            # the reader schema carries the feed columns; data files
+            # hold only the table columns
+            from pyspark.sql.types import StructType
+
+            data_schema = StructType(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name not in ("_change_type", "_commit_version")
+                ]
+            )
+        self.columns = [f.name for f in data_schema.fields]
+        # typed arrow schema rides along to executors so a file missing
+        # a column (schema evolution) can fill TYPED nulls
+        self.arrow_schema = to_arrow_schema(data_schema)
         try:
             self.start_version = int(options.get("starting_version", 0))
         except (TypeError, ValueError):
@@ -165,7 +272,36 @@ class ManifestStreamReader(DataSourceStreamReader):
                         # otherwise the gap error above already fired
                         prev_files = set()
             added = sorted(cur - prev_files)
-            removed = prev_files - cur
+            removed = sorted(prev_files - cur)
+            prev_files = cur
+            data_dir = os.path.join(self.table_path, _DATA)
+            if removed and self.read_changes:
+                # a change commit: one partition diffs the commit's
+                # added vs removed files row-wise, bounded by the
+                # commit's changed bytes (a 100 TB table's COW commit
+                # touches only the files the DML touched)
+                paths_a = [os.path.join(data_dir, n) for n in added]
+                paths_r = [os.path.join(data_dir, n) for n in removed]
+                total = 0
+                for p in paths_a + paths_r:
+                    try:
+                        total += os.path.getsize(p)
+                    except OSError:
+                        pass
+                if total > self.max_change_bytes:
+                    raise RuntimeError(
+                        f"manifest version {v} of {self.table_path} "
+                        f"changed ~{total >> 20} MiB of files, over the "
+                        f"max_change_bytes cap ({self.max_change_bytes}):"
+                        " the row-level diff of one commit is computed "
+                        "in a single task. Raise the cap, OPTIMIZE less "
+                        "often on streamed tables, or replay this range "
+                        "with batch TABLE_CHANGES instead."
+                    )
+                parts.append(
+                    _DiffPartition(paths_a, paths_r, v, self.arrow_schema)
+                )
+                continue
             if removed and not self.skip_change:
                 raise RuntimeError(
                     f"manifest version {v} of {self.table_path} removed "
@@ -173,17 +309,18 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "not representable as an append stream. Set "
                     "skip_change_commits=true to stream only added "
                     "files past such commits (rewritten rows are then "
-                    "NOT re-delivered), or start a fresh stream from "
-                    "the current snapshot."
+                    "NOT re-delivered), read_changes=true to stream "
+                    "them as row-level insert/delete changes, or start "
+                    "a fresh stream from the current snapshot."
                 )
-            data_dir = os.path.join(self.table_path, _DATA)
             for name in added:
                 parts.append(
                     _FilePartition(
-                        os.path.join(data_dir, name), self.arrow_schema
+                        os.path.join(data_dir, name),
+                        self.arrow_schema,
+                        change=("insert", v) if self.read_changes else None,
                     )
                 )
-            prev_files = cur
         return parts
 
     def commit(self, end: dict) -> None:
@@ -191,28 +328,60 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     # ---- data (executor side) ----
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _DiffPartition):
+            yield from self._read_diff(partition)
+            return
         import pyarrow as pa
-        import pyarrow.parquet as pq
+
+        for batch in _file_batches(partition.path, partition.arrow_schema):
+            if partition.change is not None:
+                batch = _tag_batch(batch, *partition.change)
+            yield batch
+
+    def _read_diff(self, partition: _DiffPartition):
+        """Row-level diff of one change commit: rows present on both
+        sides (a COW rewrite's carried-over rows) cancel multiset-wise;
+        what remains is exactly the commit's deletes and inserts. Runs
+        in one task with memory bounded by the commit's changed bytes
+        (pre-capped on the driver)."""
+        import collections
+
+        import pyarrow as pa
 
         want = partition.arrow_schema
-        pf = pq.ParquetFile(partition.path)
-        names = [c for c in want.names if c in pf.schema_arrow.names]
-        for batch in pf.iter_batches(columns=names):
-            # a file missing a column (schema evolution) streams TYPED
-            # nulls for it, so every batch matches the reader schema
-            if names != want.names:
-                arrays = []
-                for field in want:
-                    if field.name in names:
-                        arr = batch.column(names.index(field.name)).cast(
-                            field.type
-                        )
-                    else:
-                        arr = pa.nulls(batch.num_rows, type=field.type)
-                    arrays.append(arr)
-                batch = pa.RecordBatch.from_arrays(arrays, schema=want)
-            yield batch
+
+        def rows(paths):
+            for p in paths:
+                for batch in _file_batches(p, want):
+                    yield from batch.to_pylist()
+
+        residual = collections.Counter(
+            _canon_row(r, want.names) for r in rows(partition.removed)
+        )
+        inserts: list[dict] = []
+        for r in rows(partition.added):
+            key = _canon_row(r, want.names)
+            if residual.get(key, 0) > 0:
+                residual[key] -= 1  # carried over unchanged: not a change
+            else:
+                inserts.append(r)
+        # residual counts are the commit's deletes: re-scan the removed
+        # side once to recover original rows for them
+        deletes: list[dict] = []
+        emitted: collections.Counter = collections.Counter()
+        if any(n > 0 for n in residual.values()):
+            for r in rows(partition.removed):
+                key = _canon_row(r, want.names)
+                if emitted[key] < residual.get(key, 0):
+                    emitted[key] += 1
+                    deletes.append(r)
+        for rows_out, kind in ((inserts, "insert"), (deletes, "delete")):
+            if not rows_out:
+                continue
+            tbl = pa.Table.from_pylist(rows_out, schema=want)
+            for batch in tbl.to_batches():
+                yield _tag_batch(batch, kind, partition.version)
 
 
 class ManifestStreamSource(DataSource):
@@ -255,14 +424,27 @@ class ManifestStreamSource(DataSource):
         spark_schema = from_arrow_schema(pa.unify_schemas(schemas))
         # every column nullable: an older file may predate a column
         # (schema evolution) and streams typed NULLs for it
-        from pyspark.sql.types import StructField, StructType
-
-        return StructType(
-            [
-                StructField(f.name, f.dataType, True)
-                for f in spark_schema.fields
-            ]
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
         )
+
+        fields = [
+            StructField(f.name, f.dataType, True)
+            for f in spark_schema.fields
+        ]
+        if str(
+            self.options.get("read_changes", "false")
+        ).lower() == "true":
+            # change-feed mode appends the tag columns (batch
+            # TABLE_CHANGES shape)
+            fields += [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
+        return StructType(fields)
 
     def streamReader(self, schema):
         return ManifestStreamReader(

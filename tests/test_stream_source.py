@@ -265,3 +265,87 @@ def test_max_versions_per_trigger_paces_batches(registered, tmp_path):
         q.stop()
     # the burst arrived as one batch per version, 2 rows each
     assert batches == [4, 2, 2, 2]
+
+
+# ------------------------------------------------ change-feed streaming
+
+
+def test_read_changes_streams_cow_commits(registered, tmp_path):
+    """read_changes=true: append commits stream as tagged inserts and a
+    COW rewrite streams ONLY the touched rows as delete+insert — the
+    carried-over rows of the rewrite cancel multiset-wise. The batch
+    TABLE_CHANGES column shape, delivered incrementally."""
+    from pyspark.sql import functions as F
+
+    spark = registered
+    path = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    ManifestTable.create(
+        spark.range(0, 20).selectExpr("id AS k", "id * 2 AS v"), path
+    )
+    mt = ManifestTable(path)
+    victim = mt.files()[0]
+    old = spark.read.parquet(victim)
+    mt.replace_files(
+        [victim],
+        old.withColumn(
+            "v",
+            F.when(F.col("k") < 3, F.col("v") + 100).otherwise(F.col("v")),
+        ),
+    )
+    v_cow = mt.version()
+    mt.append(spark.range(100, 103).selectExpr("id AS k", "id AS v"))
+
+    got: list = []
+    _drain(spark, path, cp, got, read_changes="true")
+    rows = [r for _, batch in got for r in batch]
+    # every row carries (k, v, _change_type, _commit_version)
+    assert all(len(r) == 4 for r in rows)
+    ins_v1 = sorted((r[0], r[1]) for r in rows
+                    if r[3] == 1 and r[2] == "insert")
+    assert ins_v1 == [(i, 2 * i) for i in range(20)]
+    cow = sorted((r[2], r[0], r[1]) for r in rows if r[3] == v_cow)
+    touched = sorted(r["k"] for r in old.where("k < 3").collect())
+    assert cow == (
+        [("delete", k, 2 * k) for k in touched]
+        + [("insert", k, 2 * k + 100) for k in touched]
+    )
+    appended = sorted((r[2], r[0]) for r in rows if r[3] == v_cow + 1)
+    assert appended == [("insert", k) for k in (100, 101, 102)]
+
+
+def test_read_changes_respects_change_bytes_cap(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    ManifestTable.create(
+        spark.range(0, 50).selectExpr("id AS k", "id AS v"), path
+    )
+    mt = ManifestTable(path)
+    victim = mt.files()[0]
+    mt.replace_files(
+        [victim], spark.read.parquet(victim).where("k % 2 = 0")
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    got: list = []
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException), match="max_change_bytes"
+    ):
+        _drain(
+            spark, path, str(tmp_path / "cp"), got,
+            read_changes="true", max_change_bytes="10",
+        )
+
+
+def test_read_changes_and_skip_change_commits_contradict(
+    registered, tmp_path
+):
+    spark = registered
+    path = str(tmp_path / "t")
+    ManifestTable.create(spark.range(3).selectExpr("id AS k"), path)
+    with pytest.raises(Exception, match="contradictory"):
+        got: list = []
+        _drain(
+            spark, path, str(tmp_path / "cp"), got,
+            read_changes="true", skip_change_commits="true",
+        )
