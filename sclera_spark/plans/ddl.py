@@ -23,7 +23,19 @@ import tempfile
 class DdlRouter:
     def __init__(self, engine, warehouse_dir: str | None = None):
         self.engine = engine
-        self.warehouse = warehouse_dir or tempfile.mkdtemp(prefix="sclera_warehouse_")
+        # persisted-catalog mode (SCLERA_SPARK_CATALOG_DIR, the same
+        # switch ADD LOCATION persistence keys off): the warehouse
+        # moves under the catalog dir — durable parquet instead of a
+        # tmpdir — and table/view registrations are journaled to
+        # tables.json so a restarted engine sees its whole catalog
+        self._catalog_dir = getattr(engine, "catalog_dir", None)
+        if warehouse_dir:
+            self.warehouse = warehouse_dir
+        elif self._catalog_dir:
+            self.warehouse = os.path.join(self._catalog_dir, "warehouse")
+            os.makedirs(self.warehouse, exist_ok=True)
+        else:
+            self.warehouse = tempfile.mkdtemp(prefix="sclera_warehouse_")
         self.managed: dict[str, str] = {}  # table -> parquet path
         self.views: dict[str, str] = {}  # view -> query text
         # tables whose DML commits go through the atomic manifest protocol
@@ -34,6 +46,8 @@ class DdlRouter:
         # in-container; S3Cas/DynamoCas adapters for real object stores)
         self.cas_manifest_tables: set[str] = set()
         self._cas = None  # lazily-built FileCas shared by all CAS tables
+        if self._catalog_dir:
+            self._load_tables()
 
     # ---- routing ----
 
@@ -211,8 +225,82 @@ class DdlRouter:
         for rx, meth in self._ROUTES:
             m = rx.match(sql)
             if m:
-                return getattr(self, meth)(*m.groups())
+                out = getattr(self, meth)(*m.groups())
+                if self._catalog_dir:
+                    self._persist_tables()
+                return out
         raise ValueError(f"unroutable statement: {sql!r}")
+
+    # ---- persisted table/view catalog (r9) ----
+
+    def _tables_file(self) -> str:
+        return os.path.join(self._catalog_dir, "tables.json")
+
+    def _persist_tables(self) -> None:
+        """Journal the table/view registries atomically after every
+        routed statement (no-op diffing is not worth the complexity —
+        the file is a few hundred bytes per registered object). Paths
+        are stored as-is; with the warehouse under the catalog dir
+        every managed table is durable alongside its registration."""
+        import json
+        import uuid
+
+        state = {
+            "managed": self.managed,
+            "views": self.views,
+            "manifest_tables": sorted(self.manifest_tables),
+            "cas_manifest_tables": sorted(self.cas_manifest_tables),
+        }
+        target = self._tables_file()
+        tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, indent=1, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, target)
+
+    def _load_tables(self) -> None:
+        """Restore persisted table/view registrations: tables first
+        (manifest tables rebind through the snapshot reader, plain ones
+        re-register their parquet path), then views in creation order
+        (a view may reference earlier views). A registration whose
+        backing data is gone stays listed but unbound, with a loud
+        warning — same contract as restored locations."""
+        import json
+        import warnings
+
+        try:
+            with open(self._tables_file()) as fh:
+                stored = json.load(fh)
+        except FileNotFoundError:
+            return
+        self.manifest_tables = set(stored.get("manifest_tables", []))
+        self.cas_manifest_tables = set(
+            stored.get("cas_manifest_tables", [])
+        )
+        for name, path in stored.get("managed", {}).items():
+            self.managed[name] = path
+            try:
+                if name in self.manifest_tables:
+                    self._register_manifest(name)
+                else:
+                    self.engine.catalog.register_parquet(name, path)
+            except Exception as exc:
+                warnings.warn(
+                    f"persisted table {name!r} at {path!r} could not be "
+                    f"rebound ({exc}); it stays listed but unreadable "
+                    "until its data returns or it is dropped"
+                )
+        for name, query in stored.get("views", {}).items():
+            self.views[name] = query
+            try:
+                self._cview(name, query)
+            except Exception as exc:
+                warnings.warn(
+                    f"persisted view {name!r} could not be rebound "
+                    f"({exc}); it stays listed until its sources return "
+                    "or it is dropped"
+                )
 
     # ---- implementations ----
 
