@@ -1518,6 +1518,59 @@ def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (sources/manifest.ManifestTable.changes; SQL
+    TABLE_CHANGES(t, a, b)): a manifest table over orders takes one
+    append (v2) and one COW delete (v3); the feed must hold EXACTLY the
+    appended rows as inserts and the deleted rows as deletes, with the
+    rewrite's carried-over rows cancelled multiset-wise — so the result
+    is layout-independent and declaratively stated by the oracle. The
+    delete rewrites every file (worst-case carry-over volume), making
+    the cancellation property the thing actually certified."""
+    import os
+    import shutil
+    import tempfile
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    eng = _engine(spark, sf_dir)
+    base = eng.table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sclera_cdf_entry_")
+    try:
+        mt = ManifestTable.create(
+            base.repartition(4), os.path.join(root, "t")
+        )
+        v0 = mt.version()
+        mt.append(
+            base.where("o_orderkey % 100 = 0").selectExpr(
+                "o_orderkey + 10000000 AS o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+        live = mt.files()
+        mt.replace_files(
+            live,
+            mt.read(spark).where(
+                "NOT (o_orderkey % 97 = 0 AND o_orderkey < 10000000)"
+            ),
+        )
+        out = mt.changes(spark, v0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "_change_type",
+            "_commit_version",
+        )
+        # detach from the temp files so cleanup is safe (feed is tiny:
+        # the %100 and %97 slices of orders)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (llm/bpe.py, Sennrich 2016):
     the 30 most frequent adjacent-symbol merges over the documents
@@ -1620,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_normalize": _q_text_normalize,
             "url_extract": _q_url_extract,
             "chunk_documents": _q_chunk_documents,
+            "table_changes": _q_table_changes,
             "bpe_merges": _q_bpe_merges,
         }
     )
@@ -2459,6 +2513,22 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS total
         FROM events JOIN nation ON user_id % 25 = n_nationkey
         GROUP BY 1, 2, 3
+    """
+    # change data feed: the engine DIFFS manifest commits (exceptAll
+    # cancellation over rewritten files); the oracle states the feed
+    # DECLARATIVELY — appended rows as v2 inserts, deleted rows as v3
+    # deletes — so a hash-green row certifies layout-independence of
+    # the cancellation, not just row counts
+    oracles["table_changes"] = """
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               o_totalprice, 'insert' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               'delete' AS _change_type,
+               CAST(3 AS BIGINT) AS _commit_version
+        FROM orders WHERE o_orderkey % 97 = 0
     """
     # substring-level dedup: the oracle recomputes the spans from gram
     # STRINGS (no hashing) — a hash-green row certifies the xxhash64

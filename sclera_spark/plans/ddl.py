@@ -175,6 +175,14 @@ class DdlRouter:
             ),
             "_optimize",
         ),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*"
+                r"\(?\s*(\w+)\s+([\w()\s,<>]+?)\s*\)?\s*$",
+                re.I,
+            ),
+            "_add_column",
+        ),
         (re.compile(r"^\s*ALTER\b.*$", re.I | re.S), "_alter"),
         (
             re.compile(r"^\s*EXPLAIN\s+SCRIPT(?:\s+(ON|OFF))?\s*$", re.I),
@@ -347,22 +355,24 @@ class DdlRouter:
         return self._cas
 
     def _register_manifest(self, name: str) -> None:
-        # snapshot reads are cached per (table, file list): the restore
+        # snapshot reads are cached per (table, version): the restore
         # after every pruned query (sources/prune.prune_query's finally)
         # and repeated registrations re-use the SAME DataFrame instead
         # of paying a fresh FileIndex + schema-inference job each time.
-        # The file list is the invalidation — any commit changes it.
+        # The version is the invalidation — EVERY commit bumps it,
+        # including pure-metadata ones (ADD COLUMN's schema evolution)
+        # that keep the file list unchanged but must change the read.
         mt = self._manifest(name)
         self.managed[name.lower()] = self._path(name)
-        files = tuple(mt.files())
+        version = mt.version()
         if not hasattr(self, "_mread_cache"):
             self._mread_cache: dict = {}
-        df = self._mread_cache.get((name.lower(), files))
+        df = self._mread_cache.get((name.lower(), version))
         if df is None:
             df = mt.read(self.engine.spark)
             if len(self._mread_cache) > 128:
                 self._mread_cache.clear()
-            self._mread_cache[(name.lower(), files)] = df
+            self._mread_cache[(name.lower(), version)] = df
         self.engine.catalog.register(name, df)
 
     def _set_format_manifest(self, name: str, cas: str | None = None):
@@ -1296,6 +1306,42 @@ class DdlRouter:
         for k, v in opts.items():
             reader = reader.option(k, v)
         return reader.load()
+
+    def _add_column(self, name: str, col: str, typ: str):
+        """ALTER TABLE t ADD COLUMN c <type> — schema evolution on a
+        manifest table as a pure metadata commit (Delta's ADD COLUMNS):
+        the evolved schema is recorded in the manifest meta and applied
+        at read time, where files that predate the column fill TYPED
+        nulls. No data file is touched at any table size; time travel
+        sees the schema as of each version. Only manifest tables
+        support this (a plain parquet table would need a rewrite)."""
+        import json as _json
+
+        mt = self._require_manifest(name)
+        spark = self.engine.spark
+        # parse the type through Spark itself (canonical + validated)
+        try:
+            dt = spark.sql(f"SELECT CAST(NULL AS {typ}) AS c").schema[
+                0
+            ].dataType
+        except Exception:
+            raise ValueError(
+                f"ALTER TABLE {name} ADD COLUMN: invalid type {typ!r}"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        cur = mt.read(spark).schema
+        if col.lower() in (f.name.lower() for f in cur.fields):
+            raise ValueError(
+                f"column {col!r} already exists on {name}"
+            )
+        evolved = StructType(
+            [*cur.fields, StructField(col, dt, True)]
+        )
+        mt.amend_meta(
+            {"table_schema": _json.dumps(evolved.jsonValue()), "_op": "add_column"}
+        )
+        self._register_manifest(name)
 
     def _alter(self, *_):
         # parity with the reference: SqlCudParser.scala:299-302

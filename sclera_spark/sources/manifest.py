@@ -604,6 +604,21 @@ class ManifestTable:
                 if prune
                 else self.files(version)
             )
+        if schema is None:
+            # schema evolution (ALTER TABLE ADD COLUMN): the evolved
+            # schema rides the manifest meta — files that predate a
+            # column fill typed NULLs under an explicit read schema.
+            # Version-scoped, so time travel sees the schema as of
+            # that version.
+            stored = None
+            try:
+                stored = self.meta(version).get("table_schema")
+            except FileNotFoundError:
+                pass
+            if stored:
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(stored))
         reader = spark.read.schema(schema) if schema is not None else spark.read
         if not files:
             # schema-only snapshot (or fully-pruned read): keep the

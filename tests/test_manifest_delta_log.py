@@ -343,3 +343,57 @@ def test_pre_delta_full_manifests_still_resolve(spark, tmp_path):
     mt.append(spark.range(5).selectExpr("id + 200 AS k"))
     assert _is_delta(_raw(mt, mt.version()))
     assert mt.read(spark).count() == 30
+
+
+# ------------------------------------------------- schema evolution
+
+
+def test_add_column_metadata_only(spark, mt, tmp_path):
+    """ALTER-style schema evolution (ManifestTable + engine route): the
+    evolved schema is a metadata commit; files that predate the column
+    read as typed NULLs, new appends carry values, time travel sees the
+    schema as of each version, and no data file is rewritten."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    engine.execute(
+        "CREATE TABLE evo AS SELECT id AS k, id * 2 AS v FROM RANGE(50)"
+    )
+    engine.execute("ALTER TABLE evo SET FORMAT MANIFEST")
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(engine._ddl._path("evo"))
+    files_before = {p: __import__("os").path.getmtime(p) for p in t.files()}
+    v_pre = t.version()
+    try:
+        engine.execute("ALTER TABLE evo ADD COLUMN tag STRING")
+        df = engine.table("evo")
+        assert df.columns == ["k", "v", "tag"]
+        assert df.where("tag IS NULL").count() == 50
+        # no data file touched
+        assert {
+            p: __import__("os").path.getmtime(p) for p in t.files()
+        } == files_before
+        # new rows carry values; old rows stay NULL
+        engine.execute(
+            "INSERT INTO evo SELECT id + 100, id, 'new' FROM RANGE(5)"
+        )
+        got = engine.sql(
+            "SELECT count(*) AS n FROM evo WHERE tag = 'new'"
+        ).first()
+        assert got.n == 5
+        # DML over the evolved schema composes
+        engine.execute("DELETE FROM evo WHERE tag IS NULL AND k < 10")
+        assert engine.table("evo").count() == 45
+        # time travel: pre-ALTER version has the old schema
+        old = t.read(spark, version=v_pre)
+        assert old.columns == ["k", "v"]
+        # duplicate / invalid adds refuse
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="already exists"):
+            engine.execute("ALTER TABLE evo ADD COLUMN tag STRING")
+        with _pytest.raises(ValueError, match="invalid type"):
+            engine.execute("ALTER TABLE evo ADD COLUMN zz NOTATYPE")
+    finally:
+        engine.execute("DROP TABLE evo")
