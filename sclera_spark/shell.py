@@ -318,6 +318,8 @@ class ShellCompleter:
         "GENERATE SYMLINK MANIFEST FOR", "SET FORMAT MANIFEST",
         "SET BLOOM FILTER", "ECHO", "FORMAT", "TIME", "SOURCE",
         "RESET", "QUIT", "EXIT", "PLOT",
+        "RESTORE TABLE", "SHALLOW CLONE", "TABLE_CHANGES",
+        "ADD COLUMN",
     ]
 
     def __init__(self, engine):
