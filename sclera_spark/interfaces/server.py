@@ -570,8 +570,11 @@ class _Handler(socketserver.BaseRequestHandler):
             timer = self._statement_timer()
             try:
                 copy_m = self._COPY_OUT_RE.match(sql)
+                copy_in_m = self._COPY_IN_RE.match(sql)
                 if copy_m:
                     self._copy_out(copy_m)
+                elif copy_in_m:
+                    self._copy_in(copy_in_m)
                 else:
                     rs = self._run(sql)
                     self._send_rows(rs, sql, with_description=True)
@@ -641,6 +644,212 @@ class _Handler(socketserver.BaseRequestHandler):
             n += 1
         self._send(_msg(b"c"))  # CopyDone
         self._send(_msg(b"C", _cstr(f"COPY {n}")))
+
+    # COPY t [(cols)] FROM STDIN — the bulk-LOAD half of the pg COPY
+    # protocol (what psql's \copy <table> from <file> speaks).
+    _COPY_IN_RE = re.compile(
+        r"^\s*COPY\s+(?P<t>\w+)\s*(?:\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*)?"
+        r"FROM\s+STDIN"
+        r"(?:\s+(?:WITH\s+)?\(\s*(?P<opts>[^)]*)\))?\s*$",
+        re.I | re.S,
+    )
+
+    def _copy_in(self, m) -> None:
+        """CopyInResponse / CopyData* / CopyDone for ``COPY t FROM
+        STDIN``: pg TEXT format (tab-separated, ``\\N`` NULLs,
+        backslash escapes — decoded exactly) or ``(FORMAT CSV
+        [, HEADER])``. Incoming bytes SPOOL to a temp file (a client
+        may stream gigabytes; nothing accumulates in RAM), rows parse
+        into string-typed Arrow batches written to temp parquet, and
+        one INSERT INTO casts them to the table's column types through
+        the engine — so manifest tables get their atomic commit.
+
+        CSV caveat (documented, pg-divergent): an UNQUOTED empty field
+        and a QUOTED empty string both load as NULL; pg distinguishes
+        them. TEXT format is lossless — use it for exact round-trips.
+        A mid-stream CopyFail, or a parse/insert failure, drains the
+        copy sub-protocol and reports the error honestly."""
+        fmt, header = "text", False
+        for tok in (m.group("opts") or "").split(","):
+            t = " ".join(tok.upper().split())
+            if not t:
+                continue
+            if t.startswith("FORMAT"):
+                f = t.split()[-1]
+                if f not in ("TEXT", "CSV"):
+                    raise _WireError(
+                        "0A000", f"COPY format {f} is not supported"
+                    )
+                fmt = f.lower()
+            elif t in ("HEADER", "HEADER TRUE", "HEADER ON"):
+                header = True
+            elif t in ("HEADER FALSE", "HEADER OFF"):
+                header = False
+            else:
+                raise _WireError(
+                    "0A000", f"unsupported COPY option: {tok.strip()}"
+                )
+        if header and fmt != "csv":
+            raise _WireError("42601", "COPY HEADER requires CSV format")
+        table = m.group("t")
+        engine = self.server.engine
+        tdf = engine.table(table)  # raises before CopyIn if unknown
+        tcols = tdf.columns
+        if m.group("cols"):
+            cols = [c.strip() for c in m.group("cols").split(",")]
+            missing = [c for c in cols if c not in tcols]
+            if missing:
+                raise _WireError(
+                    "42703", f"column(s) {missing} not in {table}"
+                )
+        else:
+            cols = tcols
+        ncols = len(cols)
+        self._send(
+            _msg(
+                b"G",
+                struct.pack("!bh", 0, ncols)
+                + struct.pack(f"!{ncols}h", *([0] * ncols)),
+            )
+        )
+        import tempfile
+
+        spool = tempfile.NamedTemporaryFile(
+            prefix="sclera_copyin_", suffix=".bin", delete=False
+        )
+        failed = None
+        try:
+            while True:
+                head = self.buf.read(1)
+                if not head:
+                    raise ConnectionError("client closed mid-COPY")
+                (length,) = struct.unpack("!i", self._read_exact(4))
+                payload = self._read_exact(length - 4)
+                if head == b"d":
+                    if failed is None:
+                        spool.write(payload)
+                elif head == b"c":  # CopyDone
+                    break
+                elif head == b"f":  # CopyFail
+                    failed = payload[:-1].decode("utf-8", "replace")
+                    break
+                elif head in (b"S", b"H"):
+                    continue  # Sync/Flush mid-copy: ignore
+                else:
+                    raise _WireError(
+                        "08P01",
+                        f"unexpected message {head!r} during COPY IN",
+                    )
+            spool.close()
+            if failed is not None:
+                raise _WireError(
+                    "57014", f"COPY from stdin failed: {failed}"
+                )
+            n = self._copy_insert(engine, table, cols, spool.name, fmt, header)
+            self._send(_msg(b"C", _cstr(f"COPY {n}")))
+        finally:
+            import os as _os
+
+            try:
+                spool.close()
+            except Exception:
+                pass
+            try:
+                _os.unlink(spool.name)
+            except OSError:
+                pass
+
+    @staticmethod
+    def _copy_insert(engine, table, cols, spool_path, fmt, header) -> int:
+        """Parse the spooled COPY payload and INSERT it: string-typed
+        Arrow batches -> temp parquet -> one INSERT INTO ... SELECT with
+        casts to the table's types (missing columns NULL). Batched, so
+        driver memory is one batch, not the whole load."""
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from sclera_spark.interfaces.copydata import iter_copy_rows
+
+        schema = _pa.schema([(c, _pa.string()) for c in cols])
+        pdir = _tempfile.mkdtemp(prefix="sclera_copyin_pq_")
+        total = 0
+        try:
+            writer = _pq.ParquetWriter(
+                _os.path.join(pdir, "part-0.parquet"), schema
+            )
+            batch: list[list] = []
+            try:
+                for row in iter_copy_rows(spool_path, fmt, header):
+                    if len(row) != len(cols):
+                        raise _WireError(
+                            "22P04",
+                            f"COPY row has {len(row)} fields, "
+                            f"expected {len(cols)}",
+                        )
+                    batch.append(row)
+                    if len(batch) >= 65536:
+                        writer.write_table(
+                            _pa.Table.from_arrays(
+                                [
+                                    _pa.array(
+                                        [r[i] for r in batch],
+                                        type=_pa.string(),
+                                    )
+                                    for i in range(len(cols))
+                                ],
+                                schema=schema,
+                            )
+                        )
+                        total += len(batch)
+                        batch = []
+                if batch:
+                    writer.write_table(
+                        _pa.Table.from_arrays(
+                            [
+                                _pa.array(
+                                    [r[i] for r in batch],
+                                    type=_pa.string(),
+                                )
+                                for i in range(len(cols))
+                            ],
+                            schema=schema,
+                        )
+                    )
+                    total += len(batch)
+            finally:
+                writer.close()
+            if total == 0:
+                return 0
+            spark = engine.spark
+            view = f"_copy_in_{_os.getpid()}_{id(engine) & 0xFFFF}"
+            spark.read.parquet(pdir).createOrReplaceTempView(view)
+            try:
+                tdf = engine.table(table)
+                sel = []
+                for f in tdf.schema.fields:
+                    if f.name in cols:
+                        sel.append(
+                            f"CAST({f.name} AS {f.dataType.simpleString()})"
+                            f" AS {f.name}"
+                        )
+                    else:
+                        sel.append(
+                            f"CAST(NULL AS {f.dataType.simpleString()})"
+                            f" AS {f.name}"
+                        )
+                engine.execute(
+                    f"INSERT INTO {table} SELECT {', '.join(sel)} "
+                    f"FROM {view}"
+                )
+            finally:
+                spark.catalog.dropTempView(view)
+            return total
+        finally:
+            _shutil.rmtree(pdir, ignore_errors=True)
 
     @staticmethod
     def _copy_text_row(row) -> bytes:

@@ -157,7 +157,9 @@ class DdlRouter:
         ),
         (
             re.compile(
-                r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*$", re.I
+                r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?"
+                r"(\s+DRY\s+RUN)?\s*$",
+                re.I,
             ),
             "_vacuum",
         ),
@@ -217,6 +219,10 @@ class DdlRouter:
         (
             re.compile(r"^\s*(?:LIST|SHOW)\s+FILES\s+(\w+)\s*$", re.I),
             "_list_files",
+        ),
+        (
+            re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.I),
+            "_show_create",
         ),
         (re.compile(r"^\s*SHOW\s+(?:CONFIG|OPTIONS)\s*$", re.I), "_show_config"),
         (
@@ -457,12 +463,17 @@ class DdlRouter:
             )
         return self._manifest(name)
 
-    def _vacuum(self, name: str, retain: str | None):
-        """VACUUM t [RETAIN n VERSIONS] — physically delete data files
-        unreferenced by the n newest manifests (default 1: live only)."""
-        return self._require_manifest(name).vacuum(
-            keep_versions=int(retain) if retain else 1
-        )
+    def _vacuum(self, name: str, retain: str | None, dry: str | None = None):
+        """VACUUM t [RETAIN n VERSIONS] [DRY RUN] — physically delete
+        data files unreferenced by the n newest manifests (default 1:
+        live only). DRY RUN lists what a real vacuum would delete
+        without deleting anything (Delta's VACUUM ... DRY RUN) — the
+        safety check before the one irreversible storage operation."""
+        mt = self._require_manifest(name)
+        keep = int(retain) if retain else 1
+        if dry:
+            return mt.vacuum_preview(keep_versions=keep)
+        return mt.vacuum(keep_versions=keep)
 
     def _optimize(
         self,
@@ -1342,6 +1353,43 @@ class DdlRouter:
             {"table_schema": _json.dumps(evolved.jsonValue()), "_op": "add_column"}
         )
         self._register_manifest(name)
+
+    def _show_create(self, name: str):
+        """SHOW CREATE TABLE t — a reconstruction a user could replay:
+        column list from the live schema, followed by the statements
+        that re-establish the table's storage properties (manifest
+        format, CAS commit point, bloom config). Views return their
+        registered definition verbatim."""
+        low = name.lower()
+        if low in self.views:
+            return [
+                {
+                    "create_sql": (
+                        f"CREATE VIEW {name} AS {self.views[low].strip()}"
+                    )
+                }
+            ]
+        df = self.engine.table(name)
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in df.schema.fields
+        )
+        stmts = [f"CREATE TABLE {name} (\n  {cols}\n)"]
+        if low in self.manifest_tables:
+            cas = " CAS" if low in self.cas_manifest_tables else ""
+            stmts.append(f"ALTER TABLE {name} SET FORMAT MANIFEST{cas}")
+            try:
+                meta = self._manifest(name).meta()
+                bloom = meta.get("bloom_columns")
+                if bloom:
+                    fpp = meta.get("bloom_fpp", 0.01)
+                    stmts.append(
+                        f"ALTER TABLE {name} SET BLOOM FILTER "
+                        f"({', '.join(bloom)}) FPP {fpp}"
+                    )
+            except Exception:
+                pass
+        return [{"create_sql": ";\n".join(stmts)}]
 
     def _alter(self, *_):
         # parity with the reference: SqlCudParser.scala:299-302

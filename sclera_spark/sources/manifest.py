@@ -857,6 +857,44 @@ class ManifestTable:
         with self._writer_lock():
             return self._vacuum_locked(keep_versions)
 
+    def vacuum_preview(self, keep_versions: int = 1) -> list[str]:
+        """DRY RUN: the data files a ``vacuum(keep_versions)`` would
+        delete right now, without deleting anything (claims above the
+        pointer are left alone too — a preview must have no side
+        effects, so files referenced ONLY by an orphan claim are listed
+        as deletable exactly as the real vacuum would treat them after
+        clearing it). Same lock, same referenced-set computation."""
+        import time as _time
+
+        with self._writer_lock():
+            latest = self.version()
+            now = _time.time()
+            protected: list[int] = []
+            for f in os.listdir(self.log_dir):
+                if (
+                    f.startswith("v")
+                    and f.endswith(".json")
+                    and int(f[1:-5]) > latest
+                ):
+                    p = os.path.join(self.log_dir, f)
+                    try:
+                        age = now - os.path.getmtime(p)
+                    except FileNotFoundError:
+                        continue
+                    if age < self._orphan_claim_ttl:
+                        protected.append(int(f[1:-5]))
+            vs = self.versions()
+            referenced: set[str] = set()
+            for v in vs[-keep_versions:] + protected:
+                referenced |= {
+                    os.path.basename(p) for p in self.files(v)
+                }
+            return sorted(
+                f
+                for f in os.listdir(self.data_dir)
+                if f not in referenced
+            )
+
     # Minimum age (seconds, by claim-file mtime) before vacuum treats a
     # claim above LATEST as a crashed orphan and deletes it. Local tables
     # vacuum inside the flock, so any claim seen there is provably dead

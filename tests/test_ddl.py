@@ -538,3 +538,25 @@ def test_describe_pg_catalog_qualified(spark, tables):
         engine.add_table(name, df)
     cols = dict(engine.execute("DESCRIBE pg_catalog.pg_class"))
     assert "relname" in cols
+
+
+def test_show_create_table(spark, tables):
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    engine.execute(
+        "CREATE TABLE sct AS SELECT CAST(1 AS BIGINT) AS k, 'x' AS s"
+    )
+    engine.execute("ALTER TABLE sct SET FORMAT MANIFEST")
+    engine.execute("ALTER TABLE sct SET BLOOM FILTER (s) FPP 0.02")
+    engine.execute("CREATE VIEW sct_v AS SELECT k FROM sct")
+    try:
+        out = engine.execute("SHOW CREATE TABLE sct")[0]["create_sql"]
+        assert "k BIGINT" in out and "s STRING" in out
+        assert "SET FORMAT MANIFEST" in out
+        assert "SET BLOOM FILTER (s) FPP 0.02" in out
+        vout = engine.execute("SHOW CREATE TABLE sct_v")[0]["create_sql"]
+        assert vout == "CREATE VIEW sct_v AS SELECT k FROM sct"
+    finally:
+        engine.execute("DROP VIEW sct_v")
+        engine.execute("DROP TABLE sct")

@@ -397,3 +397,31 @@ def test_add_column_metadata_only(spark, mt, tmp_path):
             engine.execute("ALTER TABLE evo ADD COLUMN zz NOTATYPE")
     finally:
         engine.execute("DROP TABLE evo")
+
+
+# ----------------------------------------------------- vacuum dry run
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, mt, tmp_path):
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    engine.execute(
+        "CREATE TABLE vdr AS SELECT id AS k FROM RANGE(30)"
+    )
+    engine.execute("ALTER TABLE vdr SET FORMAT MANIFEST")
+    try:
+        engine.execute("DELETE FROM vdr WHERE k < 10")
+        t = ManifestTable(engine._ddl._path("vdr"))
+        on_disk = set(os.listdir(t.data_dir))
+        preview = engine.execute("VACUUM vdr DRY RUN")
+        assert preview  # the pre-DML files are deletable
+        assert set(os.listdir(t.data_dir)) == on_disk  # nothing deleted
+        assert engine.table("vdr").count() == 20
+        # the real vacuum deletes exactly what the preview listed
+        deleted = engine.execute("VACUUM vdr")
+        assert sorted(deleted) == sorted(preview)
+        # retained-version preview is empty when nothing is deletable
+        assert engine.execute("VACUUM vdr RETAIN 5 VERSIONS DRY RUN") == []
+    finally:
+        engine.execute("DROP TABLE vdr")

@@ -743,5 +743,132 @@ def test_psql_copy_unsupported_forms_fail_loudly(server):
         server, "COPY (SELECT 1) TO STDOUT WITH (FORMAT BINARY)"
     )
     assert rc != 0 and "not supported" in err
-    rc2, _, err2 = run_psql(server, "COPY region FROM STDIN")
-    assert rc2 != 0  # not served: refused, not silently swallowed
+    # FROM STDIN is served since late-r9, but only text/CSV — binary
+    # loads refuse loudly, and an unknown target table errors BEFORE
+    # the client is put into copy mode
+    rc2, _, err2 = run_psql_stdin(
+        server, "COPY region FROM STDIN WITH (FORMAT BINARY)", ""
+    )
+    assert rc2 != 0 and "not supported" in err2
+    rc3, _, err3 = run_psql_stdin(
+        server, "COPY no_such_table FROM STDIN", "1\n"
+    )
+    assert rc3 != 0
+
+
+# ----------------------------------------------------- COPY FROM STDIN
+
+
+def run_psql_stdin(server, sql: str, data: str):
+    proc = subprocess.run(
+        [
+            psql, "-h", "127.0.0.1", "-p", str(server.port),
+            "-U", "sclera", "-d", "sclera", "-X", "-At", "-c", sql,
+        ],
+        input=data,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    return proc.returncode, proc.stdout, proc.stderr
+
+
+def test_psql_copy_from_stdin_text(server):
+    """COPY t FROM STDIN, pg text format, driven by psql itself:
+    escapes and \\N decode exactly; the load lands through the
+    engine's INSERT path (manifest tables get an atomic commit)."""
+    rc, _, err = run_psql(
+        server,
+        "CREATE TABLE cin AS SELECT CAST(1 AS BIGINT) AS k, "
+        "'seed' AS name, CAST(1.5 AS DOUBLE) AS x",
+    )
+    assert rc == 0, err
+    rc, _, err = run_psql(server, "ALTER TABLE cin SET FORMAT MANIFEST")
+    assert rc == 0, err
+    try:
+        payload = "2\ttab\\there\t2.5\n3\t\\N\t\\N\n\\.\n"
+        rc, out, err = run_psql_stdin(
+            server, "COPY cin FROM STDIN", payload
+        )
+        assert rc == 0, err
+        assert "COPY 2" in out or "COPY 2" in err
+        rc, out, err = run_psql(
+            server,
+            "SELECT k, name, x FROM cin ORDER BY k",
+        )
+        assert rc == 0, err
+        lines = out.splitlines()
+        assert lines == ["1|seed|1.5", "2|tab\there|2.5", "3||"]
+    finally:
+        run_psql(server, "DROP TABLE cin")
+
+
+def test_psql_copy_from_stdin_csv_header_and_subset(server):
+    rc, _, err = run_psql(
+        server,
+        "CREATE TABLE cin2 AS SELECT CAST(1 AS BIGINT) AS k, "
+        "'seed' AS name, CAST(9 AS BIGINT) AS extra",
+    )
+    assert rc == 0, err
+    try:
+        payload = 'k,name\n2,"a,b"\n3,\n'
+        rc, out, err = run_psql_stdin(
+            server,
+            "COPY cin2 (k, name) FROM STDIN WITH (FORMAT CSV, HEADER)",
+            payload,
+        )
+        assert rc == 0, err
+        rc, out, err = run_psql(
+            server, "SELECT k, name, extra FROM cin2 ORDER BY k"
+        )
+        assert rc == 0, err
+        # unlisted column = NULL; unquoted empty = NULL
+        assert out.splitlines() == ["1|seed|9", "2|a,b|", "3||"]
+    finally:
+        run_psql(server, "DROP TABLE cin2")
+
+
+def test_psql_copy_roundtrip_text_lossless(server):
+    """COPY TO STDOUT piped back into COPY FROM STDIN reproduces the
+    rows exactly — the text format's escaping survives its own
+    decoder across a real psql."""
+    gnarly = (
+        "SELECT r_regionkey, r_name, "
+        "concat('a\\tb', chr(10), r_name, '\\\\end') AS tricky "
+        "FROM region"
+    )
+    rc, out, err = run_psql(server, f"COPY ({gnarly}) TO STDOUT")
+    assert rc == 0, err
+    rc, _, e2 = run_psql(
+        server, f"CREATE TABLE rt AS SELECT * FROM ({gnarly}) WHERE 1 = 0"
+    )
+    assert rc == 0, e2
+    try:
+        rc, _, e3 = run_psql_stdin(server, "COPY rt FROM STDIN", out)
+        assert rc == 0, e3
+        rc, got, e4 = run_psql(
+            server,
+            f"SELECT count(*) FROM rt t JOIN ({gnarly}) r "
+            "ON t.r_regionkey = r.r_regionkey AND t.r_name = r.r_name "
+            "AND t.tricky = r.tricky",
+        )
+        assert rc == 0, e4
+        assert got.strip() == "5"
+    finally:
+        run_psql(server, "DROP TABLE rt")
+
+
+def test_psql_copy_from_stdin_bad_rows_fail_loudly(server):
+    rc, _, err = run_psql(
+        server, "CREATE TABLE cin3 AS SELECT CAST(1 AS BIGINT) AS k"
+    )
+    assert rc == 0, err
+    try:
+        rc, out, err = run_psql_stdin(
+            server, "COPY cin3 FROM STDIN", "1\t2\t3\n"
+        )
+        assert rc != 0 and "fields" in err
+        rc, out, err = run_psql(server, "SELECT count(*) FROM cin3")
+        assert rc == 0 and out.strip() == "1"  # nothing half-loaded
+    finally:
+        run_psql(server, "DROP TABLE cin3")
