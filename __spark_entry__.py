@@ -1518,6 +1518,22 @@ def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (llm/text.pack_documents) —
+    the GPT-style pretraining batching step: documents concatenated in
+    doc_id order, the token stream cut every 512 tokens, each row one
+    (doc, pack) span. The global token offsets come from a two-phase
+    distributed prefix sum (no single-partition window), so the result
+    is layout-independent; the oracle recomputes the same packing with
+    one SQL window + generate_series."""
+    from sclera_spark.llm import pack_documents
+
+    eng = _engine(spark, sf_dir)
+    return pack_documents(
+        eng.table("documents"), max_len=512
+    ).select("doc_id", "n_tokens", "pack_id", "tok_start", "tok_end")
+
+
 def _q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed (sources/manifest.ManifestTable.changes; SQL
     TABLE_CHANGES(t, a, b)): a manifest table over orders takes one
@@ -1673,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_normalize": _q_text_normalize,
             "url_extract": _q_url_extract,
             "chunk_documents": _q_chunk_documents,
+            "pack_sequences": _q_pack_sequences,
             "table_changes": _q_table_changes,
             "bpe_merges": _q_bpe_merges,
         }
@@ -2513,6 +2530,28 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS total
         FROM events JOIN nation ON user_id % 25 = n_nationkey
         GROUP BY 1, 2, 3
+    """
+    # sequence packing: the engine's two-phase distributed prefix sum
+    # must equal one global SQL window (the semantics, stated directly)
+    oracles["pack_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(list_filter(string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                     '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS s
+          FROM t
+        )
+        SELECT doc_id, n_tokens, p AS pack_id,
+               GREATEST(p * 512 - s, 0) AS tok_start,
+               LEAST((p + 1) * 512 - s, n_tokens) AS tok_end
+        FROM c, UNNEST(generate_series(s // 512,
+                                       (s + n_tokens - 1) // 512)) AS u(p)
+        WHERE n_tokens > 0
     """
     # change data feed: the engine DIFFS manifest commits (exceptAll
     # cancellation over rewritten files); the oracle states the feed

@@ -5,7 +5,7 @@ algebra) — zero Python in the row path, so these run at scan throughput.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # common-word lists for the n-gram/stopword language heuristic; tiny enough
@@ -383,4 +383,86 @@ def chunk_documents(
             F.slice(F.col("__toks"), F.col("start_token") + 1, chunk_tokens),
             " ",
         ).alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 2048,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING — the GPT-style pretraining
+    batching step: documents are (logically) concatenated in ``id_col``
+    order and the token stream is cut every ``max_len`` tokens; each
+    output row says which token span of which document lands in which
+    pack. Deterministic and layout-independent: the global token offset
+    of every document is a two-phase distributed prefix sum
+    (range-repartition by id -> per-partition window cumsum -> tiny
+    per-partition totals to the driver -> broadcast offsets back), so
+    no single partition ever holds the corpus and driver state is one
+    row per partition — the same carry pattern as the as-of join's
+    hot-group split. Everything else is JVM sequence+explode.
+
+    Output: <id_col>, n_tokens (the doc's), pack_id (0-based),
+    tok_start / tok_end (span WITHIN the doc, end-exclusive). A
+    document spanning a pack boundary emits one row per pack it
+    touches; zero-token documents emit nothing.
+    """
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    spark = df.sparkSession
+    n_b = buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    t = df.select(
+        F.col(id_col),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).repartitionByRange(n_b, F.col(id_col))
+    t = t.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("_local_end", F.sum("n_tokens").over(w)).cache()
+    # one row per RANGE partition; range partitions are ordered by key,
+    # so the exclusive prefix over pid order is the global carry
+    totals = {
+        r["_pid"]: r["s"]
+        for r in t.groupBy("_pid").agg(F.max("_local_end").alias("s")).collect()
+    }
+    run = 0
+    rows = []
+    for pid in range(n_b):
+        rows.append((pid, run))
+        run += totals.get(pid) or 0
+    off = F.broadcast(
+        spark.createDataFrame(rows, ["_pid", "_off"])
+    )
+    g = t.join(off, "_pid").select(
+        id_col,
+        "n_tokens",
+        (F.col("_off") + F.col("_local_end") - F.col("n_tokens")).alias(
+            "_start"
+        ),
+    ).where(F.col("n_tokens") > 0)
+    L = F.lit(int(max_len)).cast("long")
+    packs = F.sequence(
+        (F.col("_start") / L).cast("long"),
+        ((F.col("_start") + F.col("n_tokens") - 1) / L).cast("long"),
+    )
+    ex = g.withColumn("pack_id", F.explode(packs))
+    return ex.select(
+        id_col,
+        "n_tokens",
+        "pack_id",
+        F.greatest(
+            F.col("pack_id") * L - F.col("_start"), F.lit(0).cast("long")
+        ).alias("tok_start"),
+        F.least(
+            (F.col("pack_id") + 1) * L - F.col("_start"),
+            F.col("n_tokens"),
+        ).alias("tok_end"),
     )

@@ -1041,3 +1041,54 @@ def test_bmp_roundtrip():
         assert (out == px).all()
     arr, real = decode_pixels(bmp_pixel_bytes(np.full((4, 6, 3), 55, np.uint8)))
     assert real and (arr == 55).all()
+
+
+def test_pack_documents_layout_independent(spark, tables):
+    """Sequence packing: spans tile the concatenated token stream
+    exactly (every pack holds max_len tokens except the last; per-doc
+    spans are contiguous and sum to the doc's tokens), and the result
+    is IDENTICAL under repartitioning and bucket-count changes — the
+    two-phase prefix sum is layout-independent."""
+    from sclera_spark.llm import pack_documents, token_count
+
+    docs = tables["documents"]
+    out = pack_documents(docs, max_len=512).collect()
+    rows = sorted((r.doc_id, r.pack_id, r.tok_start, r.tok_end) for r in out)
+
+    # per-doc: spans contiguous from 0 to n_tokens
+    from collections import defaultdict
+
+    spans = defaultdict(list)
+    for d, p, s, e in rows:
+        assert 0 <= s < e
+        spans[d].append((p, s, e))
+    n_tok = {
+        r.doc_id: r.n_tokens
+        for r in token_count(docs).select("doc_id", "n_tokens").collect()
+    }
+    for d, sp in spans.items():
+        sp.sort()
+        assert sp[0][1] == 0 and sp[-1][2] == n_tok[d]
+        for (p0, _, e0), (p1, s1, _) in zip(sp, sp[1:]):
+            assert p1 == p0 + 1 and s1 == e0  # contiguous, pack-adjacent
+    # per-pack: sizes are exactly max_len except the final pack
+    pack_sz = defaultdict(int)
+    for _, p, s, e in rows:
+        pack_sz[p] += e - s
+    last = max(pack_sz)
+    assert set(pack_sz) == set(range(last + 1))  # no holes
+    for p, sz in pack_sz.items():
+        assert sz == 512 or (p == last and 0 < sz <= 512)
+
+    # layout independence: different partitioning + bucket count
+    shuffled = docs.repartition(17)
+    again = sorted(
+        (r.doc_id, r.pack_id, r.tok_start, r.tok_end)
+        for r in pack_documents(shuffled, max_len=512, buckets=5).collect()
+    )
+    assert again == rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_len"):
+        pack_documents(docs, max_len=0)

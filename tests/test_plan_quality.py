@@ -546,3 +546,22 @@ def test_dynamic_pruning_dim_job_plan_sane(engine, tmp_path):
         assert "partial" in plan.lower() or "HashAggregate" in plan
     finally:
         engine.execute("DROP TABLE dq")
+
+
+def test_pack_documents_jvm_side_bounded_prefix(engine):
+    """Sequence packing stays JVM-side (no Python eval, no cartesian)
+    and its prefix sum is the two-phase shape: the per-partition window
+    is partitioned by spark_partition_id (never a single global-order
+    window, which would serialize the corpus through one task)."""
+    from sclera_spark.llm import pack_documents
+
+    df = pack_documents(engine.table("documents"), max_len=512)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the offsets side is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the cumsum window is keyed by partition id — a global-order window
+    # would show an empty partition spec with a plain sort over all rows
+    assert "_pid" in plan
