@@ -1518,6 +1518,29 @@ def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup (llm/dedup.minhash_anti_join) — the crawl-
+    ingest gate: odd-doc_id documents are 'incoming', even-doc_id the
+    existing corpus; keep the incoming docs with no shingle-Jaccard
+    >= 0.8 partner in the corpus. The band join is strictly new-vs-
+    corpus (never corpus-vs-corpus). The DuckDB oracle recomputes the
+    surviving set from EXACT gram sets, so a hash-green row certifies
+    100% LSH recall on this corpus, same as minhash_pairs."""
+    from sclera_spark.llm import minhash_anti_join
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents")
+    kept = minhash_anti_join(
+        docs.where("doc_id % 2 = 1"),
+        docs.where("doc_id % 2 = 0"),
+        threshold=0.8,
+        num_perm=128,
+        bands=16,
+        shingle_k=5,
+    )
+    return kept.select("doc_id")
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (llm/text.pack_documents) —
     the GPT-style pretraining batching step: documents concatenated in
@@ -1690,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url_extract": _q_url_extract,
             "chunk_documents": _q_chunk_documents,
             "pack_sequences": _q_pack_sequences,
+            "cross_dedup": _q_cross_dedup,
             "table_changes": _q_table_changes,
             "bpe_merges": _q_bpe_merges,
         }
@@ -2530,6 +2554,39 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS total
         FROM events JOIN nation ON user_id % 25 = n_nationkey
         GROUP BY 1, 2, 3
+    """
+    # cross-corpus dedup: surviving incoming docs from EXACT gram sets
+    # (the anti-join of the exact cross-parity near-dup pairs)
+    oracles["cross_dedup"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN len(n) < 5 THEN rpad(n, 5, ' ') ELSE n END AS norm
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS n
+                FROM documents WHERE text IS NOT NULL) t
+        ),
+        g AS (
+          SELECT DISTINCT u.doc_id, substr(norm, u.i, 5) AS gram
+          FROM (SELECT doc_id, norm,
+                       unnest(generate_series(1, len(norm) - 4)) AS i
+                FROM d) u
+        ),
+        n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS ni
+          FROM g a JOIN g b ON a.gram = b.gram
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          GROUP BY 1, 2
+        ),
+        dups AS (
+          SELECT DISTINCT i.new_id
+          FROM inter i
+          JOIN n na ON na.doc_id = i.new_id
+          JOIN n nb ON nb.doc_id = i.old_id
+          WHERE CAST(i.ni AS DOUBLE) / (na.ng + nb.ng - i.ni) >= 0.8
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM dups)
     """
     # sequence packing: the engine's two-phase distributed prefix sum
     # must equal one global SQL window (the semantics, stated directly)

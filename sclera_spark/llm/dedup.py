@@ -448,3 +448,108 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "jaccard")
     )
+
+
+def minhash_anti_join(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """CROSS-CORPUS dedup — the crawl-ingest gate: keep only the NEW
+    documents with no near-duplicate (shingle Jaccard >= threshold) in
+    an EXISTING corpus. Same LSH shape as minhash_dup_pairs, but the
+    band join is strictly new-vs-corpus: in steady state |corpus| >>
+    |new|, and never forming corpus-vs-corpus candidates is what makes
+    re-running the gate per crawl batch O(|new| + matching buckets)
+    instead of re-deduping the world. The corpus side needs only its
+    (banded signature, hashed shingle set) — at 100 TB those sketches
+    are the thing to persist as a manifest table and reuse across
+    batches (minhash_signatures + append). Returns ``new``'s rows,
+    original columns, duplicates removed."""
+    rows_per_band = num_perm // bands
+
+    def sketch(df):
+        return (
+            minhash_sketch(df, text_col, num_perm, shingle_k)
+            .select(F.col(id_col).alias("id"), "minhash", "hset")
+            .persist()
+        )
+
+    def banded(sig, side):
+        return sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.get(
+                                        F.col("minhash"),
+                                        b * rows_per_band + r,
+                                    )
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            F.col("id").alias(f"{side}_id"), F.col("bb.band"), F.col("bb.bh")
+        )
+
+    sk_new = sketch(new)
+    sk_old = sketch(corpus)
+    cand = (
+        banded(sk_new.select("id", "minhash"), "new")
+        .join(banded(sk_old.select("id", "minhash"), "old"), ["band", "bh"])
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    est_pairs = cand.join(
+        sk_new.select(F.col("id").alias("new_id"), F.col("minhash").alias("a_mh")),
+        "new_id",
+    ).join(
+        sk_old.select(F.col("id").alias("old_id"), F.col("minhash").alias("b_mh")),
+        "old_id",
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a_mh"), F.col("b_mh"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.size(F.col("a_mh"))
+    survivors = (
+        est_pairs.withColumn("__est", est)
+        .filter(F.col("__est") >= threshold - 0.25)
+        .select("new_id", "old_id")
+    )
+    pairs = survivors.join(
+        sk_new.select(F.col("id").alias("new_id"), F.col("hset").alias("a_sh")),
+        "new_id",
+    ).join(
+        sk_old.select(F.col("id").alias("old_id"), F.col("hset").alias("b_sh")),
+        "old_id",
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    dup_ids = (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sk_new.unpersist()
+    sk_old.unpersist()
+    return new.join(
+        dup_ids, new[id_col] == dup_ids["new_id"], "left_anti"
+    )

@@ -1092,3 +1092,40 @@ def test_pack_documents_layout_independent(spark, tables):
 
     with _pytest.raises(ValueError, match="max_len"):
         pack_documents(docs, max_len=0)
+
+
+def test_minhash_anti_join_crawl_gate(spark, tables):
+    """Cross-corpus dedup: planted near-copies of corpus docs are
+    rejected from the incoming batch, genuinely-new docs survive, and
+    the corpus side is never self-joined (the op returns only incoming
+    rows). Non-vacuous by construction: we plant the duplicates."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import minhash_anti_join
+
+    docs = tables["documents"].select("doc_id", "text").where(
+        "text IS NOT NULL AND length(text) > 200"
+    )
+    corpus = docs.where("doc_id % 2 = 0")
+    # incoming = planted near-copies of 5 corpus docs (tail tweaked,
+    # high jaccard) + genuinely new synthetic docs
+    planted = (
+        corpus.orderBy("doc_id").limit(5)
+        .select(
+            (F.col("doc_id") + 1_000_001).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tiny tail tweak")).alias("text"),
+        )
+    )
+    fresh = spark.range(3).selectExpr(
+        "id + 2000001 AS doc_id",
+        "concat('entirely novel document number ', id, ' with its own ',"
+        " repeat('unmistakably unique phrasing ', 20)) AS text",
+    )
+    incoming = planted.unionByName(fresh)
+    kept = minhash_anti_join(
+        incoming, corpus, threshold=0.7, num_perm=128, bands=16
+    )
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids == [2000001, 2000002, 2000003]
+    # original columns come back untouched
+    assert set(kept.columns) == {"doc_id", "text"}
