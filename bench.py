@@ -241,6 +241,8 @@ BUDGETS = {
     # with the full scan is EXPECTED locally — see BASELINE.md)
     "storage_range_probe": 0.25, "storage_range_probe_full": 0.2,
     "storage_meta_agg": 0.5, "storage_count_scan": 0.75,
+    # late-r9 LLM additions (2x observed sf0.1 mins: 0.69 / 2.57)
+    "pack_sequences": 1.4, "cross_dedup": 5.2,
 }
 
 
@@ -289,6 +291,8 @@ def main() -> None:
         "cosine_topk",       # LLM tier: similarity search
         "quality_scores",    # LLM tier: text analysis
         "dedup_exact",
+        "pack_sequences",    # LLM tier: concat-and-chunk packing (late r9)
+        "cross_dedup",       # LLM tier: crawl-ingest gate (late r9)
         "storage_range_probe",       # file-level data skipping ON
         "storage_range_probe_full",  # same probe, pruning OFF
         "storage_meta_agg",          # zero-job count/min/max
