@@ -61,9 +61,11 @@ class ScleraEngine:
         import os as _os
 
         self.catalog_dir = _os.environ.get("SCLERA_SPARK_CATALOG_DIR")
+        self._register_builtin_sources()  # before restore: location
+        # resolution during _load_added_tables needs the source registry
         if self.catalog_dir:
             self._load_locations()
-        self._register_builtin_sources()
+            self._load_added_tables()
 
     # ---- persisted catalog state ----
 
@@ -316,7 +318,63 @@ class ScleraEngine:
         if not hasattr(self, "table_locations"):
             self.table_locations: dict[str, str] = {}
         self.table_locations[name.lower()] = loc.lower()
+        if self.catalog_dir:
+            # persisted-catalog mode: journal the registration so a
+            # restarted engine re-pulls the table (same switch as
+            # locations/tables; secrets already live in the location)
+            if not hasattr(self, "_added_tables"):
+                self._added_tables: list = []
+            self._added_tables = [
+                t
+                for t in self._added_tables
+                if t[2].lower() != name.lower()
+            ] + [(loc, table, name)]
+            self._persist_added_tables()
         return self.catalog.register(name, df)
+
+    def _added_tables_file(self) -> str:
+        import os
+
+        return os.path.join(self.catalog_dir, "added_tables.json")
+
+    def _persist_added_tables(self) -> None:
+        import json
+        import os
+        import uuid
+
+        target = self._added_tables_file()
+        tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(getattr(self, "_added_tables", []), fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, target)
+
+    def _load_added_tables(self) -> None:
+        """Re-pull persisted ADD TABLE registrations after locations
+        restore. A location that no longer connects leaves its tables
+        unregistered with a loud warning, same contract as the other
+        persisted-catalog tiers."""
+        import json
+        import warnings
+
+        try:
+            with open(self._added_tables_file()) as fh:
+                stored = json.load(fh)
+        except FileNotFoundError:
+            return
+        self._added_tables = []
+        for loc, table, name in stored:
+            try:
+                self.add_location_table(loc, table, as_name=name)
+            except Exception as exc:
+                self._added_tables.append((loc, table, name))
+                warnings.warn(
+                    f"persisted ADD TABLE {loc}.{table} AS {name} could "
+                    f"not be rebound ({exc}); it stays journaled until "
+                    "its location returns or it is re-added"
+                )
+        self._persist_added_tables()  # failed entries stay journaled
 
     def create_bucketed_table(
         self,

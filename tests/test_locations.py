@@ -369,3 +369,26 @@ def test_tables_and_views_persist_across_engine_restart(
     e3 = ScleraEngine(spark)
     assert "durable_t" not in e3.ddl().managed
     assert "durable_v" not in e3.ddl().views
+
+
+def test_added_tables_persist_across_engine_restart(
+    spark, tables, monkeypatch, tmp_path
+):
+    """ADD TABLE loc.t provenance (the last process-state catalog
+    tier): with SCLERA_SPARK_CATALOG_DIR set, location-table
+    registrations re-pull on restart, aliases intact."""
+    from sclera_spark.engine import ScleraEngine
+
+    monkeypatch.setenv("SCLERA_SPARK_CATALOG_DIR", str(tmp_path))
+    e1 = ScleraEngine(spark)
+    e1.add_named_location(
+        "tdloc", "PARQUETDIR", ["/root/testdata/sf0.001"]
+    )
+    e1.add_location_table("tdloc", "region", as_name="reg_alias")
+    n = e1.table("reg_alias").count()
+    assert n == 5
+
+    e2 = ScleraEngine(spark)
+    assert e2.table("reg_alias").count() == n
+    assert e2.table_locations.get("reg_alias") == "tdloc"
+    e2.remove_location("tdloc")
