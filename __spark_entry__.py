@@ -1518,6 +1518,25 @@ def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling (llm/sample.stratified_sample with a
+    per-stratum quota dict): different deterministic quotas per event
+    type — the '40k web, 20k code, 5k math' mixture step; unlisted
+    strata contribute nothing. One window shuffle; md5-keyed, so the
+    oracle re-derives the identical sample in SQL."""
+    from sclera_spark.llm import stratified_sample
+
+    eng = _engine(spark, sf_dir)
+    out = stratified_sample(
+        eng.table("events").select("event_type", "event_id"),
+        group_col="event_type",
+        n_per_group={"view": 40, "click": 20, "purchase": 5},
+        key_col="event_id",
+        salt="mx1",
+    )
+    return out.select("event_type", "event_id")
+
+
 def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus dedup (llm/dedup.minhash_anti_join) — the crawl-
     ingest gate: odd-doc_id documents are 'incoming', even-doc_id the
@@ -1714,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_documents": _q_chunk_documents,
             "pack_sequences": _q_pack_sequences,
             "cross_dedup": _q_cross_dedup,
+            "mixture_sample": _q_mixture_sample,
             "table_changes": _q_table_changes,
             "bpe_merges": _q_bpe_merges,
         }
@@ -2554,6 +2574,26 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS total
         FROM events JOIN nation ON user_id % 25 = n_nationkey
         GROUP BY 1, 2, 3
+    """
+    # mixture sampling: the per-stratum quota form of the stratified
+    # sampler, re-derived in SQL (same md5 unit as stratified_sample)
+    oracles["mixture_sample"] = """
+        SELECT event_type, event_id FROM (
+          SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY u ASC, event_id ASC) AS rk
+          FROM (
+            SELECT event_type, event_id,
+                   CAST(('0x' || substr(md5('mx1' || CAST(event_id AS VARCHAR)),
+                                        1, 8))::BIGINT AS DOUBLE)
+                     / 4294967296.0 AS u
+            FROM events
+          ) h
+        ) w
+        WHERE rk <= CASE event_type WHEN 'view' THEN 40
+                                    WHEN 'click' THEN 20
+                                    WHEN 'purchase' THEN 5
+                                    ELSE 0 END
     """
     # cross-corpus dedup: surviving incoming docs from EXACT gram sets
     # (the anti-join of the exact cross-parity near-dup pairs)

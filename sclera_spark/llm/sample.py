@@ -59,13 +59,17 @@ def hash_sample(
 def stratified_sample(
     df: DataFrame,
     group_col: str,
-    n_per_group: int,
+    n_per_group: int | dict,
     key_col: str,
     salt: str = "",
 ) -> DataFrame:
     """Exactly ``min(n, |stratum|)`` rows per stratum, deterministically:
     rows are ranked within each stratum by their key hash (a stable
-    pseudo-random order) and the first n win.
+    pseudo-random order) and the first n win. ``n_per_group`` may be a
+    PER-STRATUM quota dict — the training-MIXTURE sampler ("40k web,
+    20k code, 5k math"): unlisted strata contribute nothing, and every
+    quota is filled deterministically, so re-running the pipeline
+    reproduces the mixture exactly.
 
     Scale notes: one shuffle on ``group_col`` (the window). Fine for
     quota-style sampling over many moderate strata; for a FEW huge strata
@@ -75,11 +79,24 @@ def stratified_sample(
     """
     from pyspark.sql.window import Window
 
+    if isinstance(n_per_group, dict):
+        quota = F.coalesce(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for k, v in n_per_group.items()
+                    for x in (k, int(v))
+                ]
+            )[F.col(group_col)],
+            F.lit(0),
+        )
+    else:
+        quota = F.lit(int(n_per_group))
     u = _hash_unit(F.col(key_col), salt)
     w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
     return (
         df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n_per_group)
+        .filter(F.col("__rk") <= quota)
         .drop("__rk")
     )
 

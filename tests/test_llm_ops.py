@@ -1129,3 +1129,29 @@ def test_minhash_anti_join_crawl_gate(spark, tables):
     assert ids == [2000001, 2000002, 2000003]
     # original columns come back untouched
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_mixture_sample_quota_dict(spark, tables):
+    """Per-stratum quota dict: each listed stratum fills exactly
+    min(quota, |stratum|), unlisted strata vanish, and the sample is
+    layout-independent (re-run under repartitioning is identical)."""
+    from sclera_spark.llm import stratified_sample
+
+    ev = tables["events"].select("event_type", "event_id")
+    quotas = {"view": 7, "click": 3}
+    out = stratified_sample(ev, "event_type", quotas, "event_id", salt="t")
+    got = out.groupBy("event_type").count().collect()
+    sizes = {r.event_type: r["count"] for r in got}
+    avail = {
+        r.event_type: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    assert sizes == {
+        k: min(v, avail.get(k, 0)) for k, v in quotas.items() if avail.get(k)
+    }
+    again = stratified_sample(
+        ev.repartition(13), "event_type", quotas, "event_id", salt="t"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, out.collect())
+    )
