@@ -1757,15 +1757,20 @@ _WINDOW_ORDER = [
     # core SQL spine (kept every round)
     "q1_agg", "subqueries", "agg_stats", "window_tier",
     "pivot_sql", "unpivot_sql", "arg_sql", "split_sql",
-    "external_target", "jdbc_location", "typeinfer_sql",
-    "transform_zscore", "expmovavg",
+    "external_target", "jdbc_location", "typeinfer_sql", "expmovavg",
     # LLM-pipeline + ML + streaming + extension tiers (kept)
     "dedup_exact", "quality_scores", "cosine_topk", "nlp_tokenize",
-    "stream_window_agg", "minhash_pairs", "classified_with",
-    "clustered_with", "imputed_with", "stream_sessionize",
+    "stream_window_agg", "minhash_pairs",
+    "stream_sessionize",
     "stream_match_state", "labeled_fn_sql", "align_zip",
     "match_alternation", "multimodal_features", "multimodal_pixels",
     "asof_join", "range_join", "incr_rollup",
+    # late-r9 additions, never driver-graded — promoted immediately so
+    # this round certifies them (in exchange the ML trio
+    # classified/clustered/imputed_with and transform_zscore demote to
+    # the tail — all r8-certified with heavy pytest coverage,
+    # re-verified every check_entry sweep)
+    "table_changes", "pack_sequences", "cross_dedup", "mixture_sample",
     # r9 rotation: the 18 oracle-bearing entries whose last driver
     # grading is oldest (r6/r7 — demoted r8 to promote the then-new 6;
     # the r7/r8-promoted groups move to the tail in exchange, all
