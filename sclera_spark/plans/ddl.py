@@ -190,6 +190,10 @@ class DdlRouter:
             re.compile(r"^\s*EXPLAIN\s+SCRIPT(?:\s+(ON|OFF))?\s*$", re.I),
             "_explain_script",
         ),
+        (
+            re.compile(r"^\s*EXPLAIN\s+FILES\s+(.*)$", re.I | re.S),
+            "_explain_files",
+        ),
         (re.compile(r"^\s*EXPLAIN\s+(.*)$", re.I | re.S), "_explain"),
         (
             re.compile(
@@ -1390,6 +1394,33 @@ class DdlRouter:
             except Exception:
                 pass
         return [{"create_sql": ";\n".join(stmts)}]
+
+    def _explain_files(self, query: str):
+        """EXPLAIN FILES <query> — data-skipping observability: for each
+        manifest table the query scans, how many files the skipping tier
+        would open vs the table's live total (min/max ranges, null
+        probes, bloom filters, and dynamic join-derived constraints all
+        applied, exactly as the real run would). A pure analysis pass:
+        nothing is rebuilt or registered, no data job runs."""
+        from sclera_spark.plans.frontend import lower_sql
+        from sclera_spark.sources.prune import prune_query
+
+        df = lower_sql(self.engine, query)
+        report: dict = {}
+        prune_query(self.engine, self, query, df, report=report)
+        return [
+            {
+                "table": name,
+                "kept_files": r["kept"],
+                "total_files": r["total"],
+                "skipped_pct": round(
+                    100.0 * (1 - r["kept"] / r["total"]), 1
+                )
+                if r["total"]
+                else 0.0,
+            }
+            for name, r in sorted(report.items())
+        ]
 
     def _alter(self, *_):
         # parity with the reference: SqlCudParser.scala:299-302

@@ -969,11 +969,17 @@ def _make_deriver(engine, manifest_dirs):
 _DYN_SET_CAP = 512
 
 
-def prune_query(engine, ddl, query: str, df):
+def prune_query(engine, ddl, query: str, df, report: dict | None = None):
     """Rebuild ``query`` over pruned manifest views when file-level
     stats prove some files irrelevant. Returns the pruned DataFrame, or
     None when nothing could be (or needed to be) pruned. The full views
-    are always restored before returning."""
+    are always restored before returning.
+
+    ``report`` (EXPLAIN FILES): when a dict is passed, it is filled
+    with {table: {"kept": n, "total": m}} for every manifest table the
+    plan scans — and the function returns None WITHOUT rebuilding
+    anything (a pure analysis pass; kept == total means no file could
+    be skipped, e.g. an unprunable scan shape)."""
     import os
 
     from sclera_spark.plans.frontend import lower_sql
@@ -1061,6 +1067,18 @@ def prune_query(engine, ddl, query: str, df):
             survivors[name] = None
             continue
         survivors[name] = survivors.get(name, set()) | set(kept)
+
+    if report is not None:
+        for name, keep in survivors.items():
+            try:
+                total = len(mts[name].files())
+            except Exception:
+                continue
+            report[name] = {
+                "kept": total if keep is None else min(len(keep), total),
+                "total": total,
+            }
+        return None  # analysis-only pass: no rebuild, no registration
 
     pruned = {}
     for name, keep in survivors.items():

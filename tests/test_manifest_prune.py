@@ -845,3 +845,27 @@ def test_dynamic_pruning_timestamp_key(engine):
     finally:
         engine.execute("DROP TABLE tsd")
         engine.execute("DROP TABLE tsf")
+
+
+def test_explain_files_reports_skipping(engine, ptab):
+    """EXPLAIN FILES: per-manifest-table kept/total counts matching
+    what the real pruned run scans, with no side effects on the
+    registered views."""
+    full = len(engine.table(ptab).inputFiles())
+    sql = (
+        "SELECT sum(o_totalprice) AS s FROM pt "
+        "WHERE o_orderkey >= 600 AND o_orderkey < 900"
+    )
+    rows = engine.execute(f"EXPLAIN FILES {sql}")
+    assert len(rows) == 1 and rows[0]["table"] == "pt"
+    assert rows[0]["total_files"] == full
+    kept_real = len(engine.sql(sql).inputFiles())
+    assert rows[0]["kept_files"] == kept_real < full
+    assert rows[0]["skipped_pct"] > 0
+    # no side effects: the full view is still bound
+    assert len(engine.table(ptab).inputFiles()) == full
+    # an unprunable shape reports kept == total, not an error
+    rows2 = engine.execute(
+        "EXPLAIN FILES SELECT sum(o_totalprice) AS s FROM pt"
+    )
+    assert rows2[0]["kept_files"] == rows2[0]["total_files"] == full
