@@ -319,7 +319,7 @@ class ShellCompleter:
         "SET BLOOM FILTER", "ECHO", "FORMAT", "TIME", "SOURCE",
         "RESET", "QUIT", "EXIT", "PLOT",
         "RESTORE TABLE", "SHALLOW CLONE", "TABLE_CHANGES",
-        "ADD COLUMN",
+        "ADD COLUMN", "EXPLAIN FILES", "SHOW CREATE TABLE", "DRY RUN",
     ]
 
     def __init__(self, engine):
