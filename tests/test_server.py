@@ -284,3 +284,45 @@ def test_bind_binary_result_format_refused(server):
             break
     assert saw_row
     s.close()
+
+
+def test_copy_text_codec_roundtrip_fuzz():
+    """Property fuzz (no Spark, no psql): the wire COPY TEXT writer and
+    the copydata reader are exact inverses over adversarial strings —
+    tabs, newlines, carriage returns, backslashes, \\N lookalikes,
+    unicode, NULLs. The CSV pair roundtrips too, modulo the documented
+    quoted-empty->NULL caveat."""
+    import random
+    import tempfile
+
+    from sclera_spark.interfaces.copydata import iter_copy_rows
+    from sclera_spark.interfaces.server import _Handler
+
+    rng = random.Random(7)
+    alphabet = list("ab\t\n\r\\,\"' é日") + ["\\N", "", "x\\ty"]
+
+    def cell():
+        if rng.random() < 0.15:
+            return None
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+
+    rows = [[cell() for _ in range(4)] for _ in range(300)]
+
+    encoded = b"".join(
+        _Handler._copy_text_row(r) for r in rows
+    )
+    with tempfile.NamedTemporaryFile("wb", suffix=".bin", delete=False) as f:
+        f.write(encoded)
+        path = f.name
+    decoded = list(iter_copy_rows(path, "text", header=False))
+    assert decoded == rows
+
+    enc_csv = b"".join(
+        _Handler._copy_csv_row(r) for r in rows
+    )
+    with tempfile.NamedTemporaryFile("wb", suffix=".bin", delete=False) as f:
+        f.write(enc_csv)
+        path = f.name
+    dec_csv = list(iter_copy_rows(path, "csv", header=False))
+    want = [[None if v in (None, "") else v for v in r] for r in rows]
+    assert dec_csv == want
