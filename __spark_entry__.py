@@ -620,6 +620,25 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, q, k=10, n_bits=8)
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (llm/similarity.pq_train/encode/topk —
+    Jegou 2011): embeddings compress to 8 small ints (codebooks trained
+    on a bounded deterministic sample), the ADC scan is pure-codegen
+    lookup-table sums over the codes, and the top candidates re-rank by
+    exact cosine. Rows-only (codebooks are model state, not
+    SQL-expressible); planted-truth recall + layout independence +
+    no-Python plan pinned in tests/test_llm_ops.py."""
+    from sclera_spark.llm import pq_encode, pq_topk, pq_train
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.table("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    books = pq_train(emb, dim, m=8, n_centers=16, sample_rows=2000, seed=7)
+    enc = pq_encode(emb, books)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk(enc, books, q, k=10, refine=100)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN — the scale path where the corpus
     is partitioned by centroid list and only probed lists are scanned
@@ -1712,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "language_id": _q_language_id,
             "approx_distinct": _q_approx_distinct,
             "ann_topk": _q_ann_topk,
+            "pq_topk": _q_pq_topk,
             "embedding_dups": _q_embedding_dups,
             # r5 training-pipeline additions — oracled (tools/check_entry
             # validates them; duck-parity pytest in test_llm_ops.py)

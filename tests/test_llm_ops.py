@@ -1155,3 +1155,47 @@ def test_mixture_sample_quota_dict(spark, tables):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, out.collect())
     )
+
+
+def test_pq_planted_truth_recall_and_plan(spark, tables):
+    """Product quantization: ADC top-k over 8-int codes finds the
+    planted exact-match vector at rank 1 (with refine, by exact
+    cosine), codes are layout-independent, and the whole path is
+    JVM-side (no Python eval)."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import pq_encode, pq_topk, pq_train
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    books = pq_train(emb, dim, m=8, n_centers=16, sample_rows=500, seed=7)
+    assert len(books) == 8 and len(books[0]) == 16
+    enc = pq_encode(emb, books)
+
+    # planted truth: the query IS a corpus vector — ADC+refine must
+    # return it first (its ADC distance is the minimum possible for
+    # its own code cell; refine makes rank-1 exact)
+    probe = emb.orderBy("vec_id").limit(3).collect()
+    for r in probe:
+        q = [float(x) for x in r["embedding"]]
+        top = pq_topk(enc, books, q, k=3, refine=32).collect()
+        assert top[0]["vec_id"] == r["vec_id"]
+        assert abs(top[0]["cosine"] - 1.0) < 1e-9
+
+    # pure-ADC path returns k rows ordered by adc_dist
+    t = pq_topk(enc, books, [float(x) for x in probe[0]["embedding"]], k=5)
+    rows = t.collect()
+    assert len(rows) == 5
+    assert [r["adc_dist"] for r in rows] == sorted(
+        r["adc_dist"] for r in rows
+    )
+
+    # layout independence of encoding
+    enc2 = pq_encode(emb.repartition(13), books)
+    a = sorted((r["vec_id"], tuple(r["pq_code"])) for r in enc.collect())
+    b = sorted((r["vec_id"], tuple(r["pq_code"])) for r in enc2.collect())
+    assert a == b
+
+    # JVM-side plan: no Python eval in encode or ADC scan
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
