@@ -1020,11 +1020,61 @@ def _rewrite_version_as_of(engine, sql: str) -> str:
     return "".join(out)
 
 
+_TS_AS_OF_RE = re.compile(
+    r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE
+)
+
+
+def _rewrite_timestamp_as_of(engine, sql: str) -> str:
+    """`FROM t TIMESTAMP AS OF '<ts>'` — timestamp time travel: the
+    newest retained version committed at or before the (UTC) timestamp
+    resolves via the manifest log's commit times and splices in like
+    VERSION AS OF. The quoted literal is part of the syntax, so the
+    match runs over the raw text with a quote-parity guard (an
+    occurrence INSIDE a string literal has an odd number of preceding
+    quotes and is left untouched)."""
+    import datetime as _dt
+
+    manifest = engine.ddl().manifest_tables
+    out = []
+    last = 0
+    pending: list[tuple[str, int, str]] = []
+    for m in _TS_AS_OF_RE.finditer(sql):
+        if sql[: m.start()].count("'") % 2 == 1:
+            continue  # inside a string literal
+        name = m.group(1)
+        if name.lower() not in manifest:
+            continue
+        raw = m.group(2)
+        try:
+            ts = _dt.datetime.fromisoformat(raw.replace("T", " "))
+        except ValueError:
+            raise ValueError(
+                f"TIMESTAMP AS OF: cannot parse {raw!r} (use ISO "
+                "'YYYY-MM-DD[ HH:MM:SS[.ffffff]]', taken as UTC)"
+            )
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        mt = engine.ddl()._manifest(name)
+        v = mt.version_at_timestamp(ts.timestamp())
+        view = f"__sclera_tt_{name.lower()}_{v}"
+        pending.append((name, v, view))
+        out.append(sql[last : m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(sql[last:])
+    for name, v, view in pending:
+        engine.ddl().table_at(name, v).createOrReplaceTempView(view)
+    return "".join(out)
+
+
 def lower_sql(engine, query: str) -> DataFrame:
     from sclera_spark.plans.extended import has_extended_clause, lower_extended
 
     if _VERSION_AS_OF_RE.search(query):
         query = _rewrite_version_as_of(engine, query)
+    if _TS_AS_OF_RE.search(query):
+        query = _rewrite_timestamp_as_of(engine, query)
     if _PGCAT_RE.search(query):
         # rebuild the virtual pg_catalog views from current catalog state,
         # then let plain Spark SQL resolve them (the pg_catalog. qualifier

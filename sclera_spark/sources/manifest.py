@@ -1061,6 +1061,30 @@ class ManifestTable:
             return spark.createDataFrame([], empty)
         return out
 
+    def version_at_timestamp(self, ts_epoch: float) -> int:
+        """The newest RETAINED version committed at or before the given
+        UTC epoch time (TIMESTAMP AS OF — Delta's timestamp travel).
+        Commit times are the version files' mtimes, written once at
+        commit; vacuum's snapshot materialization preserves them. Loud
+        errors when the time predates the oldest retained commit."""
+        best = None
+        for v in self.versions():
+            try:
+                mt = os.path.getmtime(
+                    os.path.join(self.log_dir, f"v{v}.json")
+                )
+            except FileNotFoundError:
+                continue
+            if mt <= ts_epoch and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained version of {self.path} existed at or "
+                "before the requested timestamp (older versions may "
+                "have been vacuumed; SHOW VERSIONS lists what remains)"
+            )
+        return best
+
     def restore(self, version: int) -> int:
         """RESTORE the table to a retained earlier version (Delta's
         ``RESTORE TABLE ... TO VERSION AS OF``): commit that version's

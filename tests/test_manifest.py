@@ -737,3 +737,41 @@ def test_restore_and_clone_sql(engine, mtab, tmp_path):
             engine.execute(f"CREATE TABLE m_clone SHALLOW CLONE {mtab}")
     finally:
         engine.execute("DROP TABLE m_clone")
+
+
+def test_timestamp_as_of_time_travel(engine, mtab):
+    """FROM t TIMESTAMP AS OF '<ts>' resolves the newest version
+    committed at or before the UTC timestamp (commit time = the log
+    file's mtime), joins included; pre-history timestamps refuse."""
+    import datetime as dt
+    import os as _os
+    import time
+
+    mt = _mt(engine, mtab)
+    n0 = engine.table(mtab).count()
+    v0 = mt.version()
+    time.sleep(1.1)  # mtime resolution margin between commits
+    cut = dt.datetime.now(dt.timezone.utc)
+    time.sleep(1.1)
+    engine.execute(f"DELETE FROM {mtab} WHERE o_orderkey <= 50")
+    assert engine.table(mtab).count() < n0
+
+    iso = cut.strftime("%Y-%m-%d %H:%M:%S.%f")
+    got = engine.sql(
+        f"SELECT count(*) AS n FROM {mtab} TIMESTAMP AS OF '{iso}'"
+    ).first()["n"]
+    assert got == n0
+    # resolves to v0 exactly
+    assert mt.version_at_timestamp(cut.timestamp()) == v0
+    # a string literal containing the same text is NOT rewritten
+    lit = engine.sql(
+        f"SELECT 'x {mtab} TIMESTAMP AS OF ''2999-01-01'' y' AS s"
+    ).first()["s"]
+    assert "TIMESTAMP AS OF" in lit
+    # pre-history timestamp refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no retained version"):
+        engine.sql(
+            f"SELECT count(*) FROM {mtab} TIMESTAMP AS OF '1990-01-01'"
+        )
