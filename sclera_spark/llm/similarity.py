@@ -455,3 +455,73 @@ def pq_topk(
     from sclera_spark.llm.similarity import cosine_topk as _ct  # self
 
     return _ct(cands, list(map(float, query_vec)), k, vec_col, id_col)
+
+
+def ivf_pq_write(
+    df: DataFrame,
+    dim: int,
+    path: str,
+    n_lists: int = 16,
+    m: int = 8,
+    n_centers: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    keep_vectors: bool = True,
+) -> None:
+    """Build and persist a composed IVF+PQ index — the billion-scale
+    layout (FAISS's IVFPQ, relationally): k-means lists become parquet
+    PARTITIONS (a probe's `ivf_list IN (...)` is partition pruning, not
+    a filter), and every vector stores its 8-int PQ code alongside, so
+    the in-list candidate scan reads codes, not vectors. With
+    ``keep_vectors=False`` the originals are dropped — the ~100x
+    smaller index FAISS ships; exact re-ranking then needs the source
+    table. Codebooks and centroids ride as one JSON sidecar."""
+    import json
+    import os
+
+    indexed, centroids = ivf_index(df, dim, n_lists, vec_col, seed)
+    books = pq_train(df, dim, m, n_centers, vec_col, seed)
+    enc = pq_encode(indexed, books, vec_col)
+    if not keep_vectors:
+        enc = enc.drop(vec_col)
+    enc.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump({"centroids": centroids, "pq_codebooks": books}, f)
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    refine: int | None = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over a persisted IVF+PQ index: probe the n_probe
+    nearest lists (driver-side over n_lists centroids -> partition
+    pruning), ADC-score their codes (codegen LUT sums), exact-cosine
+    re-rank the top ``refine`` when the index kept its vectors. Cost
+    scales with n_probe/n_lists of the corpus for the scan and with
+    ``refine`` for the exact stage — never O(N) on full vectors."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        side = json.load(f)
+    if isinstance(side, list):  # a plain-IVF sidecar has no codebooks
+        raise ValueError(f"{path} is a plain IVF index; use ivf_topk_indexed")
+    centroids, books = side["centroids"], side["pq_codebooks"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
+    subset = spark.read.parquet(path).filter(F.col("ivf_list").isin(probe))
+    if refine is not None and vec_col not in subset.columns:
+        refine = None  # vectors dropped at build: ADC order is final
+    return pq_topk(
+        subset, books, list(map(float, query_vec)), k, refine, vec_col, id_col
+    )

@@ -1199,3 +1199,40 @@ def test_pq_planted_truth_recall_and_plan(spark, tables):
     # JVM-side plan: no Python eval in encode or ADC scan
     plan = t._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_pq_persisted_index(spark, tables, tmp_path):
+    """Composed IVF+PQ: the probe is PARTITION pruning (PartitionFilters
+    in the scan, only probed lists' files read), candidates score by
+    ADC over codes, exact re-rank recovers the planted truth; the
+    vectors-dropped build answers from codes alone."""
+    from sclera_spark.llm import ivf_pq_topk, ivf_pq_write
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_write(emb, dim, path, n_lists=8, m=8, n_centers=16, seed=7)
+
+    probe = emb.orderBy("vec_id").limit(2).collect()
+    for r in probe:
+        q = [float(x) for x in r["embedding"]]
+        top = ivf_pq_topk(spark, path, q, k=3, n_probe=2, refine=50)
+        rows = top.collect()
+        assert rows[0]["vec_id"] == r["vec_id"]
+        # partition pruning: the scan carries a non-empty
+        # PartitionFilters on ivf_list (inputFiles() lists the whole
+        # FileIndex regardless of pruning, so the plan is the gate —
+        # same assertion style as the plain-IVF plan-quality test)
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "ivf_list" in plan.split("PartitionFilters")[1][:120]
+
+    # compact build: vectors dropped, ADC-only answers still rank the
+    # planted vector first (its code cell distance is minimal)
+    path2 = str(tmp_path / "ivfpq_small")
+    ivf_pq_write(
+        emb, dim, path2, n_lists=8, seed=7, keep_vectors=False
+    )
+    q = [float(x) for x in probe[0]["embedding"]]
+    rows = ivf_pq_topk(spark, path2, q, k=3, n_probe=2).collect()
+    assert rows[0]["vec_id"] == probe[0]["vec_id"]
+    assert "adc_dist" in rows[0].asDict()
