@@ -55,15 +55,17 @@ class DdlRouter:
         (
             re.compile(
                 r"^\s*CREATE\s+TABLE\s+(\w+)\s+(?:SHALLOW\s+)?CLONE\s+(\w+)"
-                r"(?:\s+VERSION\s+(?:AS\s+OF\s+)?(\d+))?\s*$",
+                r"(?:\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)"
+                r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$",
                 re.I,
             ),
             "_clone",
         ),
         (
             re.compile(
-                r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+"
-                r"(?:AS\s+OF\s+)?(\d+)\s*$",
+                r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+"
+                r"(?:VERSION\s+(?:AS\s+OF\s+)?(\d+)"
+                r"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
                 re.I,
             ),
             "_restore",
@@ -430,31 +432,68 @@ class DdlRouter:
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)
 
-    def _restore(self, name: str, version: str):
-        """RESTORE TABLE t TO VERSION [AS OF] n — roll the table back
-        (or forward) to a retained version as a NEW commit: a pure
-        metadata operation at any table size (manifests name immutable
-        files), history keeps moving forward, and the undone state
-        stays time-travel readable until VACUUM. Delta's RESTORE."""
-        mt = self._require_manifest(name)
-        new_v = mt.restore(int(version))
-        self._register_manifest(name)
-        return [{"table": name, "restored_to": int(version),
-                 "new_version": new_v}]
+    @staticmethod
+    def _ts_epoch(raw: str) -> float:
+        """Parse a TIMESTAMP AS OF literal (ISO, naive = UTC)."""
+        import datetime as _dt
 
-    def _clone(self, name: str, src: str, version: str | None):
-        """CREATE TABLE c [SHALLOW] CLONE t [VERSION [AS OF] n] — a
-        zero-copy clone of a retained snapshot as an independent
-        manifest table. Data files are hard-linked (O(files) metadata,
-        not O(bytes)); unlike Delta's shallow clone, a same-filesystem
-        clone keeps its bytes alive even if the source is vacuumed."""
+        try:
+            ts = _dt.datetime.fromisoformat(raw.replace("T", " "))
+        except ValueError:
+            raise ValueError(
+                f"TIMESTAMP AS OF: cannot parse {raw!r} (use ISO "
+                "'YYYY-MM-DD[ HH:MM:SS[.ffffff]]', taken as UTC)"
+            )
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+
+    def _restore(self, name: str, version: str | None, ts: str | None = None):
+        """RESTORE TABLE t TO VERSION [AS OF] n | TO TIMESTAMP AS OF
+        '<ts>' — roll the table back (or forward) to a retained state
+        as a NEW commit: a pure metadata operation at any table size
+        (manifests name immutable files), history keeps moving forward,
+        and the undone state stays time-travel readable until VACUUM.
+        Delta's RESTORE, both addressing modes."""
+        mt = self._require_manifest(name)
+        v = (
+            int(version)
+            if version
+            else mt.version_at_timestamp(self._ts_epoch(ts))
+        )
+        new_v = mt.restore(v)
+        self._register_manifest(name)
+        return [{"table": name, "restored_to": v, "new_version": new_v}]
+
+    def _clone(
+        self,
+        name: str,
+        src: str,
+        version: str | None,
+        ts: str | None = None,
+    ):
+        """CREATE TABLE c [SHALLOW] CLONE t [VERSION [AS OF] n |
+        TIMESTAMP AS OF '<ts>'] — a zero-copy clone of a retained
+        snapshot as an independent manifest table. Data files are
+        hard-linked (O(files) metadata, not O(bytes)); unlike Delta's
+        shallow clone, a same-filesystem clone keeps its bytes alive
+        even if the source is vacuumed."""
         if name.lower() in self.managed or name.lower() in (
             t.lower() for t in self.engine.catalog.tables
         ):
             raise ValueError(f"table {name} already exists")
         src_mt = self._require_manifest(src)
         path = self._path(name)
-        src_mt.clone(path, version=int(version) if version else None)
+        v = (
+            int(version)
+            if version
+            else (
+                src_mt.version_at_timestamp(self._ts_epoch(ts))
+                if ts
+                else None
+            )
+        )
+        src_mt.clone(path, version=v)
         self.managed[name.lower()] = path
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)

@@ -775,3 +775,26 @@ def test_timestamp_as_of_time_travel(engine, mtab):
         engine.sql(
             f"SELECT count(*) FROM {mtab} TIMESTAMP AS OF '1990-01-01'"
         )
+
+
+def test_restore_and_clone_timestamp_forms(engine, mtab):
+    import datetime as dt
+    import time
+
+    mt = _mt(engine, mtab)
+    n0 = engine.table(mtab).count()
+    time.sleep(1.1)
+    cut = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+    time.sleep(1.1)
+    engine.execute(f"DELETE FROM {mtab} WHERE o_orderkey <= 80")
+    assert engine.table(mtab).count() < n0
+
+    engine.execute(f"CREATE TABLE m_tclone CLONE {mtab} TIMESTAMP AS OF '{cut}'")
+    try:
+        assert engine.table("m_tclone").count() == n0
+    finally:
+        engine.execute("DROP TABLE m_tclone")
+
+    res = engine.execute(f"RESTORE TABLE {mtab} TO TIMESTAMP AS OF '{cut}'")
+    assert engine.table(mtab).count() == n0
+    assert res[0]["new_version"] > res[0]["restored_to"]
