@@ -122,7 +122,16 @@ def load_manifest(log_dir: str, version: int) -> dict:
             "_depth": 0,
         }
     else:
-        base = load_manifest(log_dir, doc["base"])
+        base_v = doc["base"]
+        if not isinstance(base_v, int) or not 0 < base_v < version:
+            # our writer always chains to version-1; anything else is a
+            # corrupt/forged log — fail loudly instead of recursing
+            # into a cycle
+            raise ValueError(
+                f"corrupt manifest log: v{version} claims base "
+                f"{base_v!r} (a delta's base must be an earlier version)"
+            )
+        base = load_manifest(log_dir, base_v)
         rm = set(doc.get("remove", []))
         add = doc.get("add", [])
         files = [f for f in base["files"] if f not in rm]

@@ -425,3 +425,19 @@ def test_vacuum_dry_run_lists_without_deleting(spark, mt, tmp_path):
         assert engine.execute("VACUUM vdr RETAIN 5 VERSIONS DRY RUN") == []
     finally:
         engine.execute("DROP TABLE vdr")
+
+
+def test_corrupt_base_pointer_fails_loudly(spark, mt):
+    """A forged/corrupt delta whose base points at itself (or forward)
+    must raise a corrupt-log error, never recurse into a cycle."""
+    mt.append(spark.range(3).selectExpr("id + 900 AS k", "id AS v"))
+    v = mt.version()
+    p = os.path.join(mt.log_dir, f"v{v}.json")
+    doc = _raw(mt, v)
+    assert _is_delta(doc)
+    doc["base"] = v  # self-cycle
+    with open(p, "w") as fh:
+        json.dump(doc, fh)
+    os.utime(p)
+    with pytest.raises(ValueError, match="corrupt manifest log"):
+        load_manifest(mt.log_dir, v)
