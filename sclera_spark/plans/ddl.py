@@ -70,6 +70,14 @@ class DdlRouter:
             ),
             "_restore",
         ),
+        (
+            re.compile(
+                r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s+"
+                r"CLUSTER\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s+AS\s+(.*)$",
+                re.I | re.S,
+            ),
+            "_ctas_clustered",
+        ),
         (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_ctas"),
         (re.compile(r"^\s*CREATE\s+(?:TEMP\s+)?TABLE\s+(\w+)\s*\((.*)\)\s*$", re.I | re.S), "_create_table"),
         (re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$", re.I | re.S), "_cview"),
@@ -665,6 +673,23 @@ class DdlRouter:
 
     def _ctas(self, name: str, query: str):
         self._materialize(name, self.engine.sql(query))
+
+    def _ctas_clustered(self, name: str, cols: str, query: str):
+        """CREATE TABLE t CLUSTER BY (cols) AS query — materialize
+        range-clustered on the given columns (repartitionByRange +
+        sortWithinPartitions), so per-file min/max are tight from
+        BIRTH and file-level data skipping works without a later
+        OPTIMIZE ... SORT BY pass. The write layout is the whole
+        feature; the logical result is plain CTAS."""
+        keys = [c.strip() for c in cols.split(",") if c.strip()]
+        df = self.engine.sql(query)
+        missing = [c for c in keys if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"CLUSTER BY column(s) {missing} not in the query output"
+            )
+        clustered = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+        self._materialize(name, clustered)
 
     # Sclera type name -> Spark SQL type (reference sql/types/SqlType.scala;
     # SqlDecimal is double-precision float in the reference, :112-124)

@@ -869,3 +869,35 @@ def test_explain_files_reports_skipping(engine, ptab):
         "EXPLAIN FILES SELECT sum(o_totalprice) AS s FROM pt"
     )
     assert rows2[0]["kept_files"] == rows2[0]["total_files"] == full
+
+
+def test_ctas_cluster_by_skips_from_birth(engine):
+    """CREATE TABLE ... CLUSTER BY (k) AS: the very first manifest
+    version's files carry tight disjoint ranges, so a range probe
+    prunes immediately — no OPTIMIZE pass needed."""
+    engine.execute(
+        "CREATE TABLE cb CLUSTER BY (o_orderkey) AS "
+        "SELECT o_orderkey, o_totalprice FROM orders"
+    )
+    engine.execute("ALTER TABLE cb SET FORMAT MANIFEST")
+    try:
+        full = len(engine.table("cb").inputFiles())
+        if full > 1:
+            rows = engine.execute(
+                "EXPLAIN FILES SELECT sum(o_totalprice) AS s FROM cb "
+                "WHERE o_orderkey BETWEEN 10 AND 60"
+            )
+            assert rows[0]["kept_files"] < rows[0]["total_files"]
+        sql = (
+            "SELECT sum(o_totalprice) AS s, count(*) AS n FROM cb "
+            "WHERE o_orderkey BETWEEN 10 AND 60"
+        )
+        assert _rows(engine.sql(sql)) == _rows(_unpruned(engine, sql))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="CLUSTER BY"):
+            engine.execute(
+                "CREATE TABLE cb2 CLUSTER BY (nope) AS SELECT 1 AS a"
+            )
+    finally:
+        engine.execute("DROP TABLE cb")
