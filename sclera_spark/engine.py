@@ -445,7 +445,8 @@ class ScleraEngine:
         )
 
     _TABLE_CHANGES_RE = _re.compile(
-        r"\bTABLE_CHANGES\s*\(\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        r"\bTABLE_CHANGES\s*\(\s*(\w+)\s*,\s*"
+        r"(\d+|'[^']+')\s*(?:,\s*(\d+|'[^']+')\s*)?\)",
         _re.IGNORECASE,
     )
 
@@ -455,13 +456,31 @@ class ScleraEngine:
         (a lazy DataFrame — nothing is read until the query runs) and
         the call text replaced by the view name, so joins, filters and
         aggregates over a change feed compose through Spark SQL."""
+        def bound(tok: str | None, name: str) -> int | None:
+            """A version number, or a quoted timestamp resolved through
+            the same commit-time lookup as TIMESTAMP AS OF."""
+            if tok is None:
+                return None
+            if tok.isdigit():
+                return int(tok)
+            from sclera_spark.plans.ddl import DdlRouter
+
+            mt = self._ddl._require_manifest(name)
+            return mt.version_at_timestamp(
+                DdlRouter._ts_epoch(tok.strip("'"))
+            )
+
+        n = 0
         while True:
             m = self._TABLE_CHANGES_RE.search(query)
             if m is None:
                 return query
-            name, a, b = m.group(1), int(m.group(2)), m.group(3)
-            df = self.table_changes(name, a, int(b) if b else None)
-            view = f"_tc_{name}_{a}_{b or 'latest'}"
+            name = m.group(1)
+            a = bound(m.group(2), name)
+            b = bound(m.group(3), name)
+            df = self.table_changes(name, a, b)
+            view = f"_tc_{name}_{a}_{b if b is not None else 'latest'}_{n}"
+            n += 1
             df.createOrReplaceTempView(view)
             query = query[: m.start()] + view + query[m.end():]
 

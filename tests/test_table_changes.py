@@ -136,3 +136,34 @@ def test_table_changes_sql(engine, tmp_path):
         assert [r["k"] for r in out] == sorted(r["k"] for r in out)
     finally:
         engine.execute("DROP TABLE cdc_t")
+
+
+def test_table_changes_timestamp_bounds(engine, tmp_path):
+    """TABLE_CHANGES accepts quoted timestamps (resolved through the
+    same commit-time lookup as TIMESTAMP AS OF) and mixes with version
+    numbers."""
+    import datetime as dt
+    import time
+
+    engine.execute(
+        "CREATE TABLE cdc_ts AS SELECT o_orderkey AS k FROM orders LIMIT 40"
+    )
+    engine.execute("ALTER TABLE cdc_ts SET FORMAT MANIFEST")
+    try:
+        time.sleep(1.1)
+        cut = dt.datetime.now(dt.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+        time.sleep(1.1)
+        engine.execute("DELETE FROM cdc_ts WHERE k <= 5")
+        n = engine.sql(
+            f"SELECT count(*) AS n FROM TABLE_CHANGES(cdc_ts, '{cut}') "
+            "WHERE _change_type = 'delete'"
+        ).first()["n"]
+        want = engine.sql(
+            "SELECT count(*) AS n FROM (SELECT o_orderkey AS k FROM "
+            "orders LIMIT 40) WHERE k <= 5"
+        ).first()["n"]
+        assert n == want > 0
+    finally:
+        engine.execute("DROP TABLE cdc_ts")
