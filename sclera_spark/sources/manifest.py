@@ -1046,10 +1046,13 @@ class ManifestTable:
             for df, kind in ((ins, "insert"), (dels, "delete")):
                 if df is None:
                     continue
-                step = df.withColumn(
-                    "_change_type", F.lit(kind)
-                ).withColumn(
-                    "_commit_version", F.lit(v).cast("long")
+                step = (
+                    df.withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn(
+                        "_commit_timestamp",
+                        F.lit(self._commit_ts(v)).cast("timestamp"),
+                    )
                 )
                 out = step if out is None else out.unionByName(step)
         if out is None:
@@ -1058,6 +1061,7 @@ class ManifestTable:
                 StringType,
                 StructField,
                 StructType,
+                TimestampType,
             )
 
             empty = StructType(
@@ -1065,10 +1069,25 @@ class ManifestTable:
                 + [
                     StructField("_change_type", StringType()),
                     StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", TimestampType()),
                 ]
             )
             return spark.createDataFrame([], empty)
         return out
+
+    def _commit_ts(self, v: int):
+        """A version's commit wall time as a naive UTC datetime (the
+        log file's mtime — written once; vacuum's snapshot
+        materialization preserves it)."""
+        import datetime as _dt
+
+        try:
+            mt = os.path.getmtime(os.path.join(self.log_dir, f"v{v}.json"))
+        except OSError:
+            return None
+        return _dt.datetime.fromtimestamp(mt, _dt.timezone.utc).replace(
+            tzinfo=None
+        )
 
     def version_at_timestamp(self, ts_epoch: float) -> int:
         """The newest RETAINED version committed at or before the given
@@ -1151,6 +1170,25 @@ class ManifestTable:
                     tmp = dst + ".tmp"
                     shutil.copyfile(src, tmp)
                     os.rename(tmp, dst)
+        # bloom sidecars are immutable with their data file: hard-link
+        # them too, so the clone keeps equality skipping without a
+        # backfill (best-effort — a missing sidecar only disables the
+        # optimization for that file)
+        bdir = self.bloom_dir()
+        if os.path.isdir(bdir):
+            os.makedirs(t.bloom_dir(), exist_ok=True)
+            for name in snap["files"]:
+                src = os.path.join(bdir, name + ".json")
+                if not os.path.exists(src):
+                    continue
+                dst = os.path.join(t.bloom_dir(), name + ".json")
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    try:
+                        shutil.copyfile(src, dst)
+                    except OSError:
+                        pass
         meta = dict(snap["meta"])
         meta["_op"] = "clone"
         meta["cloned_from"] = os.path.abspath(self.path)

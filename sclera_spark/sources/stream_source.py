@@ -100,18 +100,21 @@ def _file_batches(path: str, want):
         yield batch
 
 
-def _tag_batch(batch, change_type: str, version: int):
-    """Append the change-feed columns to a data batch."""
+def _tag_batch(batch, change_type: str, version: int, ts_us: int | None):
+    """Append the change-feed columns to a data batch (same shape as
+    batch TABLE_CHANGES: type, version, commit timestamp)."""
     import pyarrow as pa
 
     n = batch.num_rows
     cols = list(batch.columns) + [
         pa.array([change_type] * n, type=pa.string()),
         pa.array([version] * n, type=pa.int64()),
+        pa.array([ts_us] * n, type=pa.timestamp("us")),
     ]
     fields = list(batch.schema) + [
         pa.field("_change_type", pa.string()),
         pa.field("_commit_version", pa.int64()),
+        pa.field("_commit_timestamp", pa.timestamp("us")),
     ]
     return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
 
@@ -142,8 +145,9 @@ class _FilePartition(InputPartition):
     def __init__(self, path: str, arrow_schema, change=None):
         self.path = path
         self.arrow_schema = arrow_schema
-        # (change_type, commit_version) when streaming a change feed:
-        # this file's rows all carry the same tag (an append commit)
+        # (change_type, commit_version, commit_ts_us) when streaming a
+        # change feed: this file's rows all carry the same tag (an
+        # append commit)
         self.change = change
 
 
@@ -155,11 +159,12 @@ class _DiffPartition(InputPartition):
     is bounded by the commit's CHANGED bytes (capped in partitions()),
     never by table size."""
 
-    def __init__(self, added, removed, version, arrow_schema):
+    def __init__(self, added, removed, version, arrow_schema, ts_us=None):
         self.added = added
         self.removed = removed
         self.version = version
         self.arrow_schema = arrow_schema
+        self.ts_us = ts_us
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -195,7 +200,12 @@ class ManifestStreamReader(DataSourceStreamReader):
                 [
                     f
                     for f in schema.fields
-                    if f.name not in ("_change_type", "_commit_version")
+                    if f.name
+                    not in (
+                        "_change_type",
+                        "_commit_version",
+                        "_commit_timestamp",
+                    )
                 ]
             )
         self.columns = [f.name for f in data_schema.fields]
@@ -275,6 +285,19 @@ class ManifestStreamReader(DataSourceStreamReader):
             removed = sorted(prev_files - cur)
             prev_files = cur
             data_dir = os.path.join(self.table_path, _DATA)
+            ts_us = None
+            if self.read_changes:
+                try:
+                    ts_us = int(
+                        os.path.getmtime(
+                            os.path.join(
+                                self.table_path, _LOG, f"v{v}.json"
+                            )
+                        )
+                        * 1_000_000
+                    )
+                except OSError:
+                    pass
             if removed and self.read_changes:
                 # a change commit: one partition diffs the commit's
                 # added vs removed files row-wise, bounded by the
@@ -299,7 +322,9 @@ class ManifestStreamReader(DataSourceStreamReader):
                         "with batch TABLE_CHANGES instead."
                     )
                 parts.append(
-                    _DiffPartition(paths_a, paths_r, v, self.arrow_schema)
+                    _DiffPartition(
+                        paths_a, paths_r, v, self.arrow_schema, ts_us
+                    )
                 )
                 continue
             if removed and not self.skip_change:
@@ -318,7 +343,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         os.path.join(data_dir, name),
                         self.arrow_schema,
-                        change=("insert", v) if self.read_changes else None,
+                        change=(
+                            ("insert", v, ts_us)
+                            if self.read_changes
+                            else None
+                        ),
                     )
                 )
         return parts
@@ -381,7 +410,9 @@ class ManifestStreamReader(DataSourceStreamReader):
                 continue
             tbl = pa.Table.from_pylist(rows_out, schema=want)
             for batch in tbl.to_batches():
-                yield _tag_batch(batch, kind, partition.version)
+                yield _tag_batch(
+                    batch, kind, partition.version, partition.ts_us
+                )
 
 
 class ManifestStreamSource(DataSource):
@@ -429,6 +460,7 @@ class ManifestStreamSource(DataSource):
             StringType,
             StructField,
             StructType,
+            TimestampType,
         )
 
         fields = [
@@ -443,6 +475,7 @@ class ManifestStreamSource(DataSource):
             fields += [
                 StructField("_change_type", StringType(), True),
                 StructField("_commit_version", LongType(), True),
+                StructField("_commit_timestamp", TimestampType(), True),
             ]
         return StructType(fields)
 

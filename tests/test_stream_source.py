@@ -299,8 +299,10 @@ def test_read_changes_streams_cow_commits(registered, tmp_path):
     got: list = []
     _drain(spark, path, cp, got, read_changes="true")
     rows = [r for _, batch in got for r in batch]
-    # every row carries (k, v, _change_type, _commit_version)
-    assert all(len(r) == 4 for r in rows)
+    # every row carries (k, v, _change_type, _commit_version,
+    # _commit_timestamp) — the batch TABLE_CHANGES shape
+    assert all(len(r) == 5 for r in rows)
+    assert all(r[4] is not None for r in rows)
     ins_v1 = sorted((r[0], r[1]) for r in rows
                     if r[3] == 1 and r[2] == "insert")
     assert ins_v1 == [(i, 2 * i) for i in range(20)]
