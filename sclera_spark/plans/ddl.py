@@ -243,6 +243,10 @@ class DdlRouter:
             re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.I),
             "_describe_history",
         ),
+        (
+            re.compile(r"^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*$", re.I),
+            "_describe_detail",
+        ),
         (re.compile(r"^\s*DESCRIBE\s+(?:(\w+)\.)?(\w+)\s*$", re.I), "_describe"),
     ]
 
@@ -1458,6 +1462,47 @@ class DdlRouter:
             except Exception:
                 pass
         return [{"create_sql": ";\n".join(stmts)}]
+
+    def _describe_detail(self, name: str):
+        """DESCRIBE DETAIL t (Delta's detail shape): one row with the
+        table's storage identity — format, location, current version,
+        commit time, live file/row totals, size on disk, and the
+        configured storage properties (CAS commit point, bloom columns,
+        evolved schema flag). Pure driver metadata at any size."""
+        import os as _os
+
+        mt = self._require_manifest(name)
+        v = mt.version()
+        files = mt.files()
+        size = 0
+        for p in files:
+            try:
+                size += _os.path.getsize(p)
+            except OSError:
+                pass
+        meta = mt.meta()
+        from sclera_spark.sources.manifest import CasManifestTable
+
+        return [
+            {
+                "name": name,
+                "format": "manifest",
+                "location": mt.path,
+                "version": v,
+                "committed_at": (
+                    mt._commit_ts(v).isoformat(sep=" ")
+                    if mt._commit_ts(v)
+                    else None
+                ),
+                "num_files": len(files),
+                "num_rows": mt.row_count(),
+                "size_bytes": size,
+                "cas": CasManifestTable.is_cas_table(mt.path),
+                "bloom_columns": meta.get("bloom_columns"),
+                "schema_evolved": "table_schema" in meta,
+                "retained_versions": len(mt.versions()),
+            }
+        ]
 
     def _explain_files(self, query: str):
         """EXPLAIN FILES <query> — data-skipping observability: for each

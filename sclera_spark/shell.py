@@ -320,7 +320,7 @@ class ShellCompleter:
         "RESET", "QUIT", "EXIT", "PLOT",
         "RESTORE TABLE", "SHALLOW CLONE", "TABLE_CHANGES",
         "ADD COLUMN", "EXPLAIN FILES", "SHOW CREATE TABLE", "DRY RUN",
-        "CLUSTER BY", "TIMESTAMP AS OF",
+        "CLUSTER BY", "TIMESTAMP AS OF", "DESCRIBE DETAIL",
     ]
 
     def __init__(self, engine):

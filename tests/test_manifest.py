@@ -798,3 +798,16 @@ def test_restore_and_clone_timestamp_forms(engine, mtab):
     res = engine.execute(f"RESTORE TABLE {mtab} TO TIMESTAMP AS OF '{cut}'")
     assert engine.table(mtab).count() == n0
     assert res[0]["new_version"] > res[0]["restored_to"]
+
+
+def test_describe_detail(engine, mtab):
+    mt = _mt(engine, mtab)
+    engine.execute(f"ALTER TABLE {mtab} SET BLOOM FILTER (o_custkey)")
+    d = engine.execute(f"DESCRIBE DETAIL {mtab}")[0]
+    assert d["format"] == "manifest" and d["location"] == mt.path
+    assert d["version"] == mt.version()
+    assert d["num_files"] == len(mt.files())
+    assert d["num_rows"] == engine.table(mtab).count()
+    assert d["size_bytes"] > 0 and d["committed_at"]
+    assert d["bloom_columns"] == ["o_custkey"] and d["cas"] is False
+    assert d["retained_versions"] == len(mt.versions())
