@@ -539,6 +539,7 @@ class ScleraEngine:
                 cache = self._plan_cache = {}
             hit = cache.get(key)
             if hit is not None:
+                cache[key] = cache.pop(key)  # LRU touch
                 return hit
         result = None
         if self.config.get("metadata_only_count", "on") == "on":
@@ -546,8 +547,8 @@ class ScleraEngine:
         if result is None:
             result = prune_query(self, ddl, query, df) or df
         if key is not None:
-            if len(cache) > 64:
-                cache.clear()
+            while len(cache) >= 64:
+                cache.pop(next(iter(cache)))  # LRU eviction
             cache[key] = result
         return result
 

@@ -9,10 +9,10 @@ Formats exactly as PostgreSQL documents them publicly:
   never contains a raw tab/newline/backslash (the writer escapes them),
   so splitting on raw separators BEFORE unescaping is lossless.
 - CSV: RFC-ish quoting with ``"`` (doubled inside quotes), embedded
-  newlines legal inside quotes; an UNQUOTED empty field is NULL. We
-  additionally load a QUOTED empty string as NULL (pg distinguishes
-  them; documented caveat in server._copy_in — TEXT is the lossless
-  format).
+  newlines legal inside quotes; an UNQUOTED empty field is NULL while
+  a QUOTED empty string is '' — exactly pg's distinction, so COPY TO
+  STDOUT piped back through COPY FROM STDIN is lossless in BOTH
+  formats.
 
 A trailing ``\\.`` end-of-data line (legacy v2 marker psql still
 emits for file-sourced \\copy) terminates either format. Everything
@@ -98,10 +98,10 @@ def _iter_csv_rows(path: str):
         def end_field():
             nonlocal field, quoted
             text = "".join(field)
-            if not quoted and text == "":
-                row.append(None)
-            else:
-                row.append(text if text else None)
+            # pg CSV: only an UNQUOTED empty field is NULL; a quoted
+            # "" is the empty string — keeping the distinction makes
+            # COPY TO STDOUT → COPY FROM STDIN lossless for ''
+            row.append(None if (not quoted and text == "") else text)
             field = []
             quoted = False
 

@@ -664,9 +664,9 @@ class _Handler(socketserver.BaseRequestHandler):
         one INSERT INTO casts them to the table's column types through
         the engine — so manifest tables get their atomic commit.
 
-        CSV caveat (documented, pg-divergent): an UNQUOTED empty field
-        and a QUOTED empty string both load as NULL; pg distinguishes
-        them. TEXT format is lossless — use it for exact round-trips.
+        CSV nullness follows pg: an UNQUOTED empty field loads as
+        NULL, a QUOTED empty string as '' — so the server's own CSV
+        export re-imports losslessly, same as TEXT.
         A mid-stream CopyFail, or a parse/insert failure, drains the
         copy sub-protocol and reports the error honestly."""
         fmt, header = "text", False

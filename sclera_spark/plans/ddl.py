@@ -391,12 +391,15 @@ class DdlRouter:
         version = mt.version()
         if not hasattr(self, "_mread_cache"):
             self._mread_cache: dict = {}
-        df = self._mread_cache.get((name.lower(), version))
-        if df is None:
+        key = (name.lower(), version)
+        df = self._mread_cache.get(key)
+        if df is not None:
+            self._mread_cache[key] = self._mread_cache.pop(key)  # LRU
+        else:
             df = mt.read(self.engine.spark)
-            if len(self._mread_cache) > 128:
-                self._mread_cache.clear()
-            self._mread_cache[(name.lower(), version)] = df
+            while len(self._mread_cache) >= 128:
+                self._mread_cache.pop(next(iter(self._mread_cache)))
+            self._mread_cache[key] = df
         self.engine.catalog.register(name, df)
 
     def _set_format_manifest(self, name: str, cas: str | None = None):
@@ -1315,6 +1318,32 @@ class DdlRouter:
         self.views.pop(name.lower(), None)
         self.manifest_tables.discard(name.lower())
         path = self.managed.pop(name.lower(), None)
+        # Evict every cache slot pinned to the dropped table: a table
+        # re-created under the same name restarts at version 1, so a
+        # (name, version) key would otherwise serve the DELETED files.
+        low = name.lower()
+        mread = getattr(self, "_mread_cache", None)
+        if mread:
+            for k in [k for k in mread if k[0] == low]:
+                del mread[k]
+        pc = getattr(self.engine, "_plan_cache", None)
+        if pc:
+            # key[1] is the sorted ((table, version), ...) pin set
+            for k in [
+                k
+                for k in pc
+                if any(t == low for t, _ in k[1])
+            ]:
+                del pc[k]
+        rc = getattr(self.engine, "_pruned_read_cache", None)
+        if rc:
+            for k in [k for k in rc if k[0] == low]:
+                del rc[k]
+        # dim-side dynamic-pruning bounds key on file LISTS, which the
+        # rmtree invalidates wholesale — drops are rare, clear it all
+        dc = getattr(self.engine, "_dyn_prune_cache", None)
+        if dc:
+            dc.clear()
         if path and os.path.exists(path):
             shutil.rmtree(path)
 

@@ -891,14 +891,28 @@ def _make_deriver(engine, manifest_dirs):
             size = raw if isinstance(raw, int) else int(raw.toString())
             if size > thr:
                 return []
+            # resolve the attribute to its OUTPUT POSITION before the
+            # cache lookup: two same-named columns in one dim subtree
+            # (e.g. a self-join on "k") must not share a cache slot —
+            # the name alone would serve the first column's bounds for
+            # the other and silently over-prune
+            idx = None
+            for i, out in enumerate(_seq(source.output())):
+                if out.exprId().equals(s_attr.exprId()):
+                    idx = i
+                    break
+            if idx is None:
+                return []
             key = (
                 source.semanticHash(),
                 s_attr.name(),
+                idx,
                 s_cast,
                 tn if is_ts else None,  # micros path shapes the value
                 tuple(_subtree_files(source)),
             )
             if key in cache:
+                cache[key] = cache.pop(key)  # LRU touch
                 lohi = cache[key]
             else:
                 jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
@@ -907,13 +921,6 @@ def _make_deriver(engine, manifest_dirs):
                 from pyspark.sql import DataFrame as _PyDF
 
                 sdf = _PyDF(jds, spark)
-                idx = None
-                for i, out in enumerate(_seq(source.output())):
-                    if out.exprId().equals(s_attr.exprId()):
-                        idx = i
-                        break
-                if idx is None:
-                    return []
                 # positional rename dodges duplicate column names
                 fresh = [f"_c{i}" for i in range(len(sdf.columns))]
                 sdf = sdf.toDF(*fresh)
@@ -951,8 +958,10 @@ def _make_deriver(engine, manifest_dirs):
                     lohi = (lo, hi, values)
                 else:
                     lohi = (row[0], row[1], values)
-                if len(cache) > 256:
-                    cache.clear()
+                while len(cache) >= 256:
+                    # LRU eviction (insertion-order dict; hits re-insert)
+                    # so a steady 256+1-key workload keeps hitting
+                    cache.pop(next(iter(cache)))
                 cache[key] = lohi
             lo, hi, values = lohi
             if lo is None or hi is None:
@@ -1106,15 +1115,17 @@ def prune_query(engine, ddl, query: str, df, report: dict | None = None):
         for name, files in pruned.items():
             key = (name, tuple(files))
             df_p = rcache.get(key)
-            if df_p is None:
+            if df_p is not None:
+                rcache[key] = rcache.pop(key)  # LRU touch
+            else:
                 full = engine.catalog.tables.get(name)
                 df_p = mts[name].read(
                     spark,
                     file_paths=files,
                     schema=None if full is None else full.schema,
                 )
-                if len(rcache) > 128:
-                    rcache.clear()
+                while len(rcache) >= 128:
+                    rcache.pop(next(iter(rcache)))
                 rcache[key] = df_p
             engine.catalog.register(name, df_p)
         _refresh_views(engine, ddl, set(pruned))

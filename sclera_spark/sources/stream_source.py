@@ -277,10 +277,22 @@ class ManifestStreamReader(DataSourceStreamReader):
                             _read_version(self.table_path, v - 1)["files"]
                         )
                     except FileNotFoundError:
-                        # v is the oldest retained version: everything
-                        # in it is "new" only for a from-scratch start;
-                        # otherwise the gap error above already fired
-                        prev_files = set()
+                        # The batch's BASE version (v-1) was vacuumed:
+                        # without it, the diff is unrecoverable and
+                        # delivering the full v snapshot as "added"
+                        # would silently re-ingest the whole table.
+                        # Mirror ManifestTable.changes()'s retention
+                        # check and fail loudly instead.
+                        raise RuntimeError(
+                            f"manifest version {v - 1} of "
+                            f"{self.table_path} (the batch's base) is "
+                            "no longer retained (VACUUM dropped it): "
+                            f"the diff to version {v} cannot be "
+                            "computed, so the stream cannot continue "
+                            "exactly-once. Restart with "
+                            f"starting_version >= {v} (accepting the "
+                            "gap) or retain more versions."
+                        )
             added = sorted(cur - prev_files)
             removed = sorted(prev_files - cur)
             prev_files = cur
@@ -436,23 +448,33 @@ class ManifestStreamSource(DataSource):
             )
         v = _current_version(path)
         manifest = _read_version(path, v)
-        if not manifest["files"]:
-            raise ValueError(
-                f"manifest table {path} has no data files to derive a "
-                "schema from; pass an explicit .schema(...)"
-            )
-        # files commit in log order (survivors first, new files last):
-        # unify the oldest and newest footers so append-style schema
-        # evolution (a column added by a later commit) is visible
-        # without reading every footer of a large snapshot
-        import pyarrow as pa
+        stored = (manifest.get("meta") or {}).get("table_schema")
+        if stored:
+            # the manifest meta records the evolved table schema (the
+            # same source of truth batch read() uses) — authoritative
+            # regardless of file-list ordering, which compaction/COW
+            # rewrites no longer keep in schema-evolution age order
+            from pyspark.sql.types import StructType as _St
 
-        names = manifest["files"]
-        schemas = [
-            pq.ParquetFile(os.path.join(path, _DATA, n)).schema_arrow
-            for n in {names[0]: None, names[-1]: None}
-        ]
-        spark_schema = from_arrow_schema(pa.unify_schemas(schemas))
+            spark_schema = _St.fromJson(json.loads(stored))
+        else:
+            if not manifest["files"]:
+                raise ValueError(
+                    f"manifest table {path} has no data files to derive "
+                    "a schema from; pass an explicit .schema(...)"
+                )
+            # no recorded schema (pre-evolution table): unify the
+            # oldest and newest footers so append-style schema
+            # evolution (a column added by a later commit) is visible
+            # without reading every footer of a large snapshot
+            import pyarrow as pa
+
+            names = manifest["files"]
+            schemas = [
+                pq.ParquetFile(os.path.join(path, _DATA, n)).schema_arrow
+                for n in {names[0]: None, names[-1]: None}
+            ]
+            spark_schema = from_arrow_schema(pa.unify_schemas(schemas))
         # every column nullable: an older file may predate a column
         # (schema evolution) and streams typed NULLs for it
         from pyspark.sql.types import (

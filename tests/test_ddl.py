@@ -560,3 +560,36 @@ def test_show_create_table(spark, tables):
     finally:
         engine.execute("DROP VIEW sct_v")
         engine.execute("DROP TABLE sct")
+
+
+def test_drop_recreate_same_name_serves_fresh_data(engine):
+    """DROP + re-CREATE under the same name restarts the manifest at
+    version 1 — every cache keyed on (name, version) must be evicted
+    at drop time or the recreated table would serve the DELETED
+    files (stale _mread_cache / engine plan caches)."""
+    engine.execute(
+        "CREATE TABLE rc AS SELECT o_orderkey AS k, o_totalprice AS v "
+        "FROM orders WHERE o_orderkey < 100"
+    )
+    engine.execute("ALTER TABLE rc SET FORMAT MANIFEST")
+    n1 = engine.sql("SELECT count(*) AS n FROM rc").first().n
+    s1 = engine.sql(
+        "SELECT sum(v) AS s FROM rc WHERE k < 50"
+    ).first().s
+    assert n1 > 0 and s1 is not None
+
+    engine.execute("DROP TABLE rc")
+    engine.execute(
+        "CREATE TABLE rc AS SELECT o_orderkey AS k, "
+        "CAST(0.0 AS DOUBLE) AS v "
+        "FROM orders WHERE o_orderkey < 10"
+    )
+    engine.execute("ALTER TABLE rc SET FORMAT MANIFEST")
+    # same name, same version number (1), different data: both the
+    # repeated probe (plan cache) and the registration (_mread_cache)
+    # must see the NEW table
+    assert engine.sql("SELECT count(*) AS n FROM rc").first().n < n1
+    assert engine.sql(
+        "SELECT sum(v) AS s FROM rc WHERE k < 50"
+    ).first().s == 0.0
+    engine.execute("DROP TABLE rc")

@@ -901,3 +901,40 @@ def test_ctas_cluster_by_skips_from_birth(engine):
             )
     finally:
         engine.execute("DROP TABLE cb")
+
+
+def test_dynamic_pruning_same_named_dim_columns(engine, ptab):
+    """One dim subtree whose output carries TWO columns named `k`
+    (a join of two tables that both expose `k`): the derived-bounds
+    cache must key on the attribute's OUTPUT POSITION, not its name —
+    otherwise the second key silently reuses the first key's
+    [min,max]/IN-set and over-prunes fact files (dropped rows)."""
+    engine.execute(
+        "CREATE TABLE ddup_a AS SELECT o_orderkey AS j, o_orderkey AS k "
+        "FROM orders WHERE o_orderkey BETWEEN 1200 AND 1300"
+    )
+    engine.execute(
+        "CREATE TABLE ddup_b AS SELECT o_orderkey AS j, o_custkey AS k "
+        "FROM orders WHERE o_orderkey BETWEEN 1200 AND 1300"
+    )
+    try:
+        sql = (
+            "SELECT count(*) AS n, sum(pt.o_totalprice) AS s "
+            "FROM (ddup_a JOIN ddup_b ON ddup_a.j = ddup_b.j) "
+            "JOIN pt ON pt.o_orderkey = ddup_a.k "
+            "AND pt.o_custkey = ddup_b.k"
+        )
+        got = _rows(engine.sql(sql))
+        assert got == _rows(_unpruned(engine, sql))
+        # both same-named keys derived their OWN bounds (two cache
+        # entries, distinguished by output position)
+        names_k = [
+            key
+            for key in engine._dyn_prune_cache
+            if key[1] == "k"
+        ]
+        assert len(names_k) == 2
+        assert len({key[2] for key in names_k}) == 2  # distinct positions
+    finally:
+        engine.execute("DROP TABLE ddup_a")
+        engine.execute("DROP TABLE ddup_b")

@@ -290,8 +290,9 @@ def test_copy_text_codec_roundtrip_fuzz():
     """Property fuzz (no Spark, no psql): the wire COPY TEXT writer and
     the copydata reader are exact inverses over adversarial strings —
     tabs, newlines, carriage returns, backslashes, \\N lookalikes,
-    unicode, NULLs. The CSV pair roundtrips too, modulo the documented
-    quoted-empty->NULL caveat."""
+    unicode, NULLs. The CSV pair is an exact inverse too: the writer
+    quotes empty strings and the reader keeps quoted-empty as ''
+    (only an UNQUOTED empty field is NULL, as in PostgreSQL)."""
     import random
     import tempfile
 
@@ -324,5 +325,4 @@ def test_copy_text_codec_roundtrip_fuzz():
         f.write(enc_csv)
         path = f.name
     dec_csv = list(iter_copy_rows(path, "csv", header=False))
-    want = [[None if v in (None, "") else v for v in r] for r in rows]
-    assert dec_csv == want
+    assert dec_csv == rows

@@ -139,6 +139,75 @@ def test_vacuumed_gap_fails_loudly(registered, tmp_path):
         _drain(spark, path, str(tmp_path / "cp"), [])
 
 
+def test_vacuumed_base_version_fails_instead_of_reingesting(
+    registered, tmp_path
+):
+    """A stream stopped at version N whose BASE (N) is vacuumed while
+    N+1 is retained must fail loudly: silently treating prev_files as
+    empty would deliver the ENTIRE N+1 snapshot as inserts — a
+    duplicate re-ingest that breaks exactly-once."""
+    spark = registered
+    path = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    ManifestTable.create(
+        spark.range(0, 4).selectExpr("id AS k"), path
+    )
+    mt = ManifestTable(path)
+    mt.append(spark.range(4, 6).selectExpr("id AS k"))  # v2
+    got: list = []
+    _drain(spark, path, cp, got)  # checkpoint committed through v2
+    assert _rows(got) == [(i,) for i in range(6)]
+
+    mt.append(spark.range(6, 8).selectExpr("id AS k"))  # v3
+    mt.vacuum(keep_versions=1)  # drops v1, v2 — the stream's base
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        StreamingQueryException, match="the batch's base"
+    ):
+        _drain(spark, path, cp, got)
+    # nothing was double-delivered by the failed attempt
+    assert _rows(got) == [(i,) for i in range(6)]
+
+
+def test_schema_prefers_manifest_meta_table_schema(registered, tmp_path):
+    """When the manifest meta records the evolved table_schema (ALTER
+    TABLE ADD COLUMN), the stream schema comes from THAT — not from
+    footer sampling, which can miss a column confined to mid-list
+    files after a compaction reorders the snapshot."""
+    spark = registered
+    path = str(tmp_path / "t")
+    ManifestTable.create(spark.range(0, 3).selectExpr("id AS k"), path)
+    mt = ManifestTable(path)
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    evolved = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("later", LongType(), True),
+        ]
+    )
+    mt.amend_meta(
+        {"table_schema": _json.dumps(evolved.jsonValue())}
+    )
+    df = (
+        spark.readStream.format("sclera_manifest")
+        .option("path", path)
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["k", "later"]
+    got: list = []
+    _drain(spark, path, str(tmp_path / "cp"), got)
+    assert _rows(got) == [(0, None), (1, None), (2, None)]
+
+
 def test_schema_inference_and_missing_column_nulls(registered, tmp_path):
     """Schema comes from the current snapshot; an OLD file lacking a
     column that the current schema carries streams NULLs for it."""
