@@ -188,12 +188,46 @@ class DdlRouter:
             "_optimize",
         ),
         (
+            # parenthesized form: ADD COLUMNS (c TYPE) — the wrapper
+            # parens are REQUIRED here so a bare `ADD COLUMN c
+            # VARCHAR(20)` never loses its type's closing paren
             re.compile(
                 r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*"
-                r"\(?\s*(\w+)\s+([\w()\s,<>]+?)\s*\)?\s*$",
+                r"\(\s*(\w+)\s+([\w()\s,<>]+?)\s*\)\s*$",
                 re.I,
             ),
             "_add_column",
+        ),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s+"
+                r"(\w+)\s+([\w()\s,<>]+?)\s*$",
+                re.I,
+            ),
+            "_add_column",
+        ),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)"
+                r"\s+TO\s+(\w+)\s*$",
+                re.I,
+            ),
+            "_rename_column",
+        ),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
+                re.I,
+            ),
+            "_drop_column",
+        ),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+"
+                r"(?:TYPE|SET\s+DATA\s+TYPE)\s+([\w()\s,<>]+?)\s*$",
+                re.I,
+            ),
+            "_widen_column",
         ),
         (re.compile(r"^\s*ALTER\b.*$", re.I | re.S), "_alter"),
         (
@@ -613,6 +647,21 @@ class DdlRouter:
         now; every future commit blooms only its new files."""
         mt = self._require_manifest(name)
         columns = [c.strip() for c in cols.split(",") if c.strip()]
+        mapping = mt.column_mapping()
+        if mapping:
+            # store PHYSICAL names: sidecars are built from and probed
+            # against data files, which know nothing of renames
+            by_name = {
+                e["name"].lower(): e["physical"]
+                for e in mapping
+                if not e.get("dropped")
+            }
+            missing = [c for c in columns if c.lower() not in by_name]
+            if missing:
+                raise KeyError(
+                    f"SET BLOOM FILTER: {missing} not columns of {name}"
+                )
+            columns = [by_name[c.lower()] for c in columns]
         meta: dict = {"bloom_columns": columns}
         if fpp:
             meta["bloom_fpp"] = float(fpp)
@@ -1035,9 +1084,15 @@ class DdlRouter:
                     # driver holding ~1M path strings
                     use_cow = hits is not None and len(hits) <= self.cow_file_cap
                     if use_cow:
-                        spark.read.parquet(*hits).createOrReplaceTempView(
-                            "__merge_tsub"
+                        # manifest tables read hit files through the
+                        # table (column mapping: files store PHYSICAL
+                        # names, the MERGE clauses reference logical)
+                        sub = (
+                            mt.read(spark, file_paths=hits)
+                            if is_manifest
+                            else spark.read.parquet(*hits)
                         )
+                        sub.createOrReplaceTempView("__merge_tsub")
                     else:
                         tgt.createOrReplaceTempView("__merge_tsub")
                     if upd:
@@ -1149,8 +1204,8 @@ class DdlRouter:
                     if not cand:
                         return True  # no file can match: DML is a no-op
                     if len(cand) < len(mt.files()):
-                        probe = self.engine.spark.read.parquet(
-                            *cand
+                        probe = mt.read(
+                            self.engine.spark, file_paths=cand
                         ).filter(F.expr(where))
             hit_uris = [
                 r[0]
@@ -1175,7 +1230,9 @@ class DdlRouter:
         if is_manifest:
             if len(hits) >= len(mt.files()):
                 return False  # every file touched: full rewrite is simpler
-            out = transform(self.engine.spark.read.parquet(*hits))
+            out = transform(
+                mt.read(self.engine.spark, file_paths=hits)
+            )
             # one atomic commit: old snapshot or new, never in between
             mt.replace_files(hits, out)
             self._register_manifest(name)
@@ -1442,6 +1499,12 @@ class DdlRouter:
             )
         from pyspark.sql.types import StructField, StructType
 
+        if mt.column_mapping() is not None:
+            # mapped table: the mapping assigns the new column a fresh
+            # id and a never-reused physical name (manifest.py)
+            mt.add_column_mapped(col, dt)
+            self._register_manifest(name)
+            return
         cur = mt.read(spark).schema
         if col.lower() in (f.name.lower() for f in cur.fields):
             raise ValueError(
@@ -1453,6 +1516,44 @@ class DdlRouter:
         mt.amend_meta(
             {"table_schema": _json.dumps(evolved.jsonValue()), "_op": "add_column"}
         )
+        self._register_manifest(name)
+
+    def _rename_column(self, name: str, old: str, new: str):
+        """ALTER TABLE t RENAME COLUMN a TO b — a pure metadata commit
+        via column-mapping ids (sources/manifest.py): data files,
+        footer stats, null counts and bloom sidecars key on the
+        column's PHYSICAL name, which never changes, so every skipping
+        structure stays live across the rename."""
+        mt = self._require_manifest(name)
+        mt.rename_column(self.engine.spark, old, new)
+        self._register_manifest(name)
+
+    def _drop_column(self, name: str, col: str):
+        """ALTER TABLE t DROP COLUMN c — a metadata tombstone: reads
+        stop projecting the column; files keep the bytes (reclaiming
+        them is a rewrite, as in Delta); the physical name stays
+        reserved so a later ADD COLUMN of the same name can never
+        read the dead column's data."""
+        mt = self._require_manifest(name)
+        mt.drop_column(self.engine.spark, col)
+        self._register_manifest(name)
+
+    def _widen_column(self, name: str, col: str, typ: str):
+        """ALTER TABLE t ALTER COLUMN c TYPE <wider> — type widening
+        as a metadata commit; only in-place parquet promotions are
+        legal (byte<short<int<long, float->double, int-family->
+        double)."""
+        mt = self._require_manifest(name)
+        spark = self.engine.spark
+        try:
+            dt = spark.sql(f"SELECT CAST(NULL AS {typ}) AS c").schema[
+                0
+            ].dataType
+        except Exception:
+            raise ValueError(
+                f"ALTER TABLE {name} ALTER COLUMN: invalid type {typ!r}"
+            )
+        mt.widen_column(spark, col, dt)
         self._register_manifest(name)
 
     def _show_create(self, name: str):

@@ -404,6 +404,203 @@ class ManifestTable:
         absence marks a legacy file whose stats lack type tags."""
         return self._manifest(version).get("nulls", {})
 
+    # ---- column mapping (RENAME / DROP COLUMN, type widening) ----
+    #
+    # Delta-style column-mapping-by-id (public Delta protocol's
+    # `columnMapping.mode = name`): each column gets a stable id and a
+    # PHYSICAL name — the name under which data files store it, fixed
+    # forever at assignment — while the LOGICAL (user-facing) name and
+    # type live in manifest meta and can change as pure metadata
+    # commits. Stats, null counts and bloom sidecars all key on the
+    # physical name, so a rename keeps every skipping structure live
+    # without touching a single data file; DROP is a tombstone applied
+    # at read; widening (int->long, float->double, int-family->double)
+    # re-types the read schema and lets the parquet reader's widening
+    # promotion (Spark 4) read old narrow files in place.
+    # Reference context: the reference evolves schemas by forwarding
+    # ALTER to the location RDBMS (SqlAdminParser.scala); this is the
+    # lakehouse-native equivalent for manifest-managed tables.
+
+    _WIDEN_CHAIN = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+    def column_mapping(self, version: int | None = None) -> list | None:
+        """The column-mapping table of a version, or None for tables
+        that never evolved (logical == physical). Entries:
+        ``{"id", "name", "physical", "type", "dropped"}`` where
+        ``type`` is the Spark dataType jsonValue of the LOGICAL
+        (possibly widened) type. Order is column order. Returns a
+        DEEP COPY — callers mutate entries freely without corrupting
+        the shared resolved-manifest cache."""
+        raw = self._manifest(version).get("meta", {}).get("columns")
+        return json.loads(json.dumps(raw)) if raw else None
+
+    def _fresh_mapping(self, spark) -> list:
+        """First-evolution bootstrap: derive the mapping from the
+        current logical schema (physical = logical for every column
+        written so far)."""
+        schema = self.read(spark).schema
+        return [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "physical": f.name,
+                "type": f.dataType.jsonValue(),
+            }
+            for i, f in enumerate(schema.fields)
+        ]
+
+    @staticmethod
+    def _mapping_schemas(mapping):
+        """(physical read schema, logical schema, live entries) for a
+        mapping. Physical fields carry the LOGICAL (widened) type —
+        the parquet reader's widening promotion handles narrow old
+        files — under the physical name; the projection then aliases
+        physical -> logical."""
+        from pyspark.sql.types import StructType
+
+        live = [e for e in mapping if not e.get("dropped")]
+
+        def _struct(key):
+            return StructType.fromJson(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": e[key],
+                            "type": e["type"],
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                        for e in live
+                    ],
+                }
+            )
+
+        return _struct("physical"), _struct("name"), live
+
+    def _commit_mapping(self, mapping: list, op: str, extra: dict | None = None):
+        """One metadata commit carrying the evolved mapping plus the
+        matching logical table_schema (the schema source of truth the
+        batch/stream readers consult)."""
+        _, logical, _ = self._mapping_schemas(mapping)
+        self.amend_meta(
+            {
+                "columns": mapping,
+                "table_schema": json.dumps(logical.jsonValue()),
+                "_op": op,
+                **(extra or {}),
+            }
+        )
+
+    def _live_entry(self, mapping: list, name: str) -> dict:
+        hits = [
+            e
+            for e in mapping
+            if not e.get("dropped")
+            and e["name"].lower() == name.lower()
+        ]
+        if not hits:
+            raise KeyError(
+                f"column {name!r} does not exist on {self.path}"
+            )
+        return hits[0]
+
+    def rename_column(self, spark, old: str, new: str) -> None:
+        """RENAME COLUMN as a pure metadata commit: the physical name
+        (and with it every stat, null count and bloom sidecar) is
+        untouched; only the logical name changes."""
+        mapping = self.column_mapping() or self._fresh_mapping(spark)
+        entry = self._live_entry(mapping, old)
+        clash = [
+            e
+            for e in mapping
+            if not e.get("dropped")
+            and e is not entry
+            and e["name"].lower() == new.lower()
+        ]
+        if clash:
+            raise ValueError(
+                f"RENAME COLUMN: {new!r} already exists on {self.path}"
+            )
+        entry["name"] = new
+        self._commit_mapping(mapping, "rename_column")
+
+    def drop_column(self, spark, col: str) -> None:
+        """DROP COLUMN as a metadata tombstone: data files keep the
+        physical column (ignored at read; vacuum of the bytes would be
+        a rewrite — same tradeoff Delta documents); the physical name
+        stays RESERVED so a later ADD COLUMN can never alias old
+        data."""
+        mapping = self.column_mapping() or self._fresh_mapping(spark)
+        entry = self._live_entry(mapping, col)
+        if sum(1 for e in mapping if not e.get("dropped")) <= 1:
+            raise ValueError(
+                f"DROP COLUMN would leave {self.path} with no columns"
+            )
+        entry["dropped"] = True
+        entry["name"] = None  # physical name stays as the reservation
+        extra = {}
+        blooms = self.meta().get("bloom_columns")
+        if blooms and entry["physical"] in blooms:
+            extra["bloom_columns"] = [
+                c for c in blooms if c != entry["physical"]
+            ]
+        self._commit_mapping(mapping, "drop_column", extra)
+
+    def widen_column(self, spark, col: str, new_type) -> None:
+        """Type widening as a metadata commit — only promotions the
+        parquet vectorized reader performs in place are legal
+        (byte<short<integer<long, float->double, integer-family ->
+        double): old narrow files stay readable, new files write the
+        wide type, and numeric stats compare across both."""
+        mapping = self.column_mapping() or self._fresh_mapping(spark)
+        entry = self._live_entry(mapping, col)
+        old_t, new_t = entry["type"], new_type.jsonValue()
+        chain = self._WIDEN_CHAIN
+        ok = (
+            (old_t in chain and new_t in chain and chain[new_t] > chain[old_t])
+            or (old_t == "float" and new_t == "double")
+            or (old_t in ("byte", "short", "integer", "float")
+                and new_t == "double")
+        )
+        if not ok:
+            raise ValueError(
+                f"ALTER COLUMN {col}: {old_t} -> {new_t} is not a "
+                "widening the parquet reader can perform in place "
+                "(allowed: byte<short<int<long, float->double, "
+                "byte/short/int/float->double); narrowing or "
+                "re-typing needs a rewrite (CREATE TABLE ... AS)"
+            )
+        entry["type"] = new_t
+        self._commit_mapping(mapping, "widen_column")
+
+    def add_column_mapped(self, col: str, dt) -> None:
+        """ADD COLUMN on an already-mapped table: fresh id, and a
+        physical name guaranteed never to collide with any physical
+        name EVER used (dropped entries stay as reservations) — old
+        files can therefore never leak a dead column's bytes into a
+        new column that reuses its logical name."""
+        mapping = self.column_mapping()
+        if mapping is None:
+            raise ValueError("add_column_mapped needs an existing mapping")
+        if any(
+            not e.get("dropped") and e["name"].lower() == col.lower()
+            for e in mapping
+        ):
+            raise ValueError(f"column {col!r} already exists")
+        new_id = max(e["id"] for e in mapping) + 1
+        used = {e["physical"].lower() for e in mapping}
+        phys = col if col.lower() not in used else f"{col}__c{new_id}"
+        mapping.append(
+            {
+                "id": new_id,
+                "name": col,
+                "physical": phys,
+                "type": dt.jsonValue(),
+            }
+        )
+        self._commit_mapping(mapping, "add_column")
+
     def history(self) -> list[dict]:
         """Retained commit history, NEWEST FIRST (DESCRIBE HISTORY t —
         Delta's history command shape): per version the commit kind
@@ -613,6 +810,22 @@ class ManifestTable:
                 if prune
                 else self.files(version)
             )
+        mapping = self.column_mapping(version)
+        if mapping:
+            # column-mapped table: data files store PHYSICAL names and
+            # possibly narrower pre-widening types; read under the
+            # physical schema (the reader's widening promotion lifts
+            # narrow files), then alias physical -> logical. The
+            # ``schema`` hint is superseded — the mapping itself holds
+            # the types, so there is no inference job to skip.
+            from pyspark.sql import functions as F
+
+            physical, logical, live = self._mapping_schemas(mapping)
+            if not files:
+                return spark.createDataFrame([], logical)
+            return spark.read.schema(physical).parquet(*files).select(
+                [F.col(e["physical"]).alias(e["name"]) for e in live]
+            )
         if schema is None:
             # schema evolution (ALTER TABLE ADD COLUMN): the evolved
             # schema rides the manifest meta — files that predate a
@@ -812,7 +1025,15 @@ class ManifestTable:
                 return []
         total = sum(os.path.getsize(p) for p in small)
         n_out = int(max(1, -(-total // target_bytes)))  # ceil
-        df = spark.read.parquet(*small)
+        if self.column_mapping() is not None:
+            # evolved table: rewrite through the LOGICAL projection —
+            # narrow pre-widening files unify under the wide type,
+            # cluster_by names resolve, and (as in Delta) compaction
+            # reclaims dropped-column bytes; _stage maps the output
+            # back to physical names
+            df = self.read(spark, file_paths=small)
+        else:
+            df = spark.read.parquet(*small)
         if cluster_by:
             from pyspark.sql import functions as F
 
@@ -1024,6 +1245,8 @@ class ManifestTable:
             if added:
                 a_df = self.read(
                     spark,
+                    version=to_v,  # end-version column mapping (CDC
+                    # reads the whole range under the latest names)
                     file_paths=[
                         os.path.join(self.data_dir, n) for n in added
                     ],
@@ -1032,6 +1255,7 @@ class ManifestTable:
             if removed:
                 r_df = self.read(
                     spark,
+                    version=to_v,
                     file_paths=[
                         os.path.join(self.data_dir, n) for n in removed
                     ],
@@ -1236,7 +1460,38 @@ class ManifestTable:
         """Write ``df`` to a scratch dir under collision-free final names.
         The (slow) Spark write happens OUTSIDE the writer lock; files
         enter data/ only via :meth:`_adopt` inside the lock — so nothing
-        unpublished ever sits in data/ where vacuum could eat it."""
+        unpublished ever sits in data/ where vacuum could eat it.
+
+        Column-mapped tables (schema evolution) write under PHYSICAL
+        names: incoming frames carry logical columns, which are aliased
+        back here so footer stats / null counts / bloom sidecars stay
+        keyed consistently across renames."""
+        try:
+            mapping = self.column_mapping()
+        except FileNotFoundError:
+            mapping = None  # create(): no version published yet
+        if mapping:
+            from pyspark.sql import functions as F
+
+            phys = {
+                e["name"].lower(): e["physical"]
+                for e in mapping
+                if not e.get("dropped")
+            }
+            unknown = [c for c in df.columns if c.lower() not in phys]
+            if unknown:
+                # a physical-named (or otherwise foreign) frame must
+                # never be staged against the mapping: a logical name
+                # that happens to equal ANOTHER column's physical name
+                # would silently cross-wire the two
+                raise ValueError(
+                    f"stage on {self.path}: columns {unknown} are not "
+                    "columns of the table (write frames under the "
+                    "table's LOGICAL column names)"
+                )
+            df = df.select(
+                [F.col(c).alias(phys[c.lower()]) for c in df.columns]
+            )
         scratch = tempfile.mkdtemp(prefix="sclera_manifest_")
         df.write.mode("overwrite").parquet(scratch)
         tag = uuid.uuid4().hex[:8]

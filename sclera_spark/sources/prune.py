@@ -1113,7 +1113,11 @@ def prune_query(engine, ddl, query: str, df, report: dict | None = None):
         if rcache is None:
             rcache = engine._pruned_read_cache = {}
         for name, files in pruned.items():
-            key = (name, tuple(files))
+            # version in the key: a metadata-only commit (RENAME /
+            # DROP COLUMN, widening) changes the read projection
+            # without changing the file list — the file tuple alone
+            # would serve a stale pre-evolution DataFrame
+            key = (name, mts[name].version(), tuple(files))
             df_p = rcache.get(key)
             if df_p is not None:
                 rcache[key] = rcache.pop(key)  # LRU touch

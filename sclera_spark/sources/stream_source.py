@@ -76,23 +76,25 @@ def _current_version(table_path: str) -> int:
         return int(fh.read().strip())
 
 
-def _file_batches(path: str, want):
+def _file_batches(path: str, want, phys=None):
     """Arrow batches of one parquet file aligned to the reader schema:
     a file missing a column (schema evolution) streams TYPED nulls for
-    it, so every batch matches."""
+    it, so every batch matches. ``phys`` (column-mapped tables) lists
+    the PHYSICAL file-side name of each reader field — data selects by
+    physical name, the emitted batch carries the logical one; casts
+    lift pre-widening narrow files to the mapped (wide) type."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    phys = list(phys) if phys else list(want.names)
     pf = pq.ParquetFile(path)
-    names = [c for c in want.names if c in pf.schema_arrow.names]
-    for batch in pf.iter_batches(columns=names):
-        if names != want.names:
+    avail = [c for c in phys if c in pf.schema_arrow.names]
+    for batch in pf.iter_batches(columns=avail):
+        if avail != list(want.names) or phys != list(want.names):
             arrays = []
-            for field in want:
-                if field.name in names:
-                    arr = batch.column(names.index(field.name)).cast(
-                        field.type
-                    )
+            for field, p in zip(want, phys):
+                if p in avail:
+                    arr = batch.column(avail.index(p)).cast(field.type)
                 else:
                     arr = pa.nulls(batch.num_rows, type=field.type)
                 arrays.append(arr)
@@ -142,9 +144,10 @@ def _canon_cell(v):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, arrow_schema, change=None):
+    def __init__(self, path: str, arrow_schema, change=None, phys=None):
         self.path = path
         self.arrow_schema = arrow_schema
+        self.phys = phys  # physical file-side column names (mapping)
         # (change_type, commit_version, commit_ts_us) when streaming a
         # change feed: this file's rows all carry the same tag (an
         # append commit)
@@ -159,12 +162,15 @@ class _DiffPartition(InputPartition):
     is bounded by the commit's CHANGED bytes (capped in partitions()),
     never by table size."""
 
-    def __init__(self, added, removed, version, arrow_schema, ts_us=None):
+    def __init__(
+        self, added, removed, version, arrow_schema, ts_us=None, phys=None
+    ):
         self.added = added
         self.removed = removed
         self.version = version
         self.arrow_schema = arrow_schema
         self.ts_us = ts_us
+        self.phys = phys
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -212,6 +218,25 @@ class ManifestStreamReader(DataSourceStreamReader):
         # typed arrow schema rides along to executors so a file missing
         # a column (schema evolution) can fill TYPED nulls
         self.arrow_schema = to_arrow_schema(data_schema)
+        # column-mapped table (RENAME/DROP/widen): files store columns
+        # under PHYSICAL names — resolve logical -> physical once at
+        # reader init (latest mapping, same vintage as the schema)
+        self.phys = None
+        try:
+            mapping = (
+                _read_version(table_path, _current_version(table_path))
+                .get("meta", {})
+                .get("columns")
+            )
+        except (FileNotFoundError, OSError):
+            mapping = None
+        if mapping:
+            by_name = {
+                e["name"]: e["physical"]
+                for e in mapping
+                if not e.get("dropped")
+            }
+            self.phys = [by_name.get(c, c) for c in self.columns]
         try:
             self.start_version = int(options.get("starting_version", 0))
         except (TypeError, ValueError):
@@ -335,7 +360,12 @@ class ManifestStreamReader(DataSourceStreamReader):
                     )
                 parts.append(
                     _DiffPartition(
-                        paths_a, paths_r, v, self.arrow_schema, ts_us
+                        paths_a,
+                        paths_r,
+                        v,
+                        self.arrow_schema,
+                        ts_us,
+                        phys=self.phys,
                     )
                 )
                 continue
@@ -360,6 +390,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                             if self.read_changes
                             else None
                         ),
+                        phys=self.phys,
                     )
                 )
         return parts
@@ -375,7 +406,9 @@ class ManifestStreamReader(DataSourceStreamReader):
             return
         import pyarrow as pa
 
-        for batch in _file_batches(partition.path, partition.arrow_schema):
+        for batch in _file_batches(
+            partition.path, partition.arrow_schema, partition.phys
+        ):
             if partition.change is not None:
                 batch = _tag_batch(batch, *partition.change)
             yield batch
@@ -394,7 +427,7 @@ class ManifestStreamReader(DataSourceStreamReader):
 
         def rows(paths):
             for p in paths:
-                for batch in _file_batches(p, want):
+                for batch in _file_batches(p, want, partition.phys):
                     yield from batch.to_pylist()
 
         residual = collections.Counter(
