@@ -1069,12 +1069,15 @@ class DdlRouter:
                     ins_stage = path + ".insstage"
                     new_rows.write.mode("overwrite").parquet(ins_stage)
             if upd or dele:
+                # capped like _cow_rewrite: collect at most cap+1
+                # distinct paths — a full-table MERGE never holds the
+                # whole file list driver-side, it just trips use_cow
                 hit_uris = [
                     r[0]
                     for r in spark.sql(
                         f"SELECT DISTINCT {talias}.__sclera_file "
                         f"FROM __merge_t {talias} JOIN __merge_s {salias} "
-                        f"ON {cond}"
+                        f"ON {cond} LIMIT {self.cow_file_cap + 1}"
                     ).collect()
                 ]
                 if hit_uris:
@@ -1207,11 +1210,16 @@ class DdlRouter:
                         probe = mt.read(
                             self.engine.spark, file_paths=cand
                         ).filter(F.expr(where))
+            # LIMIT cap+1 BEFORE collecting: a broad predicate on a
+            # million-file table must trip the fallback without ever
+            # materializing the full path list on the driver — the
+            # executors stop feeding distinct paths past the cap
             hit_uris = [
                 r[0]
                 for r in probe
                 .select(F.col("_metadata.file_path"))
                 .distinct()
+                .limit(self.cow_file_cap + 1)
                 .collect()
             ]
         except (ImportError, NameError):

@@ -219,16 +219,28 @@ def might_contain(bloom: dict, value) -> bool:
 
 
 def build_blooms(spark, file_paths: list[str], columns: list[str], fpp: float):
-    """One distributed job building {data file name: {column:
-    {"m","k","b"}}} for the given parquet files: the JVM's xxhash64
-    produces (h1, h2) per row, an Arrow-batched grouped aggregate
-    folds each file's hashes into a bitmap sized from that FILE'S OWN
-    row count. Nothing here scales with table size — only with the
-    rows being committed, exactly like stats collection."""
+    """Distributed build of {data file name: {column: {"m","k","t","b"}}}
+    for the given parquet files, as a TWO-PHASE fold:
+
+    1. (m, k) per file come from the parquet footers' row counts
+       (driver metadata reads — the same footers stats collection
+       opens), so bitmap sizing never needs a whole file in memory.
+    2. ``mapInPandas`` folds each Arrow batch into per-(file, column)
+       PARTIAL bitmaps accumulated per task — executor memory is one
+       Arrow batch plus the bitmaps, never a file's full hash columns
+       (the pre-r10 shape pinned a whole imported multi-GB file in one
+       pandas frame).
+    3. A grouped OR-merge unions the partials per file (bloom insertion
+       is a bitwise OR, so the union over any batch split is byte-equal
+       to the single-pass build — property-pinned in test_bloom.py).
+
+    Nothing here scales with table size — only with the rows being
+    committed, exactly like stats collection."""
     import os
 
     import numpy as np
     import pandas as pd
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(*file_paths)
@@ -240,6 +252,12 @@ def build_blooms(spark, file_paths: list[str], columns: list[str], fpp: float):
     ]
     if not present:
         return {}
+    # phase 1: footer row counts -> per-file bitmap parameters
+    params: dict[str, tuple[int, int]] = {}
+    for p in file_paths:
+        n = pq.ParquetFile(p).metadata.num_rows
+        params[os.path.basename(p)] = bloom_params(max(n, 1), fpp)
+
     sel = [F.col("_metadata.file_path").alias("_file")]
     for c in present:
         sel.append(F.xxhash64(F.col(c)).alias(f"_h1_{c}"))
@@ -247,46 +265,93 @@ def build_blooms(spark, file_paths: list[str], columns: list[str], fpp: float):
         sel.append(F.col(c).isNull().alias(f"_n_{c}"))
     hashed = df.select(*sel)
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = {}
-        n = len(pdf)
-        for c in present:
-            mask = ~pdf[f"_n_{c}"].to_numpy()
-            h1 = pdf[f"_h1_{c}"].to_numpy(dtype=np.uint64)[mask]
-            h2 = pdf[f"_h2_{c}"].to_numpy(dtype=np.uint64)[mask] | np.uint64(1)
-            m, k = bloom_params(n, fpp)
-            bits = np.zeros(m // 8, dtype=np.uint8)
-            for i in range(k):
-                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
-                np.bitwise_or.at(
-                    bits, (pos >> np.uint64(3)).astype(np.int64),
-                    np.left_shift(
-                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
-                    ),
-                )
-            out[c] = {
-                "m": m,
-                "k": k,
-                "t": types[c],
-                "b": base64.b64encode(bits.tobytes()).decode(),
-            }
+    from urllib.parse import urlparse
+
+    def _name(uri: str) -> str:
+        return os.path.basename(urlparse(uri).path)
+
+    def fold_partials(batches):
+        # phase 2: one partial bitmap per (file, column) PER TASK
+        acc: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            for fname, grp in pdf.groupby(pdf["_file"].map(_name)):
+                mk = params.get(fname)
+                if mk is None:
+                    continue  # foreign file in the read (never listed)
+                m, k = mk
+                for c in present:
+                    mask = ~grp[f"_n_{c}"].to_numpy()
+                    h1 = grp[f"_h1_{c}"].to_numpy(dtype=np.uint64)[mask]
+                    h2 = (
+                        grp[f"_h2_{c}"].to_numpy(dtype=np.uint64)[mask]
+                        | np.uint64(1)
+                    )
+                    bits = acc.get((fname, c))
+                    if bits is None:
+                        bits = acc[(fname, c)] = np.zeros(
+                            m // 8, dtype=np.uint8
+                        )
+                    for i in range(k):
+                        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                        np.bitwise_or.at(
+                            bits,
+                            (pos >> np.uint64(3)).astype(np.int64),
+                            np.left_shift(
+                                np.uint8(1),
+                                (pos & np.uint64(7)).astype(np.uint8),
+                            ),
+                        )
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "file": [f for f, _ in acc],
+                    "col": [c for _, c in acc],
+                    "bits": [v.tobytes() for v in acc.values()],
+                }
+            )
+
+    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # phase 3: union the task partials of one (file, column)
+        bits = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bits"].iloc[1:]:
+            bits |= np.frombuffer(b, dtype=np.uint8)
         return pd.DataFrame(
             {
-                "file": [pdf["_file"].iloc[0]],
-                "bloom": [__import__("json").dumps(out)],
+                "file": [pdf["file"].iloc[0]],
+                "col": [pdf["col"].iloc[0]],
+                "b64": [base64.b64encode(bits.tobytes()).decode()],
             }
         )
 
     rows = (
-        hashed.groupBy("_file")
-        .applyInPandas(fold, "file string, bloom string")
+        hashed.mapInPandas(
+            fold_partials, "file string, col string, bits binary"
+        )
+        .groupBy("file", "col")
+        .applyInPandas(or_merge, "file string, col string, b64 string")
         .collect()
     )
-    import json as _json
-    from urllib.parse import urlparse
-
-    result = {}
+    result: dict[str, dict] = {}
     for r in rows:
-        name = os.path.basename(urlparse(r["file"]).path)
-        result[name] = _json.loads(r["bloom"])
+        m, k = params[r["file"]]
+        result.setdefault(r["file"], {})[r["col"]] = {
+            "m": m,
+            "k": k,
+            "t": types[r["col"]],
+            "b": r["b64"],
+        }
+    # a zero-row file produces no partials: give it all-zero bitmaps
+    # (it definitely contains no value — probes prune it), so every
+    # listed file gets a sidecar and backfill converges
+    for fname, (m, k) in params.items():
+        for c in present:
+            result.setdefault(fname, {}).setdefault(
+                c,
+                {
+                    "m": m,
+                    "k": k,
+                    "t": types[c],
+                    "b": base64.b64encode(bytes(m // 8)).decode(),
+                },
+            )
     return result

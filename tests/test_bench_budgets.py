@@ -29,3 +29,33 @@ def test_gate_only_at_calibrated_point():
     assert bench.check_budgets(bad, 0.01, 1) == []  # wrong SF
     assert bench.check_budgets(bad, 0.1, 10) == []  # replicated stress run
     assert len(bench.check_budgets(bad, 0.1, 1)) == len(bench.BUDGETS)
+
+
+def test_engine_sql_fixed_cost_floor(spark, tables):
+    """The per-statement driver overhead of engine.sql — the gate
+    regexes, TABLE_CHANGES rewrite probe, plot-clause split and the
+    manifest-pruning hook's early-outs — must stay bounded for a plain
+    non-manifest query. This is the serving path's latency floor: a
+    driver-side regression here taxes EVERY query, so it is pinned
+    like the bench budgets. We measure LOWERING only (no .collect()):
+    the Spark job itself is not under test."""
+    import time
+
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    for name, df in tables.items():
+        engine.add_table(name, df)
+    q = (
+        "SELECT r_name, count(*) AS n FROM region "
+        "GROUP BY r_name ORDER BY r_name"
+    )
+    engine.sql(q)  # warm: regex compiles, first-plan caches
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        engine.sql(q)
+    per_stmt = (time.perf_counter() - t0) / reps
+    # generous 150 ms bound: actual is ~5-30 ms (analysis dominates);
+    # a gate-regex or plan-walk regression shows up as 2-10x
+    assert per_stmt < 0.15, f"engine.sql overhead {per_stmt * 1000:.1f} ms"

@@ -251,3 +251,67 @@ def test_cas_tables_bloom_too(spark, tables, tmp_path):
         assert sorted(r.k for r in df.collect()) == exp and exp
     finally:
         engine.execute("DROP TABLE cbt")
+
+
+def test_chunked_build_or_merge_equals_single_pass(spark, tmp_path):
+    """Bloom insertion is a bitwise OR, so the two-phase build (per-task
+    partial bitmaps, grouped OR-merge) must be BYTE-EQUAL no matter how
+    the rows are split into Arrow batches. Forcing tiny batches makes
+    many partials per file; the merged sidecars must match the
+    effectively-single-pass build bit for bit."""
+    from sclera_spark.sources.bloom import build_blooms
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 11 = 0 THEN NULL "
+        "ELSE concat('v', CAST(id % 997 AS STRING)) END AS s",
+    )
+    path = str(tmp_path / "p")
+    df.coalesce(2).write.parquet(path)
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+    assert len(files) == 2
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "64")  # many partials per file
+        chunked = build_blooms(spark, files, ["k", "s"], 0.01)
+        spark.conf.set(conf, "1000000")  # one batch = single pass
+        single = build_blooms(spark, files, ["k", "s"], 0.01)
+    finally:
+        spark.conf.set(conf, old)
+    assert chunked == single
+    # sanity: the filters actually answer probes
+    from sclera_spark.sources.bloom import might_contain
+
+    name = os.path.basename(files[0])
+    assert might_contain(chunked[name]["s"], "v1") in (True, False)
+    absent = sum(
+        1
+        for nm in chunked
+        for v in ("nope-1", "nope-2", "nope-3")
+        if not might_contain(chunked[nm]["s"], v)
+    )
+    assert absent >= 4  # definitely-absent answers dominate
+
+
+def test_zero_row_file_gets_all_zero_sidecar(spark, tmp_path):
+    """A zero-row part file yields no Arrow batches: it must still get
+    a sidecar (all-zero bitmap = every probe prunes it), or backfill
+    would re-run forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sclera_spark.sources.bloom import build_blooms, might_contain
+
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([], type=pa.int64())}), empty
+    )
+    built = build_blooms(spark, [empty], ["k"], 0.01)
+    assert "empty.parquet" in built
+    assert not might_contain(built["empty.parquet"]["k"], 42)

@@ -593,3 +593,53 @@ def test_drop_recreate_same_name_serves_fresh_data(engine):
         "SELECT sum(v) AS s FROM rc WHERE k < 50"
     ).first().s == 0.0
     engine.execute("DROP TABLE rc")
+
+
+def test_cow_hit_collect_is_capped_before_materializing(
+    engine, spark, monkeypatch
+):
+    """A broad DML on a many-file manifest table must trip the COW cap
+    WITHOUT collecting the full hit-file list: the probe carries
+    LIMIT cap+1, so the driver never sees more than cap+1 paths even
+    when every file matches."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.plans import ddl as ddlmod
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    engine.execute("LIST TABLES")  # init the DDL layer
+    engine._ddl._materialize("cap_m", df.repartition(8))
+    engine.execute("ALTER TABLE cap_m SET FORMAT MANIFEST")
+    assert len(engine.ddl()._manifest("cap_m").files()) >= 8
+
+    seen: list[int] = []
+    orig = ddlmod.DdlRouter._local_hit_paths.__func__ if hasattr(
+        ddlmod.DdlRouter._local_hit_paths, "__func__"
+    ) else ddlmod.DdlRouter._local_hit_paths
+
+    def spy(hit_uris):
+        seen.append(len(hit_uris))
+        return orig(hit_uris)
+
+    monkeypatch.setattr(ddlmod.DdlRouter, "_local_hit_paths", staticmethod(spy))
+    monkeypatch.setattr(type(engine._ddl), "cow_file_cap", 2)
+    try:
+        # every file matches: cap (2) + 1 = at most 3 paths driver-side
+        engine.execute("UPDATE cap_m SET k = k + 1000 WHERE k >= 0")
+        assert engine.table("cap_m").count() == 200
+        assert engine.sql(
+            "SELECT min(k) AS lo FROM cap_m"
+        ).first().lo == 1000
+        assert seen and all(n <= 3 for n in seen), seen
+        seen.clear()
+        engine.execute(
+            """
+            MERGE INTO cap_m t
+            USING (SELECT id + 1000 AS k FROM range(200)) s ON t.k = s.k
+            WHEN MATCHED THEN DELETE
+            """
+        )
+        assert engine.table("cap_m").count() == 0
+        assert seen and all(n <= 3 for n in seen), seen
+    finally:
+        engine.execute("DROP TABLE cap_m")
