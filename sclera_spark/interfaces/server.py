@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import io
+import os
 import re
 import socket
 import socketserver
@@ -203,6 +204,14 @@ class _Handler(socketserver.BaseRequestHandler):
         except (ConnectionError, BrokenPipeError, OSError):
             pass
         finally:
+            txn = getattr(self, "_txn", None)
+            if txn and txn["parts"]:
+                # connection dropped mid-transaction: implicit ROLLBACK —
+                # the staged files were never adopted, just reclaim them
+                from sclera_spark.sources.manifest import ManifestTable
+
+                ManifestTable.discard_staged(txn["parts"])
+                self._txn = None
             if key is not None:
                 self.server.cancel_registry.pop(key, None)
             try:
@@ -437,16 +446,21 @@ class _Handler(socketserver.BaseRequestHandler):
         """Route one statement through the engine; session-management verbs
         clients emit on connect (SET/RESET/...) are accepted as no-ops —
         the engine is auto-commit, like the reference's JDBC driver.
-        Two exceptions keep the no-ops HONEST:
+        Two honesty rules:
         * SET statement_timeout is HONORED (pg semantics, milliseconds;
           0 disables) — enforced via the session's Spark job group, the
           same kill path as CancelRequest.
-        * transactions: BEGIN is accepted but answered with a NOTICE
-          that the engine is autocommit (each statement commits
-          immediately); a ROLLBACK issued AFTER DML inside such an
-          advisory transaction FAILS with a clear error (sqlstate 0A000)
-          instead of silently pretending the mutation was undone.
-          COMMIT is truthful as-is (everything already committed)."""
+        * transactions are REAL for single-manifest-table INSERTs:
+          BEGIN buffers each INSERT's rows as staged (unpublished) part
+          files; COMMIT publishes them all as ONE atomic manifest
+          commit; ROLLBACK deletes the staging — nothing was ever
+          visible, so the rollback is truthful. A crash mid-txn leaves
+          only scratch files outside data/. Anything a rollback could
+          not undo is REFUSED inside a transaction (0A000): mutating a
+          second table, non-INSERT DML, DDL, inserts into non-manifest
+          tables. Reads inside the transaction see the pre-commit
+          snapshot (the buffered rows appear only at COMMIT) — the
+          documented divergence from pg's read-your-own-writes."""
         target = getattr(self, "_cancel_target", None)
         if target is not None:
             target.flag.clear()  # cancellation state is per-statement
@@ -457,37 +471,91 @@ class _Handler(socketserver.BaseRequestHandler):
                 n, unit = int(m.group(1)), (m.group(2) or "ms").lower()
                 self._stmt_timeout_ms = n * 1000 if unit == "s" else n
             if verb in ("BEGIN", "START"):
-                self._txn_open = True
-                self._txn_dml = False
-                self._notice(
-                    "autocommit engine: BEGIN is advisory — each "
-                    "statement commits immediately and ROLLBACK after "
-                    "DML will fail rather than pretend to undo it"
-                )
+                if getattr(self, "_txn", None) is not None:
+                    self._notice("there is already a transaction in progress")
+                else:
+                    self._txn = {"table": None, "parts": [], "rows": 0}
                 return _ResultSet(None, None, None, "BEGIN")
             if verb in ("COMMIT", "END"):
-                self._txn_open = False
-                self._txn_dml = False
+                txn = getattr(self, "_txn", None)
+                self._txn = None
+                if txn and txn["parts"]:
+                    from sclera_spark.sources.manifest import ManifestTable
+
+                    ddl = self.server.engine.ddl()
+                    try:
+                        mt = ddl._manifest(txn["table"])
+                        mt.commit_staged(txn["parts"])
+                        ddl._register_manifest(txn["table"])
+                    except Exception:
+                        ManifestTable.discard_staged(txn["parts"])
+                        raise
                 return _ResultSet(None, None, None, "COMMIT")
             if verb == "ROLLBACK":
-                had_dml = getattr(self, "_txn_dml", False)
-                self._txn_open = False
-                self._txn_dml = False
-                if had_dml:
-                    raise _WireError(
-                        "0A000",
-                        "cannot ROLLBACK: this engine is autocommit — "
-                        "the DML issued after BEGIN has already "
-                        "committed and cannot be undone (use time "
-                        "travel on manifest tables to restore a prior "
-                        "version)",
-                    )
+                txn = getattr(self, "_txn", None)
+                self._txn = None
+                if txn and txn["parts"]:
+                    from sclera_spark.sources.manifest import ManifestTable
+
+                    ManifestTable.discard_staged(txn["parts"])
                 return _ResultSet(None, None, None, "ROLLBACK")
             return _ResultSet(None, None, None, verb)
-        if getattr(self, "_txn_open", False) and verb in self._DML_VERBS:
-            self._txn_dml = True
+        txn = getattr(self, "_txn", None)
+        if txn is not None and verb in self._DML_VERBS:
+            return self._txn_buffer(txn, verb, sql)
         rs = _to_resultset(self.server.engine.execute(sql), sql)
         return rs
+
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$", re.I | re.S
+    )
+
+    def _txn_buffer(self, txn: dict, verb: str, sql: str) -> _ResultSet:
+        """One DML statement inside an open transaction: buffer a
+        manifest-table INSERT as staged part files, refuse (0A000)
+        anything a ROLLBACK could not truthfully undo."""
+        if verb != "INSERT":
+            raise _WireError(
+                "0A000",
+                f"{verb} inside a transaction is not supported: only "
+                "manifest-table INSERTs are buffered for atomic "
+                "commit; run other statements in autocommit (outside "
+                "BEGIN)",
+            )
+        m = self._INSERT_RE.match(sql)
+        if m is None:
+            raise _WireError("42601", f"cannot parse INSERT: {sql[:80]!r}")
+        name, rest = m.group(1), m.group(2)
+        ddl = self.server.engine.ddl()
+        if name.lower() not in ddl.manifest_tables:
+            raise _WireError(
+                "0A000",
+                f"INSERT INTO {name} inside a transaction: only "
+                "MANIFEST tables support buffered transactional "
+                "inserts (ALTER TABLE ... SET FORMAT MANIFEST)",
+            )
+        if txn["table"] is not None and txn["table"] != name.lower():
+            raise _WireError(
+                "0A000",
+                "transactions span ONE table: this transaction already "
+                f"buffers inserts into {txn['table']}, cannot also "
+                f"write {name}. COMMIT first or use separate "
+                "transactions.",
+            )
+        mt = ddl._manifest(name)
+        df = ddl.insert_frame(name, rest)
+        scratch, names = mt._stage(df)
+        # exact inserted-row count from the staged footers (no extra job)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(scratch, f)).metadata.num_rows
+            for f in names
+        )
+        txn["table"] = name.lower()
+        txn["parts"].append((scratch, names))
+        txn["rows"] += n
+        return _ResultSet(None, None, None, f"INSERT 0 {n}")
 
     def _statement_timer(self):
         """Arm a timer that cancels this session's Spark job group when

@@ -152,6 +152,14 @@ class DdlRouter:
         ),
         (
             re.compile(
+                r"^\s*CREATE\s+TABLE\s+(\w+)\s+FROM\s+DELTA\s+"
+                r"'([^']+)'\s*$",
+                re.I,
+            ),
+            "_create_from_delta",
+        ),
+        (
+            re.compile(
                 r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+BLOOM\s+FILTER\s*"
                 r"\(\s*([\w\s,]+?)\s*\)(?:\s+FPP\s+([0-9.]+))?\s*$",
                 re.I,
@@ -477,6 +485,27 @@ class DdlRouter:
             raise ValueError(f"table {name} already exists")
         path = self._path(name)
         ManifestTable.import_symlink(src, path)
+        self.managed[name.lower()] = path
+        self.manifest_tables.add(name.lower())
+        self._register_manifest(name)
+
+    def _create_from_delta(self, name: str, src: str):
+        """CREATE TABLE t FROM DELTA '<table_dir>' — replay an external
+        Delta Lake table's public ``_delta_log`` (JSON add/remove
+        actions atop an optional single-part checkpoint) to its live
+        snapshot and register it as a new manifest table without
+        copying data (hard links; sources/manifest.import_delta). The
+        import is a first-class table: pruning, DML, time travel and
+        OPTIMIZE all work atop it, and the source Delta table is never
+        modified."""
+        from sclera_spark.sources.manifest import ManifestTable
+
+        if name.lower() in self.managed or name.lower() in (
+            t.lower() for t in self.engine.catalog.tables
+        ):
+            raise ValueError(f"table {name} already exists")
+        path = self._path(name)
+        ManifestTable.import_delta(src, path)
         self.managed[name.lower()] = path
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)
@@ -824,7 +853,11 @@ class DdlRouter:
         self.views[name.lower()] = query
         self.engine.catalog.tables[name] = df
 
-    def _insert(self, name: str, rest: str):
+    def insert_frame(self, name: str, rest: str):
+        """The incoming rows of ``INSERT INTO name <rest>`` as a
+        DataFrame cast to the target schema — shared by the normal
+        autocommit INSERT and the wire-transaction buffered INSERT
+        (which stages the frame without committing)."""
         tbl = self.engine.table(name)
         if re.match(r"^\s*VALUES", rest, re.I):
             incoming = self.engine.sql(f"SELECT * FROM ({rest}) AS __v")
@@ -840,9 +873,12 @@ class DdlRouter:
         # cast to the target schema: parquet append with mismatched physical
         # types (e.g. a decimal VALUES literal into a double column) would
         # corrupt reads
-        incoming = incoming.toDF(*tbl.columns).select(
+        return incoming.toDF(*tbl.columns).select(
             *[F.col(c).cast(tbl.schema[c].dataType) for c in tbl.columns]
         )
+
+    def _insert(self, name: str, rest: str):
+        incoming = self.insert_frame(name, rest)
         if name.lower() in self.manifest_tables:
             self._manifest(name).append(incoming)
             self._register_manifest(name)

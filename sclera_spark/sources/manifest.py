@@ -265,6 +265,20 @@ class ManifestTable:
                 srcs.append(p)
         if not srcs:
             raise ValueError(f"symlink manifest {mfile!r} lists no files")
+        return cls._adopt_external(
+            path,
+            srcs,
+            {"imported_from": os.path.abspath(mfile), "_op": "import"},
+        )
+
+    @classmethod
+    def _adopt_external(
+        cls, path: str, srcs: list[str], meta: dict
+    ) -> "ManifestTable":
+        """Shared import tail: hard-link (fall back symlink, then copy)
+        the source parquet files into data/ and publish them as version
+        1 — O(files) metadata, commit-time footer stats recorded as for
+        any commit."""
         t = cls(path)
         if t.exists(path):
             raise FileExistsError(f"{path} is already a manifest table")
@@ -287,12 +301,150 @@ class ManifestTable:
                     shutil.copyfile(src, tmp)
                     os.rename(tmp, dst)
             names.append(name)
-        t._publish(
-            1,
-            names,
-            {"imported_from": os.path.abspath(mfile), "_op": "import"},
-        )
+        t._publish(1, names, meta)
         return t
+
+    @classmethod
+    def import_delta(cls, table_dir: str, path: str) -> "ManifestTable":
+        """Migration from an external DELTA LAKE table without copying
+        data: replay the public ``_delta_log`` commit protocol (JSON
+        commits of ``add``/``remove``/``metaData`` actions, optionally
+        on top of a single-part parquet checkpoint named by
+        ``_last_checkpoint``) to the CURRENT live-file set, hard-link
+        those parquet files in, and publish them as version 1 of a new
+        manifest table. Pure public-format parsing — no delta-spark
+        dependency.
+
+        Loud refusals instead of silent data loss for Delta features
+        whose data does NOT live in the parquet files themselves:
+        - partitioned tables (``partitionColumns``): the partition
+          column VALUES are directory names, absent from the files;
+        - deletion vectors (an ``add`` carrying ``deletionVector``):
+          row-level deletes the parquet bytes do not reflect;
+        - column mapping (``delta.columnMapping.mode`` set): physical
+          names in the footers differ from the logical schema;
+        - multi-part checkpoints and object-store paths."""
+        import urllib.parse
+
+        log_dir = os.path.join(table_dir, "_delta_log")
+        if not os.path.isdir(log_dir):
+            raise FileNotFoundError(
+                f"{table_dir!r} has no _delta_log directory: not a "
+                "Delta table"
+            )
+        live: dict[str, str] = {}  # relative path -> absolute source
+        part_cols: list[str] | None = None
+        mapping_mode: str | None = None
+
+        def apply_add(rel: str, dv) -> None:
+            if dv:
+                raise ValueError(
+                    "Delta import: an add action carries a deletion "
+                    "vector — the parquet bytes do not reflect its "
+                    "row-level deletes. Run a Delta-native OPTIMIZE/"
+                    "purge to materialize them first."
+                )
+            if "://" in rel:
+                raise ValueError(
+                    f"Delta import: add path {rel!r} is an absolute "
+                    "object-store URI; only files under the table "
+                    "directory can be imported here"
+                )
+            live[rel] = os.path.join(
+                table_dir, urllib.parse.unquote(rel)
+            )
+
+        def apply_meta(md: dict) -> None:
+            nonlocal part_cols, mapping_mode
+            part_cols = md.get("partitionColumns") or []
+            mapping_mode = (md.get("configuration") or {}).get(
+                "delta.columnMapping.mode"
+            )
+
+        base_version = -1
+        ckpt_file = os.path.join(log_dir, "_last_checkpoint")
+        if os.path.isfile(ckpt_file):
+            with open(ckpt_file) as fh:
+                ck = json.load(fh)
+            base_version = int(ck["version"])
+            if ck.get("parts"):
+                raise ValueError(
+                    "Delta import: multi-part checkpoints are not "
+                    "supported; compact the log to a single-part "
+                    "checkpoint first"
+                )
+            import pyarrow.parquet as pq
+
+            cpath = os.path.join(
+                log_dir, f"{base_version:020d}.checkpoint.parquet"
+            )
+            tbl = pq.read_table(cpath)
+            for row in tbl.to_pylist():
+                add = row.get("add")
+                if add and add.get("path"):
+                    apply_add(add["path"], add.get("deletionVector"))
+                rem = row.get("remove")
+                if rem and rem.get("path"):
+                    live.pop(rem["path"], None)
+                md = row.get("metaData")
+                if md and (md.get("schemaString") or md.get("id")):
+                    apply_meta(md)
+        commits = sorted(
+            f
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+        for f in commits:
+            v = int(f[:-5])
+            if v <= base_version:
+                continue
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        a = action["add"]
+                        apply_add(a["path"], a.get("deletionVector"))
+                    elif "remove" in action:
+                        live.pop(action["remove"]["path"], None)
+                    elif "metaData" in action:
+                        apply_meta(action["metaData"])
+        if part_cols:
+            raise ValueError(
+                f"Delta import: table is partitioned on {part_cols} — "
+                "the partition VALUES live in directory names, not in "
+                "the parquet files, so a file-level import would drop "
+                "those columns. Rewrite unpartitioned first."
+            )
+        if mapping_mode and mapping_mode != "none":
+            raise ValueError(
+                "Delta import: delta.columnMapping.mode="
+                f"{mapping_mode!r} — footer physical names differ from "
+                "the logical schema; export/rewrite without column "
+                "mapping first"
+            )
+        if not live:
+            raise ValueError(
+                f"Delta log at {log_dir!r} resolves to zero live files"
+            )
+        srcs = []
+        for rel in sorted(live):
+            src = live[rel]
+            if not os.path.isfile(src):
+                raise FileNotFoundError(
+                    f"Delta log references missing file {src!r}"
+                )
+            srcs.append(src)
+        return cls._adopt_external(
+            path,
+            srcs,
+            {
+                "imported_from": os.path.abspath(table_dir),
+                "_op": "import_delta",
+            },
+        )
 
     @classmethod
     def convert(cls, path: str) -> "ManifestTable":
@@ -892,8 +1044,15 @@ class ManifestTable:
         with self._writer_lock():
             if staged is not None:
                 # staged part files enter data/ only under the lock, so
-                # a concurrent vacuum can never eat an in-flight commit
-                self._adopt(*staged)
+                # a concurrent vacuum can never eat an in-flight commit;
+                # a LIST of staged (scratch, names) tuples adopts them
+                # all under ONE lock hold — the multi-batch single-commit
+                # path (wire COPY FROM, wire transactions)
+                batches = (
+                    staged if isinstance(staged, list) else [staged]
+                )
+                for s in batches:
+                    self._adopt(*s)
             for _ in range(self._commit_attempts):
                 base = self.version()
                 files, meta = compute()
@@ -936,6 +1095,32 @@ class ManifestTable:
             ),
             staged=(scratch, added),
         )
+
+    def commit_staged(
+        self, staged: list[tuple], meta: dict | None = None
+    ) -> None:
+        """Publish previously-:meth:`_stage`-d part-file batches as ONE
+        atomic append commit — the wire-transaction COMMIT: every
+        buffered INSERT of the transaction lands in a single version,
+        so readers see all of it or none of it. A crash before this
+        call leaves only unpublished scratch directories (invisible;
+        :meth:`discard_staged` or tempdir cleanup reclaims them)."""
+        added = [n for _, names in staged for n in names]
+        self._commit(
+            lambda: (
+                self._file_names() + added,
+                self._next_meta(meta, op="txn_commit"),
+            ),
+            staged=list(staged),
+        )
+
+    @staticmethod
+    def discard_staged(staged: list[tuple]) -> None:
+        """ROLLBACK of buffered batches: remove the scratch dirs. The
+        files were never adopted into data/, so nothing was ever
+        visible to any reader."""
+        for scratch, _ in staged:
+            shutil.rmtree(scratch, ignore_errors=True)
 
     def replace_files(self, remove_paths: list[str], df: DataFrame) -> None:
         """The COW commit: swap the given live files for ``df``'s output

@@ -326,3 +326,41 @@ def test_copy_text_codec_roundtrip_fuzz():
         path = f.name
     dec_csv = list(iter_copy_rows(path, "csv", header=False))
     assert dec_csv == rows
+
+
+def test_txn_connection_drop_is_implicit_rollback(server):
+    """A connection that dies mid-transaction leaves NOTHING visible:
+    the buffered inserts were staged outside data/, the teardown
+    reclaims them, no manifest version lands."""
+    import time
+
+    c = connect(server)
+    c.execute(
+        "CREATE TABLE wtx AS SELECT r_regionkey AS k FROM region"
+    )
+    c.execute("ALTER TABLE wtx SET FORMAT MANIFEST")
+    _, rows, _ = c.execute("SHOW VERSIONS wtx")
+    v0 = len(rows)
+    try:
+        c2 = connect(server)
+        c2.execute("BEGIN")
+        _, _, tag = c2.execute("INSERT INTO wtx VALUES (777)")
+        assert tag == "INSERT 0 1"
+        # inside the txn, the row is NOT yet visible to others
+        c3 = connect(server)
+        _, rows, _ = c3.execute(
+            "SELECT count(*) AS n FROM wtx WHERE k = 777"
+        )
+        assert rows[0][0] == "0"
+        c2.sock.close()  # abrupt drop — implicit rollback
+        time.sleep(0.5)  # let the handler teardown run
+        _, rows, _ = c3.execute(
+            "SELECT count(*) AS n FROM wtx WHERE k = 777"
+        )
+        assert rows[0][0] == "0"
+        _, rows, _ = c3.execute("SHOW VERSIONS wtx")
+        assert len(rows) == v0  # no version ever landed
+        c3.close()
+    finally:
+        c.execute("DROP TABLE wtx")
+        c.close()

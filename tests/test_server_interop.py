@@ -540,40 +540,84 @@ def test_preauth_message_length_bounds(server):
     assert out.strip() == "1"
 
 
-def test_begin_rollback_after_dml_fails_honestly(server):
-    """r8 (verdict #6): the engine is autocommit, so a ROLLBACK issued
-    after DML inside an advisory BEGIN must FAIL loudly (0A000) rather
-    than silently discard the fact that the mutation already committed;
-    BEGIN itself warns via a NOTICE. A bare BEGIN/ROLLBACK with no DML
-    stays a harmless no-op (clients emit those on connect)."""
+def test_transactions_on_manifest_tables(server):
+    """r10 (verdict #4): REAL single-table transactions — BEGIN buffers
+    manifest-table INSERTs as staged files, COMMIT publishes them all
+    as ONE atomic manifest version, ROLLBACK discards the staging so
+    nothing was ever visible. Whatever a rollback could not undo is
+    refused (0A000) inside the transaction."""
     run_psql(server, "DROP TABLE txt")  # clean slate if rerun
     rc, out, err = run_psql(
         server, "CREATE TABLE txt AS SELECT r_regionkey AS k FROM region"
     )
     assert rc == 0, err
+    rc, out, err = run_psql(server, "ALTER TABLE txt SET FORMAT MANIFEST")
+    assert rc == 0, err
+    rc, out, err = run_psql(server, "SHOW VERSIONS txt")
+    assert rc == 0, err
+    v0 = len(out.strip().splitlines())
 
-    # BEGIN alone: NOTICE, no error
+    # bare BEGIN/ROLLBACK: harmless no-op (clients emit on connect)
     rc, out, err = run_psql(server, "BEGIN; ROLLBACK; SELECT 1 AS x")
     assert rc == 0, err
-    assert "advisory" in err.lower()  # the NOTICE text
     assert out.strip().splitlines()[-1] == "1"
 
-    # BEGIN + DML + ROLLBACK: the rollback errors, the DML stands
+    # BEGIN; INSERT; INSERT; ROLLBACK -> no new version, no rows
     rc, out, err = run_psql(
-        server, "BEGIN; INSERT INTO txt VALUES (99); ROLLBACK"
+        server,
+        "BEGIN; INSERT INTO txt VALUES (99); "
+        "INSERT INTO txt VALUES (98); ROLLBACK",
     )
-    assert rc != 0
-    assert "cannot rollback" in err.lower()
-    rc, out, err = run_psql(server, "SELECT count(*) AS n FROM txt WHERE k = 99")
     assert rc == 0, err
-    assert out.strip() == "1"  # the insert COMMITTED — no silent lie
+    rc, out, err = run_psql(
+        server, "SELECT count(*) AS n FROM txt WHERE k IN (98, 99)"
+    )
+    assert rc == 0, err
+    assert out.strip() == "0"  # truly rolled back
+    rc, out, err = run_psql(server, "SHOW VERSIONS txt")
+    assert len(out.strip().splitlines()) == v0  # no version landed
 
-    # COMMIT after DML is truthful and clean
+    # BEGIN; INSERT; INSERT; COMMIT -> EXACTLY ONE new version, both rows
     rc, out, err = run_psql(
-        server, "BEGIN; INSERT INTO txt VALUES (100); COMMIT; SELECT count(*) AS n FROM txt"
+        server,
+        "BEGIN; INSERT INTO txt VALUES (99); "
+        "INSERT INTO txt VALUES (98); COMMIT",
     )
     assert rc == 0, err
-    assert out.strip().splitlines()[-1] == "7"
+    rc, out, err = run_psql(
+        server, "SELECT count(*) AS n FROM txt WHERE k IN (98, 99)"
+    )
+    assert out.strip() == "2"
+    rc, out, err = run_psql(server, "SHOW VERSIONS txt")
+    assert len(out.strip().splitlines()) == v0 + 1  # ONE atomic commit
+
+    # refusals: non-INSERT DML, second table, non-manifest target
+    rc, out, err = run_psql(
+        server, "BEGIN; DELETE FROM txt WHERE k = 99; COMMIT"
+    )
+    assert rc != 0 and "not supported" in err
+    rc, _, err = run_psql(
+        server,
+        "CREATE TABLE txt2 AS SELECT r_regionkey AS k FROM region",
+    )
+    assert rc == 0, err
+    run_psql(server, "ALTER TABLE txt2 SET FORMAT MANIFEST")
+    rc, out, err = run_psql(
+        server,
+        "BEGIN; INSERT INTO txt VALUES (1); "
+        "INSERT INTO txt2 VALUES (2); COMMIT",
+    )
+    assert rc != 0 and "ONE table" in err
+    rc, _, err = run_psql(
+        server, "CREATE TABLE plaint AS SELECT 1 AS k"
+    )
+    assert rc == 0, err
+    rc, out, err = run_psql(
+        server, "BEGIN; INSERT INTO plaint VALUES (5); COMMIT"
+    )
+    assert rc != 0 and "MANIFEST" in err
+    run_psql(server, "DROP TABLE plaint")
+    run_psql(server, "DROP TABLE txt2")
     run_psql(server, "DROP TABLE txt")
 
 
