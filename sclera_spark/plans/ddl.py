@@ -175,6 +175,22 @@ class DdlRouter:
         ),
         (
             re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+AUTO\s+COMPACT"
+                r"(?:\s+TARGET\s+(\d+)\s*MB)?"
+                r"(?:\s+MIN\s+FILES\s+(\d+))?\s*$",
+                re.I,
+            ),
+            "_set_auto_compact",
+        ),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+AUTO\s+COMPACT\s*$",
+                re.I,
+            ),
+            "_drop_auto_compact",
+        ),
+        (
+            re.compile(
                 r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?"
                 r"(\s+DRY\s+RUN)?\s*$",
                 re.I,
@@ -697,6 +713,29 @@ class DdlRouter:
         mt.amend_meta(meta)
         self._bloom_backfill(name)
 
+    def _set_auto_compact(
+        self, name: str, target_mb: str | None, min_files: str | None
+    ):
+        """ALTER TABLE t SET AUTO COMPACT [TARGET n MB] [MIN FILES k] —
+        opt-in post-commit compaction (Delta's autoCompact table
+        property): after every INSERT / streaming micro-batch, if >= k
+        live files sit under the n MB target they are bin-packed into
+        one atomic replace_files commit. The change feed stays empty
+        for those commits (rewritten rows cancel), so downstream CDC
+        consumers are unaffected."""
+        mt = self._require_manifest(name)
+        cfg = {
+            "target_bytes": int(target_mb or 128) * 1024 * 1024,
+            "min_files": int(min_files or 8),
+        }
+        mt.amend_meta({"auto_compact": cfg})
+        self._register_manifest(name)
+
+    def _drop_auto_compact(self, name: str):
+        mt = self._require_manifest(name)
+        mt.amend_meta({"auto_compact": None})
+        self._register_manifest(name)
+
     def _drop_bloom_filter(self, name: str):
         """ALTER TABLE t DROP BLOOM FILTER — stop building filters and
         delete the existing sidecars (they would stay CORRECT — a
@@ -880,7 +919,12 @@ class DdlRouter:
     def _insert(self, name: str, rest: str):
         incoming = self.insert_frame(name, rest)
         if name.lower() in self.manifest_tables:
-            self._manifest(name).append(incoming)
+            mt = self._manifest(name)
+            mt.append(incoming)
+            try:
+                mt.maybe_autocompact(self.engine.spark)
+            except Exception:
+                pass  # maintenance, never a DML gate
             self._register_manifest(name)
             return
         incoming.write.mode("append").parquet(self._path(name))

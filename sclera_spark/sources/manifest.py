@@ -1096,6 +1096,28 @@ class ManifestTable:
             staged=(scratch, added),
         )
 
+    def maybe_autocompact(self, spark) -> list[str]:
+        """Post-commit auto-compaction hook (Delta's autoCompact): when
+        the table's meta carries an ``auto_compact`` config and at
+        least ``min_files`` live files sit under ``target_bytes``,
+        bin-pack JUST THOSE files with the existing :meth:`compact`
+        (itself one atomic replace_files commit, so readers and the
+        change feed see a no-op: the CDF exceptAll cancels rewritten
+        rows). Bounded work — only the small-file slice is rewritten,
+        never the whole table. Returns the replaced file names ([] =
+        nothing to do / not configured)."""
+        try:
+            cfg = self.meta().get("auto_compact")
+        except FileNotFoundError:
+            return []
+        if not cfg:
+            return []
+        return self.compact(
+            spark,
+            target_bytes=int(cfg.get("target_bytes", 128 * 1024 * 1024)),
+            min_files=int(cfg.get("min_files", 8)),
+        )
+
     def commit_staged(
         self, staged: list[tuple], meta: dict | None = None
     ) -> None:

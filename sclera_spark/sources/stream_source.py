@@ -251,21 +251,118 @@ class ManifestStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "max_versions_per_trigger must be a positive integer"
             )
+        try:
+            self.max_bytes = int(options.get("max_bytes_per_trigger", 0))
+        except (TypeError, ValueError):
+            raise ValueError(
+                "max_bytes_per_trigger must be an integer byte count"
+            )
         self._last_end: int | None = None
+        self._last_pos: tuple[int, int] | None = None
 
     # ---- offsets (driver side) ----
 
+    @staticmethod
+    def _pos(off: dict) -> tuple[int, int]:
+        """Total order on offsets: (N, K) = "through version N plus the
+        first K added files of N+1", so plain tuple comparison is the
+        stream order ((0, 6) < (1, 0))."""
+        return (int(off["version"]), int(off.get("file_idx", 0)))
+
     def initialOffset(self) -> dict:
+        # Spark may resolve the initial offset AFTER the first
+        # latestOffset call (observed runner order) — never move the
+        # pacing anchor BACKWARDS, or later walks would emit offsets
+        # behind the committed position and re-deliver files
+        pos = (self.start_version, 0)
+        if self._last_pos is None or pos > self._last_pos:
+            self._last_pos = pos
         return {"version": self.start_version}
+
+    def commit(self, end: dict) -> None:
+        # the engine's committed position is authoritative: adopt it as
+        # the pacing anchor (offsets must be non-decreasing for the
+        # life of the checkpoint — Spark compares them only by JSON
+        # (in)equality, so a regressed offset re-plans old files)
+        pos = self._pos(end)
+        if self._last_pos is None or pos > self._last_pos:
+            self._last_pos = pos
+        if self._last_end is None or pos[0] > self._last_end:
+            self._last_end = pos[0]
+
+    def _added_names(self, v: int) -> list[str]:
+        cur = set(_read_version(self.table_path, v)["files"])
+        if v == 1:
+            prev: set = set()
+        else:
+            prev = set(_read_version(self.table_path, v - 1)["files"])
+        return sorted(cur - prev), sorted(prev - cur)
+
+    def _bytes_walk(self, cur: int) -> dict:
+        """Byte-based admission (Delta's maxBytesPerTrigger at our
+        offset granularity): walk forward from the last position,
+        accumulating ADDED-file sizes, and stop at FILE granularity —
+        the offset {"version": N, "file_idx": K} means "versions
+        through N complete, plus the first K added files of N+1", so a
+        giant backfill commit splits across micro-batches. A version
+        that REMOVES files (change commit) is never split: its diff is
+        one atomic unit (its own max_change_bytes cap guards it). At
+        least one file always advances, so an over-cap single file
+        still progresses."""
+        v0, i0 = self._last_pos
+        budget = self.max_bytes
+        end_v, end_i = v0, i0
+        progressed = False  # >=1 file admitted THIS walk (progress floor)
+        data_dir = os.path.join(self.table_path, _DATA)
+        while True:
+            nv = end_v + 1
+            if nv > cur:
+                break
+            added, removed = self._added_names(nv)
+            if removed:
+                # atomic change commit: admit whole, or stop before it
+                # when this walk already carries files
+                if not progressed:
+                    end_v, end_i = nv, 0
+                break
+            k = end_i  # mid-version resume starts at the split point
+            stopped = False
+            while k < len(added):
+                try:
+                    sz = os.path.getsize(os.path.join(data_dir, added[k]))
+                except OSError:
+                    sz = 0
+                if budget - sz < 0 and progressed:
+                    stopped = True
+                    break
+                budget -= sz
+                k += 1
+                progressed = True
+            if stopped:
+                end_v, end_i = nv - 1, k
+                break
+            end_v, end_i = nv, 0
+            if budget <= 0:
+                break
+        self._last_pos = (end_v, end_i)
+        off = {"version": end_v}
+        if end_i:
+            off["file_idx"] = end_i
+        return off
 
     def latestOffset(self) -> dict:
         """Current pointer, optionally admission-controlled: with
         ``max_versions_per_trigger = N`` each micro-batch advances at
         most N commits past the previous end (Delta's
-        maxFilesPerTrigger shape, at our offset granularity) — a long
+        maxFilesPerTrigger shape, at our offset granularity); with
+        ``max_bytes_per_trigger = B`` each micro-batch admits added
+        files up to ~B bytes, splitting WITHIN a commit at file
+        granularity (offset {"version": N, "file_idx": K}) — a long
         backfill proceeds in bounded chunks instead of one giant
         batch. The committed offset in the checkpoint is authoritative
-        across restarts; ``_last_end`` only paces WITHIN a run."""
+        across restarts; in-run pacing state only paces WITHIN a run
+        (the first batch after a restart is unpaced — the checkpoint
+        position is not visible to a fresh reader)."""
         cur = _current_version(self.table_path)
         if self.max_versions > 0 and self._last_end is not None:
             # pace only once this run has a known position: after a
@@ -276,13 +373,28 @@ class ManifestStreamReader(DataSourceStreamReader):
             # subsequent one advances at most N commits.
             cur = min(cur, self._last_end + self.max_versions)
         self._last_end = cur
+        if self.max_bytes > 0 and self._last_pos is not None:
+            return self._bytes_walk(cur)
+        if self.max_bytes > 0:
+            # restart: adopt the current pointer as the pacing anchor
+            # for SUBSEQUENT batches; this first one is unpaced
+            self._last_pos = (cur, 0)
         return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
+        """Plan the files of one micro-batch. Offsets are version
+        boundaries, optionally refined to file granularity by
+        ``file_idx`` (byte-based admission): {"version": N,
+        "file_idx": K} = versions through N complete plus the first K
+        ADDED files (sorted name order — deterministic, so a replayed
+        batch plans the exact same slice) of version N+1."""
         lo, hi = int(start["version"]), int(end["version"])
+        lo_idx = int(start.get("file_idx", 0))
+        hi_idx = int(end.get("file_idx", 0))
+        last_v = hi + 1 if hi_idx else hi  # partial tail version
         parts: list[_FilePartition] = []
         prev_files: set | None = None
-        for v in range(max(lo, 0) + 1, hi + 1):
+        for v in range(max(lo, 0) + 1, last_v + 1):
             try:
                 cur = set(_read_version(self.table_path, v)["files"])
             except FileNotFoundError:
@@ -321,6 +433,25 @@ class ManifestStreamReader(DataSourceStreamReader):
             added = sorted(cur - prev_files)
             removed = sorted(prev_files - cur)
             prev_files = cur
+            if v == lo + 1 and lo_idx:
+                # resume mid-version: the first lo_idx added files were
+                # delivered by the previous batch
+                added = added[lo_idx:]
+            if v == hi + 1 and hi_idx:
+                # partial tail: only the first hi_idx added files are
+                # admitted (byte-capped split); such a version never
+                # carries removals (the walk keeps change commits
+                # whole). Recompute the FULL added list so a batch that
+                # both starts and ends inside this version delivers
+                # exactly files [lo_idx:hi_idx].
+                base = (
+                    set()
+                    if v == 1
+                    else set(_read_version(self.table_path, v - 1)["files"])
+                )
+                full = sorted(cur - base)
+                keep = set(full[:hi_idx])
+                added = [n for n in added if n in keep]
             data_dir = os.path.join(self.table_path, _DATA)
             ts_us = None
             if self.read_changes:
@@ -394,9 +525,6 @@ class ManifestStreamReader(DataSourceStreamReader):
                     )
                 )
         return parts
-
-    def commit(self, end: dict) -> None:
-        pass  # progress lives in the checkpoint; the log is immutable
 
     # ---- data (executor side) ----
 

@@ -655,6 +655,15 @@ def manifest_batch_committer(
             if same_stream and batch_id <= cur.get("stream_batch", -1):
                 return  # redelivered batch: already committed atomically
             mt.append(bdf, meta=meta)
+            # auto-compaction (opt-in table property): per-batch ingest
+            # is the small-file producer — fold the sub-target slice
+            # back into target-sized files as its own atomic commit.
+            # Change-feed neutral (rewritten rows cancel in the CDF
+            # exceptAll) and dedup-safe (meta inherits the watermark).
+            try:
+                mt.maybe_autocompact(bdf.sparkSession)
+            except Exception:
+                pass  # compaction is maintenance, never a commit gate
         elif cas is not None:
             CasManifestTable.create_cas(bdf, table_path, cas, meta=meta)
         else:

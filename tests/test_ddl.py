@@ -643,3 +643,24 @@ def test_cow_hit_collect_is_capped_before_materializing(
         assert seen and all(n <= 3 for n in seen), seen
     finally:
         engine.execute("DROP TABLE cap_m")
+
+
+def test_set_auto_compact_ddl(engine, spark):
+    """ALTER TABLE t SET AUTO COMPACT: repeated small INSERTs keep the
+    live-file count bounded; DROP AUTO COMPACT stops the folding."""
+    engine.execute("CREATE TABLE ac AS SELECT 1 AS k")
+    engine.execute("ALTER TABLE ac SET FORMAT MANIFEST")
+    engine.execute("ALTER TABLE ac SET AUTO COMPACT TARGET 64 MB MIN FILES 3")
+    try:
+        for i in range(6):
+            engine.execute(f"INSERT INTO ac VALUES ({i + 10})")
+        mt = engine.ddl()._manifest("ac")
+        assert len(mt.files()) <= 3
+        assert engine.table("ac").count() == 7
+        engine.execute("ALTER TABLE ac DROP AUTO COMPACT")
+        n0 = len(mt.files())
+        for i in range(3):
+            engine.execute(f"INSERT INTO ac VALUES ({i + 50})")
+        assert len(mt.files()) == n0 + 3  # no folding anymore
+    finally:
+        engine.execute("DROP TABLE ac")

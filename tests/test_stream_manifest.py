@@ -267,3 +267,47 @@ def test_prior_checkpoint_paths_dedup_after_move_and_upgrade(spark, dirs):
     assert _ids(spark, dirs["tbl"]) == list(range(30))
     # meta upgraded to the durable sidecar identity
     assert ManifestTable(dirs["tbl"]).meta()["stream_id"] == "fresh-sidecar-id"
+
+
+def test_auto_compact_converges_file_count_with_empty_cdf(spark, tmp_path):
+    """Opt-in auto-compaction: a stream of small per-batch commits
+    keeps the live-file count bounded (the slice of sub-target files
+    is bin-packed after each ingest commit), rows are never lost or
+    duplicated, and the compaction commits feed NOTHING into the
+    change feed (the exceptAll cancels rewritten rows)."""
+    from sclera_spark.streaming.ops import manifest_batch_committer
+
+    path = str(tmp_path / "t")
+    ManifestTable.create(
+        spark.range(0, 10).selectExpr("id AS k").repartition(2), path
+    )
+    mt = ManifestTable(path)
+    mt.amend_meta(
+        {"auto_compact": {"target_bytes": 64 * 1024 * 1024, "min_files": 3}}
+    )
+    commit = manifest_batch_committer(path, stream_id="s1")
+    for b in range(8):
+        commit(
+            spark.range(100 * (b + 1), 100 * (b + 1) + 20)
+            .selectExpr("id AS k")
+            .repartition(2),
+            b,
+        )
+    # without compaction: 2 + 8*2 = 18 files; with it the count stays
+    # bounded by min_files + one batch's files
+    assert len(mt.files()) <= 5
+    got = sorted(r.k for r in mt.read(spark).collect())
+    want = sorted(
+        list(range(10))
+        + [k for b in range(8) for k in range(100 * (b + 1), 100 * (b + 1) + 20)]
+    )
+    assert got == want  # nothing lost, nothing duplicated
+    # the full change feed equals exactly the ingested rows: compaction
+    # commits (which add AND remove) contributed zero net changes
+    feed = mt.changes(spark, 0)
+    ins = feed.filter("_change_type = 'insert'")
+    dels = feed.filter("_change_type = 'delete'")
+    assert dels.count() == 0
+    assert sorted(r.k for r in ins.collect()) == want
+    # the batch-id dedup watermark survived the compaction commits
+    assert mt.meta().get("stream_batch") == 7

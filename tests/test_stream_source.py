@@ -489,3 +489,102 @@ def test_cdc_replication_end_to_end(registered, tmp_path):
         for r in src.read(spark).collect()
     }
     assert replica == want
+
+
+def test_max_bytes_per_trigger_splits_backfill_commit(
+    registered, tmp_path
+):
+    """A giant backfill commit that lands while the stream is running
+    splits across micro-batches at FILE granularity under
+    max_bytes_per_trigger — bounded per-batch bytes, exactly-once
+    delivery, and a restart resumes from the checkpointed
+    {version, file_idx} offset without loss or duplication. (Like
+    max_versions_per_trigger, the FIRST batch of a run is unpaced:
+    offsets must never regress behind the checkpoint, and a fresh
+    reader cannot see the checkpoint position.)"""
+    import os as _os
+
+    spark = registered
+    path = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    ManifestTable.create(
+        spark.range(0, 100).selectExpr("id AS k", "repeat('x', 50) AS pad"),
+        path,
+    )
+    mt = ManifestTable(path)
+
+    batches: list = []
+
+    def feed(bdf, bid):
+        batches.append((bid, sorted(r.k for r in bdf.collect())))
+
+    q = (
+        spark.readStream.format("sclera_manifest")
+        .option("path", path)
+        .option("max_bytes_per_trigger", "1")  # placeholder; reset below
+        .load()
+    )
+    # size the cap from the backfill files themselves
+    q = None
+    backfill = (
+        spark.range(1000, 9000)
+        .selectExpr("id AS k", "repeat('x', 50) AS pad")
+        .repartition(8)
+    )
+    # stage once to learn per-file sizes, then discard
+    scratch, names = mt._stage(backfill)
+    sizes = [
+        _os.path.getsize(_os.path.join(scratch, n)) for n in names
+    ]
+    ManifestTable.discard_staged([(scratch, names)])
+    cap = int(sum(sizes) / 3)  # force ~3-4 paced batches
+
+    stream = (
+        spark.readStream.format("sclera_manifest")
+        .option("path", path)
+        .option("max_bytes_per_trigger", str(cap))
+        .load()
+        .writeStream.foreachBatch(feed)
+        .option("checkpointLocation", cp)
+    )
+    q = stream.start()
+    try:
+        q.processAllAvailable()  # batch 0: the current snapshot
+        n_first = len(batches)
+        assert sorted(k for _, ks in batches for k in ks) == list(range(100))
+        # the backfill commit lands while the run is live: paced
+        mt.append(backfill)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    paced = batches[n_first:]
+    assert len(paced) >= 3  # the one commit split across batches
+    got = sorted(k for _, ks in paced for k in ks)
+    assert got == list(range(1000, 9000))  # exactly once, nothing lost
+    max_file = max(sizes)
+    for _, ks in paced:
+        approx = len(ks) / 8000 * sum(sizes)
+        assert approx <= cap + max_file + 1
+
+    # restart with more data: same checkpoint, fresh reader — no loss,
+    # no dupes (its first batch is unpaced by design)
+    mt.append(
+        spark.range(9000, 9500)
+        .selectExpr("id AS k", "repeat('x', 50) AS pad")
+        .repartition(2)
+    )
+    q = (
+        spark.readStream.format("sclera_manifest")
+        .option("path", path)
+        .option("max_bytes_per_trigger", str(cap))
+        .load()
+        .writeStream.foreachBatch(feed)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(k for _, ks in batches for k in ks)
+    assert got == list(range(100)) + list(range(1000, 9500))
