@@ -708,7 +708,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             while i + 1 < len(seg):
                 cond[(seg[i] >> 4, seg[i] & 0x0F)] = seg[i + 1]
                 i += 2
-        elif marker == 0xC3:  # lossless (T.81 Annex H): P in 2..16
+        elif marker in (0xC3, 0xCB):  # lossless (T.81 Annex H): P 2..16
+            # 0xC3 = huffman-coded differences, 0xCB = QM-arithmetic
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if not 2 <= prec <= 16:
                 raise ValueError(f"invalid lossless precision {prec}")
@@ -721,10 +722,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             frame = {
                 "h": fh, "w": fw, "comps": comps, "prog": False,
                 "lossless": True, "prec_raw": prec,
+                "arith": marker == 0xCB,
             }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG mode (arithmetic-lossless/hierarchical)"
+                "unsupported JPEG mode (differential/hierarchical)"
             )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -741,14 +743,22 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame.get("lossless"):
                 from sclera_spark.llm.jpeg_lossless import (
                     decode_scan_lossless,
+                    decode_scan_lossless_arith,
                     present_uint8,
                 )
 
                 frame["ll_predictor"] = seg[1 + 2 * ns]
                 frame["ll_pt"] = seg[3 + 2 * ns] & 0x0F
-                samples = decode_scan_lossless(
-                    content, pos + 2 + ln, frame, scan, huff, restart_interval
-                )
+                if frame.get("arith"):
+                    samples = decode_scan_lossless_arith(
+                        content, pos + 2 + ln, frame, scan, cond,
+                        restart_interval,
+                    )
+                else:
+                    samples = decode_scan_lossless(
+                        content, pos + 2 + ln, frame, scan, huff,
+                        restart_interval,
+                    )
                 return present_uint8(samples, frame["prec_raw"])
             if not frame["prog"]:
                 if arith:

@@ -245,3 +245,172 @@ def test_hand_assembled_stream_reencodes_to_same_pixels():
     )
     hand = decode_jpeg(_sof3_stream(3, 2, 7, _bits_to_entropy(bits)))
     assert np.array_equal(ours, hand)
+
+
+# ---- SOFB: arithmetic-coded lossless (Annex H over the QM-coder) ----
+
+
+def _raw_samples_arith(data: bytes) -> tuple[np.ndarray, int]:
+    """Native-precision decode of a SOFB stream (marker walk mirroring
+    _raw_samples, dispatching to decode_scan_lossless_arith)."""
+    from sclera_spark.llm.jpeg_lossless import decode_scan_lossless_arith
+
+    cond: dict = {}
+    pos = 2
+    frame = None
+    restart_interval = 0
+    while True:
+        m = data[pos + 1]
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4 : pos + 2 + ln]
+        if m == 0xCB:
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = [
+                {"id": seg[6 + 3 * c], "h": 1, "v": 1, "tq": 0}
+                for c in range(nc)
+            ]
+            frame = {"h": fh, "w": fw, "comps": comps, "prec_raw": prec}
+        elif m == 0xCC:
+            i = 0
+            while i + 1 < len(seg):
+                cond[(seg[i] >> 4, seg[i] & 0x0F)] = seg[i + 1]
+                i += 2
+        elif m == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:
+            ns = seg[0]
+            scan = [
+                (frame["comps"][c], seg[2 + 2 * c] >> 4, 0)
+                for c in range(ns)
+            ]
+            frame["ll_predictor"] = seg[1 + 2 * ns]
+            frame["ll_pt"] = seg[3 + 2 * ns] & 0x0F
+            return (
+                decode_scan_lossless_arith(
+                    data, pos + 2 + ln, frame, scan, cond, restart_interval
+                ),
+                frame["prec_raw"],
+            )
+        pos += 2 + ln
+
+
+@pytest.mark.parametrize("predictor", range(1, 8))
+def test_arith_exact_roundtrip_all_predictors(predictor):
+    from sclera_spark.llm.jpeg_lossless import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(300 + predictor)
+    for shape, prec in [
+        ((9, 13), 8), ((16, 16, 3), 8), ((1, 7), 8), ((5, 1), 8),
+        ((7, 5), 16), ((8, 11), 12), ((4, 4), 2),
+    ]:
+        px = rng.integers(0, 1 << prec, shape).astype(np.int64)
+        data = encode_jpeg_lossless_arith(
+            px, predictor=predictor, precision=prec
+        )
+        got, gprec = _raw_samples_arith(data)
+        assert gprec == prec
+        exp = px if px.ndim == 3 else px[..., None]
+        assert np.array_equal(got, exp), (predictor, shape, prec)
+
+
+def test_arith_restart_and_point_transform():
+    from sclera_spark.llm.jpeg_lossless import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 65536, (12, 10)).astype(np.int64)
+    for rsti in (1, 3, 7):
+        data = encode_jpeg_lossless_arith(
+            px, predictor=5, precision=16, restart_interval=rsti
+        )
+        got, _ = _raw_samples_arith(data)
+        assert np.array_equal(got, px[..., None]), rsti
+    px8 = rng.integers(0, 256, (6, 9)).astype(np.int64)
+    data = encode_jpeg_lossless_arith(
+        px8, predictor=4, precision=8, point_transform=2
+    )
+    got, _ = _raw_samples_arith(data)
+    assert np.array_equal(got, ((px8 >> 2) << 2)[..., None])
+
+
+def test_arith_extreme_diffs_mod_wraparound():
+    """Max-amplitude oscillation at precision 16: every difference is
+    near +/-65535, exercising the mod-2**16 wrap and the deepest width
+    chains of the magnitude coder."""
+    from sclera_spark.llm.jpeg_lossless import encode_jpeg_lossless_arith
+
+    px = np.zeros((4, 6), np.int64)
+    px[::2, ::2] = 65535
+    px[1::2, 1::2] = 65535
+    for predictor in (1, 2, 4, 7):
+        data = encode_jpeg_lossless_arith(
+            px, predictor=predictor, precision=16
+        )
+        got, _ = _raw_samples_arith(data)
+        assert np.array_equal(got, px[..., None]), predictor
+
+
+def test_arith_cross_pinned_against_huffman_lossless():
+    """Same image through BOTH lossless entropy backends: the Huffman
+    (SOF3) and arithmetic (SOFB) decoders must reconstruct identical
+    native-precision samples — the predictor/wraparound semantics are
+    shared, only the difference coder differs. The QM-coder itself is
+    externally pinned in test_jpeg_arith.py; this ties the lossless
+    statistical model to the already-pinned Annex-K SOF3 semantics."""
+    from sclera_spark.llm.jpeg_lossless import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(77)
+    for prec, shape in [(8, (11, 7, 3)), (12, (9, 14)), (16, (6, 6))]:
+        px = rng.integers(0, 1 << prec, shape).astype(np.int64)
+        for predictor in (1, 4, 6):
+            h_raw, _ = _raw_samples(
+                encode_jpeg_lossless(px, predictor=predictor, precision=prec)
+            )
+            a_raw, _ = _raw_samples_arith(
+                encode_jpeg_lossless_arith(
+                    px, predictor=predictor, precision=prec
+                )
+            )
+            assert np.array_equal(h_raw, a_raw)
+
+
+def test_arith_public_decode_and_smaller_than_huffman_on_smooth():
+    from sclera_spark.llm.jpeg_lossless import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(78)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless_arith(px))
+    assert out.dtype == np.uint8 and np.array_equal(out, px)
+    # on a smooth gradient the adaptive QM-coder should not LOSE badly
+    # to the static Huffman SSSS table (sanity on compression ratio)
+    grad = (
+        np.arange(64)[None, :] + np.arange(64)[:, None]
+    ).astype(np.int64) % 256
+    a = len(encode_jpeg_lossless_arith(grad, predictor=4, precision=8))
+    h = len(encode_jpeg_lossless(grad, predictor=4, precision=8))
+    assert a < h * 1.1
+
+
+def test_arith_fuzz_roundtrip():
+    from sclera_spark.llm.jpeg_lossless import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(79)
+    for _ in range(20):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(1, 20))
+        nc = int(rng.choice([1, 3]))
+        prec = int(rng.choice([2, 4, 8, 12, 16]))
+        predictor = int(rng.integers(1, 8))
+        rsti = int(rng.choice([0, 0, 1, 5]))
+        shape = (h, w) if nc == 1 else (h, w, nc)
+        if rng.random() < 0.3:
+            px = rng.choice(
+                [0, (1 << prec) - 1, 1 << (prec - 1)], size=shape
+            ).astype(np.int64)
+        else:
+            px = rng.integers(0, 1 << prec, shape).astype(np.int64)
+        data = encode_jpeg_lossless_arith(
+            px, predictor=predictor, precision=prec, restart_interval=rsti
+        )
+        got, _ = _raw_samples_arith(data)
+        exp = px if px.ndim == 3 else px[..., None]
+        assert np.array_equal(got, exp), (h, w, nc, prec, predictor, rsti)
