@@ -1648,6 +1648,45 @@ def _q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping schema evolution end to end through the SQL
+    surface (plans/ddl.py + sources/manifest.py): a manifest table
+    over orders is RENAMEd, WIDENed (int -> bigint, then an
+    out-of-int-range insert), DROPped + re-ADDed (the reserved
+    physical name must keep the dead column's bytes buried — the
+    re-added column starts all-NULL), then UPDATEd and DELETEd atop
+    the evolved schema. The oracle states the equivalent final
+    relation declaratively over orders, so a hash match certifies the
+    whole evolution history left the DATA exactly right."""
+    import shutil
+
+    eng = _engine(spark, sf_dir)
+    eng.execute("DROP TABLE se_t") if "se_t" in [
+        t.lower() for t in eng.catalog.tables
+    ] else None
+    eng.execute(
+        "CREATE TABLE se_t AS SELECT CAST(o_orderkey AS INT) AS k, "
+        "o_totalprice AS price, o_orderpriority AS pri FROM orders"
+    )
+    eng.execute("ALTER TABLE se_t SET FORMAT MANIFEST")
+    try:
+        eng.execute("ALTER TABLE se_t RENAME COLUMN price TO total")
+        eng.execute("ALTER TABLE se_t ALTER COLUMN k TYPE BIGINT")
+        eng.execute("INSERT INTO se_t VALUES (5000000000, 1.5, 'X')")
+        eng.execute("ALTER TABLE se_t DROP COLUMN pri")
+        eng.execute("ALTER TABLE se_t ADD COLUMN pri STRING")
+        eng.execute("UPDATE se_t SET pri = 'hot' WHERE total > 300000")
+        eng.execute("DELETE FROM se_t WHERE k % 7 = 3")
+        out = eng.sql("SELECT k, total, pri FROM se_t")
+        # detach from the warehouse files so DROP TABLE is safe
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            eng.execute("DROP TABLE se_t")
+        except Exception:
+            shutil.rmtree(eng.ddl()._path("se_t"), ignore_errors=True)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (llm/bpe.py, Sennrich 2016):
     the 30 most frequent adjacent-symbol merges over the documents
@@ -1755,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cross_dedup": _q_cross_dedup,
             "mixture_sample": _q_mixture_sample,
             "table_changes": _q_table_changes,
+            "schema_evolution": _q_schema_evolution,
             "bpe_merges": _q_bpe_merges,
         }
     )
@@ -1791,6 +1831,9 @@ _WINDOW_ORDER = [
     # the tail — all r8-certified with heavy pytest coverage,
     # re-verified every check_entry sweep)
     "table_changes", "pack_sequences", "cross_dedup", "mixture_sample",
+    # r10 addition, never driver-graded — promoted immediately
+    # (nlp_sentiment, re-certified r9, demotes to the tail in exchange)
+    "schema_evolution",
     # r9 rotation: the 18 oracle-bearing entries whose last driver
     # grading is oldest (r6/r7 — demoted r8 to promote the then-new 6;
     # the r7/r8-promoted groups move to the tail in exchange, all
@@ -1799,7 +1842,7 @@ _WINDOW_ORDER = [
     "setops", "conditionals", "scalar_math", "datetime_fns",
     "string_fns", "predicates", "grouping_sets", "order_fetch",
     "string_agg_ordered", "scalar_sclera_names", "distinct_on",
-    "star_except", "row_sources", "nlp_sentiment",
+    "star_except", "row_sources",
 ]
 
 
@@ -2680,6 +2723,17 @@ def oracle_sql() -> dict[str, str]:
     # DECLARATIVELY — appended rows as v2 inserts, deleted rows as v3
     # deletes — so a hash-green row certifies layout-independence of
     # the cancellation, not just row counts
+    oracles["schema_evolution"] = """
+        WITH evolved AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS total
+          FROM orders
+          UNION ALL
+          SELECT CAST(5000000000 AS BIGINT), 1.5
+        )
+        SELECT k, total,
+               CASE WHEN total > 300000 THEN 'hot' END AS pri
+        FROM evolved WHERE k % 7 <> 3
+    """
     oracles["table_changes"] = """
         SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
                o_totalprice, 'insert' AS _change_type,

@@ -642,6 +642,19 @@ class _Handler(socketserver.BaseRequestHandler):
                 if copy_m:
                     self._copy_out(copy_m)
                 elif copy_in_m:
+                    if getattr(self, "_txn", None) is not None:
+                        # COPY FROM commits its own atomic INSERT; a
+                        # later ROLLBACK could not undo it — refuse
+                        # rather than let the rollback lie
+                        raise _WireError(
+                            "0A000",
+                            "COPY ... FROM STDIN inside a transaction "
+                            "is not supported: it commits its own "
+                            "atomic INSERT, which ROLLBACK could not "
+                            "undo. COMMIT (or ROLLBACK) first, or use "
+                            "buffered INSERT statements inside the "
+                            "transaction.",
+                        )
                     self._copy_in(copy_in_m)
                 else:
                     rs = self._run(sql)

@@ -165,8 +165,14 @@ class IncrementalAggregate:
             mode = ("full", len(cur_files))
         elif added:
             paths = [os.path.join(source.data_dir, f) for f in added]
+            # read the delta THROUGH the source table (column-mapped
+            # sources store physical names; ts_col/keys are logical)
             delta = self._bucket_agg(
-                spark.read.parquet(*paths), ts_col, bucket, aggs, keys
+                source.read(spark, src_version, file_paths=paths),
+                ts_col,
+                bucket,
+                aggs,
+                keys,
             )
             merged = self.mv.read(spark).unionByName(delta)
             df = self._merge(merged, aggs, keys)

@@ -1272,6 +1272,18 @@ class ManifestTable:
         invisible, same as this engine's own readers. Re-export after
         commits (the file is rewritten atomically). Returns the manifest
         file path."""
+        if self.column_mapping() is not None:
+            # Delta-parity refusal: data files store PHYSICAL names, so
+            # an external engine reading the symlink manifest would see
+            # pre-rename columns (and dead dropped-column bytes) — a
+            # silent schema lie. Rewrite without mapping first
+            # (CREATE TABLE ... AS SELECT) to export.
+            raise ValueError(
+                f"{self.path} uses column mapping (renamed/dropped/"
+                "widened columns): a symlink manifest would expose the "
+                "files' PHYSICAL schema to external readers. "
+                "Materialize an unmapped copy to export."
+            )
         out_dir = out_dir or os.path.join(self.path, "_symlink_format_manifest")
         os.makedirs(out_dir, exist_ok=True)
         lines = "".join(

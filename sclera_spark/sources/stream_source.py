@@ -374,7 +374,15 @@ class ManifestStreamReader(DataSourceStreamReader):
             cur = min(cur, self._last_end + self.max_versions)
         self._last_end = cur
         if self.max_bytes > 0 and self._last_pos is not None:
-            return self._bytes_walk(cur)
+            try:
+                return self._bytes_walk(cur)
+            except FileNotFoundError:
+                # a vacuum raced the walk: fall back to the plain
+                # version boundary — partitions() then reports the
+                # retention gap with remediation, instead of a raw
+                # missing-file error from the offset path
+                self._last_pos = (cur, 0)
+                return {"version": cur}
         if self.max_bytes > 0:
             # restart: adopt the current pointer as the pacing anchor
             # for SUBSEQUENT batches; this first one is unpaced

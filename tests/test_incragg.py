@@ -241,3 +241,18 @@ def test_incragg_on_cas_tables(spark, tmp_path):
         ).collect()
     }
     assert got == want and got != base
+
+
+def test_incremental_refresh_on_column_mapped_source(env, spark):
+    """A source that evolved via column mapping (rename of a NON-agg
+    column) keeps incrementally refreshing: the delta read goes THROUGH
+    the table (physical->logical projection), not raw parquet — raw
+    files store physical names the agg spec would not resolve."""
+    _spark, src, ia = env
+    # rename a column the rollup does NOT reference; physical files
+    # now differ from the logical schema for every later delta read
+    src.rename_column(spark, "event_id", "evt")
+    src.append(_mk_rows(spark, 2, 25).withColumnRenamed("event_id", "evt"))
+    mode, n = ia.refresh(spark)
+    assert mode == "incremental" and n >= 1
+    assert _canon(ia.read(spark)) == _canon(_direct(src.read(spark)))

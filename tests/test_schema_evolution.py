@@ -402,3 +402,15 @@ def test_evolution_dml_fuzz_vs_duckdb(spark, seed):
     finally:
         engine.execute("DROP TABLE ft")
         duck.close()
+
+
+def test_symlink_export_refused_on_mapped_table(engine):
+    """GENERATE SYMLINK MANIFEST on an evolved table would expose the
+    files' PHYSICAL schema to external readers — refused loudly
+    (Delta's parity behavior for column-mapped tables)."""
+    _mk(engine)
+    engine.execute("GENERATE SYMLINK MANIFEST FOR se")  # fine pre-evolution
+    engine.execute("ALTER TABLE se RENAME COLUMN price TO total")
+    with pytest.raises(ValueError, match="PHYSICAL schema"):
+        engine.execute("GENERATE SYMLINK MANIFEST FOR se")
+    engine.execute("DROP TABLE se")

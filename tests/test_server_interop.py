@@ -916,3 +916,26 @@ def test_psql_copy_from_stdin_bad_rows_fail_loudly(server):
         assert rc == 0 and out.strip() == "1"  # nothing half-loaded
     finally:
         run_psql(server, "DROP TABLE cin3")
+
+
+def test_copy_from_refused_inside_transaction(server):
+    """COPY FROM STDIN commits its own atomic INSERT, which ROLLBACK
+    could not undo — inside a transaction it is refused (0A000), and
+    the rollback stays truthful."""
+    rc, _, err = run_psql(
+        server,
+        "CREATE TABLE ctx AS SELECT r_regionkey AS k FROM region",
+    )
+    assert rc == 0, err
+    run_psql(server, "ALTER TABLE ctx SET FORMAT MANIFEST")
+    rc, out, err = run_psql_stdin(
+        server,
+        "BEGIN; COPY ctx FROM STDIN; ROLLBACK",
+        "99\n\\.\n",
+    )
+    assert rc != 0 and "inside a transaction" in err
+    rc, out, err = run_psql(
+        server, "SELECT count(*) AS n FROM ctx WHERE k = 99"
+    )
+    assert out.strip() == "0"
+    run_psql(server, "DROP TABLE ctx")
