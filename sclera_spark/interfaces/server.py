@@ -486,10 +486,22 @@ class _Handler(socketserver.BaseRequestHandler):
                     try:
                         mt = ddl._manifest(txn["table"])
                         mt.commit_staged(txn["parts"])
-                        ddl._register_manifest(txn["table"])
                     except Exception:
                         ManifestTable.discard_staged(txn["parts"])
                         raise
+                    # the commit is durable at this point: a failure to
+                    # refresh the catalog registration must NOT report
+                    # the transaction as failed (a retrying client
+                    # would duplicate rows) — surface it as a notice
+                    try:
+                        ddl._register_manifest(txn["table"])
+                    except Exception as exc:
+                        self._notice(
+                            "COMMIT succeeded (manifest version is "
+                            "durable) but the catalog refresh failed: "
+                            f"{exc}; re-register or reconnect to see "
+                            "the new rows"
+                        )
                 return _ResultSet(None, None, None, "COMMIT")
             if verb == "ROLLBACK":
                 txn = getattr(self, "_txn", None)
@@ -545,6 +557,10 @@ class _Handler(socketserver.BaseRequestHandler):
         mt = ddl._manifest(name)
         df = ddl.insert_frame(name, rest)
         scratch, names = mt._stage(df)
+        # track the staged batch BEFORE anything else can raise, so
+        # ROLLBACK / disconnect cleanup always reclaims the scratch dir
+        txn["table"] = name.lower()
+        txn["parts"].append((scratch, names))
         # exact inserted-row count from the staged footers (no extra job)
         import pyarrow.parquet as pq
 
@@ -552,8 +568,6 @@ class _Handler(socketserver.BaseRequestHandler):
             pq.ParquetFile(os.path.join(scratch, f)).metadata.num_rows
             for f in names
         )
-        txn["table"] = name.lower()
-        txn["parts"].append((scratch, names))
         txn["rows"] += n
         return _ResultSet(None, None, None, f"INSERT 0 {n}")
 

@@ -153,7 +153,8 @@ class DdlRouter:
         (
             re.compile(
                 r"^\s*CREATE\s+TABLE\s+(\w+)\s+FROM\s+DELTA\s+"
-                r"'([^']+)'\s*$",
+                r"'([^']+)'"
+                r"(\s+MATERIALIZE\s+DELETION\s+VECTORS)?\s*$",
                 re.I,
             ),
             "_create_from_delta",
@@ -505,15 +506,19 @@ class DdlRouter:
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)
 
-    def _create_from_delta(self, name: str, src: str):
-        """CREATE TABLE t FROM DELTA '<table_dir>' — replay an external
-        Delta Lake table's public ``_delta_log`` (JSON add/remove
-        actions atop an optional single-part checkpoint) to its live
-        snapshot and register it as a new manifest table without
-        copying data (hard links; sources/manifest.import_delta). The
-        import is a first-class table: pruning, DML, time travel and
-        OPTIMIZE all work atop it, and the source Delta table is never
-        modified."""
+    def _create_from_delta(self, name: str, src: str, mat_dvs=None):
+        """CREATE TABLE t FROM DELTA '<table_dir>' [MATERIALIZE
+        DELETION VECTORS] — replay an external Delta Lake table's
+        public ``_delta_log`` (JSON add/remove actions atop an optional
+        single- or multi-part checkpoint) to its live snapshot and
+        register it as a new manifest table without copying data (hard
+        links; sources/manifest.import_delta). Partitioned tables
+        import zero-copy (partitionValues from the log become virtual,
+        prunable columns); deletion vectors require the MATERIALIZE
+        opt-in, which rewrites only the DV-carrying files with masked
+        rows purged. The import is a first-class table: pruning, DML,
+        time travel and OPTIMIZE all work atop it, and the source
+        Delta table is never modified."""
         from sclera_spark.sources.manifest import ManifestTable
 
         if name.lower() in self.managed or name.lower() in (
@@ -521,7 +526,9 @@ class DdlRouter:
         ):
             raise ValueError(f"table {name} already exists")
         path = self._path(name)
-        ManifestTable.import_delta(src, path)
+        ManifestTable.import_delta(
+            src, path, materialize_dvs=bool(mat_dvs)
+        )
         self.managed[name.lower()] = path
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)
@@ -1271,7 +1278,12 @@ class DdlRouter:
         try:
             if is_manifest:
                 mt = self._manifest(name)
-                base = mt.read(self.engine.spark)
+                # the file identity is materialized by read() itself:
+                # the hidden _metadata column cannot be resolved above
+                # the partition-fill join of a partitioned Delta import
+                base = mt.read(
+                    self.engine.spark, file_col="__sclera_dml_file"
+                )
             else:
                 base = self.engine.spark.read.parquet(path)
             probe = base.filter(F.expr(where))
@@ -1288,16 +1300,23 @@ class DdlRouter:
                         return True  # no file can match: DML is a no-op
                     if len(cand) < len(mt.files()):
                         probe = mt.read(
-                            self.engine.spark, file_paths=cand
+                            self.engine.spark,
+                            file_paths=cand,
+                            file_col="__sclera_dml_file",
                         ).filter(F.expr(where))
             # LIMIT cap+1 BEFORE collecting: a broad predicate on a
             # million-file table must trip the fallback without ever
             # materializing the full path list on the driver — the
             # executors stop feeding distinct paths past the cap
+            file_expr = (
+                F.col("__sclera_dml_file")
+                if is_manifest
+                else F.col("_metadata.file_path")
+            )
             hit_uris = [
                 r[0]
                 for r in probe
-                .select(F.col("_metadata.file_path"))
+                .select(file_expr)
                 .distinct()
                 .limit(self.cow_file_cap + 1)
                 .collect()

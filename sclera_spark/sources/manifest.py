@@ -273,12 +273,19 @@ class ManifestTable:
 
     @classmethod
     def _adopt_external(
-        cls, path: str, srcs: list[str], meta: dict
+        cls,
+        path: str,
+        srcs: list[str],
+        meta: dict,
+        pv_by_src: dict[str, dict] | None = None,
     ) -> "ManifestTable":
         """Shared import tail: hard-link (fall back symlink, then copy)
         the source parquet files into data/ and publish them as version
         1 — O(files) metadata, commit-time footer stats recorded as for
-        any commit."""
+        any commit. ``pv_by_src`` (partitioned Delta import) maps each
+        source path to its partition values; they are re-keyed by the
+        final data-file names into ``meta["file_partition_values"]``,
+        the lookup :meth:`read` and :meth:`files_pruned` consult."""
         t = cls(path)
         if t.exists(path):
             raise FileExistsError(f"{path} is already a manifest table")
@@ -286,6 +293,7 @@ class ManifestTable:
         os.makedirs(t.log_dir, exist_ok=True)
         names: list[str] = []
         seen: set[str] = set()
+        pv_by_name: dict[str, dict] = {}
         for i, src in enumerate(srcs):
             base = os.path.basename(src)
             name = base if base not in seen else f"import-{i:05d}-{base}"
@@ -301,29 +309,48 @@ class ManifestTable:
                     shutil.copyfile(src, tmp)
                     os.rename(tmp, dst)
             names.append(name)
+            if pv_by_src and src in pv_by_src:
+                pv_by_name[name] = pv_by_src[src]
+        if pv_by_name:
+            meta = {**meta, "file_partition_values": pv_by_name}
         t._publish(1, names, meta)
         return t
 
     @classmethod
-    def import_delta(cls, table_dir: str, path: str) -> "ManifestTable":
+    def import_delta(
+        cls, table_dir: str, path: str, materialize_dvs: bool = False
+    ) -> "ManifestTable":
         """Migration from an external DELTA LAKE table without copying
         data: replay the public ``_delta_log`` commit protocol (JSON
         commits of ``add``/``remove``/``metaData`` actions, optionally
-        on top of a single-part parquet checkpoint named by
+        on top of a checkpoint — single- or multi-part — named by
         ``_last_checkpoint``) to the CURRENT live-file set, hard-link
         those parquet files in, and publish them as version 1 of a new
         manifest table. Pure public-format parsing — no delta-spark
-        dependency.
+        dependency. Checkpoint parts are streamed per Arrow batch
+        (``ParquetFile.iter_batches``), so driver memory stays bounded
+        on a million-action checkpoint.
 
-        Loud refusals instead of silent data loss for Delta features
-        whose data does NOT live in the parquet files themselves:
-        - partitioned tables (``partitionColumns``): the partition
-          column VALUES are directory names, absent from the files;
-        - deletion vectors (an ``add`` carrying ``deletionVector``):
-          row-level deletes the parquet bytes do not reflect;
+        PARTITIONED tables import zero-copy: each add action's
+        ``partitionValues`` (they are IN the public log) are recorded
+        per final data file in the manifest meta, the partition columns
+        join the logical ``table_schema``, reads materialize them via a
+        broadcast file-name lookup (:meth:`read`), and
+        :meth:`files_pruned` treats each value as a per-file
+        ``[v, v]`` stat — so partition-key predicates prune files
+        immediately, exactly like native partition pruning.
+
+        DELETION VECTORS (on by default in current Delta writers) are
+        refused unless ``materialize_dvs`` — the opt-in decodes each
+        public DV descriptor (inline or on-disk roaring bitmap;
+        sources/deletion_vectors.py) and rewrites ONLY the DV-carrying
+        files with the masked rows purged (streamed per batch); clean
+        files are still hard-linked, never copied.
+
+        Remaining loud refusals instead of silent data loss:
         - column mapping (``delta.columnMapping.mode`` set): physical
           names in the footers differ from the logical schema;
-        - multi-part checkpoints and object-store paths."""
+        - object-store paths (no credentials here)."""
         import urllib.parse
 
         log_dir = os.path.join(table_dir, "_delta_log")
@@ -332,17 +359,17 @@ class ManifestTable:
                 f"{table_dir!r} has no _delta_log directory: not a "
                 "Delta table"
             )
-        live: dict[str, str] = {}  # relative path -> absolute source
+        # relative path -> {"src": abs, "dv": descriptor|None,
+        #                   "pv": partitionValues|None}
+        live: dict[str, dict] = {}
         part_cols: list[str] | None = None
         mapping_mode: str | None = None
+        schema_json: dict | None = None
 
-        def apply_add(rel: str, dv) -> None:
-            if dv:
+        def apply_add(rel: str, dv, pv=None) -> None:
+            if dv is not None and not isinstance(dv, dict):
                 raise ValueError(
-                    "Delta import: an add action carries a deletion "
-                    "vector — the parquet bytes do not reflect its "
-                    "row-level deletes. Run a Delta-native OPTIMIZE/"
-                    "purge to materialize them first."
+                    f"Delta import: unparseable deletionVector {dv!r}"
                 )
             if "://" in rel:
                 raise ValueError(
@@ -350,45 +377,91 @@ class ManifestTable:
                     "object-store URI; only files under the table "
                     "directory can be imported here"
                 )
-            live[rel] = os.path.join(
-                table_dir, urllib.parse.unquote(rel)
-            )
+            p = urllib.parse.unquote(rel)
+            if os.path.isabs(p):
+                raise ValueError(
+                    f"Delta import: add path {rel!r} is an absolute "
+                    "filesystem path (SHALLOW CLONE / CONVERT can emit "
+                    "these); only files under the table directory can "
+                    "be imported here"
+                )
+            resolved = os.path.realpath(os.path.join(table_dir, p))
+            root = os.path.realpath(table_dir)
+            if os.path.commonpath([resolved, root]) != root:
+                raise ValueError(
+                    f"Delta import: add path {rel!r} escapes the table "
+                    "directory; refusing to link a file outside it"
+                )
+            if isinstance(pv, list):
+                # Arrow MapArray.to_pylist yields (key, value) pairs
+                pv = dict(pv)
+            live[rel] = {
+                "src": os.path.join(table_dir, p),
+                "dv": dv or None,
+                "pv": pv or None,
+            }
 
         def apply_meta(md: dict) -> None:
-            nonlocal part_cols, mapping_mode
+            nonlocal part_cols, mapping_mode, schema_json
             part_cols = md.get("partitionColumns") or []
             mapping_mode = (md.get("configuration") or {}).get(
                 "delta.columnMapping.mode"
             )
+            ss = md.get("schemaString")
+            if ss:
+                try:
+                    schema_json = json.loads(ss)
+                except ValueError:
+                    schema_json = None
 
         base_version = -1
         ckpt_file = os.path.join(log_dir, "_last_checkpoint")
         if os.path.isfile(ckpt_file):
+            import pyarrow.parquet as pq
+
             with open(ckpt_file) as fh:
                 ck = json.load(fh)
             base_version = int(ck["version"])
-            if ck.get("parts"):
-                raise ValueError(
-                    "Delta import: multi-part checkpoints are not "
-                    "supported; compact the log to a single-part "
-                    "checkpoint first"
-                )
-            import pyarrow.parquet as pq
-
-            cpath = os.path.join(
-                log_dir, f"{base_version:020d}.checkpoint.parquet"
-            )
-            tbl = pq.read_table(cpath)
-            for row in tbl.to_pylist():
-                add = row.get("add")
-                if add and add.get("path"):
-                    apply_add(add["path"], add.get("deletionVector"))
-                rem = row.get("remove")
-                if rem and rem.get("path"):
-                    live.pop(rem["path"], None)
-                md = row.get("metaData")
-                if md and (md.get("schemaString") or md.get("id")):
-                    apply_meta(md)
+            nparts = int(ck.get("parts") or 0)
+            if nparts:
+                cpaths = [
+                    os.path.join(
+                        log_dir,
+                        f"{base_version:020d}.checkpoint."
+                        f"{i:010d}.{nparts:010d}.parquet",
+                    )
+                    for i in range(1, nparts + 1)
+                ]
+            else:
+                cpaths = [
+                    os.path.join(
+                        log_dir, f"{base_version:020d}.checkpoint.parquet"
+                    )
+                ]
+            for cpath in cpaths:
+                pf = pq.ParquetFile(cpath)
+                want = [
+                    c
+                    for c in ("add", "remove", "metaData")
+                    if c in pf.schema_arrow.names
+                ]
+                # streamed per Arrow batch: driver memory is bounded by
+                # one batch of actions, not the checkpoint's total size
+                for batch in pf.iter_batches(columns=want):
+                    for row in batch.to_pylist():
+                        add = row.get("add")
+                        if add and add.get("path"):
+                            apply_add(
+                                add["path"],
+                                add.get("deletionVector"),
+                                add.get("partitionValues"),
+                            )
+                        rem = row.get("remove")
+                        if rem and rem.get("path"):
+                            live.pop(rem["path"], None)
+                        md = row.get("metaData")
+                        if md and (md.get("schemaString") or md.get("id")):
+                            apply_meta(md)
         commits = sorted(
             f
             for f in os.listdir(log_dir)
@@ -406,18 +479,15 @@ class ManifestTable:
                     action = json.loads(line)
                     if "add" in action:
                         a = action["add"]
-                        apply_add(a["path"], a.get("deletionVector"))
+                        apply_add(
+                            a["path"],
+                            a.get("deletionVector"),
+                            a.get("partitionValues"),
+                        )
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
                     elif "metaData" in action:
                         apply_meta(action["metaData"])
-        if part_cols:
-            raise ValueError(
-                f"Delta import: table is partitioned on {part_cols} — "
-                "the partition VALUES live in directory names, not in "
-                "the parquet files, so a file-level import would drop "
-                "those columns. Rewrite unpartitioned first."
-            )
         if mapping_mode and mapping_mode != "none":
             raise ValueError(
                 "Delta import: delta.columnMapping.mode="
@@ -429,22 +499,73 @@ class ManifestTable:
             raise ValueError(
                 f"Delta log at {log_dir!r} resolves to zero live files"
             )
+        dvd = [rel for rel in live if live[rel]["dv"]]
+        if dvd and not materialize_dvs:
+            raise ValueError(
+                f"Delta import: {len(dvd)} add action(s) carry deletion "
+                "vectors — the parquet bytes do not reflect their "
+                "row-level deletes. Re-run with MATERIALIZE DELETION "
+                "VECTORS to purge the masked rows at import time (only "
+                "the DV-carrying files are rewritten; the rest still "
+                "hard-link)."
+            )
+        purge_dir = None
+        if dvd:
+            from sclera_spark.sources.deletion_vectors import (
+                descriptor_positions,
+                purge_parquet,
+            )
+
+            purge_dir = tempfile.mkdtemp(prefix="sclera_dv_purge_")
+            for i, rel in enumerate(dvd):
+                e = live[rel]
+                positions = descriptor_positions(table_dir, e["dv"])
+                dst = os.path.join(purge_dir, f"purged-{i:05d}.parquet")
+                purge_parquet(e["src"], dst, positions)
+                e["src"] = dst  # adopted via the copy/link fallback
+        pv_by_src: dict[str, dict] | None = None
+        if part_cols:
+            # zero-copy partitioned import: values come from the log,
+            # not the directory names; typed per the schemaString
+            pv_by_src = {}
+            for rel, e in live.items():
+                pv = e["pv"] or {}
+                pv_by_src[e["src"]] = {c: pv.get(c) for c in part_cols}
         srcs = []
         for rel in sorted(live):
-            src = live[rel]
+            src = live[rel]["src"]
             if not os.path.isfile(src):
                 raise FileNotFoundError(
                     f"Delta log references missing file {src!r}"
                 )
             srcs.append(src)
-        return cls._adopt_external(
-            path,
-            srcs,
-            {
-                "imported_from": os.path.abspath(table_dir),
-                "_op": "import_delta",
-            },
-        )
+        meta: dict = {
+            "imported_from": os.path.abspath(table_dir),
+            "_op": "import_delta",
+        }
+        if part_cols:
+            fields = {
+                f["name"]: f["type"]
+                for f in (schema_json or {}).get("fields", [])
+                if isinstance(f.get("type"), str)
+            }
+            missing = [c for c in part_cols if c not in fields]
+            if missing:
+                raise ValueError(
+                    f"Delta import: partition columns {missing} have "
+                    "no scalar type in the table's schemaString; "
+                    "cannot type their values"
+                )
+            meta["partition_columns"] = [
+                {"name": c, "type": fields[c]} for c in part_cols
+            ]
+            if schema_json:
+                meta["table_schema"] = json.dumps(schema_json)
+        try:
+            return cls._adopt_external(path, srcs, meta, pv_by_src=pv_by_src)
+        finally:
+            if purge_dir:
+                shutil.rmtree(purge_dir, ignore_errors=True)
 
     @classmethod
     def convert(cls, path: str) -> "ManifestTable":
@@ -556,6 +677,107 @@ class ManifestTable:
         absence marks a legacy file whose stats lack type tags."""
         return self._manifest(version).get("nulls", {})
 
+    # ---- virtual partition columns (partitioned Delta import) ----
+
+    def partition_info(
+        self, version: int | None = None
+    ) -> tuple[list[dict], dict[str, dict]] | None:
+        """([{name, type}], {file name: {col: raw string | None}}) for
+        a table imported from a partitioned Delta log, else None. The
+        values are the log's ``partitionValues`` strings; readers cast
+        them to the recorded Spark type. Files written AFTER the import
+        (DML COW, compaction) carry the columns physically and have no
+        entry here — :meth:`read`'s coalesce keeps both populations
+        correct in one scan."""
+        try:
+            meta = self.meta(version)
+        except FileNotFoundError:
+            return None
+        pcols = meta.get("partition_columns")
+        pv = meta.get("file_partition_values")
+        if not pcols or not pv:
+            return None
+        return pcols, pv
+
+    def _fill_partition_columns(
+        self, spark, df: DataFrame, info, files: list[str]
+    ) -> DataFrame:
+        """Materialize virtual partition columns on a scan: broadcast
+        a (file name -> partition value strings) lookup — manifest
+        metadata the driver already holds, a few MB even at a million
+        files — join it on ``_metadata.file_name`` (JVM-side, no
+        Python), and coalesce the physical column (NULL for imported
+        files, real for post-import rewrites) with the cast virtual
+        value. Column order and names are unchanged."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        pcols, pv = info
+        out_cols = list(df.columns)
+        fill = [c for c in pcols if c["name"] in out_cols]
+        if not fill:
+            return df
+        names = {os.path.basename(f) for f in files}
+        rows = [
+            tuple([n] + [pv[n].get(c["name"]) for c in pcols])
+            for n in sorted(names & pv.keys())
+        ]
+        if not rows:
+            return df
+        lk_schema = StructType(
+            [StructField("__sclera_pv_file", StringType())]
+            + [
+                StructField(f"__sclera_pv_{c['name']}", StringType())
+                for c in pcols
+            ]
+        )
+        lookup = spark.createDataFrame(rows, lk_schema)
+        df = df.withColumn(
+            "__sclera_pv_file", F.col("_metadata.file_name")
+        ).join(F.broadcast(lookup), "__sclera_pv_file", "left")
+        for c in fill:
+            df = df.withColumn(
+                c["name"],
+                F.coalesce(
+                    F.col(c["name"]),
+                    F.col(f"__sclera_pv_{c['name']}").cast(c["type"]),
+                ),
+            )
+        return df.select(*out_cols)
+
+    @staticmethod
+    def _partition_stat_entry(raw, typ: str):
+        """One partition value as a [v, v, tag] stats entry in exactly
+        the canonical form :func:`_parquet_minmax` records, so
+        :meth:`files_pruned` range/set-compares it soundly. None for
+        untypeable values (pruning keeps the file)."""
+        if raw is None:
+            return None
+        try:
+            if typ in ("byte", "short", "integer", "long"):
+                v = int(raw)
+                return [v, v, "n"]
+            if typ in ("float", "double") or typ.startswith("decimal"):
+                v = float(raw)
+                return [v, v, "n"]
+            if typ == "string":
+                return [raw, raw, "s"]
+            if typ == "date":
+                import datetime as _dt
+
+                return [
+                    _dt.date.fromisoformat(raw).isoformat(),
+                ] * 2 + ["d"]
+            if typ == "timestamp":
+                import datetime as _dt
+
+                ts = _dt.datetime.fromisoformat(raw.replace("T", " "))
+                c = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+                return [c, c, "t"]
+        except (ValueError, TypeError):
+            return None
+        return None
+
     # ---- column mapping (RENAME / DROP COLUMN, type widening) ----
     #
     # Delta-style column-mapping-by-id (public Delta protocol's
@@ -644,6 +866,23 @@ class ManifestTable:
             }
         )
 
+    def _guard_partition_column(self, col: str, op: str) -> None:
+        """Virtual partition columns (partitioned Delta import) are
+        keyed by NAME in the per-file value map, so renaming, dropping
+        or re-typing one would orphan every file's recorded value —
+        refuse loudly (materialize a copy to restructure them)."""
+        pinfo = self.partition_info()
+        if pinfo and any(
+            c["name"].lower() == col.lower() for c in pinfo[0]
+        ):
+            raise ValueError(
+                f"{op}: {col!r} is a virtual partition column of "
+                f"{self.path} (partitioned Delta import) — its values "
+                "live in the manifest meta keyed by this name. "
+                "Materialize a copy (CREATE TABLE ... AS SELECT) to "
+                "restructure it."
+            )
+
     def _live_entry(self, mapping: list, name: str) -> dict:
         hits = [
             e
@@ -661,6 +900,7 @@ class ManifestTable:
         """RENAME COLUMN as a pure metadata commit: the physical name
         (and with it every stat, null count and bloom sidecar) is
         untouched; only the logical name changes."""
+        self._guard_partition_column(old, "RENAME COLUMN")
         mapping = self.column_mapping() or self._fresh_mapping(spark)
         entry = self._live_entry(mapping, old)
         clash = [
@@ -683,6 +923,7 @@ class ManifestTable:
         a rewrite — same tradeoff Delta documents); the physical name
         stays RESERVED so a later ADD COLUMN can never alias old
         data."""
+        self._guard_partition_column(col, "DROP COLUMN")
         mapping = self.column_mapping() or self._fresh_mapping(spark)
         entry = self._live_entry(mapping, col)
         if sum(1 for e in mapping if not e.get("dropped")) <= 1:
@@ -705,6 +946,7 @@ class ManifestTable:
         (byte<short<integer<long, float->double, integer-family ->
         double): old narrow files stay readable, new files write the
         wide type, and numeric stats compare across both."""
+        self._guard_partition_column(col, "ALTER COLUMN TYPE")
         mapping = self.column_mapping() or self._fresh_mapping(spark)
         entry = self._live_entry(mapping, col)
         old_t, new_t = entry["type"], new_type.jsonValue()
@@ -834,6 +1076,9 @@ class ManifestTable:
         stats = self.file_stats(v)
         fnulls = self.file_nulls(v)
         frows = self.file_rows(v)
+        pinfo = self.partition_info(v)
+        ptypes = {c["name"]: c["type"] for c in pinfo[0]} if pinfo else {}
+        pvmap = pinfo[1] if pinfo else {}
         want_notnull = {c for c, k in (nulls or {}).items() if k == "notnull"}
         want_notnull |= set(ranges)
         want_notnull |= set(sets or {})
@@ -843,6 +1088,37 @@ class ManifestTable:
             name = os.path.basename(path)
             fstats = stats.get(name)
             keep = True
+            pvals = pvmap.get(name) if pvmap else None
+            if pvals is not None:
+                # virtual partition columns (partitioned Delta import):
+                # each is a per-file CONSTANT, so its [v, v] bounds are
+                # exact — a NULL constant fails every comparison probe,
+                # a non-NULL one fails IS NULL probes, and the typed
+                # entry below range/set-prunes like any recorded stat.
+                # Physical footer stats (post-import rewrites) win.
+                for col in want_notnull:
+                    if col in ptypes and pvals.get(col) is None:
+                        keep = False
+                        break
+                if keep:
+                    for col in want_null:
+                        if col in ptypes and pvals.get(col) is not None:
+                            keep = False
+                            break
+                if not keep:
+                    continue
+                over = {
+                    col: ent
+                    for col, typ in ptypes.items()
+                    if (
+                        ent := self._partition_stat_entry(
+                            pvals.get(col), typ
+                        )
+                    )
+                    is not None
+                }
+                if over:
+                    fstats = {**over, **(fstats or {})}
             fn = fnulls.get(name)
             if fn is not None:
                 for col in want_null:
@@ -945,6 +1221,7 @@ class ManifestTable:
         prune: dict[str, tuple] | None = None,
         file_paths: list[str] | None = None,
         schema=None,
+        file_col: str | None = None,
     ) -> DataFrame:
         """Snapshot read. ``prune`` applies file-level data skipping
         (see files_pruned); ``file_paths`` reads an explicit subset the
@@ -953,7 +1230,11 @@ class ManifestTable:
         ``prune`` are taken as UTC when naive. ``schema`` (a known
         StructType — e.g. the already-registered full view's) skips
         Spark's footer-sampling schema-inference job, the fixed cost
-        that would otherwise dominate a small pruned rebuild."""
+        that would otherwise dominate a small pruned rebuild.
+        ``file_col`` appends ``_metadata.file_path`` under that name —
+        the DML hit probe needs it materialized HERE because the
+        hidden ``_metadata`` column does not resolve through the
+        partition-fill join of a partitioned Delta import."""
         if file_paths is not None:
             files = file_paths
         else:
@@ -962,6 +1243,7 @@ class ManifestTable:
                 if prune
                 else self.files(version)
             )
+        pinfo = self.partition_info(version)
         mapping = self.column_mapping(version)
         if mapping:
             # column-mapped table: data files store PHYSICAL names and
@@ -974,10 +1256,19 @@ class ManifestTable:
 
             physical, logical, live = self._mapping_schemas(mapping)
             if not files:
-                return spark.createDataFrame([], logical)
-            return spark.read.schema(physical).parquet(*files).select(
-                [F.col(e["physical"]).alias(e["name"]) for e in live]
-            )
+                df = spark.createDataFrame([], logical)
+                if file_col:
+                    df = df.withColumn(
+                        file_col, F.lit(None).cast("string")
+                    )
+                return df
+            cols = [F.col(e["physical"]).alias(e["name"]) for e in live]
+            if file_col:
+                cols.append(F.col("_metadata.file_path").alias(file_col))
+            df = spark.read.schema(physical).parquet(*files).select(cols)
+            if pinfo:
+                df = self._fill_partition_columns(spark, df, pinfo, files)
+            return df
         if schema is None:
             # schema evolution (ALTER TABLE ADD COLUMN): the evolved
             # schema rides the manifest meta — files that predate a
@@ -997,14 +1288,32 @@ class ManifestTable:
         if not files:
             # schema-only snapshot (or fully-pruned read): keep the
             # latest non-empty schema
+            from pyspark.sql import functions as F
+
             if schema is not None:
-                return spark.createDataFrame([], schema)
-            for v in reversed(self.versions()):
-                prior = self.files(v)
-                if prior:
-                    return spark.read.parquet(*prior).limit(0)
-            raise ValueError(f"manifest table {self.path} has no data files")
-        return reader.parquet(*files)
+                df = spark.createDataFrame([], schema)
+            else:
+                df = None
+                for v in reversed(self.versions()):
+                    prior = self.files(v)
+                    if prior:
+                        df = spark.read.parquet(*prior).limit(0)
+                        break
+                if df is None:
+                    raise ValueError(
+                        f"manifest table {self.path} has no data files"
+                    )
+            if file_col:
+                df = df.withColumn(file_col, F.lit(None).cast("string"))
+            return df
+        df = reader.parquet(*files)
+        if file_col:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(file_col, F.col("_metadata.file_path"))
+        if pinfo:
+            df = self._fill_partition_columns(spark, df, pinfo, files)
+        return df
 
     # ---- mutation (each is one atomic commit) ----
 
@@ -1232,12 +1541,14 @@ class ManifestTable:
                 return []
         total = sum(os.path.getsize(p) for p in small)
         n_out = int(max(1, -(-total // target_bytes)))  # ceil
-        if self.column_mapping() is not None:
+        if self.column_mapping() is not None or self.partition_info():
             # evolved table: rewrite through the LOGICAL projection —
             # narrow pre-widening files unify under the wide type,
             # cluster_by names resolve, and (as in Delta) compaction
             # reclaims dropped-column bytes; _stage maps the output
-            # back to physical names
+            # back to physical names. Partitioned imports likewise:
+            # the read materializes virtual partition columns, so the
+            # compacted files carry them PHYSICALLY from then on.
             df = self.read(spark, file_paths=small)
         else:
             df = spark.read.parquet(*small)
@@ -1283,6 +1594,15 @@ class ManifestTable:
                 "widened columns): a symlink manifest would expose the "
                 "files' PHYSICAL schema to external readers. "
                 "Materialize an unmapped copy to export."
+            )
+        if self.partition_info() is not None:
+            raise ValueError(
+                f"{self.path} carries virtual partition columns "
+                "(partitioned Delta import): their values live in the "
+                "manifest meta, not the parquet bytes, so an external "
+                "reader of a symlink manifest would silently miss "
+                "them. Materialize a copy (CREATE TABLE ... AS SELECT) "
+                "to export."
             )
         out_dir = out_dir or os.path.join(self.path, "_symlink_format_manifest")
         os.makedirs(out_dir, exist_ok=True)

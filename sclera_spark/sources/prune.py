@@ -109,20 +109,57 @@ def _lit_value(raw, type_name: str):
     return _SKIP
 
 
+def _pv_attr_name(expr):
+    """Virtual-partition-column fill pattern (partitioned Delta
+    import, manifest.ManifestTable._fill_partition_columns):
+    ``Coalesce(col, Cast(__sclera_pv_<col>))`` → ``<col>``. The
+    marker prefix plus the matching first-child name make this
+    unmistakable — user expressions cannot produce it, since the
+    engine never exposes ``__sclera_pv_*`` columns."""
+    if _cls(expr) != "Coalesce":
+        return None
+    kids = _seq(expr.children())
+    if len(kids) != 2:
+        return None
+    a, b = kids
+    if _cls(a) != "AttributeReference":
+        return None
+    if _cls(b) == "Cast":
+        b = b.child()
+    if _cls(b) != "AttributeReference":
+        return None
+    n = b.name()
+    if not n.startswith("__sclera_pv_"):
+        return None
+    col = n[len("__sclera_pv_") :]
+    return col if a.name() == col else None
+
+
+def _attr_name(expr):
+    """Column name of an attribute-like expression side: a bare
+    AttributeReference, or the partition-fill Coalesce pattern."""
+    if _cls(expr) == "AttributeReference":
+        return expr.name()
+    return _pv_attr_name(expr)
+
+
 def _attr_lit(expr):
     """(column name, literal python value) for a binary comparison with
-    exactly one AttributeReference side and one Literal side, plus
-    whether the attribute is on the left; None when the shape differs."""
+    exactly one attribute-like side (see _attr_name) and one Literal
+    side, plus whether the attribute is on the left; None when the
+    shape differs."""
     kids = _seq(expr.children())
     if len(kids) != 2:
         return None
     l, r = kids
-    if _cls(l) == "AttributeReference" and _cls(r) == "Literal":
+    ln = _attr_name(l)
+    if ln is not None and _cls(r) == "Literal":
         v = _lit_value(r.value(), r.dataType().typeName())
-        return None if v is _SKIP else (l.name(), v, True)
-    if _cls(l) == "Literal" and _cls(r) == "AttributeReference":
+        return None if v is _SKIP else (ln, v, True)
+    rn = _attr_name(r)
+    if _cls(l) == "Literal" and rn is not None:
         v = _lit_value(l.value(), l.dataType().typeName())
-        return None if v is _SKIP else (r.name(), v, False)
+        return None if v is _SKIP else (rn, v, False)
     return None
 
 
@@ -192,9 +229,9 @@ def extract_ranges(cond) -> dict[str, tuple]:
                     bound(col).add_hi(v)
             elif cn == "In":
                 kids = _seq(e.children())
-                if not kids or _cls(kids[0]) != "AttributeReference":
+                col = _attr_name(kids[0]) if kids else None
+                if col is None:
                     continue
-                col = kids[0].name()
                 if col in dead:
                     continue
                 vals = []
@@ -213,9 +250,9 @@ def extract_ranges(cond) -> dict[str, tuple]:
                     bound(col).add_hi(max(vals))
             elif cn == "InSet":
                 child = e.child()
-                if _cls(child) != "AttributeReference":
+                col = _attr_name(child)
+                if col is None:
                     continue
-                col = child.name()
                 if col in dead:
                     continue
                 tn = child.dataType().typeName()
@@ -266,9 +303,9 @@ def extract_nulls(cond) -> dict[str, str]:
             continue
         try:
             child = e.child()
-            if _cls(child) != "AttributeReference":
+            col = _attr_name(child)
+            if col is None:
                 continue
-            col = child.name()
             if col in dead:
                 continue
             kind = "null" if cn == "IsNull" else "notnull"
@@ -277,6 +314,51 @@ def extract_nulls(cond) -> dict[str, str]:
                 out.pop(col, None)
         except Exception:
             continue
+    return out
+
+
+def _cond_ranges(cond) -> dict[str, tuple]:
+    """extract_ranges over one condition OR a list of ANDed conditions
+    (a partition-fill pair carries [outer filter, pushed scan filter]):
+    bounds from each conjunct set intersect."""
+    if cond is None:
+        return {}
+    conds = cond if isinstance(cond, list) else [cond]
+    out: dict[str, tuple] = {}
+    for c in conds:
+        for col, (lo, hi) in extract_ranges(c).items():
+            cur = out.get(col)
+            if cur is None:
+                out[col] = (lo, hi)
+                continue
+            try:
+                nlo = lo if cur[0] is None else (
+                    cur[0] if lo is None else max(cur[0], lo)
+                )
+                nhi = hi if cur[1] is None else (
+                    cur[1] if hi is None else min(cur[1], hi)
+                )
+                out[col] = (nlo, nhi)
+            except TypeError:
+                continue  # incomparable across conds: keep first bound
+    return out
+
+
+def _cond_nulls(cond) -> dict[str, str]:
+    """extract_nulls over one condition or a list (see _cond_ranges);
+    contradictory facts drop the column (sound: prune nothing)."""
+    if cond is None:
+        return {}
+    conds = cond if isinstance(cond, list) else [cond]
+    out: dict[str, str] = {}
+    dead: set[str] = set()
+    for c in conds:
+        for col, kind in extract_nulls(c).items():
+            if col in dead:
+                continue
+            if out.setdefault(col, kind) != kind:
+                dead.add(col)
+                out.pop(col, None)
     return out
 
 
@@ -299,7 +381,7 @@ def filter_ranges(df) -> dict[str, tuple]:
             pairs.extend(_scan_pairs(p))
         if len(pairs) != 1 or pairs[0][0] is None:
             return {}
-        return extract_ranges(pairs[0][0])
+        return _cond_ranges(pairs[0][0])
     except Exception:
         return {}
 
@@ -371,6 +453,51 @@ def _equi_keys(cond):
     return out
 
 
+def _fill_relation(join):
+    """(LogicalRelation, pushed filter condition | None) when ``join``
+    is a partition-fill lookup join (partitioned Delta import): its
+    right subtree outputs the ``__sclera_pv_file`` marker and holds no
+    relation (it is the broadcast in-memory lookup), and its left
+    subtree reaches exactly ONE LogicalRelation through Project/Filter
+    nodes only. None for every other join."""
+    try:
+        kids = _seq(join.children())
+        if len(kids) != 2:
+            return None
+        left, right = kids
+        right_names = [a.name() for a in _seq(right.output())]
+        if "__sclera_pv_file" not in right_names:
+            return None
+        stack = [right]
+        while stack:
+            n = stack.pop()
+            if _cls(n) == "LogicalRelation":
+                return None  # a real scan on the lookup side: not ours
+            stack.extend(_seq(n.children()))
+        rel = None
+        cond = None
+        stack = [left]
+        while stack:
+            n = stack.pop()
+            cn = _cls(n)
+            if cn == "LogicalRelation":
+                if rel is not None:
+                    return None
+                rel = n
+            elif cn == "Filter":
+                if cond is not None:
+                    return None  # two filters: unexpected, bail
+                cond = n.condition()
+                stack.extend(_seq(n.children()))
+            elif cn == "Project":
+                stack.extend(_seq(n.children()))
+            else:
+                return None
+        return (rel, cond) if rel is not None else None
+    except Exception:
+        return None
+
+
 def _scan_pairs(plan, deriver=None):
     """(filter condition | None, LogicalRelation, env) for every parquet
     relation in the optimized plan — condition present only when the
@@ -393,6 +520,26 @@ def _scan_pairs(plan, deriver=None):
         ):
             pairs.append((node.condition(), kids[0], env))
             return
+        if cn == "Filter" and len(kids) == 1 and _cls(kids[0]) == "Join":
+            # partition-fill shape (partitioned Delta import): a
+            # predicate on a virtual partition column cannot push below
+            # the fill's lookup join, so it sits here — pair it (plus
+            # any filter that DID push to the scan) with the single
+            # relation under the join's data side
+            hit = _fill_relation(kids[0])
+            if hit is not None:
+                rel, inner = hit
+                conds = [node.condition()] + ([inner] if inner else [])
+                pairs.append((conds, rel, env))
+                return
+        if cn == "Join" and len(kids) == 2:
+            hit = _fill_relation(node)
+            if hit is not None:
+                # fill join with no outer filter: the scan-side filter
+                # (if any) still pairs; the lookup side never does
+                rel, inner = hit
+                pairs.append((inner, rel, env))
+                return
         if cn == "LogicalRelation":
             pairs.append((None, node, env))
             return
@@ -1027,8 +1174,8 @@ def prune_query(engine, ddl, query: str, df, report: dict | None = None):
         mts[name] = mt
         if survivors.get(name, set()) is None:
             continue
-        ranges = extract_ranges(cond) if cond is not None else {}
-        nullness = extract_nulls(cond) if cond is not None else {}
+        ranges = _cond_ranges(cond)
+        nullness = _cond_nulls(cond)
         key_sets: dict[str, list] = {}
         if env:
             # join-derived constraints: applied only to THIS scan

@@ -76,13 +76,17 @@ def _current_version(table_path: str) -> int:
         return int(fh.read().strip())
 
 
-def _file_batches(path: str, want, phys=None):
+def _file_batches(path: str, want, phys=None, const=None):
     """Arrow batches of one parquet file aligned to the reader schema:
     a file missing a column (schema evolution) streams TYPED nulls for
     it, so every batch matches. ``phys`` (column-mapped tables) lists
     the PHYSICAL file-side name of each reader field — data selects by
     physical name, the emitted batch carries the logical one; casts
-    lift pre-widening narrow files to the mapped (wide) type."""
+    lift pre-widening narrow files to the mapped (wide) type.
+    ``const`` ({column: typed value}) fills a missing column with a
+    per-file CONSTANT instead of nulls — the virtual partition columns
+    of a partitioned Delta import (values live in the manifest meta,
+    not the parquet bytes)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -90,16 +94,49 @@ def _file_batches(path: str, want, phys=None):
     pf = pq.ParquetFile(path)
     avail = [c for c in phys if c in pf.schema_arrow.names]
     for batch in pf.iter_batches(columns=avail):
-        if avail != list(want.names) or phys != list(want.names):
+        if avail != list(want.names) or phys != list(want.names) or const:
             arrays = []
             for field, p in zip(want, phys):
                 if p in avail:
                     arr = batch.column(avail.index(p)).cast(field.type)
+                elif const and const.get(field.name) is not None:
+                    arr = pa.array(
+                        [const[field.name]] * batch.num_rows,
+                        type=field.type,
+                    )
                 else:
                     arr = pa.nulls(batch.num_rows, type=field.type)
                 arrays.append(arr)
             batch = pa.RecordBatch.from_arrays(arrays, schema=want)
         yield batch
+
+
+def _typed_pv(raw, typ: str):
+    """One Delta partitionValues string as a typed Python value for an
+    Arrow constant array (None stays None → typed nulls)."""
+    if raw is None:
+        return None
+    import datetime
+    import decimal
+
+    try:
+        if typ in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if typ in ("float", "double"):
+            return float(raw)
+        if typ.startswith("decimal"):
+            return decimal.Decimal(raw)
+        if typ == "boolean":
+            return str(raw).lower() == "true"
+        if typ == "date":
+            return datetime.date.fromisoformat(raw)
+        if typ == "timestamp":
+            return datetime.datetime.fromisoformat(
+                str(raw).replace("T", " ")
+            )
+    except (ValueError, decimal.InvalidOperation):
+        return None
+    return raw
 
 
 def _tag_batch(batch, change_type: str, version: int, ts_us: int | None):
@@ -144,10 +181,15 @@ def _canon_cell(v):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, arrow_schema, change=None, phys=None):
+    def __init__(
+        self, path: str, arrow_schema, change=None, phys=None, const=None
+    ):
         self.path = path
         self.arrow_schema = arrow_schema
         self.phys = phys  # physical file-side column names (mapping)
+        # virtual partition-column constants for THIS file (partitioned
+        # Delta import) — substituted for the missing columns
+        self.const = const
         # (change_type, commit_version, commit_ts_us) when streaming a
         # change feed: this file's rows all carry the same tag (an
         # append commit)
@@ -163,7 +205,14 @@ class _DiffPartition(InputPartition):
     never by table size."""
 
     def __init__(
-        self, added, removed, version, arrow_schema, ts_us=None, phys=None
+        self,
+        added,
+        removed,
+        version,
+        arrow_schema,
+        ts_us=None,
+        phys=None,
+        const_by_path=None,
     ):
         self.added = added
         self.removed = removed
@@ -171,6 +220,9 @@ class _DiffPartition(InputPartition):
         self.arrow_schema = arrow_schema
         self.ts_us = ts_us
         self.phys = phys
+        # {file path: {column: typed constant}} — virtual partition
+        # columns (partitioned Delta import)
+        self.const_by_path = const_by_path or {}
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -372,17 +424,24 @@ class ManifestStreamReader(DataSourceStreamReader):
             # first batch of a run is therefore unpaced; every
             # subsequent one advances at most N commits.
             cur = min(cur, self._last_end + self.max_versions)
-        self._last_end = cur
         if self.max_bytes > 0 and self._last_pos is not None:
             try:
-                return self._bytes_walk(cur)
+                off = self._bytes_walk(cur)
             except FileNotFoundError:
                 # a vacuum raced the walk: fall back to the plain
                 # version boundary — partitions() then reports the
                 # retention gap with remediation, instead of a raw
                 # missing-file error from the offset path
                 self._last_pos = (cur, 0)
+                self._last_end = cur
                 return {"version": cur}
+            # anchor version pacing to DELIVERED progress: when the
+            # byte cap truncates the batch short of `cur`, the next
+            # max_versions window must extend from what this batch
+            # actually delivered, not from the pre-walk candidate
+            self._last_end = int(off["version"])
+            return off
+        self._last_end = cur
         if self.max_bytes > 0:
             # restart: adopt the current pointer as the pacing anchor
             # for SUBSEQUENT batches; this first one is unpaced
@@ -402,6 +461,29 @@ class ManifestStreamReader(DataSourceStreamReader):
         last_v = hi + 1 if hi_idx else hi  # partial tail version
         parts: list[_FilePartition] = []
         prev_files: set | None = None
+        # virtual partition columns (partitioned Delta import): the
+        # per-file values ride the manifest meta, inherited across
+        # commits — resolve once from the batch's end version
+        pv_meta: dict = {}
+        pcols: list = []
+        if last_v >= 1:
+            try:
+                meta = _read_version(self.table_path, last_v).get(
+                    "meta"
+                ) or {}
+                pv_meta = meta.get("file_partition_values") or {}
+                pcols = meta.get("partition_columns") or []
+            except Exception:
+                pv_meta, pcols = {}, []
+
+        def _const_for(name: str):
+            vals = pv_meta.get(name)
+            if vals is None or not pcols:
+                return None
+            return {
+                c["name"]: _typed_pv(vals.get(c["name"]), c["type"])
+                for c in pcols
+            }
         for v in range(max(lo, 0) + 1, last_v + 1):
             try:
                 cur = set(_read_version(self.table_path, v)["files"])
@@ -497,6 +579,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                         "often on streamed tables, or replay this range "
                         "with batch TABLE_CHANGES instead."
                     )
+                cbp = {
+                    p: c
+                    for p in paths_a + paths_r
+                    if (c := _const_for(os.path.basename(p))) is not None
+                }
                 parts.append(
                     _DiffPartition(
                         paths_a,
@@ -505,6 +592,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                         self.arrow_schema,
                         ts_us,
                         phys=self.phys,
+                        const_by_path=cbp or None,
                     )
                 )
                 continue
@@ -530,6 +618,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                             else None
                         ),
                         phys=self.phys,
+                        const=_const_for(name),
                     )
                 )
         return parts
@@ -543,7 +632,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         import pyarrow as pa
 
         for batch in _file_batches(
-            partition.path, partition.arrow_schema, partition.phys
+            partition.path,
+            partition.arrow_schema,
+            partition.phys,
+            getattr(partition, "const", None),
         ):
             if partition.change is not None:
                 batch = _tag_batch(batch, *partition.change)
@@ -561,9 +653,13 @@ class ManifestStreamReader(DataSourceStreamReader):
 
         want = partition.arrow_schema
 
+        cbp = getattr(partition, "const_by_path", None) or {}
+
         def rows(paths):
             for p in paths:
-                for batch in _file_batches(p, want, partition.phys):
+                for batch in _file_batches(
+                    p, want, partition.phys, cbp.get(p)
+                ):
                     yield from batch.to_pylist()
 
         residual = collections.Counter(

@@ -6,9 +6,14 @@ Lake table by replaying its public `_delta_log` commit protocol
   (hard links, no copies);
 - DML works atop the import and never touches the source table;
 - commit-time stats make skipping live immediately;
-- checkpointed logs replay (single-part checkpoint + later commits);
-- Delta features whose data is NOT in the parquet bytes (partitioning,
-  deletion vectors, column mapping) refuse loudly."""
+- checkpointed logs replay (single- and multi-part checkpoints +
+  later commits), streamed per Arrow batch;
+- partitioned tables import zero-copy: partitionValues from the log
+  become virtual columns (bit-identical vs DuckDB hive_partitioning,
+  prunable, DML-safe);
+- deletion vectors materialize under the explicit opt-in (only the
+  DV-carrying files are rewritten) and refuse without it;
+- column mapping and path-escape adds refuse loudly."""
 
 from __future__ import annotations
 
@@ -192,17 +197,7 @@ def test_delta_import_checkpoint_plus_commits(spark, tmp_path):
 
 
 def test_delta_import_refusals(spark, tmp_path):
-    # partitioned table
-    d1 = str(tmp_path / "p1")
-    _write_part(spark, d1, "f1.parquet", 0, 10)
-    _commit(os.path.join(d1, "_delta_log"), 0, [
-        _meta_action(part_cols=["dt"]),
-        {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
-                 "dataChange": True}},
-    ])
-    with pytest.raises(ValueError, match="partitioned"):
-        ManifestTable.import_delta(d1, str(tmp_path / "o1"))
-    # deletion vector
+    # deletion vector without the MATERIALIZE opt-in
     d2 = str(tmp_path / "p2")
     _write_part(spark, d2, "f1.parquet", 0, 10)
     _commit(os.path.join(d2, "_delta_log"), 0, [
@@ -258,3 +253,288 @@ def test_delta_import_url_encoded_paths(spark, tmp_path):
     ])
     mt = ManifestTable.import_delta(d, str(tmp_path / "oenc"))
     assert spark.read.parquet(*mt.files()).count() == 7
+
+
+def test_delta_import_rejects_path_escape(spark, tmp_path):
+    """An add action with an absolute filesystem path or a ../
+    traversal (SHALLOW CLONE / CONVERT can emit absolutes) must refuse
+    — never hard-link a file the untrusted log names outside the table
+    directory."""
+    victim = str(tmp_path / "secret.parquet")
+    _write_part(spark, str(tmp_path), "secret.parquet", 0, 3)
+    d = str(tmp_path / "esc")
+    _write_part(spark, d, "ok.parquet", 0, 5)
+    for bad in (victim, "../secret.parquet", "a/../../secret.parquet"):
+        log = os.path.join(d, "_delta_log")
+        _commit(log, 0, [
+            _meta_action(),
+            {"add": {"path": bad, "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        with pytest.raises(ValueError, match="absolute|escape"):
+            ManifestTable.import_delta(d, str(tmp_path / "oesc"))
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+
+
+def _mk_partitioned_delta(spark, root, name="ptab"):
+    """2-level-partitioned fixture: c in {1,2} x dt in {'a','b'}, one
+    file per partition, partitionValues in the log (public layout)."""
+    d = str(root / name)
+    log = os.path.join(d, "_delta_log")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "c", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "dt", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "p",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["c", "dt"],
+            "configuration": {},
+        }
+    }
+    adds = []
+    i = 0
+    for c in (1, 2):
+        for dt in ("a", "b"):
+            sub = f"c={c}/dt={dt}"
+            _write_part(spark, os.path.join(d, sub), "f.parquet",
+                        i * 10, i * 10 + 10)
+            adds.append({
+                "add": {"path": f"{sub}/f.parquet", "size": 1,
+                        "modificationTime": 0, "dataChange": True,
+                        "partitionValues": {"c": str(c), "dt": dt}}})
+            i += 1
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        meta, *adds,
+    ])
+    return d
+
+
+def test_delta_import_partitioned(engine, spark, tmp_path):
+    """Partitioned import, the production-real case: zero-copy, scans
+    bit-identical vs DuckDB reading the same files hive-partitioned,
+    EXPLAIN FILES shows partition-key pruning, DML COW-rewrites only
+    the hit file, and restructuring a virtual partition column
+    refuses."""
+    import duckdb
+
+    d = _mk_partitioned_delta(spark, tmp_path)
+    engine.execute(f"CREATE TABLE ptd FROM DELTA '{d}'")
+    try:
+        got = sorted(
+            tuple(r)
+            for r in engine.sql("SELECT k, v, c, dt FROM ptd").collect()
+        )
+        con = duckdb.connect()
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT k, v, CAST(c AS BIGINT), CAST(dt AS VARCHAR) "
+                f"FROM read_parquet('{d}/*/*/*.parquet', "
+                "hive_partitioning=true)"
+            ).fetchall()
+        )
+        assert got == want and len(got) == 40
+        # zero-copy: imported files are hard links to the source
+        mt = engine.ddl()._manifest("ptd")
+        src = os.path.join(d, "c=1", "dt=a", "f.parquet")
+        assert any(
+            os.path.exists(p) and os.stat(p).st_ino == os.stat(src).st_ino
+            for p in mt.files()
+        )
+        # partition-key pruning through the SQL path (EXPLAIN FILES)
+        rep = engine.execute("EXPLAIN FILES SELECT * FROM ptd WHERE c = 1")
+        assert rep[0]["kept_files"] == 2 and rep[0]["total_files"] == 4
+        rep = engine.execute(
+            "EXPLAIN FILES SELECT * FROM ptd WHERE c = 1 AND dt = 'b'"
+        )
+        assert rep[0]["kept_files"] == 1
+        # DML: COW rewrites exactly the hit file; the survivors stay
+        # hard-linked and the partition values survive the rewrite
+        before = set(os.path.basename(p) for p in mt.files())
+        engine.execute("DELETE FROM ptd WHERE c = 1 AND dt = 'a' AND k < 5")
+        after = set(os.path.basename(p) for p in mt.files())
+        assert len(before & after) == 3 and len(after) == 4
+        assert sorted(
+            tuple(r)
+            for r in engine.sql(
+                "SELECT c, dt, count(*) AS n FROM ptd GROUP BY c, dt"
+            ).collect()
+        ) == [(1, "a", 5), (1, "b", 10), (2, "a", 10), (2, "b", 10)]
+        # UPDATE through the fill: rewritten rows keep partition cols
+        engine.execute("UPDATE ptd SET v = -1 WHERE dt = 'b' AND k = 30")
+        assert engine.sql(
+            "SELECT v, c, dt FROM ptd WHERE k = 30"
+        ).collect()[0][0:3] == (-1.0, 2, "b")
+        # a virtual partition column cannot be renamed/dropped/retyped
+        for stmt in (
+            "ALTER TABLE ptd RENAME COLUMN dt TO dt2",
+            "ALTER TABLE ptd DROP COLUMN c",
+        ):
+            with pytest.raises(Exception, match="partition column"):
+                engine.execute(stmt)
+    finally:
+        engine.execute("DROP TABLE ptd")
+
+
+def test_delta_import_partitioned_null_and_timetravel(engine, spark,
+                                                      tmp_path):
+    """A NULL partition value (JSON null in partitionValues) reads as
+    NULL, IS NULL / IS NOT NULL prune on it, and time travel to the
+    import version still fills the columns (meta rides the version)."""
+    d = str(tmp_path / "np")
+    log = os.path.join(d, "_delta_log")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "g", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    _write_part(spark, os.path.join(d, "g=x"), "f1.parquet", 0, 5)
+    _write_part(spark, os.path.join(d, "g=__HIVE_DEFAULT_PARTITION__"),
+                "f2.parquet", 5, 9)
+    _commit(log, 0, [
+        {"metaData": {"id": "n", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["g"], "configuration": {}}},
+        {"add": {"path": "g=x/f1.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True, "partitionValues": {"g": "x"}}},
+        {"add": {"path": "g=__HIVE_DEFAULT_PARTITION__/f2.parquet",
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "partitionValues": {"g": None}}},
+    ])
+    engine.execute(f"CREATE TABLE npt FROM DELTA '{d}'")
+    try:
+        assert engine.sql(
+            "SELECT count(*) AS n FROM npt WHERE g IS NULL"
+        ).collect()[0][0] == 4
+        mt = engine.ddl()._manifest("npt")
+        assert len(mt.files_pruned({}, nulls={"g": "null"})) == 1
+        assert len(mt.files_pruned({}, nulls={"g": "notnull"})) == 1
+        assert len(mt.files_pruned({"g": ("x", "x")})) == 1
+        # the NULL-partition file fails every comparison probe
+        kept = mt.files_pruned({"g": ("y", "y")})
+        assert all("f2" not in p for p in kept)
+    finally:
+        engine.execute("DROP TABLE npt")
+
+
+def test_delta_import_multipart_checkpoint(spark, tmp_path):
+    """A multi-part checkpoint ({v:020d}.checkpoint.{i:010d}.{n:010d}
+    .parquet) replays across all parts, streamed per batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "mp")
+    log = os.path.join(d, "_delta_log")
+    for i in (1, 2, 3):
+        _write_part(spark, d, f"f{i}.parquet", i * 10, i * 10 + 10)
+    os.makedirs(log, exist_ok=True)
+    add_t = pa.struct(
+        [("path", pa.string()), ("deletionVector", pa.string())]
+    )
+    md_t = pa.struct([("id", pa.string()), ("schemaString", pa.string())])
+
+    def part(rows_add, md=None):
+        return pa.table({
+            "add": pa.array(rows_add, type=add_t),
+            "metaData": pa.array(
+                [md] + [None] * (len(rows_add) - 1) if md
+                else [None] * len(rows_add),
+                type=md_t,
+            ),
+        })
+
+    parts = [
+        part([{"path": "f1.parquet", "deletionVector": None}],
+             {"id": "m", "schemaString": "{}"}),
+        part([{"path": "f2.parquet", "deletionVector": None},
+              {"path": "ghost.parquet", "deletionVector": None}]),
+        part([{"path": "f3.parquet", "deletionVector": None}]),
+    ]
+    for i, tbl in enumerate(parts, start=1):
+        pq.write_table(tbl, os.path.join(
+            log, f"{4:020d}.checkpoint.{i:010d}.{3:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 4, "size": 4, "parts": 3}, fh)
+    # later commit removes the ghost the checkpoint added
+    _commit(log, 5, [
+        {"remove": {"path": "ghost.parquet", "deletionTimestamp": 0,
+                    "dataChange": True}},
+    ])
+    mt = ManifestTable.import_delta(d, str(tmp_path / "omp"))
+    names = {os.path.basename(p) for p in mt.files()}
+    assert names == {"f1.parquet", "f2.parquet", "f3.parquet"}
+    assert spark.read.parquet(*mt.files()).count() == 30
+
+
+def test_delta_import_materialize_deletion_vectors(engine, spark,
+                                                   tmp_path):
+    """MATERIALIZE DELETION VECTORS: a hand-authored DV fixture (public
+    on-disk roaring format + an inline Z85 descriptor) imports with
+    exact row parity vs the DV-aware row set; un-DV'd files hard-link,
+    DV'd files are purged rewrites."""
+    from sclera_spark.sources.deletion_vectors import (
+        serialize_bitmap_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    d = str(tmp_path / "dvt")
+    log = os.path.join(d, "_delta_log")
+    _write_part(spark, d, "f1.parquet", 0, 20)    # DV drops rows 0,3,7
+    _write_part(spark, d, "f2.parquet", 20, 40)   # clean
+    _write_part(spark, d, "f3.parquet", 40, 50)   # inline DV drops 9
+    desc1 = write_dv_file(os.path.join(d, "dv1.bin"), [0, 3, 7])
+    bm = serialize_bitmap_array([9])
+    pad = (-len(bm)) % 4
+    desc3 = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(bm + b"\x00" * pad),
+        "sizeInBytes": len(bm),
+        "cardinality": 1,
+    }
+    _commit(log, 0, [
+        _meta_action(),
+        {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True, "deletionVector": desc1}},
+        {"add": {"path": "f2.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+        {"add": {"path": "f3.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True, "deletionVector": desc3}},
+    ])
+    engine.execute(
+        f"CREATE TABLE dvt FROM DELTA '{d}' MATERIALIZE DELETION VECTORS"
+    )
+    try:
+        got = sorted(
+            r[0] for r in engine.sql("SELECT k FROM dvt").collect()
+        )
+        masked = {0, 3, 7, 49}  # row 9 of f3 holds k=49
+        assert got == sorted(set(range(50)) - masked)
+        # clean file hard-linked; DV'd files rewritten (new inode)
+        mt = engine.ddl()._manifest("dvt")
+        by_name = {os.path.basename(p): p for p in mt.files()}
+        assert os.stat(by_name["f2.parquet"]).st_ino == os.stat(
+            os.path.join(d, "f2.parquet")
+        ).st_ino
+        f1_new = next(p for n, p in by_name.items() if "00000" in n or
+                      n.startswith("purged"))
+        assert os.stat(f1_new).st_ino != os.stat(
+            os.path.join(d, "f1.parquet")
+        ).st_ino
+    finally:
+        engine.execute("DROP TABLE dvt")

@@ -588,3 +588,102 @@ def test_max_bytes_per_trigger_splits_backfill_commit(
         q.stop()
     got = sorted(k for _, ks in batches for k in ks)
     assert got == list(range(100)) + list(range(1000, 9500))
+
+
+def test_byte_and_version_caps_anchor_to_delivered(registered, tmp_path):
+    """max_versions_per_trigger + max_bytes_per_trigger together: the
+    version-pacing anchor must advance to what the byte walk actually
+    DELIVERED, not the pre-walk version cap — otherwise max_versions
+    stops bounding batches relative to delivered progress."""
+    from sclera_spark.sources.stream_source import ManifestStreamReader
+
+    spark = registered
+    path = str(tmp_path / "t")
+    ManifestTable.create(
+        spark.range(0, 10).selectExpr("id AS k", "repeat('x', 100) AS pad"),
+        path,
+    )
+    mt = ManifestTable(path)
+    reader = ManifestStreamReader(
+        path,
+        mt.read(spark).schema,
+        {"max_versions_per_trigger": "2", "max_bytes_per_trigger": "1"},
+    )
+    off0 = reader.latestOffset()  # first batch of a run is unpaced
+    assert off0["version"] == 1
+    for i in range(5):
+        mt.append(
+            spark.range(i, i + 5)
+            .selectExpr("id AS k", "repeat('x', 100) AS pad")
+            .coalesce(1)
+        )
+    # the 1-byte cap admits exactly one commit's single file per walk
+    off1 = reader.latestOffset()
+    assert off1["version"] == 2
+    assert reader._last_end == 2  # anchored to DELIVERED, not min(6, 3)
+    off2 = reader.latestOffset()
+    assert off2["version"] == 3
+    assert reader._last_end == 3
+
+
+def test_stream_partitioned_delta_import(registered, tmp_path):
+    """Streaming a partitioned Delta import delivers the virtual
+    partition columns (per-file constants from the manifest meta), not
+    NULLs."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    spark = registered
+    d = str(tmp_path / "src")
+    log = os.path.join(d, "_delta_log")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "g", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    adds = []
+    for i, g in enumerate(("x", "y")):
+        scratch = _tempfile.mkdtemp()
+        (
+            spark.range(i * 5, i * 5 + 5)
+            .selectExpr("id AS k")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        part = next(
+            f
+            for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        sub = os.path.join(d, f"g={g}")
+        os.makedirs(sub, exist_ok=True)
+        _shutil.copyfile(
+            os.path.join(scratch, part), os.path.join(sub, "f.parquet")
+        )
+        _shutil.rmtree(scratch)
+        adds.append(
+            {"add": {"path": f"g={g}/f.parquet", "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "partitionValues": {"g": g}}}
+        )
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"metaData": {
+            "id": "s", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": ["g"], "configuration": {}}}) + "\n")
+        for a in adds:
+            fh.write(_json.dumps(a) + "\n")
+    out = str(tmp_path / "imp")
+    ManifestTable.import_delta(d, out)
+    sink: list = []
+    _drain(spark, out, str(tmp_path / "cp"), sink)
+    rows = sorted(r for _, batch in sink for r in batch)
+    assert rows == [(k, "x") for k in range(5)] + [
+        (k, "y") for k in range(5, 10)
+    ]
