@@ -435,7 +435,7 @@ class _Handler(socketserver.BaseRequestHandler):
     # they make a later ROLLBACK a lie, which we refuse to tell
     _DML_VERBS = (
         "INSERT", "UPDATE", "DELETE", "MERGE", "CREATE", "DROP", "ALTER",
-        "TRUNCATE", "OPTIMIZE", "VACUUM",
+        "TRUNCATE", "OPTIMIZE", "VACUUM", "REORG",
     )
 
     _TIMEOUT_RE = re.compile(
@@ -474,7 +474,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 if getattr(self, "_txn", None) is not None:
                     self._notice("there is already a transaction in progress")
                 else:
-                    self._txn = {"table": None, "parts": [], "rows": 0}
+                    self._txn = {
+                        "table": None, "parts": [], "rows": 0,
+                        "removes": set(),
+                    }
                 return _ResultSet(None, None, None, "BEGIN")
             if verb in ("COMMIT", "END"):
                 txn = getattr(self, "_txn", None)
@@ -485,7 +488,10 @@ class _Handler(socketserver.BaseRequestHandler):
                     ddl = self.server.engine.ddl()
                     try:
                         mt = ddl._manifest(txn["table"])
-                        mt.commit_staged(txn["parts"])
+                        mt.commit_staged(
+                            txn["parts"],
+                            remove_names=txn.get("removes") or None,
+                        )
                     except Exception:
                         ManifestTable.discard_staged(txn["parts"])
                         raise
@@ -518,27 +524,79 @@ class _Handler(socketserver.BaseRequestHandler):
         rs = _to_resultset(self.server.engine.execute(sql), sql)
         return rs
 
+    # quoted ("Name") and public-qualified spellings accepted, same
+    # resolution as autocommit: identifiers fold to lowercase (the
+    # engine's registries are lowercase-keyed — the documented
+    # case-insensitivity divergence from pg's quoted-identifier rules)
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+INTO\s+(\w+)\s+(.*)$", re.I | re.S
+        r'^\s*INSERT\s+INTO\s+((?:"[^"]+"|\w+)(?:\s*\.\s*(?:"[^"]+"|\w+))?)'
+        r"\s+(.*)$",
+        re.I | re.S,
     )
+
+    @staticmethod
+    def _dequote_table(spelled: str) -> str:
+        """`"Name"` / `public.name` / `"public"."Name"` → bare name;
+        raises for a non-public schema qualifier (we serve exactly one
+        namespace, reported as `public` in pg_catalog)."""
+        parts = [
+            p.strip().strip('"')
+            for p in re.split(r"\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", spelled)
+        ]
+        if len(parts) == 2:
+            if parts[0].lower() != "public":
+                raise _WireError(
+                    "3F000", f"schema {parts[0]!r} does not exist"
+                )
+            return parts[1]
+        return parts[0]
 
     def _txn_buffer(self, txn: dict, verb: str, sql: str) -> _ResultSet:
         """One DML statement inside an open transaction: buffer a
-        manifest-table INSERT as staged part files, refuse (0A000)
-        anything a ROLLBACK could not truthfully undo."""
+        manifest-table INSERT as staged part files, stage an
+        UPDATE/DELETE as a copy-on-write file swap published at COMMIT
+        (r11 — validate-inside-commit makes concurrent write-write
+        conflicts abort loudly), refuse (0A000) anything a ROLLBACK
+        could not truthfully undo."""
+        ddl = self.server.engine.ddl()
+        if verb in ("UPDATE", "DELETE"):
+            from sclera_spark.plans.ddl import TxnDmlRefused
+
+            try:
+                name, staged, removes, n, _ = ddl.txn_stage_dml(
+                    sql, txn["removes"]
+                )
+            except TxnDmlRefused as exc:
+                raise _WireError("0A000", str(exc))
+            if txn["table"] is not None and txn["table"] != name:
+                if staged is not None:
+                    from sclera_spark.sources.manifest import ManifestTable
+
+                    ManifestTable.discard_staged([staged])
+                raise _WireError(
+                    "0A000",
+                    "transactions span ONE table: this transaction "
+                    f"already writes {txn['table']}, cannot also "
+                    f"write {name}. COMMIT first or use separate "
+                    "transactions.",
+                )
+            if staged is not None:
+                txn["table"] = name
+                txn["parts"].append(staged)
+                txn["removes"] |= removes
+            return _ResultSet(None, None, None, f"{verb} {n}")
         if verb != "INSERT":
             raise _WireError(
                 "0A000",
                 f"{verb} inside a transaction is not supported: only "
-                "manifest-table INSERTs are buffered for atomic "
-                "commit; run other statements in autocommit (outside "
-                "BEGIN)",
+                "manifest-table INSERT/UPDATE/DELETE are buffered for "
+                "atomic commit; run other statements in autocommit "
+                "(outside BEGIN)",
             )
         m = self._INSERT_RE.match(sql)
         if m is None:
             raise _WireError("42601", f"cannot parse INSERT: {sql[:80]!r}")
-        name, rest = m.group(1), m.group(2)
-        ddl = self.server.engine.ddl()
+        name, rest = self._dequote_table(m.group(1)), m.group(2)
         if name.lower() not in ddl.manifest_tables:
             raise _WireError(
                 "0A000",

@@ -20,6 +20,13 @@ import shutil
 import tempfile
 
 
+class TxnDmlRefused(Exception):
+    """A DML statement inside a wire transaction that cannot be staged
+    truthfully (non-manifest target, unparseable, over-cap predicate,
+    or a rewrite of a file this transaction already rewrote). The wire
+    server reports it as SQLSTATE 0A000 — feature_not_supported."""
+
+
 class DdlRouter:
     def __init__(self, engine, warehouse_dir: str | None = None):
         self.engine = engine
@@ -211,6 +218,10 @@ class DdlRouter:
                 re.I,
             ),
             "_optimize",
+        ),
+        (
+            re.compile(r"^\s*REORG\s+TABLE\s+(\w+)\s+PURGE\s*$", re.I),
+            "_reorg_purge",
         ),
         (
             # parenthesized form: ADD COLUMNS (c TYPE) — the wrapper
@@ -654,6 +665,18 @@ class DdlRouter:
             self._register_manifest(name)
         return replaced
 
+    def _reorg_purge(self, name: str):
+        """REORG TABLE t PURGE — reclaim dropped-column bytes (r11):
+        rewrites exactly the live files whose physical schema still
+        carries a tombstoned column (sources/manifest.py reorg_purge),
+        one atomic commit, clean files untouched, pre-PURGE versions
+        still time-travel readable until VACUUM."""
+        mt = self._require_manifest(name)
+        replaced = mt.reorg_purge(self.engine.spark)
+        if replaced:
+            self._register_manifest(name)
+        return [{"table": name, "rewritten_files": len(replaced)}]
+
     def _list_files(self, name: str):
         """LIST FILES t — per-file manifest metadata for the current
         snapshot of a manifest table (the observability face of the
@@ -930,14 +953,22 @@ class DdlRouter:
             mt.append(incoming)
             try:
                 mt.maybe_autocompact(self.engine.spark)
-            except Exception:
-                pass  # maintenance, never a DML gate
+            except Exception as exc:
+                # maintenance, never a DML gate — but observable (r11)
+                from sclera_spark.sources.manifest import (
+                    warn_autocompact_failure,
+                )
+
+                warn_autocompact_failure(mt.path, exc)
             self._register_manifest(name)
             return
         incoming.write.mode("append").parquet(self._path(name))
         self.engine.catalog.register_parquet(name, self._path(name))
 
-    def _update(self, name: str, set_clause: str, where: str | None):
+    def _update_transform(self, set_clause: str, where: str | None):
+        """The row transform of ``UPDATE ... SET set_clause [WHERE where]``
+        as a DataFrame → DataFrame closure — shared by autocommit COW /
+        full rewrite and the wire-transaction staging path."""
         from pyspark.sql import functions as F
 
         assigns = {}
@@ -956,25 +987,34 @@ class DdlRouter:
                 ]
             )
 
+        return transform
+
+    def _delete_transform(self, where: str | None):
+        """Survivors of ``DELETE [WHERE where]`` as a closure. SQL DELETE
+        removes rows where the predicate IS TRUE; rows where it evaluates
+        NULL survive. `~expr(where)` alone would yield NULL (→ dropped)
+        for those rows, making the outcome depend on which part file a
+        row happens to live in under copy-on-write."""
+        from pyspark.sql import functions as F
+
+        def keep(d):
+            if where is None:
+                return d.limit(0)
+            return d.filter(~F.coalesce(F.expr(where), F.lit(False)))
+
+        return keep
+
+    def _update(self, name: str, set_clause: str, where: str | None):
+        transform = self._update_transform(set_clause, where)
         if where and self._cow_rewrite(name, where, transform):
             return
         self._rewrite(name, transform(self.engine.table(name)))
 
     def _delete(self, name: str, where: str | None):
-        from pyspark.sql import functions as F
-
-        # SQL DELETE removes rows where the predicate IS TRUE; rows where it
-        # evaluates NULL survive. `~expr(where)` alone would yield NULL (→
-        # dropped) for those rows, making the outcome depend on which part
-        # file a row happens to live in under copy-on-write.
-        def keep(d):
-            return d.filter(~F.coalesce(F.expr(where), F.lit(False)))
-
+        keep = self._delete_transform(where)
         if where and self._cow_rewrite(name, where, keep):
             return
-        df = self.engine.table(name)
-        out = keep(df) if where else df.limit(0)
-        self._rewrite(name, out)
+        self._rewrite(name, keep(self.engine.table(name)))
 
     # ---- MERGE (upsert; no reference counterpart — the file-granular
     # copy-on-write strategy a training-data pipeline needs for
@@ -1269,72 +1309,16 @@ class DdlRouter:
         the reference's embedded-store DML (dbms/rdbms/*)."""
         from pyspark.sql import functions as F
 
-        from sclera_spark.sources.prune import filter_ranges
-
         path = self.managed.get(name.lower())
         if path is None:
             return False
-        is_manifest = name.lower() in self.manifest_tables
-        try:
-            if is_manifest:
-                mt = self._manifest(name)
-                # the file identity is materialized by read() itself:
-                # the hidden _metadata column cannot be resolved above
-                # the partition-fill join of a partitioned Delta import
-                base = mt.read(
-                    self.engine.spark, file_col="__sclera_dml_file"
-                )
-            else:
-                base = self.engine.spark.read.parquet(path)
-            probe = base.filter(F.expr(where))
-            if is_manifest:
-                # stats pre-narrowing: files whose recorded min/max
-                # provably cannot satisfy the predicate cannot contain
-                # hits, so the probe scan itself skips them — a keyed
-                # DELETE on a clustered 100 TB table probes a handful
-                # of files instead of scheduling a full-table scan
-                ranges = filter_ranges(probe)
-                if ranges:
-                    cand = mt.files_pruned(ranges)
-                    if not cand:
-                        return True  # no file can match: DML is a no-op
-                    if len(cand) < len(mt.files()):
-                        probe = mt.read(
-                            self.engine.spark,
-                            file_paths=cand,
-                            file_col="__sclera_dml_file",
-                        ).filter(F.expr(where))
-            # LIMIT cap+1 BEFORE collecting: a broad predicate on a
-            # million-file table must trip the fallback without ever
-            # materializing the full path list on the driver — the
-            # executors stop feeding distinct paths past the cap
-            file_expr = (
-                F.col("__sclera_dml_file")
-                if is_manifest
-                else F.col("_metadata.file_path")
-            )
-            hit_uris = [
-                r[0]
-                for r in probe
-                .select(file_expr)
-                .distinct()
-                .limit(self.cow_file_cap + 1)
-                .collect()
-            ]
-        except (ImportError, NameError):
-            # a coding defect in the pre-narrowing path must surface,
-            # not silently degrade every DML to a full-table rewrite
-            raise
-        except Exception:
-            return False
-        if not hit_uris:
-            return True  # nothing matches: DML is a no-op
-        hits = self._local_hit_paths(hit_uris)
-        if hits is None or len(hits) > self.cow_file_cap:
-            # non-local storage (s3a://, hdfs://) or a hit list too large to
-            # hold driver-side: one distributed full rewrite instead
-            return False
-        if is_manifest:
+        if name.lower() in self.manifest_tables:
+            mt = self._manifest(name)
+            hits = self._manifest_dml_hits(mt, where)
+            if hits is None:
+                return False  # probe failed / over cap: full rewrite
+            if not hits:
+                return True  # nothing matches: DML is a no-op
             if len(hits) >= len(mt.files()):
                 return False  # every file touched: full rewrite is simpler
             out = transform(
@@ -1344,6 +1328,30 @@ class DdlRouter:
             mt.replace_files(hits, out)
             self._register_manifest(name)
             return True
+        try:
+            base = self.engine.spark.read.parquet(path)
+            probe = base.filter(F.expr(where))
+            # LIMIT cap+1 BEFORE collecting: a broad predicate on a
+            # million-file table must trip the fallback without ever
+            # materializing the full path list on the driver — the
+            # executors stop feeding distinct paths past the cap
+            hit_uris = [
+                r[0]
+                for r in probe
+                .select(F.col("_metadata.file_path"))
+                .distinct()
+                .limit(self.cow_file_cap + 1)
+                .collect()
+            ]
+        except Exception:
+            return False
+        if not hit_uris:
+            return True  # nothing matches: DML is a no-op
+        hits = self._local_hit_paths(hit_uris)
+        if hits is None or len(hits) > self.cow_file_cap:
+            # non-local storage (s3a://, hdfs://) or a hit list too large to
+            # hold driver-side: one distributed full rewrite instead
+            return False
         all_parts = [
             os.path.join(path, f)
             for f in os.listdir(path)
@@ -1362,6 +1370,175 @@ class DdlRouter:
     # (a broad MERGE over a ~1M-file table must not collect ~1M URI strings
     # to the driver). Tests lower it to force the fallback path.
     cow_file_cap = 10_000
+
+    def _manifest_dml_hits(self, mt, where: str) -> list[str] | None:
+        """Hit part files of a manifest-table DML predicate: the capped,
+        stats-narrowed COW probe shared by autocommit DML and the
+        wire-transaction staging path. Returns the LOCAL paths of the
+        files containing matching rows, [] when no file can match (the
+        DML is a provable no-op), or None when the caller must fall
+        back to a full rewrite (probe failed, non-local storage, or
+        more than ``cow_file_cap`` files hit)."""
+        from pyspark.sql import functions as F
+
+        from sclera_spark.sources.prune import filter_ranges
+
+        try:
+            # the file identity is materialized by read() itself:
+            # the hidden _metadata column cannot be resolved above
+            # the partition-fill join of a partitioned Delta import
+            base = mt.read(self.engine.spark, file_col="__sclera_dml_file")
+            probe = base.filter(F.expr(where))
+            # stats pre-narrowing: files whose recorded min/max
+            # provably cannot satisfy the predicate cannot contain
+            # hits, so the probe scan itself skips them — a keyed
+            # DELETE on a clustered 100 TB table probes a handful
+            # of files instead of scheduling a full-table scan
+            ranges = filter_ranges(probe)
+            if ranges:
+                cand = mt.files_pruned(ranges)
+                if not cand:
+                    return []  # no file can match: DML is a no-op
+                if len(cand) < len(mt.files()):
+                    probe = mt.read(
+                        self.engine.spark,
+                        file_paths=cand,
+                        file_col="__sclera_dml_file",
+                    ).filter(F.expr(where))
+            # LIMIT cap+1 BEFORE collecting: a broad predicate on a
+            # million-file table must trip the fallback without ever
+            # materializing the full path list on the driver — the
+            # executors stop feeding distinct paths past the cap
+            hit_uris = [
+                r[0]
+                for r in probe
+                .select(F.col("__sclera_dml_file"))
+                .distinct()
+                .limit(self.cow_file_cap + 1)
+                .collect()
+            ]
+        except (ImportError, NameError):
+            # a coding defect in the pre-narrowing path must surface,
+            # not silently degrade every DML to a full-table rewrite
+            raise
+        except Exception:
+            return None
+        if not hit_uris:
+            return []  # nothing matches: DML is a no-op
+        hits = self._local_hit_paths(hit_uris)
+        if hits is None or len(hits) > self.cow_file_cap:
+            # non-local storage (s3a://, hdfs://) or a hit list too
+            # large to hold driver-side
+            return None
+        return hits
+
+    _TXN_UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+        re.I | re.S,
+    )
+    _TXN_DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S
+    )
+
+    def txn_stage_dml(
+        self, sql: str, already_removed: set[str]
+    ) -> tuple[str, tuple, set[str], int, str]:
+        """Stage one UPDATE/DELETE for a wire transaction WITHOUT
+        committing: run the COW probe against the pre-transaction
+        snapshot, write the rewritten survivors of the hit files to a
+        scratch dir via :meth:`ManifestTable._stage`, and hand the
+        caller everything COMMIT needs to publish the swap atomically
+        through ``commit_staged(remove_names=...)`` — whose
+        inside-the-lock liveness validation makes a write-write
+        conflict with a concurrent committer abort the transaction
+        loudly. ROLLBACK is truthful by construction: nothing entered
+        data/, only scratch dirs are discarded.
+
+        The probe reads the PRE-transaction snapshot — the same
+        documented divergence as reads inside the transaction: rows
+        buffered by earlier statements of this transaction are not
+        visible, so a DELETE cannot un-insert them. A statement whose
+        hit files intersect ``already_removed`` (a file this
+        transaction already rewrote) is refused — replaying two
+        rewrites of one file would duplicate its surviving rows.
+
+        Returns (table, staged, remove_basenames, affected_rows, verb).
+        Raises :class:`TxnDmlRefused` for anything that cannot be
+        staged truthfully."""
+        from pyspark.sql import functions as F
+
+        m = self._TXN_UPDATE_RE.match(sql)
+        if m:
+            verb = "UPDATE"
+            name, set_clause, where = m.groups()
+            transform = self._update_transform(set_clause, where)
+        else:
+            m = self._TXN_DELETE_RE.match(sql)
+            if m is None:
+                raise TxnDmlRefused(
+                    f"cannot parse DML inside transaction: {sql[:80]!r}"
+                )
+            verb = "DELETE"
+            name, where = m.groups()
+            transform = self._delete_transform(where)
+        if name.lower() not in self.manifest_tables:
+            raise TxnDmlRefused(
+                f"{verb} {name} inside a transaction: only MANIFEST "
+                "tables support buffered transactional DML (ALTER "
+                "TABLE ... SET FORMAT MANIFEST)"
+            )
+        mt = self._manifest(name)
+        spark = self.engine.spark
+        if where:
+            hits = self._manifest_dml_hits(mt, where)
+            if hits is None:
+                # over-cap / probe failure: full rewrite would stage a
+                # whole-table copy inside the txn — refuse, run it in
+                # autocommit where the COW fallback path handles it
+                raise TxnDmlRefused(
+                    f"{verb} inside a transaction: the predicate "
+                    f"matches rows in more than {self.cow_file_cap} "
+                    "files (or the hit probe failed); run this "
+                    "statement in autocommit (outside BEGIN)"
+                )
+        else:
+            hits = [p for p in mt.files()]
+            if len(hits) > self.cow_file_cap:
+                # a WHERE-less rewrite of a million-file table must not
+                # stage a whole-table copy inside a transaction either
+                raise TxnDmlRefused(
+                    f"{verb} without WHERE inside a transaction would "
+                    f"rewrite {len(hits)} files (cap "
+                    f"{self.cow_file_cap}); run it in autocommit"
+                )
+        if not hits:
+            return name.lower(), None, set(), 0, verb
+        overlap = {os.path.basename(p) for p in hits} & already_removed
+        if overlap:
+            raise TxnDmlRefused(
+                f"{verb} touches files already rewritten earlier in "
+                "this transaction — a second rewrite would duplicate "
+                "their surviving rows; COMMIT first, then run the "
+                "statement in a new transaction"
+            )
+        hit_df = mt.read(spark, file_paths=hits)
+        # affected-row count for the command tag, over hit files only
+        # (bounded by the probe cap, never a full-table job)
+        n = (
+            hit_df.filter(F.expr(where)).count()
+            if where
+            else hit_df.count()
+        )
+        if n == 0:
+            return name.lower(), None, set(), 0, verb
+        staged = mt._stage(transform(hit_df))
+        return (
+            name.lower(),
+            staged,
+            {os.path.basename(p) for p in hits},
+            n,
+            verb,
+        )
 
     @staticmethod
     def _local_hit_paths(hit_uris: list[str]) -> list[str] | None:
@@ -1738,6 +1915,12 @@ class DdlRouter:
                 "bloom_columns": meta.get("bloom_columns"),
                 "schema_evolved": "table_schema" in meta,
                 "retained_versions": len(mt.versions()),
+                "last_compact_at": mt.compact_state().get(
+                    "last_compact_at"
+                ),
+                "last_compact_error": mt.compact_state().get(
+                    "last_compact_error"
+                ),
             }
         ]
 

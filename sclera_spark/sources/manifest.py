@@ -89,6 +89,28 @@ _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 _MANIFEST_CACHE: dict[tuple, dict] = {}
 _MANIFEST_CACHE_CAP = 256
 
+_autocompact_warned: set[str] = set()
+
+
+def warn_autocompact_failure(path: str, exc: Exception) -> None:
+    """Warn ONCE per table path when opt-in auto-compaction fails.
+    Callers deliberately never let a maintenance failure gate the
+    ingest/DML commit itself — but a fully silent swallow turns a
+    persistent misconfiguration into an unbounded small-file leak
+    nobody notices. The durable record lives in the table's
+    compact_state sidecar, surfaced by DESCRIBE DETAIL."""
+    import warnings
+
+    if path in _autocompact_warned:
+        return
+    _autocompact_warned.add(path)
+    warnings.warn(
+        f"auto-compaction on {path} failed "
+        f"({type(exc).__name__}: {exc}); the ingest/DML commit itself "
+        "succeeded. This warning fires once per table — DESCRIBE "
+        "DETAIL's last_compact_error carries the latest state."
+    )
+
 
 def _purge_manifest_cache(log_dir: str) -> None:
     """Drop cached manifests for one table (hygiene after vacuum; the
@@ -1421,29 +1443,103 @@ class ManifestTable:
             return []
         if not cfg:
             return []
-        return self.compact(
-            spark,
-            target_bytes=int(cfg.get("target_bytes", 128 * 1024 * 1024)),
-            min_files=int(cfg.get("min_files", 8)),
-        )
+        try:
+            replaced = self.compact(
+                spark,
+                target_bytes=int(cfg.get("target_bytes", 128 * 1024 * 1024)),
+                min_files=int(cfg.get("min_files", 8)),
+            )
+        except Exception as exc:
+            # r11 observability: a swallowed maintenance failure must
+            # still leave a trace — DESCRIBE DETAIL surfaces it
+            self._record_compact_state(error=f"{type(exc).__name__}: {exc}")
+            raise
+        self._record_compact_state(error=None, replaced=len(replaced))
+        return replaced
+
+    def _compact_state_file(self) -> str:
+        return os.path.join(self.log_dir, "compact_state.json")
+
+    def _record_compact_state(
+        self, error: str | None, replaced: int = 0
+    ) -> None:
+        """Sidecar record of the last auto-compaction attempt (NOT a
+        manifest commit: observability must work precisely when commits
+        are failing, and a success note is not worth a table version).
+        Atomic replace; any failure here is itself swallowed — the
+        record is best-effort telemetry."""
+        import datetime
+        import json
+
+        try:
+            state = {
+                "last_compact_at": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(timespec="seconds"),
+                "last_compact_error": error,
+                "last_compact_replaced": replaced,
+            }
+            tmp = self._compact_state_file() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, self._compact_state_file())
+        except Exception:
+            pass
+
+    def compact_state(self) -> dict:
+        """The last auto-compaction attempt's sidecar record ({} when
+        auto-compaction never ran) — surfaced by DESCRIBE DETAIL."""
+        import json
+
+        try:
+            with open(self._compact_state_file()) as fh:
+                return json.load(fh)
+        except Exception:
+            return {}
 
     def commit_staged(
-        self, staged: list[tuple], meta: dict | None = None
+        self,
+        staged: list[tuple],
+        meta: dict | None = None,
+        remove_names: set[str] | None = None,
     ) -> None:
         """Publish previously-:meth:`_stage`-d part-file batches as ONE
-        atomic append commit — the wire-transaction COMMIT: every
-        buffered INSERT of the transaction lands in a single version,
-        so readers see all of it or none of it. A crash before this
-        call leaves only unpublished scratch directories (invisible;
-        :meth:`discard_staged` or tempdir cleanup reclaims them)."""
+        atomic commit — the wire-transaction COMMIT: every buffered
+        INSERT of the transaction lands in a single version, so readers
+        see all of it or none of it. A crash before this call leaves
+        only unpublished scratch directories (invisible;
+        :meth:`discard_staged` or tempdir cleanup reclaims them).
+
+        ``remove_names`` (r11, transactional UPDATE/DELETE) extends the
+        commit to a file SWAP: the named live files leave the manifest in
+        the same version the staged replacements enter it. Validation
+        runs INSIDE the commit lock, exactly like :meth:`replace_files`:
+        if any to-be-removed file is no longer live (a concurrent commit
+        rewrote it between the buffered DML's probe and this COMMIT),
+        the whole transaction aborts loudly instead of resurrecting
+        pre-DML rows — write-write conflicts fail, never silently merge.
+        On that abort the already-adopted staged files are unreferenced
+        (invisible) and vacuum reclaims them."""
         added = [n for _, names in staged for n in names]
-        self._commit(
-            lambda: (
-                self._file_names() + added,
+        removed = set(remove_names or ())
+
+        def compute():
+            live = self._file_names()
+            unknown = removed - set(live)
+            if unknown:
+                raise ValueError(
+                    f"transaction aborted: files {sorted(unknown)} are "
+                    "no longer live in the current manifest (a "
+                    "concurrent commit replaced them after this "
+                    "transaction's DML was buffered — retry the "
+                    "transaction)"
+                )
+            return (
+                [f for f in live if f not in removed] + added,
                 self._next_meta(meta, op="txn_commit"),
-            ),
-            staged=list(staged),
-        )
+            )
+
+        self._commit(compute, staged=list(staged))
 
     @staticmethod
     def discard_staged(staged: list[tuple]) -> None:
@@ -1570,6 +1666,57 @@ class ManifestTable:
             df = df.coalesce(n_out)
         self.replace_files(small, df)
         return [os.path.basename(p) for p in small]
+
+    def reorg_purge(self, spark) -> list[str]:
+        """REORG TABLE t PURGE (Delta's ``REORG ... APPLY (PURGE)``):
+        rewrite EXACTLY the live files whose physical schema still
+        carries a dropped column's bytes, reclaiming that space, and
+        leave every clean file untouched. DROP COLUMN is a pure
+        metadata tombstone (column mapping), so the bytes linger until
+        this maintenance pass folds them out. One atomic
+        :meth:`replace_files` commit; the pre-PURGE versions keep
+        reading the old files until vacuum, so time travel still sees
+        the dropped column's era intact.
+
+        Victim detection is metadata-only: the per-file stats/null
+        sidecars recorded at commit time name the physical columns they
+        saw — a dead physical name there convicts the file with no I/O.
+        Only files those sidecars cannot vouch for (stat-less types,
+        pre-stats commits) fall back to a parquet FOOTER read — still
+        no data pages, and at 100 TB the convicted-by-stats fast path
+        covers every file written by this engine."""
+        mapping = self.column_mapping()
+        if not mapping:
+            return []
+        dead = {e["physical"] for e in mapping if e.get("dropped")}
+        if not dead:
+            return []
+        import pyarrow.parquet as pq
+
+        stats, nulls = self.file_stats(), self.file_nulls()
+        victims = []
+        for p in self.files():
+            b = os.path.basename(p)
+            seen = set(stats.get(b) or ()) | set(nulls.get(b) or ())
+            if seen & dead:
+                victims.append(p)
+                continue
+            # sidecars omit unstatable column types, so absence of the
+            # dead name is not an acquittal — consult the footer schema
+            try:
+                names = set(pq.ParquetFile(p).schema_arrow.names)
+            except Exception:
+                victims.append(p)  # unreadable footer: rewrite it
+                continue
+            if names & dead:
+                victims.append(p)
+        if not victims:
+            return []
+        # the logical read already drops dead columns (and widens
+        # narrow ones); _stage maps the output back to physical names
+        out = self.read(spark, file_paths=victims)
+        self.replace_files(victims, out)
+        return [os.path.basename(p) for p in victims]
 
     def export_symlink_manifest(self, out_dir: str | None = None) -> str:
         """Ecosystem interop: write the CURRENT snapshot's file list in

@@ -662,8 +662,14 @@ def manifest_batch_committer(
             # exceptAll) and dedup-safe (meta inherits the watermark).
             try:
                 mt.maybe_autocompact(bdf.sparkSession)
-            except Exception:
-                pass  # compaction is maintenance, never a commit gate
+            except Exception as exc:
+                # compaction is maintenance, never a commit gate —
+                # but observable (r11): warn once, record in sidecar
+                from sclera_spark.sources.manifest import (
+                    warn_autocompact_failure,
+                )
+
+                warn_autocompact_failure(mt.path, exc)
         elif cas is not None:
             CasManifestTable.create_cas(bdf, table_path, cas, meta=meta)
         else:

@@ -414,3 +414,52 @@ def test_symlink_export_refused_on_mapped_table(engine):
     with pytest.raises(ValueError, match="PHYSICAL schema"):
         engine.execute("GENERATE SYMLINK MANIFEST FOR se")
     engine.execute("DROP TABLE se")
+
+
+def test_reorg_purge_reclaims_dropped_column_bytes(engine):
+    """r11 (verdict #5): REORG TABLE t PURGE rewrites EXACTLY the files
+    whose physical schema carries a dropped column, shrinking the table
+    on disk; data is identical before/after; files written AFTER the
+    drop (already clean) are untouched; pre-PURGE versions still time
+    travel to the dropped column's era."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    _mk(engine)
+    mt = engine.ddl()._manifest("se")
+    engine.execute("ALTER TABLE se DROP COLUMN pri")
+    # post-drop data files are clean by construction — must NOT be rewritten
+    engine.execute("INSERT INTO se VALUES (9001, 1.5)")
+    clean = set(mt.files()) - {
+        p
+        for p in mt.files()
+        if "pri" in set(pq.ParquetFile(p).schema_arrow.names)
+    }
+    assert clean and clean != set(mt.files())
+    before_rows = _rows(engine.sql("SELECT k, price FROM se"))
+    before_bytes = sum(os.path.getsize(p) for p in mt.files())
+    v_pre = mt.version()
+
+    out = engine.execute("REORG TABLE se PURGE")
+    assert out[0]["rewritten_files"] == len(set(mt.files(v_pre)) - clean)
+    # clean files survived in place; no live file carries the dead bytes
+    assert clean <= set(mt.files())
+    for p in mt.files():
+        assert "pri" not in set(pq.ParquetFile(p).schema_arrow.names)
+    # data identical, table smaller
+    assert _rows(engine.sql("SELECT k, price FROM se")) == before_rows
+    assert sum(os.path.getsize(p) for p in mt.files()) < before_bytes
+    # time travel: the pre-PURGE version still reads the old files
+    old = mt.read(engine.spark, version=v_pre)
+    assert sorted(r.k for r in old.collect()) == sorted(
+        r[0] for r in before_rows
+    )
+    # ... and an even older version (before the DROP) still serves the
+    # dropped column's values out of the un-vacuumed originals
+    dropped_era = mt.read(engine.spark, version=1)
+    assert "pri" in dropped_era.columns
+    assert dropped_era.where("pri IS NOT NULL").count() > 0
+    # a second PURGE is a no-op (nothing left to rewrite)
+    assert engine.execute("REORG TABLE se PURGE")[0]["rewritten_files"] == 0
+    engine.execute("DROP TABLE se")

@@ -364,3 +364,146 @@ def test_txn_connection_drop_is_implicit_rollback(server):
     finally:
         c.execute("DROP TABLE wtx")
         c.close()
+
+
+# ------------------------------- r11: transactional UPDATE / DELETE
+
+
+def _count(c, sql):
+    _, rows, _ = c.execute(sql)
+    return int(rows[0][0])
+
+
+def test_txn_update_rollback_leaves_version_unchanged(server):
+    """BEGIN; UPDATE; ROLLBACK — the COW swap was only STAGED, so the
+    rollback is truthful: no manifest version lands, no row changes,
+    and other sessions never saw anything in between."""
+    c = connect(server)
+    c.execute(
+        "CREATE TABLE wupd AS SELECT r_regionkey AS k, r_name AS v "
+        "FROM region"
+    )
+    c.execute("ALTER TABLE wupd SET FORMAT MANIFEST")
+    v0 = len(c.execute("SHOW VERSIONS wupd")[1])
+    try:
+        c.execute("BEGIN")
+        _, _, tag = c.execute("UPDATE wupd SET v = 'X' WHERE k = 1")
+        assert tag == "UPDATE 1"
+        other = connect(server)
+        assert _count(other, "SELECT count(*) AS n FROM wupd WHERE v = 'X'") == 0
+        c.execute("ROLLBACK")
+        assert _count(other, "SELECT count(*) AS n FROM wupd WHERE v = 'X'") == 0
+        assert _count(other, "SELECT count(*) AS n FROM wupd") == 5
+        assert len(c.execute("SHOW VERSIONS wupd")[1]) == v0
+        other.close()
+    finally:
+        c.execute("DROP TABLE wupd")
+        c.close()
+
+
+def test_txn_insert_delete_commit_is_one_version(server):
+    """BEGIN; INSERT; DELETE; COMMIT — both effects land in EXACTLY ONE
+    manifest version (the buffered insert's file is added and the
+    deleted row's file is swapped in the same atomic commit)."""
+    c = connect(server)
+    c.execute(
+        "CREATE TABLE wdml AS SELECT r_regionkey AS k, r_name AS v "
+        "FROM region"
+    )
+    c.execute("ALTER TABLE wdml SET FORMAT MANIFEST")
+    v0 = len(c.execute("SHOW VERSIONS wdml")[1])
+    try:
+        c.execute("BEGIN")
+        _, _, tag = c.execute("INSERT INTO wdml VALUES (99, 'new')")
+        assert tag == "INSERT 0 1"
+        _, _, tag = c.execute("DELETE FROM wdml WHERE k = 2")
+        assert tag == "DELETE 1"
+        c.execute("COMMIT")
+        assert len(c.execute("SHOW VERSIONS wdml")[1]) == v0 + 1
+        assert _count(c, "SELECT count(*) AS n FROM wdml WHERE k = 99") == 1
+        assert _count(c, "SELECT count(*) AS n FROM wdml WHERE k = 2") == 0
+        assert _count(c, "SELECT count(*) AS n FROM wdml") == 5
+    finally:
+        c.execute("DROP TABLE wdml")
+        c.close()
+
+
+def test_txn_write_write_conflict_aborts(server):
+    """A concurrent autocommit DML that rewrites a file this transaction
+    also rewrote makes COMMIT abort LOUDLY (validate-inside-commit):
+    the transaction's stale rewrite must never resurrect pre-conflict
+    rows. The concurrent committer's change survives alone."""
+    c1 = connect(server)
+    c1.execute(
+        "CREATE TABLE wcft AS SELECT r_regionkey AS k, r_name AS v "
+        "FROM region"
+    )
+    c1.execute("ALTER TABLE wcft SET FORMAT MANIFEST")
+    try:
+        v0 = len(c1.execute("SHOW VERSIONS wcft")[1])
+        c1.execute("BEGIN")
+        assert c1.execute("DELETE FROM wcft WHERE k = 1")[2] == "DELETE 1"
+        # concurrent session rewrites the SAME row's file and commits
+        c2 = connect(server)
+        c2.execute("UPDATE wcft SET v = 'won' WHERE k = 1")
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            c1.execute("COMMIT")
+        # only the autocommit version landed; the delete never happened
+        assert len(c2.execute("SHOW VERSIONS wcft")[1]) == v0 + 1
+        _, rows, _ = c2.execute("SELECT v FROM wcft WHERE k = 1")
+        assert rows == [("won",)]
+        assert _count(c2, "SELECT count(*) AS n FROM wcft") == 5
+        c2.close()
+    finally:
+        c1.execute("DROP TABLE wcft")
+        c1.close()
+
+
+def test_txn_second_rewrite_of_same_file_refused(server):
+    """Two buffered DMLs whose hit files overlap would replay two
+    rewrites of one file (duplicating its surviving rows) — the second
+    statement is refused 0A000, the first stays buffered and commits."""
+    c = connect(server)
+    c.execute(
+        "CREATE TABLE wovl AS SELECT k FROM (VALUES (1), (2)) AS t(k)"
+    )
+    c.execute("ALTER TABLE wovl SET FORMAT MANIFEST")
+    c.execute("OPTIMIZE wovl")  # fold both rows into ONE part file
+    try:
+        c.execute("BEGIN")
+        assert c.execute("DELETE FROM wovl WHERE k = 1")[2] == "DELETE 1"
+        with pytest.raises(RuntimeError, match="already rewritten"):
+            c.execute("UPDATE wovl SET k = 5 WHERE k = 2")
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT k FROM wovl ORDER BY k")
+        assert rows == [("2",)]
+    finally:
+        c.execute("DROP TABLE wovl")
+        c.close()
+
+
+def test_txn_quoted_and_qualified_insert(server):
+    """r11 (verdict #7): `INSERT INTO "Name"` and `public.name` inside a
+    transaction resolve like autocommit (identifiers fold to lowercase,
+    `public` is the one served schema); a foreign schema is a loud
+    3F000."""
+    c = connect(server)
+    c.execute("CREATE TABLE wquo AS SELECT 1 AS k")
+    c.execute("ALTER TABLE wquo SET FORMAT MANIFEST")
+    try:
+        v0 = len(c.execute("SHOW VERSIONS wquo")[1])
+        c.execute("BEGIN")
+        assert c.execute('INSERT INTO "WQUO" VALUES (2)')[2] == "INSERT 0 1"
+        assert c.execute("INSERT INTO public.wquo VALUES (3)")[2] == "INSERT 0 1"
+        assert (
+            c.execute('INSERT INTO "public"."wquo" VALUES (4)')[2]
+            == "INSERT 0 1"
+        )
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute("INSERT INTO otherschema.wquo VALUES (9)")
+        c.execute("COMMIT")
+        assert len(c.execute("SHOW VERSIONS wquo")[1]) == v0 + 1
+        assert _count(c, "SELECT count(*) AS n FROM wquo") == 4
+    finally:
+        c.execute("DROP TABLE wquo")
+        c.close()

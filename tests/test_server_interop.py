@@ -591,9 +591,22 @@ def test_transactions_on_manifest_tables(server):
     rc, out, err = run_psql(server, "SHOW VERSIONS txt")
     assert len(out.strip().splitlines()) == v0 + 1  # ONE atomic commit
 
-    # refusals: non-INSERT DML, second table, non-manifest target
+    # r11: DELETE inside a transaction is REAL — staged COW swap,
+    # published at COMMIT as part of the same single version
     rc, out, err = run_psql(
         server, "BEGIN; DELETE FROM txt WHERE k = 99; COMMIT"
+    )
+    assert rc == 0, err
+    rc, out, err = run_psql(
+        server, "SELECT count(*) AS n FROM txt WHERE k = 99"
+    )
+    assert out.strip() == "0"
+    rc, out, err = run_psql(server, "SHOW VERSIONS txt")
+    assert len(out.strip().splitlines()) == v0 + 2  # one more version
+
+    # refusals: non-buffered DML verbs, second table, non-manifest target
+    rc, out, err = run_psql(
+        server, "BEGIN; CREATE TABLE nope AS SELECT 1 AS x; COMMIT"
     )
     assert rc != 0 and "not supported" in err
     rc, _, err = run_psql(

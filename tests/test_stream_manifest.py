@@ -311,3 +311,60 @@ def test_auto_compact_converges_file_count_with_empty_cdf(spark, tmp_path):
     assert sorted(r.k for r in ins.collect()) == want
     # the batch-id dedup watermark survived the compaction commits
     assert mt.meta().get("stream_batch") == 7
+
+
+def test_auto_compact_failure_warns_once_and_is_observable(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (verdict #6): a failing auto-compaction must never gate the
+    ingest commit — but it must not vanish either. The committer warns
+    ONCE per table, the sidecar records last_compact_error, and DESCRIBE
+    DETAIL surfaces it; a later successful attempt clears the error."""
+    import warnings as _warnings
+
+    import sclera_spark.sources.manifest as man
+    from sclera_spark.streaming.ops import manifest_batch_committer
+
+    path = str(tmp_path / "t")
+    ManifestTable.create(
+        spark.range(0, 10).selectExpr("id AS k").repartition(2), path
+    )
+    mt = ManifestTable(path)
+    mt.amend_meta(
+        {"auto_compact": {"target_bytes": 64 * 1024 * 1024, "min_files": 2}}
+    )
+    monkeypatch.setattr(
+        ManifestTable,
+        "compact",
+        lambda self, *a, **kw: (_ for _ in ()).throw(
+            RuntimeError("disk full (forced)")
+        ),
+    )
+    man._autocompact_warned.discard(mt.path)
+    commit = manifest_batch_committer(path, stream_id="s-fail")
+    with pytest.warns(UserWarning, match="auto-compaction .* failed"):
+        commit(spark.range(100, 120).selectExpr("id AS k"), 0)
+    # the ingest commit itself landed despite the compaction failure
+    assert sorted(r.k for r in mt.read(spark).collect()) == sorted(
+        list(range(10)) + list(range(100, 120))
+    )
+    state = mt.compact_state()
+    assert "disk full (forced)" in state["last_compact_error"]
+    assert state["last_compact_at"]
+    # warn-once: the second failing batch is silent
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        commit(spark.range(200, 210).selectExpr("id AS k"), 1)
+    # DESCRIBE DETAIL surfaces the sidecar
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    ddl = engine.ddl()
+    ddl.managed["t_ac"] = path
+    ddl.manifest_tables.add("t_ac")
+    detail = ddl._describe_detail("t_ac")[0]
+    assert "disk full (forced)" in detail["last_compact_error"]
+    # recovery: a successful attempt clears the error
+    monkeypatch.undo()
+    commit(spark.range(300, 310).selectExpr("id AS k"), 2)
+    assert mt.compact_state()["last_compact_error"] is None
