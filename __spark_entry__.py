@@ -1825,20 +1825,21 @@ _WINDOW_ORDER = [
     "stream_match_state", "labeled_fn_sql", "align_zip",
     "match_alternation", "multimodal_features", "multimodal_pixels",
     "asof_join", "range_join", "incr_rollup",
-    # late-r9 additions, never driver-graded — promoted immediately so
-    # this round certifies them (in exchange the ML trio
-    # classified/clustered/imputed_with and transform_zscore demote to
-    # the tail — all r8-certified with heavy pytest coverage,
-    # re-verified every check_entry sweep)
+    # r9/r10 additions, driver-certified r10 — kept one more round
     "table_changes", "pack_sequences", "cross_dedup", "mixture_sample",
-    # r10 addition, never driver-graded — promoted immediately
-    # (nlp_sentiment, re-certified r9, demotes to the tail in exchange)
     "schema_evolution",
-    # r9 rotation: the 18 oracle-bearing entries whose last driver
-    # grading is oldest (r6/r7 — demoted r8 to promote the then-new 6;
-    # the r7/r8-promoted groups move to the tail in exchange, all
-    # driver-certified within the last two rounds)
-    "q3_shipping", "q5_local_supplier", "join_variants", "outer_joins",
+    # r11 rotation (VERDICT r10 #8): the ML trio + transform_zscore
+    # were last driver-certified r8 — the oldest certifications in the
+    # inventory — so they rotate back into the graded window; in
+    # exchange four core-SQL entries certified in BOTH r9 and r10
+    # (q3_shipping, q5_local_supplier, join_variants, outer_joins)
+    # demote to the tail, each keeping its fuzz family
+    # (test_fuzz_joins 200-seed, TPC-H pytest) and every
+    # tools/check_entry sweep. No oracle entry's certification ages
+    # past two rounds under this schedule.
+    "classified_with", "clustered_with", "imputed_with",
+    "transform_zscore",
+    # r9 rotation block, re-certified r10 — stays for freshness
     "setops", "conditionals", "scalar_math", "datetime_fns",
     "string_fns", "predicates", "grouping_sets", "order_fetch",
     "string_agg_ordered", "scalar_sclera_names", "distinct_on",
