@@ -168,6 +168,14 @@ class DdlRouter:
         ),
         (
             re.compile(
+                r"^\s*CREATE\s+TABLE\s+(\w+)\s+FROM\s+ICEBERG\s+"
+                r"'([^']+)'\s*$",
+                re.I,
+            ),
+            "_create_from_iceberg",
+        ),
+        (
+            re.compile(
                 r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+BLOOM\s+FILTER\s*"
                 r"\(\s*([\w\s,]+?)\s*\)(?:\s+FPP\s+([0-9.]+))?\s*$",
                 re.I,
@@ -540,6 +548,28 @@ class DdlRouter:
         ManifestTable.import_delta(
             src, path, materialize_dvs=bool(mat_dvs)
         )
+        self.managed[name.lower()] = path
+        self.manifest_tables.add(name.lower())
+        self._register_manifest(name)
+
+    def _create_from_iceberg(self, name: str, src: str):
+        """CREATE TABLE t FROM ICEBERG '<table_dir>' — resolve an
+        external Apache Iceberg table's current snapshot (public spec;
+        sources/iceberg.py) and register its live parquet files as a
+        new manifest table without copying data (hard links;
+        sources/manifest.import_iceberg). Delete files, object-store
+        paths, field-id schema drift, and a missing Avro codec are all
+        LOUD refusals — never silent data loss. The import is a
+        first-class table: pruning, DML, time travel and OPTIMIZE all
+        work atop it; the source Iceberg table is never modified."""
+        from sclera_spark.sources.manifest import ManifestTable
+
+        if name.lower() in self.managed or name.lower() in (
+            t.lower() for t in self.engine.catalog.tables
+        ):
+            raise ValueError(f"table {name} already exists")
+        path = self._path(name)
+        ManifestTable.import_iceberg(src, path)
         self.managed[name.lower()] = path
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)

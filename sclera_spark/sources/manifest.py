@@ -590,6 +590,59 @@ class ManifestTable:
                 shutil.rmtree(purge_dir, ignore_errors=True)
 
     @classmethod
+    def import_iceberg(cls, table_dir: str, path: str) -> "ManifestTable":
+        """Migration from an external APACHE ICEBERG table without
+        copying data: resolve the current snapshot per the public spec
+        (sources/iceberg.py — metadata.json is parsed directly; the
+        Avro manifest layer is gated on fastavro with a loud, exact
+        refusal when absent), hard-link its live parquet files in, and
+        publish them as version 1 of a new manifest table.
+
+        Iceberg identity-partitioned files physically contain their
+        partition columns, so no virtual-column fill is needed; the
+        stats backfill's per-file min/max make partition-key predicates
+        prune imported files exactly like native clustering.
+
+        Schema-evolution guard: Iceberg reads map columns by FIELD ID,
+        so a renamed/added column leaves footers whose names differ
+        from the current schema. Plain name-based parquet reads would
+        silently misread those files — every footer is checked (one
+        metadata read per file, import-time only) and any mismatch is
+        a loud refusal telling the user to rewrite/compact first.
+        Delete files (position/equality) and non-local storage are
+        refused in sources/iceberg.py for the same
+        no-silent-data-loss contract as the Delta importer."""
+        from sclera_spark.sources import iceberg as ice
+
+        doc = ice.load_table_metadata(table_dir)
+        fields = ice.schema_fields(doc)
+        srcs = ice.snapshot_data_files(doc, table_dir)
+        import pyarrow.parquet as pq
+
+        want = {f["name"] for f in fields}
+        for p in srcs:
+            got = {
+                n.split(".", 1)[0]
+                for n in pq.ParquetFile(p).schema_arrow.names
+            }
+            if got != want:
+                raise ice.IcebergImportUnsupported(
+                    "Iceberg import: data file "
+                    f"{os.path.basename(p)!r} stores columns "
+                    f"{sorted(got)} but the current schema says "
+                    f"{sorted(want)} — the table evolved via field-id "
+                    "mapping (rename/add), which name-based parquet "
+                    "reads would misinterpret. Compact/rewrite the "
+                    "table with current names first."
+                )
+        meta = {
+            "imported_from": os.path.abspath(table_dir),
+            "_op": "import_iceberg",
+            "iceberg_snapshot_id": doc.get("current-snapshot-id"),
+        }
+        return cls._adopt_external(path, srcs, meta)
+
+    @classmethod
     def convert(cls, path: str) -> "ManifestTable":
         """Adopt an existing plain-parquet directory in place: move its
         part files under data/ and publish them as version 1."""
