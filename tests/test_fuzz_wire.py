@@ -130,3 +130,127 @@ def test_wire_timestamp_binding_extended(wire_env):
     )
     want2 = str(sum(1 for _k, d in _J3 if d < 5))
     assert rows2 == [(want2,)]
+
+
+# ------------------- r11: stateful wire-transaction DML fuzz vs DuckDB
+
+
+def test_txn_dml_fuzz_vs_duckdb(spark):
+    """Seeded random transactions (INSERT / COW UPDATE / COW DELETE,
+    ending in COMMIT or ROLLBACK) against a manifest table over the
+    real wire protocol, mirrored statement-by-statement on DuckDB
+    under THIS engine's documented txn semantics: every DML probes the
+    pre-transaction snapshot and writes disjoint row sets (the overlap
+    refusal enforces disjointness), so the committed effect equals
+    'all DMLs against the pre-txn state, then all inserts'. Invariants
+    per transaction: command tags match DuckDB's pre-txn counts;
+    COMMIT with any staged work lands EXACTLY ONE version (else zero);
+    ROLLBACK lands zero; table contents equal DuckDB's after every
+    transaction boundary."""
+    duckdb = pytest.importorskip("duckdb")
+
+    engine = ScleraEngine(spark)
+    srv = ScleraServer(engine).start()
+    c = WireClient("127.0.0.1", srv.port)
+    try:
+        for seed in range(5):
+            rng = random.Random(4100 + seed)
+            try:
+                c.execute("DROP TABLE fz")
+            except RuntimeError:
+                pass
+            c.execute(
+                "CREATE TABLE fz AS SELECT k, CAST(k AS DOUBLE)/2 AS v "
+                "FROM (VALUES "
+                + ", ".join(f"({k})" for k in range(40))
+                + ") AS t(k)"
+            )
+            c.execute("ALTER TABLE fz SET FORMAT MANIFEST")
+            duck = duckdb.connect()
+            duck.execute("CREATE TABLE fz (k INTEGER, v DOUBLE)")
+            duck.execute(
+                "INSERT INTO fz SELECT k, k/2.0 FROM range(40) t(k)"
+            )
+            # spread the seed rows over several part files
+            for lo in (100, 140, 180):
+                vals = ", ".join(
+                    f"({k}, {k/2!r})" for k in range(lo, lo + 12)
+                )
+                c.execute(f"INSERT INTO fz VALUES {vals}")
+                duck.execute(f"INSERT INTO fz VALUES {vals}")
+            next_k = [1000]
+
+            def gen_stmt():
+                kind = rng.choice(["ins", "upd", "del", "upd", "del"])
+                if kind == "ins":
+                    ks = [next_k[0] + i for i in range(rng.randint(1, 3))]
+                    next_k[0] += len(ks)
+                    vals = ", ".join(f"({k}, {k/2!r})" for k in ks)
+                    return "ins", f"INSERT INTO fz VALUES {vals}", len(ks)
+                a = rng.randrange(0, 220)
+                b = a + rng.randrange(0, 80)
+                where = f"k BETWEEN {a} AND {b}"
+                if rng.random() < 0.5:
+                    m = rng.choice([3, 7])
+                    where += f" AND k % {m} = {rng.randrange(m)}"
+                n_pre = duck.execute(
+                    f"SELECT count(*) FROM fz WHERE {where}"
+                ).fetchone()[0]
+                if kind == "upd":
+                    return (
+                        "upd",
+                        f"UPDATE fz SET v = v + 1 WHERE {where}",
+                        n_pre,
+                    )
+                return "del", f"DELETE FROM fz WHERE {where}", n_pre
+
+            for _txn in range(4):
+                v0 = len(c.execute("SHOW VERSIONS fz")[1])
+                c.execute("BEGIN")
+                accepted = []
+                staged_work = False
+                for _s in range(rng.randint(1, 3)):
+                    kind, sql, n_want = gen_stmt()
+                    try:
+                        _, _, tag = c.execute(sql)
+                    except RuntimeError as exc:
+                        # the only legal refusal mid-txn is the
+                        # same-file double-rewrite guard
+                        assert "already rewritten" in str(exc), exc
+                        continue
+                    assert tag.split()[-1] == str(n_want), (sql, tag)
+                    accepted.append((kind, sql))
+                    if kind == "ins" or n_want > 0:
+                        staged_work = True
+                if rng.random() < 0.7:
+                    c.execute("COMMIT")
+                    for kind, sql in accepted:
+                        if kind != "ins":
+                            duck.execute(sql)
+                    for kind, sql in accepted:
+                        if kind == "ins":
+                            duck.execute(sql)
+                    want_delta = 1 if staged_work else 0
+                else:
+                    c.execute("ROLLBACK")
+                    want_delta = 0
+                assert (
+                    len(c.execute("SHOW VERSIONS fz")[1]) - v0 == want_delta
+                )
+                got = [
+                    (int(k), float(v))
+                    for k, v in c.execute(
+                        "SELECT k, v FROM fz ORDER BY k, v"
+                    )[1]
+                ]
+                want = duck.execute(
+                    "SELECT k, v FROM fz ORDER BY k, v"
+                ).fetchall()
+                assert got == [(int(k), float(v)) for k, v in want], (
+                    f"seed {seed} txn {_txn}: wire/duck divergence"
+                )
+            duck.close()
+        c.execute("DROP TABLE fz")
+    finally:
+        c.close()
+        srv.stop()
