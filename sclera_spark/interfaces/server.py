@@ -714,19 +714,11 @@ class _Handler(socketserver.BaseRequestHandler):
                 if copy_m:
                     self._copy_out(copy_m)
                 elif copy_in_m:
-                    if getattr(self, "_txn", None) is not None:
-                        # COPY FROM commits its own atomic INSERT; a
-                        # later ROLLBACK could not undo it — refuse
-                        # rather than let the rollback lie
-                        raise _WireError(
-                            "0A000",
-                            "COPY ... FROM STDIN inside a transaction "
-                            "is not supported: it commits its own "
-                            "atomic INSERT, which ROLLBACK could not "
-                            "undo. COMMIT (or ROLLBACK) first, or use "
-                            "buffered INSERT statements inside the "
-                            "transaction.",
-                        )
+                    # inside a transaction the load is BUFFERED like any
+                    # INSERT (r11): rows stage outside data/, publish at
+                    # COMMIT, vanish truthfully on ROLLBACK — the
+                    # manifest-table-only / single-table refusals of
+                    # _txn_buffer apply after the stream drains
                     self._copy_in(copy_in_m)
                 else:
                     rs = self._run(sql)
@@ -740,8 +732,8 @@ class _Handler(socketserver.BaseRequestHandler):
         self._ready()
 
     # COPY (query | table) TO STDOUT — the bulk-export half of the pg
-    # COPY protocol (what psql's \copy ... to <file> speaks). COPY FROM
-    # STDIN is not served (use INSERT/CTAS; refusing is honest-wire).
+    # COPY protocol (what psql's \copy ... to <file> speaks); the
+    # FROM STDIN half is _copy_in below.
     _COPY_OUT_RE = re.compile(
         r"^\s*COPY\s+(?:\(\s*(?P<q>.+?)\s*\)|(?P<t>\w+))\s+TO\s+STDOUT"
         r"(?:\s+(?:WITH\s+)?\(\s*(?P<opts>[^)]*)\))?\s*$",
@@ -912,12 +904,13 @@ class _Handler(socketserver.BaseRequestHandler):
             except OSError:
                 pass
 
-    @staticmethod
-    def _copy_insert(engine, table, cols, spool_path, fmt, header) -> int:
+    def _copy_insert(self, engine, table, cols, spool_path, fmt, header) -> int:
         """Parse the spooled COPY payload and INSERT it: string-typed
         Arrow batches -> temp parquet -> one INSERT INTO ... SELECT with
         casts to the table's types (missing columns NULL). Batched, so
-        driver memory is one batch, not the whole load."""
+        driver memory is one batch, not the whole load. Inside an open
+        transaction the INSERT routes through the txn buffer (staged,
+        published at COMMIT) instead of committing here."""
         import os as _os
         import shutil as _shutil
         import tempfile as _tempfile
@@ -994,10 +987,15 @@ class _Handler(socketserver.BaseRequestHandler):
                             f"CAST(NULL AS {f.dataType.simpleString()})"
                             f" AS {f.name}"
                         )
-                engine.execute(
+                sql_ins = (
                     f"INSERT INTO {table} SELECT {', '.join(sel)} "
                     f"FROM {view}"
                 )
+                txn = getattr(self, "_txn", None)
+                if txn is not None:
+                    self._txn_buffer(txn, "INSERT", sql_ins)
+                else:
+                    engine.execute(sql_ins)
             finally:
                 spark.catalog.dropTempView(view)
             return total

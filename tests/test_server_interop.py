@@ -931,24 +931,54 @@ def test_psql_copy_from_stdin_bad_rows_fail_loudly(server):
         run_psql(server, "DROP TABLE cin3")
 
 
-def test_copy_from_refused_inside_transaction(server):
-    """COPY FROM STDIN commits its own atomic INSERT, which ROLLBACK
-    could not undo — inside a transaction it is refused (0A000), and
-    the rollback stays truthful."""
+def test_copy_from_buffers_inside_transaction(server):
+    """r11: COPY FROM STDIN inside a transaction is BUFFERED like any
+    INSERT — staged outside data/, vanishing truthfully on ROLLBACK,
+    landing with the rest of the transaction as ONE version at COMMIT.
+    A non-manifest target still refuses (via the txn buffer's guard)."""
     rc, _, err = run_psql(
         server,
         "CREATE TABLE ctx AS SELECT r_regionkey AS k FROM region",
     )
     assert rc == 0, err
     run_psql(server, "ALTER TABLE ctx SET FORMAT MANIFEST")
+    rc, out, err = run_psql(server, "SHOW VERSIONS ctx")
+    v0 = len(out.strip().splitlines())
+
+    # ROLLBACK discards the buffered load — no rows, no version
     rc, out, err = run_psql_stdin(
         server,
         "BEGIN; COPY ctx FROM STDIN; ROLLBACK",
         "99\n\\.\n",
     )
-    assert rc != 0 and "inside a transaction" in err
+    assert rc == 0, err
     rc, out, err = run_psql(
         server, "SELECT count(*) AS n FROM ctx WHERE k = 99"
     )
     assert out.strip() == "0"
+    rc, out, err = run_psql(server, "SHOW VERSIONS ctx")
+    assert len(out.strip().splitlines()) == v0
+
+    # COPY + INSERT + COMMIT: both land as EXACTLY ONE version
+    rc, out, err = run_psql_stdin(
+        server,
+        "BEGIN; COPY ctx FROM STDIN; INSERT INTO ctx VALUES (77); COMMIT",
+        "98\n99\n\\.\n",
+    )
+    assert rc == 0, err
+    rc, out, err = run_psql(
+        server, "SELECT count(*) AS n FROM ctx WHERE k IN (77, 98, 99)"
+    )
+    assert out.strip() == "3"
+    rc, out, err = run_psql(server, "SHOW VERSIONS ctx")
+    assert len(out.strip().splitlines()) == v0 + 1
+
+    # non-manifest target inside a txn: the buffer's guard refuses
+    rc, _, err = run_psql(server, "CREATE TABLE ctp AS SELECT 1 AS k")
+    assert rc == 0, err
+    rc, out, err = run_psql_stdin(
+        server, "BEGIN; COPY ctp FROM STDIN; COMMIT", "5\n\\.\n"
+    )
+    assert rc != 0 and "MANIFEST" in err
+    run_psql(server, "DROP TABLE ctp")
     run_psql(server, "DROP TABLE ctx")
