@@ -1943,6 +1943,7 @@ class DdlRouter:
                 "size_bytes": size,
                 "cas": CasManifestTable.is_cas_table(mt.path),
                 "bloom_columns": meta.get("bloom_columns"),
+                "auto_compact": meta.get("auto_compact"),
                 "schema_evolved": "table_schema" in meta,
                 "retained_versions": len(mt.versions()),
                 "last_compact_at": mt.compact_state().get(

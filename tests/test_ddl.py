@@ -664,3 +664,56 @@ def test_set_auto_compact_ddl(engine, spark):
         assert len(mt.files()) == n0 + 3  # no folding anymore
     finally:
         engine.execute("DROP TABLE ac")
+
+
+def test_txn_stage_dml_is_capped_and_refuses_over_cap(
+    engine, spark, monkeypatch
+):
+    """r11 scale guard: the transactional DML staging path inherits the
+    capped probe — a broad predicate on a many-file table collects at
+    most cap+1 paths driver-side and then REFUSES (0A000-shaped)
+    instead of silently staging a whole-table rewrite inside the
+    transaction; WHERE-less rewrites refuse outright."""
+    from pyspark.sql import functions as F
+
+    import sclera_spark.plans.ddl as ddlmod
+    from sclera_spark.plans.ddl import TxnDmlRefused
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    engine.execute("LIST TABLES")
+    engine._ddl._materialize("cap_tx", df.repartition(8))
+    engine.execute("ALTER TABLE cap_tx SET FORMAT MANIFEST")
+    seen: list[int] = []
+    orig = ddlmod.DdlRouter._local_hit_paths.__func__ if hasattr(
+        ddlmod.DdlRouter._local_hit_paths, "__func__"
+    ) else ddlmod.DdlRouter._local_hit_paths
+
+    def spy(hit_uris):
+        seen.append(len(hit_uris))
+        return orig(hit_uris)
+
+    monkeypatch.setattr(
+        ddlmod.DdlRouter, "_local_hit_paths", staticmethod(spy)
+    )
+    monkeypatch.setattr(type(engine._ddl), "cow_file_cap", 2)
+    try:
+        with pytest.raises(TxnDmlRefused, match="more than 2"):
+            engine.ddl().txn_stage_dml(
+                "UPDATE cap_tx SET k = k + 1 WHERE k >= 0", set()
+            )
+        assert seen and all(n <= 3 for n in seen), seen
+        with pytest.raises(TxnDmlRefused, match="without WHERE"):
+            engine.ddl().txn_stage_dml("DELETE FROM cap_tx", set())
+        # a selective statement still stages fine under the same cap
+        name, staged, removes, n, verb = engine.ddl().txn_stage_dml(
+            "DELETE FROM cap_tx WHERE k = 5", set()
+        )
+        assert verb == "DELETE" and n == 1 and len(removes) == 1
+        if staged is not None:
+            from sclera_spark.sources.manifest import ManifestTable
+
+            ManifestTable.discard_staged([staged])
+        # nothing committed by any of the above
+        assert engine.table("cap_tx").count() == 200
+    finally:
+        engine.execute("DROP TABLE cap_tx")
