@@ -1552,16 +1552,42 @@ class DdlRouter:
                 "statement in a new transaction"
             )
         hit_df = mt.read(spark, file_paths=hits)
-        # affected-row count for the command tag, over hit files only
-        # (bounded by the probe cap, never a full-table job)
-        n = (
-            hit_df.filter(F.expr(where)).count()
-            if where
-            else hit_df.count()
-        )
-        if n == 0:
-            return name.lower(), None, set(), 0, verb
-        staged = mt._stage(transform(hit_df))
+        if verb == "DELETE":
+            # one Spark job total: stage the survivors, then derive the
+            # deleted-row count as (manifest-recorded rows of the hit
+            # files) - (staged footer rows) — both metadata reads
+            import pyarrow.parquet as pq
+
+            staged = mt._stage(transform(hit_df))
+            frows = mt.file_rows()
+            hit_names = [os.path.basename(p) for p in hits]
+            if all(b in frows for b in hit_names):
+                before = sum(frows[b] for b in hit_names)
+            else:  # pre-stats files: count the hit slice directly
+                before = hit_df.count()
+            after = sum(
+                pq.ParquetFile(
+                    os.path.join(staged[0], f)
+                ).metadata.num_rows
+                for f in staged[1]
+            )
+            n = before - after
+            if n == 0:
+                ManifestTable = type(mt)
+                ManifestTable.discard_staged([staged])
+                return name.lower(), None, set(), 0, verb
+        else:
+            # UPDATE's tag counts MATCHED rows — that needs the
+            # predicate evaluated, but only over the hit files
+            # (bounded by the probe cap, never a full-table job)
+            n = (
+                hit_df.filter(F.expr(where)).count()
+                if where
+                else hit_df.count()
+            )
+            if n == 0:
+                return name.lower(), None, set(), 0, verb
+            staged = mt._stage(transform(hit_df))
         return (
             name.lower(),
             staged,
