@@ -559,13 +559,19 @@ class _Handler(socketserver.BaseRequestHandler):
         conflicts abort loudly), refuse (0A000) anything a ROLLBACK
         could not truthfully undo."""
         ddl = self.server.engine.ddl()
-        if verb in ("UPDATE", "DELETE"):
+        if verb in ("UPDATE", "DELETE", "MERGE"):
             from sclera_spark.plans.ddl import TxnDmlRefused
 
             try:
-                name, staged, removes, n, _ = ddl.txn_stage_dml(
-                    sql, txn["removes"]
-                )
+                if verb == "MERGE":
+                    name, staged, removes = ddl.txn_stage_merge(
+                        sql, txn["removes"]
+                    )
+                    n = None  # autocommit's MERGE tag carries no count
+                else:
+                    name, staged, removes, n, _ = ddl.txn_stage_dml(
+                        sql, txn["removes"]
+                    )
             except TxnDmlRefused as exc:
                 raise _WireError("0A000", str(exc))
             if txn["table"] is not None and txn["table"] != name:
@@ -584,13 +590,14 @@ class _Handler(socketserver.BaseRequestHandler):
                 txn["table"] = name
                 txn["parts"].append(staged)
                 txn["removes"] |= removes
-            return _ResultSet(None, None, None, f"{verb} {n}")
+            tag = verb if n is None else f"{verb} {n}"
+            return _ResultSet(None, None, None, tag)
         if verb != "INSERT":
             raise _WireError(
                 "0A000",
                 f"{verb} inside a transaction is not supported: only "
-                "manifest-table INSERT/UPDATE/DELETE are buffered for "
-                "atomic commit; run other statements in autocommit "
+                "manifest-table INSERT/UPDATE/DELETE/MERGE/COPY are "
+                "buffered for atomic commit; run other statements in autocommit "
                 "(outside BEGIN)",
             )
         m = self._INSERT_RE.match(sql)

@@ -1076,7 +1076,7 @@ class DdlRouter:
             i += 1
         return out
 
-    def _merge(self, name: str, talias: str, rest: str):
+    def _merge(self, name: str, talias: str, rest: str, _txn_stage=None):
         """MERGE INTO t AS a USING (src)|tbl AS b ON cond
         [WHEN MATCHED [AND g] THEN UPDATE SET c=v,... | DELETE]
         [WHEN NOT MATCHED [AND g] THEN INSERT (cols) VALUES (exprs) | INSERT *]
@@ -1086,7 +1086,16 @@ class DdlRouter:
         untouched files stay in place; NOT MATCHED rows append as new
         files (anti-join). At most one matched clause; duplicate source
         matches duplicate target rows (no cardinality check — document,
-        don't hide)."""
+        don't hide).
+
+        ``_txn_stage`` (r11, via :meth:`txn_stage_merge`): a dict with
+        key ``already_removed`` — instead of committing, the COW swap
+        is STAGED (``staged`` tuple + ``removes`` basenames written
+        back into the dict) for an atomic wire-transaction COMMIT.
+        Only the manifest COW / insert-only shapes stage; anything
+        that would need a full rewrite refuses (TxnDmlRefused), and a
+        hit set overlapping ``already_removed`` refuses before any
+        staging work."""
         from pyspark.sql import functions as F
 
         talias = talias or name  # standard MERGE INTO t USING ... (no alias)
@@ -1243,6 +1252,25 @@ class DdlRouter:
                     # served by one distributed full rewrite than by a
                     # driver holding ~1M path strings
                     use_cow = hits is not None and len(hits) <= self.cow_file_cap
+                    if _txn_stage is not None:
+                        if not use_cow:
+                            raise TxnDmlRefused(
+                                "MERGE inside a transaction: the match "
+                                "condition touches more than "
+                                f"{self.cow_file_cap} files (or "
+                                "non-local storage); run it in "
+                                "autocommit (outside BEGIN)"
+                            )
+                        overlap = {
+                            os.path.basename(p) for p in hits
+                        } & _txn_stage["already_removed"]
+                        if overlap:
+                            raise TxnDmlRefused(
+                                "MERGE touches files already rewritten "
+                                "earlier in this transaction — a second "
+                                "rewrite would duplicate their "
+                                "surviving rows; COMMIT first"
+                            )
                     if use_cow:
                         # manifest tables read hit files through the
                         # table (column mapping: files store PHYSICAL
@@ -1291,6 +1319,12 @@ class DdlRouter:
                         if pending_ins is not None:
                             out = out.unionByName(pending_ins)
                             pending_ins = None
+                        if _txn_stage is not None:
+                            _txn_stage["staged"] = mt._stage(out)
+                            _txn_stage["removes"] = {
+                                os.path.basename(p) for p in hits
+                            }
+                            return
                         if use_cow:
                             mt.replace_files(hit_uris, out)
                         else:
@@ -1305,8 +1339,12 @@ class DdlRouter:
                             self._swap_dir(path, staging)
             if pending_ins is not None:
                 # insert-only MERGE (or no matched rows) on a manifest table
-                mt.append(pending_ins)
-                self._register_manifest(name)
+                if _txn_stage is not None:
+                    _txn_stage["staged"] = mt._stage(pending_ins)
+                    _txn_stage["removes"] = set()
+                else:
+                    mt.append(pending_ins)
+                    self._register_manifest(name)
             if ins_stage is not None:
                 for f in os.listdir(ins_stage):
                     if f.startswith("part-"):
@@ -1321,10 +1359,51 @@ class DdlRouter:
                 spark.catalog.dropTempView("__merge_tsub")
             except Exception:
                 pass
+        if _txn_stage is not None:
+            return  # nothing committed; staging captured (or a no-op)
         if is_manifest:
             self._register_manifest(name)
         else:
             self.engine.catalog.register_parquet(name, path)
+
+    _TXN_MERGE_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+        r"\s+USING\s+(.*)$",
+        re.I | re.S,
+    )
+
+    def txn_stage_merge(
+        self, sql: str, already_removed: set[str]
+    ) -> tuple[str, tuple | None, set[str]]:
+        """Stage one MERGE for a wire transaction: same lowering as
+        autocommit :meth:`_merge` (capped probe join, LEFT-JOIN CASE
+        rewrite of hit files, anti-join inserts — all against the
+        pre-transaction snapshot), but the output is STAGED and the
+        hit files' removal deferred to the transaction's single
+        ``commit_staged(remove_names=...)`` publish, whose
+        inside-the-lock liveness validation aborts on write-write
+        conflicts. Refusals (TxnDmlRefused): non-manifest target,
+        over-cap hit sets, and hit files this transaction already
+        rewrote. Returns (table, staged|None, remove_basenames)."""
+        m = self._TXN_MERGE_RE.match(sql)
+        if m is None:
+            raise TxnDmlRefused(
+                f"cannot parse MERGE inside transaction: {sql[:80]!r}"
+            )
+        name, talias, rest = m.groups()
+        if name.lower() not in self.manifest_tables:
+            raise TxnDmlRefused(
+                f"MERGE INTO {name} inside a transaction: only MANIFEST "
+                "tables support buffered transactional DML (ALTER "
+                "TABLE ... SET FORMAT MANIFEST)"
+            )
+        ctx: dict = {
+            "already_removed": set(already_removed),
+            "staged": None,
+            "removes": set(),
+        }
+        self._merge(name, talias, rest, _txn_stage=ctx)
+        return name.lower(), ctx["staged"], ctx["removes"]
 
     def _cow_rewrite(self, name: str, where: str, transform) -> bool:
         """Copy-on-write DML at parquet-file granularity (the Delta/Iceberg

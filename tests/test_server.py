@@ -507,3 +507,50 @@ def test_txn_quoted_and_qualified_insert(server):
     finally:
         c.execute("DROP TABLE wquo")
         c.close()
+
+
+def test_txn_merge_stages_and_commits_atomically(server):
+    """r11: MERGE inside a transaction stages its COW swap + inserts;
+    ROLLBACK discards everything, COMMIT lands the whole MERGE with the
+    transaction's other statements as ONE version; a second statement
+    rewriting the same files is refused."""
+    merge_sql = (
+        "MERGE INTO wmrg t USING ("
+        "SELECT 1 AS k, 'up' AS nv UNION ALL SELECT 99 AS k, 'new' AS nv"
+        ") s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.nv "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)"
+    )
+    c = connect(server)
+    c.execute(
+        "CREATE TABLE wmrg AS SELECT r_regionkey AS k, r_name AS v "
+        "FROM region"
+    )
+    c.execute("ALTER TABLE wmrg SET FORMAT MANIFEST")
+    try:
+        v0 = len(c.execute("SHOW VERSIONS wmrg")[1])
+        c.execute("BEGIN")
+        assert c.execute(merge_sql)[2] == "MERGE"
+        other = connect(server)
+        assert _count(other, "SELECT count(*) AS n FROM wmrg") == 5
+        c.execute("ROLLBACK")
+        assert _count(other, "SELECT count(*) AS n FROM wmrg") == 5
+        assert _count(other, "SELECT count(*) AS n FROM wmrg WHERE v = 'up'") == 0
+        assert len(c.execute("SHOW VERSIONS wmrg")[1]) == v0
+
+        c.execute("BEGIN")
+        assert c.execute(merge_sql)[2] == "MERGE"
+        # second rewrite of the k=1 file inside the same txn: refused
+        with pytest.raises(RuntimeError, match="already rewritten"):
+            c.execute("UPDATE wmrg SET v = 'x' WHERE k = 1")
+        assert c.execute("INSERT INTO wmrg VALUES (100, 'ins')")[2] == "INSERT 0 1"
+        c.execute("COMMIT")
+        assert len(c.execute("SHOW VERSIONS wmrg")[1]) == v0 + 1
+        _, rows, _ = c.execute("SELECT v FROM wmrg WHERE k = 1")
+        assert rows == [("up",)]
+        assert _count(c, "SELECT count(*) AS n FROM wmrg WHERE k IN (99, 100)") == 2
+        assert _count(c, "SELECT count(*) AS n FROM wmrg") == 7
+        other.close()
+    finally:
+        c.execute("DROP TABLE wmrg")
+        c.close()
