@@ -429,7 +429,7 @@ class _Handler(socketserver.BaseRequestHandler):
 
     _SESSION_VERBS = (
         "SET", "BEGIN", "START", "COMMIT", "END", "ROLLBACK", "DISCARD",
-        "RESET",
+        "RESET", "SAVEPOINT", "RELEASE",
     )
     # statements that MUTATE state — inside an advisory "transaction"
     # they make a later ROLLBACK a lie, which we refuse to tell
@@ -476,9 +476,13 @@ class _Handler(socketserver.BaseRequestHandler):
                 else:
                     self._txn = {
                         "table": None, "parts": [], "rows": 0,
-                        "removes": set(),
+                        "removes": set(), "savepoints": {},
                     }
                 return _ResultSet(None, None, None, "BEGIN")
+            if verb in ("SAVEPOINT", "RELEASE") or self._ROLLBACK_TO_RE.match(
+                sql
+            ):
+                return self._savepoint(verb, sql)
             if verb in ("COMMIT", "END"):
                 txn = getattr(self, "_txn", None)
                 self._txn = None
@@ -523,6 +527,74 @@ class _Handler(socketserver.BaseRequestHandler):
             return self._txn_buffer(txn, verb, sql)
         rs = _to_resultset(self.server.engine.execute(sql), sql)
         return rs
+
+    _ROLLBACK_TO_RE = re.compile(
+        r"^\s*ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+"
+        r"(?:SAVEPOINT\s+)?(\w+)\s*$",
+        re.I,
+    )
+    _SAVEPOINT_RE = re.compile(r"^\s*SAVEPOINT\s+(\w+)\s*$", re.I)
+    _RELEASE_RE = re.compile(
+        r"^\s*RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$", re.I
+    )
+
+    def _savepoint(self, verb: str, sql: str) -> _ResultSet:
+        """SAVEPOINT / ROLLBACK TO / RELEASE over the staged-batch txn
+        model (r11): a savepoint is a MARK in the buffered work —
+        (#parts, removes, rows, table) at creation. ROLLBACK TO
+        discards exactly the batches staged after the mark (they were
+        never visible, so the partial rollback is truthful, same as
+        full ROLLBACK) and destroys later savepoints, keeping this one
+        re-rollbackable — pg semantics. RELEASE keeps effects and
+        destroys the savepoint and its successors."""
+        txn = getattr(self, "_txn", None)
+        if txn is None:
+            raise _WireError(
+                "25P01",
+                f"{verb if verb in ('SAVEPOINT', 'RELEASE') else 'ROLLBACK TO'}"
+                " can only be used in transaction blocks",
+            )
+        sp = txn["savepoints"]
+        if verb == "SAVEPOINT":
+            m = self._SAVEPOINT_RE.match(sql)
+            if m is None:
+                raise _WireError("42601", f"cannot parse: {sql[:60]!r}")
+            name = m.group(1).lower()
+            sp.pop(name, None)  # re-establish at the CURRENT position
+            sp[name] = {
+                "n_parts": len(txn["parts"]),
+                "removes": set(txn["removes"]),
+                "rows": txn["rows"],
+                "table": txn["table"],
+            }
+            return _ResultSet(None, None, None, "SAVEPOINT")
+        m = self._RELEASE_RE.match(sql) if verb == "RELEASE" else (
+            self._ROLLBACK_TO_RE.match(sql)
+        )
+        if m is None:
+            raise _WireError("42601", f"cannot parse: {sql[:60]!r}")
+        name = m.group(1).lower()
+        if name not in sp:
+            raise _WireError("3B001", f"savepoint {name!r} does not exist")
+        names = list(sp)
+        later = names[names.index(name) + 1:]
+        if verb == "RELEASE":
+            for nm in (name, *later):
+                sp.pop(nm, None)
+            return _ResultSet(None, None, None, "RELEASE")
+        mark = sp[name]
+        dropped = txn["parts"][mark["n_parts"]:]
+        if dropped:
+            from sclera_spark.sources.manifest import ManifestTable
+
+            ManifestTable.discard_staged(dropped)
+        txn["parts"] = txn["parts"][: mark["n_parts"]]
+        txn["removes"] = set(mark["removes"])
+        txn["rows"] = mark["rows"]
+        txn["table"] = mark["table"]
+        for nm in later:
+            sp.pop(nm, None)
+        return _ResultSet(None, None, None, "ROLLBACK")
 
     # quoted ("Name") and public-qualified spellings accepted, same
     # resolution as autocommit: identifiers fold to lowercase (the

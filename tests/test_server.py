@@ -554,3 +554,55 @@ def test_txn_merge_stages_and_commits_atomically(server):
     finally:
         c.execute("DROP TABLE wmrg")
         c.close()
+
+
+def test_txn_savepoints(server):
+    """r11: SAVEPOINT marks the buffered work; ROLLBACK TO discards
+    exactly the batches staged after the mark (truthfully — they were
+    never visible) and destroys later savepoints while staying
+    re-rollbackable; RELEASE keeps effects; COMMIT lands the surviving
+    work as one version. Outside a txn: 25P01; unknown name: 3B001."""
+    c = connect(server)
+    with pytest.raises(RuntimeError, match="transaction blocks"):
+        c.execute("SAVEPOINT sp0")
+    c.execute("CREATE TABLE wsp AS SELECT 1 AS k")
+    c.execute("ALTER TABLE wsp SET FORMAT MANIFEST")
+    try:
+        v0 = len(c.execute("SHOW VERSIONS wsp")[1])
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wsp VALUES (10)")
+        assert c.execute("SAVEPOINT a")[2] == "SAVEPOINT"
+        c.execute("INSERT INTO wsp VALUES (20)")
+        c.execute("SAVEPOINT b")
+        c.execute("INSERT INTO wsp VALUES (30)")
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute("ROLLBACK TO SAVEPOINT nope")
+        # drop 20 and 30; b (later than a) is destroyed, a survives
+        assert c.execute("ROLLBACK TO SAVEPOINT a")[2] == "ROLLBACK"
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute("ROLLBACK TO b")
+        c.execute("INSERT INTO wsp VALUES (40)")
+        c.execute("ROLLBACK TO a")  # a is re-rollbackable: drops 40
+        c.execute("INSERT INTO wsp VALUES (50)")
+        assert c.execute("RELEASE SAVEPOINT a")[2] == "RELEASE"
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute("ROLLBACK TO a")
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT k FROM wsp ORDER BY k")
+        assert rows == [("1",), ("10",), ("50",)]
+        assert len(c.execute("SHOW VERSIONS wsp")[1]) == v0 + 1
+        # DML + savepoint interplay: a rolled-back DELETE releases its
+        # file reservation, so the same file can be rewritten again
+        c.execute("BEGIN")
+        c.execute("SAVEPOINT s1")
+        assert c.execute("DELETE FROM wsp WHERE k = 10")[2] == "DELETE 1"
+        with pytest.raises(RuntimeError, match="already rewritten"):
+            c.execute("UPDATE wsp SET k = 11 WHERE k = 10")
+        c.execute("ROLLBACK TO s1")
+        assert c.execute("UPDATE wsp SET k = 11 WHERE k = 10")[2] == "UPDATE 1"
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT k FROM wsp ORDER BY k")
+        assert rows == [("1",), ("11",), ("50",)]
+    finally:
+        c.execute("DROP TABLE wsp")
+        c.close()
