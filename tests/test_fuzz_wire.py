@@ -207,9 +207,24 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
             for _txn in range(4):
                 v0 = len(c.execute("SHOW VERSIONS fz")[1])
                 c.execute("BEGIN")
-                accepted = []
-                staged_work = False
-                for _s in range(rng.randint(1, 3)):
+                accepted = []  # (kind, sql, n_want) in execution order
+                marks = []  # savepoints: (name, len(accepted) at mark)
+                for _s in range(rng.randint(1, 4)):
+                    r = rng.random()
+                    if r < 0.15:
+                        nm = f"s{_s}"
+                        c.execute(f"SAVEPOINT {nm}")
+                        marks.append((nm, len(accepted)))
+                        continue
+                    if r < 0.28 and marks:
+                        nm, at = marks[rng.randrange(len(marks))]
+                        c.execute(f"ROLLBACK TO SAVEPOINT {nm}")
+                        accepted = accepted[:at]
+                        # later savepoints are destroyed, the target kept
+                        marks = marks[: next(
+                            i for i, (n2, _) in enumerate(marks) if n2 == nm
+                        ) + 1]
+                        continue
                     kind, sql, n_want = gen_stmt()
                     try:
                         _, _, tag = c.execute(sql)
@@ -219,15 +234,16 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
                         assert "already rewritten" in str(exc), exc
                         continue
                     assert tag.split()[-1] == str(n_want), (sql, tag)
-                    accepted.append((kind, sql))
-                    if kind == "ins" or n_want > 0:
-                        staged_work = True
+                    accepted.append((kind, sql, n_want))
+                staged_work = any(
+                    kind == "ins" or n > 0 for kind, _, n in accepted
+                )
                 if rng.random() < 0.7:
                     c.execute("COMMIT")
-                    for kind, sql in accepted:
+                    for kind, sql, _n in accepted:
                         if kind != "ins":
                             duck.execute(sql)
-                    for kind, sql in accepted:
+                    for kind, sql, _n in accepted:
                         if kind == "ins":
                             duck.execute(sql)
                     want_delta = 1 if staged_work else 0
