@@ -219,6 +219,10 @@ class DdlRouter:
             "_generate_symlink",
         ),
         (
+            re.compile(r"^\s*GENERATE\s+DELTA\s+LOG\s+FOR\s+(\w+)\s*$", re.I),
+            "_generate_delta_log",
+        ),
+        (
             re.compile(
                 r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?"
                 r"(?:\s+SORT\s+BY\s*\(\s*([\w\s,]+?)\s*\)"
@@ -848,6 +852,16 @@ class DdlRouter:
         command for Presto/Trino/Athena; sources/manifest.py
         export_symlink_manifest). Returns the manifest file path."""
         return self._require_manifest(name).export_symlink_manifest()
+
+    def _generate_delta_log(self, name: str):
+        """GENERATE DELTA LOG FOR t — export the current snapshot as a
+        public Delta Lake _delta_log (the write half of CREATE TABLE
+        ... FROM DELTA; sources/manifest.py export_delta_log), stats
+        included so external Delta readers data-skip like we do.
+        Returns the commit file path."""
+        return self._require_manifest(name).export_delta_log(
+            self.engine.spark
+        )
 
     def table_at(self, name: str, version: int):
         """Time-travel read of a manifest table's retained version."""

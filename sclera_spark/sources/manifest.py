@@ -1818,6 +1818,120 @@ class ManifestTable:
         os.replace(tmp, target)
         return target
 
+    def export_delta_log(self, spark, out_dir: str | None = None) -> str:
+        """Ecosystem interop, the write half of ``FROM DELTA`` (r11):
+        emit the CURRENT snapshot as a public Delta Lake ``_delta_log``
+        — one version-0 JSON commit with ``protocol``, ``metaData``
+        (schemaString is the Spark StructType JSON, exactly Delta's
+        format) and one ``add`` per live file carrying relative path,
+        size, and the Delta per-file ``stats`` string (numRecords /
+        minValues / maxValues / nullCount — lifted straight from the
+        manifest's own skipping sidecars, so an external Delta reader
+        data-skips exactly like we do). Any Delta-protocol reader
+        (delta-spark, Trino, DuckDB delta) pointed at the table
+        directory reads exactly the committed snapshot — staged or
+        orphaned part files stay invisible.
+
+        Partitioned imports round-trip: the virtual partition columns'
+        per-file values go back out as ``partitionValues`` (where the
+        public log carries them) and the columns join
+        ``partitionColumns`` in metaData. Column-mapped (evolved)
+        tables refuse, same rationale as the symlink export: the files
+        store physical names, and we will not write a log that lies
+        about them. Like the symlink export this is a SNAPSHOT —
+        re-export after commits (the commit file swaps atomically).
+        Pure driver metadata at any table size: no data job except the
+        one schema read. Returns the commit file path."""
+        import time as _time
+
+        if self.column_mapping() is not None:
+            raise ValueError(
+                f"{self.path} uses column mapping (renamed/dropped/"
+                "widened columns): the parquet files store PHYSICAL "
+                "names, and a Delta log claiming the logical schema "
+                "would make external readers misread them. "
+                "Materialize an unmapped copy to export."
+            )
+        pinfo = self.partition_info()
+        part_cols = [p["name"] for p in pinfo[0]] if pinfo else []
+        schema_json = self.read(spark).schema.json()
+        out_dir = out_dir or os.path.join(self.path, "_delta_log")
+        os.makedirs(out_dir, exist_ok=True)
+        now_ms = int(_time.time() * 1000)
+        stats, nulls, rows = (
+            self.file_stats(),
+            self.file_nulls(),
+            self.file_rows(),
+        )
+        pv_meta = pinfo[1] if pinfo else {}
+        if pinfo:
+            mixed = [
+                b for b in self._file_names() if b not in pv_meta
+            ]
+            if mixed:
+                # post-import DML/compaction rewrote these files: they
+                # carry the partition columns PHYSICALLY and have no
+                # log values. The public Delta layout keeps partition
+                # values in the log ONLY — an external reader would
+                # fill NULLs for these files. Refuse the silent lie.
+                raise ValueError(
+                    f"{self.path}: {len(mixed)} file(s) carry the "
+                    "partition columns physically (rewritten after the "
+                    "partitioned import) — a Delta log cannot describe "
+                    "this mixed layout truthfully. Materialize a copy "
+                    "(CREATE TABLE ... AS SELECT) to export."
+                )
+        lines = [
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            ),
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": part_cols,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            ),
+        ]
+        for p in self.files():
+            b = os.path.basename(p)
+            add = {
+                "path": f"data/{b}",
+                "partitionValues": {
+                    c: None if v is None else str(v)
+                    for c, v in (pv_meta.get(b) or {}).items()
+                },
+                "size": os.path.getsize(p),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            if b in rows:
+                st = {
+                    "numRecords": rows[b],
+                    "minValues": {
+                        c: v[0] for c, v in (stats.get(b) or {}).items()
+                    },
+                    "maxValues": {
+                        c: v[1] for c, v in (stats.get(b) or {}).items()
+                    },
+                    "nullCount": dict(nulls.get(b) or {}),
+                }
+                add["stats"] = json.dumps(st)
+            lines.append(json.dumps({"add": add}))
+        target = os.path.join(out_dir, f"{0:020d}.json")
+        tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, target)
+        return target
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` newest
         manifests (and drop older manifests). Returns deleted file names.

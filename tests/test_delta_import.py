@@ -538,3 +538,111 @@ def test_delta_import_materialize_deletion_vectors(engine, spark,
         ).st_ino
     finally:
         engine.execute("DROP TABLE dvt")
+
+
+# -------------------- r11: GENERATE DELTA LOG (the write half)
+
+
+def test_delta_export_round_trips_through_import(engine, spark, tmp_path):
+    """GENERATE DELTA LOG emits a public _delta_log our own
+    independently-tested importer replays bit-identically: contents
+    equal, files hard-link (zero copy), and the exported per-file
+    stats give the re-import metadata-only row counts and file
+    skipping from birth."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    src = str(tmp_path / "exp")
+    ManifestTable.create(
+        spark.range(0, 100)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE)/4 AS v")
+        .repartition(4),
+        src,
+    )
+    mt = ManifestTable(src)
+    mt.append(spark.range(100, 120).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE)/4 AS v"
+    ))
+    commit_file = mt.export_delta_log(spark)
+    assert os.path.basename(commit_file) == f"{0:020d}.json"
+    with open(commit_file) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    assert actions[0]["protocol"]["minReaderVersion"] == 1
+    assert json.loads(actions[1]["metaData"]["schemaString"])["type"] == "struct"
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) == len(mt.files())
+    st = json.loads(adds[0]["stats"])
+    assert set(st) == {"numRecords", "minValues", "maxValues", "nullCount"}
+
+    dest = str(tmp_path / "reimported")
+    mt2 = ManifestTable.import_delta(src, dest)
+    got = sorted((r.k, r.v) for r in mt2.read(spark).collect())
+    want = sorted((r.k, r.v) for r in mt.read(spark).collect())
+    assert got == want
+    # zero-copy + skipping metadata live from birth
+    assert os.stat(mt2.files()[0]).st_nlink >= 2
+    assert mt2.row_count() == 120
+    assert len(mt2.files_pruned({"k": (115, None)})) < len(mt2.files())
+
+
+def test_delta_export_partitioned_import_round_trips(engine, spark, tmp_path):
+    """A partitioned Delta import re-exports its virtual partition
+    columns as partitionValues (where the public log carries them) and
+    partitionColumns in metaData — import of the export preserves the
+    columns and their per-file prunability."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    d = _mk_partitioned_delta(spark, tmp_path, name="ptab_exp")
+    first = str(tmp_path / "first_import")
+    mt = ManifestTable.import_delta(d, first)
+    commit_file = mt.export_delta_log(spark)
+    with open(commit_file) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    assert actions[1]["metaData"]["partitionColumns"] == ["c", "dt"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert all(set(a["partitionValues"]) == {"c", "dt"} for a in adds)
+
+    second = str(tmp_path / "second_import")
+    mt2 = ManifestTable.import_delta(first, second)
+    got = sorted(
+        tuple(r) for r in mt2.read(spark).select("k", "v", "c", "dt").collect()
+    )
+    want = sorted(
+        tuple(r) for r in mt.read(spark).select("k", "v", "c", "dt").collect()
+    )
+    assert got == want
+    # partition predicates prune files on the re-import too
+    assert len(mt2.files_pruned({"c": (2, 2)})) == 2
+
+
+def test_delta_export_refuses_column_mapping(engine, spark, tmp_path):
+    """An evolved table's files store physical names — exporting a log
+    that claims the logical schema would be a lie; refuse."""
+    engine.execute(
+        "CREATE TABLE dexp AS SELECT 1 AS a, 2.0 AS b"
+    )
+    engine.execute("ALTER TABLE dexp SET FORMAT MANIFEST")
+    engine.execute("ALTER TABLE dexp RENAME COLUMN a TO a2")
+    with pytest.raises(ValueError, match="column mapping"):
+        engine.execute("GENERATE DELTA LOG FOR dexp")
+    engine.execute("DROP TABLE dexp")
+
+
+def test_delta_export_refuses_mixed_partition_layout(engine, spark, tmp_path):
+    """After DML on a partitioned import, rewritten files carry the
+    partition columns physically (no log values) — a Delta log cannot
+    describe that mixed layout truthfully, so export refuses."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    d = _mk_partitioned_delta(spark, tmp_path, name="ptab_mix")
+    imp = str(tmp_path / "mix_import")
+    mt = ManifestTable.import_delta(d, imp)
+    # rewrite one partition's file via replace_files (the DML shape)
+    victim = [
+        p for p in mt.files()
+        if "c" not in os.path.basename(p)  # any one file
+    ][:1] or [mt.files()[0]]
+    mt.replace_files(
+        victim, mt.read(spark, file_paths=victim).where("k >= 0")
+    )
+    with pytest.raises(ValueError, match="mixed layout|physically"):
+        mt.export_delta_log(spark)
