@@ -369,9 +369,17 @@ class ManifestTable:
         files with the masked rows purged (streamed per batch); clean
         files are still hard-linked, never copied.
 
+        COLUMN MAPPING (r11): ``delta.columnMapping.mode=name`` tables
+        import natively — the schemaString's per-field physicalName/id
+        metadata translate directly to this engine's column-mapping
+        entries (r10 schema evolution), and leftover physical columns
+        (Delta's DROP COLUMN leaves the bytes) become tombstone
+        reservations so a later ADD COLUMN can never surface them.
+
         Remaining loud refusals instead of silent data loss:
-        - column mapping (``delta.columnMapping.mode`` set): physical
-          names in the footers differ from the logical schema;
+        - ``columnMapping.mode=id`` (files matched by parquet field id,
+          not name — this reader maps by physical name);
+        - column mapping combined with partition columns;
         - object-store paths (no credentials here)."""
         import urllib.parse
 
@@ -510,13 +518,53 @@ class ManifestTable:
                         live.pop(action["remove"]["path"], None)
                     elif "metaData" in action:
                         apply_meta(action["metaData"])
+        mapping_cols: list | None = None
         if mapping_mode and mapping_mode != "none":
-            raise ValueError(
-                "Delta import: delta.columnMapping.mode="
-                f"{mapping_mode!r} — footer physical names differ from "
-                "the logical schema; export/rewrite without column "
-                "mapping first"
-            )
+            # r11: columnMapping.mode=name translates DIRECTLY to this
+            # engine's column-mapping machinery (r10 schema evolution):
+            # the public log's per-field physicalName/id metadata become
+            # mapping entries, reads project physical -> logical exactly
+            # as for natively-evolved tables. mode=id (match by parquet
+            # field id, arbitrary footer names) stays refused — this
+            # reader maps by physical NAME.
+            if mapping_mode != "name":
+                raise ValueError(
+                    "Delta import: delta.columnMapping.mode="
+                    f"{mapping_mode!r} is not supported (files are "
+                    "matched by parquet field id, not name); only "
+                    "mode=name imports"
+                )
+            if schema_json is None:
+                raise ValueError(
+                    "Delta import: columnMapping.mode=name but the log "
+                    "carries no schemaString to read the mapping from"
+                )
+            if part_cols:
+                raise ValueError(
+                    "Delta import: column mapping combined with "
+                    "partition columns is not supported here (the "
+                    "virtual-partition fill is keyed by logical name); "
+                    "rewrite without mapping first"
+                )
+            mapping_cols = []
+            for f in schema_json.get("fields", []):
+                md = f.get("metadata") or {}
+                phys = md.get("delta.columnMapping.physicalName")
+                fid = md.get("delta.columnMapping.id")
+                if not phys or fid is None:
+                    raise ValueError(
+                        "Delta import: columnMapping.mode=name but "
+                        f"field {f.get('name')!r} lacks physicalName/"
+                        "id metadata in the schemaString"
+                    )
+                mapping_cols.append(
+                    {
+                        "id": int(fid),
+                        "name": f["name"],
+                        "physical": phys,
+                        "type": f["type"],
+                    }
+                )
         if not live:
             raise ValueError(
                 f"Delta log at {log_dir!r} resolves to zero live files"
@@ -583,6 +631,36 @@ class ManifestTable:
             ]
             if schema_json:
                 meta["table_schema"] = json.dumps(schema_json)
+        if mapping_cols is not None:
+            import pyarrow.parquet as pq
+
+            # leftover physical columns (Delta DROP COLUMN leaves the
+            # bytes in files and removes the field from the schema)
+            # become tombstone reservations: a later ADD COLUMN can
+            # then never pick a physical name that would surface the
+            # dead bytes out of old files. One footer (metadata-only)
+            # read per file, import-time only.
+            known = {e["physical"].lower() for e in mapping_cols}
+            next_id = max(e["id"] for e in mapping_cols) + 1
+            for src in srcs:
+                for nm in pq.ParquetFile(src).schema_arrow.names:
+                    base = nm.split(".", 1)[0]
+                    if base.lower() in known:
+                        continue
+                    known.add(base.lower())
+                    mapping_cols.append(
+                        {
+                            "id": next_id,
+                            "name": f"__delta_dropped_{base}",
+                            "physical": base,
+                            "type": "string",
+                            "dropped": True,
+                        }
+                    )
+                    next_id += 1
+            _, logical, _ = cls._mapping_schemas(mapping_cols)
+            meta["columns"] = mapping_cols
+            meta["table_schema"] = json.dumps(logical.jsonValue())
         try:
             return cls._adopt_external(path, srcs, meta, pv_by_src=pv_by_src)
         finally:
@@ -1836,25 +1914,55 @@ class ManifestTable:
         per-file values go back out as ``partitionValues`` (where the
         public log carries them) and the columns join
         ``partitionColumns`` in metaData. Column-mapped (evolved)
-        tables refuse, same rationale as the symlink export: the files
-        store physical names, and we will not write a log that lies
-        about them. Like the symlink export this is a SNAPSHOT —
+        tables export the PUBLIC columnMapping.mode=name form — field
+        ids + physicalName metadata in the schemaString, protocol
+        reader 2 / writer 5 — so external readers project physical to
+        logical exactly as this engine does (and stats keys stay
+        physical, per the spec). Like the symlink export this is a
+        SNAPSHOT —
         re-export after commits (the commit file swaps atomically).
         Pure driver metadata at any table size: no data job except the
         one schema read. Returns the commit file path."""
         import time as _time
 
-        if self.column_mapping() is not None:
-            raise ValueError(
-                f"{self.path} uses column mapping (renamed/dropped/"
-                "widened columns): the parquet files store PHYSICAL "
-                "names, and a Delta log claiming the logical schema "
-                "would make external readers misread them. "
-                "Materialize an unmapped copy to export."
-            )
+        mapping = self.column_mapping()
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        configuration: dict = {}
         pinfo = self.partition_info()
         part_cols = [p["name"] for p in pinfo[0]] if pinfo else []
-        schema_json = self.read(spark).schema.json()
+        if mapping is not None:
+            # evolved table: emit the PUBLIC columnMapping form — each
+            # live field carries its id + physicalName in the
+            # schemaString metadata, configuration declares mode=name,
+            # and the protocol floor rises to the spec's requirement
+            # (reader 2 / writer 5). Dropped entries are simply absent,
+            # exactly as Delta leaves dead bytes unlisted; a mapped
+            # import of this export re-tombstones them from footers.
+            protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+            configuration = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(
+                    max(e["id"] for e in mapping)
+                ),
+            }
+            fields = [
+                {
+                    "name": e["name"],
+                    "type": e["type"],
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": e["id"],
+                        "delta.columnMapping.physicalName": e["physical"],
+                    },
+                }
+                for e in mapping
+                if not e.get("dropped")
+            ]
+            schema_json = json.dumps(
+                {"type": "struct", "fields": fields}
+            )
+        else:
+            schema_json = self.read(spark).schema.json()
         out_dir = out_dir or os.path.join(self.path, "_delta_log")
         os.makedirs(out_dir, exist_ok=True)
         now_ms = int(_time.time() * 1000)
@@ -1882,9 +1990,7 @@ class ManifestTable:
                     "(CREATE TABLE ... AS SELECT) to export."
                 )
         lines = [
-            json.dumps(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            ),
+            json.dumps({"protocol": protocol}),
             json.dumps(
                 {
                     "metaData": {
@@ -1892,7 +1998,7 @@ class ManifestTable:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_json,
                         "partitionColumns": part_cols,
-                        "configuration": {},
+                        "configuration": configuration,
                         "createdTime": now_ms,
                     }
                 }

@@ -614,16 +614,60 @@ def test_delta_export_partitioned_import_round_trips(engine, spark, tmp_path):
     assert len(mt2.files_pruned({"c": (2, 2)})) == 2
 
 
-def test_delta_export_refuses_column_mapping(engine, spark, tmp_path):
-    """An evolved table's files store physical names — exporting a log
-    that claims the logical schema would be a lie; refuse."""
+def test_delta_export_import_round_trips_column_mapping(
+    engine, spark, tmp_path
+):
+    """r11: an EVOLVED table (rename + drop + add) exports the public
+    columnMapping.mode=name form — physicalName/id metadata in the
+    schemaString, protocol 2/5 — and the importer translates it back
+    to native column mapping: logical contents round-trip, the dropped
+    column's leftover physical bytes become a tombstone reservation,
+    and re-adding its logical name reads NULL (never the dead bytes)."""
+    from sclera_spark.sources.manifest import ManifestTable
+
     engine.execute(
-        "CREATE TABLE dexp AS SELECT 1 AS a, 2.0 AS b"
+        "CREATE TABLE dexp AS SELECT CAST(o_orderkey AS INT) AS a, "
+        "o_totalprice AS b, o_orderpriority AS dead "
+        "FROM orders WHERE o_orderkey < 200"
     )
     engine.execute("ALTER TABLE dexp SET FORMAT MANIFEST")
     engine.execute("ALTER TABLE dexp RENAME COLUMN a TO a2")
-    with pytest.raises(ValueError, match="column mapping"):
-        engine.execute("GENERATE DELTA LOG FOR dexp")
+    engine.execute("ALTER TABLE dexp DROP COLUMN dead")
+    engine.execute("INSERT INTO dexp VALUES (9001, 1.5)")
+    want = sorted(
+        tuple(r) for r in engine.sql("SELECT a2, b FROM dexp").collect()
+    )
+    src = engine.ddl()._manifest("dexp").path
+    commit_file = engine.execute("GENERATE DELTA LOG FOR dexp")
+    with open(commit_file) as fh:
+        actions = [json.loads(ln) for ln in fh if ln.strip()]
+    assert actions[0]["protocol"] == {
+        "minReaderVersion": 2, "minWriterVersion": 5,
+    }
+    md = actions[1]["metaData"]
+    assert md["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = json.loads(md["schemaString"])["fields"]
+    assert [f["name"] for f in fields] == ["a2", "b"]
+    assert all(
+        "delta.columnMapping.physicalName" in f["metadata"] for f in fields
+    )
+
+    dest = str(tmp_path / "mapped_reimport")
+    mt2 = ManifestTable.import_delta(src, dest)
+    got = sorted(
+        tuple(r) for r in mt2.read(spark).select("a2", "b").collect()
+    )
+    assert got == want
+    # the dropped column's physical name is tombstone-RESERVED: its
+    # logical name re-adds under a FRESH physical and reads all-NULL
+    mapping = mt2.column_mapping()
+    reserved = [e for e in mapping if e.get("dropped")]
+    assert reserved, "leftover physical column was not tombstoned"
+    from pyspark.sql.types import StringType
+
+    mt2.add_column_mapped("dead", StringType())
+    vals = mt2.read(spark).select("dead").distinct().collect()
+    assert [r.dead for r in vals] == [None]
     engine.execute("DROP TABLE dexp")
 
 
@@ -646,3 +690,72 @@ def test_delta_export_refuses_mixed_partition_layout(engine, spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixed layout|physically"):
         mt.export_delta_log(spark)
+
+
+def test_delta_import_column_mapping_external_fixture(spark, tmp_path):
+    """A mapped Delta table as an EXTERNAL writer lays it out: files
+    store uuid-ish physical names, the schemaString's field metadata
+    carries the logical mapping — import reads logical names/values."""
+    import shutil
+    import tempfile
+
+    d = str(tmp_path / "cmext")
+    scratch = tempfile.mkdtemp()
+    (
+        spark.range(0, 25)
+        .selectExpr(
+            "id AS `col-9aa1`", "CAST(id AS DOUBLE) * 2 AS `col-77bc`"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(scratch)
+    )
+    part = next(
+        f for f in os.listdir(scratch)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.makedirs(d, exist_ok=True)
+    shutil.copyfile(os.path.join(scratch, part), os.path.join(d, "f1.parquet"))
+    shutil.rmtree(scratch)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-9aa1"}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-77bc"}},
+        ],
+    }
+    _commit(os.path.join(d, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    mt = ManifestTable.import_delta(d, str(tmp_path / "cm_import"))
+    df = mt.read(spark)
+    assert df.columns == ["k", "v"]
+    rows = sorted((r.k, r.v) for r in df.collect())
+    assert rows == [(i, float(i * 2)) for i in range(25)]
+    # mode=id refuses
+    d2 = str(tmp_path / "cmid")
+    os.makedirs(d2, exist_ok=True)
+    shutil.copyfile(
+        os.path.join(str(tmp_path / "cmext"), "f1.parquet"),
+        os.path.join(d2, "f1.parquet"),
+    )
+    _commit(os.path.join(d2, "_delta_log"), 0, [
+        {"metaData": {
+            "id": "cm2", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="mode='id'|not supported"):
+        ManifestTable.import_delta(d2, str(tmp_path / "cmid_import"))
