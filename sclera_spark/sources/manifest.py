@@ -1918,11 +1918,17 @@ class ManifestTable:
         ids + physicalName metadata in the schemaString, protocol
         reader 2 / writer 5 — so external readers project physical to
         logical exactly as this engine does (and stats keys stay
-        physical, per the spec). Like the symlink export this is a
-        SNAPSHOT —
-        re-export after commits (the commit file swaps atomically).
-        Pure driver metadata at any table size: no data job except the
-        one schema read. Returns the commit file path."""
+        physical, per the spec).
+
+        Re-exports are INCREMENTAL (r11): a second export into the
+        same directory appends one diff commit (remove/add of changed
+        files, metaData only when the schema changed, metaData id
+        stable) — an external Delta reader following the directory
+        sees the table evolve as a live mirror. A log containing
+        commits this exporter did not write refuses. Pure driver
+        metadata at any table size: no data job except the one schema
+        read. Returns the commit file path (the PRIOR one when
+        nothing changed — no empty commits)."""
         import time as _time
 
         mapping = self.column_mapping()
@@ -1989,22 +1995,45 @@ class ManifestTable:
                     "this mixed layout truthfully. Materialize a copy "
                     "(CREATE TABLE ... AS SELECT) to export."
                 )
-        lines = [
-            json.dumps({"protocol": protocol}),
-            json.dumps(
-                {
-                    "metaData": {
-                        "id": uuid.uuid4().hex,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_json,
-                        "partitionColumns": part_cols,
-                        "configuration": configuration,
-                        "createdTime": now_ms,
-                    }
-                }
-            ),
-        ]
-        for p in self.files():
+        # incremental mirror (r11): when this table already exported a
+        # log here, APPEND a diff commit instead of rewriting version 0
+        # — an external Delta reader following the directory sees the
+        # table evolve, with a STABLE metaData id across exports (an id
+        # change would read as a different table). We only replay logs
+        # this method wrote (commitInfo.operation marks them).
+        prev_version = -1
+        prev_live: set[str] = set()
+        prev_schema: str | None = None
+        prev_id: str | None = None
+        for f in sorted(os.listdir(out_dir)):
+            if not (f.endswith(".json") and f[:-5].isdigit()):
+                continue
+            v = int(f[:-5])
+            with open(os.path.join(out_dir, f)) as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if not ln:
+                        continue
+                    a = json.loads(ln)
+                    if "add" in a:
+                        prev_live.add(a["add"]["path"])
+                    elif "remove" in a:
+                        prev_live.discard(a["remove"]["path"])
+                    elif "metaData" in a:
+                        prev_schema = a["metaData"]["schemaString"]
+                        prev_id = a["metaData"].get("id")
+                    elif "commitInfo" in a:
+                        op = a["commitInfo"].get("operation")
+                        if op not in ("SCLERA EXPORT",):
+                            raise ValueError(
+                                f"{out_dir} contains commits this "
+                                "exporter did not write (operation="
+                                f"{op!r}); refusing to append to a "
+                                "foreign Delta log"
+                            )
+            prev_version = max(prev_version, v)
+
+        def _add_action(p: str) -> dict:
             b = os.path.basename(p)
             add = {
                 "path": f"data/{b}",
@@ -2028,8 +2057,63 @@ class ManifestTable:
                     "nullCount": dict(nulls.get(b) or {}),
                 }
                 add["stats"] = json.dumps(st)
-            lines.append(json.dumps({"add": add}))
-        target = os.path.join(out_dir, f"{0:020d}.json")
+            return {"add": add}
+
+        live_paths = {
+            f"data/{os.path.basename(p)}": p for p in self.files()
+        }
+        lines: list[str] = []
+        if prev_version < 0:
+            lines.append(json.dumps({"protocol": protocol}))
+        if prev_version < 0 or prev_schema != schema_json:
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": prev_id or uuid.uuid4().hex,
+                            "format": {
+                                "provider": "parquet", "options": {},
+                            },
+                            "schemaString": schema_json,
+                            "partitionColumns": part_cols,
+                            "configuration": configuration,
+                            "createdTime": now_ms,
+                        }
+                    }
+                )
+            )
+        for rel in sorted(prev_live - set(live_paths)):
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            )
+        for rel in sorted(set(live_paths) - prev_live):
+            lines.append(json.dumps(_add_action(live_paths[rel])))
+        version = prev_version + 1
+        if prev_version >= 0 and not lines:
+            # nothing changed since the last export: no empty commit
+            return os.path.join(out_dir, f"{prev_version:020d}.json")
+        lines.append(
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "operation": "SCLERA EXPORT",
+                        "timestamp": now_ms,
+                        "operationParameters": {
+                            "sourceVersion": str(self.version()),
+                        },
+                    }
+                }
+            )
+        )
+        target = os.path.join(out_dir, f"{version:020d}.json")
         tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             fh.write("\n".join(lines) + "\n")

@@ -759,3 +759,57 @@ def test_delta_import_column_mapping_external_fixture(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="mode='id'|not supported"):
         ManifestTable.import_delta(d2, str(tmp_path / "cmid_import"))
+
+
+def test_delta_export_is_incremental(engine, spark, tmp_path):
+    """Re-exports append DIFF commits (stable metaData id, removes +
+    adds only), an unchanged table appends nothing, and an importer
+    replaying the multi-commit log lands on the current snapshot."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    src = str(tmp_path / "inc")
+    ManifestTable.create(
+        spark.range(0, 40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        src,
+    )
+    mt = ManifestTable(src)
+    first = mt.export_delta_log(spark)
+    assert os.path.basename(first) == f"{0:020d}.json"
+    # no change -> no new commit
+    assert mt.export_delta_log(spark) == first
+    # append + COW delete -> ONE diff commit with removes and adds
+    mt.append(spark.range(40, 60).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ))
+    victim = mt.files()[:1]
+    mt.replace_files(
+        victim,
+        mt.read(spark, file_paths=victim).where("k % 2 = 0"),
+    )
+    second = mt.export_delta_log(spark)
+    assert os.path.basename(second) == f"{1:020d}.json"
+    with open(second) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    kinds = [next(iter(a)) for a in acts]
+    assert "remove" in kinds and "add" in kinds
+    assert "metaData" not in kinds  # schema unchanged
+    assert kinds[-1] == "commitInfo"
+    # id stability across the log
+    with open(first) as fh:
+        first_acts = [json.loads(ln) for ln in fh if ln.strip()]
+    mid = next(a["metaData"]["id"] for a in first_acts if "metaData" in a)
+    # replaying the whole multi-commit log equals the current snapshot
+    mt2 = ManifestTable.import_delta(src, str(tmp_path / "inc_reimport"))
+    got = sorted((r.k, r.v) for r in mt2.read(spark).collect())
+    want = sorted((r.k, r.v) for r in mt.read(spark).collect())
+    assert got == want
+    assert mid  # the id existed and v1 never re-declared metaData
+    # a foreign log refuses
+    foreign = str(tmp_path / "foreign_log")
+    os.makedirs(foreign)
+    _commit(foreign, 0, [
+        _meta_action(),
+        {"commitInfo": {"operation": "WRITE"}},
+    ])
+    with pytest.raises(ValueError, match="foreign Delta log"):
+        mt.export_delta_log(spark, out_dir=foreign)
