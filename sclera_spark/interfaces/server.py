@@ -512,6 +512,10 @@ class _Handler(socketserver.BaseRequestHandler):
                             f"{exc}; re-register or reconnect to see "
                             "the new rows"
                         )
+                    try:
+                        ddl._maybe_mirror(txn["table"])
+                    except Exception:
+                        pass  # _maybe_mirror itself warns-once
                 return _ResultSet(None, None, None, "COMMIT")
             if verb == "ROLLBACK":
                 txn = getattr(self, "_txn", None)

@@ -224,6 +224,21 @@ class DdlRouter:
         ),
         (
             re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+DELTA\s+MIRROR"
+                r"(?:\s+'([^']+)')?\s*$",
+                re.I,
+            ),
+            "_set_delta_mirror",
+        ),
+        (
+            re.compile(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+DELTA\s+MIRROR\s*$",
+                re.I,
+            ),
+            "_drop_delta_mirror",
+        ),
+        (
+            re.compile(
                 r"^\s*OPTIMIZE\s+(\w+)(?:\s+TARGET\s+(\d+)\s*MB)?"
                 r"(?:\s+SORT\s+BY\s*\(\s*([\w\s,]+?)\s*\)"
                 r"|\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
@@ -697,6 +712,7 @@ class DdlRouter:
         )
         if replaced:
             self._register_manifest(name)
+            self._maybe_mirror(name)
         return replaced
 
     def _reorg_purge(self, name: str):
@@ -709,6 +725,7 @@ class DdlRouter:
         replaced = mt.reorg_purge(self.engine.spark)
         if replaced:
             self._register_manifest(name)
+            self._maybe_mirror(name)
         return [{"table": name, "rewritten_files": len(replaced)}]
 
     def _list_files(self, name: str):
@@ -863,6 +880,36 @@ class DdlRouter:
             self.engine.spark
         )
 
+    def _set_delta_mirror(self, name: str, path: str | None = None):
+        """ALTER TABLE t SET DELTA MIRROR ['<dir>'] — keep an
+        incremental Delta-log export of the table current after every
+        mutation (the live-mirror form of GENERATE DELTA LOG; default
+        directory <table>/_delta_log). The first export runs NOW, so
+        the mirror exists before any reader looks."""
+        mt = self._require_manifest(name)
+        mt.amend_meta({"delta_mirror": path or True})
+        return mt.maybe_export_delta(self.engine.spark)
+
+    def _drop_delta_mirror(self, name: str):
+        """ALTER TABLE t DROP DELTA MIRROR — stop refreshing (the
+        already-exported log stays on disk, truthfully frozen at its
+        last commit)."""
+        self._require_manifest(name).amend_meta({"delta_mirror": None})
+
+    def _maybe_mirror(self, name: str) -> None:
+        """Post-mutation hook: refresh the table's Delta mirror when
+        configured. Maintenance, never a commit gate — a failure warns
+        once per table; the export is idempotent so the next mutation
+        retries."""
+        if name.lower() not in self.manifest_tables:
+            return
+        try:
+            self._manifest(name).maybe_export_delta(self.engine.spark)
+        except Exception as exc:
+            from sclera_spark.sources.manifest import warn_mirror_failure
+
+            warn_mirror_failure(self.managed.get(name.lower(), name), exc)
+
     def table_at(self, name: str, version: int):
         """Time-travel read of a manifest table's retained version."""
         if name.lower() not in self.manifest_tables:
@@ -1005,6 +1052,7 @@ class DdlRouter:
 
                 warn_autocompact_failure(mt.path, exc)
             self._register_manifest(name)
+            self._maybe_mirror(name)
             return
         incoming.write.mode("append").parquet(self._path(name))
         self.engine.catalog.register_parquet(name, self._path(name))
@@ -1050,15 +1098,15 @@ class DdlRouter:
 
     def _update(self, name: str, set_clause: str, where: str | None):
         transform = self._update_transform(set_clause, where)
-        if where and self._cow_rewrite(name, where, transform):
-            return
-        self._rewrite(name, transform(self.engine.table(name)))
+        if not (where and self._cow_rewrite(name, where, transform)):
+            self._rewrite(name, transform(self.engine.table(name)))
+        self._maybe_mirror(name)
 
     def _delete(self, name: str, where: str | None):
         keep = self._delete_transform(where)
-        if where and self._cow_rewrite(name, where, keep):
-            return
-        self._rewrite(name, keep(self.engine.table(name)))
+        if not (where and self._cow_rewrite(name, where, keep)):
+            self._rewrite(name, keep(self.engine.table(name)))
+        self._maybe_mirror(name)
 
     # ---- MERGE (upsert; no reference counterpart — the file-granular
     # copy-on-write strategy a training-data pipeline needs for
@@ -1377,6 +1425,7 @@ class DdlRouter:
             return  # nothing committed; staging captured (or a no-op)
         if is_manifest:
             self._register_manifest(name)
+            self._maybe_mirror(name)
         else:
             self.engine.catalog.register_parquet(name, path)
 

@@ -90,6 +90,25 @@ _MANIFEST_CACHE: dict[tuple, dict] = {}
 _MANIFEST_CACHE_CAP = 256
 
 _autocompact_warned: set[str] = set()
+_mirror_warned: set[str] = set()
+
+
+def warn_mirror_failure(path: str, exc: Exception) -> None:
+    """Warn ONCE per table when the opt-in Delta mirror refresh fails:
+    the mutation itself committed (mirroring never gates it), but a
+    silently stale mirror would feed external readers old data. The
+    export is idempotent — the next mutation retries it."""
+    import warnings
+
+    if path in _mirror_warned:
+        return
+    _mirror_warned.add(path)
+    warnings.warn(
+        f"Delta mirror refresh on {path} failed "
+        f"({type(exc).__name__}: {exc}); the table commit itself "
+        "succeeded but the exported _delta_log is STALE until the "
+        "next successful mutation. This warning fires once per table."
+    )
 
 
 def warn_autocompact_failure(path: str, exc: Exception) -> None:
@@ -1588,6 +1607,25 @@ class ManifestTable:
         self._record_compact_state(error=None, replaced=len(replaced))
         return replaced
 
+    def maybe_export_delta(self, spark) -> str | None:
+        """Post-mutation mirror hook (``ALTER TABLE t SET DELTA
+        MIRROR ['<dir>']``): when the table carries a ``delta_mirror``
+        config, refresh the incremental Delta-log export so external
+        Delta readers follow the table live — one diff commit per
+        engine version that changed files, none when idle (the
+        unchanged-file fast path costs one os.listdir + log replay,
+        no Spark job). Returns the current commit path (None = not
+        configured)."""
+        try:
+            cfg = self.meta().get("delta_mirror")
+        except FileNotFoundError:
+            return None
+        if not cfg:
+            return None
+        return self.export_delta_log(
+            spark, out_dir=cfg if isinstance(cfg, str) else None
+        )
+
     def _compact_state_file(self) -> str:
         return os.path.join(self.log_dir, "compact_state.json")
 
@@ -1968,7 +2006,7 @@ class ManifestTable:
                 {"type": "struct", "fields": fields}
             )
         else:
-            schema_json = self.read(spark).schema.json()
+            schema_json = None  # read lazily — see the no-op fast path
         out_dir = out_dir or os.path.join(self.path, "_delta_log")
         os.makedirs(out_dir, exist_ok=True)
         now_ms = int(_time.time() * 1000)
@@ -2062,6 +2100,18 @@ class ManifestTable:
         live_paths = {
             f"data/{os.path.basename(p)}": p for p in self.files()
         }
+        if (
+            prev_version >= 0
+            and set(live_paths) == prev_live
+            and mapping is None
+        ):
+            # unchanged file set on an unmapped table: the schema
+            # cannot have drifted without a rewrite — skip the Spark
+            # schema read entirely. This is what makes a per-commit
+            # mirror hook (SET DELTA MIRROR) cheap when idle.
+            return os.path.join(out_dir, f"{prev_version:020d}.json")
+        if schema_json is None:
+            schema_json = self.read(spark).schema.json()
         lines: list[str] = []
         if prev_version < 0:
             lines.append(json.dumps({"protocol": protocol}))

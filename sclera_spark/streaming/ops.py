@@ -670,6 +670,14 @@ def manifest_batch_committer(
                 )
 
                 warn_autocompact_failure(mt.path, exc)
+            try:
+                mt.maybe_export_delta(bdf.sparkSession)
+            except Exception as exc:
+                from sclera_spark.sources.manifest import (
+                    warn_mirror_failure,
+                )
+
+                warn_mirror_failure(mt.path, exc)
         elif cas is not None:
             CasManifestTable.create_cas(bdf, table_path, cas, meta=meta)
         else:

@@ -813,3 +813,60 @@ def test_delta_export_is_incremental(engine, spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="foreign Delta log"):
         mt.export_delta_log(spark, out_dir=foreign)
+
+
+def test_delta_mirror_follows_mutations(engine, spark, tmp_path, monkeypatch):
+    """SET DELTA MIRROR keeps the exported log current after every
+    mutation: one diff commit per changed version, importable at any
+    point; a failing refresh warns once and never gates the DML; DROP
+    stops refreshing."""
+    import warnings as _warnings
+
+    import sclera_spark.sources.manifest as man
+
+    engine.execute("CREATE TABLE dmir AS SELECT 1 AS k UNION ALL SELECT 2")
+    engine.execute("ALTER TABLE dmir SET FORMAT MANIFEST")
+    mt = engine.ddl()._manifest("dmir")
+    log = os.path.join(mt.path, "_delta_log")
+    try:
+        engine.execute("ALTER TABLE dmir SET DELTA MIRROR")
+        assert os.path.isfile(os.path.join(log, f"{0:020d}.json"))
+        engine.execute("INSERT INTO dmir VALUES (3)")
+        assert os.path.isfile(os.path.join(log, f"{1:020d}.json"))
+        engine.execute("UPDATE dmir SET k = 20 WHERE k = 2")
+        assert os.path.isfile(os.path.join(log, f"{2:020d}.json"))
+        mt2 = ManifestTable.import_delta(
+            mt.path, str(tmp_path / "mir_import")
+        )
+        assert sorted(r.k for r in mt2.read(spark).collect()) == [1, 3, 20]
+        # failure: warn once, DML still commits
+        man._mirror_warned.discard(mt.path)
+        monkeypatch.setattr(
+            ManifestTable,
+            "export_delta_log",
+            lambda self, *a, **kw: (_ for _ in ()).throw(
+                RuntimeError("mirror dir gone (forced)")
+            ),
+        )
+        with pytest.warns(UserWarning, match="mirror refresh .* failed"):
+            engine.execute("INSERT INTO dmir VALUES (4)")
+        assert engine.table("dmir").count() == 4
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            engine.execute("INSERT INTO dmir VALUES (5)")  # warned once
+        monkeypatch.undo()
+        # recovery: the next mutation catches the mirror up in ONE diff
+        engine.execute("INSERT INTO dmir VALUES (6)")
+        mt3 = ManifestTable.import_delta(
+            mt.path, str(tmp_path / "mir_import2")
+        )
+        assert sorted(r.k for r in mt3.read(spark).collect()) == [
+            1, 3, 4, 5, 6, 20,
+        ]
+        # DROP stops refreshing
+        engine.execute("ALTER TABLE dmir DROP DELTA MIRROR")
+        commits_before = sorted(os.listdir(log))
+        engine.execute("INSERT INTO dmir VALUES (7)")
+        assert sorted(os.listdir(log)) == commits_before
+    finally:
+        engine.execute("DROP TABLE dmir")
