@@ -2112,6 +2112,7 @@ class DdlRouter:
                 "cas": CasManifestTable.is_cas_table(mt.path),
                 "bloom_columns": meta.get("bloom_columns"),
                 "auto_compact": meta.get("auto_compact"),
+                "delta_mirror": meta.get("delta_mirror"),
                 "schema_evolved": "table_schema" in meta,
                 "retained_versions": len(mt.versions()),
                 "last_compact_at": mt.compact_state().get(
