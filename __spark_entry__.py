@@ -1687,6 +1687,50 @@ def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(eng.ddl()._path("se_t"), ignore_errors=True)
 
 
+def _q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration surface end to end through SQL (r11,
+    sources/manifest.py export_delta_log/import_delta): a manifest
+    table over an orders slice exports a public _delta_log (GENERATE
+    DELTA LOG), mutates (INSERT + copy-on-write DELETE), re-exports —
+    the second export appends an incremental DIFF commit — and
+    CREATE TABLE ... FROM DELTA replays the whole log zero-copy into a
+    new table, whose contents are returned. The oracle states the same
+    final relation declaratively over orders, so a hash match
+    certifies export -> diff -> import preserved the data exactly."""
+    import shutil
+
+    eng = _engine(spark, sf_dir)
+    for t in ("dr_in", "dr_src"):
+        if t in [x.lower() for x in eng.catalog.tables]:
+            eng.execute(f"DROP TABLE {t}")
+    eng.execute(
+        "CREATE TABLE dr_src AS SELECT CAST(o_orderkey AS INT) AS k, "
+        "o_totalprice AS total, o_orderpriority AS pri "
+        "FROM orders WHERE o_orderkey % 3 = 0"
+    )
+    eng.execute("ALTER TABLE dr_src SET FORMAT MANIFEST")
+    try:
+        eng.execute("GENERATE DELTA LOG FOR dr_src")
+        eng.execute(
+            "INSERT INTO dr_src SELECT CAST(o_orderkey AS INT), "
+            "o_totalprice, o_orderpriority "
+            "FROM orders WHERE o_orderkey % 3 = 1"
+        )
+        eng.execute("DELETE FROM dr_src WHERE k % 5 = 2")
+        eng.execute("GENERATE DELTA LOG FOR dr_src")  # appends ONE diff
+        src_path = eng.ddl()._path("dr_src")
+        eng.execute(f"CREATE TABLE dr_in FROM DELTA '{src_path}'")
+        out = eng.sql("SELECT k, total, pri FROM dr_in")
+        # detach from the warehouse files so DROP TABLE is safe
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for t in ("dr_in", "dr_src"):
+            try:
+                eng.execute(f"DROP TABLE {t}")
+            except Exception:
+                shutil.rmtree(eng.ddl()._path(t), ignore_errors=True)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (llm/bpe.py, Sennrich 2016):
     the 30 most frequent adjacent-symbol merges over the documents
@@ -1795,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mixture_sample": _q_mixture_sample,
             "table_changes": _q_table_changes,
             "schema_evolution": _q_schema_evolution,
+            "delta_roundtrip": _q_delta_roundtrip,
             "bpe_merges": _q_bpe_merges,
         }
     )
@@ -1828,6 +1873,9 @@ _WINDOW_ORDER = [
     # r9/r10 additions, driver-certified r10 — kept one more round
     "table_changes", "pack_sequences", "cross_dedup", "mixture_sample",
     "schema_evolution",
+    # r11 addition, never driver-graded — promoted immediately
+    # (row_sources, re-certified r10, demotes to the tail in exchange)
+    "delta_roundtrip",
     # r11 rotation (VERDICT r10 #8): the ML trio + transform_zscore
     # were last driver-certified r8 — the oldest certifications in the
     # inventory — so they rotate back into the graded window; in
@@ -1843,7 +1891,7 @@ _WINDOW_ORDER = [
     "setops", "conditionals", "scalar_math", "datetime_fns",
     "string_fns", "predicates", "grouping_sets", "order_fetch",
     "string_agg_ordered", "scalar_sclera_names", "distinct_on",
-    "star_except", "row_sources",
+    "star_except",
 ]
 
 
@@ -2734,6 +2782,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT k, total,
                CASE WHEN total > 300000 THEN 'hot' END AS pri
         FROM evolved WHERE k % 7 <> 3
+    """
+    oracles["delta_roundtrip"] = """
+        SELECT CAST(o_orderkey AS INT) AS k, o_totalprice AS total,
+               o_orderpriority AS pri
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+          AND CAST(o_orderkey AS INT) % 5 <> 2
     """
     oracles["table_changes"] = """
         SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
