@@ -624,6 +624,7 @@ class DdlRouter:
         )
         new_v = mt.restore(v)
         self._register_manifest(name)
+        self._maybe_mirror(name)
         return [{"table": name, "restored_to": v, "new_version": new_v}]
 
     def _clone(
@@ -1986,6 +1987,7 @@ class DdlRouter:
             # id and a never-reused physical name (manifest.py)
             mt.add_column_mapped(col, dt)
             self._register_manifest(name)
+            self._maybe_mirror(name)
             return
         cur = mt.read(spark).schema
         if col.lower() in (f.name.lower() for f in cur.fields):
@@ -1999,6 +2001,7 @@ class DdlRouter:
             {"table_schema": _json.dumps(evolved.jsonValue()), "_op": "add_column"}
         )
         self._register_manifest(name)
+        self._maybe_mirror(name)
 
     def _rename_column(self, name: str, old: str, new: str):
         """ALTER TABLE t RENAME COLUMN a TO b — a pure metadata commit
@@ -2009,6 +2012,7 @@ class DdlRouter:
         mt = self._require_manifest(name)
         mt.rename_column(self.engine.spark, old, new)
         self._register_manifest(name)
+        self._maybe_mirror(name)
 
     def _drop_column(self, name: str, col: str):
         """ALTER TABLE t DROP COLUMN c — a metadata tombstone: reads
@@ -2019,6 +2023,7 @@ class DdlRouter:
         mt = self._require_manifest(name)
         mt.drop_column(self.engine.spark, col)
         self._register_manifest(name)
+        self._maybe_mirror(name)
 
     def _widen_column(self, name: str, col: str, typ: str):
         """ALTER TABLE t ALTER COLUMN c TYPE <wider> — type widening
@@ -2037,6 +2042,7 @@ class DdlRouter:
             )
         mt.widen_column(spark, col, dt)
         self._register_manifest(name)
+        self._maybe_mirror(name)
 
     def _show_create(self, name: str):
         """SHOW CREATE TABLE t — a reconstruction a user could replay:
@@ -2093,6 +2099,7 @@ class DdlRouter:
             except OSError:
                 pass
         meta = mt.meta()
+        compact_state = mt.compact_state()
         from sclera_spark.sources.manifest import CasManifestTable
 
         return [
@@ -2115,10 +2122,8 @@ class DdlRouter:
                 "delta_mirror": meta.get("delta_mirror"),
                 "schema_evolved": "table_schema" in meta,
                 "retained_versions": len(mt.versions()),
-                "last_compact_at": mt.compact_state().get(
-                    "last_compact_at"
-                ),
-                "last_compact_error": mt.compact_state().get(
+                "last_compact_at": compact_state.get("last_compact_at"),
+                "last_compact_error": compact_state.get(
                     "last_compact_error"
                 ),
             }

@@ -1622,9 +1622,14 @@ class ManifestTable:
             return None
         if not cfg:
             return None
-        return self.export_delta_log(
-            spark, out_dir=cfg if isinstance(cfg, str) else None
-        )
+        out = None
+        if isinstance(cfg, str):
+            # a configured path is the mirror TABLE root: the log goes
+            # under <dir>/_delta_log and the data files hard-link into
+            # <dir>/data (export_delta_log's custom-directory path), so
+            # the mirror is a self-contained Delta table
+            out = os.path.join(cfg, "_delta_log")
+        return self.export_delta_log(spark, out_dir=out)
 
     def _compact_state_file(self) -> str:
         return os.path.join(self.log_dir, "compact_state.json")
@@ -2006,7 +2011,14 @@ class ManifestTable:
                 {"type": "struct", "fields": fields}
             )
         else:
-            schema_json = None  # read lazily — see the no-op fast path
+            # the stored table_schema (ADD COLUMN evolution, imported
+            # schemaString) IS a valid Delta schemaString; only tables
+            # whose schema lives purely in the files read it via Spark
+            # (lazily — see the no-op fast path)
+            try:
+                schema_json = self.meta().get("table_schema")
+            except FileNotFoundError:
+                schema_json = None
         out_dir = out_dir or os.path.join(self.path, "_delta_log")
         os.makedirs(out_dir, exist_ok=True)
         now_ms = int(_time.time() * 1000)
@@ -2037,16 +2049,65 @@ class ManifestTable:
         # log here, APPEND a diff commit instead of rewriting version 0
         # — an external Delta reader following the directory sees the
         # table evolve, with a STABLE metaData id across exports (an id
-        # change would read as a different table). We only replay logs
-        # this method wrote (commitInfo.operation marks them).
+        # change would read as a different table). Only logs this
+        # method wrote replay: EVERY commit must carry the SCLERA
+        # EXPORT commitInfo marker (commitInfo is spec-OPTIONAL, so a
+        # minimal foreign writer's log without one must refuse too, not
+        # be silently adopted and corrupted). Replay starts from our
+        # own _last_checkpoint when present, so refresh cost is bounded
+        # by the checkpoint interval, not table lifetime.
         prev_version = -1
         prev_live: set[str] = set()
         prev_schema: str | None = None
         prev_id: str | None = None
+        prev_protocol: dict | None = None
+        ckpt_base = -1
+        ckpt_file = os.path.join(out_dir, "_last_checkpoint")
+        if os.path.isfile(ckpt_file):
+            with open(ckpt_file) as fh:
+                ck = json.load(fh)
+            if not ck.get("sclera_export"):
+                raise ValueError(
+                    f"{out_dir} carries a checkpoint this exporter did "
+                    "not write; refusing to append to a foreign Delta "
+                    "log"
+                )
+            ckpt_base = int(ck["version"])
+            import pyarrow.parquet as pq
+
+            cpath = os.path.join(
+                out_dir, f"{ckpt_base:020d}.checkpoint.parquet"
+            )
+            pf = pq.ParquetFile(cpath)
+            for batch in pf.iter_batches(
+                columns=[
+                    c
+                    for c in ("add", "metaData", "protocol")
+                    if c in pf.schema_arrow.names
+                ]
+            ):
+                for row in batch.to_pylist():
+                    add = row.get("add")
+                    if add and add.get("path"):
+                        prev_live.add(add["path"])
+                    md = row.get("metaData")
+                    if md and md.get("schemaString"):
+                        prev_schema = md["schemaString"]
+                        prev_id = md.get("id")
+                    pr = row.get("protocol")
+                    if pr and pr.get("minReaderVersion") is not None:
+                        prev_protocol = {
+                            "minReaderVersion": pr["minReaderVersion"],
+                            "minWriterVersion": pr["minWriterVersion"],
+                        }
+            prev_version = ckpt_base
         for f in sorted(os.listdir(out_dir)):
             if not (f.endswith(".json") and f[:-5].isdigit()):
                 continue
             v = int(f[:-5])
+            if v <= ckpt_base:
+                continue
+            marked = False
             with open(os.path.join(out_dir, f)) as fh:
                 for ln in fh:
                     ln = ln.strip()
@@ -2060,15 +2121,19 @@ class ManifestTable:
                     elif "metaData" in a:
                         prev_schema = a["metaData"]["schemaString"]
                         prev_id = a["metaData"].get("id")
+                    elif "protocol" in a:
+                        prev_protocol = a["protocol"]
                     elif "commitInfo" in a:
-                        op = a["commitInfo"].get("operation")
-                        if op not in ("SCLERA EXPORT",):
-                            raise ValueError(
-                                f"{out_dir} contains commits this "
-                                "exporter did not write (operation="
-                                f"{op!r}); refusing to append to a "
-                                "foreign Delta log"
-                            )
+                        marked = (
+                            a["commitInfo"].get("operation")
+                            == "SCLERA EXPORT"
+                        )
+            if not marked:
+                raise ValueError(
+                    f"{out_dir} contains commit {f} this exporter did "
+                    "not write (no SCLERA EXPORT commitInfo); refusing "
+                    "to append to a foreign Delta log"
+                )
             prev_version = max(prev_version, v)
 
         def _add_action(p: str) -> dict:
@@ -2100,27 +2165,39 @@ class ManifestTable:
         live_paths = {
             f"data/{os.path.basename(p)}": p for p in self.files()
         }
-        if (
-            prev_version >= 0
-            and set(live_paths) == prev_live
-            and mapping is None
-        ):
-            # unchanged file set on an unmapped table: the schema
-            # cannot have drifted without a rewrite — skip the Spark
-            # schema read entirely. This is what makes a per-commit
-            # mirror hook (SET DELTA MIRROR) cheap when idle.
-            return os.path.join(out_dir, f"{prev_version:020d}.json")
+
+        def _schema_differs() -> bool:
+            if prev_schema is None or schema_json is None:
+                return prev_schema != schema_json
+            try:  # structural compare: dumps formatting differs between
+                # pyspark's StructType.json() and our json.dumps
+                return json.loads(prev_schema) != json.loads(schema_json)
+            except ValueError:
+                return prev_schema != schema_json
+
+        if prev_version >= 0 and set(live_paths) == prev_live:
+            if schema_json is None:
+                # no stored schema and no mapping: the schema lives
+                # only in the (unchanged) files — nothing to export,
+                # and no Spark job spent deciding that
+                return os.path.join(out_dir, f"{prev_version:020d}.json")
+            if not _schema_differs() and prev_protocol == protocol:
+                return os.path.join(out_dir, f"{prev_version:020d}.json")
         if schema_json is None:
             schema_json = self.read(spark).schema.json()
         lines: list[str] = []
-        if prev_version < 0:
+        meta_id = prev_id or uuid.uuid4().hex
+        if prev_version < 0 or prev_protocol != protocol:
+            # v0, or the table evolved to column mapping after the
+            # first export: the protocol floor must rise WITH the
+            # mapped metaData or readers reject/misread the log
             lines.append(json.dumps({"protocol": protocol}))
-        if prev_version < 0 or prev_schema != schema_json:
+        if prev_version < 0 or _schema_differs():
             lines.append(
                 json.dumps(
                     {
                         "metaData": {
-                            "id": prev_id or uuid.uuid4().hex,
+                            "id": meta_id,
                             "format": {
                                 "provider": "parquet", "options": {},
                             },
@@ -2144,12 +2221,33 @@ class ManifestTable:
                     }
                 )
             )
-        for rel in sorted(set(live_paths) - prev_live):
+        added_rels = sorted(set(live_paths) - prev_live)
+        for rel in added_rels:
             lines.append(json.dumps(_add_action(live_paths[rel])))
         version = prev_version + 1
         if prev_version >= 0 and not lines:
             # nothing changed since the last export: no empty commit
             return os.path.join(out_dir, f"{prev_version:020d}.json")
+        data_root = os.path.dirname(os.path.abspath(out_dir))
+        if os.path.realpath(data_root) != os.path.realpath(self.path):
+            # custom mirror directory: the add paths are RELATIVE to
+            # the log's parent, so the data files must exist there —
+            # hard-link them in (copy fallback), making the mirror a
+            # self-contained Delta table
+            os.makedirs(os.path.join(data_root, "data"), exist_ok=True)
+            link_rels = added_rels if prev_version >= 0 else sorted(
+                live_paths
+            )
+            for rel in link_rels:
+                dst = os.path.join(data_root, rel)
+                if os.path.exists(dst):
+                    continue
+                try:
+                    os.link(live_paths[rel], dst)
+                except OSError:
+                    tmp2 = dst + ".tmp"
+                    shutil.copyfile(live_paths[rel], tmp2)
+                    os.rename(tmp2, dst)
         lines.append(
             json.dumps(
                 {
@@ -2170,7 +2268,132 @@ class ManifestTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, target)
+        if version > 0 and version % self._export_checkpoint_every == 0:
+            self._write_export_checkpoint(
+                out_dir,
+                version,
+                protocol,
+                schema_json,
+                meta_id,
+                part_cols,
+                configuration,
+                live_paths,
+                _add_action,
+            )
         return target
+
+    # every Nth exported commit folds the replayed state into a Delta
+    # checkpoint: refresh cost and external-reader open cost stay
+    # bounded by the interval instead of growing with table lifetime
+    _export_checkpoint_every = 10
+
+    def _write_export_checkpoint(
+        self,
+        out_dir: str,
+        version: int,
+        protocol: dict,
+        schema_json: str,
+        meta_id: str,
+        part_cols: list,
+        configuration: dict,
+        live_paths: dict,
+        add_action,
+    ) -> None:
+        """Single-part Delta checkpoint for the exported log at
+        ``version`` (the public ``{v:020d}.checkpoint.parquet`` +
+        ``_last_checkpoint`` layout import_delta already consumes):
+        one protocol row, one metaData row, one add row per live file.
+        Best-effort — a failure leaves the JSON commits authoritative
+        and the next multiple-of-N export retries."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            pv_t = pa.map_(pa.string(), pa.string())
+            add_t = pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("partitionValues", pv_t),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
+                ]
+            )
+            md_t = pa.struct(
+                [
+                    ("id", pa.string()),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("createdTime", pa.int64()),
+                    ("configuration", pa.map_(pa.string(), pa.string())),
+                ]
+            )
+            pr_t = pa.struct(
+                [
+                    ("minReaderVersion", pa.int32()),
+                    ("minWriterVersion", pa.int32()),
+                ]
+            )
+            adds = []
+            for rel in sorted(live_paths):
+                a = add_action(live_paths[rel])["add"]
+                adds.append(
+                    {
+                        "path": a["path"],
+                        "partitionValues": list(
+                            (a.get("partitionValues") or {}).items()
+                        ),
+                        "size": a["size"],
+                        "modificationTime": a["modificationTime"],
+                        "dataChange": True,
+                        "stats": a.get("stats"),
+                    }
+                )
+            n = len(adds) + 2
+            tbl = pa.table(
+                {
+                    "protocol": pa.array(
+                        [protocol] + [None] * (n - 1), type=pr_t
+                    ),
+                    "metaData": pa.array(
+                        [
+                            None,
+                            {
+                                "id": meta_id,
+                                "schemaString": schema_json,
+                                "partitionColumns": list(part_cols),
+                                "createdTime": 0,
+                                "configuration": list(
+                                    configuration.items()
+                                ),
+                            },
+                        ]
+                        + [None] * (n - 2),
+                        type=md_t,
+                    ),
+                    "add": pa.array([None, None] + adds, type=add_t),
+                }
+            )
+            cpath = os.path.join(
+                out_dir, f"{version:020d}.checkpoint.parquet"
+            )
+            pq.write_table(tbl, cpath + ".tmp")
+            os.replace(cpath + ".tmp", cpath)
+            lc = os.path.join(out_dir, "_last_checkpoint")
+            with open(lc + ".tmp", "w") as fh:
+                json.dump(
+                    {
+                        "version": version,
+                        "size": n,
+                        "sclera_export": True,
+                    },
+                    fh,
+                )
+            os.replace(lc + ".tmp", lc)
+        except Exception:
+            # checkpointing is an optimization, never a commit gate
+            pass
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` newest

@@ -870,3 +870,103 @@ def test_delta_mirror_follows_mutations(engine, spark, tmp_path, monkeypatch):
         assert sorted(os.listdir(log)) == commits_before
     finally:
         engine.execute("DROP TABLE dmir")
+
+
+def test_delta_mirror_schema_evolution_and_custom_dir(
+    engine, spark, tmp_path
+):
+    """Review fixes (r11): (1) an unmapped ADD COLUMN re-exports a new
+    metaData commit even though no file changed; (2) evolving to
+    column mapping after v0 appends a PROTOCOL upgrade (2/5) with the
+    mapped metaData; (3) a custom mirror directory is a self-contained
+    Delta table (data hard-linked next to the log); (4) schema DDL
+    refreshes the mirror via the hook, not just DML."""
+    mirror = str(tmp_path / "mirror_root")
+    engine.execute("CREATE TABLE dmev AS SELECT 1 AS k UNION ALL SELECT 2")
+    engine.execute("ALTER TABLE dmev SET FORMAT MANIFEST")
+    try:
+        engine.execute(f"ALTER TABLE dmev SET DELTA MIRROR '{mirror}'")
+        log = os.path.join(mirror, "_delta_log")
+        assert os.path.isfile(os.path.join(log, f"{0:020d}.json"))
+        # custom dir is self-contained: files linked under <dir>/data
+        assert os.listdir(os.path.join(mirror, "data"))
+        # (1)+(4): metadata-only ADD COLUMN -> new commit, new schema
+        engine.execute("ALTER TABLE dmev ADD COLUMN extra DOUBLE")
+        v1 = os.path.join(log, f"{1:020d}.json")
+        assert os.path.isfile(v1)
+        with open(v1) as fh:
+            acts = [json.loads(ln) for ln in fh if ln.strip()]
+        md = next(a["metaData"] for a in acts if "metaData" in a)
+        assert "extra" in md["schemaString"]
+        assert not any("add" in a or "remove" in a for a in acts)
+        # (2): RENAME bootstraps column mapping -> protocol upgrade
+        engine.execute("ALTER TABLE dmev RENAME COLUMN k TO kk")
+        v2 = os.path.join(log, f"{2:020d}.json")
+        assert os.path.isfile(v2)
+        with open(v2) as fh:
+            acts = [json.loads(ln) for ln in fh if ln.strip()]
+        pr = next(a["protocol"] for a in acts if "protocol" in a)
+        assert pr == {"minReaderVersion": 2, "minWriterVersion": 5}
+        md = next(a["metaData"] for a in acts if "metaData" in a)
+        assert "delta.columnMapping.physicalName" in md["schemaString"]
+        # (3): the mirror imports as a table of its own, mapped schema
+        mt2 = ManifestTable.import_delta(
+            mirror, str(tmp_path / "from_mirror")
+        )
+        df = mt2.read(spark)
+        assert sorted(df.columns) == ["extra", "kk"]
+        assert sorted(r.kk for r in df.collect()) == [1, 2]
+    finally:
+        engine.execute("DROP TABLE dmev")
+
+
+def test_delta_export_refuses_markerless_foreign_log(
+    engine, spark, tmp_path
+):
+    """commitInfo is spec-OPTIONAL: a minimal foreign log without one
+    must refuse too, not be silently adopted and corrupted."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    src = str(tmp_path / "mfl")
+    ManifestTable.create(spark.range(3).selectExpr("id AS k"), src)
+    foreign = str(tmp_path / "foreign_min")
+    os.makedirs(foreign)
+    _commit(foreign, 0, [
+        _meta_action(),
+        {"add": {"path": "x.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="foreign Delta log"):
+        ManifestTable(src).export_delta_log(spark, out_dir=foreign)
+
+
+def test_delta_export_checkpoints_bound_replay(engine, spark, tmp_path):
+    """Every 10th exported commit folds the state into a public Delta
+    checkpoint + _last_checkpoint; the importer replays checkpoint +
+    later commits to the exact current snapshot, and further exports
+    resume from the checkpoint (refresh cost bounded by the interval,
+    not table lifetime)."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    src = str(tmp_path / "ckm")
+    ManifestTable.create(spark.range(0, 5).selectExpr("id AS k"), src)
+    mt = ManifestTable(src)
+    mt.amend_meta({"delta_mirror": True})
+    mt.maybe_export_delta(spark)  # v0
+    for i in range(11):
+        mt.append(
+            spark.range(100 * (i + 1), 100 * (i + 1) + 3).selectExpr(
+                "id AS k"
+            )
+        )
+        mt.maybe_export_delta(spark)
+    log = os.path.join(src, "_delta_log")
+    assert os.path.isfile(
+        os.path.join(log, f"{10:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 10
+    mt2 = ManifestTable.import_delta(src, str(tmp_path / "ck_reimport"))
+    got = sorted(r.k for r in mt2.read(spark).collect())
+    want = sorted(r.k for r in mt.read(spark).collect())
+    assert got == want
