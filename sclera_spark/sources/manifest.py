@@ -2124,15 +2124,23 @@ class ManifestTable:
                     elif "protocol" in a:
                         prev_protocol = a["protocol"]
                     elif "commitInfo" in a:
-                        marked = (
-                            a["commitInfo"].get("operation")
-                            == "SCLERA EXPORT"
+                        ci = a["commitInfo"]
+                        src = (ci.get("operationParameters") or {}).get(
+                            "sourcePath"
+                        )
+                        marked = ci.get("operation") == "SCLERA EXPORT" and (
+                            # pre-sourcePath exports pass; a DIFFERENT
+                            # table's mirror in the same directory must
+                            # refuse, not get diffed away
+                            src is None
+                            or src == os.path.abspath(self.path)
                         )
             if not marked:
                 raise ValueError(
                     f"{out_dir} contains commit {f} this exporter did "
-                    "not write (no SCLERA EXPORT commitInfo); refusing "
-                    "to append to a foreign Delta log"
+                    "not write for THIS table (no matching SCLERA "
+                    "EXPORT commitInfo); refusing to append to a "
+                    "foreign Delta log"
                 )
             prev_version = max(prev_version, v)
 
@@ -2256,6 +2264,7 @@ class ManifestTable:
                         "timestamp": now_ms,
                         "operationParameters": {
                             "sourceVersion": str(self.version()),
+                            "sourcePath": os.path.abspath(self.path),
                         },
                     }
                 }

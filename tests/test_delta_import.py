@@ -970,3 +970,23 @@ def test_delta_export_checkpoints_bound_replay(engine, spark, tmp_path):
     got = sorted(r.k for r in mt2.read(spark).collect())
     want = sorted(r.k for r in mt.read(spark).collect())
     assert got == want
+
+
+def test_delta_export_refuses_other_tables_mirror(engine, spark, tmp_path):
+    """Two tables pointed at the same mirror directory: the second
+    export must refuse (the commits carry the marker but for a
+    DIFFERENT source table), not diff the first table's mirror away."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    a = str(tmp_path / "ta")
+    b = str(tmp_path / "tb")
+    ManifestTable.create(spark.range(3).selectExpr("id AS k"), a)
+    ManifestTable.create(spark.range(5).selectExpr("id AS k"), b)
+    shared = str(tmp_path / "shared" / "_delta_log")
+    ManifestTable(a).export_delta_log(spark, out_dir=shared)
+    with pytest.raises(ValueError, match="foreign Delta log"):
+        ManifestTable(b).export_delta_log(spark, out_dir=shared)
+    # the rightful owner still appends fine
+    ManifestTable(a).append(spark.range(10, 12).selectExpr("id AS k"))
+    out = ManifestTable(a).export_delta_log(spark, out_dir=shared)
+    assert os.path.basename(out) == f"{1:020d}.json"
