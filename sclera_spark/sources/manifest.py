@@ -453,9 +453,12 @@ class ManifestTable:
         def apply_meta(md: dict) -> None:
             nonlocal part_cols, mapping_mode, schema_json
             part_cols = md.get("partitionColumns") or []
-            mapping_mode = (md.get("configuration") or {}).get(
-                "delta.columnMapping.mode"
-            )
+            conf = md.get("configuration") or {}
+            if isinstance(conf, list):
+                # Arrow MapArray.to_pylist yields (key, value) pairs
+                # (checkpoint metaData columns are map-typed)
+                conf = dict(conf)
+            mapping_mode = conf.get("delta.columnMapping.mode")
             ss = md.get("schemaString")
             if ss:
                 try:
@@ -2066,11 +2069,13 @@ class ManifestTable:
         if os.path.isfile(ckpt_file):
             with open(ckpt_file) as fh:
                 ck = json.load(fh)
-            if not ck.get("sclera_export"):
+            if not ck.get("sclera_export") or ck.get(
+                "source_path"
+            ) != os.path.abspath(self.path):
                 raise ValueError(
                     f"{out_dir} carries a checkpoint this exporter did "
-                    "not write; refusing to append to a foreign Delta "
-                    "log"
+                    "not write for THIS table; refusing to append to a "
+                    "foreign Delta log"
                 )
             ckpt_base = int(ck["version"])
             import pyarrow.parquet as pq
@@ -2277,7 +2282,10 @@ class ManifestTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, target)
-        if version > 0 and version % self._export_checkpoint_every == 0:
+        if version % self._export_checkpoint_every == 0:
+            # v0 included: a fresh export of a million-file table gives
+            # external readers a checkpoint immediately instead of a
+            # million-line JSON replay
             self._write_export_checkpoint(
                 out_dir,
                 version,
@@ -2396,6 +2404,7 @@ class ManifestTable:
                         "version": version,
                         "size": n,
                         "sclera_export": True,
+                        "source_path": os.path.abspath(self.path),
                     },
                     fh,
                 )

@@ -990,3 +990,32 @@ def test_delta_export_refuses_other_tables_mirror(engine, spark, tmp_path):
     ManifestTable(a).append(spark.range(10, 12).selectExpr("id AS k"))
     out = ManifestTable(a).export_delta_log(spark, out_dir=shared)
     assert os.path.basename(out) == f"{1:020d}.json"
+
+
+def test_partitioned_mirror_checkpoint_round_trips(engine, spark, tmp_path):
+    """A PARTITIONED import mirrored past the checkpoint interval:
+    partitionValues survive the map-typed checkpoint column and the
+    re-import still fills + prunes the virtual columns."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    d = _mk_partitioned_delta(spark, tmp_path, name="ptab_ck")
+    imp = str(tmp_path / "pck_import")
+    mt = ManifestTable.import_delta(d, imp)
+    out_dir = str(tmp_path / "pmirror" / "_delta_log")
+    mt.export_delta_log(spark, out_dir=out_dir)
+    # v0 exports checkpoint immediately (interval divides 0), so the
+    # re-import below replays THROUGH the map-typed checkpoint column
+    assert os.path.isfile(
+        os.path.join(out_dir, f"{0:020d}.checkpoint.parquet")
+    )
+    mt2 = ManifestTable.import_delta(
+        str(tmp_path / "pmirror"), str(tmp_path / "pck_reimport")
+    )
+    got = sorted(
+        tuple(r) for r in mt2.read(spark).select("k", "c", "dt").collect()
+    )
+    want = sorted(
+        tuple(r) for r in mt.read(spark).select("k", "c", "dt").collect()
+    )
+    assert got == want
+    assert len(mt2.files_pruned({"c": (2, 2)})) < len(mt2.files())
