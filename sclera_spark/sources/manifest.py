@@ -1630,8 +1630,14 @@ class ManifestTable:
             # a configured path is the mirror TABLE root: the log goes
             # under <dir>/_delta_log and the data files hard-link into
             # <dir>/data (export_delta_log's custom-directory path), so
-            # the mirror is a self-contained Delta table
-            out = os.path.join(cfg, "_delta_log")
+            # the mirror is a self-contained Delta table. A path that
+            # already names a _delta_log directory is honored as one
+            # (the pre-r11-hardening spelling).
+            out = (
+                cfg
+                if os.path.basename(cfg.rstrip("/")) == "_delta_log"
+                else os.path.join(cfg, "_delta_log")
+            )
         return self.export_delta_log(spark, out_dir=out)
 
     def _compact_state_file(self) -> str:
@@ -2064,20 +2070,23 @@ class ManifestTable:
         prev_schema: str | None = None
         prev_id: str | None = None
         prev_protocol: dict | None = None
+        prev_source_version: int | None = None
         ckpt_base = -1
         ckpt_file = os.path.join(out_dir, "_last_checkpoint")
         if os.path.isfile(ckpt_file):
             with open(ckpt_file) as fh:
                 ck = json.load(fh)
-            if not ck.get("sclera_export") or ck.get(
-                "source_path"
-            ) != os.path.abspath(self.path):
+            if not ck.get("sclera_export") or os.path.realpath(
+                ck.get("source_path") or ""
+            ) != os.path.realpath(self.path):
                 raise ValueError(
                     f"{out_dir} carries a checkpoint this exporter did "
                     "not write for THIS table; refusing to append to a "
                     "foreign Delta log"
                 )
             ckpt_base = int(ck["version"])
+            if ck.get("source_version") is not None:
+                prev_source_version = int(ck["source_version"])
             import pyarrow.parquet as pq
 
             cpath = os.path.join(
@@ -2130,16 +2139,25 @@ class ManifestTable:
                         prev_protocol = a["protocol"]
                     elif "commitInfo" in a:
                         ci = a["commitInfo"]
-                        src = (ci.get("operationParameters") or {}).get(
-                            "sourcePath"
-                        )
-                        marked = ci.get("operation") == "SCLERA EXPORT" and (
+                        params = ci.get("operationParameters") or {}
+                        src = params.get("sourcePath")
+                        ours = ci.get("operation") == "SCLERA EXPORT" and (
                             # pre-sourcePath exports pass; a DIFFERENT
                             # table's mirror in the same directory must
-                            # refuse, not get diffed away
+                            # refuse, not get diffed away (realpath:
+                            # a symlinked warehouse spelling must not
+                            # freeze a table out of its OWN mirror)
                             src is None
-                            or src == os.path.abspath(self.path)
+                            or os.path.realpath(src)
+                            == os.path.realpath(self.path)
                         )
+                        if not ours:
+                            marked = False
+                            break  # ANY foreign commitInfo refuses
+                        marked = True
+                        sv = params.get("sourceVersion")
+                        if sv is not None:
+                            prev_source_version = int(sv)
             if not marked:
                 raise ValueError(
                     f"{out_dir} contains commit {f} this exporter did "
@@ -2189,11 +2207,18 @@ class ManifestTable:
                 return prev_schema != schema_json
 
         if prev_version >= 0 and set(live_paths) == prev_live:
-            if schema_json is None:
-                # no stored schema and no mapping: the schema lives
-                # only in the (unchanged) files — nothing to export,
-                # and no Spark job spent deciding that
+            if (
+                prev_source_version is not None
+                and prev_source_version == self.version()
+            ):
+                # literally nothing committed since the last export
                 return os.path.join(out_dir, f"{prev_version:020d}.json")
+            # metadata-only commits happened since the export (files
+            # unchanged, version moved): the schema may have changed —
+            # e.g. RESTORE undoing an ADD COLUMN — so verify for real
+            # before trusting the shortcut
+            if schema_json is None:
+                schema_json = self.read(spark).schema.json()
             if not _schema_differs() and prev_protocol == protocol:
                 return os.path.join(out_dir, f"{prev_version:020d}.json")
         if schema_json is None:
@@ -2248,10 +2273,7 @@ class ManifestTable:
             # hard-link them in (copy fallback), making the mirror a
             # self-contained Delta table
             os.makedirs(os.path.join(data_root, "data"), exist_ok=True)
-            link_rels = added_rels if prev_version >= 0 else sorted(
-                live_paths
-            )
-            for rel in link_rels:
+            for rel in added_rels:
                 dst = os.path.join(data_root, rel)
                 if os.path.exists(dst):
                     continue
@@ -2269,7 +2291,7 @@ class ManifestTable:
                         "timestamp": now_ms,
                         "operationParameters": {
                             "sourceVersion": str(self.version()),
-                            "sourcePath": os.path.abspath(self.path),
+                            "sourcePath": os.path.realpath(self.path),
                         },
                     }
                 }
@@ -2340,6 +2362,18 @@ class ManifestTable:
             md_t = pa.struct(
                 [
                     ("id", pa.string()),
+                    (
+                        "format",
+                        pa.struct(
+                            [
+                                ("provider", pa.string()),
+                                (
+                                    "options",
+                                    pa.map_(pa.string(), pa.string()),
+                                ),
+                            ]
+                        ),
+                    ),
                     ("schemaString", pa.string()),
                     ("partitionColumns", pa.list_(pa.string())),
                     ("createdTime", pa.int64()),
@@ -2363,7 +2397,9 @@ class ManifestTable:
                         ),
                         "size": a["size"],
                         "modificationTime": a["modificationTime"],
-                        "dataChange": True,
+                        # per the protocol, checkpoint adds carry
+                        # dataChange=false (replays must not feed CDC)
+                        "dataChange": False,
                         "stats": a.get("stats"),
                     }
                 )
@@ -2378,6 +2414,10 @@ class ManifestTable:
                             None,
                             {
                                 "id": meta_id,
+                                "format": {
+                                    "provider": "parquet",
+                                    "options": [],
+                                },
                                 "schemaString": schema_json,
                                 "partitionColumns": list(part_cols),
                                 "createdTime": 0,
@@ -2404,7 +2444,8 @@ class ManifestTable:
                         "version": version,
                         "size": n,
                         "sclera_export": True,
-                        "source_path": os.path.abspath(self.path),
+                        "source_path": os.path.realpath(self.path),
+                        "source_version": self.version(),
                     },
                     fh,
                 )

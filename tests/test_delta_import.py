@@ -1019,3 +1019,60 @@ def test_partitioned_mirror_checkpoint_round_trips(engine, spark, tmp_path):
     )
     assert got == want
     assert len(mt2.files_pruned({"c": (2, 2)})) < len(mt2.files())
+
+
+def test_mirror_updates_after_restore_reverts_evolution(
+    engine, spark, tmp_path
+):
+    """Second-review fix: RESTORE to a pre-evolution version commits
+    the OLD meta (no table_schema), and the mirror must re-export the
+    reverted schema instead of trusting the unchanged file set."""
+    engine.execute("CREATE TABLE dres AS SELECT 1 AS k UNION ALL SELECT 2")
+    engine.execute("ALTER TABLE dres SET FORMAT MANIFEST")
+    mt = engine.ddl()._manifest("dres")
+    log = os.path.join(mt.path, "_delta_log")
+    try:
+        engine.execute("ALTER TABLE dres SET DELTA MIRROR")
+        v_pre = mt.version()
+        engine.execute("ALTER TABLE dres ADD COLUMN extra DOUBLE")
+        with open(os.path.join(log, f"{1:020d}.json")) as fh:
+            assert any(
+                "extra" in ln for ln in fh if '"metaData"' in ln
+            )
+        engine.execute(f"RESTORE TABLE dres TO VERSION {v_pre}")
+        v2 = os.path.join(log, f"{2:020d}.json")
+        assert os.path.isfile(v2), "restore did not refresh the mirror"
+        with open(v2) as fh:
+            acts = [json.loads(ln) for ln in fh if ln.strip()]
+        md = next(a["metaData"] for a in acts if "metaData" in a)
+        assert "extra" not in md["schemaString"]
+        mt2 = ManifestTable.import_delta(
+            mt.path, str(tmp_path / "dres_imp")
+        )
+        assert mt2.read(spark).columns == ["k"]
+    finally:
+        engine.execute("DROP TABLE dres")
+
+
+def test_export_refuses_commit_with_any_foreign_commitinfo(
+    engine, spark, tmp_path
+):
+    """Second-review fix: ANY non-matching commitInfo line refuses —
+    a crafted commit carrying a foreign operation followed by our
+    marker must not be adopted (last-wins would)."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    src = str(tmp_path / "sticky")
+    ManifestTable.create(spark.range(3).selectExpr("id AS k"), src)
+    crafted = str(tmp_path / "crafted_log")
+    os.makedirs(crafted)
+    _commit(crafted, 0, [
+        _meta_action(),
+        {"add": {"path": "x.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+        {"commitInfo": {"operation": "WRITE"}},
+        {"commitInfo": {"operation": "SCLERA EXPORT",
+                        "operationParameters": {}}},
+    ])
+    with pytest.raises(ValueError, match="foreign Delta log"):
+        ManifestTable(src).export_delta_log(spark, out_dir=crafted)
