@@ -105,6 +105,7 @@ class DdlRouter:
         ),
         (re.compile(r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_update"),
         (re.compile(r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", re.I | re.S), "_delete"),
+        (re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*$", re.I), "_truncate"),
         (re.compile(r"^\s*DROP\s+(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.I), "_drop"),
         (
             re.compile(
@@ -1102,6 +1103,12 @@ class DdlRouter:
         if not (where and self._cow_rewrite(name, where, transform)):
             self._rewrite(name, transform(self.engine.table(name)))
         self._maybe_mirror(name)
+
+    def _truncate(self, name: str):
+        """TRUNCATE [TABLE] t — pg's spelling of an unconditional
+        DELETE; on a manifest table the emptying is one atomic commit
+        and the pre-truncate version stays time-travel readable."""
+        self._delete(name, None)
 
     def _delete(self, name: str, where: str | None):
         keep = self._delete_transform(where)

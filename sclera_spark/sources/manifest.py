@@ -1732,12 +1732,19 @@ class ManifestTable:
         for scratch, _ in staged:
             shutil.rmtree(scratch, ignore_errors=True)
 
-    def replace_files(self, remove_paths: list[str], df: DataFrame) -> None:
+    def replace_files(
+        self,
+        remove_paths: list[str],
+        df: DataFrame,
+        meta: dict | None = None,
+    ) -> None:
         """The COW commit: swap the given live files for ``df``'s output
         in one atomic step. ``remove_paths`` are full paths as returned by
         :meth:`files` / the ``_metadata.file_path`` probe. Removal is
         LOGICAL — the files leave the manifest but stay on disk for time
-        travel until :meth:`vacuum` (the Delta/Iceberg retention model)."""
+        travel until :meth:`vacuum` (the Delta/Iceberg retention model).
+        ``meta`` merges into the version metadata (the streaming upsert
+        committer records its batch watermark atomically WITH the swap)."""
         removed = {os.path.basename(p) for p in remove_paths}
         scratch, added = self._stage(df)
 
@@ -1751,7 +1758,7 @@ class ManifestTable:
                 )
             return (
                 [f for f in live if f not in removed] + added,
-                self._next_meta(None, op="replace"),
+                self._next_meta(meta, op="replace"),
             )
 
         try:

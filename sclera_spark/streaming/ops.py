@@ -686,6 +686,140 @@ def manifest_batch_committer(
     return commit_batch
 
 
+def manifest_upsert_committer(
+    table_path: str,
+    keys: Sequence[str],
+    stream_id: str | None = None,
+    order_col: str | None = None,
+    file_cap: int = 10_000,
+):
+    """Per-batch CDC UPSERT into a manifest table (Delta's
+    foreachBatch-MERGE pattern): each micro-batch's rows REPLACE the
+    table rows sharing their key. Exactly-once exactly like
+    :func:`manifest_batch_committer` — the batch-id watermark commits
+    atomically with the swap, so a crash-redelivered batch is a no-op.
+
+    Scale shape: the batch's distinct keys broadcast-join against the
+    table scan to find HIT FILES (the only files that can hold old
+    versions of these keys — on a key-clustered table this is a
+    handful, pruned further by footer stats), then ONE atomic
+    replace_files commit swaps [hit-file survivors (anti-join)] +
+    [batch rows] in while removing the hits. The unbounded table never
+    shuffles; only hit files are rewritten. Past ``file_cap`` hit
+    files the batch falls back to a full-table rewrite via overwrite
+    (same anti-join, one distributed pass).
+
+    Within a batch, ``order_col`` picks the LAST version per key (CDC
+    streams carry multiple updates per key per batch); without it,
+    duplicate keys in one batch are an error-prone ambiguity and a
+    ValueError. Deletes are not expressed — pair with a tombstone
+    column and a post-filter if the CDC feed carries them."""
+    from pyspark.sql.window import Window
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    keys = list(keys)
+
+    def commit_batch(bdf: DataFrame, batch_id: int) -> None:
+        meta = {"stream_batch": batch_id, "stream_id": stream_id}
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            bdf = (
+                bdf.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            dup = (
+                bdf.groupBy(*keys).count().filter("count > 1").limit(1)
+            ).count()
+            if dup:
+                raise ValueError(
+                    "upsert batch carries multiple rows per key and no "
+                    "order_col to pick the last one — ambiguous CDC "
+                    "apply refused"
+                )
+        if not ManifestTable.exists(table_path):
+            ManifestTable.create(bdf, table_path, meta=meta)
+            return
+        mt = ManifestTable(table_path)
+        cur = mt.meta()
+        if cur.get("stream_id") == stream_id and batch_id <= cur.get(
+            "stream_batch", -1
+        ):
+            return  # redelivered batch: already applied atomically
+        spark = bdf.sparkSession
+        batch_keys = bdf.select(*keys).distinct()
+        base = mt.read(spark, file_col="__upsert_file")
+        cond = [base[k] == batch_keys[k] for k in keys]
+        hits = [
+            r[0]
+            for r in base.join(F.broadcast(batch_keys), cond, "inner")
+            .select("__upsert_file")
+            .distinct()
+            .limit(file_cap + 1)
+            .collect()
+        ]
+        anti = lambda d: d.join(  # noqa: E731 — survivors of the swap
+            F.broadcast(batch_keys), keys, "left_anti"
+        )
+        if len(hits) > file_cap:
+            # hot batch touching most of the table: one distributed
+            # full pass instead of a driver-side million-path list
+            mt.overwrite(
+                anti(mt.read(spark)).unionByName(bdf), meta=meta
+            )
+            return
+        if not hits:
+            mt.append(bdf, meta=meta)
+            return
+        from urllib.parse import urlparse
+
+        local = [
+            urlparse(u).path if u.startswith("file:") else u for u in hits
+        ]
+        survivors = anti(
+            mt.read(spark, file_paths=local).drop("__upsert_file")
+        )
+        mt.replace_files(
+            local, survivors.unionByName(bdf), meta=meta
+        )
+
+    return commit_batch
+
+
+def stream_upsert_to_manifest(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    timeout_s: int = 120,
+):
+    """Stream a CDC feed into a manifest table with per-batch UPSERT
+    semantics (:func:`manifest_upsert_committer`): every micro-batch
+    lands as ONE atomic commit that replaces the prior versions of its
+    keys — readers see whole batches or nothing, and the usual
+    time-travel/OPTIMIZE/mirror machinery applies. Exactly-once across
+    restarts via the checkpoint-scoped batch watermark, same contract
+    as :func:`stream_to_manifest`. Drains available input
+    (availableNow) and returns the stopped query."""
+    sid = checkpoint_stream_id(checkpoint_dir)
+    q = (
+        stream_df.writeStream.foreachBatch(
+            manifest_upsert_committer(
+                table_path, keys, stream_id=sid, order_col=order_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return q
+
+
 def stream_to_manifest(
     stream_df: DataFrame,
     table_path: str,

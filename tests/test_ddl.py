@@ -717,3 +717,19 @@ def test_txn_stage_dml_is_capped_and_refuses_over_cap(
         assert engine.table("cap_tx").count() == 200
     finally:
         engine.execute("DROP TABLE cap_tx")
+
+
+def test_truncate_table(engine, spark):
+    """TRUNCATE [TABLE] t — pg's unconditional DELETE: one atomic
+    commit on a manifest table, pre-truncate version time-travels."""
+    engine.execute("CREATE TABLE trn AS SELECT 1 AS k UNION ALL SELECT 2")
+    engine.execute("ALTER TABLE trn SET FORMAT MANIFEST")
+    try:
+        engine.execute("TRUNCATE TABLE trn")
+        assert engine.table("trn").count() == 0
+        mt = engine.ddl()._manifest("trn")
+        assert mt.read(spark, version=mt.version() - 1).count() == 2
+        engine.execute("INSERT INTO trn VALUES (5)")
+        assert engine.table("trn").count() == 1
+    finally:
+        engine.execute("DROP TABLE trn")
