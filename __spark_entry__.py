@@ -1731,6 +1731,48 @@ def _q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(eng.ddl()._path(t), ignore_errors=True)
 
 
+def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert committer (r11, streaming/ops.py
+    manifest_upsert_committer): two deterministic change batches over
+    orders apply against a manifest table — batch 2 re-keys a subset
+    (last version per key wins via seq) and inserts fresh keys; only
+    hit files rewrite, each batch is ONE atomic commit. The oracle
+    states the same final relation with a window dedup over the
+    unioned batches, so a hash match certifies the replace-by-key
+    semantics end to end."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sclera_spark.sources.manifest import ManifestTable
+    from sclera_spark.streaming.ops import manifest_upsert_committer
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    b1 = orders.where("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("total"),
+        F.lit(1).alias("seq"),
+    )
+    b2 = orders.where("o_orderkey % 6 = 0 OR o_orderkey % 3 = 1").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 2).alias("total"),
+        F.lit(2).alias("seq"),
+    )
+    path = tempfile.mkdtemp(prefix="sclera_upsert_") + "/t"
+    try:
+        commit = manifest_upsert_committer(
+            path, keys=["k"], stream_id="entry", order_col="seq"
+        )
+        commit(b1, 0)
+        commit(b2, 1)
+        out = ManifestTable(path).read(spark).select("k", "total", "seq")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (llm/bpe.py, Sennrich 2016):
     the 30 most frequent adjacent-symbol merges over the documents
@@ -1840,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "table_changes": _q_table_changes,
             "schema_evolution": _q_schema_evolution,
             "delta_roundtrip": _q_delta_roundtrip,
+            "stream_upsert": _q_stream_upsert,
             "bpe_merges": _q_bpe_merges,
         }
     )
@@ -1873,9 +1916,10 @@ _WINDOW_ORDER = [
     # r9/r10 additions, driver-certified r10 — kept one more round
     "table_changes", "pack_sequences", "cross_dedup", "mixture_sample",
     "schema_evolution",
-    # r11 addition, never driver-graded — promoted immediately
-    # (row_sources, re-certified r10, demotes to the tail in exchange)
-    "delta_roundtrip",
+    # r11 additions, never driver-graded — promoted immediately
+    # (row_sources and star_except, both re-certified r10, demote to
+    # the tail in exchange)
+    "delta_roundtrip", "stream_upsert",
     # r11 rotation (VERDICT r10 #8): the ML trio + transform_zscore
     # were last driver-certified r8 — the oldest certifications in the
     # inventory — so they rotate back into the graded window; in
@@ -1891,7 +1935,6 @@ _WINDOW_ORDER = [
     "setops", "conditionals", "scalar_math", "datetime_fns",
     "string_fns", "predicates", "grouping_sets", "order_fetch",
     "string_agg_ordered", "scalar_sclera_names", "distinct_on",
-    "star_except",
 ]
 
 
@@ -2782,6 +2825,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT k, total,
                CASE WHEN total > 300000 THEN 'hot' END AS pri
         FROM evolved WHERE k % 7 <> 3
+    """
+    oracles["stream_upsert"] = """
+        SELECT k, total, seq FROM (
+          SELECT k, total, seq,
+                 row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM (
+            SELECT o_orderkey AS k, o_totalprice AS total, 1 AS seq
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice * 2, 2
+            FROM orders WHERE o_orderkey % 6 = 0 OR o_orderkey % 3 = 1
+          )
+        ) WHERE rn = 1
     """
     oracles["delta_roundtrip"] = """
         SELECT CAST(o_orderkey AS INT) AS k, o_totalprice AS total,
