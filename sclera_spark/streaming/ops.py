@@ -691,6 +691,7 @@ def manifest_upsert_committer(
     keys: Sequence[str],
     stream_id: str | None = None,
     order_col: str | None = None,
+    delete_col: str | None = None,
     file_cap: int = 10_000,
 ):
     """Per-batch CDC UPSERT into a manifest table (Delta's
@@ -712,8 +713,11 @@ def manifest_upsert_committer(
     Within a batch, ``order_col`` picks the LAST version per key (CDC
     streams carry multiple updates per key per batch); without it,
     duplicate keys in one batch are an error-prone ambiguity and a
-    ValueError. Deletes are not expressed — pair with a tombstone
-    column and a post-filter if the CDC feed carries them."""
+    ValueError. ``delete_col`` names a boolean tombstone column: a
+    key whose LAST version in the batch is flagged is REMOVED from
+    the table instead of upserted (the column itself never lands in
+    the table — it is CDC transport, not data), Debezium's
+    op='d' shape."""
     from pyspark.sql.window import Window
 
     from sclera_spark.sources.manifest import ManifestTable
@@ -739,8 +743,16 @@ def manifest_upsert_committer(
                     "order_col to pick the last one — ambiguous CDC "
                     "apply refused"
                 )
+        ins = bdf
+        if delete_col is not None:
+            # the batch's key set (updates AND deletes) drives the hit
+            # probe and the anti-join; only the non-tombstoned rows
+            # come back in, stripped of the transport column
+            ins = bdf.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
         if not ManifestTable.exists(table_path):
-            ManifestTable.create(bdf, table_path, meta=meta)
+            ManifestTable.create(ins, table_path, meta=meta)
             return
         mt = ManifestTable(table_path)
         cur = mt.meta()
@@ -767,11 +779,15 @@ def manifest_upsert_committer(
             # hot batch touching most of the table: one distributed
             # full pass instead of a driver-side million-path list
             mt.overwrite(
-                anti(mt.read(spark)).unionByName(bdf), meta=meta
+                anti(mt.read(spark)).unionByName(ins), meta=meta
             )
             return
         if not hits:
-            mt.append(bdf, meta=meta)
+            if ins is bdf or not ins.isEmpty():
+                mt.append(ins, meta=meta)
+            else:
+                mt.amend_meta(meta)  # delete-only batch hit nothing:
+                # still advance the watermark atomically
             return
         from urllib.parse import urlparse
 
@@ -782,7 +798,7 @@ def manifest_upsert_committer(
             mt.read(spark, file_paths=local).drop("__upsert_file")
         )
         mt.replace_files(
-            local, survivors.unionByName(bdf), meta=meta
+            local, survivors.unionByName(ins), meta=meta
         )
 
     return commit_batch
@@ -794,6 +810,7 @@ def stream_upsert_to_manifest(
     checkpoint_dir: str,
     keys: Sequence[str],
     order_col: str | None = None,
+    delete_col: str | None = None,
     timeout_s: int = 120,
 ):
     """Stream a CDC feed into a manifest table with per-batch UPSERT
@@ -808,7 +825,11 @@ def stream_upsert_to_manifest(
     q = (
         stream_df.writeStream.foreachBatch(
             manifest_upsert_committer(
-                table_path, keys, stream_id=sid, order_col=order_col
+                table_path,
+                keys,
+                stream_id=sid,
+                order_col=order_col,
+                delete_col=delete_col,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -459,3 +459,49 @@ def test_stream_upsert_end_to_end_with_restart(spark, tmp_path):
     assert sorted(
         (r.k, r.v) for r in mt.read(spark).collect()
     ) == [(1, "a"), (2, "b2"), (3, "c")]
+
+
+def test_stream_upsert_tombstone_deletes(spark, tmp_path):
+    """delete_col tombstones (Debezium op='d' shape): a key whose LAST
+    batch version is flagged is REMOVED; the transport column never
+    lands in the table; a delete-only batch matching nothing still
+    advances the watermark atomically."""
+    from sclera_spark.streaming.ops import manifest_upsert_committer
+
+    path = str(tmp_path / "cdcd")
+    commit = manifest_upsert_committer(
+        path, keys=["k"], stream_id="s1", order_col="seq",
+        delete_col="deleted",
+    )
+
+    def rows(*quads):
+        return spark.createDataFrame(
+            list(quads), "k int, v string, seq int, deleted boolean"
+        )
+
+    commit(rows((1, "a", 1, False), (2, "b", 1, False)), 0)
+    mt = ManifestTable(path)
+    assert mt.read(spark).columns == ["k", "v", "seq"]  # no transport col
+    # delete k=1; update k=2; a delete that is superseded by a later
+    # insert in the SAME batch survives (last version wins)
+    commit(
+        rows(
+            (1, "x", 2, True),
+            (2, "b2", 2, False),
+            (3, "c", 1, True),
+            (3, "c", 2, False),
+        ),
+        1,
+    )
+    assert sorted((r.k, r.v) for r in mt.read(spark).collect()) == [
+        (2, "b2"), (3, "c"),
+    ]
+    # delete-only batch with no matching keys: watermark still advances
+    v = mt.version()
+    commit(rows((99, "zz", 1, True)), 2)
+    assert mt.version() == v + 1
+    commit(rows((99, "GHOST", 9, False)), 2)  # redelivery: no-op
+    assert mt.version() == v + 1
+    assert sorted((r.k, r.v) for r in mt.read(spark).collect()) == [
+        (2, "b2"), (3, "c"),
+    ]
