@@ -16,6 +16,7 @@ operator surface over `readStream` sources with real late-data handling.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Sequence
 
@@ -724,8 +725,36 @@ def manifest_upsert_committer(
 
     keys = list(keys)
 
+    def _post_commit(mt, spark) -> None:
+        # same maintenance hooks as manifest_batch_committer: never a
+        # commit gate, warn-once on failure
+        from sclera_spark.sources.manifest import (
+            warn_autocompact_failure,
+            warn_mirror_failure,
+        )
+
+        try:
+            mt.maybe_autocompact(spark)
+        except Exception as exc:
+            warn_autocompact_failure(mt.path, exc)
+        try:
+            mt.maybe_export_delta(spark)
+        except Exception as exc:
+            warn_mirror_failure(mt.path, exc)
+
     def commit_batch(bdf: DataFrame, batch_id: int) -> None:
         meta = {"stream_batch": batch_id, "stream_id": stream_id}
+        spark = bdf.sparkSession
+        mt = None
+        if ManifestTable.exists(table_path):
+            # watermark check FIRST: a crash-redelivered batch must be
+            # a pure metadata no-op, not pay the dedup jobs below
+            mt = ManifestTable(table_path)
+            cur = mt.meta()
+            if cur.get("stream_id") == stream_id and batch_id <= cur.get(
+                "stream_batch", -1
+            ):
+                return  # redelivered batch: already applied atomically
         if order_col is not None:
             w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
             bdf = (
@@ -733,73 +762,112 @@ def manifest_upsert_committer(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        else:
-            dup = (
-                bdf.groupBy(*keys).count().filter("count > 1").limit(1)
-            ).count()
-            if dup:
-                raise ValueError(
-                    "upsert batch carries multiple rows per key and no "
-                    "order_col to pick the last one — ambiguous CDC "
-                    "apply refused"
+        # the deduped batch feeds 3-4 actions (null guard, probe,
+        # survivors write) — persist it once instead of recomputing
+        # the source read + dedup window each time
+        bdf = bdf.persist()
+        try:
+            null_keyed = bdf.filter(
+                functools.reduce(
+                    lambda a, b: a | b,
+                    [F.col(k).isNull() for k in keys],
                 )
-        ins = bdf
-        if delete_col is not None:
-            # the batch's key set (updates AND deletes) drives the hit
-            # probe and the anti-join; only the non-tombstoned rows
-            # come back in, stripped of the transport column
-            ins = bdf.filter(
-                ~F.coalesce(F.col(delete_col), F.lit(False))
-            ).drop(delete_col)
-        if not ManifestTable.exists(table_path):
-            ManifestTable.create(ins, table_path, meta=meta)
-            return
-        mt = ManifestTable(table_path)
-        cur = mt.meta()
-        if cur.get("stream_id") == stream_id and batch_id <= cur.get(
-            "stream_batch", -1
-        ):
-            return  # redelivered batch: already applied atomically
-        spark = bdf.sparkSession
-        batch_keys = bdf.select(*keys).distinct()
-        base = mt.read(spark, file_col="__upsert_file")
-        cond = [base[k] == batch_keys[k] for k in keys]
-        hits = [
-            r[0]
-            for r in base.join(F.broadcast(batch_keys), cond, "inner")
-            .select("__upsert_file")
-            .distinct()
-            .limit(file_cap + 1)
-            .collect()
-        ]
-        anti = lambda d: d.join(  # noqa: E731 — survivors of the swap
-            F.broadcast(batch_keys), keys, "left_anti"
-        )
-        if len(hits) > file_cap:
-            # hot batch touching most of the table: one distributed
-            # full pass instead of a driver-side million-path list
-            mt.overwrite(
-                anti(mt.read(spark)).unionByName(ins), meta=meta
+            ).limit(1).count()
+            if null_keyed:
+                raise ValueError(
+                    "CDC batch carries NULL key values — equality can "
+                    "neither match nor replace them (the old row would "
+                    "silently survive beside the new one); fix the "
+                    "feed or filter NULL-keyed rows upstream"
+                )
+            if order_col is None:
+                dup = (
+                    bdf.groupBy(*keys).count().filter("count > 1").limit(1)
+                ).count()
+                if dup:
+                    raise ValueError(
+                        "upsert batch carries multiple rows per key and "
+                        "no order_col to pick the last one — ambiguous "
+                        "CDC apply refused"
+                    )
+            ins = bdf
+            if delete_col is not None:
+                # the batch's key set (updates AND deletes) drives the
+                # hit probe and the anti-join; only the non-tombstoned
+                # rows come back in, stripped of the transport column
+                ins = bdf.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            if mt is None:
+                ManifestTable.create(ins, table_path, meta=meta)
+                _post_commit(ManifestTable(table_path), spark)
+                return
+            batch_keys = bdf.select(*keys).distinct()
+            # stats pre-narrowing (the COW DML pattern): files whose
+            # recorded min/max cannot hold any batch key are skipped by
+            # the probe scan itself — a key-clustered 100 TB table
+            # probes a handful of files per batch, not the table
+            bounds = batch_keys.agg(
+                *[F.min(k) for k in keys], *[F.max(k) for k in keys]
+            ).first()
+            ranges = {
+                k: (bounds[i], bounds[len(keys) + i])
+                for i, k in enumerate(keys)
+                if bounds[i] is not None
+            }
+            cand = mt.files_pruned(ranges) if ranges else mt.files()
+            hits: list[str] = []
+            if cand:
+                base = mt.read(
+                    spark, file_paths=cand, file_col="__upsert_file"
+                )
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [base[k].eqNullSafe(batch_keys[k]) for k in keys],
+                )
+                hits = [
+                    r[0]
+                    for r in base.join(F.broadcast(batch_keys), cond, "inner")
+                    .select("__upsert_file")
+                    .distinct()
+                    .limit(file_cap + 1)
+                    .collect()
+                ]
+            anti = lambda d: d.join(  # noqa: E731 — swap survivors
+                F.broadcast(batch_keys), keys, "left_anti"
             )
-            return
-        if not hits:
-            if ins is bdf or not ins.isEmpty():
-                mt.append(ins, meta=meta)
-            else:
-                mt.amend_meta(meta)  # delete-only batch hit nothing:
-                # still advance the watermark atomically
-            return
-        from urllib.parse import urlparse
+            from urllib.parse import urlparse
 
-        local = [
-            urlparse(u).path if u.startswith("file:") else u for u in hits
-        ]
-        survivors = anti(
-            mt.read(spark, file_paths=local).drop("__upsert_file")
-        )
-        mt.replace_files(
-            local, survivors.unionByName(ins), meta=meta
-        )
+            if len(hits) > file_cap:
+                # hot batch touching most of the table: one distributed
+                # full pass — still through replace_files so a commit
+                # landing between our snapshot and the publish aborts
+                # loudly instead of being silently dropped (overwrite
+                # would clobber it)
+                live = mt.files()
+                mt.replace_files(
+                    live,
+                    anti(mt.read(spark, file_paths=live)).unionByName(ins),
+                    meta=meta,
+                )
+            elif not hits:
+                if ins is bdf or not ins.isEmpty():
+                    mt.append(ins, meta=meta)
+                else:
+                    mt.amend_meta(meta)  # delete-only batch hit
+                    # nothing: still advance the watermark atomically
+            else:
+                local = [
+                    urlparse(u).path if u.startswith("file:") else u
+                    for u in hits
+                ]
+                survivors = anti(mt.read(spark, file_paths=local))
+                mt.replace_files(
+                    local, survivors.unionByName(ins), meta=meta
+                )
+            _post_commit(mt, spark)
+        finally:
+            bdf.unpersist()
 
     return commit_batch
 

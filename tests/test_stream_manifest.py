@@ -393,9 +393,13 @@ def test_stream_upsert_applies_cdc_per_batch(spark, tmp_path):
     assert sorted(
         (r.k, r.v) for r in mt.read(spark).collect()
     ) == [(1, "a"), (2, "b"), (3, "c")]
-    # batch 1: update k=2 twice (last wins), insert k=4
+    # batch 1: update k=2 twice (last wins), insert k=4 — only the
+    # hit file(s) rewrite, every other pre-batch file stays live
     before_files = set(mt.files())
     commit(rows((2, "mid", 1), (2, "new", 2), (4, "d", 1)), 1)
+    untouched = before_files & set(mt.files())
+    rewritten = before_files - set(mt.files())
+    assert rewritten and untouched or len(before_files) == 1
     assert sorted(
         (r.k, r.v) for r in mt.read(spark).collect()
     ) == [(1, "a"), (2, "new"), (3, "c"), (4, "d")]
