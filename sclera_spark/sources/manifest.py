@@ -579,14 +579,27 @@ class ManifestTable:
                         f"field {f.get('name')!r} lacks physicalName/"
                         "id metadata in the schemaString"
                     )
-                mapping_cols.append(
-                    {
-                        "id": int(fid),
-                        "name": f["name"],
-                        "physical": phys,
-                        "type": f["type"],
-                    }
+                # NESTED mapping (r12): tables created with mapping
+                # enabled assign col-<uuid> physical names to struct/
+                # array/map INNER fields too — files store those, the
+                # log stores the logical names. Translate recursively:
+                # the entry keeps a logical `type` plus, when any inner
+                # name differs, a `physical_type` the parquet reader
+                # binds against; the read projection then casts
+                # physical_type -> type (struct casts rename fields
+                # positionally), so inner data is never silently NULL.
+                log_t, phys_t, differs = cls._delta_nested_types(
+                    f["type"]
                 )
+                entry = {
+                    "id": int(fid),
+                    "name": f["name"],
+                    "physical": phys,
+                    "type": log_t,
+                }
+                if differs:
+                    entry["physical_type"] = phys_t
+                mapping_cols.append(entry)
         if not live:
             raise ValueError(
                 f"Delta log at {log_dir!r} resolves to zero live files"
@@ -998,6 +1011,82 @@ class ManifestTable:
             for i, f in enumerate(schema.fields)
         ]
 
+    @classmethod
+    def _delta_nested_types(cls, t):
+        """Recursive (logical, physical, differs) translation of a
+        Delta schemaString dataType: ``logical`` strips the
+        delta.columnMapping metadata and keeps user-facing nested
+        names; ``physical`` substitutes each nested field's
+        delta.columnMapping.physicalName (the name data files store);
+        ``differs`` is True when any nested physical name deviates
+        from its logical name. Primitive/decimal types pass through
+        unchanged. Refuses a nested field that sits under mapping
+        metadata but lacks a physicalName (a malformed log would
+        otherwise silently NULL it)."""
+        if not isinstance(t, dict):
+            return t, t, False
+        kind = t.get("type")
+        if kind == "struct":
+            lfs, pfs, diff = [], [], False
+            for f in t.get("fields", []):
+                md = f.get("metadata") or {}
+                phys = md.get("delta.columnMapping.physicalName")
+                if md.get("delta.columnMapping.id") is not None and not phys:
+                    raise ValueError(
+                        "Delta import: nested field "
+                        f"{f.get('name')!r} carries a columnMapping id "
+                        "but no physicalName — malformed log"
+                    )
+                lt, pt, d = cls._delta_nested_types(f["type"])
+                diff = diff or d
+                if phys and phys != f["name"]:
+                    diff = True
+                lfs.append(
+                    {
+                        "name": f["name"],
+                        "type": lt,
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                )
+                pfs.append(
+                    {
+                        "name": phys or f["name"],
+                        "type": pt,
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                )
+            return (
+                {"type": "struct", "fields": lfs},
+                {"type": "struct", "fields": pfs},
+                diff,
+            )
+        if kind == "array":
+            lt, pt, d = cls._delta_nested_types(t["elementType"])
+            base = {
+                "type": "array",
+                "containsNull": t.get("containsNull", True),
+            }
+            return (
+                {**base, "elementType": lt},
+                {**base, "elementType": pt},
+                d,
+            )
+        if kind == "map":
+            lk, pk, dk = cls._delta_nested_types(t["keyType"])
+            lv, pv, dv = cls._delta_nested_types(t["valueType"])
+            base = {
+                "type": "map",
+                "valueContainsNull": t.get("valueContainsNull", True),
+            }
+            return (
+                {**base, "keyType": lk, "valueType": lv},
+                {**base, "keyType": pk, "valueType": pv},
+                dk or dv,
+            )
+        return t, t, False
+
     @staticmethod
     def _mapping_schemas(mapping):
         """(physical read schema, logical schema, live entries) for a
@@ -1009,14 +1098,23 @@ class ManifestTable:
 
         live = [e for e in mapping if not e.get("dropped")]
 
-        def _struct(key):
+        def _struct(key, typed_physical=False):
             return StructType.fromJson(
                 {
                     "type": "struct",
                     "fields": [
                         {
                             "name": e[key],
-                            "type": e["type"],
+                            # nested-mapped imports (Delta mode=name
+                            # with struct/array/map columns) read under
+                            # the physical_type — inner field names as
+                            # stored in files — and cast back to the
+                            # logical type at projection time
+                            "type": (
+                                e.get("physical_type", e["type"])
+                                if typed_physical
+                                else e["type"]
+                            ),
                             "nullable": True,
                             "metadata": {},
                         }
@@ -1025,7 +1123,7 @@ class ManifestTable:
                 }
             )
 
-        return _struct("physical"), _struct("name"), live
+        return _struct("physical", True), _struct("name"), live
 
     def _commit_mapping(self, mapping: list, op: str, extra: dict | None = None):
         """One metadata commit carrying the evolved mapping plus the
@@ -1437,7 +1535,19 @@ class ManifestTable:
                         file_col, F.lit(None).cast("string")
                     )
                 return df
-            cols = [F.col(e["physical"]).alias(e["name"]) for e in live]
+            cols = [
+                (
+                    # nested-mapped column: files store physical inner
+                    # names; struct/array/map casts rename fields
+                    # positionally, restoring the logical nested names
+                    F.col(e["physical"])
+                    .cast(lf.dataType)
+                    .alias(e["name"])
+                    if "physical_type" in e
+                    else F.col(e["physical"]).alias(e["name"])
+                )
+                for e, lf in zip(live, logical.fields)
+            ]
             if file_col:
                 cols.append(F.col("_metadata.file_path").alias(file_col))
             df = spark.read.schema(physical).parquet(*files).select(cols)

@@ -761,6 +761,108 @@ def test_delta_import_column_mapping_external_fixture(spark, tmp_path):
         ManifestTable.import_delta(d2, str(tmp_path / "cmid_import"))
 
 
+def test_delta_import_column_mapping_nested_fields(spark, tmp_path):
+    """Tables CREATED with columnMapping enabled assign col-<uuid>
+    physical names to NESTED struct/array-element fields too (the
+    Delta protocol mapping covers every field, not just top-level).
+    The import must surface the logical nested names with the file's
+    data — a name-only top-level translation would silently read the
+    inner fields as NULL (r11 ADVICE, manifest.py nested mapping)."""
+    import shutil
+    import tempfile
+
+    d = str(tmp_path / "cmnest")
+    scratch = tempfile.mkdtemp()
+    (
+        spark.range(0, 20)
+        .selectExpr(
+            "named_struct('col-ax', id, 'col-by', CAST(id AS STRING))"
+            " AS `col-top`",
+            "array(named_struct('col-el', id * 10)) AS `col-arr`",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(scratch)
+    )
+    part = next(
+        f for f in os.listdir(scratch)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.makedirs(d, exist_ok=True)
+    shutil.copyfile(os.path.join(scratch, part), os.path.join(d, "f1.parquet"))
+    shutil.rmtree(scratch)
+
+    def _mapped(name, phys, typ, fid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            _mapped("s", "col-top", {
+                "type": "struct",
+                "fields": [
+                    _mapped("x", "col-ax", "long", 3),
+                    _mapped("y", "col-by", "string", 4),
+                ],
+            }, 1),
+            _mapped("items", "col-arr", {
+                "type": "array",
+                "elementType": {
+                    "type": "struct",
+                    "fields": [_mapped("val", "col-el", "long", 5)],
+                },
+                "containsNull": True,
+            }, 2),
+        ],
+    }
+    _commit(os.path.join(d, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmn", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    mt = ManifestTable.import_delta(d, str(tmp_path / "cmn_import"))
+    df = mt.read(spark)
+    assert df.columns == ["s", "items"]
+    assert [f.name for f in df.schema["s"].dataType.fields] == ["x", "y"]
+    assert (
+        df.schema["items"].dataType.elementType.fields[0].name == "val"
+    )
+    rows = sorted(
+        (r.s.x, r.s.y, r.items[0].val) for r in df.collect()
+    )
+    assert rows == [(i, str(i), i * 10) for i in range(20)]
+    # a nested field with an id but NO physicalName is a malformed
+    # log — loud refusal, never a silent NULL read
+    bad = json.loads(json.dumps(schema))
+    del bad["fields"][0]["type"]["fields"][0]["metadata"][
+        "delta.columnMapping.physicalName"
+    ]
+    d2 = str(tmp_path / "cmnest_bad")
+    os.makedirs(d2, exist_ok=True)
+    shutil.copyfile(os.path.join(d, "f1.parquet"),
+                    os.path.join(d2, "f1.parquet"))
+    _commit(os.path.join(d2, "_delta_log"), 0, [
+        {"metaData": {
+            "id": "cmn2", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(bad), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="nested field .* no physicalName"):
+        ManifestTable.import_delta(d2, str(tmp_path / "cmn2_import"))
+
+
 def test_delta_export_is_incremental(engine, spark, tmp_path):
     """Re-exports append DIFF commits (stable metaData id, removes +
     adds only), an unchanged table appends nothing, and an importer
