@@ -640,10 +640,11 @@ class _Handler(socketserver.BaseRequestHandler):
 
             try:
                 if verb == "MERGE":
-                    name, staged, removes = ddl.txn_stage_merge(
+                    # PG 15+ tag form 'MERGE <n>' — clients parse the
+                    # affected-row count out of the tag
+                    name, staged, removes, n = ddl.txn_stage_merge(
                         sql, txn["removes"]
                     )
-                    n = None  # autocommit's MERGE tag carries no count
                 else:
                     name, staged, removes, n, _ = ddl.txn_stage_dml(
                         sql, txn["removes"]

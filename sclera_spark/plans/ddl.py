@@ -1263,6 +1263,8 @@ class DdlRouter:
         try:
             ins_stage = None
             pending_ins = None
+            cached_ins = None
+            ins_n = 0
             if ins:
                 # materialize inserts BEFORE the matched-file swap: every
                 # clause must see the pre-merge snapshot, and the anti-join
@@ -1301,6 +1303,12 @@ class DdlRouter:
                     # plan keeps reading the pre-state — no early staging
                     # needed; inserts ride the same atomic commit below
                     pending_ins = new_rows
+                    if _txn_stage is not None:
+                        # tag count: one extra job in the wire-txn path
+                        # only; cached so staging reuses the anti-join
+                        pending_ins = pending_ins.cache()
+                        cached_ins = pending_ins
+                        ins_n = pending_ins.count()
                 else:
                     ins_stage = path + ".insstage"
                     new_rows.write.mode("overwrite").parquet(ins_stage)
@@ -1390,6 +1398,17 @@ class DdlRouter:
                             out = out.unionByName(pending_ins)
                             pending_ins = None
                         if _txn_stage is not None:
+                            # affected-row tag (PG 15+ 'MERGE <n>'):
+                            # matched rows whose clause guard holds,
+                            # plus the anti-join inserts — one count
+                            # over the small COW hit subset
+                            g = upd[0] if upd else dele
+                            matched_n = spark.sql(
+                                f"SELECT count(*) FROM __merge_tsub "
+                                f"{talias} JOIN __merge_s {salias} "
+                                f"ON {cond} WHERE ({g}) IS TRUE"
+                            ).collect()[0][0]
+                            _txn_stage["n"] = matched_n + ins_n
                             _txn_stage["staged"] = mt._stage(out)
                             _txn_stage["removes"] = {
                                 os.path.basename(p) for p in hits
@@ -1410,6 +1429,7 @@ class DdlRouter:
             if pending_ins is not None:
                 # insert-only MERGE (or no matched rows) on a manifest table
                 if _txn_stage is not None:
+                    _txn_stage["n"] = ins_n
                     _txn_stage["staged"] = mt._stage(pending_ins)
                     _txn_stage["removes"] = set()
                 else:
@@ -1423,6 +1443,8 @@ class DdlRouter:
                         )
                 shutil.rmtree(ins_stage)
         finally:
+            if cached_ins is not None:
+                cached_ins.unpersist()
             spark.catalog.dropTempView("__merge_t")
             spark.catalog.dropTempView("__merge_s")
             try:
@@ -1455,7 +1477,9 @@ class DdlRouter:
         inside-the-lock liveness validation aborts on write-write
         conflicts. Refusals (TxnDmlRefused): non-manifest target,
         over-cap hit sets, and hit files this transaction already
-        rewrote. Returns (table, staged|None, remove_basenames)."""
+        rewrote. Returns (table, staged|None, remove_basenames, n)
+        where ``n`` is the affected-row count for the PG 15+
+        ``MERGE <n>`` command tag (guard-matched rows + inserts)."""
         m = self._TXN_MERGE_RE.match(sql)
         if m is None:
             raise TxnDmlRefused(
@@ -1472,9 +1496,10 @@ class DdlRouter:
             "already_removed": set(already_removed),
             "staged": None,
             "removes": set(),
+            "n": 0,
         }
         self._merge(name, talias, rest, _txn_stage=ctx)
-        return name.lower(), ctx["staged"], ctx["removes"]
+        return name.lower(), ctx["staged"], ctx["removes"], ctx["n"]
 
     def _cow_rewrite(self, name: str, where: str, transform) -> bool:
         """Copy-on-write DML at parquet-file granularity (the Delta/Iceberg

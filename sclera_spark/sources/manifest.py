@@ -733,11 +733,11 @@ class ManifestTable:
         import pyarrow.parquet as pq
 
         want = {f["name"] for f in fields}
+        by_name = {f["name"]: f["type"] for f in fields}
+        widened = False
         for p in srcs:
-            got = {
-                n.split(".", 1)[0]
-                for n in pq.ParquetFile(p).schema_arrow.names
-            }
+            arrow = pq.ParquetFile(p).schema_arrow
+            got = {n.split(".", 1)[0] for n in arrow.names}
             if got != want:
                 raise ice.IcebergImportUnsupported(
                     "Iceberg import: data file "
@@ -748,12 +748,100 @@ class ManifestTable:
                     "reads would misinterpret. Compact/rewrite the "
                     "table with current names first."
                 )
+            # type drift (r12): Iceberg TYPE PROMOTION (int->long,
+            # float->double, decimal precision growth) leaves OLD files
+            # with narrower physical types; name-only checks pass and a
+            # schema-from-first-file read would bind the narrow type.
+            # Legal promotions are accepted and recorded as an explicit
+            # widened table_schema (the parquet reader's widening
+            # promotion lifts the narrow files); anything else refuses.
+            for af in arrow:
+                exp = by_name.get(af.name.split(".", 1)[0])
+                verdict = cls._iceberg_type_drift(exp, af.type)
+                if verdict == "bad":
+                    raise ice.IcebergImportUnsupported(
+                        "Iceberg import: data file "
+                        f"{os.path.basename(p)!r} stores column "
+                        f"{af.name!r} as {af.type} but the current "
+                        f"schema says {exp!r} — unsupported physical-"
+                        "type drift (not an Iceberg promotion). "
+                        "Compact/rewrite the table first."
+                    )
+                widened = widened or verdict == "widen"
         meta = {
             "imported_from": os.path.abspath(table_dir),
             "_op": "import_iceberg",
             "iceberg_snapshot_id": doc.get("current-snapshot-id"),
         }
+        if widened:
+            if any(not isinstance(f["type"], str) for f in fields):
+                raise ice.IcebergImportUnsupported(
+                    "Iceberg import: type promotion detected in a "
+                    "table with nested (struct/list/map) columns — "
+                    "the widened read schema cannot be derived here. "
+                    "Compact/rewrite the table first."
+                )
+            meta["table_schema"] = json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": f["name"],
+                            "type": f["type"],
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                        for f in fields
+                    ],
+                }
+            )
         return cls._adopt_external(path, srcs, meta)
+
+    @staticmethod
+    def _iceberg_type_drift(expected, arrow_type) -> str:
+        """'exact' | 'widen' | 'bad' verdict of one parquet footer type
+        vs the current Iceberg schema's Spark type name. 'widen' covers
+        exactly the promotions the Iceberg spec allows (int->long,
+        float->double, decimal precision growth at fixed scale); nested
+        (non-str) expected types are not deep-checked (footer names
+        already matched)."""
+        import pyarrow as pa
+
+        if not isinstance(expected, str):
+            return "exact"
+        t = arrow_type
+        m = re.match(r"^decimal\((\d+),(\d+)\)$", expected)
+        if m:
+            if not pa.types.is_decimal(t):
+                return "bad"
+            p, s = int(m.group(1)), int(m.group(2))
+            if t.scale != s or t.precision > p:
+                return "bad"
+            return "exact" if t.precision == p else "widen"
+        exact = {
+            "long": pa.types.is_int64,
+            "integer": pa.types.is_int32,
+            "double": pa.types.is_float64,
+            "float": pa.types.is_float32,
+            "string": lambda x: pa.types.is_string(x)
+            or pa.types.is_large_string(x),
+            "boolean": pa.types.is_boolean,
+            "date": pa.types.is_date,
+            "timestamp": pa.types.is_timestamp,
+            "binary": lambda x: pa.types.is_binary(x)
+            or pa.types.is_large_binary(x)
+            or pa.types.is_fixed_size_binary(x),
+        }
+        chk = exact.get(expected)
+        if chk is None:
+            return "exact"  # unmapped/nested-ish type: names matched
+        if chk(t):
+            return "exact"
+        if expected == "long" and pa.types.is_int32(t):
+            return "widen"
+        if expected == "double" and pa.types.is_float32(t):
+            return "widen"
+        return "bad"
 
     @classmethod
     def convert(cls, path: str) -> "ManifestTable":
@@ -2575,9 +2663,107 @@ class ManifestTable:
         """Delete data files unreferenced by the ``keep_versions`` newest
         manifests (and drop older manifests). Returns deleted file names.
         Takes the writer lock: a concurrent commit must not publish a
-        manifest referencing files vacuum is deciding to delete."""
+        manifest referencing files vacuum is deciding to delete.
+
+        A configured CUSTOM-directory Delta mirror (SET DELTA MIRROR
+        '<dir>') hard-links every exported data file into <dir>/data;
+        without retention those links outlive the source vacuum and the
+        mirror grows without bound (r11 ADVICE). Vacuum therefore also
+        vacuums the mirror: files referenced neither by the mirror
+        log's CURRENT version nor by any retained source version are
+        unlinked — external time travel past retention breaks, exactly
+        as Delta's own VACUUM contract says it must."""
         with self._writer_lock():
-            return self._vacuum_locked(keep_versions)
+            deleted = self._vacuum_locked(keep_versions)
+        try:
+            self.vacuum_mirror()
+        except Exception as exc:  # mirror hygiene never fails the vacuum
+            warn_mirror_failure(self.path, exc)
+        return deleted
+
+    @staticmethod
+    def _export_live_paths(out_dir: str) -> set[str]:
+        """The CURRENT live add paths of an exported Delta log: replay
+        our own checkpoint (if any) plus the json commits above it —
+        adds minus removes. Used by the mirror vacuum, which must keep
+        every file the mirror's latest version still references even
+        when the mirror is stale."""
+        live: set[str] = set()
+        ckpt_base = -1
+        ckpt_file = os.path.join(out_dir, "_last_checkpoint")
+        if os.path.isfile(ckpt_file):
+            with open(ckpt_file) as fh:
+                ck = json.load(fh)
+            ckpt_base = int(ck["version"])
+            import pyarrow.parquet as pq
+
+            cpath = os.path.join(
+                out_dir, f"{ckpt_base:020d}.checkpoint.parquet"
+            )
+            pf = pq.ParquetFile(cpath)
+            if "add" in pf.schema_arrow.names:
+                for batch in pf.iter_batches(columns=["add"]):
+                    for row in batch.to_pylist():
+                        add = row.get("add")
+                        if add and add.get("path"):
+                            live.add(add["path"])
+        for f in sorted(os.listdir(out_dir)):
+            if not (f.endswith(".json") and f[:-5].isdigit()):
+                continue
+            if int(f[:-5]) <= ckpt_base:
+                continue
+            with open(os.path.join(out_dir, f)) as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if not ln:
+                        continue
+                    a = json.loads(ln)
+                    if "add" in a:
+                        live.add(a["add"]["path"])
+                    elif "remove" in a:
+                        live.discard(a["remove"]["path"])
+        return live
+
+    def vacuum_mirror(self) -> list[str]:
+        """Unlink custom-mirror data files referenced neither by the
+        mirror log's current version nor by any RETAINED source version
+        (call after the source vacuum dropped old manifests). Returns
+        the unlinked file names; a no-op for tables without a
+        custom-directory mirror."""
+        try:
+            cfg = self.meta().get("delta_mirror")
+        except FileNotFoundError:
+            return []
+        if not isinstance(cfg, str) or not cfg:
+            return []
+        out_dir = (
+            cfg
+            if os.path.basename(cfg.rstrip("/")) == "_delta_log"
+            else os.path.join(cfg, "_delta_log")
+        )
+        if not os.path.isdir(out_dir):
+            return []
+        data_root = os.path.dirname(os.path.abspath(out_dir))
+        if os.path.realpath(data_root) == os.path.realpath(self.path):
+            return []  # in-place mirror: adds point at the table's own files
+        ddir = os.path.join(data_root, "data")
+        if not os.path.isdir(ddir):
+            return []
+        keep = self._export_live_paths(out_dir)
+        for v in self.versions():
+            keep |= {
+                f"data/{os.path.basename(p)}" for p in self.files(v)
+            }
+        removed = []
+        for f in sorted(os.listdir(ddir)):
+            if f"data/{f}" in keep or f.endswith(".tmp"):
+                continue
+            try:
+                os.unlink(os.path.join(ddir, f))
+                removed.append(f)
+            except FileNotFoundError:
+                pass
+        return removed
 
     def vacuum_preview(self, keep_versions: int = 1) -> list[str]:
         """DRY RUN: the data files a ``vacuum(keep_versions)`` would

@@ -1178,3 +1178,43 @@ def test_export_refuses_commit_with_any_foreign_commitinfo(
     ])
     with pytest.raises(ValueError, match="foreign Delta log"):
         ManifestTable(src).export_delta_log(spark, out_dir=crafted)
+
+
+def test_mirror_vacuum_reclaims_dropped_files(engine, spark, tmp_path):
+    """r12: a custom-directory mirror hard-links data files in; diff
+    commits REMOVE old files from the log but the links used to stay
+    forever (unbounded growth). VACUUM on the source now also vacuums
+    the mirror: files referenced neither by the mirror's current
+    version nor by a retained source version are unlinked, and the
+    mirror still imports to the live snapshot afterwards."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    mirror = str(tmp_path / "mirror_tbl")
+    engine.execute(
+        "CREATE TABLE mvac AS SELECT 1 AS k UNION ALL SELECT 2"
+    )
+    engine.execute("ALTER TABLE mvac SET FORMAT MANIFEST")
+    try:
+        engine.execute(f"ALTER TABLE mvac SET DELTA MIRROR '{mirror}'")
+        ddir = os.path.join(mirror, "data")
+        n0 = len(os.listdir(ddir))
+        assert n0 >= 1
+        # rewrite everything twice: each UPDATE swaps every file
+        engine.execute("UPDATE mvac SET k = k + 10")
+        engine.execute("UPDATE mvac SET k = k + 100")
+        grown = len(os.listdir(ddir))
+        assert grown > n0  # old links accumulated
+        engine.execute("VACUUM mvac")
+        kept = os.listdir(ddir)
+        # only the files the live snapshot references survive
+        live = {
+            os.path.basename(p)
+            for p in engine.ddl()._manifest("mvac").files()
+        }
+        assert sorted(kept) == sorted(live)
+        mt2 = ManifestTable.import_delta(
+            mirror, str(tmp_path / "mvac_import")
+        )
+        assert sorted(r.k for r in mt2.read(spark).collect()) == [111, 112]
+    finally:
+        engine.execute("DROP TABLE mvac")

@@ -259,3 +259,195 @@ def test_ddl_surface_routes_and_refuses_loudly(spark, tmp_path):
     with pytest.raises(IcebergImportUnsupported, match="fastavro"):
         engine.execute(f"CREATE TABLE icetab FROM ICEBERG '{t}'")
     assert "icetab" not in engine.ddl().managed
+
+
+# ---- fake-codec replay coverage (r12) ----
+#
+# The container has no fastavro, which used to leave snapshot_data_files'
+# REPLAY LOGIC (manifest-list -> manifests -> data files, every refusal
+# branch) with zero executed coverage here. These tests swap in a
+# JSON-lines stand-in for the Avro container layer: fixture files hold
+# one JSON record per line with exactly the record shapes fastavro
+# yields, so the production replay code runs verbatim; only the byte
+# decoding is faked. Real-Avro environments additionally run
+# test_full_iceberg_import_end_to_end on genuine fastavro bytes.
+
+
+class _FakeFastavro:
+    @staticmethod
+    def reader(fh):
+        for line in fh.read().decode().splitlines():
+            if line.strip():
+                yield json.loads(line)
+
+
+@pytest.fixture
+def fake_avro(monkeypatch):
+    import sys
+
+    monkeypatch.setitem(sys.modules, "fastavro", _FakeFastavro())
+
+
+def _jl(path, records):
+    with open(path, "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _data_file(t, name, df):
+    df.coalesce(1).write.mode("overwrite").parquet(str(t / "stage"))
+    (part,) = [
+        f for f in os.listdir(t / "stage") if f.endswith(".parquet")
+    ]
+    os.makedirs(t / "data", exist_ok=True)
+    os.rename(t / "stage" / part, t / "data" / name)
+    return f"file://{t}/data/{name}"
+
+
+def _entry(path, *, status=1, content=0, fmt="PARQUET"):
+    return {
+        "status": status,
+        "snapshot_id": 77,
+        "data_file": {
+            "content": content,
+            "file_path": path,
+            "file_format": fmt,
+            "record_count": 1,
+            "file_size_in_bytes": 1,
+        },
+    }
+
+
+def test_replay_imports_and_skips_deleted_entries(fake_avro, spark, tmp_path):
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = tmp_path / "ice"
+    f1 = _data_file(
+        t, "f1.parquet",
+        spark.range(0, 30).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+    )
+    f2 = _data_file(
+        t, "f2.parquet",
+        spark.range(100, 110).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+    )
+    mpath = str(t / "metadata" / "m1.avro")
+    os.makedirs(t / "metadata", exist_ok=True)
+    _jl(mpath, [_entry(f1), _entry(f2, status=2)])  # f2 DELETED: skipped
+    _jl(
+        str(t / "metadata" / "snap-77.avro"),
+        [{"manifest_path": mpath, "content": 0}],
+    )
+    _write_metadata(tmp_path)
+    mt = ManifestTable.import_iceberg(str(t), str(tmp_path / "imp"))
+    rows = sorted((r.k, r.v) for r in mt.read(spark).collect())
+    assert rows == [(i, str(i)) for i in range(30)]
+
+
+def test_replay_refuses_delete_manifest(fake_avro, spark, tmp_path):
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = tmp_path / "ice"
+    os.makedirs(t / "metadata", exist_ok=True)
+    _jl(
+        str(t / "metadata" / "snap-77.avro"),
+        [{"manifest_path": str(t / "metadata" / "m1.avro"), "content": 1}],
+    )
+    _write_metadata(tmp_path)
+    with pytest.raises(IcebergImportUnsupported, match="DELETE manifest"):
+        ManifestTable.import_iceberg(str(t), str(tmp_path / "imp"))
+
+
+def test_replay_refuses_delete_and_foreign_format_files(
+    fake_avro, spark, tmp_path
+):
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = tmp_path / "ice"
+    f1 = _data_file(t, "f1.parquet", spark.range(3).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v"))
+    os.makedirs(t / "metadata", exist_ok=True)
+    mpath = str(t / "metadata" / "m1.avro")
+    _jl(
+        str(t / "metadata" / "snap-77.avro"),
+        [{"manifest_path": mpath, "content": 0}],
+    )
+    _write_metadata(tmp_path)
+    _jl(mpath, [_entry(f1, content=1)])
+    with pytest.raises(IcebergImportUnsupported, match="delete file"):
+        ManifestTable.import_iceberg(str(t), str(tmp_path / "impA"))
+    _jl(mpath, [_entry(f1, fmt="AVRO")])
+    with pytest.raises(IcebergImportUnsupported, match="only.*PARQUET"):
+        ManifestTable.import_iceberg(str(t), str(tmp_path / "impB"))
+    # containment: a manifest path escaping the table dir refuses
+    _jl(
+        str(t / "metadata" / "snap-77.avro"),
+        [{"manifest_path": "/etc/passwd", "content": 0}],
+    )
+    with pytest.raises(ValueError, match="escapes the table"):
+        ManifestTable.import_iceberg(str(t), str(tmp_path / "impC"))
+
+
+def test_replay_v1_embedded_manifests(fake_avro, spark, tmp_path):
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = tmp_path / "ice"
+    f1 = _data_file(t, "f1.parquet", spark.range(5).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v"))
+    os.makedirs(t / "metadata", exist_ok=True)
+    mpath = str(t / "metadata" / "m1.avro")
+    _jl(mpath, [_entry(f1)])
+    doc = {
+        "format-version": 1,
+        "location": str(t),
+        "current-snapshot-id": 5,
+        "snapshots": [{"snapshot-id": 5, "manifests": [mpath]}],
+        "schema": {"fields": [
+            {"id": 1, "name": "k", "type": "long"},
+            {"id": 2, "name": "v", "type": "string"},
+        ]},
+    }
+    with open(t / "metadata" / "v1.metadata.json", "w") as fh:
+        json.dump(doc, fh)
+    mt = ManifestTable.import_iceberg(str(t), str(tmp_path / "imp"))
+    assert mt.read(spark).count() == 5
+
+
+def test_import_widens_promoted_types_and_refuses_drift(
+    fake_avro, spark, tmp_path
+):
+    """Iceberg type promotion (int->long, float->double) leaves OLD
+    files with narrower physical types; the import records a widened
+    table_schema so reads bind the wide type for every file. Non-
+    promotion drift (string vs long) refuses loudly."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = tmp_path / "ice"
+    f_old = _data_file(t, "old.parquet", spark.range(0, 4).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS FLOAT) AS x"))
+    f_new = _data_file(t, "new.parquet", spark.range(4, 8).selectExpr(
+        "CAST(id AS LONG) AS k", "CAST(id AS DOUBLE) AS x"))
+    os.makedirs(t / "metadata", exist_ok=True)
+    mpath = str(t / "metadata" / "m1.avro")
+    _jl(mpath, [_entry(f_old), _entry(f_new)])
+    _jl(
+        str(t / "metadata" / "snap-77.avro"),
+        [{"manifest_path": mpath, "content": 0}],
+    )
+    _write_metadata(tmp_path, fields=[
+        {"id": 1, "name": "k", "type": "long"},
+        {"id": 2, "name": "x", "type": "double"},
+    ])
+    mt = ManifestTable.import_iceberg(str(t), str(tmp_path / "imp"))
+    df = mt.read(spark)
+    assert isinstance(df.schema["k"].dataType, LongType)
+    assert isinstance(df.schema["x"].dataType, DoubleType)
+    rows = sorted((r.k, r.x) for r in df.collect())
+    assert rows == [(i, float(i)) for i in range(8)]
+    # incompatible drift: footer stores string where schema says long
+    f_bad = _data_file(t, "bad.parquet", spark.range(2).selectExpr(
+        "CAST(id AS STRING) AS k", "CAST(id AS DOUBLE) AS x"))
+    _jl(mpath, [_entry(f_bad)])
+    with pytest.raises(IcebergImportUnsupported, match="type drift|drift"):
+        ManifestTable.import_iceberg(str(t), str(tmp_path / "imp2"))

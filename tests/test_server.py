@@ -530,7 +530,7 @@ def test_txn_merge_stages_and_commits_atomically(server):
     try:
         v0 = len(c.execute("SHOW VERSIONS wmrg")[1])
         c.execute("BEGIN")
-        assert c.execute(merge_sql)[2] == "MERGE"
+        assert c.execute(merge_sql)[2] == "MERGE 2"
         other = connect(server)
         assert _count(other, "SELECT count(*) AS n FROM wmrg") == 5
         c.execute("ROLLBACK")
@@ -539,7 +539,7 @@ def test_txn_merge_stages_and_commits_atomically(server):
         assert len(c.execute("SHOW VERSIONS wmrg")[1]) == v0
 
         c.execute("BEGIN")
-        assert c.execute(merge_sql)[2] == "MERGE"
+        assert c.execute(merge_sql)[2] == "MERGE 2"
         # second rewrite of the k=1 file inside the same txn: refused
         with pytest.raises(RuntimeError, match="already rewritten"):
             c.execute("UPDATE wmrg SET v = 'x' WHERE k = 1")
