@@ -472,25 +472,40 @@ def _q_external_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jdbc_location(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JDBC location end-to-end on Spark's bundled embedded Derby: write
-    `nation` into the database, register it as a named location (ADD
-    LOCATION ... AS JDBC), read back with a filter — the filter reaches
-    the JDBC scan as PushedFilters (asserted in tests/test_locations.py),
-    which is Catalyst's replacement for the reference's per-location SQL
-    generation (sql/mapper/default/ScleraSqlMapper.scala:35-629)."""
+    """JDBC location end-to-end on Spark's bundled embedded Derby,
+    including the r12 CO-LOCATED SUBTREE PUSHDOWN (reference
+    exec/Planner.scala:113-212): nation and region both live at the
+    Derby location, so the join + aggregate compiles to ONE remote
+    dialect query — a single JDBCRelation in the plan, no Spark-side
+    join (asserted, and plan-gated in tests/test_jdbc_pushdown.py);
+    per-table scans with PushedFilters remain the fallback path
+    (tests/test_locations.py)."""
     import tempfile
 
     eng = _engine(spark, sf_dir)
     db = os.path.join(tempfile.mkdtemp(prefix="sclera_derby_entry_"), "db")
     url = f"jdbc:derby:{db};create=true"
-    eng.table("nation").write.jdbc(url, "nation_jdbc", mode="overwrite")
+    eng.table("nation").write.option(
+        "createTableColumnTypes", "n_name VARCHAR(64)"
+    ).jdbc(url, "nation_jdbc", mode="overwrite")
+    eng.table("region").write.option(
+        "createTableColumnTypes", "r_name VARCHAR(64)"
+    ).jdbc(url, "region_jdbc", mode="overwrite")
     eng.execute(f"ADD LOCATION derby_entry AS JDBC ('{url}')")
-    df = eng.location_table("derby_entry", "nation_jdbc")
-    return df.filter(F.col("n_regionkey") <= 2).select(
-        F.col("n_nationkey").cast("int").alias("n_nationkey"),
-        "n_name",
-        F.col("n_regionkey").cast("int").alias("n_regionkey"),
-    )
+    eng.execute("ADD TABLE derby_entry.nation_jdbc")
+    eng.execute("ADD TABLE derby_entry.region_jdbc")
+    df = eng.sql("""
+        SELECT r.r_name, count(*) AS n_nations,
+               sum(n.n_nationkey) AS key_sum, min(n.n_name) AS first_nation
+        FROM nation_jdbc n JOIN region_jdbc r
+          ON n.n_regionkey = r.r_regionkey
+        WHERE n.n_nationkey >= 1
+        GROUP BY r.r_name
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("JDBCRelation") == 1, "subtree did not push"
+    assert "HashAggregate" not in plan, "aggregate did not push"
+    return df
 
 
 def _q_typeinfer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2056,7 +2071,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey
     """
     oracles["jdbc_location"] = """
-        SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 2
+        SELECT r.r_name, count(*) AS n_nations,
+               CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum,
+               min(n.n_name) AS first_nation
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE n.n_nationkey >= 1
+        GROUP BY r.r_name
     """
     oracles["typeinfer_sql"] = """
         SELECT CAST(o_orderkey AS INT) AS k, o_totalprice AS p, o_orderdate AS d

@@ -318,6 +318,12 @@ class ScleraEngine:
         if not hasattr(self, "table_locations"):
             self.table_locations: dict[str, str] = {}
         self.table_locations[name.lower()] = loc.lower()
+        if not hasattr(self, "table_remote_names"):
+            # registered-name -> the table's name AT the location, so
+            # the co-located pushdown (sources/jdbc_pushdown.py) can
+            # emit remote SQL for tables registered under an alias
+            self.table_remote_names: dict[str, str] = {}
+        self.table_remote_names[name.lower()] = table
         if self.catalog_dir:
             # persisted-catalog mode: journal the registration so a
             # restarted engine re-pulls the table (same switch as

@@ -133,9 +133,10 @@ class DdlRouter:
             "_add_location",
         ),
         (re.compile(r"^\s*REMOVE\s+LOCATION\s+(\w+)\s*$", re.I), "_remove_location"),
-        (re.compile(r"^\s*ADD\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*$", re.I), "_add_table"),
+        (re.compile(r"^\s*ADD\s+TABLE\s+(?:(\w+)\.)?(\w+)(?:\s+AS\s+(\w+))?\s*$", re.I), "_add_table"),
         (re.compile(r"^\s*REMOVE\s+TABLE\s+(?:\w+\.)?(\w+)\s*$", re.I), "_remove_table"),
         (re.compile(r"^\s*SET\s+(\w+)\s+LOCATION\s*=\s*(\w+)\s*$", re.I), "_set_location"),
+        (re.compile(r"^\s*SET\s+(\w+)\s*=\s*'?(\w+)'?\s*$", re.I), "_set_option"),
         (
             re.compile(r"^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)\s*$", re.I),
             "_create_index",
@@ -1930,15 +1931,31 @@ class DdlRouter:
     def _remove_location(self, name):
         self.engine.remove_location(name)
 
-    def _add_table(self, loc, table):
+    def _add_table(self, loc, table, as_name=None):
         if loc is None:
             loc = self.engine.config.get("default")
             if loc is None:
                 raise ValueError("ADD TABLE needs loc.table or SET DEFAULT LOCATION")
-        return self.engine.add_location_table(loc, table)
+        return self.engine.add_location_table(loc, table, as_name=as_name)
 
     def _remove_table(self, table):
         self.engine.catalog.drop(table)
+
+    # engine options settable through SQL (reference SqlAdminParser's
+    # config surface); unknown keys refuse loudly rather than set a
+    # typo'd option that silently never applies
+    _OPTION_KEYS = frozenset(
+        {"jdbc_pushdown", "manifest_pruning", "metadata_only_count"}
+    )
+
+    def _set_option(self, key, value):
+        """SET <option> = '<value>' — engine config toggles."""
+        if key.lower() not in self._OPTION_KEYS:
+            raise KeyError(
+                f"unknown option {key!r}; settable options: "
+                f"{sorted(self._OPTION_KEYS)}"
+            )
+        self.engine.config[key.lower()] = value.lower()
 
     def _set_location(self, param, name):
         """SET DEFAULT/CACHE LOCATION = loc (SqlAdminParser.scala:89-93)."""

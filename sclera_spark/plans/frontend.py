@@ -1090,6 +1090,15 @@ def lower_sql(engine, query: str) -> DataFrame:
             rewritten = lower_extended(engine, rewritten)
         if _DISTINCT_ON_RE.search(rewritten):
             rewritten = _rewrite_distinct_on(rewritten)
+        # co-located subtree pushdown (reference exec/Planner.scala:
+        # 113-212): a SELECT whose every table lives at ONE JDBC
+        # location runs remotely as a single dialect query instead of
+        # N per-table scans — gated hard, any doubt runs locally
+        from sclera_spark.sources.jdbc_pushdown import try_pushdown
+
+        pushed = try_pushdown(engine, rewritten)
+        if pushed is not None:
+            return pushed
         # analysis happens inside spark.sql, so views dropped afterwards
         # do not invalidate the returned DataFrame
         return engine.spark.sql(rewritten)

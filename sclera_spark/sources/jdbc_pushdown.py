@@ -1,0 +1,283 @@
+"""Automatic co-located JDBC subtree pushdown.
+
+The reference plans a whole join/aggregate subtree AT the location when
+every leaf table lives there, emitting one dialect SQL text instead of
+N per-table scans (exec/Planner.scala:113-212), with a per-location
+``supportedFunctionsOpt`` gate deciding which expressions may travel
+(sql/mapper/default/ScleraSqlMapper.scala:117-131). This module is the
+Spark-native equivalent for queries run through ``ScleraEngine.sql``:
+when every table a (lowered) query references was registered from ONE
+JDBC location via ``ADD TABLE loc.tbl``, and the query passes a
+conservative dialect gate, the whole query executes remotely as a
+single ``spark.read.format("jdbc").option("query", ...)`` scan — one
+round trip, one JDBCRelation in the plan, join/agg done by the remote
+engine next to its data.
+
+Safety model (a wrong pushdown is silent data corruption, so every
+check fails TOWARD the local path):
+
+- **Function gate**: every ``name(``-shaped token must be in the
+  location dialect's allowlist (ANSI core; the reference's
+  supportedFunctionsOpt). Unknown function → local.
+- **Construct gate**: blocked keywords (LIMIT/OFFSET/FETCH, window
+  functions, LATERAL, VALUES, Spark-only predicates, ...) → local.
+  FETCH/LIMIT are blocked because remote NULL-ordering and tie-breaks
+  differ; windows because remote support/semantics vary.
+- **Containment gate**: every FROM/JOIN table reference must be a
+  table of one JDBC location, and NO identifier anywhere in the query
+  may collide with a locally-registered table (a comma-join or missed
+  reference to a local table must never be resolved remotely).
+- **Schema reconciliation**: the local (not executed) plan's schema is
+  the contract. Remote column names must match case-insensitively in
+  order; remote types must equal the expected type or widen losslessly
+  (int family up, float→double, decimal scale-0 → long). An integer
+  remote column where Spark expects floating point means the REMOTE
+  engine already truncated (e.g. ANSI AVG(INT) = INT) → local.
+- **Any remote error** (dialect rejection at schema-probe time) →
+  local. The fallback is always the previous per-table-scan path,
+  which stays filter-pushdown-capable.
+
+``SET jdbc_pushdown = 'off'`` disables the rewrite per engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# ANSI-core functions safe to evaluate remotely: identical semantics in
+# Derby/PostgreSQL/ANSI and Spark for the types the schema gate admits.
+# Deliberately absent: string concat fn (dialects differ), round
+# (banker's vs half-up differs), division helpers, every window/regexp
+# function, date arithmetic beyond extract-style parts.
+_ANSI_FUNCTIONS = frozenset(
+    {
+        "count", "sum", "min", "max", "avg",
+        "abs", "mod", "sqrt", "floor", "ceil", "ceiling",
+        "upper", "lower", "trim", "ltrim", "rtrim",
+        "substr", "substring", "length", "char_length", "character_length",
+        "coalesce", "nullif",
+        "year", "month", "day", "hour", "minute", "second",
+        "cast",  # CAST( parses as a fn-shaped token
+        "exists",  # EXISTS( likewise
+    }
+)
+
+DIALECT_FUNCTIONS: dict[str, frozenset] = {
+    # per-URL-prefix widening hooks; ANSI core is the floor
+    "derby": _ANSI_FUNCTIONS,
+    "postgresql": _ANSI_FUNCTIONS,
+}
+
+_BLOCKED_RE = re.compile(
+    r"(?i)\b(limit|offset|fetch|over|window|qualify|lateral|values|"
+    r"pivot|unpivot|tablesample|distribute|cluster|ilike|rlike|regexp|"
+    r"semi|anti|natural|with|grouping|rollup|cube|struct|array|map|"
+    r"interval|extract|distinct\s+on)\b"
+)
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
+
+
+def _dialect_functions(url: str) -> frozenset:
+    for key, fns in DIALECT_FUNCTIONS.items():
+        if url.lower().startswith(f"jdbc:{key}"):
+            return fns
+    return _ANSI_FUNCTIONS
+
+
+def _nonliteral(sql: str) -> list[tuple[int, str]]:
+    """(offset, text) chunks of sql outside single-quoted literals."""
+    from sclera_spark.plans.frontend import _split_literals
+
+    out = []
+    pos = 0
+    for is_lit, chunk in _split_literals(sql):
+        if not is_lit:
+            out.append((pos, chunk))
+        pos += len(chunk)
+    return out
+
+
+def _scan(sql: str):
+    """(funcs, idents, table_refs) over the non-literal text: fn-shaped
+    tokens, all identifiers, and identifiers in table-reference position
+    (immediately after FROM/JOIN at any depth)."""
+    funcs: set[str] = set()
+    idents: set[str] = set()
+    refs: set[str] = set()
+    prev: str | None = None
+    prev_end = -1
+    for _, chunk in _nonliteral(sql):
+        prev_end = -1  # chunk boundary: a literal sat between tokens
+        for m in _IDENT_RE.finditer(chunk):
+            tok = m.group(0).lower()
+            rest = chunk[m.end():].lstrip()
+            if rest.startswith("("):
+                funcs.add(tok)
+            else:
+                idents.add(tok)
+                if (
+                    prev in ("from", "join")
+                    and prev_end >= 0
+                    and chunk[prev_end: m.start()].strip() == ""
+                ):
+                    # directly after FROM/JOIN (no '(' between): a
+                    # table reference, not a derived-table's SELECT
+                    refs.add(tok)
+            prev = tok
+            prev_end = m.end()
+    return funcs, idents, refs
+
+
+def _widen_ok(remote, expected) -> bool:
+    """May a remote column be cast LOSSLESSLY to the expected type?"""
+    from pyspark.sql import types as T
+
+    ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if remote == expected:
+        return True
+    if isinstance(expected, T.LongType) and isinstance(remote, ints):
+        return True
+    if isinstance(expected, T.IntegerType) and isinstance(
+        remote, (T.ByteType, T.ShortType)
+    ):
+        return True
+    if isinstance(expected, T.DoubleType) and isinstance(
+        remote, T.FloatType
+    ):
+        return True
+    if isinstance(expected, T.LongType) and isinstance(
+        remote, T.DecimalType
+    ):
+        # ANSI SUM(BIGINT) comes back DECIMAL(p,0); the values are
+        # exact integers
+        return remote.scale == 0
+    return False
+
+
+def try_pushdown(engine, sql: str) -> DataFrame | None:
+    """One remote query for a fully co-located SELECT, or None to run
+    the ordinary Spark path. Never raises: every gate and every remote
+    error falls back."""
+    prov = getattr(engine, "table_locations", None)
+    if not prov:
+        return None
+    if engine.config.get("jdbc_pushdown", "on") == "off":
+        return None
+    jdbc_tables = {
+        name: loc
+        for name, loc in prov.items()
+        if (engine.locations.get(loc) or {}).get("kind") == "JDBC"
+    }
+    if not jdbc_tables:
+        return None
+    if "`" in sql or "?" in sql or '"' in sql:
+        # backticks are Spark-only; double-quoted identifiers would
+        # collide with the column quoting the remote rewrite adds
+        return None
+    if not re.match(r"(?is)\s*SELECT\b", sql):
+        return None
+    body = " ".join(chunk for _, chunk in _nonliteral(sql))
+    if _BLOCKED_RE.search(body):
+        return None
+    funcs, idents, refs = _scan(sql)
+    if not refs or not refs <= set(jdbc_tables):
+        return None
+    locs = {jdbc_tables[r] for r in refs}
+    if len(locs) != 1:
+        return None
+    loc = locs.pop()
+    info = engine.locations.get(loc) or {}
+    url, opts = engine._location_jdbc(info)
+    if not funcs <= _dialect_functions(url):
+        return None
+    # no identifier anywhere may shadow a LOCAL table: a reference this
+    # scanner missed (comma-join, correlated name) must never resolve
+    # against the remote catalog instead
+    local_tables = {
+        t.lower() for t in engine.catalog.tables
+    } - set(jdbc_tables)
+    if idents & local_tables:
+        return None
+    try:
+        expected = engine.spark.sql(sql).schema
+    except Exception:
+        return None  # let the ordinary path surface the real error
+    if len(set(f.name.lower() for f in expected.fields)) != len(
+        expected.fields
+    ):
+        return None  # duplicate output names: reconciliation ambiguous
+    remote_names = getattr(engine, "table_remote_names", {})
+    # Spark's JDBC writer QUOTES column identifiers at CREATE time, so
+    # the remote columns are case-sensitive exactly as the registered
+    # DataFrame spells them — every column reference in the remote text
+    # must be quoted the same way (table names are written unquoted)
+    cat = {t.lower(): df for t, df in engine.catalog.tables.items()}
+    col_exact: dict[str, str] = {}
+    for r in refs:
+        if r not in cat:
+            return None
+        for c in cat[r].columns:
+            col_exact.setdefault(c.lower(), c)
+    remote_sql = _rewrite_remote(
+        sql, {n: remote_names.get(n, n) for n in refs}, col_exact
+    )
+    try:
+        reader = (
+            engine.spark.read.format("jdbc")
+            .option("url", url)
+            .option("query", remote_sql)
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        remote = reader.load()  # schema probe runs remotely HERE
+    except Exception:
+        return None  # dialect rejected the text: local path
+    if len(remote.columns) != len(expected.fields):
+        return None
+    from pyspark.sql import functions as F
+
+    cols = []
+    for rf, ef in zip(remote.schema.fields, expected.fields):
+        if rf.name.lower() != ef.name.lower():
+            return None
+        if not _widen_ok(rf.dataType, ef.dataType):
+            return None
+        c = F.col(rf.name)
+        if rf.dataType != ef.dataType:
+            c = c.cast(ef.dataType)
+        cols.append(c.alias(ef.name))
+    return remote.select(cols)
+
+
+def _rewrite_remote(
+    sql: str, tables: dict[str, str], col_exact: dict[str, str]
+) -> str:
+    """The remote dialect text: registered table names → remote names,
+    and every known COLUMN identifier double-quoted in its exact
+    DataFrame spelling (Spark's JDBC writer creates quoted columns).
+    Outside literals only; fn-shaped tokens untouched."""
+    from sclera_spark.plans.frontend import _split_literals
+
+    out = []
+    for is_lit, chunk in _split_literals(sql):
+        if is_lit:
+            out.append(chunk)
+            continue
+
+        def sub(m: re.Match) -> str:
+            tok = m.group(0)
+            rest = chunk[m.end():].lstrip()
+            if rest.startswith("("):
+                return tok
+            low = tok.lower()
+            if low in tables:
+                return tables[low]
+            if low in col_exact:
+                return f'"{col_exact[low]}"'
+            return tok
+
+        out.append(_IDENT_RE.sub(sub, chunk))
+    return "".join(out)

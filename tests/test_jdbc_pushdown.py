@@ -1,0 +1,166 @@
+"""Automatic co-located JDBC subtree pushdown
+(sources/jdbc_pushdown.py; reference exec/Planner.scala:113-212 +
+ScleraSqlMapper.scala:117-131 supportedFunctionsOpt gate): a SELECT
+whose every table was ADD TABLE'd from one JDBC location runs remotely
+as ONE dialect query — one JDBCRelation, no Spark-side join — and
+every gate failure falls back to the per-table-scan path with
+identical results."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from sclera_spark.engine import ScleraEngine
+
+
+@pytest.fixture()
+def engine(spark, tables):
+    return ScleraEngine(spark)
+
+
+@pytest.fixture()
+def pushdown_env(engine):
+    """nation + region in embedded Derby (VARCHAR names, as a real
+    RDBMS table would have — Spark's default CLOB mapping cannot
+    GROUP BY), registered via ADD LOCATION / ADD TABLE."""
+    db = os.path.join(tempfile.mkdtemp(prefix="sclera_derby_pd_"), "db")
+    url = f"jdbc:derby:{db};create=true"
+    engine.table("nation").write.option(
+        "createTableColumnTypes", "n_name VARCHAR(64)"
+    ).jdbc(url, "nation_pd", mode="overwrite")
+    engine.table("region").write.option(
+        "createTableColumnTypes", "r_name VARCHAR(64)"
+    ).jdbc(url, "region_pd", mode="overwrite")
+    engine.execute(f"ADD LOCATION derpd AS JDBC ('{url}')")
+    engine.execute("ADD TABLE derpd.nation_pd")
+    engine.execute("ADD TABLE derpd.region_pd")
+    yield engine
+    engine.execute("REMOVE TABLE nation_pd")
+    engine.execute("REMOVE TABLE region_pd")
+    engine.execute("REMOVE LOCATION derpd")
+    engine.config.pop("jdbc_pushdown", None)
+
+
+_JOIN_AGG = """
+    SELECT r.r_name, count(*) AS n_nations, sum(n.n_nationkey) AS key_sum,
+           min(n.n_name) AS first_nation
+    FROM nation_pd n JOIN region_pd r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_nationkey >= 1
+    GROUP BY r.r_name
+"""
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_agg_pushes_as_single_remote_query(pushdown_env):
+    eng = pushdown_env
+    df = eng.sql(_JOIN_AGG)
+    plan = _plan(df)
+    assert plan.count("JDBCRelation") == 1  # ONE remote query
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "HashAggregate" not in plan  # aggregation ran remotely too
+    eng.config["jdbc_pushdown"] = "off"
+    local = eng.sql(_JOIN_AGG)
+    assert _plan(local).count("JDBCRelation") == 2
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+    assert df.columns == local.columns
+
+
+def test_mixed_local_table_falls_back(pushdown_env):
+    eng = pushdown_env
+    q = """
+        SELECT s.s_name, n.n_name
+        FROM nation_pd n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey <= 3
+    """
+    df = eng.sql(q)
+    plan = _plan(df)
+    assert plan.count("JDBCRelation") == 1  # nation only; supplier local
+    assert "Join" in plan
+    expected = (
+        eng.table("supplier").filter("s_suppkey <= 3").count()
+    )
+    assert df.count() == expected
+
+
+def test_unsupported_function_falls_back(pushdown_env):
+    eng = pushdown_env
+    q = (
+        "SELECT concat(n_name, '!') AS x FROM nation_pd "
+        "WHERE n_nationkey = 3"
+    )
+    df = eng.sql(q)
+    assert "JDBCRelation" in _plan(df)
+    # concat is not in the remote allowlist: executed Spark-side atop a
+    # per-table scan, never shipped
+    assert df.collect()[0].x.endswith("!")
+
+
+def test_limit_and_window_fall_back(pushdown_env):
+    eng = pushdown_env
+    for q, want in (
+        ("SELECT n_name FROM nation_pd ORDER BY n_name LIMIT 3", 3),
+        (
+            "SELECT n_name, row_number() OVER (ORDER BY n_nationkey) "
+            "AS rn FROM nation_pd",
+            25,
+        ),
+    ):
+        df = eng.sql(q)
+        plan = _plan(df)
+        # still answered (local path), with Spark operators present
+        assert "JDBCRelation" in plan
+        assert df.count() == want
+
+
+def test_remote_truncating_semantics_fall_back(pushdown_env):
+    """ANSI AVG(INT) is INT remotely but DOUBLE in Spark — the schema
+    reconciliation must refuse the lossy cast and run locally."""
+    eng = pushdown_env
+    q = (
+        "SELECT avg(n_nationkey) AS a FROM nation_pd "
+        "WHERE n_nationkey <= 3"
+    )
+    df = eng.sql(q)
+    row = df.collect()[0]
+    # keys 0..3: true mean 1.5; a pushed ANSI AVG(INT) would say 1
+    assert abs(row.a - 1.5) < 1e-9
+    # explicit remote-safe spelling DOES push
+    q2 = (
+        "SELECT avg(CAST(n_nationkey AS DOUBLE)) AS a FROM nation_pd "
+        "WHERE n_nationkey <= 3"
+    )
+    df2 = eng.sql(q2)
+    plan2 = _plan(df2)
+    assert plan2.count("JDBCRelation") == 1
+    assert "HashAggregate" not in plan2
+    assert abs(df2.collect()[0].a - row.a) < 1e-9
+
+
+def test_alias_registration_maps_remote_name(pushdown_env):
+    eng = pushdown_env
+    eng.execute("ADD TABLE derpd.nation_pd AS nat_alias")
+    try:
+        df = eng.sql(
+            "SELECT count(*) AS n FROM nat_alias WHERE n_regionkey = 0"
+        )
+        assert _plan(df).count("JDBCRelation") == 1
+        assert "HashAggregate" not in _plan(df)
+        assert df.collect()[0].n == 5
+    finally:
+        eng.execute("REMOVE TABLE nat_alias")
+
+
+def test_off_switch_disables(pushdown_env):
+    eng = pushdown_env
+    eng.execute("SET jdbc_pushdown = 'off'")
+    df = eng.sql(_JOIN_AGG)
+    assert _plan(df).count("JDBCRelation") == 2
+    eng.config.pop("jdbc_pushdown", None)
