@@ -205,12 +205,14 @@ class _Handler(socketserver.BaseRequestHandler):
             pass
         finally:
             txn = getattr(self, "_txn", None)
-            if txn and txn["parts"]:
+            if txn and (txn.get("all_staged") or txn["parts"]):
                 # connection dropped mid-transaction: implicit ROLLBACK —
                 # the staged files were never adopted, just reclaim them
                 from sclera_spark.sources.manifest import ManifestTable
 
-                ManifestTable.discard_staged(txn["parts"])
+                ManifestTable.discard_staged(
+                    txn.get("all_staged") or txn["parts"]
+                )
                 self._txn = None
             if key is not None:
                 self.server.cancel_registry.pop(key, None)
@@ -458,9 +460,13 @@ class _Handler(socketserver.BaseRequestHandler):
           only scratch files outside data/. Anything a rollback could
           not undo is REFUSED inside a transaction (0A000): mutating a
           second table, non-INSERT DML, DDL, inserts into non-manifest
-          tables. Reads inside the transaction see the pre-commit
-          snapshot (the buffered rows appear only at COMMIT) — the
-          documented divergence from pg's read-your-own-writes."""
+          tables. Reads inside the transaction see the transaction's
+          OWN writes (r12): SELECTs referencing the buffered table run
+          against a per-statement overlay of snapshot-minus-rewritten
+          files plus staged parts, and UPDATE/DELETE probes rewrite
+          staged parts too — pg's read-your-own-writes, without any
+          shared-catalog leak. Remaining corner: partitioned-import
+          tables keep pre-commit-snapshot reads (documented)."""
         target = getattr(self, "_cancel_target", None)
         if target is not None:
             target.flag.clear()  # cancellation state is per-statement
@@ -477,6 +483,11 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._txn = {
                         "table": None, "parts": [], "rows": 0,
                         "removes": set(), "savepoints": {},
+                        # every staged tuple EVER created in this txn:
+                        # rewrites/savepoint-rollbacks only reshuffle
+                        # `parts`; scratch dirs are reclaimed once, at
+                        # transaction end, from this ledger
+                        "all_staged": [],
                     }
                 return _ResultSet(None, None, None, "BEGIN")
             if verb in ("SAVEPOINT", "RELEASE") or self._ROLLBACK_TO_RE.match(
@@ -486,7 +497,24 @@ class _Handler(socketserver.BaseRequestHandler):
             if verb in ("COMMIT", "END"):
                 txn = getattr(self, "_txn", None)
                 self._txn = None
-                if txn and txn["parts"]:
+                # retired: staged tuples replaced by later same-txn
+                # DML rewrites or savepoint rollbacks — reclaim their
+                # scratch dirs whatever the outcome (even a txn whose
+                # every part was rolled back to a savepoint)
+                retired = (
+                    [
+                        s
+                        for s in txn.get("all_staged", [])
+                        if s not in txn["parts"]
+                    ]
+                    if txn
+                    else []
+                )
+                if txn and not txn["parts"] and retired:
+                    from sclera_spark.sources.manifest import ManifestTable
+
+                    ManifestTable.discard_staged(retired)
+                elif txn and txn["parts"]:
                     from sclera_spark.sources.manifest import ManifestTable
 
                     ddl = self.server.engine.ddl()
@@ -497,8 +525,12 @@ class _Handler(socketserver.BaseRequestHandler):
                             remove_names=txn.get("removes") or None,
                         )
                     except Exception:
-                        ManifestTable.discard_staged(txn["parts"])
+                        ManifestTable.discard_staged(
+                            txn["parts"] + retired
+                        )
                         raise
+                    if retired:
+                        ManifestTable.discard_staged(retired)
                     # the commit is durable at this point: a failure to
                     # refresh the catalog registration must NOT report
                     # the transaction as failed (a retrying client
@@ -520,17 +552,120 @@ class _Handler(socketserver.BaseRequestHandler):
             if verb == "ROLLBACK":
                 txn = getattr(self, "_txn", None)
                 self._txn = None
-                if txn and txn["parts"]:
-                    from sclera_spark.sources.manifest import ManifestTable
+                if txn:
+                    staged = txn.get("all_staged") or txn["parts"]
+                    if staged:
+                        from sclera_spark.sources.manifest import (
+                            ManifestTable,
+                        )
 
-                    ManifestTable.discard_staged(txn["parts"])
+                        ManifestTable.discard_staged(staged)
                 return _ResultSet(None, None, None, "ROLLBACK")
             return _ResultSet(None, None, None, verb)
         txn = getattr(self, "_txn", None)
         if txn is not None and verb in self._DML_VERBS:
             return self._txn_buffer(txn, verb, sql)
+        if (
+            txn is not None
+            and txn.get("table")
+            and (txn["parts"] or txn["removes"])
+            and verb in ("SELECT", "WITH", "TABLE")
+        ):
+            rs = self._txn_read(txn, sql)
+            if rs is not None:
+                return rs
         rs = _to_resultset(self.server.engine.execute(sql), sql)
         return rs
+
+    def _txn_read(self, txn: dict, sql: str) -> "_ResultSet | None":
+        """Read-your-own-writes (r12): a SELECT inside a transaction
+        that references the transaction's table runs against an
+        OVERLAY — the published snapshot minus the files this
+        transaction's DML rewrote, plus its staged part files. The
+        overlay is a per-statement DataFrame registered under a unique
+        temp-view name and dropped immediately after analysis, so
+        concurrent sessions can never resolve it (no shared-catalog
+        leak). Returns None (ordinary snapshot read) when the statement
+        does not reference the table, or for partitioned tables (their
+        virtual-partition fill is keyed per-manifest-file; the
+        pre-commit-snapshot divergence is retained and documented for
+        that corner)."""
+        import uuid as _uuid
+
+        from sclera_spark.plans.frontend import _split_literals
+
+        name = txn["table"]
+        toks: set[str] = set()
+        for is_lit, chunk in _split_literals(sql):
+            if not is_lit:
+                toks |= {
+                    t.lower()
+                    for t in re.findall(r"[A-Za-z_][A-Za-z0-9_$]*", chunk)
+                }
+        if name not in toks:
+            return None
+        ddl = self.server.engine.ddl()
+        try:
+            mt = ddl._manifest(name)
+        except Exception:
+            return None
+        if mt.partition_info():
+            return None
+        spark = self.server.engine.spark
+        removes = txn["removes"]
+        live = [
+            p for p in mt.files() if os.path.basename(p) not in removes
+        ]
+        staged_files = [
+            os.path.join(scratch, f)
+            for scratch, names in txn["parts"]
+            for f in names
+        ]
+        paths = live + staged_files
+        overlay = (
+            mt.read(spark, file_paths=paths)
+            if paths
+            else mt.read(spark).limit(0)
+        )
+        view = f"__sclera_txn_{_uuid.uuid4().hex[:12]}"
+        overlay.createOrReplaceTempView(view)
+        try:
+            rewritten = self._swap_table_token(sql, name, view)
+            return _to_resultset(
+                self.server.engine.execute(rewritten), rewritten
+            )
+        finally:
+            # analysis already bound the view's plan into the returned
+            # DataFrame; dropping here cannot invalidate it
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:
+                pass
+
+    @staticmethod
+    def _swap_table_token(sql: str, table: str, replacement: str) -> str:
+        """Replace word-boundary references to ``table`` (outside
+        string literals, not fn-shaped, case-insensitive) with the
+        overlay view name."""
+        from sclera_spark.plans.frontend import _split_literals
+
+        ident = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
+        out = []
+        for is_lit, chunk in _split_literals(sql):
+            if is_lit:
+                out.append(chunk)
+                continue
+
+            def sub(m: re.Match) -> str:
+                tok = m.group(0)
+                if tok.lower() != table:
+                    return tok
+                if chunk[m.end():].lstrip().startswith("("):
+                    return tok
+                return replacement
+
+            out.append(ident.sub(sub, chunk))
+        return "".join(out)
 
     _ROLLBACK_TO_RE = re.compile(
         r"^\s*ROLLBACK\s+(?:WORK\s+|TRANSACTION\s+)?TO\s+"
@@ -566,7 +701,10 @@ class _Handler(socketserver.BaseRequestHandler):
             name = m.group(1).lower()
             sp.pop(name, None)  # re-establish at the CURRENT position
             sp[name] = {
-                "n_parts": len(txn["parts"]),
+                # full LIST copy, not a count: later same-txn DML may
+                # REWRITE earlier staged parts in place (r12 RYOW), so
+                # restoring must bring back the exact tuples
+                "parts": list(txn["parts"]),
                 "removes": set(txn["removes"]),
                 "rows": txn["rows"],
                 "table": txn["table"],
@@ -587,12 +725,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 sp.pop(nm, None)
             return _ResultSet(None, None, None, "RELEASE")
         mark = sp[name]
-        dropped = txn["parts"][mark["n_parts"]:]
-        if dropped:
-            from sclera_spark.sources.manifest import ManifestTable
-
-            ManifestTable.discard_staged(dropped)
-        txn["parts"] = txn["parts"][: mark["n_parts"]]
+        # no scratch reclaim here: parts dropped by this rollback may
+        # still be referenced by EARLIER savepoints' copies — the
+        # all_staged ledger reclaims every orphan at transaction end
+        txn["parts"] = list(mark["parts"])
         txn["removes"] = set(mark["removes"])
         txn["rows"] = mark["rows"]
         txn["table"] = mark["table"]
@@ -638,19 +774,41 @@ class _Handler(socketserver.BaseRequestHandler):
         if verb in ("UPDATE", "DELETE", "MERGE"):
             from sclera_spark.plans.ddl import TxnDmlRefused
 
+            created: list = []
             try:
                 if verb == "MERGE":
+                    if txn["parts"]:
+                        # MERGE's match join runs against the published
+                        # snapshot and CANNOT see this transaction's
+                        # buffered rows — refusing beats silently
+                        # missing them (r12 read-your-own-writes holds
+                        # for SELECT/UPDATE/DELETE; MERGE stays out)
+                        raise _WireError(
+                            "0A000",
+                            "MERGE after buffered writes in the same "
+                            "transaction: the match cannot see the "
+                            "transaction's own staged rows; COMMIT "
+                            "first",
+                        )
                     # PG 15+ tag form 'MERGE <n>' — clients parse the
                     # affected-row count out of the tag
                     name, staged, removes, n = ddl.txn_stage_merge(
                         sql, txn["removes"]
                     )
                 else:
-                    name, staged, removes, n, _ = ddl.txn_stage_dml(
-                        sql, txn["removes"]
+                    # staged_parts passed in: the DML also rewrites this
+                    # transaction's own buffered rows (read-your-own-
+                    # writes), replacing tuples in txn["parts"] in place
+                    name, staged, removes, n, _, created = (
+                        ddl.txn_stage_dml(
+                            sql, txn["removes"],
+                            staged_parts=txn["parts"],
+                            staged_table=txn["table"],
+                        )
                     )
             except TxnDmlRefused as exc:
                 raise _WireError("0A000", str(exc))
+            txn.setdefault("all_staged", []).extend(created)
             if txn["table"] is not None and txn["table"] != name:
                 if staged is not None:
                     from sclera_spark.sources.manifest import ManifestTable
@@ -666,7 +824,10 @@ class _Handler(socketserver.BaseRequestHandler):
             if staged is not None:
                 txn["table"] = name
                 txn["parts"].append(staged)
+                txn.setdefault("all_staged", []).append(staged)
                 txn["removes"] |= removes
+            elif created or n:
+                txn["table"] = name
             tag = verb if n is None else f"{verb} {n}"
             return _ResultSet(None, None, None, tag)
         if verb != "INSERT":
@@ -703,6 +864,7 @@ class _Handler(socketserver.BaseRequestHandler):
         # ROLLBACK / disconnect cleanup always reclaims the scratch dir
         txn["table"] = name.lower()
         txn["parts"].append((scratch, names))
+        txn.setdefault("all_staged", []).append((scratch, names))
         # exact inserted-row count from the staged footers (no extra job)
         import pyarrow.parquet as pq
 

@@ -1647,8 +1647,12 @@ class DdlRouter:
     )
 
     def txn_stage_dml(
-        self, sql: str, already_removed: set[str]
-    ) -> tuple[str, tuple, set[str], int, str]:
+        self,
+        sql: str,
+        already_removed: set[str],
+        staged_parts: list | None = None,
+        staged_table: str | None = None,
+    ) -> tuple[str, tuple, set[str], int, str, list]:
         """Stage one UPDATE/DELETE for a wire transaction WITHOUT
         committing: run the COW probe against the pre-transaction
         snapshot, write the rewritten survivors of the hit files to a
@@ -1660,15 +1664,24 @@ class DdlRouter:
         loudly. ROLLBACK is truthful by construction: nothing entered
         data/, only scratch dirs are discarded.
 
-        The probe reads the PRE-transaction snapshot — the same
-        documented divergence as reads inside the transaction: rows
-        buffered by earlier statements of this transaction are not
-        visible, so a DELETE cannot un-insert them. A statement whose
-        hit files intersect ``already_removed`` (a file this
-        transaction already rewrote) is refused — replaying two
-        rewrites of one file would duplicate its surviving rows.
+        READ-YOUR-OWN-WRITES (r12): when ``staged_parts`` (the
+        transaction's buffered staged tuples for this table) is given,
+        the predicate is ALSO applied to them — staged parts holding
+        matching rows are rewritten through the same transform and
+        REPLACED in the list in place (pg semantics: an UPDATE sees the
+        transaction's own earlier INSERTs, a DELETE can un-insert
+        them). Replaced tuples are NOT discarded here — savepoint marks
+        may still reference them; the server retires them at
+        transaction end via its ``all_staged`` ledger. A statement
+        whose hit files intersect ``already_removed`` (a PUBLISHED file
+        this transaction already rewrote) is still refused — replaying
+        two rewrites of one published file would duplicate its
+        surviving rows; staged parts have no such hazard because each
+        rewrite replaces the part wholesale.
 
-        Returns (table, staged, remove_basenames, affected_rows, verb).
+        Returns (table, staged, remove_basenames, affected_rows, verb,
+        created) where ``created`` lists newly-staged tuples from
+        staged-part rewrites (for the caller's cleanup ledger).
         Raises :class:`TxnDmlRefused` for anything that cannot be
         staged truthfully."""
         from pyspark.sql import functions as F
@@ -1695,6 +1708,16 @@ class DdlRouter:
             )
         mt = self._manifest(name)
         spark = self.engine.spark
+        created: list = []
+        n_staged_hits = 0
+        if staged_parts and (
+            staged_table is not None and name.lower() != staged_table
+        ):
+            # statement targets a DIFFERENT table than the one this
+            # transaction buffers — the caller's one-table-per-txn
+            # check will refuse it; never rewrite the buffered parts
+            # with a foreign predicate
+            staged_parts = None
         if where:
             hits = self._manifest_dml_hits(mt, where)
             if hits is None:
@@ -1717,8 +1740,6 @@ class DdlRouter:
                     f"rewrite {len(hits)} files (cap "
                     f"{self.cow_file_cap}); run it in autocommit"
                 )
-        if not hits:
-            return name.lower(), None, set(), 0, verb
         overlap = {os.path.basename(p) for p in hits} & already_removed
         if overlap:
             raise TxnDmlRefused(
@@ -1727,6 +1748,33 @@ class DdlRouter:
                 "their surviving rows; COMMIT first, then run the "
                 "statement in a new transaction"
             )
+        if staged_parts:
+            if mt.partition_info():
+                raise TxnDmlRefused(
+                    f"{verb} after buffered writes on partitioned "
+                    f"table {name}: staged rows cannot be re-read "
+                    "through the virtual-partition fill; COMMIT first"
+                )
+            new_list = []
+            for st in staged_parts:
+                scratch, names_ = st
+                files = [os.path.join(scratch, f) for f in names_]
+                sdf = mt.read(spark, file_paths=files)
+                matched = (
+                    sdf.filter(F.expr(where)).count()
+                    if where
+                    else sdf.count()
+                )
+                if matched == 0:
+                    new_list.append(st)
+                    continue
+                n_staged_hits += matched
+                new_st = mt._stage(transform(sdf))
+                created.append(new_st)
+                new_list.append(new_st)
+            staged_parts[:] = new_list
+        if not hits:
+            return name.lower(), None, set(), n_staged_hits, verb, created
         hit_df = mt.read(spark, file_paths=hits)
         if verb == "DELETE":
             # one Spark job total: stage the survivors, then derive the
@@ -1751,7 +1799,10 @@ class DdlRouter:
             if n == 0:
                 ManifestTable = type(mt)
                 ManifestTable.discard_staged([staged])
-                return name.lower(), None, set(), 0, verb
+                return (
+                    name.lower(), None, set(), n_staged_hits, verb,
+                    created,
+                )
         else:
             # UPDATE's tag counts MATCHED rows — that needs the
             # predicate evaluated, but only over the hit files
@@ -1762,14 +1813,18 @@ class DdlRouter:
                 else hit_df.count()
             )
             if n == 0:
-                return name.lower(), None, set(), 0, verb
+                return (
+                    name.lower(), None, set(), n_staged_hits, verb,
+                    created,
+                )
             staged = mt._stage(transform(hit_df))
         return (
             name.lower(),
             staged,
             {os.path.basename(p) for p in hits},
-            n,
+            n + n_staged_hits,
             verb,
+            created,
         )
 
     @staticmethod

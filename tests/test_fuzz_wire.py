@@ -136,17 +136,19 @@ def test_wire_timestamp_binding_extended(wire_env):
 
 
 def test_txn_dml_fuzz_vs_duckdb(spark):
-    """Seeded random transactions (INSERT / COW UPDATE / COW DELETE,
-    ending in COMMIT or ROLLBACK) against a manifest table over the
-    real wire protocol, mirrored statement-by-statement on DuckDB
-    under THIS engine's documented txn semantics: every DML probes the
-    pre-transaction snapshot and writes disjoint row sets (the overlap
-    refusal enforces disjointness), so the committed effect equals
-    'all DMLs against the pre-txn state, then all inserts'. Invariants
-    per transaction: command tags match DuckDB's pre-txn counts;
-    COMMIT with any staged work lands EXACTLY ONE version (else zero);
-    ROLLBACK lands zero; table contents equal DuckDB's after every
-    transaction boundary."""
+    """Seeded random transactions (INSERT / COW UPDATE / COW DELETE /
+    SELECT, ending in COMMIT or ROLLBACK) against a manifest table over
+    the real wire protocol, mirrored statement-by-statement IN ORDER on
+    a DuckDB shadow table — pg semantics (r12 read-your-own-writes): a
+    statement sees every earlier statement of its own transaction,
+    including reads inside the transaction and DML over the
+    transaction's own staged inserts. The only legal mid-txn refusal is
+    the published-file double-rewrite guard (treated as a no-op by the
+    mirror). Invariants per transaction: command tags match the shadow
+    state's in-order counts; mid-txn SELECTs match the shadow state;
+    other sessions keep seeing the pre-txn snapshot; COMMIT with any
+    staged work lands EXACTLY ONE version (else zero); ROLLBACK lands
+    zero; table contents equal the mirror after every boundary."""
     duckdb = pytest.importorskip("duckdb")
 
     engine = ScleraEngine(spark)
@@ -180,6 +182,21 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
                 duck.execute(f"INSERT INTO fz VALUES {vals}")
             next_k = [1000]
 
+            def gen_where():
+                # ranges sometimes overlap the txn's own fresh inserts
+                # (k >= 1000), so RYOW DML-over-staged-rows is fuzzed
+                a = (
+                    rng.randrange(980, next_k[0] + 3)
+                    if rng.random() < 0.35
+                    else rng.randrange(0, 220)
+                )
+                b = a + rng.randrange(0, 80)
+                where = f"k BETWEEN {a} AND {b}"
+                if rng.random() < 0.5:
+                    m = rng.choice([3, 7])
+                    where += f" AND k % {m} = {rng.randrange(m)}"
+                return where
+
             def gen_stmt():
                 kind = rng.choice(["ins", "upd", "del", "upd", "del"])
                 if kind == "ins":
@@ -187,65 +204,100 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
                     next_k[0] += len(ks)
                     vals = ", ".join(f"({k}, {k/2!r})" for k in ks)
                     return "ins", f"INSERT INTO fz VALUES {vals}", len(ks)
-                a = rng.randrange(0, 220)
-                b = a + rng.randrange(0, 80)
-                where = f"k BETWEEN {a} AND {b}"
-                if rng.random() < 0.5:
-                    m = rng.choice([3, 7])
-                    where += f" AND k % {m} = {rng.randrange(m)}"
-                n_pre = duck.execute(
-                    f"SELECT count(*) FROM fz WHERE {where}"
-                ).fetchone()[0]
+                where = gen_where()
                 if kind == "upd":
-                    return (
-                        "upd",
-                        f"UPDATE fz SET v = v + 1 WHERE {where}",
-                        n_pre,
-                    )
-                return "del", f"DELETE FROM fz WHERE {where}", n_pre
+                    return "upd", f"UPDATE fz SET v = v + 1 WHERE {where}", None
+                return "del", f"DELETE FROM fz WHERE {where}", None
 
+            other = WireClient("127.0.0.1", srv.port)
             for _txn in range(4):
                 v0 = len(c.execute("SHOW VERSIONS fz")[1])
+                n_snapshot = int(
+                    c.execute("SELECT count(*) AS n FROM fz")[1][0][0]
+                )
                 c.execute("BEGIN")
-                accepted = []  # (kind, sql, n_want) in execution order
+                # in-order shadow of the transaction's view of fz
+                duck.execute(
+                    "CREATE OR REPLACE TABLE fz_txn AS SELECT * FROM fz"
+                )
+                accepted = []  # sqls applied, in execution order
                 marks = []  # savepoints: (name, len(accepted) at mark)
-                for _s in range(rng.randint(1, 4)):
+
+                def replay(upto):
+                    duck.execute(
+                        "CREATE OR REPLACE TABLE fz_txn AS "
+                        "SELECT * FROM fz"
+                    )
+                    for s2, _, _ in upto:
+                        duck.execute(s2.replace(" fz ", " fz_txn "))
+
+                for _s in range(rng.randint(1, 6)):
                     r = rng.random()
-                    if r < 0.15:
+                    if r < 0.12:
                         nm = f"s{_s}"
                         c.execute(f"SAVEPOINT {nm}")
                         marks.append((nm, len(accepted)))
                         continue
-                    if r < 0.28 and marks:
+                    if r < 0.24 and marks:
                         nm, at = marks[rng.randrange(len(marks))]
                         c.execute(f"ROLLBACK TO SAVEPOINT {nm}")
                         accepted = accepted[:at]
+                        replay(accepted)
                         # later savepoints are destroyed, the target kept
                         marks = marks[: next(
                             i for i, (n2, _) in enumerate(marks) if n2 == nm
                         ) + 1]
                         continue
-                    kind, sql, n_want = gen_stmt()
+                    if r < 0.45:
+                        # read inside the transaction: sees its OWN
+                        # writes (mirror = in-order shadow); a second
+                        # session still sees the pre-txn snapshot
+                        where = gen_where()
+                        got_n = int(c.execute(
+                            f"SELECT count(*) AS n FROM fz WHERE {where}"
+                        )[1][0][0])
+                        want_n = duck.execute(
+                            f"SELECT count(*) FROM fz_txn WHERE {where}"
+                        ).fetchone()[0]
+                        assert got_n == want_n, (
+                            f"seed {seed} txn {_txn}: read-inside-txn "
+                            f"divergence for {where!r}"
+                        )
+                        other_n = int(other.execute(
+                            "SELECT count(*) AS n FROM fz"
+                        )[1][0][0])
+                        assert other_n == n_snapshot, (
+                            f"seed {seed} txn {_txn}: staged rows "
+                            "leaked to another session"
+                        )
+                        continue
+                    kind, sql, n_ins = gen_stmt()
+                    n_want = (
+                        n_ins
+                        if kind == "ins"
+                        else duck.execute(
+                            "SELECT count(*) FROM fz_txn WHERE "
+                            + sql.split(" WHERE ", 1)[1]
+                        ).fetchone()[0]
+                    )
                     try:
                         _, _, tag = c.execute(sql)
                     except RuntimeError as exc:
                         # the only legal refusal mid-txn is the
-                        # same-file double-rewrite guard
+                        # PUBLISHED-file double-rewrite guard; the
+                        # statement is a no-op, the shadow stays put
                         assert "already rewritten" in str(exc), exc
                         continue
                     assert tag.split()[-1] == str(n_want), (sql, tag)
-                    accepted.append((kind, sql, n_want))
+                    duck.execute(sql.replace(" fz ", " fz_txn "))
+                    accepted.append((sql, kind, n_want))
                 staged_work = any(
-                    kind == "ins" or n > 0 for kind, _, n in accepted
+                    kind == "ins" or n > 0 for _, kind, n in accepted
                 )
                 if rng.random() < 0.7:
                     c.execute("COMMIT")
-                    for kind, sql, _n in accepted:
-                        if kind != "ins":
-                            duck.execute(sql)
-                    for kind, sql, _n in accepted:
-                        if kind == "ins":
-                            duck.execute(sql)
+                    duck.execute("DELETE FROM fz")
+                    duck.execute("INSERT INTO fz SELECT * FROM fz_txn")
                     want_delta = 1 if staged_work else 0
                 else:
                     c.execute("ROLLBACK")
@@ -265,6 +317,7 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
                 assert got == [(int(k), float(v)) for k, v in want], (
                     f"seed {seed} txn {_txn}: wire/duck divergence"
                 )
+            other.close()
             duck.close()
         c.execute("DROP TABLE fz")
     finally:

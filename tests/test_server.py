@@ -606,3 +606,77 @@ def test_txn_savepoints(server):
     finally:
         c.execute("DROP TABLE wsp")
         c.close()
+
+
+def test_txn_read_your_own_writes(server):
+    """r12: reads inside a transaction see the transaction's own
+    buffered writes — INSERT then SELECT sees the row, UPDATE/DELETE
+    rewrite staged inserts too, other sessions still see the pre-txn
+    snapshot, ROLLBACK discards everything, savepoint rollback restores
+    the exact staged state."""
+    c = connect(server)
+    c.execute(
+        "CREATE TABLE wryo AS SELECT 1 AS k, 'a' AS v "
+        "UNION ALL SELECT 2, 'b'"
+    )
+    c.execute("ALTER TABLE wryo SET FORMAT MANIFEST")
+    try:
+        c.execute("BEGIN")
+        assert c.execute("INSERT INTO wryo VALUES (10, 'x')")[2] == "INSERT 0 1"
+        # same session: the staged row is visible
+        assert _count(c, "SELECT count(*) AS n FROM wryo") == 3
+        _, rows, _ = c.execute("SELECT v FROM wryo WHERE k = 10")
+        assert rows == [("x",)]
+        # aggregates + joins over the overlay work too
+        assert _count(
+            c,
+            "SELECT count(*) AS n FROM wryo a JOIN wryo b ON a.k = b.k",
+        ) == 3
+        # other sessions: pre-txn snapshot only
+        other = connect(server)
+        assert _count(other, "SELECT count(*) AS n FROM wryo") == 2
+        # UPDATE sees (and rewrites) the same-txn staged insert
+        assert c.execute("UPDATE wryo SET v = 'y' WHERE k = 10")[2] == "UPDATE 1"
+        _, rows, _ = c.execute("SELECT v FROM wryo WHERE k = 10")
+        assert rows == [("y",)]
+        # DELETE can un-insert a staged row
+        assert c.execute("DELETE FROM wryo WHERE k = 10")[2] == "DELETE 1"
+        assert _count(c, "SELECT count(*) AS n FROM wryo") == 2
+        # published-row DML still overlays reads: rewrite k=1
+        assert c.execute("UPDATE wryo SET v = 'z' WHERE k = 1")[2] == "UPDATE 1"
+        _, rows, _ = c.execute("SELECT v FROM wryo WHERE k = 1")
+        assert rows == [("z",)]
+        assert _count(other, "SELECT count(*) AS n FROM wryo WHERE v = 'z'") == 0
+        c.execute("ROLLBACK")
+        assert _count(c, "SELECT count(*) AS n FROM wryo") == 2
+        _, rows, _ = c.execute("SELECT v FROM wryo WHERE k = 1")
+        assert rows == [("a",)]
+
+        # savepoint rollback restores the staged state exactly
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wryo VALUES (20, 'p')")
+        c.execute("SAVEPOINT s")
+        assert c.execute("UPDATE wryo SET v = 'q' WHERE k = 20")[2] == "UPDATE 1"
+        _, rows, _ = c.execute("SELECT v FROM wryo WHERE k = 20")
+        assert rows == [("q",)]
+        c.execute("ROLLBACK TO s")
+        _, rows, _ = c.execute("SELECT v FROM wryo WHERE k = 20")
+        assert rows == [("p",)]  # pre-update staged tuple restored
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT v FROM wryo WHERE k = 20")
+        assert rows == [("p",)]
+        assert _count(other, "SELECT count(*) AS n FROM wryo") == 3
+        # MERGE after buffered writes refuses loudly (its match join
+        # cannot see staged rows)
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wryo VALUES (30, 'm')")
+        with pytest.raises(RuntimeError, match="staged rows"):
+            c.execute(
+                "MERGE INTO wryo t USING (SELECT 30 AS k, 'mm' AS nv) s "
+                "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.nv"
+            )
+        c.execute("ROLLBACK")
+        other.close()
+    finally:
+        c.execute("DROP TABLE wryo")
+        c.close()
