@@ -200,6 +200,10 @@ class _Handler(socketserver.BaseRequestHandler):
             self._ready()
             self._statements: dict[str, str] = {}
             self._portals: dict[str, str] = {}
+            # suspended portals (Execute hit its row limit): resumable
+            # row iterators, destroyed on Close(P) / re-Bind / Sync
+            # outside an explicit transaction (pg portal lifetime)
+            self._suspended: dict[str, dict] = {}
             self._loop()
         except (ConnectionError, BrokenPipeError, OSError):
             pass
@@ -419,9 +423,16 @@ class _Handler(socketserver.BaseRequestHandler):
             elif head == b"E":
                 self._execute(payload)
             elif head == b"C":
+                self._close_portal(payload)
                 self._send(_msg(b"3"))  # CloseComplete
             elif head in (b"S", b"H"):  # Sync / Flush
                 if head == b"S":
+                    # Sync ends the implicit transaction in autocommit,
+                    # which destroys portals — suspended ones included;
+                    # inside BEGIN they survive (pgjdbc setFetchSize
+                    # resumes them across Execute/Sync cycles)
+                    if getattr(self, "_txn", None) is None:
+                        self._suspended.clear()
                     self._ready()
             else:
                 self._error("08P01", f"unsupported message type {head!r}")
@@ -1330,6 +1341,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._error("0A000", "binary result format is not supported")
                 return
         query, oids = self._statements.get(stmt, ("", []))
+        self._suspended.pop(portal, None)  # re-Bind destroys the portal
         try:
             self._portals[portal] = _substitute_params(query, values, oids)
         except ValueError as exc:
@@ -1365,23 +1377,89 @@ class _Handler(socketserver.BaseRequestHandler):
         else:
             self._send(_msg(b"n"))  # NoData
 
+    def _close_portal(self, payload: bytes) -> None:
+        """Close('P', name) drops a suspended portal's iterator;
+        Close('S', ...) and unknown names are no-ops (CloseComplete is
+        sent by the caller either way, per protocol)."""
+        if payload[:1] == b"P":
+            name, _ = _take_cstr(payload[1:])
+            self._suspended.pop(name, None)
+
     def _execute(self, payload: bytes) -> None:
-        portal, _ = _take_cstr(payload)
-        sql = self._portals.get(portal, "")
-        if not sql.strip():
-            self._send(_msg(b"I"))
-            return
-        timer = self._statement_timer()
+        """Execute(portal, maxRows). maxRows > 0 caps the DataRows sent
+        this round: if the result has more, PortalSuspended ('s') is
+        sent and the portal's iterator is kept — the client resumes it
+        with another Execute (pgjdbc setFetchSize). maxRows <= 0
+        streams everything, as before."""
+        portal, rest = _take_cstr(payload)
+        max_rows = (
+            struct.unpack("!i", rest[:4])[0] if len(rest) >= 4 else 0
+        )
+        state = self._suspended.pop(portal, None)
+        if state is None:
+            sql = self._portals.get(portal, "")
+            if not sql.strip():
+                self._send(_msg(b"I"))
+                return
+            timer = self._statement_timer()
+            try:
+                rs = self._run(sql)
+            except Exception as exc:  # noqa: BLE001
+                self._skip_to_sync = True
+                self._error(self._sqlstate_for(exc), str(exc))
+                return
+            finally:
+                if timer is not None:
+                    timer.cancel()
+            if rs.columns is None or rs.rows is None:
+                # row-less command: maxRows is meaningless
+                self._send(_msg(b"C", _cstr(rs.tag or _tag_for(sql))))
+                return
+            state = {"rs": rs, "sql": sql, "sent": 0, "pending": None}
         try:
-            rs = self._run(sql)
-            # extended protocol: RowDescription was sent by Describe
-            self._send_rows(rs, sql, with_description=False)
+            self._send_portal_rows(portal, state, max_rows)
         except Exception as exc:  # noqa: BLE001
             self._skip_to_sync = True
             self._error(self._sqlstate_for(exc), str(exc))
-        finally:
-            if timer is not None:
-                timer.cancel()
+
+    def _send_portal_rows(
+        self, portal: str, state: dict, max_rows: int
+    ) -> None:
+        rs = state["rs"]
+        sent = 0
+        row = state["pending"]
+        state["pending"] = None
+        it = rs.rows
+        while True:
+            if row is None:
+                row = next(it, None)
+                if row is None:
+                    break
+            out = io.BytesIO()
+            out.write(struct.pack("!h", len(row)))
+            for v in row:
+                tv = _text_value(v)
+                if tv is None:
+                    out.write(struct.pack("!i", -1))
+                else:
+                    out.write(struct.pack("!i", len(tv)))
+                    out.write(tv)
+            self._send(_msg(b"D", out.getvalue()))
+            sent += 1
+            row = None
+            if max_rows > 0 and sent >= max_rows:
+                nxt = next(it, None)
+                if nxt is not None:
+                    state["pending"] = nxt
+                    state["sent"] += sent
+                    self._suspended[portal] = state
+                    self._send(_msg(b"s"))  # PortalSuspended
+                    return
+                break
+        total = state["sent"] + sent
+        self._send(
+            _msg(b"C", _cstr(rs.tag or _tag_for(state["sql"], total)))
+        )
 
 
 # pg type oids that may splice as raw (unquoted) SQL tokens
@@ -1769,6 +1847,61 @@ class WireClient:
                 if error is not None:
                     raise RuntimeError(error)
                 return columns, rows, tag
+
+    def execute_fetch(
+        self, sql: str, fetch: int, params: tuple = ()
+    ) -> tuple[list[str], list[list[tuple]], str]:
+        """Extended protocol with Execute(maxRows) — the message cycle
+        a JDBC driver emits under setFetchSize: Parse/Bind/Describe,
+        then repeated Execute(fetch) rounds, each answered with up to
+        ``fetch`` DataRows and PortalSuspended until the final round's
+        CommandComplete. Returns (columns, batches, tag) with one
+        row-list per Execute round."""
+        bind = io.BytesIO()
+        bind.write(_cstr("") + _cstr("") + struct.pack("!h", 0))
+        bind.write(struct.pack("!h", len(params)))
+        for p in params:
+            if p is None:
+                bind.write(struct.pack("!i", -1))
+            else:
+                tv = str(p).encode("utf-8")
+                bind.write(struct.pack("!i", len(tv)) + tv)
+        bind.write(struct.pack("!h", 0))
+        self.sock.sendall(
+            _msg(b"P", _cstr("") + _cstr(sql) + struct.pack("!h", 0))
+            + _msg(b"B", bind.getvalue())
+            + _msg(b"D", b"P" + _cstr(""))
+            + _msg(b"E", _cstr("") + struct.pack("!i", fetch))
+        )
+        columns: list[str] = []
+        batches: list[list[tuple]] = []
+        cur: list[tuple] = []
+        tag = ""
+        error: str | None = None
+        while True:
+            head, payload = self._read_message()
+            if head == b"T":
+                columns = _parse_row_description(payload)
+            elif head == b"D":
+                cur.append(_parse_data_row(payload))
+            elif head == b"s":  # PortalSuspended: ask for the next batch
+                batches.append(cur)
+                cur = []
+                self.sock.sendall(
+                    _msg(b"E", _cstr("") + struct.pack("!i", fetch))
+                )
+            elif head == b"C":
+                tag, _ = _take_cstr(payload)
+                batches.append(cur)
+                cur = []
+                self.sock.sendall(_msg(b"S"))
+            elif head == b"E":
+                error = _parse_error(payload)
+                self.sock.sendall(_msg(b"S"))
+            elif head == b"Z":
+                if error is not None:
+                    raise RuntimeError(error)
+                return columns, batches, tag
 
     def close(self) -> None:
         try:

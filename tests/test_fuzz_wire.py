@@ -323,3 +323,53 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
     finally:
         c.close()
         srv.stop()
+
+
+# ------------------- r12: portal suspension (Execute maxRows)
+
+
+def test_portal_suspension_fetch_cycles(wire_env):
+    """Execute(maxRows) suspends the portal after maxRows DataRows
+    (PortalSuspended), resumes on the next Execute, and completes with
+    the full-count tag — the JDBC setFetchSize cycle. Rows across
+    batches equal the unsuspended result exactly, order preserved."""
+    _engine, client = wire_env
+    sql = "SELECT k, d FROM j3 ORDER BY k, d"
+    cols_all, rows_all, tag_all = client.execute(sql)
+    for fetch in (1, 2, 7, 1000):
+        cols, batches, tag = client.execute_fetch(sql, fetch)
+        assert cols == cols_all
+        assert tag == tag_all == f"SELECT {len(rows_all)}"
+        flat = [r for b in batches for r in b]
+        assert flat == rows_all, f"fetch={fetch}"
+        # every non-final batch is exactly `fetch` rows
+        assert all(len(b) == fetch for b in batches[:-1]), f"fetch={fetch}"
+        assert 1 <= len(batches[-1]) <= fetch or not rows_all
+    # a parameterized fetch reuses the same machinery
+    cols, batches, tag = client.execute_fetch(
+        "SELECT k FROM j3 WHERE d < $1 ORDER BY k", 2, (20,)
+    )
+    flat = [r for b in batches for r in b]
+    assert tag == f"SELECT {len(flat)}"
+    assert flat == sorted(
+        [(str(k),) for k, d in _J3 if d < 20], key=lambda t: int(t[0])
+    )
+
+
+def test_portal_suspension_fuzz(wire_env):
+    """Seeded generator queries streamed through random fetch sizes:
+    concatenated suspended batches must equal the one-shot wire result
+    for every seed (framing, NULLs, multibyte strings included)."""
+    _engine, client = wire_env
+    for seed in range(8):
+        gen = JGen(random.Random(7700 + seed))
+        sql, _duck = gen.query()
+        _, rows_once, tag_once = client.execute(sql)
+        fetch = random.Random(seed).choice([1, 2, 3, 5])
+        _, batches, tag = client.execute_fetch(sql, fetch)
+        flat = [r for b in batches for r in b]
+        assert sorted(flat, key=_row_key) == sorted(
+            rows_once, key=_row_key
+        ), f"seed {seed}"
+        assert tag == tag_once, f"seed {seed}"
+        assert all(len(b) == fetch for b in batches[:-1]), f"seed {seed}"
