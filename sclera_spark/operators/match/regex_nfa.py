@@ -261,6 +261,70 @@ class CompiledMatcher:
         Empty (zero-length) matches are skipped."""
         return [(s, e) for s, e, _ in self.find_matches_with_paths(row_labels, False)]
 
+    def scan_open(
+        self, row_labels, want_paths: bool = True
+    ) -> tuple[list[tuple[int, int, list[str] | None]], int | None]:
+        """:meth:`find_matches_with_paths` over a PREFIX of a longer
+        input (r12 bounded-memory MATCH): identical greedy
+        leftmost-longest loop, except an attempt whose frontier is still
+        ALIVE at the end of the given rows is WITHHELD — more input
+        could extend or settle it. Returns ``(settled_spans,
+        open_start)`` where ``open_start`` is that attempt's start
+        index (the caller must re-feed rows from there together with
+        the next chunk), or None when every attempt settled within the
+        prefix. An anchored-begin pattern whose first attempt settles
+        returns open_start=None with nothing further ever matchable —
+        the caller's ``dead`` flag covers that."""
+        masks = self.row_masks(row_labels)
+        n = len(masks)
+        next_mask, finish = self.next_mask, self.finish_mask
+        anchored_end, anchored_begin = (
+            self.nfa.anchored_end,
+            self.nfa.anchored_begin,
+        )
+        start_step = next_mask[self.state_index[AnchoredNfa.START]]
+        index_state = {i: s for s, i in self.state_index.items()}
+        out: list[tuple[int, int, list[str] | None]] = []
+        i = 0
+        while i < n:
+            cur = start_step & masks[i]
+            frontiers = [cur]
+            best_end = -1
+            j = i
+            while cur:
+                j += 1
+                # NOTE vs find_matches_with_paths: an accept at j == n is
+                # NOT final here — the input is a prefix, so an
+                # anchored-end accept (or any accept that could extend)
+                # stays with the open attempt
+                if cur & finish and not anchored_end:
+                    best_end = j
+                if j >= n:
+                    break
+                nxt = 0
+                m = cur
+                while m:
+                    b = m & -m
+                    nxt |= next_mask[b.bit_length() - 1]
+                    m ^= b
+                cur = nxt & masks[j]
+                frontiers.append(cur)
+            if cur:  # alive at prefix end: withhold from i onward
+                return out, i
+            if best_end > i:
+                labels_path = (
+                    self._trace_labels(frontiers[: best_end - i], index_state)
+                    if want_paths
+                    else None
+                )
+                out.append((i, best_end, labels_path))
+                i = best_end
+            else:
+                i += 1
+            if anchored_begin:
+                break
+        return out, None
+
     def find_matches_with_paths(
         self, row_labels, want_paths: bool = True
     ) -> list[tuple[int, int, list[str] | None]]:
