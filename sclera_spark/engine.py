@@ -132,9 +132,18 @@ class ScleraEngine:
         — the store behind CLASSIFIED/CLUSTERED/IMPUTED WITH clauses and
         CREATE CLASSIFIER/CLUSTERER DDL."""
         if not hasattr(self, "_ml_registry"):
+            import os
+
             from sclera_spark.ml import MLRegistry
 
             self._ml_registry = MLRegistry()
+            if self.catalog_dir:
+                # persisted-catalog mode: pyspark.ml models save under
+                # the catalog dir and reload lazily in later sessions
+                self._ml_registry.store_dir = os.path.join(
+                    self.catalog_dir, "ml_models"
+                )
+                os.makedirs(self._ml_registry.store_dir, exist_ok=True)
         return self._ml_registry
 
     @property

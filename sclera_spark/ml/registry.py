@@ -207,30 +207,72 @@ class MLRegistry:
     def _store(
         self, name: str, model, feature_cols: list[str], kind: str = "classifier"
     ) -> None:
+        import json
+
         key = name.upper()
         self.models[key] = model
         self.feature_cols[key] = feature_cols
         self.kinds[key] = kind
         if self.store_dir and hasattr(model, "write"):
-            model.write().overwrite().save(os.path.join(self.store_dir, key))
+            # pyspark.ml persistence + a sidecar with what the model
+            # file does not carry (kind, feature columns) — a restarted
+            # engine lazily reloads on first use (reference: models
+            # persist in the schema store, exec/SchemaStore.scala)
+            path = os.path.join(self.store_dir, key)
+            model.write().overwrite().save(path)
+            with open(path + ".json", "w") as fh:
+                json.dump(
+                    {"kind": kind, "feature_cols": feature_cols}, fh
+                )
 
-    def get(self, name: str):
-        m = self.models.get(name.upper())
+    def get(self, name: str, spark=None):
+        """The named model; with ``spark`` given, a model persisted by a
+        previous session (pyspark.ml save + sidecar) reloads lazily."""
+        key = name.upper()
+        m = self.models.get(key)
+        if m is None and spark is not None and self.store_dir:
+            m = self._load(key, spark)
         if m is None:
             raise KeyError(f"unknown ML object: {name}")
         return m
 
+    def _load(self, key: str, spark):
+        import json
+
+        path = os.path.join(self.store_dir, key)
+        sidecar = path + ".json"
+        if not (os.path.isdir(path) and os.path.isfile(sidecar)):
+            return None
+        from pyspark.ml import PipelineModel
+
+        model = PipelineModel.load(path)
+        with open(sidecar) as fh:
+            meta = json.load(fh)
+        self.models[key] = model
+        self.feature_cols[key] = meta["feature_cols"]
+        self.kinds[key] = meta["kind"]
+        return model
+
     def drop(self, name: str) -> None:
+        import shutil
+
         self.models.pop(name.upper(), None)
         self.feature_cols.pop(name.upper(), None)
         self.kinds.pop(name.upper(), None)
+        if self.store_dir:
+            path = os.path.join(self.store_dir, name.upper())
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.unlink(path + ".json")
+            except FileNotFoundError:
+                pass
 
 
 def classify(
     registry: MLRegistry, df: DataFrame, name: str, out_col: str = "label"
 ) -> DataFrame:
     """`<input> CLASSIFIED WITH name` — original columns + predicted label."""
-    model = registry.get(name)
+    model = registry.get(name, df.sparkSession)
     out = model.transform(df)
     return out.select(*df.columns, F.col("prediction").cast("int").alias(out_col))
 
@@ -239,7 +281,7 @@ def cluster(
     registry: MLRegistry, df: DataFrame, name: str, out_col: str = "cluster"
 ) -> DataFrame:
     """`<input> CLUSTERED WITH name` — original columns + cluster id."""
-    model = registry.get(name)
+    model = registry.get(name, df.sparkSession)
     out = model.transform(df)
     return out.select(*df.columns, F.col("__cluster").alias(out_col))
 
@@ -254,7 +296,7 @@ def impute(
     """`<input> IMPUTED WITH name(col) [FLAG f]`: NULLs in ``col`` replaced
     by the named classifier's prediction from the other feature columns;
     optional boolean flag marks imputed rows (reference ImputeSpec.scala)."""
-    model = registry.get(name)
+    model = registry.get(name, df.sparkSession)
     # mark nullness BEFORE filling (the model needs a non-null feature value
     # to produce a prediction for the missing rows)
     marked = df.withColumn("__was_null", F.col(col).isNull())

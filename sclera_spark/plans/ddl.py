@@ -1912,30 +1912,66 @@ class DdlRouter:
         for kv in (opts or "").split(","):
             if "=" in kv:
                 k, v = kv.split("=", 1)
-                out[k.strip().lower()] = v.strip()
+                out[k.strip().lower()] = v.strip().strip("'\"")
         return out
 
-    def _create_classifier(self, alg, opts, name, target, query):
-        df = self.engine.sql(query)
+    # r12: the prescribed spelling — `USING <query> WITH (model='tree',
+    # max_depth=6)` — peels a trailing option list off the training
+    # query (a bare trailing `WITH (k=v,...)` is never valid SQL, so
+    # the peel cannot eat query text); the legacy ('alg','opts') prefix
+    # form still parses, WITH options win on conflict.
+    _ML_WITH_RE = re.compile(
+        r"^(.*?)\s+WITH\s*\(\s*(\w+\s*=\s*[^,()]+"
+        r"(?:\s*,\s*\w+\s*=\s*[^,()]+)*)\s*\)\s*$",
+        re.I | re.S,
+    )
+
+    _ML_MODEL_ALIASES = {
+        "tree": "decision_tree", "decision_tree": "decision_tree",
+        "logreg": "logistic", "logistic": "logistic",
+        "forest": "random_forest", "random_forest": "random_forest",
+        "stump": "stump", "kmeans": "kmeans", "voronoi": "voronoi",
+    }
+
+    def _peel_ml_with(self, query: str, opts: str | None) -> tuple[str, dict]:
         o = self._ml_opts(opts)
+        m = self._ML_WITH_RE.match(query)
+        if m:
+            query = m.group(1)
+            o.update(self._ml_opts(m.group(2)))
+        return query, o
+
+    def _ml_algorithm(self, o: dict, alg, default: str) -> str:
+        spelled = o.get("model", alg or default).lower()
+        algorithm = self._ML_MODEL_ALIASES.get(spelled)
+        if algorithm is None:
+            raise ValueError(
+                f"unknown model {spelled!r}; supported: "
+                f"{sorted(set(self._ML_MODEL_ALIASES))}"
+            )
+        return algorithm
+
+    def _create_classifier(self, alg, opts, name, target, query):
+        query, o = self._peel_ml_with(query, opts)
+        df = self.engine.sql(query)
         self.engine.ml.create_classifier(
             name,
             df,
             label_col=target,
             feature_cols=self._ml_features(df, exclude=target),
-            algorithm=(alg or "decision_tree").lower(),
+            algorithm=self._ml_algorithm(o, alg, "decision_tree"),
             max_depth=int(o.get("max_depth", 5)),
         )
 
     def _create_clusterer(self, alg, opts, name, query):
+        query, o = self._peel_ml_with(query, opts)
         df = self.engine.sql(query)
-        o = self._ml_opts(opts)
         self.engine.ml.create_clusterer(
             name,
             df,
             feature_cols=self._ml_features(df),
             k=int(o.get("k", 4)),
-            algorithm=(alg or "kmeans").lower(),
+            algorithm=self._ml_algorithm(o, alg, "kmeans"),
         )
 
     def _drop_ml(self, kind: str, name: str):

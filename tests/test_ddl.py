@@ -705,7 +705,7 @@ def test_txn_stage_dml_is_capped_and_refuses_over_cap(
         with pytest.raises(TxnDmlRefused, match="without WHERE"):
             engine.ddl().txn_stage_dml("DELETE FROM cap_tx", set())
         # a selective statement still stages fine under the same cap
-        name, staged, removes, n, verb = engine.ddl().txn_stage_dml(
+        name, staged, removes, n, verb, _created = engine.ddl().txn_stage_dml(
             "DELETE FROM cap_tx WHERE k = 5", set()
         )
         assert verb == "DELETE" and n == 1 and len(removes) == 1

@@ -376,3 +376,122 @@ def test_cte_shadows_and_restores_engine_table(engine):
             "SELECT * FROM nation PARTITION BY z ARG (MAX(z))"
         )
     assert engine.sql("SELECT count(*) AS c FROM nation").collect()[0].c == 25
+
+
+# ------- r12: pyspark.ml estimators behind the DDL (WITH model=...)
+
+
+@pytest.fixture()
+def xor_view(spark):
+    """A deterministic XOR grid — the canonical dataset NO single-
+    feature threshold (stump) can separate, but a depth-2 tree and a
+    feature-crossed boundary can."""
+    rows = [
+        (i, float(i % 20) / 20.0, float((i // 20) % 20) / 20.0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, f0 double, f1 double")
+    df = df.withColumn(
+        "label",
+        ((F.col("f0") > 0.5) != (F.col("f1") > 0.5)).cast("int"),
+    )
+    df.createOrReplaceTempView("xor_sql")
+    return df
+
+
+def _accuracy(engine, clf, view="xor_sql"):
+    pdf = engine.sql(
+        f"SELECT label, pred FROM {view} CLASSIFIED WITH {clf} (pred)"
+    ).toPandas()
+    return (pdf["label"] == pdf["pred"]).mean()
+
+
+def test_with_model_tree_beats_stump(engine, xor_view):
+    """VERDICT r12 task 4: the WITH (model=...) spelling lowers to
+    pyspark.ml estimators, and on the XOR fixture the tree (and
+    forest) accuracy beats the deterministic stump default — the stump
+    stays as the oracle-graded entry, pyspark.ml is the quality path."""
+    engine.execute(
+        "CREATE CLASSIFIER ('stump') xr_stump (label) USING "
+        "SELECT label, f0, f1 FROM xor_sql"
+    )
+    engine.execute(
+        "CREATE CLASSIFIER xr_tree (label) USING "
+        "SELECT label, f0, f1 FROM xor_sql WITH (model='tree', max_depth=4)"
+    )
+    engine.execute(
+        "CREATE CLASSIFIER xr_forest (label) USING "
+        "SELECT label, f0, f1 FROM xor_sql WITH (model='forest')"
+    )
+    acc_stump = _accuracy(engine, "xr_stump")
+    acc_tree = _accuracy(engine, "xr_tree")
+    acc_forest = _accuracy(engine, "xr_forest")
+    assert acc_stump <= 0.8  # XOR: one threshold cannot separate
+    assert acc_tree >= 0.95 and acc_tree > acc_stump
+    assert acc_forest > acc_stump
+    # logreg parses and runs through the same surface (XOR is its
+    # worst case, so only the plumbing is asserted)
+    engine.execute(
+        "CREATE CLASSIFIER xr_lr (label) USING "
+        "SELECT label, f0, f1 FROM xor_sql WITH (model='logreg')"
+    )
+    assert 0.0 <= _accuracy(engine, "xr_lr") <= 1.0
+    # unknown model name refuses loudly
+    with pytest.raises(ValueError, match="unknown model"):
+        engine.execute(
+            "CREATE CLASSIFIER xr_bad (label) USING "
+            "SELECT label, f0, f1 FROM xor_sql WITH (model='svm9000')"
+        )
+    for n in ("xr_stump", "xr_tree", "xr_forest", "xr_lr"):
+        engine.execute(f"DROP CLASSIFIER {n}")
+
+
+def test_with_model_kmeans_clusterer(engine, xor_view):
+    engine.execute(
+        "CREATE CLUSTERER xr_km USING SELECT f0, f1 FROM xor_sql "
+        "WITH (model='kmeans', k=4)"
+    )
+    pdf = engine.sql(
+        "SELECT vec_id, cl FROM xor_sql CLUSTERED WITH xr_km (cl)"
+    ).toPandas()
+    assert pdf["cl"].nunique() == 4
+    engine.execute("DROP CLUSTERER xr_km")
+
+
+def test_ml_model_persists_across_sessions(spark, tables, tmp_path, monkeypatch):
+    """pyspark.ml models save under the persisted catalog dir and a
+    NEW engine lazily reloads them on first CLASSIFIED WITH use
+    (reference: models persist in the schema store)."""
+    from sclera_spark.engine import ScleraEngine
+
+    monkeypatch.setenv("SCLERA_SPARK_CATALOG_DIR", str(tmp_path / "cat"))
+    eng1 = ScleraEngine(spark)
+    rows = [(i, float(i), float(2 * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, f0 double, f1 double")
+    df = df.withColumn("label", (F.col("f0") > 25).cast("int"))
+    df.createOrReplaceTempView("persist_feats")
+    eng1.execute(
+        "CREATE CLASSIFIER persist_clf (label) USING "
+        "SELECT label, f0, f1 FROM persist_feats WITH (model='tree')"
+    )
+    want = eng1.sql(
+        "SELECT vec_id, pred FROM persist_feats "
+        "CLASSIFIED WITH persist_clf (pred)"
+    ).toPandas()
+    eng2 = ScleraEngine(spark)  # fresh registry, same catalog dir
+    assert "PERSIST_CLF" not in eng2.ml.models
+    got = eng2.sql(
+        "SELECT vec_id, pred FROM persist_feats "
+        "CLASSIFIED WITH persist_clf (pred)"
+    ).toPandas()
+    assert got.sort_values("vec_id").reset_index(drop=True).equals(
+        want.sort_values("vec_id").reset_index(drop=True)
+    )
+    # DROP reclaims the persisted artifacts too
+    eng2.execute("DROP CLASSIFIER persist_clf")
+    eng3 = ScleraEngine(spark)
+    with pytest.raises(KeyError):
+        eng3.sql(
+            "SELECT vec_id, pred FROM persist_feats "
+            "CLASSIFIED WITH persist_clf (pred)"
+        ).collect()
