@@ -546,15 +546,21 @@ class ManifestTable:
             # engine's column-mapping machinery (r10 schema evolution):
             # the public log's per-field physicalName/id metadata become
             # mapping entries, reads project physical -> logical exactly
-            # as for natively-evolved tables. mode=id (match by parquet
-            # field id, arbitrary footer names) stays refused — this
-            # reader maps by physical NAME.
-            if mapping_mode != "name":
+            # as for natively-evolved tables.
+            # r12: mode=id imports through the SAME machinery — readers
+            # of an id-mapped table match parquet columns by FIELD ID,
+            # but delta-spark writes those files with the physicalName
+            # as the column name AND the id in the footer, so a
+            # name-based read is correct exactly when every footer's
+            # (field id -> column name) agrees with the log's
+            # (id -> physicalName). That agreement is VERIFIED per file
+            # below (one metadata read, import time only); any drifted
+            # footer refuses loudly instead of silently mis-binding.
+            if mapping_mode not in ("name", "id"):
                 raise ValueError(
                     "Delta import: delta.columnMapping.mode="
-                    f"{mapping_mode!r} is not supported (files are "
-                    "matched by parquet field id, not name); only "
-                    "mode=name imports"
+                    f"{mapping_mode!r} is not supported; only "
+                    "mode=name and mode=id import"
                 )
             if schema_json is None:
                 raise ValueError(
@@ -666,6 +672,47 @@ class ManifestTable:
             ]
             if schema_json:
                 meta["table_schema"] = json.dumps(schema_json)
+        if mapping_cols is not None and mapping_mode == "id":
+            import pyarrow.parquet as pq
+
+            # mode=id verification: every footer column carrying a
+            # field id must be NAMED with that id's physicalName (the
+            # delta-spark writer layout); a drifted footer would make
+            # the name-based read silently mis-bind -> loud refusal.
+            by_id = {e["id"]: e["physical"] for e in mapping_cols}
+            phys_names = {e["physical"] for e in mapping_cols}
+            for src in srcs:
+                arrow = pq.ParquetFile(src).schema_arrow
+                for af in arrow:
+                    md = af.metadata or {}
+                    fid = md.get(b"PARQUET:field_id")
+                    if fid is None:
+                        # id-less column in an id-mapped table: binding
+                        # is provable only when the name IS a mapped
+                        # physical name (otherwise a true id-reader and
+                        # this name-reader would disagree)
+                        if af.name.split(".", 1)[0] not in phys_names:
+                            raise ValueError(
+                                "Delta import: columnMapping.mode=id — "
+                                f"file {os.path.basename(src)!r} column "
+                                f"{af.name!r} carries no parquet field "
+                                "id and is not a mapped physicalName; "
+                                "cannot prove how an id-based reader "
+                                "would bind it. Rewrite/compact the "
+                                "table first."
+                            )
+                        continue
+                    want = by_id.get(int(fid))
+                    if want is not None and af.name != want:
+                        raise ValueError(
+                            "Delta import: columnMapping.mode=id — "
+                            f"file {os.path.basename(src)!r} stores "
+                            f"field id {int(fid)} under column "
+                            f"{af.name!r} but the log maps it to "
+                            f"physicalName {want!r}; a name-based "
+                            "read would mis-bind it. Rewrite/compact "
+                            "the table first."
+                        )
         if mapping_cols is not None:
             import pyarrow.parquet as pq
 

@@ -742,7 +742,9 @@ def test_delta_import_column_mapping_external_fixture(spark, tmp_path):
     assert df.columns == ["k", "v"]
     rows = sorted((r.k, r.v) for r in df.collect())
     assert rows == [(i, float(i * 2)) for i in range(25)]
-    # mode=id refuses
+    # r12: mode=id imports too — here the footers carry no field ids,
+    # but every column IS named by its physicalName, so the binding an
+    # id-based reader would compute equals the name-based one
     d2 = str(tmp_path / "cmid")
     os.makedirs(d2, exist_ok=True)
     shutil.copyfile(
@@ -757,8 +759,9 @@ def test_delta_import_column_mapping_external_fixture(spark, tmp_path):
         {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
                  "dataChange": True}},
     ])
-    with pytest.raises(ValueError, match="mode='id'|not supported"):
-        ManifestTable.import_delta(d2, str(tmp_path / "cmid_import"))
+    mt2 = ManifestTable.import_delta(d2, str(tmp_path / "cmid_import"))
+    rows2 = sorted((r.k, r.v) for r in mt2.read(spark).collect())
+    assert rows2 == [(i, float(i * 2)) for i in range(25)]
 
 
 def test_delta_import_column_mapping_nested_fields(spark, tmp_path):
@@ -1218,3 +1221,115 @@ def test_mirror_vacuum_reclaims_dropped_files(engine, spark, tmp_path):
         assert sorted(r.k for r in mt2.read(spark).collect()) == [111, 112]
     finally:
         engine.execute("DROP TABLE mvac")
+
+
+def test_delta_import_mode_id_with_field_ids(spark, tmp_path):
+    """r12: a delta-spark-layout mode=id table (parquet footers carry
+    PARQUET:field_id and columns are named by physicalName) imports
+    through the same mapping machinery as mode=name; a footer whose
+    field id sits under a DIFFERENT column name refuses loudly (an
+    id-based reader would bind it differently); an id-less column not
+    named by any physicalName refuses too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idtab")
+    os.makedirs(d, exist_ok=True)
+
+    def _write(name, col_a, col_b, ids=(1, 2)):
+        fields = [
+            pa.field(
+                col_a, pa.int64(),
+                metadata={b"PARQUET:field_id": str(ids[0]).encode()},
+            ),
+            pa.field(
+                col_b, pa.float64(),
+                metadata={b"PARQUET:field_id": str(ids[1]).encode()},
+            ),
+        ]
+        tbl = pa.table(
+            {col_a: list(range(12)), col_b: [i * 0.5 for i in range(12)]},
+            schema=pa.schema(fields),
+        )
+        pq.write_table(tbl, os.path.join(d, name))
+
+    _write("f1.parquet", "col-9aa1", "col-77bc")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-9aa1"}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-77bc"}},
+        ],
+    }
+
+    def _log(root, files):
+        _commit(os.path.join(root, "_delta_log"), 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "cid", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"}}},
+            *[{"add": {"path": f, "size": 1, "modificationTime": 0,
+                       "dataChange": True}} for f in files],
+        ])
+
+    _log(d, ["f1.parquet"])
+    mt = ManifestTable.import_delta(d, str(tmp_path / "id_import"))
+    df = mt.read(spark)
+    assert df.columns == ["k", "v"]
+    rows = sorted((r.k, r.v) for r in df.collect())
+    assert rows == [(i, i * 0.5) for i in range(12)]
+
+    # drifted footer: field id 1 under a name that is NOT its
+    # physicalName — loud refusal
+    d2 = str(tmp_path / "idtab_drift")
+    os.makedirs(d2, exist_ok=True)
+    import shutil
+
+    def _mklog(root, fname, writer):
+        writer(root, fname)
+        _commit(os.path.join(root, "_delta_log"), 0, [
+            {"metaData": {
+                "id": "cid2", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"}}},
+            {"add": {"path": fname, "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+
+    def _drift_writer(root, fname):
+        fields = [
+            pa.field("col-WRONG", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-77bc", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+        tbl = pa.table(
+            {"col-WRONG": [1], "col-77bc": [0.5]},
+            schema=pa.schema(fields),
+        )
+        pq.write_table(tbl, os.path.join(root, fname))
+
+    _mklog(d2, "f1.parquet", _drift_writer)
+    with pytest.raises(ValueError, match="mis-bind"):
+        ManifestTable.import_delta(d2, str(tmp_path / "id_import2"))
+
+    # id-less column with a foreign name: binding unprovable — refuse
+    d3 = str(tmp_path / "idtab_foreign")
+    os.makedirs(d3, exist_ok=True)
+
+    def _foreign_writer(root, fname):
+        tbl = pa.table({"mystery": [1], "col-77bc": [0.5]})
+        pq.write_table(tbl, os.path.join(root, fname))
+
+    _mklog(d3, "f1.parquet", _foreign_writer)
+    with pytest.raises(ValueError, match="cannot prove"):
+        ManifestTable.import_delta(d3, str(tmp_path / "id_import3"))
