@@ -1935,21 +1935,24 @@ _WINDOW_ORDER = [
     # (row_sources and star_except, both re-certified r10, demote to
     # the tail in exchange)
     "delta_roundtrip", "stream_upsert",
-    # r11 rotation (VERDICT r10 #8): the ML trio + transform_zscore
-    # were last driver-certified r8 — the oldest certifications in the
-    # inventory — so they rotate back into the graded window; in
-    # exchange four core-SQL entries certified in BOTH r9 and r10
-    # (q3_shipping, q5_local_supplier, join_variants, outer_joins)
-    # demote to the tail, each keeping its fuzz family
-    # (test_fuzz_joins 200-seed, TPC-H pytest) and every
-    # tools/check_entry sweep. No oracle entry's certification ages
-    # past two rounds under this schedule.
+    # r11 rotation: the ML trio + transform_zscore, re-certified r11 —
+    # kept one more round
     "classified_with", "clustered_with", "imputed_with",
     "transform_zscore",
-    # r9 rotation block, re-certified r10 — stays for freshness
-    "setops", "conditionals", "scalar_math", "datetime_fns",
-    "string_fns", "predicates", "grouping_sets", "order_fetch",
-    "string_agg_ordered", "scalar_sclera_names", "distinct_on",
+    # r12 rotation (VERDICT r11 #8): the entries whose last driver
+    # certification is OLDEST (r10: q3_shipping, q5_local_supplier,
+    # join_variants, outer_joins, row_sources, star_except, plus
+    # fingerprint_dups) rotate back into the graded window; in
+    # exchange seven entries certified in BOTH r10 and r11 (setops,
+    # conditionals, scalar_math, datetime_fns, string_fns, predicates,
+    # grouping_sets) demote to the tail — each keeps its fuzz family
+    # (frontend/grouping/joins suites) and every tools/check_entry
+    # sweep. No oracle entry's certification ages past two rounds.
+    "q3_shipping", "q5_local_supplier", "join_variants", "outer_joins",
+    "row_sources", "star_except", "fingerprint_dups",
+    # r9 rotation remnant, re-certified r10+r11 — rotates next round
+    "order_fetch", "string_agg_ordered", "scalar_sclera_names",
+    "distinct_on",
 ]
 
 
