@@ -2441,6 +2441,11 @@ class DdlRouter:
                 out.append((k, self.engine.spark.conf.get(k)))
             except Exception:
                 out.append((k, None))
+        # engine options (SET <option> = '<value>'): show effective
+        # values, defaults included, so SHOW OPTIONS documents what a
+        # session can toggle
+        for k in sorted(self._OPTION_KEYS):
+            out.append((k, self.engine.config.get(k, "on")))
         return out
 
     def _describe(self, loc: str | None, name: str):

@@ -5,7 +5,14 @@ reference's single-threaded whole-input semantics when called without
 partition keys by coalescing to one task. That is correct but serializes
 the entire input through one executor core — fine for bounded data,
 a scale-killer on a 100 TB cluster run. These paths warn loudly so the
-fallback is never silent in a pipeline."""
+fallback is never silent in a pipeline.
+
+Memory note (r12): MATCH's single-task fallback is CPU-serialized but
+no longer memory-unbounded — the chunked partition matcher keeps only
+the open attempt tail resident (operators/match/matcher.py
+MAX_ATTEMPT_ROWS), so even a 100M-row single group streams through in
+Arrow-batch-sized memory. ALIGN's DP still materializes both aligned
+series per partition key (inherent to banded DTW)."""
 
 from __future__ import annotations
 

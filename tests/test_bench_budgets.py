@@ -24,11 +24,20 @@ def test_regression_is_flagged():
     assert v[0]["budget"] == bench.BUDGETS["split_intervals"]
 
 
-def test_gate_only_at_calibrated_point():
+def test_gate_only_at_calibrated_points():
     bad = {n: b * 10 for n, b in bench.BUDGETS.items()}
     assert bench.check_budgets(bad, 0.01, 1) == []  # wrong SF
-    assert bench.check_budgets(bad, 0.1, 10) == []  # replicated stress run
+    assert bench.check_budgets(bad, 0.1, 3) == []  # uncalibrated scale
     assert len(bench.check_budgets(bad, 0.1, 1)) == len(bench.BUDGETS)
+    # r12: scale=10 (~sf1) is a second calibrated point with its own
+    # budget table for the storage/LLM tiers
+    bad10 = {n: b * 10 for n, b in bench.BUDGETS_SCALE10.items()}
+    assert bench.check_budgets(bad10, 0.01, 10) == []
+    assert len(bench.check_budgets(bad10, 0.1, 10)) == len(
+        bench.BUDGETS_SCALE10
+    )
+    good10 = {n: b * 0.5 for n, b in bench.BUDGETS_SCALE10.items()}
+    assert bench.check_budgets(good10, 0.1, 10) == []
 
 
 def test_engine_sql_fixed_cost_floor(spark, tables):

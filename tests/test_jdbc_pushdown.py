@@ -164,3 +164,87 @@ def test_off_switch_disables(pushdown_env):
     df = eng.sql(_JOIN_AGG)
     assert _plan(df).count("JDBCRelation") == 2
     eng.config.pop("jdbc_pushdown", None)
+
+
+def test_pushdown_parity_fuzz(pushdown_env):
+    """Seeded generator queries over the co-located tables: for every
+    seed the result with pushdown ON equals the result with pushdown
+    OFF (values, column names, order-insensitive), whether the query
+    pushed or fell back — and a healthy fraction must actually push
+    (the fuzz is not allowed to test only the fallback)."""
+    import random
+
+    eng = pushdown_env
+    rng = random.Random(8123)
+
+    def gen(seed):
+        r = random.Random(seed)
+        join = r.random() < 0.6
+        frm = (
+            "FROM nation_pd n JOIN region_pd r "
+            "ON n.n_regionkey = r.r_regionkey"
+            if join
+            else "FROM nation_pd n"
+        )
+        preds = []
+        if r.random() < 0.7:
+            preds.append(f"n.n_nationkey >= {r.randrange(0, 20)}")
+        if r.random() < 0.4:
+            preds.append(
+                f"n.n_regionkey IN ({r.randrange(0,3)}, {r.randrange(2,5)})"
+            )
+        if r.random() < 0.3:
+            preds.append("n.n_name LIKE 'NATION%'")
+        where = f" WHERE {' AND '.join(preds)}" if preds else ""
+        if r.random() < 0.5:
+            # aggregate shape
+            key = "r.r_name" if join else "n.n_regionkey"
+            aggs = r.sample(
+                [
+                    "count(*) AS c",
+                    "sum(n.n_nationkey) AS s",
+                    "min(n.n_name) AS mn",
+                    "max(n.n_nationkey) AS mx",
+                    "avg(CAST(n.n_nationkey AS DOUBLE)) AS av",
+                ],
+                r.randint(1, 3),
+            )
+            having = (
+                " HAVING count(*) >= 1" if r.random() < 0.3 else ""
+            )
+            return (
+                f"SELECT {key} AS k, {', '.join(aggs)} {frm}{where} "
+                f"GROUP BY {key}{having}"
+            )
+        cols = r.sample(
+            [
+                "n.n_nationkey AS a",
+                "upper(n.n_name) AS b",
+                "n.n_regionkey + 1 AS c",
+                "CASE WHEN n.n_regionkey < 2 THEN 'lo' ELSE 'hi' END AS d",
+                "coalesce(n.n_name, 'x') AS e",
+            ],
+            r.randint(1, 3),
+        )
+        return f"SELECT {', '.join(cols)} {frm}{where}"
+
+    pushed_count = 0
+    for seed in range(40):
+        sql = gen(9000 + seed)
+        eng.config.pop("jdbc_pushdown", None)
+        df_on = eng.sql(sql)
+        if _plan(df_on).count("JDBCRelation") == 1 and (
+            "BroadcastHashJoin" not in _plan(df_on)
+        ):
+            pushed_count += 1
+        rows_on = sorted(map(tuple, df_on.collect()))
+        eng.config["jdbc_pushdown"] = "off"
+        df_off = eng.sql(sql)
+        rows_off = sorted(map(tuple, df_off.collect()))
+        assert df_on.columns == df_off.columns, f"seed {seed}: {sql}"
+        assert rows_on == rows_off, f"seed {seed}: {sql}"
+    eng.config.pop("jdbc_pushdown", None)
+    assert pushed_count >= 15, (
+        f"only {pushed_count}/40 fuzz queries pushed — the gate is "
+        "refusing shapes it should accept"
+    )
