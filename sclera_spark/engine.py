@@ -157,7 +157,17 @@ class ScleraEngine:
 
     # ---- locations / tables (reference: dbms/location/Location.scala) ----
 
+    def clear_table_provenance(self, name: str) -> None:
+        """Forget that ``name`` came from a location. Registration of a
+        NEW table under a previously-location-backed name (CREATE TABLE
+        AS, add_table) and REMOVE TABLE both clear it — a stale entry
+        would make the co-located JDBC pushdown route queries on the
+        new local table to the old remote database."""
+        getattr(self, "table_locations", {}).pop(name.lower(), None)
+        getattr(self, "table_remote_names", {}).pop(name.lower(), None)
+
     def add_table(self, name: str, path_or_df) -> DataFrame:
+        self.clear_table_provenance(name)
         if isinstance(path_or_df, DataFrame):
             return self.catalog.register(name, path_or_df)
         return self.catalog.register_parquet(name, path_or_df)

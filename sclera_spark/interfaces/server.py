@@ -606,14 +606,10 @@ class _Handler(socketserver.BaseRequestHandler):
         from sclera_spark.plans.frontend import _split_literals
 
         name = txn["table"]
-        toks: set[str] = set()
-        for is_lit, chunk in _split_literals(sql):
-            if not is_lit:
-                toks |= {
-                    t.lower()
-                    for t in re.findall(r"[A-Za-z_][A-Za-z0-9_$]*", chunk)
-                }
-        if name not in toks:
+        # the table must be referenced AS A TABLE (FROM/JOIN position
+        # or as a dotted qualifier) — a mere column/alias spelled like
+        # the table name must neither trigger nor suffer the rewrite
+        if not self._references_table(sql, name):
             return None
         ddl = self.server.engine.ddl()
         try:
@@ -653,29 +649,62 @@ class _Handler(socketserver.BaseRequestHandler):
             except Exception:
                 pass
 
-    @staticmethod
-    def _swap_table_token(sql: str, table: str, replacement: str) -> str:
-        """Replace word-boundary references to ``table`` (outside
-        string literals, not fn-shaped, case-insensitive) with the
-        overlay view name."""
+    _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
+
+    @classmethod
+    def _table_token_spans(
+        cls, sql: str, table: str
+    ) -> list[tuple[int, int]]:
+        """Spans (absolute offsets) where ``table`` appears in
+        TABLE-REFERENCE position: directly after FROM/JOIN (whitespace
+        gap only) or as a dotted qualifier (`table.col`). Column/alias
+        uses of the same word are excluded — rewriting those would
+        break the query (r12 review finding)."""
         from sclera_spark.plans.frontend import _split_literals
 
-        ident = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
-        out = []
+        spans: list[tuple[int, int]] = []
+        pos = 0
+        prev = None
+        prev_end = -1
         for is_lit, chunk in _split_literals(sql):
             if is_lit:
-                out.append(chunk)
+                pos += len(chunk)
+                prev_end = -1
                 continue
+            for m in cls._IDENT_RE.finditer(chunk):
+                tok = m.group(0).lower()
+                rest = chunk[m.end():].lstrip()
+                if tok == table and not rest.startswith("("):
+                    after_kw = (
+                        prev in ("from", "join")
+                        and prev_end >= 0
+                        and chunk[prev_end: m.start()].strip() == ""
+                    )
+                    qualifier = chunk[m.end(): m.end() + 1] == "."
+                    if after_kw or qualifier:
+                        spans.append((pos + m.start(), pos + m.end()))
+                prev = tok
+                prev_end = m.end()
+            pos += len(chunk)
+        return spans
 
-            def sub(m: re.Match) -> str:
-                tok = m.group(0)
-                if tok.lower() != table:
-                    return tok
-                if chunk[m.end():].lstrip().startswith("("):
-                    return tok
-                return replacement
+    @classmethod
+    def _references_table(cls, sql: str, table: str) -> bool:
+        return bool(cls._table_token_spans(sql, table))
 
-            out.append(ident.sub(sub, chunk))
+    @classmethod
+    def _swap_table_token(
+        cls, sql: str, table: str, replacement: str
+    ) -> str:
+        """Replace table-position references to ``table`` (outside
+        string literals, case-insensitive) with the overlay view name."""
+        out = []
+        last = 0
+        for a, b in cls._table_token_spans(sql, table):
+            out.append(sql[last:a])
+            out.append(replacement)
+            last = b
+        out.append(sql[last:])
         return "".join(out)
 
     _ROLLBACK_TO_RE = re.compile(
@@ -810,16 +839,21 @@ class _Handler(socketserver.BaseRequestHandler):
                     # staged_parts passed in: the DML also rewrites this
                     # transaction's own buffered rows (read-your-own-
                     # writes), replacing tuples in txn["parts"] in place
+                    # the ledger receives every scratch dir as it is
+                    # created, and txn["parts"] mutates only after all
+                    # Spark work succeeded — a statement that dies
+                    # mid-flight is a clean no-op with reclaimable
+                    # scratch
                     name, staged, removes, n, _, created = (
                         ddl.txn_stage_dml(
                             sql, txn["removes"],
                             staged_parts=txn["parts"],
                             staged_table=txn["table"],
+                            ledger=txn.setdefault("all_staged", []),
                         )
                     )
             except TxnDmlRefused as exc:
                 raise _WireError("0A000", str(exc))
-            txn.setdefault("all_staged", []).extend(created)
             if txn["table"] is not None and txn["table"] != name:
                 if staged is not None:
                     from sclera_spark.sources.manifest import ManifestTable
@@ -835,7 +869,10 @@ class _Handler(socketserver.BaseRequestHandler):
             if staged is not None:
                 txn["table"] = name
                 txn["parts"].append(staged)
-                txn.setdefault("all_staged", []).append(staged)
+                if verb == "MERGE":
+                    # DML staging is already ledgered inside
+                    # txn_stage_dml; MERGE staging is not
+                    txn.setdefault("all_staged", []).append(staged)
                 txn["removes"] |= removes
             elif created or n:
                 txn["table"] = name
@@ -1396,31 +1433,33 @@ class _Handler(socketserver.BaseRequestHandler):
             struct.unpack("!i", rest[:4])[0] if len(rest) >= 4 else 0
         )
         state = self._suspended.pop(portal, None)
-        if state is None:
-            sql = self._portals.get(portal, "")
-            if not sql.strip():
-                self._send(_msg(b"I"))
-                return
-            timer = self._statement_timer()
-            try:
-                rs = self._run(sql)
-            except Exception as exc:  # noqa: BLE001
-                self._skip_to_sync = True
-                self._error(self._sqlstate_for(exc), str(exc))
-                return
-            finally:
-                if timer is not None:
-                    timer.cancel()
-            if rs.columns is None or rs.rows is None:
-                # row-less command: maxRows is meaningless
-                self._send(_msg(b"C", _cstr(rs.tag or _tag_for(sql))))
-                return
-            state = {"rs": rs, "sql": sql, "sent": 0, "pending": None}
+        # the timer covers execution AND result streaming (the lazy
+        # toLocalIterator triggers most Spark work during row fetch) —
+        # on both the fresh and the resumed path
+        timer = self._statement_timer()
         try:
+            if state is None:
+                sql = self._portals.get(portal, "")
+                if not sql.strip():
+                    self._send(_msg(b"I"))
+                    return
+                rs = self._run(sql)
+                if rs.columns is None or rs.rows is None:
+                    # row-less command: maxRows is meaningless
+                    self._send(
+                        _msg(b"C", _cstr(rs.tag or _tag_for(sql)))
+                    )
+                    return
+                state = {
+                    "rs": rs, "sql": sql, "sent": 0, "pending": None,
+                }
             self._send_portal_rows(portal, state, max_rows)
         except Exception as exc:  # noqa: BLE001
             self._skip_to_sync = True
             self._error(self._sqlstate_for(exc), str(exc))
+        finally:
+            if timer is not None:
+                timer.cancel()
 
     def _send_portal_rows(
         self, portal: str, state: dict, max_rows: int

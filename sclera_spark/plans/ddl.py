@@ -451,6 +451,7 @@ class DdlRouter:
             return
         df.write.mode("overwrite").parquet(path)
         self.managed[name.lower()] = path
+        self.engine.clear_table_provenance(name)
         self.engine.catalog.register_parquet(name, path)
 
     def _manifest(self, name: str):
@@ -1652,6 +1653,7 @@ class DdlRouter:
         already_removed: set[str],
         staged_parts: list | None = None,
         staged_table: str | None = None,
+        ledger: list | None = None,
     ) -> tuple[str, tuple, set[str], int, str, list]:
         """Stage one UPDATE/DELETE for a wire transaction WITHOUT
         committing: run the COW probe against the pre-transaction
@@ -1679,9 +1681,16 @@ class DdlRouter:
         surviving rows; staged parts have no such hazard because each
         rewrite replaces the part wholesale.
 
+        ``ledger`` (the transaction's all_staged list) receives EVERY
+        scratch tuple the moment it is created — including the snapshot
+        staging — so rollback/disconnect cleanup reclaims scratch dirs
+        even when this statement dies mid-flight; transaction state
+        (``staged_parts``) mutates only as the LAST step, after every
+        Spark job has succeeded, so a failed statement is a clean no-op.
+
         Returns (table, staged, remove_basenames, affected_rows, verb,
         created) where ``created`` lists newly-staged tuples from
-        staged-part rewrites (for the caller's cleanup ledger).
+        staged-part rewrites.
         Raises :class:`TxnDmlRefused` for anything that cannot be
         staged truthfully."""
         from pyspark.sql import functions as F
@@ -1748,13 +1757,71 @@ class DdlRouter:
                 "their surviving rows; COMMIT first, then run the "
                 "statement in a new transaction"
             )
-        if staged_parts:
-            if mt.partition_info():
-                raise TxnDmlRefused(
-                    f"{verb} after buffered writes on partitioned "
-                    f"table {name}: staged rows cannot be re-read "
-                    "through the virtual-partition fill; COMMIT first"
+        if staged_parts and mt.partition_info():
+            raise TxnDmlRefused(
+                f"{verb} after buffered writes on partitioned "
+                f"table {name}: staged rows cannot be re-read "
+                "through the virtual-partition fill; COMMIT first"
+            )
+        # --- snapshot (published-file) staging first: everything below
+        # that can raise runs BEFORE any transaction state mutates, so
+        # a failed statement (timeout, executor loss) leaves the txn
+        # exactly as it was — never a half-applied UPDATE/DELETE that a
+        # later COMMIT would make durable. Every scratch dir enters the
+        # caller's ledger the moment it exists, so ROLLBACK/disconnect
+        # cleanup reclaims it even if this statement dies mid-flight.
+        staged = None
+        n = 0
+        removes: set[str] = set()
+        if hits:
+            hit_df = mt.read(spark, file_paths=hits)
+            if verb == "DELETE":
+                # one Spark job total: stage the survivors, then derive
+                # the deleted-row count as (manifest-recorded rows of
+                # the hit files) - (staged footer rows) — metadata reads
+                import pyarrow.parquet as pq
+
+                staged = mt._stage(transform(hit_df))
+                if ledger is not None:
+                    ledger.append(staged)
+                frows = mt.file_rows()
+                hit_names = [os.path.basename(p) for p in hits]
+                if all(b in frows for b in hit_names):
+                    before = sum(frows[b] for b in hit_names)
+                else:  # pre-stats files: count the hit slice directly
+                    before = hit_df.count()
+                after = sum(
+                    pq.ParquetFile(
+                        os.path.join(staged[0], f)
+                    ).metadata.num_rows
+                    for f in staged[1]
                 )
+                n = before - after
+                if n == 0:
+                    type(mt).discard_staged([staged])
+                    if ledger is not None and staged in ledger:
+                        ledger.remove(staged)
+                    staged = None
+            else:
+                # UPDATE's tag counts MATCHED rows — that needs the
+                # predicate evaluated, but only over the hit files
+                # (bounded by the probe cap, never a full-table job)
+                n = (
+                    hit_df.filter(F.expr(where)).count()
+                    if where
+                    else hit_df.count()
+                )
+                if n:
+                    staged = mt._stage(transform(hit_df))
+                    if ledger is not None:
+                        ledger.append(staged)
+            if staged is not None:
+                removes = {os.path.basename(p) for p in hits}
+        # --- read-your-own-writes rewrite of the txn's own staged
+        # parts; the in-place list swap is the LAST statement so an
+        # exception anywhere above leaves txn["parts"] untouched
+        new_list = None
+        if staged_parts:
             new_list = []
             for st in staged_parts:
                 scratch, names_ = st
@@ -1770,58 +1837,16 @@ class DdlRouter:
                     continue
                 n_staged_hits += matched
                 new_st = mt._stage(transform(sdf))
+                if ledger is not None:
+                    ledger.append(new_st)
                 created.append(new_st)
                 new_list.append(new_st)
+        if new_list is not None:
             staged_parts[:] = new_list
-        if not hits:
-            return name.lower(), None, set(), n_staged_hits, verb, created
-        hit_df = mt.read(spark, file_paths=hits)
-        if verb == "DELETE":
-            # one Spark job total: stage the survivors, then derive the
-            # deleted-row count as (manifest-recorded rows of the hit
-            # files) - (staged footer rows) — both metadata reads
-            import pyarrow.parquet as pq
-
-            staged = mt._stage(transform(hit_df))
-            frows = mt.file_rows()
-            hit_names = [os.path.basename(p) for p in hits]
-            if all(b in frows for b in hit_names):
-                before = sum(frows[b] for b in hit_names)
-            else:  # pre-stats files: count the hit slice directly
-                before = hit_df.count()
-            after = sum(
-                pq.ParquetFile(
-                    os.path.join(staged[0], f)
-                ).metadata.num_rows
-                for f in staged[1]
-            )
-            n = before - after
-            if n == 0:
-                ManifestTable = type(mt)
-                ManifestTable.discard_staged([staged])
-                return (
-                    name.lower(), None, set(), n_staged_hits, verb,
-                    created,
-                )
-        else:
-            # UPDATE's tag counts MATCHED rows — that needs the
-            # predicate evaluated, but only over the hit files
-            # (bounded by the probe cap, never a full-table job)
-            n = (
-                hit_df.filter(F.expr(where)).count()
-                if where
-                else hit_df.count()
-            )
-            if n == 0:
-                return (
-                    name.lower(), None, set(), n_staged_hits, verb,
-                    created,
-                )
-            staged = mt._stage(transform(hit_df))
         return (
             name.lower(),
             staged,
-            {os.path.basename(p) for p in hits},
+            removes,
             n + n_staged_hits,
             verb,
             created,
@@ -1979,6 +2004,7 @@ class DdlRouter:
 
     def _drop(self, kind: str, name: str):
         self.engine.catalog.drop(name)
+        self.engine.clear_table_provenance(name)
         self.views.pop(name.lower(), None)
         self.manifest_tables.discard(name.lower())
         path = self.managed.pop(name.lower(), None)
@@ -2031,12 +2057,18 @@ class DdlRouter:
 
     def _remove_table(self, table):
         self.engine.catalog.drop(table)
+        # stale location provenance would make the JDBC pushdown route
+        # a future SAME-NAMED local table to the old remote database
+        self.engine.clear_table_provenance(table)
 
     # engine options settable through SQL (reference SqlAdminParser's
     # config surface); unknown keys refuse loudly rather than set a
     # typo'd option that silently never applies
     _OPTION_KEYS = frozenset(
-        {"jdbc_pushdown", "manifest_pruning", "metadata_only_count"}
+        {
+            "jdbc_pushdown", "manifest_pruning", "metadata_only_count",
+            "dynamic_file_pruning",
+        }
     )
 
     def _set_option(self, key, value):

@@ -74,7 +74,10 @@ _BLOCKED_RE = re.compile(
     r"(?i)\b(limit|offset|fetch|over|window|qualify|lateral|values|"
     r"pivot|unpivot|tablesample|distribute|cluster|ilike|rlike|regexp|"
     r"semi|anti|natural|with|grouping|rollup|cube|struct|array|map|"
-    r"interval|extract|distinct\s+on)\b"
+    r"interval|extract|distinct\s+on|order)\b"
+    # ORDER blocked with LIMIT/FETCH for the same reason: remote NULL
+    # ordering (Derby/PG: nulls high) differs from Spark's ASC NULLS
+    # FIRST, and a bare ORDER BY's output order is observable
 )
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
@@ -193,13 +196,14 @@ def try_pushdown(engine, sql: str) -> DataFrame | None:
     url, opts = engine._location_jdbc(info)
     if not funcs <= _dialect_functions(url):
         return None
-    # no identifier anywhere may shadow a LOCAL table: a reference this
-    # scanner missed (comma-join, correlated name) must never resolve
-    # against the remote catalog instead
-    local_tables = {
-        t.lower() for t in engine.catalog.tables
-    } - set(jdbc_tables)
-    if idents & local_tables:
+    # no identifier anywhere may shadow ANY registered table outside
+    # the reference set: a reference this scanner missed (comma-join,
+    # correlated name) — local OR at a different JDBC location — must
+    # never resolve against the chosen location's remote catalog
+    other_tables = (
+        {t.lower() for t in engine.catalog.tables} | set(jdbc_tables)
+    ) - refs
+    if idents & other_tables:
         return None
     try:
         expected = engine.spark.sql(sql).schema

@@ -2201,6 +2201,17 @@ class ManifestTable:
         return target
 
     def export_delta_log(self, spark, out_dir: str | None = None) -> str:
+        """See :meth:`_export_delta_log_locked`. Runs under the writer
+        lock (r12): the mirror vacuum and concurrent post-commit mirror
+        refreshes must not interleave — a freshly hard-linked data file
+        whose log entry has not landed yet would otherwise look
+        unreferenced to the vacuum and get unlinked."""
+        with self._writer_lock():
+            return self._export_delta_log_locked(spark, out_dir)
+
+    def _export_delta_log_locked(
+        self, spark, out_dir: str | None = None
+    ) -> str:
         """Ecosystem interop, the write half of ``FROM DELTA`` (r11):
         emit the CURRENT snapshot as a public Delta Lake ``_delta_log``
         — one version-0 JSON commit with ``protocol``, ``metaData``
@@ -2722,10 +2733,14 @@ class ManifestTable:
         as Delta's own VACUUM contract says it must."""
         with self._writer_lock():
             deleted = self._vacuum_locked(keep_versions)
-        try:
-            self.vacuum_mirror()
-        except Exception as exc:  # mirror hygiene never fails the vacuum
-            warn_mirror_failure(self.path, exc)
+            # inside the lock: a concurrent commit's mirror refresh
+            # (export_delta_log, also lock-guarded as of r12) cannot
+            # hard-link a new file between our keep-set computation and
+            # the unlink pass
+            try:
+                self.vacuum_mirror()
+            except Exception as exc:  # mirror hygiene never fails vacuum
+                warn_mirror_failure(self.path, exc)
         return deleted
 
     @staticmethod

@@ -248,3 +248,74 @@ def test_pushdown_parity_fuzz(pushdown_env):
         f"only {pushed_count}/40 fuzz queries pushed — the gate is "
         "refusing shapes it should accept"
     )
+
+
+def test_stale_provenance_cleared_on_remove_and_recreate(pushdown_env):
+    """r12 review: REMOVE TABLE (or CREATE TABLE AS over the name) must
+    clear location provenance — a stale entry would route queries on
+    the NEW local table to the old remote database silently."""
+    from pyspark.sql import functions as F
+
+    eng = pushdown_env
+    eng.execute("ADD TABLE derpd.nation_pd AS ghost_t")
+    eng.execute("REMOVE TABLE ghost_t")
+    assert "ghost_t" not in eng.table_locations
+    # re-register the name as a LOCAL table with different content
+    eng.add_table(
+        "ghost_t",
+        eng.table("nation").filter(F.col("n_nationkey") < 3),
+    )
+    try:
+        df = eng.sql("SELECT count(*) AS n FROM ghost_t")
+        assert "JDBCRelation" not in _plan(df)
+        assert df.collect()[0].n == 3  # the LOCAL rows, not remote 25
+    finally:
+        eng.execute("REMOVE TABLE ghost_t")
+    # CREATE TABLE AS over a location-backed name clears it too
+    eng.execute("ADD TABLE derpd.nation_pd AS ghost_u")
+    eng.execute("CREATE TABLE ghost_u AS SELECT 1 AS n_nationkey")
+    try:
+        df = eng.sql("SELECT count(*) AS n FROM ghost_u")
+        assert "JDBCRelation" not in _plan(df)
+        assert df.collect()[0].n == 1
+    finally:
+        eng.execute("DROP TABLE ghost_u")
+    assert "ghost_u" not in getattr(eng, "table_locations", {})
+
+
+def test_other_location_table_blocks_pushdown(pushdown_env):
+    """A query mentioning a table of a DIFFERENT JDBC location (even in
+    a position the ref-scanner misses, like a comma-join) must never
+    ship to the chosen location."""
+    import tempfile
+
+    eng = pushdown_env
+    db2 = os.path.join(tempfile.mkdtemp(prefix="sclera_derby_pd2_"), "db")
+    url2 = f"jdbc:derby:{db2};create=true"
+    eng.table("region").write.option(
+        "createTableColumnTypes", "r_name VARCHAR(64)"
+    ).jdbc(url2, "region_other", mode="overwrite")
+    eng.execute(f"ADD LOCATION derpd2 AS JDBC ('{url2}')")
+    eng.execute("ADD TABLE derpd2.region_other")
+    try:
+        q = (
+            "SELECT count(*) AS n FROM nation_pd, region_other "
+            "WHERE nation_pd.n_regionkey = region_other.r_regionkey"
+        )
+        df = eng.sql(q)
+        # two separate scans (one per location), joined in Spark
+        assert _plan(df).count("JDBCRelation") == 2
+        assert df.collect()[0].n == 25
+    finally:
+        eng.execute("REMOVE TABLE region_other")
+        eng.execute("REMOVE LOCATION derpd2")
+
+
+def test_order_by_falls_back(pushdown_env):
+    """Remote NULL ordering differs from Spark's ASC NULLS FIRST, so a
+    bare ORDER BY runs locally (observable output order parity)."""
+    eng = pushdown_env
+    df = eng.sql("SELECT n_name FROM nation_pd ORDER BY n_name")
+    plan = _plan(df)
+    assert "Sort" in plan  # Spark-side sort, not remote
+    assert df.count() == 25

@@ -680,3 +680,37 @@ def test_txn_read_your_own_writes(server):
     finally:
         c.execute("DROP TABLE wryo")
         c.close()
+
+
+def test_txn_read_same_named_column_not_rewritten(server):
+    """r12 review: a SELECT inside a transaction where the buffered
+    table's NAME also appears as a column of another table must not
+    have the column reference rewritten to the overlay view; and a
+    statement not referencing the buffered table at all takes the
+    ordinary path."""
+    c = connect(server)
+    c.execute("CREATE TABLE wcol AS SELECT 1 AS k")
+    c.execute("ALTER TABLE wcol SET FORMAT MANIFEST")
+    # another table whose COLUMN is named like the buffered table
+    c.execute("CREATE TABLE wjobs AS SELECT 7 AS wcol, 'x' AS note")
+    try:
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wcol VALUES (2)")
+        # overlay applies when wcol is referenced AS A TABLE
+        assert _count(c, "SELECT count(*) AS n FROM wcol") == 2
+        # ... and a qualified reference resolves through the overlay
+        assert _count(
+            c, "SELECT count(*) AS n FROM wcol WHERE wcol.k >= 1"
+        ) == 2
+        # the same word as a COLUMN of another table is untouched
+        _, rows, _ = c.execute("SELECT wcol FROM wjobs")
+        assert rows == [("7",)]
+        _, rows, _ = c.execute(
+            "SELECT w.wcol FROM wjobs w WHERE w.wcol = 7"
+        )
+        assert rows == [("7",)]
+        c.execute("ROLLBACK")
+    finally:
+        c.execute("DROP TABLE wcol")
+        c.execute("DROP TABLE wjobs")
+        c.close()
