@@ -37,6 +37,13 @@ check fails TOWARD the local path):
   local. The fallback is always the previous per-table-scan path,
   which stays filter-pushdown-capable.
 
+One semantics note, shared with the reference: a pushed subtree
+evaluates string comparisons (collation, CHAR trailing-blank padding)
+under the LOCATION's rules, exactly as the reference's pushdown does —
+that is the contract of federating work to the system that owns the
+data. Data whose semantics depend on it should disable pushdown
+(``SET jdbc_pushdown = 'off'``) or rely on the per-table-scan path.
+
 ``SET jdbc_pushdown = 'off'`` disables the rewrite per engine.
 """
 
