@@ -1788,6 +1788,24 @@ def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pruning in embedding space (llm/semdedup.py,
+    the SemDeDup shape, arXiv:2303.09540): deterministic seeded-Voronoi
+    clustering (k lexicographically-smallest distinct vectors, argmin
+    L2, ties to lowest index) + within-cluster cosine pruning keeping
+    the minimal id of each >= threshold neighborhood — every step is
+    exactly re-computable in SQL, so the oracle is exact. Assignment is
+    a literal-compiled JVM expression (no shuffle); the prune join
+    shuffles on the cluster id only, with a loud over-cap refusal."""
+    from sclera_spark.llm import semantic_dedup
+
+    eng = _engine(spark, sf_dir)
+    out = semantic_dedup(eng.table("embeddings"), k=8, threshold=0.42)
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (llm/bpe.py, Sennrich 2016):
     the 30 most frequent adjacent-symbol merges over the documents
@@ -1898,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "schema_evolution": _q_schema_evolution,
             "delta_roundtrip": _q_delta_roundtrip,
             "stream_upsert": _q_stream_upsert,
+            "semantic_dedup": _q_semantic_dedup,
             "bpe_merges": _q_bpe_merges,
         }
     )
@@ -2127,6 +2146,32 @@ def oracle_sql() -> dict[str, str]:
               FROM aug)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
         FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
+    """
+    oracles["semantic_dedup"] = """
+        WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY s) - 1 AS seed_id, s
+          FROM (SELECT DISTINCT embedding AS s FROM embeddings
+                ORDER BY embedding LIMIT 8)
+        ),
+        asg AS (
+          SELECT e.vec_id, e.embedding, s.seed_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.embedding::DOUBLE[],
+                                           s.s::DOUBLE[]), s.seed_id) AS rn
+          FROM embeddings e CROSS JOIN seeds s
+        ),
+        cl AS (SELECT vec_id, embedding, seed_id AS cluster
+               FROM asg WHERE rn = 1),
+        dups AS (
+          SELECT DISTINCT a.vec_id
+          FROM cl a JOIN cl b
+            ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 9)
+                >= 0.42
+        )
+        SELECT c.vec_id, CAST(c.cluster AS INT) AS cluster
+        FROM cl c WHERE c.vec_id NOT IN (SELECT vec_id FROM dups)
     """
     oracles["cosine_topk"] = """
         SELECT vec_id, round(cosine, 9) AS cosine FROM (

@@ -1,0 +1,99 @@
+"""Semantic dedup (llm/semdedup.py — the SemDeDup shape,
+arXiv:2303.09540): deterministic seeded-Voronoi clustering + within-
+cluster cosine pruning. The DuckDB-exact oracle lives in
+__spark_entry__ (`semantic_dedup`); these tests pin planted-truth
+behavior, the scale refusal, and plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sclera_spark.llm import assign_clusters, semantic_dedup, semantic_seeds
+
+
+def _unit(*xs):
+    n = math.sqrt(sum(x * x for x in xs))
+    return [float(x / n) for x in xs]
+
+
+@pytest.fixture()
+def planted(spark):
+    # two well-separated directions. Seeds are the k LEXICOGRAPHICALLY
+    # smallest distinct vectors, so with k=3 the seeds are the two
+    # y-direction vectors (each its own cluster — the documented
+    # cross-cluster survival) and x-direction near-dup of id 3; ids
+    # 1/2 (exact dups of each other) land in 3's cluster.
+    rows = [
+        (1, _unit(1.0, 0.0, 0.0)),
+        (2, _unit(1.0, 0.0, 0.0)),
+        (3, _unit(0.98, 0.02, 0.0)),
+        (4, _unit(0.0, 1.0, 0.0)),
+        (5, _unit(0.0101, 0.99995, 0.0)),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_planted_neighbors_prune_to_min_id(planted):
+    out = semantic_dedup(
+        planted, k=3, threshold=0.95, id_col="vec_id"
+    )
+    kept = sorted(r.vec_id for r in out.collect())
+    # 2 (exact dup) and 3 (same-cluster near-dup) fall to 1; 4 and 5
+    # are near-dups that SEEDED separate clusters, so both survive —
+    # the documented SemDeDup approximation
+    assert kept == [1, 4, 5]
+    cl = {r.vec_id: r.cluster for r in out.collect()}
+    assert cl[1] != cl[4] and cl[4] != cl[5]
+
+
+def test_threshold_is_inclusive_and_respected(planted):
+    # at a threshold above every planted sim except the exact dup,
+    # only the exact duplicate is pruned
+    out = semantic_dedup(planted, k=3, threshold=0.9999999)
+    assert sorted(r.vec_id for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_cross_cluster_neighbors_survive(spark):
+    """The documented SemDeDup approximation: near-dups landing in
+    DIFFERENT clusters are not compared — both survive."""
+    rows = [
+        (1, _unit(1.0, 0.09, 0.0)),
+        (2, _unit(1.0, -0.09, 0.0)),  # sim(1,2) ~ 0.984
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=2 with only two distinct vectors: each seeds its own cluster
+    out = semantic_dedup(df, k=2, threshold=0.9)
+    assert sorted(r.vec_id for r in out.collect()) == [1, 2]
+
+
+def test_over_cap_cluster_refuses(planted):
+    with pytest.raises(ValueError, match="largest cluster"):
+        semantic_dedup(planted, k=1, threshold=0.99, max_cluster=3)
+
+
+def test_assignment_is_deterministic_and_shuffle_free(planted):
+    seeds = semantic_seeds(planted, 2)
+    assigned = assign_clusters(planted, seeds)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # literal-compiled narrow map
+    a = {r.vec_id: r.cluster for r in assigned.collect()}
+    b = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(
+            planted.repartition(7), seeds
+        ).collect()
+    }
+    assert a == b
+
+
+def test_prune_join_is_cluster_keyed_not_cartesian(planted):
+    out = semantic_dedup(planted, k=2, threshold=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
