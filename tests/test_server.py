@@ -714,3 +714,45 @@ def test_txn_read_same_named_column_not_rewritten(server):
         c.execute("DROP TABLE wcol")
         c.execute("DROP TABLE wjobs")
         c.close()
+
+
+def test_txn_scratch_dirs_reclaimed(server):
+    """r12: every scratch dir a transaction ever created (inserts, DML
+    snapshot staging, RYOW staged-part rewrites — including tuples
+    replaced by later rewrites or savepoint rollbacks) is reclaimed at
+    transaction end, on both COMMIT and ROLLBACK."""
+    import glob
+    import os
+    import tempfile
+
+    def scratch_dirs():
+        return set(
+            glob.glob(os.path.join(tempfile.gettempdir(), "sclera_manifest_*"))
+        )
+
+    c = connect(server)
+    c.execute("CREATE TABLE wscr AS SELECT 1 AS k, 'a' AS v")
+    c.execute("ALTER TABLE wscr SET FORMAT MANIFEST")
+    try:
+        before = scratch_dirs()
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wscr VALUES (10, 'x')")
+        c.execute("SAVEPOINT s")
+        c.execute("UPDATE wscr SET v = 'y' WHERE k = 10")  # rewrites staged
+        c.execute("ROLLBACK TO s")  # restores pre-update staged tuple
+        c.execute("UPDATE wscr SET v = 'z' WHERE k = 1")   # snapshot COW
+        c.execute("COMMIT")
+        assert scratch_dirs() == before, "COMMIT leaked scratch dirs"
+        _, rows, _ = c.execute("SELECT v FROM wscr ORDER BY k")
+        assert rows == [("z",), ("x",)]
+
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wscr VALUES (20, 'p')")
+        c.execute("DELETE FROM wscr WHERE k = 20")  # un-inserts staged
+        c.execute("UPDATE wscr SET v = 'q' WHERE k = 1")
+        c.execute("ROLLBACK")
+        assert scratch_dirs() == before, "ROLLBACK leaked scratch dirs"
+        assert _count(c, "SELECT count(*) AS n FROM wscr") == 2
+    finally:
+        c.execute("DROP TABLE wscr")
+        c.close()
