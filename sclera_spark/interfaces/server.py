@@ -817,23 +817,18 @@ class _Handler(socketserver.BaseRequestHandler):
             created: list = []
             try:
                 if verb == "MERGE":
-                    if txn["parts"]:
-                        # MERGE's match join runs against the published
-                        # snapshot and CANNOT see this transaction's
-                        # buffered rows — refusing beats silently
-                        # missing them (r12 read-your-own-writes holds
-                        # for SELECT/UPDATE/DELETE; MERGE stays out)
-                        raise _WireError(
-                            "0A000",
-                            "MERGE after buffered writes in the same "
-                            "transaction: the match cannot see the "
-                            "transaction's own staged rows; COMMIT "
-                            "first",
-                        )
                     # PG 15+ tag form 'MERGE <n>' — clients parse the
-                    # affected-row count out of the tag
+                    # affected-row count out of the tag. staged_parts
+                    # passed in (r12): the MERGE target unions this
+                    # transaction's buffered rows (read-your-own-writes);
+                    # hit staged parts are replaced in txn["parts"] in
+                    # place, and every scratch dir enters the all_staged
+                    # ledger the moment it exists
                     name, staged, removes, n = ddl.txn_stage_merge(
-                        sql, txn["removes"]
+                        sql, txn["removes"],
+                        staged_parts=txn["parts"],
+                        staged_table=txn["table"],
+                        ledger=txn.setdefault("all_staged", []),
                     )
                 else:
                     # staged_parts passed in: the DML also rewrites this
@@ -869,10 +864,6 @@ class _Handler(socketserver.BaseRequestHandler):
             if staged is not None:
                 txn["table"] = name
                 txn["parts"].append(staged)
-                if verb == "MERGE":
-                    # DML staging is already ledgered inside
-                    # txn_stage_dml; MERGE staging is not
-                    txn.setdefault("all_staged", []).append(staged)
                 txn["removes"] |= removes
             elif created or n:
                 txn["table"] = name

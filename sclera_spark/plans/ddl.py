@@ -1259,8 +1259,50 @@ class DdlRouter:
             mt = None
             tgt = spark.read.parquet(path)
         cols = tgt.columns
-        tgt.withColumn("__sclera_file", F.col("_metadata.file_path")) \
-            .createOrReplaceTempView("__merge_t")
+        # read-your-own-writes (r12): a wire-transaction MERGE after
+        # buffered writes unions the txn's staged parts into the target —
+        # the match join, the matched-clause rewrite, and the NOT MATCHED
+        # anti-join all see the transaction's own earlier INSERTs (pg
+        # semantics). Hit staged parts are rewritten WHOLESALE and the
+        # caller replaces the tuples in txn["parts"]; only published hit
+        # files enter the COMMIT-time remove set.
+        txn_parts = list((_txn_stage or {}).get("staged_parts") or [])
+        staged_owner: dict[str, tuple] = {}
+        if txn_parts:
+            if mt.partition_info():
+                raise TxnDmlRefused(
+                    f"MERGE after buffered writes on partitioned table "
+                    f"{name}: staged rows cannot be re-read through the "
+                    "virtual-partition fill; COMMIT first"
+                )
+            staged_files: list[str] = []
+            for st in txn_parts:
+                scratch, names_ = st
+                for f in names_:
+                    p = os.path.join(scratch, f)
+                    staged_files.append(p)
+                    staged_owner[os.path.abspath(p)] = st
+            # published files this txn already rewrote are EXCLUDED
+            # (their surviving rows live in the staged parts) — the
+            # same overlay the SELECT path uses; without this an
+            # anti-join could see a stale pre-rewrite row and silently
+            # skip an insert
+            pub_files = [
+                p
+                for p in mt.files()
+                if os.path.basename(p)
+                not in _txn_stage["already_removed"]
+            ]
+            mt.read(
+                spark, file_paths=pub_files, file_col="__sclera_file"
+            ).unionByName(
+                mt.read(
+                    spark, file_paths=staged_files, file_col="__sclera_file"
+                )
+            ).createOrReplaceTempView("__merge_t")
+        else:
+            tgt.withColumn("__sclera_file", F.col("_metadata.file_path")) \
+                .createOrReplaceTempView("__merge_t")
         src_df.createOrReplaceTempView("__merge_s")
         try:
             ins_stage = None
@@ -1332,6 +1374,7 @@ class DdlRouter:
                     # served by one distributed full rewrite than by a
                     # driver holding ~1M path strings
                     use_cow = hits is not None and len(hits) <= self.cow_file_cap
+                    pub_hits = hits
                     if _txn_stage is not None:
                         if not use_cow:
                             raise TxnDmlRefused(
@@ -1341,8 +1384,35 @@ class DdlRouter:
                                 "non-local storage); run it in "
                                 "autocommit (outside BEGIN)"
                             )
+                        if staged_owner:
+                            # split the hit set: staged parts this txn
+                            # buffered are rewritten wholesale and
+                            # REPLACED in the caller's parts list; only
+                            # published files join the COMMIT remove set
+                            pub_hits = [
+                                p
+                                for p in hits
+                                if os.path.abspath(p) not in staged_owner
+                            ]
+                            seen: list[tuple] = []
+                            for p in hits:
+                                st = staged_owner.get(os.path.abspath(p))
+                                if st is not None and st not in seen:
+                                    seen.append(st)
+                            _txn_stage["replaced"] = seen
+                            # a hit staged part is replaced WHOLESALE, so
+                            # every file of the part must ride the
+                            # rewrite (the LEFT-JOIN CASE carries
+                            # unmatched rows through unchanged) — only
+                            # rewriting the hit file would drop the
+                            # part's sibling files' rows
+                            hits = pub_hits + [
+                                os.path.join(scratch, f)
+                                for scratch, names_ in seen
+                                for f in names_
+                            ]
                         overlap = {
-                            os.path.basename(p) for p in hits
+                            os.path.basename(p) for p in pub_hits
                         } & _txn_stage["already_removed"]
                         if overlap:
                             raise TxnDmlRefused(
@@ -1411,9 +1481,13 @@ class DdlRouter:
                                 f"ON {cond} WHERE ({g}) IS TRUE"
                             ).collect()[0][0]
                             _txn_stage["n"] = matched_n + ins_n
-                            _txn_stage["staged"] = mt._stage(out)
+                            staged_t = mt._stage(out)
+                            ledger = _txn_stage.get("ledger")
+                            if ledger is not None:
+                                ledger.append(staged_t)
+                            _txn_stage["staged"] = staged_t
                             _txn_stage["removes"] = {
-                                os.path.basename(p) for p in hits
+                                os.path.basename(p) for p in pub_hits
                             }
                             return
                         if use_cow:
@@ -1432,7 +1506,11 @@ class DdlRouter:
                 # insert-only MERGE (or no matched rows) on a manifest table
                 if _txn_stage is not None:
                     _txn_stage["n"] = ins_n
-                    _txn_stage["staged"] = mt._stage(pending_ins)
+                    staged_t = mt._stage(pending_ins)
+                    ledger = _txn_stage.get("ledger")
+                    if ledger is not None:
+                        ledger.append(staged_t)
+                    _txn_stage["staged"] = staged_t
                     _txn_stage["removes"] = set()
                 else:
                     mt.append(pending_ins)
@@ -1468,8 +1546,13 @@ class DdlRouter:
     )
 
     def txn_stage_merge(
-        self, sql: str, already_removed: set[str]
-    ) -> tuple[str, tuple | None, set[str]]:
+        self,
+        sql: str,
+        already_removed: set[str],
+        staged_parts: list | None = None,
+        staged_table: str | None = None,
+        ledger: list | None = None,
+    ) -> tuple[str, tuple | None, set[str], int]:
         """Stage one MERGE for a wire transaction: same lowering as
         autocommit :meth:`_merge` (capped probe join, LEFT-JOIN CASE
         rewrite of hit files, anti-join inserts — all against the
@@ -1481,7 +1564,18 @@ class DdlRouter:
         over-cap hit sets, and hit files this transaction already
         rewrote. Returns (table, staged|None, remove_basenames, n)
         where ``n`` is the affected-row count for the PG 15+
-        ``MERGE <n>`` command tag (guard-matched rows + inserts)."""
+        ``MERGE <n>`` command tag (guard-matched rows + inserts).
+
+        READ-YOUR-OWN-WRITES (r12): when ``staged_parts`` (the
+        transaction's buffered staged tuples for this table) is given,
+        the MERGE target is the published snapshot UNION the staged
+        rows — the match join, matched-clause rewrite, and NOT MATCHED
+        anti-join all see the transaction's own earlier INSERTs. Hit
+        staged parts are rewritten wholesale into the new staged tuple
+        and removed from ``staged_parts`` IN PLACE as the last step
+        (savepoint marks keep referencing the retired tuples; the
+        server reclaims them at transaction end via ``ledger``, which
+        receives every scratch dir the moment it exists)."""
         m = self._TXN_MERGE_RE.match(sql)
         if m is None:
             raise TxnDmlRefused(
@@ -1494,13 +1588,31 @@ class DdlRouter:
                 "tables support buffered transactional DML (ALTER "
                 "TABLE ... SET FORMAT MANIFEST)"
             )
+        if staged_parts and (
+            staged_table is not None and name.lower() != staged_table
+        ):
+            # statement targets a DIFFERENT table than the one this
+            # transaction buffers — the caller's one-table-per-txn check
+            # will refuse it; never match against foreign staged rows
+            staged_parts = None
         ctx: dict = {
             "already_removed": set(already_removed),
             "staged": None,
             "removes": set(),
             "n": 0,
+            "staged_parts": staged_parts,
+            "ledger": ledger,
+            "replaced": [],
         }
         self._merge(name, talias, rest, _txn_stage=ctx)
+        if staged_parts is not None and ctx["replaced"]:
+            # LAST step, after every Spark job succeeded: retire the hit
+            # staged tuples from the caller's live parts list (their
+            # rows ride the new staged tuple); scratch stays on disk for
+            # savepoint marks until transaction end
+            staged_parts[:] = [
+                st for st in staged_parts if st not in ctx["replaced"]
+            ]
         return name.lower(), ctx["staged"], ctx["removes"], ctx["n"]
 
     def _cow_rewrite(self, name: str, where: str, transform) -> bool:

@@ -220,7 +220,10 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
                 duck.execute(
                     "CREATE OR REPLACE TABLE fz_txn AS SELECT * FROM fz"
                 )
-                accepted = []  # sqls applied, in execution order
+                # accepted: (duck_shadow_sqls, staged_flag) in execution
+                # order — MERGE shadows as UPDATE+INSERT, so each step
+                # carries its own list of DuckDB statements
+                accepted = []
                 marks = []  # savepoints: (name, len(accepted) at mark)
 
                 def replay(upto):
@@ -228,8 +231,9 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
                         "CREATE OR REPLACE TABLE fz_txn AS "
                         "SELECT * FROM fz"
                     )
-                    for s2, _, _ in upto:
-                        duck.execute(s2.replace(" fz ", " fz_txn "))
+                    for sqls, _ in upto:
+                        for s2 in sqls:
+                            duck.execute(s2)
 
                 for _s in range(rng.randint(1, 6)):
                     r = rng.random()
@@ -271,6 +275,68 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
                             "leaked to another session"
                         )
                         continue
+                    if r < 0.58:
+                        # MERGE upsert (r12 RYOW): source keys mix the
+                        # published range, the txn's own staged inserts,
+                        # and fresh keys; matched-clause guard makes the
+                        # tag count non-trivial
+                        new_ks = [
+                            next_k[0] + i for i in range(rng.randint(0, 2))
+                        ]
+                        next_k[0] += len(new_ks)
+                        old_ks = [
+                            rng.randrange(980, next_k[0] + 3)
+                            if rng.random() < 0.4
+                            else rng.randrange(0, 220)
+                            for _ in range(rng.randint(0, 3))
+                        ]
+                        ks = sorted(set(new_ks + old_ks))
+                        if not ks:
+                            continue
+                        src = " UNION ALL ".join(
+                            f"SELECT {k} AS k, CAST({k} + 0.25 AS DOUBLE)"
+                            f" AS v"
+                            for k in ks
+                        )
+                        sql = (
+                            f"MERGE INTO fz t USING ({src}) s "
+                            "ON t.k = s.k "
+                            "WHEN MATCHED AND s.k % 2 = 0 "
+                            "THEN UPDATE SET v = s.v "
+                            "WHEN NOT MATCHED "
+                            "THEN INSERT (k, v) VALUES (s.k, s.v)"
+                        )
+                        in_list = ", ".join(str(k) for k in ks)
+                        matched_any = duck.execute(
+                            "SELECT count(*) FROM fz_txn "
+                            f"WHERE k IN ({in_list})"
+                        ).fetchone()[0]
+                        matched_keys = duck.execute(
+                            "SELECT count(DISTINCT k) FROM fz_txn "
+                            f"WHERE k IN ({in_list})"
+                        ).fetchone()[0]
+                        matched_upd = duck.execute(
+                            "SELECT count(*) FROM fz_txn "
+                            f"WHERE k IN ({in_list}) AND k % 2 = 0"
+                        ).fetchone()[0]
+                        ins_cnt = len(ks) - matched_keys
+                        n_want = matched_upd + ins_cnt
+                        _, _, tag = c.execute(sql)
+                        assert tag == f"MERGE {n_want}", (sql, tag)
+                        vals = ", ".join(f"({k})" for k in ks)
+                        duck_sqls = [
+                            f"UPDATE fz_txn SET v = k + 0.25 "
+                            f"WHERE k IN ({in_list}) AND k % 2 = 0",
+                            f"INSERT INTO fz_txn SELECT t.k, t.k + 0.25 "
+                            f"FROM (VALUES {vals}) t(k) "
+                            f"WHERE t.k NOT IN (SELECT k FROM fz_txn)",
+                        ]
+                        for s2 in duck_sqls:
+                            duck.execute(s2)
+                        accepted.append(
+                            (duck_sqls, matched_any > 0 or ins_cnt > 0)
+                        )
+                        continue
                     kind, sql, n_ins = gen_stmt()
                     n_want = (
                         n_ins
@@ -289,11 +355,12 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
                         assert "already rewritten" in str(exc), exc
                         continue
                     assert tag.split()[-1] == str(n_want), (sql, tag)
-                    duck.execute(sql.replace(" fz ", " fz_txn "))
-                    accepted.append((sql, kind, n_want))
-                staged_work = any(
-                    kind == "ins" or n > 0 for _, kind, n in accepted
-                )
+                    shadow = sql.replace(" fz ", " fz_txn ")
+                    duck.execute(shadow)
+                    accepted.append(
+                        ([shadow], kind == "ins" or n_want > 0)
+                    )
+                staged_work = any(flag for _, flag in accepted)
                 if rng.random() < 0.7:
                     c.execute("COMMIT")
                     duck.execute("DELETE FROM fz")

@@ -666,19 +666,102 @@ def test_txn_read_your_own_writes(server):
         _, rows, _ = c.execute("SELECT v FROM wryo WHERE k = 20")
         assert rows == [("p",)]
         assert _count(other, "SELECT count(*) AS n FROM wryo") == 3
-        # MERGE after buffered writes refuses loudly (its match join
-        # cannot see staged rows)
+        # MERGE after buffered writes sees the staged rows too (r12):
+        # the match updates the same-txn INSERT, the anti-join does
+        # NOT re-insert a key the txn already staged
         c.execute("BEGIN")
         c.execute("INSERT INTO wryo VALUES (30, 'm')")
-        with pytest.raises(RuntimeError, match="staged rows"):
-            c.execute(
-                "MERGE INTO wryo t USING (SELECT 30 AS k, 'mm' AS nv) s "
-                "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.nv"
-            )
+        tag = c.execute(
+            "MERGE INTO wryo t USING "
+            "(SELECT 30 AS k, 'mm' AS nv UNION ALL SELECT 31, 'nn') s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)"
+        )[2]
+        assert tag == "MERGE 2"
+        _, rows, _ = c.execute(
+            "SELECT k, v FROM wryo WHERE k >= 30 ORDER BY k"
+        )
+        assert rows == [("30", "mm"), ("31", "nn")]
+        assert _count(c, "SELECT count(*) AS n FROM wryo WHERE k = 30") == 1
+        # other sessions still see the pre-txn snapshot
+        assert _count(other, "SELECT count(*) AS n FROM wryo WHERE k >= 30") == 0
         c.execute("ROLLBACK")
+        assert _count(c, "SELECT count(*) AS n FROM wryo WHERE k >= 30") == 0
         other.close()
     finally:
         c.execute("DROP TABLE wryo")
+        c.close()
+
+
+def test_txn_merge_read_your_own_writes(server):
+    """r12: MERGE after buffered writes unions the transaction's staged
+    parts into its target — matched staged rows update/delete, the
+    NOT MATCHED anti-join never duplicates a staged key, published-file
+    rewrites defer to COMMIT, savepoints restore the pre-MERGE staged
+    state, and a MERGE touching a published file this txn already
+    rewrote still refuses."""
+    c = connect(server)
+    c.execute(
+        "CREATE TABLE wmg AS SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b'"
+    )
+    c.execute("ALTER TABLE wmg SET FORMAT MANIFEST")
+    try:
+        other = connect(server)
+        # matched-DELETE un-inserts a staged row; published match
+        # rewrites defer to COMMIT
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wmg VALUES (10, 'x')")
+        c.execute("SAVEPOINT s")
+        tag = c.execute(
+            "MERGE INTO wmg t USING "
+            "(SELECT 10 AS k UNION ALL SELECT 1) s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE"
+        )[2]
+        assert tag == "MERGE 2"
+        assert _count(c, "SELECT count(*) AS n FROM wmg") == 1
+        _, rows, _ = c.execute("SELECT k FROM wmg")
+        assert rows == [("2",)]
+        # pre-txn snapshot intact elsewhere
+        assert _count(other, "SELECT count(*) AS n FROM wmg") == 2
+        # savepoint rollback restores the staged insert AND the
+        # published row (the COW swap was only staged)
+        c.execute("ROLLBACK TO s")
+        _, rows, _ = c.execute("SELECT k FROM wmg ORDER BY k")
+        assert rows == [("1",), ("2",), ("10",)]
+        # a second MERGE now touches the same published file the
+        # rolled-back MERGE hit — rollback released the reservation
+        tag = c.execute(
+            "MERGE INTO wmg t USING (SELECT 10 AS k, 'xx' AS nv "
+            "UNION ALL SELECT 2, 'bb') s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv"
+        )[2]
+        assert tag == "MERGE 2"
+        _, rows, _ = c.execute("SELECT v FROM wmg ORDER BY k")
+        assert rows == [("a",), ("bb",), ("xx",)]
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT v FROM wmg ORDER BY k")
+        assert rows == [("a",), ("bb",), ("xx",)]
+        assert _count(other, "SELECT count(*) AS n FROM wmg") == 3
+
+        # MERGE over rows this txn already rewrote matches the
+        # REWRITTEN staged values — the removed published file is
+        # overlaid out of the target, exactly like the SELECT path
+        c.execute("BEGIN")
+        assert c.execute("UPDATE wmg SET v = 'z' WHERE k = 1")[2] == "UPDATE 1"
+        tag = c.execute(
+            "MERGE INTO wmg t USING (SELECT 1 AS k, 'zz' AS nv) s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.nv"
+        )[2]
+        assert tag == "MERGE 1"
+        _, rows, _ = c.execute("SELECT v FROM wmg WHERE k = 1")
+        assert rows == [("zz",)]
+        c.execute("ROLLBACK")
+        _, rows, _ = c.execute("SELECT v FROM wmg WHERE k = 1")
+        assert rows == [("a",)]
+        other.close()
+    finally:
+        c.execute("DROP TABLE wmg")
         c.close()
 
 
@@ -741,6 +824,12 @@ def test_txn_scratch_dirs_reclaimed(server):
         c.execute("UPDATE wscr SET v = 'y' WHERE k = 10")  # rewrites staged
         c.execute("ROLLBACK TO s")  # restores pre-update staged tuple
         c.execute("UPDATE wscr SET v = 'z' WHERE k = 1")   # snapshot COW
+        # MERGE rewrites the staged insert too (replaced tuple retires
+        # through the same all_staged ledger)
+        c.execute(
+            "MERGE INTO wscr t USING (SELECT 10 AS k, 'x' AS nv) s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.nv"
+        )
         c.execute("COMMIT")
         assert scratch_dirs() == before, "COMMIT leaked scratch dirs"
         _, rows, _ = c.execute("SELECT v FROM wscr ORDER BY k")
