@@ -474,10 +474,11 @@ class _Handler(socketserver.BaseRequestHandler):
           tables. Reads inside the transaction see the transaction's
           OWN writes (r12): SELECTs referencing the buffered table run
           against a per-statement overlay of snapshot-minus-rewritten
-          files plus staged parts, and UPDATE/DELETE probes rewrite
-          staged parts too — pg's read-your-own-writes, without any
-          shared-catalog leak. Remaining corner: partitioned-import
-          tables keep pre-commit-snapshot reads (documented)."""
+          files plus staged parts, and UPDATE/DELETE/MERGE probes
+          rewrite staged parts too — pg's read-your-own-writes,
+          without any shared-catalog leak; partitioned imports
+          included (staged parts carry partition columns physically,
+          so the virtual fill passes them through)."""
         target = getattr(self, "_cancel_target", None)
         if target is not None:
             target.flag.clear()  # cancellation state is per-statement
@@ -597,10 +598,10 @@ class _Handler(socketserver.BaseRequestHandler):
         temp-view name and dropped immediately after analysis, so
         concurrent sessions can never resolve it (no shared-catalog
         leak). Returns None (ordinary snapshot read) when the statement
-        does not reference the table, or for partitioned tables (their
-        virtual-partition fill is keyed per-manifest-file; the
-        pre-commit-snapshot divergence is retained and documented for
-        that corner)."""
+        does not reference the table. Partitioned imports overlay too
+        (late r12): staged parts carry the partition columns
+        physically, so the fill coalesce passes them through while
+        imported files keep filling from the log's partitionValues."""
         import uuid as _uuid
 
         from sclera_spark.plans.frontend import _split_literals
@@ -615,8 +616,6 @@ class _Handler(socketserver.BaseRequestHandler):
         try:
             mt = ddl._manifest(name)
         except Exception:
-            return None
-        if mt.partition_info():
             return None
         spark = self.server.engine.spark
         removes = txn["removes"]

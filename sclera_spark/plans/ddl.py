@@ -1269,12 +1269,6 @@ class DdlRouter:
         txn_parts = list((_txn_stage or {}).get("staged_parts") or [])
         staged_owner: dict[str, tuple] = {}
         if txn_parts:
-            if mt.partition_info():
-                raise TxnDmlRefused(
-                    f"MERGE after buffered writes on partitioned table "
-                    f"{name}: staged rows cannot be re-read through the "
-                    "virtual-partition fill; COMMIT first"
-                )
             staged_files: list[str] = []
             for st in txn_parts:
                 scratch, names_ = st
@@ -1300,6 +1294,12 @@ class DdlRouter:
                     spark, file_paths=staged_files, file_col="__sclera_file"
                 )
             ).createOrReplaceTempView("__merge_t")
+        elif is_manifest:
+            # the file column must be materialized INSIDE read():
+            # the hidden _metadata column does not resolve above the
+            # partition-fill join of a partitioned Delta import
+            mt.read(spark, file_col="__sclera_file") \
+                .createOrReplaceTempView("__merge_t")
         else:
             tgt.withColumn("__sclera_file", F.col("_metadata.file_path")) \
                 .createOrReplaceTempView("__merge_t")
@@ -1869,12 +1869,11 @@ class DdlRouter:
                 "their surviving rows; COMMIT first, then run the "
                 "statement in a new transaction"
             )
-        if staged_parts and mt.partition_info():
-            raise TxnDmlRefused(
-                f"{verb} after buffered writes on partitioned "
-                f"table {name}: staged rows cannot be re-read "
-                "through the virtual-partition fill; COMMIT first"
-            )
+        # staged parts on a PARTITIONED import need no special case:
+        # post-import writes carry the partition columns physically, and
+        # the fill coalesce passes physical values through untouched
+        # (imported files fill from the log's partitionValues; staged
+        # files have no lookup entry and keep their physical columns)
         # --- snapshot (published-file) staging first: everything below
         # that can raise runs BEFORE any transaction state mutates, so
         # a failed statement (timeout, executor loss) leaves the txn

@@ -3232,7 +3232,10 @@ class ManifestTable:
             df = df.select(
                 [F.col(c).alias(phys[c.lower()]) for c in df.columns]
             )
-        scratch = tempfile.mkdtemp(prefix="sclera_manifest_")
+        # pid in the name: scratch dirs are attributable to their
+        # owning engine process (and tests can filter out dirs made by
+        # concurrent runs on the same host)
+        scratch = tempfile.mkdtemp(prefix=f"sclera_manifest_{os.getpid()}_")
         df.write.mode("overwrite").parquet(scratch)
         tag = uuid.uuid4().hex[:8]
         staged = []

@@ -375,6 +375,25 @@ def test_delta_import_partitioned(engine, spark, tmp_path):
         assert engine.sql(
             "SELECT v, c, dt FROM ptd WHERE k = 30"
         ).collect()[0][0:3] == (-1.0, 2, "b")
+        # MERGE through the fill (late r12: the probe's file column is
+        # materialized inside read(), where _metadata still resolves):
+        # matched row updates, NOT MATCHED row inserts with physical
+        # partition columns
+        engine.execute(
+            "MERGE INTO ptd t USING (SELECT 31 AS k, -2.0 AS nv, "
+            "9 AS c, 'z' AS dt UNION ALL SELECT 999, -3.0, 9, 'z') s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv "
+            "WHEN NOT MATCHED THEN INSERT (k, v, c, dt) "
+            "VALUES (s.k, s.nv, s.c, s.dt)"
+        )
+        # the matched row kept its VIRTUAL partition values
+        assert engine.sql(
+            "SELECT v, c, dt FROM ptd WHERE k = 31"
+        ).collect()[0][0:3] == (-2.0, 2, "b")
+        assert engine.sql(
+            "SELECT v, c, dt FROM ptd WHERE k = 999"
+        ).collect()[0][0:3] == (-3.0, 9, "z")
         # a virtual partition column cannot be renamed/dropped/retyped
         for stmt in (
             "ALTER TABLE ptd RENAME COLUMN dt TO dt2",

@@ -765,6 +765,82 @@ def test_txn_merge_read_your_own_writes(server):
         c.close()
 
 
+def test_txn_partitioned_import_read_your_own_writes(server, spark, tmp_path):
+    """late r12: partitioned Delta imports participate in
+    read-your-own-writes too — staged parts carry the partition
+    columns physically, imported files keep filling from the log's
+    partitionValues, and the overlay unions both populations."""
+    from test_delta_import import _mk_partitioned_delta
+
+    d = _mk_partitioned_delta(spark, tmp_path, name="wptab")
+    c = connect(server)
+    c.execute(f"CREATE TABLE wpt FROM DELTA '{d}'")
+    try:
+        other = connect(server)
+        c.execute("BEGIN")
+        # staged insert into a brand-new partition, visible same-session
+        assert c.execute(
+            "INSERT INTO wpt VALUES (100, 0.5, 7, 'q')"
+        )[2] == "INSERT 0 1"
+        _, rows, _ = c.execute("SELECT k, v, c, dt FROM wpt WHERE k = 100")
+        assert rows == [("100", "0.5", "7", "q")]
+        # virtual partition values of IMPORTED files still fill in the
+        # same overlay read
+        assert _count(
+            c, "SELECT count(*) AS n FROM wpt WHERE c = 1 AND dt = 'a'"
+        ) == 10
+        assert _count(c, "SELECT count(*) AS n FROM wpt") == 41
+        assert _count(other, "SELECT count(*) AS n FROM wpt") == 40
+        # UPDATE rewrites the staged insert (physical partition cols
+        # survive the rewrite)
+        assert c.execute(
+            "UPDATE wpt SET v = 0.75 WHERE k = 100"
+        )[2] == "UPDATE 1"
+        _, rows, _ = c.execute("SELECT v, c, dt FROM wpt WHERE k = 100")
+        assert rows == [("0.75", "7", "q")]
+        # MERGE sees both populations: updates the staged row (k=100)
+        # and an imported row (k=5), inserts a fresh key
+        tag = c.execute(
+            "MERGE INTO wpt t USING ("
+            "SELECT 100 AS k, -1.0 AS nv, 7 AS c, 'q' AS dt "
+            "UNION ALL SELECT 5, -2.0, 0, '' "
+            "UNION ALL SELECT 200, -3.0, 8, 'r') s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv "
+            "WHEN NOT MATCHED THEN INSERT (k, v, c, dt) "
+            "VALUES (s.k, s.nv, s.c, s.dt)"
+        )[2]
+        assert tag == "MERGE 3"
+        _, rows, _ = c.execute(
+            "SELECT k, v, c, dt FROM wpt WHERE k IN (100, 5, 200) "
+            "ORDER BY k"
+        )
+        # k=5 keeps its VIRTUAL partition values through the rewrite
+        assert rows == [
+            ("5", "-2.0", "1", "a"),
+            ("100", "-1.0", "7", "q"),
+            ("200", "-3.0", "8", "r"),
+        ]
+        c.execute("COMMIT")
+        _, rows, _ = c.execute(
+            "SELECT k, v, c, dt FROM wpt WHERE k IN (100, 5, 200) "
+            "ORDER BY k"
+        )
+        assert rows == [
+            ("5", "-2.0", "1", "a"),
+            ("100", "-1.0", "7", "q"),
+            ("200", "-3.0", "8", "r"),
+        ]
+        assert _count(other, "SELECT count(*) AS n FROM wpt") == 42
+        # partition pruning still works over the mixed table
+        assert _count(
+            other, "SELECT count(*) AS n FROM wpt WHERE c = 7"
+        ) == 1
+        other.close()
+    finally:
+        c.execute("DROP TABLE wpt")
+        c.close()
+
+
 def test_txn_read_same_named_column_not_rewritten(server):
     """r12 review: a SELECT inside a transaction where the buffered
     table's NAME also appears as a column of another table must not
@@ -809,8 +885,15 @@ def test_txn_scratch_dirs_reclaimed(server):
     import tempfile
 
     def scratch_dirs():
+        # pid-scoped: concurrent pytest processes on the same host make
+        # their own scratch dirs and must not fail this assertion
         return set(
-            glob.glob(os.path.join(tempfile.gettempdir(), "sclera_manifest_*"))
+            glob.glob(
+                os.path.join(
+                    tempfile.gettempdir(),
+                    f"sclera_manifest_{os.getpid()}_*",
+                )
+            )
         )
 
     c = connect(server)
