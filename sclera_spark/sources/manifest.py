@@ -395,11 +395,14 @@ class ManifestTable:
         (Delta's DROP COLUMN leaves the bytes) become tombstone
         reservations so a later ADD COLUMN can never surface them.
 
-        Remaining loud refusals instead of silent data loss:
-        - ``columnMapping.mode=id`` (files matched by parquet field id,
-          not name — this reader maps by physical name);
-        - column mapping combined with partition columns;
-        - object-store paths (no credentials here)."""
+        Mapping × partitioning composes (late r12): the log keys
+        partitionColumns/partitionValues by PHYSICAL name, which are
+        translated to logical here so the virtual fill (which runs
+        above the physical->logical projection) resolves.
+
+        Remaining loud refusal instead of silent data loss:
+        object-store paths (no credentials here). ``mode=id`` imports
+        with a per-footer field-id/physicalName agreement check."""
         import urllib.parse
 
         log_dir = os.path.join(table_dir, "_delta_log")
@@ -567,13 +570,6 @@ class ManifestTable:
                     "Delta import: columnMapping.mode=name but the log "
                     "carries no schemaString to read the mapping from"
                 )
-            if part_cols:
-                raise ValueError(
-                    "Delta import: column mapping combined with "
-                    "partition columns is not supported here (the "
-                    "virtual-partition fill is keyed by logical name); "
-                    "rewrite without mapping first"
-                )
             mapping_cols = []
             for f in schema_json.get("fields", []):
                 md = f.get("metadata") or {}
@@ -606,6 +602,32 @@ class ManifestTable:
                 if differs:
                     entry["physical_type"] = phys_t
                 mapping_cols.append(entry)
+        pv_key_alts: dict[str, str] = {}
+        if mapping_cols is not None and part_cols:
+            # mapping × partitioning (late r12): under column mapping
+            # the log keys metaData.partitionColumns and each add's
+            # partitionValues by PHYSICAL name (Delta protocol), while
+            # the virtual-partition fill runs ABOVE the physical ->
+            # logical projection and is keyed by logical name.
+            # Translate here; accept either keying (a table whose
+            # physical names equal its logical names keys logically).
+            phys2log = {e["physical"]: e["name"] for e in mapping_cols}
+            logical = {e["name"] for e in mapping_cols}
+            unknown = [
+                c for c in part_cols if c not in phys2log and c not in logical
+            ]
+            if unknown:
+                raise ValueError(
+                    "Delta import: partition columns "
+                    f"{unknown} match neither a logical nor a physical "
+                    "schema name; cannot translate the mapping"
+                )
+            part_cols = [phys2log.get(c, c) for c in part_cols]
+            pv_key_alts = {
+                e["name"]: e["physical"]
+                for e in mapping_cols
+                if e["name"] in part_cols
+            }
         if not live:
             raise ValueError(
                 f"Delta log at {log_dir!r} resolves to zero live files"
@@ -641,7 +663,12 @@ class ManifestTable:
             pv_by_src = {}
             for rel, e in live.items():
                 pv = e["pv"] or {}
-                pv_by_src[e["src"]] = {c: pv.get(c) for c in part_cols}
+                pv_by_src[e["src"]] = {
+                    # logical key first (None is a legal value — a null
+                    # partition), physical-name fallback for mapped logs
+                    c: pv[c] if c in pv else pv.get(pv_key_alts.get(c, c))
+                    for c in part_cols
+                }
         srcs = []
         for rel in sorted(live):
             src = live[rel]["src"]
@@ -2300,6 +2327,21 @@ class ManifestTable:
             self.file_rows(),
         )
         pv_meta = pinfo[1] if pinfo else {}
+        if pinfo and mapping is not None:
+            # public mapped logs key partitionColumns and each add's
+            # partitionValues by PHYSICAL name (Delta protocol) — the
+            # manifest meta holds logical names (import translated
+            # them), so translate back out here
+            log2phys = {
+                e["name"]: e["physical"]
+                for e in mapping
+                if not e.get("dropped")
+            }
+            part_cols = [log2phys.get(c, c) for c in part_cols]
+            pv_meta = {
+                b: {log2phys.get(c, c): v for c, v in d.items()}
+                for b, d in pv_meta.items()
+            }
         if pinfo:
             mixed = [
                 b for b in self._file_names() if b not in pv_meta

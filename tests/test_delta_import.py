@@ -783,6 +783,129 @@ def test_delta_import_column_mapping_external_fixture(spark, tmp_path):
     assert rows2 == [(i, float(i * 2)) for i in range(25)]
 
 
+def test_delta_import_column_mapping_partitioned(engine, spark, tmp_path):
+    """late r12: column mapping COMPOSES with partition columns — the
+    log keys partitionColumns and each add's partitionValues by
+    PHYSICAL name (Delta protocol), the import translates them to
+    logical names so the virtual fill (which runs above the
+    physical->logical projection) resolves; scans, partition pruning,
+    DML, and MERGE all speak logical names."""
+    import shutil
+    import tempfile
+
+    d = str(tmp_path / "cmpart")
+    os.makedirs(d, exist_ok=True)
+    for i, c in enumerate((1, 2)):
+        scratch = tempfile.mkdtemp()
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr(
+                "id AS `col-k`", "CAST(id AS DOUBLE) / 2 AS `col-v`"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        shutil.copyfile(
+            os.path.join(scratch, part), os.path.join(d, f"f{i}.parquet")
+        )
+        shutil.rmtree(scratch)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-k"}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-v"}},
+            {"name": "c", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 3,
+                "delta.columnMapping.physicalName": "col-c"}},
+        ],
+    }
+    _commit(os.path.join(d, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmp", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["col-c"],
+            "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "f0.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True, "partitionValues": {"col-c": "1"}}},
+        {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True, "partitionValues": {"col-c": "2"}}},
+    ])
+    engine.execute(f"CREATE TABLE cmp FROM DELTA '{d}'")
+    try:
+        got = sorted(
+            tuple(r) for r in engine.sql("SELECT k, v, c FROM cmp").collect()
+        )
+        assert got == [
+            (i, i / 2, 1 if i < 10 else 2) for i in range(20)
+        ]
+        # partition pruning on the LOGICAL name
+        rep = engine.execute("EXPLAIN FILES SELECT * FROM cmp WHERE c = 1")
+        assert rep[0]["kept_files"] == 1 and rep[0]["total_files"] == 2
+        # export round-trips BEFORE any rewrite (the public log keys
+        # partitionColumns/partitionValues by physical name again)
+        from sclera_spark.sources.manifest import ManifestTable
+
+        mt = engine.ddl()._manifest("cmp")
+        exp = str(tmp_path / "cmp_mirror")
+        os.makedirs(os.path.join(exp, "data"), exist_ok=True)
+        for p in mt.files():
+            shutil.copyfile(
+                p, os.path.join(exp, "data", os.path.basename(p))
+            )
+        mt.export_delta_log(spark, os.path.join(exp, "_delta_log"))
+        with open(
+            os.path.join(exp, "_delta_log", f"{0:020d}.json")
+        ) as fh:
+            acts = [json.loads(ln) for ln in fh if ln.strip()]
+        md = next(a["metaData"] for a in acts if "metaData" in a)
+        assert md["partitionColumns"] == ["col-c"]
+        pvs = sorted(
+            tuple(sorted(a["add"]["partitionValues"].items()))
+            for a in acts
+            if "add" in a
+        )
+        assert pvs == [(("col-c", "1"),), (("col-c", "2"),)]
+        mt2 = ManifestTable.import_delta(exp, str(tmp_path / "cmp_back"))
+        back = sorted(
+            (r.k, r.v, r.c) for r in mt2.read(spark).collect()
+        )
+        assert back == [
+            (i, i / 2, 1 if i < 10 else 2) for i in range(20)
+        ]
+        # DML through fill + mapping: the rewritten file carries both
+        # the data and partition columns physically (physical names)
+        engine.execute("UPDATE cmp SET v = -1 WHERE k = 5")
+        assert engine.sql(
+            "SELECT v, c FROM cmp WHERE k = 5"
+        ).collect()[0][0:2] == (-1.0, 1)
+        # MERGE: matched keeps its virtual value, insert goes physical
+        engine.execute(
+            "MERGE INTO cmp t USING "
+            "(SELECT 15 AS k, -2.0 AS nv, 5 AS c "
+            "UNION ALL SELECT 99, -3.0, 9) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv "
+            "WHEN NOT MATCHED THEN INSERT (k, v, c) VALUES (s.k, s.nv, s.c)"
+        )
+        assert engine.sql(
+            "SELECT v, c FROM cmp WHERE k = 15"
+        ).collect()[0][0:2] == (-2.0, 2)
+        assert engine.sql(
+            "SELECT v, c FROM cmp WHERE k = 99"
+        ).collect()[0][0:2] == (-3.0, 9)
+    finally:
+        engine.execute("DROP TABLE cmp")
+
+
 def test_delta_import_column_mapping_nested_fields(spark, tmp_path):
     """Tables CREATED with columnMapping enabled assign col-<uuid>
     physical names to NESTED struct/array-element fields too (the
