@@ -217,6 +217,14 @@ class _Handler(socketserver.BaseRequestHandler):
                 ManifestTable.discard_staged(
                     txn.get("all_staged") or txn["parts"]
                 )
+            if txn and txn.get("created"):
+                # a txn-created table was never registered: reclaim it
+                import shutil as _shutil
+
+                _shutil.rmtree(
+                    txn["created"]["path"], ignore_errors=True
+                )
+            if txn:
                 self._txn = None
             if key is not None:
                 self.server.cancel_registry.pop(key, None)
@@ -500,6 +508,13 @@ class _Handler(socketserver.BaseRequestHandler):
                         # `parts`; scratch dirs are reclaimed once, at
                         # transaction end, from this ledger
                         "all_staged": [],
+                        # transactional DDL (late r12): a table CREATED
+                        # in this txn lives at its warehouse path but is
+                        # registered in the shared catalog only at
+                        # COMMIT ({"name", "path"}); a deferred DROP
+                        # executes at COMMIT
+                        "created": None,
+                        "dropped": None,
                     }
                 return _ResultSet(None, None, None, "BEGIN")
             if verb in ("SAVEPOINT", "RELEASE") or self._ROLLBACK_TO_RE.match(
@@ -509,6 +524,53 @@ class _Handler(socketserver.BaseRequestHandler):
             if verb in ("COMMIT", "END"):
                 txn = getattr(self, "_txn", None)
                 self._txn = None
+                if txn and txn.get("created"):
+                    # publish the txn-created table: the only shared
+                    # state it touches is the catalog registration,
+                    # which happens HERE — the data has been at its
+                    # path all along, invisible without the entry
+                    import shutil as _shutil
+
+                    name = txn["created"]["name"]
+                    path = txn["created"]["path"]
+                    ddl = self.server.engine.ddl()
+                    if (
+                        name in ddl.managed
+                        or name in ddl.views
+                        or name in getattr(
+                            self.server.engine.catalog, "tables", {}
+                        )
+                    ):
+                        # another session registered the name while this
+                        # transaction held it unpublished: abort loudly
+                        _shutil.rmtree(path, ignore_errors=True)
+                        raise _WireError(
+                            "40001",
+                            f"COMMIT failed: table {name!r} was created "
+                            "by another session while this transaction "
+                            "held it unpublished; the transaction is "
+                            "rolled back",
+                        )
+                    ddl.managed[name] = path
+                    ddl.manifest_tables.add(name)
+                    ddl._register_manifest(name)
+                    try:
+                        ddl._persist_tables()
+                    except Exception:
+                        pass  # registration is live; durability best-effort
+                if txn and txn.get("dropped"):
+                    # deferred DROP: the single object this txn touches
+                    try:
+                        self.server.engine.execute(
+                            f"DROP TABLE {txn['dropped']}"
+                        )
+                    except Exception as exc:
+                        # dropped meanwhile by another session: the
+                        # outcome the txn wanted already holds
+                        self._notice(
+                            f"COMMIT: deferred DROP TABLE "
+                            f"{txn['dropped']} failed: {exc}"
+                        )
                 # retired: staged tuples replaced by later same-txn
                 # DML rewrites or savepoint rollbacks — reclaim their
                 # scratch dirs whatever the outcome (even a txn whose
@@ -572,6 +634,14 @@ class _Handler(socketserver.BaseRequestHandler):
                         )
 
                         ManifestTable.discard_staged(staged)
+                    if txn.get("created"):
+                        # the created table was never registered:
+                        # removing its directory undoes it truthfully
+                        import shutil as _shutil
+
+                        _shutil.rmtree(
+                            txn["created"]["path"], ignore_errors=True
+                        )
                 return _ResultSet(None, None, None, "ROLLBACK")
             return _ResultSet(None, None, None, verb)
         txn = getattr(self, "_txn", None)
@@ -579,8 +649,11 @@ class _Handler(socketserver.BaseRequestHandler):
             return self._txn_buffer(txn, verb, sql)
         if (
             txn is not None
-            and txn.get("table")
-            and (txn["parts"] or txn["removes"])
+            and (
+                (txn.get("table") and (txn["parts"] or txn["removes"]))
+                or txn.get("created")
+                or txn.get("dropped")
+            )
             and verb in ("SELECT", "WITH", "TABLE")
         ):
             rs = self._txn_read(txn, sql)
@@ -606,7 +679,40 @@ class _Handler(socketserver.BaseRequestHandler):
 
         from sclera_spark.plans.frontend import _split_literals
 
+        # transactional DDL (late r12): a deferred-dropped table reads
+        # as gone; a txn-created table reads through its (unregistered)
+        # manifest — both mutually exclusive with buffered DML
+        dropped = txn.get("dropped")
+        if dropped and self._references_table(sql, dropped):
+            raise _WireError(
+                "42P01",
+                f"relation {dropped!r} does not exist (dropped in the "
+                "current transaction)",
+            )
+        created = txn.get("created")
+        if created and self._references_table(sql, created["name"]):
+            from sclera_spark.sources.manifest import ManifestTable
+
+            overlay = ManifestTable(created["path"]).read(
+                self.server.engine.spark
+            )
+            view = f"__sclera_txn_{_uuid.uuid4().hex[:12]}"
+            overlay.createOrReplaceTempView(view)
+            try:
+                rewritten = self._swap_table_token(
+                    sql, created["name"], view
+                )
+                return _to_resultset(
+                    self.server.engine.execute(rewritten), rewritten
+                )
+            finally:
+                try:
+                    self.server.engine.spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
         name = txn["table"]
+        if not name or not (txn["parts"] or txn["removes"]):
+            return None
         # the table must be referenced AS A TABLE (FROM/JOIN position
         # or as a dotted qualifier) — a mere column/alias spelled like
         # the table name must neither trigger nor suffer the rewrite
@@ -739,6 +845,12 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise _WireError("42601", f"cannot parse: {sql[:60]!r}")
             name = m.group(1).lower()
             sp.pop(name, None)  # re-establish at the CURRENT position
+            created = txn.get("created")
+            created_version = None
+            if created:
+                from sclera_spark.sources.manifest import ManifestTable
+
+                created_version = ManifestTable(created["path"]).version()
             sp[name] = {
                 # full LIST copy, not a count: later same-txn DML may
                 # REWRITE earlier staged parts in place (r12 RYOW), so
@@ -747,6 +859,11 @@ class _Handler(socketserver.BaseRequestHandler):
                 "removes": set(txn["removes"]),
                 "rows": txn["rows"],
                 "table": txn["table"],
+                # txn-created table: the manifest VERSION at the mark —
+                # rollback RESTOREs it (pure metadata, re-rollbackable)
+                "created": dict(created) if created else None,
+                "created_version": created_version,
+                "dropped": txn.get("dropped"),
             }
             return _ResultSet(None, None, None, "SAVEPOINT")
         m = self._RELEASE_RE.match(sql) if verb == "RELEASE" else (
@@ -767,10 +884,40 @@ class _Handler(socketserver.BaseRequestHandler):
         # no scratch reclaim here: parts dropped by this rollback may
         # still be referenced by EARLIER savepoints' copies — the
         # all_staged ledger reclaims every orphan at transaction end
+        cur = txn.get("created")
+        want = mark.get("created")
+        if cur is None and want:
+            # the created table was DROPPED after the mark: its
+            # directory is gone and cannot be restored truthfully —
+            # refuse BEFORE mutating any transaction state
+            raise _WireError(
+                "0A000",
+                "cannot roll back to a savepoint taken before a "
+                "same-transaction DROP of the transaction-created "
+                f"table {want['name']!r}: the creation was already "
+                "undone. ROLLBACK the whole transaction instead.",
+            )
+        if cur and want:
+            # restore the created table's manifest to the mark's
+            # version — pure metadata, re-rollbackable. Runs before
+            # the state mutation below so a restore failure leaves the
+            # transaction exactly as it was.
+            from sclera_spark.sources.manifest import ManifestTable
+
+            mt = ManifestTable(cur["path"])
+            if mt.version() != mark["created_version"]:
+                mt.restore(mark["created_version"])
         txn["parts"] = list(mark["parts"])
         txn["removes"] = set(mark["removes"])
         txn["rows"] = mark["rows"]
         txn["table"] = mark["table"]
+        txn["dropped"] = mark.get("dropped")
+        if cur and want is None:
+            # the table was created AFTER the mark: undo the creation
+            import shutil as _shutil
+
+            _shutil.rmtree(cur["path"], ignore_errors=True)
+            txn["created"] = None
         for nm in later:
             sp.pop(nm, None)
         return _ResultSet(None, None, None, "ROLLBACK")
@@ -810,6 +957,19 @@ class _Handler(socketserver.BaseRequestHandler):
         conflicts abort loudly), refuse (0A000) anything a ROLLBACK
         could not truthfully undo."""
         ddl = self.server.engine.ddl()
+        if verb == "CREATE":
+            return self._txn_create(txn, sql)
+        if verb == "DROP":
+            return self._txn_drop(txn, sql)
+        if txn.get("dropped"):
+            raise _WireError(
+                "0A000",
+                "this transaction holds a deferred DROP TABLE "
+                f"{txn['dropped']}; it supports no further statements "
+                "that mutate state — COMMIT or ROLLBACK first",
+            )
+        if txn.get("created"):
+            return self._txn_created_dml(txn, verb, sql)
         if verb in ("UPDATE", "DELETE", "MERGE"):
             from sclera_spark.plans.ddl import TxnDmlRefused
 
@@ -912,6 +1072,213 @@ class _Handler(socketserver.BaseRequestHandler):
         )
         txn["rows"] += n
         return _ResultSet(None, None, None, f"INSERT 0 {n}")
+
+    _TXN_CTAS_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$", re.I | re.S
+    )
+    _TXN_CREATE_COLS_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*$", re.I | re.S
+    )
+    _TXN_DROP_TABLE_RE = re.compile(
+        r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.I
+    )
+
+    def _txn_create(self, txn: dict, sql: str) -> _ResultSet:
+        """Transactional CREATE TABLE (late r12): the table is
+        materialized AT ITS WAREHOUSE PATH as a real manifest table,
+        but the shared catalog registration — the only state any other
+        session can see — happens at COMMIT. ROLLBACK removes the
+        directory; nothing was ever visible, so the rollback is
+        truthful. Forms: CREATE TABLE name AS <query> and
+        CREATE TABLE name (cols); every other CREATE stays 0A000.
+        A transaction spans ONE object: CREATE in a txn that already
+        buffers DML (or vice versa) refuses."""
+        import shutil as _shutil
+
+        from sclera_spark.sources.manifest import ManifestTable
+
+        ddl = self.server.engine.ddl()
+        query = body = None
+        m = self._TXN_CTAS_RE.match(sql)
+        if m:
+            name, query = m.groups()
+        else:
+            m = self._TXN_CREATE_COLS_RE.match(sql)
+            if m is None:
+                raise _WireError(
+                    "0A000",
+                    "only CREATE TABLE <name> AS <query> and CREATE "
+                    "TABLE <name> (columns) are supported inside a "
+                    "transaction; run other DDL in autocommit "
+                    "(outside BEGIN)",
+                )
+            name, body = m.groups()
+        name = name.lower()
+        if (
+            txn["table"] is not None
+            or txn["parts"]
+            or txn.get("created")
+            or txn.get("dropped")
+        ):
+            raise _WireError(
+                "0A000",
+                "transactions span ONE object: this transaction "
+                "already buffers work; COMMIT first or use a separate "
+                "transaction for CREATE TABLE",
+            )
+        try:
+            self.server.engine.table(name)
+        except Exception:
+            pass
+        else:
+            raise _WireError("42P07", f"relation {name!r} already exists")
+        path = ddl._path(name)
+        if os.path.exists(path):
+            raise _WireError(
+                "42P07",
+                f"the warehouse path for {name!r} is already occupied "
+                "(possibly by another session's in-flight transaction); "
+                "choose another name",
+            )
+        if query is not None:
+            df = self.server.engine.sql(query)
+        else:
+            df = self.server.engine.spark.createDataFrame(
+                [], ddl.create_table_schema(body)
+            )
+        try:
+            # table_schema in the meta: an empty frame can write ZERO
+            # part files, and a schema-only snapshot must still read
+            ManifestTable.create(
+                df, path, meta={"table_schema": df.schema.json()}
+            )
+        except Exception:
+            _shutil.rmtree(path, ignore_errors=True)
+            raise
+        txn["created"] = {"name": name, "path": path}
+        return _ResultSet(None, None, None, "CREATE TABLE")
+
+    def _txn_drop(self, txn: dict, sql: str) -> _ResultSet:
+        """Transactional DROP TABLE (late r12): dropping a table this
+        transaction CREATED undoes the creation on the spot (it was
+        never visible); dropping a published table DEFERS the drop to
+        COMMIT — reads inside the transaction already refuse 42P01,
+        ROLLBACK keeps the table. One deferred drop per transaction,
+        nothing else buffered (single-object atomicity)."""
+        import shutil as _shutil
+
+        m = self._TXN_DROP_TABLE_RE.match(sql)
+        if m is None:
+            raise _WireError(
+                "0A000",
+                "only DROP TABLE <name> is supported inside a "
+                "transaction; run other DROP forms in autocommit "
+                "(outside BEGIN)",
+            )
+        if_exists, name = bool(m.group(1)), m.group(2).lower()
+        created = txn.get("created")
+        if created and created["name"] == name:
+            _shutil.rmtree(created["path"], ignore_errors=True)
+            txn["created"] = None
+            return _ResultSet(None, None, None, "DROP TABLE")
+        if (
+            txn["table"] is not None
+            or txn["parts"]
+            or created
+            or txn.get("dropped")
+        ):
+            raise _WireError(
+                "0A000",
+                "transactions span ONE object: this transaction "
+                "already buffers work; COMMIT first or use a separate "
+                "transaction for DROP TABLE",
+            )
+        ddl = self.server.engine.ddl()
+        if name in ddl.views:
+            raise _WireError(
+                "0A000",
+                f"{name!r} is a view; DROP VIEW inside a transaction "
+                "is not supported — run it in autocommit",
+            )
+        if name not in ddl.managed:
+            if if_exists:
+                self._notice(f"table {name!r} does not exist, skipping")
+                return _ResultSet(None, None, None, "DROP TABLE")
+            raise _WireError("42P01", f"table {name!r} does not exist")
+        txn["dropped"] = name
+        return _ResultSet(None, None, None, "DROP TABLE")
+
+    def _txn_created_dml(self, txn: dict, verb: str, sql: str) -> _ResultSet:
+        """DML on the table this transaction CREATED: the table is
+        invisible to every other session until COMMIT registers it, so
+        statements commit DIRECTLY into its manifest (full version
+        history — savepoint rollbacks RESTORE the recorded version).
+        INSERT/UPDATE/DELETE; MERGE on an in-transaction table refuses
+        (its lowering needs the shared registration)."""
+        from pyspark.sql import functions as F
+
+        from sclera_spark.sources.manifest import ManifestTable
+
+        created = txn["created"]
+        ddl = self.server.engine.ddl()
+        spark = self.server.engine.spark
+        if verb == "INSERT":
+            m = self._INSERT_RE.match(sql)
+            if m is None:
+                raise _WireError("42601", f"cannot parse INSERT: {sql[:80]!r}")
+            name, rest = self._dequote_table(m.group(1)).lower(), m.group(2)
+        elif verb == "UPDATE":
+            m = ddl._TXN_UPDATE_RE.match(sql)
+            if m is None:
+                raise _WireError("42601", f"cannot parse UPDATE: {sql[:80]!r}")
+            name = m.group(1).lower()
+        elif verb == "DELETE":
+            m = ddl._TXN_DELETE_RE.match(sql)
+            if m is None:
+                raise _WireError("42601", f"cannot parse DELETE: {sql[:80]!r}")
+            name = m.group(1).lower()
+        else:
+            raise _WireError(
+                "0A000",
+                f"{verb} is not supported in a transaction that "
+                "created a table; COMMIT first",
+            )
+        if name != created["name"]:
+            raise _WireError(
+                "0A000",
+                "transactions span ONE object: this transaction "
+                f"created table {created['name']}, cannot also write "
+                f"{name}. COMMIT first or use separate transactions.",
+            )
+        mt = ManifestTable(created["path"])
+        tbl = mt.read(spark)
+        if verb == "INSERT":
+            if re.match(r"^\s*VALUES", rest, re.I):
+                incoming = self.server.engine.sql(
+                    f"SELECT * FROM ({rest}) AS __v"
+                ).toDF(*tbl.columns)
+            else:
+                incoming = self.server.engine.sql(rest)
+            incoming = incoming.toDF(*tbl.columns).select(
+                *[
+                    F.col(c).cast(tbl.schema[c].dataType)
+                    for c in tbl.columns
+                ]
+            )
+            before = sum(mt.file_rows().values())
+            mt.append(incoming)
+            n = sum(mt.file_rows().values()) - before
+            txn["rows"] += n
+            return _ResultSet(None, None, None, f"INSERT 0 {n}")
+        where = m.group(3) if verb == "UPDATE" else m.group(2)
+        n = tbl.filter(F.expr(where)).count() if where else tbl.count()
+        if n:
+            if verb == "UPDATE":
+                transform = ddl._update_transform(m.group(2), where)
+            else:
+                transform = ddl._delete_transform(where)
+            mt.overwrite(transform(mt.read(spark)))
+        return _ResultSet(None, None, None, f"{verb} {n}")
 
     def _statement_timer(self):
         """Arm a timer that cancels this session's Spark job group when

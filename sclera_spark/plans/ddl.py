@@ -954,13 +954,20 @@ class DdlRouter:
     }
 
     def _create_table(self, name: str, body: str):
-        """CREATE TABLE name (col type [PRIMARY KEY|NOT NULL], ...,
-        [PRIMARY KEY (cols)] [, FOREIGN KEY (cols) REFERENCES t(cols)]) —
-        the constraint surface of the reference (sql/datatypes/
-        TableConstraint.scala; parse-tested in SqlParseSuite.scala:29-82).
-        Constraints are validated for shape and recorded as metadata;
-        Spark does not enforce them (neither does H2 for the reference's
-        temp tables)."""
+        schema = self.create_table_schema(body)
+        empty = self.engine.spark.createDataFrame([], schema)
+        self._materialize(name, empty)
+
+    def create_table_schema(self, body: str):
+        """Parse the body of CREATE TABLE name (col type [PRIMARY
+        KEY|NOT NULL], ..., [PRIMARY KEY (cols)] [, FOREIGN KEY (cols)
+        REFERENCES t(cols)]) into a StructType — the constraint surface
+        of the reference (sql/datatypes/TableConstraint.scala;
+        parse-tested in SqlParseSuite.scala:29-82). Constraints are
+        validated for shape; Spark does not enforce them (neither does
+        H2 for the reference's temp tables). Shared by autocommit
+        CREATE TABLE and the wire transaction's deferred-registration
+        CREATE."""
         from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
         cols: list[tuple[str, str, bool]] = []
@@ -997,11 +1004,9 @@ class DdlRouter:
             cols.append((col, spark_type, nullable))
         if not cols:
             raise ValueError("CREATE TABLE requires at least one column")
-        schema = StructType(
+        return StructType(
             [StructField(c, _parse_datatype_string(t), n) for c, t, n in cols]
         )
-        empty = self.engine.spark.createDataFrame([], schema)
-        self._materialize(name, empty)
 
     def _create_external(self, kind: str, params: str | None, query: str):
         """CREATE EXTERNAL <sink> ('param', ...) AS <query> — write the

@@ -841,6 +841,152 @@ def test_txn_partitioned_import_read_your_own_writes(server, spark, tmp_path):
         c.close()
 
 
+def test_txn_create_table(server):
+    """Transactional CREATE TABLE (late r12): the table is invisible to
+    other sessions until COMMIT registers it; same-session statements
+    see and write it; ROLLBACK removes it entirely; savepoints restore
+    its manifest version; DROP of the created table undoes creation."""
+    c = connect(server)
+    other = connect(server)
+    # CTAS + INSERT + SELECT inside one txn, the pg pattern
+    c.execute("BEGIN")
+    assert c.execute(
+        "CREATE TABLE wnew AS SELECT 1 AS k, 'a' AS v"
+    )[2] == "CREATE TABLE"
+    assert c.execute("INSERT INTO wnew VALUES (2, 'b')")[2] == "INSERT 0 1"
+    assert _count(c, "SELECT count(*) AS n FROM wnew") == 2
+    # invisible elsewhere until COMMIT
+    with pytest.raises(RuntimeError):
+        other.execute("SELECT count(*) AS n FROM wnew")
+    # UPDATE/DELETE with pg tags
+    assert c.execute("UPDATE wnew SET v = 'bb' WHERE k = 2")[2] == "UPDATE 1"
+    assert c.execute("DELETE FROM wnew WHERE k = 1")[2] == "DELETE 1"
+    _, rows, _ = c.execute("SELECT k, v FROM wnew ORDER BY k")
+    assert rows == [("2", "bb")]
+    c.execute("COMMIT")
+    try:
+        # registered and visible everywhere now
+        _, rows, _ = other.execute("SELECT k, v FROM wnew ORDER BY k")
+        assert rows == [("2", "bb")]
+
+        # ROLLBACK removes a created table entirely
+        c.execute("BEGIN")
+        c.execute("CREATE TABLE wgone AS SELECT 1 AS x")
+        assert _count(c, "SELECT count(*) AS n FROM wgone") == 1
+        c.execute("ROLLBACK")
+        with pytest.raises(RuntimeError):
+            c.execute("SELECT count(*) AS n FROM wgone")
+
+        # empty (cols) form + savepoint version restore
+        c.execute("BEGIN")
+        assert c.execute(
+            "CREATE TABLE wsv (k INT, v VARCHAR)"
+        )[2] == "CREATE TABLE"
+        assert _count(c, "SELECT count(*) AS n FROM wsv") == 0
+        c.execute("INSERT INTO wsv VALUES (1, 'x')")
+        c.execute("SAVEPOINT s")
+        c.execute("INSERT INTO wsv VALUES (2, 'y')")
+        assert _count(c, "SELECT count(*) AS n FROM wsv") == 2
+        c.execute("ROLLBACK TO s")
+        assert _count(c, "SELECT count(*) AS n FROM wsv") == 1
+        c.execute("INSERT INTO wsv VALUES (3, 'z')")
+        c.execute("ROLLBACK TO s")  # re-rollbackable
+        _, rows, _ = c.execute("SELECT k FROM wsv")
+        assert rows == [("1",)]
+        # savepoint BEFORE the create: rolling back undoes creation
+        c.execute("COMMIT")
+        c.execute("DROP TABLE wsv")
+
+        c.execute("BEGIN")
+        c.execute("SAVEPOINT pre")
+        c.execute("CREATE TABLE wpre AS SELECT 7 AS q")
+        c.execute("ROLLBACK TO pre")
+        with pytest.raises(RuntimeError):
+            c.execute("SELECT q FROM wpre")
+        c.execute("ROLLBACK")
+
+        # DROP of the created table inside the txn undoes creation
+        c.execute("BEGIN")
+        c.execute("CREATE TABLE wtmp AS SELECT 1 AS a")
+        assert c.execute("DROP TABLE wtmp")[2] == "DROP TABLE"
+        with pytest.raises(RuntimeError):
+            c.execute("SELECT a FROM wtmp")
+        c.execute("COMMIT")
+        with pytest.raises(RuntimeError):
+            c.execute("SELECT a FROM wtmp")
+
+        # single-object rule: CREATE after buffered DML refuses; a
+        # second CREATE refuses; DML on another table refuses
+        c.execute("ALTER TABLE wnew SET FORMAT MANIFEST")
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wnew VALUES (9, 'i')")
+        with pytest.raises(RuntimeError, match="ONE object"):
+            c.execute("CREATE TABLE wother AS SELECT 1 AS z")
+        c.execute("ROLLBACK")
+        c.execute("BEGIN")
+        c.execute("CREATE TABLE wone AS SELECT 1 AS z")
+        with pytest.raises(RuntimeError, match="ONE object"):
+            c.execute("CREATE TABLE wtwo AS SELECT 2 AS z")
+        with pytest.raises(RuntimeError, match="ONE object"):
+            c.execute("INSERT INTO wnew VALUES (10, 'j')")
+        c.execute("ROLLBACK")
+        # name collisions refuse up front
+        c.execute("BEGIN")
+        with pytest.raises(RuntimeError, match="already exists"):
+            c.execute("CREATE TABLE wnew AS SELECT 1 AS z")
+        c.execute("ROLLBACK")
+        # other CREATE forms stay refused
+        c.execute("BEGIN")
+        with pytest.raises(RuntimeError, match="autocommit"):
+            c.execute("CREATE VIEW wv AS SELECT 1 AS z")
+        c.execute("ROLLBACK")
+    finally:
+        c.execute("DROP TABLE wnew")
+        other.close()
+        c.close()
+
+
+def test_txn_deferred_drop(server):
+    """Transactional DROP TABLE (late r12): the drop defers to COMMIT —
+    reads inside the txn refuse 42P01, other sessions still see the
+    table, ROLLBACK keeps it."""
+    c = connect(server)
+    other = connect(server)
+    c.execute("CREATE TABLE wdrop AS SELECT 1 AS k")
+    try:
+        c.execute("BEGIN")
+        assert c.execute("DROP TABLE wdrop")[2] == "DROP TABLE"
+        # in-txn reads see it gone
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute("SELECT k FROM wdrop")
+        # further mutating statements refuse (single-object txn)
+        with pytest.raises(RuntimeError, match="deferred DROP"):
+            c.execute("INSERT INTO wdrop VALUES (2)")
+        # other sessions unaffected
+        assert _count(other, "SELECT count(*) AS n FROM wdrop") == 1
+        c.execute("ROLLBACK")
+        assert _count(c, "SELECT count(*) AS n FROM wdrop") == 1
+
+        c.execute("BEGIN")
+        c.execute("DROP TABLE wdrop")
+        c.execute("COMMIT")
+        with pytest.raises(RuntimeError):
+            other.execute("SELECT count(*) AS n FROM wdrop")
+        # nonexistent: IF EXISTS no-ops, plain refuses
+        c.execute("BEGIN")
+        assert c.execute("DROP TABLE IF EXISTS wdrop")[2] == "DROP TABLE"
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute("DROP TABLE wdrop")
+        c.execute("ROLLBACK")
+    finally:
+        other.close()
+        try:
+            c.execute("DROP TABLE wdrop")
+        except RuntimeError:
+            pass
+        c.close()
+
+
 def test_txn_read_same_named_column_not_rewritten(server):
     """r12 review: a SELECT inside a transaction where the buffered
     table's NAME also appears as a column of another table must not
