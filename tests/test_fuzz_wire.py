@@ -392,6 +392,126 @@ def test_txn_dml_fuzz_vs_duckdb(spark):
         srv.stop()
 
 
+def test_txn_create_table_fuzz_vs_duckdb(spark):
+    """late r12 transactional DDL fuzz: CREATE TABLE AS inside a txn,
+    then a random interleaving of INSERT/UPDATE/DELETE/SAVEPOINT/
+    ROLLBACK TO/SELECT on the created table, mirrored in-order on a
+    DuckDB shadow; COMMIT must register exactly the shadow contents,
+    ROLLBACK must leave no trace (relation unknown + no directory)."""
+    import os
+
+    duckdb = pytest.importorskip("duckdb")
+
+    engine = ScleraEngine(spark)
+    srv = ScleraServer(engine).start()
+    c = WireClient("127.0.0.1", srv.port)
+    try:
+        for seed in range(4):
+            rng = random.Random(5200 + seed)
+            duck = duckdb.connect()
+            c.execute("BEGIN")
+            n0 = rng.randint(0, 5)
+            c.execute(
+                "CREATE TABLE fzc AS SELECT k, CAST(k AS DOUBLE)/4 AS v "
+                "FROM (VALUES "
+                + ", ".join(f"({k})" for k in range(max(n0, 1)))
+                + f") AS t(k){' WHERE 1=0' if n0 == 0 else ''}"
+            )
+            duck.execute("CREATE TABLE fzc (k INTEGER, v DOUBLE)")
+            if n0:
+                duck.execute(
+                    f"INSERT INTO fzc SELECT k, k/4.0 FROM range({n0}) t(k)"
+                )
+            next_k = [100]
+            # duck shadow snapshots per savepoint name
+            marks: dict[str, list] = {}
+
+            def snap():
+                return duck.execute(
+                    "SELECT k, v FROM fzc ORDER BY k, v"
+                ).fetchall()
+
+            def restore(rows):
+                duck.execute("DELETE FROM fzc")
+                for k, v in rows:
+                    duck.execute(f"INSERT INTO fzc VALUES ({k}, {v!r})")
+
+            for _s in range(rng.randint(2, 8)):
+                r = rng.random()
+                if r < 0.15:
+                    nm = f"s{_s}"
+                    c.execute(f"SAVEPOINT {nm}")
+                    marks[nm] = snap()
+                    continue
+                if r < 0.3 and marks:
+                    nm = rng.choice(list(marks))
+                    c.execute(f"ROLLBACK TO SAVEPOINT {nm}")
+                    restore(marks[nm])
+                    # later savepoints die on the wire side too
+                    names = list(marks)
+                    for later in names[names.index(nm) + 1:]:
+                        marks.pop(later)
+                    continue
+                if r < 0.55:
+                    got = sorted(
+                        (int(k), float(v))
+                        for k, v in c.execute(
+                            "SELECT k, v FROM fzc ORDER BY k, v"
+                        )[1]
+                    )
+                    assert got == [
+                        (int(k), float(v)) for k, v in snap()
+                    ], f"seed {seed}: read divergence"
+                    continue
+                kind = rng.choice(["ins", "upd", "del"])
+                if kind == "ins":
+                    ks = [next_k[0] + i for i in range(rng.randint(1, 3))]
+                    next_k[0] += len(ks)
+                    vals = ", ".join(f"({k}, {k/4!r})" for k in ks)
+                    _, _, tag = c.execute(f"INSERT INTO fzc VALUES {vals}")
+                    assert tag == f"INSERT 0 {len(ks)}"
+                    duck.execute(f"INSERT INTO fzc VALUES {vals}")
+                    continue
+                a = rng.randrange(0, next_k[0] + 2)
+                where = f"k BETWEEN {a} AND {a + rng.randrange(0, 60)}"
+                if kind == "upd":
+                    sql = f"UPDATE fzc SET v = v + 1 WHERE {where}"
+                else:
+                    sql = f"DELETE FROM fzc WHERE {where}"
+                n_want = duck.execute(
+                    f"SELECT count(*) FROM fzc WHERE {where}"
+                ).fetchone()[0]
+                _, _, tag = c.execute(sql)
+                assert tag.split()[-1] == str(n_want), (sql, tag)
+                duck.execute(sql)
+            commit = rng.random() < 0.6
+            want = snap()
+            path = engine.ddl()._path("fzc")
+            if commit:
+                c.execute("COMMIT")
+                got = sorted(
+                    (int(k), float(v))
+                    for k, v in c.execute(
+                        "SELECT k, v FROM fzc ORDER BY k, v"
+                    )[1]
+                )
+                assert got == [(int(k), float(v)) for k, v in want], (
+                    f"seed {seed}: committed contents diverge"
+                )
+                c.execute("DROP TABLE fzc")
+            else:
+                c.execute("ROLLBACK")
+                with pytest.raises(RuntimeError):
+                    c.execute("SELECT count(*) AS n FROM fzc")
+                assert not os.path.exists(path), (
+                    f"seed {seed}: ROLLBACK left {path}"
+                )
+            duck.close()
+    finally:
+        c.close()
+        srv.stop()
+
+
 # ------------------- r12: portal suspension (Execute maxRows)
 
 
