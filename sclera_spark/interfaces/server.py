@@ -1489,7 +1489,7 @@ class _Handler(socketserver.BaseRequestHandler):
             raise _WireError("42601", "COPY HEADER requires CSV format")
         table = m.group("t")
         engine = self.server.engine
-        tdf = engine.table(table)  # raises before CopyIn if unknown
+        tdf = self._resolve_copy_target(table)  # raises before CopyIn
         tcols = tdf.columns
         if m.group("cols"):
             cols = [c.strip() for c in m.group("cols").split(",")]
@@ -1554,6 +1554,29 @@ class _Handler(socketserver.BaseRequestHandler):
                 _os.unlink(spool.name)
             except OSError:
                 pass
+
+    def _resolve_copy_target(self, table: str):
+        """The COPY target's schema frame, transaction-aware (late
+        r12): a table CREATED in the open transaction resolves through
+        its unregistered manifest (COPY into it then routes via
+        _txn_buffer to the direct-commit path), and a table with a
+        deferred DROP reads as gone — the ordinary catalog answers
+        everything else."""
+        engine = self.server.engine
+        txn = getattr(self, "_txn", None)
+        if txn is not None:
+            created = txn.get("created")
+            if created and created["name"] == table.lower():
+                from sclera_spark.sources.manifest import ManifestTable
+
+                return ManifestTable(created["path"]).read(engine.spark)
+            if txn.get("dropped") == table.lower():
+                raise _WireError(
+                    "42P01",
+                    f"relation {table!r} does not exist (dropped in "
+                    "the current transaction)",
+                )
+        return engine.table(table)
 
     def _copy_insert(self, engine, table, cols, spool_path, fmt, header) -> int:
         """Parse the spooled COPY payload and INSERT it: string-typed
@@ -1625,7 +1648,7 @@ class _Handler(socketserver.BaseRequestHandler):
             view = f"_copy_in_{_os.getpid()}_{id(engine) & 0xFFFF}"
             spark.read.parquet(pdir).createOrReplaceTempView(view)
             try:
-                tdf = engine.table(table)
+                tdf = self._resolve_copy_target(table)
                 sel = []
                 for f in tdf.schema.fields:
                     if f.name in cols:

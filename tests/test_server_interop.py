@@ -604,11 +604,21 @@ def test_transactions_on_manifest_tables(server):
     rc, out, err = run_psql(server, "SHOW VERSIONS txt")
     assert len(out.strip().splitlines()) == v0 + 2  # one more version
 
-    # refusals: non-buffered DML verbs, second table, non-manifest target
+    # CREATE TABLE inside a transaction is REAL (late r12): registered
+    # only at COMMIT; unsupported DDL forms still refuse
     rc, out, err = run_psql(
         server, "BEGIN; CREATE TABLE nope AS SELECT 1 AS x; COMMIT"
     )
-    assert rc != 0 and "not supported" in err
+    assert rc == 0, err
+    rc, out, err = run_psql(server, "SELECT x FROM nope")
+    assert rc == 0 and out.strip() == "1"
+    run_psql(server, "DROP TABLE nope")
+    rc, out, err = run_psql(
+        server, "BEGIN; CREATE INDEX nix ON region (r_name); COMMIT"
+    )
+    assert rc != 0 and (
+        "not supported" in err or "autocommit" in err
+    )
     rc, _, err = run_psql(
         server,
         "CREATE TABLE txt2 AS SELECT r_regionkey AS k FROM region",
@@ -828,6 +838,40 @@ def run_psql_stdin(server, sql: str, data: str):
         timeout=120,
     )
     return proc.returncode, proc.stdout, proc.stderr
+
+
+def test_psql_restore_pattern_create_copy_commit(server):
+    """The pg_dump restore shape (late r12): BEGIN; CREATE TABLE;
+    COPY ... FROM STDIN; COMMIT — the table is created inside the
+    transaction (registered only at COMMIT), the COPY routes through
+    the transaction's direct-commit path, and ROLLBACK of the same
+    sequence leaves nothing behind."""
+    payload = "1\talpha\n2\tbeta\n3\t\\N\n\\.\n"
+    rc, out, err = run_psql_stdin(
+        server,
+        "BEGIN; CREATE TABLE rst (k BIGINT, name VARCHAR); "
+        "COPY rst FROM STDIN; COMMIT;",
+        payload,
+    )
+    assert rc == 0, err
+    try:
+        rc, out, err = run_psql(
+            server, "SELECT k, name FROM rst ORDER BY k"
+        )
+        assert rc == 0, err
+        assert out.splitlines() == ["1|alpha", "2|beta", "3|"]
+        # the rolled-back twin never existed
+        rc, out, err = run_psql_stdin(
+            server,
+            "BEGIN; CREATE TABLE rst2 (k BIGINT); "
+            "COPY rst2 FROM STDIN; ROLLBACK;",
+            "9\n\\.\n",
+        )
+        assert rc == 0, err
+        rc, _, err = run_psql(server, "SELECT count(*) FROM rst2")
+        assert rc != 0
+    finally:
+        run_psql(server, "DROP TABLE rst")
 
 
 def test_psql_copy_from_stdin_text(server):
