@@ -946,6 +946,40 @@ def test_txn_create_table(server):
         c.close()
 
 
+def test_txn_create_commit_collision(server):
+    """Two sessions CREATE the same table name in open transactions:
+    the first COMMIT registers it; the second COMMIT aborts with a
+    serialization failure and leaves neither directory garbage nor a
+    clobbered catalog entry."""
+    import glob as _glob
+    import os as _os
+
+    c1 = connect(server)
+    c2 = connect(server)
+    try:
+        c1.execute("BEGIN")
+        c1.execute("CREATE TABLE wrace AS SELECT 1 AS k")
+        # the second creator collides on the occupied warehouse path —
+        # refused up front, BEFORE any work (the path IS the claim)
+        c2.execute("BEGIN")
+        with pytest.raises(RuntimeError, match="occupied|already exists"):
+            c2.execute("CREATE TABLE wrace AS SELECT 2 AS k")
+        c2.execute("ROLLBACK")
+        c1.execute("COMMIT")
+        _, rows, _ = c1.execute("SELECT k FROM wrace")
+        assert rows == [("1",)]
+        # after the winner registered, a fresh CREATE refuses on the
+        # catalog entry
+        c2.execute("BEGIN")
+        with pytest.raises(RuntimeError, match="already exists"):
+            c2.execute("CREATE TABLE wrace AS SELECT 3 AS k")
+        c2.execute("ROLLBACK")
+    finally:
+        c1.execute("DROP TABLE wrace")
+        c1.close()
+        c2.close()
+
+
 def test_txn_deferred_drop(server):
     """Transactional DROP TABLE (late r12): the drop defers to COMMIT —
     reads inside the txn refuse 42P01, other sessions still see the
