@@ -525,24 +525,34 @@ class _Handler(socketserver.BaseRequestHandler):
                 txn = getattr(self, "_txn", None)
                 self._txn = None
                 if txn and txn.get("created"):
-                    # publish the txn-created table: the only shared
-                    # state it touches is the catalog registration,
-                    # which happens HERE — the data has been at its
-                    # path all along, invisible without the entry
+                    # publish the txn-created table: rename the unique
+                    # staging directory into the warehouse path, then
+                    # register — the rename is the commit point, and it
+                    # can only fail into a ROLLBACK of OUR directory
+                    # (the winner's data is never touched)
                     import shutil as _shutil
 
                     name = txn["created"]["name"]
                     path = txn["created"]["path"]
+                    final = txn["created"]["final"]
                     ddl = self.server.engine.ddl()
-                    if (
+                    lost = (
                         name in ddl.managed
                         or name in ddl.views
                         or name in getattr(
                             self.server.engine.catalog, "tables", {}
                         )
-                    ):
-                        # another session registered the name while this
-                        # transaction held it unpublished: abort loudly
+                        or os.path.exists(final)
+                    )
+                    if not lost:
+                        try:
+                            os.rename(path, final)
+                        except OSError:
+                            lost = True  # raced: dest appeared
+                    if lost:
+                        # another session claimed the name while this
+                        # transaction held it unpublished: abort loudly,
+                        # reclaiming only OUR staging directory
                         _shutil.rmtree(path, ignore_errors=True)
                         raise _WireError(
                             "40001",
@@ -551,7 +561,7 @@ class _Handler(socketserver.BaseRequestHandler):
                             "held it unpublished; the transaction is "
                             "rolled back",
                         )
-                    ddl.managed[name] = path
+                    ddl.managed[name] = final
                     ddl.manifest_tables.add(name)
                     ddl._register_manifest(name)
                     try:
@@ -679,6 +689,11 @@ class _Handler(socketserver.BaseRequestHandler):
 
         from sclera_spark.plans.frontend import _split_literals
 
+        # the pg `TABLE t` form carries no FROM keyword, so the
+        # reference detector below would miss it — normalize first
+        tm = re.match(r"^\s*TABLE\s+(\w+)\s*;?\s*$", sql, re.I)
+        if tm:
+            sql = f"SELECT * FROM {tm.group(1)}"
         # transactional DDL (late r12): a deferred-dropped table reads
         # as gone; a txn-created table reads through its (unregistered)
         # manifest — both mutually exclusive with buffered DML
@@ -886,8 +901,10 @@ class _Handler(socketserver.BaseRequestHandler):
         # all_staged ledger reclaims every orphan at transaction end
         cur = txn.get("created")
         want = mark.get("created")
-        if cur is None and want:
-            # the created table was DROPPED after the mark: its
+        if want and (cur is None or cur["path"] != want["path"]):
+            # the created table the mark recorded was DROPPED after the
+            # mark (possibly replaced by a NEW creation — paths are
+            # unique per CREATE, so identity is the path): its
             # directory is gone and cannot be restored truthfully —
             # refuse BEFORE mutating any transaction state
             raise _WireError(
@@ -1132,14 +1149,22 @@ class _Handler(socketserver.BaseRequestHandler):
             pass
         else:
             raise _WireError("42P07", f"relation {name!r} already exists")
-        path = ddl._path(name)
-        if os.path.exists(path):
+        final = ddl._path(name)
+        if os.path.exists(final):
             raise _WireError(
                 "42P07",
-                f"the warehouse path for {name!r} is already occupied "
-                "(possibly by another session's in-flight transaction); "
+                f"the warehouse path for {name!r} is already occupied; "
                 "choose another name",
             )
+        # the table is built at a UNIQUE staging path and renamed into
+        # the warehouse path at COMMIT: rollback/disconnect reclamation
+        # then can only ever touch THIS transaction's directory — a
+        # concurrent autocommit CTAS landing at the deterministic path
+        # meanwhile is untouched, and the commit-time rename losing the
+        # race aborts 40001 without deleting the winner's data
+        import uuid as _uuid
+
+        path = f"{final}.txn{_uuid.uuid4().hex[:12]}"
         if query is not None:
             df = self.server.engine.sql(query)
         else:
@@ -1155,7 +1180,7 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception:
             _shutil.rmtree(path, ignore_errors=True)
             raise
-        txn["created"] = {"name": name, "path": path}
+        txn["created"] = {"name": name, "path": path, "final": final}
         return _ResultSet(None, None, None, "CREATE TABLE")
 
     def _txn_drop(self, txn: dict, sql: str) -> _ResultSet:
@@ -1201,10 +1226,20 @@ class _Handler(socketserver.BaseRequestHandler):
                 "is not supported — run it in autocommit",
             )
         if name not in ddl.managed:
-            if if_exists:
-                self._notice(f"table {name!r} does not exist, skipping")
-                return _ResultSet(None, None, None, "DROP TABLE")
-            raise _WireError("42P01", f"table {name!r} does not exist")
+            # catalog-registered but unmanaged tables (register_parquet,
+            # external registrations) drop through the same deferred
+            # path — autocommit DROP TABLE handles them, so must we
+            try:
+                self.server.engine.table(name)
+            except Exception:
+                if if_exists:
+                    self._notice(
+                        f"table {name!r} does not exist, skipping"
+                    )
+                    return _ResultSet(None, None, None, "DROP TABLE")
+                raise _WireError(
+                    "42P01", f"table {name!r} does not exist"
+                )
         txn["dropped"] = name
         return _ResultSet(None, None, None, "DROP TABLE")
 
@@ -1253,18 +1288,7 @@ class _Handler(socketserver.BaseRequestHandler):
         mt = ManifestTable(created["path"])
         tbl = mt.read(spark)
         if verb == "INSERT":
-            if re.match(r"^\s*VALUES", rest, re.I):
-                incoming = self.server.engine.sql(
-                    f"SELECT * FROM ({rest}) AS __v"
-                ).toDF(*tbl.columns)
-            else:
-                incoming = self.server.engine.sql(rest)
-            incoming = incoming.toDF(*tbl.columns).select(
-                *[
-                    F.col(c).cast(tbl.schema[c].dataType)
-                    for c in tbl.columns
-                ]
-            )
+            incoming = ddl.insert_frame(name, rest, target=tbl)
             before = sum(mt.file_rows().values())
             mt.append(incoming)
             n = sum(mt.file_rows().values()) - before
@@ -1386,7 +1410,8 @@ class _Handler(socketserver.BaseRequestHandler):
     # COPY protocol (what psql's \copy ... to <file> speaks); the
     # FROM STDIN half is _copy_in below.
     _COPY_OUT_RE = re.compile(
-        r"^\s*COPY\s+(?:\(\s*(?P<q>.+?)\s*\)|(?P<t>\w+))\s+TO\s+STDOUT"
+        r"^\s*COPY\s+(?:\(\s*(?P<q>.+?)\s*\)|"
+        r'(?P<t>(?:"[^"]+"|\w+)(?:\s*\.\s*(?:"[^"]+"|\w+))?))\s+TO\s+STDOUT'
         r"(?:\s+(?:WITH\s+)?\(\s*(?P<opts>[^)]*)\))?\s*$",
         re.I | re.S,
     )
@@ -1417,7 +1442,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise _WireError("0A000", f"unsupported COPY option: {tok.strip()}")
         if header and fmt != "csv":
             raise _WireError("42601", "COPY HEADER requires CSV format")
-        sql = m.group("q") or f"SELECT * FROM {m.group('t')}"
+        sql = m.group("q") or (
+            f"SELECT * FROM {self._dequote_table(m.group('t'))}"
+        )
         rs = self._run(sql)
         if rs.columns is None:
             raise _WireError("42601", "COPY requires a row-returning query")
@@ -1444,7 +1471,8 @@ class _Handler(socketserver.BaseRequestHandler):
     # COPY t [(cols)] FROM STDIN — the bulk-LOAD half of the pg COPY
     # protocol (what psql's \copy <table> from <file> speaks).
     _COPY_IN_RE = re.compile(
-        r"^\s*COPY\s+(?P<t>\w+)\s*(?:\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*)?"
+        r'^\s*COPY\s+(?P<t>(?:"[^"]+"|\w+)(?:\s*\.\s*(?:"[^"]+"|\w+))?)'
+        r"\s*(?:\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*)?"
         r"FROM\s+STDIN"
         r"(?:\s+(?:WITH\s+)?\(\s*(?P<opts>[^)]*)\))?\s*$",
         re.I | re.S,
@@ -1487,7 +1515,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 )
         if header and fmt != "csv":
             raise _WireError("42601", "COPY HEADER requires CSV format")
-        table = m.group("t")
+        # quoted / public-qualified spellings fold exactly like INSERT
+        table = self._dequote_table(m.group("t"))
         engine = self.server.engine
         tdf = self._resolve_copy_target(table)  # raises before CopyIn
         tcols = tdf.columns

@@ -1022,18 +1022,20 @@ class DdlRouter:
         self.views[name.lower()] = query
         self.engine.catalog.tables[name] = df
 
-    def insert_frame(self, name: str, rest: str):
+    def insert_frame(self, name: str, rest: str, target=None):
         """The incoming rows of ``INSERT INTO name <rest>`` as a
         DataFrame cast to the target schema — shared by the normal
-        autocommit INSERT and the wire-transaction buffered INSERT
-        (which stages the frame without committing)."""
-        tbl = self.engine.table(name)
+        autocommit INSERT, the wire-transaction buffered INSERT (which
+        stages the frame without committing), and the transaction-
+        created-table path (``target`` passed explicitly because that
+        table is not registered until COMMIT; no warehouse adoption)."""
+        tbl = target if target is not None else self.engine.table(name)
         if re.match(r"^\s*VALUES", rest, re.I):
             incoming = self.engine.sql(f"SELECT * FROM ({rest}) AS __v")
             incoming = incoming.toDF(*tbl.columns)
         else:
             incoming = self.engine.sql(rest)
-        if name.lower() not in self.managed:
+        if target is None and name.lower() not in self.managed:
             # adopt the existing table into the warehouse first
             self._materialize(name, tbl)
             tbl = self.engine.table(name)

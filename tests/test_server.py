@@ -947,29 +947,30 @@ def test_txn_create_table(server):
 
 
 def test_txn_create_commit_collision(server):
-    """Two sessions CREATE the same table name in open transactions:
-    the first COMMIT registers it; the second COMMIT aborts with a
-    serialization failure and leaves neither directory garbage nor a
-    clobbered catalog entry."""
-    import glob as _glob
-    import os as _os
-
+    """Two sessions CREATE the same table name in open transactions
+    (each builds at its own unique staging path): the first COMMIT
+    renames into the warehouse path and registers; the second COMMIT
+    aborts 40001, reclaiming ONLY its own staging directory — the
+    winner's data is untouched."""
     c1 = connect(server)
     c2 = connect(server)
     try:
         c1.execute("BEGIN")
         c1.execute("CREATE TABLE wrace AS SELECT 1 AS k")
-        # the second creator collides on the occupied warehouse path —
-        # refused up front, BEFORE any work (the path IS the claim)
         c2.execute("BEGIN")
-        with pytest.raises(RuntimeError, match="occupied|already exists"):
-            c2.execute("CREATE TABLE wrace AS SELECT 2 AS k")
-        c2.execute("ROLLBACK")
-        c1.execute("COMMIT")
+        c2.execute("CREATE TABLE wrace AS SELECT 2 AS k")
+        # each session sees its own unpublished table
         _, rows, _ = c1.execute("SELECT k FROM wrace")
         assert rows == [("1",)]
-        # after the winner registered, a fresh CREATE refuses on the
-        # catalog entry
+        _, rows, _ = c2.execute("SELECT k FROM wrace")
+        assert rows == [("2",)]
+        c1.execute("COMMIT")
+        with pytest.raises(RuntimeError, match="another session"):
+            c2.execute("COMMIT")
+        # the winner's table survives intact
+        _, rows, _ = c2.execute("SELECT k FROM wrace")
+        assert rows == [("1",)]
+        # after the winner registered, a fresh CREATE refuses up front
         c2.execute("BEGIN")
         with pytest.raises(RuntimeError, match="already exists"):
             c2.execute("CREATE TABLE wrace AS SELECT 3 AS k")
@@ -978,6 +979,47 @@ def test_txn_create_commit_collision(server):
         c1.execute("DROP TABLE wrace")
         c1.close()
         c2.close()
+
+
+def test_txn_create_savepoint_identity_and_table_form(server):
+    """r12 review fixes: (1) ROLLBACK TO a mark recording a created
+    table that was later dropped-and-recreated refuses (path identity,
+    not name); (2) the pg `TABLE t` form honors the overlay for both
+    created and dropped tables; (3) DROP of a catalog-registered but
+    unmanaged table defers like any other."""
+    c = connect(server)
+    try:
+        c.execute("BEGIN")
+        c.execute("CREATE TABLE wsi AS SELECT 1 AS k")
+        c.execute("SAVEPOINT s")
+        c.execute("DROP TABLE wsi")  # undoes the creation
+        c.execute("CREATE TABLE wsi2 AS SELECT 2 AS k")
+        with pytest.raises(RuntimeError, match="already undone"):
+            c.execute("ROLLBACK TO s")
+        c.execute("ROLLBACK")
+        # TABLE form reads the created table...
+        c.execute("BEGIN")
+        c.execute("CREATE TABLE wtf AS SELECT 5 AS k")
+        _, rows, _ = c.execute("TABLE wtf")
+        assert rows == [("5",)]
+        c.execute("ROLLBACK")
+        # ...and refuses a deferred-dropped one
+        c.execute("CREATE TABLE wtd AS SELECT 6 AS k")
+        c.execute("BEGIN")
+        c.execute("DROP TABLE wtd")
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute("TABLE wtd")
+        c.execute("ROLLBACK")
+        c.execute("DROP TABLE wtd")
+        # unmanaged catalog tables (the module fixture tables) defer too
+        c.execute("BEGIN")
+        assert c.execute("DROP TABLE region")[2] == "DROP TABLE"
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute("SELECT count(*) AS n FROM region")
+        c.execute("ROLLBACK")
+        assert _count(c, "SELECT count(*) AS n FROM region") == 5
+    finally:
+        c.close()
 
 
 def test_txn_deferred_drop(server):

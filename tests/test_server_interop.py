@@ -870,6 +870,16 @@ def test_psql_restore_pattern_create_copy_commit(server):
         assert rc == 0, err
         rc, _, err = run_psql(server, "SELECT count(*) FROM rst2")
         assert rc != 0
+        # quoted / public-qualified COPY spellings fold like INSERT
+        rc, _, err = run_psql_stdin(
+            server, 'COPY "public"."rst" FROM STDIN', "4\tdelta\n\\.\n"
+        )
+        assert rc == 0, err
+        rc, out, err = run_psql(
+            server, "COPY public.rst TO STDOUT"
+        )
+        assert rc == 0, err
+        assert len(out.splitlines()) == 4
     finally:
         run_psql(server, "DROP TABLE rst")
 
