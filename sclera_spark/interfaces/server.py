@@ -1301,7 +1301,16 @@ class _Handler(socketserver.BaseRequestHandler):
                 transform = ddl._update_transform(m.group(2), where)
             else:
                 transform = ddl._delete_transform(where)
-            mt.overwrite(transform(mt.read(spark)))
+            # file-granular COW exactly like published-table DML: a
+            # selective statement on a big in-txn CTAS rewrites only
+            # the hit files (the stats-narrowed probe), not the table
+            hits = ddl._manifest_dml_hits(mt, where) if where else None
+            if hits and len(hits) < len(mt.files()):
+                mt.replace_files(
+                    hits, transform(mt.read(spark, file_paths=hits))
+                )
+            else:
+                mt.overwrite(transform(mt.read(spark)))
         return _ResultSet(None, None, None, f"{verb} {n}")
 
     def _statement_timer(self):

@@ -503,8 +503,11 @@ def test_txn_create_table_fuzz_vs_duckdb(spark):
                 c.execute("ROLLBACK")
                 with pytest.raises(RuntimeError):
                     c.execute("SELECT count(*) AS n FROM fzc")
-                assert not os.path.exists(path), (
-                    f"seed {seed}: ROLLBACK left {path}"
+                import glob as _glob
+
+                leftovers = _glob.glob(path + "*")
+                assert not leftovers, (
+                    f"seed {seed}: ROLLBACK left {leftovers}"
                 )
             duck.close()
     finally:
