@@ -687,8 +687,6 @@ class _Handler(socketserver.BaseRequestHandler):
         imported files keep filling from the log's partitionValues."""
         import uuid as _uuid
 
-        from sclera_spark.plans.frontend import _split_literals
-
         # the pg `TABLE t` form carries no FROM keyword, so the
         # reference detector below would miss it — normalize first
         tm = re.match(r"^\s*TABLE\s+(\w+)\s*;?\s*$", sql, re.I)

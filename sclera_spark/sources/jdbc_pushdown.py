@@ -33,9 +33,14 @@ check fails TOWARD the local path):
   (int family up, float→double, decimal scale-0 → long). An integer
   remote column where Spark expects floating point means the REMOTE
   engine already truncated (e.g. ANSI AVG(INT) = INT) → local.
-- **Any remote error** (dialect rejection at schema-probe time) →
-  local. The fallback is always the previous per-table-scan path,
-  which stays filter-pushdown-capable.
+- **Remote errors at schema-probe time** (dialect rejection) → local.
+  The fallback is always the previous per-table-scan path, which
+  stays filter-pushdown-capable. HONEST LIMIT: the query body runs
+  lazily AFTER this module returns, so a remote error raised only at
+  fetch time (division by zero under ANSI where non-ANSI Spark would
+  return NULL) surfaces to the user rather than falling back — the
+  gates are built to make the pushed text's semantics identical, not
+  to replay a half-fetched result locally.
 
 One semantics note, shared with the reference: a pushed subtree
 evaluates string comparisons (collation, CHAR trailing-blank padding)
@@ -57,25 +62,44 @@ from pyspark.sql import DataFrame
 # Derby/PostgreSQL/ANSI and Spark for the types the schema gate admits.
 # Deliberately absent: string concat fn (dialects differ), round
 # (banker's vs half-up differs), division helpers, every window/regexp
-# function, date arithmetic beyond extract-style parts.
+# function, date arithmetic beyond extract-style parts. Removed after
+# adversarial review (late r12): CAST (PG ROUNDS float->int where
+# Spark truncates, and a CAST's output type can launder a remote
+# truncation past the schema gate — e.g. CAST(AVG(int) AS DOUBLE) on
+# Derby) and substr/substring (negative/zero start positions: Spark
+# tail-slices, PG pads from position 1, Derby errors).
 _ANSI_FUNCTIONS = frozenset(
     {
         "count", "sum", "min", "max", "avg",
         "abs", "mod", "sqrt", "floor", "ceil", "ceiling",
         "upper", "lower", "trim", "ltrim", "rtrim",
-        "substr", "substring", "length", "char_length", "character_length",
+        "length", "char_length", "character_length",
         "coalesce", "nullif",
         "year", "month", "day", "hour", "minute", "second",
-        "cast",  # CAST( parses as a fn-shaped token
-        "exists",  # EXISTS( likewise
+        "exists",  # EXISTS( parses as a fn-shaped token
     }
 )
 
 DIALECT_FUNCTIONS: dict[str, frozenset] = {
-    # per-URL-prefix widening hooks; ANSI core is the floor
+    # per-URL-prefix widening hooks; ANSI core is the floor. An URL
+    # whose dialect is NOT listed here never pushes at all — even a
+    # function-free query can diverge on an unknown engine (Oracle
+    # treats '' as NULL, MySQL compares case-insensitively, ...).
     "derby": _ANSI_FUNCTIONS,
     "postgresql": _ANSI_FUNCTIONS,
 }
+
+# column names that collide with tokens Spark parses as literals or
+# operators: the remote rewrite would turn the LITERAL spelling into a
+# quoted column reference — refuse pushdown for tables carrying them
+_RESERVED_TOKENS = frozenset(
+    {
+        "true", "false", "null", "and", "or", "not", "in", "is",
+        "like", "between", "case", "when", "then", "else", "end",
+        "select", "from", "where", "group", "by", "having", "join",
+        "on", "as", "union", "all", "exists", "cast", "any", "some",
+    }
+)
 
 _BLOCKED_RE = re.compile(
     r"(?i)\b(limit|offset|fetch|over|window|qualify|lateral|values|"
@@ -90,11 +114,15 @@ _BLOCKED_RE = re.compile(
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
 
 
-def _dialect_functions(url: str) -> frozenset:
+def _dialect_functions(url: str) -> frozenset | None:
+    """The allowlist for a known dialect, or None for an unknown one —
+    None means DO NOT PUSH (an unknown engine can diverge from Spark
+    even on function-free text: '' IS NULL on Oracle, case-insensitive
+    compares on MySQL)."""
     for key, fns in DIALECT_FUNCTIONS.items():
         if url.lower().startswith(f"jdbc:{key}"):
             return fns
-    return _ANSI_FUNCTIONS
+    return None
 
 
 def _nonliteral(sql: str) -> list[tuple[int, str]]:
@@ -169,8 +197,9 @@ def _widen_ok(remote, expected) -> bool:
 
 def try_pushdown(engine, sql: str) -> DataFrame | None:
     """One remote query for a fully co-located SELECT, or None to run
-    the ordinary Spark path. Never raises: every gate and every remote
-    error falls back."""
+    the ordinary Spark path. Never raises: every gate and every
+    schema-probe-time remote error falls back (fetch-time remote
+    errors surface — see the module docstring's honest limit)."""
     prov = getattr(engine, "table_locations", None)
     if not prov:
         return None
@@ -187,12 +216,43 @@ def try_pushdown(engine, sql: str) -> DataFrame | None:
         # backticks are Spark-only; double-quoted identifiers would
         # collide with the column quoting the remote rewrite adds
         return None
+    if "--" in sql or "/*" in sql or "\\" in sql:
+        # the literal scanner handles neither SQL comments nor
+        # backslash escapes — a quote inside a comment (or an escaped
+        # quote) would desync it, letting blocked constructs slip past
+        # the gates on a token stream neither engine agrees with
+        return None
     if not re.match(r"(?is)\s*SELECT\b", sql):
         return None
     body = " ".join(chunk for _, chunk in _nonliteral(sql))
     if _BLOCKED_RE.search(body):
         return None
+    if "/" in body:
+        # `/` is TRUE division in Spark but ANSI integer division for
+        # int operands on the remote (7/2 = 3.5 vs 3) — and a wrapping
+        # expression (CAST, floor) gives both sides the same output
+        # type, defeating the schema-reconciliation backstop
+        return None
+    # CAST gate: only CAST(<bare column> AS floating) may travel — it
+    # is lossless in both engines and cannot launder anything (the
+    # operand's remote type is the column's). Casting TO an int type
+    # diverges (PG ROUNDS float->int, Spark truncates), and casting a
+    # computed operand (CAST(AVG(x) AS DOUBLE)) would hide a remote
+    # pre-truncation behind a matching output type.
+    n_cast = len(re.findall(r"(?i)\bcast\s*\(", body))
+    if n_cast:
+        simple = re.findall(r"(?i)\bcast\s*\(([^()]*)\)", body)
+        if len(simple) != n_cast or not all(
+            re.match(
+                r"(?is)^\s*[A-Za-z_][\w$.]*\s+AS\s+"
+                r"(?:DOUBLE(?:\s+PRECISION)?|FLOAT|REAL)\s*$",
+                s,
+            )
+            for s in simple
+        ):
+            return None
     funcs, idents, refs = _scan(sql)
+    funcs.discard("cast")  # vetted above, shape-by-shape
     if not refs or not refs <= set(jdbc_tables):
         return None
     locs = {jdbc_tables[r] for r in refs}
@@ -200,8 +260,12 @@ def try_pushdown(engine, sql: str) -> DataFrame | None:
         return None
     loc = locs.pop()
     info = engine.locations.get(loc) or {}
-    url, opts = engine._location_jdbc(info)
-    if not funcs <= _dialect_functions(url):
+    try:
+        url, opts = engine._location_jdbc(info)
+    except Exception:
+        return None  # unresolvable location params: local path
+    allowed = _dialect_functions(url)
+    if allowed is None or not funcs <= allowed:
         return None
     # no identifier anywhere may shadow ANY registered table outside
     # the reference set: a reference this scanner missed (comma-join,
@@ -211,6 +275,18 @@ def try_pushdown(engine, sql: str) -> DataFrame | None:
         {t.lower() for t in engine.catalog.tables} | set(jdbc_tables)
     ) - refs
     if idents & other_tables:
+        return None
+    # ...nor may it resolve as a Spark temp/global-temp view the
+    # engine registry does not know (pg_catalog emulation views, user
+    # temp views): those resolve locally in Spark but would resolve
+    # against the remote system catalog in the pushed text
+    try:
+        session_views = {
+            t.name.lower() for t in engine.spark.catalog.listTables()
+        }
+    except Exception:
+        return None
+    if idents & (session_views - refs):
         return None
     try:
         expected = engine.spark.sql(sql).schema
@@ -227,11 +303,22 @@ def try_pushdown(engine, sql: str) -> DataFrame | None:
     # must be quoted the same way (table names are written unquoted)
     cat = {t.lower(): df for t, df in engine.catalog.tables.items()}
     col_exact: dict[str, str] = {}
-    for r in refs:
+    for r in sorted(refs):
         if r not in cat:
             return None
         for c in cat[r].columns:
-            col_exact.setdefault(c.lower(), c)
+            if c.lower() in _RESERVED_TOKENS:
+                # a column literally named true/null/end/...: the
+                # rewrite would turn the LITERAL spelling in the query
+                # into a quoted column reference — never push
+                return None
+            prior = col_exact.setdefault(c.lower(), c)
+            if prior != c:
+                # same lowercase, different exact spellings across the
+                # joined tables: the single quoting map cannot be
+                # right for both — deterministic fallback, not a
+                # set-iteration-order coin flip
+                return None
     remote_sql = _rewrite_remote(
         sql, {n: remote_names.get(n, n) for n in refs}, col_exact
     )
