@@ -692,10 +692,17 @@ class _Handler(socketserver.BaseRequestHandler):
         tm = re.match(r"^\s*TABLE\s+(\w+)\s*;?\s*$", sql, re.I)
         if tm:
             sql = f"SELECT * FROM {tm.group(1)}"
+        # a CTE alias SHADOWS a same-named table (pg scoping): swapping
+        # such a reference to the overlay view would answer from the
+        # table where pg answers from the CTE — skip the rewrite and
+        # let Spark's own scoping resolve it (late-r12 review fix)
+        ctes = self._cte_aliases(sql)
         # transactional DDL (late r12): a deferred-dropped table reads
         # as gone; a txn-created table reads through its (unregistered)
         # manifest — both mutually exclusive with buffered DML
         dropped = txn.get("dropped")
+        if dropped in ctes:
+            dropped = None
         if dropped and self._references_table(sql, dropped):
             raise _WireError(
                 "42P01",
@@ -703,6 +710,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 "current transaction)",
             )
         created = txn.get("created")
+        if created and created["name"] in ctes:
+            created = None
         if created and self._references_table(sql, created["name"]):
             from sclera_spark.sources.manifest import ManifestTable
 
@@ -726,6 +735,8 @@ class _Handler(socketserver.BaseRequestHandler):
         name = txn["table"]
         if not name or not (txn["parts"] or txn["removes"]):
             return None
+        if name in ctes:
+            return None  # CTE shadows the buffered table: pg scoping
         # the table must be referenced AS A TABLE (FROM/JOIN position
         # or as a dotted qualifier) — a mere column/alias spelled like
         # the table name must neither trigger nor suffer the rewrite
@@ -768,6 +779,25 @@ class _Handler(socketserver.BaseRequestHandler):
                 pass
 
     _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
+
+    # `name AS (` outside literals is a CTE definition and nothing
+    # else in SQL (column aliases are never followed by '('; derived
+    # tables spell `AS name`, not `name AS`)
+    _CTE_DEF_RE = re.compile(r"(?i)\b(\w+)\s+AS\s*\(")
+
+    @classmethod
+    def _cte_aliases(cls, sql: str) -> set[str]:
+        """Lowercased CTE alias names defined anywhere in the query
+        (any nesting depth — scope-insensitively, which errs toward
+        skipping an overlay rewrite, never toward a wrong one)."""
+        from sclera_spark.plans.frontend import _split_literals
+
+        out: set[str] = set()
+        for is_lit, chunk in _split_literals(sql):
+            if not is_lit:
+                for m in cls._CTE_DEF_RE.finditer(chunk):
+                    out.add(m.group(1).lower())
+        return out
 
     @classmethod
     def _table_token_spans(

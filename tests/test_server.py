@@ -1063,6 +1063,46 @@ def test_txn_deferred_drop(server):
         c.close()
 
 
+def test_txn_cte_shadows_transaction_table(server):
+    """late-r12 review fix: a CTE alias spelled like the transaction's
+    table SHADOWS it (pg scoping) — the overlay rewrite must not fire,
+    for buffered, created, and deferred-dropped tables alike; a
+    non-shadowing CTE keeps the overlay."""
+    c = connect(server)
+    c.execute("CREATE TABLE wcte AS SELECT 1 AS k")
+    c.execute("ALTER TABLE wcte SET FORMAT MANIFEST")
+    try:
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wcte VALUES (2)")
+        _, rows, _ = c.execute(
+            "WITH wcte AS (SELECT 99 AS k) SELECT k FROM wcte"
+        )
+        assert rows == [("99",)]
+        assert _count(
+            c,
+            "WITH other AS (SELECT 1 AS x) "
+            "SELECT count(*) AS n FROM wcte",
+        ) == 2
+        c.execute("ROLLBACK")
+        c.execute("BEGIN")
+        c.execute("CREATE TABLE wcnew AS SELECT 1 AS k")
+        _, rows, _ = c.execute(
+            "WITH wcnew AS (SELECT 77 AS k) SELECT k FROM wcnew"
+        )
+        assert rows == [("77",)]
+        c.execute("ROLLBACK")
+        c.execute("BEGIN")
+        c.execute("DROP TABLE wcte")
+        _, rows, _ = c.execute(
+            "WITH wcte AS (SELECT 55 AS k) SELECT k FROM wcte"
+        )
+        assert rows == [("55",)]
+        c.execute("ROLLBACK")
+    finally:
+        c.execute("DROP TABLE wcte")
+        c.close()
+
+
 def test_txn_read_same_named_column_not_rewritten(server):
     """r12 review: a SELECT inside a transaction where the buffered
     table's NAME also appears as a column of another table must not
