@@ -684,7 +684,14 @@ class _Handler(socketserver.BaseRequestHandler):
         does not reference the table. Partitioned imports overlay too
         (late r12): staged parts carry the partition columns
         physically, so the fill coalesce passes them through while
-        imported files keep filling from the log's partitionValues."""
+        imported files keep filling from the log's partitionValues.
+
+        Scoping: a CTE alias spelled like the table SHADOWS it (pg
+        semantics) — detected, rewrite skipped. A TABLE ALIAS spelled
+        like the table (`FROM region AS <txn_table>`) would mis-rewrite
+        only the alias's dotted qualifiers, which then fail LOUDLY
+        (a dropped temp view is not referencable by qualifier), never
+        silently — rephrase the alias."""
         import uuid as _uuid
 
         # the pg `TABLE t` form carries no FROM keyword, so the
