@@ -224,6 +224,28 @@ class MLRegistry:
                 json.dump(
                     {"kind": kind, "feature_cols": feature_cols}, fh
                 )
+        elif self.store_dir and isinstance(
+            model, (StumpModel, VoronoiModel)
+        ):
+            # the deterministic models are a handful of scalars —
+            # persist them in the sidecar itself, so they survive a
+            # restart exactly like the pyspark.ml pipelines (late r12)
+            path = os.path.join(self.store_dir, key)
+            spec: dict = {"kind": kind, "feature_cols": feature_cols}
+            if isinstance(model, StumpModel):
+                spec["stump"] = {
+                    "feature": model.feature,
+                    "threshold": model.threshold,
+                    "pred_le": model.pred_le,
+                    "pred_gt": model.pred_gt,
+                }
+            else:
+                spec["voronoi"] = {
+                    "seeds": [list(s) for s in model.seeds],
+                    "feature_cols": model.feature_cols,
+                }
+            with open(path + ".json", "w") as fh:
+                json.dump(spec, fh)
 
     def get(self, name: str, spark=None):
         """The named model; with ``spark`` given, a model persisted by a
@@ -241,13 +263,26 @@ class MLRegistry:
 
         path = os.path.join(self.store_dir, key)
         sidecar = path + ".json"
-        if not (os.path.isdir(path) and os.path.isfile(sidecar)):
+        if not os.path.isfile(sidecar):
             return None
-        from pyspark.ml import PipelineModel
-
-        model = PipelineModel.load(path)
         with open(sidecar) as fh:
             meta = json.load(fh)
+        if "stump" in meta:
+            s = meta["stump"]
+            model = StumpModel(
+                s["feature"], s["threshold"], s["pred_le"], s["pred_gt"]
+            )
+        elif "voronoi" in meta:
+            v = meta["voronoi"]
+            model = VoronoiModel(
+                [tuple(s) for s in v["seeds"]], list(v["feature_cols"])
+            )
+        else:
+            if not os.path.isdir(path):
+                return None
+            from pyspark.ml import PipelineModel
+
+            model = PipelineModel.load(path)
         self.models[key] = model
         self.feature_cols[key] = meta["feature_cols"]
         self.kinds[key] = meta["kind"]

@@ -495,3 +495,37 @@ def test_ml_model_persists_across_sessions(spark, tables, tmp_path, monkeypatch)
             "SELECT vec_id, pred FROM persist_feats "
             "CLASSIFIED WITH persist_clf (pred)"
         ).collect()
+    # the DETERMINISTIC models persist too (late r12: sidecar JSON —
+    # a stump is four scalars, a voronoi is k seed tuples)
+    eng3.execute(
+        "CREATE CLASSIFIER persist_stump (label) USING "
+        "SELECT label, f0, f1 FROM persist_feats"
+    )
+    eng3.execute(
+        "CREATE CLUSTERER ('voronoi', 'k=4') persist_vor USING "
+        "SELECT f0, f1 FROM persist_feats"
+    )
+    want_s = eng3.sql(
+        "SELECT vec_id, pred FROM persist_feats "
+        "CLASSIFIED WITH persist_stump (pred)"
+    ).toPandas()
+    want_v = eng3.sql(
+        "SELECT vec_id, cl FROM persist_feats "
+        "CLUSTERED WITH persist_vor (cl)"
+    ).toPandas()
+    eng4 = ScleraEngine(spark)
+    assert "PERSIST_STUMP" not in eng4.ml.models
+    got_s = eng4.sql(
+        "SELECT vec_id, pred FROM persist_feats "
+        "CLASSIFIED WITH persist_stump (pred)"
+    ).toPandas()
+    got_v = eng4.sql(
+        "SELECT vec_id, cl FROM persist_feats "
+        "CLUSTERED WITH persist_vor (cl)"
+    ).toPandas()
+    for got, want, col in ((got_s, want_s, "pred"), (got_v, want_v, "cl")):
+        assert got.sort_values("vec_id").reset_index(drop=True).equals(
+            want.sort_values("vec_id").reset_index(drop=True)
+        ), col
+    eng4.execute("DROP CLASSIFIER persist_stump")
+    eng4.execute("DROP CLUSTERER persist_vor")
