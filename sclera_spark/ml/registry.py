@@ -247,6 +247,29 @@ class MLRegistry:
             with open(path + ".json", "w") as fh:
                 json.dump(spec, fh)
 
+    def hydrate_index(self) -> None:
+        """Merge persisted sidecars into the kind/feature-column index
+        WITHOUT loading the models — LIST/DESCRIBE after a restart must
+        show persisted models a query has not touched yet (reference:
+        the schema store lists everything it holds)."""
+        import json
+
+        if not self.store_dir or not os.path.isdir(self.store_dir):
+            return
+        for f in os.listdir(self.store_dir):
+            if not f.endswith(".json"):
+                continue
+            key = f[:-5]
+            if key in self.kinds:
+                continue
+            try:
+                with open(os.path.join(self.store_dir, f)) as fh:
+                    meta = json.load(fh)
+                self.kinds[key] = meta["kind"]
+                self.feature_cols[key] = meta["feature_cols"]
+            except Exception:
+                continue  # a foreign/corrupt sidecar never breaks LIST
+
     def get(self, name: str, spark=None):
         """The named model; with ``spark`` given, a model persisted by a
         previous session (pyspark.ml save + sidecar) reloads lazily."""

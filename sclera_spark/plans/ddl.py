@@ -2458,6 +2458,7 @@ class DdlRouter:
         SqlAdminParser.scala:128-132): short format = names; DESCRIBE
         adds the model kind, feature columns, and model class."""
         ml = self.engine.ml
+        ml.hydrate_index()  # persisted models LIST before first use
         items = sorted(
             k for k, kd in ml.kinds.items() if kd == kind
         )
@@ -2472,7 +2473,7 @@ class DdlRouter:
                 k,
                 kind,
                 ",".join(ml.feature_cols.get(k, [])),
-                type(ml.models[k]).__name__,
+                type(ml.get(k, self.engine.spark)).__name__,
             )
             for k in items
         ]

@@ -498,7 +498,7 @@ def test_ml_model_persists_across_sessions(spark, tables, tmp_path, monkeypatch)
     # the DETERMINISTIC models persist too (late r12: sidecar JSON —
     # a stump is four scalars, a voronoi is k seed tuples)
     eng3.execute(
-        "CREATE CLASSIFIER persist_stump (label) USING "
+        "CREATE CLASSIFIER ('stump') persist_stump (label) USING "
         "SELECT label, f0, f1 FROM persist_feats"
     )
     eng3.execute(
@@ -515,6 +515,11 @@ def test_ml_model_persists_across_sessions(spark, tables, tmp_path, monkeypatch)
     ).toPandas()
     eng4 = ScleraEngine(spark)
     assert "PERSIST_STUMP" not in eng4.ml.models
+    # LIST/DESCRIBE show persisted models BEFORE any query loads them
+    assert "PERSIST_STUMP" in eng4.execute("LIST CLASSIFIERS")
+    assert "PERSIST_VOR" in eng4.execute("LIST CLUSTERERS")
+    desc = eng4.execute("DESCRIBE CLASSIFIERS persist_stump")
+    assert desc[0][3] == "StumpModel"
     got_s = eng4.sql(
         "SELECT vec_id, pred FROM persist_feats "
         "CLASSIFIED WITH persist_stump (pred)"
