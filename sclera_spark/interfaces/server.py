@@ -471,15 +471,18 @@ class _Handler(socketserver.BaseRequestHandler):
         * SET statement_timeout is HONORED (pg semantics, milliseconds;
           0 disables) — enforced via the session's Spark job group, the
           same kill path as CancelRequest.
-        * transactions are REAL for single-manifest-table INSERTs:
-          BEGIN buffers each INSERT's rows as staged (unpublished) part
-          files; COMMIT publishes them all as ONE atomic manifest
-          commit; ROLLBACK deletes the staging — nothing was ever
-          visible, so the rollback is truthful. A crash mid-txn leaves
-          only scratch files outside data/. Anything a rollback could
-          not undo is REFUSED inside a transaction (0A000): mutating a
-          second table, non-INSERT DML, DDL, inserts into non-manifest
-          tables. Reads inside the transaction see the transaction's
+        * transactions are REAL for single-object work: BEGIN buffers
+          manifest-table INSERT/UPDATE/DELETE/MERGE/COPY as staged
+          (unpublished) part files; COMMIT publishes them all as ONE
+          atomic manifest commit; ROLLBACK deletes the staging —
+          nothing was ever visible, so the rollback is truthful. A
+          crash mid-txn leaves only scratch files outside data/.
+          CREATE TABLE [AS] and DROP TABLE are transactional too (late
+          r12: unique staging path renamed + registered at COMMIT;
+          deferred drop). Anything a rollback could not undo is
+          REFUSED inside a transaction (0A000): mutating a second
+          object, other DDL forms, inserts into non-manifest tables.
+          Reads inside the transaction see the transaction's
           OWN writes (r12): SELECTs referencing the buffered table run
           against a per-statement overlay of snapshot-minus-rewritten
           files plus staged parts, and UPDATE/DELETE/MERGE probes
