@@ -210,10 +210,19 @@ def test_match_memory_bound_10m_single_key():
     import sys
 
     code = r"""
-import json, resource, sys
+import json, os, sys
 import pandas as pd
 from sclera_spark.operators.match.matcher import make_partition_matcher
 from sclera_spark.operators.match.regex_nfa import CompiledMatcher, compile_pattern
+
+PAGE = os.sysconf("SC_PAGE_SIZE")
+
+def rss_mb():
+    # CURRENT resident set, not ru_maxrss: the lifetime peak survives
+    # fork/exec, so a child spawned from a fat pytest parent inherits
+    # the parent's peak and the budget assert reads the WRONG process
+    with open("/proc/self/statm") as fh:
+        return int(fh.read().split()[1]) * PAGE / (1024 * 1024)
 
 N, CHUNK, PERIOD = 10_000_000, 100_000, 50
 matcher = CompiledMatcher(compile_pattern("V+ P"))
@@ -227,11 +236,12 @@ def batches():
 
 rows = 0
 max_mid = -1
+peak = rss_mb()
 for frame in fn(batches()):
     rows += len(frame)
     max_mid = max(max_mid, int(frame["match_id"].max()))
-peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-print(json.dumps({"rows": rows, "max_mid": max_mid, "peak_mb": peak_mb}))
+    peak = max(peak, rss_mb())
+print(json.dumps({"rows": rows, "max_mid": max_mid, "peak_mb": peak}))
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
