@@ -2151,13 +2151,20 @@ def oracle_sql() -> dict[str, str]:
         WITH seeds AS (
           SELECT row_number() OVER (ORDER BY s) - 1 AS seed_id, s
           FROM (SELECT DISTINCT embedding AS s FROM embeddings
+                WHERE embedding IS NOT NULL
                 ORDER BY embedding LIMIT 8)
         ),
         asg AS (
+          -- SQUARED L2 with the implementation's per-element op order:
+          -- ordering by list_distance (the sqrt) can collapse two
+          -- distinct squared distances to one double and flip the
+          -- seed_id tie-break against the Spark argmin
           SELECT e.vec_id, e.embedding, s.seed_id,
                  row_number() OVER (PARTITION BY e.vec_id
-                    ORDER BY list_distance(e.embedding::DOUBLE[],
-                                           s.s::DOUBLE[]), s.seed_id) AS rn
+                    ORDER BY list_sum(list_transform(
+                        list_zip(e.embedding::DOUBLE[], s.s::DOUBLE[]),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                      s.seed_id) AS rn
           FROM embeddings e CROSS JOIN seeds s
         ),
         cl AS (SELECT vec_id, embedding, seed_id AS cluster

@@ -58,18 +58,17 @@ def assign_clusters(
 ) -> DataFrame:
     """Argmin squared-L2 centroid id as ONE JVM expression (centroids
     are literals in the plan — no shuffle, no UDF, full codegen); ties
-    to the lowest centroid index via struct ordering."""
-    v = F.col(vec_col).cast("array<double>")
-    entries = []
-    for i, s in enumerate(seeds):
-        sv = F.array(*[F.lit(float(x)) for x in s])
-        d2 = F.aggregate(
-            F.zip_with(v, sv, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    return df.withColumn(out_col, F.array_min(F.array(*entries))["i"])
+    to the lowest centroid index via struct ordering. Delegates to the
+    IVF assignment — identical semantics, one implementation to keep
+    tie-break/precision behavior in sync (similarity.ivf_assign)."""
+    from sclera_spark.llm.similarity import ivf_assign
+
+    out = ivf_assign(df, seeds, vec_col)
+    return (
+        out.withColumnRenamed("ivf_list", out_col)
+        if out_col != "ivf_list"
+        else out
+    )
 
 
 def semantic_dedup(
@@ -82,8 +81,23 @@ def semantic_dedup(
 ) -> DataFrame:
     """Survivors of within-cluster cosine pruning: the input's columns
     plus ``cluster``. A row is dropped iff a same-cluster row with a
-    smaller id is cosine-similar at >= threshold."""
-    seeds = semantic_seeds(df, k, vec_col)
+    smaller id is cosine-similar at >= threshold. An empty (or
+    all-NULL-vector) input returns an empty result, matching the SQL
+    oracle; an input already carrying a ``cluster`` column refuses
+    loudly (the output column would silently clobber it)."""
+    if "cluster" in df.columns:
+        raise ValueError(
+            "semantic_dedup: the input already has a 'cluster' column "
+            "(the output adds one); rename it first"
+        )
+    try:
+        seeds = semantic_seeds(df, k, vec_col)
+    except ValueError:
+        # no vectors at all: the dedup of nothing is nothing (the
+        # seeding helper keeps its loud contract for direct callers)
+        return df.limit(0).withColumn(
+            "cluster", F.lit(None).cast("int")
+        )
     cl = assign_clusters(df, seeds, vec_col)
     # scale guard BEFORE the quadratic-within-cluster join: one tiny
     # aggregate, k rows to the driver (assignment is a narrow map, so
@@ -120,6 +134,12 @@ def semantic_dedup(
         .select(F.col("__ida").alias(id_col))
         .distinct()
     )
+    # materialize the (small) dropped-id set NOW, exactly like
+    # minhash_dup_pairs: the returned plan then costs ONE scan +
+    # narrow assignment + anti-join against a materialized id list,
+    # instead of re-running the quadratic-within-cluster join (and two
+    # more base scans) on every downstream action
+    dups = dups.localCheckpoint(eager=True)
     return cl.join(dups, id_col, "left_anti").select(
         *df.columns, "cluster"
     )

@@ -59,6 +59,43 @@ def test_threshold_is_inclusive_and_respected(planted):
     assert sorted(r.vec_id for r in out.collect()) == [1, 3, 4, 5]
 
 
+def test_threshold_boundary_is_inclusive(spark):
+    """A pair whose rounded cosine EQUALS the threshold exactly must
+    prune (>= is inclusive): sim([1,0],[0.42,sqrt(1-0.42^2)]) = 0.42
+    to the double, which round(.,9) keeps at 0.42 — the comparison is
+    equality, not strict dominance."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.42, math.sqrt(1.0 - 0.42 * 0.42)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=1: one cluster, so the pair IS compared
+    out = semantic_dedup(df, k=1, threshold=0.42)
+    assert sorted(r.vec_id for r in out.collect()) == [1]
+    # one ulp above the threshold: the same pair survives
+    out2 = semantic_dedup(df, k=1, threshold=0.4200000005)
+    assert sorted(r.vec_id for r in out2.collect()) == [1, 2]
+
+
+def test_empty_and_collision_contracts(spark):
+    """Late-r12 review: an empty (or all-NULL-vector) input returns an
+    empty frame like the SQL oracle; an input already carrying a
+    'cluster' column refuses loudly instead of clobbering it."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty)
+    assert out.columns == ["vec_id", "embedding", "cluster"]
+    assert out.count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    assert semantic_dedup(nulls).count() == 0
+    clash = spark.createDataFrame(
+        [(1, [1.0], 5)], "vec_id long, embedding array<double>, cluster int"
+    )
+    with pytest.raises(ValueError, match="'cluster' column"):
+        semantic_dedup(clash)
+
+
 def test_cross_cluster_neighbors_survive(spark):
     """The documented SemDeDup approximation: near-dups landing in
     DIFFERENT clusters are not compared — both survive."""
