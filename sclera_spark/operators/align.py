@@ -39,6 +39,97 @@ from pyspark.sql.types import StructType
 _KEY = "__align_key"
 
 
+def make_partition_aligner(keys: list, align_group: Callable, out_cols: list):
+    """The mapInPandas partition processor for ALIGN: input arrives
+    group-contiguous (sortWithinPartitions on the keys), each Arrow chunk
+    is segmented by group boundary, every CLOSED group's DP runs and its
+    output is emitted eagerly, and only the one OPEN group (the chunk's
+    tail, which the next chunk may continue) stays resident.
+
+    Same shape as the r12 MATCH fix (match/matcher.py
+    make_partition_matcher): the resident-row bound per task is the
+    LARGEST SINGLE GROUP, not the sum of all groups hashed to the task —
+    the DTW DP genuinely needs one group's two full sequences, so that is
+    the floor. Module-level so tests can drive it with synthetic chunk
+    streams and assert the memory bound (test_match_align.py).
+
+    ``align_group(group_pdf)`` takes one complete group's rows (both
+    sides, mixed) and returns the aligned output frame or None.
+    """
+
+    def _run(batches):
+        state: dict = {"frames": [], "key": None}
+
+        def _close():
+            frames = state["frames"]
+            state["frames"] = []
+            state["key"] = None
+            if not frames:
+                return None
+            g = (
+                pd.concat(frames, ignore_index=True)
+                if len(frames) > 1
+                else frames[0]
+            )
+            return align_group(g)
+
+        def _norm_key(pdf, row):
+            return tuple(
+                None if pd.isna(v) else v for v in pdf[keys].iloc[row]
+            )
+
+        for chunk in batches:
+            pdf = chunk.reset_index(drop=True)
+            n = len(pdf)
+            if n == 0:
+                continue
+            if keys:
+                kf = pdf[keys].astype(object)
+                shifted = kf.shift()
+                # null-safe inequality: NaN == NaN for grouping (the
+                # reference groups SqlNull partition values together)
+                change = (
+                    (kf.ne(shifted) & ~(kf.isna() & shifted.isna()))
+                    .any(axis=1)
+                    .to_numpy()
+                )
+                change[0] = True
+                starts = np.flatnonzero(change)
+            else:
+                starts = np.array([0])
+            ends = np.append(starts[1:], n)
+            seg0 = 0
+            if state["key"] is not None:
+                first_key = _norm_key(pdf, 0) if keys else ()
+                if first_key == state["key"]:
+                    state["frames"].append(pdf.iloc[: ends[0]])
+                    if len(starts) == 1:
+                        continue  # chunk is entirely the open group
+                    out = _close()
+                    if out is not None:
+                        yield out
+                    seg0 = 1
+                else:
+                    out = _close()
+                    if out is not None:
+                        yield out
+            # closed groups fully inside this chunk
+            for gs, ge in zip(starts[seg0:-1], ends[seg0:-1]):
+                out = align_group(pdf.iloc[gs:ge].reset_index(drop=True))
+                if out is not None:
+                    yield out
+            # the chunk's last group stays open
+            gs = starts[-1]
+            if gs != 0 or state["key"] is None:
+                state["frames"] = [pdf.iloc[gs:].reset_index(drop=True)]
+            state["key"] = _norm_key(pdf, gs) if keys else ()
+        out = _close()
+        if out is not None:
+            yield out
+
+    return _run
+
+
 def _dtw_pairs(
     na: int, nb: int, cost: Callable[[np.ndarray, np.ndarray], np.ndarray], margin: int | None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -174,9 +265,9 @@ def align(
         order = np.lexsort([pdf[k].to_numpy() for k in reversed(keys)])
         return pdf.take(order)
 
-    def _align_group(pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+    def _align_group(pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame | None:
         if len(pa) == 0 or len(pb) == 0:
-            return pd.DataFrame(columns=out_cols)
+            return None
         if oa:
             pa = _sorted(pa, oa)
         if ob:
@@ -219,23 +310,20 @@ def align(
     )
     from sclera_spark.scale import keyed_repartition
 
-    arranged = keyed_repartition(ta.unionByName(tb), p)
+    # sortWithinPartitions makes groups CONTIGUOUS so the chunked
+    # processor can cut each completed group eagerly (r13: the old path
+    # concatenated the whole Spark partition into one pandas frame —
+    # many large groups hashed to one task were ALL resident at once;
+    # the DP only needs one group's two sequences at a time)
+    arranged = keyed_repartition(ta.unionByName(tb), p).sortWithinPartitions(*p)
     keys = list(p)
 
-    def _run(batches):
-        pdfs = [b for b in batches]
-        if not pdfs:
-            yield pd.DataFrame(columns=out_cols)
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        if pdf.empty:
-            yield pd.DataFrame(columns=out_cols)
-            return
-        for _, g in pdf.groupby(keys, sort=False, dropna=False):
-            pa = g.loc[g[side] == 0, list(a_keyed)]
-            pb = g.loc[g[side] == 1, list(b_keyed)]
-            yield _align_group(pa, pb)
+    def _group(g: pd.DataFrame) -> pd.DataFrame | None:
+        pa = g.loc[g[side] == 0, list(a_keyed)]
+        pb = g.loc[g[side] == 1, list(b_keyed)]
+        return _align_group(pa, pb)
 
+    _run = make_partition_aligner(keys, _group, out_cols)
     return arranged.mapInPandas(_run, schema=out_schema)
 
 
