@@ -39,6 +39,14 @@ class ScleraEngine:
             except Exception:
                 pass
         self.catalog = Catalog(spark)
+        # serializes table-name publication between concurrent wire
+        # sessions (threads of one server process): the txn COMMIT's
+        # lost-race check + rename and autocommit CREATE's name claim
+        # both hold it, closing the rename-over-empty-dir window
+        # (ADVICE r12; POSIX rename succeeds over an empty directory)
+        import threading
+
+        self.publish_lock = threading.RLock()
         # named external sources/functions — the Spark-side analogue of the
         # reference's ServiceLoader plugin registry
         # (modules/service/src/main/scala/ScleraServiceLoaderscala:25-40)

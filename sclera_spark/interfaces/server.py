@@ -539,19 +539,25 @@ class _Handler(socketserver.BaseRequestHandler):
                     path = txn["created"]["path"]
                     final = txn["created"]["final"]
                     ddl = self.server.engine.ddl()
-                    lost = (
-                        name in ddl.managed
-                        or name in ddl.views
-                        or name in getattr(
-                            self.server.engine.catalog, "tables", {}
+                    # the publish lock (shared with autocommit CREATE's
+                    # name claim in ddl._materialize) makes check+rename
+                    # atomic against same-process sessions — POSIX
+                    # rename would otherwise succeed over a concurrent
+                    # creation's still-EMPTY directory (ADVICE r12)
+                    with self.server.engine.publish_lock:
+                        lost = (
+                            name in ddl.managed
+                            or name in ddl.views
+                            or name in getattr(
+                                self.server.engine.catalog, "tables", {}
+                            )
+                            or os.path.exists(final)
                         )
-                        or os.path.exists(final)
-                    )
-                    if not lost:
-                        try:
-                            os.rename(path, final)
-                        except OSError:
-                            lost = True  # raced: dest appeared
+                        if not lost:
+                            try:
+                                os.rename(path, final)
+                            except OSError:
+                                lost = True  # raced: dest appeared
                     if lost:
                         # another session claimed the name while this
                         # transaction held it unpublished: abort loudly,
@@ -711,14 +717,21 @@ class _Handler(socketserver.BaseRequestHandler):
         # as gone; a txn-created table reads through its (unregistered)
         # manifest — both mutually exclusive with buffered DML
         dropped = txn.get("dropped")
-        if dropped in ctes:
-            dropped = None
         if dropped and self._references_table(sql, dropped):
-            raise _WireError(
-                "42P01",
-                f"relation {dropped!r} does not exist (dropped in the "
-                "current transaction)",
-            )
+            # scope-aware shadow check (ADVICE r12): a same-named CTE
+            # only suppresses the 42P01 for references INSIDE its scope
+            # — a CTE buried in a subquery must not make an out-of-scope
+            # reference read the dropped table as alive
+            scopes = self._cte_shadow_scopes(sql, dropped)
+            refs = self._table_token_spans(sql, dropped)
+            if any(
+                not any(a <= s < b for a, b in scopes) for s, _ in refs
+            ):
+                raise _WireError(
+                    "42P01",
+                    f"relation {dropped!r} does not exist (dropped in "
+                    "the current transaction)",
+                )
         created = txn.get("created")
         if created and created["name"] in ctes:
             created = None
@@ -808,6 +821,51 @@ class _Handler(socketserver.BaseRequestHandler):
                 for m in cls._CTE_DEF_RE.finditer(chunk):
                     out.add(m.group(1).lower())
         return out
+
+    @classmethod
+    def _cte_shadow_scopes(cls, sql: str, name: str) -> list[tuple[int, int]]:
+        """Spans (absolute offsets) where a CTE named ``name`` is IN
+        SCOPE, pg scoping approximated (ADVICE r12 — the dropped-table
+        visibility check must not be disabled by a same-named CTE at an
+        unrelated nesting depth): a CTE is visible from the END of its
+        own definition body (a non-recursive CTE cannot see itself) to
+        the end of its enclosing parenthesized subquery — the whole
+        statement when the WITH is top-level."""
+        from sclera_spark.plans.frontend import _split_literals
+
+        # literal-blanked copy preserving offsets, so paren matching and
+        # the def-site regex never fire inside strings
+        code = "".join(
+            " " * len(chunk) if is_lit else chunk
+            for is_lit, chunk in _split_literals(sql)
+        )
+        stack: list[int] = []
+        close_of: dict[int, int] = {}
+        for i, ch in enumerate(code):
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")" and stack:
+                close_of[stack.pop()] = i
+        scopes: list[tuple[int, int]] = []
+        pat = re.compile(rf"\b{re.escape(name)}\s+AS\s*\(", re.I)
+        for m in pat.finditer(code):
+            body_open = m.end() - 1
+            body_close = close_of.get(body_open, len(code) - 1)
+            # enclosing region: the innermost paren still open at the
+            # def site (recompute via a prefix scan — def sites are few)
+            depth_stack: list[int] = []
+            for i in range(m.start()):
+                if code[i] == "(":
+                    depth_stack.append(i)
+                elif code[i] == ")" and depth_stack:
+                    depth_stack.pop()
+            region_end = (
+                close_of.get(depth_stack[-1], len(code))
+                if depth_stack
+                else len(code)
+            )
+            scopes.append((body_close + 1, region_end))
+        return scopes
 
     @classmethod
     def _table_token_spans(

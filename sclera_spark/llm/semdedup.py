@@ -60,15 +60,18 @@ def assign_clusters(
     are literals in the plan — no shuffle, no UDF, full codegen); ties
     to the lowest centroid index via struct ordering. Delegates to the
     IVF assignment — identical semantics, one implementation to keep
-    tie-break/precision behavior in sync (similarity.ivf_assign)."""
+    tie-break/precision behavior in sync (similarity.ivf_assign).
+    Writes ``out_col`` directly (ADVICE r12: the rename-based version
+    clobbered a pre-existing ``ivf_list`` input column); refuses an
+    input that already carries ``out_col``."""
     from sclera_spark.llm.similarity import ivf_assign
 
-    out = ivf_assign(df, seeds, vec_col)
-    return (
-        out.withColumnRenamed("ivf_list", out_col)
-        if out_col != "ivf_list"
-        else out
-    )
+    if out_col in df.columns:
+        raise ValueError(
+            f"assign_clusters: the input already has a {out_col!r} "
+            "column (the output adds one); rename it first"
+        )
+    return ivf_assign(df, seeds, vec_col, out_col=out_col)
 
 
 def semantic_dedup(

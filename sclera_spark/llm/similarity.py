@@ -257,7 +257,10 @@ def embedding_dup_pairs(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_list",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared-L2 argmin,
     ties to the lowest list id) as an ``ivf_list`` column — entirely
@@ -275,7 +278,7 @@ def ivf_assign(
             lambda acc, x: acc + x,
         )
         entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    return df.withColumn("ivf_list", F.array_min(F.array(*entries))["i"])
+    return df.withColumn(out_col, F.array_min(F.array(*entries))["i"])
 
 
 def ivf_append(spark, path: str, new_df: DataFrame, vec_col: str = "embedding") -> int:

@@ -270,6 +270,34 @@ class MLRegistry:
             except Exception:
                 continue  # a foreign/corrupt sidecar never breaks LIST
 
+    def model_class(self, name: str) -> str:
+        """Model class name for DESCRIBE, WITHOUT loading the model:
+        a loaded model answers from memory; a persisted one answers
+        from its sidecar (stump/voronoi payloads name their class,
+        a bare sidecar means a pyspark.ml PipelineModel dir). A stale
+        sidecar whose pipeline dir is missing reports 'unavailable'
+        instead of breaking the whole listing (hydrate_index's
+        'a foreign/corrupt sidecar never breaks LIST' contract)."""
+        import json
+
+        key = name.upper()
+        m = self.models.get(key)
+        if m is not None:
+            return type(m).__name__
+        if not self.store_dir:
+            return "unavailable"
+        path = os.path.join(self.store_dir, key)
+        try:
+            with open(path + ".json") as fh:
+                meta = json.load(fh)
+        except Exception:
+            return "unavailable"
+        if "stump" in meta:
+            return "StumpModel"
+        if "voronoi" in meta:
+            return "VoronoiModel"
+        return "PipelineModel" if os.path.isdir(path) else "unavailable"
+
     def get(self, name: str, spark=None):
         """The named model; with ``spark`` given, a model persisted by a
         previous session (pyspark.ml save + sidecar) reloads lazily."""

@@ -449,8 +449,27 @@ class DdlRouter:
             self._manifest(name).overwrite(df)
             self._register_manifest(name)
             return
-        df.write.mode("overwrite").parquet(path)
-        self.managed[name.lower()] = path
+        key = name.lower()
+        # claim the name BEFORE the (long) write, under the engine's
+        # publish lock: a concurrent wire-txn COMMIT publishing the same
+        # name checks ddl.managed inside the same lock, so it can never
+        # rename its staging dir over this in-flight creation's
+        # still-empty directory (ADVICE r12). Rolled back on write
+        # failure so a failed CTAS leaves no phantom registration.
+        lock = self.engine.publish_lock
+        with lock:
+            claimed = key not in self.managed
+            if claimed:
+                self.managed[key] = path
+        try:
+            df.write.mode("overwrite").parquet(path)
+        except BaseException:
+            if claimed:
+                with lock:
+                    if self.managed.get(key) == path:
+                        del self.managed[key]
+            raise
+        self.managed[key] = path
         self.engine.clear_table_provenance(name)
         self.engine.catalog.register_parquet(name, path)
 
@@ -2468,12 +2487,15 @@ class DdlRouter:
                 raise KeyError(f"unknown {kind}: {name}")
         if verb.upper() != "DESCRIBE":
             return items
+        # model_class reads the sidecar instead of PipelineModel.load()ing
+        # every persisted model, and a stale sidecar (model dir deleted)
+        # prints 'unavailable' rather than breaking the whole listing
         return [
             (
                 k,
                 kind,
                 ",".join(ml.feature_cols.get(k, [])),
-                type(ml.get(k, self.engine.spark)).__name__,
+                ml.model_class(k),
             )
             for k in items
         ]

@@ -534,3 +534,43 @@ def test_ml_model_persists_across_sessions(spark, tables, tmp_path, monkeypatch)
         ), col
     eng4.execute("DROP CLASSIFIER persist_stump")
     eng4.execute("DROP CLUSTERER persist_vor")
+
+
+def test_describe_ml_lazy_and_stale_sidecar(spark, tables, tmp_path, monkeypatch):
+    """ADVICE r12: DESCRIBE CLASSIFIERS must not PipelineModel.load()
+    every persisted model just to print a class name, and one stale
+    sidecar (model dir deleted out from under it) must not break the
+    entire listing — it prints 'unavailable' instead."""
+    import os
+    import shutil
+
+    from sclera_spark.engine import ScleraEngine
+
+    monkeypatch.setenv("SCLERA_SPARK_CATALOG_DIR", str(tmp_path / "cat"))
+    eng1 = ScleraEngine(spark)
+    rows = [(i, float(i), float(2 * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, f0 double, f1 double")
+    df = df.withColumn("label", (F.col("f0") > 25).cast("int"))
+    df.createOrReplaceTempView("lazy_feats")
+    eng1.execute(
+        "CREATE CLASSIFIER lazy_tree (label) USING "
+        "SELECT label, f0, f1 FROM lazy_feats WITH (model='tree')"
+    )
+    eng1.execute(
+        "CREATE CLASSIFIER ('stump') lazy_stump (label) USING "
+        "SELECT label, f0, f1 FROM lazy_feats"
+    )
+    eng2 = ScleraEngine(spark)  # fresh registry, same catalog dir
+    desc = {r[0]: r for r in eng2.execute("DESCRIBE CLASSIFIERS")}
+    assert desc["LAZY_TREE"][3] == "PipelineModel"
+    assert desc["LAZY_STUMP"][3] == "StumpModel"
+    # class names came from the sidecars — nothing was loaded
+    assert "LAZY_TREE" not in eng2.ml.models
+    # stale sidecar: delete the pipeline dir, keep the sidecar
+    shutil.rmtree(os.path.join(eng2.ml.store_dir, "LAZY_TREE"))
+    eng3 = ScleraEngine(spark)
+    desc = {r[0]: r for r in eng3.execute("DESCRIBE CLASSIFIERS")}
+    assert desc["LAZY_TREE"][3] == "unavailable"
+    assert desc["LAZY_STUMP"][3] == "StumpModel"  # listing survives
+    eng3.execute("DROP CLASSIFIER lazy_tree")
+    eng3.execute("DROP CLASSIFIER lazy_stump")

@@ -134,3 +134,24 @@ def test_prune_join_is_cluster_keyed_not_cartesian(planted):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_preexisting_ivf_list_column_survives(spark):
+    """ADVICE r12: assign_clusters used to route through a fixed
+    'ivf_list' intermediate and silently clobber an input column of
+    that name; it now writes out_col directly, and refuses an input
+    already carrying out_col (mirroring the 'cluster' guard)."""
+    rows = [
+        (1, _unit(1.0, 0.0, 0.0), 99),
+        (2, _unit(0.0, 1.0, 0.0), 98),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, ivf_list int"
+    )
+    out = semantic_dedup(df, k=2, threshold=0.9)
+    got = {r.vec_id: r.ivf_list for r in out.collect()}
+    assert got == {1: 99, 2: 98}  # input column intact
+    assert "cluster" in out.columns
+    seeds = semantic_seeds(df, 2)
+    with pytest.raises(ValueError, match="'ivf_list'"):
+        assign_clusters(df, seeds, out_col="ivf_list")

@@ -1103,6 +1103,41 @@ def test_txn_cte_shadows_transaction_table(server):
         c.close()
 
 
+def test_txn_dropped_check_is_cte_scope_aware(server):
+    """ADVICE r12: a CTE named like the deferred-dropped table only
+    shadows references INSIDE its scope — an outer-scope reference to
+    the real table must still raise 42P01 (pg scoping), and a CTE body
+    referencing its own name sees the (dropped) table, not itself."""
+    c = connect(server)
+    c.execute("CREATE TABLE wscope AS SELECT 1 AS k")
+    try:
+        c.execute("BEGIN")
+        c.execute("DROP TABLE wscope")
+        # top-level CTE shadows the whole statement: answers from CTE
+        _, rows, _ = c.execute(
+            "WITH wscope AS (SELECT 55 AS k) SELECT k FROM wscope"
+        )
+        assert rows == [("55",)]
+        # same-named CTE buried in a subquery does NOT shadow the
+        # outer reference: pg raises 42P01, so do we
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute(
+                "SELECT k FROM wscope WHERE k IN (SELECT k FROM "
+                "(WITH wscope AS (SELECT 1 AS k) SELECT k FROM wscope) s)"
+            )
+        # a non-recursive CTE body referencing its own name reads the
+        # real (dropped) table, not itself
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c.execute(
+                "WITH wscope AS (SELECT k FROM wscope) "
+                "SELECT k FROM wscope"
+            )
+        c.execute("ROLLBACK")
+    finally:
+        c.execute("DROP TABLE wscope")
+        c.close()
+
+
 def test_txn_read_same_named_column_not_rewritten(server):
     """r12 review: a SELECT inside a transaction where the buffered
     table's NAME also appears as a column of another table must not
