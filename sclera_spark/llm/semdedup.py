@@ -81,13 +81,35 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster: int = 100_000,
+    on_oversize: str = "split",
+    split_k: int = 8,
+    max_split_rounds: int = 16,
+    max_split_fanout: int = 64,
 ) -> DataFrame:
     """Survivors of within-cluster cosine pruning: the input's columns
     plus ``cluster``. A row is dropped iff a same-cluster row with a
     smaller id is cosine-similar at >= threshold. An empty (or
     all-NULL-vector) input returns an empty result, matching the SQL
     oracle; an input already carrying a ``cluster`` column refuses
-    loudly (the output column would silently clobber it)."""
+    loudly (the output column would silently clobber it).
+
+    Oversize growth path (r13, VERDICT task 3): a cluster larger than
+    ``max_cluster`` is SUB-CLUSTERED instead of refused —
+    ``split_k`` deterministic sub-seeds (the lexicographically-smallest
+    distinct vectors within the hot cell, the same convention as the
+    top level) re-partition it via the shared nearest-centroid
+    expression, recursively until every bucket fits. Pruning then runs
+    within the FINAL buckets, so the operator degrades gracefully to
+    more-approximate (near-dups split across sub-buckets both survive
+    — the same documented recall trade as SemDeDup's cross-cluster
+    blindness) rather than melting a reducer or refusing. A bucket
+    whose rows all share ONE distinct vector cannot split and does not
+    need the quadratic join at all: its non-null-vector rows collapse
+    to the min-id survivor directly (cosine of a vector with itself is
+    1). ``on_oversize='refuse'`` restores the loud r12 refusal; the
+    split path still refuses loudly on pathological concentration
+    (``max_split_rounds`` levels or ``max_split_fanout`` simultaneous
+    hot cells) rather than building an unbounded plan."""
     if "cluster" in df.columns:
         raise ValueError(
             "semantic_dedup: the input already has a 'cluster' column "
@@ -105,29 +127,119 @@ def semantic_dedup(
     # scale guard BEFORE the quadratic-within-cluster join: one tiny
     # aggregate, k rows to the driver (assignment is a narrow map, so
     # re-evaluating it for the final plan costs one extra codegen pass,
-    # not a shuffle)
-    sizes = cl.groupBy("cluster").count().collect()
-    worst = max((r["count"] for r in sizes), default=0)
-    if worst > max_cluster:
+    # not a shuffle). NULL-vector rows group under a NULL cluster id,
+    # which an equi-join never matches — they are never quadratic and
+    # never split.
+    sizes = {
+        r["cluster"]: r["count"]
+        for r in cl.groupBy("cluster").count().collect()
+    }
+    oversized = sorted(
+        c for c, n in sizes.items() if c is not None and n > max_cluster
+    )
+    if oversized and on_oversize == "refuse":
+        worst = max(sizes[c] for c in oversized)
         raise ValueError(
             f"semantic_dedup: largest cluster holds {worst} rows "
             f"(cap {max_cluster}) — the within-cluster self-join "
             "would be quadratic in it. Raise k (more, smaller "
             "clusters) or max_cluster explicitly."
         )
-    a = cl.select(
+    from pyspark.sql import Window
+
+    from sclera_spark.llm.similarity import nearest_centroid_expr
+
+    uniform: dict[int, bool] = {}  # bucket id -> min-id rule drops rest
+    next_id = len(seeds)
+    rounds = 0
+    while oversized:
+        rounds += 1
+        if rounds > max_split_rounds or len(oversized) > max_split_fanout:
+            raise ValueError(
+                f"semantic_dedup: oversize sub-clustering did not "
+                f"converge ({len(oversized)} hot cells at round "
+                f"{rounds}; caps {max_split_fanout} cells / "
+                f"{max_split_rounds} rounds) — the embedding "
+                "distribution is pathologically concentrated. Raise "
+                "max_cluster, split_k, or the caps explicitly."
+            )
+        # per-hot-cell deterministic sub-seeds: top split_k distinct
+        # vectors by lexicographic order, one window pass, bounded
+        # driver rows (split_k x |oversized|)
+        w = Window.partitionBy("cluster").orderBy("__v")
+        sd = (
+            cl.where(F.col("cluster").isin(oversized))
+            .select(
+                "cluster",
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .where(F.col("__v").isNotNull())
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= split_k)
+            .orderBy("cluster", "__v")
+            .collect()
+        )
+        by_c: dict[int, list[list[float]]] = {}
+        for r in sd:
+            by_c.setdefault(r["cluster"], []).append(
+                [float(x) for x in r["__v"]]
+            )
+        expr = F.col("cluster")
+        split_any = False
+        for c in oversized:
+            sub = by_c.get(c, [])
+            if len(sub) <= 1:
+                # every row in the bucket shares one distinct vector:
+                # unsplittable, but the join is pointless too — mark
+                # for the direct min-id survivor rule (self-cosine
+                # rounds to exactly 1.0; a zero vector has NULL cosine
+                # and never prunes, matching the join semantics)
+                nz = bool(sub) and any(x != 0.0 for x in sub[0])
+                uniform[c] = nz and 1.0 >= float(threshold)
+                continue
+            vec = F.col(vec_col).cast("array<double>")
+            expr = F.when(
+                F.col("cluster") == c,
+                F.lit(next_id) + nearest_centroid_expr(vec, sub),
+            ).otherwise(expr)
+            next_id += len(sub)
+            split_any = True
+        if split_any:
+            cl = cl.withColumn("cluster", expr.cast("int"))
+            sizes = {
+                r["cluster"]: r["count"]
+                for r in cl.groupBy("cluster").count().collect()
+            }
+        oversized = sorted(
+            c
+            for c, n in sizes.items()
+            if c is not None and n > max_cluster and c not in uniform
+        )
+    join_src = cl
+    if uniform:
+        join_src = cl.where(
+            ~F.col("cluster").isin(list(uniform))
+            | F.col("cluster").isNull()
+        )
+    a = join_src.select(
         F.col(id_col).alias("__ida"),
         F.col("cluster").alias("__cl"),
         F.col(vec_col).cast("array<double>").alias("__va"),
     )
-    b = cl.select(
+    b = join_src.select(
         F.col(id_col).alias("__idb"),
         F.col("cluster").alias("__cl"),
         F.col(vec_col).cast("array<double>").alias("__vb"),
     )
+    # try_divide: a zero-norm vector has UNDEFINED cosine -> NULL ->
+    # never prunes (ANSI mode would otherwise raise DIVIDE_BY_ZERO
+    # mid-job the first time a zero vector shares a cluster)
     sim = F.round(
-        _dot(F.col("__va"), F.col("__vb"))
-        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        F.try_divide(
+            _dot(F.col("__va"), F.col("__vb")),
+            _norm(F.col("__va")) * _norm(F.col("__vb")),
+        ),
         9,
     )
     dups = (
@@ -135,14 +247,29 @@ def semantic_dedup(
         .where(F.col("__idb") < F.col("__ida"))
         .where(sim >= F.lit(float(threshold)))
         .select(F.col("__ida").alias(id_col))
-        .distinct()
     )
+    uniform_drop = [c for c, drop in uniform.items() if drop]
+    if uniform_drop:
+        # uniform buckets: every non-null-vector row is an exact dup of
+        # the min id — one aggregate + one semi-join, never quadratic
+        usrc = cl.where(F.col("cluster").isin(uniform_drop)).where(
+            F.col(vec_col).isNotNull()
+        )
+        keep = usrc.groupBy("cluster").agg(
+            F.min(id_col).alias("__keep")
+        )
+        udups = (
+            usrc.join(keep, "cluster")
+            .where(F.col(id_col) != F.col("__keep"))
+            .select(F.col(id_col))
+        )
+        dups = dups.unionByName(udups)
     # materialize the (small) dropped-id set NOW, exactly like
     # minhash_dup_pairs: the returned plan then costs ONE scan +
     # narrow assignment + anti-join against a materialized id list,
     # instead of re-running the quadratic-within-cluster join (and two
     # more base scans) on every downstream action
-    dups = dups.localCheckpoint(eager=True)
+    dups = dups.distinct().localCheckpoint(eager=True)
     return cl.join(dups, id_col, "left_anti").select(
         *df.columns, "cluster"
     )

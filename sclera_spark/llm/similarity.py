@@ -269,6 +269,14 @@ def ivf_assign(
     model object needed — exactly what index MAINTENANCE wants, where
     the centroids are a frozen artifact loaded from the index sidecar."""
     vec = F.col(vec_col).cast("array<double>")
+    return df.withColumn(out_col, nearest_centroid_expr(vec, centroids))
+
+
+def nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """The nearest-centroid index (squared-L2 argmin, ties to the lowest
+    list id) as one JVM expression over ``vec`` — shared by ivf_assign
+    and semantic_dedup's oversize sub-clustering (r13) so tie-break and
+    precision behavior stay identical everywhere."""
     entries = []
     for i, c in enumerate(centroids):
         cl = F.array(*[F.lit(float(x)) for x in c])
@@ -278,7 +286,7 @@ def ivf_assign(
             lambda acc, x: acc + x,
         )
         entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    return df.withColumn(out_col, F.array_min(F.array(*entries))["i"])
+    return F.array_min(F.array(*entries))["i"]
 
 
 def ivf_append(spark, path: str, new_df: DataFrame, vec_col: str = "embedding") -> int:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -111,7 +112,69 @@ def test_cross_cluster_neighbors_survive(spark):
 
 def test_over_cap_cluster_refuses(planted):
     with pytest.raises(ValueError, match="largest cluster"):
-        semantic_dedup(planted, k=1, threshold=0.99, max_cluster=3)
+        semantic_dedup(
+            planted, k=1, threshold=0.99, max_cluster=3,
+            on_oversize="refuse",
+        )
+
+
+def test_oversize_cluster_splits_instead_of_refusing(spark):
+    """r13 (VERDICT task 3): an over-cap cluster sub-clusters
+    deterministically instead of refusing. Three orthogonal exact-dup
+    groups of 20 under k=1 land in ONE 60-row cluster over
+    max_cluster=25; the split separates the groups (3 distinct vectors
+    -> 3 sub-seeds) and the survivor SET matches the exact unsplit
+    path — zero recall loss here because no cross-bucket pair is
+    similar. In general the split path's recall bound is the SemDeDup
+    cross-cluster one: only same-final-bucket near-dups are pruned."""
+    rows = []
+    vid = 0
+    for base in ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]):
+        for _ in range(20):
+            rows.append((vid, base))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semantic_dedup(df, k=1, threshold=0.9, max_cluster=25, split_k=8)
+    exact = semantic_dedup(df, k=1, threshold=0.9, max_cluster=1000)
+    want = [0, 20, 40]  # min id of each exact-dup group
+    assert sorted(r.vec_id for r in got.collect()) == want
+    assert sorted(r.vec_id for r in exact.collect()) == want
+    # survivors-pairwise invariant: no two same-bucket survivors are
+    # similar at >= threshold (else the larger id would have dropped)
+    surv = got.collect()
+    by_cl: dict = {}
+    for r in surv:
+        by_cl.setdefault(r.cluster, []).append(np.array(r.embedding))
+    for vs in by_cl.values():
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                sim = float(
+                    vs[i] @ vs[j]
+                    / (np.linalg.norm(vs[i]) * np.linalg.norm(vs[j]))
+                )
+                assert sim < 0.9
+
+
+def test_oversize_uniform_bucket_min_id_rule(spark):
+    """An over-cap bucket whose rows all share ONE distinct vector
+    cannot split; its non-null rows collapse to the min-id survivor
+    without the quadratic join. Zero vectors (NULL cosine) and NULL
+    vectors never prune, matching the join semantics."""
+    rows = (
+        [(i, [1.0, 1.0]) for i in range(50)]
+        + [(100, [0.0, 0.0]), (101, [0.0, 0.0]), (102, None)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=1, threshold=0.9, max_cluster=10)
+    assert sorted(
+        r.vec_id for r in out.collect()
+    ) == [0, 100, 101, 102]
+    # ... and the guard still fires when convergence is impossible
+    # within the configured rounds
+    with pytest.raises(ValueError, match="did not converge"):
+        semantic_dedup(
+            df, k=1, threshold=0.9, max_cluster=10, max_split_rounds=1
+        )
 
 
 def test_assignment_is_deterministic_and_shuffle_free(planted):
