@@ -781,9 +781,10 @@ class ManifestTable:
         """Migration from an external APACHE ICEBERG table without
         copying data: resolve the current snapshot per the public spec
         (sources/iceberg.py — metadata.json is parsed directly; the
-        Avro manifest layer is gated on fastavro with a loud, exact
-        refusal when absent), hard-link its live parquet files in, and
-        publish them as version 1 of a new manifest table.
+        Avro manifest layer reads via fastavro when installed, else the
+        bundled spec reader sources/avro_lite.py), hard-link its live
+        parquet files in, and publish them as version 1 of a new
+        manifest table.
 
         Iceberg identity-partitioned files physically contain their
         partition columns, so no virtual-column fill is needed; the

@@ -1,9 +1,11 @@
 """CREATE TABLE ... FROM ICEBERG (sources/iceberg.py): the JSON
-metadata layer is fully testable here; the Avro manifest layer is
-gated on fastavro — absent in this container, so the full-import test
-is an honest env-gated skip (same contract as the real-endpoint CAS
-tests) and what IS asserted everywhere else is that the refusal is
-loud, exact, and names the missing codec."""
+metadata layer is fully testable here; the Avro manifest layer reads
+via fastavro when installed, else the bundled pure-Python spec reader
+(sources/avro_lite.py — r13). The vendored fixtures under
+tests/fixtures/iceberg_avro/ are GENUINE Avro bytes written by the
+Apache Avro JAVA library (tools/gen_iceberg_avro_fixture.py), so the
+full import path executes here against real encoding with no
+third-party codec."""
 
 from __future__ import annotations
 
@@ -127,12 +129,75 @@ def test_local_path_containment(tmp_path):
         ice._local_path("s3://bucket/key.parquet", t)
 
 
+# ---- vendored REAL-Avro fixtures (r13): the full import executes
+# here with no third-party codec — sources/avro_lite.py decodes bytes
+# written by the Apache Avro JAVA encoder (tools/gen_iceberg_avro_fixture.py)
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "iceberg_avro")
+
+
+def _stage_fixture_table(tmp_path, spark, manifest_list="manifest_list.avro"):
+    """A complete Iceberg table dir around the vendored Avro fixtures:
+    metadata.json + manifest list + (deflate-coded) manifest + parquet
+    data files at the RELATIVE paths the manifests name."""
+    import shutil
+
+    t = tmp_path / "ice"
+    (t / "metadata").mkdir(parents=True)
+    (t / "data").mkdir()
+    shutil.copy(
+        os.path.join(_FIXDIR, manifest_list),
+        t / "metadata" / "snap-77.avro",
+    )
+    shutil.copy(os.path.join(_FIXDIR, "m1.avro"), t / "metadata" / "m1.avro")
+    for name, lo, hi in (("f1.parquet", 0, 30), ("f2.parquet", 100, 110)):
+        spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v"
+        ).coalesce(1).write.mode("overwrite").parquet(str(t / "stage"))
+        (part,) = [
+            f for f in os.listdir(t / "stage") if f.endswith(".parquet")
+        ]
+        os.rename(t / "stage" / part, t / "data" / name)
+    _write_metadata(tmp_path)  # snapshot 77 -> metadata/snap-77.avro
+    return str(t)
+
+
+def test_vendored_real_avro_full_import(spark, tmp_path):
+    """metadata.json -> REAL-Avro manifest list -> REAL-Avro deflate
+    manifest -> parquet files, end to end, zero-copy; the deleted entry
+    (status=2) is skipped."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = _stage_fixture_table(tmp_path, spark)
+    dest = str(tmp_path / "imported")
+    mt = ManifestTable.import_iceberg(t, dest)
+    rows = sorted((r.k, r.v) for r in mt.read(spark).collect())
+    assert rows == [
+        (i, str(i)) for i in list(range(30)) + list(range(100, 110))
+    ]
+    assert os.stat(os.path.join(dest, "data", "f1.parquet")).st_nlink >= 2
+
+
+def test_vendored_real_avro_delete_manifest_refuses(spark, tmp_path):
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_deletes.avro"
+    )
+    with pytest.raises(IcebergImportUnsupported, match="DELETE manifest"):
+        ManifestTable.import_iceberg(t, str(tmp_path / "imp"))
+
+
 @pytest.mark.skipif(
-    HAVE_FASTAVRO, reason="fastavro present: the refusal cannot fire"
+    HAVE_FASTAVRO, reason="fastavro may read snappy via python-snappy"
 )
-def test_missing_avro_codec_is_a_loud_exact_refusal(tmp_path):
-    t = _write_metadata(tmp_path)
-    with pytest.raises(IcebergImportUnsupported, match="fastavro"):
+def test_unsupported_codec_refuses_by_name(spark, tmp_path):
+    """avro_lite refuses a snappy-coded container LOUDLY, naming the
+    codec — never silently skipping the manifest."""
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_snappy.avro"
+    )
+    with pytest.raises(IcebergImportUnsupported, match="snappy"):
         ice.snapshot_data_files(ice.load_table_metadata(t), t)
 
 
@@ -246,17 +311,19 @@ def test_full_iceberg_import_end_to_end(spark, tmp_path):
 
 
 @pytest.mark.skipif(
-    HAVE_FASTAVRO, reason="fastavro present: the refusal cannot fire"
+    HAVE_FASTAVRO, reason="fastavro may read snappy via python-snappy"
 )
 def test_ddl_surface_routes_and_refuses_loudly(spark, tmp_path):
-    """The statement parses, resolves the JSON layer, and surfaces the
-    Avro-gate refusal verbatim — and no half-registered table is left
-    behind."""
+    """The statement parses, resolves the JSON + Avro layers, and
+    surfaces the codec refusal verbatim — and no half-registered table
+    is left behind."""
     from sclera_spark.engine import ScleraEngine
 
     engine = ScleraEngine(spark)
-    t = _write_metadata(tmp_path)
-    with pytest.raises(IcebergImportUnsupported, match="fastavro"):
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_snappy.avro"
+    )
+    with pytest.raises(IcebergImportUnsupported, match="snappy"):
         engine.execute(f"CREATE TABLE icetab FROM ICEBERG '{t}'")
     assert "icetab" not in engine.ddl().managed
 

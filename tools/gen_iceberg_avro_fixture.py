@@ -1,0 +1,243 @@
+"""Generate the vendored REAL-Avro Iceberg fixtures in
+tests/fixtures/iceberg_avro/ using the Apache Avro JAVA library bundled
+with the Spark distribution — an independent, canonical encoder, so the
+bytes exercise sources/avro_lite.py against genuine Avro encoding
+(r12 verdict task: the manifest replay had only run against a JSON
+stand-in). Schemas follow the public Iceberg v2 table spec
+(https://iceberg.apache.org/spec/#manifests) — trimmed to the fields
+the replay reads plus enough optional/union/nested structure to be
+representative. File paths inside the manifests are RELATIVE so the
+fixtures are location-independent (iceberg._local_path joins relative
+paths to the table dir).
+
+Run from the repo root: python tools/gen_iceberg_avro_fixture.py
+Idempotent; outputs are committed, so this only needs re-running when
+the fixture content changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+OUT = os.path.join("tests", "fixtures", "iceberg_avro")
+
+FIELD_SUMMARY = {
+    "type": "record",
+    "name": "field_summary",
+    "fields": [
+        {"name": "contains_null", "type": "boolean"},
+        {"name": "contains_nan", "type": ["null", "boolean"], "default": None},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": FIELD_SUMMARY}],
+            "default": None,
+        },
+        {"name": "key_metadata", "type": ["null", "bytes"], "default": None},
+    ],
+}
+
+DATA_FILE = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {
+            # unpartitioned table: empty partition struct, per spec
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+        },
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {
+            "name": "column_sizes",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "k117_v118",
+                        "fields": [
+                            {"name": "key", "type": "int"},
+                            {"name": "value", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
+        {"name": "key_metadata", "type": ["null", "bytes"], "default": None},
+        {
+            "name": "sort_order_id",
+            "type": ["null", "int"],
+            "default": None,
+        },
+    ],
+}
+
+MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+        },
+        {"name": "data_file", "type": DATA_FILE},
+    ],
+}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[2]").appName(
+        "gen-iceberg-avro-fixture"
+    ).getOrCreate()
+    jvm = spark._jvm
+    os.makedirs(OUT, exist_ok=True)
+
+    def write_avro(path: str, schema_json: dict, rows: list[dict], codec=None):
+        """Write rows (Avro-JSON datum encoding: union values spelled
+        {"branch": v}) through the Java GenericDatumWriter."""
+        parser = jvm.org.apache.avro.Schema.Parser()
+        schema = parser.parse(json.dumps(schema_json))
+        writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+        dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+        if codec == "deflate":
+            dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+        elif codec == "snappy":
+            dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+        dfw.create(schema, jvm.java.io.File(os.path.join(OUT, path)))
+        for row in rows:
+            dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+                schema, json.dumps(row)
+            )
+            dfw.append(reader.read(None, dec))
+        dfw.close()
+
+    def entry(path: str, status: int = 1, rows: int = 0, content: int = 0,
+              fmt: str = "PARQUET") -> dict:
+        return {
+            "status": status,
+            "snapshot_id": {"long": 77},
+            "sequence_number": {"long": 1},
+            "file_sequence_number": {"long": 1},
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": fmt,
+                "partition": {},
+                "record_count": rows,
+                "file_size_in_bytes": 4096,
+                "column_sizes": {
+                    "array": [
+                        {"key": 1, "value": 2048},
+                        {"key": 2, "value": 2048},
+                    ]
+                },
+                "key_metadata": None,
+                "sort_order_id": {"int": 0},
+            },
+        }
+
+    def mlist_rec(mpath: str, content: int = 0) -> dict:
+        return {
+            "manifest_path": mpath,
+            "manifest_length": 4096,
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 77,
+            "added_files_count": 2,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 40,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": {
+                "array": [
+                    {
+                        "contains_null": False,
+                        "contains_nan": {"boolean": False},
+                        "lower_bound": {"bytes": "\u0000\u0001"},
+                        "upper_bound": {"bytes": "\u00ff\u00fe"},
+                    }
+                ]
+            },
+            "key_metadata": None,
+        }
+
+    # the good snapshot: manifest list (null codec) -> manifest
+    # (DEFLATE codec, exercising decompression) -> two live + one
+    # deleted data file, relative paths
+    write_avro(
+        "m1.avro",
+        MANIFEST_SCHEMA,
+        [
+            entry("data/f1.parquet", status=1, rows=30),
+            entry("data/f2.parquet", status=1, rows=10),
+            entry("data/gone.parquet", status=2, rows=5),
+        ],
+        codec="deflate",
+    )
+    write_avro(
+        "manifest_list.avro",
+        MANIFEST_LIST_SCHEMA,
+        [mlist_rec("metadata/m1.avro")],
+    )
+    # a DELETE-manifest list (content=1): the import must refuse
+    write_avro(
+        "manifest_list_deletes.avro",
+        MANIFEST_LIST_SCHEMA,
+        [mlist_rec("metadata/m1.avro", content=1)],
+    )
+    # a snappy-coded list: avro_lite refuses it BY NAME (fastavro envs
+    # can read it — the refusal is codec-availability, not corruption)
+    write_avro(
+        "manifest_list_snappy.avro",
+        MANIFEST_LIST_SCHEMA,
+        [mlist_rec("metadata/m1.avro")],
+        codec="snappy",
+    )
+    spark.stop()
+    for f in sorted(os.listdir(OUT)):
+        print(f, os.path.getsize(os.path.join(OUT, f)))
+
+
+if __name__ == "__main__":
+    main()
