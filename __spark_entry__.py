@@ -635,6 +635,45 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, q, k=10, n_bits=8)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of a DETERMINISTIC IVF probe search against the exact
+    cosine top-10 (VERDICT r12 task 5: the ANN tier rides a value-exact
+    oracle). IVF here is the seeded-deterministic variant the oracle
+    can replicate: centroids = the 16 lexicographically-smallest
+    distinct vectors (semantic_seeds convention), assignment = the
+    shared nearest-centroid argmin, probes = the 4 centroids nearest
+    the query. The recall number (hits/10.0) is one IEEE division on
+    identical integer operands — bitwise-equal across engines."""
+    from sclera_spark.llm import cosine_topk, semantic_seeds
+    from sclera_spark.llm.similarity import ivf_assign
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.table("embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    seeds = semantic_seeds(emb, 16, "embedding")
+    order = sorted(
+        range(len(seeds)),
+        key=lambda i: (
+            sum((a - b) * (a - b) for a, b in zip(q, seeds[i])),
+            i,
+        ),
+    )
+    probes = order[:4]
+    cands = ivf_assign(emb, seeds).where(F.col("ivf_list").isin(probes))
+    ann = cosine_topk(cands, q, k=10).select("vec_id")
+    exact = cosine_topk(emb, q, k=10).select("vec_id")
+    return (
+        ann.join(exact, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(10).alias("k"),
+            F.lit(4).alias("nprobe"),
+            F.col("hits"),
+            (F.col("hits") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (llm/similarity.pq_train/encode/topk —
     Jegou 2011): embeddings compress to 8 small ints (codebooks trained
@@ -1872,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_join": _q_asof_join,
             "range_join": _q_range_join,
             "incr_rollup": _q_incr_rollup,
+            # r13: recall-graded ANN (deterministic IVF vs exact cosine)
+            "ann_recall": _q_ann_recall,
             # --- tail: outside the ~50-entry driver window ---
             # The four genuinely non-oracle-able entries (banded-DTW DP,
             # simhash/SRP hash families, k-means quantizer, Vega-Lite spec
@@ -1969,9 +2010,16 @@ _WINDOW_ORDER = [
     # sweep. No oracle entry's certification ages past two rounds.
     "q3_shipping", "q5_local_supplier", "join_variants", "outer_joins",
     "row_sources", "star_except", "fingerprint_dups",
-    # r9 rotation remnant, re-certified r10+r11 — rotates next round
-    "order_fetch", "string_agg_ordered", "scalar_sclera_names",
-    "distinct_on",
+    # r13 rotation: ann_recall is NEW (recall-graded ANN, VERDICT r12
+    # task 5 — never driver-graded, promoted immediately); the three
+    # entries whose last certification is oldest (r11: setops,
+    # conditionals, scalar_math) rotate back in. In exchange the four
+    # r9-remnants certified r10+r11+r12 (order_fetch,
+    # string_agg_ordered, scalar_sclera_names, distinct_on) demote to
+    # the tail — each keeps its frontend/ordering fuzz families and
+    # every tools/check_entry sweep. No oracle entry's certification
+    # ages past two rounds.
+    "ann_recall", "setops", "conditionals", "scalar_math",
 ]
 
 
@@ -2188,6 +2236,52 @@ def oracle_sql() -> dict[str, str]:
                    ) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT 10) t
+    """
+    # r13: the deterministic-IVF recall oracle recomputes BOTH search
+    # paths — seeds/assignment reuse the proven semantic_dedup SQL
+    # conventions (squared-L2 with per-element op order, seed-id
+    # tie-break), top-k selection the proven cosine_topk one
+    oracles["ann_recall"] = """
+        WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY s) - 1 AS seed_id, s
+          FROM (SELECT DISTINCT embedding AS s FROM embeddings
+                WHERE embedding IS NOT NULL
+                ORDER BY embedding LIMIT 16)
+        ),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        probes AS (
+          SELECT seed_id FROM seeds, q
+          ORDER BY list_sum(list_transform(
+                     list_zip(qv, s::DOUBLE[]),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), seed_id
+          LIMIT 4
+        ),
+        asg AS (
+          SELECT e.vec_id, e.embedding, s.seed_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_sum(list_transform(
+                        list_zip(e.embedding::DOUBLE[], s.s::DOUBLE[]),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                      s.seed_id) AS rn
+          FROM embeddings e CROSS JOIN seeds s
+        ),
+        ann AS (
+          SELECT a.vec_id FROM asg a, q
+          WHERE a.rn = 1 AND a.seed_id IN (SELECT seed_id FROM probes)
+          ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], qv)
+                   DESC, a.vec_id
+          LIMIT 10
+        ),
+        exact AS (
+          SELECT e.vec_id FROM embeddings e, q
+          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv)
+                   DESC, e.vec_id
+          LIMIT 10
+        ),
+        h AS (SELECT count(*) AS hits
+              FROM ann JOIN exact USING (vec_id))
+        SELECT 10 AS k, 4 AS nprobe, hits, hits / 10.0 AS recall FROM h
     """
     oracles["string_agg_ordered"] = """
         SELECT n_regionkey,
