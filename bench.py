@@ -223,26 +223,28 @@ def _storage_queries() -> dict:
     }
 
 
-# per-query budget gate: 2x the frozen r1/BASELINE.md anchors (sf0.1,
-# local[32], steady-state protocol). Gated on the per-query MIN across
-# reps, not the median: external stall bursts are one-sided noise (they
-# only ADD time), so the min is the robust estimator of the code's true
+# per-query budget gate: 2x the frozen r13 anchors (BASELINE.md "r13
+# anchor re-freeze": min-of-7 across TWO independent protocol-v3 runs
+# at r13 HEAD, sf0.1, local[32] — replacing the r1 single-warm-run
+# anchors, which mixed older, simpler plans; the r1 table stays in
+# BASELINE.md for history). Gated on the per-query MIN across reps,
+# not the median: external stall bursts are one-sided noise (they only
+# ADD time), so the min is the robust estimator of the code's true
 # cost — a real regression raises the min; a hypervisor stall does not
 # lower it.
 BUDGETS = {
-    "q1_agg": 0.8, "multi_join": 1.2, "distinct_on": 1.5, "unpivot": 0.3,
-    "match_funnel": 2.7, "split_intervals": 2.7, "window_tier": 0.8,
-    "align_sql": 2.3, "expmovavg": 0.9, "minhash_pairs": 4.0,
-    "cosine_topk": 1.3, "quality_scores": 1.0, "dedup_exact": 1.2,
-    # storage tier (r9 freeze, 2x observed sf0.1 mins — BASELINE.md
-    # "storage tier" section): the meta/scan pair guards the zero-job
-    # path staying zero-job; the probe pair guards the pruning
-    # machinery's fixed overhead staying bounded (wall-clock parity
-    # with the full scan is EXPECTED locally — see BASELINE.md)
-    "storage_range_probe": 0.25, "storage_range_probe_full": 0.2,
-    "storage_meta_agg": 0.5, "storage_count_scan": 0.75,
-    # late-r9 LLM additions (2x observed sf0.1 mins: 0.69 / 2.57)
-    "pack_sequences": 1.4, "cross_dedup": 5.2,
+    "q1_agg": 0.65, "multi_join": 0.45, "distinct_on": 0.75,
+    "unpivot": 0.1, "match_funnel": 1.2, "split_intervals": 3.4,
+    "window_tier": 0.6, "align_sql": 1.9, "expmovavg": 0.9,
+    "minhash_pairs": 3.3, "cosine_topk": 0.4, "quality_scores": 0.6,
+    "dedup_exact": 0.45,
+    # storage tier: the meta/scan pair guards the zero-job path staying
+    # zero-job; the probe pair guards the pruning machinery's fixed
+    # overhead staying bounded (wall-clock parity with the full scan is
+    # EXPECTED locally — see BASELINE.md)
+    "storage_range_probe": 0.2, "storage_range_probe_full": 0.16,
+    "storage_meta_agg": 0.5, "storage_count_scan": 0.7,
+    "pack_sequences": 1.1, "cross_dedup": 4.6,
 }
 
 # ~sf1 budget gate (r12 freeze, BASELINE.md "r12 ~sf1 freeze"):

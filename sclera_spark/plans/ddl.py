@@ -208,12 +208,20 @@ class DdlRouter:
             "_drop_auto_compact",
         ),
         (
+            re.compile(r"^\s*VACUUM\s+(\w+)\s+MIRROR\s*$", re.I),
+            "_vacuum_mirror",
+        ),
+        (
             re.compile(
                 r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?"
                 r"(\s+DRY\s+RUN)?\s*$",
                 re.I,
             ),
             "_vacuum",
+        ),
+        (
+            re.compile(r"^\s*DESCRIBE\s+MIRROR\s+(\w+)\s*$", re.I),
+            "_describe_mirror",
         ),
         (re.compile(r"^\s*SHOW\s+VERSIONS\s+(\w+)\s*$", re.I), "_show_versions"),
         (
@@ -881,6 +889,28 @@ class DdlRouter:
         version, commit time, operation, file/row totals, add/remove
         deltas. Pure driver metadata, no Spark job."""
         return self._require_manifest(name).history()
+
+    def _describe_mirror(self, name: str):
+        """DESCRIBE MIRROR t — staleness of the table's Delta mirror
+        (r13): mirror directory, the mirror's latest Delta version, the
+        source version it captured, the table's current version, and
+        the refresh lag. Pure driver metadata; raises when no mirror is
+        configured (a silent empty result would read as 'fresh')."""
+        status = self._require_manifest(name).mirror_status()
+        if status is None:
+            raise ValueError(
+                f"table {name!r} has no Delta mirror configured "
+                "(ALTER TABLE ... SET DELTA MIRROR)"
+            )
+        return [status]
+
+    def _vacuum_mirror(self, name: str):
+        """VACUUM t MIRROR — unlink custom-mirror data files referenced
+        neither by the mirror log's current version nor by any retained
+        source version, WITHOUT touching the source table's versions
+        (the directed form of the hygiene VACUUM runs implicitly —
+        r13). Returns the unlinked file names."""
+        return self._require_manifest(name).vacuum_mirror_directed()
 
     def _show_versions(self, name: str):
         """SHOW VERSIONS t — retained manifest versions, newest last."""

@@ -2870,6 +2870,70 @@ class ManifestTable:
                 pass
         return removed
 
+    def mirror_status(self) -> dict | None:
+        """Staleness of the configured Delta mirror, as pure driver
+        metadata (r13, VERDICT task 6 — psql-visible refresh lag):
+        the mirror's latest exported Delta version, the SOURCE version
+        it captured (commitInfo.operationParameters.sourceVersion, the
+        linkage every SCLERA EXPORT commit records), the table's
+        current version, and their difference as ``lag`` (0 = fresh;
+        None = a pre-sourceVersion export whose lag is unknowable).
+        Returns None when no mirror is configured."""
+        try:
+            cfg = self.meta().get("delta_mirror")
+        except FileNotFoundError:
+            return None
+        if not cfg:
+            return None
+        if isinstance(cfg, str):
+            out_dir = (
+                cfg
+                if os.path.basename(cfg.rstrip("/")) == "_delta_log"
+                else os.path.join(cfg, "_delta_log")
+            )
+        else:
+            out_dir = os.path.join(self.path, "_delta_log")
+        current = self.version()
+        status = {
+            "mirror_dir": out_dir,
+            "mirror_version": None,
+            "source_version": None,
+            "current_version": current,
+            "lag": None,
+        }
+        if not os.path.isdir(out_dir):
+            return status  # configured but never exported
+        latest = -1
+        for f in os.listdir(out_dir):
+            if f.endswith(".json") and f[:-5].isdigit():
+                latest = max(latest, int(f[:-5]))
+        if latest < 0:
+            return status
+        status["mirror_version"] = latest
+        with open(os.path.join(out_dir, f"{latest:020d}.json")) as fh:
+            for ln in fh:
+                ln = ln.strip()
+                if not ln:
+                    continue
+                a = json.loads(ln)
+                ci = a.get("commitInfo")
+                if ci and ci.get("operation") == "SCLERA EXPORT":
+                    sv = (ci.get("operationParameters") or {}).get(
+                        "sourceVersion"
+                    )
+                    if sv is not None:
+                        status["source_version"] = int(sv)
+                        status["lag"] = current - int(sv)
+        return status
+
+    def vacuum_mirror_directed(self) -> list[str]:
+        """The standalone form of the mirror vacuum (``VACUUM t
+        MIRROR`` — r13): lock-guarded like the vacuum()-embedded call,
+        so a concurrent post-commit mirror refresh can never hard-link
+        a file between the keep-set computation and the unlink pass."""
+        with self._writer_lock():
+            return self.vacuum_mirror()
+
     def vacuum_preview(self, keep_versions: int = 1) -> list[str]:
         """DRY RUN: the data files a ``vacuum(keep_versions)`` would
         delete right now, without deleting anything (claims above the

@@ -1365,6 +1365,64 @@ def test_mirror_vacuum_reclaims_dropped_files(engine, spark, tmp_path):
         engine.execute("DROP TABLE mvac")
 
 
+def test_describe_mirror_staleness_and_directed_vacuum(
+    engine, spark, tmp_path
+):
+    """r13 (VERDICT task 6): DESCRIBE MIRROR surfaces the mirror's
+    refresh lag (sourceVersion linkage vs current version), and
+    VACUUM t MIRROR is the directed, source-versions-untouched form of
+    the mirror hygiene pass — it reclaims links a source VACUUM taken
+    during mirror staleness could not."""
+    mirror = str(tmp_path / "mirror_tbl")
+    engine.execute("CREATE TABLE mstale AS SELECT 1 AS k UNION ALL SELECT 2")
+    engine.execute("ALTER TABLE mstale SET FORMAT MANIFEST")
+    try:
+        engine.execute(f"ALTER TABLE mstale SET DELTA MIRROR '{mirror}'")
+        (st,) = engine.execute("DESCRIBE MIRROR mstale")
+        assert st["lag"] == 0 and st["mirror_version"] == 0
+        assert st["source_version"] == st["current_version"]
+        # mutate BEHIND the engine's post-mutation hook: the mirror
+        # goes stale and DESCRIBE MIRROR says by exactly how much
+        mt = engine.ddl()._manifest("mstale")
+        mt.overwrite(spark.range(10, 12).selectExpr("id AS k"))
+        engine.ddl()._register_manifest("mstale")  # out-of-band writer
+        (st,) = engine.execute("DESCRIBE MIRROR mstale")
+        assert st["lag"] >= 1
+        assert st["current_version"] == st["source_version"] + st["lag"]
+        # source vacuum during staleness KEEPS the old links (the
+        # mirror's current version still references them — honesty of
+        # the embedded hygiene pass)
+        ddir = os.path.join(mirror, "data")
+        before = set(os.listdir(ddir))
+        engine.execute("VACUUM mstale")
+        assert set(os.listdir(ddir)) == before
+        # refresh the mirror (any engine mutation re-triggers the
+        # hook), then the DIRECTED vacuum reclaims what the stale-era
+        # source vacuum could not — without touching source versions
+        engine.execute("UPDATE mstale SET k = k + 100")
+        (st,) = engine.execute("DESCRIBE MIRROR mstale")
+        assert st["lag"] == 0
+        versions_before = engine.execute("SHOW VERSIONS mstale")
+        removed = engine.execute("VACUUM mstale MIRROR")
+        assert removed  # the stale-era links are gone
+        assert engine.execute("SHOW VERSIONS mstale") == versions_before
+        live = {os.path.basename(p) for p in mt.files()}
+        assert set(os.listdir(ddir)) == live
+        # the mirror still imports to the live snapshot
+        from sclera_spark.sources.manifest import ManifestTable
+
+        mt2 = ManifestTable.import_delta(
+            mirror, str(tmp_path / "mstale_import")
+        )
+        assert sorted(r.k for r in mt2.read(spark).collect()) == [110, 111]
+        # no mirror configured -> loud, not silently fresh
+        engine.execute("ALTER TABLE mstale DROP DELTA MIRROR")
+        with pytest.raises(Exception, match="no Delta mirror"):
+            engine.execute("DESCRIBE MIRROR mstale")
+    finally:
+        engine.execute("DROP TABLE mstale")
+
+
 def test_delta_import_mode_id_with_field_ids(spark, tmp_path):
     """r12: a delta-spark-layout mode=id table (parquet footers carry
     PARQUET:field_id and columns are named by physicalName) imports
