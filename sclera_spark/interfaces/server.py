@@ -209,13 +209,13 @@ class _Handler(socketserver.BaseRequestHandler):
             pass
         finally:
             txn = getattr(self, "_txn", None)
-            if txn and (txn.get("all_staged") or txn["parts"]):
+            if txn and (txn.get("all_staged") or self._txn_parts(txn)):
                 # connection dropped mid-transaction: implicit ROLLBACK —
                 # the staged files were never adopted, just reclaim them
                 from sclera_spark.sources.manifest import ManifestTable
 
                 ManifestTable.discard_staged(
-                    txn.get("all_staged") or txn["parts"]
+                    txn.get("all_staged") or self._txn_parts(txn)
                 )
             if txn and txn.get("created"):
                 # a txn-created table was never registered: reclaim it
@@ -471,17 +471,21 @@ class _Handler(socketserver.BaseRequestHandler):
         * SET statement_timeout is HONORED (pg semantics, milliseconds;
           0 disables) — enforced via the session's Spark job group, the
           same kill path as CancelRequest.
-        * transactions are REAL for single-object work: BEGIN buffers
-          manifest-table INSERT/UPDATE/DELETE/MERGE/COPY as staged
-          (unpublished) part files; COMMIT publishes them all as ONE
-          atomic manifest commit; ROLLBACK deletes the staging —
-          nothing was ever visible, so the rollback is truthful. A
-          crash mid-txn leaves only scratch files outside data/.
-          CREATE TABLE [AS] and DROP TABLE are transactional too (late
-          r12: unique staging path renamed + registered at COMMIT;
-          deferred drop). Anything a rollback could not undo is
-          REFUSED inside a transaction (0A000): mutating a second
-          object, other DDL forms, inserts into non-manifest tables.
+        * transactions are REAL: BEGIN buffers manifest-table
+          INSERT/UPDATE/DELETE/MERGE/COPY as staged (unpublished) part
+          files PER TABLE (r13: multi-object transactions); COMMIT
+          publishes a single-table txn as ONE atomic manifest commit,
+          and a multi-table txn as per-table commits made atomic by a
+          cross-table intent journal (write-ahead marker; crash
+          recovery completes it on the next engine open); ROLLBACK
+          deletes the staging — nothing was ever visible, so the
+          rollback is truthful. A crash mid-txn leaves only scratch
+          files outside data/. CREATE TABLE [AS] and DROP TABLE are
+          transactional too (late r12: unique staging path renamed +
+          registered at COMMIT; deferred drop) but stay single-object.
+          Anything a rollback could not undo is REFUSED inside a
+          transaction (0A000): other DDL forms, inserts into
+          non-manifest tables, CAS-backed tables in a multi-table txn.
           Reads inside the transaction see the transaction's
           OWN writes (r12): SELECTs referencing the buffered table run
           against a per-statement overlay of snapshot-minus-rewritten
@@ -504,12 +508,15 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._notice("there is already a transaction in progress")
                 else:
                     self._txn = {
-                        "table": None, "parts": [], "rows": 0,
-                        "removes": set(), "savepoints": {},
+                        # per-TABLE write buffers (r13, multi-object
+                        # transactions): table -> {"parts": [(scratch,
+                        # names)], "removes": set(basenames)}
+                        "writes": {}, "rows": 0, "savepoints": {},
                         # every staged tuple EVER created in this txn:
                         # rewrites/savepoint-rollbacks only reshuffle
-                        # `parts`; scratch dirs are reclaimed once, at
-                        # transaction end, from this ledger
+                        # the per-table parts; scratch dirs are
+                        # reclaimed once, at transaction end, from
+                        # this ledger
                         "all_staged": [],
                         # transactional DDL (late r12): a table CREATED
                         # in this txn lives at its warehouse path but is
@@ -594,32 +601,77 @@ class _Handler(socketserver.BaseRequestHandler):
                 # DML rewrites or savepoint rollbacks — reclaim their
                 # scratch dirs whatever the outcome (even a txn whose
                 # every part was rolled back to a savepoint)
+                live_parts = self._txn_parts(txn) if txn else []
                 retired = (
                     [
                         s
                         for s in txn.get("all_staged", [])
-                        if s not in txn["parts"]
+                        if s not in live_parts
                     ]
                     if txn
                     else []
                 )
-                if txn and not txn["parts"] and retired:
+                writes = (
+                    {
+                        t: w
+                        for t, w in txn["writes"].items()
+                        if w["parts"] or w["removes"]
+                    }
+                    if txn
+                    else {}
+                )
+                if txn and not writes and retired:
                     from sclera_spark.sources.manifest import ManifestTable
 
                     ManifestTable.discard_staged(retired)
-                elif txn and txn["parts"]:
+                elif txn and writes:
                     from sclera_spark.sources.manifest import ManifestTable
 
                     ddl = self.server.engine.ddl()
                     try:
-                        mt = ddl._manifest(txn["table"])
-                        mt.commit_staged(
-                            txn["parts"],
-                            remove_names=txn.get("removes") or None,
+                        if len(writes) == 1:
+                            # single-object fast path: ONE manifest
+                            # commit, no journal needed
+                            ((name, w),) = writes.items()
+                            ddl._manifest(name).commit_staged(
+                                w["parts"],
+                                remove_names=w["removes"] or None,
+                            )
+                        else:
+                            # multi-object COMMIT (r13): per-table
+                            # commits made atomic by the cross-table
+                            # intent journal; all-or-nothing validation
+                            # happens inside every participant's lock
+                            try:
+                                entries = [
+                                    (ddl._manifest(t), w["parts"],
+                                     w["removes"])
+                                    for t, w in sorted(writes.items())
+                                ]
+                                ManifestTable.commit_staged_group(
+                                    entries, ddl.txn_journal_dir()
+                                )
+                            except ValueError as exc:
+                                if "CAS table" in str(exc):
+                                    raise _WireError("0A000", str(exc))
+                                raise
+                    except Exception as exc:
+                        from sclera_spark.sources.manifest import (
+                            TxnJournaledError,
                         )
-                    except Exception:
+
+                        if isinstance(exc, TxnJournaledError):
+                            # the commit point passed: the txn IS
+                            # committed; recovery completes it — the
+                            # staged files belong to the journal now
+                            self._notice(str(exc))
+                            if retired:
+                                ManifestTable.discard_staged(retired)
+                            return _ResultSet(
+                                None, None, None, "COMMIT"
+                            )
                         ManifestTable.discard_staged(
-                            txn["parts"] + retired
+                            live_parts + retired
                         )
                         raise
                     if retired:
@@ -628,25 +680,26 @@ class _Handler(socketserver.BaseRequestHandler):
                     # refresh the catalog registration must NOT report
                     # the transaction as failed (a retrying client
                     # would duplicate rows) — surface it as a notice
-                    try:
-                        ddl._register_manifest(txn["table"])
-                    except Exception as exc:
-                        self._notice(
-                            "COMMIT succeeded (manifest version is "
-                            "durable) but the catalog refresh failed: "
-                            f"{exc}; re-register or reconnect to see "
-                            "the new rows"
-                        )
-                    try:
-                        ddl._maybe_mirror(txn["table"])
-                    except Exception:
-                        pass  # _maybe_mirror itself warns-once
+                    for name in writes:
+                        try:
+                            ddl._register_manifest(name)
+                        except Exception as exc:
+                            self._notice(
+                                "COMMIT succeeded (manifest version is "
+                                "durable) but the catalog refresh "
+                                f"failed for {name}: {exc}; re-register "
+                                "or reconnect to see the new rows"
+                            )
+                        try:
+                            ddl._maybe_mirror(name)
+                        except Exception:
+                            pass  # _maybe_mirror itself warns-once
                 return _ResultSet(None, None, None, "COMMIT")
             if verb == "ROLLBACK":
                 txn = getattr(self, "_txn", None)
                 self._txn = None
                 if txn:
-                    staged = txn.get("all_staged") or txn["parts"]
+                    staged = txn.get("all_staged") or self._txn_parts(txn)
                     if staged:
                         from sclera_spark.sources.manifest import (
                             ManifestTable,
@@ -669,7 +722,10 @@ class _Handler(socketserver.BaseRequestHandler):
         if (
             txn is not None
             and (
-                (txn.get("table") and (txn["parts"] or txn["removes"]))
+                any(
+                    w["parts"] or w["removes"]
+                    for w in txn.get("writes", {}).values()
+                )
                 or txn.get("created")
                 or txn.get("dropped")
             )
@@ -755,51 +811,63 @@ class _Handler(socketserver.BaseRequestHandler):
                     self.server.engine.spark.catalog.dropTempView(view)
                 except Exception:
                     pass
-        name = txn["table"]
-        if not name or not (txn["parts"] or txn["removes"]):
-            return None
-        if name in ctes:
-            return None  # CTE shadows the buffered table: pg scoping
-        # the table must be referenced AS A TABLE (FROM/JOIN position
-        # or as a dotted qualifier) — a mere column/alias spelled like
-        # the table name must neither trigger nor suffer the rewrite
-        if not self._references_table(sql, name):
-            return None
+        # every written table referenced in the statement gets its own
+        # overlay view (r13: a multi-object transaction's SELECT may
+        # join two buffered tables — both read their own writes)
         ddl = self.server.engine.ddl()
-        try:
-            mt = ddl._manifest(name)
-        except Exception:
-            return None
         spark = self.server.engine.spark
-        removes = txn["removes"]
-        live = [
-            p for p in mt.files() if os.path.basename(p) not in removes
-        ]
-        staged_files = [
-            os.path.join(scratch, f)
-            for scratch, names in txn["parts"]
-            for f in names
-        ]
-        paths = live + staged_files
-        overlay = (
-            mt.read(spark, file_paths=paths)
-            if paths
-            else mt.read(spark).limit(0)
-        )
-        view = f"__sclera_txn_{_uuid.uuid4().hex[:12]}"
-        overlay.createOrReplaceTempView(view)
+        rewritten = sql
+        views: list[str] = []
         try:
-            rewritten = self._swap_table_token(sql, name, view)
+            for name, w in txn.get("writes", {}).items():
+                if not (w["parts"] or w["removes"]):
+                    continue
+                if name in ctes:
+                    continue  # CTE shadows the buffered table (pg)
+                # the table must be referenced AS A TABLE (FROM/JOIN
+                # position or as a dotted qualifier) — a mere column/
+                # alias spelled like the table name must neither
+                # trigger nor suffer the rewrite
+                if not self._references_table(rewritten, name):
+                    continue
+                try:
+                    mt = ddl._manifest(name)
+                except Exception:
+                    continue
+                removes = w["removes"]
+                live = [
+                    p
+                    for p in mt.files()
+                    if os.path.basename(p) not in removes
+                ]
+                staged_files = [
+                    os.path.join(scratch, f)
+                    for scratch, names in w["parts"]
+                    for f in names
+                ]
+                paths = live + staged_files
+                overlay = (
+                    mt.read(spark, file_paths=paths)
+                    if paths
+                    else mt.read(spark).limit(0)
+                )
+                view = f"__sclera_txn_{_uuid.uuid4().hex[:12]}"
+                overlay.createOrReplaceTempView(view)
+                views.append(view)
+                rewritten = self._swap_table_token(rewritten, name, view)
+            if rewritten == sql:
+                return None
             return _to_resultset(
                 self.server.engine.execute(rewritten), rewritten
             )
         finally:
-            # analysis already bound the view's plan into the returned
+            # analysis already bound the views' plans into the returned
             # DataFrame; dropping here cannot invalidate it
-            try:
-                spark.catalog.dropTempView(view)
-            except Exception:
-                pass
+            for view in views:
+                try:
+                    spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
 
     _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
 
@@ -867,41 +935,73 @@ class _Handler(socketserver.BaseRequestHandler):
             scopes.append((body_close + 1, region_end))
         return scopes
 
+    # tokens the FROM-list state machine walks: identifiers + the three
+    # structural characters that change table-position context
+    _TOK_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*|[(),]")
+    # clause keywords that END a FROM list's table-position context
+    _CLAUSE_BREAK = frozenset(
+        "where group order having limit offset on using select set "
+        "values window qualify when then case end union intersect "
+        "except fetch".split()
+    )
+
     @classmethod
     def _table_token_spans(
         cls, sql: str, table: str
     ) -> list[tuple[int, int]]:
         """Spans (absolute offsets) where ``table`` appears in
-        TABLE-REFERENCE position: directly after FROM/JOIN (whitespace
-        gap only) or as a dotted qualifier (`table.col`). Column/alias
-        uses of the same word are excluded — rewriting those would
-        break the query (r12 review finding)."""
+        TABLE-REFERENCE position: directly after FROM/JOIN, after a
+        comma WITHIN a FROM list (pg comma joins — r13, multi-table
+        RYOW reads often join two buffered tables this way), or as a
+        dotted qualifier (`table.col`). Column/alias uses of the same
+        word are excluded — rewriting those would break the query (r12
+        review finding). Context nests through parentheses (a comma in
+        a function-argument or IN list is never a FROM separator);
+        known approximation: a comma after an explicit JOIN ... ON
+        condition does not re-enter table position."""
         from sclera_spark.plans.frontend import _split_literals
 
+        # literal-blanked copy preserving offsets
+        code = "".join(
+            " " * len(chunk) if is_lit else chunk
+            for is_lit, chunk in _split_literals(sql)
+        )
         spans: list[tuple[int, int]] = []
-        pos = 0
-        prev = None
-        prev_end = -1
-        for is_lit, chunk in _split_literals(sql):
-            if is_lit:
-                pos += len(chunk)
-                prev_end = -1
+        in_from = [False]  # per paren depth
+        expect = False  # next identifier is a table reference
+        for m in cls._TOK_RE.finditer(code):
+            tok = m.group(0)
+            if tok == "(":
+                in_from.append(False)
+                expect = False
                 continue
-            for m in cls._IDENT_RE.finditer(chunk):
-                tok = m.group(0).lower()
-                rest = chunk[m.end():].lstrip()
-                if tok == table and not rest.startswith("("):
-                    after_kw = (
-                        prev in ("from", "join")
-                        and prev_end >= 0
-                        and chunk[prev_end: m.start()].strip() == ""
-                    )
-                    qualifier = chunk[m.end(): m.end() + 1] == "."
-                    if after_kw or qualifier:
-                        spans.append((pos + m.start(), pos + m.end()))
-                prev = tok
-                prev_end = m.end()
-            pos += len(chunk)
+            if tok == ")":
+                if len(in_from) > 1:
+                    in_from.pop()
+                expect = False
+                continue
+            if tok == ",":
+                expect = in_from[-1]
+                continue
+            low = tok.lower()
+            if low == "from":
+                in_from[-1] = True
+                expect = True
+                continue
+            if low == "join":
+                in_from[-1] = True
+                expect = True
+                continue
+            if low in cls._CLAUSE_BREAK:
+                in_from[-1] = False
+                expect = False
+                continue
+            if low == table:
+                rest = code[m.end():].lstrip()
+                qualifier = code[m.end(): m.end() + 1] == "."
+                if (expect or qualifier) and not rest.startswith("("):
+                    spans.append((m.start(), m.end()))
+            expect = False
         return spans
 
     @classmethod
@@ -963,13 +1063,18 @@ class _Handler(socketserver.BaseRequestHandler):
 
                 created_version = ManifestTable(created["path"]).version()
             sp[name] = {
-                # full LIST copy, not a count: later same-txn DML may
-                # REWRITE earlier staged parts in place (r12 RYOW), so
-                # restoring must bring back the exact tuples
-                "parts": list(txn["parts"]),
-                "removes": set(txn["removes"]),
+                # full per-table LIST copies, not counts: later
+                # same-txn DML may REWRITE earlier staged parts in
+                # place (r12 RYOW), so restoring must bring back the
+                # exact tuples
+                "writes": {
+                    t: {
+                        "parts": list(w["parts"]),
+                        "removes": set(w["removes"]),
+                    }
+                    for t, w in txn["writes"].items()
+                },
                 "rows": txn["rows"],
-                "table": txn["table"],
                 # txn-created table: the manifest VERSION at the mark —
                 # rollback RESTOREs it (pure metadata, re-rollbackable)
                 "created": dict(created) if created else None,
@@ -1020,10 +1125,14 @@ class _Handler(socketserver.BaseRequestHandler):
             mt = ManifestTable(cur["path"])
             if mt.version() != mark["created_version"]:
                 mt.restore(mark["created_version"])
-        txn["parts"] = list(mark["parts"])
-        txn["removes"] = set(mark["removes"])
+        txn["writes"] = {
+            t: {
+                "parts": list(w["parts"]),
+                "removes": set(w["removes"]),
+            }
+            for t, w in mark["writes"].items()
+        }
         txn["rows"] = mark["rows"]
-        txn["table"] = mark["table"]
         txn["dropped"] = mark.get("dropped")
         if cur and want is None:
             # the table was created AFTER the mark: undo the creation
@@ -1044,6 +1153,46 @@ class _Handler(socketserver.BaseRequestHandler):
         r"\s+(.*)$",
         re.I | re.S,
     )
+
+    @staticmethod
+    def _txn_parts(txn: dict) -> list:
+        """Every LIVE staged tuple across the transaction's tables."""
+        return [
+            p
+            for w in txn.get("writes", {}).values()
+            for p in w["parts"]
+        ]
+
+    @staticmethod
+    def _txn_entry(txn: dict, name: str) -> dict:
+        """The per-table write buffer, created on first touch (r13
+        multi-object transactions)."""
+        return txn["writes"].setdefault(
+            name.lower(), {"parts": [], "removes": set()}
+        )
+
+    @staticmethod
+    def _refuse_multi_cas(txn: dict, ddl, name: str) -> None:
+        """A CAS-backed table may carry a SINGLE-table transaction (its
+        own conditional-put commit is atomic), but cannot join a
+        multi-table one: its commit point lives in the external pointer
+        store, outside the local intent journal's crash-recovery reach.
+        Refused at STATEMENT time so no work is buffered only to die at
+        COMMIT."""
+        tables = set(txn.get("writes", {})) | {name.lower()}
+        if len(tables) < 2:
+            return
+        cas = sorted(
+            t for t in tables if t in ddl.cas_manifest_tables
+        )
+        if cas:
+            raise _WireError(
+                "0A000",
+                f"multi-table transactions cannot include CAS-backed "
+                f"table(s) {cas}: their commit point is the external "
+                "pointer store, outside the local intent journal's "
+                "crash-recovery reach. Use separate transactions.",
+            )
 
     @staticmethod
     def _dequote_table(spelled: str) -> str:
@@ -1086,6 +1235,24 @@ class _Handler(socketserver.BaseRequestHandler):
         if verb in ("UPDATE", "DELETE", "MERGE"):
             from sclera_spark.plans.ddl import TxnDmlRefused
 
+            # pre-parse the TARGET table so the statement reads (and
+            # rewrites) ITS OWN table's buffered parts — multi-object
+            # transactions (r13) buffer each table independently
+            tm = (
+                ddl._TXN_MERGE_RE.match(sql)
+                if verb == "MERGE"
+                else ddl._TXN_UPDATE_RE.match(sql)
+                if verb == "UPDATE"
+                else ddl._TXN_DELETE_RE.match(sql)
+            )
+            target = tm.group(1).lower() if tm else None
+            if target is not None:
+                self._refuse_multi_cas(txn, ddl, target)
+            entry = (
+                self._txn_entry(txn, target)
+                if target is not None
+                else {"parts": [], "removes": set()}
+            )
             created: list = []
             try:
                 if verb == "MERGE":
@@ -1093,52 +1260,38 @@ class _Handler(socketserver.BaseRequestHandler):
                     # affected-row count out of the tag. staged_parts
                     # passed in (r12): the MERGE target unions this
                     # transaction's buffered rows (read-your-own-writes);
-                    # hit staged parts are replaced in txn["parts"] in
-                    # place, and every scratch dir enters the all_staged
-                    # ledger the moment it exists
+                    # hit staged parts are replaced in the entry's parts
+                    # in place, and every scratch dir enters the
+                    # all_staged ledger the moment it exists
                     name, staged, removes, n = ddl.txn_stage_merge(
-                        sql, txn["removes"],
-                        staged_parts=txn["parts"],
-                        staged_table=txn["table"],
+                        sql, entry["removes"],
+                        staged_parts=entry["parts"],
+                        staged_table=target,
                         ledger=txn.setdefault("all_staged", []),
                     )
                 else:
                     # staged_parts passed in: the DML also rewrites this
                     # transaction's own buffered rows (read-your-own-
-                    # writes), replacing tuples in txn["parts"] in place
-                    # the ledger receives every scratch dir as it is
-                    # created, and txn["parts"] mutates only after all
+                    # writes), replacing tuples in the entry's parts in
+                    # place; the ledger receives every scratch dir as it
+                    # is created, and entry state mutates only after all
                     # Spark work succeeded — a statement that dies
                     # mid-flight is a clean no-op with reclaimable
                     # scratch
                     name, staged, removes, n, _, created = (
                         ddl.txn_stage_dml(
-                            sql, txn["removes"],
-                            staged_parts=txn["parts"],
-                            staged_table=txn["table"],
+                            sql, entry["removes"],
+                            staged_parts=entry["parts"],
+                            staged_table=target,
                             ledger=txn.setdefault("all_staged", []),
                         )
                     )
             except TxnDmlRefused as exc:
                 raise _WireError("0A000", str(exc))
-            if txn["table"] is not None and txn["table"] != name:
-                if staged is not None:
-                    from sclera_spark.sources.manifest import ManifestTable
-
-                    ManifestTable.discard_staged([staged])
-                raise _WireError(
-                    "0A000",
-                    "transactions span ONE table: this transaction "
-                    f"already writes {txn['table']}, cannot also "
-                    f"write {name}. COMMIT first or use separate "
-                    "transactions.",
-                )
             if staged is not None:
-                txn["table"] = name
-                txn["parts"].append(staged)
-                txn["removes"] |= removes
-            elif created or n:
-                txn["table"] = name
+                w = self._txn_entry(txn, name)
+                w["parts"].append(staged)
+                w["removes"] |= removes
             tag = verb if n is None else f"{verb} {n}"
             return _ResultSet(None, None, None, tag)
         if verb != "INSERT":
@@ -1160,21 +1313,14 @@ class _Handler(socketserver.BaseRequestHandler):
                 "MANIFEST tables support buffered transactional "
                 "inserts (ALTER TABLE ... SET FORMAT MANIFEST)",
             )
-        if txn["table"] is not None and txn["table"] != name.lower():
-            raise _WireError(
-                "0A000",
-                "transactions span ONE table: this transaction already "
-                f"buffers inserts into {txn['table']}, cannot also "
-                f"write {name}. COMMIT first or use separate "
-                "transactions.",
-            )
+        self._refuse_multi_cas(txn, ddl, name)
         mt = ddl._manifest(name)
         df = ddl.insert_frame(name, rest)
         scratch, names = mt._stage(df)
         # track the staged batch BEFORE anything else can raise, so
         # ROLLBACK / disconnect cleanup always reclaims the scratch dir
-        txn["table"] = name.lower()
-        txn["parts"].append((scratch, names))
+        w = self._txn_entry(txn, name)
+        w["parts"].append((scratch, names))
         txn.setdefault("all_staged", []).append((scratch, names))
         # exact inserted-row count from the staged footers (no extra job)
         import pyarrow.parquet as pq
@@ -1228,14 +1374,16 @@ class _Handler(socketserver.BaseRequestHandler):
             name, body = m.groups()
         name = name.lower()
         if (
-            txn["table"] is not None
-            or txn["parts"]
+            any(
+                w["parts"] or w["removes"]
+                for w in txn["writes"].values()
+            )
             or txn.get("created")
             or txn.get("dropped")
         ):
             raise _WireError(
                 "0A000",
-                "transactions span ONE object: this transaction "
+                "transactional DDL spans ONE object: this transaction "
                 "already buffers work; COMMIT first or use a separate "
                 "transaction for CREATE TABLE",
             )
@@ -1303,14 +1451,16 @@ class _Handler(socketserver.BaseRequestHandler):
             txn["created"] = None
             return _ResultSet(None, None, None, "DROP TABLE")
         if (
-            txn["table"] is not None
-            or txn["parts"]
+            any(
+                w["parts"] or w["removes"]
+                for w in txn["writes"].values()
+            )
             or created
             or txn.get("dropped")
         ):
             raise _WireError(
                 "0A000",
-                "transactions span ONE object: this transaction "
+                "transactional DDL spans ONE object: this transaction "
                 "already buffers work; COMMIT first or use a separate "
                 "transaction for DROP TABLE",
             )

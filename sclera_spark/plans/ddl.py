@@ -55,6 +55,22 @@ class DdlRouter:
         self._cas = None  # lazily-built FileCas shared by all CAS tables
         if self._catalog_dir:
             self._load_tables()
+        # crashed multi-table wire transactions (r13): a journal under
+        # the warehouse means a txn reached its commit point but not all
+        # participants published — finish them before serving queries
+        try:
+            from sclera_spark.sources.manifest import ManifestTable
+
+            ManifestTable.recover_txn_journals(self.txn_journal_dir())
+        except Exception as exc:
+            import warnings
+
+            warnings.warn(f"txn journal recovery failed: {exc}")
+
+    def txn_journal_dir(self) -> str:
+        """Where multi-table wire transactions journal their commit
+        intent (sources/manifest.commit_staged_group)."""
+        return os.path.join(self.warehouse, "_sclera_txn")
 
     # ---- routing ----
 

@@ -217,6 +217,16 @@ class ConcurrentWriterError(RuntimeError):
     loudly is the explicit form of that assumption."""
 
 
+class TxnJournaledError(RuntimeError):
+    """A multi-table transaction passed its commit point (the intent
+    journal is durable) but a participant failed to publish in-process.
+    The transaction IS committed: recovery on the next engine open
+    (:meth:`ManifestTable.recover_txn_journals`) completes the
+    remaining tables from the journal + staged files — callers must NOT
+    discard the staged scratch dirs or report the transaction failed
+    (a retrying client would duplicate rows)."""
+
+
 class ManifestTable:
     def __init__(self, path: str):
         if _SCHEME_RE.match(path):
@@ -1796,36 +1806,44 @@ class ManifestTable:
     _commit_attempts = 64
 
     def _commit(self, compute, staged=None) -> None:
+        with self._writer_lock():
+            self._commit_locked(compute, staged)
+
+    def _commit_locked(self, compute, staged=None) -> None:
+        """The commit body, writer lock ALREADY HELD by the caller —
+        split out (r13) so the multi-table transaction commit can hold
+        every participant's lock across the whole group (flock is
+        per-open-file-description: re-taking it in-process would
+        self-deadlock)."""
         import time as _time
 
-        with self._writer_lock():
-            if staged is not None:
-                # staged part files enter data/ only under the lock, so
-                # a concurrent vacuum can never eat an in-flight commit;
-                # a LIST of staged (scratch, names) tuples adopts them
-                # all under ONE lock hold — the multi-batch single-commit
-                # path (wire COPY FROM, wire transactions)
-                batches = (
-                    staged if isinstance(staged, list) else [staged]
-                )
-                for s in batches:
-                    self._adopt(*s)
-            for _ in range(self._commit_attempts):
-                base = self.version()
-                files, meta = compute()
-                try:
-                    self._publish_claim(base + 1, files, meta)
-                except _ClaimConflict:
-                    _time.sleep(0.02)  # foreign claimant mid-commit
-                    continue
-                if self._swap_pointer(base, base + 1):
-                    return
-                self._drop_claim(base + 1)  # lost the race: recompute
-            raise ConcurrentWriterError(
-                f"commit on {self.path} could not win the pointer race "
-                f"after {self._commit_attempts} attempts (a stuck foreign "
-                "claim? run ManifestTable.recover())"
+        if staged is not None:
+            # staged part files enter data/ only under the lock, so
+            # a concurrent vacuum can never eat an in-flight commit;
+            # a LIST of staged (scratch, names) tuples adopts them
+            # all under ONE lock hold — the multi-batch single-commit
+            # path (wire COPY FROM, wire transactions)
+            batches = (
+                staged if isinstance(staged, list) else [staged]
             )
+            for s in batches:
+                self._adopt(*s)
+        for _ in range(self._commit_attempts):
+            base = self.version()
+            files, meta = compute()
+            try:
+                self._publish_claim(base + 1, files, meta)
+            except _ClaimConflict:
+                _time.sleep(0.02)  # foreign claimant mid-commit
+                continue
+            if self._swap_pointer(base, base + 1):
+                return
+            self._drop_claim(base + 1)  # lost the race: recompute
+        raise ConcurrentWriterError(
+            f"commit on {self.path} could not win the pointer race "
+            f"after {self._commit_attempts} attempts (a stuck foreign "
+            "claim? run ManifestTable.recover())"
+        )
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
         scratch, added = self._stage(df)
@@ -2004,6 +2022,198 @@ class ManifestTable:
         visible to any reader."""
         for scratch, _ in staged:
             shutil.rmtree(scratch, ignore_errors=True)
+
+    @classmethod
+    def commit_staged_group(
+        cls,
+        entries: list[tuple["ManifestTable", list, set]],
+        journal_dir: str,
+    ) -> None:
+        """Multi-TABLE transaction commit (r13, VERDICT task 7): publish
+        each table's buffered batches/removes as its own manifest
+        commit, the group made atomic by a cross-table INTENT JOURNAL.
+
+        Protocol:
+        1. acquire every participant's writer lock, in canonical path
+           order (no deadlock against another group commit);
+        2. validate EVERY table's remove-set against its live manifest
+           (write-write conflicts abort the WHOLE group before anything
+           commits — same rule as :meth:`commit_staged`);
+        3. write the journal durably (tmp + rename + fsync). THIS is
+           the transaction's commit point: a crash after it replays the
+           remaining tables on the next engine open
+           (:meth:`recover_txn_journals`), a crash before it rolls the
+           whole group back (scratch dirs only, nothing visible);
+        4. commit each table under its already-held lock;
+        5. remove the journal.
+
+        Only flock-protocol tables participate: a CAS table's commit
+        point lives in an external store that cannot be covered by a
+        local journal, so mixing one in refuses loudly (the caller
+        surfaces 0A000)."""
+        import json as _json
+        import uuid as _uuid
+        from contextlib import ExitStack
+
+        for mt, _, _ in entries:
+            if isinstance(mt, CasManifestTable):
+                raise ValueError(
+                    f"multi-table transactions cannot include the CAS "
+                    f"table at {mt.path}: its commit point is the "
+                    "external pointer store, outside the local intent "
+                    "journal's crash-recovery reach"
+                )
+        entries = sorted(
+            entries, key=lambda e: os.path.realpath(e[0].path)
+        )
+        os.makedirs(journal_dir, exist_ok=True)
+        with ExitStack() as stack:
+            for mt, _, _ in entries:
+                stack.enter_context(mt._writer_lock())
+            # validate ALL before committing ANY — and the locks stay
+            # held through every commit, so validity cannot rot
+            for mt, _, removes in entries:
+                unknown = set(removes or ()) - set(mt._file_names())
+                if unknown:
+                    raise ValueError(
+                        f"transaction aborted: files {sorted(unknown)} "
+                        f"of {mt.path} are no longer live (a concurrent "
+                        "commit replaced them after this transaction's "
+                        "DML was buffered — retry the transaction)"
+                    )
+            journal = os.path.join(
+                journal_dir, f"txn-{_uuid.uuid4().hex}.json"
+            )
+            payload = {
+                "tables": [
+                    {
+                        "path": os.path.realpath(mt.path),
+                        "staged": [
+                            [scratch, list(names)]
+                            for scratch, names in staged
+                        ],
+                        "removes": sorted(removes or ()),
+                    }
+                    for mt, staged, removes in entries
+                ]
+            }
+            tmp = journal + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(payload, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(tmp, journal)
+            # the journal is durable: the transaction is COMMITTED from
+            # here on — a failure below must complete, never unwind
+            try:
+                for mt, staged, removes in entries:
+                    added = [n for _, names in staged for n in names]
+                    removed = set(removes or ())
+
+                    def compute(mt=mt, added=added, removed=removed):
+                        live = mt._file_names()
+                        return (
+                            [f for f in live if f not in removed]
+                            + added,
+                            mt._next_meta(None, op="txn_commit"),
+                        )
+
+                    mt._commit_locked(compute, staged=list(staged))
+                os.unlink(journal)
+            except Exception as exc:
+                raise TxnJournaledError(
+                    f"multi-table commit reached its commit point "
+                    f"(journal {journal}) but a participant failed to "
+                    f"publish: {exc}; recovery on next engine open "
+                    "completes it"
+                ) from exc
+
+    @classmethod
+    def recover_txn_journals(cls, journal_dir: str) -> list[str]:
+        """Replay crashed multi-table transaction journals (called on
+        engine open). A journal exists iff its transaction reached the
+        commit point, so every table it names must end up committed:
+        tables whose staged file names already live in the current
+        manifest are done (idempotent — a crash between the last commit
+        and the journal unlink replays as a no-op); the rest re-adopt
+        whatever staged files remain and commit. A table whose removes
+        are no longer live (a foreign writer won between crash and
+        recovery) CANNOT be completed truthfully: the journal is
+        renamed to ``.failed`` and a loud warning names it — the same
+        orphan-resolution contract as pg's prepared transactions.
+        Returns the table paths recovered."""
+        import json as _json
+        import warnings
+
+        if not os.path.isdir(journal_dir):
+            return []
+        recovered: list[str] = []
+        for f in sorted(os.listdir(journal_dir)):
+            if not (f.startswith("txn-") and f.endswith(".json")):
+                continue
+            jpath = os.path.join(journal_dir, f)
+            with open(jpath) as fh:
+                payload = _json.load(fh)
+            failed = False
+            for t in payload["tables"]:
+                mt = cls(t["path"])
+                staged = [(s, list(names)) for s, names in t["staged"]]
+                added = [n for _, names in staged for n in names]
+                live = set(mt._file_names())
+                if added and set(added) <= live:
+                    continue  # this table's commit already published
+                removed = set(t["removes"])
+                with mt._writer_lock():
+                    live = set(mt._file_names())
+                    if added and set(added) <= live:
+                        continue
+                    if removed - live:
+                        warnings.warn(
+                            f"txn journal {jpath}: table {t['path']} "
+                            f"cannot be completed (files "
+                            f"{sorted(removed - live)} were rewritten "
+                            "by a foreign commit before recovery); "
+                            "journal kept as .failed for manual "
+                            "resolution"
+                        )
+                        failed = True
+                        break
+                    # tolerant re-adopt: a crash mid-adopt left some
+                    # files already moved into data/
+                    for scratch, names in staged:
+                        for name in names:
+                            src = os.path.join(scratch, name)
+                            dst = os.path.join(mt.data_dir, name)
+                            if os.path.exists(dst):
+                                continue
+                            if not os.path.exists(src):
+                                raise FileNotFoundError(
+                                    f"txn journal {jpath}: staged file "
+                                    f"{src} vanished before recovery"
+                                )
+                            try:
+                                os.rename(src, dst)
+                            except OSError:
+                                shutil.copyfile(src, dst + ".tmp")
+                                os.rename(dst + ".tmp", dst)
+
+                    def compute(mt=mt, added=added, removed=removed):
+                        cur = mt._file_names()
+                        return (
+                            [x for x in cur if x not in removed] + added,
+                            mt._next_meta(None, op="txn_commit"),
+                        )
+
+                    mt._commit_locked(compute, staged=None)
+                    recovered.append(t["path"])
+            if failed:
+                os.rename(jpath, jpath + ".failed")
+            else:
+                for t in payload["tables"]:
+                    for scratch, _ in t["staged"]:
+                        shutil.rmtree(scratch, ignore_errors=True)
+                os.unlink(jpath)
+        return recovered
 
     def replace_files(
         self,

@@ -563,3 +563,185 @@ def test_portal_suspension_fuzz(wire_env):
         ), f"seed {seed}"
         assert tag == tag_once, f"seed {seed}"
         assert all(len(b) == fetch for b in batches[:-1]), f"seed {seed}"
+
+
+def test_txn_two_table_fuzz_vs_duckdb(spark):
+    """r13 multi-object transactions: random interleavings of
+    INSERT/UPDATE/DELETE over TWO manifest tables in one transaction
+    (plus savepoints, rollbacks-to, and mid-txn reads that JOIN the
+    two buffered tables), mirrored in-order on DuckDB shadows.
+    Invariants: command tags match shadow counts; mid-txn reads (per
+    table AND the comma-join across both) match the shadows; another
+    session keeps the pre-txn snapshots; COMMIT lands exactly one
+    version on each table with staged work (zero on the untouched
+    one); ROLLBACK lands zero on both; table contents equal the
+    shadows at every boundary."""
+    duckdb = pytest.importorskip("duckdb")
+
+    engine = ScleraEngine(spark)
+    srv = ScleraServer(engine).start()
+    c = WireClient("127.0.0.1", srv.port)
+    try:
+        for seed in range(4):
+            rng = random.Random(6300 + seed)
+            for t in ("f2a", "f2b"):
+                try:
+                    c.execute(f"DROP TABLE {t}")
+                except RuntimeError:
+                    pass
+                base = 0 if t == "f2a" else 500
+                c.execute(
+                    f"CREATE TABLE {t} AS SELECT k, CAST(k AS DOUBLE)/2"
+                    " AS v FROM (VALUES "
+                    + ", ".join(f"({k})" for k in range(base, base + 30))
+                    + ") AS t(k)"
+                )
+                c.execute(f"ALTER TABLE {t} SET FORMAT MANIFEST")
+            duck = duckdb.connect()
+            for t, base in (("f2a", 0), ("f2b", 500)):
+                duck.execute(f"CREATE TABLE {t} (k INTEGER, v DOUBLE)")
+                duck.execute(
+                    f"INSERT INTO {t} SELECT k, k/2.0 "
+                    f"FROM range({base}, {base + 30}) t(k)"
+                )
+            next_k = {"f2a": 1000, "f2b": 2000}
+            other = WireClient("127.0.0.1", srv.port)
+            for _txn in range(3):
+                v0 = {
+                    t: len(c.execute(f"SHOW VERSIONS {t}")[1])
+                    for t in ("f2a", "f2b")
+                }
+                snap = {
+                    t: int(
+                        c.execute(f"SELECT count(*) AS n FROM {t}")[1][0][0]
+                    )
+                    for t in ("f2a", "f2b")
+                }
+                c.execute("BEGIN")
+                for t in ("f2a", "f2b"):
+                    duck.execute(
+                        f"CREATE OR REPLACE TABLE {t}_txn AS "
+                        f"SELECT * FROM {t}"
+                    )
+                touched = {"f2a": False, "f2b": False}
+                marks = []  # (name, duck snapshots, touched copy)
+
+                def dsnap():
+                    return {
+                        t: duck.execute(
+                            f"SELECT k, v FROM {t}_txn ORDER BY k, v"
+                        ).fetchall()
+                        for t in ("f2a", "f2b")
+                    }
+
+                for _s in range(rng.randint(2, 7)):
+                    r = rng.random()
+                    if r < 0.1:
+                        nm = f"s{_s}"
+                        c.execute(f"SAVEPOINT {nm}")
+                        marks.append((nm, dsnap(), dict(touched)))
+                        continue
+                    if r < 0.2 and marks:
+                        nm, ds, tc = marks[rng.randrange(len(marks))]
+                        c.execute(f"ROLLBACK TO SAVEPOINT {nm}")
+                        for t, rows in ds.items():
+                            duck.execute(f"DELETE FROM {t}_txn")
+                            for k, v in rows:
+                                duck.execute(
+                                    f"INSERT INTO {t}_txn VALUES ({k}, {v!r})"
+                                )
+                        touched = dict(tc)
+                        marks = marks[: next(
+                            i for i, (n2, _, _) in enumerate(marks)
+                            if n2 == nm
+                        ) + 1]
+                        continue
+                    if r < 0.4:
+                        # mid-txn reads: single-table + the comma join
+                        # across BOTH buffered tables (RYOW on each)
+                        got = int(c.execute(
+                            "SELECT count(*) AS n FROM f2a, f2b"
+                        )[1][0][0])
+                        want = duck.execute(
+                            "SELECT (SELECT count(*) FROM f2a_txn) * "
+                            "(SELECT count(*) FROM f2b_txn)"
+                        ).fetchone()[0]
+                        assert got == want, (
+                            f"seed {seed} txn {_txn}: cross-join RYOW"
+                        )
+                        for t in ("f2a", "f2b"):
+                            assert int(other.execute(
+                                f"SELECT count(*) AS n FROM {t}"
+                            )[1][0][0]) == snap[t], "staged rows leaked"
+                        continue
+                    t = rng.choice(["f2a", "f2b"])
+                    kind = rng.choice(["ins", "upd", "del"])
+                    if kind == "ins":
+                        ks = [
+                            next_k[t] + i
+                            for i in range(rng.randint(1, 3))
+                        ]
+                        next_k[t] += len(ks)
+                        vals = ", ".join(f"({k}, {k/2!r})" for k in ks)
+                        sql = f"INSERT INTO {t} VALUES {vals}"
+                        n_want = len(ks)
+                    else:
+                        base = 0 if t == "f2a" else 500
+                        a = (
+                            rng.randrange(next_k[t] - 25, next_k[t] + 3)
+                            if rng.random() < 0.35
+                            else rng.randrange(base, base + 35)
+                        )
+                        where = f"k BETWEEN {a} AND {a + rng.randrange(0, 40)}"
+                        sql = (
+                            f"UPDATE {t} SET v = v + 1 WHERE {where}"
+                            if kind == "upd"
+                            else f"DELETE FROM {t} WHERE {where}"
+                        )
+                        n_want = duck.execute(
+                            f"SELECT count(*) FROM {t}_txn WHERE {where}"
+                        ).fetchone()[0]
+                    try:
+                        _, _, tag = c.execute(sql)
+                    except RuntimeError as exc:
+                        assert "already rewritten" in str(exc), exc
+                        continue
+                    assert tag.split()[-1] == str(n_want), (sql, tag)
+                    duck.execute(sql.replace(f" {t} ", f" {t}_txn "))
+                    if kind == "ins" or n_want > 0:
+                        touched[t] = True
+                if rng.random() < 0.7:
+                    c.execute("COMMIT")
+                    for t in ("f2a", "f2b"):
+                        duck.execute(f"DELETE FROM {t}")
+                        duck.execute(
+                            f"INSERT INTO {t} SELECT * FROM {t}_txn"
+                        )
+                    want_delta = {t: 1 if touched[t] else 0 for t in touched}
+                else:
+                    c.execute("ROLLBACK")
+                    want_delta = {"f2a": 0, "f2b": 0}
+                for t in ("f2a", "f2b"):
+                    assert (
+                        len(c.execute(f"SHOW VERSIONS {t}")[1]) - v0[t]
+                        == want_delta[t]
+                    ), f"seed {seed} txn {_txn}: version delta on {t}"
+                    got = [
+                        (int(k), float(v))
+                        for k, v in c.execute(
+                            f"SELECT k, v FROM {t} ORDER BY k, v"
+                        )[1]
+                    ]
+                    want = duck.execute(
+                        f"SELECT k, v FROM {t} ORDER BY k, v"
+                    ).fetchall()
+                    assert got == [
+                        (int(k), float(v)) for k, v in want
+                    ], f"seed {seed} txn {_txn}: divergence on {t}"
+            other.close()
+            duck.close()
+        for t in ("f2a", "f2b"):
+            c.execute(f"DROP TABLE {t}")
+    finally:
+        c.close()
+        srv.stop()

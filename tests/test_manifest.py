@@ -811,3 +811,77 @@ def test_describe_detail(engine, mtab):
     assert d["size_bytes"] > 0 and d["committed_at"]
     assert d["bloom_columns"] == ["o_custkey"] and d["cas"] is False
     assert d["retained_versions"] == len(mt.versions())
+
+
+def test_multi_table_group_commit_and_crash_recovery(
+    spark, tmp_path, monkeypatch
+):
+    """r13 multi-table transactions (sources/manifest.py
+    commit_staged_group + recover_txn_journals): the intent journal is
+    the commit point — a crash after it (simulated: the second table's
+    publish raises) leaves one table committed, and recovery on the
+    next engine open completes the other from journal + staged files,
+    idempotently."""
+    from sclera_spark.sources.manifest import TxnJournaledError
+
+    ta = ManifestTable.create(
+        spark.range(0, 2).selectExpr("id AS k"), str(tmp_path / "ta")
+    )
+    tb = ManifestTable.create(
+        spark.range(10, 12).selectExpr("id AS k"), str(tmp_path / "tb")
+    )
+    jd = str(tmp_path / "_sclera_txn")
+
+    def stage(mt, lo, hi):
+        return mt._stage(spark.range(lo, hi).selectExpr("id AS k"))
+
+    # happy path: both tables commit, journal gone
+    sa, sb = stage(ta, 2, 4), stage(tb, 12, 14)
+    ManifestTable.commit_staged_group(
+        [(ta, [sa], set()), (tb, [sb], set())], jd
+    )
+    assert sorted(r.k for r in ta.read(spark).collect()) == [0, 1, 2, 3]
+    assert sorted(
+        r.k for r in tb.read(spark).collect()
+    ) == [10, 11, 12, 13]
+    assert not [f for f in os.listdir(jd) if f.endswith(".json")]
+
+    # conflict aborts the WHOLE group before anything commits
+    sa2, sb2 = stage(ta, 4, 5), stage(tb, 14, 15)
+    with pytest.raises(ValueError, match="no longer live"):
+        ManifestTable.commit_staged_group(
+            [(ta, [sa2], {"nope.parquet"}), (tb, [sb2], set())], jd
+        )
+    assert ta.read(spark).count() == 4 and tb.read(spark).count() == 4
+
+    # crash mid-group: second table's publish dies AFTER the journal
+    orig = ManifestTable._commit_locked
+    calls = {"n": 0}
+
+    def dying(self, compute, staged=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash")
+        return orig(self, compute, staged)
+
+    monkeypatch.setattr(ManifestTable, "_commit_locked", dying)
+    sa3, sb3 = stage(ta, 4, 6), stage(tb, 14, 16)
+    with pytest.raises(TxnJournaledError):
+        ManifestTable.commit_staged_group(
+            [(ta, [sa3], set()), (tb, [sb3], set())], jd
+        )
+    monkeypatch.setattr(ManifestTable, "_commit_locked", orig)
+    # table a committed, table b did not, journal survives
+    assert ta.read(spark).count() == 6
+    assert tb.read(spark).count() == 4
+    (jfile,) = [f for f in os.listdir(jd) if f.endswith(".json")]
+    # recovery completes table b and clears the journal — idempotently
+    # (a second run is a no-op)
+    recovered = ManifestTable.recover_txn_journals(jd)
+    assert recovered == [os.path.realpath(str(tmp_path / "tb"))]
+    assert sorted(
+        r.k for r in tb.read(spark).collect()
+    ) == [10, 11, 12, 13, 14, 15]
+    assert ta.read(spark).count() == 6
+    assert not [f for f in os.listdir(jd) if f.endswith(".json")]
+    assert ManifestTable.recover_txn_journals(jd) == []

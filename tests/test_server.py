@@ -1225,3 +1225,93 @@ def test_txn_scratch_dirs_reclaimed(server):
     finally:
         c.execute("DROP TABLE wscr")
         c.close()
+
+
+def test_txn_multi_table_commit_atomic(server):
+    """r13 (VERDICT task 7): a transaction buffers DML on TWO manifest
+    tables; reads inside the txn see both tables' own writes (joins
+    included), other sessions see neither until COMMIT, ROLLBACK
+    discards both, and COMMIT publishes each table exactly one version
+    via the cross-table intent journal."""
+    c = connect(server)
+    other = connect(server)
+    c.execute("CREATE TABLE wma AS SELECT 1 AS k")
+    c.execute("ALTER TABLE wma SET FORMAT MANIFEST")
+    c.execute("CREATE TABLE wmb AS SELECT 10 AS k")
+    c.execute("ALTER TABLE wmb SET FORMAT MANIFEST")
+    try:
+        # ROLLBACK discards both tables' staging
+        c.execute("BEGIN")
+        assert c.execute("INSERT INTO wma VALUES (2)")[2] == "INSERT 0 1"
+        assert c.execute("INSERT INTO wmb VALUES (20)")[2] == "INSERT 0 1"
+        assert c.execute("UPDATE wma SET k = 5 WHERE k = 1")[2] == "UPDATE 1"
+        # read-your-own-writes across BOTH buffered tables in one join
+        assert _count(
+            c,
+            "SELECT count(*) AS n FROM wma, wmb",
+        ) == 4  # {5,2} x {10,20}
+        assert _count(other, "SELECT count(*) AS n FROM wma") == 1
+        assert _count(other, "SELECT count(*) AS n FROM wmb") == 1
+        c.execute("ROLLBACK")
+        assert _count(c, "SELECT count(*) AS n FROM wma") == 1
+        assert _count(c, "SELECT count(*) AS n FROM wmb") == 1
+        # COMMIT publishes both, one version each
+        va = len(c.execute("SHOW VERSIONS wma")[1])
+        vb = len(c.execute("SHOW VERSIONS wmb")[1])
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wma VALUES (3)")
+        c.execute("DELETE FROM wmb WHERE k = 10")
+        c.execute("INSERT INTO wmb VALUES (30)")
+        c.execute("COMMIT")
+        assert len(c.execute("SHOW VERSIONS wma")[1]) == va + 1
+        assert len(c.execute("SHOW VERSIONS wmb")[1]) == vb + 1
+        _, rows, _ = c.execute("SELECT k FROM wma ORDER BY k")
+        assert rows == [("1",), ("3",)]
+        _, rows, _ = other.execute("SELECT k FROM wmb ORDER BY k")
+        assert rows == [("30",)]
+        # savepoint rollback restores BOTH tables' buffers
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wma VALUES (4)")
+        c.execute("SAVEPOINT sp1")
+        c.execute("INSERT INTO wmb VALUES (40)")
+        c.execute("ROLLBACK TO SAVEPOINT sp1")
+        assert _count(c, "SELECT count(*) AS n FROM wmb") == 1
+        assert _count(c, "SELECT count(*) AS n FROM wma") == 3
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT k FROM wma ORDER BY k")
+        assert rows == [("1",), ("3",), ("4",)]
+        assert _count(c, "SELECT count(*) AS n FROM wmb") == 1
+    finally:
+        other.close()
+        c.execute("DROP TABLE wma")
+        c.execute("DROP TABLE wmb")
+        c.close()
+
+
+def test_txn_multi_table_cas_refused_at_statement(server):
+    """A CAS-backed table may carry a single-table transaction, but a
+    SECOND table entering the txn refuses 0A000 at statement time (its
+    commit point is outside the intent journal's reach)."""
+    c = connect(server)
+    c.execute("CREATE TABLE wcas AS SELECT 1 AS k")
+    c.execute("ALTER TABLE wcas SET FORMAT MANIFEST CAS")
+    c.execute("CREATE TABLE wpln AS SELECT 1 AS k")
+    c.execute("ALTER TABLE wpln SET FORMAT MANIFEST")
+    try:
+        # single-table CAS txn: fine
+        c.execute("BEGIN")
+        assert c.execute("INSERT INTO wcas VALUES (2)")[2] == "INSERT 0 1"
+        c.execute("COMMIT")
+        assert _count(c, "SELECT count(*) AS n FROM wcas") == 2
+        # CAS + plain in one txn: refused when the second table enters
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wpln VALUES (2)")
+        with pytest.raises(RuntimeError, match="CAS-backed"):
+            c.execute("INSERT INTO wcas VALUES (3)")
+        c.execute("ROLLBACK")
+        assert _count(c, "SELECT count(*) AS n FROM wcas") == 2
+        assert _count(c, "SELECT count(*) AS n FROM wpln") == 1
+    finally:
+        c.execute("DROP TABLE wcas")
+        c.execute("DROP TABLE wpln")
+        c.close()
