@@ -245,6 +245,10 @@ BUDGETS = {
     "storage_range_probe": 0.2, "storage_range_probe_full": 0.16,
     "storage_meta_agg": 0.5, "storage_count_scan": 0.7,
     "pack_sequences": 1.1, "cross_dedup": 4.6,
+    # r13 additions, NOT in the default headline set (totals stay
+    # comparable to the r13 anchor): gate via SPARK_GRAFT_ONLY.
+    # 2x observed sf0.1 mins (4.561 / 1.309, min-of-5)
+    "semantic_dedup": 9.2, "ann_recall": 2.7,
 }
 
 # ~sf1 budget gate (r12 freeze, BASELINE.md "r12 ~sf1 freeze"):
