@@ -836,6 +836,42 @@ def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (streaming/ops.stream_dedup — the
+    ingest-side twin of dedup_exact): documents stream from a
+    directory source, exact-dedup on the content fingerprint, drained
+    availableNow to memory. Emitting only the KEY keeps the result
+    deterministic — dropDuplicates keeps an arbitrary first arrival,
+    so non-key columns must stay out of the compare."""
+    import tempfile
+
+    from sclera_spark.streaming import (
+        run_to_memory,
+        stream_dedup,
+        stream_from_directory,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    d = tempfile.mkdtemp(prefix="sclera_entry_sdedup_")
+    # the corpus streams in TWICE (two source files): every fingerprint
+    # arrives at least twice, so the dedup provably drops rows instead
+    # of passing an already-distinct input through
+    for link in ("documents.parquet", "documents_again.parquet"):
+        p = os.path.join(d, link)
+        if not os.path.exists(p):
+            os.symlink(
+                os.path.abspath(f"{sf_dir}/documents.parquet"), p
+            )
+    stream = stream_from_directory(spark, d, raw_schema)
+    out = stream_dedup(
+        stream.select(F.md5(F.col("text")).alias("fp")), ["fp"]
+    )
+    q = run_to_memory(out, "entry_stream_dedup", output_mode="append")
+    result = spark.table("entry_stream_dedup")
+    q.stop()
+    return result
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows over a readStream source. Oracle-checked:
     session_window(gap) is exactly expressible in ANSI SQL as lag-based
@@ -1959,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_upsert": _q_stream_upsert,
             "semantic_dedup": _q_semantic_dedup,
             "bpe_merges": _q_bpe_merges,
+            # r13: streaming ingest dedup (tail; oracle-bearing)
+            "stream_dedup": _q_stream_dedup,
         }
     )
     ordered = {n: out[n] for n in _WINDOW_ORDER}
@@ -2282,6 +2320,12 @@ def oracle_sql() -> dict[str, str]:
         h AS (SELECT count(*) AS hits
               FROM ann JOIN exact USING (vec_id))
         SELECT 10 AS k, 4 AS nprobe, hits, hits / 10.0 AS recall FROM h
+    """
+    # r13: streaming exact dedup — survivors keyed by content
+    # fingerprint, so the arbitrary-first-arrival choice inside
+    # dropDuplicates cannot affect the compare
+    oracles["stream_dedup"] = """
+        SELECT DISTINCT md5(text) AS fp FROM documents
     """
     oracles["string_agg_ordered"] = """
         SELECT n_regionkey,
