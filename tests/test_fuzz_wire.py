@@ -675,6 +675,67 @@ def test_txn_two_table_fuzz_vs_duckdb(spark):
                             )[1][0][0]) == snap[t], "staged rows leaked"
                         continue
                     t = rng.choice(["f2a", "f2b"])
+                    if r < 0.52:
+                        # MERGE upsert on one of the two buffered
+                        # tables (RYOW against ITS OWN staged rows)
+                        base = 0 if t == "f2a" else 500
+                        new_ks = [
+                            next_k[t] + i
+                            for i in range(rng.randint(0, 2))
+                        ]
+                        next_k[t] += len(new_ks)
+                        old_ks = [
+                            rng.randrange(next_k[t] - 20, next_k[t] + 3)
+                            if rng.random() < 0.4
+                            else rng.randrange(base, base + 35)
+                            for _ in range(rng.randint(0, 3))
+                        ]
+                        ks = sorted(set(new_ks + old_ks))
+                        if not ks:
+                            continue
+                        src = " UNION ALL ".join(
+                            f"SELECT {k} AS k, CAST({k} + 0.25 AS "
+                            f"DOUBLE) AS v"
+                            for k in ks
+                        )
+                        sql = (
+                            f"MERGE INTO {t} x USING ({src}) s "
+                            "ON x.k = s.k "
+                            "WHEN MATCHED AND s.k % 2 = 0 "
+                            "THEN UPDATE SET v = s.v "
+                            "WHEN NOT MATCHED "
+                            "THEN INSERT (k, v) VALUES (s.k, s.v)"
+                        )
+                        in_list = ", ".join(str(k) for k in ks)
+                        m_keys = duck.execute(
+                            f"SELECT count(DISTINCT k) FROM {t}_txn "
+                            f"WHERE k IN ({in_list})"
+                        ).fetchone()[0]
+                        m_upd = duck.execute(
+                            f"SELECT count(*) FROM {t}_txn "
+                            f"WHERE k IN ({in_list}) AND k % 2 = 0"
+                        ).fetchone()[0]
+                        ins_cnt = len(ks) - m_keys
+                        n_want = m_upd + ins_cnt
+                        try:
+                            _, _, tag = c.execute(sql)
+                        except RuntimeError as exc:
+                            assert "already rewritten" in str(exc), exc
+                            continue
+                        assert tag == f"MERGE {n_want}", (sql, tag)
+                        vals = ", ".join(f"({k})" for k in ks)
+                        duck.execute(
+                            f"UPDATE {t}_txn SET v = k + 0.25 "
+                            f"WHERE k IN ({in_list}) AND k % 2 = 0"
+                        )
+                        duck.execute(
+                            f"INSERT INTO {t}_txn SELECT x.k, x.k + 0.25 "
+                            f"FROM (VALUES {vals}) x(k) "
+                            f"WHERE x.k NOT IN (SELECT k FROM {t}_txn)"
+                        )
+                        if n_want > 0:
+                            touched[t] = True
+                        continue
                     kind = rng.choice(["ins", "upd", "del"])
                     if kind == "ins":
                         ks = [
