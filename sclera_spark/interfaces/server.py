@@ -667,6 +667,13 @@ class _Handler(socketserver.BaseRequestHandler):
                             self._notice(str(exc))
                             if retired:
                                 ManifestTable.discard_staged(retired)
+                            for name in writes:
+                                # best-effort refresh for the tables
+                                # that DID publish before the failure
+                                try:
+                                    ddl._register_manifest(name)
+                                except Exception:
+                                    pass
                             return _ResultSet(
                                 None, None, None, "COMMIT"
                             )
@@ -1248,11 +1255,14 @@ class _Handler(socketserver.BaseRequestHandler):
             target = tm.group(1).lower() if tm else None
             if target is not None:
                 self._refuse_multi_cas(txn, ddl, target)
+            # existing buffer when the table was touched before; a
+            # FRESH buffer is registered only after the stage succeeds
+            # (a refused statement must not leave a phantom entry)
             entry = (
-                self._txn_entry(txn, target)
+                txn["writes"].get(target)
                 if target is not None
-                else {"parts": [], "removes": set()}
-            )
+                else None
+            ) or {"parts": [], "removes": set()}
             created: list = []
             try:
                 if verb == "MERGE":
@@ -1289,9 +1299,12 @@ class _Handler(socketserver.BaseRequestHandler):
             except TxnDmlRefused as exc:
                 raise _WireError("0A000", str(exc))
             if staged is not None:
-                w = self._txn_entry(txn, name)
-                w["parts"].append(staged)
-                w["removes"] |= removes
+                entry["parts"].append(staged)
+                entry["removes"] |= removes
+            if entry["parts"] or entry["removes"]:
+                # idempotent: when the table was touched before, entry
+                # IS the registered dict already
+                txn["writes"][name.lower()] = entry
             tag = verb if n is None else f"{verb} {n}"
             return _ResultSet(None, None, None, tag)
         if verb != "INSERT":
