@@ -61,6 +61,8 @@ class _Decoder:
         return self._pos >= len(self._b)
 
     def read(self, n: int) -> bytes:
+        if n < 0:
+            raise AvroLiteError("avro: negative read length")
         if self._pos + n > len(self._b):
             raise AvroLiteError(
                 f"avro: truncated input (need {n} bytes at offset "
@@ -207,8 +209,14 @@ class _DatumReader:
             return dec.bytes_()
         return dec.string()  # "string"
 
-    @staticmethod
-    def _blocks(dec: _Decoder, item, collect: bool = True):
+    # zero-width datums (null type, empty records) make item counts
+    # legitimately unbounded by input size, so counts get a hard cap —
+    # far above any real manifest, small enough that corrupt/malicious
+    # bytes cannot spin the decode loop for hours
+    MAX_BLOCK_ITEMS = 100_000_000
+
+    @classmethod
+    def _blocks(cls, dec: _Decoder, item, collect: bool = True):
         """Array/map block series (spec): count per block, 0 terminates;
         a NEGATIVE count means |count| items preceded by a byte size."""
         out = [] if collect else None
@@ -218,7 +226,15 @@ class _DatumReader:
                 return out
             if n < 0:
                 n = -n
-                dec.long()  # block byte size: present, unused here
+                size = dec.long()  # block byte size: present, unused
+                if size < 0:
+                    raise AvroLiteError("avro: negative block byte size")
+            if n > cls.MAX_BLOCK_ITEMS:
+                raise AvroLiteError(
+                    f"avro: block claims {n} items (cap "
+                    f"{cls.MAX_BLOCK_ITEMS}) — refusing a corrupt or "
+                    "hostile container"
+                )
             for _ in range(n):
                 v = item()
                 if collect:
@@ -266,6 +282,16 @@ def reader(fh: BinaryIO) -> Iterator[dict]:
     while not dec.eof():
         count = dec.long()
         size = dec.long()
+        if count < 0 or size < 0:
+            raise AvroLiteError(
+                "avro: negative data-block count/size (corrupt container)"
+            )
+        if count > _DatumReader.MAX_BLOCK_ITEMS:
+            raise AvroLiteError(
+                f"avro: data block claims {count} records (cap "
+                f"{_DatumReader.MAX_BLOCK_ITEMS}) — refusing a corrupt "
+                "or hostile container"
+            )
         block = _decompress(codec, dec.read(size))
         bd = _Decoder(block)
         for _ in range(count):

@@ -211,3 +211,45 @@ def test_vendored_fixture_bytes_decode(tmp_path):
         avro_lite.read_file(
             os.path.join(fixdir, "manifest_list_snappy.avro")
         )
+
+
+def test_hostile_counts_and_sizes_refuse():
+    """Corrupt/hostile containers must refuse, not spin: zero-width
+    datums make block counts legitimately unbounded by input size, so
+    a loop-bomb count hits a hard cap; negative counts/sizes/lengths
+    are refused outright."""
+    import io
+    import json as _json
+
+    def _varint(v):
+        # zig-zag encode
+        z = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+        out = bytearray()
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    schema = _json.dumps({"type": "record", "name": "r", "fields": []})
+    header = (
+        b"Obj\x01"
+        + _varint(2)  # metadata map: 2 pairs
+        + _varint(len("avro.schema")) + b"avro.schema"
+        + _varint(len(schema)) + schema.encode()
+        + _varint(len("avro.codec")) + b"avro.codec"
+        + _varint(4) + b"null"
+        + _varint(0)  # map terminator
+        + b"S" * 16  # sync
+    )
+    # data block: 10^12 zero-width records in 0 bytes -> cap refusal
+    bomb = header + _varint(10**12) + _varint(0) + b"S" * 16
+    with pytest.raises(AvroLiteError, match="cap"):
+        list(avro_lite.reader(io.BytesIO(bomb)))
+    # negative block size -> refusal
+    neg = header + _varint(1) + _varint(-5)
+    with pytest.raises(AvroLiteError, match="negative"):
+        list(avro_lite.reader(io.BytesIO(neg)))
