@@ -821,60 +821,81 @@ class _Handler(socketserver.BaseRequestHandler):
         # every written table referenced in the statement gets its own
         # overlay view (r13: a multi-object transaction's SELECT may
         # join two buffered tables — both read their own writes)
-        ddl = self.server.engine.ddl()
-        spark = self.server.engine.spark
-        rewritten = sql
-        views: list[str] = []
+        rewritten, views = self._overlay_rewrite(txn, sql)
         try:
-            for name, w in txn.get("writes", {}).items():
-                if not (w["parts"] or w["removes"]):
-                    continue
-                if name in ctes:
-                    continue  # CTE shadows the buffered table (pg)
-                # the table must be referenced AS A TABLE (FROM/JOIN
-                # position or as a dotted qualifier) — a mere column/
-                # alias spelled like the table name must neither
-                # trigger nor suffer the rewrite
-                if not self._references_table(rewritten, name):
-                    continue
-                try:
-                    mt = ddl._manifest(name)
-                except Exception:
-                    continue
-                removes = w["removes"]
-                live = [
-                    p
-                    for p in mt.files()
-                    if os.path.basename(p) not in removes
-                ]
-                staged_files = [
-                    os.path.join(scratch, f)
-                    for scratch, names in w["parts"]
-                    for f in names
-                ]
-                paths = live + staged_files
-                overlay = (
-                    mt.read(spark, file_paths=paths)
-                    if paths
-                    else mt.read(spark).limit(0)
-                )
-                view = f"__sclera_txn_{_uuid.uuid4().hex[:12]}"
-                overlay.createOrReplaceTempView(view)
-                views.append(view)
-                rewritten = self._swap_table_token(rewritten, name, view)
             if rewritten == sql:
                 return None
             return _to_resultset(
                 self.server.engine.execute(rewritten), rewritten
             )
         finally:
-            # analysis already bound the views' plans into the returned
-            # DataFrame; dropping here cannot invalidate it
-            for view in views:
-                try:
-                    spark.catalog.dropTempView(view)
-                except Exception:
-                    pass
+            self._drop_overlay_views(views)
+
+    def _overlay_rewrite(
+        self, txn: dict, sql: str, exclude: tuple = ()
+    ) -> tuple[str, list[str]]:
+        """Swap every reference to a buffered table (except ``exclude``
+        — a DML's own target, whose RYOW the stager handles) to a
+        per-statement overlay view of snapshot-minus-rewritten-files
+        plus staged parts. Used by mid-txn reads AND by DML source
+        queries (r13: INSERT INTO b SELECT ... FROM a must see a's
+        buffered rows when a is written by the same transaction — pg
+        read-your-own-writes crosses tables). Caller drops the views
+        (``_drop_overlay_views``) after the statement's Spark work."""
+        import uuid as _uuid
+
+        ddl = self.server.engine.ddl()
+        spark = self.server.engine.spark
+        ctes = self._cte_aliases(sql)
+        rewritten = sql
+        views: list[str] = []
+        for name, w in txn.get("writes", {}).items():
+            if name in exclude or not (w["parts"] or w["removes"]):
+                continue
+            if name in ctes:
+                continue  # CTE shadows the buffered table (pg)
+            # the table must be referenced AS A TABLE (FROM-list
+            # position or as a dotted qualifier) — a mere column/
+            # alias spelled like the table name must neither
+            # trigger nor suffer the rewrite
+            if not self._references_table(rewritten, name):
+                continue
+            try:
+                mt = ddl._manifest(name)
+            except Exception:
+                continue
+            removes = w["removes"]
+            live = [
+                p
+                for p in mt.files()
+                if os.path.basename(p) not in removes
+            ]
+            staged_files = [
+                os.path.join(scratch, f)
+                for scratch, names in w["parts"]
+                for f in names
+            ]
+            paths = live + staged_files
+            overlay = (
+                mt.read(spark, file_paths=paths)
+                if paths
+                else mt.read(spark).limit(0)
+            )
+            view = f"__sclera_txn_{_uuid.uuid4().hex[:12]}"
+            overlay.createOrReplaceTempView(view)
+            views.append(view)
+            rewritten = self._swap_table_token(rewritten, name, view)
+        return rewritten, views
+
+    def _drop_overlay_views(self, views: list[str]) -> None:
+        # analysis already bound the views' plans into the produced
+        # DataFrames; dropping here cannot invalidate them
+        spark = self.server.engine.spark
+        for view in views:
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:
+                pass
 
     _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
 
@@ -1264,6 +1285,13 @@ class _Handler(socketserver.BaseRequestHandler):
                 else None
             ) or {"parts": [], "removes": set()}
             created: list = []
+            # cross-table RYOW (r13): a source/predicate subquery
+            # referencing ANOTHER buffered table reads its overlay
+            # (the target's own RYOW lives in the stager); views live
+            # until the stager's Spark work finished
+            sql, src_views = self._overlay_rewrite(
+                txn, sql, exclude=(target,) if target else ()
+            )
             try:
                 if verb == "MERGE":
                     # PG 15+ tag form 'MERGE <n>' — clients parse the
@@ -1298,6 +1326,8 @@ class _Handler(socketserver.BaseRequestHandler):
                     )
             except TxnDmlRefused as exc:
                 raise _WireError("0A000", str(exc))
+            finally:
+                self._drop_overlay_views(src_views)
             if staged is not None:
                 entry["parts"].append(staged)
                 entry["removes"] |= removes
@@ -1328,8 +1358,17 @@ class _Handler(socketserver.BaseRequestHandler):
             )
         self._refuse_multi_cas(txn, ddl, name)
         mt = ddl._manifest(name)
-        df = ddl.insert_frame(name, rest)
-        scratch, names = mt._stage(df)
+        # cross-table (and self-) RYOW for the INSERT's source query:
+        # `INSERT INTO b SELECT ... FROM a` sees a's buffered rows, and
+        # `INSERT INTO t SELECT ... FROM t` sees t's own earlier
+        # inserts (pg semantics). VALUES sources have no table refs and
+        # pass through unchanged.
+        rest, src_views = self._overlay_rewrite(txn, rest)
+        try:
+            df = ddl.insert_frame(name, rest)
+            scratch, names = mt._stage(df)
+        finally:
+            self._drop_overlay_views(src_views)
         # track the staged batch BEFORE anything else can raise, so
         # ROLLBACK / disconnect cleanup always reclaims the scratch dir
         w = self._txn_entry(txn, name)

@@ -1315,3 +1315,63 @@ def test_txn_multi_table_cas_refused_at_statement(server):
         c.execute("DROP TABLE wcas")
         c.execute("DROP TABLE wpln")
         c.close()
+
+
+def test_txn_dml_sources_read_buffered_tables(server):
+    """r13 cross-table RYOW for DML SOURCES: INSERT ... SELECT,
+    UPDATE ... WHERE (subquery), and MERGE ... USING referencing a
+    table buffered by the SAME transaction read its overlay (staged
+    rows included) — and an INSERT's source sees its own target's
+    earlier inserts (pg semantics)."""
+    c = connect(server)
+    c.execute("CREATE TABLE wra AS SELECT 1 AS k")
+    c.execute("ALTER TABLE wra SET FORMAT MANIFEST")
+    c.execute("CREATE TABLE wrb AS SELECT 100 AS k")
+    c.execute("ALTER TABLE wrb SET FORMAT MANIFEST")
+    try:
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wra VALUES (2)")
+        # the SELECT source sees wra's staged row (k=2)
+        assert (
+            c.execute("INSERT INTO wrb SELECT k + 200 FROM wra")[2]
+            == "INSERT 0 2"
+        )
+        assert _count(c, "SELECT count(*) AS n FROM wrb") == 3
+        # predicate subquery over the buffered sibling
+        assert (
+            c.execute(
+                "UPDATE wrb SET k = k + 1000 "
+                "WHERE k IN (SELECT k + 200 FROM wra)"
+            )[2]
+            == "UPDATE 2"
+        )
+        # SELF-RYOW: the source sees the target's own staged rows
+        assert (
+            c.execute("INSERT INTO wra SELECT k + 10 FROM wra")[2]
+            == "INSERT 0 2"
+        )
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT k FROM wra ORDER BY k")
+        assert rows == [("1",), ("2",), ("11",), ("12",)] or [
+            int(k) for (k,) in rows
+        ] == [1, 2, 11, 12]
+        _, rows, _ = c.execute("SELECT k FROM wrb ORDER BY k")
+        assert [int(k) for (k,) in rows] == [100, 1201, 1202]
+        # MERGE USING a buffered sibling's overlay
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wra VALUES (50)")
+        assert (
+            c.execute(
+                "MERGE INTO wrb t USING "
+                "(SELECT k * 3 AS k FROM wra WHERE k = 50) s "
+                "ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+            )[2]
+            == "MERGE 1"
+        )
+        c.execute("COMMIT")
+        assert _count(c, "SELECT count(*) AS n FROM wrb WHERE k = 150") == 1
+    finally:
+        c.execute("DROP TABLE wra")
+        c.execute("DROP TABLE wrb")
+        c.close()
