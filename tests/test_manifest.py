@@ -885,3 +885,56 @@ def test_multi_table_group_commit_and_crash_recovery(
     assert ta.read(spark).count() == 6
     assert not [f for f in os.listdir(jd) if f.endswith(".json")]
     assert ManifestTable.recover_txn_journals(jd) == []
+
+
+def test_concurrent_group_commits_opposite_orders(spark, tmp_path):
+    """Two sessions committing multi-table transactions over the SAME
+    two tables in OPPOSITE orders must serialize, not deadlock — the
+    group commit acquires writer locks in canonical path order
+    regardless of the entry order callers pass. Every commit must land
+    (dense version chains, all rows present)."""
+    import threading
+
+    ta = ManifestTable.create(
+        spark.range(0, 1).selectExpr("id AS k"), str(tmp_path / "ca")
+    )
+    tb = ManifestTable.create(
+        spark.range(100, 101).selectExpr("id AS k"), str(tmp_path / "cb")
+    )
+    jd = str(tmp_path / "_j")
+    ROUNDS = 4
+    errs: list = []
+
+    def worker(order_ab: bool, base: int):
+        try:
+            for i in range(ROUNDS):
+                lo = base + i * 10
+                sa = ta._stage(
+                    spark.range(lo, lo + 2).selectExpr("id AS k")
+                )
+                sb = tb._stage(
+                    spark.range(lo + 5, lo + 7).selectExpr("id AS k")
+                )
+                entries = [(ta, [sa], set()), (tb, [sb], set())]
+                if not order_ab:
+                    entries = entries[::-1]
+                ManifestTable.commit_staged_group(entries, jd)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    t1 = threading.Thread(target=worker, args=(True, 1000))
+    t2 = threading.Thread(target=worker, args=(False, 2000))
+    t1.start(); t2.start()
+    t1.join(timeout=300); t2.join(timeout=300)
+    assert not t1.is_alive() and not t2.is_alive(), "deadlock"
+    assert not errs, errs
+    # every commit landed: create (v1) + 2*ROUNDS txn commits per table
+    assert ta.version() == 1 + 2 * ROUNDS
+    assert tb.version() == 1 + 2 * ROUNDS
+    assert ta.read(spark).count() == 1 + 2 * ROUNDS * 2
+    assert tb.read(spark).count() == 1 + 2 * ROUNDS * 2
+    import os as _os
+
+    assert not [
+        f for f in _os.listdir(jd) if f.endswith(".json")
+    ]  # no journals left behind
