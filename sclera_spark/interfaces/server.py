@@ -745,15 +745,17 @@ class _Handler(socketserver.BaseRequestHandler):
         return rs
 
     def _txn_read(self, txn: dict, sql: str) -> "_ResultSet | None":
-        """Read-your-own-writes (r12): a SELECT inside a transaction
-        that references the transaction's table runs against an
-        OVERLAY — the published snapshot minus the files this
-        transaction's DML rewrote, plus its staged part files. The
-        overlay is a per-statement DataFrame registered under a unique
-        temp-view name and dropped immediately after analysis, so
-        concurrent sessions can never resolve it (no shared-catalog
-        leak). Returns None (ordinary snapshot read) when the statement
-        does not reference the table. Partitioned imports overlay too
+        """Read-your-own-writes (r12; multi-table r13): a SELECT inside
+        a transaction referencing ANY of the transaction's buffered
+        tables runs against OVERLAYS — per table, the published
+        snapshot minus the files this transaction's DML rewrote, plus
+        its staged part files; a join across several buffered tables
+        reads every one's own writes. Each overlay is a per-statement
+        DataFrame registered under a unique temp-view name and dropped
+        immediately after analysis, so concurrent sessions can never
+        resolve it (no shared-catalog leak). Returns None (ordinary
+        snapshot read) when the statement references no buffered
+        table. Partitioned imports overlay too
         (late r12): staged parts carry the partition columns
         physically, so the fill coalesce passes them through while
         imported files keep filling from the log's partitionValues.
