@@ -2039,8 +2039,11 @@ class ManifestTable:
         2. validate EVERY table's remove-set against its live manifest
            (write-write conflicts abort the WHOLE group before anything
            commits — same rule as :meth:`commit_staged`);
-        3. write the journal durably (tmp + rename + fsync). THIS is
-           the transaction's commit point: a crash after it replays the
+        3. relocate the staged bytes from the system tempdir to
+           ``<table>/_txn_staging/<txn>/`` (rename same-FS, else copy)
+           so they are as durable as the journal, then write the
+           journal durably (tmp + rename + fsync). THE JOURNAL is the
+           transaction's commit point: a crash after it replays the
            remaining tables on the next engine open
            (:meth:`recover_txn_journals`), a crash before it rolls the
            whole group back (scratch dirs only, nothing visible);
@@ -2081,9 +2084,41 @@ class ManifestTable:
                         "commit replaced them after this transaction's "
                         "DML was buffered — retry the transaction)"
                     )
-            journal = os.path.join(
-                journal_dir, f"txn-{_uuid.uuid4().hex}.json"
-            )
+            txn_id = _uuid.uuid4().hex
+            journal = os.path.join(journal_dir, f"txn-{txn_id}.json")
+            # relocate staged scratch dirs UNDER each table's directory
+            # before the journal is written: scratch lives in the
+            # system tempdir, which need not survive a reboot — the
+            # journal's commit-point claim requires the staged bytes to
+            # be as durable as the journal itself. rename when same-FS,
+            # copy otherwise; a failure here rolls the moves back and
+            # aborts pre-journal (nothing committed). The _txn_staging
+            # dirs sit OUTSIDE data/, where vacuum never looks.
+            moved: list[tuple[str, str]] = []  # (new, original)
+            try:
+                entries2 = []
+                for mt, staged, removes in entries:
+                    sroot = os.path.join(mt.path, "_txn_staging", txn_id)
+                    new_staged = []
+                    for i, (scratch, names) in enumerate(staged):
+                        dst = os.path.join(sroot, str(i))
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        try:
+                            os.rename(scratch, dst)
+                        except OSError:
+                            shutil.copytree(scratch, dst)
+                            shutil.rmtree(scratch, ignore_errors=True)
+                        moved.append((dst, scratch))
+                        new_staged.append((dst, list(names)))
+                    entries2.append((mt, new_staged, removes))
+                entries = entries2
+            except Exception:
+                for dst, orig in moved:
+                    try:
+                        os.rename(dst, orig)
+                    except OSError:
+                        pass
+                raise
             payload = {
                 "tables": [
                     {
@@ -2120,6 +2155,11 @@ class ManifestTable:
 
                     mt._commit_locked(compute, staged=list(staged))
                 os.unlink(journal)
+                for mt, _, _ in entries:
+                    shutil.rmtree(
+                        os.path.join(mt.path, "_txn_staging", txn_id),
+                        ignore_errors=True,
+                    )
             except Exception as exc:
                 raise TxnJournaledError(
                     f"multi-table commit reached its commit point "
@@ -2212,6 +2252,10 @@ class ManifestTable:
                 for t in payload["tables"]:
                     for scratch, _ in t["staged"]:
                         shutil.rmtree(scratch, ignore_errors=True)
+                        try:  # the per-txn _txn_staging parent
+                            os.rmdir(os.path.dirname(scratch))
+                        except OSError:
+                            pass
                 os.unlink(jpath)
         return recovered
 
