@@ -625,12 +625,26 @@ def test_transactions_on_manifest_tables(server):
     )
     assert rc == 0, err
     run_psql(server, "ALTER TABLE txt2 SET FORMAT MANIFEST")
+    # r13: a transaction spanning TWO manifest tables commits — both
+    # rows land, each table gains exactly one version
+    v2a = len(run_psql(server, "SHOW VERSIONS txt")[1].strip().splitlines())
+    v2b = len(run_psql(server, "SHOW VERSIONS txt2")[1].strip().splitlines())
     rc, out, err = run_psql(
         server,
         "BEGIN; INSERT INTO txt VALUES (1); "
-        "INSERT INTO txt2 VALUES (2); COMMIT",
+        "INSERT INTO txt2 VALUES (42); COMMIT",
     )
-    assert rc != 0 and "ONE table" in err
+    assert rc == 0, err
+    rc, out, err = run_psql(
+        server, "SELECT count(*) AS n FROM txt2 WHERE k = 42"
+    )
+    assert out.strip() == "1"
+    assert len(
+        run_psql(server, "SHOW VERSIONS txt")[1].strip().splitlines()
+    ) == v2a + 1
+    assert len(
+        run_psql(server, "SHOW VERSIONS txt2")[1].strip().splitlines()
+    ) == v2b + 1
     rc, _, err = run_psql(
         server, "CREATE TABLE plaint AS SELECT 1 AS k"
     )
