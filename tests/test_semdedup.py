@@ -218,3 +218,34 @@ def test_preexisting_ivf_list_column_survives(spark):
     seeds = semantic_seeds(df, 2)
     with pytest.raises(ValueError, match="'ivf_list'"):
         assign_clusters(df, seeds, out_col="ivf_list")
+
+
+def test_split_path_layout_independent(spark):
+    """The oversize sub-clustering must be deterministic under
+    physical layout: the same input repartitioned differently yields
+    identical (vec_id, cluster) survivor sets — seeds, sub-seeds, and
+    tie-breaks are all order-free by construction."""
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(120):
+        base = rng.choice([(1.0, 0.0), (0.0, 1.0), (0.7, 0.7)])
+        rows.append(
+            (
+                i,
+                [
+                    base[0] + rng.random() * 0.05,
+                    base[1] + rng.random() * 0.05,
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = semantic_dedup(df, k=1, threshold=0.995, max_cluster=30, split_k=4)
+    b = semantic_dedup(
+        df.repartition(7), k=1, threshold=0.995, max_cluster=30, split_k=4
+    )
+    ra = sorted((r.vec_id, r.cluster) for r in a.collect())
+    rb = sorted((r.vec_id, r.cluster) for r in b.collect())
+    assert ra == rb
+    assert len(ra) < 120  # the prune actually dropped near-dups
