@@ -816,14 +816,11 @@ class _Handler(socketserver.BaseRequestHandler):
                     self.server.engine.execute(rewritten), rewritten
                 )
             finally:
-                try:
-                    self.server.engine.spark.catalog.dropTempView(view)
-                except Exception:
-                    pass
+                self._drop_overlay_views([view])
         # every written table referenced in the statement gets its own
         # overlay view (r13: a multi-object transaction's SELECT may
         # join two buffered tables — both read their own writes)
-        rewritten, views = self._overlay_rewrite(txn, sql)
+        rewritten, views = self._overlay_rewrite(txn, sql, ctes=ctes)
         try:
             if rewritten == sql:
                 return None
@@ -833,8 +830,48 @@ class _Handler(socketserver.BaseRequestHandler):
         finally:
             self._drop_overlay_views(views)
 
+    def _overlay_view(self, txn: dict, name: str) -> str | None:
+        """Register a per-statement temp view over a buffered table's
+        pre-statement effective state: snapshot minus this
+        transaction's rewritten files, plus its staged parts. The
+        CALLER owns the view's lifetime (``_drop_overlay_views``).
+        Returns None when the table has no buffer or no manifest."""
+        import uuid as _uuid
+
+        ddl = self.server.engine.ddl()
+        spark = self.server.engine.spark
+        w = txn.get("writes", {}).get(name)
+        if w is None or not (w["parts"] or w["removes"]):
+            return None
+        try:
+            mt = ddl._manifest(name)
+        except Exception:
+            return None
+        removes = w["removes"]
+        live = [
+            p for p in mt.files() if os.path.basename(p) not in removes
+        ]
+        staged_files = [
+            os.path.join(scratch, f)
+            for scratch, names in w["parts"]
+            for f in names
+        ]
+        paths = live + staged_files
+        overlay = (
+            mt.read(spark, file_paths=paths)
+            if paths
+            else mt.read(spark).limit(0)
+        )
+        view = f"__sclera_txn_{_uuid.uuid4().hex[:12]}"
+        overlay.createOrReplaceTempView(view)
+        return view
+
     def _overlay_rewrite(
-        self, txn: dict, sql: str, exclude: tuple = ()
+        self,
+        txn: dict,
+        sql: str,
+        exclude: tuple = (),
+        ctes: set[str] | None = None,
     ) -> tuple[str, list[str]]:
         """Swap every reference to a buffered table (except ``exclude``
         — a DML's own target, whose RYOW the stager handles) to a
@@ -843,50 +880,34 @@ class _Handler(socketserver.BaseRequestHandler):
         queries (r13: INSERT INTO b SELECT ... FROM a must see a's
         buffered rows when a is written by the same transaction — pg
         read-your-own-writes crosses tables). Caller drops the views
-        (``_drop_overlay_views``) after the statement's Spark work."""
-        import uuid as _uuid
-
-        ddl = self.server.engine.ddl()
-        spark = self.server.engine.spark
-        ctes = self._cte_aliases(sql)
+        (``_drop_overlay_views``) after the statement's Spark work; a
+        failure mid-rewrite drops the views already created HERE, so a
+        raising manifest read can never leak a view into the shared
+        catalog."""
+        if ctes is None:
+            ctes = self._cte_aliases(sql)
         rewritten = sql
         views: list[str] = []
-        for name, w in txn.get("writes", {}).items():
-            if name in exclude or not (w["parts"] or w["removes"]):
-                continue
-            if name in ctes:
-                continue  # CTE shadows the buffered table (pg)
-            # the table must be referenced AS A TABLE (FROM-list
-            # position or as a dotted qualifier) — a mere column/
-            # alias spelled like the table name must neither
-            # trigger nor suffer the rewrite
-            if not self._references_table(rewritten, name):
-                continue
-            try:
-                mt = ddl._manifest(name)
-            except Exception:
-                continue
-            removes = w["removes"]
-            live = [
-                p
-                for p in mt.files()
-                if os.path.basename(p) not in removes
-            ]
-            staged_files = [
-                os.path.join(scratch, f)
-                for scratch, names in w["parts"]
-                for f in names
-            ]
-            paths = live + staged_files
-            overlay = (
-                mt.read(spark, file_paths=paths)
-                if paths
-                else mt.read(spark).limit(0)
-            )
-            view = f"__sclera_txn_{_uuid.uuid4().hex[:12]}"
-            overlay.createOrReplaceTempView(view)
-            views.append(view)
-            rewritten = self._swap_table_token(rewritten, name, view)
+        try:
+            for name, w in txn.get("writes", {}).items():
+                if name in exclude or not (w["parts"] or w["removes"]):
+                    continue
+                if name in ctes:
+                    continue  # CTE shadows the buffered table (pg)
+                # the table must be referenced AS A TABLE (FROM-list
+                # position or as a dotted qualifier) — a mere column/
+                # alias spelled like the table name must neither
+                # trigger nor suffer the rewrite
+                if not self._references_table(rewritten, name):
+                    continue
+                view = self._overlay_view(txn, name)
+                if view is None:
+                    continue
+                views.append(view)
+                rewritten = self._swap_table_token(rewritten, name, view)
+        except Exception:
+            self._drop_overlay_views(views)
+            raise
         return rewritten, views
 
     def _drop_overlay_views(self, views: list[str]) -> None:
@@ -977,7 +998,7 @@ class _Handler(socketserver.BaseRequestHandler):
 
     @classmethod
     def _table_token_spans(
-        cls, sql: str, table: str
+        cls, sql: str, table: str, positions_only: bool = False
     ) -> list[tuple[int, int]]:
         """Spans (absolute offsets) where ``table`` appears in
         TABLE-REFERENCE position: directly after FROM/JOIN, after a
@@ -988,7 +1009,15 @@ class _Handler(socketserver.BaseRequestHandler):
         review finding). Context nests through parentheses (a comma in
         a function-argument or IN list is never a FROM separator);
         known approximation: a comma after an explicit JOIN ... ON
-        condition does not re-enter table position."""
+        condition does not re-enter table position.
+
+        ``positions_only`` drops the dotted-qualifier spans: the
+        self-reference RYOW swap replaces only FROM/JOIN-position
+        occurrences (as ``view AS table``, preserving the relation
+        name), so qualifiers keep their pg scoping — a correlated
+        ``table.col`` inside a subquery must keep binding to whichever
+        relation named ``table`` is in scope, not get textually
+        repointed."""
         from sclera_spark.plans.frontend import _split_literals
 
         # literal-blanked copy preserving offsets
@@ -1029,7 +1058,9 @@ class _Handler(socketserver.BaseRequestHandler):
             if low == table:
                 rest = code[m.end():].lstrip()
                 qualifier = code[m.end(): m.end() + 1] == "."
-                if (expect or qualifier) and not rest.startswith("("):
+                if (
+                    expect or (qualifier and not positions_only)
+                ) and not rest.startswith("("):
                     spans.append((m.start(), m.end()))
             expect = False
         return spans
@@ -1049,6 +1080,54 @@ class _Handler(socketserver.BaseRequestHandler):
         for a, b in cls._table_token_spans(sql, table):
             out.append(sql[last:a])
             out.append(replacement)
+            last = b
+        out.append(sql[last:])
+        return "".join(out)
+
+    # words that can directly follow a FROM-list table token without
+    # being its alias (so `view AS table` is the right swap there)
+    _NOT_AN_ALIAS = frozenset(
+        "where set on using group order limit offset having join inner "
+        "left right full cross natural union intersect except returning "
+        "when then and or not as for fetch window".split()
+    )
+
+    @classmethod
+    def _swap_self_refs(
+        cls, sql: str, table: str, view: str, start_at: int
+    ) -> str:
+        """Self-reference RYOW swap (r13 review): replace FROM-position
+        references to a DML's OWN target occurring at/after
+        ``start_at`` (past the outer target token) with the overlay
+        view. Un-aliased occurrences become ``view AS table`` so every
+        qualifier and correlation inside the statement keeps resolving
+        exactly as pg would resolve it against the real table; aliased
+        occurrences take the bare view (the alias already renames the
+        relation). The outer target token itself is never touched —
+        the stager owns that scan."""
+        from sclera_spark.plans.frontend import _split_literals
+
+        spans = [
+            s
+            for s in cls._table_token_spans(sql, table, positions_only=True)
+            if s[0] >= start_at
+        ]
+        if not spans:
+            return sql
+        code = "".join(
+            " " * len(chunk) if is_lit else chunk
+            for is_lit, chunk in _split_literals(sql)
+        )
+        out = []
+        last = 0
+        for a, b in spans:
+            out.append(sql[last:a])
+            nxt = re.match(r"\s+([A-Za-z_]\w*)", code[b:])
+            aliased = bool(nxt) and (
+                nxt.group(1).lower() == "as"
+                or nxt.group(1).lower() not in cls._NOT_AN_ALIAS
+            )
+            out.append(view if aliased else f"{view} AS {table}")
             last = b
         out.append(sql[last:])
         return "".join(out)
@@ -1291,9 +1370,38 @@ class _Handler(socketserver.BaseRequestHandler):
             # referencing ANOTHER buffered table reads its overlay
             # (the target's own RYOW lives in the stager); views live
             # until the stager's Spark work finished
-            sql, src_views = self._overlay_rewrite(
-                txn, sql, exclude=(target,) if target else ()
-            )
+            src_views: list = []
+            # self-reference RYOW (r13 review): a predicate subquery /
+            # USING source reading the statement's OWN target must see
+            # the transaction's buffered rows too (pg: after BEGIN;
+            # INSERT INTO t VALUES (5), DELETE FROM t WHERE k IN
+            # (SELECT k FROM t) deletes the staged 5). Swap only the
+            # FROM-position references AFTER the outer target token to
+            # `view AS t`, so qualifiers/correlation keep pg scoping;
+            # the outer scan stays with the stager.
+            if (
+                tm is not None
+                and target in txn.get("writes", {})
+                and target not in self._cte_aliases(sql)
+            ):
+                spans = self._table_token_spans(
+                    sql, target, positions_only=True
+                )
+                if any(a >= tm.end(1) for a, _ in spans):
+                    view = self._overlay_view(txn, target)
+                    if view is not None:
+                        src_views.append(view)
+                        sql = self._swap_self_refs(
+                            sql, target, view, tm.end(1)
+                        )
+            try:
+                sql, views2 = self._overlay_rewrite(
+                    txn, sql, exclude=(target,) if target else ()
+                )
+            except Exception:
+                self._drop_overlay_views(src_views)
+                raise
+            src_views.extend(views2)
             try:
                 if verb == "MERGE":
                     # PG 15+ tag form 'MERGE <n>' — clients parse the

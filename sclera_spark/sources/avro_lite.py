@@ -50,12 +50,44 @@ class AvroLiteError(ValueError):
     feature — always raised with the exact reason."""
 
 
+class _Budget:
+    """Container-wide decoded-item budget, shared by every decoder a
+    single container spawns (header, data blocks, nested array/map
+    block series). A PER-BLOCK cap alone is bypassable by chaining
+    at-cap blocks of zero-width datums (empty records, nulls — legal
+    encodings that consume no input bytes), making decode work
+    unbounded by input size; charging one shared budget sized from the
+    input length closes that: total items a container may claim is
+    proportional to the bytes it actually shipped."""
+
+    __slots__ = ("remaining",)
+
+    def __init__(self, remaining: int):
+        self.remaining = remaining
+
+    def charge(self, n: int) -> None:
+        self.remaining -= n
+        if self.remaining < 0:
+            raise AvroLiteError(
+                "avro: container claims more items than its byte size "
+                "can legitimately encode — refusing a corrupt or "
+                "hostile container"
+            )
+
+
+def _budget_for(nbytes: int) -> _Budget:
+    # 64 items/byte is generous headroom for zero-width datums inside
+    # real rows; a hostile 2 KB loop-bomb still caps at ~128k items
+    return _Budget(max(1_000_000, 64 * nbytes))
+
+
 class _Decoder:
     """Spec 'Binary Encoding' primitive decoders over a byte buffer."""
 
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, budget: _Budget | None = None):
         self._b = buf
         self._pos = 0
+        self.budget = budget
 
     def eof(self) -> bool:
         return self._pos >= len(self._b)
@@ -235,18 +267,32 @@ class _DatumReader:
                     f"{cls.MAX_BLOCK_ITEMS}) — refusing a corrupt or "
                     "hostile container"
                 )
+            if dec.budget is not None:
+                dec.budget.charge(n)
             for _ in range(n):
                 v = item()
                 if collect:
                     out.append(v)
 
 
+_MAX_INFLATE = 1 << 30  # 1 GiB per block: far past any real manifest
+
+
 def _decompress(codec: str, block: bytes) -> bytes:
     if codec in ("null", ""):
         return block
     if codec == "deflate":
-        # spec: raw DEFLATE stream, no zlib header (RFC 1951)
-        return zlib.decompress(block, -15)
+        # spec: raw DEFLATE stream, no zlib header (RFC 1951).
+        # Decompress with an output ceiling: a deflate bomb must refuse
+        # loudly, not allocate its claim.
+        d = zlib.decompressobj(-15)
+        out = d.decompress(block, _MAX_INFLATE)
+        if d.unconsumed_tail:
+            raise AvroLiteError(
+                f"avro: deflate block inflates past {_MAX_INFLATE} "
+                "bytes — refusing a corrupt or hostile container"
+            )
+        return out + d.flush()
     raise AvroLiteError(
         f"avro: codec {codec!r} needs a third-party library not "
         "available here (supported: null, deflate)"
@@ -261,7 +307,8 @@ def reader(fh: BinaryIO) -> Iterator[dict]:
         raise AvroLiteError(
             "avro: bad magic — not an Avro object container file"
         )
-    dec = _Decoder(head)
+    budget = _budget_for(len(head))
+    dec = _Decoder(head, budget)
     dec.read(4)
     dr = _DatumReader()
     # file metadata: a map<bytes> (spec: file header)
@@ -293,7 +340,14 @@ def reader(fh: BinaryIO) -> Iterator[dict]:
                 "or hostile container"
             )
         block = _decompress(codec, dec.read(size))
-        bd = _Decoder(block)
+        if len(block) > size:
+            # a compressed block's decompressed bytes are legitimately
+            # shipped data: extend the byte-proportional item budget by
+            # the inflation (the inflation itself is capped in
+            # _decompress, so this cannot grow without bound)
+            budget.remaining += 64 * (len(block) - size)
+        budget.charge(count)
+        bd = _Decoder(block, budget)
         for _ in range(count):
             yield dr.datum(bd, schema)
         if not bd.eof():
@@ -314,7 +368,7 @@ def schema_of(path: str) -> Any:
     """The embedded writer schema of an OCF (for tests/diagnostics)."""
     with io.open(path, "rb") as fh:
         head = fh.read()
-    dec = _Decoder(head)
+    dec = _Decoder(head, _budget_for(len(head)))
     if dec.read(4) != MAGIC:
         raise AvroLiteError("avro: bad magic")
     meta: dict[str, bytes] = {}

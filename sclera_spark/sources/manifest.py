@@ -131,6 +131,39 @@ def warn_autocompact_failure(path: str, exc: Exception) -> None:
     )
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory entry table (persists renames/creates within).
+    Best-effort: some filesystems refuse O_RDONLY dir fsync — the
+    fallback there is the same as everywhere else (data loss only on
+    power-cut, caught by recovery's vanished-file refusal)."""
+    try:
+        dfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
+
+
+def _fsync_tree(root: str) -> None:
+    """fsync every regular file under ``root`` plus each directory:
+    makes a just-renamed/copied staging tree as durable as an fsync'd
+    journal that points at it (rename moves the entry, not the page
+    cache)."""
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            try:
+                fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
+        _fsync_dir(dirpath)
+
+
 def _purge_manifest_cache(log_dir: str) -> None:
     """Drop cached manifests for one table (hygiene after vacuum; the
     mtime+size key already protects correctness)."""
@@ -2095,10 +2128,13 @@ class ManifestTable:
             # aborts pre-journal (nothing committed). The _txn_staging
             # dirs sit OUTSIDE data/, where vacuum never looks.
             moved: list[tuple[str, str]] = []  # (new, original)
+            sroots: list[str] = []
+            tmp = journal + ".tmp"
             try:
                 entries2 = []
                 for mt, staged, removes in entries:
                     sroot = os.path.join(mt.path, "_txn_staging", txn_id)
+                    sroots.append(sroot)
                     new_staged = []
                     for i, (scratch, names) in enumerate(staged):
                         dst = os.path.join(sroot, str(i))
@@ -2112,32 +2148,55 @@ class ManifestTable:
                         new_staged.append((dst, list(names)))
                     entries2.append((mt, new_staged, removes))
                 entries = entries2
+                # the journal is only as good as the bytes it points
+                # at: fsync every relocated file AND the directory
+                # chain up to the table dir, so a post-journal reboot
+                # cannot find a journal whose staged data never hit
+                # disk (rename/copy alone leave both in page cache)
+                for dst, _ in moved:
+                    _fsync_tree(dst)
+                for sroot in sroots:
+                    _fsync_dir(sroot)
+                    _fsync_dir(os.path.dirname(sroot))  # _txn_staging
+                    _fsync_dir(os.path.dirname(os.path.dirname(sroot)))
+                payload = {
+                    "tables": [
+                        {
+                            "path": os.path.realpath(mt.path),
+                            "staged": [
+                                [scratch, list(names)]
+                                for scratch, names in staged
+                            ],
+                            "removes": sorted(removes or ()),
+                        }
+                        for mt, staged, removes in entries
+                    ]
+                }
+                with open(tmp, "w") as fh:
+                    _json.dump(payload, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.rename(tmp, journal)
+                _fsync_dir(journal_dir)  # persist the rename itself
             except Exception:
+                # pre-journal abort: nothing committed. Put staged
+                # bytes back where the caller's discard_staged expects
+                # them; what cannot be renamed back (cross-FS copytree
+                # move, original tempdir gone) is transaction garbage
+                # — delete it here rather than orphan it in
+                # _txn_staging, where vacuum never looks.
                 for dst, orig in moved:
                     try:
                         os.rename(dst, orig)
                     except OSError:
-                        pass
+                        shutil.rmtree(dst, ignore_errors=True)
+                for sroot in sroots:
+                    shutil.rmtree(sroot, ignore_errors=True)
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
                 raise
-            payload = {
-                "tables": [
-                    {
-                        "path": os.path.realpath(mt.path),
-                        "staged": [
-                            [scratch, list(names)]
-                            for scratch, names in staged
-                        ],
-                        "removes": sorted(removes or ()),
-                    }
-                    for mt, staged, removes in entries
-                ]
-            }
-            tmp = journal + ".tmp"
-            with open(tmp, "w") as fh:
-                _json.dump(payload, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.rename(tmp, journal)
             # the journal is durable: the transaction is COMMITTED from
             # here on — a failure below must complete, never unwind
             try:
@@ -2220,17 +2279,34 @@ class ManifestTable:
                         break
                     # tolerant re-adopt: a crash mid-adopt left some
                     # files already moved into data/
+                    vanished = [
+                        os.path.join(scratch, name)
+                        for scratch, names in staged
+                        for name in names
+                        if not os.path.exists(
+                            os.path.join(mt.data_dir, name)
+                        )
+                        and not os.path.exists(os.path.join(scratch, name))
+                    ]
+                    if vanished:
+                        # same orphan contract as the foreign-writer
+                        # case: an uncompletable journal must not brick
+                        # every subsequent engine open
+                        warnings.warn(
+                            f"txn journal {jpath}: table {t['path']} "
+                            f"cannot be completed (staged files "
+                            f"{sorted(vanished)} vanished before "
+                            "recovery); journal kept as .failed for "
+                            "manual resolution"
+                        )
+                        failed = True
+                        break
                     for scratch, names in staged:
                         for name in names:
                             src = os.path.join(scratch, name)
                             dst = os.path.join(mt.data_dir, name)
                             if os.path.exists(dst):
                                 continue
-                            if not os.path.exists(src):
-                                raise FileNotFoundError(
-                                    f"txn journal {jpath}: staged file "
-                                    f"{src} vanished before recovery"
-                                )
                             try:
                                 os.rename(src, dst)
                             except OSError:

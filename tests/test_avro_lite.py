@@ -253,3 +253,105 @@ def test_hostile_counts_and_sizes_refuse():
     neg = header + _varint(1) + _varint(-5)
     with pytest.raises(AvroLiteError, match="negative"):
         list(avro_lite.reader(io.BytesIO(neg)))
+
+
+def test_chained_blocks_hit_container_budget():
+    """A per-block cap alone is bypassable by CHAINING at-cap blocks of
+    zero-width records (~20 hostile bytes per block buys unbounded
+    decode work); the shared container budget — proportional to input
+    bytes — must refuse the chain."""
+    import io
+    import json as _json
+
+    def _varint(v):
+        z = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+        out = bytearray()
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    schema = _json.dumps({"type": "record", "name": "r", "fields": []})
+    header = (
+        b"Obj\x01"
+        + _varint(2)
+        + _varint(len("avro.schema")) + b"avro.schema"
+        + _varint(len(schema)) + schema.encode()
+        + _varint(len("avro.codec")) + b"avro.codec"
+        + _varint(4) + b"null"
+        + _varint(0)
+        + b"S" * 16
+    )
+    # each block stays UNDER the per-block cap but the chain's total
+    # item claim dwarfs what the byte count can legitimately encode
+    block = _varint(99_000_000) + _varint(0) + b"S" * 16
+    bomb = header + block * 50
+    with pytest.raises(AvroLiteError, match="byte size"):
+        list(avro_lite.reader(io.BytesIO(bomb)))
+    # the same chaining inside ONE datum: an array of nulls split
+    # across many sub-cap blocks
+    arr_schema = _json.dumps({"type": "array", "items": "null"})
+    header2 = (
+        b"Obj\x01"
+        + _varint(2)
+        + _varint(len("avro.schema")) + b"avro.schema"
+        + _varint(len(arr_schema)) + arr_schema.encode()
+        + _varint(len("avro.codec")) + b"avro.codec"
+        + _varint(4) + b"null"
+        + _varint(0)
+        + b"S" * 16
+    )
+    arr_bomb = (
+        header2
+        + _varint(1)  # one record in the data block
+        + _varint(len(block) * 50)  # claimed block byte size
+        + (_varint(99_000_000) * 200 + _varint(0))  # chained array blocks
+        + b"S" * 16
+    )
+    with pytest.raises(AvroLiteError):
+        list(avro_lite.reader(io.BytesIO(arr_bomb)))
+
+
+def test_deflate_bomb_refuses_at_inflate_cap():
+    """A deflate block claiming gigabytes from a few kilobytes must
+    refuse at the inflation ceiling instead of allocating its claim."""
+    import io
+    import json as _json
+    import zlib
+
+    def _varint(v):
+        z = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+        out = bytearray()
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    schema = _json.dumps(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "b", "type": "bytes"}]}
+    )
+    header = (
+        b"Obj\x01"
+        + _varint(2)
+        + _varint(len("avro.schema")) + b"avro.schema"
+        + _varint(len(schema)) + schema.encode()
+        + _varint(len("avro.codec")) + b"avro.codec"
+        + _varint(7) + b"deflate"
+        + _varint(0)
+        + b"S" * 16
+    )
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    payload = co.compress(b"\x00" * (avro_lite._MAX_INFLATE + (1 << 20)))
+    payload += co.flush()
+    bomb = header + _varint(1) + _varint(len(payload)) + payload + b"S" * 16
+    with pytest.raises(AvroLiteError, match="inflates past"):
+        list(avro_lite.reader(io.BytesIO(bomb)))

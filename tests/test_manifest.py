@@ -938,3 +938,105 @@ def test_concurrent_group_commits_opposite_orders(spark, tmp_path):
     assert not [
         f for f in _os.listdir(jd) if f.endswith(".json")
     ]  # no journals left behind
+
+
+def test_group_commit_journal_write_failure_leaves_no_orphans(
+    spark, tmp_path, monkeypatch
+):
+    """r13 review: a failure BETWEEN staging relocation and the journal
+    rename (e.g. ENOSPC writing the journal) must abort pre-journal
+    with the staged bytes back at their original scratch paths (so the
+    caller's discard_staged still works) and nothing stranded under
+    _txn_staging — which vacuum never scans."""
+    import json as _json
+
+    ta = ManifestTable.create(
+        spark.range(0, 2).selectExpr("id AS k"), str(tmp_path / "ja")
+    )
+    tb = ManifestTable.create(
+        spark.range(10, 12).selectExpr("id AS k"), str(tmp_path / "jb")
+    )
+    jd = str(tmp_path / "_j2")
+    sa = ta._stage(spark.range(2, 4).selectExpr("id AS k"))
+    sb = tb._stage(spark.range(12, 14).selectExpr("id AS k"))
+
+    orig_dump = _json.dump
+
+    def dying(obj, fh, *a, **kw):
+        if isinstance(obj, dict) and "tables" in obj:
+            raise OSError(28, "No space left on device")
+        return orig_dump(obj, fh, *a, **kw)
+
+    monkeypatch.setattr(_json, "dump", dying)
+    with pytest.raises(OSError):
+        ManifestTable.commit_staged_group(
+            [(ta, [sa], set()), (tb, [sb], set())], jd
+        )
+    monkeypatch.undo()
+    # nothing committed, no journal (not even a .tmp), and the staged
+    # scratch dirs are BACK where discard_staged expects them
+    assert ta.read(spark).count() == 2 and tb.read(spark).count() == 2
+    assert not os.path.isdir(jd) or not os.listdir(jd)
+    for scratch, names in (sa, sb):
+        for n in names:
+            assert os.path.exists(os.path.join(scratch, n))
+    for t in (ta, tb):
+        sroot = os.path.join(t.path, "_txn_staging")
+        leftovers = (
+            [
+                d
+                for d in os.listdir(sroot)
+                if os.listdir(os.path.join(sroot, d))
+            ]
+            if os.path.isdir(sroot)
+            else []
+        )
+        assert leftovers == []
+    # the transaction is retryable: the same staged tuples commit fine
+    ManifestTable.commit_staged_group(
+        [(ta, [sa], set()), (tb, [sb], set())], jd
+    )
+    assert sorted(r.k for r in ta.read(spark).collect()) == [0, 1, 2, 3]
+    assert sorted(
+        r.k for r in tb.read(spark).collect()
+    ) == [10, 11, 12, 13]
+
+
+def test_recovery_with_vanished_staged_files_marks_failed(
+    spark, tmp_path, monkeypatch
+):
+    """r13 review: a journal whose staged bytes vanished (torn reboot,
+    manual cleanup) must be set aside as .failed with a loud warning —
+    the same orphan contract as the foreign-writer case — NOT raise and
+    brick every subsequent engine open."""
+    ta = ManifestTable.create(
+        spark.range(0, 2).selectExpr("id AS k"), str(tmp_path / "va")
+    )
+    jd = str(tmp_path / "_j3")
+    sa = ta._stage(spark.range(2, 4).selectExpr("id AS k"))
+
+    orig = ManifestTable._commit_locked
+
+    def dying(self, compute, staged=None):
+        raise OSError("simulated crash")
+
+    monkeypatch.setattr(ManifestTable, "_commit_locked", dying)
+    from sclera_spark.sources.manifest import TxnJournaledError
+
+    with pytest.raises(TxnJournaledError):
+        ManifestTable.commit_staged_group([(ta, [sa], set())], jd)
+    monkeypatch.setattr(ManifestTable, "_commit_locked", orig)
+    # simulate the staged bytes vanishing before recovery
+    sroot = os.path.join(ta.path, "_txn_staging")
+    import shutil as _sh
+
+    _sh.rmtree(sroot)
+    with pytest.warns(UserWarning, match="vanished"):
+        recovered = ManifestTable.recover_txn_journals(jd)
+    assert recovered == []
+    assert [f for f in os.listdir(jd) if f.endswith(".failed")]
+    assert not [f for f in os.listdir(jd) if f.endswith(".json")]
+    # the engine stays usable: the table reads its pre-txn state
+    assert ta.read(spark).count() == 2
+    # and a SECOND recovery pass is a clean no-op
+    assert ManifestTable.recover_txn_journals(jd) == []

@@ -1375,3 +1375,58 @@ def test_txn_dml_sources_read_buffered_tables(server):
         c.execute("DROP TABLE wra")
         c.execute("DROP TABLE wrb")
         c.close()
+
+
+def test_txn_dml_self_reference_subquery_sees_buffer(server):
+    """r13 review: a predicate subquery (or USING source) reading the
+    statement's OWN target resolves against the transaction's buffered
+    state, not the published snapshot — pg's statement snapshot
+    includes the transaction's earlier writes. The outer scan and any
+    correlated `t.col` qualifiers keep their scoping (the swap is
+    `view AS t`, FROM-positions only)."""
+    c = connect(server)
+    c.execute("CREATE TABLE selfr AS SELECT 1 AS k")
+    c.execute("ALTER TABLE selfr SET FORMAT MANIFEST")
+    try:
+        c.execute("BEGIN")
+        c.execute("INSERT INTO selfr VALUES (5)")
+        # pg: the subquery's selfr sees the staged k=5, so the DELETE
+        # un-inserts it (and deletes the published 1 too)
+        assert (
+            c.execute(
+                "DELETE FROM selfr WHERE k IN (SELECT k FROM selfr)"
+            )[2]
+            == "DELETE 2"
+        )
+        assert _count(c, "SELECT count(*) AS n FROM selfr") == 0
+        c.execute("ROLLBACK")
+        assert _count(c, "SELECT count(*) AS n FROM selfr") == 1
+        # UPDATE with a self-aggregate subquery: max over published+staged
+        c.execute("BEGIN")
+        c.execute("INSERT INTO selfr VALUES (10)")
+        assert (
+            c.execute(
+                "UPDATE selfr SET k = k + 100 "
+                "WHERE k = (SELECT max(k) FROM selfr)"
+            )[2]
+            == "UPDATE 1"
+        )
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT k FROM selfr ORDER BY k")
+        assert [int(k) for (k,) in rows] == [1, 110]
+        # aliased self-reference in the subquery keeps working
+        c.execute("BEGIN")
+        c.execute("INSERT INTO selfr VALUES (7)")
+        assert (
+            c.execute(
+                "DELETE FROM selfr WHERE k IN "
+                "(SELECT s2.k FROM selfr s2 WHERE s2.k < 100)"
+            )[2]
+            == "DELETE 2"
+        )
+        c.execute("COMMIT")
+        _, rows, _ = c.execute("SELECT k FROM selfr ORDER BY k")
+        assert [int(k) for (k,) in rows] == [110]
+    finally:
+        c.execute("DROP TABLE selfr")
+        c.close()
