@@ -514,11 +514,29 @@ def minhash_anti_join(
         .select("new_id", "old_id")
         .dropDuplicates(["new_id", "old_id"])
     )
-    est_pairs = cand.join(
-        sk_new.select(F.col("id").alias("new_id"), F.col("minhash").alias("a_mh")),
+    # ONE fetch join per side (signature AND gram set together),
+    # UNLIKE minhash_dup_pairs' two-phase fetch: the self-join's
+    # banding admits a measured candidate flood (216k candidates for
+    # 256 real pairs), where shipping hsets to est-failures would
+    # dominate — but the strictly new-vs-corpus band join stays sparse
+    # (measured 351 candidates -> 120 est-survivors at sf0.1, and
+    # P ≈ 1-(1-j^r)^b ~ 1e-3 for j=0.3 random pairs), so the extra
+    # hset bytes per candidate cost less than two more shuffles per
+    # crawl batch. The estimate stays as a column-level prefilter:
+    # rows failing it skip the O(|hset|) exact intersection.
+    pairs = cand.join(
+        sk_new.select(
+            F.col("id").alias("new_id"),
+            F.col("minhash").alias("a_mh"),
+            F.col("hset").alias("a_sh"),
+        ),
         "new_id",
     ).join(
-        sk_old.select(F.col("id").alias("old_id"), F.col("minhash").alias("b_mh")),
+        sk_old.select(
+            F.col("id").alias("old_id"),
+            F.col("minhash").alias("b_mh"),
+            F.col("hset").alias("b_sh"),
+        ),
         "old_id",
     )
     est = F.size(
@@ -527,22 +545,11 @@ def minhash_anti_join(
             lambda v: v,
         )
     ) / F.size(F.col("a_mh"))
-    survivors = (
-        est_pairs.withColumn("__est", est)
-        .filter(F.col("__est") >= threshold - 0.25)
-        .select("new_id", "old_id")
-    )
-    pairs = survivors.join(
-        sk_new.select(F.col("id").alias("new_id"), F.col("hset").alias("a_sh")),
-        "new_id",
-    ).join(
-        sk_old.select(F.col("id").alias("old_id"), F.col("hset").alias("b_sh")),
-        "old_id",
-    )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
     dup_ids = (
-        pairs.withColumn("jaccard", inter / union)
+        pairs.filter(est >= threshold - 0.25)
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("new_id"))
         .distinct()
