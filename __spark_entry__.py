@@ -1669,6 +1669,49 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl gate (llm/dedup.minhash_anti_join_sketched):
+    the 100 TB steady-state shape of cross_dedup — the corpus is
+    sketched ONCE into a persisted manifest table; each crawl batch
+    sketches only its own documents, gates against the stored
+    (id, minhash, hset) relation, and appends its survivors' sketches.
+    Two batches run here (doc_id%3==1 then %3==2 against the %3==0
+    corpus), so batch 2 is gated partly against batch 1's appended
+    sketches — the DuckDB oracle recomputes BOTH rounds from exact
+    gram sets, making a hash-green row certify the incremental flow
+    end-to-end (including 100% LSH recall on this corpus), not just
+    one anti-join."""
+    import tempfile
+
+    from sclera_spark.llm import minhash_anti_join_sketched, minhash_sketch
+    from sclera_spark.sources.manifest import ManifestTable
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    corpus = docs.where("doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    b2 = docs.where("doc_id % 3 = 2")
+
+    def sk(df):
+        return minhash_sketch(df, "text", 128, 5).select(
+            F.col("doc_id").alias("id"), "minhash", "hset"
+        )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="sclera_gate_"), "sketch")
+    mt = ManifestTable.create(sk(corpus), path)
+    kept1 = minhash_anti_join_sketched(
+        b1, mt.read(spark), threshold=0.8, num_perm=128, bands=16
+    )
+    mt.append(sk(kept1))
+    kept2 = minhash_anti_join_sketched(
+        b2, mt.read(spark), threshold=0.8, num_perm=128, bands=16
+    )
+    return (
+        kept1.select("doc_id").withColumn("batch", F.lit(1))
+        .unionByName(kept2.select("doc_id").withColumn("batch", F.lit(2)))
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (llm/text.pack_documents) —
     the GPT-style pretraining batching step: documents concatenated in
@@ -1997,6 +2040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bpe_merges": _q_bpe_merges,
             # r13: streaming ingest dedup (tail; oracle-bearing)
             "stream_dedup": _q_stream_dedup,
+            # r13: incremental crawl gate over a persisted sketch
+            # table (tail; oracle-bearing)
+            "crawl_gate_incr": _q_crawl_gate_incr,
         }
     )
     ordered = {n: out[n] for n in _WINDOW_ORDER}
@@ -3000,6 +3046,64 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id FROM documents
         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM dups)
+    """
+    # incremental crawl gate: the oracle replays BOTH gate rounds from
+    # exact gram sets — batch 1 vs the corpus, then batch 2 vs corpus
+    # PLUS batch 1's survivors (the appended sketches) — so the hash
+    # match certifies the persisted-sketch flow equals from-scratch
+    oracles["crawl_gate_incr"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN len(n) < 5 THEN rpad(n, 5, ' ') ELSE n END AS norm
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS n
+                FROM documents WHERE text IS NOT NULL) t
+        ),
+        g AS (
+          SELECT DISTINCT u.doc_id, substr(norm, u.i, 5) AS gram
+          FROM (SELECT doc_id, norm,
+                       unnest(generate_series(1, len(norm) - 4)) AS i
+                FROM d) u
+        ),
+        n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+        inter1 AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS ni
+          FROM g a JOIN g b ON a.gram = b.gram
+          WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 0
+          GROUP BY 1, 2
+        ),
+        dups1 AS (
+          SELECT DISTINCT i.new_id
+          FROM inter1 i
+          JOIN n na ON na.doc_id = i.new_id
+          JOIN n nb ON nb.doc_id = i.old_id
+          WHERE CAST(i.ni AS DOUBLE) / (na.ng + nb.ng - i.ni) >= 0.8
+        ),
+        surv1 AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id % 3 = 1
+            AND doc_id NOT IN (SELECT new_id FROM dups1)
+        ),
+        inter2 AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS ni
+          FROM g a JOIN g b ON a.gram = b.gram
+          WHERE a.doc_id % 3 = 2
+            AND (b.doc_id % 3 = 0
+                 OR b.doc_id IN (SELECT doc_id FROM surv1))
+          GROUP BY 1, 2
+        ),
+        dups2 AS (
+          SELECT DISTINCT i.new_id
+          FROM inter2 i
+          JOIN n na ON na.doc_id = i.new_id
+          JOIN n nb ON nb.doc_id = i.old_id
+          WHERE CAST(i.ni AS DOUBLE) / (na.ng + nb.ng - i.ni) >= 0.8
+        )
+        SELECT doc_id, 1 AS batch FROM surv1
+        UNION ALL
+        SELECT doc_id, 2 AS batch FROM documents
+        WHERE doc_id % 3 = 2
+          AND doc_id NOT IN (SELECT new_id FROM dups2)
     """
     # sequence packing: the engine's two-phase distributed prefix sum
     # must equal one global SQL window (the semantics, stated directly)

@@ -471,14 +471,80 @@ def minhash_anti_join(
     are the thing to persist as a manifest table and reuse across
     batches (minhash_signatures + append). Returns ``new``'s rows,
     original columns, duplicates removed."""
-    rows_per_band = num_perm // bands
-
     def sketch(df):
         return (
             minhash_sketch(df, text_col, num_perm, shingle_k)
             .select(F.col(id_col).alias("id"), "minhash", "hset")
             .persist()
         )
+
+    sk_new = sketch(new)
+    sk_old = sketch(corpus)
+    try:
+        return _minhash_anti_join_core(
+            new, sk_new, sk_old, id_col, num_perm, bands, threshold
+        )
+    finally:
+        sk_new.unpersist()
+        sk_old.unpersist()
+
+
+def minhash_anti_join_sketched(
+    new: DataFrame,
+    corpus_sketch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The INCREMENTAL crawl-ingest gate: :func:`minhash_anti_join`
+    against a PRE-SKETCHED corpus — the 100 TB steady state, where the
+    existing corpus is never re-read, let alone re-sketched, per crawl
+    batch. ``corpus_sketch`` is the (id, minhash, hset) relation
+    :func:`minhash_sketch` produces (typically a manifest/parquet
+    table: the band scan column-prunes to (id, minhash) and only the
+    candidate fetch touches hset). Per batch only the NEW documents
+    are sketched; gate cost is O(|new| + matching buckets). Keep the
+    corpus current by appending the SURVIVORS' sketches after each
+    gate — :func:`minhash_sketch` on the returned frame, or reuse the
+    new-side sketch. ``num_perm`` must match the persisted sketch's
+    signature width (validated against one corpus row; a mismatched
+    sketch would silently band garbage)."""
+    probe = corpus_sketch.select(F.size("minhash").alias("w")).head(1)
+    if probe and probe[0]["w"] != num_perm:
+        raise ValueError(
+            f"corpus sketch has {probe[0]['w']}-wide minhash signatures "
+            f"but the gate was asked for num_perm={num_perm}; re-sketch "
+            "the corpus or pass the matching num_perm"
+        )
+    sk_new = (
+        minhash_sketch(new, text_col, num_perm, shingle_k)
+        .select(F.col(id_col).alias("id"), "minhash", "hset")
+        .persist()
+    )
+    sk_old = corpus_sketch.select(
+        F.col(corpus_sketch.columns[0]).alias("id"), "minhash", "hset"
+    )
+    try:
+        return _minhash_anti_join_core(
+            new, sk_new, sk_old, id_col, num_perm, bands, threshold
+        )
+    finally:
+        sk_new.unpersist()
+
+
+def _minhash_anti_join_core(
+    new: DataFrame,
+    sk_new: DataFrame,
+    sk_old: DataFrame,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    rows_per_band = num_perm // bands
 
     def banded(sig, side):
         return sig.select(
@@ -506,8 +572,6 @@ def minhash_anti_join(
             F.col("id").alias(f"{side}_id"), F.col("bb.band"), F.col("bb.bh")
         )
 
-    sk_new = sketch(new)
-    sk_old = sketch(corpus)
     cand = (
         banded(sk_new.select("id", "minhash"), "new")
         .join(banded(sk_old.select("id", "minhash"), "old"), ["band", "bh"])
@@ -555,8 +619,6 @@ def minhash_anti_join(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sk_new.unpersist()
-    sk_old.unpersist()
     return new.join(
         dup_ids, new[id_col] == dup_ids["new_id"], "left_anti"
     )

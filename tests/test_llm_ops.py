@@ -1236,3 +1236,72 @@ def test_ivf_pq_persisted_index(spark, tables, tmp_path):
     rows = ivf_pq_topk(spark, path2, q, k=3, n_probe=2).collect()
     assert rows[0]["vec_id"] == probe[0]["vec_id"]
     assert "adc_dist" in rows[0].asDict()
+
+
+def test_minhash_anti_join_sketched_incremental_gate(spark, tables, tmp_path):
+    """The incremental crawl gate (minhash_anti_join_sketched): gating
+    batch 2 against a PERSISTED corpus sketch table — appended with
+    batch 1's survivors, never re-sketching the corpus — admits exactly
+    the same documents as re-running the full gate from raw text. Also
+    pins the num_perm-mismatch refusal (a mismatched persisted sketch
+    would silently band garbage)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import (
+        minhash_anti_join,
+        minhash_anti_join_sketched,
+        minhash_sketch,
+    )
+    from sclera_spark.sources.manifest import ManifestTable
+
+    docs = tables["documents"].select("doc_id", "text").where(
+        "text IS NOT NULL AND length(text) > 200"
+    )
+    corpus = docs.where("doc_id % 3 = 0")
+    batch1 = docs.where("doc_id % 3 = 1")
+    batch2_dupe = (
+        batch1.orderBy("doc_id").limit(4)
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    batch2 = docs.where("doc_id % 3 = 2").unionByName(batch2_dupe)
+
+    def sk(df):
+        return minhash_sketch(df, "text", 128, 5).select(
+            F.col("doc_id").alias("id"), "minhash", "hset"
+        )
+
+    # persist the corpus sketch as a manifest table (the 100 TB shape:
+    # the raw corpus text is never read again)
+    path = str(tmp_path / "corpus_sketch")
+    mt = ManifestTable.create(sk(corpus), path)
+
+    kept1 = minhash_anti_join_sketched(
+        batch1, mt.read(spark), threshold=0.7, num_perm=128, bands=16
+    )
+    # roll the survivors' sketches into the corpus (incremental append)
+    mt.append(sk(kept1))
+    kept2 = minhash_anti_join_sketched(
+        batch2, mt.read(spark), threshold=0.7, num_perm=128, bands=16
+    )
+
+    # oracle: the from-scratch gates over raw text
+    ref1 = minhash_anti_join(batch1, corpus, threshold=0.7, num_perm=128, bands=16)
+    ref_corpus2 = corpus.unionByName(ref1.select("doc_id", "text"))
+    ref2 = minhash_anti_join(batch2, ref_corpus2, threshold=0.7, num_perm=128, bands=16)
+    assert sorted(r.doc_id for r in kept1.select("doc_id").collect()) == sorted(
+        r.doc_id for r in ref1.select("doc_id").collect()
+    )
+    got2 = sorted(r.doc_id for r in kept2.select("doc_id").collect())
+    assert got2 == sorted(r.doc_id for r in ref2.select("doc_id").collect())
+    # the planted batch-1 near-copies were rejected (non-vacuous gate)
+    assert not [i for i in got2 if i >= 5_000_000]
+
+    # width mismatch refuses loudly
+    with pytest.raises(ValueError, match="num_perm"):
+        minhash_anti_join_sketched(
+            batch2, mt.read(spark), threshold=0.7, num_perm=64, bands=16
+        )
