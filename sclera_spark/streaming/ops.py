@@ -972,3 +972,129 @@ def stream_to_manifest(
     q.awaitTermination(timeout_s)
     q.stop()
     return q
+
+
+def crawl_gate_committer(
+    sketch_path: str,
+    kept_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    stream_id: str | None = None,
+    within_batch: bool = True,
+):
+    """foreachBatch STREAMING crawl gate: each micro-batch of incoming
+    documents is (1) near-dup-collapsed within itself (two copies in
+    one batch would both pass a corpus-only gate), (2) gated against
+    the PERSISTED corpus sketch table (llm/dedup.
+    minhash_anti_join_sketched — the corpus text is never re-read),
+    then (3) its survivors appended to the kept table and their
+    sketches rolled into the sketch table, each as one atomic
+    watermarked manifest commit.
+
+    Crash consistency under foreachBatch's at-least-once redelivery:
+    the kept table commits FIRST, the sketch table LAST, both scoped
+    by the per-stream batch watermark (:func:`manifest_batch_committer`).
+    A redelivered batch whose sketch commit already landed no-ops
+    outright (the sketch watermark is the done marker — gating such a
+    batch against a corpus that already contains its own survivors'
+    sketches would reject every one of them as its own duplicate). A
+    crash BETWEEN the two commits redelivers into: gate against the
+    pre-batch corpus (deterministic, same survivors), kept append
+    no-ops on its watermark, sketch append completes. Either way the
+    pair converges to exactly-once."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm.dedup import (
+        minhash_anti_join_sketched,
+        minhash_dedup,
+        minhash_sketch,
+    )
+    from sclera_spark.sources.manifest import ManifestTable
+
+    kept_commit = manifest_batch_committer(kept_path, stream_id=stream_id)
+    sketch_commit = manifest_batch_committer(
+        sketch_path, stream_id=stream_id
+    )
+
+    def commit_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        batch = bdf.localCheckpoint(eager=True)
+        smt = None
+        if ManifestTable.exists(sketch_path):
+            smt = ManifestTable(sketch_path)
+            meta = smt.meta()
+            if (
+                meta.get("stream_id") == stream_id
+                and batch_id <= meta.get("stream_batch", -1)
+            ):
+                return  # fully processed (sketch commits last)
+        if within_batch:
+            batch = minhash_dedup(
+                batch, id_col, text_col, num_perm, bands, shingle_k,
+                threshold,
+            )
+        if smt is not None:
+            kept = minhash_anti_join_sketched(
+                batch, smt.read(spark), id_col, text_col, num_perm,
+                bands, shingle_k, threshold,
+            )
+        else:
+            kept = batch  # first batch IS the corpus seed
+        kept = kept.localCheckpoint(eager=True)
+        kept_commit(kept, batch_id)
+        sk = minhash_sketch(kept, text_col, num_perm, shingle_k).select(
+            F.col(id_col).alias("id"), "minhash", "hset"
+        )
+        sketch_commit(sk, batch_id)
+
+    return commit_batch
+
+
+def stream_crawl_gate(
+    stream_df: DataFrame,
+    sketch_path: str,
+    kept_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    within_batch: bool = True,
+    timeout_s: int = 300,
+):
+    """Stream a document feed through the incremental crawl gate
+    (:func:`crawl_gate_committer`): survivors land in the ``kept_path``
+    manifest table, the corpus sketch table at ``sketch_path`` grows by
+    exactly the survivors' sketches per batch, and the whole pair is
+    exactly-once across restarts via the checkpoint-scoped batch
+    watermark. Drains available input (availableNow) and returns the
+    stopped query — call again with the same checkpoint to resume."""
+    sid = checkpoint_stream_id(checkpoint_dir)
+    q = (
+        stream_df.writeStream.foreachBatch(
+            crawl_gate_committer(
+                sketch_path,
+                kept_path,
+                id_col=id_col,
+                text_col=text_col,
+                num_perm=num_perm,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+                stream_id=sid,
+                within_batch=within_batch,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return q

@@ -509,3 +509,148 @@ def test_stream_upsert_tombstone_deletes(spark, tmp_path):
     assert sorted((r.k, r.v) for r in mt.read(spark).collect()) == [
         (2, "b2"), (3, "c"),
     ]
+
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", __import__("pyspark.sql.types", fromlist=["StringType"]).StringType()),
+    ]
+)
+
+
+def _doc(i, body):
+    # the body phrase dominates the shingle set (repeated), so two docs
+    # are near-dups iff they share the SAME body phrase
+    return (i, (" " + body) * 30)
+
+
+@pytest.fixture()
+def gdirs():
+    root = tempfile.mkdtemp(prefix="sclera_gate_")
+    d = {
+        "in": os.path.join(root, "in"),
+        "kept": os.path.join(root, "kept"),
+        "sketch": os.path.join(root, "sketch"),
+        "ck": os.path.join(root, "ck"),
+    }
+    os.makedirs(d["in"])
+    yield d
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _land_docs(spark, rows, path):
+    spark.createDataFrame(rows, _DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _gate(spark, d):
+    from sclera_spark.streaming import stream_crawl_gate
+
+    return stream_crawl_gate(
+        stream_from_directory(spark, d["in"], _DOC_SCHEMA),
+        d["sketch"],
+        d["kept"],
+        d["ck"],
+        threshold=0.7,
+    )
+
+
+def test_stream_crawl_gate_end_to_end(spark, gdirs):
+    """Streaming crawl gate: batch 1 seeds the corpus; batch 2's
+    near-copies of batch-1 survivors are rejected, its novel docs are
+    admitted, a within-batch duplicate pair collapses to one survivor,
+    and the sketch table tracks exactly the kept set."""
+    d = gdirs
+    _land_docs(
+        spark,
+        [_doc(1, "alpha wolf"), _doc(2, "beta fish"), _doc(3, "gamma bird")],
+        d["in"],
+    )
+    _gate(spark, d)
+    assert _ids_kept(spark, d) == [1, 2, 3]
+
+    # batch 2: near-copy of doc 1, one genuinely new doc, and a
+    # within-batch near-dup pair (10, 11)
+    near1 = _doc(9, "alpha wolf")
+    novel = _doc(8, "delta whale entirely new topic")
+    twin_a = _doc(10, "epsilon crab")
+    twin_b = _doc(11, "epsilon crab")
+    _land_docs(spark, [near1, novel, twin_a, twin_b], d["in"])
+    _gate(spark, d)
+    assert _ids_kept(spark, d) == [1, 2, 3, 8, 10]
+    # the sketch table covers exactly the kept set (incremental append)
+    sk_ids = sorted(
+        r.id for r in ManifestTable(d["sketch"]).read(spark).collect()
+    )
+    assert sk_ids == [1, 2, 3, 8, 10]
+    # re-running with no new input is a clean no-op
+    v_kept = ManifestTable(d["kept"]).version()
+    _gate(spark, d)
+    assert ManifestTable(d["kept"]).version() == v_kept
+    assert _ids_kept(spark, d) == [1, 2, 3, 8, 10]
+
+
+def _ids_kept(spark, d):
+    return sorted(
+        r.doc_id for r in ManifestTable(d["kept"]).read(spark).collect()
+    )
+
+
+def test_crawl_gate_committer_redelivery_converges(spark, gdirs, monkeypatch):
+    """Crash BETWEEN the kept commit and the sketch commit, then
+    redeliver the same batch: the gate re-runs against the pre-batch
+    corpus (same survivors), the kept append no-ops on its watermark,
+    and the sketch append completes — exactly-once for the pair. A
+    redelivery AFTER full success no-ops outright (gating against a
+    corpus already holding this batch's sketches would self-reject)."""
+    from sclera_spark.streaming.ops import crawl_gate_committer
+
+    d = gdirs
+    commit = crawl_gate_committer(
+        d["sketch"], d["kept"], stream_id="s1", threshold=0.7
+    )
+    b0 = spark.createDataFrame(
+        [_doc(1, "alpha wolf"), _doc(2, "beta fish")], _DOC_SCHEMA
+    )
+    commit(b0, 0)
+    assert _ids_kept(spark, d) == [1, 2]
+
+    # make the SKETCH append die once, after the kept commit
+    orig_append = ManifestTable.append
+    state = {"boom": True}
+
+    def dying(self, df, meta=None):
+        if state["boom"] and os.path.realpath(self.path) == os.path.realpath(
+            d["sketch"]
+        ):
+            state["boom"] = False
+            raise OSError("simulated crash between the pair's commits")
+        return orig_append(self, df, meta=meta)
+
+    monkeypatch.setattr(ManifestTable, "append", dying)
+    b1 = spark.createDataFrame(
+        [_doc(5, "zeta moth new topic"), _doc(9, "alpha wolf")], _DOC_SCHEMA
+    )
+    with pytest.raises(OSError, match="simulated"):
+        commit(b1, 1)
+    # kept advanced (survivor 5 admitted, near-copy 9 rejected), sketch
+    # did not
+    assert _ids_kept(spark, d) == [1, 2, 5]
+    assert sorted(
+        r.id for r in ManifestTable(d["sketch"]).read(spark).collect()
+    ) == [1, 2]
+    kept_v = ManifestTable(d["kept"]).version()
+    # redelivery: converges without double-appending the kept rows
+    commit(b1, 1)
+    assert _ids_kept(spark, d) == [1, 2, 5]
+    assert ManifestTable(d["kept"]).version() == kept_v
+    assert sorted(
+        r.id for r in ManifestTable(d["sketch"]).read(spark).collect()
+    ) == [1, 2, 5]
+    # full-success redelivery: outright no-op (both tables untouched)
+    sk_v = ManifestTable(d["sketch"]).version()
+    commit(b1, 1)
+    assert ManifestTable(d["kept"]).version() == kept_v
+    assert ManifestTable(d["sketch"]).version() == sk_v
