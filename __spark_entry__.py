@@ -1669,6 +1669,24 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus draw (llm/sample.token_budget_sample): take
+    documents in md5-salted order until the exclusive token prefix
+    reaches the budget — the 'give me ~N tokens of this source'
+    pretraining step. The global running total is the two-phase
+    distributed prefix sum (no single-partition window); the oracle
+    recomputes the identical cut with one SQL window, so hash-green
+    certifies the distributed carry AND layout independence (the hash
+    order, not partition order, decides)."""
+    from sclera_spark.llm import token_budget_sample
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    return token_budget_sample(
+        docs, budget=10_000, salt="tb1"
+    ).select("doc_id")
+
+
 def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl gate (llm/dedup.minhash_anti_join_sketched):
     the 100 TB steady-state shape of cross_dedup — the corpus is
@@ -2043,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # r13: incremental crawl gate over a persisted sketch
             # table (tail; oracle-bearing)
             "crawl_gate_incr": _q_crawl_gate_incr,
+            # r13: token-budget corpus draw (tail; oracle-bearing)
+            "token_budget": _q_token_budget,
         }
     )
     ordered = {n: out[n] for n in _WINDOW_ORDER}
@@ -3104,6 +3124,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 2 AS batch FROM documents
         WHERE doc_id % 3 = 2
           AND doc_id NOT IN (SELECT new_id FROM dups2)
+    """
+    # token-budget draw: the distributed exclusive prefix over the
+    # md5-salted order must equal one global SQL window's cut. The
+    # tokenizer restated in DuckDB exactly as pack_sequences' oracle
+    # does; NULL text counts 0 on both sides.
+    oracles["token_budget"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 COALESCE(CAST(length(list_filter(string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                     '\s+'), x -> x <> '')) AS BIGINT), 0) AS n,
+                 md5(concat('tb1', CAST(doc_id AS VARCHAR))) AS h
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 SUM(n) OVER (ORDER BY h, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n AS prior
+          FROM t
+        )
+        SELECT doc_id FROM c WHERE prior < 10000
     """
     # sequence packing: the engine's two-phase distributed prefix sum
     # must equal one global SQL window (the semantics, stated directly)

@@ -145,3 +145,47 @@ def weighted_sample(
         .filter(F.col("__rk") <= n)
         .drop("__rk", "__score")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Draw documents until a TOKEN budget fills — the pretraining
+    corpus-sizing step ("give me ~10B tokens of this source"). Rows are
+    taken in md5(salt || id) order (a deterministic, layout-independent
+    shuffle of the corpus) while the EXCLUSIVE prefix of token counts
+    stays under ``budget``; the last admitted document may overshoot it
+    (take-until semantics — a budget is a target, not a hard byte
+    ceiling). Same salt + budget -> same sample on any partitioning.
+
+    Token counts come from the shared whitespace tokenizer (NULL text
+    counts 0, so metadata-only rows ride along free), or pass
+    ``count_col`` to budget on precomputed counts (e.g. a real
+    tokenizer's). The global running total is the two-phase distributed
+    prefix sum (text.global_prefix_sum) — no single-partition window,
+    driver state is one row per partition, so the cut scales to any
+    corpus size."""
+    from sclera_spark.llm.text import _tokens, global_prefix_sum
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    t = df.withColumn(
+        "__h", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    )
+    n = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else F.coalesce(
+            F.size(_tokens(F.col(text_col))).cast("long"), F.lit(0)
+        )
+    )
+    t = t.withColumn("__n", n)
+    g = global_prefix_sum(t, ["__h", id_col], "__n", out_col="__prior")
+    return g.where(F.col("__prior") < budget).drop(
+        "__h", "__n", "__prior"
+    )

@@ -26,6 +26,57 @@ def _tokens(text: Column) -> Column:
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "_start",
+    buckets: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``val_col`` over the GLOBAL
+    ``order_cols`` order, without a single-partition window: two-phase
+    distributed carry (range-repartition by the order columns ->
+    per-partition window cumsum -> one tiny total row per partition to
+    the driver -> broadcast exclusive offsets back). Deterministic and
+    layout-independent; driver state is one row per partition — the
+    carry pattern shared by sequence packing and the token-budget
+    sampler. Output: the input columns plus ``out_col``."""
+    spark = df.sparkSession
+    n_b = buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cols = [F.col(c) for c in order_cols]
+    t = df.repartitionByRange(n_b, *cols)
+    t = t.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("_local_end", F.sum(val_col).over(w)).cache()
+    # one row per RANGE partition; range partitions are ordered by key,
+    # so the exclusive prefix over pid order is the global carry
+    totals = {
+        r["_pid"]: r["s"]
+        for r in t.groupBy("_pid")
+        .agg(F.max("_local_end").alias("s"))
+        .collect()
+    }
+    run = 0
+    rows = []
+    for pid in range(n_b):
+        rows.append((pid, run))
+        run += totals.get(pid) or 0
+    off = F.broadcast(spark.createDataFrame(rows, ["_pid", "_off"]))
+    return (
+        t.join(off, "_pid")
+        .withColumn(
+            out_col, F.col("_off") + F.col("_local_end") - F.col(val_col)
+        )
+        .drop("_pid", "_local_end", "_off")
+    )
+
+
 def token_count(
     df: DataFrame, text_col: str = "text", out_col: str = "n_tokens", mode: str = "whitespace"
 ) -> DataFrame:
@@ -419,34 +470,9 @@ def pack_documents(
     t = df.select(
         F.col(id_col),
         F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-    ).repartitionByRange(n_b, F.col(id_col))
-    t = t.withColumn("_pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = t.withColumn("_local_end", F.sum("n_tokens").over(w)).cache()
-    # one row per RANGE partition; range partitions are ordered by key,
-    # so the exclusive prefix over pid order is the global carry
-    totals = {
-        r["_pid"]: r["s"]
-        for r in t.groupBy("_pid").agg(F.max("_local_end").alias("s")).collect()
-    }
-    run = 0
-    rows = []
-    for pid in range(n_b):
-        rows.append((pid, run))
-        run += totals.get(pid) or 0
-    off = F.broadcast(
-        spark.createDataFrame(rows, ["_pid", "_off"])
-    )
-    g = t.join(off, "_pid").select(
-        id_col,
-        "n_tokens",
-        (F.col("_off") + F.col("_local_end") - F.col("n_tokens")).alias(
-            "_start"
-        ),
+    g = global_prefix_sum(
+        t, [id_col], "n_tokens", out_col="_start", buckets=n_b
     ).where(F.col("n_tokens") > 0)
     L = F.lit(int(max_len)).cast("long")
     packs = F.sequence(

@@ -1305,3 +1305,59 @@ def test_minhash_anti_join_sketched_incremental_gate(spark, tables, tmp_path):
         minhash_anti_join_sketched(
             batch2, mt.read(spark), threshold=0.7, num_perm=64, bands=16
         )
+
+
+def test_token_budget_sample_semantics(spark, tables):
+    """Token-budget draw: the admitted set is exactly the hash-order
+    prefix whose EXCLUSIVE token total stays under budget (take-until:
+    the last admitted doc may overshoot), NULL text counts 0, the cut
+    is layout-independent, and count_col budgets on precomputed
+    counts. budget <= 0 refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import token_budget_sample
+    from sclera_spark.llm.text import _tokens
+
+    docs = tables["documents"].select("doc_id", "text")
+    out = token_budget_sample(docs, budget=7_000, salt="s7")
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+
+    # reference cut: single-node exclusive prefix over (md5, id) order
+    rows = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("s7"), F.col("doc_id").cast("string"))).alias("h"),
+        F.coalesce(F.size(_tokens(F.col("text"))).cast("long"), F.lit(0)).alias("n"),
+    ).collect()
+    rows.sort(key=lambda r: (r.h, r.doc_id))
+    want, acc = [], 0
+    for r in rows:
+        if acc < 7_000:
+            want.append(r.doc_id)
+        acc += r.n
+    assert got == sorted(want)
+    # the budget genuinely cuts (non-vacuous) and overshoot is bounded
+    # by one document
+    assert 0 < len(got) < docs.count()
+    tot = (
+        docs.join(out.select("doc_id"), "doc_id")
+        .select(F.coalesce(F.size(_tokens(F.col("text"))), F.lit(0)).alias("n"))
+        .agg(F.sum("n")).first()[0]
+    )
+    max_doc = docs.select(
+        F.max(F.coalesce(F.size(_tokens(F.col("text"))), F.lit(0)))
+    ).first()[0]
+    assert tot >= 7_000 or len(got) == docs.count()
+    assert tot < 7_000 + max_doc
+
+    # layout independence: same cut under aggressive repartitioning
+    again = token_budget_sample(docs.repartition(17), budget=7_000, salt="s7")
+    assert sorted(r.doc_id for r in again.select("doc_id").collect()) == got
+
+    # count_col path: budget on precomputed counts
+    pre = docs.withColumn("n_pre", F.lit(100))
+    k = token_budget_sample(pre, budget=1_000, salt="s7", count_col="n_pre")
+    assert k.count() == 10  # exactly budget/100 docs admitted
+
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_sample(docs, budget=0)
