@@ -1669,6 +1669,54 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable contrast quality filter (llm/quality_ml): train on
+    even-doc_id documents vs a deterministically corrupted variant
+    (vowels struck, punctuation injected), score the HELD-OUT odd
+    half of both variants, output per-doc keep decisions. The oracle
+    is the PLANTED TRUTH itself (clean kept, corrupted dropped): a
+    hash-green row certifies the distributed weighted-LBFGS training
+    actually learns the contrast and the JVM-side scoring pipeline
+    separates a held-out split perfectly — not just that rows came
+    back. Iterative training is float-order sensitive in the 15th
+    decimal; the margin on this blatant contrast is ~4 orders of
+    magnitude, so the 0.5-threshold decisions are layout-stable."""
+    from sclera_spark.llm import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text").where(
+        "text IS NOT NULL AND length(text) > 100"
+    )
+    junk = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", r"[aeiouAEIOU]", "#"), r"\s", " !! "
+        ).alias("text"),
+    )
+    model = train_quality_classifier(
+        docs.where("doc_id % 2 = 0"),
+        junk.where("doc_id % 2 = 0"),
+        hash_dim=1 << 14,
+        max_iter=8,
+    )
+    held = (
+        docs.where("doc_id % 2 = 1").withColumn("variant", F.lit("clean"))
+        .unionByName(
+            junk.where("doc_id % 2 = 1").withColumn(
+                "variant", F.lit("corrupted")
+            )
+        )
+    )
+    return score_quality_classifier(held, model).select(
+        "doc_id",
+        "variant",
+        (F.col("quality_prob") > 0.5).alias("keep"),
+    )
+
+
 def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus draw (llm/sample.token_budget_sample): take
     documents in md5-salted order until the exclusive token prefix
@@ -2063,6 +2111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "crawl_gate_incr": _q_crawl_gate_incr,
             # r13: token-budget corpus draw (tail; oracle-bearing)
             "token_budget": _q_token_budget,
+            # r13: trainable contrast quality filter (tail;
+            # planted-truth oracle)
+            "quality_classifier": _q_quality_classifier,
         }
     )
     ordered = {n: out[n] for n in _WINDOW_ORDER}
@@ -3124,6 +3175,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 2 AS batch FROM documents
         WHERE doc_id % 3 = 2
           AND doc_id NOT IN (SELECT new_id FROM dups2)
+    """
+    # trainable quality filter: the oracle IS the planted truth — the
+    # held-out odd half of the clean variant must be kept, the
+    # corrupted variant dropped; certifies training+scoring learn the
+    # contrast, not merely that rows returned
+    oracles["quality_classifier"] = r"""
+        SELECT doc_id, 'clean' AS variant, TRUE AS keep
+        FROM documents WHERE text IS NOT NULL AND length(text) > 100
+          AND doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id, 'corrupted' AS variant, FALSE AS keep
+        FROM documents WHERE text IS NOT NULL AND length(text) > 100
+          AND doc_id % 2 = 1
     """
     # token-budget draw: the distributed exclusive prefix over the
     # md5-salted order must equal one global SQL window's cut. The

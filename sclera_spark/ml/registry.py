@@ -129,6 +129,51 @@ def _fit_voronoi(train: DataFrame, feature_cols: list[str], k: int) -> VoronoiMo
     return VoronoiModel(seeds, list(feature_cols))
 
 
+def _fit_text_logistic(train: DataFrame, label_col: str, text_col: str):
+    """Hashed-ngram logistic text classifier as ONE persistable
+    pyspark.ml pipeline: coalesce-NULL SQLTransformer -> RegexTokenizer
+    -> (unigram TF, bigram NGram TF) -> assembler -> logistic. The
+    SQLTransformer makes NULL text score like empty text instead of
+    NPE-ing the tokenizer; every stage survives PipelineModel
+    save/load, so the sidecar hydration path needs nothing new."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (
+        HashingTF,
+        NGram,
+        RegexTokenizer,
+        SQLTransformer,
+        VectorAssembler,
+    )
+
+    null_safe = SQLTransformer(
+        statement=(
+            f"SELECT *, coalesce(`{text_col}`, '') AS __txt FROM __THIS__"
+        )
+    )
+    tok = RegexTokenizer(
+        inputCol="__txt",
+        outputCol="__toks",
+        pattern=r"[^\p{L}\p{N}]+",
+        toLowercase=True,
+        minTokenLength=1,
+    )
+    bi = NGram(n=2, inputCol="__toks", outputCol="__bi")
+    tf_u = HashingTF(inputCol="__toks", outputCol="__f_u", numFeatures=1 << 17)
+    tf_b = HashingTF(inputCol="__bi", outputCol="__f_b", numFeatures=1 << 17)
+    asm = VectorAssembler(inputCols=["__f_u", "__f_b"], outputCol="__features")
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        regParam=1e-4,
+        maxIter=50,
+        standardization=False,
+    )
+    return Pipeline(stages=[null_safe, tok, bi, tf_u, tf_b, asm, lr]).fit(
+        train
+    )
+
+
 @dataclass
 class MLRegistry:
     """Named model store — the engine-side analogue of Sclera's ML object
@@ -154,6 +199,24 @@ class MLRegistry:
             # deterministic, SQL-recomputable threshold rule (StumpModel):
             # the oracle-able path — pyspark.ml below stays the general one
             self._store(name, _fit_stump(train, label_col, feature_cols), feature_cols)
+            return
+        if algorithm == "text_logistic":
+            # fastText/CCNet-style text classifier: the ONE feature
+            # column is raw text; the pipeline owns tokenization
+            # (hashed unigrams + bigrams -> weighted logistic), so
+            # `CLASSIFIED WITH` applies straight to a text column and
+            # the whole thing persists as one PipelineModel. All
+            # stages are JVM transforms — scoring is a map-only pass.
+            if len(feature_cols) != 1:
+                raise ValueError(
+                    "text_logistic takes exactly ONE feature column "
+                    f"(the text), got {feature_cols}"
+                )
+            self._store(
+                name,
+                _fit_text_logistic(train, label_col, feature_cols[0]),
+                feature_cols,
+            )
             return
         from pyspark.ml import Pipeline
         from pyspark.ml.classification import (

@@ -2139,6 +2139,8 @@ class DdlRouter:
         "logreg": "logistic", "logistic": "logistic",
         "forest": "random_forest", "random_forest": "random_forest",
         "stump": "stump", "kmeans": "kmeans", "voronoi": "voronoi",
+        "text": "text_logistic", "text_logistic": "text_logistic",
+        "fasttext": "text_logistic",
     }
 
     def _peel_ml_with(self, query: str, opts: str | None) -> tuple[str, dict]:
@@ -2162,12 +2164,26 @@ class DdlRouter:
     def _create_classifier(self, alg, opts, name, target, query):
         query, o = self._peel_ml_with(query, opts)
         df = self.engine.sql(query)
+        algorithm = self._ml_algorithm(o, alg, "decision_tree")
+        if algorithm == "text_logistic":
+            # the text classifier's feature is the RAW TEXT column —
+            # the numeric-feature picker would drop it
+            feats = [
+                c for c, t in df.dtypes if c != target and t == "string"
+            ]
+            if len(feats) != 1:
+                raise ValueError(
+                    "CREATE CLASSIFIER ('text') needs exactly ONE "
+                    f"string column besides the label, got {feats}"
+                )
+        else:
+            feats = self._ml_features(df, exclude=target)
         self.engine.ml.create_classifier(
             name,
             df,
             label_col=target,
-            feature_cols=self._ml_features(df, exclude=target),
-            algorithm=self._ml_algorithm(o, alg, "decision_tree"),
+            feature_cols=feats,
+            algorithm=algorithm,
             max_depth=int(o.get("max_depth", 5)),
         )
 

@@ -574,3 +574,52 @@ def test_describe_ml_lazy_and_stale_sidecar(spark, tables, tmp_path, monkeypatch
     assert desc["LAZY_STUMP"][3] == "StumpModel"  # listing survives
     eng3.execute("DROP CLASSIFIER lazy_tree")
     eng3.execute("DROP CLASSIFIER lazy_stump")
+
+
+def test_text_classifier_sql(engine, spark, tmp_path):
+    """CREATE CLASSIFIER ('text') over a RAW TEXT column: the pipeline
+    owns tokenization (hashed unigrams+bigrams -> logistic), so
+    CLASSIFIED WITH applies straight to text, NULL text scores like
+    empty text instead of erroring, the model persists/reloads through
+    the registry store, and held-out separation on a planted contrast
+    is near-perfect."""
+    rows = []
+    for i in range(200):
+        rows.append((i, 1, f"a perfectly normal sentence number {i} with "
+                           f"real words and ordinary structure"))
+        rows.append((i + 1000, 0, f"zz{i} !!! ### qq@@ ~~ {i}xx 0x{i} %%%"))
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    df.where("doc_id % 2 = 0").createOrReplaceTempView("txt_train")
+    df.where("doc_id % 2 = 1").createOrReplaceTempView("txt_held")
+    engine.execute(
+        "CREATE CLASSIFIER ('text') txtclf (label) USING "
+        "SELECT label, text FROM txt_train"
+    )
+    out = engine.sql(
+        "SELECT doc_id, label, pred FROM txt_held CLASSIFIED WITH txtclf (pred)"
+    ).toPandas()
+    assert len(out) == df.where("doc_id % 2 = 1").count()
+    acc = (out["label"] == out["pred"]).mean()
+    assert acc > 0.98, acc
+    # NULL text: scores (as empty), never raises
+    nulls = spark.createDataFrame(
+        [(9_000_001, None)], "doc_id long, text string"
+    )
+    nulls.createOrReplaceTempView("txt_nulls")
+    got = engine.sql(
+        "SELECT doc_id, pred FROM txt_nulls CLASSIFIED WITH txtclf (pred)"
+    ).collect()
+    assert len(got) == 1 and got[0]["pred"] is not None
+    # wrong arity refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="ONE"):
+        engine.execute(
+            "CREATE CLASSIFIER ('text') txtbad (label) USING "
+            "SELECT label, text, text AS t2 FROM txt_train"
+        )
+    # extra numeric columns are simply ignored (string col is the feature)
+    engine.execute(
+        "CREATE CLASSIFIER ('text') txtnum (label) USING "
+        "SELECT label, text, doc_id FROM txt_train"
+    )

@@ -1361,3 +1361,72 @@ def test_token_budget_sample_semantics(spark, tables):
 
     with pytest.raises(ValueError, match="budget"):
         token_budget_sample(docs, budget=0)
+
+
+def test_quality_classifier_contrast_training(spark, tables, tmp_path):
+    """CCNet/fastText-style contrast filter (llm/quality_ml): trained
+    to separate real corpus text from a corrupted variant, the model
+    must (a) separate a HELD-OUT split near-perfectly, (b) score
+    NULL/empty text NULL without dropping rows, (c) round-trip through
+    save/load, and (d) refuse an empty training side. Scoring is a
+    pure JVM pipeline transform (no Python in the path)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import (
+        load_quality_classifier,
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").where(
+        "text IS NOT NULL AND length(text) > 100"
+    )
+    # corrupted variant: strip vowels, inject punctuation runs — the
+    # blatant quality contrast a filter must learn
+    junk = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", r"[aeiouAEIOU]", "#"), r"\s", " !! "
+        ).alias("text"),
+    )
+    train_ref = docs.where("doc_id % 2 = 0")
+    train_junk = junk.where("doc_id % 2 = 0")
+    model = train_quality_classifier(
+        train_ref, train_junk, hash_dim=1 << 14, max_iter=20
+    )
+    held_ref = score_quality_classifier(docs.where("doc_id % 2 = 1"), model)
+    held_junk = score_quality_classifier(junk.where("doc_id % 2 = 1"), model)
+    n_ref = held_ref.count()
+    ref_right = held_ref.where("quality_prob > 0.5").count()
+    junk_right = held_junk.where("quality_prob < 0.5").count()
+    assert ref_right / n_ref > 0.98
+    assert junk_right / held_junk.count() > 0.98
+
+    # NULL/empty text: row kept, score NULL
+    odd = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "some genuinely normal text here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality_prob for r in score_quality_classifier(odd, model).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] is None and got[2] is None and got[3] is not None
+
+    # persistence round-trip scores identically
+    path = str(tmp_path / "qmodel")
+    model.save(path)
+    re = load_quality_classifier(path)
+    a = sorted(
+        (r.doc_id, round(r.quality_prob, 9))
+        for r in held_ref.collect()
+    )
+    b = sorted(
+        (r.doc_id, round(r.quality_prob, 9))
+        for r in score_quality_classifier(
+            docs.where("doc_id % 2 = 1"), re
+        ).collect()
+    )
+    assert a == b
+
+    with pytest.raises(ValueError, match="non-empty"):
+        train_quality_classifier(docs.limit(0), train_junk)
