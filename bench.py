@@ -249,6 +249,10 @@ BUDGETS = {
     # comparable to the r13 anchor): gate via SPARK_GRAFT_ONLY.
     # 2x observed sf0.1 mins (4.561 / 1.309, min-of-5)
     "semantic_dedup": 9.2, "ann_recall": 2.7,
+    # late-r13 additions (same regime; mins 5.03 / 0.50 / 5.37,
+    # min-of-5 on a stall-bursty host — see BASELINE.md)
+    "crawl_gate_incr": 10.1, "token_budget": 1.0,
+    "quality_classifier": 10.8,
 }
 
 # ~sf1 budget gate (r12 freeze, BASELINE.md "r12 ~sf1 freeze"):
