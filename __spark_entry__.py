@@ -3197,7 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
           SELECT doc_id,
                  COALESCE(CAST(length(list_filter(string_split_regex(
-                     regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                     regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
                      '\s+'), x -> x <> '')) AS BIGINT), 0) AS n,
                  md5(concat('tb1', CAST(doc_id AS VARCHAR))) AS h
           FROM documents
@@ -3215,7 +3215,7 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
           SELECT doc_id,
                  CAST(length(list_filter(string_split_regex(
-                     regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                     regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
                      '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
           FROM documents
         ), c AS (

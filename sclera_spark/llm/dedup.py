@@ -141,21 +141,28 @@ def minhash_dup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, jaccard >= threshold) via
     MinHash banding. Rows per band-bucket join only — the classic LSH
-    candidate generation; exact Jaccard over shingle sets verifies."""
+    candidate generation; exact Jaccard over shingle sets verifies.
+    ``sketch`` (a precomputed (id, minhash, hset) frame, caller-owned
+    lifetime) skips the sketch pass — the streaming crawl gate
+    sketches each batch once and threads it through its dedup, gate
+    and append steps."""
     rows_per_band = num_perm // bands
     # one sketch pass gives both the signature (for banding) and the hashed
     # shingle set (for verification); cached for the three reads below and
     # released before returning (the result is materialized first — a
     # leaked persist() accumulates executor storage across calls in a
     # long-lived session)
-    sketch = (
-        minhash_sketch(df, text_col, num_perm, shingle_k)
-        .select(F.col(id_col).alias("id"), "minhash", "hset")
-        .persist()
-    )
+    caller_owns_sketch = sketch is not None
+    if not caller_owns_sketch:
+        sketch = (
+            minhash_sketch(df, text_col, num_perm, shingle_k)
+            .select(F.col(id_col).alias("id"), "minhash", "hset")
+            .persist()
+        )
     # phase 1: candidates — only (id, band, band_hash) is exploded and
     # shuffled; shipping the shingle arrays through the band join measured
     # ~100s at sf0.1 from array serialization alone
@@ -221,7 +228,8 @@ def minhash_dup_pairs(
     )
     # materialize the (far smaller) pair set, then release the sketch cache
     result = result.localCheckpoint(eager=True)
-    sketch.unpersist()
+    if not caller_owns_sketch:
+        sketch.unpersist()
     return result
 
 
@@ -284,12 +292,17 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Drop near-duplicates, keeping exactly one row (the smallest id) per
     connected component of the dup-pair graph. Transitive clusters
     (A~B, B~C, A!~C) collapse to one survivor — the round-1 greedy
-    smaller-id drop kept no survivor for some orderings."""
-    pairs = minhash_dup_pairs(df, id_col, text_col, num_perm, bands, shingle_k, threshold)
+    smaller-id drop kept no survivor for some orderings. ``sketch``
+    passes through to :func:`minhash_dup_pairs` (caller-owned)."""
+    pairs = minhash_dup_pairs(
+        df, id_col, text_col, num_perm, bands, shingle_k, threshold,
+        sketch=sketch,
+    )
     comp = connected_components(pairs)
     losers = comp.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias(id_col)
@@ -498,6 +511,8 @@ def minhash_anti_join_sketched(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    corpus_id_col: str = "id",
+    new_sketch: DataFrame | None = None,
 ) -> DataFrame:
     """The INCREMENTAL crawl-ingest gate: :func:`minhash_anti_join`
     against a PRE-SKETCHED corpus — the 100 TB steady state, where the
@@ -509,9 +524,23 @@ def minhash_anti_join_sketched(
     are sketched; gate cost is O(|new| + matching buckets). Keep the
     corpus current by appending the SURVIVORS' sketches after each
     gate — :func:`minhash_sketch` on the returned frame, or reuse the
-    new-side sketch. ``num_perm`` must match the persisted sketch's
-    signature width (validated against one corpus row; a mismatched
-    sketch would silently band garbage)."""
+    new-side sketch. ``corpus_id_col`` names the sketch's UNIQUE
+    document id column (picking one positionally would silently fan
+    out the candidate fetch join on a non-unique column); ``num_perm``
+    must match the persisted sketch's signature width (validated
+    against one corpus row; a mismatched sketch would silently band
+    garbage). ``new_sketch`` (a precomputed (id, minhash, hset) frame
+    for the new side) skips the gate's own sketch pass — the streaming
+    committer sketches each batch exactly once and threads it
+    through."""
+    for c in (corpus_id_col, "minhash", "hset"):
+        if c not in corpus_sketch.columns:
+            raise ValueError(
+                f"corpus sketch is missing column {c!r} (have "
+                f"{corpus_sketch.columns}); produce it with "
+                "minhash_sketch(df).select(<id>, 'minhash', 'hset') "
+                "and/or pass corpus_id_col"
+            )
     probe = corpus_sketch.select(F.size("minhash").alias("w")).head(1)
     if probe and probe[0]["w"] != num_perm:
         raise ValueError(
@@ -519,20 +548,24 @@ def minhash_anti_join_sketched(
             f"but the gate was asked for num_perm={num_perm}; re-sketch "
             "the corpus or pass the matching num_perm"
         )
+    caller_owns_sketch = new_sketch is not None
     sk_new = (
-        minhash_sketch(new, text_col, num_perm, shingle_k)
+        new_sketch
+        if caller_owns_sketch
+        else minhash_sketch(new, text_col, num_perm, shingle_k)
         .select(F.col(id_col).alias("id"), "minhash", "hset")
         .persist()
     )
     sk_old = corpus_sketch.select(
-        F.col(corpus_sketch.columns[0]).alias("id"), "minhash", "hset"
+        F.col(corpus_id_col).alias("id"), "minhash", "hset"
     )
     try:
         return _minhash_anti_join_core(
             new, sk_new, sk_old, id_col, num_perm, bands, threshold
         )
     finally:
-        sk_new.unpersist()
+        if not caller_owns_sketch:
+            sk_new.unpersist()
 
 
 def _minhash_anti_join_core(

@@ -27,21 +27,16 @@ from pyspark.sql import functions as F
 def _with_terms(df: DataFrame, text_col: str) -> DataFrame:
     """JVM-side fastText-style terms: lowercased alnum tokens plus
     adjacent-token bigrams (word order signal a pure bag misses)."""
+    from sclera_spark.llm.text import _tokens
+
+    # the SHARED tokenizer (llm/text._tokens — one recipe across
+    # quality/packing/budget ops, so a fix there applies here too);
     # NULL text coalesces to '' BEFORE tokenizing: otherwise the NULL
     # propagates through both the scored and the empty-branch filters
     # and the row vanishes from the output entirely
-    toks = F.filter(
-        F.split(
-            F.regexp_replace(
-                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                r"[^\p{L}\p{N}\s]",
-                " ",
-            ),
-            r"\s+",
-        ),
-        lambda t: t != "",
+    d = df.withColumn(
+        "__toks", _tokens(F.coalesce(F.col(text_col), F.lit("")))
     )
-    d = df.withColumn("__toks", toks)
     bigrams = F.when(
         F.size("__toks") >= 2,
         F.zip_with(

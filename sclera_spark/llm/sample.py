@@ -177,12 +177,16 @@ def token_budget_sample(
     t = df.withColumn(
         "__h", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     )
-    n = (
-        F.col(count_col).cast("long")
-        if count_col is not None
-        else F.coalesce(
-            F.size(_tokens(F.col(text_col))).cast("long"), F.lit(0)
-        )
+    # NULL counts 0 on BOTH paths: a row whose count is NULL must ride
+    # along free, not vanish (an un-coalesced NULL poisons its own
+    # prefix and drops the row from the cut entirely)
+    n = F.coalesce(
+        (
+            F.col(count_col).cast("long")
+            if count_col is not None
+            else F.size(_tokens(F.col(text_col))).cast("long")
+        ),
+        F.lit(0),
     )
     t = t.withColumn("__n", n)
     g = global_prefix_sum(t, ["__h", id_col], "__n", out_col="__prior")

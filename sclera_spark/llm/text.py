@@ -53,14 +53,24 @@ def global_prefix_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = t.withColumn("_local_end", F.sum(val_col).over(w)).cache()
+    # localCheckpoint, not cache(): the frame is read twice (totals
+    # collect + the offset join) and must be consistent, but a df.cache
+    # entry is plan-keyed in the CacheManager and lives until an
+    # explicit unpersist — which no caller can issue before its
+    # downstream materializes — whereas checkpoint blocks are released
+    # by the ContextCleaner when the frame is garbage collected (no
+    # per-call storage leak in a long-lived session)
+    t = t.withColumn("_local_end", F.sum(val_col).over(w)).localCheckpoint(
+        eager=True
+    )
     # one row per RANGE partition; range partitions are ordered by key,
-    # so the exclusive prefix over pid order is the global carry
+    # so the exclusive prefix over pid order is the global carry.
+    # SUM of the values, not max(_local_end): a running cumsum over
+    # SIGNED values can peak before its end, and max would hand every
+    # later partition an inflated carry
     totals = {
         r["_pid"]: r["s"]
-        for r in t.groupBy("_pid")
-        .agg(F.max("_local_end").alias("s"))
-        .collect()
+        for r in t.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()
     }
     run = 0
     rows = []

@@ -1020,9 +1020,29 @@ def crawl_gate_committer(
         sketch_path, stream_id=stream_id
     )
 
+    def _foreign_watermark(path: str) -> None:
+        """Refuse a table whose batch watermark belongs to ANOTHER
+        stream: the gate pair's exactly-once story needs BOTH commits
+        scoped by THIS stream's watermark, and the committer's legacy
+        same-stream fallbacks (upgrade dedup for single-table sinks)
+        could otherwise silently no-op one side of the pair against a
+        foreign watermark — kept grows, sketch doesn't, and every
+        future near-dup of an already-kept doc is admitted."""
+        if not ManifestTable.exists(path):
+            return
+        meta = ManifestTable(path).meta()
+        if "stream_batch" in meta and meta.get("stream_id") != stream_id:
+            raise ValueError(
+                f"crawl gate table {path} carries a batch watermark "
+                f"from stream {meta.get('stream_id')!r} (this stream: "
+                f"{stream_id!r}); resume with the ORIGINAL checkpoint, "
+                "or point a new checkpoint at fresh tables"
+            )
+
     def commit_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        batch = bdf.localCheckpoint(eager=True)
+        # watermark checks FIRST: a fully-processed redelivered batch
+        # must be a pure metadata no-op, never pay the sketch jobs
         smt = None
         if ManifestTable.exists(sketch_path):
             smt = ManifestTable(sketch_path)
@@ -1032,24 +1052,42 @@ def crawl_gate_committer(
                 and batch_id <= meta.get("stream_batch", -1)
             ):
                 return  # fully processed (sketch commits last)
-        if within_batch:
-            batch = minhash_dedup(
-                batch, id_col, text_col, num_perm, bands, shingle_k,
-                threshold,
-            )
-        if smt is not None:
-            kept = minhash_anti_join_sketched(
-                batch, smt.read(spark), id_col, text_col, num_perm,
-                bands, shingle_k, threshold,
-            )
-        else:
-            kept = batch  # first batch IS the corpus seed
-        kept = kept.localCheckpoint(eager=True)
-        kept_commit(kept, batch_id)
-        sk = minhash_sketch(kept, text_col, num_perm, shingle_k).select(
-            F.col(id_col).alias("id"), "minhash", "hset"
+        _foreign_watermark(sketch_path)
+        _foreign_watermark(kept_path)
+        batch = bdf.localCheckpoint(eager=True)
+        # ONE sketch pass per batch, threaded through dedup, gate and
+        # append (each would otherwise re-run the pandas-UDF sketch —
+        # the dominant per-batch cost — over the same surviving text)
+        sk_batch = (
+            minhash_sketch(batch, text_col, num_perm, shingle_k)
+            .select(F.col(id_col).alias("id"), "minhash", "hset")
+            .persist()
         )
-        sketch_commit(sk, batch_id)
+        try:
+            if within_batch:
+                batch = minhash_dedup(
+                    batch, id_col, text_col, num_perm, bands, shingle_k,
+                    threshold, sketch=sk_batch,
+                )
+            if smt is not None:
+                kept = minhash_anti_join_sketched(
+                    batch, smt.read(spark), id_col, text_col, num_perm,
+                    bands, shingle_k, threshold,
+                    new_sketch=sk_batch.join(
+                        batch.select(F.col(id_col).alias("id")), "id",
+                        "left_semi",
+                    ),
+                )
+            else:
+                kept = batch  # first batch IS the corpus seed
+            kept = kept.localCheckpoint(eager=True)
+            kept_commit(kept, batch_id)
+            sk = sk_batch.join(
+                kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+            )
+            sketch_commit(sk, batch_id)
+        finally:
+            sk_batch.unpersist()
 
     return commit_batch
 

@@ -1430,3 +1430,50 @@ def test_quality_classifier_contrast_training(spark, tables, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty"):
         train_quality_classifier(docs.limit(0), train_junk)
+
+
+def test_token_budget_signed_and_null_counts(spark):
+    """r13 review pins on the shared prefix sum: a NULL precomputed
+    count rides along free (counts 0, row not dropped), and SIGNED
+    counts (credits) keep every later range-partition's carry exact —
+    the per-partition total must be the SUM, not the cumsum's PEAK."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import token_budget_sample
+    from sclera_spark.llm.text import global_prefix_sum
+
+    rows = [(i, None if i % 7 == 0 else 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = token_budget_sample(
+        df, budget=200, salt="sn", count_col="n", text_col="doc_id"
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    # single-node reference with NULL->0
+    import hashlib
+
+    ref = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(f"sn{r[0]}".encode()).hexdigest(),
+            r[0],
+        ),
+    )
+    want, acc = [], 0
+    for i, n in ref:
+        if acc < 200:
+            want.append(i)
+        acc += n or 0
+    assert got == sorted(want)
+    assert any(i % 7 == 0 for i in got)  # NULL rows ride along
+
+    # signed values: global exclusive prefix must match a single
+    # window regardless of range partitioning
+    vals = [(i, (-50 if i % 3 == 0 else 30)) for i in range(200)]
+    sdf = spark.createDataFrame(vals, "k long, v long")
+    g = global_prefix_sum(sdf.repartition(9), ["k"], "v", buckets=8)
+    got2 = {r.k: r._start for r in g.collect()}
+    acc, want2 = 0, {}
+    for k, v in sorted(vals):
+        want2[k] = acc
+        acc += v
+    assert got2 == want2

@@ -654,3 +654,30 @@ def test_crawl_gate_committer_redelivery_converges(spark, gdirs, monkeypatch):
     commit(b1, 1)
     assert ManifestTable(d["kept"]).version() == kept_v
     assert ManifestTable(d["sketch"]).version() == sk_v
+
+
+def test_crawl_gate_refuses_foreign_watermark(spark, gdirs):
+    """r13 review: a gate table carrying ANOTHER stream's batch
+    watermark must refuse loudly — the committer's legacy same-stream
+    fallbacks could otherwise silently no-op ONE side of the pair
+    (kept grows, sketch doesn't, future near-dups of kept docs are
+    admitted)."""
+    from sclera_spark.llm.dedup import minhash_sketch
+    from sclera_spark.streaming.ops import crawl_gate_committer
+
+    d = gdirs
+    seed = spark.createDataFrame([_doc(1, "alpha wolf")], _DOC_SCHEMA)
+    sk = minhash_sketch(seed, "text", 128, 5).selectExpr(
+        "doc_id AS id", "minhash", "hset"
+    )
+    ManifestTable.create(
+        sk, d["sketch"], meta={"stream_batch": 3, "stream_id": "other"}
+    )
+    commit = crawl_gate_committer(
+        d["sketch"], d["kept"], stream_id="mine", threshold=0.7
+    )
+    b = spark.createDataFrame([_doc(2, "beta fish")], _DOC_SCHEMA)
+    with pytest.raises(ValueError, match="watermark"):
+        commit(b, 0)
+    # nothing half-committed
+    assert not ManifestTable.exists(d["kept"])
