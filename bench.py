@@ -266,6 +266,11 @@ BUDGETS_SCALE10 = {
     "storage_meta_agg": 0.65, "storage_count_scan": 1.2,
     "cross_dedup": 12.5, "pack_sequences": 1.6,
     "span_dups": 19.5, "stream_upsert": 35.0,
+    # late-r13 ops (2.5x mins-of-3 on a stall-bursty host: 15.8 / 1.57
+    # / 9.0 — crawl gate and budget draw scale 3.1x for 10x docs,
+    # classifier near-flat; BASELINE.md "late-r13 ~sf1")
+    "crawl_gate_incr": 40.0, "token_budget": 4.0,
+    "quality_classifier": 22.5,
 }
 
 
