@@ -244,7 +244,12 @@ BUDGETS = {
     # EXPECTED locally — see BASELINE.md)
     "storage_range_probe": 0.2, "storage_range_probe_full": 0.16,
     "storage_meta_agg": 0.5, "storage_count_scan": 0.7,
-    "pack_sequences": 1.1, "cross_dedup": 4.6,
+    # pack_sequences: 2x its 0.543 anchor left only 5% headroom under a
+    # measured host-noise day where EVERY min ran 1.2-2x (late r13,
+    # BASELINE.md: old-vs-new interleaved A/B mins 1.25 / 1.06 on the
+    # same code-equivalent plans) — widened to keep the gate a
+    # regression detector, not a host-weather detector
+    "pack_sequences": 1.4, "cross_dedup": 4.6,
     # r13 additions, NOT in the default headline set (totals stay
     # comparable to the r13 anchor): gate via SPARK_GRAFT_ONLY.
     # 2x observed sf0.1 mins (4.561 / 1.309, min-of-5)
