@@ -1477,3 +1477,43 @@ def test_token_budget_signed_and_null_counts(spark):
         want2[k] = acc
         acc += v
     assert got2 == want2
+
+
+def test_token_budget_fuzz_vs_duckdb(spark, tables, duck):
+    """Fuzz the token-budget draw against DuckDB's single-window
+    restatement across budgets, salts and physical layouts — the same
+    compare the driver's oracle runs, at many more points. Every
+    config must match exactly (the md5 order and the tokenizer are
+    both engine/DuckDB-portable by construction)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import token_budget_sample
+
+    docs = tables["documents"].select("doc_id", "text")
+    rnd = random.Random(1303)
+    for _ in range(12):
+        budget = rnd.choice([1, 37, 500, 3_000, 12_000, 10**9])
+        salt = rnd.choice(["", "a", "zz9", "round13"])
+        parts = rnd.choice([1, 5, 17])
+        out = token_budget_sample(
+            docs.repartition(parts), budget=budget, salt=salt
+        ).select("doc_id")
+        sql = rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     COALESCE(CAST(length(list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]', ' ', 'g'),
+                         '\s+'), x -> x <> '')) AS BIGINT), 0) AS n,
+                     md5(concat('{salt}', CAST(doc_id AS VARCHAR))) AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     SUM(n) OVER (ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n AS prior
+              FROM t
+            )
+            SELECT doc_id FROM c WHERE prior < {budget}
+        """
+        assert_df_equal_duck(out, duck, sql)
