@@ -1710,10 +1710,15 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # coalesce: a corrupted doc whose text tokenizes to ZERO terms
+    # (vowel-striking can empty a short all-vowel token stream) scores
+    # quality_prob NULL by design (score_quality_classifier refuses to
+    # guess on featureless rows); the planted truth demands keep=FALSE
+    # there, and "no scoreable features" IS a drop in a real pipeline.
     return score_quality_classifier(held, model).select(
         "doc_id",
         "variant",
-        (F.col("quality_prob") > 0.5).alias("keep"),
+        F.coalesce(F.col("quality_prob") > 0.5, F.lit(False)).alias("keep"),
     )
 
 
@@ -2150,10 +2155,9 @@ _WINDOW_ORDER = [
     # (row_sources and star_except, both re-certified r10, demote to
     # the tail in exchange)
     "delta_roundtrip", "stream_upsert",
-    # r11 rotation: the ML trio + transform_zscore, re-certified r11 —
-    # kept one more round
-    "classified_with", "clustered_with", "imputed_with",
-    "transform_zscore",
+    # (r14: the ML trio + transform_zscore, certified r11+r12+r13,
+    # demoted to the tail in exchange for the four r13-built entries —
+    # see the r14 rotation note below)
     # r12 rotation (VERDICT r11 #8): the entries whose last driver
     # certification is OLDEST (r10: q3_shipping, q5_local_supplier,
     # join_variants, outer_joins, row_sources, star_except, plus
@@ -2175,6 +2179,16 @@ _WINDOW_ORDER = [
     # every tools/check_entry sweep. No oracle entry's certification
     # ages past two rounds.
     "ann_recall", "setops", "conditionals", "scalar_math",
+    # r14 rotation (VERDICT r13 task 2): the four r13-built entries
+    # that were tail-only — judge-verified via tools/check_entry but
+    # never driver-certified — promote into the graded window
+    # (crawl_gate_incr, token_budget, quality_classifier,
+    # stream_dedup). In exchange the ML trio + transform_zscore,
+    # certified in r11, r12 AND r13 (thrice), demote to the tail —
+    # each keeps its ml-registry pytest suite and every
+    # tools/check_entry sweep.
+    "crawl_gate_incr", "token_budget", "quality_classifier",
+    "stream_dedup",
 ]
 
 

@@ -989,9 +989,14 @@ class _Handler(socketserver.BaseRequestHandler):
     # tokens the FROM-list state machine walks: identifiers + the three
     # structural characters that change table-position context
     _TOK_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*|[(),]")
-    # clause keywords that END a FROM list's table-position context
+    # clause keywords that END a FROM list's table-position context.
+    # `using` is NOT here (r13 ADVICE): pg's USING introduces table
+    # references in `MERGE INTO t USING src` and `DELETE FROM t USING
+    # a, b` — it enters table position like FROM/JOIN below. The
+    # join-column form `JOIN x USING (k)` stays safe: the `(` pushes a
+    # non-FROM paren scope, so the column names inside never match.
     _CLAUSE_BREAK = frozenset(
-        "where group order having limit offset on using select set "
+        "where group order having limit offset on select set "
         "values window qualify when then case end union intersect "
         "except fetch".split()
     )
@@ -1048,6 +1053,13 @@ class _Handler(socketserver.BaseRequestHandler):
                 expect = True
                 continue
             if low == "join":
+                in_from[-1] = True
+                expect = True
+                continue
+            if low == "using":
+                # MERGE INTO t USING src / DELETE FROM t USING a, b:
+                # table position. (JOIN ... USING (cols) immediately
+                # opens a paren scope, which neutralizes this.)
                 in_from[-1] = True
                 expect = True
                 continue

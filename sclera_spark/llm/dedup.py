@@ -541,13 +541,29 @@ def minhash_anti_join_sketched(
                 "minhash_sketch(df).select(<id>, 'minhash', 'hset') "
                 "and/or pass corpus_id_col"
             )
-    probe = corpus_sketch.select(F.size("minhash").alias("w")).head(1)
-    if probe and probe[0]["w"] != num_perm:
-        raise ValueError(
-            f"corpus sketch has {probe[0]['w']}-wide minhash signatures "
-            f"but the gate was asked for num_perm={num_perm}; re-sketch "
-            "the corpus or pass the matching num_perm"
-        )
+    # width validation rides IN the band scan itself (zero extra Spark
+    # jobs — the old head(1) probe cost a corpus/manifest scan per
+    # micro-batch in the streaming committer AND only checked one row,
+    # so a mixed-width mis-appended sketch table could still pass):
+    # every corpus row's signature width is asserted as its minhash is
+    # read; a mismatch fails the gate loudly mid-scan.
+    corpus_sketch = corpus_sketch.withColumn(
+        "minhash",
+        F.when(F.size("minhash") == num_perm, F.col("minhash")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "corpus sketch minhash signature width "
+                    ),
+                    F.size("minhash").cast("string"),
+                    F.lit(
+                        f" != num_perm={num_perm}; re-sketch the corpus "
+                        "or pass the matching num_perm"
+                    ),
+                )
+            )
+        ),
+    )
     caller_owns_sketch = new_sketch is not None
     sk_new = (
         new_sketch

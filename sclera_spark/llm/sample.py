@@ -174,6 +174,15 @@ def token_budget_sample(
 
     if budget <= 0:
         raise ValueError("budget must be positive")
+    # exported surface over arbitrary caller frames: refuse loudly on
+    # a collision with the internal working columns instead of
+    # silently overwriting and then dropping the caller's data
+    clash = {"__h", "__n", "__prior"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "token_budget_sample: input columns collide with internal "
+            f"working columns {sorted(clash)}; rename them first"
+        )
     t = df.withColumn(
         "__h", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     )

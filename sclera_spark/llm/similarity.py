@@ -55,6 +55,82 @@ def cosine_topk(
     )
 
 
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    sim_col: str = "cosine",
+) -> DataFrame:
+    """Top-k rows per query over a pre-scored (query_id, id, sim)
+    frame, in two window phases so the heavy phase parallelizes over
+    (input partition x query) keys instead of bottlenecking on the
+    handful of query ids: phase 1 takes the LOCAL top-k within each
+    original partition (spark_partition_id is projected before the
+    exchange, so the key space is partitions x queries), phase 2
+    ranks the surviving k x n_partitions rows per query — a tiny
+    set. Ties break on id for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    loc = scored.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("__pid", query_id_col).orderBy(
+        F.col(sim_col).desc(), F.col(id_col)
+    )
+    pruned = (
+        loc.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__pid")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col(sim_col).desc(), F.col(id_col)
+    )
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def cosine_topk_multi(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for MANY query vectors in ONE distributed
+    pass — the multi-query serving shape (r13 VERDICT task 4: a
+    single-query recall probe is a thin certificate). The query set
+    (small, driver-held) compiles into the plan as a literal array of
+    (qid, qv, 1/|qv|) structs — broadcast-free; every row explodes
+    against all queries (the scan is shared), scoring stays inside
+    codegen, and :func:`topk_per_query` keeps the shuffle parallel.
+    Output: (query_id, id, cosine), k rows per query."""
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("qid"),
+                F.array(*[F.lit(float(x)) for x in qv]).alias("qv"),
+                F.lit(math.sqrt(sum(x * x for x in qv))).alias("qn"),
+            )
+            for qid, qv in queries
+        ]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col), v.alias("__v"), F.explode(qarr).alias("__q")
+    ).select(
+        F.col("__q.qid").alias(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col("__v"), F.col("__q.qv"))
+            / (_norm(F.col("__v")) * F.col("__q.qn"))
+        ).alias("cosine"),
+    )
+    return topk_per_query(scored, k, query_id_col, id_col)
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     rnd = random.Random(seed)
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]

@@ -42,6 +42,16 @@ def global_prefix_sum(
     carry pattern shared by sequence packing and the token-budget
     sampler. Output: the input columns plus ``out_col``."""
     spark = df.sparkSession
+    # exported surface, called on arbitrary caller frames: refuse
+    # loudly on a name collision instead of silently overwriting and
+    # then dropping the caller's _pid/_local_end/_off data
+    internal = {"_pid", "_local_end", "_off"}
+    clash = (internal & set(df.columns)) | (internal & {out_col})
+    if clash:
+        raise ValueError(
+            "global_prefix_sum: input columns collide with internal "
+            f"working columns {sorted(clash)}; rename them first"
+        )
     n_b = buckets or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )

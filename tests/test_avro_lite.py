@@ -207,10 +207,79 @@ def test_vendored_fixture_bytes_decode(tmp_path):
         os.path.join(fixdir, "manifest_list_deletes.avro")
     )
     assert dele[0]["content"] == 1
-    with pytest.raises(AvroLiteError, match="snappy"):
+    # r14: snappy DECODES (pure-Python raw-block decoder, CRC32
+    # verified) — snappy-java's bytes are the canonical vector; the
+    # snappy list must yield the identical records as the null-codec one
+    snap = avro_lite.read_file(
+        os.path.join(fixdir, "manifest_list_snappy.avro")
+    )
+    assert snap == mlist
+    # the full-snappy chain: a snappy manifest's entries match the
+    # deflate manifest's (multi-record blocks exercise back-references
+    # across the repetitive entry structs)
+    snap_entries = avro_lite.read_file(
+        os.path.join(fixdir, "m1_snappy.avro")
+    )
+    assert snap_entries == entries
+    allsnap = avro_lite.read_file(
+        os.path.join(fixdir, "manifest_list_allsnappy.avro")
+    )
+    assert [r["manifest_path"] for r in allsnap] == ["metadata/m1_snappy.avro"]
+    # zstd stays a NAMED refusal (avro.codec metadata spells it
+    # 'zstandard' — the Avro spec name, which the Java encoder writes)
+    with pytest.raises(AvroLiteError, match="zstandard"):
         avro_lite.read_file(
-            os.path.join(fixdir, "manifest_list_snappy.avro")
+            os.path.join(fixdir, "manifest_list_zstd.avro")
         )
+
+
+def test_snappy_hostile_input_refuses():
+    """The snappy decoder refuses corrupt/hostile blocks loudly:
+    CRC mismatch, out-of-range copy offsets, truncated literals,
+    preamble/output length mismatch, and length-bomb preambles — and
+    round-trips overlapping-copy (RLE) encodings correctly."""
+    import struct
+    import zlib as _zlib
+
+    from sclera_spark.sources.avro_lite import (
+        AvroLiteError,
+        _decompress,
+        _snappy_decompress,
+    )
+
+    # hand-built valid block: literal 'abcd' + overlapping copy
+    # (offset 2, len 6) -> abcd + cdcdcd (byte-wise RLE semantics)
+    body = bytes([10]) + b"\x0c" + b"abcd" + bytes([(2 << 2) | 1, 2])
+    assert _snappy_decompress(body) == b"abcdcdcdcd"
+    # through the Avro codec layer: CRC verified
+    crc = struct.pack(">I", _zlib.crc32(b"abcdcdcdcd") & 0xFFFFFFFF)
+    assert _decompress("snappy", body + crc) == b"abcdcdcdcd"
+    with pytest.raises(AvroLiteError, match="CRC32"):
+        _decompress("snappy", body + b"\x00\x00\x00\x00")
+    with pytest.raises(AvroLiteError, match="trailer"):
+        _decompress("snappy", b"\x01\x00")
+    # copy offset past the produced output
+    with pytest.raises(AvroLiteError, match="offset out of range"):
+        _snappy_decompress(bytes([6]) + b"\x04ab" + bytes([(3 << 2) | 1, 9]))
+    # zero offset
+    with pytest.raises(AvroLiteError, match="offset out of range"):
+        _snappy_decompress(bytes([6]) + b"\x04ab" + bytes([(3 << 2) | 1, 0]))
+    # truncated literal
+    with pytest.raises(AvroLiteError, match="literal truncated"):
+        _snappy_decompress(bytes([4]) + b"\x0cab")
+    # output shorter than preamble claims
+    with pytest.raises(AvroLiteError, match="preamble claims"):
+        _snappy_decompress(bytes([9]) + b"\x0c" + b"abcd")
+    # output exceeding preamble
+    with pytest.raises(AvroLiteError, match="exceeds"):
+        _snappy_decompress(bytes([2]) + b"\x0c" + b"abcd")
+    # length-bomb preamble refuses before allocating
+    bomb = b"\xff\xff\xff\xff\x0f"  # ~4 GiB claim
+    with pytest.raises(AvroLiteError, match="cap"):
+        _snappy_decompress(bomb)
+    # overlong varint
+    with pytest.raises(AvroLiteError, match="overlong"):
+        _snappy_decompress(b"\x80\x80\x80\x80\x80\x80\x01")
 
 
 def test_hostile_counts_and_sizes_refuse():

@@ -150,6 +150,10 @@ def _stage_fixture_table(tmp_path, spark, manifest_list="manifest_list.avro"):
         t / "metadata" / "snap-77.avro",
     )
     shutil.copy(os.path.join(_FIXDIR, "m1.avro"), t / "metadata" / "m1.avro")
+    shutil.copy(
+        os.path.join(_FIXDIR, "m1_snappy.avro"),
+        t / "metadata" / "m1_snappy.avro",
+    )
     for name, lo, hi in (("f1.parquet", 0, 30), ("f2.parquet", 100, 110)):
         spark.range(lo, hi).selectExpr(
             "id AS k", "CAST(id AS STRING) AS v"
@@ -189,16 +193,35 @@ def test_vendored_real_avro_delete_manifest_refuses(spark, tmp_path):
 
 
 @pytest.mark.skipif(
-    HAVE_FASTAVRO, reason="fastavro may read snappy via python-snappy"
+    HAVE_FASTAVRO, reason="fastavro may read zstd via a zstandard lib"
 )
 def test_unsupported_codec_refuses_by_name(spark, tmp_path):
-    """avro_lite refuses a snappy-coded container LOUDLY, naming the
-    codec — never silently skipping the manifest."""
+    """avro_lite refuses a zstd-coded container LOUDLY, naming the
+    codec (the Avro spec name 'zstandard') — never silently skipping
+    the manifest. (snappy decodes natively as of r14.)"""
     t = _stage_fixture_table(
-        tmp_path, spark, manifest_list="manifest_list_snappy.avro"
+        tmp_path, spark, manifest_list="manifest_list_zstd.avro"
     )
-    with pytest.raises(IcebergImportUnsupported, match="snappy"):
+    with pytest.raises(IcebergImportUnsupported, match="zstandard"):
         ice.snapshot_data_files(ice.load_table_metadata(t), t)
+
+
+def test_vendored_real_avro_full_snappy_import(spark, tmp_path):
+    """The full-snappy chain — snappy manifest list pointing at a
+    snappy manifest (the most common Iceberg encoding in the wild) —
+    imports end to end through the pure-Python snappy decoder, byte-
+    identical rows to the null/deflate chain."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_allsnappy.avro"
+    )
+    dest = str(tmp_path / "imported_snappy")
+    mt = ManifestTable.import_iceberg(t, dest)
+    rows = sorted((r.k, r.v) for r in mt.read(spark).collect())
+    assert rows == [
+        (i, str(i)) for i in list(range(30)) + list(range(100, 110))
+    ]
 
 
 # ---- full import: runs wherever fastavro is installed ----
@@ -311,7 +334,7 @@ def test_full_iceberg_import_end_to_end(spark, tmp_path):
 
 
 @pytest.mark.skipif(
-    HAVE_FASTAVRO, reason="fastavro may read snappy via python-snappy"
+    HAVE_FASTAVRO, reason="fastavro may read zstd via a zstandard lib"
 )
 def test_ddl_surface_routes_and_refuses_loudly(spark, tmp_path):
     """The statement parses, resolves the JSON + Avro layers, and
@@ -321,9 +344,9 @@ def test_ddl_surface_routes_and_refuses_loudly(spark, tmp_path):
 
     engine = ScleraEngine(spark)
     t = _stage_fixture_table(
-        tmp_path, spark, manifest_list="manifest_list_snappy.avro"
+        tmp_path, spark, manifest_list="manifest_list_zstd.avro"
     )
-    with pytest.raises(IcebergImportUnsupported, match="snappy"):
+    with pytest.raises(IcebergImportUnsupported, match="zstandard"):
         engine.execute(f"CREATE TABLE icetab FROM ICEBERG '{t}'")
     assert "icetab" not in engine.ddl().managed
 

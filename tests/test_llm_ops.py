@@ -1300,11 +1300,21 @@ def test_minhash_anti_join_sketched_incremental_gate(spark, tables, tmp_path):
     # the planted batch-1 near-copies were rejected (non-vacuous gate)
     assert not [i for i in got2 if i >= 5_000_000]
 
-    # width mismatch refuses loudly
-    with pytest.raises(ValueError, match="num_perm"):
+    # width mismatch refuses loudly — in the band scan itself (r14:
+    # the eager head(1) probe cost a corpus scan per call and checked
+    # ONE row; the in-band guard validates every row for free)
+    with pytest.raises(Exception, match="num_perm"):
         minhash_anti_join_sketched(
             batch2, mt.read(spark), threshold=0.7, num_perm=64, bands=16
-        )
+        ).count()
+    # a MIXED-width (mis-appended) sketch table also fails loudly,
+    # even though its first row has the right width — the case the
+    # single-row probe could not catch
+    mt.append(sk(corpus.limit(2)).withColumn("minhash", F.slice("minhash", 1, 64)))
+    with pytest.raises(Exception, match="num_perm"):
+        minhash_anti_join_sketched(
+            batch2, mt.read(spark), threshold=0.7, num_perm=128, bands=16
+        ).count()
 
 
 def test_token_budget_sample_semantics(spark, tables):
@@ -1477,6 +1487,32 @@ def test_token_budget_signed_and_null_counts(spark):
         want2[k] = acc
         acc += v
     assert got2 == want2
+
+
+def test_prefix_sum_internal_column_collision_refuses(spark):
+    """r13 ADVICE pin: global_prefix_sum and token_budget_sample are
+    exported surface over arbitrary caller frames — a caller column
+    named _pid/_local_end/_off (or __h/__n/__prior) must refuse
+    loudly, not be silently overwritten and dropped."""
+    import pytest
+
+    from sclera_spark.llm import token_budget_sample
+    from sclera_spark.llm.text import global_prefix_sum
+
+    df = spark.createDataFrame([(1, 2, 3)], "k long, v long, _pid long")
+    with pytest.raises(ValueError, match="_pid"):
+        global_prefix_sum(df, ["k"], "v")
+    df2 = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="_local_end"):
+        global_prefix_sum(df2, ["k"], "v", out_col="_local_end")
+    df3 = spark.createDataFrame(
+        [(1, "a b", "x")], "doc_id long, text string, __prior string"
+    )
+    with pytest.raises(ValueError, match="__prior"):
+        token_budget_sample(df3, budget=10)
+    # clean frames still work (collision check must not false-positive)
+    ok = global_prefix_sum(df2, ["k"], "v")
+    assert ok.collect()[0]._start == 0
 
 
 def test_token_budget_fuzz_vs_duckdb(spark, tables, duck):

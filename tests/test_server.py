@@ -765,6 +765,67 @@ def test_txn_merge_read_your_own_writes(server):
         c.close()
 
 
+def test_txn_merge_using_bare_table_ryow(server):
+    """r13 ADVICE: a BARE table after MERGE's USING (no subquery
+    wrapper) is a table reference — `MERGE INTO t USING t AS s` must
+    read the transaction's buffered overlay of t, and `MERGE INTO a
+    USING b` must read the same txn's buffered writes to b. Before the
+    fix `using` broke the FROM-list scanner's table-position state, so
+    both silently read the published snapshot."""
+    c = connect(server)
+    c.execute("CREATE TABLE wub AS SELECT 1 AS k, 'a' AS v")
+    c.execute("ALTER TABLE wub SET FORMAT MANIFEST")
+    c.execute(
+        "CREATE TABLE wub2 AS SELECT 1 AS k, 'A' AS nv UNION ALL SELECT 9, 'I'"
+    )
+    c.execute("ALTER TABLE wub2 SET FORMAT MANIFEST")
+    try:
+        other = connect(server)
+        # self-reference: USING wub AS s sees the staged insert (2,'b'),
+        # so matching on k+1 updates row 1... build it so the staged
+        # row itself drives the match: source = wub shifted by +1 key
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wub VALUES (2, 'b')")
+        tag = c.execute(
+            "MERGE INTO wub t USING wub AS s ON t.k = s.k + 1 "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1, s.v)"
+        )[2]
+        # staged (2,'b') appears on BOTH sides: row 2 matches source
+        # row (1,'a') -> v='a'; source row (2,'b') has no target k=3 ->
+        # inserts (3,'b'). Published-snapshot USING would see only
+        # (1,'a') and produce MERGE 1.
+        assert tag == "MERGE 2"
+        _, rows, _ = c.execute("SELECT k, v FROM wub ORDER BY k")
+        assert rows == [("1", "a"), ("2", "a"), ("3", "b")]
+        c.execute("ROLLBACK")
+        assert _count(c, "SELECT count(*) AS n FROM wub") == 1
+
+        # cross-table: USING wub2 (bare) sees this txn's buffered
+        # UPDATE of wub2; snapshot-read would write 'A' not 'Z'
+        c.execute("BEGIN")
+        assert c.execute("UPDATE wub2 SET nv = 'Z' WHERE k = 1")[2] == "UPDATE 1"
+        tag = c.execute(
+            "MERGE INTO wub t USING wub2 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv"
+        )[2]
+        assert tag == "MERGE 1"
+        _, rows, _ = c.execute("SELECT v FROM wub WHERE k = 1")
+        assert rows == [("Z",)]
+        c.execute("ROLLBACK")
+        # other sessions never saw any of it
+        assert _count(other, "SELECT count(*) AS n FROM wub") == 1
+        other.close()
+    finally:
+        try:
+            c.execute("ROLLBACK")
+        except Exception:
+            pass
+        c.execute("DROP TABLE wub")
+        c.execute("DROP TABLE wub2")
+        c.close()
+
+
 def test_txn_partitioned_import_read_your_own_writes(server, spark, tmp_path):
     """late r12: partitioned Delta imports participate in
     read-your-own-writes too — staged parts carry the partition

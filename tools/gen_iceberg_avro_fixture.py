@@ -141,6 +141,10 @@ def main() -> None:
             dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
         elif codec == "snappy":
             dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+        elif codec == "zstd":
+            dfw.setCodec(
+                jvm.org.apache.avro.file.CodecFactory.zstandardCodec(3)
+            )
         dfw.create(schema, jvm.java.io.File(os.path.join(OUT, path)))
         for row in rows:
             dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
@@ -226,13 +230,41 @@ def main() -> None:
         MANIFEST_LIST_SCHEMA,
         [mlist_rec("metadata/m1.avro", content=1)],
     )
-    # a snappy-coded list: avro_lite refuses it BY NAME (fastavro envs
-    # can read it — the refusal is codec-availability, not corruption)
+    # a snappy-coded list (r14: avro_lite now DECODES snappy via the
+    # pure-Python raw-block decoder; snappy-java's bytes are the
+    # canonical test vector)
     write_avro(
         "manifest_list_snappy.avro",
         MANIFEST_LIST_SCHEMA,
         [mlist_rec("metadata/m1.avro")],
         codec="snappy",
+    )
+    # the full-snappy chain (the common layout in the wild): a snappy
+    # list pointing at a snappy manifest — exercises multi-record
+    # snappy blocks with back-references across the repetitive entries
+    write_avro(
+        "m1_snappy.avro",
+        MANIFEST_SCHEMA,
+        [
+            entry("data/f1.parquet", status=1, rows=30),
+            entry("data/f2.parquet", status=1, rows=10),
+            entry("data/gone.parquet", status=2, rows=5),
+        ],
+        codec="snappy",
+    )
+    write_avro(
+        "manifest_list_allsnappy.avro",
+        MANIFEST_LIST_SCHEMA,
+        [mlist_rec("metadata/m1_snappy.avro")],
+        codec="snappy",
+    )
+    # a zstd-coded list: avro_lite refuses it BY NAME (the refusal is
+    # codec-availability, not corruption — zstd needs a third-party lib)
+    write_avro(
+        "manifest_list_zstd.avro",
+        MANIFEST_LIST_SCHEMA,
+        [mlist_rec("metadata/m1.avro")],
+        codec="zstd",
     )
     spark.stop()
     for f in sorted(os.listdir(OUT)):
