@@ -674,6 +674,87 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query ANN recall floor (r13 VERDICT task 4: one query
+    vector is a thin certificate for the ANN tier). Eight query
+    vectors (vec_id < 8) sweep the deterministic-IVF probe search in
+    ONE shared scan — queries compile into the plan as literals, every
+    vector scores against all eight inside codegen, and the per-query
+    top-10 resolves through the two-phase window (partition-local
+    top-k, then a tiny global rank) so the shuffle parallelizes over
+    partitions x queries, not eight keys. Output: per-query
+    recall@10 vs the exact cosine top-10 — the DuckDB oracle
+    recomputes all eight, so hash-green certifies the whole sweep."""
+    from sclera_spark.llm import cosine_topk_multi, semantic_seeds, topk_per_query
+    from sclera_spark.llm.similarity import _dot, _norm, ivf_assign
+
+    eng = _engine(spark, sf_dir)
+    emb = eng.table("embeddings")
+    qrows = emb.where("vec_id < 8").select("vec_id", "embedding").collect()
+    queries = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    )
+    seeds = semantic_seeds(emb, 16, "embedding")
+    import math
+
+    def _probes(qv):
+        order = sorted(
+            range(len(seeds)),
+            key=lambda i: (
+                sum((a - b) * (a - b) for a, b in zip(qv, seeds[i])),
+                i,
+            ),
+        )
+        return order[:4]
+
+    exact = cosine_topk_multi(emb, queries, k=10).select("query_id", "vec_id")
+    # one literal struct per query: (qid, qv, |qv|, probed lists) —
+    # the assignment pass is shared, the probe filter is per query
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("qid"),
+                F.array(*[F.lit(x) for x in qv]).alias("qv"),
+                F.lit(math.sqrt(sum(x * x for x in qv))).alias("qn"),
+                F.array(*[F.lit(p) for p in _probes(qv)]).alias("lists"),
+            )
+            for qid, qv in queries
+        ]
+    )
+    v = F.col("embedding").cast("array<double>")
+    cand = (
+        ivf_assign(emb, seeds)
+        .select("vec_id", v.alias("__v"), "ivf_list", F.explode(qarr).alias("__q"))
+        .where(F.array_contains(F.col("__q.lists"), F.col("ivf_list")))
+        .select(
+            F.col("__q.qid").alias("query_id"),
+            "vec_id",
+            (
+                _dot(F.col("__v"), F.col("__q.qv"))
+                / (_norm(F.col("__v")) * F.col("__q.qn"))
+            ).alias("cosine"),
+        )
+    )
+    ann = topk_per_query(cand, 10).select("query_id", "vec_id")
+    hits = (
+        ann.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in queries], "query_id int"
+    )
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.lit(10).alias("k"),
+        F.lit(4).alias("nprobe"),
+        F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+        (F.coalesce(F.col("hits"), F.lit(0).cast("long")) / F.lit(10.0)).alias(
+            "recall"
+        ),
+    )
+
+
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (llm/similarity.pq_train/encode/topk —
     Jegou 2011): embeddings compress to 8 small ints (codebooks trained
@@ -2119,6 +2200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # r13: trainable contrast quality filter (tail;
             # planted-truth oracle)
             "quality_classifier": _q_quality_classifier,
+            # r14: multi-query ANN recall sweep (VERDICT r13 task 4)
+            "ann_recall_sweep": _q_ann_recall_sweep,
         }
     )
     ordered = {n: out[n] for n in _WINDOW_ORDER}
@@ -2147,7 +2230,9 @@ _WINDOW_ORDER = [
     "stream_sessionize",
     "stream_match_state", "labeled_fn_sql", "align_zip",
     "match_alternation", "multimodal_features", "multimodal_pixels",
-    "asof_join", "range_join", "incr_rollup",
+    "range_join", "incr_rollup",
+    # (r14: asof_join, certified r10-r13, demoted in exchange for
+    # ann_recall_sweep — see the r14 notes below)
     # r9/r10 additions, driver-certified r10 — kept one more round
     "table_changes", "pack_sequences", "cross_dedup", "mixture_sample",
     "schema_evolution",
@@ -2189,6 +2274,12 @@ _WINDOW_ORDER = [
     # tools/check_entry sweep.
     "crawl_gate_incr", "token_budget", "quality_classifier",
     "stream_dedup",
+    # r14: ann_recall_sweep is NEW (multi-query recall floor, VERDICT
+    # r13 task 4 — never driver-graded, promoted immediately); in
+    # exchange asof_join (certified r10+r11+r12+r13, the longest
+    # streak in the window) demotes to the tail, keeping its fuzz
+    # family (test_fuzz_asof.py) and every tools/check_entry sweep.
+    "ann_recall_sweep",
 ]
 
 
@@ -2451,6 +2542,69 @@ def oracle_sql() -> dict[str, str]:
         h AS (SELECT count(*) AS hits
               FROM ann JOIN exact USING (vec_id))
         SELECT 10 AS k, 4 AS nprobe, hits, hits / 10.0 AS recall FROM h
+    """
+    # r14: the multi-query sweep — same deterministic-IVF conventions
+    # as ann_recall (lexicographic seeds, shared nearest-centroid
+    # argmin, 4 nearest probes), restated per query for all eight
+    oracles["ann_recall_sweep"] = """
+        WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY s) - 1 AS seed_id, s
+          FROM (SELECT DISTINCT embedding AS s FROM embeddings
+                WHERE embedding IS NOT NULL
+                ORDER BY embedding LIMIT 16)
+        ),
+        qs AS (SELECT CAST(vec_id AS INTEGER) AS qid,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+        probes AS (
+          SELECT qid, seed_id FROM (
+            SELECT q.qid, s.seed_id,
+                   row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_sum(list_transform(
+                          list_zip(q.qv, s.s::DOUBLE[]),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                        s.seed_id) AS pr
+            FROM qs q CROSS JOIN seeds s)
+          WHERE pr <= 4
+        ),
+        asg AS (
+          SELECT e.vec_id, e.embedding, s.seed_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_sum(list_transform(
+                        list_zip(e.embedding::DOUBLE[], s.s::DOUBLE[]),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                      s.seed_id) AS rn
+          FROM embeddings e CROSS JOIN seeds s
+        ),
+        ann AS (
+          SELECT p.qid, a.vec_id,
+                 row_number() OVER (PARTITION BY p.qid
+                    ORDER BY list_cosine_similarity(
+                        a.embedding::DOUBLE[], q.qv) DESC,
+                      a.vec_id) AS rn
+          FROM (SELECT vec_id, embedding, seed_id FROM asg WHERE rn = 1) a
+          JOIN probes p ON a.seed_id = p.seed_id
+          JOIN qs q ON q.qid = p.qid
+        ),
+        exact AS (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                    ORDER BY list_cosine_similarity(
+                        e.embedding::DOUBLE[], q.qv) DESC,
+                      e.vec_id) AS rn
+          FROM embeddings e CROSS JOIN qs q
+        ),
+        h AS (
+          SELECT a.qid, count(*) AS hits
+          FROM (SELECT qid, vec_id FROM ann WHERE rn <= 10) a
+          JOIN (SELECT qid, vec_id FROM exact WHERE rn <= 10) x
+            ON a.qid = x.qid AND a.vec_id = x.vec_id
+          GROUP BY a.qid
+        )
+        SELECT q.qid AS query_id, 10 AS k, 4 AS nprobe,
+               COALESCE(h.hits, 0) AS hits,
+               COALESCE(h.hits, 0) / 10.0 AS recall
+        FROM qs q LEFT JOIN h ON h.qid = q.qid
     """
     # r13: streaming exact dedup — survivors keyed by content
     # fingerprint, so the arbitrary-first-arrival choice inside

@@ -176,6 +176,110 @@ def test_ivf_topk(tables):
     assert [r.vec_id for r in full] == [r.vec_id for r in exact]
 
 
+def test_cosine_topk_multi_planted_truth(spark):
+    """Multi-query sweep (r13 VERDICT task 4): 16 planted clusters
+    along near-orthogonal directions, anchors crafted to be the 16
+    lexicographically-smallest vectors (so semantic_seeds picks
+    exactly them), tight members around each direction. Every query's
+    exact top-k lives entirely in its own probed list, so the
+    deterministic-IVF sweep must hit recall 1.0 on every query — and
+    the result must be layout-independent (repartition invariant)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm import (
+        cosine_topk_multi,
+        semantic_seeds,
+        topk_per_query,
+    )
+    from sclera_spark.llm.similarity import _dot, _norm, ivf_assign
+
+    # dim 17: coordinate 0 is a pure SORT-KEY coordinate (anchors get a
+    # distinct small negative value there, members small non-negative
+    # noise) so the 16 anchors are exactly the lexicographically
+    # smallest distinct vectors; coordinates 1..16 carry the 16
+    # near-orthogonal cluster directions
+    dim = 17
+    rows = []
+    vid = 0
+    for c in range(16):
+        a = [0.0] * dim
+        a[c + 1] = 10.0
+        a[0] = -0.001 * (c + 1)
+        rows.append((vid, a))
+        vid += 1
+        for m in range(10):
+            v = [0.0001 * ((m + j) % 3) for j in range(dim)]
+            v[c + 1] = 10.0 + 0.01 * m
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).repartition(7)
+    seeds = semantic_seeds(emb, 16, "embedding")
+    # the planted anchors ARE the seeds (lexicographic smallest)
+    anchor_firsts = sorted(r[1][0] for i, r in enumerate(rows) if i % 11 == 0)
+    assert sorted(s[0] for s in seeds) == pytest.approx(anchor_firsts)
+
+    queries = []
+    for c in range(8):
+        qv = [0.0] * dim
+        qv[c + 1] = 1.0
+        queries.append((c, qv))
+    exact = cosine_topk_multi(emb, queries, k=5)
+    got = {
+        (r.query_id, r.vec_id) for r in exact.collect()
+    }
+    assert len(got) == 40  # 5 per query
+    # brute-force python truth for the exact side
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for qid, qv in queries:
+        want = sorted(
+            rows, key=lambda r: (-cos(r[1], qv), r[0])
+        )[:5]
+        assert {(qid, r[0]) for r in want} == {
+            g for g in got if g[0] == qid
+        }, f"query {qid} exact top-5 mismatch"
+    # layout independence: a different partitioning yields the same set
+    got2 = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_multi(emb.repartition(3), queries, k=5).collect()
+    }
+    assert got2 == got
+
+    # ANN sweep with nprobe=1 (own anchor only): recall must be 1.0 —
+    # every exact top-5 member is assigned to the query's own list
+    asg = ivf_assign(emb, seeds)
+    for qid, qv in queries:
+        probes = sorted(
+            range(len(seeds)),
+            key=lambda i: (
+                sum((a - b) * (a - b) for a, b in zip(qv, seeds[i])),
+                i,
+            ),
+        )[:1]
+        cand = asg.where(F.col("ivf_list").isin(probes))
+        v = F.col("embedding").cast("array<double>")
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        scored = cand.select(
+            F.lit(qid).alias("query_id"),
+            "vec_id",
+            (_dot(v, qcol) / (_norm(v) * F.lit(1.0))).alias("cosine"),
+        )
+        ann_ids = {
+            r.vec_id for r in topk_per_query(scored, 5).collect()
+        }
+        exact_ids = {g[1] for g in got if g[0] == qid}
+        assert ann_ids == exact_ids, f"query {qid} recall < 1.0"
+
+
 def test_embedding_dup_pairs(spark):
     from sclera_spark.llm import embedding_dup_pairs
 
