@@ -187,7 +187,8 @@ class DdlRouter:
         (
             re.compile(
                 r"^\s*CREATE\s+TABLE\s+(\w+)\s+FROM\s+ICEBERG\s+"
-                r"'([^']+)'\s*$",
+                r"'([^']+)'"
+                r"(\s+MATERIALIZE\s+DELETION\s+VECTORS)?\s*$",
                 re.I,
             ),
             "_create_from_iceberg",
@@ -617,12 +618,16 @@ class DdlRouter:
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)
 
-    def _create_from_iceberg(self, name: str, src: str):
-        """CREATE TABLE t FROM ICEBERG '<table_dir>' — resolve an
-        external Apache Iceberg table's current snapshot (public spec;
-        sources/iceberg.py) and register its live parquet files as a
-        new manifest table without copying data (hard links;
-        sources/manifest.import_iceberg). Delete files, object-store
+    def _create_from_iceberg(self, name: str, src: str, mat_dels=None):
+        """CREATE TABLE t FROM ICEBERG '<table_dir>' [MATERIALIZE
+        DELETION VECTORS] — resolve an external Apache Iceberg table's
+        current snapshot (public spec; sources/iceberg.py) and register
+        its live parquet files as a new manifest table without copying
+        data (hard links; sources/manifest.import_iceberg). POSITION
+        deletes are applied under the MATERIALIZE opt-in (the same
+        spelling as the Delta importer — only delete-bearing files are
+        rewritten with masked rows purged); without it a delete
+        manifest is a loud refusal. Equality deletes, object-store
         paths, field-id schema drift, and a missing Avro codec are all
         LOUD refusals — never silent data loss. The import is a
         first-class table: pruning, DML, time travel and OPTIMIZE all
@@ -634,7 +639,9 @@ class DdlRouter:
         ):
             raise ValueError(f"table {name} already exists")
         path = self._path(name)
-        ManifestTable.import_iceberg(src, path)
+        ManifestTable.import_iceberg(
+            src, path, materialize_deletes=bool(mat_dels)
+        )
         self.managed[name.lower()] = path
         self.manifest_tables.add(name.lower())
         self._register_manifest(name)

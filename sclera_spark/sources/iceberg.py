@@ -43,7 +43,39 @@ __all__ = [
     "current_snapshot",
     "schema_fields",
     "snapshot_data_files",
+    "snapshot_files",
+    "position_delete_positions",
 ]
+
+
+def position_delete_positions(
+    delete_files: list[str], table_dir: str
+) -> dict[str, list[int]]:
+    """Decode position-delete parquet files (public spec: schema
+    ``file_path string, pos long`` [+ optional deleted row struct])
+    into ``{realpath(data file): sorted positions}``. Paths inside
+    delete files may be spelled absolute-URI or table-relative; both
+    normalize through the same containment-checked resolution as the
+    manifests, so a hostile delete file cannot name host files outside
+    the table. Iceberg never reuses data-file paths (UUID names), so a
+    path match is exact — a delete row naming a file absent from the
+    live set simply has no effect (its target was already removed)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[int]] = {}
+    for dpath in delete_files:
+        t = pq.read_table(dpath, columns=["file_path", "pos"])
+        fps = t.column("file_path").to_pylist()
+        poss = t.column("pos").to_pylist()
+        for fp, pos in zip(fps, poss):
+            if fp is None or pos is None:
+                raise IcebergImportUnsupported(
+                    f"Iceberg import: position-delete file {dpath!r} "
+                    "carries a NULL file_path/pos — corrupt delete file"
+                )
+            key = os.path.realpath(_local_path(str(fp), table_dir))
+            out.setdefault(key, []).append(int(pos))
+    return {k: sorted(set(v)) for k, v in out.items()}
 
 
 class IcebergImportUnsupported(ValueError):
@@ -207,7 +239,28 @@ def snapshot_data_files(doc: dict, table_dir: str) -> list[str]:
     by replaying manifest-list → manifests per the public spec.
     Refuses delete manifests / delete files (position or equality):
     importing their base files without applying the deletes would
-    resurrect deleted rows."""
+    resurrect deleted rows. (:func:`snapshot_files` with
+    ``collect_deletes=True`` is the apply path — r14.)"""
+    files, _ = snapshot_files(doc, table_dir, collect_deletes=False)
+    return files
+
+
+def snapshot_files(
+    doc: dict, table_dir: str, collect_deletes: bool = False
+) -> tuple[list[str], list[str]]:
+    """The CURRENT snapshot's live parquet data files plus (when
+    ``collect_deletes``) its POSITION-delete parquet files, replaying
+    manifest-list → manifests per the public spec
+    (https://iceberg.apache.org/spec/#delete-formats).
+
+    With ``collect_deletes=False`` any delete manifest is a loud
+    refusal (importing base files without applying deletes would
+    resurrect deleted rows). With ``True``, position-delete files
+    (``data_file.content == 1``, parquet) are returned for the caller
+    to materialize; EQUALITY deletes (``content == 2``) still refuse —
+    applying them needs the table's equality-field semantics, not a
+    row-position mask. Returns ``(data_files, delete_files)`` as local
+    paths."""
     snap = current_snapshot(doc)
     if snap is None:
         raise ValueError(
@@ -227,28 +280,35 @@ def snapshot_data_files(doc: dict, table_dir: str) -> list[str]:
                     f"Iceberg import: cannot decode {path!r}: {exc}"
                 ) from exc
 
+    data_manifests: list[str] = []
+    delete_manifests: list[str] = []
     if "manifest-list" in snap:
-        manifests = []
         for rec in read_avro(_local_path(snap["manifest-list"], table_dir)):
             if rec.get("content", 0) == 1:
-                raise IcebergImportUnsupported(
-                    "Iceberg import: the current snapshot carries a "
-                    "DELETE manifest (position/equality deletes); "
-                    "importing the data files without applying them "
-                    "would resurrect deleted rows. Rewrite the table "
-                    "(rewrite_data_files / expire) first."
-                )
-            manifests.append(rec["manifest_path"])
+                if not collect_deletes:
+                    raise IcebergImportUnsupported(
+                        "Iceberg import: the current snapshot carries a "
+                        "DELETE manifest (position/equality deletes); "
+                        "importing the data files without applying them "
+                        "would resurrect deleted rows. Re-run with "
+                        "MATERIALIZE DELETION VECTORS to apply position "
+                        "deletes at import time, or rewrite the table "
+                        "(rewrite_data_files / expire) first."
+                    )
+                delete_manifests.append(rec["manifest_path"])
+            else:
+                data_manifests.append(rec["manifest_path"])
     else:
         # v1 layout: snapshot embeds the manifest paths directly
-        manifests = list(snap.get("manifests") or [])
-        if not manifests:
+        # (v1 has no delete files by definition)
+        data_manifests = list(snap.get("manifests") or [])
+        if not data_manifests:
             raise ValueError(
                 "Iceberg snapshot names neither manifest-list nor "
                 "manifests"
             )
     files: list[str] = []
-    for mpath in manifests:
+    for mpath in data_manifests:
         for entry in read_avro(_local_path(mpath, table_dir)):
             if entry.get("status") == 2:  # DELETED
                 continue
@@ -266,8 +326,38 @@ def snapshot_data_files(doc: dict, table_dir: str) -> list[str]:
                     "PARQUET files can join a manifest table"
                 )
             files.append(_local_path(df["file_path"], table_dir))
+    deletes: list[str] = []
+    for mpath in delete_manifests:
+        for entry in read_avro(_local_path(mpath, table_dir)):
+            if entry.get("status") == 2:  # DELETED
+                continue
+            df = entry["data_file"]
+            content = df.get("content", 0)
+            if content == 2:
+                raise IcebergImportUnsupported(
+                    "Iceberg import: equality-delete file "
+                    f"{df.get('file_path')!r} — equality deletes need "
+                    "the table's equality-field semantics and cannot "
+                    "be materialized as a row-position mask here. "
+                    "Rewrite the table (rewrite_data_files) first."
+                )
+            if content != 1:
+                raise IcebergImportUnsupported(
+                    "Iceberg import: DELETE manifest lists "
+                    f"{df.get('file_path')!r} with content={content} "
+                    "(not a position-delete file) — corrupt or "
+                    "unsupported layout"
+                )
+            fmt = str(df.get("file_format", "")).upper()
+            if fmt != "PARQUET":
+                raise IcebergImportUnsupported(
+                    "Iceberg import: position-delete file format "
+                    f"{fmt!r} — only PARQUET delete files are readable "
+                    "here"
+                )
+            deletes.append(_local_path(df["file_path"], table_dir))
     if not files:
         raise ValueError(
             "Iceberg snapshot resolves to zero live data files"
         )
-    return files
+    return files, deletes

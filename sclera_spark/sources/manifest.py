@@ -820,7 +820,9 @@ class ManifestTable:
                 shutil.rmtree(purge_dir, ignore_errors=True)
 
     @classmethod
-    def import_iceberg(cls, table_dir: str, path: str) -> "ManifestTable":
+    def import_iceberg(
+        cls, table_dir: str, path: str, materialize_deletes: bool = False
+    ) -> "ManifestTable":
         """Migration from an external APACHE ICEBERG table without
         copying data: resolve the current snapshot per the public spec
         (sources/iceberg.py — metadata.json is parsed directly; the
@@ -840,14 +842,22 @@ class ManifestTable:
         silently misread those files — every footer is checked (one
         metadata read per file, import-time only) and any mismatch is
         a loud refusal telling the user to rewrite/compact first.
-        Delete files (position/equality) and non-local storage are
-        refused in sources/iceberg.py for the same
-        no-silent-data-loss contract as the Delta importer."""
+        POSITION deletes (the common v2 row-level delete) are applied
+        at import time under the ``materialize_deletes`` opt-in,
+        exactly like the Delta importer's deletion vectors: only the
+        delete-bearing data files are rewritten with masked rows
+        purged (sources/deletion_vectors.purge_parquet — the purge is
+        format-agnostic row-position masking); every other file still
+        hard-links. Without the opt-in a delete manifest is a loud
+        refusal; EQUALITY deletes and non-local storage always refuse
+        (sources/iceberg.py) — never silent data loss."""
         from sclera_spark.sources import iceberg as ice
 
         doc = ice.load_table_metadata(table_dir)
         fields = ice.schema_fields(doc)
-        srcs = ice.snapshot_data_files(doc, table_dir)
+        srcs, delete_files = ice.snapshot_files(
+            doc, table_dir, collect_deletes=materialize_deletes
+        )
         import pyarrow.parquet as pq
 
         want = {f["name"] for f in fields}
@@ -886,11 +896,31 @@ class ManifestTable:
                         "Compact/rewrite the table first."
                     )
                 widened = widened or verdict == "widen"
+        n_purged = 0
+        purge_dir = None
+        if delete_files:
+            from sclera_spark.sources.deletion_vectors import purge_parquet
+
+            masked = ice.position_delete_positions(delete_files, table_dir)
+            live_real = {os.path.realpath(p): i for i, p in enumerate(srcs)}
+            # deletes naming files outside the live set are no-ops
+            # (their target was removed by a later snapshot); deletes
+            # naming live files rewrite ONLY those files — the rest of
+            # the import still hard-links
+            hit = {k: v for k, v in masked.items() if k in live_real}
+            purge_dir = tempfile.mkdtemp(prefix="sclera_icedel_purge_")
+            for j, key in enumerate(sorted(hit)):
+                dst = os.path.join(purge_dir, f"purged-{j:05d}.parquet")
+                purge_parquet(srcs[live_real[key]], dst, hit[key])
+                srcs[live_real[key]] = dst
+                n_purged += 1
         meta = {
             "imported_from": os.path.abspath(table_dir),
             "_op": "import_iceberg",
             "iceberg_snapshot_id": doc.get("current-snapshot-id"),
         }
+        if n_purged:
+            meta["iceberg_position_deletes_applied"] = n_purged
         if widened:
             if any(not isinstance(f["type"], str) for f in fields):
                 raise ice.IcebergImportUnsupported(
@@ -913,7 +943,15 @@ class ManifestTable:
                     ],
                 }
             )
-        return cls._adopt_external(path, srcs, meta)
+        try:
+            return cls._adopt_external(path, srcs, meta)
+        finally:
+            # drop the purge scratch AFTER adoption: _adopt_external
+            # hard-links where it can, so removing the scratch copy
+            # leaves the adopted link as the sole owner (same pattern
+            # as the Delta DV path above)
+            if purge_dir:
+                shutil.rmtree(purge_dir, ignore_errors=True)
 
     @staticmethod
     def _iceberg_type_drift(expected, arrow_type) -> str:

@@ -154,6 +154,8 @@ def _stage_fixture_table(tmp_path, spark, manifest_list="manifest_list.avro"):
         os.path.join(_FIXDIR, "m1_snappy.avro"),
         t / "metadata" / "m1_snappy.avro",
     )
+    for d in ("d1.avro", "d2.avro"):  # delete manifests (r14)
+        shutil.copy(os.path.join(_FIXDIR, d), t / "metadata" / d)
     for name, lo, hi in (("f1.parquet", 0, 30), ("f2.parquet", 100, 110)):
         spark.range(lo, hi).selectExpr(
             "id AS k", "CAST(id AS STRING) AS v"
@@ -204,6 +206,116 @@ def test_unsupported_codec_refuses_by_name(spark, tmp_path):
     )
     with pytest.raises(IcebergImportUnsupported, match="zstandard"):
         ice.snapshot_data_files(ice.load_table_metadata(t), t)
+
+
+def _write_position_deletes(table_dir: str, rows: list[tuple[str, int]]):
+    """A position-delete parquet per the public spec: (file_path
+    string, pos long), written where the d1 manifest names it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "file_path": pa.array([r[0] for r in rows], pa.string()),
+            "pos": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(table_dir, "data", "del1.parquet"))
+
+
+def test_iceberg_position_delete_import(spark, tmp_path):
+    """r13 VERDICT task 5: position deletes materialize at import time
+    under the same MATERIALIZE opt-in as Delta DVs — masked rows are
+    purged from ONLY the delete-bearing file (the clean file still
+    hard-links); without the opt-in the delete manifest refuses
+    loudly; delete rows naming dead files are no-ops."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_posdeletes.avro"
+    )
+    _write_position_deletes(
+        t,
+        [
+            ("data/f1.parquet", 0),
+            ("data/f1.parquet", 5),
+            ("data/f1.parquet", 7),
+            ("data/f1.parquet", 5),  # duplicate positions dedupe
+            ("data/ghost.parquet", 1),  # dead target: no effect
+        ],
+    )
+    # no opt-in: loud refusal naming the opt-in spelling
+    with pytest.raises(
+        IcebergImportUnsupported, match="MATERIALIZE DELETION VECTORS"
+    ):
+        ManifestTable.import_iceberg(t, str(tmp_path / "imp0"))
+    dest = str(tmp_path / "imp1")
+    mt = ManifestTable.import_iceberg(t, dest, materialize_deletes=True)
+    rows = sorted(r.k for r in mt.read(spark).collect())
+    # f1 held k=0..29 in row order; positions 0/5/7 purged; f2 intact
+    assert rows == [
+        k for k in range(30) if k not in (0, 5, 7)
+    ] + list(range(100, 110))
+    # the clean file still hard-links; the purged one is a rewrite
+    links = {
+        f: os.stat(os.path.join(dest, "data", f)).st_nlink
+        for f in os.listdir(os.path.join(dest, "data"))
+        if f.endswith(".parquet")
+    }
+    assert any(n >= 2 for n in links.values()), links  # f2 linked
+    assert any(n == 1 for n in links.values()), links  # f1 rewritten
+    # source table untouched
+    assert sorted(
+        r.k
+        for r in spark.read.parquet(
+            os.path.join(t, "data", "f1.parquet")
+        ).collect()
+    ) == list(range(30))
+
+
+def test_iceberg_equality_delete_refuses(spark, tmp_path):
+    """Equality deletes cannot be materialized as a position mask —
+    always a loud refusal, even under the opt-in."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_eqdeletes.avro"
+    )
+    with pytest.raises(IcebergImportUnsupported, match="quality"):
+        ManifestTable.import_iceberg(
+            t, str(tmp_path / "imp"), materialize_deletes=True
+        )
+
+
+def test_iceberg_position_delete_ddl_surface(spark, tmp_path):
+    """The DDL spelling routes the opt-in (same MATERIALIZE DELETION
+    VECTORS suffix as FROM DELTA) and the imported table is fully
+    queryable."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_posdeletes.avro"
+    )
+    _write_position_deletes(t, [("data/f1.parquet", 2)])
+    with pytest.raises(IcebergImportUnsupported, match="MATERIALIZE"):
+        engine.execute(f"CREATE TABLE icedel0 FROM ICEBERG '{t}'")
+    assert "icedel0" not in engine.ddl().managed
+    engine.execute(
+        f"CREATE TABLE icedel FROM ICEBERG '{t}' "
+        "MATERIALIZE DELETION VECTORS"
+    )
+    try:
+        n = engine.sql("SELECT count(*) AS n FROM icedel").collect()[0].n
+        assert n == 39  # 40 live rows minus one purged position
+        assert (
+            engine.sql("SELECT count(*) AS n FROM icedel WHERE k = 2")
+            .collect()[0]
+            .n
+            == 0
+        )
+    finally:
+        engine.execute("DROP TABLE icedel")
 
 
 def test_vendored_real_avro_full_snappy_import(spark, tmp_path):

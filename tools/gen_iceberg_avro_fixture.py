@@ -258,6 +258,37 @@ def main() -> None:
         [mlist_rec("metadata/m1_snappy.avro")],
         codec="snappy",
     )
+    # r14: position-delete fixtures. d1.avro is a DELETE manifest whose
+    # entry names a position-delete parquet (data_file.content=1, per
+    # the spec's delete-file encoding); the posdeletes list pairs it
+    # with the ordinary data manifest. d2.avro carries an EQUALITY
+    # delete (content=2) — always a refusal.
+    write_avro(
+        "d1.avro",
+        MANIFEST_SCHEMA,
+        [entry("data/del1.parquet", status=1, rows=3, content=1)],
+    )
+    write_avro(
+        "manifest_list_posdeletes.avro",
+        MANIFEST_LIST_SCHEMA,
+        [
+            mlist_rec("metadata/m1.avro"),
+            mlist_rec("metadata/d1.avro", content=1),
+        ],
+    )
+    write_avro(
+        "d2.avro",
+        MANIFEST_SCHEMA,
+        [entry("data/del2.parquet", status=1, rows=1, content=2)],
+    )
+    write_avro(
+        "manifest_list_eqdeletes.avro",
+        MANIFEST_LIST_SCHEMA,
+        [
+            mlist_rec("metadata/m1.avro"),
+            mlist_rec("metadata/d2.avro", content=1),
+        ],
+    )
     # a zstd-coded list: avro_lite refuses it BY NAME (the refusal is
     # codec-availability, not corruption — zstd needs a third-party lib)
     write_avro(
