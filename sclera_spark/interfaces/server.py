@@ -641,16 +641,31 @@ class _Handler(socketserver.BaseRequestHandler):
                             # multi-object COMMIT (r13): per-table
                             # commits made atomic by the cross-table
                             # intent journal; all-or-nothing validation
-                            # happens inside every participant's lock
+                            # happens inside every participant's lock.
+                            # r14: all-CAS groups journal as an object
+                            # in the CAS store (the statement-time
+                            # guard already refused mixed groups)
                             try:
                                 entries = [
                                     (ddl._manifest(t), w["parts"],
                                      w["removes"])
                                     for t, w in sorted(writes.items())
                                 ]
-                                ManifestTable.commit_staged_group(
-                                    entries, ddl.txn_journal_dir()
-                                )
+                                if all(
+                                    t in ddl.cas_manifest_tables
+                                    for t in writes
+                                ):
+                                    from sclera_spark.sources.manifest import (
+                                        CasManifestTable,
+                                    )
+
+                                    CasManifestTable.commit_staged_group_cas(
+                                        entries, ddl.cas_txn_prefix()
+                                    )
+                                else:
+                                    ManifestTable.commit_staged_group(
+                                        entries, ddl.txn_journal_dir()
+                                    )
                             except ValueError as exc:
                                 if "CAS table" in str(exc):
                                     raise _WireError("0A000", str(exc))
@@ -1294,25 +1309,30 @@ class _Handler(socketserver.BaseRequestHandler):
 
     @staticmethod
     def _refuse_multi_cas(txn: dict, ddl, name: str) -> None:
-        """A CAS-backed table may carry a SINGLE-table transaction (its
-        own conditional-put commit is atomic), but cannot join a
-        multi-table one: its commit point lives in the external pointer
-        store, outside the local intent journal's crash-recovery reach.
-        Refused at STATEMENT time so no work is buffered only to die at
-        COMMIT."""
+        """r14: multi-table transactions run on EITHER commit protocol
+        — all-flock groups journal locally
+        (manifest.commit_staged_group), all-CAS groups journal as a
+        put-if-absent object in the CAS store itself
+        (CasManifestTable.commit_staged_group_cas). What cannot work is
+        a MIXED group: the two commit points live in different stores,
+        so no single journal covers both. Refused at STATEMENT time so
+        no work is buffered only to die at COMMIT."""
         tables = set(txn.get("writes", {})) | {name.lower()}
         if len(tables) < 2:
             return
         cas = sorted(
             t for t in tables if t in ddl.cas_manifest_tables
         )
-        if cas:
+        if cas and len(cas) != len(tables):
+            plain = sorted(t for t in tables if t not in ddl.cas_manifest_tables)
             raise _WireError(
                 "0A000",
-                f"multi-table transactions cannot include CAS-backed "
-                f"table(s) {cas}: their commit point is the external "
-                "pointer store, outside the local intent journal's "
-                "crash-recovery reach. Use separate transactions.",
+                f"multi-table transactions cannot MIX CAS-backed "
+                f"table(s) {cas} with flock-protocol table(s) {plain}: "
+                "their commit points live in different stores, so no "
+                "single intent journal covers both. Use separate "
+                "transactions (all-CAS and all-flock groups each "
+                "commit atomically).",
             )
 
     @staticmethod

@@ -66,11 +66,34 @@ class DdlRouter:
             import warnings
 
             warnings.warn(f"txn journal recovery failed: {exc}")
+        # crashed CAS multi-table transactions (r14): the journal is an
+        # object in the CAS store itself; replay only when a durable
+        # store exists on disk (FileCas — MemoryCas dies with the
+        # process, so there is nothing to recover from it here)
+        try:
+            if os.path.isdir(os.path.join(self.warehouse, "_sclera_cas")):
+                from sclera_spark.sources.manifest import CasManifestTable
+
+                CasManifestTable.recover_cas_txn_journals(
+                    self._cas_store(), self.cas_txn_prefix()
+                )
+        except Exception as exc:
+            import warnings
+
+            warnings.warn(f"CAS txn journal recovery failed: {exc}")
 
     def txn_journal_dir(self) -> str:
         """Where multi-table wire transactions journal their commit
         intent (sources/manifest.commit_staged_group)."""
         return os.path.join(self.warehouse, "_sclera_txn")
+
+    def cas_txn_prefix(self) -> str:
+        """Key prefix of CAS multi-table transaction journal objects in
+        this warehouse's CAS store (r14,
+        manifest.CasManifestTable.commit_staged_group_cas). The FileCas
+        store is already warehouse-scoped, so a bare namespace
+        suffices."""
+        return "txn/"
 
     # ---- routing ----
 
@@ -2214,6 +2237,22 @@ class DdlRouter:
         self.views.pop(name.lower(), None)
         self.manifest_tables.discard(name.lower())
         path = self.managed.pop(name.lower(), None)
+        # a CAS table's pointer lives in the store, not the table dir:
+        # clear it with the drop, or a table RE-CREATED at the same
+        # path adopts the dead pointer and resolves manifest versions
+        # that no longer exist (r14 fuzz finding)
+        if name.lower() in self.cas_manifest_tables:
+            self.cas_manifest_tables.discard(name.lower())
+            if path:
+                try:
+                    self._cas_store().delete_key(os.path.abspath(path))
+                except Exception as exc:
+                    import warnings
+
+                    warnings.warn(
+                        f"DROP {name}: could not clear the CAS pointer "
+                        f"for {path}: {exc}"
+                    )
         # Evict every cache slot pinned to the dropped table: a table
         # re-created under the same name restarts at version 1, so a
         # (name, version) key would otherwise serve the DELETED files.

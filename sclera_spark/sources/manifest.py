@@ -1044,7 +1044,14 @@ class ManifestTable:
         crashed between claiming its version file and the pointer swap).
         Safe inside the writer lock: no same-host commit is in flight,
         and the staged data files an orphan references stay invisible
-        until vacuum. Returns the cleared version numbers."""
+        until vacuum. Returns the cleared version numbers.
+
+        CAS tables: run
+        :meth:`CasManifestTable.recover_cas_txn_journals` FIRST — a
+        claim above the pointer may belong to a journaled (= committed)
+        multi-table transaction awaiting its pointer swap; healing it
+        here would orphan that transaction (replay then marks the
+        journal ``.failed``)."""
         with self._writer_lock():
             latest = self.version()
             cleared = []
@@ -2123,8 +2130,10 @@ class ManifestTable:
 
         Only flock-protocol tables participate: a CAS table's commit
         point lives in an external store that cannot be covered by a
-        local journal, so mixing one in refuses loudly (the caller
-        surfaces 0A000)."""
+        local journal, so one here refuses loudly (the caller surfaces
+        0A000). All-CAS groups commit through
+        :meth:`CasManifestTable.commit_staged_group_cas` (r14), whose
+        journal is an object in the CAS store itself."""
         import json as _json
         import uuid as _uuid
         from contextlib import ExitStack
@@ -4194,6 +4203,7 @@ class MemoryCas:
         import threading
 
         self._ptr: dict[str, int] = {}
+        self._blobs: dict[str, bytes] = {}
         self._lock = threading.Lock()
 
     def get(self, key: str) -> int | None:
@@ -4206,6 +4216,37 @@ class MemoryCas:
                 return False
             self._ptr[key] = new
             return True
+
+    def delete_key(self, key: str) -> None:
+        """Remove a pointer entirely (DROP TABLE of a CAS table): a
+        dead pointer left behind would poison a table re-created at
+        the same path."""
+        with self._lock:
+            self._ptr.pop(key, None)
+
+    # ---- blob API (r14): put-if-absent intent objects for the CAS
+    # multi-table transaction journal — same primitive family as the
+    # pointer markers (object stores provide it natively) ----
+    def put_blob_if_absent(self, key: str, data: bytes) -> bool:
+        with self._lock:
+            if key in self._blobs:
+                return False
+            self._blobs[key] = bytes(data)
+            return True
+
+    def get_blob(self, key: str) -> bytes | None:
+        with self._lock:
+            return self._blobs.get(key)
+
+    def delete_blob(self, key: str) -> None:
+        with self._lock:
+            self._blobs.pop(key, None)
+
+    def list_blobs(self, prefix: str) -> list[str]:
+        with self._lock:
+            return sorted(
+                k for k in self._blobs if k.startswith(prefix)
+            )
 
 
 class FileCas:
@@ -4290,6 +4331,69 @@ class FileCas:
                 except FileNotFoundError:
                     pass
         return True
+
+    def delete_key(self, key: str) -> None:
+        """Remove a pointer entirely (DROP TABLE of a CAS table): a
+        dead pointer left behind would poison a table re-created at
+        the same path."""
+        shutil.rmtree(self._key_dir(key), ignore_errors=True)
+
+    # ---- blob API (r14): put-if-absent intent objects for the CAS
+    # multi-table transaction journal. Object-store mapping is the
+    # same conditional put as the version markers (S3 If-None-Match,
+    # GCS ifGenerationMatch=0); here: O_EXCL create + fsync. Keys are
+    # percent-encoded into flat filenames so list_blobs can decode
+    # them back exactly. ----
+    def _blob_path(self, key: str) -> str:
+        import urllib.parse
+
+        return os.path.join(
+            self.root, "_blobs", urllib.parse.quote(key, safe="")
+        )
+
+    def put_blob_if_absent(self, key: str, data: bytes) -> bool:
+        p = self._blob_path(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:  # durability of the blob's existence
+            dfd = os.open(os.path.dirname(p), os.O_RDONLY)
+            os.fsync(dfd)
+            os.close(dfd)
+        except OSError:
+            pass
+        return True
+
+    def get_blob(self, key: str) -> bytes | None:
+        try:
+            with open(self._blob_path(key), "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def delete_blob(self, key: str) -> None:
+        try:
+            os.remove(self._blob_path(key))
+        except FileNotFoundError:
+            pass
+
+    def list_blobs(self, prefix: str) -> list[str]:
+        import urllib.parse
+
+        d = os.path.join(self.root, "_blobs")
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return []
+        keys = [urllib.parse.unquote(n) for n in names]
+        return sorted(k for k in keys if k.startswith(prefix))
 
 
 def _aws_error_code(exc: Exception) -> str | None:
@@ -4434,6 +4538,100 @@ class S3Cas:
             except Exception:
                 pass  # pruning is cosmetic; never fail a commit on it
 
+    def delete_key(self, key: str) -> None:
+        """Remove a pointer entirely (DROP TABLE of a CAS table):
+        delete every version marker under the key's prefix."""
+        pfx = self._key_prefix(key)
+        token = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": pfx}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", ()) or ():
+                try:
+                    self.client.delete_object(
+                        Bucket=self.bucket, Key=obj["Key"]
+                    )
+                except Exception:
+                    pass
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+
+    # ---- blob API (r14): journal objects via the same conditional
+    # PUT as the version markers; a 409 ambiguity resolves by reading
+    # the body back (journal payloads embed a unique txn id) ----
+    def _blob_key(self, key: str) -> str:
+        import urllib.parse
+
+        return f"{self.prefix}blob/{urllib.parse.quote(key, safe='')}"
+
+    def put_blob_if_absent(self, key: str, data: bytes) -> bool:
+        obj = self._blob_key(key)
+        for _ in range(self._conflict_retries):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket,
+                    Key=obj,
+                    Body=data,
+                    IfNoneMatch="*",
+                )
+            except Exception as exc:
+                code = _aws_error_code(exc)
+                if code == "PreconditionFailed":
+                    return False
+                if code == "ConditionalRequestConflict":
+                    won = self._owns_marker(obj, data)
+                    if won is True:
+                        return True
+                    if won is False:
+                        return False
+                    continue
+                raise
+            else:
+                return True
+        return False
+
+    def get_blob(self, key: str) -> bytes | None:
+        try:
+            resp = self.client.get_object(
+                Bucket=self.bucket, Key=self._blob_key(key)
+            )
+        except Exception as exc:
+            if _aws_error_code(exc) in ("NoSuchKey", "404"):
+                return None
+            raise
+        body = resp["Body"]
+        return body.read() if hasattr(body, "read") else body
+
+    def delete_blob(self, key: str) -> None:
+        try:
+            self.client.delete_object(
+                Bucket=self.bucket, Key=self._blob_key(key)
+            )
+        except Exception:
+            pass
+
+    def list_blobs(self, prefix: str) -> list[str]:
+        import urllib.parse
+
+        pfx = f"{self.prefix}blob/"
+        out = []
+        token = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": pfx}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for o in resp.get("Contents", ()) or ():
+                k = urllib.parse.unquote(o["Key"][len(pfx):])
+                if k.startswith(prefix):
+                    out.append(k)
+            if not resp.get("IsTruncated"):
+                return sorted(out)
+            token = resp.get("NextContinuationToken")
+
 
 class GcsCas:
     """Conditional-put pointer store on Google Cloud Storage generation
@@ -4503,6 +4701,64 @@ class GcsCas:
                 pass  # pruning is cosmetic; never fail a commit on it
         return True
 
+    def delete_key(self, key: str) -> None:
+        """Remove a pointer entirely (DROP TABLE of a CAS table)."""
+        pfx = self._key_prefix(key)
+        for blob in self.client.list_blobs(self.bucket, prefix=pfx):
+            try:
+                blob.delete()
+            except Exception:
+                pass
+
+    # ---- blob API (r14): journal objects. GCS's ifGenerationMatch=0
+    # is a definitive put-if-absent (no 409 ambiguity); reads add one
+    # duck-typed call, blob.download_as_bytes() (404-coded exception
+    # when absent). ----
+    def _blob_key(self, key: str) -> str:
+        import urllib.parse
+
+        return f"{self.prefix}blob/{urllib.parse.quote(key, safe='')}"
+
+    def put_blob_if_absent(self, key: str, data: bytes) -> bool:
+        try:
+            self.client.bucket(self.bucket).blob(
+                self._blob_key(key)
+            ).upload_from_string(data, if_generation_match=0)
+        except Exception as exc:
+            if getattr(exc, "code", None) == 412:
+                return False
+            raise
+        return True
+
+    def get_blob(self, key: str) -> bytes | None:
+        try:
+            return (
+                self.client.bucket(self.bucket)
+                .blob(self._blob_key(key))
+                .download_as_bytes()
+            )
+        except Exception as exc:
+            if getattr(exc, "code", None) == 404:
+                return None
+            raise
+
+    def delete_blob(self, key: str) -> None:
+        try:
+            self.client.bucket(self.bucket).blob(self._blob_key(key)).delete()
+        except Exception:
+            pass
+
+    def list_blobs(self, prefix: str) -> list[str]:
+        import urllib.parse
+
+        pfx = f"{self.prefix}blob/"
+        out = []
+        for blob in self.client.list_blobs(self.bucket, prefix=pfx):
+            k = urllib.parse.unquote(blob.name[len(pfx):])
+            if k.startswith(prefix):
+                out.append(k)
+        return sorted(out)
+
 
 class DynamoCas:
     """Conditional-put pointer store on a DynamoDB coordination table —
@@ -4567,6 +4823,67 @@ class DynamoCas:
                 return False
             raise
         return True
+
+    def delete_key(self, key: str) -> None:
+        """Remove a pointer entirely (DROP TABLE of a CAS table)."""
+        self.client.delete_item(
+            TableName=self.table, Key={"pk": {"S": key}}
+        )
+
+    # ---- blob API (r14): journal objects as items in the same
+    # coordination table (pk = the blob key, data = binary attr);
+    # put-if-absent is attribute_not_exists, listing is a Scan with a
+    # begins_with filter (journal blobs are few and short-lived, so a
+    # scan here is O(open transactions), not O(tables)) ----
+    def put_blob_if_absent(self, key: str, data: bytes) -> bool:
+        try:
+            self.client.put_item(
+                TableName=self.table,
+                Item={"pk": {"S": f"blob::{key}"}, "data": {"B": data}},
+                ConditionExpression="attribute_not_exists(pk)",
+            )
+        except Exception as exc:
+            if _aws_error_code(exc) == "ConditionalCheckFailedException":
+                return False
+            raise
+        return True
+
+    def get_blob(self, key: str) -> bytes | None:
+        resp = self.client.get_item(
+            TableName=self.table,
+            Key={"pk": {"S": f"blob::{key}"}},
+            ConsistentRead=True,
+        )
+        item = resp.get("Item")
+        if not item:
+            return None
+        b = item["data"]["B"]
+        import base64
+
+        return base64.b64decode(b) if isinstance(b, str) else bytes(b)
+
+    def delete_blob(self, key: str) -> None:
+        self.client.delete_item(
+            TableName=self.table, Key={"pk": {"S": f"blob::{key}"}}
+        )
+
+    def list_blobs(self, prefix: str) -> list[str]:
+        out = []
+        kw = {
+            "TableName": self.table,
+            "FilterExpression": "begins_with(pk, :p)",
+            "ExpressionAttributeValues": {
+                ":p": {"S": f"blob::{prefix}"}
+            },
+        }
+        while True:
+            resp = self.client.scan(**kw)
+            for item in resp.get("Items", ()) or ():
+                out.append(item["pk"]["S"][len("blob::"):])
+            lek = resp.get("LastEvaluatedKey")
+            if not lek:
+                return sorted(out)
+            kw["ExclusiveStartKey"] = lek
 
 
 class CasManifestTable(ManifestTable):
@@ -4687,4 +5004,241 @@ class CasManifestTable(ManifestTable):
             except OSError:
                 pass
         return ok
+
+    # ---- multi-table transactions over CAS tables (r14, VERDICT r13
+    # task 6): the intent journal becomes a put-if-absent OBJECT in the
+    # CAS store itself, so the commit point lives where the pointers
+    # live — crash recovery replays from the store, not a local dir ----
+
+    @classmethod
+    def commit_staged_group_cas(
+        cls,
+        entries: list[tuple["CasManifestTable", list, set]],
+        journal_prefix: str,
+    ) -> None:
+        """Multi-table transaction commit where EVERY participant is a
+        CAS table sharing one pointer store.
+
+        Protocol (contrast with the flock variant
+        :meth:`ManifestTable.commit_staged_group` — no locks exist, so
+        version CLAIMS play the lock's role):
+
+        1. snapshot each table's version ``v_i``, validate its
+           remove-set against the live manifest at ``v_i``;
+        2. adopt each table's staged bytes into ``data/`` and fsync
+           them (they must be as durable as the journal object that is
+           about to reference their manifests), then claim ``v_i + 1``
+           via the O_EXCL manifest write (:meth:`_publish_claim`). The
+           claim is the concurrency shield: every CAS writer claims
+           before swapping, so while we hold all claims no foreign
+           commit can advance any participant. A claim conflict or a
+           moved pointer aborts the WHOLE group pre-journal (claims
+           dropped, adopted files removed — nothing visible);
+        3. put-if-absent the JOURNAL OBJECT into the CAS store
+           (``<journal_prefix>txn-<id>``), naming every participant's
+           (key, expected, target). THIS is the commit point: a crash
+           after it replays from the store
+           (:meth:`recover_cas_txn_journals`), a crash before it rolls
+           back to nothing;
+        4. CAS each pointer ``v_i -> v_i + 1`` (we hold ``v_i + 1``'s
+           claim, so the swap can only race our own recovery — both
+           sides treat pointer-already-at-target as success);
+        5. delete the journal object.
+
+        A crash between 2 and 3 leaves stale claims that block foreign
+        writers until ``recover()`` — the same stuck-claim contract as
+        a crashed single-table CAS commit. Run
+        :meth:`recover_cas_txn_journals` BEFORE any manual
+        ``recover()``: healing a claim that a journal still references
+        would orphan a committed transaction."""
+        import json as _json
+        import uuid as _uuid
+
+        if not entries:
+            return
+        store = entries[0][0].cas
+        for mt, _, _ in entries:
+            if not isinstance(mt, CasManifestTable):
+                raise ValueError(
+                    f"commit_staged_group_cas: {mt.path} is not a CAS "
+                    "table; mixed flock+CAS groups are refused (their "
+                    "commit points live in different stores)"
+                )
+            if mt.cas is not store:
+                raise ValueError(
+                    "commit_staged_group_cas: participants span two "
+                    "different CAS stores; a single journal object "
+                    "cannot cover both"
+                )
+        entries = sorted(
+            entries, key=lambda e: os.path.realpath(e[0].path)
+        )
+        txn_id = _uuid.uuid4().hex
+        planned = []  # (mt, v, files_new, adopted names)
+        claimed: list[tuple["CasManifestTable", int]] = []
+        adopted: list[tuple["CasManifestTable", list[str]]] = []
+        try:
+            for mt, staged, removes in entries:
+                v = mt.version()
+                live = mt._file_names()
+                unknown = set(removes or ()) - set(live)
+                if unknown:
+                    raise ValueError(
+                        f"transaction aborted: files {sorted(unknown)} "
+                        f"of {mt.path} are no longer live (a concurrent "
+                        "commit replaced them after this transaction's "
+                        "DML was buffered — retry the transaction)"
+                    )
+                added = [n for _, names in staged for n in names]
+                for s in staged:
+                    mt._adopt(*s)
+                adopted.append((mt, added))
+                for n in added:
+                    _fsync_tree(os.path.join(mt.data_dir, n))
+                _fsync_dir(mt.data_dir)
+                files_new = [
+                    f for f in live if f not in set(removes or ())
+                ] + added
+                try:
+                    mt._publish_claim(
+                        v + 1,
+                        files_new,
+                        mt._next_meta(None, op="txn_commit"),
+                    )
+                except _ClaimConflict:
+                    raise ConcurrentWriterError(
+                        f"transaction aborted: a foreign writer holds "
+                        f"the v{v + 1} claim on {mt.path} — retry the "
+                        "transaction"
+                    )
+                claimed.append((mt, v + 1))
+                if mt.version() != v:
+                    raise ConcurrentWriterError(
+                        f"transaction aborted: {mt.path} advanced past "
+                        f"v{v} during the group claim — retry the "
+                        "transaction"
+                    )
+                planned.append((mt, v, files_new, added))
+            payload = {
+                "txn": txn_id,
+                "tables": [
+                    {
+                        "path": os.path.realpath(mt.path),
+                        "key": mt._key,
+                        "expected": v,
+                        "target": v + 1,
+                    }
+                    for mt, v, _, _ in planned
+                ],
+            }
+            jkey = f"{journal_prefix}txn-{txn_id}"
+            if not store.put_blob_if_absent(
+                jkey, _json.dumps(payload).encode()
+            ):
+                raise ConcurrentWriterError(
+                    f"journal key {jkey} already exists (uuid collision "
+                    "or prefix misuse) — transaction aborted"
+                )
+        except Exception:
+            # pre-journal abort: nothing is visible (pointers never
+            # moved). Drop our claims and the adopted-but-unreferenced
+            # data files.
+            for mt, v1 in claimed:
+                try:
+                    mt._drop_claim(v1)
+                except OSError:
+                    pass
+            for mt, names in adopted:
+                for n in names:
+                    try:
+                        os.remove(os.path.join(mt.data_dir, n))
+                    except OSError:
+                        pass
+            raise
+        # the journal object is durable: COMMITTED from here on — a
+        # failure below must complete (recovery replays the same swaps)
+        try:
+            for mt, v, _, _ in planned:
+                if not mt._swap_pointer(v, v + 1):
+                    cur = mt.cas.get(mt._key)
+                    if cur is None or cur < v + 1:
+                        raise ConcurrentWriterError(
+                            f"pointer swap on {mt.path} failed with "
+                            f"pointer at {cur} while holding the "
+                            f"v{v + 1} claim"
+                        )
+                    # pointer already at/past target: recovery (or a
+                    # racing replay) completed this participant — done
+            store.delete_blob(jkey)
+        except Exception as exc:
+            raise TxnJournaledError(
+                f"multi-table CAS commit reached its commit point "
+                f"(journal object {jkey}) but a participant failed to "
+                f"publish: {exc}; recovery on next engine open "
+                "completes it"
+            ) from exc
+
+    @classmethod
+    def recover_cas_txn_journals(
+        cls, store, journal_prefix: str
+    ) -> list[str]:
+        """Replay crashed CAS multi-table journals from the store
+        (called on engine open, BEFORE any claim healing). A journal
+        object exists iff its transaction committed, and its staged
+        bytes + claim manifests were fsynced pre-journal, so every
+        participant can be finished by the pointer swap alone:
+        pointer >= target means done (idempotent), pointer == expected
+        swaps. A missing claim manifest (someone ran ``recover()``
+        between crash and replay) cannot be completed truthfully: the
+        journal is re-keyed to ``<key>.failed`` for manual resolution,
+        mirroring the flock variant's ``.failed`` contract. Returns the
+        table paths recovered."""
+        import json as _json
+        import warnings
+
+        recovered: list[str] = []
+        for jkey in store.list_blobs(journal_prefix):
+            if jkey.endswith(".failed"):
+                continue
+            raw = store.get_blob(jkey)
+            if raw is None:
+                continue  # concurrently completed
+            payload = _json.loads(raw.decode())
+            failed = False
+            for t in payload["tables"]:
+                cur = store.get(t["key"])
+                if cur is not None and cur >= t["target"]:
+                    continue  # already published
+                claim = os.path.join(
+                    t["path"], _LOG, f"v{t['target']}.json"
+                )
+                if not os.path.exists(claim):
+                    warnings.warn(
+                        f"CAS txn journal {jkey}: table {t['path']} "
+                        f"cannot be completed (the v{t['target']} "
+                        "claim manifest is gone — recover() ran before "
+                        "journal replay?); journal kept as .failed for "
+                        "manual resolution"
+                    )
+                    failed = True
+                    break
+                if not store.cas(t["key"], t["expected"], t["target"]):
+                    cur = store.get(t["key"])
+                    if cur is None or cur < t["target"]:
+                        warnings.warn(
+                            f"CAS txn journal {jkey}: pointer swap on "
+                            f"{t['path']} failed (pointer at {cur}); "
+                            "journal kept as .failed"
+                        )
+                        failed = True
+                        break
+                recovered.append(t["path"])
+            if failed:
+                raw2 = store.get_blob(jkey)
+                if raw2 is not None:
+                    store.put_blob_if_absent(jkey + ".failed", raw2)
+                    store.delete_blob(jkey)
+            else:
+                store.delete_blob(jkey)
+        return recovered
 

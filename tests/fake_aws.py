@@ -178,11 +178,46 @@ class FakeDynamoClient:
             self._items[pk] = (new, cur)
             return {"ResponseMetadata": {"HTTPStatusCode": 200}}
 
+    def delete_item(self, TableName: str, Key: dict, **kw):
+        with self._lock:
+            self._count("delete_item")
+            self._items.pop(Key["pk"]["S"], None)
+            return {"ResponseMetadata": {"HTTPStatusCode": 200}}
+
+    def scan(
+        self,
+        TableName: str,
+        FilterExpression: str = "",
+        ExpressionAttributeValues: dict | None = None,
+        ExclusiveStartKey: dict | None = None,
+        **kw,
+    ):
+        # one-page scan with begins_with(pk, :p) — the only filter the
+        # adapter's blob listing uses; pagination contract preserved
+        # (LastEvaluatedKey absent = done)
+        with self._lock:
+            self._count("scan")
+            vals = ExpressionAttributeValues or {}
+            assert FilterExpression.strip() == "begins_with(pk, :p)"
+            pfx = vals[":p"]["S"]
+            items = [
+                dict(cur)
+                for pk, (cur, _) in sorted(self._items.items())
+                if pk.startswith(pfx)
+            ]
+            return {"Items": items}
+
 
 class FakeGcsPreconditionFailed(Exception):
     """google.api_core.exceptions.PreconditionFailed shape: .code == 412."""
 
     code = 412
+
+
+class FakeGcsNotFound(Exception):
+    """google.api_core.exceptions.NotFound shape: .code == 404."""
+
+    code = 404
 
 
 class _FakeGcsBlob:
@@ -204,6 +239,12 @@ class _FakeGcsBlob:
             if self.name not in self._store:
                 raise FakeGcsPreconditionFailed(f"404 {self.name}")
             del self._store[self.name]
+
+    def download_as_bytes(self):
+        with self._lock:
+            if self.name not in self._store:
+                raise FakeGcsNotFound(f"404 {self.name}")
+            return self._store[self.name]
 
 
 class _FakeGcsBucket:

@@ -565,7 +565,8 @@ def test_portal_suspension_fuzz(wire_env):
         assert all(len(b) == fetch for b in batches[:-1]), f"seed {seed}"
 
 
-def test_txn_two_table_fuzz_vs_duckdb(spark):
+@pytest.mark.parametrize("fmt", ["MANIFEST", "MANIFEST CAS"])
+def test_txn_two_table_fuzz_vs_duckdb(spark, fmt):
     """r13 multi-object transactions: random interleavings of
     INSERT/UPDATE/DELETE over TWO manifest tables in one transaction
     (plus savepoints, rollbacks-to, and mid-txn reads that JOIN the
@@ -596,7 +597,10 @@ def test_txn_two_table_fuzz_vs_duckdb(spark):
                     + ", ".join(f"({k})" for k in range(base, base + 30))
                     + ") AS t(k)"
                 )
-                c.execute(f"ALTER TABLE {t} SET FORMAT MANIFEST")
+                # r14: the same fuzz runs on BOTH commit protocols —
+                # flock-journaled groups and CAS-journaled groups
+                # (MANIFEST CAS; FileCas store, journal object in-store)
+                c.execute(f"ALTER TABLE {t} SET FORMAT {fmt}")
             duck = duckdb.connect()
             for t, base in (("f2a", 0), ("f2b", 500)):
                 duck.execute(f"CREATE TABLE {t} (k INTEGER, v DOUBLE)")

@@ -473,3 +473,168 @@ def test_gcscas_put_if_absent_and_prune():
     assert other.cas("k", 24, 25) is True
     with pytest.raises(ValueError, match="single-step"):
         other.cas("k", 25, 27)
+
+
+# ---- r14: multi-table transactions over CAS tables ----
+#
+# The intent journal is a put-if-absent OBJECT in the CAS store itself
+# (VERDICT r13 task 6), so the commit point lives where the pointers
+# live and recovery replays from the store.
+
+
+def test_blob_api_contract(cas_env, tmp_path):
+    """Every backend's blob API: put-if-absent is unique, get returns
+    the exact bytes, list filters by prefix, delete is idempotent."""
+    _, cas, _, _ = cas_env
+    assert cas.put_blob_if_absent("txn/one", b"payload-1") is True
+    assert cas.put_blob_if_absent("txn/one", b"other") is False
+    assert cas.get_blob("txn/one") == b"payload-1"
+    assert cas.put_blob_if_absent("txn/two", b"payload-2") is True
+    assert cas.put_blob_if_absent("other/x", b"nope") is True
+    assert cas.list_blobs("txn/") == ["txn/one", "txn/two"]
+    assert cas.get_blob("txn/absent") is None
+    cas.delete_blob("txn/one")
+    cas.delete_blob("txn/one")  # idempotent
+    assert cas.list_blobs("txn/") == ["txn/two"]
+
+
+def _group_pair(spark, cas, tmp_path):
+    da = spark.range(10).selectExpr("id", "id * 2 AS v")
+    db = spark.range(100, 120).selectExpr("id", "id * 3 AS v")
+    a = CasManifestTable.create_cas(da, str(tmp_path / "ga"), cas)
+    b = CasManifestTable.create_cas(db, str(tmp_path / "gb"), cas)
+    return a, b
+
+
+def test_cas_group_commit_atomic(cas_env, tmp_path):
+    """Two CAS tables commit as one transaction: both advance exactly
+    one version, added rows land, the journal object is gone."""
+    spark, cas, _, _ = cas_env
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+    CasManifestTable.commit_staged_group_cas(
+        [(a, [sa], set()), (b, [sb], set())], "txn/"
+    )
+    assert a.version() == 2 and b.version() == 2
+    assert a.read(spark).count() == 15
+    assert b.read(spark).count() == 23
+    assert cas.list_blobs("txn/") == []
+
+
+def test_cas_group_commit_aborts_whole_group(cas_env, tmp_path):
+    """A stale remove-set on ONE participant aborts the WHOLE group
+    pre-journal: neither table advances, no claim survives, no journal
+    object exists, and the adopted scratch files are cleaned up."""
+    spark, cas, _, _ = cas_env
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+    with pytest.raises(ValueError, match="no longer live"):
+        CasManifestTable.commit_staged_group_cas(
+            [(a, [sa], set()), (b, [sb], {"not-a-file.parquet"})], "txn/"
+        )
+    assert a.version() == 1 and b.version() == 1
+    assert a.read(spark).count() == 10
+    assert b.read(spark).count() == 20
+    assert cas.list_blobs("txn/") == []
+    # no orphan claims: a fresh single-table commit works immediately
+    a.append(spark.range(2).selectExpr("id + 900 AS id", "id AS v"))
+    assert a.version() == 2
+    # the aborted group's adopted files were removed from data/
+    live = {os.path.basename(f) for f in a.files()}
+    on_disk = set(os.listdir(a.data_dir))
+    assert on_disk <= live | {"_claims"} or on_disk == live
+
+
+def test_cas_group_commit_crash_after_journal_recovers(
+    cas_env, tmp_path, monkeypatch
+):
+    """A crash between the journal object (the commit point) and the
+    second pointer swap: the transaction IS committed — recovery from
+    the store finishes the unswapped participant idempotently and
+    removes the journal."""
+    from sclera_spark.sources.manifest import TxnJournaledError
+
+    spark, cas, _, _ = cas_env
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+
+    real_swap = CasManifestTable._swap_pointer
+
+    def dying_swap(self, expected, version):
+        if os.path.realpath(self.path) == os.path.realpath(str(tmp_path / "gb")):
+            raise OSError("simulated crash before b's pointer swap")
+        return real_swap(self, expected, version)
+
+    monkeypatch.setattr(CasManifestTable, "_swap_pointer", dying_swap)
+    with pytest.raises(TxnJournaledError, match="commit point"):
+        CasManifestTable.commit_staged_group_cas(
+            [(a, [sa], set()), (b, [sb], set())], "txn/"
+        )
+    monkeypatch.setattr(CasManifestTable, "_swap_pointer", real_swap)
+    # a committed (already swapped), b not; journal object remains
+    assert a.version() == 2 and b.version() == 1
+    assert len(cas.list_blobs("txn/")) == 1
+    recovered = CasManifestTable.recover_cas_txn_journals(cas, "txn/")
+    assert os.path.realpath(str(tmp_path / "gb")) in [
+        os.path.realpath(p) for p in recovered
+    ]
+    assert b.version() == 2
+    assert b.read(spark).count() == 23
+    assert cas.list_blobs("txn/") == []
+    # replay is idempotent
+    assert CasManifestTable.recover_cas_txn_journals(cas, "txn/") == []
+
+
+def test_cas_group_refuses_mixed_and_split_stores(spark, tmp_path):
+    """Mixed flock+CAS and two-different-store groups refuse loudly."""
+    from sclera_spark.sources.manifest import ManifestTable
+
+    cas1, cas2 = MemoryCas(), MemoryCas()
+    df = spark.range(5).selectExpr("id", "id AS v")
+    a = CasManifestTable.create_cas(df, str(tmp_path / "ma"), cas1)
+    b = CasManifestTable.create_cas(df, str(tmp_path / "mb"), cas2)
+    plain = ManifestTable.create(df, str(tmp_path / "mp"))
+    sa = a._stage(spark.range(2).selectExpr("id + 50 AS id", "id AS v"))
+    with pytest.raises(ValueError, match="not a CAS table"):
+        CasManifestTable.commit_staged_group_cas(
+            [(a, [sa], set()), (plain, [], set())], "txn/"
+        )
+    with pytest.raises(ValueError, match="two different CAS stores"):
+        CasManifestTable.commit_staged_group_cas(
+            [(a, [sa], set()), (b, [], set())], "txn/"
+        )
+    # the flock group still refuses a CAS participant (r13 contract)
+    with pytest.raises(ValueError, match="CAS table"):
+        ManifestTable.commit_staged_group(
+            [(plain, [], set()), (a, [sa], set())], str(tmp_path / "j")
+        )
+
+
+def test_cas_pointer_cleared_on_drop_and_recreate(spark, tables):
+    """r14 fuzz finding: DROP TABLE of a CAS table must clear its
+    pointer from the store — a re-created same-path table otherwise
+    adopts the dead pointer and resolves manifest versions that no
+    longer exist on disk."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    try:
+        engine.execute("DROP TABLE casrc")
+    except Exception:
+        pass
+    engine.execute("CREATE TABLE casrc AS SELECT 1 AS k")
+    engine.execute("ALTER TABLE casrc SET FORMAT MANIFEST CAS")
+    for _ in range(3):  # advance the pointer past v1
+        engine.execute("INSERT INTO casrc VALUES (2)")
+    engine.execute("DROP TABLE casrc")
+    # re-create at the same path; a stale pointer (v4) would make the
+    # first read explode on a missing v4.json
+    engine.execute("CREATE TABLE casrc AS SELECT 7 AS k")
+    engine.execute("ALTER TABLE casrc SET FORMAT MANIFEST CAS")
+    assert engine.sql("SELECT count(*) AS n FROM casrc").collect()[0].n == 1
+    engine.execute("INSERT INTO casrc VALUES (8)")
+    assert engine.sql("SELECT count(*) AS n FROM casrc").collect()[0].n == 2
+    engine.execute("DROP TABLE casrc")

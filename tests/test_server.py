@@ -1350,9 +1350,10 @@ def test_txn_multi_table_commit_atomic(server):
 
 
 def test_txn_multi_table_cas_refused_at_statement(server):
-    """A CAS-backed table may carry a single-table transaction, but a
-    SECOND table entering the txn refuses 0A000 at statement time (its
-    commit point is outside the intent journal's reach)."""
+    """r14: MIXED flock+CAS transactions refuse 0A000 at statement
+    time (their commit points live in different stores); single-table
+    CAS transactions and ALL-CAS multi-table transactions both work
+    (the latter journals as an object in the CAS store)."""
     c = connect(server)
     c.execute("CREATE TABLE wcas AS SELECT 1 AS k")
     c.execute("ALTER TABLE wcas SET FORMAT MANIFEST CAS")
@@ -1367,7 +1368,7 @@ def test_txn_multi_table_cas_refused_at_statement(server):
         # CAS + plain in one txn: refused when the second table enters
         c.execute("BEGIN")
         c.execute("INSERT INTO wpln VALUES (2)")
-        with pytest.raises(RuntimeError, match="CAS-backed"):
+        with pytest.raises(RuntimeError, match="MIX CAS-backed"):
             c.execute("INSERT INTO wcas VALUES (3)")
         c.execute("ROLLBACK")
         assert _count(c, "SELECT count(*) AS n FROM wcas") == 2
@@ -1375,6 +1376,57 @@ def test_txn_multi_table_cas_refused_at_statement(server):
     finally:
         c.execute("DROP TABLE wcas")
         c.execute("DROP TABLE wpln")
+        c.close()
+
+
+def test_txn_multi_table_all_cas_commit_atomic(server):
+    """r14 (VERDICT r13 task 6): TWO CAS-backed tables in one wire
+    transaction commit atomically through the CAS journal object —
+    both tables land exactly one new version, mid-txn reads see the
+    buffered rows, another session keeps the pre-txn snapshots until
+    COMMIT, and ROLLBACK lands nothing."""
+    c = connect(server)
+    for t in ("wc2a", "wc2b"):
+        c.execute(f"CREATE TABLE {t} AS SELECT 1 AS k, 'a' AS v")
+        c.execute(f"ALTER TABLE {t} SET FORMAT MANIFEST CAS")
+    try:
+        other = connect(server)
+        v0 = {
+            t: len(c.execute(f"SHOW VERSIONS {t}")[1])
+            for t in ("wc2a", "wc2b")
+        }
+        c.execute("BEGIN")
+        assert c.execute("INSERT INTO wc2a VALUES (2, 'b')")[2] == "INSERT 0 1"
+        assert c.execute("INSERT INTO wc2b VALUES (3, 'c')")[2] == "INSERT 0 1"
+        assert c.execute("UPDATE wc2b SET v = 'cc' WHERE k = 3")[2] == "UPDATE 1"
+        # mid-txn cross-table read over both buffers
+        _, rows, _ = c.execute(
+            "SELECT a.k AS ak, b.k AS bk FROM wc2a a, wc2b b "
+            "WHERE a.k = 2 AND b.k = 3"
+        )
+        assert rows == [("2", "3")]
+        # other session: pre-txn snapshots
+        assert _count(other, "SELECT count(*) AS n FROM wc2a") == 1
+        assert _count(other, "SELECT count(*) AS n FROM wc2b") == 1
+        c.execute("COMMIT")
+        assert _count(other, "SELECT count(*) AS n FROM wc2a") == 2
+        _, rows, _ = other.execute("SELECT v FROM wc2b WHERE k = 3")
+        assert rows == [("cc",)]
+        # exactly ONE version landed per table
+        for t in ("wc2a", "wc2b"):
+            assert len(c.execute(f"SHOW VERSIONS {t}")[1]) == v0[t] + 1
+        # ROLLBACK lands nothing on either
+        c.execute("BEGIN")
+        c.execute("INSERT INTO wc2a VALUES (10, 'x')")
+        c.execute("INSERT INTO wc2b VALUES (11, 'y')")
+        c.execute("ROLLBACK")
+        for t in ("wc2a", "wc2b"):
+            assert len(c.execute(f"SHOW VERSIONS {t}")[1]) == v0[t] + 1
+        assert _count(c, "SELECT count(*) AS n FROM wc2a") == 2
+        other.close()
+    finally:
+        c.execute("DROP TABLE wc2a")
+        c.execute("DROP TABLE wc2b")
         c.close()
 
 
