@@ -743,11 +743,211 @@ def _ordered_vals(label: str, expr: str, order_cols: list[str]) -> str:
     return f"transform({collected}, __s -> __s.__v)"
 
 
+_PAIR_AGGS = {
+    "CORR", "COVAR_POP", "COVAR_SAMP", "REGR_COUNT", "REGR_AVGX",
+    "REGR_AVGY", "REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2",
+    "REGR_SXX", "REGR_SYY", "REGR_SXY",
+}
+
+# moment-formula aggregates + aliases recognized in label scope (r14:
+# SeqAggregate dispatch parity — SKEW/KURTOSIS default to SAMPLE in
+# sequence context, EVERY aliases BOOL_AND, VAR/VARIANCE alias
+# VAR_SAMP; two-arg AVG/STDDEV/VAR/SKEW/KURTOSIS are the step forms)
+_LABELED_MOMENT_FNS = {
+    "SKEW", "SKEW_POP", "SKEW_SAMP",
+    "KURTOSIS", "KURTOSIS_POP", "KURTOSIS_SAMP",
+    "EVERY", "VAR", "VARIANCE",
+}
+
+
+def _labeled_moment_fn(label: str, fn: str, p: str) -> str:
+    """Label-scoped SKEW/KURTOSIS via guarded moment averages —
+    formulas exactly as SeqSkewAggregate (SeqAggregate.scala:1029-1074)
+    and SeqKurtosisAggregate (:1115-1158): population g1/g2 from raw
+    moments, sample variants scaled by the reference's bias factors.
+    One deliberate deviation: a zero-variance sequence yields NULL for
+    the kurtosis POP variant too (the reference's Scala double division
+    produces NaN/Infinity there, which SQL result columns cannot carry
+    portably; the reference's own SKEW returns NULL on that input)."""
+    g = f"CASE WHEN match_label = '{label}' THEN CAST(({p}) AS DOUBLE) END"
+    n = f"count({g})"
+    ex = f"avg({g})"
+    exx = f"avg(power({g}, 2))"
+    exxx = f"avg(power({g}, 3))"
+    varpop = f"({exx} - power({ex}, 2))"
+    if fn.startswith("SKEW"):
+        pop = f"(({exxx} - 3 * {ex} * {exx} + 2 * power({ex}, 3)) / power({varpop}, 1.5))"
+        if fn == "SKEW_POP":
+            body = f"CASE WHEN {varpop} <= 0 THEN CAST(NULL AS DOUBLE) ELSE {pop} END"
+        else:  # SKEW / SKEW_SAMP: sample skew (dispatch :1146)
+            body = (
+                f"CASE WHEN {varpop} <= 0 OR {n} <= 2 THEN CAST(NULL AS DOUBLE) "
+                f"ELSE {pop} * sqrt(CAST({n} AS DOUBLE) * ({n} - 1)) / ({n} - 2) END"
+            )
+        return f"({body})"
+    exxxx = f"avg(power({g}, 4))"
+    pop = (
+        f"((({exxxx} - 4 * {ex} * {exxx} + 6 * power({ex}, 2) * {exx} "
+        f"- 3 * power({ex}, 4)) / {varpop}) / {varpop} - 3)"
+    )
+    if fn == "KURTOSIS_POP":
+        body = f"CASE WHEN {varpop} <= 0 THEN CAST(NULL AS DOUBLE) ELSE {pop} END"
+    else:  # KURTOSIS / KURTOSIS_SAMP: sample kurt (dispatch :1153)
+        body = (
+            f"CASE WHEN {varpop} <= 0 OR {n} <= 3 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE ({pop} * ({n} + 1) + 6) * CAST({n} - 1 AS DOUBLE) "
+            f"/ (({n} - 2) * ({n} - 3)) END"
+        )
+    return f"({body})"
+
+
+def _labeled_pair_fn(label: str, fn: str, y: str, x: str) -> str:
+    """Label-scoped two-argument aggregates (CORR / COVAR_* / REGR_*)
+    from guarded moment sums — formulas exactly as the reference's
+    SeqPairUnLabeledAggregate family (SeqAggregate.scala:408-779),
+    including its pair-skip rule: a row where EITHER argument is NULL
+    contributes nothing (valueAsDoubleOpt None -> skip)."""
+    pg = (
+        f"match_label = '{label}' AND ({y}) IS NOT NULL "
+        f"AND ({x}) IS NOT NULL"
+    )
+
+    def s(expr: str) -> str:
+        return f"sum(CASE WHEN {pg} THEN CAST(({expr}) AS DOUBLE) END)"
+
+    n = f"count(CASE WHEN {pg} THEN 1 END)"
+    sy, sx = s(y), s(x)
+    syx = s(f"({y}) * ({x})")
+    syy = s(f"({y}) * ({y})")
+    sxx = s(f"({x}) * ({x})")
+    ey, ex = f"({sy} / {n})", f"({sx} / {n})"
+    eyx, eyy, exx = f"({syx} / {n})", f"({syy} / {n})", f"({sxx} / {n})"
+    cov = f"({eyx} - {ey} * {ex})"
+    varx = f"({exx} - power({ex}, 2))"
+    vary = f"({eyy} - power({ey}, 2))"
+    if fn == "REGR_COUNT":
+        return f"({n})"
+    if fn == "REGR_AVGX":
+        return f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) ELSE {ex} END)"
+    if fn == "REGR_AVGY":
+        return f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) ELSE {ey} END)"
+    if fn == "CORR":
+        sdy, sdx = f"sqrt({vary})", f"sqrt({varx})"
+        return (
+            f"(CASE WHEN {n} = 0 OR {sdy} = 0 OR {sdx} = 0 THEN "
+            f"CAST(NULL AS DOUBLE) ELSE {cov} / ({sdy} * {sdx}) END)"
+        )
+    if fn == "COVAR_POP":
+        return f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) ELSE {cov} END)"
+    if fn == "COVAR_SAMP":
+        return (
+            f"(CASE WHEN {n} <= 1 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {cov} * {n} / ({n} - 1) END)"
+        )
+    if fn == "REGR_SLOPE":
+        return (
+            f"(CASE WHEN {n} = 0 OR {varx} = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {cov} / {varx} END)"
+        )
+    if fn == "REGR_INTERCEPT":
+        return (
+            f"(CASE WHEN {n} = 0 OR {varx} = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {ey} - {ex} * {cov} / {varx} END)"
+        )
+    if fn == "REGR_R2":
+        # reference order (:660-680): varx == 0 -> NULL; vary == 0 -> 1.0
+        return (
+            f"(CASE WHEN {n} = 0 OR {varx} = 0 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {vary} = 0 THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE ({cov} / {vary}) * ({cov} / {varx}) END)"
+        )
+    if fn == "REGR_SXX":
+        return (
+            f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {sxx} - {n} * power({ex}, 2) END)"
+        )
+    if fn == "REGR_SYY":
+        return (
+            f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {syy} - {n} * power({ey}, 2) END)"
+        )
+    # REGR_SXY
+    return (
+        f"(CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {syx} - {n} * {ey} * {ex} END)"
+    )
+
+
+def _labeled_step_fn(label: str, fn: str, y: str, x: str) -> str:
+    """Label-scoped STEP (weighted) aggregates — AVG/VAR/STDDEV/SKEW/
+    KURTOSIS(y, step): each y weighs in by its step x (e.g. a time
+    delta), exactly the running weighted moments of
+    SeqAvgStepAggregate / SeqStdDevStepAggregate / SeqVarStepAggregate
+    / SeqSkewStepAggregate / SeqKurtosisStepAggregate
+    (SeqAggregate.scala:880-904,938-966,1000-1028,1075-1114,1159-1199);
+    a zero cumulative step yields NULL, and all step variants are
+    POPULATION-flavored (the reference defines no sample forms)."""
+    pg = (
+        f"match_label = '{label}' AND ({y}) IS NOT NULL "
+        f"AND ({x}) IS NOT NULL"
+    )
+
+    def s(expr: str) -> str:
+        return f"sum(CASE WHEN {pg} THEN CAST(({expr}) AS DOUBLE) END)"
+
+    sx = s(x)
+    sy = s(f"({x}) * ({y})")
+    ey = f"({sy} / {sx})"
+    null = "CAST(NULL AS DOUBLE)"
+    if fn == "AVG":
+        return f"(CASE WHEN {sx} IS NULL OR {sx} = 0 THEN {null} ELSE {ey} END)"
+    syy = s(f"({x}) * ({y}) * ({y})")
+    eyy = f"({syy} / {sx})"
+    varpop = f"({eyy} - power({ey}, 2))"
+    if fn in ("VAR", "VARIANCE"):
+        return f"(CASE WHEN {sx} IS NULL OR {sx} = 0 THEN {null} ELSE {varpop} END)"
+    if fn == "STDDEV":
+        return (
+            f"(CASE WHEN {sx} IS NULL OR {sx} = 0 THEN {null} "
+            f"ELSE sqrt({varpop}) END)"
+        )
+    syyy = s(f"({x}) * ({y}) * ({y}) * ({y})")
+    eyyy = f"({syyy} / {sx})"
+    if fn == "SKEW":
+        return (
+            f"(CASE WHEN {sx} IS NULL OR {sx} = 0 OR {varpop} <= 0 THEN {null} "
+            f"ELSE ({eyyy} - 3 * {ey} * {eyy} + 2 * power({ey}, 3)) "
+            f"/ power({varpop}, 1.5) END)"
+        )
+    # KURTOSIS
+    syyyy = s(f"({x}) * ({y}) * ({y}) * ({y}) * ({y})")
+    eyyyy = f"({syyyy} / {sx})"
+    return (
+        f"(CASE WHEN {sx} IS NULL OR {sx} = 0 OR {varpop} <= 0 THEN {null} "
+        f"ELSE (({eyyyy} - 4 * {ey} * {eyyy} + 6 * power({ey}, 2) * {eyy} "
+        f"- 3 * power({ey}, 4)) / {varpop}) / {varpop} - 3 END)"
+    )
+
+
 def _lower_labeled_fn(label: str, fn: str, args: list[str], order_cols: list[str]) -> str:
     """One label-scoped aggregate -> Spark SQL aggregate expression
     (reference analytics/sequence/matcher/aggregate/SeqAggregate.scala:
     1203-1320 for the function-name dispatch and semantics)."""
     guard = f"CASE WHEN match_label = '{label}' THEN"
+    # step (weighted) variants take the PAIR branch, not the plain one:
+    # AVG(y, x) etc. weight each y by its step x (SeqAvgStepAggregate
+    # and friends, SeqAggregate.scala:880-904,938-966,1000-1028,
+    # 1075-1114,1159-1199)
+    if fn in ("AVG", "STDDEV", "VAR", "VARIANCE", "SKEW", "KURTOSIS") and len(args) == 2:
+        return _labeled_step_fn(label, fn, args[0], args[1])
+    if fn in _PAIR_AGGS:
+        return _labeled_pair_fn(label, fn, args[0], args[1])
+    if fn in ("SKEW", "SKEW_POP", "SKEW_SAMP", "KURTOSIS", "KURTOSIS_POP", "KURTOSIS_SAMP"):
+        return _labeled_moment_fn(label, fn, args[0])
+    if fn == "EVERY":  # pg alias for BOOL_AND (dispatch :1291)
+        return f"bool_and({guard} {args[0]} END)"
+    if fn in ("VAR", "VARIANCE"):  # one-arg: sample variance (:1339)
+        return f"var_samp({guard} CAST(({args[0]}) AS DOUBLE) END)"
     if fn in _LABELED_AGGS:
         inner = args[0] if args and args[0] != "*" else "1"
         return f"{fn.lower()}({guard} {inner} END)"
@@ -866,6 +1066,7 @@ def rewrite_labeled_functions(
         fn_u = fn.upper()
         if label.upper() not in labels or (
             fn_u not in _LABELED_AGGS and fn_u not in _LABELED_SEQ_FNS
+            and fn_u not in _PAIR_AGGS and fn_u not in _LABELED_MOMENT_FNS
             and fn_u != "COUNT"
         ):
             return m.group(0)

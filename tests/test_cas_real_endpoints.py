@@ -122,3 +122,35 @@ def test_real_endpoint_raw_cas_semantics(real_cas_env):
     assert not cas.cas(key, None, 1)  # same transition cannot win twice
     assert cas.get(key) == 1
     assert cas.cas(key, 1, 2) and cas.get(key) == 2
+
+
+def test_real_endpoint_blob_contract(real_cas_env, tmp_path):
+    """r14: the blob API (the CAS multi-table transaction journal's
+    substrate) against the live endpoint — reuses the fake-suite
+    contract test verbatim."""
+    from tests.test_manifest_cas import test_blob_api_contract as _t
+
+    _t(real_cas_env, tmp_path)
+
+
+def test_real_endpoint_group_commit(real_cas_env, tmp_path):
+    """r14: an actual two-table CAS group commit with the journal
+    object in the live store, plus crash-after-journal recovery —
+    reuses the fake-suite tests verbatim."""
+    import pytest as _pytest
+
+    from tests.test_manifest_cas import (
+        test_cas_group_commit_atomic as _t_atomic,
+    )
+
+    _t_atomic(real_cas_env, tmp_path)
+
+
+def test_real_endpoint_group_crash_recovery(
+    real_cas_env, tmp_path, monkeypatch
+):
+    from tests.test_manifest_cas import (
+        test_cas_group_commit_crash_after_journal_recovers as _t_crash,
+    )
+
+    _t_crash(real_cas_env, tmp_path, monkeypatch)
