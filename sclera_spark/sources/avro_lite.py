@@ -13,11 +13,13 @@ Scope (deliberate):
 - decode-only; no writer (fixtures are generated with the Apache Avro
   JAVA library bundled in the Spark distribution — an independent,
   canonical encoder — see tests/test_iceberg_import.py).
-- codecs: ``null``, ``deflate`` (raw zlib, per spec) and ``snappy``
-  (pure-Python raw-block decoder from the public format description,
-  CRC32-verified per the Avro spec — r14: the most common Iceberg
-  manifest encoding in the wild). Anything else (zstd/bzip2/xz need
-  third-party libs) refuses loudly by name.
+- codecs: the FULL Avro 1.12 matrix (r14) — ``null``, ``deflate``
+  (raw zlib), ``snappy`` (CRC32-verified; pyarrow's C decoder when the
+  build has it, else the bundled pure-Python raw-block decoder),
+  ``zstandard`` (pyarrow when available, else the bundled pure-Python
+  RFC 8878 decoder in sources/zstd_lite.py), ``bzip2`` and ``xz``
+  (Python stdlib, output-ceiling guarded). Unknown codec names refuse
+  loudly.
 - logical types are returned as their RAW underlying values (Iceberg's
   replay only touches strings/longs/ints, where raw == logical).
 
@@ -373,6 +375,35 @@ def _snappy_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _pa_codec(name: str):
+    """pyarrow's bundled codec when available (the FAST path — C-level
+    snappy/zstd; pyarrow is a hard dependency of this engine, but its
+    codec set is build-dependent, so availability is probed and the
+    pure-Python spec decoders below remain the fallback)."""
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available(name):
+            return pa.Codec(name)
+    except Exception:
+        pass
+    return None
+
+
+def _snappy_preamble_length(data: bytes) -> int | None:
+    """The snappy raw-format preamble (plain little-endian varint32):
+    the declared uncompressed length, or None if malformed — used to
+    hand pyarrow's C decoder its required decompressed_size."""
+    n = 0
+    shift = 0
+    for i, b in enumerate(data[:5]):
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n
+        shift += 7
+    return None
+
+
 def _decompress(codec: str, block: bytes) -> bytes:
     if codec in ("null", ""):
         return block
@@ -391,20 +422,94 @@ def _decompress(codec: str, block: bytes) -> bytes:
     if codec == "snappy":
         # Avro spec ("Required Codecs: snappy"): each block is the
         # snappy-compressed bytes followed by the 4-byte BIG-endian
-        # CRC32 of the UNCOMPRESSED data
+        # CRC32 of the UNCOMPRESSED data. pyarrow's C snappy when the
+        # build has it, else the pure-Python raw-block decoder; the
+        # CRC is verified either way.
         if len(block) < 4:
             raise AvroLiteError(
                 "avro: snappy block too short for its CRC32 trailer"
             )
-        out = _snappy_decompress(block[:-4])
+        # pyarrow's C decoder needs the decompressed size up front —
+        # the snappy preamble varint carries it
+        size = _snappy_preamble_length(block[:-4])
+        pac = _pa_codec("snappy") if size is not None else None
+        if pac is not None and size <= _MAX_INFLATE:
+            try:
+                out = bytes(pac.decompress(block[:-4], decompressed_size=size))
+            except Exception as exc:
+                raise AvroLiteError(
+                    f"avro: snappy block failed to decode: {exc}"
+                ) from exc
+        else:
+            out = _snappy_decompress(block[:-4])
         if zlib.crc32(out) & 0xFFFFFFFF != int.from_bytes(block[-4:], "big"):
             raise AvroLiteError(
                 "avro: snappy block CRC32 mismatch (corrupt container)"
             )
         return out
+    if codec == "zstandard":
+        # Avro spec name for zstd; each block is one zstd frame (no
+        # extra trailer). pyarrow's C zstd when available, else the
+        # pure-Python RFC 8878 decoder (sources/zstd_lite.py, r14 —
+        # fuzz-pinned against both the JVM and pyarrow encoders).
+        from sclera_spark.sources.zstd_lite import (
+            ZstdError,
+            decompress,
+            frame_content_size,
+        )
+
+        # pyarrow's C decoder needs the decompressed size up front —
+        # the frame header usually declares it; headers without it
+        # take the pure-Python path (which tracks size as it decodes)
+        size = frame_content_size(block)
+        pac = _pa_codec("zstd") if size is not None else None
+        if pac is not None and size <= _MAX_INFLATE:
+            try:
+                return bytes(pac.decompress(block, decompressed_size=size))
+            except Exception as exc:
+                raise AvroLiteError(
+                    f"avro: zstandard block failed to decode: {exc}"
+                ) from exc
+        try:
+            return decompress(block, max_output=_MAX_INFLATE)
+        except ZstdError as exc:
+            raise AvroLiteError(f"avro: {exc}") from exc
+    if codec == "bzip2":
+        # Avro optional codec; the block is one complete bz2 stream —
+        # Python stdlib, decoded with an output ceiling (bomb guard)
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+        try:
+            out = d.decompress(block, _MAX_INFLATE)
+        except OSError as exc:
+            raise AvroLiteError(f"avro: bzip2 block corrupt: {exc}") from exc
+        if not d.eof:
+            # either truncated input or output capped at the ceiling —
+            # both are refusals, never partial data
+            raise AvroLiteError(
+                "avro: bzip2 block truncated or inflates past "
+                f"{_MAX_INFLATE} bytes — refusing"
+            )
+        return out
+    if codec == "xz":
+        # Avro optional codec; one complete .xz stream — Python stdlib
+        import lzma
+
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        try:
+            out = d.decompress(block, _MAX_INFLATE)
+        except lzma.LZMAError as exc:
+            raise AvroLiteError(f"avro: xz block corrupt: {exc}") from exc
+        if not d.eof:
+            raise AvroLiteError(
+                "avro: xz block truncated or inflates past "
+                f"{_MAX_INFLATE} bytes — refusing"
+            )
+        return out
     raise AvroLiteError(
-        f"avro: codec {codec!r} needs a third-party library not "
-        "available here (supported: null, deflate, snappy)"
+        f"avro: codec {codec!r} is not an Avro 1.12 codec this reader "
+        "knows (supported: null, deflate, snappy, zstandard, bzip2, xz)"
     )
 
 

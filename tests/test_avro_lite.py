@@ -225,12 +225,65 @@ def test_vendored_fixture_bytes_decode(tmp_path):
         os.path.join(fixdir, "manifest_list_allsnappy.avro")
     )
     assert [r["manifest_path"] for r in allsnap] == ["metadata/m1_snappy.avro"]
-    # zstd stays a NAMED refusal (avro.codec metadata spells it
-    # 'zstandard' — the Avro spec name, which the Java encoder writes)
-    with pytest.raises(AvroLiteError, match="zstandard"):
-        avro_lite.read_file(
+    # r14: the FULL Avro 1.12 codec matrix decodes — zstd (pyarrow or
+    # the pure-Python RFC 8878 decoder), bzip2 and xz (stdlib); the
+    # Java-encoder bytes are the canonical vectors for each
+    for name in (
+        "manifest_list_zstd.avro",
+        "manifest_list_bzip2.avro",
+        "manifest_list_xz.avro",
+    ):
+        got = avro_lite.read_file(os.path.join(fixdir, name))
+        assert got == mlist, name
+    # ...including zstd through the pure-Python fallback path
+    orig = avro_lite._pa_codec
+    avro_lite._pa_codec = lambda _n: None
+    try:
+        got = avro_lite.read_file(
             os.path.join(fixdir, "manifest_list_zstd.avro")
         )
+        assert got == mlist
+    finally:
+        avro_lite._pa_codec = orig
+    # an UNKNOWN codec name stays a loud refusal
+    with pytest.raises(AvroLiteError, match="lz4hc"):
+        avro_lite.reader(
+            __import__("io").BytesIO(_unknown_codec_container())
+        ).__next__()
+
+
+def _unknown_codec_container() -> bytes:
+    """A structurally-valid Avro container whose avro.codec names a
+    codec that does not exist — built by hand with the spec's binary
+    encoding, for pinning the unknown-codec refusal now that every
+    real Avro 1.12 codec decodes."""
+    import json as _json
+
+    def _varint(v: int) -> bytes:
+        z = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+        out = bytearray()
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def _bytes(b: bytes) -> bytes:
+        return _varint(len(b)) + b
+
+    schema = _json.dumps({"type": "record", "name": "r", "fields": []}).encode()
+    meta = (
+        _varint(2)
+        + _bytes(b"avro.schema") + _bytes(schema)
+        + _bytes(b"avro.codec") + _bytes(b"lz4hc")
+        + _varint(0)
+    )
+    sync = b"\x01" * 16
+    block = _varint(1) + _varint(4) + b"\x00\x00\x00\x00" + sync
+    return b"Obj\x01" + meta + sync + block
 
 
 def test_snappy_hostile_input_refuses():

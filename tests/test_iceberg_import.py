@@ -195,17 +195,41 @@ def test_vendored_real_avro_delete_manifest_refuses(spark, tmp_path):
 
 
 @pytest.mark.skipif(
-    HAVE_FASTAVRO, reason="fastavro may read zstd via a zstandard lib"
+    HAVE_FASTAVRO, reason="fastavro raises its own unknown-codec error"
 )
 def test_unsupported_codec_refuses_by_name(spark, tmp_path):
-    """avro_lite refuses a zstd-coded container LOUDLY, naming the
-    codec (the Avro spec name 'zstandard') — never silently skipping
-    the manifest. (snappy decodes natively as of r14.)"""
-    t = _stage_fixture_table(
-        tmp_path, spark, manifest_list="manifest_list_zstd.avro"
-    )
-    with pytest.raises(IcebergImportUnsupported, match="zstandard"):
+    """avro_lite refuses an UNKNOWN-codec container LOUDLY, naming the
+    codec — never silently skipping the manifest. (The full Avro 1.12
+    codec matrix — snappy/zstandard/bzip2/xz — decodes as of r14, so
+    the refusal vector is a hand-built container naming a codec that
+    does not exist.)"""
+    from tests.test_avro_lite import _unknown_codec_container
+
+    t = _stage_fixture_table(tmp_path, spark)
+    with open(
+        os.path.join(t, "metadata", "snap-77.avro"), "wb"
+    ) as fh:
+        fh.write(_unknown_codec_container())
+    with pytest.raises(IcebergImportUnsupported, match="lz4hc"):
         ice.snapshot_data_files(ice.load_table_metadata(t), t)
+
+
+def test_vendored_real_avro_zstd_bzip2_xz_import(spark, tmp_path):
+    """r14: the zstd / bzip2 / xz-coded manifest lists all resolve the
+    same snapshot as the null-codec one, end to end."""
+    for name in (
+        "manifest_list_zstd.avro",
+        "manifest_list_bzip2.avro",
+        "manifest_list_xz.avro",
+    ):
+        t = _stage_fixture_table(
+            tmp_path / name.replace(".", "_"), spark, manifest_list=name
+        )
+        files = ice.snapshot_data_files(ice.load_table_metadata(t), t)
+        assert sorted(os.path.basename(f) for f in files) == [
+            "f1.parquet",
+            "f2.parquet",
+        ], name
 
 
 def _write_position_deletes(table_dir: str, rows: list[tuple[str, int]]):
@@ -446,7 +470,7 @@ def test_full_iceberg_import_end_to_end(spark, tmp_path):
 
 
 @pytest.mark.skipif(
-    HAVE_FASTAVRO, reason="fastavro may read zstd via a zstandard lib"
+    HAVE_FASTAVRO, reason="fastavro raises its own unknown-codec error"
 )
 def test_ddl_surface_routes_and_refuses_loudly(spark, tmp_path):
     """The statement parses, resolves the JSON + Avro layers, and
@@ -454,11 +478,15 @@ def test_ddl_surface_routes_and_refuses_loudly(spark, tmp_path):
     is left behind."""
     from sclera_spark.engine import ScleraEngine
 
+    from tests.test_avro_lite import _unknown_codec_container
+
     engine = ScleraEngine(spark)
-    t = _stage_fixture_table(
-        tmp_path, spark, manifest_list="manifest_list_zstd.avro"
-    )
-    with pytest.raises(IcebergImportUnsupported, match="zstandard"):
+    t = _stage_fixture_table(tmp_path, spark)
+    with open(
+        os.path.join(t, "metadata", "snap-77.avro"), "wb"
+    ) as fh:
+        fh.write(_unknown_codec_container())
+    with pytest.raises(IcebergImportUnsupported, match="lz4hc"):
         engine.execute(f"CREATE TABLE icetab FROM ICEBERG '{t}'")
     assert "icetab" not in engine.ddl().managed
 

@@ -145,6 +145,10 @@ def main() -> None:
             dfw.setCodec(
                 jvm.org.apache.avro.file.CodecFactory.zstandardCodec(3)
             )
+        elif codec == "bzip2":
+            dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.bzip2Codec())
+        elif codec == "xz":
+            dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.xzCodec(6))
         dfw.create(schema, jvm.java.io.File(os.path.join(OUT, path)))
         for row in rows:
             dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
@@ -289,13 +293,28 @@ def main() -> None:
             mlist_rec("metadata/d2.avro", content=1),
         ],
     )
-    # a zstd-coded list: avro_lite refuses it BY NAME (the refusal is
-    # codec-availability, not corruption — zstd needs a third-party lib)
+    # r14: zstd DECODES too (pyarrow's bundled zstd, or the pure-Python
+    # RFC 8878 decoder in sources/zstd_lite.py); the zstd-jni bytes are
+    # the canonical vector
     write_avro(
         "manifest_list_zstd.avro",
         MANIFEST_LIST_SCHEMA,
         [mlist_rec("metadata/m1.avro")],
         codec="zstd",
+    )
+    # r14: the remaining Avro 1.12 codecs — bzip2 and xz (Python
+    # stdlib decoders); Java-written vectors complete the matrix
+    write_avro(
+        "manifest_list_bzip2.avro",
+        MANIFEST_LIST_SCHEMA,
+        [mlist_rec("metadata/m1.avro")],
+        codec="bzip2",
+    )
+    write_avro(
+        "manifest_list_xz.avro",
+        MANIFEST_LIST_SCHEMA,
+        [mlist_rec("metadata/m1.avro")],
+        codec="xz",
     )
     spark.stop()
     for f in sorted(os.listdir(OUT)):
