@@ -1864,6 +1864,32 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-budget admission gate (streaming/ops.
+    token_budget_committer, r14): three arrival batches (doc_id%3 in
+    order 0,1,2) flow through the committer with one shared budget —
+    each batch admits documents in md5 order while the RUNNING corpus
+    total stays under the budget (take-until; overshoot carries into
+    the next batch's remaining). The DuckDB oracle replays the three
+    rounds with plain windows, so a hash-green row certifies the
+    cross-batch budget accounting exactly — the 'stop crawling at ~N
+    tokens' ingest shape."""
+    import tempfile
+
+    from sclera_spark.sources.manifest import ManifestTable
+    from sclera_spark.streaming.ops import token_budget_committer
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents").select("doc_id", "text")
+    path = os.path.join(tempfile.mkdtemp(prefix="sclera_tb_"), "kept")
+    commit = token_budget_committer(
+        path, budget=9_000, salt="stb", stream_id="entry"
+    )
+    for bi in range(3):
+        commit(docs.where(f"doc_id % 3 = {bi}"), bi)
+    return ManifestTable(path).read(spark).select("doc_id")
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (llm/text.pack_documents) —
     the GPT-style pretraining batching step: documents concatenated in
@@ -2202,6 +2228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_classifier": _q_quality_classifier,
             # r14: multi-query ANN recall sweep (VERDICT r13 task 4)
             "ann_recall_sweep": _q_ann_recall_sweep,
+            # r14: streaming token-budget admission gate (tail;
+            # oracle replays the 3-batch budget accounting)
+            "stream_token_budget": _q_stream_token_budget,
         }
     )
     ordered = {n: out[n] for n in _WINDOW_ORDER}
@@ -3356,6 +3385,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'corrupted' AS variant, FALSE AS keep
         FROM documents WHERE text IS NOT NULL AND length(text) > 100
           AND doc_id % 2 = 1
+    """
+    # r14 streaming token-budget gate: replay the 3-batch budget
+    # accounting — per-batch md5-order exclusive prefix against the
+    # REMAINING budget, the admitted sum (overshoot included) carried
+    # into the next batch
+    oracles["stream_token_budget"] = r"""
+        WITH t AS (
+          SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS batch,
+                 COALESCE(CAST(length(list_filter(string_split_regex(
+                     regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
+                     '\s+'), x -> x <> '')) AS BIGINT), 0) AS n,
+                 md5(concat('stb', CAST(doc_id AS VARCHAR))) AS h
+          FROM documents
+        ), c AS (
+          SELECT doc_id, batch, n,
+                 SUM(n) OVER (PARTITION BY batch ORDER BY h, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n AS prior
+          FROM t
+        ),
+        a0 AS (SELECT * FROM c WHERE batch = 0 AND prior < 9000),
+        d0 AS (SELECT COALESCE(SUM(n), 0) AS s FROM a0),
+        a1 AS (SELECT c.* FROM c WHERE batch = 1
+               AND prior < 9000 - (SELECT s FROM d0)),
+        d1 AS (SELECT (SELECT s FROM d0)
+                    + (SELECT COALESCE(SUM(n), 0) FROM a1) AS s),
+        a2 AS (SELECT c.* FROM c WHERE batch = 2
+               AND prior < 9000 - (SELECT s FROM d1))
+        SELECT doc_id FROM a0
+        UNION ALL SELECT doc_id FROM a1
+        UNION ALL SELECT doc_id FROM a2
     """
     # token-budget draw: the distributed exclusive prefix over the
     # md5-salted order must equal one global SQL window's cut. The

@@ -1136,3 +1136,141 @@ def stream_crawl_gate(
     q.awaitTermination(timeout_s)
     q.stop()
     return q
+
+
+def token_budget_committer(
+    kept_path: str,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    salt: str = "",
+    stream_id: str | None = None,
+):
+    """foreachBatch TOKEN-BUDGET admission gate (r14): the streaming
+    form of llm/sample.token_budget_sample — each micro-batch's
+    documents are admitted in md5(salt || id) order while the RUNNING
+    corpus token total stays under ``budget`` (take-until: the last
+    admitted document may overshoot, after which every later batch
+    admits nothing), and the admitted rows land as ONE atomic
+    watermarked manifest commit whose metadata carries the updated
+    running total (``tb_tokens``).
+
+    Crash consistency under at-least-once redelivery: the running
+    total advances atomically WITH the rows that consumed it (same
+    manifest commit), so a redelivered batch — detected by the
+    stream-scoped batch watermark — can never double-count; a crash
+    BEFORE the commit replays into the identical deterministic draw
+    (md5 order, same remaining budget). A budget-exhausted batch is a
+    pure metadata commit (watermark bump, no data jobs beyond an
+    empty check)."""
+    from pyspark.sql import functions as F
+
+    from sclera_spark.llm.text import _tokens, global_prefix_sum
+    from sclera_spark.sources.manifest import ManifestTable
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def commit_batch(bdf: DataFrame, batch_id: int) -> None:
+        done = 0
+        mt = None
+        if ManifestTable.exists(kept_path):
+            mt = ManifestTable(kept_path)
+            meta = mt.meta()
+            cur_id = meta.get("stream_id")
+            same = cur_id == stream_id or (
+                cur_id is None and "stream_batch" in meta
+            )
+            if not same and "stream_batch" in meta:
+                raise ValueError(
+                    f"token budget table {kept_path} carries a batch "
+                    f"watermark from stream {cur_id!r} (this stream: "
+                    f"{stream_id!r}); resume with the ORIGINAL "
+                    "checkpoint, or point a new checkpoint at a fresh "
+                    "table"
+                )
+            if same and batch_id <= meta.get("stream_batch", -1):
+                return  # redelivered: rows + total already committed
+            done = int(meta.get("tb_tokens", 0))
+        remaining = budget - done
+        wm = {"stream_batch": batch_id, "stream_id": stream_id}
+        if remaining <= 0:
+            # budget filled by an earlier batch: watermark-only commit
+            if mt is not None:
+                mt.amend_meta(wm)
+            return
+        cols = list(bdf.columns)
+        t = bdf.withColumn(
+            "__h",
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        ).withColumn(
+            "__n",
+            F.coalesce(
+                (
+                    F.col(count_col).cast("long")
+                    if count_col is not None
+                    else F.size(_tokens(F.col(text_col))).cast("long")
+                ),
+                F.lit(0),
+            ),
+        )
+        g = global_prefix_sum(t, ["__h", id_col], "__n", out_col="__prior")
+        admitted = g.where(F.col("__prior") < remaining).localCheckpoint(
+            eager=True
+        )
+        n_admit = admitted.agg(
+            F.count("*").alias("c"), F.sum("__n").alias("s")
+        ).collect()[0]
+        if not n_admit["c"]:
+            if mt is not None:
+                mt.amend_meta(wm)
+            return
+        out = admitted.select(*cols)
+        meta = {**wm, "tb_tokens": done + int(n_admit["s"])}
+        if mt is None:
+            ManifestTable.create(out, kept_path, meta=meta)
+        else:
+            mt.append(out, meta=meta)
+
+    return commit_batch
+
+
+def stream_token_budget(
+    stream_df: DataFrame,
+    kept_path: str,
+    budget: int,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    salt: str = "",
+    timeout_s: int = 300,
+):
+    """Stream a document feed through the token-budget admission gate
+    (:func:`token_budget_committer`): admitted documents land in the
+    ``kept_path`` manifest table until the corpus-wide token budget
+    fills, exactly-once across restarts via the checkpoint-scoped
+    batch watermark. Drains available input (availableNow) and returns
+    the stopped query — call again with the same checkpoint to
+    resume."""
+    sid = checkpoint_stream_id(checkpoint_dir)
+    q = (
+        stream_df.writeStream.foreachBatch(
+            token_budget_committer(
+                kept_path,
+                budget,
+                id_col=id_col,
+                text_col=text_col,
+                count_col=count_col,
+                salt=salt,
+                stream_id=sid,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return q

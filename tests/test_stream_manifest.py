@@ -681,3 +681,151 @@ def test_crawl_gate_refuses_foreign_watermark(spark, gdirs):
         commit(b, 0)
     # nothing half-committed
     assert not ManifestTable.exists(d["kept"])
+
+
+# ---- r14: streaming token-budget admission gate ----
+
+
+@pytest.fixture()
+def tbdirs():
+    root = tempfile.mkdtemp(prefix="sclera_tb_")
+    d = {
+        "in": os.path.join(root, "in"),
+        "kept": os.path.join(root, "kept"),
+        "ck": os.path.join(root, "ck"),
+    }
+    os.makedirs(d["in"])
+    yield d
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _tb_doc(i, n_tokens):
+    return (i, " ".join(f"w{j}" for j in range(n_tokens)))
+
+
+def test_stream_token_budget_end_to_end(spark, tbdirs):
+    """Streaming token-budget gate: batch 1 part-fills the budget in
+    md5 order, batch 2 admits only until the budget fills (take-until:
+    the last admitted doc may overshoot), batch 3 admits nothing and
+    is a pure watermark commit; the running total in the manifest meta
+    matches the admitted docs' token sum exactly; rerun with no new
+    input is a no-op."""
+    from sclera_spark.streaming import stream_token_budget
+
+    d = tbdirs
+
+    def run():
+        return stream_token_budget(
+            stream_from_directory(spark, d["in"], _DOC_SCHEMA),
+            d["kept"],
+            budget=100,
+            checkpoint_dir=d["ck"],
+        )
+
+    # batch 1: 3 docs x 20 tokens = 60 <= 100 -> all admitted
+    _land_docs(spark, [_tb_doc(i, 20) for i in (1, 2, 3)], d["in"])
+    run()
+    mt = ManifestTable(d["kept"])
+    assert sorted(r.doc_id for r in mt.read(spark).collect()) == [1, 2, 3]
+    assert mt.meta()["tb_tokens"] == 60
+
+    # batch 2: 4 docs x 20 tokens; remaining 40 -> exactly 2 admitted
+    # in md5 order; the running total advances by the ADMITTED sum
+    _land_docs(spark, [_tb_doc(i, 20) for i in (4, 5, 6, 7)], d["in"])
+    run()
+    kept2 = sorted(r.doc_id for r in mt.read(spark).collect())
+    assert len(kept2) == 5 and kept2[:3] == [1, 2, 3]
+    assert mt.meta()["tb_tokens"] == 100
+    # the admitted pair is the md5(salt||id) order prefix
+    import hashlib
+
+    order = sorted(
+        (4, 5, 6, 7), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    assert set(kept2) - {1, 2, 3} == set(order[:2])
+
+    # batch 3: budget full -> nothing admitted, watermark still bumps
+    v = mt.version()
+    _land_docs(spark, [_tb_doc(8, 5)], d["in"])
+    run()
+    assert sorted(r.doc_id for r in mt.read(spark).collect()) == kept2
+    assert mt.version() == v + 1  # the watermark amend commit
+    assert mt.meta()["tb_tokens"] == 100
+
+    # rerun with no new input: clean no-op
+    v2 = mt.version()
+    run()
+    assert mt.version() == v2
+
+
+def test_token_budget_committer_redelivery_and_overshoot(spark, tbdirs):
+    """Direct committer semantics: a redelivered batch (id at/below the
+    watermark) is a no-op — the rows AND the running total were
+    committed atomically, so replay cannot double-count; take-until
+    overshoot is carried into the next batch's remaining budget; a
+    foreign-stream watermark refuses."""
+    from sclera_spark.streaming.ops import token_budget_committer
+
+    d = tbdirs
+    commit = token_budget_committer(d["kept"], budget=50, stream_id="s1")
+    b0 = spark.createDataFrame(
+        [_tb_doc(1, 30), _tb_doc(2, 30)], _DOC_SCHEMA
+    )
+    commit(b0, 0)
+    mt = ManifestTable(d["kept"])
+    # take-until: both docs admitted (second starts at prior 30 < 50),
+    # total overshoots to 60
+    assert mt.read(spark).count() == 2
+    assert mt.meta()["tb_tokens"] == 60
+    v = mt.version()
+    # redelivery of batch 0: pure no-op (no version, no total change)
+    commit(b0, 0)
+    assert mt.version() == v and mt.meta()["tb_tokens"] == 60
+    # next batch: remaining <= 0 -> watermark-only commit
+    commit(spark.createDataFrame([_tb_doc(3, 5)], _DOC_SCHEMA), 1)
+    assert mt.read(spark).count() == 2
+    assert mt.meta()["tb_tokens"] == 60
+    assert mt.meta()["stream_batch"] == 1
+    # foreign stream watermark refuses loudly
+    import pytest as _pytest
+
+    foreign = token_budget_committer(d["kept"], budget=50, stream_id="s2")
+    with _pytest.raises(ValueError, match="watermark"):
+        foreign(spark.createDataFrame([_tb_doc(4, 5)], _DOC_SCHEMA), 0)
+
+
+def test_token_budget_committer_matches_batch_sampler(spark, tbdirs):
+    """Equivalence pin: feeding batches through the streaming gate
+    admits EXACTLY the documents the batch sampler draws when run on
+    the concatenation ordered by (batch, md5) — i.e. the streaming
+    form is the batch semantics applied per arrival batch."""
+    from sclera_spark.llm import token_budget_sample
+    from sclera_spark.streaming.ops import token_budget_committer
+
+    d = tbdirs
+    docs = [(i, " ".join("t" for _ in range(7 + (i % 5)))) for i in range(40)]
+    batches = [docs[:15], docs[15:30], docs[30:]]
+    commit = token_budget_committer(d["kept"], budget=200, stream_id="s")
+    for bi, rows in enumerate(batches):
+        commit(spark.createDataFrame(rows, _DOC_SCHEMA), bi)
+    got = sorted(
+        r.doc_id for r in ManifestTable(d["kept"]).read(spark).collect()
+    )
+    # reference: per-batch take-until with the carried remaining budget
+    import hashlib
+
+    want, done = [], 0
+    for rows in batches:
+        rem = 200 - done
+        if rem <= 0:
+            break
+        order = sorted(
+            rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+        )
+        acc = 0
+        for i, txt in order:
+            if acc < rem:
+                want.append(i)
+                acc += len(txt.split())
+        done += acc if acc <= rem else acc  # admitted sum (may overshoot)
+    assert got == sorted(want)
