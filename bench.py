@@ -308,6 +308,11 @@ BUDGETS_SCALE10 = {
     # classifier near-flat; BASELINE.md "late-r13 ~sf1")
     "crawl_gate_incr": 40.0, "token_budget": 4.0,
     "quality_classifier": 22.5,
+    # r14 ops at ~sf1 (2.5x mins-of-3 on a stall-bursty host: 3.834 /
+    # 1.271 — the sweep is near scale-neutral: the shared scan grows
+    # 10x but the two-phase window and probe-pruned candidate set
+    # dominate; BASELINE.md "r14 ~sf1")
+    "ann_recall_sweep": 9.6, "stream_token_budget": 3.2,
 }
 
 

@@ -188,6 +188,18 @@ def test_zstd_checksummed_frame(spark):
         decompress(bytes(bad))
 
 
+def test_skippable_frames_are_skipped():
+    import pyarrow as pa
+
+    zc = pa.Codec("zstd")
+    comp = zc.compress(b"actual content", asbytes=True)
+    skip = (0x184D2A53).to_bytes(4, "little") + (7).to_bytes(4, "little") + b"x" * 7
+    assert decompress(skip + comp) == b"actual content"
+    assert zl.frame_content_size(skip + comp) == len(b"actual content")
+    with pytest.raises(ZstdError, match="truncated"):
+        decompress(skip[:6])
+
+
 def test_snappy_vs_pyarrow():
     """The pure-Python snappy raw-format decoder (avro_lite) decodes
     pyarrow's C snappy output exactly."""
