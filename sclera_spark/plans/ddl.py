@@ -647,12 +647,13 @@ class DdlRouter:
         current snapshot (public spec; sources/iceberg.py) and register
         its live parquet files as a new manifest table without copying
         data (hard links; sources/manifest.import_iceberg). POSITION
-        deletes are applied under the MATERIALIZE opt-in (the same
-        spelling as the Delta importer — only delete-bearing files are
-        rewritten with masked rows purged); without it a delete
-        manifest is a loud refusal. Equality deletes, object-store
-        paths, field-id schema drift, and a missing Avro codec are all
-        LOUD refusals — never silent data loss. The import is a
+        and EQUALITY deletes are applied under the MATERIALIZE opt-in
+        (the same spelling as the Delta importer — only delete-bearing
+        files are rewritten with masked rows purged; equality deletes
+        follow the spec's strictly-older-sequence + partition-scope
+        rules); without it a delete manifest is a loud refusal.
+        Object-store paths, field-id schema drift, and an unknown Avro
+        codec are all LOUD refusals — never silent data loss. The import is a
         first-class table: pruning, DML, time travel and OPTIMIZE all
         work atop it; the source Iceberg table is never modified."""
         from sclera_spark.sources.manifest import ManifestTable

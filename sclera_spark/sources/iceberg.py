@@ -45,6 +45,7 @@ __all__ = [
     "snapshot_data_files",
     "snapshot_files",
     "position_delete_positions",
+    "equality_delete_matches",
 ]
 
 
@@ -76,6 +77,43 @@ def position_delete_positions(
             key = os.path.realpath(_local_path(str(fp), table_dir))
             out.setdefault(key, []).append(int(pos))
     return {k: sorted(set(v)) for k, v in out.items()}
+
+
+def equality_delete_matches(
+    delete: dict, data_path: str, fields_by_id: dict[int, str]
+) -> list[int]:
+    """Row POSITIONS of ``data_path`` matched by one equality-delete
+    file (public spec: the delete file's rows carry values for the
+    ``equality_ids`` columns; a data row is deleted when it equals any
+    delete row on ALL those columns, NULLs matching NULLs). Returns the
+    positions for :func:`deletion_vectors.purge_parquet` — the same
+    bounded-memory rewrite the position-delete path uses."""
+    import pyarrow.parquet as pq
+
+    ids = delete["equality_ids"]
+    if not ids:
+        raise IcebergImportUnsupported(
+            "Iceberg import: equality-delete file "
+            f"{delete['path']!r} carries no equality_ids — corrupt "
+            "manifest entry"
+        )
+    try:
+        cols = [fields_by_id[i] for i in ids]
+    except KeyError as exc:
+        raise IcebergImportUnsupported(
+            f"Iceberg import: equality field id {exc} is not a "
+            "top-level column of the current schema (nested equality "
+            "deletes are not supported here)"
+        ) from exc
+    dt = pq.read_table(delete["path"], columns=cols)
+    # the spec allows NULL in delete rows (matches NULL); tuples of
+    # python values compare exactly for the primitive types involved
+    targets = set(zip(*(dt.column(c).to_pylist() for c in cols)))
+    if not targets:
+        return []
+    st = pq.read_table(data_path, columns=cols)
+    rows = zip(*(st.column(c).to_pylist() for c in cols))
+    return [i for i, r in enumerate(rows) if r in targets]
 
 
 class IcebergImportUnsupported(ValueError):
@@ -241,26 +279,31 @@ def snapshot_data_files(doc: dict, table_dir: str) -> list[str]:
     importing their base files without applying the deletes would
     resurrect deleted rows. (:func:`snapshot_files` with
     ``collect_deletes=True`` is the apply path — r14.)"""
-    files, _ = snapshot_files(doc, table_dir, collect_deletes=False)
+    files, _, _ = snapshot_files(doc, table_dir, collect_deletes=False)
     return files
 
 
 def snapshot_files(
     doc: dict, table_dir: str, collect_deletes: bool = False
-) -> tuple[list[str], list[str]]:
+) -> tuple[list[str], list[dict], dict[str, dict]]:
     """The CURRENT snapshot's live parquet data files plus (when
-    ``collect_deletes``) its POSITION-delete parquet files, replaying
+    ``collect_deletes``) its delete files, replaying
     manifest-list → manifests per the public spec
     (https://iceberg.apache.org/spec/#delete-formats).
 
     With ``collect_deletes=False`` any delete manifest is a loud
     refusal (importing base files without applying deletes would
     resurrect deleted rows). With ``True``, position-delete files
-    (``data_file.content == 1``, parquet) are returned for the caller
-    to materialize; EQUALITY deletes (``content == 2``) still refuse —
-    applying them needs the table's equality-field semantics, not a
-    row-position mask. Returns ``(data_files, delete_files)`` as local
-    paths."""
+    (``data_file.content == 1``, parquet) AND equality-delete files
+    (``content == 2``, r14) are returned for the caller to materialize.
+    Returns ``(data_files, deletes, data_info)``: data files as local
+    paths; ``deletes`` as dicts with ``path`` (local), ``content``,
+    ``seq`` (the delete's data sequence number, manifest-inherited when
+    the entry leaves it null), ``equality_ids`` and ``partition``;
+    ``data_info`` maps each data file's realpath to its ``seq`` and
+    ``partition`` (the spec's application rules need both: an equality
+    delete applies only to data files with a STRICTLY OLDER sequence
+    number, scoped to its partition)."""
     snap = current_snapshot(doc)
     if snap is None:
         raise ValueError(
@@ -280,10 +323,11 @@ def snapshot_files(
                     f"Iceberg import: cannot decode {path!r}: {exc}"
                 ) from exc
 
-    data_manifests: list[str] = []
-    delete_manifests: list[str] = []
+    data_manifests: list[tuple[str, int | None]] = []
+    delete_manifests: list[tuple[str, int | None]] = []
     if "manifest-list" in snap:
         for rec in read_avro(_local_path(snap["manifest-list"], table_dir)):
+            mseq = rec.get("sequence_number")
             if rec.get("content", 0) == 1:
                 if not collect_deletes:
                     raise IcebergImportUnsupported(
@@ -291,24 +335,25 @@ def snapshot_files(
                         "DELETE manifest (position/equality deletes); "
                         "importing the data files without applying them "
                         "would resurrect deleted rows. Re-run with "
-                        "MATERIALIZE DELETION VECTORS to apply position "
+                        "MATERIALIZE DELETION VECTORS to apply the "
                         "deletes at import time, or rewrite the table "
                         "(rewrite_data_files / expire) first."
                     )
-                delete_manifests.append(rec["manifest_path"])
+                delete_manifests.append((rec["manifest_path"], mseq))
             else:
-                data_manifests.append(rec["manifest_path"])
+                data_manifests.append((rec["manifest_path"], mseq))
     else:
         # v1 layout: snapshot embeds the manifest paths directly
         # (v1 has no delete files by definition)
-        data_manifests = list(snap.get("manifests") or [])
+        data_manifests = [(m, None) for m in (snap.get("manifests") or [])]
         if not data_manifests:
             raise ValueError(
                 "Iceberg snapshot names neither manifest-list nor "
                 "manifests"
             )
     files: list[str] = []
-    for mpath in data_manifests:
+    data_info: dict[str, dict] = {}
+    for mpath, mseq in data_manifests:
         for entry in read_avro(_local_path(mpath, table_dir)):
             if entry.get("status") == 2:  # DELETED
                 continue
@@ -325,39 +370,46 @@ def snapshot_files(
                     f"Iceberg import: data file format {fmt!r} — only "
                     "PARQUET files can join a manifest table"
                 )
-            files.append(_local_path(df["file_path"], table_dir))
-    deletes: list[str] = []
-    for mpath in delete_manifests:
+            p = _local_path(df["file_path"], table_dir)
+            files.append(p)
+            # sequence inheritance (spec: "Sequence Number Inheritance")
+            seq = entry.get("sequence_number")
+            data_info[os.path.realpath(p)] = {
+                "seq": mseq if seq is None else seq,
+                "partition": df.get("partition") or {},
+            }
+    deletes: list[dict] = []
+    for mpath, mseq in delete_manifests:
         for entry in read_avro(_local_path(mpath, table_dir)):
             if entry.get("status") == 2:  # DELETED
                 continue
             df = entry["data_file"]
             content = df.get("content", 0)
-            if content == 2:
-                raise IcebergImportUnsupported(
-                    "Iceberg import: equality-delete file "
-                    f"{df.get('file_path')!r} — equality deletes need "
-                    "the table's equality-field semantics and cannot "
-                    "be materialized as a row-position mask here. "
-                    "Rewrite the table (rewrite_data_files) first."
-                )
-            if content != 1:
+            if content not in (1, 2):
                 raise IcebergImportUnsupported(
                     "Iceberg import: DELETE manifest lists "
                     f"{df.get('file_path')!r} with content={content} "
-                    "(not a position-delete file) — corrupt or "
-                    "unsupported layout"
+                    "(not a delete file) — corrupt or unsupported layout"
                 )
             fmt = str(df.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise IcebergImportUnsupported(
-                    "Iceberg import: position-delete file format "
+                    "Iceberg import: delete file format "
                     f"{fmt!r} — only PARQUET delete files are readable "
                     "here"
                 )
-            deletes.append(_local_path(df["file_path"], table_dir))
+            seq = entry.get("sequence_number")
+            deletes.append(
+                {
+                    "path": _local_path(df["file_path"], table_dir),
+                    "content": content,
+                    "seq": mseq if seq is None else seq,
+                    "equality_ids": df.get("equality_ids") or [],
+                    "partition": df.get("partition") or {},
+                }
+            )
     if not files:
         raise ValueError(
             "Iceberg snapshot resolves to zero live data files"
         )
-    return files, deletes
+    return files, deletes, data_info

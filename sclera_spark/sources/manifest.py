@@ -842,20 +842,25 @@ class ManifestTable:
         silently misread those files — every footer is checked (one
         metadata read per file, import-time only) and any mismatch is
         a loud refusal telling the user to rewrite/compact first.
-        POSITION deletes (the common v2 row-level delete) are applied
-        at import time under the ``materialize_deletes`` opt-in,
-        exactly like the Delta importer's deletion vectors: only the
-        delete-bearing data files are rewritten with masked rows
-        purged (sources/deletion_vectors.purge_parquet — the purge is
-        format-agnostic row-position masking); every other file still
-        hard-links. Without the opt-in a delete manifest is a loud
-        refusal; EQUALITY deletes and non-local storage always refuse
-        (sources/iceberg.py) — never silent data loss."""
+        POSITION deletes (the common v2 row-level delete) and EQUALITY
+        deletes (the Flink-CDC shape — r14) are applied at import time
+        under the ``materialize_deletes`` opt-in, exactly like the
+        Delta importer's deletion vectors: only the delete-bearing
+        data files are rewritten with masked rows purged
+        (sources/deletion_vectors.purge_parquet — format-agnostic
+        row-position masking; equality matches become positions via
+        iceberg.equality_delete_matches); every other file still
+        hard-links. Equality application follows the spec's rules —
+        strictly-older data sequence numbers only, scoped to the
+        delete's partition (empty = global). Without the opt-in a
+        delete manifest is a loud refusal; unresolvable sequence
+        numbers, missing equality_ids, nested equality fields and
+        non-local storage always refuse — never silent data loss."""
         from sclera_spark.sources import iceberg as ice
 
         doc = ice.load_table_metadata(table_dir)
         fields = ice.schema_fields(doc)
-        srcs, delete_files = ice.snapshot_files(
+        srcs, delete_files, data_info = ice.snapshot_files(
             doc, table_dir, collect_deletes=materialize_deletes
         )
         import pyarrow.parquet as pq
@@ -901,17 +906,64 @@ class ManifestTable:
         if delete_files:
             from sclera_spark.sources.deletion_vectors import purge_parquet
 
-            masked = ice.position_delete_positions(delete_files, table_dir)
             live_real = {os.path.realpath(p): i for i, p in enumerate(srcs)}
-            # deletes naming files outside the live set are no-ops
-            # (their target was removed by a later snapshot); deletes
-            # naming live files rewrite ONLY those files — the rest of
-            # the import still hard-links
-            hit = {k: v for k, v in masked.items() if k in live_real}
+            # POSITION deletes name their target files exactly; rows
+            # naming files outside the live set are no-ops (their
+            # target was removed by a later snapshot)
+            masked = ice.position_delete_positions(
+                [d["path"] for d in delete_files if d["content"] == 1],
+                table_dir,
+            )
+            hit: dict[str, set[int]] = {
+                k: set(v) for k, v in masked.items() if k in live_real
+            }
+            # EQUALITY deletes (r14): per the spec's application rules,
+            # a delete applies to data files with a STRICTLY OLDER data
+            # sequence number, scoped to the delete's partition (an
+            # empty partition struct = global). Matched rows become
+            # positions and ride the same purge as position deletes.
+            eq = [d for d in delete_files if d["content"] == 2]
+            if eq:
+                fields_by_id = {f["id"]: f["name"] for f in fields}
+                for d in eq:
+                    if d["seq"] is None:
+                        raise ice.IcebergImportUnsupported(
+                            "Iceberg import: equality-delete file "
+                            f"{d['path']!r} has no resolvable sequence "
+                            "number — cannot order it against the data "
+                            "files truthfully"
+                        )
+                    if not d["equality_ids"]:
+                        # eager: corrupt entries refuse even when the
+                        # sequence rule would make them no-ops
+                        raise ice.IcebergImportUnsupported(
+                            "Iceberg import: equality-delete file "
+                            f"{d['path']!r} carries no equality_ids — "
+                            "corrupt manifest entry"
+                        )
+                    for key, info in data_info.items():
+                        if key not in live_real:
+                            continue
+                        if info["seq"] is None:
+                            raise ice.IcebergImportUnsupported(
+                                f"Iceberg import: data file {key!r} has "
+                                "no resolvable sequence number while "
+                                "equality deletes are present — cannot "
+                                "apply the strictly-older rule truthfully"
+                            )
+                        if not info["seq"] < d["seq"]:
+                            continue  # data file is newer than the delete
+                        if d["partition"] and d["partition"] != info["partition"]:
+                            continue  # partition-scoped: other partition
+                        pos = ice.equality_delete_matches(
+                            d, srcs[live_real[key]], fields_by_id
+                        )
+                        if pos:
+                            hit.setdefault(key, set()).update(pos)
             purge_dir = tempfile.mkdtemp(prefix="sclera_icedel_purge_")
             for j, key in enumerate(sorted(hit)):
                 dst = os.path.join(purge_dir, f"purged-{j:05d}.parquet")
-                purge_parquet(srcs[live_real[key]], dst, hit[key])
+                purge_parquet(srcs[live_real[key]], dst, sorted(hit[key]))
                 srcs[live_real[key]] = dst
                 n_purged += 1
         meta = {

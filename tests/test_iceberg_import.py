@@ -154,9 +154,13 @@ def _stage_fixture_table(tmp_path, spark, manifest_list="manifest_list.avro"):
         os.path.join(_FIXDIR, "m1_snappy.avro"),
         t / "metadata" / "m1_snappy.avro",
     )
-    for d in ("d1.avro", "d2.avro"):  # delete manifests (r14)
+    for d in ("d1.avro", "d2.avro", "d3.avro", "m2.avro"):  # r14 deletes
         shutil.copy(os.path.join(_FIXDIR, d), t / "metadata" / d)
-    for name, lo, hi in (("f1.parquet", 0, 30), ("f2.parquet", 100, 110)):
+    for name, lo, hi in (
+        ("f1.parquet", 0, 30),
+        ("f2.parquet", 100, 110),
+        ("f3.parquet", 200, 205),
+    ):
         spark.range(lo, hi).selectExpr(
             "id AS k", "CAST(id AS STRING) AS v"
         ).coalesce(1).write.mode("overwrite").parquet(str(t / "stage"))
@@ -297,18 +301,107 @@ def test_iceberg_position_delete_import(spark, tmp_path):
     ) == list(range(30))
 
 
-def test_iceberg_equality_delete_refuses(spark, tmp_path):
-    """Equality deletes cannot be materialized as a position mask —
-    always a loud refusal, even under the opt-in."""
+def test_iceberg_equality_delete_without_ids_refuses(spark, tmp_path):
+    """An equality-delete manifest entry carrying NO equality_ids
+    (corrupt, or written by a tool predating the field) refuses loudly
+    even under the opt-in — matching cannot be guessed."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
     from sclera_spark.sources.manifest import ManifestTable
 
     t = _stage_fixture_table(
         tmp_path, spark, manifest_list="manifest_list_eqdeletes.avro"
     )
-    with pytest.raises(IcebergImportUnsupported, match="quality"):
+    _pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64())}),
+        os.path.join(t, "data", "del2.parquet"),
+    )
+    with pytest.raises(IcebergImportUnsupported, match="equality_ids"):
         ManifestTable.import_iceberg(
             t, str(tmp_path / "imp"), materialize_deletes=True
         )
+
+
+def test_iceberg_equality_delete_import(spark, tmp_path):
+    """r14: equality deletes MATERIALIZE under the same opt-in, with
+    the spec's application rules — a delete at sequence 2 purges
+    matching rows from sequence-1 data files but NOT from the
+    sequence-3 file added after it; unmatched values are no-ops; the
+    clean files still hard-link."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_eqapply.avro"
+    )
+    # delete rows on k (field id 1): 5 and 105 live in seq-1 files,
+    # 202 lives in the seq-3 file (must SURVIVE), 999 matches nothing
+    _pq.write_table(
+        pa.table({"k": pa.array([5, 105, 202, 999], pa.int64())}),
+        os.path.join(t, "data", "del2.parquet"),
+    )
+    # no opt-in: loud refusal
+    with pytest.raises(IcebergImportUnsupported, match="MATERIALIZE"):
+        ManifestTable.import_iceberg(t, str(tmp_path / "imp0"))
+    dest = str(tmp_path / "imp1")
+    mt = ManifestTable.import_iceberg(t, dest, materialize_deletes=True)
+    rows = sorted(r.k for r in mt.read(spark).collect())
+    want = (
+        [k for k in range(30) if k != 5]
+        + [k for k in range(100, 110) if k != 105]
+        + list(range(200, 205))  # seq-3 file: 202 survives
+    )
+    assert rows == want
+    links = {
+        f: os.stat(os.path.join(dest, "data", f)).st_nlink
+        for f in os.listdir(os.path.join(dest, "data"))
+        if f.endswith(".parquet")
+    }
+    # f3 (untouched) still hard-links; f1/f2 were rewritten
+    assert sum(1 for n in links.values() if n >= 2) >= 1, links
+    assert sum(1 for n in links.values() if n == 1) >= 2, links
+    # source untouched
+    assert (
+        spark.read.parquet(os.path.join(t, "data", "f1.parquet")).count()
+        == 30
+    )
+
+
+def test_iceberg_mixed_position_and_equality_deletes(spark, tmp_path):
+    """Both delete kinds in ONE snapshot: the masks union per file —
+    position rows 0/1 of f1 AND equality k=5 all purge; the seq-3 file
+    is untouched by the seq-2 equality delete."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sclera_spark.sources.manifest import ManifestTable
+
+    t = _stage_fixture_table(
+        tmp_path, spark, manifest_list="manifest_list_mixdeletes.avro"
+    )
+    _write_position_deletes(
+        t, [("data/f1.parquet", 0), ("data/f1.parquet", 1)]
+    )
+    _pq.write_table(
+        pa.table({"k": pa.array([5, 202], pa.int64())}),
+        os.path.join(t, "data", "del2.parquet"),
+    )
+    files, dels, info = ice.snapshot_files(
+        ice.load_table_metadata(t), t, collect_deletes=True
+    )
+    assert sorted(d["content"] for d in dels) == [1, 2]
+    dest = str(tmp_path / "impmix")
+    mt = ManifestTable.import_iceberg(t, dest, materialize_deletes=True)
+    rows = sorted(r.k for r in mt.read(spark).collect())
+    want = (
+        [k for k in range(30) if k not in (0, 1, 5)]
+        + list(range(100, 110))
+        + list(range(200, 205))  # seq 3: k=202 survives the equality mask
+    )
+    assert rows == want
 
 
 def test_iceberg_position_delete_ddl_surface(spark, tmp_path):

@@ -96,6 +96,14 @@ DATA_FILE = {
         },
         {"name": "key_metadata", "type": ["null", "bytes"], "default": None},
         {
+            # equality-delete files name their equality FIELD IDS here
+            # (spec: data_file.equality_ids; null for data files and
+            # position deletes)
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "default": None,
+        },
+        {
             "name": "sort_order_id",
             "type": ["null", "int"],
             "default": None,
@@ -158,11 +166,12 @@ def main() -> None:
         dfw.close()
 
     def entry(path: str, status: int = 1, rows: int = 0, content: int = 0,
-              fmt: str = "PARQUET") -> dict:
+              fmt: str = "PARQUET", seq: int = 1,
+              equality_ids: list | None = None) -> dict:
         return {
             "status": status,
             "snapshot_id": {"long": 77},
-            "sequence_number": {"long": 1},
+            "sequence_number": {"long": seq},
             "file_sequence_number": {"long": 1},
             "data_file": {
                 "content": content,
@@ -178,6 +187,9 @@ def main() -> None:
                     ]
                 },
                 "key_metadata": None,
+                "equality_ids": (
+                    {"array": equality_ids} if equality_ids else None
+                ),
                 "sort_order_id": {"int": 0},
             },
         }
@@ -291,6 +303,46 @@ def main() -> None:
         [
             mlist_rec("metadata/m1.avro"),
             mlist_rec("metadata/d2.avro", content=1),
+        ],
+    )
+    # r14: equality-delete APPLY fixtures. d3.avro is a DELETE manifest
+    # whose entry is an EQUALITY delete (content=2, equality_ids=[1] =
+    # field id of column k) at sequence 2; m2.avro adds a data file at
+    # sequence 3 (NEWER than the delete — its rows must survive); the
+    # eqapply list combines m1 (seq 1 data), m2 (seq 3 data) and d3.
+    write_avro(
+        "d3.avro",
+        MANIFEST_SCHEMA,
+        [
+            entry(
+                "data/del2.parquet", status=1, rows=2, content=2,
+                seq=2, equality_ids=[1],
+            )
+        ],
+    )
+    write_avro(
+        "m2.avro",
+        MANIFEST_SCHEMA,
+        [entry("data/f3.parquet", status=1, rows=5, seq=3)],
+    )
+    write_avro(
+        "manifest_list_eqapply.avro",
+        MANIFEST_LIST_SCHEMA,
+        [
+            mlist_rec("metadata/m1.avro"),
+            mlist_rec("metadata/m2.avro"),
+            mlist_rec("metadata/d3.avro", content=1),
+        ],
+    )
+    # ...and BOTH delete kinds in one snapshot (masks union per file)
+    write_avro(
+        "manifest_list_mixdeletes.avro",
+        MANIFEST_LIST_SCHEMA,
+        [
+            mlist_rec("metadata/m1.avro"),
+            mlist_rec("metadata/m2.avro"),
+            mlist_rec("metadata/d1.avro", content=1),
+            mlist_rec("metadata/d3.avro", content=1),
         ],
     )
     # r14: zstd DECODES too (pyarrow's bundled zstd, or the pure-Python
