@@ -264,9 +264,10 @@ BUDGETS = {
     # min-of-5 on a stall-bursty host — see BASELINE.md)
     "crawl_gate_incr": 10.1, "token_budget": 1.0,
     "quality_classifier": 10.8,
-    # r14 addition (same regime; min 3.861, min-of-5 at sf0.1):
-    # eight queries through one shared scan + assignment pass
-    "ann_recall_sweep": 7.8,
+    # r14 additions (same regime; mins 3.861 / 1.389, min-of-5 at
+    # sf0.1): eight queries through one shared scan + assignment pass;
+    # the 3-batch streaming budget-gate replay
+    "ann_recall_sweep": 7.8, "stream_token_budget": 2.8,
 }
 
 # frozen per-query anchor MINS (BASELINE.md "r13 anchor re-freeze":
@@ -290,6 +291,7 @@ ANCHORS_MIN = {
     "semantic_dedup": 4.561, "ann_recall": 1.309,
     "crawl_gate_incr": 5.03, "token_budget": 0.50,
     "quality_classifier": 5.37, "ann_recall_sweep": 3.861,
+    "stream_token_budget": 1.389,
 }
 
 # ~sf1 budget gate (r12 freeze, BASELINE.md "r12 ~sf1 freeze"):
