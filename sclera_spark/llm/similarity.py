@@ -72,6 +72,14 @@ def topk_per_query(
     set. Ties break on id for cross-engine determinism."""
     from pyspark.sql import Window
 
+    # exported surface over caller frames: refuse loudly on collision
+    # with the working columns instead of silently replacing them
+    clash = {"__pid", "__rn"} & set(scored.columns)
+    if clash:
+        raise ValueError(
+            "topk_per_query: input columns collide with internal "
+            f"working columns {sorted(clash)}; rename them first"
+        )
     loc = scored.withColumn("__pid", F.spark_partition_id())
     w1 = Window.partitionBy("__pid", query_id_col).orderBy(
         F.col(sim_col).desc(), F.col(id_col)
@@ -107,6 +115,11 @@ def cosine_topk_multi(
     against all queries (the scan is shared), scoring stays inside
     codegen, and :func:`topk_per_query` keeps the shuffle parallel.
     Output: (query_id, id, cosine), k rows per query."""
+    if id_col in ("__v", "__q"):
+        raise ValueError(
+            "cosine_topk_multi: id_col collides with an internal "
+            "working column name; rename it first"
+        )
     qarr = F.array(
         *[
             F.struct(

@@ -2241,8 +2241,16 @@ class DdlRouter:
         # a CAS table's pointer lives in the store, not the table dir:
         # clear it with the drop, or a table RE-CREATED at the same
         # path adopts the dead pointer and resolves manifest versions
-        # that no longer exist (r14 fuzz finding)
-        if name.lower() in self.cas_manifest_tables:
+        # that no longer exist (r14 fuzz finding). The on-disk marker
+        # is checked TOO (not just the in-memory set, which _manifest
+        # populates lazily): a cross-session DROP whose first touch of
+        # the table is the drop itself must still clear the pointer.
+        is_cas = name.lower() in self.cas_manifest_tables
+        if not is_cas and path:
+            from sclera_spark.sources.manifest import CasManifestTable
+
+            is_cas = CasManifestTable.is_cas_table(path)
+        if is_cas:
             self.cas_manifest_tables.discard(name.lower())
             if path:
                 try:

@@ -45,6 +45,7 @@ __all__ = [
     "snapshot_data_files",
     "snapshot_files",
     "position_delete_positions",
+    "equality_delete_targets",
     "equality_delete_matches",
 ]
 
@@ -79,15 +80,13 @@ def position_delete_positions(
     return {k: sorted(set(v)) for k, v in out.items()}
 
 
-def equality_delete_matches(
-    delete: dict, data_path: str, fields_by_id: dict[int, str]
-) -> list[int]:
-    """Row POSITIONS of ``data_path`` matched by one equality-delete
-    file (public spec: the delete file's rows carry values for the
-    ``equality_ids`` columns; a data row is deleted when it equals any
-    delete row on ALL those columns, NULLs matching NULLs). Returns the
-    positions for :func:`deletion_vectors.purge_parquet` — the same
-    bounded-memory rewrite the position-delete path uses."""
+def equality_delete_targets(
+    delete: dict, fields_by_id: dict[int, str]
+) -> tuple[list[str], set[tuple]]:
+    """Load ONE equality-delete file into its match set — (column
+    names, set of value tuples) — once per delete, so the per-data-file
+    matching pass (:func:`equality_delete_matches`) never re-reads the
+    delete parquet (it is matched against every eligible data file)."""
     import pyarrow.parquet as pq
 
     ids = delete["equality_ids"]
@@ -108,7 +107,18 @@ def equality_delete_matches(
     dt = pq.read_table(delete["path"], columns=cols)
     # the spec allows NULL in delete rows (matches NULL); tuples of
     # python values compare exactly for the primitive types involved
-    targets = set(zip(*(dt.column(c).to_pylist() for c in cols)))
+    return cols, set(zip(*(dt.column(c).to_pylist() for c in cols)))
+
+
+def equality_delete_matches(
+    data_path: str, cols: list[str], targets: set[tuple]
+) -> list[int]:
+    """Row POSITIONS of ``data_path`` whose ``cols`` tuple is in
+    ``targets`` (one pre-loaded equality-delete match set) — the
+    positions ride :func:`deletion_vectors.purge_parquet`, the same
+    bounded-memory rewrite the position-delete path uses."""
+    import pyarrow.parquet as pq
+
     if not targets:
         return []
     st = pq.read_table(data_path, columns=cols)

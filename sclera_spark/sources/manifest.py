@@ -922,6 +922,8 @@ class ManifestTable:
             # sequence number, scoped to the delete's partition (an
             # empty partition struct = global). Matched rows become
             # positions and ride the same purge as position deletes.
+            pos_files = set(hit)  # files masked by POSITION deletes
+            eq_files: set[str] = set()
             eq = [d for d in delete_files if d["content"] == 2]
             if eq:
                 fields_by_id = {f["id"]: f["name"] for f in fields}
@@ -933,14 +935,13 @@ class ManifestTable:
                             "number — cannot order it against the data "
                             "files truthfully"
                         )
-                    if not d["equality_ids"]:
-                        # eager: corrupt entries refuse even when the
-                        # sequence rule would make them no-ops
-                        raise ice.IcebergImportUnsupported(
-                            "Iceberg import: equality-delete file "
-                            f"{d['path']!r} carries no equality_ids — "
-                            "corrupt manifest entry"
-                        )
+                    # load the delete's match set ONCE (it is matched
+                    # against every eligible data file); also refuses
+                    # corrupt entries even when the sequence rule would
+                    # make them no-ops
+                    cols, targets = ice.equality_delete_targets(
+                        d, fields_by_id
+                    )
                     for key, info in data_info.items():
                         if key not in live_real:
                             continue
@@ -956,9 +957,10 @@ class ManifestTable:
                         if d["partition"] and d["partition"] != info["partition"]:
                             continue  # partition-scoped: other partition
                         pos = ice.equality_delete_matches(
-                            d, srcs[live_real[key]], fields_by_id
+                            srcs[live_real[key]], cols, targets
                         )
                         if pos:
+                            eq_files.add(key)
                             hit.setdefault(key, set()).update(pos)
             purge_dir = tempfile.mkdtemp(prefix="sclera_icedel_purge_")
             for j, key in enumerate(sorted(hit)):
@@ -972,7 +974,13 @@ class ManifestTable:
             "iceberg_snapshot_id": doc.get("current-snapshot-id"),
         }
         if n_purged:
-            meta["iceberg_position_deletes_applied"] = n_purged
+            # provenance by CAUSE (a file hit by both kinds counts in
+            # both): auditors of an import's metadata must not read
+            # "position deletes" off an equality-only table
+            if pos_files:
+                meta["iceberg_position_deletes_applied"] = len(pos_files)
+            if eq_files:
+                meta["iceberg_equality_deletes_applied"] = len(eq_files)
         if widened:
             if any(not isinstance(f["type"], str) for f in fields):
                 raise ice.IcebergImportUnsupported(
@@ -5163,6 +5171,13 @@ class CasManifestTable(ManifestTable):
                         f"the v{v + 1} claim on {mt.path} — retry the "
                         "transaction"
                     )
+                # the journal object's commit-point claim requires the
+                # claim MANIFEST to survive a crash: _publish_claim
+                # fsyncs the file's bytes, but the directory ENTRY
+                # needs its own fsync (the flock variant fsyncs its
+                # dir chain the same way) — recovery re-keys a journal
+                # to .failed when v{target}.json is missing
+                _fsync_dir(mt.log_dir)
                 claimed.append((mt, v + 1))
                 if mt.version() != v:
                     raise ConcurrentWriterError(

@@ -46,14 +46,16 @@ class ZstdError(ValueError):
 
 
 class _BackBits:
-    """Backward bit reader over a byte slice: the stream is a
-    little-endian integer; a 1-bit sentinel tops the final byte, and
-    reads consume from just below the current position downward.
-    Reads past the start zero-fill and drive ``pos`` negative — FSE
-    callers treat that as corruption, Huffman callers as stream end
-    (both per the reference decoder's semantics)."""
+    """Backward bit reader over a byte slice: a 1-bit sentinel tops the
+    final byte, and reads consume from just below the current position
+    downward. Bits are extracted from a small byte-slice window per
+    read (O(1) per read — a whole-stream big-int would make decoding
+    O(n^2) in block size). Reads past the start zero-fill and drive
+    ``pos`` negative — FSE callers treat that as corruption, Huffman
+    callers as stream end (both per the reference decoder's
+    semantics)."""
 
-    __slots__ = ("v", "pos")
+    __slots__ = ("b", "pos")
 
     def __init__(self, data: bytes):
         if not data:
@@ -61,27 +63,29 @@ class _BackBits:
         last = data[-1]
         if last == 0:
             raise ZstdError("zstd: bitstream final byte has no sentinel bit")
-        self.v = int.from_bytes(data, "little")
+        self.b = data
         self.pos = 8 * (len(data) - 1) + last.bit_length() - 1
+
+    def _bits_at(self, p: int, n: int) -> int:
+        # value of bit window [p, p+n) of the little-endian stream,
+        # zero-filling below position 0
+        if p >= 0:
+            chunk = int.from_bytes(self.b[p >> 3 : (p + n + 7) >> 3], "little")
+            return (chunk >> (p & 7)) & ((1 << n) - 1)
+        if p <= -n:
+            return 0
+        avail = n + p  # bits [0, avail) of the stream, shifted up by -p
+        chunk = int.from_bytes(self.b[0 : (avail + 7) >> 3], "little")
+        return (chunk & ((1 << avail) - 1)) << -p
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
         self.pos -= n
-        p = self.pos
-        if p >= 0:
-            return (self.v >> p) & ((1 << n) - 1)
-        if p <= -n:
-            return 0
-        return (self.v & ((1 << (n + p)) - 1)) << -p
+        return self._bits_at(self.pos, n)
 
     def peek(self, n: int) -> int:
-        p = self.pos - n
-        if p >= 0:
-            return (self.v >> p) & ((1 << n) - 1)
-        if p <= -n:
-            return 0
-        return (self.v & ((1 << (n + p)) - 1)) << -p
+        return self._bits_at(self.pos - n, n)
 
     def skip(self, n: int) -> None:
         self.pos -= n
@@ -216,13 +220,30 @@ class _HufTable:
         self.max_bits = max_bits
 
 
+_HUF_MAX_BITS = 11  # RFC 4.2.1: Huffman code lengths are capped at 11
+
+
 def _huf_from_weights(weights: list[int]) -> _HufTable:
     """Canonical Huffman decode table from explicit weights plus the
-    implied last weight (RFC 4.2.1)."""
+    implied last weight (RFC 4.2.1). Weight/table-log bombs refuse
+    BEFORE any allocation: the format caps code lengths at 11 bits, so
+    a table past 2^11 cells (or any weight past 11) is hostile — a
+    crafted FSE weight stream could otherwise demand a multi-TiB
+    table."""
+    if any(w > _HUF_MAX_BITS for w in weights):
+        raise ZstdError(
+            f"zstd: Huffman weight past the format cap {_HUF_MAX_BITS} "
+            "— refusing a corrupt or hostile container"
+        )
     total = sum(1 << (w - 1) for w in weights if w > 0)
     if total == 0:
         raise ZstdError("zstd: Huffman weights are all zero")
     max_bits = total.bit_length()
+    if max_bits > _HUF_MAX_BITS:
+        raise ZstdError(
+            f"zstd: Huffman table log {max_bits} exceeds the format cap "
+            f"{_HUF_MAX_BITS} — refusing a corrupt or hostile container"
+        )
     left = (1 << max_bits) - total
     if left & (left - 1):
         raise ZstdError("zstd: Huffman weights leave a non-power-of-2 gap")

@@ -1200,6 +1200,16 @@ def token_budget_committer(
             if mt is not None:
                 mt.amend_meta(wm)
             return
+        # same loud collision contract as the batch sampler
+        # (llm/sample.token_budget_sample): caller columns named like
+        # the working columns would be silently replaced and PERSISTED
+        clash = {"__h", "__n", "__prior"} & set(bdf.columns)
+        if clash:
+            raise ValueError(
+                "token_budget_committer: input columns collide with "
+                f"internal working columns {sorted(clash)}; rename "
+                "them first"
+            )
         cols = list(bdf.columns)
         t = bdf.withColumn(
             "__h",

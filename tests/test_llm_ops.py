@@ -1657,3 +1657,20 @@ def test_token_budget_fuzz_vs_duckdb(spark, tables, duck):
             SELECT doc_id FROM c WHERE prior < {budget}
         """
         assert_df_equal_duck(out, duck, sql)
+
+
+def test_topk_per_query_collision_refuses(spark):
+    """r14 review pin: topk_per_query refuses caller frames carrying
+    its working column names instead of silently dropping them."""
+    import pytest
+
+    from sclera_spark.llm import cosine_topk_multi, topk_per_query
+
+    df = spark.createDataFrame(
+        [(0, 1, 0.5, 9)], "query_id int, vec_id int, cosine double, __rn int"
+    )
+    with pytest.raises(ValueError, match="__rn"):
+        topk_per_query(df, 3)
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "__v int, embedding array<double>")
+    with pytest.raises(ValueError, match="internal"):
+        cosine_topk_multi(emb, [(0, [1.0, 0.0])], k=1, id_col="__v")

@@ -638,3 +638,26 @@ def test_cas_pointer_cleared_on_drop_and_recreate(spark, tables):
     engine.execute("INSERT INTO casrc VALUES (8)")
     assert engine.sql("SELECT count(*) AS n FROM casrc").collect()[0].n == 2
     engine.execute("DROP TABLE casrc")
+
+
+def test_cas_pointer_cleared_on_cross_session_drop(spark, tables):
+    """r14 review pin: a DROP whose FIRST touch of the table is the
+    drop itself (cross-session: the in-memory cas set is cold, only
+    the on-disk marker knows) must still clear the CAS pointer."""
+    from sclera_spark.engine import ScleraEngine
+
+    engine = ScleraEngine(spark)
+    try:
+        engine.execute("DROP TABLE casxs")
+    except Exception:
+        pass
+    engine.execute("CREATE TABLE casxs AS SELECT 1 AS k")
+    engine.execute("ALTER TABLE casxs SET FORMAT MANIFEST CAS")
+    engine.execute("INSERT INTO casxs VALUES (2)")
+    # simulate a fresh session that never called _manifest: cold set
+    engine.ddl().cas_manifest_tables.discard("casxs")
+    engine.execute("DROP TABLE casxs")
+    engine.execute("CREATE TABLE casxs AS SELECT 9 AS k")
+    engine.execute("ALTER TABLE casxs SET FORMAT MANIFEST CAS")
+    assert engine.sql("SELECT count(*) AS n FROM casxs").collect()[0].n == 1
+    engine.execute("DROP TABLE casxs")

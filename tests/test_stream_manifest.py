@@ -829,3 +829,28 @@ def test_token_budget_committer_matches_batch_sampler(spark, tbdirs):
                 acc += len(txt.split())
         done += acc if acc <= rem else acc  # admitted sum (may overshoot)
     assert got == sorted(want)
+
+
+def test_token_budget_committer_refuses_column_collision(spark, tbdirs):
+    """r14 review pin: a batch whose schema carries __h/__n/__prior
+    refuses loudly (same contract as the batch sampler) instead of
+    silently persisting the synthetic working values."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import StringType
+
+    from sclera_spark.streaming.ops import token_budget_committer
+
+    d = tbdirs
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("__h", StringType()),
+        ]
+    )
+    commit = token_budget_committer(d["kept"], budget=50, stream_id="s")
+    b = spark.createDataFrame([(1, "a b c", "keepme")], schema)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="__h"):
+        commit(b, 0)

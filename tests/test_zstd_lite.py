@@ -211,3 +211,16 @@ def test_snappy_vs_pyarrow():
     for trial, data in _payloads(13, 60):
         comp = sc.compress(bytes(data), asbytes=True)
         assert _snappy_decompress(comp) == data, f"trial {trial}"
+
+
+def test_huffman_table_log_bomb_refuses():
+    """r14 review pin: hostile Huffman weights (the format caps code
+    lengths at 11) must refuse as ZstdError BEFORE allocating the
+    claimed table — never escape as MemoryError."""
+    with pytest.raises(ZstdError, match="cap"):
+        zl._huf_from_weights([61])
+    with pytest.raises(ZstdError, match="cap"):
+        zl._huf_from_weights([12] * 40)  # table log past 11
+    # a legitimate max-size table (log exactly 11) still builds
+    t = zl._huf_from_weights([10, 10])
+    assert t.max_bits == 11
