@@ -1728,24 +1728,40 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-corpus dedup (llm/dedup.minhash_anti_join) — the crawl-
-    ingest gate: odd-doc_id documents are 'incoming', even-doc_id the
-    existing corpus; keep the incoming docs with no shingle-Jaccard
+    """Cross-corpus dedup (llm/dedup.minhash_anti_join_sketched) — the
+    crawl-ingest gate: odd-doc_id documents are 'incoming', even-doc_id
+    the existing corpus; keep the incoming docs with no shingle-Jaccard
     >= 0.8 partner in the corpus. The band join is strictly new-vs-
     corpus (never corpus-vs-corpus). The DuckDB oracle recomputes the
     surviving set from EXACT gram sets, so a hash-green row certifies
-    100% LSH recall on this corpus, same as minhash_pairs."""
-    from sclera_spark.llm import minhash_anti_join
+    100% LSH recall on this corpus, same as minhash_pairs. (r15: both
+    sides' sketches come from ONE sketch pass over the table, split by
+    parity — same sketches, same result, half the sketch-job
+    overhead.)"""
+    from sclera_spark.llm import minhash_anti_join_sketched, minhash_sketch
 
     eng = _engine(spark, sf_dir)
     docs = eng.table("documents")
-    kept = minhash_anti_join(
+    # r15 perf: ONE sketch pass over the table (one repartition + one
+    # Arrow UDF job), split by parity afterwards — identical sketches,
+    # identical result to sketching the halves separately (each doc is
+    # sketched exactly once either way), but half the job/shuffle
+    # overhead. localCheckpoint materializes the sketch once for the 4
+    # consumers (band x2, fetch x2) and is released by the
+    # ContextCleaner (no persist leak across bench reps).
+    sk = (
+        minhash_sketch(docs.select("doc_id", "text"), "text", 128, 5)
+        .select(F.col("doc_id").alias("id"), "minhash", "hset")
+        .localCheckpoint(eager=True)
+    )
+    kept = minhash_anti_join_sketched(
         docs.where("doc_id % 2 = 1"),
-        docs.where("doc_id % 2 = 0"),
+        sk.where("id % 2 = 0"),
         threshold=0.8,
         num_perm=128,
         bands=16,
         shingle_k=5,
+        new_sketch=sk.where("id % 2 = 1"),
     )
     return kept.select("doc_id")
 
@@ -1851,12 +1867,24 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(tempfile.mkdtemp(prefix="sclera_gate_"), "sketch")
     mt = ManifestTable.create(sk(corpus), path)
+    # r15 perf: sketch each batch ONCE and thread it through the gate
+    # (new_sketch=) and the survivor append (semi-join on kept ids) —
+    # the old flow re-ran the Arrow sketch UDF over kept1's texts for
+    # the append. Identical sketch values (deterministic function),
+    # identical result.
+    sk1 = sk(b1).localCheckpoint(eager=True)
     kept1 = minhash_anti_join_sketched(
-        b1, mt.read(spark), threshold=0.8, num_perm=128, bands=16
+        b1, mt.read(spark), threshold=0.8, num_perm=128, bands=16,
+        new_sketch=sk1,
     )
-    mt.append(sk(kept1))
+    mt.append(
+        sk1.join(
+            kept1.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
+    )
     kept2 = minhash_anti_join_sketched(
-        b2, mt.read(spark), threshold=0.8, num_perm=128, bands=16
+        b2, mt.read(spark), threshold=0.8, num_perm=128, bands=16,
+        new_sketch=sk(b2).localCheckpoint(eager=True),
     )
     return (
         kept1.select("doc_id").withColumn("batch", F.lit(1))

@@ -109,10 +109,15 @@ def minhash_sketch(
             hsets.append(h.tolist())
         return pd.DataFrame({"minhash": sigs, "hset": hsets})
 
-    # spread the CPU-heavy sketch across all cores even when the input is a
-    # single parquet file/partition (the shuffle of raw text is far cheaper
-    # than serializing the sketch work)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # spread the CPU-heavy sketch across all cores when the input has too
+    # few partitions (e.g. a single parquet file) — the shuffle of raw text
+    # is far cheaper than serializing the sketch work. SKIP the shuffle
+    # when the input is already at least as parallel as the cluster: at
+    # corpus scale the scan has thousands of splits and an unconditional
+    # repartition is a full extra shuffle of the heaviest column.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return (
         df.withColumn("__sk", _sketch(F.col(text_col)))
         .withColumn("minhash", F.col("__sk.minhash"))

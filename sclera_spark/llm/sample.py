@@ -183,9 +183,6 @@ def token_budget_sample(
             "token_budget_sample: input columns collide with internal "
             f"working columns {sorted(clash)}; rename them first"
         )
-    t = df.withColumn(
-        "__h", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    )
     # NULL counts 0 on BOTH paths: a row whose count is NULL must ride
     # along free, not vanish (an un-coalesced NULL poisons its own
     # prefix and drops the row from the cut entirely)
@@ -197,8 +194,21 @@ def token_budget_sample(
         ),
         F.lit(0),
     )
-    t = t.withColumn("__n", n)
-    g = global_prefix_sum(t, ["__h", id_col], "__n", out_col="__prior")
-    return g.where(F.col("__prior") < budget).drop(
-        "__h", "__n", "__prior"
+    # the prefix sum runs over a NARROW (hash, id, count) proxy — the
+    # document payload never rides the range shuffle or the carry
+    # checkpoints (at corpus scale the text is the bytes; the admission
+    # decision needs only ~40 bytes/row) — and the admitted id set
+    # re-attaches with one semi-join. id_col identifies a document:
+    # rows sharing an id are admitted or dropped as a unit (with
+    # duplicate ids the old per-row path's order among identical
+    # (hash, id) keys was tie-nondeterministic anyway).
+    t = df.select(
+        F.md5(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("__h"),
+        F.col(id_col),
+        n.alias("__n"),
     )
+    g = global_prefix_sum(t, ["__h", id_col], "__n", out_col="__prior")
+    kept = g.where(F.col("__prior") < budget).select(id_col)
+    return df.join(kept, on=id_col, how="left_semi")

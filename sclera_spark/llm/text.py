@@ -56,7 +56,14 @@ def global_prefix_sum(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     cols = [F.col(c) for c in order_cols]
-    t = df.repartitionByRange(n_b, *cols)
+    # materialize the input ONCE before the range shuffle:
+    # repartitionByRange first runs a RangePartitioner SAMPLING job that
+    # recomputes the entire upstream (for pack_documents that is the
+    # full tokenize pass) and then recomputes it again for the real
+    # shuffle write. Checkpointing here makes the sample read cheap
+    # local blocks instead of re-running the scan+tokenize.
+    t = df.localCheckpoint(eager=True)
+    t = t.repartitionByRange(n_b, *cols)
     t = t.withColumn("_pid", F.spark_partition_id())
     w = (
         Window.partitionBy("_pid")

@@ -40,9 +40,12 @@ def split_into(
 ) -> DataFrame:
     p = list(partition_by)
 
-    lo_b = df.select(*p, F.col(lo).alias("__b"))
-    hi_b = df.select(*p, F.col(hi).alias("__b"))
-    bounds = lo_b.union(hi_b).distinct()
+    # one input scan for both bound columns (explode keeps NULL elements,
+    # so this is exactly union(lo-proj, hi-proj)); the old two-projection
+    # union read the source twice
+    bounds = df.select(
+        *p, F.explode(F.array(F.col(lo), F.col(hi))).alias("__b")
+    ).distinct()
 
     w = (Window.partitionBy(*p) if p else Window.partitionBy()).orderBy(
         F.col("__b").asc_nulls_last()
@@ -81,6 +84,14 @@ def split_into(
         # atom count per key, for open-ended (hi NULL) intervals; same
         # partitioning as the row_number window -> no extra exchange
         .withColumn("__n", F.max("__idx").over(Window.partitionBy(*p)))
+        # materialize ONCE: atoms_idx feeds three consumers (lo_idx,
+        # hi_idx, the final atom-bounds join); without the checkpoint
+        # Spark re-executes the whole distinct+window subtree — and
+        # re-reads the input — per consumer (measured plan: 18
+        # Exchanges, the atoms pipeline appearing three times). The
+        # checkpointed frame is the distinct-bounds set: small relative
+        # to the input, local-disk backed, freed by the ContextCleaner.
+        .localCheckpoint(eager=True)
     )
     lo_idx = atoms_idx.select(
         *p, F.col(out_lo).alias("__lov"), F.col("__idx").alias("__ilo"), "__n"
