@@ -114,9 +114,17 @@ def minhash_sketch(
     # is far cheaper than serializing the sketch work. SKIP the shuffle
     # when the input is already at least as parallel as the cluster: at
     # corpus scale the scan has thousands of splits and an unconditional
-    # repartition is a full extra shuffle of the heaviest column.
+    # repartition is a full extra shuffle of the heaviest column. The
+    # probe is inputFiles() (file-index metadata, no plan-to-RDD
+    # conversion — df.rdd costs ~0.5 s of planning per call here); a
+    # non-file source reports zero files and keeps the repartition,
+    # which is the pre-r15 behavior.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if nfiles < par:
         df = df.repartition(par)
     return (
         df.withColumn("__sk", _sketch(F.col(text_col)))
@@ -189,6 +197,14 @@ def minhash_dup_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
 
+    # candidate generation stays the band SELF-JOIN: an r15 experiment
+    # rewrote it as groupBy(band, bh) + collect_set + JVM combinations
+    # (one shuffle instead of three), but the full operator measured
+    # ~0.2 s SLOWER at sf0.1 in alternating A/B (min 1.91 vs 1.71 —
+    # the array build + explode costs more than the exchanges it
+    # saves, and the fetch joins planned worse off the exploded
+    # stats); identical 729-candidate output. Kept the measured
+    # winner.
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

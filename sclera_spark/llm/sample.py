@@ -167,17 +167,19 @@ def token_budget_sample(
     counts 0, so metadata-only rows ride along free), or pass
     ``count_col`` to budget on precomputed counts (e.g. a real
     tokenizer's). The global running total is the two-phase distributed
-    prefix sum (text.global_prefix_sum) — no single-partition window,
-    driver state is one row per partition, so the cut scales to any
-    corpus size."""
-    from sclera_spark.llm.text import _tokens, global_prefix_sum
+    prefix sum over a narrow proxy — no single-partition window,
+    driver state is one row per hash bucket (4096, corpus-size
+    independent), so the cut scales to any corpus size."""
+    from pyspark.sql.window import Window
+
+    from sclera_spark.llm.text import _tokens
 
     if budget <= 0:
         raise ValueError("budget must be positive")
     # exported surface over arbitrary caller frames: refuse loudly on
     # a collision with the internal working columns instead of
     # silently overwriting and then dropping the caller's data
-    clash = {"__h", "__n", "__prior"} & set(df.columns)
+    clash = {"__h", "__n", "__b", "__prior"} & set(df.columns)
     if clash:
         raise ValueError(
             "token_budget_sample: input columns collide with internal "
@@ -194,21 +196,62 @@ def token_budget_sample(
         ),
         F.lit(0),
     )
-    # the prefix sum runs over a NARROW (hash, id, count) proxy — the
-    # document payload never rides the range shuffle or the carry
-    # checkpoints (at corpus scale the text is the bytes; the admission
-    # decision needs only ~40 bytes/row) — and the admitted id set
-    # re-attaches with one semi-join. id_col identifies a document:
-    # rows sharing an id are admitted or dropped as a unit (with
-    # duplicate ids the old per-row path's order among identical
-    # (hash, id) keys was tie-nondeterministic anyway).
+    # r15 carry design — exploit that the order key IS a uniform hash:
+    # the first 4 hex chars of md5 give a 65536-way range bucketing
+    # that is monotone in the (md5, id) global order BY CONSTRUCTION
+    # (hex digits are ascii-ordered), so there is no RangePartitioner
+    # sampling pass, no corpus-wide window, and the document payload
+    # never rides a shuffle. One NARROW groupBy collects per-bucket
+    # token totals (<= 65536 tiny rows to the driver, corpus-size
+    # independent); the driver then knows, exactly, that every bucket
+    # before the budget-straddling one is fully admitted (a plain
+    # filter on the id hash — no join, no state) and only the ONE
+    # straddle bucket (~1/65536 of the corpus, metadata-only columns)
+    # needs the within-bucket running sum + a semi-join back.
+    # id_col identifies a document: rows sharing an id are admitted or
+    # dropped as a unit (with duplicate ids the old per-row path's
+    # order among identical (hash, id) keys was tie-nondeterministic
+    # anyway).
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
     t = df.select(
-        F.md5(
-            F.concat(F.lit(salt), F.col(id_col).cast("string"))
-        ).alias("__h"),
-        F.col(id_col),
-        n.alias("__n"),
+        h.alias("__h"), F.col(id_col), n.alias("__n")
+    ).withColumn("__b", F.conv(F.substring("__h", 1, 4), 16, 10).cast("int"))
+    totals = {
+        r["__b"]: r["s"]
+        for r in t.groupBy("__b").agg(F.sum("__n").alias("s")).collect()
+    }
+    # walk buckets in hash order: a bucket is FULLY admitted while the
+    # running total after it stays under the budget (admission is
+    # prior < budget, and every row's exclusive prior in such a bucket
+    # is <= that bucket's end total minus its own count); the first
+    # bucket whose end total reaches the budget is the straddle bucket
+    bstar, off_star, run = None, 0, 0
+    for b in range(65536):
+        after = run + (totals.get(b) or 0)
+        if after >= budget:
+            bstar, off_star = b, run
+            break
+        run = after
+    full = df.where(bucket < F.lit(bstar if bstar is not None else 65536))
+    if bstar is None:
+        return full  # the whole corpus fits in the budget
+    st = t.where(F.col("__b") == bstar)
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    g = global_prefix_sum(t, ["__h", id_col], "__n", out_col="__prior")
-    kept = g.where(F.col("__prior") < budget).select(id_col)
-    return df.join(kept, on=id_col, how="left_semi")
+    sids = (
+        st.withColumn(
+            "__prior",
+            F.lit(int(off_star)) + F.sum("__n").over(w) - F.col("__n"),
+        )
+        .where(F.col("__prior") < budget)
+        .select(id_col)
+    )
+    return full.unionByName(
+        df.where(bucket == F.lit(bstar)).join(
+            sids, on=id_col, how="left_semi"
+        )
+    )

@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sclera_spark.llm.similarity import _dot, _norm
 
 
 def semantic_seeds(
@@ -222,31 +221,86 @@ def semantic_dedup(
             ~F.col("cluster").isin(list(uniform))
             | F.col("cluster").isNull()
         )
-    a = join_src.select(
+    # r15: the within-cluster prune runs as ONE grouped Arrow pass with
+    # numpy pairwise cosine instead of the former self-join — the JVM
+    # zip_with/aggregate dot product is CodegenFallback (interpreted per
+    # element per PAIR: O(cluster² · dim) interpreter steps dominated
+    # this operator's wall time). Semantics preserved exactly:
+    # - the dot/norm folds accumulate per DIMENSION in sequence (the
+    #   same float64 left-fold addition order as the old expression);
+    # - round(·, 9) is HALF_UP away-from-zero, as Spark's round;
+    # - zero-norm operands (try_divide -> NULL), NULL/NaN/mismatched
+    #   vectors and NULL ids never prune in either direction (NaN/-inf
+    #   comparisons are false, cross-length pairs are skipped);
+    # - only strictly-smaller ids prune (ties never drop each other);
+    # - rows in a NULL cluster never join (equi-join semantics).
+    # Memory bound per task: one cluster's vectors (<= max_cluster,
+    # enforced above) plus one sim block — the same O(cluster) bound
+    # the sort-merge join's per-key buffering had.
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    prune_src = join_src.select(
         F.col(id_col).alias("__ida"),
         F.col("cluster").alias("__cl"),
         F.col(vec_col).cast("array<double>").alias("__va"),
     )
-    b = join_src.select(
-        F.col(id_col).alias("__idb"),
-        F.col("cluster").alias("__cl"),
-        F.col(vec_col).cast("array<double>").alias("__vb"),
-    )
-    # try_divide: a zero-norm vector has UNDEFINED cosine -> NULL ->
-    # never prunes (ANSI mode would otherwise raise DIVIDE_BY_ZERO
-    # mid-job the first time a zero vector shares a cluster)
-    sim = F.round(
-        F.try_divide(
-            _dot(F.col("__va"), F.col("__vb")),
-            _norm(F.col("__va")) * _norm(F.col("__vb")),
-        ),
-        9,
-    )
-    dups = (
-        a.join(b, "__cl")
-        .where(F.col("__idb") < F.col("__ida"))
-        .where(sim >= F.lit(float(threshold)))
-        .select(F.col("__ida").alias(id_col))
+    out_dt = prune_src.schema["__ida"].dataType.simpleString()
+
+    def _prune(key, pdf):
+        empty = pdf.iloc[0:0][["__ida"]].rename(columns={"__ida": id_col})
+        if key[0] is None or len(pdf) < 2:
+            return empty
+        ok = pdf["__ida"].notna() & pdf["__va"].notna()
+        pdf = pdf[ok]
+        if len(pdf) < 2:
+            return empty
+        ids_all = pdf["__ida"].to_numpy()
+        vecs = pdf["__va"].to_numpy()
+        lens = np.fromiter((len(v) for v in vecs), dtype=np.int64)
+        dropped = []
+        for dim in np.unique(lens):
+            sel = np.flatnonzero(lens == dim)
+            if len(sel) < 2:
+                continue
+            ids = ids_all[sel]  # dtype follows id_col (int or str alike)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            X = np.stack(
+                [np.asarray(vecs[i], dtype=np.float64) for i in sel[order]]
+            )
+            n = len(ids)
+            N = np.zeros(n, dtype=np.float64)
+            for d in range(dim):  # exact left-fold addition order
+                N += X[:, d] * X[:, d]
+            norms = np.sqrt(N)
+            # j may prune i only when id_j < id_i: after the sort that
+            # is column index < the row's strictly-smaller-id count
+            lt = np.searchsorted(ids, ids, side="left")
+            bs = max(1, (1 << 22) // n)
+            drop = np.zeros(n, dtype=bool)
+            for s in range(0, n, bs):
+                e = min(n, s + bs)
+                S = np.zeros((e - s, n), dtype=np.float64)
+                for d in range(dim):
+                    S += X[s:e, d, None] * X[None, :, d]
+                den = norms[s:e, None] * norms[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(den == 0, -np.inf, S / den)
+                r = np.copysign(
+                    np.floor(np.abs(sim) * 1e9 + 0.5), sim
+                ) / 1e9
+                hit = r >= thr
+                hit &= np.arange(n)[None, :] < lt[s:e, None]
+                drop[s:e] = hit.any(axis=1)
+            dropped.append(ids[drop])
+        if not dropped:
+            return empty
+        return pd.DataFrame({id_col: np.concatenate(dropped)})
+
+    dups = prune_src.groupBy("__cl").applyInPandas(
+        _prune, schema=f"{id_col} {out_dt}"
     )
     uniform_drop = [c for c, drop in uniform.items() if drop]
     if uniform_drop:
