@@ -104,25 +104,62 @@ def equality_delete_targets(
             "top-level column of the current schema (nested equality "
             "deletes are not supported here)"
         ) from exc
-    dt = pq.read_table(delete["path"], columns=cols)
+    # the spec identifies delete columns by FIELD ID, not name: a
+    # column renamed after this delete file was written makes the
+    # current-schema name wrong for the file — resolve the file's own
+    # parquet field_id metadata first, falling back to the
+    # current-schema names only for files that carry no field ids
+    file_cols = _file_columns_for_ids(delete["path"], ids, cols)
+    dt = pq.read_table(delete["path"], columns=file_cols)
     # the spec allows NULL in delete rows (matches NULL); tuples of
     # python values compare exactly for the primitive types involved
-    return cols, set(zip(*(dt.column(c).to_pylist() for c in cols)))
+    return cols, set(zip(*(dt.column(c).to_pylist() for c in file_cols)))
+
+
+def _file_columns_for_ids(
+    path: str, ids: list[int], fallback_names: list[str]
+) -> list[str]:
+    """Resolve ``ids`` to THIS parquet file's top-level column names
+    via the ``PARQUET:field_id`` schema metadata Iceberg writers stamp
+    (spec: columns are identified by field id); ids the file does not
+    carry fall back to ``fallback_names`` positionally (pre-field-id
+    writers), where a genuinely-missing column still fails loudly at
+    read time rather than matching the wrong data."""
+    import pyarrow.parquet as pq
+
+    by_id: dict[int, str] = {}
+    for f in pq.read_schema(path):
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            try:
+                by_id[int(fid)] = f.name
+            except ValueError:
+                pass
+    return [by_id.get(i, fb) for i, fb in zip(ids, fallback_names)]
 
 
 def equality_delete_matches(
-    data_path: str, cols: list[str], targets: set[tuple]
+    data_path: str,
+    cols: list[str],
+    targets: set[tuple],
+    ids: list[int] | None = None,
 ) -> list[int]:
     """Row POSITIONS of ``data_path`` whose ``cols`` tuple is in
     ``targets`` (one pre-loaded equality-delete match set) — the
     positions ride :func:`deletion_vectors.purge_parquet`, the same
-    bounded-memory rewrite the position-delete path uses."""
+    bounded-memory rewrite the position-delete path uses. ``ids``
+    (the delete's equality field ids) resolves the DATA file's own
+    column names by field id, so files written before a column rename
+    still match; ``cols`` is the current-schema fallback."""
     import pyarrow.parquet as pq
 
     if not targets:
         return []
-    st = pq.read_table(data_path, columns=cols)
-    rows = zip(*(st.column(c).to_pylist() for c in cols))
+    file_cols = (
+        _file_columns_for_ids(data_path, ids, cols) if ids else cols
+    )
+    st = pq.read_table(data_path, columns=file_cols)
+    rows = zip(*(st.column(c).to_pylist() for c in file_cols))
     return [i for i, r in enumerate(rows) if r in targets]
 
 

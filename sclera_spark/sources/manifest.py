@@ -164,6 +164,24 @@ def _fsync_tree(root: str) -> None:
         _fsync_dir(dirpath)
 
 
+def _abort_cas_group(claimed, adopted) -> None:
+    """Destructive pre-journal abort of a CAS group commit: drop the
+    transaction's version claims and remove its adopted-but-unreferenced
+    data files. ONLY safe while the journal object is confirmed absent
+    (nothing references the claims)."""
+    for mt, v1 in claimed:
+        try:
+            mt._drop_claim(v1)
+        except OSError:
+            pass
+    for mt, names in adopted:
+        for n in names:
+            try:
+                os.remove(os.path.join(mt.data_dir, n))
+            except OSError:
+                pass
+
+
 def _purge_manifest_cache(log_dir: str) -> None:
     """Drop cached manifests for one table (hygiene after vacuum; the
     mtime+size key already protects correctness)."""
@@ -957,7 +975,10 @@ class ManifestTable:
                         if d["partition"] and d["partition"] != info["partition"]:
                             continue  # partition-scoped: other partition
                         pos = ice.equality_delete_matches(
-                            srcs[live_real[key]], cols, targets
+                            srcs[live_real[key]],
+                            cols,
+                            targets,
+                            ids=d["equality_ids"],
                         )
                         if pos:
                             eq_files.add(key)
@@ -5198,30 +5219,78 @@ class CasManifestTable(ManifestTable):
                     for mt, v, _, _ in planned
                 ],
             }
-            jkey = f"{journal_prefix}txn-{txn_id}"
-            if not store.put_blob_if_absent(
-                jkey, _json.dumps(payload).encode()
-            ):
-                raise ConcurrentWriterError(
-                    f"journal key {jkey} already exists (uuid collision "
-                    "or prefix misuse) — transaction aborted"
-                )
         except Exception:
             # pre-journal abort: nothing is visible (pointers never
             # moved). Drop our claims and the adopted-but-unreferenced
             # data files.
-            for mt, v1 in claimed:
-                try:
-                    mt._drop_claim(v1)
-                except OSError:
-                    pass
-            for mt, names in adopted:
-                for n in names:
-                    try:
-                        os.remove(os.path.join(mt.data_dir, n))
-                    except OSError:
-                        pass
+            _abort_cas_group(claimed, adopted)
             raise
+        # Journal put — the commit point. A CLIENT-side failure here is
+        # ambiguous: the object can be durable server-side (S3 put
+        # timeout after success, ambiguous-409 retries exhausted
+        # returning False, FileCas crash after the O_EXCL create), and
+        # a concurrent recover_cas_txn_journals on another host can
+        # replay a durable journal and swap pointers to v+1 — after
+        # which the destructive abort would delete a LIVE claim
+        # manifest and its data files. So on failure, re-check the
+        # store and only abort destructively when the journal object
+        # is CONFIRMED absent (or confirmed foreign — a foreign blob
+        # under our uuid key never references our claims).
+        jkey = f"{journal_prefix}txn-{txn_id}"
+        put_exc: Exception | None = None
+        committed = False
+        try:
+            committed = store.put_blob_if_absent(
+                jkey, _json.dumps(payload).encode()
+            )
+        except Exception as exc:  # noqa: BLE001 — re-raised below
+            put_exc = exc
+        if not committed:
+            confirmed_absent = False
+            existing = None
+            try:
+                existing = store.get_blob(jkey)
+                confirmed_absent = existing is None
+            except Exception:  # noqa: BLE001 — state stays unknown
+                pass
+            ours = False
+            if existing is not None:
+                try:
+                    ours = (
+                        _json.loads(existing.decode()).get("txn") == txn_id
+                    )
+                except Exception:  # noqa: BLE001 — undecodable = foreign
+                    ours = False
+            if ours:
+                # the put WAS durable: committed — fall through to the
+                # pointer swaps exactly as if put_blob_if_absent had
+                # returned True
+                committed = True
+            elif confirmed_absent or existing is not None:
+                # journal confirmed absent, or a FOREIGN object holds
+                # the key (uuid collision / prefix misuse): nothing of
+                # ours is journaled — the destructive abort is safe
+                _abort_cas_group(claimed, adopted)
+                if put_exc is not None:
+                    raise put_exc
+                raise ConcurrentWriterError(
+                    f"journal key {jkey} already exists (uuid collision "
+                    "or prefix misuse) — transaction aborted"
+                )
+            else:
+                # put failed AND the re-check could not confirm absence:
+                # the journal may be durable and replayable — leave the
+                # claims and adopted files in place (recovery either
+                # completes the commit from the journal, or recover()
+                # heals the stale claims) rather than risk deleting a
+                # published version's files
+                raise TxnJournaledError(
+                    f"multi-table CAS commit could not confirm the "
+                    f"journal object {jkey} after a failed put "
+                    f"({put_exc}); claims left in place — run "
+                    "recover_cas_txn_journals (then recover()) to "
+                    "resolve"
+                ) from put_exc
         # the journal object is durable: COMMITTED from here on — a
         # failure below must complete (recovery replays the same swaps)
         try:
@@ -5270,7 +5339,21 @@ class CasManifestTable(ManifestTable):
             raw = store.get_blob(jkey)
             if raw is None:
                 continue  # concurrently completed
-            payload = _json.loads(raw.decode())
+            try:
+                payload = _json.loads(raw.decode())
+                payload["tables"]
+            except Exception:  # noqa: BLE001 — any poison blob
+                # a truncated/corrupt journal (e.g. FileCas crash
+                # between O_EXCL create and write) must not block
+                # replay of every OTHER crashed transaction on every
+                # engine open: re-key it to .failed and keep sweeping
+                warnings.warn(
+                    f"CAS txn journal {jkey}: undecodable payload; "
+                    "re-keyed to .failed for manual resolution"
+                )
+                store.put_blob_if_absent(jkey + ".failed", raw)
+                store.delete_blob(jkey)
+                continue
             failed = False
             for t in payload["tables"]:
                 cur = store.get(t["key"])

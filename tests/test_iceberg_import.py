@@ -774,3 +774,56 @@ def test_import_widens_promoted_types_and_refuses_drift(
     _jl(mpath, [_entry(f_bad)])
     with pytest.raises(IcebergImportUnsupported, match="type drift|drift"):
         ManifestTable.import_iceberg(str(t), str(tmp_path / "imp2"))
+
+
+def test_equality_delete_resolves_columns_by_field_id(tmp_path):
+    """r15 ADVICE pin: the Iceberg spec identifies equality-delete
+    columns by FIELD ID, not name — a column renamed after the delete
+    file was written must still resolve (old file name read via the
+    parquet field_id metadata), and a data file written pre-rename
+    must match by id too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sclera_spark.sources.iceberg import (
+        equality_delete_matches,
+        equality_delete_targets,
+    )
+
+    def field(name, fid):
+        return pa.field(
+            name, pa.int64(), metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    # delete file written BEFORE the rename: column still called 'k'
+    del_path = str(tmp_path / "eqdel.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([2, 4], pa.int64())},
+            schema=pa.schema([field("k", 1)]),
+        ),
+        del_path,
+    )
+    # current schema renamed field 1 to 'key'
+    fields_by_id = {1: "key"}
+    cols, targets = equality_delete_targets(
+        {"path": del_path, "equality_ids": [1]}, fields_by_id
+    )
+    assert cols == ["key"]
+    assert targets == {(2,), (4,)}
+
+    # data file also written pre-rename (column 'k', field id 1)
+    data_path = str(tmp_path / "data.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2, 3, 4, 5], pa.int64())},
+            schema=pa.schema([field("k", 1)]),
+        ),
+        data_path,
+    )
+    pos = equality_delete_matches(data_path, cols, targets, ids=[1])
+    assert pos == [1, 3]
+    # files with NO field ids fall back to the current-schema name
+    plain = str(tmp_path / "plain.parquet")
+    pq.write_table(pa.table({"key": pa.array([4, 9], pa.int64())}), plain)
+    assert equality_delete_matches(plain, cols, targets, ids=[1]) == [0]

@@ -661,3 +661,117 @@ def test_cas_pointer_cleared_on_cross_session_drop(spark, tables):
     engine.execute("ALTER TABLE casxs SET FORMAT MANIFEST CAS")
     assert engine.sql("SELECT count(*) AS n FROM casxs").collect()[0].n == 1
     engine.execute("DROP TABLE casxs")
+
+
+# ---- r15 ADVICE pins: journal-put failures are AMBIGUOUS ------------
+#
+# put_blob_if_absent can fail client-side while the object is durable
+# server-side (S3 timeout after success, ambiguous-409 retries
+# exhausted, FileCas crash after O_EXCL create). The destructive
+# pre-journal abort (drop claims, delete adopted files) is only safe
+# when the journal object is CONFIRMED absent — a concurrent
+# recover_cas_txn_journals replaying a durable journal publishes v+1,
+# and deleting its claim manifest/files would corrupt a published
+# version.
+
+
+def _durable_then_failing_put(cas, mode):
+    real_put = cas.put_blob_if_absent
+
+    def put(key, data):
+        real_put(key, data)  # durable server-side...
+        if mode == "raise":
+            raise OSError("simulated client-side put timeout")
+        return False  # ...ambiguous 409 path
+
+    return put
+
+
+@pytest.mark.parametrize("mode", ["raise", "false"])
+def test_cas_group_journal_put_durable_but_failed_rolls_forward(
+    spark, tmp_path, monkeypatch, mode
+):
+    cas = MemoryCas()
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+    monkeypatch.setattr(
+        cas, "put_blob_if_absent", _durable_then_failing_put(cas, mode)
+    )
+    # the journal IS durable: the commit must roll FORWARD, not abort
+    CasManifestTable.commit_staged_group_cas(
+        [(a, [sa], set()), (b, [sb], set())], "txn/"
+    )
+    assert a.version() == 2 and b.version() == 2
+    assert a.read(spark).count() == 15
+    assert b.read(spark).count() == 23
+    assert cas.list_blobs("txn/") == []
+
+
+def test_cas_group_journal_put_unconfirmable_leaves_claims(
+    spark, tmp_path, monkeypatch
+):
+    """put fails AND the re-check cannot confirm absence: the commit
+    must NOT run the destructive abort (the journal may be durable and
+    replayable elsewhere) — it raises, leaving claims and files for
+    recovery instead of risking deletion of a published version."""
+    from sclera_spark.sources.manifest import TxnJournaledError
+
+    cas = MemoryCas()
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+
+    def failing_put(key, data):
+        raise OSError("simulated put failure")
+
+    def failing_get(key):
+        raise OSError("simulated get failure")
+
+    monkeypatch.setattr(cas, "put_blob_if_absent", failing_put)
+    monkeypatch.setattr(cas, "get_blob", failing_get)
+    with pytest.raises(TxnJournaledError, match="could not confirm"):
+        CasManifestTable.commit_staged_group_cas(
+            [(a, [sa], set()), (b, [sb], set())], "txn/"
+        )
+    # pointers unmoved, but the claims and adopted files SURVIVE
+    assert a.version() == 1 and b.version() == 1
+    assert os.path.exists(os.path.join(a.log_dir, "v2.json"))
+    assert os.path.exists(os.path.join(b.log_dir, "v2.json"))
+
+
+def test_recover_cas_txn_skips_poison_journal(
+    spark, tmp_path, monkeypatch
+):
+    """r15 ADVICE pin: one truncated/corrupt journal blob must not
+    block replay of every other crashed transaction — it is re-keyed
+    to .failed and the sweep continues."""
+    cas = MemoryCas()
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+    # a poison blob that sorts BEFORE the real journal key
+    assert cas.put_blob_if_absent("txn/aaa-poison", b"\x00not-json")
+    real_swap = CasManifestTable._swap_pointer
+
+    def dying_swap(self, expected, version):
+        if os.path.realpath(self.path) == os.path.realpath(
+            str(tmp_path / "gb")
+        ):
+            raise OSError("simulated crash before b's pointer swap")
+        return real_swap(self, expected, version)
+
+    monkeypatch.setattr(CasManifestTable, "_swap_pointer", dying_swap)
+    with pytest.raises(Exception, match="commit point"):
+        CasManifestTable.commit_staged_group_cas(
+            [(a, [sa], set()), (b, [sb], set())], "txn/"
+        )
+    monkeypatch.setattr(CasManifestTable, "_swap_pointer", real_swap)
+    with pytest.warns(UserWarning, match="undecodable payload"):
+        recovered = CasManifestTable.recover_cas_txn_journals(cas, "txn/")
+    # the REAL journal replayed despite the poison blob before it
+    assert b.version() == 2
+    assert os.path.realpath(str(tmp_path / "gb")) in [
+        os.path.realpath(p) for p in recovered
+    ]
+    assert cas.list_blobs("txn/") == ["txn/aaa-poison.failed"]
