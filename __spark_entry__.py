@@ -1750,10 +1750,18 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (band x2, fetch x2) and is released by the
     # ContextCleaner (no persist leak across bench reps).
     sk = (
-        minhash_sketch(docs.select("doc_id", "text"), "text", 128, 5)
-        .select(F.col("doc_id").alias("id"), "minhash", "hset")
+        minhash_sketch(docs.select("doc_id", "text"), "text", 128, 5, with_fp=True)
+        .select(F.col("doc_id").alias("id"), "minhash", "hset", "hset_fp")
         .localCheckpoint(eager=True)
     )
+    # r16 skew guard (guide §2.5): ONE narrow probe over the shared
+    # sketch decides the exact-duplicate collapse for BOTH sides (a
+    # per-side probe would cost two jobs for the same answer); clone-
+    # free corpora keep the r15 pipeline shape, clone-heavy ones
+    # collapse to representatives with identical results
+    from sclera_spark.llm.dedup import _COLLAPSE_MIN_DUPS, _exact_dup_count
+
+    do_collapse = _exact_dup_count(sk) >= _COLLAPSE_MIN_DUPS
     kept = minhash_anti_join_sketched(
         docs.where("doc_id % 2 = 1"),
         sk.where("id % 2 = 0"),
@@ -1762,6 +1770,7 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         shingle_k=5,
         new_sketch=sk.where("id % 2 = 1"),
+        collapse=do_collapse,
     )
     return kept.select("doc_id")
 
@@ -1861,8 +1870,8 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.where("doc_id % 3 = 2")
 
     def sk(df):
-        return minhash_sketch(df, "text", 128, 5).select(
-            F.col("doc_id").alias("id"), "minhash", "hset"
+        return minhash_sketch(df, "text", 128, 5, with_fp=True).select(
+            F.col("doc_id").alias("id"), "minhash", "hset", "hset_fp"
         )
 
     path = os.path.join(tempfile.mkdtemp(prefix="sclera_gate_"), "sketch")

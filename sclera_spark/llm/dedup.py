@@ -66,6 +66,7 @@ def minhash_sketch(
     text_col: str = "text",
     num_perm: int = 64,
     shingle_k: int = 5,
+    with_fp: bool = False,
 ) -> DataFrame:
     """Add ``minhash`` (array<long> signature) and ``hset`` (sorted distinct
     k-gram hashes, for exact-Jaccard verification) columns.
@@ -77,10 +78,25 @@ def minhash_sketch(
     transform) measured 80-100s at sf0.1; this runs the same sketch in
     ~2s. Without the mod-p the affine map is monotone and every
     permutation picks the same global-min shingle (degenerate buckets).
+
+    ``with_fp`` additionally emits ``hset_fp``, the md5 hex digest of
+    the hset's little-endian int64 bytes — a 128-bit content identity
+    for the shingle set. Rows with equal ``hset_fp`` have (md5
+    collisions aside) equal hsets, hence equal signatures, band
+    hashes, Jaccard estimates and exact Jaccards against ANY third
+    row; the LSH candidate paths use it to collapse exact-duplicate
+    clusters to one representative (guide §2.5 skew handling) without
+    changing any result.
     """
     import re as _re
 
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     rnd = __import__("random").Random(42)
     a = np.array([rnd.randrange(1, 2**29) * 2 + 1 for _ in range(num_perm)], dtype=np.int64)
@@ -88,26 +104,34 @@ def minhash_sketch(
     P = np.int64(_MINHASH_P)
     ws = _re.compile(r"\s+")
 
-    sketch_type = StructType(
-        [
-            StructField("minhash", ArrayType(LongType())),
-            StructField("hset", ArrayType(LongType())),
-        ]
-    )
+    fields = [
+        StructField("minhash", ArrayType(LongType())),
+        StructField("hset", ArrayType(LongType())),
+    ]
+    if with_fp:
+        fields.append(StructField("fp", StringType()))
+    sketch_type = StructType(fields)
 
     @F.pandas_udf(sketch_type)
     def _sketch(tcol: pd.Series) -> pd.DataFrame:
-        sigs, hsets = [], []
+        import hashlib
+
+        sigs, hsets, fps = [], [], []
         for t in tcol:
             if t is None:
                 sigs.append([int(P)] * len(a))
-                hsets.append([])
-                continue
-            norm = ws.sub(" ", t.lower())
-            h = _rolling_kgram_hashes(norm, shingle_k)
-            sigs.append(((a[:, None] * h[None, :] + b[:, None]) % P).min(axis=1).tolist())
+                h = np.empty(0, dtype=np.int64)
+            else:
+                norm = ws.sub(" ", t.lower())
+                h = _rolling_kgram_hashes(norm, shingle_k)
+                sigs.append(((a[:, None] * h[None, :] + b[:, None]) % P).min(axis=1).tolist())
             hsets.append(h.tolist())
-        return pd.DataFrame({"minhash": sigs, "hset": hsets})
+            if with_fp:
+                fps.append(hashlib.md5(h.astype("<i8").tobytes()).hexdigest())
+        cols = {"minhash": sigs, "hset": hsets}
+        if with_fp:
+            cols["fp"] = fps
+        return pd.DataFrame(cols)
 
     # spread the CPU-heavy sketch across all cores when the input has too
     # few partitions (e.g. a single parquet file) — the shuffle of raw text
@@ -126,12 +150,14 @@ def minhash_sketch(
         nfiles = 0
     if nfiles < par:
         df = df.repartition(par)
-    return (
+    out = (
         df.withColumn("__sk", _sketch(F.col(text_col)))
         .withColumn("minhash", F.col("__sk.minhash"))
         .withColumn("hset", F.col("__sk.hset"))
-        .drop("__sk")
     )
+    if with_fp:
+        out = out.withColumn("hset_fp", F.col("__sk.fp"))
+    return out.drop("__sk")
 
 
 def minhash_signatures(
@@ -146,41 +172,13 @@ def minhash_signatures(
     return out.withColumnRenamed("minhash", out_col) if out_col != "minhash" else out
 
 
-def minhash_dup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_perm: int = 128,
-    bands: int = 16,
-    shingle_k: int = 5,
-    threshold: float = 0.8,
-    sketch: DataFrame | None = None,
-) -> DataFrame:
-    """Near-duplicate pairs (a_id < b_id, jaccard >= threshold) via
-    MinHash banding. Rows per band-bucket join only — the classic LSH
-    candidate generation; exact Jaccard over shingle sets verifies.
-    ``sketch`` (a precomputed (id, minhash, hset) frame, caller-owned
-    lifetime) skips the sketch pass — the streaming crawl gate
-    sketches each batch once and threads it through its dedup, gate
-    and append steps."""
+def _banded_rows(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bh) rows: one xxhash64 per signature band — the LSH
+    bucketing key. Only narrow columns are exploded and shuffled;
+    shipping the shingle arrays through the band join measured ~100s
+    at sf0.1 from array serialization alone."""
     rows_per_band = num_perm // bands
-    # one sketch pass gives both the signature (for banding) and the hashed
-    # shingle set (for verification); cached for the three reads below and
-    # released before returning (the result is materialized first — a
-    # leaked persist() accumulates executor storage across calls in a
-    # long-lived session)
-    caller_owns_sketch = sketch is not None
-    if not caller_owns_sketch:
-        sketch = (
-            minhash_sketch(df, text_col, num_perm, shingle_k)
-            .select(F.col(id_col).alias("id"), "minhash", "hset")
-            .persist()
-        )
-    # phase 1: candidates — only (id, band, band_hash) is exploded and
-    # shuffled; shipping the shingle arrays through the band join measured
-    # ~100s at sf0.1 from array serialization alone
-    sig = sketch.select("id", "minhash")
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -196,6 +194,121 @@ def minhash_dup_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+
+
+def _dup_collapse_members(sketch: DataFrame) -> DataFrame:
+    """(id, rep, __nn) membership of exact-duplicate classes: rep = the
+    smallest id sharing this row's ``hset_fp`` (equal hset => equal
+    signature, band hashes and Jaccard vs any third row), __nn = the
+    class has a non-empty shingle set. Narrow columns only — the one
+    shuffle is keyed by the 128-bit fingerprint; a clone cluster of any
+    size costs a min() over narrow rows, not a quadratic bucket join."""
+    from pyspark.sql.window import Window
+
+    return (
+        sketch.select(
+            "id", "hset_fp", (F.size("hset") > 0).alias("__nn")
+        )
+        .withColumn(
+            "rep", F.min("id").over(Window.partitionBy("hset_fp"))
+        )
+        .select("id", "rep", "__nn")
+    )
+
+
+# clone-mass threshold for the duplicate collapse: with fewer than this
+# many exact-duplicate rows corpus-wide, the worst possible band-bucket
+# flood is bounded by (n - d)^2 narrow rows (< ~65k) — cheaper than the
+# collapse machinery's extra narrow stages; at or above it, collapsing
+# wins and keeps growing clone clusters subquadratic. Both branches
+# produce identical results, so the data-adaptive choice (guide §2.5,
+# AQE-style plan-by-stats) cannot change any output.
+_COLLAPSE_MIN_DUPS = 256
+
+
+def _exact_dup_count(sketch: DataFrame) -> int:
+    """ONE narrow agg over the (persisted) sketch: how many rows are
+    exact duplicates of an earlier row (n - distinct hset_fp)."""
+    r = sketch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("hset_fp")).alias("d"),
+    ).first()
+    return int(r["n"]) - int(r["d"])
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    sketch: DataFrame | None = None,
+    collapse: bool | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, jaccard >= threshold) via
+    MinHash banding. Rows per band-bucket join only — the classic LSH
+    candidate generation; exact Jaccard over shingle sets verifies.
+    ``sketch`` (a precomputed (id, minhash, hset) frame, caller-owned
+    lifetime) skips the sketch pass — the streaming crawl gate
+    sketches each batch once and threads it through its dedup, gate
+    and append steps.
+
+    Skew guard (guide §2.5): exact-duplicate clusters — the clone-heavy
+    failure mode where one (band, bh) bucket holds a whole cluster and
+    the self-join goes quadratic — are collapsed to one REPRESENTATIVE
+    per distinct shingle set (``hset_fp``) before banding, and the
+    verified representative pairs are expanded back to member pairs by
+    narrow joins afterwards. Because equal hsets imply equal
+    signatures, band hashes, estimates and exact Jaccards, the output
+    is identical to the uncollapsed join (within-class pairs carry
+    jaccard exactly 1.0, as array_intersect of equal sets yields);
+    only the *machinery* changes from O(cluster^2)-inside-one-task to
+    O(cluster) narrow rows. ``collapse`` False/True forces the branch;
+    None (default) probes the sketch with one narrow aggregate and
+    collapses only when the corpus-wide clone mass reaches
+    ``_COLLAPSE_MIN_DUPS``, so (near-)clone-free corpora keep the
+    plain pipeline shape. One knowing divergence, degenerate by
+    construction: two member rows of an EMPTY-shingle-set class (NULL
+    texts) yield no pair here, where the uncollapsed join would raise
+    ANSI 0/0 computing their jaccard."""
+    # one sketch pass gives both the signature (for banding) and the hashed
+    # shingle set (for verification); cached for the three reads below and
+    # released before returning (the result is materialized first — a
+    # leaked persist() accumulates executor storage across calls in a
+    # long-lived session)
+    caller_owns_sketch = sketch is not None
+    if not caller_owns_sketch:
+        sketch = (
+            minhash_sketch(df, text_col, num_perm, shingle_k, with_fp=True)
+            .select(F.col(id_col).alias("id"), "minhash", "hset", "hset_fp")
+            .persist()
+        )
+    has_fp = "hset_fp" in sketch.columns
+    if collapse is None:
+        collapse = has_fp and _exact_dup_count(sketch) >= _COLLAPSE_MIN_DUPS
+    collapse = bool(collapse) and has_fp
+
+    member = None
+    if collapse:
+        # narrow membership table, materialized once for its 4 readers
+        # (band mapping, two expansion sides, within-class join);
+        # localCheckpoint blocks are ContextCleaner-released
+        member = _dup_collapse_members(sketch).localCheckpoint(eager=True)
+
+    # phase 1: candidates — band the signatures, then the band-bucket
+    # self-join over narrow rows.
+    banded = _banded_rows(sketch.select("id", "minhash"), num_perm, bands)
+    if collapse:
+        # map band rows to class representatives and dedupe: each class
+        # contributes each bucket once, so a clone cluster can no longer
+        # flood its bucket quadratically
+        banded = (
+            banded.join(member.select("id", "rep"), "id")
+            .select(F.col("rep").alias("id"), "band", "bh")
+            .dropDuplicates(["id", "band", "bh"])
+        )
 
     # candidate generation stays the band SELF-JOIN: an r15 experiment
     # rewrote it as groupBy(band, bh) + collect_set + JVM combinations
@@ -247,6 +360,41 @@ def minhash_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+    if collapse:
+        # expand representative pairs back to member pairs. Cross-class:
+        # every (member of A) x (member of B) pair shares the rep pair's
+        # exact jaccard (equal hsets); least/greatest restores a < b.
+        m_a = member.select(F.col("rep").alias("a_id"), F.col("id").alias("__xa"))
+        m_b = member.select(F.col("rep").alias("b_id"), F.col("id").alias("__xb"))
+        cross = (
+            result.join(m_a, "a_id")
+            .join(m_b, "b_id")
+            .select(
+                F.least("__xa", "__xb").alias("a_id"),
+                F.greatest("__xa", "__xb").alias("b_id"),
+                "jaccard",
+            )
+        )
+        result = cross
+        if threshold <= 1.0:
+            # within-class pairs: equal non-empty hsets give jaccard
+            # exactly 1.0 (|h| / |h|); empty-hset classes (NULL text)
+            # produced NULL jaccard (0/0) in the plain join and are
+            # dropped here too via __nn
+            mm = member.where(F.col("__nn"))
+            within = (
+                mm.alias("x")
+                .join(mm.alias("y"), "rep")
+                .where(F.col("x.id") < F.col("y.id"))
+                .select(
+                    F.col("x.id").alias("a_id"),
+                    F.col("y.id").alias("b_id"),
+                    F.lit(1.0).alias("jaccard"),
+                )
+            )
+            result = result.unionByName(within)
+
     # materialize the (far smaller) pair set, then release the sketch cache
     result = result.localCheckpoint(eager=True)
     if not caller_owns_sketch:
@@ -314,15 +462,17 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     sketch: DataFrame | None = None,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Drop near-duplicates, keeping exactly one row (the smallest id) per
     connected component of the dup-pair graph. Transitive clusters
     (A~B, B~C, A!~C) collapse to one survivor — the round-1 greedy
     smaller-id drop kept no survivor for some orderings. ``sketch``
-    passes through to :func:`minhash_dup_pairs` (caller-owned)."""
+    and ``collapse`` pass through to :func:`minhash_dup_pairs`
+    (caller-owned / exact-duplicate class collapse)."""
     pairs = minhash_dup_pairs(
         df, id_col, text_col, num_perm, bands, shingle_k, threshold,
-        sketch=sketch,
+        sketch=sketch, collapse=collapse,
     )
     comp = connected_components(pairs)
     losers = comp.filter(F.col("comp") != F.col("id")).select(
@@ -507,8 +657,10 @@ def minhash_anti_join(
     original columns, duplicates removed."""
     def sketch(df):
         return (
-            minhash_sketch(df, text_col, num_perm, shingle_k)
-            .select(F.col(id_col).alias("id"), "minhash", "hset")
+            minhash_sketch(df, text_col, num_perm, shingle_k, with_fp=True)
+            .select(
+                F.col(id_col).alias("id"), "minhash", "hset", "hset_fp"
+            )
             .persist()
         )
 
@@ -534,6 +686,7 @@ def minhash_anti_join_sketched(
     threshold: float = 0.8,
     corpus_id_col: str = "id",
     new_sketch: DataFrame | None = None,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """The INCREMENTAL crawl-ingest gate: :func:`minhash_anti_join`
     against a PRE-SKETCHED corpus — the 100 TB steady state, where the
@@ -553,7 +706,12 @@ def minhash_anti_join_sketched(
     garbage). ``new_sketch`` (a precomputed (id, minhash, hset) frame
     for the new side) skips the gate's own sketch pass — the streaming
     committer sketches each batch exactly once and threads it
-    through."""
+    through. ``collapse`` forwards to the exact-duplicate class
+    collapse (guide §2.5; see :func:`_minhash_anti_join_core`) on each
+    side that carries an ``hset_fp`` column: None (default) probes
+    per side, True/False forces — a corpus kept self-deduped by this
+    very gate never needs it, so a persisted fp-less sketch table
+    skips the probe entirely."""
     for c in (corpus_id_col, "minhash", "hset"):
         if c not in corpus_sketch.columns:
             raise ValueError(
@@ -589,16 +747,31 @@ def minhash_anti_join_sketched(
     sk_new = (
         new_sketch
         if caller_owns_sketch
-        else minhash_sketch(new, text_col, num_perm, shingle_k)
-        .select(F.col(id_col).alias("id"), "minhash", "hset")
+        else minhash_sketch(new, text_col, num_perm, shingle_k, with_fp=True)
+        .select(F.col(id_col).alias("id"), "minhash", "hset", "hset_fp")
         .persist()
     )
     sk_old = corpus_sketch.select(
-        F.col(corpus_id_col).alias("id"), "minhash", "hset"
+        F.col(corpus_id_col).alias("id"),
+        "minhash",
+        "hset",
+        *(
+            ["hset_fp"]
+            if "hset_fp" in corpus_sketch.columns
+            else []
+        ),
     )
     try:
         return _minhash_anti_join_core(
-            new, sk_new, sk_old, id_col, num_perm, bands, threshold
+            new,
+            sk_new,
+            sk_old,
+            id_col,
+            num_perm,
+            bands,
+            threshold,
+            collapse_new=collapse,
+            collapse_old=collapse,
         )
     finally:
         if not caller_owns_sketch:
@@ -613,38 +786,56 @@ def _minhash_anti_join_core(
     num_perm: int,
     bands: int,
     threshold: float,
+    collapse_new: bool | None = None,
+    collapse_old: bool | None = None,
 ) -> DataFrame:
-    rows_per_band = num_perm // bands
+    # exact-duplicate collapse per side (guide §2.5 skew handling; see
+    # minhash_dup_pairs): clone clusters — e.g. a crawl batch carrying
+    # many copies of one page against a corpus holding a cluster of the
+    # same page — multiply band-bucket candidates by |new cluster| x
+    # |corpus cluster|. Each side that carries an ``hset_fp`` column
+    # can be collapsed to one representative per distinct shingle set:
+    # equal hsets imply equal band hashes, estimates and jaccards, and
+    # the gate only asks WHETHER a new doc has a match, so new-side
+    # membership expands the verdict back while the corpus side needs
+    # no expansion at all. Results are identical by construction.
+    # None = probe that side with one narrow aggregate (only when the
+    # fingerprint column exists).
+    def _resolve(flag, sk):
+        if "hset_fp" not in sk.columns:
+            return False
+        if flag is None:
+            return _exact_dup_count(sk) >= _COLLAPSE_MIN_DUPS
+        return bool(flag)
 
-    def banded(sig, side):
-        return sig.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.get(
-                                        F.col("minhash"),
-                                        b * rows_per_band + r,
-                                    )
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("bh"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(
-            F.col("id").alias(f"{side}_id"), F.col("bb.band"), F.col("bb.bh")
+    collapse_new = _resolve(collapse_new, sk_new)
+    collapse_old = _resolve(collapse_old, sk_old)
+
+    member_new = None
+    if collapse_new:
+        member_new = _dup_collapse_members(sk_new).localCheckpoint(
+            eager=True
         )
 
+    def banded(sk, side, member):
+        rows = _banded_rows(sk.select("id", "minhash"), num_perm, bands)
+        if member is not None:
+            rows = (
+                rows.join(member.select("id", "rep"), "id")
+                .select(F.col("rep").alias("id"), "band", "bh")
+                .dropDuplicates(["id", "band", "bh"])
+            )
+        return rows.select(
+            F.col("id").alias(f"{side}_id"), "band", "bh"
+        )
+
+    member_old = None
+    if collapse_old:
+        member_old = _dup_collapse_members(sk_old)
+
     cand = (
-        banded(sk_new.select("id", "minhash"), "new")
-        .join(banded(sk_old.select("id", "minhash"), "old"), ["band", "bh"])
+        banded(sk_new, "new", member_new)
+        .join(banded(sk_old, "old", member_old), ["band", "bh"])
         .select("new_id", "old_id")
         .dropDuplicates(["new_id", "old_id"])
     )
@@ -687,8 +878,19 @@ def _minhash_anti_join_core(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("new_id"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if collapse_new:
+        # expand the duplicate verdict from representatives to every
+        # member of their class (equal hsets => identical verdict)
+        dup_ids = (
+            member_new.join(
+                dup_ids,
+                member_new["rep"] == dup_ids["new_id"],
+                "left_semi",
+            )
+            .select(F.col("id").alias("new_id"))
+        )
+    dup_ids = dup_ids.localCheckpoint(eager=True)
     return new.join(
         dup_ids, new[id_col] == dup_ids["new_id"], "left_anti"
     )

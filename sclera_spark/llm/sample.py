@@ -147,6 +147,59 @@ def weighted_sample(
     )
 
 
+# ----------------------------------------------------- token-budget carry
+#
+# Shared machinery of the batch sampler (token_budget_sample) and the
+# streaming committer (streaming/ops.token_budget_committer): the order
+# key is a uniform md5, so its first 4 hex chars give a 65536-way range
+# bucketing monotone in the (md5, id) admission order BY CONSTRUCTION.
+# One narrow groupBy ships per-bucket (sum, count) to the driver; the
+# walk finds the budget-straddling bucket; everything before it is
+# admitted by a plain hash predicate, and only the straddle bucket runs
+# a window. The payload never rides a shuffle.
+
+_TB_BUCKETS = 1 << 16  # 65536 = 16^4: first 4 hex chars of the md5 key
+
+
+def _tb_hash(id_col: str, salt: str) -> Column:
+    return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+
+def _tb_bucket(h: Column) -> Column:
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+
+def _tb_bucket_stats(t: DataFrame) -> dict[int, tuple[int, int]]:
+    """{bucket: (token sum, row count)} from a (__b, __n) frame — ONE
+    narrow aggregate, <= _TB_BUCKETS tiny rows to the driver (NULL
+    bucket = NULL id rows may appear as a None key; callers ignore it
+    per the pinned NULL-id contract)."""
+    return {
+        r["__b"]: (r["s"], r["c"])
+        for r in t.groupBy("__b")
+        .agg(F.sum("__n").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def _tb_walk_buckets(
+    totals: dict[int, int], budget: int
+) -> tuple[int | None, int]:
+    """Walk buckets in hash order: a bucket is FULLY admitted while the
+    running total after it stays under the budget (admission is
+    prior < budget, and every row's exclusive prior in such a bucket
+    is <= that bucket's end total minus its own count); the first
+    bucket whose end total reaches the budget is the straddle bucket.
+    Returns (straddle bucket or None, tokens before it)."""
+    run = 0
+    for b in range(_TB_BUCKETS):
+        after = run + (totals.get(b) or 0)
+        if after >= budget:
+            return b, run
+        run = after
+    return None, run
+
+
 def token_budget_sample(
     df: DataFrame,
     budget: int,
@@ -166,10 +219,19 @@ def token_budget_sample(
     Token counts come from the shared whitespace tokenizer (NULL text
     counts 0, so metadata-only rows ride along free), or pass
     ``count_col`` to budget on precomputed counts (e.g. a real
-    tokenizer's). The global running total is the two-phase distributed
-    prefix sum over a narrow proxy — no single-partition window,
-    driver state is one row per hash bucket (4096, corpus-size
-    independent), so the cut scales to any corpus size."""
+    tokenizer's). The global running total is the bucket carry over a
+    narrow proxy — no single-partition window, driver state is one row
+    per hash bucket (``_TB_BUCKETS`` = 65536, corpus-size independent),
+    so the cut scales to any corpus size.
+
+    NULL-id contract (pinned since the r15 carry design, tested in
+    tests/test_vectorized_parity.py): a NULL id hashes to NULL, lands
+    in no bucket, and is NEVER admitted — nor does its count consume
+    budget. (The pre-r15 global sort ordered NULL hashes first and
+    admitted them in a tie-nondeterministic order; there is no
+    deterministic per-row order among NULL keys to restore, so the
+    carry rejects them outright — a row with no identity has no stable
+    place in a reproducible draw.)"""
     from pyspark.sql.window import Window
 
     from sclera_spark.llm.text import _tokens
@@ -202,7 +264,7 @@ def token_budget_sample(
     # (hex digits are ascii-ordered), so there is no RangePartitioner
     # sampling pass, no corpus-wide window, and the document payload
     # never rides a shuffle. One NARROW groupBy collects per-bucket
-    # token totals (<= 65536 tiny rows to the driver, corpus-size
+    # token totals (<= _TB_BUCKETS tiny rows to the driver, corpus-size
     # independent); the driver then knows, exactly, that every bucket
     # before the budget-straddling one is fully admitted (a plain
     # filter on the id hash — no join, no state) and only the ONE
@@ -212,28 +274,14 @@ def token_budget_sample(
     # dropped as a unit (with duplicate ids the old per-row path's
     # order among identical (hash, id) keys was tie-nondeterministic
     # anyway).
-    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    h = _tb_hash(id_col, salt)
+    bucket = _tb_bucket(h)
     t = df.select(
         h.alias("__h"), F.col(id_col), n.alias("__n")
     ).withColumn("__b", F.conv(F.substring("__h", 1, 4), 16, 10).cast("int"))
-    totals = {
-        r["__b"]: r["s"]
-        for r in t.groupBy("__b").agg(F.sum("__n").alias("s")).collect()
-    }
-    # walk buckets in hash order: a bucket is FULLY admitted while the
-    # running total after it stays under the budget (admission is
-    # prior < budget, and every row's exclusive prior in such a bucket
-    # is <= that bucket's end total minus its own count); the first
-    # bucket whose end total reaches the budget is the straddle bucket
-    bstar, off_star, run = None, 0, 0
-    for b in range(65536):
-        after = run + (totals.get(b) or 0)
-        if after >= budget:
-            bstar, off_star = b, run
-            break
-        run = after
-    full = df.where(bucket < F.lit(bstar if bstar is not None else 65536))
+    totals = {b: s for b, (s, _c) in _tb_bucket_stats(t).items()}
+    bstar, off_star = _tb_walk_buckets(totals, budget)
+    full = df.where(bucket < F.lit(bstar if bstar is not None else _TB_BUCKETS))
     if bstar is None:
         return full  # the whole corpus fits in the budget
     st = t.where(F.col("__b") == bstar)

@@ -1059,8 +1059,8 @@ def crawl_gate_committer(
         # append (each would otherwise re-run the pandas-UDF sketch —
         # the dominant per-batch cost — over the same surviving text)
         sk_batch = (
-            minhash_sketch(batch, text_col, num_perm, shingle_k)
-            .select(F.col(id_col).alias("id"), "minhash", "hset")
+            minhash_sketch(batch, text_col, num_perm, shingle_k, with_fp=True)
+            .select(F.col(id_col).alias("id"), "minhash", "hset", "hset_fp")
             .persist()
         )
         try:
@@ -1077,6 +1077,12 @@ def crawl_gate_committer(
                         batch.select(F.col(id_col).alias("id")), "id",
                         "left_semi",
                     ),
+                    # when within_batch dedup ran, BOTH gate sides are
+                    # already self-deduped (the corpus by this very
+                    # gate, the batch by the dedup above) — skip the
+                    # per-batch collapse probes outright; otherwise
+                    # let the probe decide
+                    collapse=False if within_batch else None,
                 )
             else:
                 kept = batch  # first batch IS the corpus seed
@@ -1163,10 +1169,29 @@ def token_budget_committer(
     BEFORE the commit replays into the identical deterministic draw
     (md5 order, same remaining budget). A budget-exhausted batch is a
     pure metadata commit (watermark bump, no data jobs beyond an
-    empty check)."""
-    from pyspark.sql import functions as F
+    empty check).
 
-    from sclera_spark.llm.text import _tokens, global_prefix_sum
+    r16: the per-batch cut is the same 65536-way bucket carry as the
+    batch sampler (llm/sample.token_budget_sample, r15) instead of a
+    per-batch range-partitioned prefix sum: one narrow groupBy ships
+    per-bucket (sum, count) to the driver, full buckets admit by a
+    plain hash predicate, only the straddle bucket runs a window, and
+    the batch payload never rides a shuffle or checkpoint. Identical
+    cut; the admitted count/total now come from the bucket stats plus
+    one tiny straddle aggregate. NULL-id rows follow the sampler's
+    pinned contract — never admitted, never counted (the old per-batch
+    prefix sum admitted them first in a tie-nondeterministic order)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sclera_spark.llm.sample import (
+        _TB_BUCKETS,
+        _tb_bucket,
+        _tb_bucket_stats,
+        _tb_hash,
+        _tb_walk_buckets,
+    )
+    from sclera_spark.llm.text import _tokens
     from sclera_spark.sources.manifest import ManifestTable
 
     if budget <= 0:
@@ -1211,33 +1236,69 @@ def token_budget_committer(
                 "them first"
             )
         cols = list(bdf.columns)
-        t = bdf.withColumn(
-            "__h",
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-        ).withColumn(
-            "__n",
-            F.coalesce(
-                (
-                    F.col(count_col).cast("long")
-                    if count_col is not None
-                    else F.size(_tokens(F.col(text_col))).cast("long")
-                ),
-                F.lit(0),
+        n = F.coalesce(
+            (
+                F.col(count_col).cast("long")
+                if count_col is not None
+                else F.size(_tokens(F.col(text_col))).cast("long")
             ),
+            F.lit(0),
         )
-        g = global_prefix_sum(t, ["__h", id_col], "__n", out_col="__prior")
-        admitted = g.where(F.col("__prior") < remaining).localCheckpoint(
-            eager=True
+        h = _tb_hash(id_col, salt)
+        bucket = _tb_bucket(h)
+        t = bdf.select(h.alias("__h"), F.col(id_col), n.alias("__n")).withColumn(
+            "__b", F.conv(F.substring("__h", 1, 4), 16, 10).cast("int")
         )
-        n_admit = admitted.agg(
-            F.count("*").alias("c"), F.sum("__n").alias("s")
-        ).collect()[0]
-        if not n_admit["c"]:
+        stats = _tb_bucket_stats(t)
+        totals = {b: s for b, (s, _c) in stats.items() if b is not None}
+        bstar, off_star = _tb_walk_buckets(totals, remaining)
+        if bstar is None:
+            # the whole batch fits the remaining budget (NULL-bucket
+            # rows excluded per the pinned contract)
+            admit_rows = sum(c for b, (_s, c) in stats.items() if b is not None)
+            admit_toks = off_star
+            out = bdf.where(bucket < F.lit(_TB_BUCKETS))
+        else:
+            st = t.where(F.col("__b") == bstar)
+            w = (
+                Window.partitionBy("__b")
+                .orderBy("__h", id_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            # straddle winners: ~1/65536 of the batch, narrow columns;
+            # materialized once for the stats agg AND the semi-join
+            winners = (
+                st.withColumn(
+                    "__prior",
+                    F.lit(int(off_star)) + F.sum("__n").over(w) - F.col("__n"),
+                )
+                .where(F.col("__prior") < remaining)
+                .select(id_col, "__n")
+                .localCheckpoint(eager=True)
+            )
+            ws = winners.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("__n").alias("s")
+            ).first()
+            admit_rows = (
+                sum(
+                    c
+                    for b, (_s, c) in stats.items()
+                    if b is not None and b < bstar
+                )
+                + int(ws["c"])
+            )
+            admit_toks = int(off_star) + int(ws["s"] or 0)
+            out = bdf.where(bucket < F.lit(bstar)).unionByName(
+                bdf.where(bucket == F.lit(bstar)).join(
+                    winners.select(id_col), on=id_col, how="left_semi"
+                )
+            )
+        if not admit_rows:
             if mt is not None:
                 mt.amend_meta(wm)
             return
-        out = admitted.select(*cols)
-        meta = {**wm, "tb_tokens": done + int(n_admit["s"])}
+        out = out.select(*cols)
+        meta = {**wm, "tb_tokens": done + int(admit_toks)}
         if mt is None:
             ManifestTable.create(out, kept_path, meta=meta)
         else:

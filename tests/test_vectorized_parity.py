@@ -168,3 +168,53 @@ def test_token_budget_bucket_carry_matches_reference(spark):
                 want.append(i)
             acc += n
         assert got == sorted(want), budget
+
+
+def test_token_budget_null_id_contract(spark):
+    """Pinned contract (r15 carry design, VERDICT r15 item 2): NULL-id
+    rows are NEVER admitted and their token counts do not consume
+    budget — in the batch sampler AND the streaming committer. (The
+    pre-r15 global sort admitted NULL hashes first in a
+    tie-nondeterministic order; a row with no identity has no stable
+    place in a reproducible draw.)"""
+    import shutil
+    import tempfile
+
+    from sclera_spark.llm import token_budget_sample
+    from sclera_spark.sources.manifest import ManifestTable
+    from sclera_spark.streaming.ops import token_budget_committer
+
+    rows = [(i, "tok " * 5) for i in range(40)]
+    with_nulls = rows + [(None, "heavy " * 1000)] * 3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dfn = spark.createDataFrame(with_nulls, "doc_id long, text string")
+    for budget in (1, 37, 10**6):
+        clean = sorted(
+            r["doc_id"]
+            for r in token_budget_sample(df, budget=budget, salt="nn").collect()
+        )
+        nulled = sorted(
+            (r["doc_id"] for r in
+             token_budget_sample(dfn, budget=budget, salt="nn").collect()),
+            key=lambda v: (v is None, v),
+        )
+        # identical cut: no NULL admitted, no budget consumed by them
+        assert nulled == clean, budget
+
+    # streaming committer: same contract, and tb_tokens must not count
+    # the NULL rows' tokens
+    base = tempfile.mkdtemp(prefix="sclera_tbnull_")
+    try:
+        path = base + "/kept"
+        commit = token_budget_committer(
+            path, budget=10**6, salt="nn", stream_id="t"
+        )
+        commit(dfn, 0)
+        mt = ManifestTable(path)
+        kept = sorted(
+            r["doc_id"] for r in mt.read(spark).select("doc_id").collect()
+        )
+        assert kept == [r[0] for r in rows]
+        assert int(mt.meta()["tb_tokens"]) == 40 * 5
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
