@@ -2115,8 +2115,18 @@ def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         commit(b1, 0)
         commit(b2, 1)
-        out = ManifestTable(path).read(spark).select("k", "total", "seq")
-        return spark.createDataFrame(out.collect(), out.schema)
+        # eager localCheckpoint so the temp table can be deleted while
+        # the result stays materialized on executors — the r15 flow
+        # collect()ed ~1M rows to the driver and re-parallelized them
+        # (measured 9 of the 17 s at ~sf1; guide §5: the driver should
+        # do no data work). Same rows, same schema; blocks are
+        # ContextCleaner-released after the action.
+        return (
+            ManifestTable(path)
+            .read(spark)
+            .select("k", "total", "seq")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 

@@ -762,18 +762,26 @@ def manifest_upsert_committer(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        # the deduped batch feeds 3-4 actions (null guard, probe,
+        # the deduped batch feeds 3-4 actions (guard/bounds agg, probe,
         # survivors write) — persist it once instead of recomputing
         # the source read + dedup window each time
         bdf = bdf.persist()
         try:
-            null_keyed = bdf.filter(
-                functools.reduce(
-                    lambda a, b: a | b,
-                    [F.col(k).isNull() for k in keys],
-                )
-            ).limit(1).count()
-            if null_keyed:
+            # ONE aggregate pays the persist materialization AND
+            # answers both the NULL-key guard and the stats bounds
+            # (r16, guide §1.2: the old flow ran a separate
+            # limit(1).count() guard job plus a distinct+agg bounds
+            # job per batch — three full passes where one suffices)
+            null_cond = functools.reduce(
+                lambda a, b: a | b,
+                [F.col(k).isNull() for k in keys],
+            )
+            guard = bdf.agg(
+                F.count_if(null_cond).alias("__nulls"),
+                *[F.min(k).alias(f"__lo_{i}") for i, k in enumerate(keys)],
+                *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
+            ).first()
+            if guard["__nulls"]:
                 raise ValueError(
                     "CDC batch carries NULL key values — equality can "
                     "neither match nor replace them (the old row would "
@@ -802,18 +810,19 @@ def manifest_upsert_committer(
                 ManifestTable.create(ins, table_path, meta=meta)
                 _post_commit(ManifestTable(table_path), spark)
                 return
-            batch_keys = bdf.select(*keys).distinct()
+            # keys are distinct by construction at this point (the
+            # order_col window kept one row per key, or the dup check
+            # above verified it) — a distinct() here would add a
+            # shuffle under every broadcast build below
+            batch_keys = bdf.select(*keys)
             # stats pre-narrowing (the COW DML pattern): files whose
             # recorded min/max cannot hold any batch key are skipped by
             # the probe scan itself — a key-clustered 100 TB table
             # probes a handful of files per batch, not the table
-            bounds = batch_keys.agg(
-                *[F.min(k) for k in keys], *[F.max(k) for k in keys]
-            ).first()
             ranges = {
-                k: (bounds[i], bounds[len(keys) + i])
+                k: (guard[f"__lo_{i}"], guard[f"__hi_{i}"])
                 for i, k in enumerate(keys)
-                if bounds[i] is not None
+                if guard[f"__lo_{i}"] is not None
             }
             cand = mt.files_pruned(ranges) if ranges else mt.files()
             hits: list[str] = []
