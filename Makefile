@@ -3,10 +3,17 @@
 
 PYTEST ?= python -m pytest
 
-.PHONY: test verify bench certify-cloud
+.PHONY: test test-all verify bench certify-cloud
 
 test:
 	$(PYTEST) tests/ -x -q
+
+# EVERYTHING, including the @slowstress multi-minute fuzz soaks and
+# memory-bound scale probes that the default run deselects so it fits
+# the grading driver's verify window (pytest.ini). Run this before any
+# release-grade claim; OPTIMIZATION_r16.md records one per round.
+test-all:
+	$(PYTEST) tests/ -x -q -m ""
 
 # the driver-contract gate: every queries() entry vs its oracle_sql()
 # on DuckDB, canonical value compare (exit 1 on any mismatch)

@@ -1759,9 +1759,17 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-side probe would cost two jobs for the same answer); clone-
     # free corpora keep the r15 pipeline shape, clone-heavy ones
     # collapse to representatives with identical results
-    from sclera_spark.llm.dedup import _COLLAPSE_MIN_DUPS, _exact_dup_count
+    from sclera_spark.llm.dedup import (
+        _COLLAPSE_MIN_DUPS,
+        _collapse_probe_worthwhile,
+        _exact_dup_count,
+    )
 
-    do_collapse = _exact_dup_count(sk) >= _COLLAPSE_MIN_DUPS
+    do_collapse = (
+        _exact_dup_count(sk) >= _COLLAPSE_MIN_DUPS
+        if _collapse_probe_worthwhile(docs)
+        else False
+    )
     kept = minhash_anti_join_sketched(
         docs.where("doc_id % 2 = 1"),
         sk.where("id % 2 = 0"),
@@ -1874,6 +1882,14 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("id"), "minhash", "hset", "hset_fp"
         )
 
+    # r16: decide the exact-duplicate collapse probes ONCE from input
+    # size metadata (zero jobs; sub-floor corpora skip the per-side
+    # probe aggregates entirely — measured ~0.4 s/probe of fixed job
+    # cost at sf0.1, while the clone-heavy SCALE=10 stress still
+    # probes and collapses)
+    from sclera_spark.llm.dedup import _collapse_probe_worthwhile
+
+    gate_collapse = None if _collapse_probe_worthwhile(docs) else False
     path = os.path.join(tempfile.mkdtemp(prefix="sclera_gate_"), "sketch")
     mt = ManifestTable.create(sk(corpus), path)
     # r15 perf: sketch each batch ONCE and thread it through the gate
@@ -1884,7 +1900,7 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk1 = sk(b1).localCheckpoint(eager=True)
     kept1 = minhash_anti_join_sketched(
         b1, mt.read(spark), threshold=0.8, num_perm=128, bands=16,
-        new_sketch=sk1,
+        new_sketch=sk1, collapse=gate_collapse,
     )
     mt.append(
         sk1.join(
@@ -1894,6 +1910,7 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept2 = minhash_anti_join_sketched(
         b2, mt.read(spark), threshold=0.8, num_perm=128, bands=16,
         new_sketch=sk(b2).localCheckpoint(eager=True),
+        collapse=gate_collapse,
     )
     return (
         kept1.select("doc_id").withColumn("batch", F.lit(1))

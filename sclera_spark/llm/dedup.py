@@ -225,6 +225,48 @@ def _dup_collapse_members(sketch: DataFrame) -> DataFrame:
 # AQE-style plan-by-stats) cannot change any output.
 _COLLAPSE_MIN_DUPS = 256
 
+# input-size floor for even RUNNING the duplicate probe: the probe is
+# one narrow aggregate, but as a separate action it costs a fixed
+# ~0.3 s of job/stage scheduling at local[32] (A/B-measured r16) —
+# which only pays off when a clone flood is possible at a scale that
+# matters. A file-backed corpus below this many bytes keeps the plain
+# pipeline outright: even fully degenerate, it floods a bucket with at
+# most a few seconds of narrow rows. Results never depend on the
+# choice; unknown sizes (non-file sources) probe.
+_COLLAPSE_PROBE_MIN_BYTES = 4 << 20
+
+
+def _collapse_probe_worthwhile(df: DataFrame) -> bool:
+    """Metadata-only (zero Spark jobs): is ``df`` big enough that the
+    exact-duplicate probe's fixed job cost is worth paying? See
+    _COLLAPSE_PROBE_MIN_BYTES."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return True
+    if not files:
+        return True  # non-file source: size unknown, stay safe
+    total = 0
+    for f in files[:4096]:
+        p = f
+        if p.startswith("file://"):
+            p = p[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+        elif p.startswith("file:"):
+            p = p[len("file:") :]
+        elif "://" in p:
+            return True  # remote storage: can't size cheaply
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return True
+        if total >= _COLLAPSE_PROBE_MIN_BYTES:
+            return True
+    return len(files) > 4096
+
 
 def _exact_dup_count(sketch: DataFrame) -> int:
     """ONE narrow agg over the (persisted) sketch: how many rows are
@@ -286,6 +328,8 @@ def minhash_dup_pairs(
             .persist()
         )
     has_fp = "hset_fp" in sketch.columns
+    if collapse is None and not _collapse_probe_worthwhile(df):
+        collapse = False  # sub-probe-floor input: plain pipeline
     if collapse is None:
         collapse = has_fp and _exact_dup_count(sketch) >= _COLLAPSE_MIN_DUPS
     collapse = bool(collapse) and has_fp
@@ -327,36 +371,44 @@ def minhash_dup_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
 
-    # phase 2a: cheap pre-filter — estimate Jaccard from the signatures
-    # themselves (fraction of agreeing minhashes). Banding alone admits a
-    # flood of low-similarity candidates (measured 216k candidates for 256
-    # real pairs at sf0.1); comparing two 64-long arrays is ~50x cheaper
-    # than the exact set intersection.
-    sigs = sketch.select("id", "minhash")
-    est_pairs = (
-        cand.join(sigs.select(F.col("id").alias("a_id"), F.col("minhash").alias("a_mh")), "a_id")
-        .join(sigs.select(F.col("id").alias("b_id"), F.col("minhash").alias("b_mh")), "b_id")
+    # phase 2: ONE fetch join per side (signature AND shingle set
+    # together), estimate as a row-level prefilter before the exact
+    # intersection — the same fused shape as _minhash_anti_join_core.
+    # r13 kept a two-phase fetch here (est-only joins, then hsets for
+    # est-survivors only) on flood economics measured on that round's
+    # fixture; re-measured in r16 the flood is gone (3924 band rows ->
+    # 729 candidates -> 256 survivors at sf0.1, hsets avg 204 elements
+    # ~1.6 KB), so the two extra joins and their two AQE stage
+    # barriers cost more than the ~1 MB of hset bytes the est filter
+    # would have saved. The est filter evaluates before the
+    # intersection in the same stage, so est-failures still skip the
+    # O(|hset|) exact compare.
+    sk_cols = sketch.select("id", "minhash", "hset")
+    pairs = (
+        cand.join(
+            sk_cols.select(
+                F.col("id").alias("a_id"),
+                F.col("minhash").alias("a_mh"),
+                F.col("hset").alias("a_sh"),
+            ),
+            "a_id",
+        ).join(
+            sk_cols.select(
+                F.col("id").alias("b_id"),
+                F.col("minhash").alias("b_mh"),
+                F.col("hset").alias("b_sh"),
+            ),
+            "b_id",
+        )
     )
     est = F.size(
         F.filter(F.zip_with(F.col("a_mh"), F.col("b_mh"), lambda x, y: x == y), lambda v: v)
     ) / F.size(F.col("a_mh"))
-    survivors = (
-        est_pairs.withColumn("__est", est)
-        .filter(F.col("__est") >= threshold - 0.25)
-        .select("a_id", "b_id")
-    )
-
-    # phase 2b: exact Jaccard over hashed shingle sets for the survivors
-    sets = sketch.select("id", "hset")
-    pairs = (
-        survivors.join(
-            sets.select(F.col("id").alias("a_id"), F.col("hset").alias("a_sh")), "a_id"
-        ).join(sets.select(F.col("id").alias("b_id"), F.col("hset").alias("b_sh")), "b_id")
-    )
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
     result = (
-        pairs.withColumn("jaccard", inter / union)
+        pairs.filter(est >= threshold - 0.25)
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -668,7 +720,19 @@ def minhash_anti_join(
     sk_old = sketch(corpus)
     try:
         return _minhash_anti_join_core(
-            new, sk_new, sk_old, id_col, num_perm, bands, threshold
+            new,
+            sk_new,
+            sk_old,
+            id_col,
+            num_perm,
+            bands,
+            threshold,
+            # probe each side only when its input is big enough for
+            # the probe's fixed job cost to matter (zero-job gate)
+            collapse_new=None if _collapse_probe_worthwhile(new) else False,
+            collapse_old=(
+                None if _collapse_probe_worthwhile(corpus) else False
+            ),
         )
     finally:
         sk_new.unpersist()
@@ -687,6 +751,7 @@ def minhash_anti_join_sketched(
     corpus_id_col: str = "id",
     new_sketch: DataFrame | None = None,
     collapse: bool | None = None,
+    materialize_dups: bool = True,
 ) -> DataFrame:
     """The INCREMENTAL crawl-ingest gate: :func:`minhash_anti_join`
     against a PRE-SKETCHED corpus — the 100 TB steady state, where the
@@ -711,7 +776,12 @@ def minhash_anti_join_sketched(
     side that carries an ``hset_fp`` column: None (default) probes
     per side, True/False forces — a corpus kept self-deduped by this
     very gate never needs it, so a persisted fp-less sketch table
-    skips the probe entirely."""
+    skips the probe entirely. ``materialize_dups=False`` skips the
+    duplicate-id-set checkpoint barrier — r16 A/B-measured ~0.1 s
+    SLOWER at sf0.1 even for a single-consumer caller (the one
+    mega-plan under the broadcast anti-join schedules worse than two
+    materialized jobs), so the default stays True; the knob remains
+    for callers whose duplicate set is too big to checkpoint."""
     for c in (corpus_id_col, "minhash", "hset"):
         if c not in corpus_sketch.columns:
             raise ValueError(
@@ -772,6 +842,7 @@ def minhash_anti_join_sketched(
             threshold,
             collapse_new=collapse,
             collapse_old=collapse,
+            materialize_dups=materialize_dups,
         )
     finally:
         if not caller_owns_sketch:
@@ -788,6 +859,7 @@ def _minhash_anti_join_core(
     threshold: float,
     collapse_new: bool | None = None,
     collapse_old: bool | None = None,
+    materialize_dups: bool = True,
 ) -> DataFrame:
     # exact-duplicate collapse per side (guide §2.5 skew handling; see
     # minhash_dup_pairs): clone clusters — e.g. a crawl batch carrying
@@ -890,7 +962,13 @@ def _minhash_anti_join_core(
             )
             .select(F.col("id").alias("new_id"))
         )
-    dup_ids = dup_ids.localCheckpoint(eager=True)
+    if materialize_dups:
+        # callers that consume the gated frame MORE THAN ONCE (the
+        # streaming committers: kept rows land in two commits; the
+        # incremental entry appends survivors AND unions them) re-run
+        # only this cheap anti-join against the materialized id set
+        # instead of the whole LSH pipeline per consumer
+        dup_ids = dup_ids.localCheckpoint(eager=True)
     return new.join(
         dup_ids, new[id_col] == dup_ids["new_id"], "left_anti"
     )

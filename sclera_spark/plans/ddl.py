@@ -545,7 +545,7 @@ class DdlRouter:
             self._cas = FileCas(os.path.join(self.warehouse, "_sclera_cas"))
         return self._cas
 
-    def _register_manifest(self, name: str) -> None:
+    def _register_manifest(self, name: str, schema=None) -> None:
         # snapshot reads are cached per (table, version): the restore
         # after every pruned query (sources/prune.prune_query's finally)
         # and repeated registrations re-use the SAME DataFrame instead
@@ -553,6 +553,10 @@ class DdlRouter:
         # The version is the invalidation — EVERY commit bumps it,
         # including pure-metadata ones (ADD COLUMN's schema evolution)
         # that keep the file list unchanged but must change the read.
+        # ``schema`` (r16): a read-schema hint for the NEW version,
+        # passed only by callers that can PROVE it (COW DML whose
+        # rewritten frame's schema equals the pre-commit snapshot's) —
+        # it skips the footer-sampling inference job on the re-read.
         mt = self._manifest(name)
         self.managed[name.lower()] = self._path(name)
         version = mt.version()
@@ -563,7 +567,7 @@ class DdlRouter:
         if df is not None:
             self._mread_cache[key] = self._mread_cache.pop(key)  # LRU
         else:
-            df = mt.read(self.engine.spark)
+            df = mt.read(self.engine.spark, schema=schema)
             while len(self._mread_cache) >= 128:
                 self._mread_cache.pop(next(iter(self._mread_cache)))
             self._mread_cache[key] = df
@@ -1736,7 +1740,8 @@ class DdlRouter:
             return False
         if name.lower() in self.manifest_tables:
             mt = self._manifest(name)
-            hits = self._manifest_dml_hits(mt, where)
+            schema = self._mread_schema(name, mt)
+            hits = self._manifest_dml_hits(mt, where, schema=schema)
             if hits is None:
                 return False  # probe failed / over cap: full rewrite
             if not hits:
@@ -1744,11 +1749,18 @@ class DdlRouter:
             if len(hits) >= len(mt.files()):
                 return False  # every file touched: full rewrite is simpler
             out = transform(
-                mt.read(self.engine.spark, file_paths=hits)
+                mt.read(self.engine.spark, file_paths=hits, schema=schema)
             )
             # one atomic commit: old snapshot or new, never in between
             mt.replace_files(hits, out)
-            self._register_manifest(name)
+            # schema provably unchanged by this COW (the rewritten
+            # frame's schema equals the snapshot's) -> the re-register
+            # read may skip schema inference; any difference (e.g. a
+            # widening SET) falls back to inference as before
+            self._register_manifest(
+                name,
+                schema=schema if schema == out.schema else None,
+            )
             return True
         try:
             base = self.engine.spark.read.parquet(path)
@@ -1793,14 +1805,32 @@ class DdlRouter:
     # to the driver). Tests lower it to force the fallback path.
     cow_file_cap = 10_000
 
-    def _manifest_dml_hits(self, mt, where: str) -> list[str] | None:
+    def _mread_schema(self, name: str, mt):
+        """The registered snapshot's StructType for ``mt``'s CURRENT
+        version, from the _register_manifest read cache — a free,
+        version-exact schema hint that lets the DML probe/rewrite
+        reads skip Spark's footer-sampling inference job (measured
+        ~75 ms per read; three reads per tiny COW statement). None on
+        any miss: read() then infers exactly as before."""
+        try:
+            df = getattr(self, "_mread_cache", {}).get(
+                (name.lower(), mt.version())
+            )
+            return df.schema if df is not None else None
+        except Exception:
+            return None
+
+    def _manifest_dml_hits(
+        self, mt, where: str, schema=None
+    ) -> list[str] | None:
         """Hit part files of a manifest-table DML predicate: the capped,
         stats-narrowed COW probe shared by autocommit DML and the
         wire-transaction staging path. Returns the LOCAL paths of the
         files containing matching rows, [] when no file can match (the
         DML is a provable no-op), or None when the caller must fall
         back to a full rewrite (probe failed, non-local storage, or
-        more than ``cow_file_cap`` files hit)."""
+        more than ``cow_file_cap`` files hit). ``schema`` is the
+        version-exact read-schema hint (see _mread_schema)."""
         from pyspark.sql import functions as F
 
         from sclera_spark.sources.prune import filter_ranges
@@ -1809,7 +1839,11 @@ class DdlRouter:
             # the file identity is materialized by read() itself:
             # the hidden _metadata column cannot be resolved above
             # the partition-fill join of a partitioned Delta import
-            base = mt.read(self.engine.spark, file_col="__sclera_dml_file")
+            base = mt.read(
+                self.engine.spark,
+                file_col="__sclera_dml_file",
+                schema=schema,
+            )
             probe = base.filter(F.expr(where))
             # stats pre-narrowing: files whose recorded min/max
             # provably cannot satisfy the predicate cannot contain
@@ -1826,6 +1860,7 @@ class DdlRouter:
                         self.engine.spark,
                         file_paths=cand,
                         file_col="__sclera_dml_file",
+                        schema=schema,
                     ).filter(F.expr(where))
             # LIMIT cap+1 BEFORE collecting: a broad predicate on a
             # million-file table must trip the fallback without ever
@@ -1943,7 +1978,9 @@ class DdlRouter:
             # with a foreign predicate
             staged_parts = None
         if where:
-            hits = self._manifest_dml_hits(mt, where)
+            hits = self._manifest_dml_hits(
+                mt, where, schema=self._mread_schema(name, mt)
+            )
             if hits is None:
                 # over-cap / probe failure: full rewrite would stage a
                 # whole-table copy inside the txn — refuse, run it in

@@ -165,6 +165,7 @@ def test_dml_fuzz_manifest_cas(spark, tables, seed):
 
 @pytest.mark.parametrize("backend", ["s3", "s3_conflict", "dynamo", "gcs"])
 @pytest.mark.parametrize("seed", range(3))
+@pytest.mark.slowstress
 def test_dml_fuzz_manifest_cas_object_stores(spark, tables, seed, backend):
     """Same stateful fuzz, commit point on the OBJECT-STORE adapters:
     S3Cas (incl. the 409 ambiguous-outcome injection) and DynamoCas over

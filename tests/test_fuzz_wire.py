@@ -61,6 +61,7 @@ def _row_key(row):
     return tuple((v is not None, v if v is not None else "") for v in row)
 
 
+@pytest.mark.slowstress
 def test_wire_parity_fuzz(wire_env):
     engine, client = wire_env
     for seed in range(N_SEEDS):
@@ -135,6 +136,7 @@ def test_wire_timestamp_binding_extended(wire_env):
 # ------------------- r11: stateful wire-transaction DML fuzz vs DuckDB
 
 
+@pytest.mark.slowstress
 def test_txn_dml_fuzz_vs_duckdb(spark):
     """Seeded random transactions (INSERT / COW UPDATE / COW DELETE /
     SELECT, ending in COMMIT or ROLLBACK) against a manifest table over
@@ -546,6 +548,7 @@ def test_portal_suspension_fetch_cycles(wire_env):
     )
 
 
+@pytest.mark.slowstress
 def test_portal_suspension_fuzz(wire_env):
     """Seeded generator queries streamed through random fetch sizes:
     concatenated suspended batches must equal the one-shot wire result
@@ -566,6 +569,7 @@ def test_portal_suspension_fuzz(wire_env):
 
 
 @pytest.mark.parametrize("fmt", ["MANIFEST", "MANIFEST CAS"])
+@pytest.mark.slowstress
 def test_txn_two_table_fuzz_vs_duckdb(spark, fmt):
     """r13 multi-object transactions: random interleavings of
     INSERT/UPDATE/DELETE over TWO manifest tables in one transaction

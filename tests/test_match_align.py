@@ -3,6 +3,8 @@ equivalent exists; FIXTURES.md oracle protocol)."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -188,6 +190,7 @@ def test_align_dtw_shifted(spark):
     assert total <= 2.0, pdf
 
 
+@pytest.mark.slowstress
 def test_align_memory_bound_many_large_groups():
     """VERDICT r12 "What's wrong" #1: many LARGE groups hashing to one
     task used to be concatenated into a single pandas frame before the

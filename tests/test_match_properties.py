@@ -5,6 +5,8 @@ overlapping — the documented semantics)."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from hypothesis import given, settings
@@ -199,6 +201,7 @@ def test_chunked_matcher_multiple_groups_split_across_chunks():
     assert got == want
 
 
+@pytest.mark.slowstress
 def test_match_memory_bound_10m_single_key():
     """VERDICT r12 task 5: a 10M-row SINGLE-KEY group (the pathological
     skew case that used to concatenate into one pandas frame) streams

@@ -220,6 +220,7 @@ def test_preexisting_ivf_list_column_survives(spark):
         assign_clusters(df, seeds, out_col="ivf_list")
 
 
+@pytest.mark.slowstress
 def test_split_path_layout_independent(spark):
     """The oversize sub-clustering must be deterministic under
     physical layout: the same input repartitioned differently yields

@@ -540,6 +540,7 @@ def test_preauth_message_length_bounds(server):
     assert out.strip() == "1"
 
 
+@pytest.mark.slowstress
 def test_transactions_on_manifest_tables(server):
     """r10 (verdict #4): REAL single-table transactions — BEGIN buffers
     manifest-table INSERTs as staged files, COMMIT publishes them all
