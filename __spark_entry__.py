@@ -1749,26 +1749,31 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overhead. localCheckpoint materializes the sketch once for the 4
     # consumers (band x2, fetch x2) and is released by the
     # ContextCleaner (no persist leak across bench reps).
-    sk = (
-        minhash_sketch(docs.select("doc_id", "text"), "text", 128, 5, with_fp=True)
-        .select(F.col("doc_id").alias("id"), "minhash", "hset", "hset_fp")
-        .localCheckpoint(eager=True)
-    )
-    # r16 skew guard (guide §2.5): ONE narrow probe over the shared
-    # sketch decides the exact-duplicate collapse for BOTH sides (a
-    # per-side probe would cost two jobs for the same answer); clone-
-    # free corpora keep the r15 pipeline shape, clone-heavy ones
-    # collapse to representatives with identical results
+    # r16 skew guard (guide §2.5): a zero-job input-size gate decides
+    # whether the exact-duplicate collapse is even worth probing for;
+    # when it is, ONE narrow probe over the shared sketch decides the
+    # collapse for BOTH sides (a per-side probe would cost two jobs
+    # for the same answer). Sub-floor corpora keep the r15 pipeline
+    # shape — including an fp-free sketch, so the checkpoint carries
+    # exactly the r15 bytes; clone-heavy ones collapse to
+    # representatives with identical results.
     from sclera_spark.llm.dedup import (
         _COLLAPSE_MIN_DUPS,
         _collapse_probe_worthwhile,
         _exact_dup_count,
     )
 
+    worth = _collapse_probe_worthwhile(docs)
+    cols = ["minhash", "hset"] + (["hset_fp"] if worth else [])
+    sk = (
+        minhash_sketch(
+            docs.select("doc_id", "text"), "text", 128, 5, with_fp=worth
+        )
+        .select(F.col("doc_id").alias("id"), *cols)
+        .localCheckpoint(eager=True)
+    )
     do_collapse = (
-        _exact_dup_count(sk) >= _COLLAPSE_MIN_DUPS
-        if _collapse_probe_worthwhile(docs)
-        else False
+        worth and _exact_dup_count(sk) >= _COLLAPSE_MIN_DUPS
     )
     kept = minhash_anti_join_sketched(
         docs.where("doc_id % 2 = 1"),
@@ -1877,19 +1882,21 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = docs.where("doc_id % 3 = 1")
     b2 = docs.where("doc_id % 3 = 2")
 
-    def sk(df):
-        return minhash_sketch(df, "text", 128, 5, with_fp=True).select(
-            F.col("doc_id").alias("id"), "minhash", "hset", "hset_fp"
-        )
-
-    # r16: decide the exact-duplicate collapse probes ONCE from input
-    # size metadata (zero jobs; sub-floor corpora skip the per-side
-    # probe aggregates entirely — measured ~0.4 s/probe of fixed job
-    # cost at sf0.1, while the clone-heavy SCALE=10 stress still
-    # probes and collapses)
+    # zero-job size gate, decided once for the whole run: sub-floor
+    # corpora sketch WITHOUT the duplicate fingerprint (the manifest
+    # table and checkpoints then carry exactly the r15 bytes) and the
+    # gates skip their per-side collapse probes outright (r16)
     from sclera_spark.llm.dedup import _collapse_probe_worthwhile
 
-    gate_collapse = None if _collapse_probe_worthwhile(docs) else False
+    worth = _collapse_probe_worthwhile(docs)
+    gate_collapse = None if worth else False
+    sk_cols = ["minhash", "hset"] + (["hset_fp"] if worth else [])
+
+    def sk(df):
+        return minhash_sketch(df, "text", 128, 5, with_fp=worth).select(
+            F.col("doc_id").alias("id"), *sk_cols
+        )
+
     path = os.path.join(tempfile.mkdtemp(prefix="sclera_gate_"), "sketch")
     mt = ManifestTable.create(sk(corpus), path)
     # r15 perf: sketch each batch ONCE and thread it through the gate

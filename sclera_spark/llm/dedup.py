@@ -61,6 +61,71 @@ def _rolling_kgram_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h & np.int64(0x7FFFFFFF))
 
 
+def _size_conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark size conf ('128m', '134217728b', plain bytes)."""
+    try:
+        v = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    try:
+        return int(float(v)) * mult
+    except ValueError:
+        return default
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate how many partitions the scan under ``df`` will get, by
+    replaying Spark's file-split packing over file-index metadata
+    (local files only — sizes via os.stat, zero Spark jobs):
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (totalBytes + nFiles*openCost) / defaultParallelism)), partitions
+    ~ ceil(totalCost / maxSplitBytes). Returns 0 (=> the caller
+    repartitions, the conservative choice) for non-file, remote or
+    unsized inputs."""
+    import os
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    total = 0
+    for f in files[:8192]:
+        p = f
+        if p.startswith("file:"):
+            p = p[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+        elif "://" in p:
+            return 0  # remote: can't size cheaply, keep the shuffle
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return 0
+    if len(files) > 8192:
+        return len(files)  # plenty of files; certainly parallel enough
+    open_cost = _size_conf_bytes(
+        spark, "spark.sql.files.openCostInBytes", 4 << 20
+    )
+    mpb = _size_conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    total_cost = total + len(files) * open_cost
+    bytes_per_core = total_cost // max(par, 1)
+    max_split = max(1, min(mpb, max(open_cost, bytes_per_core)))
+    return max(1, -(-total_cost // max_split))
+
+
 def minhash_sketch(
     df: DataFrame,
     text_col: str = "text",
@@ -133,22 +198,22 @@ def minhash_sketch(
             cols["fp"] = fps
         return pd.DataFrame(cols)
 
-    # spread the CPU-heavy sketch across all cores when the input has too
-    # few partitions (e.g. a single parquet file) — the shuffle of raw text
-    # is far cheaper than serializing the sketch work. SKIP the shuffle
-    # when the input is already at least as parallel as the cluster: at
-    # corpus scale the scan has thousands of splits and an unconditional
-    # repartition is a full extra shuffle of the heaviest column. The
-    # probe is inputFiles() (file-index metadata, no plan-to-RDD
-    # conversion — df.rdd costs ~0.5 s of planning per call here); a
-    # non-file source reports zero files and keeps the repartition,
-    # which is the pre-r15 behavior.
+    # spread the CPU-heavy sketch across all cores when the input scan
+    # would have too few partitions (e.g. a single parquet file) — the
+    # shuffle of raw text is far cheaper than serializing the sketch
+    # work. SKIP the shuffle when the scan is already at least as
+    # parallel as the cluster: at corpus scale it has thousands of
+    # splits and an unconditional repartition is a full extra shuffle
+    # of the heaviest column. The estimate replays Spark's split
+    # packing (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    # bytesPerCore))) over file-index metadata — zero jobs, no
+    # plan-to-RDD conversion (df.rdd costs ~0.5 s of planning per
+    # call). r15 gated on the RAW file count, which under-parallelizes
+    # when Spark packs many small files into few FilePartitions
+    # (ADVICE r15); unknown sizes (non-file / remote sources) keep the
+    # repartition, the conservative pre-r15 behavior.
     par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        nfiles = len(df.inputFiles())
-    except Exception:
-        nfiles = 0
-    if nfiles < par:
+    if _estimated_scan_partitions(df) < par:
         df = df.repartition(par)
     out = (
         df.withColumn("__sk", _sketch(F.col(text_col)))

@@ -135,6 +135,23 @@ def cosine_topk_multi(
         )
     import pyarrow as pa
 
+    # explicit degenerate-input contracts (ADVICE r15): the old
+    # explode-against-literal-structs formulation returned an empty
+    # frame for zero queries and NULL-padded ragged ones; np.asarray
+    # would instead die with an opaque inhomogeneous-shape error.
+    if not queries:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} int, {id_col} "
+            f"{df.select(id_col).schema[0].dataType.simpleString()}, "
+            "cosine double",
+        )
+    qlens = {len(qv) for _, qv in queries}
+    if len(qlens) != 1:
+        raise ValueError(
+            "cosine_topk_multi: query vectors must share one length, "
+            f"got lengths {sorted(qlens)}"
+        )
     Q = np.asarray([qv for _, qv in queries], dtype=np.float64)  # (q, dim)
     qn = np.asarray(
         [math.sqrt(sum(x * x for x in qv)) for _, qv in queries],

@@ -113,6 +113,23 @@ def test_cosine_topk_multi_zero_norm_raises(spark):
         cosine_topk_multi(df, [(0, [1.0, 1.0])], k=2).collect()
 
 
+def test_cosine_topk_multi_degenerate_queries(spark):
+    """ADVICE r15: zero queries return an empty (query_id, id, cosine)
+    frame; ragged query vectors refuse loudly instead of dying inside
+    numpy with an inhomogeneous-shape error."""
+    from sclera_spark.llm.similarity import cosine_topk_multi
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk_multi(df, [], k=2)
+    assert out.columns == ["query_id", "vec_id", "cosine"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="share one length"):
+        cosine_topk_multi(df, [(0, [1.0]), (1, [1.0, 2.0])], k=2)
+
+
 def test_semantic_dedup_prune_handles_abnormal_vectors(spark):
     """The grouped-numpy prune must keep every row the old self-join
     kept: NULL/NaN/mismatched vectors never prune in either direction;
