@@ -33,6 +33,20 @@ Scale notes: the only shuffles are the fingerprint count (partial-agg
 groupBy), the seed self-join, and the per-pair window; all are keyed by
 fingerprint / pair and skew-bounded by ``max_gram_freq``. No driver
 state, no collects.
+
+r16 perf: the gram stream (id, pos, fp) is materialized ONCE with an
+eager localCheckpoint before fan-out — without it the physical plan
+re-ran tokenize 6x and the posexplode+xxhash64 gram derivation 4x (the
+eligibility aggregate AND the seed pool were each embedded twice, once
+per self-join side; measured plan: 6 parquet scans, 4 Generate nodes).
+The checkpointed frame is three narrow longs per token position —
+O(corpus tokens) rows but a small constant per row; the executor-local
+blocks are freed by the ContextCleaner when the query ends. Like the
+engine's other localCheckpoint sites this trades executor-loss
+fault-tolerance (job retry instead of lineage recompute) for not
+re-reading the corpus — acceptable for a deterministic batch job; a
+reliable ``spark.checkpoint.dir``-backed checkpoint restores lineage
+durability for long-lived cluster deployments.
 """
 
 from __future__ import annotations
@@ -69,15 +83,25 @@ def duplicated_spans(
     # one fingerprint per k-gram position, 1-based (posexplode yields the
     # 0-based index into the fingerprint array; +1 realigns with the SQL
     # oracle's generate_series(1, ...))
-    grams = base.select(
-        "__id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__t") - (k - 1)),
-                lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice("__t", i, k))),
-            )
-        ).alias("__p0", "__fp"),
-    ).select("__id", (F.col("__p0") + 1).alias("__pos"), "__fp")
+    grams = (
+        base.select(
+            "__id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws("\x1f", F.slice("__t", i, k))
+                    ),
+                )
+            ).alias("__p0", "__fp"),
+        )
+        .select("__id", (F.col("__p0") + 1).alias("__pos"), "__fp")
+        # materialize ONCE: grams feeds the eligibility aggregate and
+        # BOTH sides of the seed self-join — without this the
+        # tokenize+posexplode+xxhash64 subtree executes 4x (and the
+        # source is scanned 6x); see module docstring (r16)
+        .localCheckpoint(eager=True)
+    )
 
     # seed eligibility: the count prunes the (majority) singleton grams
     # before the join; the cap bounds join fan-out on boilerplate
@@ -121,12 +145,21 @@ def duplicated_spans(
         tb = base.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb"))
         spans = (
             spans.join(ta, "id_a")
+            # project the a-side slice IMMEDIATELY so the second join
+            # carries span_len tokens per span instead of the full
+            # document array (the full __ta otherwise shuffles by id_b
+            # when tb is too big to broadcast) — same slices, same
+            # equality filter, only the projection moved earlier (r16)
+            .withColumn(
+                "__sa", F.slice("__ta", F.col("start_a"), F.col("span_len"))
+            )
+            .drop("__ta")
             .join(tb, "id_b")
             .filter(
-                F.slice("__ta", F.col("start_a"), F.col("span_len"))
+                F.col("__sa")
                 == F.slice("__tb", F.col("start_b"), F.col("span_len"))
             )
-            .drop("__ta", "__tb")
+            .drop("__tb", "__sa")
         )
 
     return spans.select("id_a", "id_b", "start_a", "start_b", "span_len")
