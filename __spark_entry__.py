@@ -1898,15 +1898,42 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     path = os.path.join(tempfile.mkdtemp(prefix="sclera_gate_"), "sketch")
-    mt = ManifestTable.create(sk(corpus), path)
     # r15 perf: sketch each batch ONCE and thread it through the gate
     # (new_sketch=) and the survivor append (semi-join on kept ids) —
     # the old flow re-ran the Arrow sketch UDF over kept1's texts for
     # the append. Identical sketch values (deterministic function),
     # identical result.
-    sk1 = sk(b1).localCheckpoint(eager=True)
+    # r16 perf (guide §2.6): the three sketch jobs — the corpus
+    # create's staged write, batch 1's checkpoint, batch 2's
+    # checkpoint — are mutually independent (they partition the
+    # documents table three ways), but ran as three sequential
+    # barriers, each leaving most cores idle on its stage tail.
+    # A 3-thread pool overlaps them (job descriptions/scheduling are
+    # thread-local; FIFO back-fills the tails). Results are identical:
+    # each job computes exactly what it did before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_mt = pool.submit(ManifestTable.create, sk(corpus), path)
+        f_sk1 = pool.submit(
+            lambda: sk(b1).localCheckpoint(eager=True)
+        )
+        f_sk2 = pool.submit(
+            lambda: sk(b2).localCheckpoint(eager=True)
+        )
+        mt, sk1, sk2 = f_mt.result(), f_sk1.result(), f_sk2.result()
+    # corpus reads: the table holds exactly the frames sk() writes, so
+    # its read schema is known (nullable-relaxed — parquet round-trips
+    # may not preserve non-null flags); passing it skips the
+    # footer-sampling inference job each of the two gate reads paid
+    from pyspark.sql.types import StructField, StructType
+
+    read_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in sk1.schema.fields]
+    )
     kept1 = minhash_anti_join_sketched(
-        b1, mt.read(spark), threshold=0.8, num_perm=128, bands=16,
+        b1, mt.read(spark, schema=read_schema), threshold=0.8,
+        num_perm=128, bands=16,
         new_sketch=sk1, collapse=gate_collapse,
     )
     mt.append(
@@ -1915,8 +1942,9 @@ def _q_crawl_gate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kept2 = minhash_anti_join_sketched(
-        b2, mt.read(spark), threshold=0.8, num_perm=128, bands=16,
-        new_sketch=sk(b2).localCheckpoint(eager=True),
+        b2, mt.read(spark, schema=read_schema), threshold=0.8,
+        num_perm=128, bands=16,
+        new_sketch=sk2,
         collapse=gate_collapse,
     )
     return (
