@@ -5232,10 +5232,17 @@ class CasManifestTable(ManifestTable):
         # a concurrent recover_cas_txn_journals on another host can
         # replay a durable journal and swap pointers to v+1 — after
         # which the destructive abort would delete a LIVE claim
-        # manifest and its data files. So on failure, re-check the
-        # store and only abort destructively when the journal object
-        # is CONFIRMED absent (or confirmed foreign — a foreign blob
-        # under our uuid key never references our claims).
+        # manifest and its data files. So on failure the destructive
+        # abort requires PROOF, not one observation (r16, ADVICE r15):
+        # a GET seeing absence does not prove a timed-out put cannot
+        # land later — the key is first CLAIMED with an abort
+        # tombstone (put_blob_if_absent), which makes the delayed
+        # journal put unlandable; and because a durable journal may
+        # already have been replayed AND deleted by recovery, the
+        # participant pointers are checked last — any pointer at/past
+        # target means published, so the commit rolls forward instead.
+        # A foreign blob under our uuid key never references our
+        # claims, so foreign occupancy also proves abort-safety.
         jkey = f"{journal_prefix}txn-{txn_id}"
         put_exc: Exception | None = None
         committed = False
@@ -5246,38 +5253,103 @@ class CasManifestTable(ManifestTable):
         except Exception as exc:  # noqa: BLE001 — re-raised below
             put_exc = exc
         if not committed:
-            confirmed_absent = False
-            existing = None
-            try:
-                existing = store.get_blob(jkey)
-                confirmed_absent = existing is None
-            except Exception:  # noqa: BLE001 — state stays unknown
-                pass
-            ours = False
-            if existing is not None:
+            def _read_jkey():
                 try:
-                    ours = (
-                        _json.loads(existing.decode()).get("txn") == txn_id
-                    )
+                    return store.get_blob(jkey), True
+                except Exception:  # noqa: BLE001 — state stays unknown
+                    return None, False
+
+            def _decode(raw):
+                if raw is None:
+                    return None
+                try:
+                    doc = _json.loads(raw.decode())
                 except Exception:  # noqa: BLE001 — undecodable = foreign
-                    ours = False
-            if ours:
-                # the put WAS durable: committed — fall through to the
-                # pointer swaps exactly as if put_blob_if_absent had
-                # returned True
-                committed = True
-            elif confirmed_absent or existing is not None:
-                # journal confirmed absent, or a FOREIGN object holds
-                # the key (uuid collision / prefix misuse): nothing of
-                # ours is journaled — the destructive abort is safe
-                _abort_cas_group(claimed, adopted)
-                if put_exc is not None:
-                    raise put_exc
-                raise ConcurrentWriterError(
-                    f"journal key {jkey} already exists (uuid collision "
-                    "or prefix misuse) — transaction aborted"
-                )
-            else:
+                    return None
+                return doc if isinstance(doc, dict) else None
+
+            existing, read_ok = _read_jkey()
+            doc = _decode(existing)
+            abort_safe = False
+            if doc is not None and doc.get("txn") == txn_id:
+                if doc.get("abort"):
+                    # OUR abort tombstone is durable (an earlier
+                    # ambiguous tombstone put of this very call): the
+                    # journal put can never land — abort is safe
+                    abort_safe = True
+                else:
+                    # the put WAS durable: committed — fall through to
+                    # the pointer swaps exactly as if put_blob_if_absent
+                    # had returned True
+                    committed = True
+            elif read_ok and existing is not None:
+                # a FOREIGN object holds the key (uuid collision /
+                # prefix misuse): nothing of ours is journaled — the
+                # destructive abort is safe
+                abort_safe = True
+            elif read_ok:
+                # GET observed absence — but absence NOW does not prove
+                # a timed-out put cannot land LATER (an S3-style PUT
+                # that failed client-side can complete server-side
+                # after the GET). Claim the key with an abort
+                # TOMBSTONE: if the tombstone wins, the delayed journal
+                # put can never land (the key is taken) and the
+                # destructive abort is provably safe; if it loses, the
+                # put DID land after the GET — re-read and roll
+                # forward. recover_cas_txn_journals recognizes and
+                # sweeps tombstones.
+                tomb = _json.dumps(
+                    {"txn": txn_id, "abort": True}
+                ).encode()
+                tomb_won = False
+                try:
+                    tomb_won = store.put_blob_if_absent(jkey, tomb)
+                except Exception:  # noqa: BLE001 — re-read decides
+                    pass
+                if tomb_won:
+                    abort_safe = True
+                else:
+                    existing, read_ok = _read_jkey()
+                    doc = _decode(existing)
+                    if doc is not None and doc.get("txn") == txn_id:
+                        if doc.get("abort"):
+                            abort_safe = True  # our tombstone landed
+                        else:
+                            committed = True  # the journal landed
+                    elif read_ok and existing is not None:
+                        abort_safe = True  # foreign
+                    # else: unknown — fall through to the journaled
+                    # path (claims left for recovery)
+            if not committed:
+                # last guard: a durable journal can have been REPLAYED
+                # AND DELETED by a concurrent recover_cas_txn_journals
+                # before our re-read (recovery swaps pointers, then
+                # deletes the journal — so a published replay is
+                # visible in the pointers). Any participant pointer
+                # at/past its target means OUR version is live: roll
+                # forward (the swap loop below is idempotent). An
+                # unreadable pointer state forfeits abort-safety and
+                # leaves the claims for recovery instead.
+                try:
+                    published = any(
+                        (cur := mt.cas.get(mt._key)) is not None
+                        and cur >= v + 1
+                        for mt, v, _, _ in planned
+                    )
+                except Exception:  # noqa: BLE001 — state unknown
+                    published = None
+                if published:
+                    committed = True
+                elif abort_safe and published is not None:
+                    _abort_cas_group(claimed, adopted)
+                    if put_exc is not None:
+                        raise put_exc
+                    raise ConcurrentWriterError(
+                        f"journal key {jkey} is unavailable (foreign "
+                        "object at the key, or an abort tombstone now "
+                        "blocks it) — transaction aborted"
+                    )
+            if not committed:
                 # put failed AND the re-check could not confirm absence:
                 # the journal may be durable and replayable — leave the
                 # claims and adopted files in place (recovery either
@@ -5341,6 +5413,17 @@ class CasManifestTable(ManifestTable):
                 continue  # concurrently completed
             try:
                 payload = _json.loads(raw.decode())
+                if isinstance(payload, dict) and payload.get("abort"):
+                    # abort TOMBSTONE (commit_staged_group_cas): the
+                    # writer claimed the key to block a delayed journal
+                    # put before its destructive abort — terminal,
+                    # nothing to replay; sweep it. (Residual window,
+                    # documented: after this delete an extraordinarily
+                    # late original put could land; its replay then
+                    # finds the claim manifests gone and re-keys to
+                    # .failed — noisy, never destructive.)
+                    store.delete_blob(jkey)
+                    continue
                 payload["tables"]
             except Exception:  # noqa: BLE001 — any poison blob
                 # a truncated/corrupt journal (e.g. FileCas crash

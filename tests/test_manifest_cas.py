@@ -775,3 +775,132 @@ def test_recover_cas_txn_skips_poison_journal(
         os.path.realpath(p) for p in recovered
     ]
     assert cas.list_blobs("txn/") == ["txn/aaa-poison.failed"]
+
+
+# ---- r16 ADVICE pins: the destructive abort needs PROOF --------------
+#
+# (1) A GET observing journal absence does not prove a timed-out put
+# can never land: before aborting, the writer claims the key with an
+# abort TOMBSTONE — if the tombstone loses, the delayed put landed and
+# the commit rolls forward; if it wins, the put is unlandable forever.
+# (2) A durable journal can have been replayed AND deleted by a
+# concurrent recovery before the re-read: pointers at/past target mean
+# published, so the commit rolls forward instead of deleting live
+# claims.
+
+
+def test_cas_group_delayed_journal_put_blocked_or_rolled_forward(
+    spark, tmp_path, monkeypatch
+):
+    """The put fails client-side and lands server-side only AFTER the
+    absence re-check (the ADVICE window): the abort tombstone loses,
+    the re-read finds OUR journal, and the commit rolls forward."""
+    cas = MemoryCas()
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+    real_put = cas.put_blob_if_absent
+    state = {"pending": None, "fired": False}
+
+    def delayed_put(key, data):
+        if not state["fired"]:
+            # the ORIGINAL journal put: fail client-side, remember the
+            # bytes as an in-flight server-side request
+            state["fired"] = True
+            state["pending"] = (key, data)
+            raise OSError("simulated client-side put timeout")
+        return real_put(key, data)
+
+    real_get = cas.get_blob
+
+    def get_then_land(key):
+        out = real_get(key)
+        # the in-flight put lands right AFTER this GET observed absence
+        p = state["pending"]
+        if out is None and p and p[0] == key:
+            state["pending"] = None
+            real_put(p[0], p[1])
+        return out
+
+    monkeypatch.setattr(cas, "put_blob_if_absent", delayed_put)
+    monkeypatch.setattr(cas, "get_blob", get_then_land)
+    CasManifestTable.commit_staged_group_cas(
+        [(a, [sa], set()), (b, [sb], set())], "txn/"
+    )
+    # rolled FORWARD (not aborted): both advanced, rows landed
+    assert a.version() == 2 and b.version() == 2
+    assert a.read(spark).count() == 15
+    assert cas.list_blobs("txn/") == []
+
+
+def test_cas_group_abort_tombstone_blocks_and_recovery_sweeps(
+    spark, tmp_path, monkeypatch
+):
+    """The put fails and the journal never lands: the writer's abort
+    tombstone claims the key (proving the abort safe), the destructive
+    abort runs, and a later put_blob_if_absent of the original journal
+    CANNOT land; recovery sweeps the tombstone silently."""
+    import warnings as _warnings
+
+    cas = MemoryCas()
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+    real_put = cas.put_blob_if_absent
+    seen = {}
+
+    def failing_first_put(key, data):
+        if key not in seen:
+            seen[key] = data  # the original journal bytes
+            raise OSError("simulated client-side put timeout")
+        return real_put(key, data)
+
+    monkeypatch.setattr(cas, "put_blob_if_absent", failing_first_put)
+    with pytest.raises(OSError, match="put timeout"):
+        CasManifestTable.commit_staged_group_cas(
+            [(a, [sa], set()), (b, [sb], set())], "txn/"
+        )
+    # aborted: pointers unmoved, claims dropped
+    assert a.version() == 1 and b.version() == 1
+    assert not os.path.exists(os.path.join(a.log_dir, "v2.json"))
+    # the tombstone occupies the key: the delayed original put loses
+    (jkey,) = cas.list_blobs("txn/")
+    assert real_put(jkey, seen[jkey]) is False
+    # recovery sweeps the tombstone silently — no warning, no .failed,
+    # and nothing is replayed against the dropped claims
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert CasManifestTable.recover_cas_txn_journals(cas, "txn/") == []
+    assert cas.list_blobs("txn/") == []
+    assert a.version() == 1 and b.version() == 1
+
+
+def test_cas_group_replayed_and_deleted_journal_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """The put fails client-side but WAS durable; a concurrent recovery
+    replays the journal (publishing v2) and deletes it before our
+    re-read. The absence re-check must NOT abort (that would delete a
+    published version's claims/files): the pointer guard detects the
+    publication and rolls forward."""
+    cas = MemoryCas()
+    a, b = _group_pair(spark, cas, tmp_path)
+    sa = a._stage(spark.range(500, 505).selectExpr("id", "id AS v"))
+    sb = b._stage(spark.range(600, 603).selectExpr("id", "id AS v"))
+    real_put = cas.put_blob_if_absent
+
+    def durable_failing_put(key, data):
+        real_put(key, data)  # durable server-side
+        # a concurrent engine-open replays and deletes the journal
+        # before control returns to the writer
+        CasManifestTable.recover_cas_txn_journals(cas, "txn/")
+        raise OSError("simulated client-side put timeout")
+
+    monkeypatch.setattr(cas, "put_blob_if_absent", durable_failing_put)
+    CasManifestTable.commit_staged_group_cas(
+        [(a, [sa], set()), (b, [sb], set())], "txn/"
+    )
+    # published exactly once, claims/files intact
+    assert a.version() == 2 and b.version() == 2
+    assert a.read(spark).count() == 15
+    assert b.read(spark).count() == 23
